@@ -1,0 +1,166 @@
+"""Sensor — "has the upstream produced new data?" with a control table.
+
+Reference parity: ``algorithms/sensors/sensor.py:44-164`` +
+``core/sensor_manager.py:24-223``. A sensor reads its upstream (streaming
+with a per-sensor checkpoint, so the checkpoint IS the dedup cursor, or batch
+with an explicit filter), optionally preprocesses via SQL over the
+``sensor_new_data`` view, tests presence with ``first()``, and upserts
+ACQUIRED_NEW_DATA into a control table.
+
+Control-table storage: Delta when available; otherwise a parquet
+read-modify-write keyed by sensor_id (single tiny table — driver-side upsert
+is fine at any scale since the table is O(#sensors)).
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Optional
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakehouse_engine_spark.core.definitions import (
+    NoNewDataException,
+    SensorSpec,
+    SensorStatus,
+)
+from lakehouse_engine_spark.core.exec_env import ExecEnv
+from lakehouse_engine_spark.io.reader_factory import ReaderFactory
+from lakehouse_engine_spark.utils.acon_utils import parse_input_spec
+
+SENSOR_SCHEMA = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType(), False),
+        T.StructField("assets", T.ArrayType(T.StringType())),
+        T.StructField("status", T.StringType()),
+        T.StructField("status_change_timestamp", T.TimestampType()),
+        T.StructField("checkpoint_location", T.StringType()),
+        T.StructField("upstream_key", T.StringType()),
+        T.StructField("upstream_value", T.StringType()),
+    ]
+)
+
+
+class SensorControlTable:
+    """Upsert/read sensor state (reference ``core/sensor_manager.py:24-125``)."""
+
+    def __init__(self, spark: SparkSession, name_or_location: str):
+        self.spark = spark
+        self.target = name_or_location
+        self.is_path = "/" in name_or_location
+
+    def _read(self) -> DataFrame:
+        try:
+            if self.is_path:
+                return self.spark.read.format(
+                    "delta" if ExecEnv.delta_available() else "parquet"
+                ).load(self.target)
+            return self.spark.read.table(self.target)
+        except Exception:  # noqa: BLE001 — first run, table absent
+            return self.spark.createDataFrame([], SENSOR_SCHEMA)
+
+    def status_of(self, sensor_id: str) -> Optional[Row]:
+        return self._read().filter(F.col("sensor_id") == sensor_id).first()
+
+    def upsert(self, spec: SensorSpec, status: str, upstream_key=None, upstream_value=None) -> None:
+        now = datetime.datetime.now(datetime.timezone.utc)
+        new_row = self.spark.createDataFrame(
+            [
+                (
+                    spec.sensor_id,
+                    list(spec.assets or []),
+                    status,
+                    now,
+                    spec.checkpoint_location,
+                    str(upstream_key) if upstream_key is not None else None,
+                    str(upstream_value) if upstream_value is not None else None,
+                )
+            ],
+            SENSOR_SCHEMA,
+        )
+        merged = (
+            self._read()
+            .filter(F.col("sensor_id") != spec.sensor_id)
+            .unionByName(new_row)
+            .localCheckpoint(eager=True)
+        )
+        fmt = "delta" if ExecEnv.delta_available() else "parquet"
+        if self.is_path:
+            merged.write.format(fmt).mode("overwrite").save(self.target)
+        else:
+            merged.write.format(fmt).mode("overwrite").saveAsTable(self.target)
+
+
+class Sensor:
+    """Executes a sensor ACON; returns True when new data was acquired."""
+
+    def __init__(self, acon: dict):
+        self.spark = ExecEnv.get_or_create(config=acon.get("exec_env"))
+        self.spec = SensorSpec(
+            sensor_id=acon["sensor_id"],
+            assets=acon.get("assets", []),
+            control_db_table_name=acon["control_db_table_name"],
+            input_spec=parse_input_spec(acon["input_spec"]),
+            preprocess_query=acon.get("preprocess_query"),
+            checkpoint_location=acon.get("base_checkpoint_location")
+            and f"{acon['base_checkpoint_location'].rstrip('/')}/sensors/{acon['sensor_id']}",
+            fail_on_empty_result=acon.get("fail_on_empty_result", True),
+        )
+        self.control = SensorControlTable(self.spark, self.spec.control_db_table_name)
+
+    def execute(self) -> bool:
+        upstream = ReaderFactory.get_data(self.spark, self.spec.input_spec)
+        has_new = (
+            self._check_streaming(upstream)
+            if upstream.isStreaming
+            else self._check_batch(upstream)
+        )
+        if has_new:
+            self.control.upsert(self.spec, SensorStatus.ACQUIRED_NEW_DATA.value)
+        elif self.spec.fail_on_empty_result:
+            raise NoNewDataException(f"Sensor {self.spec.sensor_id}: no new data")
+        return has_new
+
+    def _preprocess(self, df: DataFrame) -> DataFrame:
+        if self.spec.preprocess_query:
+            df.createOrReplaceTempView("sensor_new_data")
+            return df.sparkSession.sql(self.spec.preprocess_query)
+        return df
+
+    def _check_batch(self, df: DataFrame) -> bool:
+        return self._preprocess(df).first() is not None
+
+    def _check_streaming(self, df: DataFrame) -> bool:
+        """availableNow + checkpoint: only unseen files/offsets surface, so the
+        checkpoint acts as the new-data cursor (reference ``sensor.py:44-164``)."""
+        found = {"new": False}
+
+        def _probe(batch_df: DataFrame, _):
+            if self._preprocess(batch_df).first() is not None:
+                found["new"] = True
+
+        writer = df.writeStream.trigger(availableNow=True).foreachBatch(_probe)
+        if self.spec.checkpoint_location:
+            writer = writer.option("checkpointLocation", self.spec.checkpoint_location)
+        writer.start().awaitTermination()
+        return found["new"]
+
+
+def update_sensor_status(
+    sensor_id: str,
+    control_db_table_name: str,
+    status: str = SensorStatus.PROCESSED_NEW_DATA.value,
+    assets: Optional[list] = None,
+) -> None:
+    """Mark a sensor processed (reference ``engine.py:220-243``)."""
+    spark = ExecEnv.get_or_create()
+    control = SensorControlTable(spark, control_db_table_name)
+    spec = SensorSpec(
+        sensor_id=sensor_id,
+        assets=assets or [],
+        control_db_table_name=control_db_table_name,
+        input_spec=None,  # type: ignore[arg-type] — status-only update
+    )
+    control.upsert(spec, status)

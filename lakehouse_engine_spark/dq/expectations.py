@@ -1,0 +1,168 @@
+"""Expectation registry — GE-compatible names compiled to Spark Columns.
+
+Each *row-level* expectation builds a boolean Column (True = row OK); the DQ
+factory evaluates ALL of them in ONE aggregate pass
+(``sum(when(~cond,1))`` per expectation), unlike the reference's
+one-GE-checkpoint-per-suite design — same results, one job.
+*Aggregate-level* expectations return a closure evaluated against aggregates.
+
+Includes the reference's 7 custom expectations
+(``dq_processors/custom_expectations/*.py``) plus the common core GE names its
+tests use.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RowCond = Callable[..., Column]
+
+
+def _not_null(column: str, **_: object) -> Column:
+    return F.col(column).isNotNull()
+
+
+def _not_null_or_empty(column: str, **_: object) -> Column:
+    """Reference ``expect_column_values_to_not_be_null_or_empty_string``."""
+    return F.col(column).isNotNull() & (F.trim(F.col(column).cast("string")) != "")
+
+
+def _between(column: str, min_value=None, max_value=None, **_: object) -> Column:
+    cond = F.lit(True)
+    if min_value is not None:
+        cond = cond & (F.col(column) >= F.lit(min_value))
+    if max_value is not None:
+        cond = cond & (F.col(column) <= F.lit(max_value))
+    return F.col(column).isNull() | cond  # GE: nulls don't count as unexpected
+
+
+def _in_set(column: str, value_set=None, **_: object) -> Column:
+    return F.col(column).isNull() | F.col(column).isin(list(value_set or []))
+
+
+def _lengths_between(column: str, min_value=None, max_value=None, **_: object) -> Column:
+    ln = F.length(F.col(column).cast("string"))
+    cond = F.lit(True)
+    if min_value is not None:
+        cond = cond & (ln >= int(min_value))
+    if max_value is not None:
+        cond = cond & (ln <= int(max_value))
+    return F.col(column).isNull() | cond
+
+
+def _match_regex(column: str, regex: str = ".*", **_: object) -> Column:
+    return F.col(column).isNull() | F.col(column).rlike(regex)
+
+
+def _pair_a_gt_b(column_A: str, column_B: str, or_equal: bool = False, **_: object) -> Column:
+    a, b = F.col(column_A), F.col(column_B)
+    return a.isNull() | b.isNull() | ((a >= b) if or_equal else (a > b))
+
+
+def _pair_a_le_b(column_A: str, column_B: str, margin: float = 0, **_: object) -> Column:
+    """Reference ``expect_column_pair_a_to_be_smaller_or_equal_than_b`` —
+    ``A <= B + margin`` (custom_expectations/…_smaller_or_equal_than_b.py:33-60)."""
+    a, b = F.col(column_A), F.col(column_B)
+    return a.isNull() | b.isNull() | (a <= b + F.lit(margin or 0))
+
+
+def _pair_a_ne_b(column_A: str, column_B: str, **_: object) -> Column:
+    """Reference ``expect_column_pair_a_to_be_not_equal_to_b`` (null-safe)."""
+    return ~F.col(column_A).eqNullSafe(F.col(column_B))
+
+
+def _pair_date_a_ge_b(column_A: str, column_B: str, **_: object) -> Column:
+    """Reference ``expect_column_pair_date_a_to_be_greater_than_or_equal_to_date_b``."""
+    a, b = F.to_date(F.col(column_A)), F.to_date(F.col(column_B))
+    return a.isNull() | b.isNull() | (a >= b)
+
+
+def _a_must_equal_b_or_c(column_A: str, column_B: str, column_C: str, **_: object) -> Column:
+    """Reference ``expect_multicolumn_column_a_must_equal_b_or_c``."""
+    a = F.col(column_A)
+    return a.eqNullSafe(F.col(column_B)) | a.eqNullSafe(F.col(column_C))
+
+
+def _date_not_older_than(column: str, timeframe: Optional[dict] = None, **_: object) -> Column:
+    """Reference ``expect_column_values_to_be_date_not_older_than`` — value
+    within ``timeframe`` (days/hours/…) of now."""
+    tf = timeframe or {"days": 1}
+    seconds = (
+        tf.get("days", 0) * 86400
+        + tf.get("hours", 0) * 3600
+        + tf.get("minutes", 0) * 60
+        + tf.get("seconds", 0)
+        + tf.get("weeks", 0) * 7 * 86400
+        + tf.get("years", 0) * 365 * 86400
+    )
+    cutoff = F.current_timestamp() - F.expr(f"INTERVAL {int(seconds)} SECOND")
+    c = F.to_timestamp(F.col(column))
+    return c.isNull() | (c >= cutoff)
+
+
+ROW_EXPECTATIONS: dict = {
+    "expect_column_values_to_not_be_null": _not_null,
+    "expect_column_values_to_not_be_null_or_empty_string": _not_null_or_empty,
+    "expect_column_values_to_be_between": _between,
+    "expect_column_values_to_be_in_set": _in_set,
+    "expect_column_value_lengths_to_be_between": _lengths_between,
+    "expect_column_values_to_match_regex": _match_regex,
+    "expect_column_pair_values_a_to_be_greater_than_b": _pair_a_gt_b,
+    "expect_column_pair_a_to_be_smaller_or_equal_than_b": _pair_a_le_b,
+    "expect_column_pair_a_to_be_not_equal_to_b": _pair_a_ne_b,
+    "expect_column_pair_date_a_to_be_greater_than_or_equal_to_date_b": _pair_date_a_ge_b,
+    "expect_multicolumn_column_a_must_equal_b_or_c": _a_must_equal_b_or_c,
+    "expect_column_values_to_be_date_not_older_than": _date_not_older_than,
+}
+
+
+# ---------------------------------------------------------------- aggregate
+
+
+def eval_unique(df: DataFrame, column: str) -> tuple:
+    """``expect_column_values_to_be_unique`` — rows sharing a duplicated value
+    are unexpected (one groupBy job, map-side combined)."""
+    row = (
+        df.groupBy(column)
+        .count()
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("count") > 1, F.col("count"))), F.lit(0)).alias("dups"),
+            F.coalesce(F.sum("count"), F.lit(0)).alias("total"),
+        )
+        .first()
+    )
+    return int(row["dups"]), int(row["total"])
+
+
+def eval_row_count_between(df_count: int, min_value=None, max_value=None, **_: object) -> bool:
+    ok = True
+    if min_value is not None:
+        ok = ok and df_count >= min_value
+    if max_value is not None:
+        ok = ok and df_count <= max_value
+    return ok
+
+
+def eval_queried_agg(
+    spark, df: DataFrame, template_dict: dict, **_: object
+) -> bool:
+    """Reference ``expect_queried_column_agg_value_to_be`` — run a query over
+    the batch, aggregate a column, assert between min/max."""
+    df.createOrReplaceTempView("batch")
+    q = template_dict["user_query"] if "user_query" in template_dict else template_dict["query"]
+    row = spark.sql(q).first()
+    val = row[0] if row is not None else None
+    lo, hi = template_dict.get("min_value"), template_dict.get("max_value")
+    if val is None:
+        return False
+    return (lo is None or val >= lo) and (hi is None or val <= hi)
+
+
+AGG_EXPECTATIONS = {
+    "expect_column_values_to_be_unique",
+    "expect_table_row_count_to_be_between",
+    "expect_queried_column_agg_value_to_be",
+}

@@ -1,0 +1,204 @@
+"""Column reshapers: select/cast/rename/expressions/nested-data operators.
+
+Reference parity: ``transformers/column_reshapers.py:30-476``. All operators
+are narrow projections (single ``select``/``withColumn``) — Catalyst folds
+them into the scan, so they cost nothing extra at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Callable, Dict, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakehouse_engine_spark.utils.schema_utils import (
+    array_columns,
+    flatten_df,
+    map_columns,
+    resolve_schema,
+    schema_from_dict,
+    schema_from_file,
+)
+
+TransformerFn = Callable[[DataFrame], DataFrame]
+
+
+def cast(cols: Dict[str, str]) -> TransformerFn:
+    """Cast columns to Spark SQL type names (reference ``column_reshapers.py:30-51``)."""
+
+    def _cast(df: DataFrame) -> DataFrame:
+        return df.withColumns({c: F.col(c).cast(t) for c, t in cols.items()})
+
+    return _cast
+
+
+def column_selector(cols: "OrderedDict[str, str]") -> TransformerFn:
+    """Select and alias columns (reference ``column_reshapers.py:54-69``)."""
+
+    def _select(df: DataFrame) -> DataFrame:
+        return df.select(*(F.col(c).alias(a) for c, a in cols.items()))
+
+    return _select
+
+
+def with_expressions(cols_and_exprs: Dict[str, str]) -> TransformerFn:
+    """Add/replace columns from SQL expressions (reference ``column_reshapers.py:181-204``)."""
+
+    def _with(df: DataFrame) -> DataFrame:
+        return df.withColumns({c: F.expr(e) for c, e in cols_and_exprs.items()})
+
+    return _with
+
+
+def rename(cols: Dict[str, str], escape_col_names: bool = True) -> TransformerFn:
+    """Rename columns (reference ``column_reshapers.py:207-235``)."""
+
+    def _rename(df: DataFrame) -> DataFrame:
+        return df.withColumnsRenamed(cols)
+
+    return _rename
+
+
+def flatten_schema(
+    max_level: Optional[int] = None,
+    shorten_names: bool = False,
+    alias: bool = True,
+    num_chars: int = 7,
+    ignore_cols: Optional[List[str]] = None,
+) -> TransformerFn:
+    """Flatten nested structs (reference ``column_reshapers.py:72-112``)."""
+
+    def _flatten(df: DataFrame) -> DataFrame:
+        return flatten_df(df, max_level, shorten_names, alias, num_chars, ignore_cols)
+
+    return _flatten
+
+
+def explode_columns(
+    explode_arrays: bool = False,
+    array_cols_to_explode: Optional[List[str]] = None,
+    explode_maps: bool = False,
+    map_cols_to_explode: Optional[List[str]] = None,
+) -> TransformerFn:
+    """Explode array/map columns with ``explode_outer`` (reference ``column_reshapers.py:115-157,441-476``).
+
+    Maps explode through ``map_entries`` into ``<col>_key`` / ``<col>_value``
+    columns; arrays explode in place. Explode multiplies row count but never
+    shuffles — it stays inside the scan stage.
+    """
+
+    def _explode(df: DataFrame) -> DataFrame:
+        out = df
+        acols = array_cols_to_explode if array_cols_to_explode is not None else (
+            array_columns(out) if explode_arrays else []
+        )
+        for c in acols:
+            out = out.withColumn(c, F.explode_outer(c))
+        mcols = map_cols_to_explode if map_cols_to_explode is not None else (
+            map_columns(out) if explode_maps else []
+        )
+        for c in mcols:
+            out = out.withColumn(c, F.explode_outer(F.map_entries(c))).withColumns(
+                {f"{c}_key": F.col(f"{c}.key"), f"{c}_value": F.col(f"{c}.value")}
+            ).drop(c)
+        return out
+
+    return _explode
+
+
+def from_json(
+    input_col: str,
+    schema: Optional[dict] = None,
+    schema_path: Optional[str] = None,
+    json_options: Optional[dict] = None,
+    drop_all_cols: bool = False,
+) -> TransformerFn:
+    """Parse a JSON string/binary column into a struct (reference ``column_reshapers.py:349-409``).
+
+    When no schema is given, one is inferred from the data (extra job — batch
+    only; supply a schema for streaming/scale paths).
+    """
+
+    def _from_json(df: DataFrame) -> DataFrame:
+        if schema is not None:
+            st: T.DataType = schema_from_dict(schema)
+        elif schema_path is not None:
+            st = schema_from_file(schema_path)
+        else:
+            sample = df.select(F.col(input_col).cast("string").alias("j"))
+            st = df.sparkSession.read.json(
+                sample.rdd.map(lambda r: r["j"])  # schema inference only
+            ).schema
+        parsed = F.from_json(F.col(input_col).cast("string"), st, json_options or {})
+        if drop_all_cols:
+            return df.select(parsed.alias(input_col)).select(f"{input_col}.*")
+        return df.withColumn(input_col, parsed).select("*", f"{input_col}.*").drop(input_col)
+
+    return _from_json
+
+
+def to_json(in_cols: List[str], out_col: str, json_options: Optional[dict] = None) -> TransformerFn:
+    """Serialise columns to a JSON string column (reference ``column_reshapers.py:412-438``)."""
+
+    def _to_json(df: DataFrame) -> DataFrame:
+        cols = df.columns if in_cols == ["*"] else in_cols
+        return df.withColumn(out_col, F.to_json(F.struct(*cols), json_options or {}))
+
+    return _to_json
+
+
+def from_avro(
+    schema: Optional[str] = None,
+    key_col: str = "key",
+    value_col: str = "value",
+    options: Optional[dict] = None,
+    expand_key: bool = False,
+    expand_value: bool = True,
+) -> TransformerFn:
+    """Decode an Avro binary column (reference ``column_reshapers.py:238-282``).
+
+    Requires the ``spark-avro`` JVM package (present on real clusters; absent
+    in this container → raises a clear error at call time, not import time).
+    """
+
+    def _from_avro(df: DataFrame) -> DataFrame:
+        try:
+            from pyspark.sql.avro.functions import from_avro as avro_decode
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError("spark-avro package not available") from e
+        out = df.withColumn(value_col, avro_decode(F.col(value_col), schema, options or {}))
+        if expand_value:
+            out = out.select("*", f"{value_col}.*").drop(value_col)
+        if expand_key:
+            out = out.select("*", f"{key_col}.*").drop(key_col)
+        return out
+
+    return _from_avro
+
+
+def from_avro_with_registry(
+    schema_registry: str,
+    value_schema: str,
+    key_schema: Optional[str] = None,
+    key_col: str = "key",
+    value_col: str = "value",
+    expand_key: bool = False,
+    expand_value: bool = True,
+) -> TransformerFn:
+    """Schema-registry Avro decode — documented gap.
+
+    The reference uses a Databricks-only ``from_avro(subject=…)`` signature
+    (reference ``column_reshapers.py:285-346``); OSS Spark needs ABRiS or a
+    Confluent deserializer. We surface a clear error with the needed wiring.
+    """
+
+    def _fail(df: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "from_avro_with_registry requires a Confluent/ABRiS deserializer on "
+            "the cluster; use from_avro with an explicit schema instead."
+        )
+
+    return _fail
