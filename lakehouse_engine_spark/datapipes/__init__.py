@@ -7,3 +7,10 @@ binary-column plumbing. All operators are built from JVM-side
 ``pyspark.sql.functions`` (higher-order array functions, no Python UDFs in
 the hot path) and register in the engine's TransformerFactory.
 """
+
+from lakehouse_engine_spark.datapipes import (  # noqa: E402,F401 — populate registry
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

@@ -1,0 +1,322 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine.
+
+Scale design:
+* **exact** — one hash-aggregate shuffle on the key (map-side combined).
+* **minhash_lsh** — signature is a projection; candidate generation is ONE
+  shuffle on (band_idx, band_hash) — classic banding: two documents collide
+  in some band iff their Jaccard similarity likely exceeds the threshold
+  implied by (bands, rows). No pairwise O(n²) anywhere; survivor choice is
+  min-id per bucket, which needs no connected components.
+* **simhash** — 64-bit signature via higher-order aggregates (codegen'd);
+  near-dup candidates bucket on 16-bit signature chunks (Hamming≤k ⇒ some
+  chunk equal, pigeonhole), verified by popcount.
+* **ngram_jaccard** — LSH candidates + exact Jaccard verify on the pair.
+* **embedding_cosine** — exact variant for modest corpora; random-hyperplane
+  LSH variant for scale (see similarity.py for the ANN machinery).
+
+MinHash uses ``md5`` (not xxhash64) so the DuckDB oracle can reproduce
+signatures bit-for-bit: ``min(md5(seed || shingle))`` over the shingle set is
+a valid min-wise hash per seed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.datapipes.registry import register
+from lakehouse_engine_spark.datapipes.text import shingles, tokens_lower
+
+TransformerFn = Callable[[DataFrame], DataFrame]
+
+
+@register("dedup_exact")
+def dedup_exact(
+    key_cols: List[str],
+    id_col: Optional[str] = None,
+    normalize: bool = False,
+) -> TransformerFn:
+    """Exact dedup. With ``id_col`` the survivor is deterministic (min id per
+    key — required for oracle comparison); without, ``dropDuplicates``.
+
+    ``normalize=True`` lowercases/strips string keys first (near-exact dedup
+    of text corpora).
+    """
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        out = df
+        keys = list(key_cols)
+        if normalize:
+            out = out.withColumns(
+                {f"__norm_{c}": F.regexp_replace(F.lower(F.trim(F.col(c))), r"\s+", " ") for c in keys}
+            )
+            keys = [f"__norm_{c}" for c in keys]
+        if id_col is None:
+            return out.dropDuplicates(keys).drop(*[c for c in keys if c.startswith("__norm_")])
+        w = Window.partitionBy(*keys)
+        out = (
+            out.withColumn("__min_id", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("__min_id"))
+            .drop("__min_id", *[c for c in keys if c.startswith("__norm_")])
+        )
+        return out
+
+    return _dedup
+
+
+def minhash_signature(col: Column, num_hashes: int = 12, shingle_size: int = 3) -> Column:
+    """Array of ``num_hashes`` min-wise hashes (md5-hex strings) of the
+    document's shingle set. Pure projection — portable to ANSI SQL."""
+    sh = shingles(col, shingle_size)
+
+    def seeded_min(seed: int) -> Column:
+        # factory closure: a plain 1-arg lambda keeps pyspark's higher-order
+        # introspection happy (default-arg captures change the arity)
+        prefix = f"{seed}|"
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+    return F.array(*[seeded_min(i) for i in range(num_hashes)])
+
+
+def band_hashes(sig: Column, bands: int, rows: int) -> Column:
+    """Hash each band (contiguous ``rows`` slice of the signature)."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows)))
+            for b in range(bands)
+        ]
+    )
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_size: int = 3,
+    keep: str = "survivors",  # survivors | flagged
+) -> TransformerFn:
+    """MinHash + banded LSH near-duplicate removal.
+
+    A document is a duplicate when it shares any band bucket with a
+    lower-id document; survivors are bucket minima. This transitive-lite
+    rule avoids connected components while still collapsing clusters (every
+    non-minimal member sees a smaller id in at least one shared bucket).
+    """
+    rows = num_hashes // bands
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        sig = minhash_signature(F.col(text_col), num_hashes, shingle_size)
+        with_bands = df.withColumn("__bands", band_hashes(sig, bands, rows))
+        exploded = with_bands.select(
+            F.col(id_col).alias("__id"), F.posexplode("__bands").alias("__b", "__h")
+        )
+        # min id per bucket, then min over a doc's buckets = its cluster head
+        head = (
+            exploded.groupBy("__b", "__h")
+            .agg(F.min("__id").alias("__bucket_min"))
+            .join(exploded, ["__b", "__h"])
+            .groupBy("__id")
+            .agg(F.min("__bucket_min").alias("dup_group_id"))
+        )
+        out = df.join(head, df[id_col] == head["__id"], "left").drop("__id")
+        out = out.withColumn(
+            "is_duplicate", F.col("dup_group_id") < F.col(id_col)
+        )
+        if keep == "survivors":
+            return out.filter(~F.col("is_duplicate")).drop("is_duplicate", "dup_group_id")
+        return out
+
+    return _dedup
+
+
+def simhash64(col: Column, shingle_size: int = 2) -> Column:
+    """64-bit SimHash of the document's shingles — sum ±1 per bit of each
+    shingle's xxhash64, take sign. Entirely higher-order functions."""
+    sh = shingles(col, shingle_size)
+
+    def bit_votes(s: Column) -> Column:
+        # ±1 vote per bit of the shingle hash (shift amounts must be literals)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(64)
+            ]
+        )
+
+    counters = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, s: F.zip_with(acc, bit_votes(s), lambda a, b: a + b),
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        # shiftleft in the JVM handles bit 63 (sign bit) without overflow; OR
+        # composes disjoint bits safely under ANSI mode.
+        sig = sig.bitwiseOR(
+            F.when(
+                F.element_at(counters, i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+@register("dedup_simhash")
+def dedup_simhash(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_threshold: int = 3,
+    shingle_size: int = 2,
+    keep: str = "survivors",
+) -> TransformerFn:
+    """SimHash near-dup removal: bucket on the 4 16-bit chunks of the
+    signature (Hamming ≤ 3 ⇒ at least one chunk identical), verify candidate
+    pairs by popcount of XOR, survivors = min id of verified neighborhood."""
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias("__id"), simhash64(F.col(text_col), shingle_size).alias("__sim")
+        )
+        chunks = base.select(
+            "__id",
+            "__sim",
+            F.posexplode(
+                F.array(*[
+                    F.shiftright("__sim", k * 16).bitwiseAND(F.lit(0xFFFF)) for k in range(4)
+                ])
+            ).alias("__k", "__chunk"),
+        )
+        pairs = (
+            chunks.alias("l")
+            .join(
+                chunks.alias("r"),
+                (F.col("l.__k") == F.col("r.__k"))
+                & (F.col("l.__chunk") == F.col("r.__chunk"))
+                & (F.col("l.__id") > F.col("r.__id")),
+            )
+            .select(F.col("l.__id").alias("__id"), F.col("r.__id").alias("__cand"),
+                    F.col("l.__sim").alias("__s1"), F.col("r.__sim").alias("__s2"))
+            .dropDuplicates(["__id", "__cand"])
+        )
+        verified = pairs.filter(
+            F.bit_count(F.col("__s1").bitwiseXOR(F.col("__s2"))) <= hamming_threshold
+        )
+        heads = verified.groupBy("__id").agg(F.min("__cand").alias("dup_group_id"))
+        out = df.join(heads, df[id_col] == heads["__id"], "left").drop("__id")
+        out = out.withColumn(
+            "is_duplicate", F.col("dup_group_id").isNotNull() & (F.col("dup_group_id") < F.col(id_col))
+        ).withColumn("dup_group_id", F.coalesce("dup_group_id", F.col(id_col)))
+        if keep == "survivors":
+            return out.filter(~F.col("is_duplicate")).drop("is_duplicate", "dup_group_id")
+        return out
+
+    return _dedup
+
+
+@register("dedup_ngram_jaccard")
+def dedup_ngram_jaccard(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 12,
+    bands: int = 6,
+    keep: str = "survivors",
+) -> TransformerFn:
+    """n-gram Jaccard dedup: MinHash-LSH candidates, exact Jaccard verify.
+
+    The verify join carries both shingle sets only for colliding pairs —
+    the pairwise work is proportional to true near-duplicates, not n².
+    """
+    rows = num_hashes // bands
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        sig = minhash_signature(F.col(text_col), num_hashes, shingle_size)
+        enriched = df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(shingles(F.col(text_col), shingle_size)).alias("__sh"),
+            band_hashes(sig, bands, rows).alias("__bands"),
+        )
+        exploded = enriched.select("__id", "__sh", F.posexplode("__bands").alias("__b", "__h"))
+        cands = (
+            exploded.alias("l")
+            .join(
+                exploded.alias("r"),
+                (F.col("l.__b") == F.col("r.__b"))
+                & (F.col("l.__h") == F.col("r.__h"))
+                & (F.col("l.__id") > F.col("r.__id")),
+            )
+            .select(
+                F.col("l.__id").alias("__id"),
+                F.col("r.__id").alias("__cand"),
+                F.col("l.__sh").alias("__sh1"),
+                F.col("r.__sh").alias("__sh2"),
+            )
+            .dropDuplicates(["__id", "__cand"])
+        )
+        inter = F.size(F.array_intersect("__sh1", "__sh2")).cast("double")
+        union_sz = (F.size("__sh1") + F.size("__sh2") - F.size(F.array_intersect("__sh1", "__sh2"))).cast("double")
+        verified = cands.withColumn("__jac", inter / union_sz).filter(F.col("__jac") >= threshold)
+        heads = verified.groupBy("__id").agg(F.min("__cand").alias("dup_group_id"))
+        out = df.join(heads, df[id_col] == heads["__id"], "left").drop("__id")
+        out = out.withColumn(
+            "is_duplicate", F.col("dup_group_id").isNotNull() & (F.col("dup_group_id") < F.col(id_col))
+        )
+        if keep == "survivors":
+            return out.filter(~F.col("is_duplicate")).drop("is_duplicate", "dup_group_id")
+        return out
+
+    return _dedup
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays — JVM-side higher-order fns."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+@register("dedup_embedding_cosine")
+def dedup_embedding_cosine(
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+    keep: str = "survivors",
+) -> TransformerFn:
+    """Embedding near-dup removal — exact all-pairs variant.
+
+    O(n²/2) pair comparisons; correct baseline and fine up to ~10⁵ vectors
+    per run. For larger corpora use ``similarity.hyperplane_lsh_buckets`` to
+    restrict pairs to LSH buckets first (same verify logic).
+    """
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        vecs = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(embedding_col).cast("array<double>").alias("__v"),
+        )
+        pairs = (
+            vecs.alias("l")
+            .join(vecs.alias("r"), F.col("l.__id") > F.col("r.__id"))
+            .withColumn("__cos", cosine(F.col("l.__v"), F.col("r.__v")))
+            .filter(F.col("__cos") >= threshold)
+            .select(F.col("l.__id").alias("__id"), F.col("r.__id").alias("__cand"))
+        )
+        heads = pairs.groupBy("__id").agg(F.min("__cand").alias("dup_group_id"))
+        out = df.join(heads, df[id_col] == heads["__id"], "left").drop("__id")
+        out = out.withColumn(
+            "is_duplicate", F.col("dup_group_id").isNotNull() & (F.col("dup_group_id") < F.col(id_col))
+        )
+        if keep == "survivors":
+            return out.filter(~F.col("is_duplicate")).drop("is_duplicate", "dup_group_id")
+        return out
+
+    return _dedup

@@ -1,0 +1,228 @@
+"""Similarity search over embedding columns.
+
+* ``knn_brute_force`` — exact top-k cosine neighbors: broadcast the query
+  set, score corpus partitions in place (no corpus shuffle), per-query top-k
+  via window. This is the correctness baseline and is already the right plan
+  for "few queries × huge corpus" at 100 TB: the only shuffle is the final
+  k-rows-per-query sort.
+* ``hyperplane_lsh_buckets`` / ``knn_lsh`` — random-hyperplane (sign) LSH:
+  deterministic pseudo-random hyperplanes derived from ``xxhash64(i, dim)``,
+  so no fitted model/state needs shipping. Probing = bucket equi-join.
+* ``knn_ivf`` — IVF-style: coarse centroids (deterministic sample), assign
+  by best cosine, probe ``nprobe`` nearest centroid lists.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.datapipes.dedup import cosine
+from lakehouse_engine_spark.datapipes.registry import register
+
+TransformerFn = Callable[[DataFrame], DataFrame]
+
+
+@register("knn_brute_force")
+def knn_brute_force(
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    query_filter: str = "vec_id < 10",
+    metric: str = "cosine",
+) -> TransformerFn:
+    """Exact top-k neighbors for the rows matching ``query_filter``.
+
+    Output: (query_id, neighbor_id, score, rank) — rank 1 = most similar;
+    self-matches excluded.
+    """
+
+    def _knn(df: DataFrame) -> DataFrame:
+        corpus = df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(embedding_col).cast("array<double>").alias("__cv"),
+        )
+        queries = df.filter(query_filter).select(
+            F.col(id_col).alias("query_id"),
+            F.col(embedding_col).cast("array<double>").alias("__qv"),
+        )
+        if metric == "cosine":
+            score = cosine(F.col("__qv"), F.col("__cv"))
+        elif metric == "dot":
+            score = F.aggregate(
+                F.zip_with("__qv", "__cv", lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+            )
+        else:
+            raise ValueError(f"knn_brute_force: unknown metric {metric}")
+        scored = (
+            F.broadcast(queries)
+            .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("score", F.round(score, 6))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank")
+        )
+
+    return _knn
+
+
+def hyperplane_signature(vec: Column, num_planes: int = 16, dim: int = 32) -> Column:
+    """Sign-bit signature against deterministic pseudo-random hyperplanes.
+
+    Plane p's component for dimension d is a zero-mean value derived from
+    ``xxhash64(p, d)`` — reproducible on any executor with no broadcast of
+    model state.
+    """
+    def plane_dot(p: int) -> Column:
+        def component(v: Column, d: Column) -> Column:
+            h = F.xxhash64(F.lit(p), d)
+            return v * ((F.pmod(h, F.lit(20001)).cast("double") - 10000.0) / 10000.0)
+
+        return F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), component),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    bits = [
+        F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p)
+        for p in range(num_planes)
+    ]
+    return sum(bits[1:], bits[0]).cast("long")
+
+
+@register("knn_lsh")
+def knn_lsh(
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    query_filter: str = "vec_id < 10",
+    num_planes: int = 12,
+    num_tables: int = 4,
+    dim: int = 32,
+) -> TransformerFn:
+    """Approximate top-k: candidates share a hyperplane-LSH bucket in at
+    least one of ``num_tables`` tables; exact cosine re-rank on candidates.
+
+    The scale path: corpus signatures are a projection, candidate generation
+    a bucket equi-join — no all-pairs scoring.
+    """
+
+    def _knn(df: DataFrame) -> DataFrame:
+        # one signature per table: offset the plane index space per table
+        def table_sig(vec: Column, t: int) -> Column:
+            def plane_dot(p: int) -> Column:
+                def component(v: Column, d: Column) -> Column:
+                    h = F.xxhash64(F.lit(t * 1000 + p), d)
+                    return v * ((F.pmod(h, F.lit(20001)).cast("double") - 10000.0) / 10000.0)
+
+                return F.aggregate(
+                    F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), component),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                )
+
+            bits = [
+                F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p)
+                for p in range(num_planes)
+            ]
+            return sum(bits[1:], bits[0]).cast("long")
+
+        vec = F.col(embedding_col).cast("array<double>")
+        corpus = df.select(
+            F.col(id_col).alias("neighbor_id"),
+            vec.alias("__cv"),
+            F.posexplode(F.array(*[table_sig(vec, t) for t in range(num_tables)])).alias(
+                "__t", "__sig"
+            ),
+        )
+        queries = df.filter(query_filter).select(
+            F.col(id_col).alias("query_id"),
+            vec.alias("__qv"),
+            F.posexplode(F.array(*[table_sig(vec, t) for t in range(num_tables)])).alias(
+                "__t", "__sig"
+            ),
+        )
+        cands = (
+            F.broadcast(queries)
+            .join(corpus, ["__t", "__sig"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        scored = cands.withColumn("score", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank")
+        )
+
+    return _knn
+
+
+@register("knn_ivf")
+def knn_ivf(
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    query_filter: str = "vec_id < 10",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> TransformerFn:
+    """IVF-flat ANN: deterministic coarse centroids (every n-th vector by id),
+    inverted-list assignment by best cosine, queries probe ``nprobe`` lists.
+
+    At scale the assignment is one broadcast-join pass over the corpus and
+    search touches only ``nprobe/num_centroids`` of the data.
+    """
+
+    def _knn(df: DataFrame) -> DataFrame:
+        vec = F.col(embedding_col).cast("array<double>")
+        base = df.select(F.col(id_col).alias("__vid"), vec.alias("__v"))
+        w_all = Window.orderBy("__vid")
+        numbered = base.withColumn("__rn", F.row_number().over(w_all) - 1)
+        total = numbered.count()
+        step = max(total // num_centroids, 1)
+        centroids = (
+            numbered.filter(F.col("__rn") % step == 0)
+            .limit(num_centroids)
+            .select(F.col("__rn").alias("centroid_id"), F.col("__v").alias("__cv"))
+        )
+        # assign corpus vectors to their best centroid (broadcast centroids)
+        assign_w = Window.partitionBy("__vid").orderBy(F.desc("__sim"))
+        assigned = (
+            base.join(F.broadcast(centroids))
+            .withColumn("__sim", cosine(F.col("__v"), F.col("__cv")))
+            .withColumn("__r", F.row_number().over(assign_w))
+            .filter(F.col("__r") == 1)
+            .select("__vid", "__v", "centroid_id")
+        )
+        # queries probe nprobe nearest centroids
+        q = df.filter(query_filter).select(F.col(id_col).alias("query_id"), vec.alias("__qv"))
+        probe_w = Window.partitionBy("query_id").orderBy(F.desc("__sim"))
+        probes = (
+            q.join(F.broadcast(centroids))
+            .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+            .withColumn("__r", F.row_number().over(probe_w))
+            .filter(F.col("__r") <= nprobe)
+            .select("query_id", "__qv", "centroid_id")
+        )
+        scored = (
+            F.broadcast(probes)
+            .join(assigned, "centroid_id")
+            .filter(F.col("query_id") != F.col("__vid"))
+            .withColumn("score", F.round(cosine(F.col("__qv"), F.col("__v")), 6))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("__vid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("__vid").alias("neighbor_id"), "score", "rank")
+        )
+
+    return _knn

@@ -1,0 +1,161 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting,
+and document fingerprinting — all pure ``pyspark.sql.functions`` column
+expressions (whole-stage codegen, zero Python in the hot path, zero
+shuffles: every operator is a projection).
+
+Design note: every expression here is chosen to be *portable to ANSI SQL /
+DuckDB* so the driver's oracle can value-hash-match results (md5 instead of
+xxhash64, regexp token rules identical in Java and RE2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.datapipes.registry import register
+
+TransformerFn = Callable[[DataFrame], DataFrame]
+
+# whitespace tokens; filter('' ) guards leading/trailing whitespace
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def tokens_lower(col: Column) -> Column:
+    return tokens(F.lower(col))
+
+
+# BPE-ish lexer: word pieces OR runs of non-word/non-space punctuation —
+# approximates subword token counts without a tokenizer model.
+BPE_ISH_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein", "eine", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "des", "un", "une", "du", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "es", "de", "un", "una", "que", "por", "para", "con"],
+}
+
+
+@register("text_token_count")
+def token_count(
+    input_col: str = "text",
+    output_col: str = "n_tokens",
+    bpe_ish: bool = True,
+) -> TransformerFn:
+    """Token counting: whitespace or BPE-ish regex lexing."""
+
+    def _count(df: DataFrame) -> DataFrame:
+        c = F.col(input_col)
+        n = (
+            F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_REGEX), 0))
+            if bpe_ish
+            else F.size(tokens(c))
+        )
+        return df.withColumn(output_col, n.cast("int"))
+
+    return _count
+
+
+@register("text_quality_score")
+def quality_score(input_col: str = "text", lang: str = "en") -> TransformerFn:
+    """Heuristic document quality features + composite score.
+
+    Emits: n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
+    upper_ratio, digit_ratio, quality_score (0-1). Mirrors common pretraining
+    quality filters (C4/Gopher-style length & symbol heuristics).
+    """
+
+    def _score(df: DataFrame) -> DataFrame:
+        c = F.col(input_col)
+        toks = tokens(c)
+        toks_l = tokens_lower(c)
+        n_chars = F.length(c)
+        n_words = F.size(toks)
+        mean_wl = F.when(n_words > 0,
+                         (F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+                          .cast("double") / n_words)).otherwise(F.lit(0.0))
+        punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+        punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+        digits = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+        digit_ratio = F.when(n_chars > 0, digits.cast("double") / n_chars).otherwise(0.0)
+        upper = F.length(c) - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+        upper_ratio = F.when(n_chars > 0, upper.cast("double") / n_chars).otherwise(0.0)
+        sw = F.array(*[F.lit(w) for w in STOPWORDS.get(lang, STOPWORDS["en"])])
+        sw_hits = F.size(F.array_intersect(F.array_distinct(toks_l), sw))
+        sw_ratio = F.when(n_words > 0, sw_hits.cast("double") / F.least(n_words, F.lit(12))).otherwise(0.0)
+        score = (
+            F.when((n_words >= 10) & (n_words <= 100000), F.lit(0.25)).otherwise(0.0)
+            + F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(0.25)).otherwise(0.0)
+            + F.when(punct_ratio < 0.3, F.lit(0.25)).otherwise(0.0)
+            + F.least(sw_ratio, F.lit(1.0)) * 0.25
+        )
+        return df.withColumns(
+            {
+                "n_chars_q": n_chars.cast("long"),
+                "n_words": n_words.cast("int"),
+                "mean_word_len": F.round(mean_wl, 4),
+                "punct_ratio": F.round(punct_ratio, 4),
+                "digit_ratio": F.round(digit_ratio, 4),
+                "upper_ratio": F.round(upper_ratio, 4),
+                "stopword_ratio": F.round(sw_ratio, 4),
+                "quality_score": F.round(score, 4),
+            }
+        )
+
+    return _score
+
+
+@register("text_langid")
+def langid(input_col: str = "text", output_col: str = "lang_pred") -> TransformerFn:
+    """Stopword-profile language ID over {en,de,fr,es}; 'und' when no hits.
+
+    Scales as a pure projection; ties break by fixed language order.
+    """
+
+    def _langid(df: DataFrame) -> DataFrame:
+        toks = F.array_distinct(tokens_lower(F.col(input_col)))
+        scores = {
+            lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+            for lang, words in STOPWORDS.items()
+        }
+        best = F.greatest(*scores.values())
+        pred = F.lit("und")
+        for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+            pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+        pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+        return df.withColumn(output_col, pred)
+
+    return _langid
+
+
+@register("text_fingerprint")
+def fingerprint(input_col: str = "text", output_col: str = "fingerprint") -> TransformerFn:
+    """Normalized-token-set fingerprint (OpenRefine-style clustering key):
+    md5 over the sorted distinct lowercase alphanumeric-normalized tokens."""
+
+    def _fp(df: DataFrame) -> DataFrame:
+        norm = F.regexp_replace(F.lower(F.col(input_col)), r"[^a-z0-9\s]", "")
+        key = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(norm))))
+        return df.withColumn(output_col, F.md5(key))
+
+    return _fp
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; documents shorter than n words yield one shingle."""
+    toks = tokens_lower(col)
+    k = F.size(toks)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
