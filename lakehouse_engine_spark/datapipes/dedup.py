@@ -15,9 +15,12 @@ Scale design:
 * **embedding_cosine** — exact variant for modest corpora; random-hyperplane
   LSH variant for scale (see similarity.py for the ANN machinery).
 
-MinHash uses ``md5`` (not xxhash64) so the DuckDB oracle can reproduce
-signatures bit-for-bit: ``min(md5(seed || shingle))`` over the shingle set is
-a valid min-wise hash per seed.
+MinHash hashing is built for portability AND speed: ONE ``md5`` per
+*distinct* shingle (both Spark and DuckDB can compute it bit-for-bit),
+folded to a 60-bit int, then ``num_hashes`` universal-family linear
+permutations ``(a*x + b) mod P`` — integer ops that cost ~nothing next to
+the digest. The naive alternative (one md5 per shingle *per seed*) is
+``num_hashes``× more digest work for identical statistical behavior.
 """
 
 from __future__ import annotations
@@ -31,6 +34,27 @@ from lakehouse_engine_spark.datapipes.registry import register
 from lakehouse_engine_spark.datapipes.text import shingles, tokens_lower
 
 TransformerFn = Callable[[DataFrame], DataFrame]
+
+# Mersenne prime 2^31-1: (a*x + b) % P stays under 2^62 for x,a,b < P,
+# so the arithmetic is exact (and identical) in Spark and DuckDB BIGINTs.
+MINHASH_P = 2147483647
+
+
+def _gen_ab(n: int) -> List[tuple]:
+    """Deterministic (a, b) coefficients for the permutation family (fixed
+    LCG so Spark and the SQL oracle share literals)."""
+    state = 0x9E3779B9
+    out = []
+    for _ in range(n):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state % (MINHASH_P - 1) + 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_AB = _gen_ab(32)
 
 
 @register("dedup_exact")
@@ -68,24 +92,44 @@ def dedup_exact(
 
 
 def minhash_signature(col: Column, num_hashes: int = 12, shingle_size: int = 3) -> Column:
-    """Array of ``num_hashes`` min-wise hashes (md5-hex strings) of the
-    document's shingle set. Pure projection — portable to ANSI SQL."""
-    sh = shingles(col, shingle_size)
+    """Array of ``num_hashes`` min-wise hashes (bigints) of the document's
+    distinct-shingle set. Pure projection — portable to ANSI SQL.
 
-    def seeded_min(seed: int) -> Column:
-        # factory closure: a plain 1-arg lambda keeps pyspark's higher-order
-        # introspection happy (default-arg captures change the arity)
-        prefix = f"{seed}|"
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+    One md5 per distinct shingle (distinct doesn't change any min), folded
+    into the permutation family in a single ``aggregate`` pass holding the
+    running elementwise minima."""
+    P = MINHASH_P
+    ab = MINHASH_AB[:num_hashes]
+    bases = F.transform(
+        shingles(col, shingle_size),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % P,
+    )
 
-    return F.array(*[seeded_min(i) for i in range(num_hashes)])
+    def fold(acc: Column, x: Column) -> Column:
+        hashes = F.array(*[(F.lit(a) * x + F.lit(b)) % P for a, b in ab])
+        return F.zip_with(acc, hashes, lambda m, v: F.least(m, v))
+
+    return F.aggregate(
+        F.array_distinct(bases), F.array_repeat(F.lit(P).cast("long"), num_hashes), fold
+    )
 
 
 def band_hashes(sig: Column, bands: int, rows: int) -> Column:
-    """Hash each band (contiguous ``rows`` slice of the signature)."""
+    """Hash each band (contiguous ``rows`` slice of the signature). The band
+    index is baked into the hash so buckets key on one column."""
     return F.array(
         *[
-            F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows)))
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")
+                        ),
+                    ),
+                )
+            )
             for b in range(bands)
         ]
     )
@@ -113,13 +157,13 @@ def dedup_minhash_lsh(
         sig = minhash_signature(F.col(text_col), num_hashes, shingle_size)
         with_bands = df.withColumn("__bands", band_hashes(sig, bands, rows))
         exploded = with_bands.select(
-            F.col(id_col).alias("__id"), F.posexplode("__bands").alias("__b", "__h")
+            F.col(id_col).alias("__id"), F.explode("__bands").alias("__h")
         )
         # min id per bucket, then min over a doc's buckets = its cluster head
         head = (
-            exploded.groupBy("__b", "__h")
+            exploded.groupBy("__h")
             .agg(F.min("__id").alias("__bucket_min"))
-            .join(exploded, ["__b", "__h"])
+            .join(exploded, ["__h"])
             .groupBy("__id")
             .agg(F.min("__bucket_min").alias("dup_group_id"))
         )
@@ -244,14 +288,12 @@ def dedup_ngram_jaccard(
             F.array_distinct(shingles(F.col(text_col), shingle_size)).alias("__sh"),
             band_hashes(sig, bands, rows).alias("__bands"),
         )
-        exploded = enriched.select("__id", "__sh", F.posexplode("__bands").alias("__b", "__h"))
+        exploded = enriched.select("__id", "__sh", F.explode("__bands").alias("__h"))
         cands = (
             exploded.alias("l")
             .join(
                 exploded.alias("r"),
-                (F.col("l.__b") == F.col("r.__b"))
-                & (F.col("l.__h") == F.col("r.__h"))
-                & (F.col("l.__id") > F.col("r.__id")),
+                (F.col("l.__h") == F.col("r.__h")) & (F.col("l.__id") > F.col("r.__id")),
             )
             .select(
                 F.col("l.__id").alias("__id"),
@@ -296,17 +338,35 @@ def dedup_embedding_cosine(
     O(n²/2) pair comparisons; correct baseline and fine up to ~10⁵ vectors
     per run. For larger corpora use ``similarity.hyperplane_lsh_buckets`` to
     restrict pairs to LSH buckets first (same verify logic).
+
+    The hot pair loop is kept inside whole-stage codegen: vectors are
+    L2-normalized ONCE (one higher-order pass per row), then expanded to
+    scalar columns so the pair similarity is a plain fused dot product —
+    no interpreted array lambdas on the O(n²) path.
     """
 
     def _dedup(df: DataFrame) -> DataFrame:
+        dim = df.select(F.size(F.col(embedding_col)).alias("d")).first()["d"]
+        norm = F.sqrt(
+            F.aggregate(
+                F.col(embedding_col).cast("array<double>"),
+                F.lit(0.0),
+                lambda s, v: s + v * v,
+            )
+        )
+        unit = F.transform(F.col(embedding_col).cast("array<double>"), lambda v: v / norm)
         vecs = df.select(
             F.col(id_col).alias("__id"),
-            F.col(embedding_col).cast("array<double>").alias("__v"),
+            *[F.element_at(unit, i + 1).alias(f"__e{i}") for i in range(dim)],
+        )
+        dot = sum(
+            (F.col(f"l.__e{i}") * F.col(f"r.__e{i}") for i in range(1, dim)),
+            F.col("l.__e0") * F.col("r.__e0"),
         )
         pairs = (
             vecs.alias("l")
             .join(vecs.alias("r"), F.col("l.__id") > F.col("r.__id"))
-            .withColumn("__cos", cosine(F.col("l.__v"), F.col("r.__v")))
+            .withColumn("__cos", dot)
             .filter(F.col("__cos") >= threshold)
             .select(F.col("l.__id").alias("__id"), F.col("r.__id").alias("__cand"))
         )
