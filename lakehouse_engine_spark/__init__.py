@@ -40,15 +40,16 @@ def load_data(acon: dict, collect_engine_usage: Optional[str] = None) -> Optiona
     return DataLoader(acon).execute()
 
 
-def execute_reconciliation(acon: dict) -> None:
+def execute_reconciliation(acon: dict) -> dict:
     """Reconcile a current dataset against a truth dataset.
 
     Reference ``engine.py:56-82`` / ``algorithms/reconciliator.py``.
-    Raises ``ReconciliationFailedException`` on yellow/red threshold breach.
+    Raises ``ReconciliationFailedException`` on yellow/red threshold breach;
+    returns the per-metric diff status on success.
     """
     from lakehouse_engine_spark.algorithms.reconciliator import Reconciliator
 
-    Reconciliator(acon).execute()
+    return Reconciliator(acon).execute()
 
 
 def execute_dq_validation(acon: dict) -> Any:

@@ -42,7 +42,9 @@ class ReaderFactory:
             df = spark.sql(spec.query)
         elif spec.query and fmt not in (InputFormat.JDBC.value,):
             df = spark.sql(spec.query)
-        elif spec.db_table and fmt in (None, InputFormat.DELTA.value, "table"):
+        elif spec.db_table and fmt not in (InputFormat.JDBC.value, InputFormat.KAFKA.value):
+            # A catalog table knows its own storage format — honor db_table
+            # regardless of the declared file format.
             reader = spark.readStream if streaming else spark.read
             df = reader.options(**options).table(spec.db_table)
         elif fmt == InputFormat.JDBC.value:

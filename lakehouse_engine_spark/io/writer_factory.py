@@ -127,6 +127,10 @@ def _write_streaming(
 
     if _needs_foreach_batch(spec, micro_batch_fn):
         view = f"lhe_stream_{spec.spec_id}"
+        if spec.data_format == OutputFormat.DATAFRAME.value:
+            # Fresh accumulation per query run — the view must not leak rows
+            # from a previous load_data() in the same session.
+            spark.sql(f"DROP VIEW IF EXISTS global_temp.{view}")
 
         def _process(batch_df: DataFrame, batch_id: int) -> None:
             out = micro_batch_fn(batch_df, batch_id) if micro_batch_fn else batch_df

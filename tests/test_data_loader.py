@@ -1,0 +1,210 @@
+"""DataLoader ACON end-to-end tests — the reference's dominant test pattern
+(SURVEY.md §5): run the public API with a config dict, read back the output,
+assert equality."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lakehouse_engine_spark import load_data
+from lakehouse_engine_spark.core.definitions import WrongArgumentsError
+
+from tests.conftest import assert_df_equal
+
+
+@pytest.fixture()
+def src(spark, tmp_dir):
+    path = os.path.join(tmp_dir, "src")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)], "id INT, grp STRING, amt DOUBLE"
+    ).write.parquet(path)
+    return path
+
+
+def test_full_overwrite_load(spark, src, tmp_dir):
+    out = os.path.join(tmp_dir, "out")
+    load_data(
+        {
+            "input_specs": [
+                {"spec_id": "in", "data_format": "parquet", "location": src}
+            ],
+            "transform_specs": [
+                {
+                    "spec_id": "tr",
+                    "input_id": "in",
+                    "transformers": [
+                        {"function": "expression_filter", "args": {"exp": "grp = 'a'"}}
+                    ],
+                }
+            ],
+            "output_specs": [
+                {
+                    "spec_id": "out",
+                    "input_id": "tr",
+                    "data_format": "parquet",
+                    "location": out,
+                    "write_type": "overwrite",
+                }
+            ],
+        }
+    )
+    assert_df_equal(
+        spark.read.parquet(out).select("id", "grp", "amt"),
+        [(1, "a", 10.0), (3, "a", 30.0)],
+    )
+
+
+def test_append_load(spark, src, tmp_dir):
+    out = os.path.join(tmp_dir, "out")
+    acon = {
+        "input_specs": [{"spec_id": "in", "data_format": "parquet", "location": src}],
+        "output_specs": [
+            {
+                "spec_id": "out",
+                "input_id": "in",
+                "data_format": "parquet",
+                "location": out,
+                "write_type": "append",
+            }
+        ],
+    }
+    load_data(acon)
+    load_data(acon)
+    assert spark.read.parquet(out).count() == 6
+
+
+def test_dataframe_output_returns_df(spark, src):
+    res = load_data(
+        {
+            "input_specs": [{"spec_id": "in", "data_format": "parquet", "location": src}],
+            "output_specs": [
+                {"spec_id": "o", "input_id": "in", "data_format": "dataframe"}
+            ],
+        }
+    )
+    assert res["o"].count() == 3
+
+
+def test_multi_input_join_via_sql(spark, src):
+    res = load_data(
+        {
+            "input_specs": [
+                {"spec_id": "a", "data_format": "parquet", "location": src, "temp_view": "side_a"},
+                {
+                    "spec_id": "b",
+                    "data_format": "sql",
+                    "query": "SELECT id, amt * 2 AS dbl FROM side_a",
+                },
+            ],
+            "transform_specs": [
+                {
+                    "spec_id": "j",
+                    "input_id": "a",
+                    "transformers": [
+                        {
+                            "function": "join",
+                            "args": {
+                                "join_with": "b",
+                                "join_condition": "a.id = b.id",
+                                "join_type": "inner",
+                                "select_cols": ["a.id", "b.dbl"],
+                            },
+                        }
+                    ],
+                }
+            ],
+            "output_specs": [
+                {"spec_id": "o", "input_id": "j", "data_format": "dataframe"}
+            ],
+        }
+    )
+    assert_df_equal(res["o"], [(1, 20.0), (2, 40.0), (3, 60.0)])
+
+
+def test_partitioned_write(spark, src, tmp_dir):
+    out = os.path.join(tmp_dir, "parts")
+    load_data(
+        {
+            "input_specs": [{"spec_id": "in", "data_format": "parquet", "location": src}],
+            "output_specs": [
+                {
+                    "spec_id": "o",
+                    "input_id": "in",
+                    "data_format": "parquet",
+                    "location": out,
+                    "write_type": "overwrite",
+                    "partitions": ["grp"],
+                }
+            ],
+        }
+    )
+    assert sorted(d for d in os.listdir(out) if d.startswith("grp=")) == ["grp=a", "grp=b"]
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_dir):
+    csv_dir = os.path.join(tmp_dir, "csv")
+    os.makedirs(csv_dir)
+    with open(os.path.join(csv_dir, "part1.csv"), "w", encoding="utf-8") as fh:
+        fh.write("id,name\n1,ada\n2,grace\n")
+    res = load_data(
+        {
+            "input_specs": [
+                {
+                    "spec_id": "in",
+                    "data_format": "csv",
+                    "location": csv_dir,
+                    "schema": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "id", "type": "integer", "nullable": True, "metadata": {}},
+                            {"name": "name", "type": "string", "nullable": True, "metadata": {}},
+                        ],
+                    },
+                    "options": {"header": "true"},
+                }
+            ],
+            "output_specs": [{"spec_id": "o", "input_id": "in", "data_format": "dataframe"}],
+        }
+    )
+    assert_df_equal(res["o"], [(1, "ada"), (2, "grace")])
+
+
+def test_unknown_input_id_raises(src):
+    with pytest.raises(WrongArgumentsError):
+        load_data(
+            {
+                "input_specs": [{"spec_id": "in", "data_format": "parquet", "location": src}],
+                "output_specs": [
+                    {"spec_id": "o", "input_id": "nope", "data_format": "dataframe"}
+                ],
+            }
+        )
+
+
+def test_table_write_and_read(spark, src):
+    load_data(
+        {
+            "input_specs": [{"spec_id": "in", "data_format": "parquet", "location": src}],
+            "output_specs": [
+                {
+                    "spec_id": "o",
+                    "input_id": "in",
+                    "data_format": "parquet",
+                    "db_table": "test_dl_table",
+                    "write_type": "overwrite",
+                }
+            ],
+        }
+    )
+    try:
+        res = load_data(
+            {
+                "input_specs": [{"spec_id": "t", "db_table": "test_dl_table", "data_format": "parquet"}],
+                "output_specs": [{"spec_id": "o", "input_id": "t", "data_format": "dataframe"}],
+            }
+        )
+        assert res["o"].count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_dl_table")

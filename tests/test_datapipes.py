@@ -1,0 +1,185 @@
+"""Training-data pipeline operators: dedup (exact/minhash/simhash/jaccard/
+embedding), ANN search (brute/LSH/IVF), text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.core.definitions import TransformerSpec
+from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
+
+
+def t(name, **args):
+    return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    near = base.replace("runs far", "sprints far")  # high jaccard overlap
+    other = "completely different content about databases and distributed query engines at scale"
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, other), (4, "  The  QUICK brown fox jumps over the lazy dog and runs far away into the woods ")],
+        "doc_id INT, text STRING",
+    )
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+
+# ----------------------------------------------------------------- dedup
+def test_dedup_exact_normalized(docs):
+    out = docs.transform(t("dedup_exact", key_cols=["text"], id_col="doc_id", normalize=True))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3]  # 1 exact dup, 4 whitespace/case dup
+
+
+def test_dedup_minhash_collapses_near_dups(docs):
+    out = docs.transform(t("dedup_minhash_lsh", text_col="text", id_col="doc_id",
+                           num_hashes=12, bands=6, shingle_size=2))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 0 in ids and 3 in ids
+    assert 1 not in ids  # identical text always collides
+
+
+def test_dedup_minhash_flagged_mode(docs):
+    out = docs.transform(
+        t("dedup_minhash_lsh", text_col="text", id_col="doc_id", keep="flagged",
+          num_hashes=12, bands=6, shingle_size=2)
+    )
+    assert {"is_duplicate", "dup_group_id"} <= set(out.columns)
+    assert out.count() == docs.count()
+    flags = {r["doc_id"]: r["is_duplicate"] for r in out.collect()}
+    assert flags[1] is True and flags[3] is False
+
+
+def test_dedup_ngram_jaccard_verifies_threshold(docs):
+    strict = docs.transform(
+        t("dedup_ngram_jaccard", shingle_size=3, threshold=0.99, num_hashes=12, bands=12)
+    )
+    loose = docs.transform(
+        t("dedup_ngram_jaccard", shingle_size=3, threshold=0.5, num_hashes=12, bands=12)
+    )
+    # strict keeps the near-dup (id 2) as distinct; loose collapses it
+    assert 2 in {r["doc_id"] for r in strict.collect()}
+    assert 2 not in {r["doc_id"] for r in loose.collect()}
+
+
+def test_dedup_simhash(docs):
+    out = docs.transform(t("dedup_simhash", hamming_threshold=3, shingle_size=2))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 1 not in ids and 0 in ids and 3 in ids
+
+
+def test_dedup_embedding_cosine(vectors):
+    out = vectors.transform(t("dedup_embedding_cosine", threshold=0.98))
+    ids = sorted(r["vec_id"] for r in out.collect())
+    assert ids == [0, 2, 3]
+
+
+# ------------------------------------------------------------------- ANN
+def test_knn_brute_force(vectors):
+    out = vectors.transform(t("knn_brute_force", k=2, query_filter="vec_id = 0"))
+    rows = sorted([(r["neighbor_id"], r["rank"]) for r in out.collect()], key=lambda x: x[1])
+    assert rows[0] == (1, 1)  # nearest neighbor of 0 is its near-dup
+
+
+def test_knn_lsh_finds_obvious_neighbor(spark):
+    # clustered corpus so LSH buckets capture the structure
+    rows = [(i, [1.0 + 0.001 * i, 0.0, 0.0, 0.0]) for i in range(10)] + [
+        (100 + i, [0.0, 1.0 + 0.001 * i, 0.0, 0.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = df.transform(t("knn_lsh", k=3, query_filter="vec_id = 0", num_planes=6, num_tables=4, dim=4))
+    neighbors = {r["neighbor_id"] for r in out.collect()}
+    assert neighbors and neighbors <= set(range(1, 10))  # same-cluster only
+
+
+def test_knn_ivf(vectors):
+    out = vectors.transform(t("knn_ivf", k=1, query_filter="vec_id = 0", num_centroids=2, nprobe=2))
+    got = out.collect()
+    assert got and got[0]["neighbor_id"] == 1
+
+
+# ------------------------------------------------------------------ text
+def test_text_quality_score(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog and it is a good day for that."),
+         (2, "@@@@ #### $$$$ 1234 !!!!")],
+        "doc_id INT, text STRING",
+    )
+    out = df.transform(t("text_quality_score"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    assert 0.0 <= rows[2]["quality_score"] <= 1.0
+    assert rows[1]["stopword_ratio"] > 0
+
+
+def test_text_langid(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat and it is warm"),
+         (2, "der Hund ist nicht mit der Katze und das ist gut"),
+         (3, "le chat est dans la maison et il est content"),
+         (4, "xyzzy plugh 12345")],
+        "doc_id INT, text STRING",
+    )
+    out = df.transform(t("text_langid"))
+    got = {r["doc_id"]: r["lang_pred"] for r in out.collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+def test_token_count_modes(spark):
+    df = spark.createDataFrame([(1, "hello, world! it's nice")], "id INT, text STRING")
+    bpe = df.transform(t("text_token_count")).first()["n_tokens"]
+    ws = df.transform(t("text_token_count", bpe_ish=False)).first()["n_tokens"]
+    assert bpe > ws  # punctuation split into separate tokens
+
+
+def test_fingerprint_clusters_reordered_text(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha!"), (3, "delta epsilon")],
+        "doc_id INT, text STRING",
+    )
+    out = df.transform(t("text_fingerprint"))
+    fps = {r["doc_id"]: r["fingerprint"] for r in out.collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_pack_and_extract(spark):
+    df = spark.createDataFrame([(1, "payload-bytes")], "doc_id INT, text STRING")
+    packed = df.transform(t("multimodal_pack", payload_col="text", id_col="doc_id"))
+    assert dict(packed.dtypes)["payload"] == "binary"
+    assert packed.select("media_meta.media_type").first()[0] == "application/octet-stream"
+    out = packed.transform(t("multimodal_feature_extract", id_col="doc_id", feature_dim=4))
+    row = out.first()
+    assert row["n_bytes"] == len(b"payload-bytes") and len(row["feature"]) == 4
+
+
+def test_multimodal_feature_extract_strict_raises(spark):
+    import py4j.protocol
+
+    df = spark.createDataFrame([(1, bytearray(b"img"))], "doc_id LONG, payload BINARY")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as a Py4J error
+        df.transform(t("multimodal_feature_extract", mode="strict")).collect()
+
+
+def test_multimodal_frame_sample_stubbed(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 1024))], "doc_id LONG, payload BINARY"
+    )
+    out = df.transform(t("multimodal_frame_sample", every_n_bytes=256, max_frames=3))
+    rows = out.collect()
+    assert len(rows) == 3  # 1024//256 capped at 3
+    assert all(len(r["frame_bytes"]) == 256 for r in rows)

@@ -1,0 +1,190 @@
+"""Native DQ engine: expectations, failure policies, source tagging, result
+sink (reference ``dq_processors/dq_factory.py`` semantics without GE)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lakehouse_engine_spark import execute_dq_validation, load_data
+from lakehouse_engine_spark.core.definitions import (
+    DQFunctionSpec,
+    DQSpec,
+    DQValidationsFailedException,
+)
+from lakehouse_engine_spark.dq.dq_factory import DQFactory
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 50), (3, None, 500), (3, "d", -1)],
+        "id INT, name STRING, score INT",
+    )
+
+
+def run(spark, df, functions, critical=(), **kw):
+    spec = DQSpec(
+        spec_id="dq",
+        input_id="in",
+        dq_functions=[DQFunctionSpec(f, a) for f, a in functions],
+        critical_functions=[DQFunctionSpec(f, a) for f, a in critical],
+        **kw,
+    )
+    return DQFactory.run_dq_process(spark, spec, df)
+
+
+def test_passing_suite_returns_df(spark, df):
+    out = run(
+        spark,
+        df,
+        [
+            ("expect_column_values_to_be_between", {"column": "score", "min_value": -10, "max_value": 1000}),
+            ("expect_table_row_count_to_be_between", {"min_value": 1, "max_value": 10}),
+        ],
+    )
+    assert out.count() == 4
+
+
+def test_fail_on_error(spark, df):
+    with pytest.raises(DQValidationsFailedException):
+        run(spark, df, [("expect_column_values_to_not_be_null", {"column": "name"})])
+
+
+def test_fail_on_error_false_logs_only(spark, df):
+    out = run(
+        spark,
+        df,
+        [("expect_column_values_to_not_be_null", {"column": "name"})],
+        fail_on_error=False,
+    )
+    assert out.count() == 4
+
+
+def test_critical_functions_raise_even_with_fail_on_error_false(spark, df):
+    with pytest.raises(DQValidationsFailedException, match="Critical"):
+        run(
+            spark,
+            df,
+            [],
+            critical=[("expect_column_values_to_not_be_null", {"column": "name"})],
+            fail_on_error=False,
+        )
+
+
+def test_max_percentage_failure(spark, df):
+    # 1 of 2 functions fails = 50%; threshold 60 tolerates it
+    out = run(
+        spark,
+        df,
+        [
+            ("expect_column_values_to_not_be_null", {"column": "name"}),
+            ("expect_column_values_to_not_be_null", {"column": "id"}),
+        ],
+        max_percentage_failure=60.0,
+    )
+    assert out.count() == 4
+    with pytest.raises(DQValidationsFailedException):
+        run(
+            spark,
+            df,
+            [
+                ("expect_column_values_to_not_be_null", {"column": "name"}),
+                ("expect_column_values_to_not_be_null", {"column": "id"}),
+            ],
+            max_percentage_failure=40.0,
+        )
+
+
+def test_uniqueness(spark, df):
+    with pytest.raises(DQValidationsFailedException):
+        run(spark, df, [("expect_column_values_to_be_unique", {"column": "id"})])
+
+
+def test_tag_source_data(spark, df):
+    out = run(
+        spark,
+        df,
+        [("expect_column_values_to_not_be_null", {"column": "name"})],
+        tag_source_data=True,
+        fail_on_error=False,
+    )
+    tagged = {r["id"]: r["dq_validations"]["row_success"] for r in out.collect() if r["name"] is None}
+    assert tagged == {3: False}
+    ok = out.filter("name IS NOT NULL").first()["dq_validations"]
+    assert ok["row_success"] is True and ok["failed_expectations"] == []
+
+
+def test_result_sink(spark, df, tmp_dir):
+    sink = os.path.join(tmp_dir, "sink")
+    run(
+        spark,
+        df,
+        [("expect_column_values_to_not_be_null", {"column": "id"})],
+        result_sink_location=sink,
+        result_sink_format="parquet",
+    )
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["expectation_type"] == "expect_column_values_to_not_be_null"
+    assert r["expectation_success"] is True
+    assert r["element_count"] == 4 and r["unexpected_count"] == 0
+
+
+def test_pair_expectations(spark):
+    df = spark.createDataFrame([(1, 2), (5, 3)], "a INT, b INT")
+    with pytest.raises(DQValidationsFailedException):
+        DQFactory.run_dq_process(
+            spark,
+            DQSpec(
+                spec_id="dq",
+                input_id="in",
+                dq_functions=[
+                    DQFunctionSpec(
+                        "expect_column_pair_a_to_be_smaller_or_equal_than_b",
+                        {"column_A": "a", "column_B": "b"},
+                    )
+                ],
+            ),
+            df,
+        )
+
+
+def test_dq_via_load_data(spark, tmp_dir):
+    src = os.path.join(tmp_dir, "src")
+    spark.createDataFrame([(1, "x")], "id INT, v STRING").write.parquet(src)
+    res = load_data(
+        {
+            "input_specs": [{"spec_id": "in", "data_format": "parquet", "location": src}],
+            "dq_specs": [
+                {
+                    "spec_id": "dq",
+                    "input_id": "in",
+                    "dq_functions": [
+                        {"function": "expect_column_values_to_not_be_null", "args": {"column": "id"}}
+                    ],
+                }
+            ],
+            "output_specs": [{"spec_id": "o", "input_id": "dq", "data_format": "dataframe"}],
+        }
+    )
+    assert res["o"].count() == 1
+
+
+def test_dq_validation_entrypoint_restores_nothing_on_pass(spark, tmp_dir):
+    src = os.path.join(tmp_dir, "src")
+    spark.createDataFrame([(1,)], "id INT").write.parquet(src)
+    execute_dq_validation(
+        {
+            "input_spec": {"spec_id": "i", "data_format": "parquet", "location": src},
+            "dq_spec": {
+                "spec_id": "dq",
+                "input_id": "i",
+                "dq_functions": [
+                    {"function": "expect_column_values_to_not_be_null", "args": {"column": "id"}}
+                ],
+            },
+        }
+    )

@@ -1,0 +1,121 @@
+"""MERGE semantics (reference ``io/writers/delta_merge_writer.py:28-210``):
+update/delete/insert predicates, column sets, insert-only — via the public
+``load_data`` merge write_type on a parquet target (join-rewrite path; the
+same MergeOptions drive DeltaTable.merge when delta-spark is present)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lakehouse_engine_spark import load_data
+
+from tests.conftest import assert_df_equal
+
+
+@pytest.fixture()
+def target(spark, tmp_dir):
+    path = os.path.join(tmp_dir, "tgt")
+    spark.createDataFrame(
+        [(1, "keep", 100), (2, "update-me", 200), (3, "delete-me", 300)],
+        "id INT, tag STRING, val INT",
+    ).write.parquet(path)
+    return path
+
+
+def _merge(spark, target, new_rows, merge_opts):
+    load_data(
+        {
+            "input_specs": [
+                {
+                    "spec_id": "new",
+                    "data_format": "dataframe",
+                    "df_name": spark.createDataFrame(new_rows, "id INT, tag STRING, val INT"),
+                }
+            ],
+            "output_specs": [
+                {
+                    "spec_id": "o",
+                    "input_id": "new",
+                    "data_format": "parquet",
+                    "location": target,
+                    "write_type": "merge",
+                    "merge_opts": merge_opts,
+                }
+            ],
+        }
+    )
+    return spark.read.parquet(target)
+
+
+def test_merge_upsert(spark, target):
+    out = _merge(
+        spark,
+        target,
+        [(2, "updated", 222), (4, "inserted", 400)],
+        {"merge_predicate": "current.id = new.id"},
+    )
+    assert_df_equal(
+        out,
+        [(1, "keep", 100), (2, "updated", 222), (3, "delete-me", 300), (4, "inserted", 400)],
+    )
+
+
+def test_merge_delete_predicate(spark, target):
+    out = _merge(
+        spark,
+        target,
+        [(3, "whatever", 0)],
+        {"merge_predicate": "current.id = new.id", "delete_predicate": "current.tag = 'delete-me'"},
+    )
+    assert_df_equal(out, [(1, "keep", 100), (2, "update-me", 200)])
+
+
+def test_merge_insert_only(spark, target):
+    out = _merge(
+        spark,
+        target,
+        [(2, "should-not-update", 0), (5, "new", 500)],
+        {"merge_predicate": "current.id = new.id", "insert_only": True},
+    )
+    assert_df_equal(
+        out,
+        [(1, "keep", 100), (2, "update-me", 200), (3, "delete-me", 300), (5, "new", 500)],
+    )
+
+
+def test_merge_update_predicate_and_column_set(spark, target):
+    out = _merge(
+        spark,
+        target,
+        [(2, "touched", 999), (3, "touched", 999)],
+        {
+            "merge_predicate": "current.id = new.id",
+            "update_predicate": "new.val > 500",
+            "update_column_set": {"val": "new.val"},  # tag untouched
+        },
+    )
+    assert_df_equal(
+        out,
+        [(1, "keep", 100), (2, "update-me", 999), (3, "delete-me", 999)],
+    )
+
+
+def test_merge_insert_predicate(spark, target):
+    out = _merge(
+        spark,
+        target,
+        [(6, "lowval", 1), (7, "highval", 1000)],
+        {"merge_predicate": "current.id = new.id", "insert_predicate": "new.val >= 1000"},
+    )
+    assert_df_equal(
+        out,
+        [(1, "keep", 100), (2, "update-me", 200), (3, "delete-me", 300), (7, "highval", 1000)],
+    )
+
+
+def test_merge_creates_target_on_first_load(spark, tmp_dir):
+    fresh = os.path.join(tmp_dir, "fresh")
+    out = _merge(spark, fresh, [(1, "first", 1)], {"merge_predicate": "current.id = new.id"})
+    assert_df_equal(out, [(1, "first", 1)])

@@ -1,0 +1,166 @@
+"""Streaming semantics: micro-batch re-planning, watermark dedup, checkpoint
+incremental consumption (reference ``algorithms/data_loader.py:265-330``)."""
+
+from __future__ import annotations
+
+import os
+
+from lakehouse_engine_spark import load_data
+from lakehouse_engine_spark.algorithms.data_loader import DataLoader
+
+SCHEMA = {
+    "type": "struct",
+    "fields": [
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "ver", "type": "integer", "nullable": True, "metadata": {}},
+    ],
+}
+
+
+def _stage(spark, path, rows):
+    spark.createDataFrame(rows, "k INT, ver INT").coalesce(1).write.mode("append").parquet(path)
+
+
+def test_replan_moves_unsupported_tail_into_foreach_batch(spark, tmp_dir):
+    src = os.path.join(tmp_dir, "src")
+    _stage(spark, src, [(1, 1), (1, 2), (2, 1)])
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "s",
+                "data_format": "parquet",
+                "location": src,
+                "read_type": "streaming",
+                "schema": SCHEMA,
+            }
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "t",
+                "input_id": "s",
+                "transformers": [
+                    {"function": "expression_filter", "args": {"exp": "k IS NOT NULL"}},
+                    {"function": "group_and_rank", "args": {"group_key": ["k"], "ranking_key": ["ver"]}},
+                    {"function": "with_literals", "args": {"literals": {"tagged": 1}}},
+                ],
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "o",
+                "input_id": "t",
+                "data_format": "dataframe",
+                "options": {"checkpointLocation": os.path.join(tmp_dir, "ck")},
+            }
+        ],
+    }
+    loader = DataLoader(acon)
+    # planning: the streaming-supported prefix stays; the tail moved
+    tspec = loader.transform_specs[0]
+    assert [t.function for t in tspec.transformers] == ["expression_filter"]
+    assert [t.function for t in loader.output_specs[0].streaming_micro_batch_transformers] == [
+        "group_and_rank",
+        "with_literals",
+    ]
+    written = loader.execute()
+    rows = {(r["k"], r["ver"], r["tagged"]) for r in written["o"].collect()}
+    assert rows == {(1, 2, 1), (2, 1, 1)}
+
+
+def test_streaming_checkpoint_consumes_only_new_files(spark, tmp_dir):
+    src = os.path.join(tmp_dir, "src")
+    ck = os.path.join(tmp_dir, "ck")
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "s",
+                "data_format": "parquet",
+                "location": src,
+                "read_type": "streaming",
+                "schema": SCHEMA,
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "o",
+                "input_id": "s",
+                "data_format": "dataframe",
+                "options": {"checkpointLocation": ck},
+            }
+        ],
+    }
+    _stage(spark, src, [(1, 1)])
+    first = load_data(acon)["o"]
+    assert first.count() == 1
+    _stage(spark, src, [(2, 1)])
+    second = load_data(acon)["o"]
+    rows = {(r["k"], r["ver"]) for r in second.collect()}
+    assert rows == {(2, 1)}  # only the new file
+
+
+def test_streaming_file_sink(spark, tmp_dir):
+    src = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    _stage(spark, src, [(1, 1), (2, 2)])
+    load_data(
+        {
+            "input_specs": [
+                {
+                    "spec_id": "s",
+                    "data_format": "parquet",
+                    "location": src,
+                    "read_type": "streaming",
+                    "schema": SCHEMA,
+                }
+            ],
+            "output_specs": [
+                {
+                    "spec_id": "o",
+                    "input_id": "s",
+                    "data_format": "parquet",
+                    "location": out,
+                    "write_type": "append",
+                    "options": {"checkpointLocation": os.path.join(tmp_dir, "ck")},
+                }
+            ],
+        }
+    )
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_streaming_dq_runs_in_micro_batch(spark, tmp_dir):
+    src = os.path.join(tmp_dir, "src")
+    _stage(spark, src, [(1, 1), (2, 1)])
+    res = load_data(
+        {
+            "input_specs": [
+                {
+                    "spec_id": "s",
+                    "data_format": "parquet",
+                    "location": src,
+                    "read_type": "streaming",
+                    "schema": SCHEMA,
+                }
+            ],
+            "dq_specs": [
+                {
+                    "spec_id": "dq",
+                    "input_id": "s",
+                    "dq_type": "validator",
+                    "fail_on_error": True,
+                    "dq_functions": [
+                        {"function": "expect_column_values_to_not_be_null", "args": {"column": "k"}}
+                    ],
+                }
+            ],
+            "output_specs": [
+                {
+                    "spec_id": "o",
+                    "input_id": "dq",
+                    "data_format": "dataframe",
+                    "options": {"checkpointLocation": os.path.join(tmp_dir, "ck")},
+                }
+            ],
+        }
+    )
+    assert res["o"].count() == 2
