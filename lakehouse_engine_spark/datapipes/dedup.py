@@ -114,6 +114,49 @@ def minhash_signature(col: Column, num_hashes: int = 12, shingle_size: int = 3) 
     )
 
 
+def _minhash_sig_df(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_size: int
+) -> DataFrame:
+    """Signature as columns ``__id, __h0..__h{n-1}`` via explode → codegen.
+
+    The per-shingle md5 + permutations run inside whole-stage codegen (row
+    space), and the per-document minima come from a map-side-combined
+    groupBy — at scale this is one shuffle of (id, 12 longs) per document,
+    with the heavy hashing fully vectorized. The higher-order-function
+    variant (``minhash_signature``) computes identical values but evaluates
+    interpreted; this is the hot path.
+    """
+    P = MINHASH_P
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_size))).alias("__s"),
+    ).select(
+        "__id",
+        (F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long") % P).alias("__x"),
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % P).alias(f"__h{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
+    ]
+    return ex.groupBy("__id").agg(*aggs)
+
+
+def _band_exploded(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(__id, __h) band-bucket rows from a signature-columns DataFrame."""
+    band_cols = [
+        F.md5(
+            F.concat(
+                F.lit(f"{b}:"),
+                F.concat_ws(
+                    "|", *[F.col(f"__h{b * rows + r}").cast("string") for r in range(rows)]
+                ),
+            )
+        )
+        for b in range(bands)
+    ]
+    return sig_df.select("__id", F.explode(F.array(*band_cols)).alias("__h"))
+
+
 def band_hashes(sig: Column, bands: int, rows: int) -> Column:
     """Hash each band (contiguous ``rows`` slice of the signature). The band
     index is baked into the hash so buckets key on one column."""
@@ -154,11 +197,8 @@ def dedup_minhash_lsh(
     rows = num_hashes // bands
 
     def _dedup(df: DataFrame) -> DataFrame:
-        sig = minhash_signature(F.col(text_col), num_hashes, shingle_size)
-        with_bands = df.withColumn("__bands", band_hashes(sig, bands, rows))
-        exploded = with_bands.select(
-            F.col(id_col).alias("__id"), F.explode("__bands").alias("__h")
-        )
+        sig = _minhash_sig_df(df, text_col, id_col, num_hashes, shingle_size)
+        exploded = _band_exploded(sig, bands, rows)
         # min id per bucket, then min over a doc's buckets = its cluster head
         head = (
             exploded.groupBy("__h")
@@ -282,26 +322,28 @@ def dedup_ngram_jaccard(
     rows = num_hashes // bands
 
     def _dedup(df: DataFrame) -> DataFrame:
-        sig = minhash_signature(F.col(text_col), num_hashes, shingle_size)
-        enriched = df.select(
-            F.col(id_col).alias("__id"),
-            F.array_distinct(shingles(F.col(text_col), shingle_size)).alias("__sh"),
-            band_hashes(sig, bands, rows).alias("__bands"),
-        )
-        exploded = enriched.select("__id", "__sh", F.explode("__bands").alias("__h"))
-        cands = (
+        sig = _minhash_sig_df(df, text_col, id_col, num_hashes, shingle_size)
+        exploded = _band_exploded(sig, bands, rows)
+        # candidate pairs carry ONLY ids through the bucket join + dedup;
+        # the (large) shingle arrays attach afterwards, once per unique pair
+        pairs = (
             exploded.alias("l")
             .join(
                 exploded.alias("r"),
                 (F.col("l.__h") == F.col("r.__h")) & (F.col("l.__id") > F.col("r.__id")),
             )
-            .select(
-                F.col("l.__id").alias("__id"),
-                F.col("r.__id").alias("__cand"),
-                F.col("l.__sh").alias("__sh1"),
-                F.col("r.__sh").alias("__sh2"),
-            )
+            .select(F.col("l.__id").alias("__id"), F.col("r.__id").alias("__cand"))
             .dropDuplicates(["__id", "__cand"])
+        )
+        sh = df.select(
+            F.col(id_col).alias("__sid"),
+            F.array_distinct(shingles(F.col(text_col), shingle_size)).alias("__sh"),
+        )
+        cands = (
+            pairs.join(sh.select(F.col("__sid"), F.col("__sh").alias("__sh1")), pairs["__id"] == F.col("__sid"))
+            .drop("__sid")
+            .join(sh.select(F.col("__sid"), F.col("__sh").alias("__sh2")), F.col("__cand") == F.col("__sid"))
+            .drop("__sid")
         )
         inter = F.size(F.array_intersect("__sh1", "__sh2")).cast("double")
         union_sz = (F.size("__sh1") + F.size("__sh2") - F.size(F.array_intersect("__sh1", "__sh2"))).cast("double")
