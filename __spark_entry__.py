@@ -541,6 +541,85 @@ def dp10_multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
     return out.selectExpr("id AS doc_id", "n_bytes")
 
 
+def q17_gab_weekly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """GAB-style calendar-join rollup: weekly buckets from the generated
+    calendar dimension (gab_utils.create_calendar_view), broadcast-joined to
+    orders — the exact join shape GAB emits for WEEK cadences
+    (algorithms/gab.py:_cadence_join_config)."""
+    from lakehouse_engine_spark.utils.gab_utils import create_calendar_view
+
+    orders = load_table(spark, sf, "orders")
+    orders.createOrReplaceTempView("gab_q17_orders")
+    create_calendar_view(spark, "1995-01-01", "1995-06-30", view_name="df_cal_q17")
+    return spark.sql(
+        f"""
+        SELECT date_format(cal.cadence_start_date, 'yyyy-MM-dd') AS from_date,
+               date_format(cal.cadence_end_date, 'yyyy-MM-dd') AS to_date,
+               o.o_orderpriority AS d1,
+               COUNT(*) AS m1,
+               CAST(SUM({_dec('o.o_totalprice')}) AS DOUBLE) AS m2
+        FROM gab_q17_orders o
+        INNER JOIN (
+            SELECT DISTINCT weekstart_mon AS cadence_start_date,
+                            weekend_mon AS cadence_end_date
+            FROM df_cal_q17
+        ) cal
+          ON o.o_orderdate BETWEEN cal.cadence_start_date AND cal.cadence_end_date
+        WHERE o.o_orderdate >= DATE'1995-01-01' AND o.o_orderdate < DATE'1995-07-01'
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
+def q18_gab_monthly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """GAB MONTH-cadence projection: no calendar join needed — bucket bounds
+    are pure date_trunc/add_months expressions (the join-free arm of
+    _cadence_join_config), so the whole rollup stays in one codegen stage."""
+    orders = load_table(spark, sf, "orders")
+    orders.createOrReplaceTempView("gab_q18_orders")
+    return spark.sql(
+        f"""
+        SELECT date_format(date_trunc('MONTH', o_orderdate), 'yyyy-MM-dd') AS from_date,
+               date_format(last_day(o_orderdate), 'yyyy-MM-dd') AS to_date,
+               o_orderpriority AS d1,
+               COUNT(*) AS m1,
+               CAST(SUM({_dec('o_totalprice')}) AS DOUBLE) AS m2
+        FROM gab_q18_orders
+        WHERE o_orderdate >= DATE'1995-01-01' AND o_orderdate < DATE'1995-07-01'
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
+def dp11_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup removal. No duckdb oracle: the signature is built on
+    Spark's xxhash64, which has no DuckDB equivalent — the driver records the
+    rows-only check; pairwise correctness is pytest-verified against brute
+    Hamming distance (tests/test_datapipes.py)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.transform(
+        _t("dedup_simhash", hamming_threshold=3, shingle_size=2)
+    ).selectExpr("doc_id", "lang", "source")
+
+
+def dp12_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets. No duckdb oracle (seeded
+    hyperplanes are engine-internal); recall-vs-brute-force is the pytest
+    check (tests/test_datapipes.py)."""
+    emb = load_table(spark, sf, "embeddings")
+    return emb.transform(_t("knn_lsh", k=5, num_planes=12, query_filter="vec_id < 10"))
+
+
+def dp13_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN via IVF coarse quantization (k-means-lite centroids, nprobe
+    cells). Iterative centroid fit is not SQL-expressible → rows-only check;
+    recall is pytest-verified."""
+    emb = load_table(spark, sf, "embeddings")
+    return emb.transform(
+        _t("knn_ivf", k=5, num_centroids=16, nprobe=4, query_filter="vec_id < 10")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -559,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_window_running": q14_window_running,
         "q15_events_hourly": q15_events_hourly,
         "q16_events_dedup": q16_events_dedup,
+        "q17_gab_weekly_rollup": q17_gab_weekly_rollup,
+        "q18_gab_monthly_rollup": q18_gab_monthly_rollup,
         "dp01_text_quality": dp01_text_quality,
         "dp02_langid": dp02_langid,
         "dp03_token_count": dp03_token_count,
@@ -569,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp08_embedding_dedup": dp08_embedding_dedup,
         "dp09_knn_brute": dp09_knn_brute,
         "dp10_multimodal_bytes": dp10_multimodal_bytes,
+        "dp11_dedup_simhash": dp11_dedup_simhash,
+        "dp12_knn_lsh": dp12_knn_lsh,
+        "dp13_knn_ivf": dp13_knn_ivf,
     }
 
 
@@ -950,6 +1034,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dp10_multimodal_bytes": """
             SELECT doc_id, strlen(text)::BIGINT AS n_bytes FROM documents
+        """,
+        # dp11/dp12/dp13 intentionally omitted: xxhash64 signatures / seeded
+        # hyperplanes / iterative centroids have no portable SQL equivalent —
+        # driver records the rows-only check; recall/pairwise correctness is
+        # covered in tests/test_datapipes.py.
+        "q17_gab_weekly_rollup": """
+            SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS from_date,
+                   strftime(date_trunc('week', o_orderdate) + INTERVAL 6 DAY, '%Y-%m-%d') AS to_date,
+                   o_orderpriority AS d1,
+                   COUNT(*) AS m1,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m2
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+            GROUP BY 1, 2, 3
+        """,
+        "q18_gab_monthly_rollup": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS from_date,
+                   strftime(last_day(o_orderdate), '%Y-%m-%d') AS to_date,
+                   o_orderpriority AS d1,
+                   COUNT(*) AS m1,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m2
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+            GROUP BY 1, 2, 3
         """,
     }
 
