@@ -73,6 +73,25 @@ def execute_gab(acon: dict) -> None:
     GAB(acon).execute()
 
 
+def execute_sensor_heartbeat(acon: dict, job_runner: Any = None) -> list:
+    """Run the heartbeat sensor fleet for one source (reference ``engine.py:220-269``).
+
+    Returns the sensor ids that acquired new data.
+    """
+    from lakehouse_engine_spark.algorithms.heartbeat import Heartbeat
+
+    return Heartbeat(acon, job_runner=job_runner).execute()
+
+
+def trigger_heartbeat_sensor_jobs(acon: dict, job_runner: Any = None) -> list:
+    """Trigger downstream jobs whose heartbeat dependencies are satisfied
+    (reference ``engine.py:272-281``). Returns the triggered job ids.
+    """
+    from lakehouse_engine_spark.algorithms.heartbeat import Heartbeat
+
+    return Heartbeat(acon, job_runner=job_runner).trigger_jobs()
+
+
 def manage_table(acon: dict) -> Any:
     """Execute a table-management operation (reference ``engine.py:116-140``)."""
     from lakehouse_engine_spark.core.table_manager import TableManager
@@ -93,6 +112,8 @@ __all__ = [
     "execute_reconciliation",
     "execute_dq_validation",
     "execute_sensor",
+    "execute_sensor_heartbeat",
+    "trigger_heartbeat_sensor_jobs",
     "execute_gab",
     "manage_table",
     "manage_files",

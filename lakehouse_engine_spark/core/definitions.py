@@ -303,6 +303,33 @@ class GABSpec:
     calendar_table: str
 
 
+class HeartbeatStatus(str, Enum):
+    """Heartbeat job states (reference ``core/definitions.py:1849-1855``)."""
+
+    NEW_EVENT_AVAILABLE = "NEW_EVENT_AVAILABLE"
+    IN_PROGRESS = "IN_PROGRESS"
+    COMPLETED = "COMPLETED"
+
+
+@dataclass
+class HeartbeatConfigSpec:
+    """Heartbeat fleet config (reference ``core/definitions.py:1760-1826``).
+
+    The reference's Databricks ``token``/``domain`` fields are replaced by an
+    injectable job-runner callable on the Heartbeat algorithm itself.
+    """
+
+    sensor_source: str
+    data_format: str
+    heartbeat_sensor_db_table: str
+    lakehouse_engine_sensor_db_table: str
+    options: Optional[dict] = None
+    jdbc_db_table: Optional[str] = None
+    base_checkpoint_location: Optional[str] = None
+    base_trigger_file_location: Optional[str] = None
+    schema_dict: Optional[dict] = None
+
+
 class TerminatorFunction(str, Enum):
     """Registered terminator functions (reference ``terminators/terminator_factory.py:19-52``)."""
 
