@@ -30,6 +30,7 @@ from typing import Callable, List, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
 from lakehouse_engine_spark.datapipes.registry import register
 from lakehouse_engine_spark.datapipes.text import shingles, tokens_lower
 
@@ -127,7 +128,7 @@ def _minhash_sig_df(
     interpreted; this is the hot path.
     """
     P = MINHASH_P
-    ex = df.select(
+    ex = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_size))).alias("__s"),
     ).select(
@@ -252,6 +253,39 @@ def simhash64(col: Column, shingle_size: int = 2) -> Column:
     return sig
 
 
+def _simhash_sig_df(
+    df: DataFrame, text_col: str, id_col: str, shingle_size: int
+) -> DataFrame:
+    """``(__id, __sim)`` via explode → 64 map-side-combined sign counters.
+
+    Computes the same signature as :func:`simhash64` (one xxhash64 per
+    shingle occurrence, ±1 vote per bit, sign → bit) but in row space:
+    the hash runs ONCE per shingle inside whole-stage codegen and the 64
+    per-bit vote sums are partial-aggregated before the per-document
+    shuffle. The higher-order-function form re-evaluates the hash per bit
+    and runs interpreted — orders of magnitude slower on the hot path.
+    """
+    ex = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_size)).alias("__s"),
+    ).select("__id", F.xxhash64("__s").alias("__h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(64)
+    ]
+    counters = ex.groupBy("__id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return counters.select("__id", sig.alias("__sim"))
+
+
 @register("dedup_simhash")
 def dedup_simhash(
     text_col: str = "text",
@@ -265,9 +299,7 @@ def dedup_simhash(
     pairs by popcount of XOR, survivors = min id of verified neighborhood."""
 
     def _dedup(df: DataFrame) -> DataFrame:
-        base = df.select(
-            F.col(id_col).alias("__id"), simhash64(F.col(text_col), shingle_size).alias("__sim")
-        )
+        base = _simhash_sig_df(df, text_col, id_col, shingle_size)
         chunks = base.select(
             "__id",
             "__sim",
@@ -335,7 +367,7 @@ def dedup_ngram_jaccard(
             .select(F.col("l.__id").alias("__id"), F.col("r.__id").alias("__cand"))
             .dropDuplicates(["__id", "__cand"])
         )
-        sh = df.select(
+        sh = ensure_parallelism(df).select(
             F.col(id_col).alias("__sid"),
             F.array_distinct(shingles(F.col(text_col), shingle_size)).alias("__sh"),
         )
@@ -345,9 +377,14 @@ def dedup_ngram_jaccard(
             .join(sh.select(F.col("__sid"), F.col("__sh").alias("__sh2")), F.col("__cand") == F.col("__sid"))
             .drop("__sid")
         )
-        inter = F.size(F.array_intersect("__sh1", "__sh2")).cast("double")
-        union_sz = (F.size("__sh1") + F.size("__sh2") - F.size(F.array_intersect("__sh1", "__sh2"))).cast("double")
-        verified = cands.withColumn("__jac", inter / union_sz).filter(F.col("__jac") >= threshold)
+        # intersect computed once; union via inclusion-exclusion
+        with_int = cands.withColumn(
+            "__int", F.size(F.array_intersect("__sh1", "__sh2")).cast("double")
+        )
+        union_sz = (F.size("__sh1") + F.size("__sh2")).cast("double") - F.col("__int")
+        verified = with_int.withColumn("__jac", F.col("__int") / union_sz).filter(
+            F.col("__jac") >= threshold
+        )
         heads = verified.groupBy("__id").agg(F.min("__cand").alias("dup_group_id"))
         out = df.join(heads, df[id_col] == heads["__id"], "left").drop("__id")
         out = out.withColumn(
@@ -405,9 +442,10 @@ def dedup_embedding_cosine(
             (F.col(f"l.__e{i}") * F.col(f"r.__e{i}") for i in range(1, dim)),
             F.col("l.__e0") * F.col("r.__e0"),
         )
+        # stream side carries the O(n²) loop — spread it; build side broadcasts
         pairs = (
-            vecs.alias("l")
-            .join(vecs.alias("r"), F.col("l.__id") > F.col("r.__id"))
+            ensure_parallelism(vecs).alias("l")
+            .join(F.broadcast(vecs.alias("r")), F.col("l.__id") > F.col("r.__id"))
             .withColumn("__cos", dot)
             .filter(F.col("__cos") >= threshold)
             .select(F.col("l.__id").alias("__id"), F.col("r.__id").alias("__cand"))

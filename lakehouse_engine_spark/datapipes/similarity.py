@@ -19,6 +19,8 @@ from typing import Callable, List, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
+
 from lakehouse_engine_spark.datapipes.dedup import cosine
 from lakehouse_engine_spark.datapipes.registry import register
 
@@ -40,7 +42,7 @@ def knn_brute_force(
     """
 
     def _knn(df: DataFrame) -> DataFrame:
-        corpus = df.select(
+        corpus = ensure_parallelism(df).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(embedding_col).cast("array<double>").alias("__cv"),
         )
@@ -114,39 +116,57 @@ def knn_lsh(
     """
 
     def _knn(df: DataFrame) -> DataFrame:
-        # one signature per table: offset the plane index space per table
-        def table_sig(vec: Column, t: int) -> Column:
-            def plane_dot(p: int) -> Column:
-                def component(v: Column, d: Column) -> Column:
-                    h = F.xxhash64(F.lit(t * 1000 + p), d)
-                    return v * ((F.pmod(h, F.lit(20001)).cast("double") - 10000.0) / 10000.0)
+        # Plane weights are seeded literal arrays; each (row, component)
+        # contributes to every plane's dot product through ONE posexplode +
+        # per-plane SUM aggregates — small codegen'd expressions with
+        # map-side combine, instead of one enormous flat linear-combination
+        # expression (which overwhelms codegen) or per-component hashing
+        # (which runs interpreted).
+        import random
 
-                return F.aggregate(
-                    F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), component),
-                    F.lit(0.0),
-                    lambda s, v: s + v,
-                )
+        vec = F.col(embedding_col).cast("array<double>")
+        real_dim = df.select(F.size(vec).alias("d")).first()["d"]
+        rng = random.Random(20240613)
+        n_sigs = num_tables * num_planes
+        weights = [
+            F.array(*[F.lit(rng.gauss(0.0, 1.0)) for _ in range(real_dim)])
+            for _ in range(n_sigs)
+        ]
 
+        base = ensure_parallelism(df).select(F.col(id_col).alias("__bid"), vec.alias("__bv"))
+        ex = base.select("__bid", F.posexplode("__bv").alias("__p", "__v"))
+        dots = ex.groupBy("__bid").agg(
+            *[
+                F.sum(F.col("__v") * F.element_at(weights[j], F.col("__p") + 1)).alias(f"__d{j}")
+                for j in range(n_sigs)
+            ]
+        )
+
+        def table_sig(t: int) -> Column:
             bits = [
-                F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p)
+                F.when(F.col(f"__d{t * num_planes + p}") >= 0, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+                * (2 ** p)
                 for p in range(num_planes)
             ]
             return sum(bits[1:], bits[0]).cast("long")
 
-        vec = F.col(embedding_col).cast("array<double>")
-        corpus = df.select(
-            F.col(id_col).alias("neighbor_id"),
-            vec.alias("__cv"),
-            F.posexplode(F.array(*[table_sig(vec, t) for t in range(num_tables)])).alias(
+        sigs = dots.join(base, "__bid").select(
+            "__bid",
+            "__bv",
+            F.posexplode(F.array(*[table_sig(t) for t in range(num_tables)])).alias(
                 "__t", "__sig"
             ),
         )
-        queries = df.filter(query_filter).select(
-            F.col(id_col).alias("query_id"),
-            vec.alias("__qv"),
-            F.posexplode(F.array(*[table_sig(vec, t) for t in range(num_tables)])).alias(
-                "__t", "__sig"
-            ),
+        corpus = sigs.select(
+            F.col("__bid").alias("neighbor_id"), F.col("__bv").alias("__cv"), "__t", "__sig"
+        )
+        queries = sigs.join(
+            F.broadcast(df.filter(query_filter).select(F.col(id_col).alias("__bid"))),
+            "__bid",
+        ).select(
+            F.col("__bid").alias("query_id"), F.col("__bv").alias("__qv"), "__t", "__sig"
         )
         cands = (
             F.broadcast(queries)
@@ -183,7 +203,7 @@ def knn_ivf(
 
     def _knn(df: DataFrame) -> DataFrame:
         vec = F.col(embedding_col).cast("array<double>")
-        base = df.select(F.col(id_col).alias("__vid"), vec.alias("__v"))
+        base = ensure_parallelism(df).select(F.col(id_col).alias("__vid"), vec.alias("__v"))
         w_all = Window.orderBy("__vid")
         numbered = base.withColumn("__rn", F.row_number().over(w_all) - 1)
         total = numbered.count()
