@@ -58,6 +58,7 @@ class OutputFormat(str, Enum):
     CONSOLE = "console"
     NOOP = "noop"
     DATAFRAME = "dataframe"
+    REST_API = "rest_api"
     FILE = "file"
     TABLE = "table"
 

@@ -57,6 +57,11 @@ def _write_batch(spark: SparkSession, df: DataFrame, spec: OutputSpec) -> Option
     if fmt == OutputFormat.NOOP.value:
         df.write.format("noop").mode("overwrite").save()
         return None
+    if fmt == OutputFormat.REST_API.value:
+        from lakehouse_engine_spark.io.rest_api_writer import write_rest_api
+
+        write_rest_api(df, options)
+        return None
     if fmt in (OutputFormat.KAFKA.value, OutputFormat.JDBC.value):
         df.write.format(fmt).options(**options).mode(spec.write_type).save()
         return None
@@ -112,7 +117,12 @@ def _needs_foreach_batch(spec: OutputSpec, micro_batch_fn: Optional[MicroBatchFn
         micro_batch_fn is not None
         or spec.write_type == WriteType.MERGE.value
         or spec.data_format
-        in (OutputFormat.JDBC.value, OutputFormat.DATAFRAME.value, OutputFormat.CONSOLE.value)
+        in (
+            OutputFormat.JDBC.value,
+            OutputFormat.DATAFRAME.value,
+            OutputFormat.CONSOLE.value,
+            OutputFormat.REST_API.value,
+        )
     )
 
 
