@@ -73,6 +73,18 @@ def execute_gab(acon: dict) -> None:
     GAB(acon).execute()
 
 
+def update_sensor_status(
+    sensor_id: str,
+    control_db_table_name: str,
+    status: str = "PROCESSED_NEW_DATA",
+    assets: Optional[list] = None,
+) -> None:
+    """Mark a sensor's acquired data as processed (reference ``engine.py:220-243``)."""
+    from lakehouse_engine_spark.algorithms.sensor import update_sensor_status as _upd
+
+    _upd(sensor_id, control_db_table_name, status, assets)
+
+
 def execute_sensor_heartbeat(acon: dict, job_runner: Any = None) -> list:
     """Run the heartbeat sensor fleet for one source (reference ``engine.py:220-269``).
 
@@ -112,6 +124,7 @@ __all__ = [
     "execute_reconciliation",
     "execute_dq_validation",
     "execute_sensor",
+    "update_sensor_status",
     "execute_sensor_heartbeat",
     "trigger_heartbeat_sensor_jobs",
     "execute_gab",
