@@ -33,6 +33,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
+        # standalone timing: no cross-query cache reuse, no block buildup
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()

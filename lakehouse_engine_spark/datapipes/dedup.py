@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Callable, List, Optional
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -200,11 +201,14 @@ def dedup_minhash_lsh(
     def _dedup(df: DataFrame) -> DataFrame:
         sig = _minhash_sig_df(df, text_col, id_col, num_hashes, shingle_size)
         exploded = _band_exploded(sig, bands, rows)
-        # min id per bucket, then min over a doc's buckets = its cluster head
+        # min id per bucket (window over the bucket key), then min over a
+        # doc's buckets = its cluster head. One shuffle on __h, one on __id —
+        # and the signature pipeline (the md5-heavy part) runs ONCE, unlike a
+        # bucket-min groupBy joined back against a second signature scan.
         head = (
-            exploded.groupBy("__h")
-            .agg(F.min("__id").alias("__bucket_min"))
-            .join(exploded, ["__h"])
+            exploded.withColumn(
+                "__bucket_min", F.min("__id").over(Window.partitionBy("__h"))
+            )
             .groupBy("__id")
             .agg(F.min("__bucket_min").alias("dup_group_id"))
         )
@@ -299,7 +303,11 @@ def dedup_simhash(
     pairs by popcount of XOR, survivors = min id of verified neighborhood."""
 
     def _dedup(df: DataFrame) -> DataFrame:
-        base = _simhash_sig_df(df, text_col, id_col, shingle_size)
+        # the chunk self-join reads the signatures twice; persist the tiny
+        # (id, sig) table so shingle hashing + 64 vote-sums run once
+        base = _simhash_sig_df(df, text_col, id_col, shingle_size).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         chunks = base.select(
             "__id",
             "__sim",
@@ -355,7 +363,12 @@ def dedup_ngram_jaccard(
 
     def _dedup(df: DataFrame) -> DataFrame:
         sig = _minhash_sig_df(df, text_col, id_col, num_hashes, shingle_size)
-        exploded = _band_exploded(sig, bands, rows)
+        # both sides of the pair self-join read the bucket rows — persist so
+        # the md5-heavy signature pipeline materializes once (ids+hashes only,
+        # a sliver of the corpus size; spills to disk if it ever doesn't fit)
+        exploded = _band_exploded(sig, bands, rows).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         # candidate pairs carry ONLY ids through the bucket join + dedup;
         # the (large) shingle arrays attach afterwards, once per unique pair
         pairs = (
@@ -434,9 +447,16 @@ def dedup_embedding_cosine(
             )
         )
         unit = F.transform(F.col(embedding_col).cast("array<double>"), lambda v: v / norm)
-        vecs = df.select(
-            F.col(id_col).alias("__id"),
-            *[F.element_at(unit, i + 1).alias(f"__e{i}") for i in range(dim)],
+        # normalize once, persist: both the spread stream side and the
+        # broadcast build side read the same tiny normalized table instead of
+        # re-running the normalization projection per join input
+        vecs = (
+            ensure_parallelism(df)
+            .select(
+                F.col(id_col).alias("__id"),
+                *[F.element_at(unit, i + 1).alias(f"__e{i}") for i in range(dim)],
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         dot = sum(
             (F.col(f"l.__e{i}") * F.col(f"r.__e{i}") for i in range(1, dim)),
@@ -444,7 +464,7 @@ def dedup_embedding_cosine(
         )
         # stream side carries the O(n²) loop — spread it; build side broadcasts
         pairs = (
-            ensure_parallelism(vecs).alias("l")
+            vecs.alias("l")
             .join(F.broadcast(vecs.alias("r")), F.col("l.__id") > F.col("r.__id"))
             .withColumn("__cos", dot)
             .filter(F.col("__cos") >= threshold)

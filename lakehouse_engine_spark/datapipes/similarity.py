@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, List, Optional
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -128,8 +129,13 @@ def knn_lsh(
         real_dim = df.select(F.size(vec).alias("d")).first()["d"]
         rng = random.Random(20240613)
         n_sigs = num_tables * num_planes
-        weights = [
-            F.array(*[F.lit(rng.gauss(0.0, 1.0)) for _ in range(real_dim)])
+        # each plane's weight vector as ONE SQL array literal (one py4j call
+        # per plane, parsed server-side) — building dim separate F.lit Column
+        # objects per plane dominated driver-side plan-build time
+        planes = [
+            F.expr(
+                "array(" + ",".join(repr(rng.gauss(0.0, 1.0)) for _ in range(real_dim)) + ")"
+            )
             for _ in range(n_sigs)
         ]
 
@@ -137,7 +143,9 @@ def knn_lsh(
         ex = base.select("__bid", F.posexplode("__bv").alias("__p", "__v"))
         dots = ex.groupBy("__bid").agg(
             *[
-                F.sum(F.col("__v") * F.element_at(weights[j], F.col("__p") + 1)).alias(f"__d{j}")
+                F.sum(F.col("__v") * F.element_at(planes[j], (F.col("__p") + 1).cast("int"))).alias(
+                    f"__d{j}"
+                )
                 for j in range(n_sigs)
             ]
         )
@@ -152,12 +160,18 @@ def knn_lsh(
             ]
             return sum(bits[1:], bits[0]).cast("long")
 
-        sigs = dots.join(base, "__bid").select(
-            "__bid",
-            "__bv",
-            F.posexplode(F.array(*[table_sig(t) for t in range(num_tables)])).alias(
-                "__t", "__sig"
-            ),
+        # corpus AND query sides both read sigs — persist so the projection
+        # groupBy (the heavy signature pass) materializes once
+        sigs = (
+            dots.join(base, "__bid")
+            .select(
+                "__bid",
+                "__bv",
+                F.posexplode(F.array(*[table_sig(t) for t in range(num_tables)])).alias(
+                    "__t", "__sig"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         corpus = sigs.select(
             F.col("__bid").alias("neighbor_id"), F.col("__bv").alias("__cv"), "__t", "__sig"
@@ -204,23 +218,29 @@ def knn_ivf(
     def _knn(df: DataFrame) -> DataFrame:
         vec = F.col(embedding_col).cast("array<double>")
         base = ensure_parallelism(df).select(F.col(id_col).alias("__vid"), vec.alias("__v"))
-        w_all = Window.orderBy("__vid")
-        numbered = base.withColumn("__rn", F.row_number().over(w_all) - 1)
-        total = numbered.count()
+        total = base.count()
         step = max(total // num_centroids, 1)
+        # deterministic coarse centroids by pure id filter (every step-th id)
+        # — no global row_number window, which would funnel the whole corpus
+        # through ONE partition at scale; centroid_id is just the vector id
         centroids = (
-            numbered.filter(F.col("__rn") % step == 0)
+            base.filter(F.pmod(F.col("__vid"), F.lit(step)) == 0)
             .limit(num_centroids)
-            .select(F.col("__rn").alias("centroid_id"), F.col("__v").alias("__cv"))
+            .select(F.col("__vid").alias("centroid_id"), F.col("__v").alias("__cv"))
         )
-        # assign corpus vectors to their best centroid (broadcast centroids)
-        assign_w = Window.partitionBy("__vid").orderBy(F.desc("__sim"))
+        # assign corpus vectors to their best centroid (broadcast centroids);
+        # argmax via max(struct) — partial-aggregates map-side, so the shuffle
+        # carries one row per vector, not one per (vector × centroid)
         assigned = (
             base.join(F.broadcast(centroids))
             .withColumn("__sim", cosine(F.col("__v"), F.col("__cv")))
-            .withColumn("__r", F.row_number().over(assign_w))
-            .filter(F.col("__r") == 1)
-            .select("__vid", "__v", "centroid_id")
+            .groupBy("__vid")
+            .agg(F.max(F.struct("__sim", "centroid_id", "__v")).alias("__best"))
+            .select(
+                "__vid",
+                F.col("__best.__v").alias("__v"),
+                F.col("__best.centroid_id").alias("centroid_id"),
+            )
         )
         # queries probe nprobe nearest centroids
         q = df.filter(query_filter).select(F.col(id_col).alias("query_id"), vec.alias("__qv"))

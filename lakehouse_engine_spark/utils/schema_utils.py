@@ -16,8 +16,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StructType
 
 
-def schema_from_dict(schema: dict) -> StructType:
-    """Build a StructType from a JSON-serialisable dict."""
+def schema_from_dict(schema) -> StructType:
+    """Build a StructType from a dict, a JSON string, or a DDL string."""
+    if isinstance(schema, StructType):
+        return schema
+    if isinstance(schema, str):
+        s = schema.strip()
+        if s.startswith("{"):
+            return StructType.fromJson(json.loads(s))
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(s)
     return StructType.fromJson(schema)
 
 

@@ -208,3 +208,33 @@ def test_table_write_and_read(spark, src):
         assert res["o"].count() == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS test_dl_table")
+
+
+def test_schema_as_json_string_and_ddl(spark, tmp_dir):
+    csv_dir = os.path.join(tmp_dir, "csv_str_schema")
+    os.makedirs(csv_dir)
+    with open(os.path.join(csv_dir, "part1.csv"), "w", encoding="utf-8") as fh:
+        fh.write("id,name\n1,ada\n2,grace\n")
+    json_schema = (
+        '{"type":"struct","fields":['
+        '{"name":"id","type":"integer","nullable":true,"metadata":{}},'
+        '{"name":"name","type":"string","nullable":true,"metadata":{}}]}'
+    )
+    for schema in (json_schema, "id int, name string"):
+        res = load_data(
+            {
+                "input_specs": [
+                    {
+                        "spec_id": "in",
+                        "data_format": "csv",
+                        "location": csv_dir,
+                        "schema": schema,
+                        "options": {"header": "true"},
+                    }
+                ],
+                "output_specs": [
+                    {"spec_id": "o", "input_id": "in", "data_format": "dataframe"}
+                ],
+            }
+        )
+        assert_df_equal(res["o"], [(1, "ada"), (2, "grace")])
