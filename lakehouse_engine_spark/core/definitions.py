@@ -27,6 +27,10 @@ class InputFormat(str, Enum):
     CLOUDFILES = "cloudfiles"
     KAFKA = "kafka"
     SQL = "sql"
+    SAP_BW = "sap_bw"
+    SAP_B4 = "sap_b4"
+    SFTP = "sftp"
+    SHAREPOINT = "sharepoint"
     DATAFRAME = "dataframe"
     RATE = "rate"
 
@@ -59,6 +63,7 @@ class OutputFormat(str, Enum):
     NOOP = "noop"
     DATAFRAME = "dataframe"
     REST_API = "rest_api"
+    SHAREPOINT = "sharepoint"
     FILE = "file"
     TABLE = "table"
 
@@ -119,6 +124,7 @@ class InputSpec:
     calculate_upper_bound: bool = False
     calc_upper_bound_schema: Optional[str] = None
     temp_view: Optional[str] = None
+    sftp_files_format: Optional[str] = None
 
     def __post_init__(self) -> None:
         if self.data_format is None and self.db_table:

@@ -69,10 +69,18 @@ class ReaderFactory:
             if schema is not None:
                 reader = reader.schema(schema)
             df = reader.load(spec.location)
-        elif fmt in ("sap_bw", "sap_b4", "sftp", "sharepoint"):
+        elif fmt == "sftp":
+            from lakehouse_engine_spark.io.sftp_reader import read_sftp
+
+            df = read_sftp(spark, spec)
+        elif fmt == "sharepoint":
+            from lakehouse_engine_spark.io.sharepoint import read_sharepoint
+
+            df = read_sharepoint(spark, spec)
+        elif fmt in ("sap_bw", "sap_b4"):
             raise NotImplementedError(
                 f"{fmt} connector needs external credentials/packages; "
-                "use the jdbc/file readers it wraps."
+                "use the jdbc reader it wraps."
             )
         else:
             raise WrongArgumentsError(f"InputSpec {spec.spec_id}: cannot dispatch format {fmt}")

@@ -62,6 +62,11 @@ def _write_batch(spark: SparkSession, df: DataFrame, spec: OutputSpec) -> Option
 
         write_rest_api(df, options)
         return None
+    if fmt == OutputFormat.SHAREPOINT.value:
+        from lakehouse_engine_spark.io.sharepoint import write_sharepoint
+
+        write_sharepoint(df, spec)
+        return None
     if fmt in (OutputFormat.KAFKA.value, OutputFormat.JDBC.value):
         df.write.format(fmt).options(**options).mode(spec.write_type).save()
         return None
