@@ -5,10 +5,10 @@ uses ``spark.read``; streaming uses ``spark.readStream``. Schema enforcement,
 ``_metadata.file_path`` capture, temp-view registration and JDBC
 bound/predicate derivation match the reference's reader semantics.
 
-External connectors (SAP BW/B4, SFTP, SharePoint) are exposed as explicit
-``NotImplementedError`` stubs: they need credentials/packages that cannot
-exist here; the JDBC path they ride on is fully implemented (see
-``utils/jdbc_utils.py`` for bound/predicate derivation).
+External connectors: SAP BW/B4 plan their init/delta SQL locally
+(``utils/sap_extraction.py``) and ride the JDBC scan; SFTP and SharePoint
+have injectable transports with built-in local modes
+(``io/sftp_reader.py``, ``io/sharepoint.py``).
 """
 
 from __future__ import annotations
@@ -77,11 +77,8 @@ class ReaderFactory:
             from lakehouse_engine_spark.io.sharepoint import read_sharepoint
 
             df = read_sharepoint(spark, spec)
-        elif fmt in ("sap_bw", "sap_b4"):
-            raise NotImplementedError(
-                f"{fmt} connector needs external credentials/packages; "
-                "use the jdbc reader it wraps."
-            )
+        elif fmt in (InputFormat.SAP_BW.value, InputFormat.SAP_B4.value):
+            df = _read_sap(spark, spec, options, fmt)
         else:
             raise WrongArgumentsError(f"InputSpec {spec.spec_id}: cannot dispatch format {fmt}")
 
@@ -117,3 +114,135 @@ def _read_jdbc(spark: SparkSession, spec: InputSpec, options: dict) -> DataFrame
             properties={k: str(v) for k, v in options.items()},
         )
     return spark.read.format("jdbc").options(**options).load()
+
+
+# option keys consumed by the SAP planner, not by the Spark JDBC source
+_SAP_PLANNER_KEYS = {
+    "extraction_type",
+    "extraction_timestamp",
+    "adso_type",
+    "changelog_table",
+    "data_target",
+    "odsobject",
+    "act_request_table",
+    "request_status_tbl",
+    "request_col_name",
+    "act_req_join_condition",
+    "include_changelog_tech_cols",
+    "extra_cols_act_request",
+    "extra_cols_req_status_tbl",
+    "request_status_tbl_filter",
+    "get_timestamp_from_act_request",
+    "sap_bw_schema",
+    "min_timestamp",
+    "max_timestamp",
+    "default_max_timestamp",
+    "default_min_timestamp",
+    "latest_timestamp_data_location",
+    "latest_timestamp_data_format",
+    "latest_timestamp_input_col",
+    "ods_prefix",
+    "logsys",
+    "generate_predicates",
+}
+
+
+def _read_sap(spark: SparkSession, spec: InputSpec, options: dict, fmt: str) -> DataFrame:
+    """SAP BW/B4 extraction: plan the init/delta SQL, run it over JDBC.
+
+    Reference ``io/readers/sap_bw_reader.py:32+`` / ``sap_b4_reader.py:33+``:
+    the SAP-specific part is query planning (``utils/sap_extraction.py``);
+    transport is the plain parallel JDBC scan.
+    """
+    from datetime import datetime, timezone
+
+    from lakehouse_engine_spark.utils import sap_extraction as sap
+
+    planner = {k: options[k] for k in list(options) if k in _SAP_PLANNER_KEYS}
+    jdbc_opts = {k: v for k, v in options.items() if k not in _SAP_PLANNER_KEYS}
+    planner.setdefault(
+        "extraction_timestamp", datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S")
+    )
+    planner.setdefault("partition_column", jdbc_opts.get("partitionColumn"))
+    extraction_type = planner.pop("extraction_type", sap.EXTRACTION_TYPE_DELTA)
+
+    # last-loaded cursor from the bronze dataset when not given explicitly
+    min_ts = planner.pop("min_timestamp", None)
+    latest_loc = planner.pop("latest_timestamp_data_location", None)
+    latest_fmt = planner.pop("latest_timestamp_data_format", "delta")
+    latest_col = planner.pop(
+        "latest_timestamp_input_col",
+        "actrequest_timestamp" if fmt == InputFormat.SAP_BW.value else "REQTSN",
+    )
+    if extraction_type == sap.EXTRACTION_TYPE_DELTA and not min_ts and latest_loc:
+        from pyspark.sql import functions as F
+
+        bronze = ReaderFactory.get_data(
+            spark,
+            InputSpec(spec_id="latest_ts", data_format=latest_fmt, location=latest_loc),
+        )
+        row = bronze.agg(F.max(latest_col)).first()
+        min_ts = row[0] if row else None
+
+    gen_predicates = planner.pop("generate_predicates", spec.generate_predicates)
+
+    if fmt == InputFormat.SAP_BW.value:
+        cfg = sap.SAPBWConfig(
+            dbtable=jdbc_opts.get("dbtable"),
+            extraction_type=extraction_type,
+            latest_timestamp_input_col=latest_col,
+            **{k: v for k, v in planner.items() if k in sap.SAPBWConfig.__dataclass_fields__ and k != "latest_timestamp_input_col"},
+        )
+        if extraction_type == sap.EXTRACTION_TYPE_INIT:
+            query, pred_query = sap.bw_init_query(cfg)
+        else:
+            max_ts = cfg.max_timestamp or _sap_scalar(
+                spark, jdbc_opts, sap.bw_max_timestamp_query(cfg)
+            )
+            query, pred_query = sap.bw_delta_query(cfg, str(min_ts), str(max_ts))
+    else:
+        cfg = sap.SAPB4Config(
+            dbtable=jdbc_opts.get("dbtable"),
+            extraction_type=extraction_type,
+            latest_timestamp_input_col=latest_col,
+            **{k: v for k, v in planner.items() if k in sap.SAPB4Config.__dataclass_fields__ and k != "latest_timestamp_input_col"},
+        )
+        if extraction_type == sap.EXTRACTION_TYPE_INIT:
+            query, pred_query = sap.b4_init_query(cfg)
+        else:
+            min_ts = min_ts or cfg.default_min_timestamp
+            max_ts = cfg.max_timestamp or _sap_scalar(
+                spark, jdbc_opts, sap.b4_max_timestamp_query(cfg)
+            )
+            query, pred_query = sap.b4_delta_query(cfg, str(min_ts), str(max_ts))
+
+    jdbc_opts["dbtable"] = query
+    if gen_predicates and cfg.partition_column:
+        pred_df = (
+            spark.read.format("jdbc")
+            .options(**{k: v for k, v in jdbc_opts.items() if k != "dbtable"})
+            .option("dbtable", pred_query)
+            .load()
+        )
+        predicates = [f"{cfg.partition_column} = '{r[0]}'" for r in pred_df.collect()]
+        if spec.predicates_add_null:
+            predicates.append(f"{cfg.partition_column} IS NULL")
+        return spark.read.jdbc(
+            url=jdbc_opts.pop("url"),
+            table=jdbc_opts.pop("dbtable"),
+            predicates=predicates,
+            properties={k: str(v) for k, v in jdbc_opts.items()},
+        )
+    return spark.read.format("jdbc").options(**jdbc_opts).load()
+
+
+def _sap_scalar(spark: SparkSession, jdbc_opts: dict, query: str):
+    """One scalar roundtrip to the SAP system over JDBC."""
+    df = (
+        spark.read.format("jdbc")
+        .options(**{k: v for k, v in jdbc_opts.items() if k != "dbtable"})
+        .option("dbtable", query)
+        .load()
+    )
+    row = df.first()
+    return row[0] if row is not None else None

@@ -43,7 +43,17 @@ def parse_input_spec(d: dict) -> InputSpec:
     if spec.data_format and not InputFormat.exists(spec.data_format):
         raise WrongArgumentsError(f"Unsupported input format: {spec.data_format}")
     if not (spec.location or spec.db_table or spec.query or spec.df_name is not None):
-        if spec.data_format not in (InputFormat.DATAFRAME.value, InputFormat.RATE.value):
+        # jdbc/sap carry their source table in options (dbtable/query)
+        opts = spec.options or {}
+        exempt = spec.data_format in (
+            InputFormat.DATAFRAME.value,
+            InputFormat.RATE.value,
+        ) or (
+            spec.data_format
+            in (InputFormat.JDBC.value, InputFormat.SAP_BW.value, InputFormat.SAP_B4.value)
+            and ("dbtable" in opts or "query" in opts)
+        )
+        if not exempt:
             raise WrongArgumentsError(
                 f"InputSpec {spec.spec_id}: one of location/db_table/query/df_name required"
             )
