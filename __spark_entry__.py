@@ -620,6 +620,32 @@ def dp13_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp14_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment + per-split stats. Pure
+    projection over the portable md5 bucket — zero shuffle until the final
+    tiny groupBy; split membership is stable under corpus growth."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.transform(
+            _t("hash_split", id_col="doc_id", splits={"train": 0.8, "val": 0.1, "test": 0.1})
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def dp15_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 10% sample keyed by doc_id (re-derivable, growth-stable)."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.transform(_t("hash_sample", id_col="doc_id", fraction=0.1, seed="s1"))
+        .selectExpr("doc_id", "lang", "n_chars")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -653,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp11_dedup_simhash": dp11_dedup_simhash,
         "dp12_knn_lsh": dp12_knn_lsh,
         "dp13_knn_ivf": dp13_knn_ivf,
+        "dp14_hash_split": dp14_hash_split,
+        "dp15_hash_sample": dp15_hash_sample,
     }
 
 
@@ -1039,6 +1067,25 @@ def oracle_sql() -> dict[str, str]:
         # hyperplanes / iterative centroids have no portable SQL equivalent —
         # driver records the rows-only check; recall/pairwise correctness is
         # covered in tests/test_datapipes.py.
+        "dp14_hash_split": """
+            WITH b AS (
+              SELECT *,
+                     CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT)
+                       % 1000000 AS bucket
+              FROM documents
+            )
+            SELECT CASE WHEN bucket < 800000 THEN 'train'
+                        WHEN bucket < 900000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs,
+                   SUM(n_chars)::BIGINT AS total_chars
+            FROM b GROUP BY 1
+        """,
+        "dp15_hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE CAST('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 15) AS BIGINT)
+                  % 1000000 < 100000
+        """,
         "q17_gab_weekly_rollup": """
             SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS from_date,
                    strftime(date_trunc('week', o_orderdate) + INTERVAL 6 DAY, '%Y-%m-%d') AS to_date,

@@ -1,0 +1,88 @@
+"""Deterministic sampling / split assignment for corpus curation.
+
+Training-data pipelines need reproducible subsetting that is stable across
+runs, machines, and data scale: hold-out splits that never leak when the
+corpus grows, and fractional samples that can be re-derived instead of
+stored. Both operators here are pure projections over a portable content
+hash — no shuffle, no state, no RNG — so they cost one codegen'd map pass
+at any scale and compose with partition pruning.
+
+Hashing matches the datapipes convention (see ``dedup.py``): the first 15
+hex chars of ``md5`` as a 60-bit int, reproducible bit-for-bit in DuckDB
+for the oracle (``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.datapipes.registry import register
+
+BUCKETS = 1_000_000
+
+
+def _bucket(id_col: str, seed: str) -> Column:
+    key = F.concat(F.col(id_col).cast("string"), F.lit(seed))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % BUCKETS
+
+
+@register("hash_sample")
+def hash_sample(
+    id_col: str, fraction: float, seed: str = ""
+) -> Callable[[DataFrame], DataFrame]:
+    """Keep a deterministic ``fraction`` of rows, keyed by ``id_col``.
+
+    Unlike ``df.sample``, membership is a property of the row id — stable
+    under re-runs, retries, joins, and data growth (a kept id stays kept).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(round(fraction * BUCKETS))
+
+    def _sample(df: DataFrame) -> DataFrame:
+        return df.filter(_bucket(id_col, seed) < threshold)
+
+    return _sample
+
+
+@register("hash_split")
+def hash_split(
+    id_col: str,
+    splits: Optional[Dict[str, float]] = None,
+    output_col: str = "split",
+    seed: str = "",
+) -> Callable[[DataFrame], DataFrame]:
+    """Assign each row to a named split by hashed id (train/val/test…).
+
+    ``splits`` maps name → weight (normalised over their sum). Assignment
+    is by cumulative bucket ranges in the given order, so a row's split
+    never changes when data is added — the property that prevents
+    train/test leakage across dataset versions.
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not splits or any(w < 0 for w in splits.values()):
+        raise ValueError(f"splits must be non-negative weights, got {splits}")
+    total = float(sum(splits.values()))
+    if total <= 0:
+        raise ValueError("splits weights must sum to > 0")
+
+    # cumulative upper bucket bound per split, in insertion order
+    bounds = []
+    acc = 0.0
+    for name, w in splits.items():
+        acc += w / total
+        bounds.append((name, int(round(acc * BUCKETS))))
+    bounds[-1] = (bounds[-1][0], BUCKETS)  # absorb rounding at the top
+
+    def _split(df: DataFrame) -> DataFrame:
+        b = _bucket(id_col, seed)
+        expr = None
+        for name, hi in bounds:
+            cond = b < F.lit(hi)
+            expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        return df.withColumn(output_col, expr)
+
+    return _split

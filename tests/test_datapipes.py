@@ -183,3 +183,40 @@ def test_multimodal_frame_sample_stubbed(spark):
     rows = out.collect()
     assert len(rows) == 3  # 1024//256 capped at 3
     assert all(len(r["frame_bytes"]) == 256 for r in rows)
+
+
+def test_hash_split_deterministic_and_stable(spark, docs):
+    from lakehouse_engine_spark.datapipes.sampling import hash_sample, hash_split
+
+    full = docs.transform(hash_split("doc_id"))
+    again = docs.transform(hash_split("doc_id"))
+    assert full.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")
+    ).count() == 0
+    names = {r["split"] for r in full.select("split").distinct().collect()}
+    assert names <= {"train", "val", "test"}
+    # growth stability: a subset's assignments agree with the full corpus
+    sub = docs.limit(50).transform(hash_split("doc_id"))
+    joined = sub.select("doc_id", F.col("split").alias("s1")).join(
+        full.select("doc_id", F.col("split").alias("s2")), "doc_id"
+    )
+    assert joined.filter("s1 <> s2").count() == 0
+
+    # sampling: deterministic membership, roughly the asked fraction
+    big = spark.range(500).withColumnRenamed("id", "doc_id")
+    s = big.transform(hash_sample("doc_id", 0.2, seed="x"))
+    s2 = big.transform(hash_sample("doc_id", 0.2, seed="x"))
+    assert s.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0
+    n, total = s.count(), big.count()
+    assert 0.1 <= n / total <= 0.3
+
+
+def test_hash_split_validation():
+    import pytest as _pytest
+
+    from lakehouse_engine_spark.datapipes.sampling import hash_sample, hash_split
+
+    with _pytest.raises(ValueError):
+        hash_sample("id", 1.5)
+    with _pytest.raises(ValueError):
+        hash_split("id", {"a": -1.0})
