@@ -118,6 +118,117 @@ def manage_files(acon: dict) -> Any:
     return FileManager(acon).execute()
 
 
+def execute_manager(acon: Any) -> None:
+    """Execute a list of manager ACONs in one call (reference
+    ``engine.py:140-167``). Each entry must carry ``manager: table|file``."""
+    from lakehouse_engine_spark.core.file_manager import FileManager
+    from lakehouse_engine_spark.core.table_manager import TableManager
+
+    acon_list = acon if isinstance(acon, list) else [acon]
+    for entry in acon_list:
+        manager = entry.get("manager")
+        if manager == "file":
+            FileManager(entry).execute()
+        elif manager == "table":
+            TableManager(entry).execute()
+        else:
+            raise ValueError(f"Manager {manager} not recognized.")
+
+
+def execute_heartbeat_sensor_data_feed(
+    heartbeat_sensor_data_feed_path: str,
+    heartbeat_sensor_control_table: str,
+) -> None:
+    """Upsert heartbeat control-table rows from a CSV feed
+    (reference ``engine.py:284-300``)."""
+    from lakehouse_engine_spark.algorithms.heartbeat import Heartbeat
+
+    Heartbeat.heartbeat_sensor_control_table_data_feed(
+        heartbeat_sensor_data_feed_path, heartbeat_sensor_control_table
+    )
+
+
+def update_heartbeat_sensor_status(
+    heartbeat_sensor_control_table: str,
+    sensor_table: str,
+    job_id: str,
+) -> None:
+    """Mark a triggered heartbeat job COMPLETED and its engine sensors
+    PROCESSED_NEW_DATA (reference ``engine.py:303-323``)."""
+    from lakehouse_engine_spark.algorithms.heartbeat import Heartbeat
+
+    Heartbeat.update_heartbeat_sensor_completion_status(
+        heartbeat_sensor_control_table, sensor_table, job_id
+    )
+
+
+def generate_sensor_query(
+    sensor_id: str,
+    filter_exp: Optional[str] = None,
+    control_db_table_name: Optional[str] = None,
+    upstream_key: Optional[str] = None,
+    upstream_value: Optional[str] = None,
+    upstream_table_name: Optional[str] = None,
+) -> str:
+    """Generate a sensor preprocess query (reference ``engine.py:360-406``).
+
+    With ``filter_exp``: watermark-style new-data query with
+    ``?upstream_key``/``?upstream_value`` placeholder resolution against the
+    control table. Without: the sensor-on-sensor CDF query.
+    """
+    from lakehouse_engine_spark.algorithms.sensor import (
+        generate_filter_exp_query,
+        generate_sensor_table_preprocess_query,
+    )
+
+    if filter_exp:
+        return generate_filter_exp_query(
+            sensor_id=sensor_id,
+            filter_exp=filter_exp,
+            control_db_table_name=control_db_table_name,
+            upstream_key=upstream_key,
+            upstream_value=upstream_value,
+            upstream_table_name=upstream_table_name,
+        )
+    return generate_sensor_table_preprocess_query(sensor_id=sensor_id)
+
+
+def generate_sensor_sap_logchain_query(
+    chain_id: str,
+    dbtable: str = "SAPPHA.RSPCLOGCHAIN",
+    status: str = "G",
+    engine_table_name: str = "sensor_new_data",
+) -> str:
+    """Generate the SAP process-chain status sensor query
+    (reference ``engine.py:409-435``)."""
+    from lakehouse_engine_spark.algorithms.sensor import (
+        generate_sensor_sap_logchain_query as _gen,
+    )
+
+    return _gen(
+        chain_id=chain_id,
+        dbtable=dbtable,
+        status=status,
+        engine_table_name=engine_table_name,
+    )
+
+
+def send_notification(args: dict, transport: Any = None) -> None:
+    """Render and send a notification (reference ``engine.py:438-449``).
+
+    ``transport`` optionally injects the delivery callable (tests/custom
+    channels); default resolves to SMTP when ``server`` is set, else logs.
+    """
+    from lakehouse_engine_spark.core.definitions import TerminatorSpec
+    from lakehouse_engine_spark.terminators.notifiers import NotifierFactory
+
+    notifier = NotifierFactory.get_notifier(
+        spec=TerminatorSpec(function="notify", args=args), transport=transport
+    )
+    notifier.create_notification()
+    notifier.send_notification()
+
+
 __all__ = [
     "ExecEnv",
     "load_data",
@@ -130,4 +241,10 @@ __all__ = [
     "execute_gab",
     "manage_table",
     "manage_files",
+    "execute_manager",
+    "execute_heartbeat_sensor_data_feed",
+    "update_heartbeat_sensor_status",
+    "generate_sensor_query",
+    "generate_sensor_sap_logchain_query",
+    "send_notification",
 ]

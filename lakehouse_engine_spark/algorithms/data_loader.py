@@ -184,9 +184,16 @@ class DataLoader:
             TerminatorFactory.execute(self.spark, spec, data)
 
     def execute(self) -> Optional[Dict[str, DataFrame]]:
-        data = self.read()
-        data = self.transform(data)
-        data = self.process_dq(data)
-        written = self.write(data)
-        self.terminate(data)
-        return written or None
+        try:
+            data = self.read()
+            data = self.transform(data)
+            data = self.process_dq(data)
+            written = self.write(data)
+            self.terminate(data)
+            return written or None
+        except Exception as e:
+            # failure notifications hook (reference data_loader.py:241-243)
+            from lakehouse_engine_spark.terminators.notifiers import NotifierFactory
+
+            NotifierFactory.generate_failure_notification(self.terminate_specs, e)
+            raise

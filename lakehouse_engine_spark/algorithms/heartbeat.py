@@ -261,6 +261,38 @@ class Heartbeat:
         )
         self._merge_control(updates)
 
+    # ------------------------------------------------- table-name entrypoints
+    @classmethod
+    def _for_tables(cls, control_table: str, sensor_table: str = "") -> "Heartbeat":
+        """Minimal instance bound to the two control tables only — the
+        table-name-driven public entry points (reference ``engine.py:284-324``)
+        don't carry a full heartbeat ACON."""
+        return cls(
+            {
+                "sensor_source": "",
+                "data_format": "delta",
+                "heartbeat_sensor_db_table": control_table,
+                "lakehouse_engine_sensor_db_table": sensor_table,
+            }
+        )
+
+    @classmethod
+    def heartbeat_sensor_control_table_data_feed(
+        cls, csv_path: str, control_table: str
+    ) -> None:
+        """Upsert control-table rows from a CSV feed
+        (reference ``heartbeat.py:646-747`` via ``engine.py:284-300``)."""
+        cls._for_tables(control_table).data_feed(csv_path)
+
+    @classmethod
+    def update_heartbeat_sensor_completion_status(
+        cls, control_table: str, sensor_table: str, job_id: str
+    ) -> None:
+        """COMPLETED on heartbeat rows + PROCESSED_NEW_DATA on engine sensors
+        for ``job_id`` (reference ``heartbeat.py:748-832`` via
+        ``engine.py:303-323``)."""
+        cls._for_tables(control_table, sensor_table).update_completion_status(job_id)
+
     # ------------------------------------------------------------- data feed
     def data_feed(self, csv_path: str) -> None:
         """Upsert control-table rows from a CSV feed (reference

@@ -148,6 +148,90 @@ class Sensor:
         return found["new"]
 
 
+def generate_filter_exp_query(
+    sensor_id: str,
+    filter_exp: str,
+    control_db_table_name: Optional[str] = None,
+    upstream_key: Optional[str] = None,
+    upstream_value: Optional[str] = None,
+    upstream_table_name: Optional[str] = None,
+) -> str:
+    """Generate a sensor preprocess query from a filter expression.
+
+    Reference ``core/sensor_manager.py:232-304``: the ``?upstream_key`` /
+    ``?upstream_value`` placeholders resolve to the control table's last
+    recorded watermark for this sensor (default ``-2147483647`` on first
+    run), and when a control table is given the query also projects
+    ``UPSTREAM_KEY``/``UPSTREAM_VALUE`` so the sensor can persist the new
+    cursor. The ``HAVING COUNT(1) > 0`` makes "no new data" an empty result.
+    """
+    source_table = upstream_table_name or "sensor_new_data"
+    select_exp = "SELECT COUNT(1) as count"
+    if control_db_table_name:
+        if not upstream_key:
+            raise ValueError(
+                "If control_db_table_name is defined, upstream_key should "
+                "also be defined!"
+            )
+        trigger_value = upstream_value if upstream_value is not None else "-2147483647"
+        spark = ExecEnv.get_or_create()
+        row = SensorControlTable(spark, control_db_table_name).status_of(sensor_id)
+        if row is not None and row["upstream_value"]:
+            trigger_value = row["upstream_value"]
+        filter_exp = filter_exp.replace("?upstream_key", upstream_key).replace(
+            "?upstream_value", str(trigger_value)
+        )
+        select_exp = (
+            f"SELECT COUNT(1) as count, '{upstream_key}' as UPSTREAM_KEY, "
+            f"max({upstream_key}) as UPSTREAM_VALUE"
+        )
+    return (
+        f"{select_exp} "
+        f"FROM {source_table} "
+        f"WHERE {filter_exp} "
+        f"HAVING COUNT(1) > 0"
+    )
+
+
+def generate_sensor_table_preprocess_query(sensor_id: str) -> str:
+    """Query for a sensor whose upstream is another sensor's control table —
+    CDF-style new-row detection (reference ``core/sensor_manager.py:306-328``)."""
+    return (
+        "SELECT * "
+        "FROM sensor_new_data "
+        "WHERE"
+        " _change_type in ('insert', 'update_postimage')"
+        f" and sensor_id = '{sensor_id}'"
+        f" and status = '{SensorStatus.PROCESSED_NEW_DATA.value}'"
+    )
+
+
+def generate_sensor_sap_logchain_query(
+    chain_id: str,
+    dbtable: str = "SAPPHA.RSPCLOGCHAIN",
+    status: str = "G",
+    engine_table_name: str = "sensor_new_data",
+) -> str:
+    """CTE over the SAP BW process-chain log table, filtering finished (green)
+    runs of one chain (reference ``core/sensor_manager.py:364-408``)."""
+    if not chain_id:
+        raise ValueError(
+            "To query on log chain SAP table the chain id should be defined!"
+        )
+    select_exp = "SELECT CHAIN_ID, CONCAT(DATUM, ZEIT) AS LOAD_DATE, ANALYZED_STATUS"
+    filter_exp = (
+        f"UPPER(CHAIN_ID) = UPPER('{chain_id}') "
+        f"AND UPPER(ANALYZED_STATUS) = UPPER('{status}')"
+    )
+    return (
+        f"WITH {engine_table_name} AS ("
+        f"{select_exp} "
+        f"FROM {dbtable} "
+        f"WHERE {filter_exp}"
+        ")"
+    )
+
+
 def update_sensor_status(
     sensor_id: str,
     control_db_table_name: str,

@@ -25,9 +25,11 @@ class TerminatorFactory:
         if fn == "optimize_dataset":
             optimize_dataset(spark, **args)
         elif fn == "notify":
-            # Email/webhook notifications need external servers — log-only here,
-            # same template args accepted (reference terminators/notifiers/).
-            _LOGGER.warning("NOTIFICATION: %s", args)
+            from lakehouse_engine_spark.terminators.notifiers import NotifierFactory
+
+            notifier = NotifierFactory.get_notifier(spec)
+            notifier.create_notification()
+            notifier.send_notification()
         elif fn == "terminate_spark":
             spark.stop()
         elif fn == "expose_cdf":
