@@ -21,7 +21,7 @@ class DQValidator:
     def __init__(self, acon: dict):
         self.spark = ExecEnv.get_or_create(config=acon.get("exec_env"))
         self.input_spec = parse_input_spec(acon["input_spec"])
-        self.dq_spec = parse_dq_spec(acon["dq_spec"])
+        self.dq_spec = parse_dq_spec(acon["dq_spec"], execution_point="at_rest")
         self.restore_prev_version = acon.get("restore_prev_version", False)
 
     def execute(self):

@@ -412,6 +412,10 @@ class DQValidationsFailedException(Exception):
     """Raised when data-quality validations fail."""
 
 
+class DQSpecMalformedException(Exception):
+    """Raised when a DQ spec (e.g. PRISMA rule import) is malformed."""
+
+
 class NoNewDataException(Exception):
     """Raised by sensors when no new data is available."""
 

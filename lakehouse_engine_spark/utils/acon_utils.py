@@ -67,7 +67,14 @@ def parse_transform_spec(d: dict) -> TransformSpec:
     )
 
 
-def parse_dq_spec(d: dict) -> DQSpec:
+def parse_dq_spec(d: dict, execution_point: str = "in_motion") -> DQSpec:
+    if d.get("dq_type") == "prisma":
+        # PRISMA: resolve rule-table rows / validate meta contract into a
+        # validator-shaped spec (reference utils/acon_utils.py:210-235).
+        from lakehouse_engine_spark.core.exec_env import ExecEnv
+        from lakehouse_engine_spark.utils.dq_utils import build_prisma_dq_spec
+
+        d = build_prisma_dq_spec(ExecEnv.get_or_create(), dict(d), execution_point)
     fns = [_build(DQFunctionSpec, f) for f in d.get("dq_functions", [])]
     crit = [_build(DQFunctionSpec, f) for f in d.get("critical_functions", [])]
     rest = {k: v for k, v in d.items() if k not in ("dq_functions", "critical_functions")}

@@ -188,3 +188,92 @@ def test_dq_validation_entrypoint_restores_nothing_on_pass(spark, tmp_dir):
             },
         }
     )
+
+
+# ---------------------------------------------------------------- PRISMA
+
+PRISMA_RULE_COLS = (
+    "arguments STRING, dq_tech_function STRING, dq_rule_id STRING, "
+    "execution_point STRING, filters STRING, schema STRING, table STRING, "
+    "column STRING, dimension STRING"
+)
+
+
+def _rules_df(spark, rows):
+    return spark.createDataFrame(rows, PRISMA_RULE_COLS)
+
+
+def test_prisma_rules_import_from_table(spark, tmp_dir):
+    """dq_type=prisma resolves rules from a governance table and runs them
+    (reference utils/dq_utils.py:166-240)."""
+    src = os.path.join(tmp_dir, "src")
+    spark.createDataFrame(
+        [(1, "a"), (2, None)], "id INT, name STRING"
+    ).write.parquet(src)
+    _rules_df(
+        spark,
+        [
+            ('{"column": "id"}', "expect_column_values_to_not_be_null",
+             "r1", "at_rest", None, None, "my_table", "id", "completeness"),
+            # duplicate row must be dropped
+            ('{"column": "id"}', "expect_column_values_to_not_be_null",
+             "r1", "at_rest", None, None, "my_table", "id", "completeness"),
+            # other table's rule must be filtered out
+            ('{"column": "nope"}', "expect_column_values_to_not_be_null",
+             "r9", "at_rest", None, None, "other_table", "nope", "completeness"),
+        ],
+    ).createOrReplaceTempView("dq_rules")
+
+    result = execute_dq_validation(
+        {
+            "input_spec": {"spec_id": "i", "data_format": "parquet", "location": src},
+            "dq_spec": {
+                "spec_id": "dq_prisma",
+                "input_id": "i",
+                "dq_type": "prisma",
+                "dq_db_table": "dq_rules",
+                "dq_table_table_filter": "my_table",
+                "data_product_name": "dp1",
+                "unexpected_rows_pk": ["id"],
+            },
+        }
+    )
+    assert result is not None  # id has no nulls → passes
+
+
+def test_prisma_requires_pk_and_product_name(spark, tmp_dir):
+    from lakehouse_engine_spark.core.definitions import DQSpecMalformedException
+    from lakehouse_engine_spark.utils.dq_utils import build_prisma_dq_spec
+
+    with pytest.raises(DQSpecMalformedException):
+        build_prisma_dq_spec(spark, {"dq_table_table_filter": "t"}, "at_rest")
+    with pytest.raises(DQSpecMalformedException):
+        build_prisma_dq_spec(
+            spark,
+            {"dq_functions": [{"function": "f",
+                               "args": {"meta": {c: "x" for c in (
+                                   "dq_rule_id", "execution_point", "filters",
+                                   "schema", "table", "column", "dimension")}}}],
+             "unexpected_rows_pk": ["id"]},
+            "",
+        )  # missing data_product_name
+
+
+def test_prisma_meta_contract_validation(spark):
+    from lakehouse_engine_spark.core.definitions import DQSpecMalformedException
+    from lakehouse_engine_spark.utils.dq_utils import validate_dq_functions
+
+    with pytest.raises(DQSpecMalformedException):
+        validate_dq_functions(
+            {"dq_functions": [{"function": "f", "args": {}}]},
+            "at_rest",
+            ["dq_rule_id"],
+        )
+    # complete meta passes
+    validate_dq_functions(
+        {"dq_functions": [{"function": "f",
+                           "args": {"meta": {"dq_rule_id": "1",
+                                             "execution_point": "at_rest"}}}]},
+        "at_rest",
+        ["dq_rule_id", "execution_point"],
+    )
