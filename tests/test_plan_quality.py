@@ -56,3 +56,53 @@ def test_pricing_summary_prunes_columns(spark, sf_dir):
     # check the leading, untruncated portion)
     head = m.group(1)[:80]
     assert "l_comment" not in head and "l_orderkey" not in head
+
+
+def test_minhash_dedup_no_cartesian(spark, sf_dir):
+    """LSH dedup must never degenerate to an all-pairs join: the candidate
+    join is an equi-join on the band-bucket key."""
+    df = entry.queries()["dp06_dedup_minhash"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+
+
+def test_ngram_jaccard_no_cartesian(spark, sf_dir):
+    df = entry.queries()["dp07_dedup_ngram_jaccard"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+
+
+def test_knn_brute_broadcasts_query_side(spark, sf_dir):
+    """Brute-force ANN: the small query set broadcasts, the corpus never
+    shuffles for the scoring join."""
+    df = entry.queries()["dp09_knn_brute"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastNestedLoopJoin" in physical or "BroadcastHashJoin" in physical
+    assert "CartesianProduct" not in physical
+
+
+def test_text_ops_are_pure_projections(spark, sf_dir):
+    """Token counting / quality scoring / langid must not shuffle: one scan,
+    no Exchange other than possibly the final agg in the query wrapper."""
+    df = entry.queries()["dp03_token_count"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Exchange" not in physical, physical[:1500]
+
+
+def test_hash_sampling_pushes_scan_pruning(spark, sf_dir):
+    """Deterministic hash sample is a filter projection — no shuffle."""
+    df = entry.queries()["dp15_hash_sample"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Exchange" not in physical, physical[:1500]
+
+
+def test_events_hourly_distinct_agg_shape(spark, sf_dir):
+    """Hourly rollup with count(distinct user): the optimal Spark shape is
+    the two-phase distinct aggregate — partial per (key, user) → merge —
+    i.e. exactly two hash exchanges, both preceded by map-side partials."""
+    df = entry.queries()["q15_events_hourly"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert physical.count("Exchange hashpartitioning") == 2, physical[:2000]
+    assert "partial_count" in physical  # map-side combine present
