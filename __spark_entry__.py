@@ -541,6 +541,32 @@ def dp10_multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
     return out.selectExpr("id AS doc_id", "n_bytes")
 
 
+def dp16_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time as-of join: for each click, the user's latest purchase
+    at-or-before the click (union-window formulation — one shuffle on the
+    key, no range explosion; datapipes/joins.py)."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts", "value")
+    out = clicks.transform(
+        _t(
+            "asof_join",
+            right=purchases,
+            on=["user_id"],
+            left_ts="ts",
+            right_value_cols=["value"],
+            ts_match_col="purchase_ts",
+        )
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.round("value_matched", 6).alias("purchase_value"),
+    )
+
+
 def q17_gab_weekly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """GAB-style calendar-join rollup: weekly buckets from the generated
     calendar dimension (gab_utils.create_calendar_view), broadcast-joined to
@@ -681,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp13_knn_ivf": dp13_knn_ivf,
         "dp14_hash_split": dp14_hash_split,
         "dp15_hash_sample": dp15_hash_sample,
+        "dp16_asof_join": dp16_asof_join,
     }
 
 
@@ -1085,6 +1112,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE CAST('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 15) AS BIGINT)
                   % 1000000 < 100000
+        """,
+        "dp16_asof_join": """
+            SELECT l.event_id, l.user_id,
+                   epoch_us(CAST(l.ts AS TIMESTAMP)) AS click_us,
+                   epoch_us(CAST(r.ts AS TIMESTAMP)) AS purchase_us,
+                   ROUND(r.value, 6) AS purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "q17_gab_weekly_rollup": """
             SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS from_date,

@@ -1,0 +1,124 @@
+"""Temporal joins Spark lacks as built-ins: as-of join (and its tolerance
+variant).
+
+The reference engine has no as-of operator (users would reach for
+``sql_transformation``); large-scale event/feature pipelines need one
+constantly (point-in-time-correct feature lookup, trade/quote matching,
+latest-state enrichment).
+
+Scale design — the union-window formulation, NOT a range join:
+
+* Tag right rows, union both sides, and take ``last(right_payload,
+  ignorenulls=True)`` over a window partitioned by the join keys and
+  ordered by (ts, side). That is ONE shuffle on the join keys — identical
+  cost shape to a regular equi-join — with no time-bucket explosion and no
+  O(left × right-per-key) pair enumeration, so it survives 100 TB where a
+  ``l.ts BETWEEN r.ts AND r.ts + X`` range join degenerates.
+* Equal timestamps: right rows sort before left rows (boolean ordering),
+  so a right row at exactly ``l.ts`` matches — the inclusive backward
+  as-of (DuckDB/pandas ``merge_asof`` default).
+* Skewed keys: the window shuffles on ``on`` exactly like a groupBy —
+  salt upstream or rely on AQE skew handling; no operator-specific skew.
+* The right payload travels as ONE nullable struct column, so genuinely
+  NULL right values still match correctly (``ignorenulls`` skips only
+  missing rows, not null fields).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.datapipes.registry import register
+
+TransformerFn = Callable[[DataFrame], DataFrame]
+
+
+@register("asof_join")
+def asof_join(
+    right: DataFrame,
+    on: List[str],
+    left_ts: str = "ts",
+    right_ts: Optional[str] = None,
+    right_value_cols: Optional[List[str]] = None,
+    direction: str = "backward",
+    tolerance: Optional[Column] = None,
+    suffix: str = "_matched",
+    ts_match_col: Optional[str] = None,
+) -> TransformerFn:
+    """Left as-of join: for each left row, the nearest right row per key.
+
+    ``direction="backward"`` (default): latest right row with
+    ``r.ts <= l.ts``; ``"forward"``: earliest right row with
+    ``r.ts >= l.ts``. Unmatched left rows keep NULLs (left-join
+    semantics). ``tolerance`` (an interval/numeric Column matching the ts
+    type difference) nulls out matches farther than the bound.
+    ``right_value_cols`` default: every right column not in ``on`` + ts.
+    Matched columns appear as ``<col><suffix>``; ``ts_match_col`` exposes
+    the matched right timestamp.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction}")
+
+    def _join(left: DataFrame) -> DataFrame:
+        rts = right_ts or left_ts
+        vals = right_value_cols or [
+            c for c in right.columns if c not in set(on) | {rts}
+        ]
+        payload = F.struct(
+            F.col(rts).alias("__rts"), *[F.col(c) for c in vals]
+        )
+        payload_type = right.select(payload.alias("p")).schema["p"].dataType
+
+        l2 = left.select(
+            *[F.col(c) for c in left.columns],
+            F.col(left_ts).alias("__ts"),
+            F.lit(True).alias("__is_left"),
+            F.lit(None).cast(payload_type).alias("__r"),
+        )
+        r2 = right.select(
+            *[
+                F.col(c) if c in set(on) else F.lit(None).cast(
+                    left.schema[c].dataType
+                ).alias(c)
+                for c in left.columns
+            ],
+            F.col(rts).alias("__ts"),
+            F.lit(False).alias("__is_left"),
+            payload.alias("__r"),
+        )
+
+        # backward: ascending ts, right-before-left at ties → last right seen
+        # is the latest r.ts <= l.ts. forward: mirror with descending ts.
+        if direction == "backward":
+            order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+        else:
+            order = [F.col("__ts").desc(), F.col("__is_left").asc()]
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = (
+            l2.unionByName(r2)
+            .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+            .filter(F.col("__is_left"))
+        )
+        if tolerance is not None:
+            gap = (
+                F.col("__ts") - F.col("__m.__rts")
+                if direction == "backward"
+                else F.col("__m.__rts") - F.col("__ts")
+            )
+            matched = matched.withColumn(
+                "__m", F.when(gap <= tolerance, F.col("__m"))
+            )
+        out_cols = [F.col(c) for c in left.columns]
+        if ts_match_col:
+            out_cols.append(F.col("__m.__rts").alias(ts_match_col))
+        out_cols += [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in vals]
+        return matched.select(*out_cols)
+
+    return _join

@@ -26,7 +26,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer DIV keeps full precision — a double division loses the
+            # low microseconds at 1e18-nanos magnitudes
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"CAST(`{c}` DIV 1000 AS LONG)")))
     return df
 
 

@@ -220,3 +220,83 @@ def test_hash_split_validation():
         hash_sample("id", 1.5)
     with _pytest.raises(ValueError):
         hash_split("id", {"a": -1.0})
+
+
+# ---------------------------------------------------------------- asof join
+
+def test_asof_join_backward_basic(spark):
+    from lakehouse_engine_spark.datapipes.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 25), ("b", 5), ("c", 7)], "k STRING, ts INT"
+    )
+    right = spark.createDataFrame(
+        [("a", 8, 1.0), ("a", 20, 2.0), ("b", 6, 3.0)], "k STRING, ts INT, v DOUBLE"
+    )
+    out = {
+        (r["k"], r["ts"]): r["v_matched"]
+        for r in left.transform(asof_join(right, on=["k"], left_ts="ts")).collect()
+    }
+    assert out[("a", 10)] == 1.0      # latest right <= 10 is ts=8
+    assert out[("a", 25)] == 2.0      # latest right <= 25 is ts=20
+    assert out[("b", 5)] is None      # right ts=6 is in the future
+    assert out[("c", 7)] is None      # no right rows for key
+
+
+def test_asof_join_equal_ts_matches(spark):
+    from lakehouse_engine_spark.datapipes.joins import asof_join
+
+    left = spark.createDataFrame([("a", 10)], "k STRING, ts INT")
+    right = spark.createDataFrame([("a", 10, 7.0)], "k STRING, ts INT, v DOUBLE")
+    row = left.transform(asof_join(right, on=["k"], left_ts="ts")).first()
+    assert row["v_matched"] == 7.0    # inclusive backward (r.ts <= l.ts)
+
+
+def test_asof_join_forward(spark):
+    from lakehouse_engine_spark.datapipes.joins import asof_join
+
+    left = spark.createDataFrame([("a", 10), ("a", 30)], "k STRING, ts INT")
+    right = spark.createDataFrame(
+        [("a", 15, 1.0), ("a", 25, 2.0)], "k STRING, ts INT, v DOUBLE"
+    )
+    out = {
+        (r["k"], r["ts"]): r["v_matched"]
+        for r in left.transform(
+            asof_join(right, on=["k"], left_ts="ts", direction="forward")
+        ).collect()
+    }
+    assert out[("a", 10)] == 1.0      # earliest right >= 10 is ts=15
+    assert out[("a", 30)] is None     # nothing at/after 30
+
+
+def test_asof_join_tolerance_and_match_ts(spark):
+    from pyspark.sql import functions as F
+    from lakehouse_engine_spark.datapipes.joins import asof_join
+
+    left = spark.createDataFrame([("a", 100), ("a", 200)], "k STRING, ts INT")
+    right = spark.createDataFrame([("a", 95, 1.0)], "k STRING, ts INT, v DOUBLE")
+    rows = {
+        r["ts"]: (r["v_matched"], r["rts"])
+        for r in left.transform(
+            asof_join(right, on=["k"], left_ts="ts", tolerance=F.lit(10),
+                      ts_match_col="rts")
+        ).collect()
+    }
+    assert rows[100] == (1.0, 95)          # within tolerance
+    assert rows[200] == (None, None)       # 105 > 10 → nulled
+
+
+def test_asof_join_null_right_value_still_matches(spark):
+    """A right row whose payload value is NULL must still count as a match
+    (the payload travels as a struct, so ignorenulls skips rows, not fields)."""
+    from lakehouse_engine_spark.datapipes.joins import asof_join
+
+    left = spark.createDataFrame([("a", 10)], "k STRING, ts INT")
+    right = spark.createDataFrame(
+        [("a", 3, 5.0), ("a", 8, None)], "k STRING, ts INT, v DOUBLE"
+    )
+    row = left.transform(
+        asof_join(right, on=["k"], left_ts="ts", ts_match_col="rts")
+    ).first()
+    assert row["rts"] == 8            # ts=8 row matched, not skipped
+    assert row["v_matched"] is None   # its value is genuinely null
