@@ -541,6 +541,64 @@ def dp10_multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
     return out.selectExpr("id AS doc_id", "n_bytes")
 
 
+def q19_join_transformer(spark: SparkSession, sf: str) -> DataFrame:
+    """The ACON `join` transformer (SQL condition + broadcast hint,
+    transformers/joiners.py): order counts and revenue per nation via
+    orders ⋈ customer ⋈ nation with both dimension sides broadcast."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    joined = orders.transform(
+        _t(
+            "join",
+            data={"customer": customer},
+            join_with="customer",
+            join_condition="a.o_custkey = b.c_custkey",
+            join_type="inner",
+            broadcast_join=True,
+            select_cols=["a.o_totalprice", "b.c_nationkey"],
+        )
+    ).transform(
+        _t(
+            "join",
+            data={"nation": nation},
+            join_with="nation",
+            join_condition="a.c_nationkey = b.n_nationkey",
+            join_type="inner",
+            broadcast_join=True,
+            select_cols=["b.n_name", "a.o_totalprice"],
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+def q20_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """`union_by_name` with allow_missing_columns: mismatched projections of
+    orders align by column name, missing columns null-fill
+    (transformers/unions.py)."""
+    orders = load_table(spark, sf, "orders")
+    lo = orders.filter("o_orderpriority = '1-URGENT'").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    hi = orders.filter("o_orderpriority = '2-HIGH'").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    return lo.transform(
+        _t(
+            "union_by_name",
+            data={"hi": hi},
+            union_with=["hi"],
+            deduplication=False,
+            allow_missing_columns=True,
+        )
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
 def dp16_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time as-of join: for each click, the user's latest purchase
     at-or-before the click (union-window formulation — one shuffle on the
@@ -564,6 +622,38 @@ def dp16_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         F.unix_micros("ts").alias("click_us"),
         F.unix_micros("purchase_ts").alias("purchase_us"),
         F.round("value_matched", 6).alias("purchase_value"),
+    )
+
+
+def dp17_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed range join (no nested-loop): clicks landing inside each
+    purchase's 24h follow-up window, counted per purchase
+    (datapipes/joins.py:range_join — equi-join on (user, time-bucket))."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+    windows = (
+        ev.filter("event_type = 'purchase'")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("w_end"),
+        )
+    )
+    joined = clicks.transform(
+        _t(
+            "range_join",
+            right=windows,
+            on=["user_id"],
+            left_point="ts",
+            right_start="w_start",
+            right_end="w_end",
+            bucket_width=6 * 3600 * 1_000_000,  # 6h buckets (micros)
+            right_value_cols=["event_id"],
+        )
+    )
+    return joined.groupBy(F.col("event_id_r").alias("purchase_id")).agg(
+        F.count(F.lit(1)).alias("n_clicks_24h")
     )
 
 
@@ -708,6 +798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp14_hash_split": dp14_hash_split,
         "dp15_hash_sample": dp15_hash_sample,
         "dp16_asof_join": dp16_asof_join,
+        "q19_join_transformer": q19_join_transformer,
+        "q20_union_by_name": q20_union_by_name,
+        "dp17_range_join": dp17_range_join,
     }
 
 
@@ -1113,6 +1206,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 15) AS BIGINT)
                   % 1000000 < 100000
         """,
+        "q19_join_transformer": """
+            SELECT n.n_name,
+                   COUNT(*) AS n_orders,
+                   ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+                     AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "q20_union_by_name": """
+            SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderstatus
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey, o_custkey, NULL AS o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderpriority = '2-HIGH'
+        """,
         "dp16_asof_join": """
             SELECT l.event_id, l.user_id,
                    epoch_us(CAST(l.ts AS TIMESTAMP)) AS click_us,
@@ -1123,6 +1233,17 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "dp17_range_join": """
+            SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks_24h
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            JOIN (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts >= p.ts
+             AND c.ts <= p.ts + INTERVAL 24 HOUR
+            GROUP BY p.event_id
         """,
         "q17_gab_weekly_rollup": """
             SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS from_date,

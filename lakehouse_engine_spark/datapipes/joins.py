@@ -36,6 +36,74 @@ from lakehouse_engine_spark.datapipes.registry import register
 TransformerFn = Callable[[DataFrame], DataFrame]
 
 
+@register("range_join")
+def range_join(
+    right: DataFrame,
+    on: List[str],
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    right_value_cols: Optional[List[str]] = None,
+    suffix: str = "_r",
+) -> TransformerFn:
+    """Interval join: left rows to right intervals with
+    ``r.start <= l.point <= r.end`` on matching keys — bucketed into an
+    equi-join so it scales.
+
+    Scale design: a naive inequality join compiles to
+    BroadcastNestedLoopJoin (O(left × right) per key — dead at 100 TB).
+    Instead, each right interval explodes into the time buckets of width
+    ``bucket_width`` it overlaps, the left point maps to exactly ONE
+    bucket, and the join becomes an equi-join on (keys…, bucket) with a
+    residual range filter. Each matching pair meets in exactly one bucket
+    (the left point's), so no post-join dedup is needed. Choose
+    ``bucket_width`` ≈ the typical interval length: explosion factor =
+    interval/width + 1.
+
+    Timestamp columns are handled by converting to epoch micros;
+    ``bucket_width`` is then in MICROSECONDS (numeric columns: same unit
+    as the column).
+    """
+
+    def _join(left: DataFrame) -> DataFrame:
+        def as_num(df: DataFrame, c: str) -> Column:
+            if dict(df.dtypes).get(c, "").startswith("timestamp"):
+                return F.unix_micros(F.col(c))
+            return F.col(c).cast("long")
+
+        vals = right_value_cols or [
+            c for c in right.columns if c not in set(on) | {right_start, right_end}
+        ]
+        w = int(bucket_width)
+        lpoint = as_num(left, left_point)
+        rstart, rend = as_num(right, right_start), as_num(right, right_end)
+
+        l2 = left.withColumn("__bucket", F.floor(lpoint / w)).withColumn(
+            "__point", lpoint
+        )
+        r2 = right.select(
+            *on,
+            rstart.alias("__start"),
+            rend.alias("__end"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in vals],
+        ).withColumn(
+            "__bucket",
+            F.explode(F.sequence(F.floor(F.col("__start") / w), F.floor(F.col("__end") / w))),
+        )
+        out = (
+            l2.join(r2, [*on, "__bucket"])
+            .filter(
+                (F.col("__point") >= F.col("__start"))
+                & (F.col("__point") <= F.col("__end"))
+            )
+            .drop("__bucket", "__point", "__start", "__end")
+        )
+        return out
+
+    return _join
+
+
 @register("asof_join")
 def asof_join(
     right: DataFrame,

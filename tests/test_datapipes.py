@@ -300,3 +300,36 @@ def test_asof_join_null_right_value_still_matches(spark):
     ).first()
     assert row["rts"] == 8            # ts=8 row matched, not skipped
     assert row["v_matched"] is None   # its value is genuinely null
+
+
+def test_range_join_basic_and_edges(spark):
+    from lakehouse_engine_spark.datapipes.joins import range_join
+
+    left = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 20), ("b", 5)], "k STRING, p LONG"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 10, "w1"), ("a", 15, 30, "w2")], "k STRING, s LONG, e LONG, w STRING"
+    )
+    out = sorted(
+        (r["p"], r["w_r"])
+        for r in left.transform(
+            range_join(right, on=["k"], left_point="p", right_start="s",
+                       right_end="e", bucket_width=4)
+        ).collect()
+    )
+    # inclusive bounds: p=5 and p=10 in w1; p=20 in w2; b has no windows
+    assert out == [(5, "w1"), (10, "w1"), (20, "w2")]
+
+
+def test_range_join_no_duplicate_pairs_across_buckets(spark):
+    """A pair overlapping many buckets must appear exactly once."""
+    from lakehouse_engine_spark.datapipes.joins import range_join
+
+    left = spark.createDataFrame([("a", 50)], "k STRING, p LONG")
+    right = spark.createDataFrame([("a", 0, 100, "big")], "k STRING, s LONG, e LONG, w STRING")
+    rows = left.transform(
+        range_join(right, on=["k"], left_point="p", right_start="s",
+                   right_end="e", bucket_width=7)
+    ).collect()
+    assert len(rows) == 1

@@ -106,3 +106,19 @@ def test_events_hourly_distinct_agg_shape(spark, sf_dir):
     physical, _ = _plans(df)
     assert physical.count("Exchange hashpartitioning") == 2, physical[:2000]
     assert "partial_count" in physical  # map-side combine present
+
+
+def test_range_join_no_nested_loop(spark, sf_dir):
+    """The bucketed range join must compile to an equi-join (SMJ/BHJ), never
+    a BroadcastNestedLoopJoin/CartesianProduct."""
+    df = entry.queries()["dp17_range_join"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "CartesianProduct" not in physical
+
+
+def test_join_transformer_broadcasts(spark, sf_dir):
+    df = entry.queries()["q19_join_transformer"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert physical.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in physical
