@@ -657,6 +657,22 @@ def dp17_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp18_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization via Spark's native session_window (30 min gap) — the
+    same operator runs under Structured Streaming with a watermark
+    (datapipes/joins.py:sessionize). Top-level stats keep the oracle
+    deterministic."""
+    ev = load_table(spark, sf, "events")
+    sessions = ev.select("user_id", "ts").transform(
+        _t("sessionize", on=["user_id"], ts_col="ts", gap="30 minutes")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.unix_micros(F.max("session_start")).alias("last_session_start_us"),
+    )
+
+
 def q17_gab_weekly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """GAB-style calendar-join rollup: weekly buckets from the generated
     calendar dimension (gab_utils.create_calendar_view), broadcast-joined to
@@ -801,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_join_transformer": q19_join_transformer,
         "q20_union_by_name": q20_union_by_name,
         "dp17_range_join": dp17_range_join,
+        "dp18_sessionize": dp18_sessionize,
     }
 
 
@@ -1244,6 +1261,30 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= p.ts
              AND c.ts <= p.ts + INTERVAL 24 HOUR
             GROUP BY p.event_id
+        """,
+        "dp18_sessionize": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE OR
+                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ), sess AS (
+              SELECT user_id, ts,
+                     SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            ), per_session AS (
+              SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id,
+                   COUNT(*) AS n_sessions,
+                   SUM(n_events) AS n_events,
+                   epoch_us(CAST(MAX(session_start) AS TIMESTAMP)) AS last_session_start_us
+            FROM per_session GROUP BY user_id
         """,
         "q17_gab_weekly_rollup": """
             SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS from_date,

@@ -190,3 +190,43 @@ def asof_join(
         return matched.select(*out_cols)
 
     return _join
+
+
+@register("sessionize")
+def sessionize(
+    on: List[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    aggs: Optional[dict] = None,
+) -> TransformerFn:
+    """Sessionization: group events per key into sessions separated by
+    ``gap`` of inactivity, using Spark's native ``session_window`` — the
+    same operator handles batch AND Structured Streaming (with a watermark,
+    state cleanup is automatic), so pipelines don't need a separate
+    streaming code path.
+
+    Scale design: ``session_window`` is one shuffle on the keys with
+    map-side partial session merging — no self-join, no global sort. The
+    batch-equivalent formulation (lag + cumulative sum of gap breaks) needs
+    a full window sort per key; the native operator is strictly better.
+
+    Output: key cols, ``session_start``/``session_end`` (end = last event
+    + gap, Spark semantics), ``n_events`` plus any extra ``aggs``
+    ({output_name: SQL aggregate expression}).
+    """
+
+    def _sess(df: DataFrame) -> DataFrame:
+        extra = [F.expr(e).alias(n) for n, e in (aggs or {}).items()]
+        return (
+            df.groupBy(*on, F.session_window(F.col(ts_col), gap).alias("__w"))
+            .agg(F.count(F.lit(1)).alias("n_events"), *extra)
+            .select(
+                *on,
+                F.col("__w.start").alias("session_start"),
+                F.col("__w.end").alias("session_end"),
+                "n_events",
+                *[F.col(n) for n in (aggs or {})],
+            )
+        )
+
+    return _sess

@@ -333,3 +333,60 @@ def test_range_join_no_duplicate_pairs_across_buckets(spark):
                    right_end="e", bucket_width=7)
     ).collect()
     assert len(rows) == 1
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    from lakehouse_engine_spark.datapipes.joins import sessionize
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        ("u1", t0), ("u1", t0 + 10 * m), ("u1", t0 + 50 * m),  # 2 sessions
+        ("u2", t0),                                             # 1 session
+    ]
+    df = spark.createDataFrame(rows, "user_id STRING, ts TIMESTAMP")
+    out = df.transform(
+        sessionize(on=["user_id"], ts_col="ts", gap="30 minutes",
+                   aggs={"last_ts": "max(ts)"})
+    )
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["session_end"])
+           for r in out.collect()}
+    assert got[("u1", t0)][0] == 2
+    # session end = last event + gap (Spark session_window semantics)
+    assert got[("u1", t0)][1] == t0 + 10 * m + 30 * m
+    assert got[("u1", t0 + 50 * m)][0] == 1
+    assert got[("u2", t0)][0] == 1
+
+
+def test_sessionize_streaming_with_watermark(spark, tmp_dir):
+    """The same operator runs under Structured Streaming: stage events as
+    files, readStream + watermark, sessionize, collect via memory sink."""
+    import datetime as dt
+    import os
+    from lakehouse_engine_spark.datapipes.joins import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    src = os.path.join(tmp_dir, "stream_in")
+    spark.createDataFrame(
+        [("u1", t0), ("u1", t0 + 5 * m), ("u1", t0 + 60 * m)],
+        "user_id STRING, ts TIMESTAMP",
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id STRING, ts TIMESTAMP")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .transform(sessionize(on=["user_id"], ts_col="ts", gap="30 minutes"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["session_start"]: r["n_events"] for r in spark.table("sess_out").collect()}
+    assert got[t0] == 2 and got[t0 + 60 * m] == 1
