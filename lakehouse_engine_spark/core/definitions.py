@@ -213,6 +213,12 @@ class OutputSpec:
     db_table: Optional[str] = None
     location: Optional[str] = None
     partitions: Optional[List[str]] = None
+    # Bucketed tables co-locate join/agg keys so repeated big joins on the
+    # same key skip their shuffle entirely (beyond reference parity; Spark
+    # requires a catalog table, i.e. db_table, for bucketed writes).
+    bucket_cols: Optional[List[str]] = None
+    bucket_num: Optional[int] = None
+    sort_cols: Optional[List[str]] = None
     merge_opts: Optional[MergeOptions] = None
     options: Optional[dict] = None
     streaming_micro_batch_transformers: List[TransformerSpec] = field(default_factory=list)

@@ -77,6 +77,17 @@ def _write_batch(spark: SparkSession, df: DataFrame, spec: OutputSpec) -> Option
     writer = df.write.format(_physical_format(fmt)).mode(mode).options(**options)
     if spec.partitions:
         writer = writer.partitionBy(*spec.partitions)
+    if spec.bucket_cols:
+        # bucketBy pre-shuffles ONCE at write; subsequent joins/aggs on the
+        # bucket key across bucketed tables run shuffle-free
+        if not spec.db_table:
+            raise WrongArgumentsError(
+                f"OutputSpec {spec.spec_id}: bucketed writes need db_table "
+                "(Spark bucketing is a catalog-table feature)"
+            )
+        writer = writer.bucketBy(int(spec.bucket_num or 8), *spec.bucket_cols)
+        if spec.sort_cols:
+            writer = writer.sortBy(*spec.sort_cols)
     if spec.db_table and fmt != OutputFormat.FILE.value:
         if spec.location:
             writer = writer.option("path", spec.location)

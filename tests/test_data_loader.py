@@ -11,7 +11,7 @@ import pytest
 from lakehouse_engine_spark import load_data
 from lakehouse_engine_spark.core.definitions import WrongArgumentsError
 
-from tests.conftest import assert_df_equal
+from tests.conftest import TESTDATA, assert_df_equal
 
 
 @pytest.fixture()
@@ -238,3 +238,51 @@ def test_schema_as_json_string_and_ddl(spark, tmp_dir):
             }
         )
         assert_df_equal(res["o"], [(1, "ada"), (2, "grace")])
+
+
+def test_bucketed_table_write_enables_shuffle_free_join(spark, src, tmp_dir):
+    """bucketBy co-locates the join key at write time: a self-join of two
+    bucketed tables on the bucket key plans with NO Exchange."""
+    from lakehouse_engine_spark import load_data
+    from lakehouse_engine_spark.core.definitions import WrongArgumentsError
+    import pytest as _pytest
+
+    def acon(table):
+        return {
+            "input_specs": [
+                {"spec_id": "o", "data_format": "parquet",
+                 "location": os.path.join(TESTDATA, "orders.parquet")}
+            ],
+            "output_specs": [
+                {"spec_id": "sink", "input_id": "o", "write_type": "overwrite",
+                 "data_format": "parquet", "db_table": table,
+                 "bucket_cols": ["o_custkey"], "bucket_num": 4,
+                 "sort_cols": ["o_custkey"]}
+            ],
+        }
+
+    load_data(acon("bt_orders_a"))
+    load_data(acon("bt_orders_b"))
+    try:
+        a, b = spark.table("bt_orders_a"), spark.table("bt_orders_b")
+        joined = a.join(b, "o_custkey").groupBy("o_custkey").count()
+        # with broadcast suppressed, the bucketed SMJ must run with ZERO
+        # exchanges — the write-time bucketing replaced the join shuffle
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Bucketed: true" in plan, plan[:1500]
+        assert "Exchange" not in plan, plan[:1500]
+
+        # bucketed write without a catalog table must fail loudly
+        bad = acon("ignored")
+        bad["output_specs"][0].pop("db_table")
+        bad["output_specs"][0]["location"] = os.path.join(tmp_dir, "nope")
+        with _pytest.raises(WrongArgumentsError):
+            load_data(bad)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orders_a")
+        spark.sql("DROP TABLE IF EXISTS bt_orders_b")
