@@ -673,6 +673,16 @@ def dp18_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp19_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass dataset profiler over documents: exact stats only in the
+    contract projection (approx_distinct/quantiles are HLL/GK estimates —
+    validated separately in tests)."""
+    docs = load_table(spark, sf, "documents")
+    prof = docs.transform(_t("profile_columns", cols=["doc_id", "lang", "n_chars"]))
+    return prof.select("column", "dtype", "n_rows", "n_nulls", "null_pct",
+                       "min_str", "max_str")
+
+
 def q17_gab_weekly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """GAB-style calendar-join rollup: weekly buckets from the generated
     calendar dimension (gab_utils.create_calendar_view), broadcast-joined to
@@ -818,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_union_by_name": q20_union_by_name,
         "dp17_range_join": dp17_range_join,
         "dp18_sessionize": dp18_sessionize,
+        "dp19_profile": dp19_profile,
     }
 
 
@@ -1261,6 +1272,23 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= p.ts
              AND c.ts <= p.ts + INTERVAL 24 HOUR
             GROUP BY p.event_id
+        """,
+        "dp19_profile": """
+            SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+                   COUNT(*) AS n_rows, COUNT(*) - COUNT(doc_id) AS n_nulls,
+                   ROUND((COUNT(*) - COUNT(doc_id)) * 100.0 / COUNT(*), 4) AS null_pct,
+                   MIN(doc_id::VARCHAR) AS min_str, MAX(doc_id::VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'lang', 'string', COUNT(*), COUNT(*) - COUNT(lang),
+                   ROUND((COUNT(*) - COUNT(lang)) * 100.0 / COUNT(*), 4),
+                   MIN(lang), MAX(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'bigint', COUNT(*), COUNT(*) - COUNT(n_chars),
+                   ROUND((COUNT(*) - COUNT(n_chars)) * 100.0 / COUNT(*), 4),
+                   MIN(n_chars::VARCHAR), MAX(n_chars::VARCHAR)
+            FROM documents
         """,
         "dp18_sessionize": """
             WITH marked AS (

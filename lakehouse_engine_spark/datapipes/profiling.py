@@ -1,0 +1,84 @@
+"""Dataset profiling — per-column statistics in ONE aggregation pass.
+
+Training-data pipelines gate ingestion on dataset health (null rates,
+cardinality explosions, value drift). This profiler computes, for every
+requested column, null counts, approximate distinct counts (HLL++ via
+``approx_count_distinct`` — mergeable, constant memory), min/max, and for
+numeric columns mean plus approximate quantiles (Greenwald-Khanna via
+``percentile_approx`` — also one-pass).
+
+Scale design: the whole profile is a single ``df.agg(...)`` — one map-side
+combined aggregation job regardless of column count, no per-column scans
+(contrast with naive ``df.describe()`` loops). Output is long-form
+(one row per column) so downstream checks join on ``column``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.datapipes.registry import register
+
+TransformerFn = Callable[[DataFrame], DataFrame]
+
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+
+
+@register("profile_columns")
+def profile_columns(
+    cols: Optional[List[str]] = None,
+    quantiles: Optional[List[float]] = None,
+    rsd: float = 0.05,
+) -> TransformerFn:
+    """Long-form profile: one output row per column with
+    ``n_rows, n_nulls, null_pct, approx_distinct, min_str, max_str,
+    mean, p50, ...`` (numeric-only stats NULL for non-numeric columns)."""
+    qs = quantiles or [0.5]
+
+    def _profile(df: DataFrame) -> DataFrame:
+        targets = cols or df.columns
+        dtypes = dict(df.dtypes)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in targets:
+            is_num = dtypes[c].startswith(_NUMERIC)
+            aggs += [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
+                F.approx_count_distinct(c, rsd).alias(f"__dis_{c}"),
+                F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+            ]
+            if is_num:
+                aggs.append(F.avg(F.col(c).cast("double")).alias(f"__avg_{c}"))
+                aggs.append(
+                    F.percentile_approx(
+                        F.col(c).cast("double"), F.array(*[F.lit(q) for q in qs])
+                    ).alias(f"__q_{c}")
+                )
+        row = df.agg(*aggs).first()
+        n = row["__n"]
+        out = []
+        for c in targets:
+            is_num = dtypes[c].startswith(_NUMERIC)
+            rec = {
+                "column": c,
+                "dtype": dtypes[c],
+                "n_rows": n,
+                "n_nulls": int(row[f"__nul_{c}"]),
+                "null_pct": round(row[f"__nul_{c}"] / n * 100.0, 4) if n else 0.0,
+                "approx_distinct": int(row[f"__dis_{c}"]),
+                "min_str": row[f"__min_{c}"],
+                "max_str": row[f"__max_{c}"],
+                "mean": float(row[f"__avg_{c}"]) if is_num and row[f"__avg_{c}"] is not None else None,
+            }
+            for i, q in enumerate(qs):
+                rec[f"p{int(q * 100)}"] = (
+                    float(row[f"__q_{c}"][i]) if is_num and row[f"__q_{c}"] else None
+                )
+            out.append(rec)
+        # tiny (one row per column) — driver-side materialization is correct
+        return df.sparkSession.createDataFrame(out)
+
+    return _profile

@@ -390,3 +390,25 @@ def test_sessionize_streaming_with_watermark(spark, tmp_dir):
     q.awaitTermination()
     got = {r["session_start"]: r["n_events"] for r in spark.table("sess_out").collect()}
     assert got[t0] == 2 and got[t0 + 60 * m] == 1
+
+
+def test_profile_columns_one_pass(spark):
+    from lakehouse_engine_spark.datapipes.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "a", None)],
+        "id INT, s STRING, v DOUBLE",
+    )
+    prof = {r["column"]: r for r in df.transform(
+        profile_columns(quantiles=[0.5])
+    ).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_nulls"] == 0
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["null_pct"] == 25.0
+    assert prof["v"]["n_nulls"] == 1
+    assert prof["id"]["mean"] == 2.5
+    # approx distinct exact at tiny cardinalities
+    assert prof["s"]["approx_distinct"] == 2
+    assert prof["v"]["p50"] == 20.0
+    assert prof["s"]["mean"] is None and prof["s"]["p50"] is None
+    # min/max as strings (lexicographic for non-numeric output contract)
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
