@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_engine_spark.core.definitions import DQFunctionSpec, DQSpec, TransformerSpec
 from lakehouse_engine_spark.datapipes.dedup import MINHASH_AB, MINHASH_P
+from lakehouse_engine_spark.datapipes.text import PII_PATTERNS
 from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
 from lakehouse_engine_spark.utils.tables import load_table
 
@@ -683,6 +684,47 @@ def dp19_profile(spark: SparkSession, sf: str) -> DataFrame:
                        "min_str", "max_str")
 
 
+def dp20_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components over MinHash-LSH
+    buckets (iterative min-label propagation on the doc↔bucket bipartite
+    graph; oracle = DuckDB recursive CTE over the same buckets)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.transform(
+        _t("dedup_connected_components", num_hashes=12, bands=4, shingle_size=3)
+    ).selectExpr("doc_id", "component_id")
+
+
+def dp21_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing: deterministic synthetic PII (email/phone/ip/card built
+    from doc_id) appended to each document, then redacted by the
+    text_pii_redact operator; both engines build and scrub identically."""
+    docs = load_table(spark, sf, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" card 4111 1111 1111 1111 ok"),
+        ).alias("text"),
+    )
+    out = seeded.transform(_t("text_pii_redact"))
+    return out.select("doc_id", F.md5("text_clean").alias("clean_md5"), "n_pii")
+
+
+def dp22_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals per document (distinct-word ratio,
+    top-word fraction, top-bigram fraction)."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(_t("text_repetition", ngram=2))
+    return out.select(
+        "doc_id", "n_words_r", "distinct_word_ratio", "top_word_ratio", "top_2gram_ratio"
+    )
+
+
 def q17_gab_weekly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """GAB-style calendar-join rollup: weekly buckets from the generated
     calendar dimension (gab_utils.create_calendar_view), broadcast-joined to
@@ -829,6 +871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp17_range_join": dp17_range_join,
         "dp18_sessionize": dp18_sessionize,
         "dp19_profile": dp19_profile,
+        "dp20_dup_clusters": dp20_dup_clusters,
+        "dp21_pii_redact": dp21_pii_redact,
+        "dp22_repetition": dp22_repetition,
     }
 
 
@@ -893,6 +938,37 @@ def _minhash_cte(num_hashes: int, bands: int, shingle_size: int) -> str:
       SELECT ex.doc_id, min(b.m) AS dup_group_id
       FROM ex JOIN buckets b USING (h) GROUP BY ex.doc_id
     )"""
+
+
+def _duck_pii() -> str:
+    """Mirror of text_pii_redact over the dp21 seeded text: staged
+    regexp_replace in PII_PATTERNS order, counting each pattern on the text
+    as redacted by earlier patterns (identical to the Spark operator)."""
+    sql = """
+    WITH s0 AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com call +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  || ' card 4111 1111 1111 1111 ok' AS t,
+             0 AS n
+      FROM documents
+    )"""
+    prev = "s0"
+    for i, (_, pat, token) in enumerate(PII_PATTERNS, 1):
+        sql += f""",
+    s{i} AS (
+      SELECT doc_id,
+             regexp_replace(t, '{pat}', '{token}', 'g') AS t,
+             n + len(regexp_extract_all(t, '{pat}')) AS n
+      FROM {prev}
+    )"""
+        prev = f"s{i}"
+    return sql + f"""
+    SELECT doc_id, md5(t) AS clean_md5, CAST(n AS INT) AS n_pii FROM {prev}
+    """
 
 
 _DUCK_COSINE = (
@@ -1289,6 +1365,50 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((COUNT(*) - COUNT(n_chars)) * 100.0 / COUNT(*), 4),
                    MIN(n_chars::VARCHAR), MAX(n_chars::VARCHAR)
             FROM documents
+        """,
+        "dp20_dup_clusters": _minhash_cte(12, 4, 3).replace(
+            "WITH toks", "WITH RECURSIVE toks"
+        )
+        + """,
+            nodes AS (SELECT DISTINCT doc_id FROM ex),
+            reach AS (
+              SELECT doc_id, doc_id AS label FROM nodes
+              UNION
+              SELECT e2.doc_id, r.label
+              FROM reach r
+              JOIN ex e1 ON e1.doc_id = r.doc_id
+              JOIN ex e2 ON e2.h = e1.h
+              WHERE r.label < e2.doc_id
+            )
+            SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component_id
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, MIN(label) AS comp FROM reach GROUP BY doc_id) c
+              USING (doc_id)
+        """,
+        "dp21_pii_redact": _duck_pii(),
+        "dp22_repetition": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+            words AS (SELECT doc_id, unnest(w) AS wd FROM toks),
+            wcnt AS (SELECT doc_id, wd, COUNT(*) AS c FROM words GROUP BY 1, 2),
+            wstats AS (
+              SELECT doc_id, SUM(c) AS nw, COUNT(*) AS dw, MAX(c) AS topw
+              FROM wcnt GROUP BY 1
+            ),
+            grams AS (
+              SELECT doc_id, unnest({_duck_shingles(2)}) AS g FROM toks
+            ),
+            gcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+            gstats AS (SELECT doc_id, SUM(c) AS ng, MAX(c) AS topg FROM gcnt GROUP BY 1),
+            stats AS (
+              SELECT w.doc_id, w.nw, w.dw, w.topw, g.ng, g.topg
+              FROM wstats w LEFT JOIN gstats g USING (doc_id)
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.nw, 0)::INT AS n_words_r,
+                   COALESCE(ROUND(s.dw / CAST(s.nw AS DOUBLE), 4), 0.0) AS distinct_word_ratio,
+                   COALESCE(ROUND(s.topw / CAST(s.nw AS DOUBLE), 4), 0.0) AS top_word_ratio,
+                   COALESCE(ROUND(s.topg / CAST(s.ng AS DOUBLE), 4), 0.0) AS top_2gram_ratio
+            FROM documents d LEFT JOIN stats s USING (doc_id)
         """,
         "dp18_sessionize": """
             WITH marked AS (

@@ -410,6 +410,73 @@ def dedup_ngram_jaccard(
     return _dedup
 
 
+@register("dedup_connected_components")
+def dedup_connected_components(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_size: int = 3,
+    output_col: str = "component_id",
+    max_iterations: int = 25,
+    keep: str = "clusters",  # clusters | survivors
+) -> TransformerFn:
+    """Transitive duplicate clusters: connected components over MinHash-LSH
+    buckets (the full closure the bucket-min rule in ``dedup_minhash_lsh``
+    approximates — a~b, b~c ⇒ a,b,c share one ``component_id`` even when a
+    and c collide in no bucket).
+
+    Scale design: labels propagate on the **doc↔bucket bipartite graph**
+    directly — a bucket of k documents is ONE hyperedge, never k² pairwise
+    edges, so a degenerate bucket (boilerplate text) costs k rows instead of
+    k² rows. Each round is two map-side-combined aggregations (min label per
+    bucket, then min bucket-label per doc) shuffling only (id/bucket, long);
+    rounds needed = the bucket-graph diameter of the largest cluster (tiny
+    for near-dup clusters — they are bucket-cliques; converges in 1-3 rounds
+    in practice, bounded by ``max_iterations``). Convergence is detected by
+    the monotone global label sum, one scalar action per round;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan does
+    not replay rounds 1..N-1.
+    """
+    rows = num_hashes // bands
+
+    def _cc(df: DataFrame) -> DataFrame:
+        sig = _minhash_sig_df(df, text_col, id_col, num_hashes, shingle_size)
+        edges = _band_exploded(sig, bands, rows).persist(StorageLevel.MEMORY_AND_DISK)
+        labels = edges.select("__id").distinct().withColumn(
+            "__label", F.col("__id")
+        ).localCheckpoint(eager=False)
+        prev_sum = None
+        for _ in range(max_iterations):
+            bucket_min = (
+                edges.join(labels, "__id")
+                .groupBy("__h")
+                .agg(F.min("__label").alias("__bmin"))
+            )
+            prop = (
+                edges.join(bucket_min, "__h")
+                .groupBy("__id")
+                .agg(F.min("__bmin").alias("__prop"))
+            )
+            labels = (
+                labels.join(prop, "__id", "left")
+                .select("__id", F.least("__label", F.coalesce("__prop", "__label")).alias("__label"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("__label")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        edges.unpersist()
+        out = df.join(labels, df[id_col] == labels["__id"], "left").drop("__id")
+        out = out.withColumn(output_col, F.coalesce("__label", F.col(id_col))).drop("__label")
+        if keep == "survivors":
+            return out.filter(F.col(output_col) == F.col(id_col)).drop(output_col)
+        return out
+
+    return _cc
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays — JVM-side higher-order fns."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)

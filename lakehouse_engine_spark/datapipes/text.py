@@ -148,6 +148,116 @@ def fingerprint(input_col: str = "text", output_col: str = "fingerprint") -> Tra
     return _fp
 
 
+# PII patterns chosen to compile identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookaround, no backreferences. Order matters —
+# card before phone before ip so longer digit runs win.
+PII_PATTERNS: List[tuple] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+@register("text_pii_redact")
+def pii_redact(
+    input_col: str = "text",
+    output_col: str = "text_clean",
+    count_col: str = "n_pii",
+    kinds: List[str] | None = None,
+) -> TransformerFn:
+    """PII scrubbing for training corpora: replace emails, payment-card
+    numbers, international phone numbers and IPv4 addresses with typed
+    placeholder tokens, and count the redactions.
+
+    Pure projection (zero shuffles, whole-stage codegen); patterns apply in
+    fixed order so overlapping matches resolve deterministically. The count
+    is taken per pattern *before* its replacement, on the text as already
+    redacted by earlier patterns — so a string is never counted twice.
+    """
+    selected = [p for p in PII_PATTERNS if kinds is None or p[0] in kinds]
+
+    def _redact(df: DataFrame) -> DataFrame:
+        cur = F.col(input_col)
+        n = F.lit(0)
+        for _, pat, token in selected:
+            n = n + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            cur = F.regexp_replace(cur, pat, token)
+        return df.withColumns({output_col: cur, count_col: n.cast("int")})
+
+    return _redact
+
+
+@register("text_repetition")
+def repetition_signals(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+) -> TransformerFn:
+    """Gopher-style repetition signals: distinct-word ratio, top-word
+    fraction, and top-``ngram`` fraction per document. High top-fraction /
+    low distinct ratio flags boilerplate and degenerate (looping) text.
+
+    Scale design: the mode of a word/n-gram multiset needs a count per
+    (doc, gram) — that is explode → two map-side-combined aggregations
+    (partial aggs collapse repeated grams before the shuffle, so shuffled
+    volume is distinct grams per doc, not corpus token count). The word and
+    n-gram pipelines then join on doc id and attach back to the input — all
+    equi-joins on the id, AQE-broadcastable when the stats side is small.
+    """
+
+    def _rep(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
+
+        base = ensure_parallelism(df).select(
+            F.col(id_col).alias("__id"), tokens_lower(F.col(input_col)).alias("__t")
+        )
+        wcnt = (
+            base.select("__id", F.explode("__t").alias("__w"))
+            .groupBy("__id", "__w")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        wstats = wcnt.groupBy("__id").agg(
+            F.sum("__c").alias("__nw"),
+            F.count(F.lit(1)).alias("__dw"),
+            F.max("__c").alias("__topw"),
+        )
+        grams = base.select(
+            "__id",
+            F.explode(
+                F.when(
+                    F.size("__t") >= ngram,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__t") - ngram + 1),
+                        lambda i: F.concat_ws(" ", F.slice("__t", i, ngram)),
+                    ),
+                ).otherwise(F.array(F.concat_ws(" ", "__t")))
+            ).alias("__g"),
+        )
+        gcnt = grams.groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__c"))
+        gstats = gcnt.groupBy("__id").agg(
+            F.sum("__c").alias("__ng"), F.max("__c").alias("__topg")
+        )
+        stats = wstats.join(gstats, "__id", "left").select(
+            "__id",
+            F.col("__nw").cast("int").alias("n_words_r"),
+            F.round(F.col("__dw") / F.col("__nw"), 4).alias("distinct_word_ratio"),
+            F.round(F.col("__topw") / F.col("__nw"), 4).alias("top_word_ratio"),
+            F.round(F.col("__topg") / F.col("__ng"), 4).alias(f"top_{ngram}gram_ratio"),
+        )
+        out = df.join(stats, df[id_col] == stats["__id"], "left").drop("__id")
+        return out.withColumns(
+            {
+                "n_words_r": F.coalesce("n_words_r", F.lit(0)),
+                "distinct_word_ratio": F.coalesce("distinct_word_ratio", F.lit(0.0)),
+                "top_word_ratio": F.coalesce("top_word_ratio", F.lit(0.0)),
+                f"top_{ngram}gram_ratio": F.coalesce(f"top_{ngram}gram_ratio", F.lit(0.0)),
+            }
+        )
+
+    return _rep
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles; documents shorter than n words yield one shingle."""
     toks = tokens_lower(col)

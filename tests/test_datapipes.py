@@ -412,3 +412,66 @@ def test_profile_columns_one_pass(spark):
     assert prof["s"]["mean"] is None and prof["s"]["p50"] is None
     # min/max as strings (lexicographic for non-numeric output contract)
     assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+
+
+def test_connected_components_transitive_clusters(spark):
+    # identical docs collide deterministically (same signature -> same
+    # buckets); the chain 10=11, 11~12 (one appended word) must collapse
+    # into ONE component even though 10 and 12 are less similar than
+    # either adjacent pair — the transitivity dedup_minhash_lsh lacks.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (10, base),
+        (11, base),
+        (12, base + " nu"),
+        (30, "totally unrelated words about storage engines and buffer pools"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in df.transform(t("dedup_connected_components")).collect()
+    }
+    assert got[10] == got[11] == got[12] == 10
+    assert got[30] == 30
+    # survivors mode keeps exactly one doc per component
+    surv = df.transform(t("dedup_connected_components", keep="survivors"))
+    assert sorted(r["doc_id"] for r in surv.collect()) == [10, 30]
+
+
+def test_pii_redact_patterns_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to First.Last+x@sub.example.org today"),
+            (2, "server at 192.168.001.12 port open"),
+            (3, "card 4111 1111 1111 1111 and phone +49-555-1234"),
+            (4, "no pii here at all"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in df.transform(t("text_pii_redact")).collect()}
+    assert got[1]["text_clean"] == "write to <EMAIL> today" and got[1]["n_pii"] == 1
+    assert got[2]["text_clean"] == "server at <IP> port open" and got[2]["n_pii"] == 1
+    # card is consumed by the card pattern BEFORE the ip/phone patterns see it
+    assert got[3]["text_clean"] == "card <CARD> and phone <PHONE>" and got[3]["n_pii"] == 2
+    assert got[4]["text_clean"] == "no pii here at all" and got[4]["n_pii"] == 0
+    # kinds filter restricts which patterns run
+    only_email = df.transform(t("text_pii_redact", kinds=["email"]))
+    r3 = {r["doc_id"]: r for r in only_email.collect()}[3]
+    assert "4111" in r3["text_clean"] and r3["n_pii"] == 0
+
+
+def test_repetition_signals_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, ""), (3, "x y z")],
+        "doc_id INT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in df.transform(t("text_repetition")).collect()}
+    assert got[1]["n_words_r"] == 4
+    assert got[1]["distinct_word_ratio"] == 0.5
+    assert got[1]["top_word_ratio"] == 0.75
+    # bigrams: "a a","a a","a b" -> top fraction 2/3
+    assert got[1]["top_2gram_ratio"] == round(2 / 3, 4)
+    # empty doc -> all-zero signals
+    assert got[2]["n_words_r"] == 0 and got[2]["top_2gram_ratio"] == 0.0
+    # all-distinct doc
+    assert got[3]["distinct_word_ratio"] == 1.0 and got[3]["top_word_ratio"] == round(1 / 3, 4)
