@@ -725,6 +725,25 @@ def dp22_repetition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp23_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document plays the eval set;
+    docs sharing any word 8-gram with it are flagged (broadcast n-gram-hash
+    probe, no corpus-side shuffle)."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter("doc_id % 50 = 0")
+    out = docs.transform(_t("text_decontaminate", benchmark_df=bench, ngram=8))
+    return out.select("doc_id", "n_contaminated_ngrams", "is_contaminated")
+
+
+def dp24_vocab_top_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary top-50 by frequency with deterministic tie-break
+    (count desc, word asc) — TakeOrdered plan, no global sort shuffle."""
+    docs = load_table(spark, sf, "documents")
+    return docs.transform(_t("vocab_top_k", k=50)).selectExpr(
+        "word", "n", "CAST(rank AS INT) AS rank"
+    )
+
+
 def q17_gab_weekly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """GAB-style calendar-join rollup: weekly buckets from the generated
     calendar dimension (gab_utils.create_calendar_view), broadcast-joined to
@@ -874,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp20_dup_clusters": dp20_dup_clusters,
         "dp21_pii_redact": dp21_pii_redact,
         "dp22_repetition": dp22_repetition,
+        "dp23_decontaminate": dp23_decontaminate,
+        "dp24_vocab_top_k": dp24_vocab_top_k,
     }
 
 
@@ -1409,6 +1430,26 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(ROUND(s.topw / CAST(s.nw AS DOUBLE), 4), 0.0) AS top_word_ratio,
                    COALESCE(ROUND(s.topg / CAST(s.ng AS DOUBLE), 4), 0.0) AS top_2gram_ratio
             FROM documents d LEFT JOIN stats s USING (doc_id)
+        """,
+        "dp23_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+            g AS (SELECT doc_id, unnest({_duck_shingles(8)}) AS g FROM toks),
+            bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT dg.doc_id, COUNT(DISTINCT dg.g) AS n_hit
+              FROM (SELECT DISTINCT doc_id, g FROM g) dg JOIN bg USING (g)
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_hit, 0)::INT AS n_contaminated_ngrams,
+                   COALESCE(h.n_hit, 0) > 0 AS is_contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "dp24_vocab_top_k": f"""
+            WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),
+            c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1),
+            r AS (SELECT word, n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank FROM c)
+            SELECT word, n, rank::INT AS rank FROM r WHERE rank <= 50
         """,
         "dp18_sessionize": """
             WITH marked AS (

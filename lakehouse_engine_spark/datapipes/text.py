@@ -258,6 +258,99 @@ def repetition_signals(
     return _rep
 
 
+@register("text_decontaminate")
+def decontaminate(
+    benchmark_df: DataFrame,
+    benchmark_text_col: str = "text",
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    mode: str = "flag",  # flag | drop
+    broadcast_benchmark: bool = True,
+) -> TransformerFn:
+    """Benchmark decontamination: flag (or drop) documents sharing any word
+    ``ngram`` with a benchmark/eval set — the standard guard against test-set
+    leakage into pretraining corpora.
+
+    Scale design: the benchmark side reduces to DISTINCT n-gram hashes — for
+    real eval suites that is thousands of rows, so it **broadcasts** and the
+    corpus-side probe is a map-side hash join on a 32-char key; no shuffle of
+    corpus n-grams. Per-doc hit counts come from one map-side-combined
+    groupBy on the (rare) matching grams. With ``broadcast_benchmark=False``
+    the same plan runs as a shuffle join for giant benchmark sets.
+    """
+
+    def _decon(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
+
+        bench = (
+            benchmark_df.select(
+                F.explode(shingles(F.col(benchmark_text_col), ngram)).alias("__g")
+            )
+            .select(F.md5("__g").alias("__gh"))
+            .distinct()
+        )
+        if broadcast_benchmark:
+            bench = F.broadcast(bench)
+        doc_grams = (
+            ensure_parallelism(df)
+            .select(
+                F.col(id_col).alias("__id"),
+                F.explode(shingles(F.col(input_col), ngram)).alias("__g"),
+            )
+            .select("__id", F.md5("__g").alias("__gh"))
+            .dropDuplicates(["__id", "__gh"])
+        )
+        hits = doc_grams.join(bench, "__gh").groupBy("__id").agg(
+            F.count(F.lit(1)).alias("__nhit")
+        )
+        out = df.join(hits, df[id_col] == hits["__id"], "left").drop("__id")
+        out = out.withColumns(
+            {
+                "n_contaminated_ngrams": F.coalesce("__nhit", F.lit(0)).cast("int"),
+                "is_contaminated": F.coalesce("__nhit", F.lit(0)) > 0,
+            }
+        ).drop("__nhit")
+        if mode == "drop":
+            return out.filter(~F.col("is_contaminated")).drop(
+                "n_contaminated_ngrams", "is_contaminated"
+            )
+        return out
+
+    return _decon
+
+
+@register("vocab_top_k")
+def vocab_top_k(
+    input_col: str = "text",
+    k: int = 100,
+) -> TransformerFn:
+    """Corpus vocabulary: top-``k`` words by frequency with a deterministic
+    total order (count desc, word asc). Returns a corpus-level DataFrame
+    (word, n, rank) — an aggregation transformer like ``get_max_value``.
+
+    Scale design: one map-side-combined groupBy shuffles only distinct
+    words; the top-k is ``orderBy(...).limit(k)`` — Spark plans that as a
+    per-partition TakeOrderedAndProject merged on the driver, NOT a global
+    sort shuffle. The rank window then runs over just k rows.
+    """
+
+    def _vocab(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        counts = (
+            df.select(F.explode(tokens_lower(F.col(input_col))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("word"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("n"), F.asc("word"))
+        return counts.withColumn("rank", F.row_number().over(w))
+
+    return _vocab
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles; documents shorter than n words yield one shingle."""
     toks = tokens_lower(col)

@@ -475,3 +475,39 @@ def test_repetition_signals_hand_computed(spark):
     assert got[2]["n_words_r"] == 0 and got[2]["top_2gram_ratio"] == 0.0
     # all-distinct doc
     assert got[3]["distinct_word_ratio"] == 1.0 and got[3]["top_word_ratio"] == round(1 / 3, 4)
+
+
+def test_decontaminate_flag_and_drop(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta completely different words"),
+            (3, "nothing in common with the benchmark text at all whatsoever here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon zeta eta theta")], "bid INT, text STRING"
+    )
+    out = docs.transform(t("text_decontaminate", benchmark_df=bench, ngram=8))
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc1 contains a full benchmark 8-gram; doc2 shares only a 7-word
+    # prefix (never a complete 8-gram); doc3 shares nothing
+    assert got[1]["is_contaminated"] and got[1]["n_contaminated_ngrams"] >= 1
+    assert not got[2]["is_contaminated"]
+    assert not got[3]["is_contaminated"]
+    kept = docs.transform(
+        t("text_decontaminate", benchmark_df=bench, ngram=8, mode="drop")
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_vocab_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c a b z"), (2, "a q")], "doc_id INT, text STRING"
+    )
+    rows = df.transform(t("vocab_top_k", k=3)).collect()
+    # counts: a=3, b=2, c=1, z=1, q=1 -> ties broken alphabetically
+    assert [(r["word"], r["n"], r["rank"]) for r in rows] == [
+        ("a", 3, 1), ("b", 2, 2), ("c", 1, 3)
+    ]

@@ -122,3 +122,20 @@ def test_join_transformer_broadcasts(spark, sf_dir):
     physical, _ = _plans(df)
     assert physical.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in physical
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram probe must broadcast — corpus n-grams are never
+    shuffled for the join (only the per-doc hit count aggregates)."""
+    df = entry.queries()["dp23_decontaminate"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical
+
+
+def test_vocab_top_k_uses_take_ordered(spark, sf_dir):
+    """Corpus top-k must plan as TakeOrderedAndProject (per-partition top-k
+    merged on the driver), not a global Sort exchange over the vocabulary."""
+    df = entry.queries()["dp24_vocab_top_k"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "TakeOrderedAndProject" in physical, physical[:2000]
