@@ -744,6 +744,16 @@ def dp24_vocab_top_k(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp25_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: at most 8 docs per (lang, source)
+    stratum, selected by hashed-id order (one group-key shuffle)."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(
+        _t("stratified_sample", group_cols=["lang", "source"], id_col="doc_id", n_per_group=8)
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def q17_gab_weekly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """GAB-style calendar-join rollup: weekly buckets from the generated
     calendar dimension (gab_utils.create_calendar_view), broadcast-joined to
@@ -895,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp22_repetition": dp22_repetition,
         "dp23_decontaminate": dp23_decontaminate,
         "dp24_vocab_top_k": dp24_vocab_top_k,
+        "dp25_stratified_sample": dp25_stratified_sample,
     }
 
 
@@ -1450,6 +1461,20 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1),
             r AS (SELECT word, n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank FROM c)
             SELECT word, n, rank::INT AS rank FROM r WHERE rank <= 50
+        """,
+        "dp25_stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang, source,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 1000000 AS bk
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, lang, source,
+                     ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY bk, doc_id) AS rn
+              FROM b
+            )
+            SELECT doc_id, lang, source FROM r WHERE rn <= 8
         """,
         "dp18_sessionize": """
             WITH marked AS (

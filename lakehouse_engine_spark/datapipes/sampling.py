@@ -86,3 +86,54 @@ def hash_split(
         return df.withColumn(output_col, expr)
 
     return _split
+
+
+@register("stratified_sample")
+def stratified_sample(
+    group_cols: list,
+    id_col: str,
+    n_per_group: Optional[int] = None,
+    fraction_per_group: Optional[float] = None,
+    seed: str = "",
+) -> Callable[[DataFrame], DataFrame]:
+    """Deterministic stratified sampling: cap each group (language, source,
+    domain…) at ``n_per_group`` rows, or keep ``fraction_per_group`` of each
+    group (expected fraction — the hash is uniform within every group, so no
+    count pass is needed) — the standard corpus-balancing step before
+    training-data mixing.
+
+    Selection is by hashed-id order within the group, so membership is
+    reproducible across runs and stable under appends *within the surviving
+    prefix* (a kept id is only evicted when enough smaller-hash rows join
+    its group). ``fraction_per_group`` needs no count at all — it reuses the
+    hash-bucket filter per row, staying a pure projection.
+
+    Scale design: the ``n_per_group`` path is one window over
+    ``partitionBy(group)`` ordered by the 60-bit content hash — a single
+    hash-partitioned shuffle on the group key, the same cost class as any
+    per-group top-k; skewed giant groups are handled by AQE the same way
+    ``group_and_rank`` is. No driver-side collect, no RNG state.
+    """
+    if (n_per_group is None) == (fraction_per_group is None):
+        raise ValueError("pass exactly one of n_per_group / fraction_per_group")
+    if fraction_per_group is not None and not 0.0 <= fraction_per_group <= 1.0:
+        raise ValueError(f"fraction_per_group must be in [0, 1], got {fraction_per_group}")
+    if n_per_group is not None and n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+
+    def _sample(df: DataFrame) -> DataFrame:
+        if fraction_per_group is not None:
+            threshold = int(round(fraction_per_group * BUCKETS))
+            return df.filter(_bucket(id_col, seed) < threshold)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy(
+            _bucket(id_col, seed).asc(), F.col(id_col).asc()
+        )
+        return (
+            df.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_per_group)
+            .drop("__r")
+        )
+
+    return _sample

@@ -511,3 +511,22 @@ def test_vocab_top_k_deterministic_ties(spark):
     assert [(r["word"], r["n"], r["rank"]) for r in rows] == [
         ("a", 3, 1), ("b", 2, 2), ("c", 1, 3)
     ]
+
+
+def test_stratified_sample_cap_and_determinism(spark):
+    rows = [(i, "en" if i < 30 else "de") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id INT, lang STRING")
+    capped = df.transform(t("stratified_sample", group_cols=["lang"], id_col="doc_id", n_per_group=5))
+    by_lang = {r["lang"]: r["n"] for r in capped.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang == {"en": 5, "de": 5}
+    # deterministic: the same ids survive on re-run
+    again = df.transform(t("stratified_sample", group_cols=["lang"], id_col="doc_id", n_per_group=5))
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(r["doc_id"] for r in again.collect())
+    # fractional path is a pure filter consistent with hash_sample
+    frac = df.transform(t("stratified_sample", group_cols=["lang"], id_col="doc_id", fraction_per_group=0.5))
+    plain = df.transform(t("hash_sample", id_col="doc_id", fraction=0.5))
+    assert sorted(r["doc_id"] for r in frac.collect()) == sorted(r["doc_id"] for r in plain.collect())
+    with pytest.raises(Exception):
+        t("stratified_sample", group_cols=["lang"], id_col="doc_id")
+    with pytest.raises(Exception):
+        t("stratified_sample", group_cols=["lang"], id_col="doc_id", n_per_group=5, fraction_per_group=0.5)
