@@ -17,7 +17,7 @@ from typing import Callable, Dict, List
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lakehouse_engine_spark.datapipes.registry import register
+from lakehouse_engine_spark.datapipes.registry import register, register_contextual
 
 TransformerFn = Callable[[DataFrame], DataFrame]
 
@@ -316,6 +316,24 @@ def decontaminate(
                 "n_contaminated_ngrams", "is_contaminated"
             )
         return out
+
+    return _decon
+
+
+@register_contextual("text_decontaminate_with")
+def decontaminate_with(
+    data: dict,
+    benchmark_with: str,
+    **args,
+) -> TransformerFn:
+    """ACON wrapper for :func:`decontaminate`: resolve ``benchmark_with`` as
+    an upstream spec_id from the dataflow dict (pure-JSON ACON usage), the
+    same convention as the core ``join`` transformer."""
+
+    def _decon(df: DataFrame) -> DataFrame:
+        if benchmark_with not in data:
+            raise ValueError(f"text_decontaminate_with: unknown spec_id {benchmark_with}")
+        return decontaminate(benchmark_df=data[benchmark_with], **args)(df)
 
     return _decon
 

@@ -117,6 +117,13 @@ def _datapipes_registry() -> dict:
     return dp_registry.SIMPLE
 
 
+def _datapipes_contextual() -> dict:
+    """Lazy import of datapipes ops that resolve dataflow spec_ids."""
+    from lakehouse_engine_spark.datapipes import registry as dp_registry
+
+    return dp_registry.CONTEXTUAL
+
+
 class TransformerFactory:
     """Resolves a TransformerSpec into an applicable closure."""
 
@@ -132,8 +139,16 @@ class TransformerFactory:
         dp = _datapipes_registry()
         if name in dp:
             return dp[name](**args)
+        dp_ctx = _datapipes_contextual()
+        if name in dp_ctx:
+            return dp_ctx[name](data or {}, **args)
         raise WrongArgumentsError(f"Unknown transformer: {name}")
 
     @staticmethod
     def available() -> list:
-        return sorted(set(_SIMPLE) | set(_CONTEXTUAL) | set(_datapipes_registry()))
+        return sorted(
+            set(_SIMPLE)
+            | set(_CONTEXTUAL)
+            | set(_datapipes_registry())
+            | set(_datapipes_contextual())
+        )

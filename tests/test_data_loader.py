@@ -286,3 +286,44 @@ def test_bucketed_table_write_enables_shuffle_free_join(spark, src, tmp_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_orders_a")
         spark.sql("DROP TABLE IF EXISTS bt_orders_b")
+
+
+def test_contextual_datapipe_decontaminate_with(spark, tmp_dir):
+    """Datapipes contextual transformer: benchmark set referenced by spec_id
+    in a pure-JSON ACON (no DataFrame objects in the config)."""
+    docs = os.path.join(tmp_dir, "docs")
+    bench = os.path.join(tmp_dir, "bench")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "unrelated words entirely separate from the benchmark suite text"),
+        ],
+        "doc_id INT, text STRING",
+    ).write.parquet(docs)
+    spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta eta theta")], "bid INT, text STRING"
+    ).write.parquet(bench)
+    res = load_data(
+        {
+            "input_specs": [
+                {"spec_id": "docs", "data_format": "parquet", "location": docs},
+                {"spec_id": "bench", "data_format": "parquet", "location": bench},
+            ],
+            "transform_specs": [
+                {
+                    "spec_id": "clean",
+                    "input_id": "docs",
+                    "transformers": [
+                        {
+                            "function": "text_decontaminate_with",
+                            "args": {"benchmark_with": "bench", "ngram": 8, "mode": "drop"},
+                        }
+                    ],
+                }
+            ],
+            "output_specs": [
+                {"spec_id": "out", "input_id": "clean", "data_format": "dataframe"}
+            ],
+        }
+    )
+    assert [r["doc_id"] for r in res["out"].collect()] == [2]
