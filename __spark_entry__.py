@@ -754,6 +754,21 @@ def dp25_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def dp26_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixing sampler: per-language keep fractions (en 80%, de 50%,
+    fr 25%, others dropped) resolved as a pure hash-filter projection."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(
+        _t(
+            "mixture_sample",
+            group_col="lang",
+            id_col="doc_id",
+            weights={"en": 0.8, "de": 0.5, "fr": 0.25},
+        )
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def q17_gab_weekly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """GAB-style calendar-join rollup: weekly buckets from the generated
     calendar dimension (gab_utils.create_calendar_view), broadcast-joined to
@@ -906,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp23_decontaminate": dp23_decontaminate,
         "dp24_vocab_top_k": dp24_vocab_top_k,
         "dp25_stratified_sample": dp25_stratified_sample,
+        "dp26_mixture_sample": dp26_mixture_sample,
     }
 
 
@@ -1475,6 +1491,16 @@ def oracle_sql() -> dict[str, str]:
               FROM b
             )
             SELECT doc_id, lang, source FROM r WHERE rn <= 8
+        """,
+        "dp26_mixture_sample": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000000
+                  < CASE lang WHEN 'en' THEN 800000
+                              WHEN 'de' THEN 500000
+                              WHEN 'fr' THEN 250000
+                              ELSE 0 END
         """,
         "dp18_sessionize": """
             WITH marked AS (

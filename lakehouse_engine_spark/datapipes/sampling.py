@@ -137,3 +137,36 @@ def stratified_sample(
         )
 
     return _sample
+
+
+@register("mixture_sample")
+def mixture_sample(
+    group_col: str,
+    id_col: str,
+    weights: Dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "",
+) -> Callable[[DataFrame], DataFrame]:
+    """Data-mixing sampler: keep a per-group fraction of rows (domain /
+    source / language mixture weights), deterministically by hashed id —
+    the downsampling half of pretraining mixture construction. Groups not
+    in ``weights`` keep ``default_fraction`` (0 = drop).
+
+    Pure projection: the group's threshold resolves via a CASE chain (fine
+    for the tens-of-domains case) against the same 60-bit content hash as
+    ``hash_sample``, so membership is re-derivable and stable; no counts,
+    no shuffle, composes with partition pruning on ``group_col``.
+    """
+    for g, f in weights.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"mixture_sample: fraction for {g!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+
+    def _sample(df: DataFrame) -> DataFrame:
+        thr = F.lit(int(round(default_fraction * BUCKETS)))
+        for g, f in weights.items():
+            thr = F.when(F.col(group_col) == g, F.lit(int(round(f * BUCKETS)))).otherwise(thr)
+        return df.filter(_bucket(id_col, seed) < thr)
+
+    return _sample

@@ -530,3 +530,24 @@ def test_stratified_sample_cap_and_determinism(spark):
         t("stratified_sample", group_cols=["lang"], id_col="doc_id")
     with pytest.raises(Exception):
         t("stratified_sample", group_cols=["lang"], id_col="doc_id", n_per_group=5, fraction_per_group=0.5)
+
+
+def test_mixture_sample_weights_and_default(spark):
+    rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id INT, lang STRING")
+    out = df.transform(
+        t("mixture_sample", group_col="lang", id_col="doc_id",
+          weights={"en": 1.0, "de": 0.5})
+    )
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by.get("en") == 100          # fraction 1.0 keeps everything
+    assert "xx" not in by               # default_fraction=0 drops unlisted
+    assert 20 < by.get("de", 0) < 80    # ~half, hash-uniform
+    # deterministic membership: same ids on re-run
+    again = df.transform(
+        t("mixture_sample", group_col="lang", id_col="doc_id",
+          weights={"en": 1.0, "de": 0.5})
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(r["doc_id"] for r in again.collect())
+    with pytest.raises(Exception):
+        t("mixture_sample", group_col="lang", id_col="doc_id", weights={"en": 1.5})
