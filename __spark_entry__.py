@@ -27,6 +27,7 @@ from lakehouse_engine_spark.datapipes.dedup import MINHASH_AB, MINHASH_P
 from lakehouse_engine_spark.datapipes.text import PII_PATTERNS
 from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
 from lakehouse_engine_spark.utils.tables import load_table
+from lakehouse_engine_spark.utils.timeutils import epoch_us_ntz
 
 
 def _t(name: str, data=None, **args):
@@ -620,8 +621,8 @@ def dp16_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("click_us"),
-        F.unix_micros("purchase_ts").alias("purchase_us"),
+        epoch_us_ntz("ts").alias("click_us"),
+        epoch_us_ntz("purchase_ts").alias("purchase_us"),
         F.round("value_matched", 6).alias("purchase_value"),
     )
 
@@ -670,7 +671,7 @@ def dp18_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return sessions.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
-        F.unix_micros(F.max("session_start")).alias("last_session_start_us"),
+        epoch_us_ntz(F.max("session_start")).alias("last_session_start_us"),
     )
 
 

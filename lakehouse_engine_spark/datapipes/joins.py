@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_engine_spark.datapipes.registry import register
+from lakehouse_engine_spark.utils.timeutils import epoch_us
 
 TransformerFn = Callable[[DataFrame], DataFrame]
 
@@ -67,10 +68,9 @@ def range_join(
     """
 
     def _join(left: DataFrame) -> DataFrame:
-        def as_num(df: DataFrame, c: str) -> Column:
-            if dict(df.dtypes).get(c, "").startswith("timestamp"):
-                return F.unix_micros(F.col(c))
-            return F.col(c).cast("long")
+        # epoch_us handles TIMESTAMP, TIMESTAMP_NTZ (session-tz independent
+        # wall-clock micros) and DATE — parquet sources surface either
+        as_num = epoch_us
 
         vals = right_value_cols or [
             c for c in right.columns if c not in set(on) | {right_start, right_end}
