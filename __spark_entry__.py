@@ -190,7 +190,10 @@ def q05_incremental_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 def q06_condense_cdc(spark: SparkSession, sf: str) -> DataFrame:
     """SAP-style CDC condensation on a synthetic changelog built from orders:
-    seq 2 updates every 10th order, 'D' deletes every 100th."""
+    seq 2 updates every 10th order, 'D' deletes every 100th, and seq 4 adds
+    an EXCLUDED record mode ('X') on every 50th — those keys' newest image
+    is invalid, so reference semantics (rank first, filter after) must
+    suppress the key entirely rather than resurrect an older image."""
     load_table(spark, sf, "orders").createOrReplaceTempView("orders")
     cdc = spark.sql(
         """
@@ -199,6 +202,8 @@ def q06_condense_cdc(spark: SparkSession, sf: str) -> DataFrame:
         SELECT o_orderkey, 2 AS seq, '' AS recordmode, o_totalprice * 2 FROM orders WHERE o_orderkey % 10 = 0
         UNION ALL
         SELECT o_orderkey, 3 AS seq, 'D' AS recordmode, o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey, 4 AS seq, 'X' AS recordmode, o_totalprice FROM orders WHERE o_orderkey % 50 = 0
         """
     )
     condensed = cdc.transform(
@@ -821,10 +826,11 @@ def q18_gab_monthly_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dp11_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup removal. No duckdb oracle: the signature is built on
-    Spark's xxhash64, which has no DuckDB equivalent — the driver records the
-    rows-only check; pairwise correctness is pytest-verified against brute
-    Hamming distance (tests/test_datapipes.py)."""
+    """SimHash near-dup removal. The 60-bit signature is an md5-fold (ANSI
+    portable), so the DuckDB oracle rebuilds the full pipeline —
+    signature, chunk pigeonhole, popcount verify — bit-for-bit; pairwise
+    correctness additionally pytest-verified against brute Hamming distance
+    (tests/test_datapipes.py)."""
     docs = load_table(spark, sf, "documents")
     return docs.transform(
         _t("dedup_simhash", hamming_threshold=3, shingle_size=2)
@@ -832,17 +838,19 @@ def dp11_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dp12_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN via random-hyperplane LSH buckets. No duckdb oracle (seeded
-    hyperplanes are engine-internal); recall-vs-brute-force is the pytest
-    check (tests/test_datapipes.py)."""
+    """ANN via random-hyperplane LSH buckets. The hyperplanes are seeded
+    literals, so the oracle re-derives them (same RNG/seed) and replays
+    signature → bucket-join → exact re-rank in DuckDB; recall-vs-brute-force
+    is additionally pytest-checked (tests/test_datapipes.py)."""
     emb = load_table(spark, sf, "embeddings")
     return emb.transform(_t("knn_lsh", k=5, num_planes=12, query_filter="vec_id < 10"))
 
 
 def dp13_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN via IVF coarse quantization (k-means-lite centroids, nprobe
-    cells). Iterative centroid fit is not SQL-expressible → rows-only check;
-    recall is pytest-verified."""
+    """ANN via IVF coarse quantization. Centroid choice is a pure id rule
+    (every step-th id, bound-capped — no .limit() nondeterminism), so the
+    DuckDB oracle replays centroids → assignment → nprobe probing → exact
+    re-rank; recall is additionally pytest-verified."""
     emb = load_table(spark, sf, "embeddings")
     return emb.transform(
         _t("knn_ivf", k=5, num_centroids=16, nprobe=4, query_filter="vec_id < 10")
@@ -1027,6 +1035,157 @@ _DUCK_COSINE = (
 )
 
 
+def _duck_simhash(shingle_size: int, hamming_threshold: int) -> str:
+    """Mirror of dedup_simhash: 60-bit md5-fold SimHash (±1 vote per bit,
+    sign → bit), 4×15-bit chunk pigeonhole candidates, popcount verify,
+    survivors = docs with no verified smaller neighbor."""
+    bits = 60
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = "\n                 + ".join(
+        f"(CASE WHEN b{i} > 0 THEN 1::BIGINT << {i} ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+        sh AS (SELECT doc_id, {_duck_shingles(shingle_size)} AS s FROM toks),
+        ex AS (
+          SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+        ),
+        votes AS (SELECT doc_id,
+                   {votes}
+                  FROM ex GROUP BY doc_id),
+        sig AS (SELECT doc_id,
+                   {sig}
+                 AS sm FROM votes),
+        ch AS (
+          SELECT doc_id, sm, k, (sm >> (k * 15)) & 32767 AS c
+          FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        ),
+        pairs AS (
+          SELECT l.doc_id AS id, r.doc_id AS cand, l.sm AS s1, r.sm AS s2
+          FROM ch l JOIN ch r ON l.k = r.k AND l.c = r.c AND l.doc_id > r.doc_id
+          GROUP BY 1, 2, 3, 4
+        ),
+        heads AS (
+          SELECT id, MIN(cand) AS g FROM pairs
+          WHERE bit_count(xor(s1, s2)) <= {hamming_threshold} GROUP BY id
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d LEFT JOIN heads h ON d.doc_id = h.id
+        WHERE h.g IS NULL OR h.g >= d.doc_id
+    """
+
+
+def _lsh_planes(num_tables: int, num_planes: int, dim: int) -> list:
+    """The EXACT hyperplane literals knn_lsh seeds (same RNG, same order) —
+    the oracle re-derives them instead of reading engine state."""
+    import random
+
+    rng = random.Random(20240613)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        for _ in range(num_tables * num_planes)
+    ]
+
+
+def _duck_knn_lsh(k: int, num_planes: int, num_tables: int, dim: int) -> str:
+    """Mirror of knn_lsh: per-table sign signatures against the seeded
+    hyperplanes, bucket-join candidates, exact cosine re-rank."""
+    planes = _lsh_planes(num_tables, num_planes, dim)
+    dots = ",\n              ".join(
+        "list_reduce(list_transform(list_zip(v, ["
+        + ",".join(repr(x) for x in planes[j])
+        + f"]), p -> p[1]*p[2]), (x,y) -> x+y) AS d{j}"
+        for j in range(num_tables * num_planes)
+    )
+
+    def table_sig(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN d{t * num_planes + p} >= 0 THEN {2 ** p} ELSE 0 END)"
+            for p in range(num_planes)
+        )
+
+    sigs = ", ".join(table_sig(t) for t in range(num_tables))
+    tables = ", ".join(str(t) for t in range(num_tables))
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (SELECT vec_id, v,
+              {dots}
+              FROM v),
+        sigs AS (
+          SELECT vec_id, unnest([{tables}]) AS t, unnest([{sigs}]) AS sig
+          FROM d
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 ROUND({_DUCK_COSINE}, 6) AS score
+          FROM cand
+          JOIN v a ON a.vec_id = cand.query_id
+          JOIN v b ON b.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _duck_knn_ivf(k: int, num_centroids: int, nprobe: int) -> str:
+    """Mirror of knn_ivf: deterministic centroids (every step-th id, id-bound
+    capped), best-cosine assignment (ties → larger centroid id, matching
+    Spark's max(struct)), nprobe probing, exact re-rank."""
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        params AS (SELECT GREATEST(COUNT(*) // {num_centroids}, 1) AS step FROM v),
+        cent AS (
+          SELECT vec_id AS centroid_id, v AS cv FROM v, params
+          WHERE vec_id % step = 0 AND vec_id < step * {num_centroids}
+        ),
+        assigned AS (
+          SELECT vec_id, v, centroid_id FROM (
+            SELECT a.vec_id, a.v AS v, b.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY {_DUCK_COSINE} DESC, b.centroid_id DESC) AS rn
+            FROM v a CROSS JOIN (SELECT centroid_id, cv AS v FROM cent) b
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT a.vec_id AS query_id, b.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY {_DUCK_COSINE} DESC, b.centroid_id ASC) AS rn
+            FROM v a CROSS JOIN (SELECT centroid_id, cv AS v FROM cent) b
+            WHERE a.vec_id < 10
+          ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+          SELECT p.query_id, b.vec_id AS neighbor_id,
+                 ROUND({_DUCK_COSINE}, 6) AS score
+          FROM probes p
+          JOIN v a ON a.vec_id = p.query_id
+          JOIN assigned b ON b.centroid_id = p.centroid_id
+                         AND b.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sw = {
         "en": "['the','and','of','to','in','is','that','it','for','was','with','on']",
@@ -1105,13 +1264,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey, 2, '', o_totalprice * 2 FROM orders WHERE o_orderkey % 10 = 0
               UNION ALL
               SELECT o_orderkey, 3, 'D', o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+              UNION ALL
+              SELECT o_orderkey, 4, 'X', o_totalprice FROM orders WHERE o_orderkey % 50 = 0
             ),
             ranked AS (
+              -- rank FIRST over all rows, filter record modes AFTER (reference
+              -- semantics): a key whose newest image is excluded ('X') yields
+              -- no row at all
               SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
-              FROM cdc WHERE recordmode IS NULL OR recordmode IN ('', 'N', 'D')
+              FROM cdc
             )
             SELECT o_orderkey, seq, o_totalprice AS totalprice
-            FROM ranked WHERE rn = 1 AND recordmode <> 'D'
+            FROM ranked
+            WHERE (recordmode IS NULL OR recordmode IN ('', 'N', 'D'))
+              AND rn = 1 AND recordmode <> 'D'
         """,
         "q07_dq_stats": """
             SELECT * FROM (VALUES
@@ -1336,10 +1502,9 @@ def oracle_sql() -> dict[str, str]:
         "dp10_multimodal_bytes": """
             SELECT doc_id, strlen(text)::BIGINT AS n_bytes FROM documents
         """,
-        # dp11/dp12/dp13 intentionally omitted: xxhash64 signatures / seeded
-        # hyperplanes / iterative centroids have no portable SQL equivalent —
-        # driver records the rows-only check; recall/pairwise correctness is
-        # covered in tests/test_datapipes.py.
+        "dp11_dedup_simhash": _duck_simhash(shingle_size=2, hamming_threshold=3),
+        "dp12_knn_lsh": _duck_knn_lsh(k=5, num_planes=12, num_tables=4, dim=64),
+        "dp13_knn_ivf": _duck_knn_ivf(k=5, num_centroids=16, nprobe=4),
         "dp14_hash_split": """
             WITH b AS (
               SELECT *,

@@ -223,31 +223,39 @@ def dedup_minhash_lsh(
     return _dedup
 
 
-def simhash64(col: Column, shingle_size: int = 2) -> Column:
-    """64-bit SimHash of the document's shingles — sum ±1 per bit of each
-    shingle's xxhash64, take sign. Entirely higher-order functions."""
+# SimHash width: 60 bits — the md5-fold (15 hex chars) used across the
+# dedup family yields a 60-bit non-negative int that BOTH Spark and an ANSI
+# SQL oracle can compute bit-for-bit; xxhash64 would give 64 bits but has no
+# portable equivalent. 60 bits lose nothing material for near-dup detection.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # pigeonhole buckets of 15 bits each
+
+
+def simhash60(col: Column, shingle_size: int = 2) -> Column:
+    """60-bit SimHash of the document's shingles — sum ±1 per bit of each
+    shingle's md5-fold hash, take sign. Entirely higher-order functions."""
     sh = shingles(col, shingle_size)
 
     def bit_votes(s: Column) -> Column:
         # ±1 vote per bit of the shingle hash (shift amounts must be literals)
+        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         return F.array(
             *[
                 F.when(
-                    F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
                 ).otherwise(F.lit(-1))
-                for i in range(64)
+                for i in range(SIMHASH_BITS)
             ]
         )
 
     counters = F.aggregate(
         sh,
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
         lambda acc, s: F.zip_with(acc, bit_votes(s), lambda a, b: a + b),
     )
     sig = F.lit(0).cast("long")
-    for i in range(64):
-        # shiftleft in the JVM handles bit 63 (sign bit) without overflow; OR
-        # composes disjoint bits safely under ANSI mode.
+    for i in range(SIMHASH_BITS):
+        # OR composes disjoint bits safely under ANSI mode.
         sig = sig.bitwiseOR(
             F.when(
                 F.element_at(counters, i + 1) > 0,
@@ -260,28 +268,33 @@ def simhash64(col: Column, shingle_size: int = 2) -> Column:
 def _simhash_sig_df(
     df: DataFrame, text_col: str, id_col: str, shingle_size: int
 ) -> DataFrame:
-    """``(__id, __sim)`` via explode → 64 map-side-combined sign counters.
+    """``(__id, __sim)`` via explode → 60 map-side-combined sign counters.
 
-    Computes the same signature as :func:`simhash64` (one xxhash64 per
+    Computes the same signature as :func:`simhash60` (one md5-fold per
     shingle occurrence, ±1 vote per bit, sign → bit) but in row space:
-    the hash runs ONCE per shingle inside whole-stage codegen and the 64
+    the hash runs ONCE per shingle inside whole-stage codegen and the 60
     per-bit vote sums are partial-aggregated before the per-document
     shuffle. The higher-order-function form re-evaluates the hash per bit
     and runs interpreted — orders of magnitude slower on the hot path.
+    The md5-fold (vs xxhash64) keeps the signature reproducible in ANSI
+    SQL, so a DuckDB oracle can verify the operator end-to-end.
     """
     ex = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.explode(shingles(F.col(text_col), shingle_size)).alias("__s"),
-    ).select("__id", F.xxhash64("__s").alias("__h"))
+    ).select(
+        "__id",
+        F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long").alias("__h"),
+    )
     aggs = [
         F.sum(
             F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"__b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     counters = ex.groupBy("__id").agg(*aggs)
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         sig = sig.bitwiseOR(
             F.when(
                 F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
@@ -298,7 +311,7 @@ def dedup_simhash(
     shingle_size: int = 2,
     keep: str = "survivors",
 ) -> TransformerFn:
-    """SimHash near-dup removal: bucket on the 4 16-bit chunks of the
+    """SimHash near-dup removal: bucket on the 4 15-bit chunks of the
     signature (Hamming ≤ 3 ⇒ at least one chunk identical), verify candidate
     pairs by popcount of XOR, survivors = min id of verified neighborhood."""
 
@@ -313,7 +326,8 @@ def dedup_simhash(
             "__sim",
             F.posexplode(
                 F.array(*[
-                    F.shiftright("__sim", k * 16).bitwiseAND(F.lit(0xFFFF)) for k in range(4)
+                    F.shiftright("__sim", k * 15).bitwiseAND(F.lit(0x7FFF))
+                    for k in range(SIMHASH_CHUNKS)
                 ])
             ).alias("__k", "__chunk"),
         )

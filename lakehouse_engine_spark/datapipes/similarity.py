@@ -220,12 +220,17 @@ def knn_ivf(
         base = ensure_parallelism(df).select(F.col(id_col).alias("__vid"), vec.alias("__v"))
         total = base.count()
         step = max(total // num_centroids, 1)
-        # deterministic coarse centroids by pure id filter (every step-th id)
-        # — no global row_number window, which would funnel the whole corpus
-        # through ONE partition at scale; centroid_id is just the vector id
+        # deterministic coarse centroids by pure id filter (every step-th id,
+        # capped by id bound — NOT .limit(), whose row choice depends on
+        # partition order) — no global row_number window, which would funnel
+        # the whole corpus through ONE partition at scale; centroid_id is
+        # just the vector id, and the same rule is expressible in ANSI SQL
+        # for oracle verification
         centroids = (
-            base.filter(F.pmod(F.col("__vid"), F.lit(step)) == 0)
-            .limit(num_centroids)
+            base.filter(
+                (F.pmod(F.col("__vid"), F.lit(step)) == 0)
+                & (F.col("__vid") < step * num_centroids)
+            )
             .select(F.col("__vid").alias("centroid_id"), F.col("__v").alias("__cv"))
         )
         # assign corpus vectors to their best centroid (broadcast centroids);
@@ -244,7 +249,11 @@ def knn_ivf(
         )
         # queries probe nprobe nearest centroids
         q = df.filter(query_filter).select(F.col(id_col).alias("query_id"), vec.alias("__qv"))
-        probe_w = Window.partitionBy("query_id").orderBy(F.desc("__sim"))
+        # centroid_id tie-break keeps probe choice deterministic (and
+        # oracle-reproducible) when two centroids score identically
+        probe_w = Window.partitionBy("query_id").orderBy(
+            F.desc("__sim"), F.asc("centroid_id")
+        )
         probes = (
             q.join(F.broadcast(centroids))
             .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))

@@ -44,10 +44,14 @@ def condense_record_mode_cdc(
 ) -> TransformerFn:
     """SAP-style CDC condensation (reference ``condensers.py:21-88``).
 
-    Keeps, per business key, the newest changelog row whose record mode is
-    valid (null/'' count as valid upserts). Downstream MERGE then applies the
-    single surviving row per key. Batch-only (runs in foreachBatch when the
-    source streams).
+    Ranks ALL changelog rows per business key first, then keeps the rank-1
+    row only if its record mode is valid (null counts as a valid upsert).
+    The order matters: when the NEWEST image of a key carries an excluded
+    record mode, the key must produce no row for this batch (the excluded
+    image suppresses the key) — filtering invalid modes before ranking
+    would wrongly resurrect an older image. Downstream MERGE then applies
+    the single surviving row per key. Batch-only (runs in foreachBatch when
+    the source streams).
     """
 
     def _condense(df: DataFrame) -> DataFrame:
@@ -55,16 +59,12 @@ def condense_record_mode_cdc(
         if ranking_key_asc:
             order += [F.col(c).asc() for c in ranking_key_asc]
         w = Window.partitionBy(*business_key).orderBy(*order)
-        out = df
+        out = df.withColumn(_RANK_COL, F.row_number().over(w))
         if valid_record_modes is not None:
             out = out.filter(
                 F.col(record_mode_col).isNull()
                 | F.col(record_mode_col).isin(valid_record_modes)
             )
-        return (
-            out.withColumn(_RANK_COL, F.row_number().over(w))
-            .filter(F.col(_RANK_COL) == 1)
-            .drop(_RANK_COL)
-        )
+        return out.filter(F.col(_RANK_COL) == 1).drop(_RANK_COL)
 
     return _condense

@@ -187,6 +187,31 @@ def test_condense_record_mode_cdc(spark):
     assert got == {1: ("U", "v2"), 2: ("D", "gone")}
 
 
+def test_condense_cdc_newest_row_invalid_mode_suppresses_key(spark):
+    # reference semantics: rank FIRST, filter record modes AFTER — when the
+    # newest changelog image of a key carries an excluded record mode, the
+    # key yields NO row (an older image must not be resurrected)
+    df = spark.createDataFrame(
+        [
+            (1, 1, "", "v1"),
+            (1, 2, "X", "excluded-newest"),
+            (2, 1, "", "only"),
+        ],
+        "k INT, req INT, record_mode STRING, v STRING",
+    )
+    out = df.transform(
+        t(
+            "condense_record_mode_cdc",
+            business_key=["k"],
+            record_mode_col="record_mode",
+            valid_record_modes=["", "N", "R", "D", "U"],
+            ranking_key_desc=["req"],
+        )
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {2: "only"}
+
+
 def test_flatten_schema_and_explode(spark):
     df = spark.createDataFrame(
         [(1, {"a": 2, "b": {"c": 3}}, [10, 20])],
