@@ -303,6 +303,28 @@ def _simhash_sig_df(
     return counters.select("__id", sig.alias("__sim"))
 
 
+def _cap_buckets(df: DataFrame, keys: List[str], max_bucket_size: Optional[int]) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` before a pair
+    self-join.
+
+    A degenerate bucket of k members (empty strings, license boilerplate,
+    near-constant signatures) produces k² candidate pairs — at web-corpus
+    scale a million-doc bucket is a job-killer. Dropping oversized buckets
+    is the standard move in the dedup literature: such buckets are
+    boilerplate that exact/hash dedup upstream should collapse, not LSH.
+    The window count shuffles on the bucket key the pair join also uses, so
+    the partitioning is reused — no extra exchange.
+    """
+    if max_bucket_size is None:
+        return df
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+
+
 @register("dedup_simhash")
 def dedup_simhash(
     text_col: str = "text",
@@ -310,27 +332,36 @@ def dedup_simhash(
     hamming_threshold: int = 3,
     shingle_size: int = 2,
     keep: str = "survivors",
+    max_bucket_size: Optional[int] = 10_000,
 ) -> TransformerFn:
     """SimHash near-dup removal: bucket on the 4 15-bit chunks of the
     signature (Hamming ≤ 3 ⇒ at least one chunk identical), verify candidate
-    pairs by popcount of XOR, survivors = min id of verified neighborhood."""
+    pairs by popcount of XOR, survivors = min id of verified neighborhood.
+
+    Chunk buckets above ``max_bucket_size`` are dropped (see
+    :func:`_cap_buckets`) — their members are kept as non-duplicates; run
+    exact dedup first to collapse identical boilerplate. The oracle query
+    omits the cap, which is exact for any corpus smaller than the cap."""
 
     def _dedup(df: DataFrame) -> DataFrame:
-        # the chunk self-join reads the signatures twice; persist the tiny
-        # (id, sig) table so shingle hashing + 64 vote-sums run once
-        base = _simhash_sig_df(df, text_col, id_col, shingle_size).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        chunks = base.select(
-            "__id",
-            "__sim",
-            F.posexplode(
-                F.array(*[
-                    F.shiftright("__sim", k * 15).bitwiseAND(F.lit(0x7FFF))
-                    for k in range(SIMHASH_CHUNKS)
-                ])
-            ).alias("__k", "__chunk"),
-        )
+        base = _simhash_sig_df(df, text_col, id_col, shingle_size)
+        # the chunk self-join reads the bucket rows twice; persist the tiny
+        # capped (id, sig, chunk) table so shingle hashing + 60 vote-sums
+        # AND the bucket-size window run once
+        chunks = _cap_buckets(
+            base.select(
+                "__id",
+                "__sim",
+                F.posexplode(
+                    F.array(*[
+                        F.shiftright("__sim", k * 15).bitwiseAND(F.lit(0x7FFF))
+                        for k in range(SIMHASH_CHUNKS)
+                    ])
+                ).alias("__k", "__chunk"),
+            ),
+            ["__k", "__chunk"],
+            max_bucket_size,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         pairs = (
             chunks.alias("l")
             .join(
@@ -367,22 +398,27 @@ def dedup_ngram_jaccard(
     num_hashes: int = 12,
     bands: int = 6,
     keep: str = "survivors",
+    max_bucket_size: Optional[int] = 10_000,
 ) -> TransformerFn:
     """n-gram Jaccard dedup: MinHash-LSH candidates, exact Jaccard verify.
 
     The verify join carries both shingle sets only for colliding pairs —
     the pairwise work is proportional to true near-duplicates, not n².
+    Band buckets above ``max_bucket_size`` are dropped before the pair join
+    (see :func:`_cap_buckets`); the oracle query omits the cap, which is
+    exact for any corpus smaller than the cap.
     """
     rows = num_hashes // bands
 
     def _dedup(df: DataFrame) -> DataFrame:
         sig = _minhash_sig_df(df, text_col, id_col, num_hashes, shingle_size)
         # both sides of the pair self-join read the bucket rows — persist so
-        # the md5-heavy signature pipeline materializes once (ids+hashes only,
-        # a sliver of the corpus size; spills to disk if it ever doesn't fit)
-        exploded = _band_exploded(sig, bands, rows).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # the md5-heavy signature pipeline AND the bucket-size window
+        # materialize once (ids+hashes only, a sliver of the corpus size;
+        # spills to disk if it ever doesn't fit)
+        exploded = _cap_buckets(
+            _band_exploded(sig, bands, rows), ["__h"], max_bucket_size
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         # candidate pairs carry ONLY ids through the bucket join + dedup;
         # the (large) shingle arrays attach afterwards, once per unique pair
         pairs = (

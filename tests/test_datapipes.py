@@ -82,6 +82,46 @@ def test_dedup_simhash(docs):
     assert 1 not in ids and 0 in ids and 3 in ids
 
 
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    # boilerplate skew: 300 identical docs would form one mega-bucket whose
+    # pair self-join is k^2; with the cap the bucket is dropped (those docs
+    # stay un-deduped — exact dedup upstream owns identical text) while
+    # normal-sized near-dup clusters still collapse
+    boiler = [(i, "license header the same text every time") for i in range(300)]
+    # the small cluster is an identical pair: near-dup under BOTH operators
+    # (jaccard 1.0, simhash hamming 0) regardless of signature noise
+    pair_text = (
+        "a unique document about spark partitioning strategies covering "
+        "shuffle behavior broadcast joins bucketing and adaptive execution"
+    )
+    pair = [(1000, pair_text), (1001, pair_text)]
+    df = spark.createDataFrame(boiler + pair, "doc_id INT, text STRING")
+
+    capped = df.transform(
+        t("dedup_ngram_jaccard", threshold=0.5, num_hashes=12, bands=6,
+          max_bucket_size=100)
+    )
+    ids = {r["doc_id"] for r in capped.collect()}
+    assert set(range(300)) <= ids          # mega-bucket dropped, all retained
+    assert 1000 in ids and 1001 not in ids  # normal cluster still deduped
+
+    capped_sim = df.transform(
+        t("dedup_simhash", hamming_threshold=3, shingle_size=2,
+          max_bucket_size=100)
+    )
+    sim_ids = {r["doc_id"] for r in capped_sim.collect()}
+    assert set(range(300)) <= sim_ids
+    assert 1000 in sim_ids and 1001 not in sim_ids
+
+    # without a cap the identical docs collapse to their min id
+    uncapped = df.transform(
+        t("dedup_ngram_jaccard", threshold=0.5, num_hashes=12, bands=6,
+          max_bucket_size=None)
+    )
+    un_ids = {r["doc_id"] for r in uncapped.collect()}
+    assert un_ids & set(range(300)) == {0}
+
+
 def test_dedup_embedding_cosine(vectors):
     out = vectors.transform(t("dedup_embedding_cosine", threshold=0.98))
     ids = sorted(r["vec_id"] for r in out.collect())
