@@ -68,8 +68,124 @@ def optimize_dataset(
         spark.sql(f"ANALYZE TABLE {db_table} COMPUTE STATISTICS")
 
 
-def expose_cdf(spark: SparkSession, **args: object) -> None:
-    """Delta Change-Data-Feed materialization (reference ``terminators/cdf_processor.py:30-144``)."""
-    if not ExecEnv.delta_available():
-        raise NotImplementedError("expose_cdf requires delta-spark (readChangeFeed)")
-    raise NotImplementedError("expose_cdf: CDF terminator pending delta-enabled environment")
+def expose_cdf(
+    spark: SparkSession,
+    db_table: Optional[str] = None,
+    location: Optional[str] = None,
+    materialized_cdf_location: Optional[str] = None,
+    materialized_cdf_options: Optional[dict] = None,
+    materialized_cdf_num_partitions: Optional[int] = None,
+    db_table_options: Optional[dict] = None,
+    data_format: Optional[str] = None,
+    clean_cdf: bool = True,
+    vacuum_cdf: bool = False,
+    days_to_keep: int = 30,
+    vacuum_hours: int = 168,
+    read_cdf=None,
+    write_cdf=None,
+    now=None,
+) -> None:
+    """Materialize a Delta table's Change Data Feed to an external location
+    (reference ``terminators/cdf_processor.py:30-144``).
+
+    Reads the CDF (``readChangeFeed``) as a stream, stamps
+    ``_commit_timestamp`` to ``yyyyMMddHHmmss`` (string — partition-friendly
+    and lexicographically ordered), partitions the materialization by it,
+    appends to ``materialized_cdf_location``, then applies retention:
+    ``clean_cdf`` deletes partitions older than ``days_to_keep`` and
+    ``vacuum_cdf`` reclaims the files (delta) — on parquet runtimes the
+    clean step is a filtered rewrite and vacuum is a no-op (the rewrite
+    already dropped the data files).
+
+    ``read_cdf``/``write_cdf``/``now`` are injectable seams: the CDF source
+    requires a delta runtime, but everything downstream (stamping,
+    partitioning, retention math) is plain Spark — tests drive it with a
+    static frame. Scale note: the materialization appends
+    per-commit-timestamp partitions and retention prunes on the partition
+    column, so both sides stay partition-local — no full-table rewrite on
+    a delta runtime.
+    """
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    if materialized_cdf_location is None:
+        raise ValueError("expose_cdf needs materialized_cdf_location")
+    fmt = data_format or ("delta" if ExecEnv.delta_available() else "parquet")
+
+    if read_cdf is None:
+        if not ExecEnv.delta_available():
+            raise NotImplementedError(
+                "expose_cdf needs delta-spark for readChangeFeed (or inject read_cdf)"
+            )
+        reader = spark.readStream.format("delta").option("readChangeFeed", "true")
+        for k, v in (db_table_options or {}).items():
+            reader = reader.option(k, str(v))
+        df = reader.table(db_table) if db_table else reader.load(location)
+    else:
+        df = read_cdf()
+
+    df = df.withColumn(
+        "_commit_timestamp", F.date_format(F.col("_commit_timestamp"), "yyyyMMddHHmmss")
+    )
+    df = (
+        df.repartition(materialized_cdf_num_partitions)
+        if materialized_cdf_num_partitions
+        else df.repartition(F.col("_commit_timestamp"))
+    )
+
+    if write_cdf is not None:
+        write_cdf(df)
+    elif df.isStreaming:
+        q = (
+            df.writeStream.format(fmt)
+            .outputMode("append")
+            .partitionBy("_commit_timestamp")
+            .options(**(materialized_cdf_options or {}))
+            .trigger(availableNow=True)
+            .start(materialized_cdf_location)
+        )
+        q.awaitTermination()
+    else:
+        (
+            df.write.format(fmt)
+            .mode("append")
+            .partitionBy("_commit_timestamp")
+            .options(**(materialized_cdf_options or {}))
+            .save(materialized_cdf_location)
+        )
+
+    if clean_cdf:
+        limit = ((now or _dt.datetime.today()) - _dt.timedelta(days=days_to_keep)).strftime(
+            "%Y%m%d%H%M%S"
+        )
+        if ExecEnv.delta_available():
+            from delta.tables import DeltaTable
+
+            DeltaTable.forPath(spark, materialized_cdf_location).delete(
+                F.col("_commit_timestamp") < limit
+            )
+        else:
+            # parquet fallback: read survivors, then rewrite. localCheckpoint
+            # (eager) cuts lineage BEFORE the overwrite truncates the source —
+            # a persist could still recompute evicted partitions from the
+            # truncated files.
+            kept = (
+                spark.read.format(fmt)
+                .load(materialized_cdf_location)
+                # cast: partition-value inference may have read the stamp as
+                # a long; the comparison must stay lexicographic-on-string
+                .filter(F.col("_commit_timestamp").cast("string") >= limit)
+                .localCheckpoint(eager=True)
+            )
+            (
+                kept.write.format(fmt)
+                .mode("overwrite")
+                .partitionBy("_commit_timestamp")
+                .save(materialized_cdf_location)
+            )
+
+    if vacuum_cdf and ExecEnv.delta_available():
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, materialized_cdf_location).vacuum(vacuum_hours)
