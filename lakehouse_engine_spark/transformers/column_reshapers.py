@@ -10,7 +10,7 @@ from __future__ import annotations
 from collections import OrderedDict
 from typing import Callable, Dict, List, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -179,6 +179,23 @@ def from_avro(
     return _from_avro
 
 
+def strip_confluent_header(col: Column) -> Column:
+    """Drop the 5-byte Confluent wire-format prefix (0x00 magic + 4-byte
+    big-endian schema id) from a binary column, leaving the raw Avro body."""
+    return F.substring(col, 6, 2147483647)
+
+
+def fetch_registry_schema(schema_registry: str, subject: str) -> str:
+    """Fetch the latest schema for ``subject`` from a Confluent-compatible
+    schema registry over its public REST API."""
+    import json
+    import urllib.request
+
+    url = f"{schema_registry.rstrip('/')}/subjects/{subject}/versions/latest"
+    with urllib.request.urlopen(url) as resp:  # nosec: caller-supplied registry
+        return json.loads(resp.read())["schema"]
+
+
 def from_avro_with_registry(
     schema_registry: str,
     value_schema: str,
@@ -187,18 +204,45 @@ def from_avro_with_registry(
     value_col: str = "value",
     expand_key: bool = False,
     expand_value: bool = True,
+    fetch_schema=None,
+    avro_decode=None,
 ) -> TransformerFn:
-    """Schema-registry Avro decode — documented gap.
+    """Schema-registry Avro decode, OSS formulation.
 
-    The reference uses a Databricks-only ``from_avro(subject=…)`` signature
-    (reference ``column_reshapers.py:285-346``); OSS Spark needs ABRiS or a
-    Confluent deserializer. We surface a clear error with the needed wiring.
+    The reference relies on a Databricks-only ``from_avro(subject=…)``
+    signature (reference ``column_reshapers.py:285-346``). The portable
+    equivalent implemented here: resolve each subject's schema from the
+    registry REST API at plan time (driver-side — the schema becomes a
+    literal in the plan, nothing is fetched per row), strip the 5-byte
+    Confluent wire-format header, and decode with plain ``from_avro``.
+    ``fetch_schema(registry, subject)`` and ``avro_decode(col, schema)``
+    are injectable for tests / alternative registries.
     """
 
-    def _fail(df: DataFrame) -> DataFrame:
-        raise NotImplementedError(
-            "from_avro_with_registry requires a Confluent/ABRiS deserializer on "
-            "the cluster; use from_avro with an explicit schema instead."
-        )
+    def _decode_col(df: DataFrame, col_name: str, subject: str) -> DataFrame:
+        fetch = fetch_schema or fetch_registry_schema
+        schema_json = fetch(schema_registry, subject)
+        decode = avro_decode
+        if decode is None:
+            try:
+                from pyspark.sql.avro.functions import from_avro as _avro
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError("spark-avro package not available") from e
 
-    return _fail
+            def decode(c, s):  # noqa: ANN001
+                return _avro(c, s)
+
+        body = strip_confluent_header(F.col(col_name))
+        return df.withColumn(col_name, decode(body, schema_json))
+
+    def _transform(df: DataFrame) -> DataFrame:
+        out = _decode_col(df, value_col, value_schema)
+        if expand_value:
+            out = out.select("*", f"{value_col}.*").drop(value_col)
+        if key_schema:
+            out = _decode_col(out, key_col, key_schema)
+            if expand_key:
+                out = out.select("*", f"{key_col}.*").drop(key_col)
+        return out
+
+    return _transform

@@ -238,6 +238,59 @@ def test_from_to_json(spark):
     assert back.select("j").first()[0] == '{"x":5}'
 
 
+def test_from_avro_with_registry_strips_header_and_fetches_schema(spark):
+    # Confluent wire format: 0x00 magic + 4-byte schema id + avro body.
+    # The decoder seam turns the stripped body into a struct so the test
+    # verifies header stripping + registry resolution without spark-avro.
+    from pyspark.sql import functions as F
+
+    payload = bytes([0, 0, 0, 0, 7]) + b"avro-body"
+    df = spark.createDataFrame([(1, payload)], "id INT, value BINARY")
+    fetched = []
+
+    def fake_fetch(registry, subject):
+        fetched.append((registry, subject))
+        return '{"type":"record"}'
+
+    def fake_decode(body_col, schema_json):
+        assert schema_json == '{"type":"record"}'
+        return F.struct(F.decode(body_col, "UTF-8").alias("body"))
+
+    out = df.transform(
+        t(
+            "from_avro_with_registry",
+            schema_registry="http://registry.local:8081",
+            value_schema="orders-value",
+            fetch_schema=fake_fetch,
+            avro_decode=fake_decode,
+        )
+    )
+    assert out.first()["body"] == "avro-body"  # 5-byte header gone
+    assert fetched == [("http://registry.local:8081", "orders-value")]
+
+
+def test_from_avro_with_registry_decodes_key_too(spark):
+    from pyspark.sql import functions as F
+
+    row = (bytes(5) + b"k1", bytes(5) + b"v1")
+    df = spark.createDataFrame([row], "key BINARY, value BINARY")
+    out = df.transform(
+        t(
+            "from_avro_with_registry",
+            schema_registry="http://r",
+            value_schema="t-value",
+            key_schema="t-key",
+            expand_key=True,
+            fetch_schema=lambda r, s: s,
+            avro_decode=lambda c, s: F.struct(
+                F.decode(c, "UTF-8").alias(f"{s.split('-')[1]}_body")
+            ),
+        )
+    )
+    r = out.first()
+    assert r["value_body"] == "v1" and r["key_body"] == "k1"
+
+
 def test_date_transformers(spark):
     df = spark.createDataFrame([("2024-03-05", "20240305101112")], "d STRING, ts STRING")
     out = df.transform(t("convert_to_date", cols=["d"]))
