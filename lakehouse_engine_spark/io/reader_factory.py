@@ -50,8 +50,10 @@ class ReaderFactory:
         elif fmt == InputFormat.JDBC.value:
             df = _read_jdbc(spark, spec, options)
         elif fmt == InputFormat.KAFKA.value:
+            from lakehouse_engine_spark.io import kafka_format
+
             reader = spark.readStream if streaming else spark.read
-            df = reader.format("kafka").options(**options).load()
+            df = reader.format(kafka_format.kafka_format()).options(**options).load()
         elif fmt == InputFormat.RATE.value:
             df = spark.readStream.format("rate").options(**options).load()
         elif fmt == InputFormat.CLOUDFILES.value:

@@ -68,7 +68,9 @@ def _write_batch(spark: SparkSession, df: DataFrame, spec: OutputSpec) -> Option
         write_sharepoint(df, spec)
         return None
     if fmt in (OutputFormat.KAFKA.value, OutputFormat.JDBC.value):
-        df.write.format(fmt).options(**options).mode(spec.write_type).save()
+        df.write.format(_physical_format(fmt)).options(**options).mode(
+            spec.write_type
+        ).save()
         return None
 
     mode = spec.write_type
@@ -106,6 +108,10 @@ def _physical_format(fmt: str) -> str:
         return ExecEnv.default_output_format()
     if fmt == OutputFormat.DELTA.value and not ExecEnv.delta_available():
         return "parquet"
+    if fmt == OutputFormat.KAFKA.value:
+        from lakehouse_engine_spark.io import kafka_format
+
+        return kafka_format.kafka_format()
     return fmt
 
 
