@@ -111,11 +111,15 @@ def manage_table(acon: dict) -> Any:
     return TableManager(acon).execute()
 
 
-def manage_files(acon: dict) -> Any:
-    """Execute a file-management operation (reference ``engine.py:143-160``)."""
+def manage_files(acon: dict, client: Any = None) -> Any:
+    """Execute a file-management operation (reference ``engine.py:143-160``).
+
+    ``client`` injects an object-store client (tests, non-AWS S3
+    endpoints); ACONs naming a ``bucket`` route to the object-store
+    backend, others to POSIX paths."""
     from lakehouse_engine_spark.core.file_manager import FileManager
 
-    return FileManager(acon).execute()
+    return FileManager(acon, client=client).execute()
 
 
 def execute_manager(acon: Any) -> None:

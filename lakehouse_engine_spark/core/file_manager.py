@@ -1,10 +1,12 @@
 """FileManager — object delete/copy/move operations.
 
-Reference parity: ``core/s3_file_manager.py`` / ``core/dbfs_file_manager.py``
-(op schema ``core/definitions.py:1929-1969``), reduced to the
-filesystem-agnostic subset implementable without cloud credentials: local
-POSIX paths here; the same ACON surface maps to S3/DBFS on real deployments.
-Glacier restore is cloud-only and stubbed.
+Reference parity: ``core/file_manager.py`` dispatch over
+``core/s3_file_manager.py`` / ``core/dbfs_file_manager.py`` (op schema
+``core/definitions.py:1929-1969``). Two backends: local POSIX paths here,
+and the S3-compatible :mod:`~lakehouse_engine_spark.core.object_store`
+backend (delete/copy/move + archive restore) selected whenever the ACON
+names a ``bucket`` — with an injectable client, so no cloud credentials
+are needed to test it.
 """
 
 from __future__ import annotations
@@ -17,11 +19,16 @@ from typing import Any
 class FileManager:
     """Executes one file-management function from an ACON."""
 
-    def __init__(self, acon: dict):
+    def __init__(self, acon: dict, client: Any = None):
         self.acon = acon
         self.function = acon.get("function")
+        self.client = client
 
     def execute(self) -> Any:
+        if self.acon.get("bucket"):
+            from lakehouse_engine_spark.core.object_store import ObjectStoreFileManager
+
+            return ObjectStoreFileManager(self.acon, client=self.client).execute()
         fn = self.function
         if fn == "delete_objects":
             return self.delete_objects()
@@ -30,7 +37,7 @@ class FileManager:
         if fn == "move_objects":
             return self.move_objects()
         if fn in ("request_restore", "check_restore_status", "request_restore_to_destination_and_wait"):
-            raise NotImplementedError("Glacier restore operations require AWS credentials")
+            raise NotImplementedError("archive restore needs an object store: set 'bucket'")
         raise ValueError(f"FileManager: unknown function {fn}")
 
     @staticmethod
