@@ -23,6 +23,11 @@ from lakehouse_engine_spark.io import merge_writer
 
 MicroBatchFn = Callable[[DataFrame, int], DataFrame]
 
+# per-view checkpointed micro-batch frames for the streaming `dataframe`
+# sink — lets the accumulated view be a flat union instead of a
+# re-checkpointed snowball (see _write_streaming)
+_STREAM_ACCUM: dict = {}
+
 
 class WriterFactory:
     """Dispatch an OutputSpec to the right Spark sink."""
@@ -163,6 +168,7 @@ def _write_streaming(
             # Fresh accumulation per query run — the view must not leak rows
             # from a previous load_data() in the same session.
             spark.sql(f"DROP VIEW IF EXISTS global_temp.{view}")
+            _STREAM_ACCUM.pop(view, None)
 
         def _process(batch_df: DataFrame, batch_id: int) -> None:
             out = micro_batch_fn(batch_df, batch_id) if micro_batch_fn else batch_df
@@ -173,16 +179,23 @@ def _write_streaming(
             if spec.data_format == OutputFormat.DATAFRAME.value:
                 # Accumulate micro-batches into a global temp view
                 # (reference ``io/writers/dataframe_writer.py:33-205``).
-                session = out.sparkSession
-                existing = (
-                    session.table(f"global_temp.{view}")
-                    if session.catalog.tableExists(f"global_temp.{view}")
-                    else None
-                )
-                merged = existing.unionByName(out) if existing is not None else out
-                merged.localCheckpoint(eager=True).createOrReplaceGlobalTempView(view)
+                # Each batch is checkpointed ONCE (lineage cut, O(batch)
+                # work) and the view is a flat lazy union of the batch
+                # frames — re-checkpointing the merged set every batch
+                # would be O(batches x total-rows), quadratic over a
+                # long-running stream. Plan size grows O(n_batches); rows
+                # live in executor block storage, so the sink remains a
+                # debug/summary tool, not a durable one — use a file/table
+                # sink for unbounded streams.
+                from functools import reduce
+
+                batches = _STREAM_ACCUM.setdefault(view, [])
+                batches.append(out.localCheckpoint(eager=True))
+                reduce(
+                    lambda a, b: a.unionByName(b), batches
+                ).createOrReplaceGlobalTempView(view)
             else:
-                _write_batch(session := out.sparkSession, out, spec)  # noqa: F841
+                _write_batch(out.sparkSession, out, spec)
 
         writer = df.writeStream.foreachBatch(_process).outputMode(_output_mode(spec))
     else:

@@ -164,3 +164,43 @@ def test_streaming_dq_runs_in_micro_batch(spark, tmp_dir):
         }
     )
     assert res["o"].count() == 2
+
+
+def test_streaming_dataframe_sink_accumulates_many_batches(spark, tmp_dir):
+    # one file per micro-batch via maxFilesPerTrigger: 20 batches through the
+    # foreachBatch dataframe sink; each batch is checkpointed once and the
+    # view is a flat union — re-checkpointing the merged set every batch
+    # would be O(batches^2) and stall long streams
+    from lakehouse_engine_spark.io import writer_factory
+
+    src = os.path.join(tmp_dir, "src")
+    n_batches = 20
+    for i in range(n_batches):
+        _stage(spark, src, [(i, 1)])
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "s",
+                "data_format": "parquet",
+                "location": src,
+                "read_type": "streaming",
+                "schema": SCHEMA,
+                "options": {"maxFilesPerTrigger": "1"},
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "many",
+                "input_id": "s",
+                "data_format": "dataframe",
+                "with_batch_id": True,
+                "options": {"checkpointLocation": os.path.join(tmp_dir, "ck")},
+            }
+        ],
+    }
+    out = load_data(acon)["many"]
+    rows = out.collect()
+    assert {r["k"] for r in rows} == set(range(n_batches))
+    assert len({r["lhe_batch_id"] for r in rows}) == n_batches  # truly 1 file/batch
+    # accumulator holds one small checkpointed frame per batch, not a snowball
+    assert len(writer_factory._STREAM_ACCUM["lhe_stream_many"]) == n_batches
