@@ -541,18 +541,66 @@ def dedup_embedding_cosine(
     id_col: str = "vec_id",
     threshold: float = 0.98,
     keep: str = "survivors",
+    method: str = "exact",
+    num_planes: int = 12,
+    num_tables: int = 4,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> TransformerFn:
-    """Embedding near-dup removal — exact all-pairs variant.
+    """Embedding near-dup removal.
 
-    O(n²/2) pair comparisons; correct baseline and fine up to ~10⁵ vectors
-    per run. For larger corpora use ``similarity.hyperplane_lsh_buckets`` to
-    restrict pairs to LSH buckets first (same verify logic).
+    ``method="exact"`` — all-pairs O(n²/2) comparisons; the correctness
+    baseline, fine up to ~10⁵ vectors per run. The hot pair loop is kept
+    inside whole-stage codegen: vectors are L2-normalized ONCE (one
+    higher-order pass per row), then expanded to scalar columns so the pair
+    similarity is a plain fused dot product — no interpreted array lambdas
+    on the O(n²) path.
 
-    The hot pair loop is kept inside whole-stage codegen: vectors are
-    L2-normalized ONCE (one higher-order pass per row), then expanded to
-    scalar columns so the pair similarity is a plain fused dot product —
-    no interpreted array lambdas on the O(n²) path.
+    ``method="lsh"`` — the 100 TB default: candidate pairs must share a
+    random-hyperplane bucket in one of ``num_tables`` signature tables
+    (``similarity.hyperplane_signatures``), then the exact cosine verify
+    runs per candidate pair only. One signature projection, one bucket
+    equi-join — pairwise work proportional to true near-duplicates. At a
+    0.98-style threshold the angle is tiny, so sign-LSH collision
+    probability per plane is ~1 and recall stays high; buckets above
+    ``max_bucket_size`` are dropped (:func:`_cap_buckets`).
     """
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"dedup_embedding_cosine: unknown method {method}")
+
+    def _dedup_lsh(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.similarity import hyperplane_signatures
+
+        sigs = _cap_buckets(
+            hyperplane_signatures(df, embedding_col, id_col, num_planes, num_tables),
+            ["__t", "__sig"],
+            max_bucket_size,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = (
+            sigs.alias("l")
+            .join(
+                sigs.alias("r"),
+                (F.col("l.__t") == F.col("r.__t"))
+                & (F.col("l.__sig") == F.col("r.__sig"))
+                & (F.col("l.__bid") > F.col("r.__bid")),
+            )
+            .select(
+                F.col("l.__bid").alias("__id"),
+                F.col("r.__bid").alias("__cand"),
+                F.col("l.__bv").alias("__v1"),
+                F.col("r.__bv").alias("__v2"),
+            )
+            .dropDuplicates(["__id", "__cand"])
+        )
+        verified = pairs.filter(cosine(F.col("__v1"), F.col("__v2")) >= threshold)
+        heads = verified.groupBy("__id").agg(F.min("__cand").alias("dup_group_id"))
+        out = df.join(heads, df[id_col] == heads["__id"], "left").drop("__id")
+        out = out.withColumn(
+            "is_duplicate",
+            F.col("dup_group_id").isNotNull() & (F.col("dup_group_id") < F.col(id_col)),
+        )
+        if keep == "survivors":
+            return out.filter(~F.col("is_duplicate")).drop("is_duplicate", "dup_group_id")
+        return out
 
     def _dedup(df: DataFrame) -> DataFrame:
         dim = df.select(F.size(F.col(embedding_col)).alias("d")).first()["d"]
@@ -596,4 +644,4 @@ def dedup_embedding_cosine(
             return out.filter(~F.col("is_duplicate")).drop("is_duplicate", "dup_group_id")
         return out
 
-    return _dedup
+    return _dedup_lsh if method == "lsh" else _dedup

@@ -1,0 +1,131 @@
+"""Pure-numpy image codecs for container-native formats.
+
+Real decode/encode for the two uncompressed formats that need no codec
+library — binary PPM (P6) and uncompressed 24/32-bit BI_RGB BMP — so the
+multimodal operators do REAL pixel work (dimensions, channel stats,
+resize, thumbnails) end-to-end in this container. Compressed formats
+(JPEG/PNG/…) still route to the documented strict-mode stub: their codecs
+aren't re-implementable responsibly here, and on a real cluster Pillow or
+ffmpeg plugs in at the same function boundary.
+
+Everything is vectorized numpy (no per-pixel Python): decode is a header
+parse + ``np.frombuffer`` reshape; nearest-neighbor resize is integer
+index gather; the thumbnail feature is two mean-pools. These run inside
+Arrow-batched ``mapInPandas`` workers, so the per-batch cost is a handful
+of numpy kernel calls.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def sniff_media(b: bytes) -> str:
+    """Best-effort container sniff from magic bytes."""
+    if not b:
+        return "empty"
+    if b[:2] == b"P6":
+        return "image/x-portable-pixmap"
+    if b[:2] == b"BM":
+        return "image/bmp"
+    if b[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "audio/wav"
+    return "application/octet-stream"
+
+
+def decode_image(b: bytes) -> Optional[Tuple[np.ndarray, str]]:
+    """Decode a PPM/BMP payload to an (H, W, 3) uint8 array + codec name.
+
+    Returns ``None`` for payloads that are not a supported uncompressed
+    image (callers decide whether that's an error or a skip).
+    """
+    kind = sniff_media(b)
+    if kind == "image/x-portable-pixmap":
+        return _decode_ppm(b), "ppm"
+    if kind == "image/bmp":
+        return _decode_bmp(b), "bmp"
+    return None
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    # P6 header: "P6" <ws> width <ws> height <ws> maxval <single ws> raster.
+    # '#' comments may appear between tokens.
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(b[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"PPM maxval {maxval} unsupported (expect 8-bit)")
+    raster = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    # BITMAPFILEHEADER (14) + BITMAPINFOHEADER: offset@10, width@18,
+    # height@22, bpp@28, compression@30. Rows are bottom-up, 4-byte padded.
+    data_offset = struct.unpack_from("<I", b, 10)[0]
+    width = struct.unpack_from("<i", b, 18)[0]
+    height = struct.unpack_from("<i", b, 22)[0]
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"BMP unsupported: compression={compression} bpp={bpp}")
+    flip = height > 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    rgb = px[:, :, 2::-1]  # BGR(A) → RGB
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index gather (pure numpy)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[ys[:, None], xs[None, :]]
+
+
+def thumbnail_feature(arr: np.ndarray, side: int = 8) -> np.ndarray:
+    """``side×side`` grayscale mean-pool thumbnail, flattened to [0, 1] —
+    the classic perceptual-hash precursor, a real (if simple) visual
+    feature. Block means via ``np.add.reduceat`` (no Python loops); images
+    smaller than ``side`` fall back to nearest-neighbor upsampling."""
+    gray = arr.astype(np.float32).mean(axis=2)
+    h, w = gray.shape
+    if h < side or w < side:
+        small = resize_nearest(gray[:, :, None], side, side)[:, :, 0]
+        return (small / 255.0).reshape(-1)
+    ye = np.arange(side + 1) * h // side
+    xe = np.arange(side + 1) * w // side
+    pooled = np.add.reduceat(gray, ye[:-1], axis=0) / np.diff(ye)[:, None]
+    pooled = np.add.reduceat(pooled, xe[:-1], axis=1) / np.diff(xe)[None, :]
+    return (pooled / 255.0).reshape(-1)

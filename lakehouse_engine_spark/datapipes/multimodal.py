@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The Spark-side machinery is real and tested — schema contracts, Arrow-batched
-``mapInPandas`` UDF signatures, partition sizing — while the actual media
-decoding is stubbed (no image/audio libraries in this container): decode
-functions either raise ``NotImplementedError`` (strict mode) or produce a
-deterministic fake derived from the payload bytes (test mode), so the
-pipeline shape can be validated end-to-end.
+``mapInPandas`` UDF signatures, partition sizing — and so is the pixel work
+for codec-free formats: PPM/BMP payloads get REAL decode, channel stats,
+nearest-neighbor resize, and mean-pool thumbnail features (pure numpy, see
+``media_codecs.py``). Compressed codecs (JPEG/PNG/video) remain behind the
+strict-mode stub — Pillow/ffmpeg plug in at the same UDF boundary on a real
+cluster — while ``fake`` mode emits deterministic byte-derived output for
+pipeline-shape tests.
 
 At 100 TB: binary payloads dominate partition size, so operators here
 repartition by byte budget (``target_partition_mb``) before the UDF stage and
@@ -129,6 +131,128 @@ def feature_extract(
         return src.mapInPandas(_batches, FEATURE_SCHEMA)
 
     return _extract
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_rgb", T.ArrayType(T.FloatType())),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+@register("multimodal_image_decode")
+def image_decode(
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    thumbnail_side: int = 8,
+    on_unsupported: str = "null",  # null | error
+    target_partition_mb: int = 128,
+) -> TransformerFn:
+    """REAL image decode for codec-free formats (PPM P6, uncompressed BMP):
+    dimensions, per-channel means, and a ``thumbnail_side²``-dim mean-pool
+    grayscale feature per image — all vectorized numpy inside Arrow-batched
+    ``mapInPandas``. Unsupported codecs (JPEG/PNG/…) yield NULL fields (or
+    raise with ``on_unsupported="error"``); their magic bytes still surface
+    in ``media_type`` so a pipeline can route them to a codec-equipped
+    stage."""
+
+    def _decode(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.media_codecs import (
+            decode_image,
+            sniff_media,
+            thumbnail_feature,
+        )
+
+        stats = df.select(
+            F.sum(F.length(payload_col)).alias("total")
+        ).first()
+        parts = max(int((stats["total"] or 0) / (1024 * 1024) / target_partition_mb) + 1, 1)
+        src = df.select(F.col(id_col).alias("id"), F.col(payload_col)).repartition(parts)
+
+        def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                out = {k.name: [] for k in IMAGE_META_SCHEMA.fields}
+                for pid, b in zip(pdf["id"], pdf[payload_col]):
+                    b = bytes(b) if b is not None else b""
+                    kind = sniff_media(b)
+                    decoded = decode_image(b)
+                    out["id"].append(pid)
+                    out["media_type"].append(kind)
+                    if decoded is None:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"no codec for {kind}; plug Pillow/ffmpeg in here"
+                            )
+                        out["codec"].append(None)
+                        out["width"].append(None)
+                        out["height"].append(None)
+                        out["mean_rgb"].append(None)
+                        out["feature"].append(None)
+                        continue
+                    arr, codec = decoded
+                    out["codec"].append(codec)
+                    out["width"].append(arr.shape[1])
+                    out["height"].append(arr.shape[0])
+                    out["mean_rgb"].append(
+                        [float(x) for x in arr.reshape(-1, 3).mean(axis=0)]
+                    )
+                    out["feature"].append(
+                        [float(x) for x in thumbnail_feature(arr, thumbnail_side)]
+                    )
+                yield pd.DataFrame(out)
+
+        return src.mapInPandas(_batches, IMAGE_META_SCHEMA)
+
+    return _decode
+
+
+@register("multimodal_image_resize")
+def image_resize(
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    target_partition_mb: int = 128,
+) -> TransformerFn:
+    """REAL nearest-neighbor resize for decodable payloads, re-encoded as
+    PPM: ``(id, payload)`` out, NULL payload for unsupported codecs. The
+    gather-based resize is a numpy index operation — no per-pixel Python."""
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def _resize(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.media_codecs import (
+            decode_image,
+            encode_ppm,
+            resize_nearest,
+        )
+
+        src = df.select(F.col(id_col).alias("id"), F.col(payload_col))
+
+        def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                ids, payloads = [], []
+                for pid, b in zip(pdf["id"], pdf[payload_col]):
+                    decoded = decode_image(bytes(b) if b is not None else b"")
+                    ids.append(pid)
+                    payloads.append(
+                        encode_ppm(resize_nearest(decoded[0], width, height))
+                        if decoded is not None
+                        else None
+                    )
+                yield pd.DataFrame({"id": ids, "payload": payloads})
+
+        return src.mapInPandas(_batches, schema)
+
+    return _resize
 
 
 @register("multimodal_frame_sample")

@@ -99,6 +99,72 @@ def hyperplane_signature(vec: Column, num_planes: int = 16, dim: int = 32) -> Co
     return sum(bits[1:], bits[0]).cast("long")
 
 
+def hyperplane_signatures(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    num_planes: int,
+    num_tables: int,
+    seed: int = 20240613,
+) -> DataFrame:
+    """``(__bid, __bv, __t, __sig)`` sign signatures against seeded
+    hyperplanes, one row per (vector, table).
+
+    Plane weights are seeded literal arrays; each (row, component)
+    contributes to every plane's dot product through ONE posexplode +
+    per-plane SUM aggregates — small codegen'd expressions with map-side
+    combine, instead of one enormous flat linear-combination expression
+    (which overwhelms codegen) or per-component hashing (which runs
+    interpreted). Shared by knn_lsh and the LSH path of
+    dedup_embedding_cosine; the seeded RNG makes the signatures
+    re-derivable by an external oracle.
+    """
+    import random
+
+    vec = F.col(embedding_col).cast("array<double>")
+    real_dim = df.select(F.size(vec).alias("d")).first()["d"]
+    rng = random.Random(seed)
+    n_sigs = num_tables * num_planes
+    # each plane's weight vector as ONE SQL array literal (one py4j call
+    # per plane, parsed server-side) — building dim separate F.lit Column
+    # objects per plane dominated driver-side plan-build time
+    planes = [
+        F.expr(
+            "array(" + ",".join(repr(rng.gauss(0.0, 1.0)) for _ in range(real_dim)) + ")"
+        )
+        for _ in range(n_sigs)
+    ]
+
+    base = ensure_parallelism(df).select(F.col(id_col).alias("__bid"), vec.alias("__bv"))
+    ex = base.select("__bid", F.posexplode("__bv").alias("__p", "__v"))
+    dots = ex.groupBy("__bid").agg(
+        *[
+            F.sum(F.col("__v") * F.element_at(planes[j], (F.col("__p") + 1).cast("int"))).alias(
+                f"__d{j}"
+            )
+            for j in range(n_sigs)
+        ]
+    )
+
+    def table_sig(t: int) -> Column:
+        bits = [
+            F.when(F.col(f"__d{t * num_planes + p}") >= 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+            * (2 ** p)
+            for p in range(num_planes)
+        ]
+        return sum(bits[1:], bits[0]).cast("long")
+
+    return dots.join(base, "__bid").select(
+        "__bid",
+        "__bv",
+        F.posexplode(F.array(*[table_sig(t) for t in range(num_tables)])).alias(
+            "__t", "__sig"
+        ),
+    )
+
+
 @register("knn_lsh")
 def knn_lsh(
     embedding_col: str = "embedding",
@@ -117,62 +183,11 @@ def knn_lsh(
     """
 
     def _knn(df: DataFrame) -> DataFrame:
-        # Plane weights are seeded literal arrays; each (row, component)
-        # contributes to every plane's dot product through ONE posexplode +
-        # per-plane SUM aggregates — small codegen'd expressions with
-        # map-side combine, instead of one enormous flat linear-combination
-        # expression (which overwhelms codegen) or per-component hashing
-        # (which runs interpreted).
-        import random
-
-        vec = F.col(embedding_col).cast("array<double>")
-        real_dim = df.select(F.size(vec).alias("d")).first()["d"]
-        rng = random.Random(20240613)
-        n_sigs = num_tables * num_planes
-        # each plane's weight vector as ONE SQL array literal (one py4j call
-        # per plane, parsed server-side) — building dim separate F.lit Column
-        # objects per plane dominated driver-side plan-build time
-        planes = [
-            F.expr(
-                "array(" + ",".join(repr(rng.gauss(0.0, 1.0)) for _ in range(real_dim)) + ")"
-            )
-            for _ in range(n_sigs)
-        ]
-
-        base = ensure_parallelism(df).select(F.col(id_col).alias("__bid"), vec.alias("__bv"))
-        ex = base.select("__bid", F.posexplode("__bv").alias("__p", "__v"))
-        dots = ex.groupBy("__bid").agg(
-            *[
-                F.sum(F.col("__v") * F.element_at(planes[j], (F.col("__p") + 1).cast("int"))).alias(
-                    f"__d{j}"
-                )
-                for j in range(n_sigs)
-            ]
-        )
-
-        def table_sig(t: int) -> Column:
-            bits = [
-                F.when(F.col(f"__d{t * num_planes + p}") >= 0, F.lit(1)).otherwise(
-                    F.lit(0)
-                )
-                * (2 ** p)
-                for p in range(num_planes)
-            ]
-            return sum(bits[1:], bits[0]).cast("long")
-
         # corpus AND query sides both read sigs — persist so the projection
         # groupBy (the heavy signature pass) materializes once
-        sigs = (
-            dots.join(base, "__bid")
-            .select(
-                "__bid",
-                "__bv",
-                F.posexplode(F.array(*[table_sig(t) for t in range(num_tables)])).alias(
-                    "__t", "__sig"
-                ),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        sigs = hyperplane_signatures(
+            df, embedding_col, id_col, num_planes, num_tables
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         corpus = sigs.select(
             F.col("__bid").alias("neighbor_id"), F.col("__bv").alias("__cv"), "__t", "__sig"
         )

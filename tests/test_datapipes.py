@@ -128,6 +128,39 @@ def test_dedup_embedding_cosine(vectors):
     assert ids == [0, 2, 3]
 
 
+def test_dedup_embedding_cosine_lsh_matches_exact(spark):
+    # clustered corpus: LSH candidates must capture the same near-dup pairs
+    # the exact method verifies, so survivors agree — the scale path is a
+    # drop-in for the all-pairs baseline
+    import math
+
+    rows = []
+    for c in range(4):  # 4 well-separated directions
+        base = [0.0] * 8
+        base[c * 2] = 1.0
+        for i in range(5):  # 5 tiny perturbations per cluster → near-dups
+            v = list(base)
+            v[c * 2 + 1] = 0.001 * i
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((c * 100 + i, [x / n for x in v]))
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    exact = {
+        r["vec_id"]
+        for r in df.transform(
+            t("dedup_embedding_cosine", threshold=0.999, method="exact")
+        ).collect()
+    }
+    lsh = {
+        r["vec_id"]
+        for r in df.transform(
+            t("dedup_embedding_cosine", threshold=0.999, method="lsh",
+              num_planes=8, num_tables=4)
+        ).collect()
+    }
+    assert exact == {0, 100, 200, 300}
+    assert lsh == exact
+
+
 # ------------------------------------------------------------------- ANN
 def test_knn_brute_force(vectors):
     out = vectors.transform(t("knn_brute_force", k=2, query_filter="vec_id = 0"))

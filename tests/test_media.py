@@ -1,0 +1,120 @@
+"""Real pixel work on codec-free image formats: PPM/BMP decode, channel
+stats, mean-pool thumbnail features, nearest-neighbor resize — unit tests
+on the pure-numpy codecs plus Spark-side runs through the multimodal ops."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from lakehouse_engine_spark.core.definitions import TransformerSpec
+from lakehouse_engine_spark.datapipes.media_codecs import (
+    decode_image,
+    encode_ppm,
+    resize_nearest,
+    sniff_media,
+    thumbnail_feature,
+)
+from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
+
+
+def t(name, **args):
+    return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+
+def make_ppm(arr: np.ndarray) -> bytes:
+    return encode_ppm(arr)
+
+
+def make_bmp(arr: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP (bottom-up rows, 4-byte padding)."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in arr[::-1]:  # bottom-up
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])  # BGR
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return bytes(header + info + raster)
+
+
+@pytest.fixture()
+def img():
+    # 4x4: red/green/blue/white quadrant-ish pattern
+    a = np.zeros((4, 4, 3), dtype=np.uint8)
+    a[:2, :2] = [255, 0, 0]
+    a[:2, 2:] = [0, 255, 0]
+    a[2:, :2] = [0, 0, 255]
+    a[2:, 2:] = [255, 255, 255]
+    return a
+
+
+def test_ppm_roundtrip(img):
+    arr, codec = decode_image(make_ppm(img))
+    assert codec == "ppm" and np.array_equal(arr, img)
+
+
+def test_ppm_with_comment(img):
+    b = make_ppm(img).replace(b"P6\n", b"P6\n# a comment\n", 1)
+    arr, _ = decode_image(b)
+    assert np.array_equal(arr, img)
+
+
+def test_bmp_roundtrip(img):
+    arr, codec = decode_image(make_bmp(img))
+    assert codec == "bmp" and np.array_equal(arr, img)
+
+
+def test_sniffer():
+    assert sniff_media(b"\xff\xd8\xff\xe0junk") == "image/jpeg"
+    assert sniff_media(b"\x89PNG\r\n\x1a\njunk") == "image/png"
+    assert decode_image(b"\xff\xd8\xff\xe0junk") is None  # honest: no codec
+
+
+def test_resize_nearest(img):
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert np.array_equal(up[0, 0], img[0, 0]) and np.array_equal(up[7, 7], img[3, 3])
+    down = resize_nearest(up, 2, 2)
+    assert np.array_equal(down[0, 0], img[0, 0])
+
+
+def test_thumbnail_feature_mean_pools(img):
+    f = thumbnail_feature(img, side=2)
+    # quadrant means of grayscale: red/green/blue ≈ 85, white = 255
+    assert f.shape == (4,)
+    assert abs(f[3] - 1.0) < 1e-6 and all(abs(x - 85.0 / 255) < 1e-6 for x in f[:3])
+
+
+def test_spark_image_decode_and_resize(spark, img):
+    rows = [
+        (1, make_ppm(img)),
+        (2, make_bmp(img)),
+        (3, b"\xff\xd8\xff\xe0 jpeg-ish"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    meta = {r["id"]: r for r in df.transform(t("multimodal_image_decode")).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["codec"]) == (4, 4, "ppm")
+    assert meta[2]["codec"] == "bmp"
+    assert meta[1]["mean_rgb"] == pytest.approx([127.5, 127.5, 127.5])
+    assert meta[1]["feature"] == pytest.approx(list(meta[2]["feature"]))  # same pixels
+    assert meta[3]["media_type"] == "image/jpeg" and meta[3]["codec"] is None
+
+    resized = {
+        r["id"]: r["payload"]
+        for r in df.transform(t("multimodal_image_resize", width=2, height=2)).collect()
+    }
+    arr, codec = decode_image(bytes(resized[1]))
+    assert codec == "ppm" and arr.shape == (2, 2, 3)
+    assert np.array_equal(arr[0, 0], img[0, 0])
+    assert resized[3] is None
+
+
+def test_spark_image_decode_strict_raises(spark):
+    df = spark.createDataFrame([(1, b"\x89PNG\r\n\x1a\nx")], "doc_id LONG, payload BINARY")
+    with pytest.raises(Exception, match="codec"):
+        df.transform(t("multimodal_image_decode", on_unsupported="error")).collect()
