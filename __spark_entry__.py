@@ -883,6 +883,51 @@ def dp15_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp27_image_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL binary image decode: each doc gets a constructed solid-color PPM
+    (dims and RGB are pure functions of doc_id), the numpy decoder
+    (datapipes/media_codecs.py) parses the actual bytes inside Arrow-batched
+    mapInPandas, and the oracle predicts width/height/means arithmetically —
+    if header parsing, stride math, or channel order were wrong, the values
+    would not match."""
+    docs = load_table(spark, sf, "documents")
+    w = F.expr("4 + doc_id % 5")
+    h = F.lit(3)
+    px_hex = F.concat(
+        *[F.lpad(F.hex(F.expr(e)), 2, "0") for e in
+          ("doc_id % 256", "(7*doc_id) % 256", "(13*doc_id) % 256")]
+    )
+    payload = F.concat(
+        F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+                 F.lit("\n255\n")).cast("binary"),
+        F.unhex(F.repeat(px_hex, (w * h).cast("int"))),
+    )
+    imgs = docs.select("doc_id", payload.alias("payload"))
+    meta = imgs.transform(_t("multimodal_image_decode"))
+    return meta.select(
+        F.col("id").alias("doc_id"),
+        "media_type",
+        "codec",
+        "width",
+        "height",
+        F.element_at("mean_rgb", 1).cast("double").alias("mean_r"),
+        F.element_at("mean_rgb", 2).cast("double").alias("mean_g"),
+        F.element_at("mean_rgb", 3).cast("double").alias("mean_b"),
+    )
+
+
+def dp28_embedding_dedup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup removal, LSH-bucketed scale path: hyperplane
+    bucket candidates + exact cosine verify (datapipes/dedup.py
+    dedup_embedding_cosine(method='lsh')). The seeded hyperplanes are
+    re-derivable, so the oracle replays the full pipeline."""
+    emb = load_table(spark, sf, "embeddings")
+    return emb.transform(
+        _t("dedup_embedding_cosine", threshold=0.9, method="lsh",
+           num_planes=12, num_tables=4)
+    ).selectExpr("vec_id", "label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -931,6 +976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp24_vocab_top_k": dp24_vocab_top_k,
         "dp25_stratified_sample": dp25_stratified_sample,
         "dp26_mixture_sample": dp26_mixture_sample,
+        "dp27_image_decode": dp27_image_decode,
+        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
     }
 
 
@@ -1092,9 +1139,9 @@ def _lsh_planes(num_tables: int, num_planes: int, dim: int) -> list:
     ]
 
 
-def _duck_knn_lsh(k: int, num_planes: int, num_tables: int, dim: int) -> str:
-    """Mirror of knn_lsh: per-table sign signatures against the seeded
-    hyperplanes, bucket-join candidates, exact cosine re-rank."""
+def _duck_lsh_sig_ctes(num_planes: int, num_tables: int, dim: int) -> str:
+    """Shared WITH-prefix: embeddings → per-plane dots → per-table sign
+    signatures (the exact literals the engine seeds)."""
     planes = _lsh_planes(num_tables, num_planes, dim)
     dots = ",\n              ".join(
         "list_reduce(list_transform(list_zip(v, ["
@@ -1119,7 +1166,13 @@ def _duck_knn_lsh(k: int, num_planes: int, num_tables: int, dim: int) -> str:
         sigs AS (
           SELECT vec_id, unnest([{tables}]) AS t, unnest([{sigs}]) AS sig
           FROM d
-        ),
+        )"""
+
+
+def _duck_knn_lsh(k: int, num_planes: int, num_tables: int, dim: int) -> str:
+    """Mirror of knn_lsh: per-table sign signatures against the seeded
+    hyperplanes, bucket-join candidates, exact cosine re-rank."""
+    return _duck_lsh_sig_ctes(num_planes, num_tables, dim) + f""",
         cand AS (
           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
           FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
@@ -1505,6 +1558,35 @@ def oracle_sql() -> dict[str, str]:
         "dp11_dedup_simhash": _duck_simhash(shingle_size=2, hamming_threshold=3),
         "dp12_knn_lsh": _duck_knn_lsh(k=5, num_planes=12, num_tables=4, dim=64),
         "dp13_knn_ivf": _duck_knn_ivf(k=5, num_centroids=16, nprobe=4),
+        "dp27_image_decode": """
+            SELECT doc_id,
+                   'image/x-portable-pixmap' AS media_type,
+                   'ppm' AS codec,
+                   (4 + doc_id % 5)::INT AS width,
+                   3::INT AS height,
+                   (doc_id % 256)::DOUBLE AS mean_r,
+                   ((7 * doc_id) % 256)::DOUBLE AS mean_g,
+                   ((13 * doc_id) % 256)::DOUBLE AS mean_b
+            FROM documents
+        """,
+        "dp28_embedding_dedup_lsh": _duck_lsh_sig_ctes(12, 4, 64) + f""",
+        pairs AS (
+          SELECT DISTINCT l.vec_id AS id, r.vec_id AS cand
+          FROM sigs l JOIN sigs r ON l.t = r.t AND l.sig = r.sig
+                                 AND l.vec_id > r.vec_id
+        ),
+        heads AS (
+          SELECT id, MIN(cand) AS g
+          FROM pairs
+          JOIN v a ON a.vec_id = pairs.id
+          JOIN v b ON b.vec_id = pairs.cand
+          WHERE {_DUCK_COSINE} >= 0.9
+          GROUP BY id
+        )
+        SELECT e.vec_id, e.label
+        FROM embeddings e LEFT JOIN heads h ON e.vec_id = h.id
+        WHERE h.g IS NULL OR h.g >= e.vec_id
+        """,
         "dp14_hash_split": """
             WITH b AS (
               SELECT *,
