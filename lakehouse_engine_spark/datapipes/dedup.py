@@ -64,12 +64,19 @@ def dedup_exact(
     key_cols: List[str],
     id_col: Optional[str] = None,
     normalize: bool = False,
+    watermark_col: Optional[str] = None,
+    watermark_delay: str = "1 hour",
 ) -> TransformerFn:
     """Exact dedup. With ``id_col`` the survivor is deterministic (min id per
     key — required for oracle comparison); without, ``dropDuplicates``.
 
     ``normalize=True`` lowercases/strips string keys first (near-exact dedup
     of text corpora).
+
+    Streaming: pass ``watermark_col`` — dedup becomes
+    ``dropDuplicatesWithinWatermark`` (first arrival per key survives,
+    per-key state expires after ``watermark_delay``, so state size is
+    bounded by the key arrival rate × delay, not by stream history).
     """
 
     def _dedup(df: DataFrame) -> DataFrame:
@@ -80,6 +87,16 @@ def dedup_exact(
                 {f"__norm_{c}": F.regexp_replace(F.lower(F.trim(F.col(c))), r"\s+", " ") for c in keys}
             )
             keys = [f"__norm_{c}" for c in keys]
+        if df.isStreaming:
+            if not watermark_col:
+                raise ValueError(
+                    "dedup_exact on a stream needs watermark_col (bounded state)"
+                )
+            return (
+                out.withWatermark(watermark_col, watermark_delay)
+                .dropDuplicatesWithinWatermark(keys)
+                .drop(*[c for c in keys if c.startswith("__norm_")])
+            )
         if id_col is None:
             return out.dropDuplicates(keys).drop(*[c for c in keys if c.startswith("__norm_")])
         w = Window.partitionBy(*keys)
@@ -178,6 +195,36 @@ def band_hashes(sig: Column, bands: int, rows: int) -> Column:
             for b in range(bands)
         ]
     )
+
+
+@register("lsh_bucket_stats")
+def lsh_bucket_stats(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> TransformerFn:
+    """Bucket-size histogram of the MinHash-LSH banding — the tuning tool
+    for ``max_bucket_size``: one row per bucket size with the number of
+    buckets and total docs at that size. Run this before a big dedup to see
+    whether boilerplate mega-buckets exist and where to cap. Two map-side-
+    combined aggregations; no pair join anywhere."""
+    rows = num_hashes // bands
+
+    def _stats(df: DataFrame) -> DataFrame:
+        sig = _minhash_sig_df(df, text_col, id_col, num_hashes, shingle_size)
+        sizes = _band_exploded(sig, bands, rows).groupBy("__h").agg(
+            F.count(F.lit(1)).alias("bucket_size")
+        )
+        return (
+            sizes.groupBy("bucket_size")
+            .agg(F.count(F.lit(1)).alias("n_buckets"))
+            .withColumn("n_docs", F.col("bucket_size") * F.col("n_buckets"))
+            .orderBy(F.desc("bucket_size"))
+        )
+
+    return _stats
 
 
 @register("dedup_minhash_lsh")

@@ -624,3 +624,48 @@ def test_mixture_sample_weights_and_default(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(r["doc_id"] for r in again.collect())
     with pytest.raises(Exception):
         t("mixture_sample", group_col="lang", id_col="doc_id", weights={"en": 1.5})
+
+
+def test_lsh_bucket_stats(docs):
+    stats = docs.transform(t("lsh_bucket_stats", num_hashes=12, bands=4)).collect()
+    # histogram invariant: sum(size * n_buckets) == total band rows (docs x bands)
+    assert sum(r["n_docs"] for r in stats) == docs.count() * 4
+    assert all(r["n_docs"] == r["bucket_size"] * r["n_buckets"] for r in stats)
+    # the near-dup fixture has at least one shared bucket
+    assert max(r["bucket_size"] for r in stats) >= 2
+
+
+def test_dedup_exact_streaming_with_watermark(spark, tmp_path):
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 10, 5, 0)),   # dup key within watermark
+        (2, dt.datetime(2024, 1, 1, 10, 1, 0)),
+    ]
+    spark.createDataFrame(rows, "k INT, ts TIMESTAMP").coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema("k INT, ts TIMESTAMP").parquet(src)
+    out = sdf.transform(t("dedup_exact", key_cols=["k"], watermark_col="ts",
+                          watermark_delay="1 hour"))
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("stream_dedup_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["k"] for r in spark.table("stream_dedup_t").collect()}
+    assert got == {1, 2}
+    assert spark.table("stream_dedup_t").count() == 2  # dup dropped
+
+
+def test_dedup_exact_streaming_requires_watermark(spark, tmp_path):
+    import datetime as dt
+
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "k INT, ts TIMESTAMP"
+    ).write.parquet(src)
+    sdf = spark.readStream.schema("k INT, ts TIMESTAMP").parquet(src)
+    with pytest.raises(ValueError, match="watermark_col"):
+        sdf.transform(t("dedup_exact", key_cols=["k"]))
