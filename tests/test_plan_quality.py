@@ -139,3 +139,29 @@ def test_vocab_top_k_uses_take_ordered(spark, sf_dir):
     df = entry.queries()["dp24_vocab_top_k"](spark, sf_dir)
     physical, _ = _plans(df)
     assert "TakeOrderedAndProject" in physical, physical[:2000]
+
+
+def test_embedding_lsh_dedup_no_cartesian(spark, sf_dir):
+    """The LSH embedding dedup (dp28) must pair candidates via the
+    (table, signature) equi-join — never an all-pairs product — and the
+    bucket-cap window must not introduce a nested-loop shape."""
+    df = entry.queries()["dp28_embedding_dedup_lsh"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+
+
+def test_capped_simhash_no_cartesian(spark, sf_dir):
+    df = entry.queries()["dp11_dedup_simhash"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+
+
+def test_image_decode_is_arrow_batched(spark, sf_dir):
+    """dp27 runs the decoder through Arrow-batched mapInPandas (one python
+    worker pass), not row-at-a-time UDF evaluation."""
+    df = entry.queries()["dp27_image_decode"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "MapInPandas" in physical
+    assert "BatchEvalPython" not in physical  # the row-at-a-time slow path
