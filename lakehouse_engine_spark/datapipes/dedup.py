@@ -617,11 +617,23 @@ def dedup_embedding_cosine(
     def _dedup_lsh(df: DataFrame) -> DataFrame:
         from lakehouse_engine_spark.datapipes.similarity import hyperplane_signatures
 
+        dim = df.select(F.size(F.col(embedding_col).cast("array<double>")).alias("d")).first()["d"]
+        # per-vector norm computed ONCE per signature row (O(n·tables)); the
+        # pair verify then runs entirely inside whole-stage codegen — an
+        # interpreted cosine() HOF per candidate pair was the bottleneck on
+        # dense-bucket corpora (millions of verifies)
         sigs = _cap_buckets(
             hyperplane_signatures(df, embedding_col, id_col, num_planes, num_tables),
             ["__t", "__sig"],
             max_bucket_size,
+        ).withColumn(
+            "__norm",
+            F.sqrt(F.aggregate(F.col("__bv"), F.lit(0.0), lambda s, v: s + v * v)),
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # candidate pairs carry ONLY ids through the bucket join + cross-table
+        # dedup (a doc pair colliding in all num_tables tables would otherwise
+        # shuffle its 2×dim vectors num_tables times); the vectors re-attach
+        # once per UNIQUE pair — the same slim-join design as ngram_jaccard
         pairs = (
             sigs.alias("l")
             .join(
@@ -630,15 +642,33 @@ def dedup_embedding_cosine(
                 & (F.col("l.__sig") == F.col("r.__sig"))
                 & (F.col("l.__bid") > F.col("r.__bid")),
             )
-            .select(
-                F.col("l.__bid").alias("__id"),
-                F.col("r.__bid").alias("__cand"),
-                F.col("l.__bv").alias("__v1"),
-                F.col("r.__bv").alias("__v2"),
-            )
+            .select(F.col("l.__bid").alias("__id"), F.col("r.__bid").alias("__cand"))
             .dropDuplicates(["__id", "__cand"])
         )
-        verified = pairs.filter(cosine(F.col("__v1"), F.col("__v2")) >= threshold)
+        vecs = sigs.select("__bid", "__bv", "__norm").dropDuplicates(["__bid"])
+        cands = (
+            pairs.join(
+                vecs.select(
+                    "__bid", F.col("__bv").alias("__v1"), F.col("__norm").alias("__n1")
+                ),
+                pairs["__id"] == F.col("__bid"),
+            )
+            .drop("__bid")
+            .join(
+                vecs.select(
+                    "__bid", F.col("__bv").alias("__v2"), F.col("__norm").alias("__n2")
+                ),
+                F.col("__cand") == F.col("__bid"),
+            )
+            .drop("__bid")
+        )
+        # left-assoc element_at chain: same summation order as the HOF fold
+        # (and the SQL oracle), but codegen'd
+        dot = sum(
+            (F.element_at("__v1", i + 1) * F.element_at("__v2", i + 1) for i in range(1, dim)),
+            F.element_at("__v1", 1) * F.element_at("__v2", 1),
+        )
+        verified = cands.filter(dot / (F.col("__n1") * F.col("__n2")) >= threshold)
         heads = verified.groupBy("__id").agg(F.min("__cand").alias("dup_group_id"))
         out = df.join(heads, df[id_col] == heads["__id"], "left").drop("__id")
         out = out.withColumn(
