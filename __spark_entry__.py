@@ -928,6 +928,26 @@ def dp28_embedding_dedup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     ).selectExpr("vec_id", "label")
 
 
+def dp29_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window packing for training-sequence assembly: docs sharded
+    by content hash, greedy-streaming pack assignment within each shard
+    (datapipes/sampling.py pack_sequences). Summarized per pack so the
+    result is compact; the oracle replays shard/cumsum/pack arithmetic."""
+    docs = load_table(spark, sf, "documents")
+    with_tokens = docs.selectExpr(
+        "doc_id", "size(split(trim(text), '\\\\s+')) AS n_tokens"
+    )
+    packed = with_tokens.transform(
+        _t("pack_sequences", token_col="n_tokens", id_col="doc_id",
+           budget=512, shards=8)
+    )
+    return packed.groupBy("pack_shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -978,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp26_mixture_sample": dp26_mixture_sample,
         "dp27_image_decode": dp27_image_decode,
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
+        "dp29_pack_sequences": dp29_pack_sequences,
     }
 
 
@@ -1558,6 +1579,28 @@ def oracle_sql() -> dict[str, str]:
         "dp11_dedup_simhash": _duck_simhash(shingle_size=2, hamming_threshold=3),
         "dp12_knn_lsh": _duck_knn_lsh(k=5, num_planes=12, num_tables=4, dim=64),
         "dp13_knn_ivf": _duck_knn_ivf(k=5, num_centroids=16, nprobe=4),
+        "dp29_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 1000000 AS b
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_tokens, b % 8 AS pack_shard,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY b % 8 ORDER BY b, doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+              FROM t
+            )
+            SELECT pack_shard,
+                   pack_shard * 1000000000 + (strt // 512) AS pack_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   MIN(doc_id) AS first_doc
+            FROM s GROUP BY 1, 2
+        """,
         "dp27_image_decode": """
             SELECT doc_id,
                    'image/x-portable-pixmap' AS media_type,

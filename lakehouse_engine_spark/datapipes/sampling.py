@@ -170,3 +170,58 @@ def mixture_sample(
         return df.filter(_bucket(id_col, seed) < thr)
 
     return _sample
+
+
+@register("pack_sequences")
+def pack_sequences(
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    shards: int = 256,
+    seed: str = "",
+) -> Callable[[DataFrame], DataFrame]:
+    """Context-window packing: assign documents to fixed-token-budget packs
+    for training-sequence assembly.
+
+    Docs are sharded by content hash (deterministic, growth-stable), ordered
+    within the shard by (hash, id), and a running token total assigns each
+    doc to the pack where it STARTS: ``pack = floor((cumsum - tokens) /
+    budget)`` — the standard streaming approximation of greedy bin packing
+    (a doc may straddle a boundary; the trainer's sequence assembler
+    truncates or pads at read time). Output adds ``pack_shard``,
+    ``pack_id`` (unique across shards), and ``pack_offset`` (token start
+    within the pack's budget-aligned stream).
+
+    Scale design: ONE shuffle on the shard key and a per-shard window sort —
+    parallelism = ``shards``, with no global ordering funnel. Pack identity
+    is a pure function of (corpus content, budget, shards, seed): re-running
+    on the same corpus reproduces identical packs, and the same rule is
+    expressible in ANSI SQL for the oracle.
+    """
+
+    def _pack(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        shard = (_bucket(id_col, seed) % shards).alias("pack_shard")
+        out = df.withColumn("pack_shard", shard).withColumn(
+            "__ord", _bucket(id_col, seed)
+        )
+        w = (
+            Window.partitionBy("pack_shard")
+            .orderBy("__ord", id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum(F.col(token_col)).over(w)
+        start = (cum - F.col(token_col)).cast("long")
+        return (
+            out.withColumn("__start", start)
+            .withColumn(
+                "pack_id",
+                F.col("pack_shard").cast("long") * F.lit(1_000_000_000)
+                + F.floor(F.col("__start") / budget),
+            )
+            .withColumn("pack_offset", F.pmod(F.col("__start"), F.lit(budget)).cast("long"))
+            .drop("__ord", "__start")
+        )
+
+    return _pack
