@@ -5,9 +5,10 @@
   via window. This is the correctness baseline and is already the right plan
   for "few queries × huge corpus" at 100 TB: the only shuffle is the final
   k-rows-per-query sort.
-* ``hyperplane_lsh_buckets`` / ``knn_lsh`` — random-hyperplane (sign) LSH:
-  deterministic pseudo-random hyperplanes derived from ``xxhash64(i, dim)``,
-  so no fitted model/state needs shipping. Probing = bucket equi-join.
+* ``hyperplane_signatures`` / ``knn_lsh`` — random-hyperplane (sign) LSH:
+  seeded hyperplane literals ship in the plan (no fitted model/state, and an
+  external oracle can re-derive them). Probing = bucket equi-join; the same
+  signatures back ``dedup_embedding_cosine(method='lsh')``.
 * ``knn_ivf`` — IVF-style: coarse centroids (deterministic sample), assign
   by best cosine, probe ``nprobe`` nearest centroid lists.
 """
@@ -72,31 +73,6 @@ def knn_brute_force(
         )
 
     return _knn
-
-
-def hyperplane_signature(vec: Column, num_planes: int = 16, dim: int = 32) -> Column:
-    """Sign-bit signature against deterministic pseudo-random hyperplanes.
-
-    Plane p's component for dimension d is a zero-mean value derived from
-    ``xxhash64(p, d)`` — reproducible on any executor with no broadcast of
-    model state.
-    """
-    def plane_dot(p: int) -> Column:
-        def component(v: Column, d: Column) -> Column:
-            h = F.xxhash64(F.lit(p), d)
-            return v * ((F.pmod(h, F.lit(20001)).cast("double") - 10000.0) / 10000.0)
-
-        return F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), component),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-
-    bits = [
-        F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p)
-        for p in range(num_planes)
-    ]
-    return sum(bits[1:], bits[0]).cast("long")
 
 
 def hyperplane_signatures(
