@@ -517,9 +517,12 @@ def dp06_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 def dp07_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
+    # max_bucket_size=None: the oracle replays the UNCAPPED pipeline; the
+    # capped production default is covered by the boilerplate-skew pytest
     return (
         docs.transform(
-            _t("dedup_ngram_jaccard", shingle_size=3, threshold=0.5, num_hashes=12, bands=6)
+            _t("dedup_ngram_jaccard", shingle_size=3, threshold=0.5, num_hashes=12,
+               bands=6, max_bucket_size=None)
         )
         .selectExpr("doc_id", "lang", "source")
     )
@@ -832,8 +835,11 @@ def dp11_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     correctness additionally pytest-verified against brute Hamming distance
     (tests/test_datapipes.py)."""
     docs = load_table(spark, sf, "documents")
+    # max_bucket_size=None: the oracle replays the UNCAPPED pipeline; the
+    # capped production default is covered by the boilerplate-skew pytest
     return docs.transform(
-        _t("dedup_simhash", hamming_threshold=3, shingle_size=2)
+        _t("dedup_simhash", hamming_threshold=3, shingle_size=2,
+           max_bucket_size=None)
     ).selectExpr("doc_id", "lang", "source")
 
 
@@ -922,9 +928,10 @@ def dp28_embedding_dedup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     dedup_embedding_cosine(method='lsh')). The seeded hyperplanes are
     re-derivable, so the oracle replays the full pipeline."""
     emb = load_table(spark, sf, "embeddings")
+    # max_bucket_size=None: the oracle replays the UNCAPPED pipeline
     return emb.transform(
         _t("dedup_embedding_cosine", threshold=0.9, method="lsh",
-           num_planes=12, num_tables=4)
+           num_planes=12, num_tables=4, max_bucket_size=None)
     ).selectExpr("vec_id", "label")
 
 
@@ -1223,7 +1230,8 @@ def _duck_knn_ivf(k: int, num_centroids: int, nprobe: int) -> str:
         params AS (SELECT GREATEST(COUNT(*) // {num_centroids}, 1) AS step FROM v),
         cent AS (
           SELECT vec_id AS centroid_id, v AS cv FROM v, params
-          WHERE vec_id % step = 0 AND vec_id < step * {num_centroids}
+          WHERE vec_id % step = 0
+          ORDER BY vec_id LIMIT {num_centroids}
         ),
         assigned AS (
           SELECT vec_id, v, centroid_id FROM (

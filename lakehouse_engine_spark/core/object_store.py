@@ -95,10 +95,20 @@ class ObjectStoreFileManager:
 
     # ---------------------------------------------------------------- ops
     def _expand(self, bucket: str, path: str) -> List[str]:
-        """A path is itself a key, or a prefix covering many keys."""
+        """A path is an exact key, or a 'directory' (delimiter-aware prefix).
+
+        Directory expansion always appends the ``/`` delimiter before
+        listing, so ``data`` never swallows ``database/...`` — only an
+        exact-key match or children under ``data/`` qualify (the
+        reference's ``_check_directory``/``get_directory_path`` behavior).
+        """
         path = path.strip().lstrip("/")
-        listed = self.client.list_objects(bucket, path)
-        return listed if listed else [path]
+        if not path.endswith("/"):
+            listed = self.client.list_objects(bucket, path)
+            if path in listed:
+                return [path]
+        children = self.client.list_objects(bucket, path.rstrip("/") + "/")
+        return children if children else [path]
 
     def delete_objects(self) -> Optional[dict]:
         bucket = self.configs["bucket"]
@@ -162,7 +172,13 @@ class ObjectStoreFileManager:
         keys = self._expand(bucket, self.configs["source_object"])
         counts = {"not_started_objects": 0, "ongoing_objects": 0, "restored_objects": 0}
         for k in keys:
-            counts[f"{self.client.restore_status(bucket, k)}_objects"] += 1
+            status = self.client.restore_status(bucket, k)
+            if f"{status}_objects" not in counts:
+                raise ValueError(
+                    f"object-store client returned restore status {status!r}; "
+                    "expected not_started | ongoing | restored"
+                )
+            counts[f"{status}_objects"] += 1
         counts["total_objects"] = len(keys)
         return counts
 
@@ -174,11 +190,20 @@ class ObjectStoreFileManager:
         if self.configs.get("dry_run"):
             return plan
         poll = float(self.configs.get("poll_interval_seconds", 300))
+        # archive restores take hours, not days — a bounded wait turns a
+        # server-side-stuck restore into an error instead of a hung driver
+        deadline = time.monotonic() + float(
+            self.configs.get("max_wait_seconds", 48 * 3600)
+        )
         while True:
             status = self.check_restore_status()
             _LOGGER.info("restore status: %s", status)
             if status["restored_objects"] >= status["total_objects"]:
                 break
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"restore did not complete within max_wait_seconds: {status}"
+                )
             time.sleep(poll)
         return self._copy()
 

@@ -92,6 +92,12 @@ def dedup_exact(
                 raise ValueError(
                     "dedup_exact on a stream needs watermark_col (bounded state)"
                 )
+            if id_col is not None:
+                raise ValueError(
+                    "dedup_exact on a stream keeps the FIRST arrival per key "
+                    "(dropDuplicatesWithinWatermark) — the min-id survivor "
+                    "contract of id_col is batch-only; omit id_col"
+                )
             return (
                 out.withWatermark(watermark_col, watermark_delay)
                 .dropDuplicatesWithinWatermark(keys)

@@ -82,6 +82,7 @@ def hyperplane_signatures(
     num_planes: int,
     num_tables: int,
     seed: int = 20240613,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """``(__bid, __bv, __t, __sig)`` sign signatures against seeded
     hyperplanes, one row per (vector, table).
@@ -98,7 +99,8 @@ def hyperplane_signatures(
     import random
 
     vec = F.col(embedding_col).cast("array<double>")
-    real_dim = df.select(F.size(vec).alias("d")).first()["d"]
+    # dim avoids a probe job when the caller knows the embedding width
+    real_dim = dim if dim is not None else df.select(F.size(vec).alias("d")).first()["d"]
     rng = random.Random(seed)
     n_sigs = num_tables * num_planes
     # each plane's weight vector as ONE SQL array literal (one py4j call
@@ -149,20 +151,21 @@ def knn_lsh(
     query_filter: str = "vec_id < 10",
     num_planes: int = 12,
     num_tables: int = 4,
-    dim: int = 32,
+    dim: Optional[int] = None,
 ) -> TransformerFn:
     """Approximate top-k: candidates share a hyperplane-LSH bucket in at
     least one of ``num_tables`` tables; exact cosine re-rank on candidates.
 
     The scale path: corpus signatures are a projection, candidate generation
-    a bucket equi-join — no all-pairs scoring.
+    a bucket equi-join — no all-pairs scoring. ``dim`` (optional) skips the
+    embedding-width probe job when known.
     """
 
     def _knn(df: DataFrame) -> DataFrame:
         # corpus AND query sides both read sigs — persist so the projection
         # groupBy (the heavy signature pass) materializes once
         sigs = hyperplane_signatures(
-            df, embedding_col, id_col, num_planes, num_tables
+            df, embedding_col, id_col, num_planes, num_tables, dim=dim
         ).persist(StorageLevel.MEMORY_AND_DISK)
         corpus = sigs.select(
             F.col("__bid").alias("neighbor_id"), F.col("__bv").alias("__cv"), "__t", "__sig"
@@ -211,17 +214,17 @@ def knn_ivf(
         base = ensure_parallelism(df).select(F.col(id_col).alias("__vid"), vec.alias("__v"))
         total = base.count()
         step = max(total // num_centroids, 1)
-        # deterministic coarse centroids by pure id filter (every step-th id,
-        # capped by id bound — NOT .limit(), whose row choice depends on
-        # partition order) — no global row_number window, which would funnel
-        # the whole corpus through ONE partition at scale; centroid_id is
-        # just the vector id, and the same rule is expressible in ANSI SQL
-        # for oracle verification
+        # deterministic coarse centroids: the id filter keeps ~num_centroids
+        # candidate rows (no global row_number window funneling the corpus
+        # through one partition), then an ORDER BY id LIMIT on that tiny set
+        # picks exactly num_centroids smallest — deterministic for ANY id
+        # distribution (a bare .limit() depends on partition order, and an
+        # id-bound filter breaks on sparse/offset ids), and expressible in
+        # ANSI SQL for oracle verification
         centroids = (
-            base.filter(
-                (F.pmod(F.col("__vid"), F.lit(step)) == 0)
-                & (F.col("__vid") < step * num_centroids)
-            )
+            base.filter(F.pmod(F.col("__vid"), F.lit(step)) == 0)
+            .orderBy("__vid")
+            .limit(num_centroids)
             .select(F.col("__vid").alias("centroid_id"), F.col("__v").alias("__cv"))
         )
         # assign corpus vectors to their best centroid (broadcast centroids);

@@ -159,7 +159,9 @@ def expose_cdf(
         limit = ((now or _dt.datetime.today()) - _dt.timedelta(days=days_to_keep)).strftime(
             "%Y%m%d%H%M%S"
         )
-        if ExecEnv.delta_available():
+        # retention must follow the MATERIALIZATION format — a parquet
+        # materialization on a delta-enabled runtime is not a Delta table
+        if fmt == "delta" and ExecEnv.delta_available():
             from delta.tables import DeltaTable
 
             DeltaTable.forPath(spark, materialized_cdf_location).delete(
@@ -185,7 +187,7 @@ def expose_cdf(
                 .save(materialized_cdf_location)
             )
 
-    if vacuum_cdf and ExecEnv.delta_available():
+    if vacuum_cdf and fmt == "delta" and ExecEnv.delta_available():
         from delta.tables import DeltaTable
 
         DeltaTable.forPath(spark, materialized_cdf_location).vacuum(vacuum_hours)

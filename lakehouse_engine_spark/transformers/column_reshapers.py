@@ -236,13 +236,16 @@ def from_avro_with_registry(
         return df.withColumn(col_name, decode(body, schema_json))
 
     def _transform(df: DataFrame) -> DataFrame:
+        # decode BOTH columns before any struct expansion: a value record
+        # with a field named 'key' would otherwise shadow the Kafka key
+        # column and make the key decode ambiguous
         out = _decode_col(df, value_col, value_schema)
-        if expand_value:
-            out = out.select("*", f"{value_col}.*").drop(value_col)
         if key_schema:
             out = _decode_col(out, key_col, key_schema)
-            if expand_key:
-                out = out.select("*", f"{key_col}.*").drop(key_col)
+        if expand_value:
+            out = out.select("*", f"{value_col}.*").drop(value_col)
+        if key_schema and expand_key:
+            out = out.select("*", f"{key_col}.*").drop(key_col)
         return out
 
     return _transform
