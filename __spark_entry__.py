@@ -1222,16 +1222,17 @@ def _duck_knn_lsh(k: int, num_planes: int, num_tables: int, dim: int) -> str:
 
 
 def _duck_knn_ivf(k: int, num_centroids: int, nprobe: int) -> str:
-    """Mirror of knn_ivf: deterministic centroids (every step-th id, id-bound
-    capped), best-cosine assignment (ties → larger centroid id, matching
-    Spark's max(struct)), nprobe probing, exact re-rank."""
+    """Mirror of knn_ivf: deterministic centroids (num_centroids smallest
+    md5-fold content hashes — works for any id distribution), best-cosine
+    assignment (ties → larger centroid id, matching Spark's max(struct)),
+    nprobe probing, exact re-rank."""
     return f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        params AS (SELECT GREATEST(COUNT(*) // {num_centroids}, 1) AS step FROM v),
         cent AS (
-          SELECT vec_id AS centroid_id, v AS cv FROM v, params
-          WHERE vec_id % step = 0
-          ORDER BY vec_id LIMIT {num_centroids}
+          SELECT vec_id AS centroid_id, v AS cv FROM v
+          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                        AS BIGINT), vec_id
+          LIMIT {num_centroids}
         ),
         assigned AS (
           SELECT vec_id, v, centroid_id FROM (

@@ -202,8 +202,9 @@ def knn_ivf(
     num_centroids: int = 16,
     nprobe: int = 4,
 ) -> TransformerFn:
-    """IVF-flat ANN: deterministic coarse centroids (every n-th vector by id),
-    inverted-list assignment by best cosine, queries probe ``nprobe`` lists.
+    """IVF-flat ANN: deterministic coarse centroids (smallest content-hash
+    sample), inverted-list assignment by best cosine, queries probe
+    ``nprobe`` lists.
 
     At scale the assignment is one broadcast-join pass over the corpus and
     search touches only ``nprobe/num_centroids`` of the data.
@@ -212,18 +213,19 @@ def knn_ivf(
     def _knn(df: DataFrame) -> DataFrame:
         vec = F.col(embedding_col).cast("array<double>")
         base = ensure_parallelism(df).select(F.col(id_col).alias("__vid"), vec.alias("__v"))
-        total = base.count()
-        step = max(total // num_centroids, 1)
-        # deterministic coarse centroids: the id filter keeps ~num_centroids
-        # candidate rows (no global row_number window funneling the corpus
-        # through one partition), then an ORDER BY id LIMIT on that tiny set
-        # picks exactly num_centroids smallest — deterministic for ANY id
-        # distribution (a bare .limit() depends on partition order, and an
-        # id-bound filter breaks on sparse/offset ids), and expressible in
-        # ANSI SQL for oracle verification
+        # deterministic coarse centroids: the num_centroids rows with the
+        # SMALLEST content-hash values — a pseudorandom sample that works
+        # for ANY id distribution (id-residue filters miss arithmetic-
+        # progression ids entirely; a bare .limit() depends on partition
+        # order). orderBy+limit compiles to TakeOrderedAndProject:
+        # per-partition partial top-k + driver merge of k rows, NOT a
+        # global sort funnel. The md5-fold hash is the datapipes
+        # convention, so the oracle replays the choice exactly.
+        chash = F.conv(
+            F.substring(F.md5(F.col("__vid").cast("string")), 1, 15), 16, 10
+        ).cast("long")
         centroids = (
-            base.filter(F.pmod(F.col("__vid"), F.lit(step)) == 0)
-            .orderBy("__vid")
+            base.orderBy(chash.asc(), F.col("__vid").asc())
             .limit(num_centroids)
             .select(F.col("__vid").alias("centroid_id"), F.col("__v").alias("__cv"))
         )

@@ -699,3 +699,16 @@ def test_pack_sequences_deterministic_and_budgeted(spark):
         t("pack_sequences", token_col="n_tokens", id_col="doc_id", budget=32, shards=4)
     ).collect()}
     assert again == {r["doc_id"]: r["pack_id"] for r in got}
+
+
+def test_knn_ivf_sparse_offset_ids(spark):
+    # regression: centroid selection must work when vector ids are sparse
+    # and nowhere near 0 (an id-bound filter silently selected zero
+    # centroids and returned an empty result)
+    rows = [(1_000_000 + i * 7, [1.0 + 0.001 * i, 0.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = df.transform(
+        t("knn_ivf", k=2, query_filter=f"vec_id = {1_000_000}", num_centroids=4, nprobe=4)
+    ).collect()
+    assert len(out) == 2  # neighbors found, not an empty frame
+    assert all(r["neighbor_id"] != 1_000_000 for r in out)
