@@ -201,10 +201,18 @@ def knn_ivf(
     query_filter: str = "vec_id < 10",
     num_centroids: int = 16,
     nprobe: int = 4,
+    iters: int = 0,
 ) -> TransformerFn:
     """IVF-flat ANN: deterministic coarse centroids (smallest content-hash
     sample), inverted-list assignment by best cosine, queries probe
     ``nprobe`` lists.
+
+    ``iters`` runs that many Lloyd (k-means) refinement rounds before the
+    final assignment: broadcast-assign, per-cluster element-wise mean, ONE
+    shuffle per round carrying (centroid_id, dim doubles) per vector —
+    tighter clusters raise recall at the same ``nprobe``. ``iters=0`` (the
+    default) keeps the sample centroids, which is fully replayable by the
+    SQL oracle (the iterative refinement is not SQL-expressible).
 
     At scale the assignment is one broadcast-join pass over the corpus and
     search touches only ``nprobe/num_centroids`` of the data.
@@ -229,6 +237,30 @@ def knn_ivf(
             .limit(num_centroids)
             .select(F.col("__vid").alias("centroid_id"), F.col("__v").alias("__cv"))
         )
+        if iters > 0:
+            dim = df.select(F.size(vec).alias("d")).first()["d"]
+            for _ in range(iters):
+                # Lloyd round: broadcast-assign, then per-cluster mean. The
+                # element-wise mean is dim scalar AVG aggregates (codegen,
+                # map-side combined); the tiny result localCheckpoints so
+                # lineage stays flat across rounds.
+                assign_it = (
+                    base.join(F.broadcast(centroids))
+                    .withColumn("__sim", cosine(F.col("__v"), F.col("__cv")))
+                    .groupBy("__vid")
+                    .agg(F.max(F.struct("__sim", "centroid_id", "__v")).alias("__b"))
+                    .select(F.col("__b.centroid_id").alias("centroid_id"),
+                            F.col("__b.__v").alias("__v"))
+                )
+                centroids = (
+                    assign_it.groupBy("centroid_id")
+                    .agg(
+                        F.array(
+                            *[F.avg(F.element_at("__v", i + 1)) for i in range(dim)]
+                        ).alias("__cv")
+                    )
+                    .localCheckpoint(eager=True)
+                )
         # assign corpus vectors to their best centroid (broadcast centroids);
         # argmax via max(struct) — partial-aggregates map-side, so the shuffle
         # carries one row per vector, not one per (vector × centroid)

@@ -712,3 +712,18 @@ def test_knn_ivf_sparse_offset_ids(spark):
     ).collect()
     assert len(out) == 2  # neighbors found, not an empty frame
     assert all(r["neighbor_id"] != 1_000_000 for r in out)
+
+
+def test_knn_ivf_lloyd_refinement_improves_clusters(spark):
+    # two tight clusters whose hash-sample centroids may both land in one
+    # cluster; after Lloyd rounds the centroids separate and the probe list
+    # for a cluster-A query contains only cluster-A neighbors at nprobe=1
+    rows = [(i, [1.0 + 0.001 * i, 0.0]) for i in range(20)] + [
+        (100 + i, [0.0, 1.0 + 0.001 * i]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = df.transform(
+        t("knn_ivf", k=3, query_filter="vec_id = 0", num_centroids=2,
+          nprobe=1, iters=3)
+    ).collect()
+    assert out and all(r["neighbor_id"] < 100 for r in out)

@@ -204,3 +204,42 @@ def test_streaming_dataframe_sink_accumulates_many_batches(spark, tmp_dir):
     assert len({r["lhe_batch_id"] for r in rows}) == n_batches  # truly 1 file/batch
     # accumulator holds one small checkpointed frame per batch, not a snowball
     assert len(writer_factory._STREAM_ACCUM["lhe_stream_many"]) == n_batches
+
+
+def test_sessionize_runs_on_a_stream(spark, tmp_dir):
+    # the same sessionize operator (native session_window) must run under
+    # Structured Streaming with a watermark — append mode emits a session
+    # once the watermark passes its close
+    import datetime as dt
+
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
+
+    src = os.path.join(tmp_dir, "sess_src")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 10, 10, 0)),   # same session (gap 30m)
+        (1, dt.datetime(2024, 1, 1, 12, 0, 0)),    # new session
+        (2, dt.datetime(2024, 1, 1, 10, 5, 0)),
+    ]
+    spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP").coalesce(1).write.parquet(src)
+    sdf = (
+        spark.readStream.schema("user_id INT, ts TIMESTAMP").parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    sess = sdf.transform(
+        TransformerFactory.get_transformer(
+            TransformerSpec("sessionize", {"on": ["user_id"], "ts_col": "ts",
+                                           "gap": "30 minutes"})
+        )
+    )
+    assert sess.isStreaming
+    q = (
+        sess.writeStream.format("memory").queryName("sess_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r["user_id"], r["n_events"]) for r in spark.table("sess_stream").collect()}
+    # sessions closed by the watermark: user 1's first session (2 events)
+    # and user 2's single-event session; the 12:00 session may remain open
+    assert (1, 2) in got and (2, 1) in got
