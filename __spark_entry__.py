@@ -955,6 +955,36 @@ def dp29_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp30_asof_forward_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join, FORWARD direction with a 24h tolerance: each click matches
+    the user's EARLIEST purchase at-or-after the click, nulled out when it
+    falls beyond 24h (datapipes/joins.py asof_join). Completes the asof
+    surface the backward-direction dp16 doesn't cover, with the oracle as a
+    windowed earliest-match formulation."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts", "value")
+    out = clicks.transform(
+        _t(
+            "asof_join",
+            right=purchases,
+            on=["user_id"],
+            left_ts="ts",
+            right_value_cols=["value"],
+            direction="forward",
+            tolerance=F.expr("INTERVAL 24 HOURS"),
+            ts_match_col="next_ts",
+        )
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_us_ntz("ts").alias("click_us"),
+        epoch_us_ntz("next_ts").alias("next_us"),
+        F.round("value_matched", 6).alias("next_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1006,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp27_image_decode": dp27_image_decode,
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
         "dp29_pack_sequences": dp29_pack_sequences,
+        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
     }
 
 
@@ -1685,6 +1716,26 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "dp30_asof_forward_tolerance": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase'),
+            j AS (
+              SELECT c.event_id, c.user_id, c.ts AS cts, p.ts AS pts, p.value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY c.event_id ORDER BY p.ts, p.value) AS rn
+              FROM c LEFT JOIN p
+                ON c.user_id = p.user_id
+               AND p.ts >= c.ts
+               AND p.ts <= c.ts + INTERVAL 24 HOUR
+            )
+            SELECT event_id, user_id,
+                   epoch_us(CAST(cts AS TIMESTAMP)) AS click_us,
+                   epoch_us(CAST(pts AS TIMESTAMP)) AS next_us,
+                   ROUND(value, 6) AS next_value
+            FROM j WHERE rn = 1
         """,
         "dp17_range_join": """
             SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks_24h
