@@ -531,7 +531,7 @@ def dp07_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 def dp08_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return (
-        emb.transform(_t("dedup_embedding_cosine", threshold=0.9))
+        emb.transform(_t("dedup_embedding_cosine", threshold=0.9, method="exact"))
         .selectExpr("vec_id", "label")
     )
 
@@ -676,10 +676,15 @@ def dp18_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     sessions = ev.select("user_id", "ts").transform(
         _t("sessionize", on=["user_id"], ts_col="ts", gap="30 minutes")
     )
+    # Every output column pinned to BIGINT on BOTH engines: DuckDB's
+    # SUM(BIGINT) yields HUGEINT (→ float64 via pandas), which breaks the
+    # driver's dtype-sensitive value hash even when values are identical.
     return sessions.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("n_events").alias("n_events"),
-        epoch_us_ntz(F.max("session_start")).alias("last_session_start_us"),
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        epoch_us_ntz(F.max("session_start")).cast("long").alias(
+            "last_session_start_us"
+        ),
     )
 
 
@@ -948,10 +953,19 @@ def dp29_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         _t("pack_sequences", token_col="n_tokens", id_col="doc_id",
            budget=512, shards=8)
     )
+    # BIGINT-pinned projection on both engines (see dp18 note: DuckDB
+    # HUGEINT sums materialize as float64 in pandas and break the driver's
+    # dtype-sensitive hash).
     return packed.groupBy("pack_shard", "pack_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.min("doc_id").alias("first_doc"),
+    ).select(
+        F.col("pack_shard").cast("long").alias("pack_shard"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        "n_docs",
+        "n_tokens",
+        "first_doc",
     )
 
 
@@ -1619,7 +1633,7 @@ def oracle_sql() -> dict[str, str]:
         "dp11_dedup_simhash": _duck_simhash(shingle_size=2, hamming_threshold=3),
         "dp12_knn_lsh": _duck_knn_lsh(k=5, num_planes=12, num_tables=4, dim=64),
         "dp13_knn_ivf": _duck_knn_ivf(k=5, num_centroids=16, nprobe=4),
-        "dp29_pack_sequences": """
+        "dp29_pack_sequences": r"""
             WITH t AS (
               SELECT doc_id,
                      len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -1634,9 +1648,9 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
               FROM t
             )
-            SELECT pack_shard,
-                   pack_shard * 1000000000 + (strt // 512) AS pack_id,
-                   COUNT(*) AS n_docs,
+            SELECT CAST(pack_shard AS BIGINT) AS pack_shard,
+                   CAST(pack_shard * 1000000000 + (strt // 512) AS BIGINT) AS pack_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                    MIN(doc_id) AS first_doc
             FROM s GROUP BY 1, 2
@@ -1872,9 +1886,10 @@ def oracle_sql() -> dict[str, str]:
               FROM sess GROUP BY user_id, session_id
             )
             SELECT user_id,
-                   COUNT(*) AS n_sessions,
-                   SUM(n_events) AS n_events,
-                   epoch_us(CAST(MAX(session_start) AS TIMESTAMP)) AS last_session_start_us
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   CAST(epoch_us(CAST(MAX(session_start) AS TIMESTAMP)) AS BIGINT)
+                       AS last_session_start_us
             FROM per_session GROUP BY user_id
         """,
         "q17_gab_weekly_rollup": """

@@ -594,21 +594,22 @@ def dedup_embedding_cosine(
     id_col: str = "vec_id",
     threshold: float = 0.98,
     keep: str = "survivors",
-    method: str = "exact",
+    method: str = "lsh",
     num_planes: int = 12,
     num_tables: int = 4,
     max_bucket_size: Optional[int] = 10_000,
 ) -> TransformerFn:
     """Embedding near-dup removal.
 
-    ``method="exact"`` — all-pairs O(n²/2) comparisons; the correctness
-    baseline, fine up to ~10⁵ vectors per run. The hot pair loop is kept
-    inside whole-stage codegen: vectors are L2-normalized ONCE (one
-    higher-order pass per row), then expanded to scalar columns so the pair
-    similarity is a plain fused dot product — no interpreted array lambdas
-    on the O(n²) path.
+    ``method="exact"`` — OPT-IN all-pairs O(n²/2) comparisons; the
+    correctness baseline, fine up to ~10⁵ vectors per run but infeasible
+    beyond (BASELINE.md's 200k-vector probe: ~20 min all-pairs vs 195 s
+    LSH). The hot pair loop is kept inside whole-stage codegen: vectors
+    are L2-normalized ONCE (one higher-order pass per row), then expanded
+    to scalar columns so the pair similarity is a plain fused dot product
+    — no interpreted array lambdas on the O(n²) path.
 
-    ``method="lsh"`` — the 100 TB default: candidate pairs must share a
+    ``method="lsh"`` — the DEFAULT and the 100 TB path: candidate pairs must share a
     random-hyperplane bucket in one of ``num_tables`` signature tables
     (``similarity.hyperplane_signatures``), then the exact cosine verify
     runs per candidate pair only. One signature projection, one bucket
@@ -629,7 +630,9 @@ def dedup_embedding_cosine(
         # interpreted cosine() HOF per candidate pair was the bottleneck on
         # dense-bucket corpora (millions of verifies)
         sigs = _cap_buckets(
-            hyperplane_signatures(df, embedding_col, id_col, num_planes, num_tables),
+            hyperplane_signatures(
+                df, embedding_col, id_col, num_planes, num_tables, dim=dim
+            ),
             ["__t", "__sig"],
             max_bucket_size,
         ).withColumn(

@@ -151,6 +151,25 @@ def test_embedding_lsh_dedup_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in physical
 
 
+def test_embedding_dedup_default_is_lsh_not_all_pairs(spark, sf_dir):
+    """dedup_embedding_cosine with DEFAULT args must take the LSH path:
+    candidates from the (table, signature) equi-join, never the O(n²)
+    all-pairs product. Exact all-pairs stays opt-in via method='exact'
+    (~20 min at 200k vectors per BASELINE.md's probe)."""
+    from lakehouse_engine_spark.transformers.transformer_factory import (
+        TransformerFactory,
+    )
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fn = TransformerFactory.get_transformer(
+        TransformerSpec("dedup_embedding_cosine", {"threshold": 0.9})
+    )
+    physical, _ = _plans(emb.transform(fn))
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+
+
 def test_capped_simhash_no_cartesian(spark, sf_dir):
     df = entry.queries()["dp11_dedup_simhash"](spark, sf_dir)
     physical, _ = _plans(df)

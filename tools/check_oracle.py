@@ -24,6 +24,19 @@ from lakehouse_engine_spark.core.exec_env import ExecEnv  # noqa: E402
 from lakehouse_engine_spark.utils.tables import TABLES  # noqa: E402
 
 
+def dtype_family(dtype) -> str:
+    s = str(dtype)
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith(("int", "Int", "uint")):
+        return "int"
+    if s == "bool":
+        return "bool"
+    return "object"
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -74,6 +87,18 @@ def main() -> int:
         if len(sdf) != len(odf):
             failures.append(name)
             print(f"✗ {name}: rows {len(sdf)} vs {len(odf)}")
+            continue
+        # The driver's value hash is dtype-sensitive (e.g. DuckDB HUGEINT →
+        # float64 vs Spark int64 hashes differently even when values match),
+        # so a dtype-family mismatch is a failure here too.
+        fam_mismatch = {
+            c: (dtype_family(sdf[c].dtype), dtype_family(odf[c].dtype))
+            for c in sdf.columns
+            if dtype_family(sdf[c].dtype) != dtype_family(odf[c].dtype)
+        }
+        if fam_mismatch:
+            failures.append(name)
+            print(f"✗ {name}: dtype families differ — {fam_mismatch}")
             continue
         a, b = normalize(sdf.copy()), normalize(odf.copy())
         try:
