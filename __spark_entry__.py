@@ -858,9 +858,10 @@ def dp12_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dp13_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN via IVF coarse quantization. Centroid choice is a pure id rule
-    (every step-th id, bound-capped — no .limit() nondeterminism), so the
-    DuckDB oracle replays centroids → assignment → nprobe probing → exact
+    """ANN via IVF coarse quantization. Centroids are the ``num_centroids``
+    vectors with the SMALLEST md5-fold content hashes (a deterministic
+    orderBy on the hash, ties impossible on distinct ids), so the DuckDB
+    oracle replays centroids → assignment → nprobe probing → exact
     re-rank; recall is additionally pytest-verified."""
     emb = load_table(spark, sf, "embeddings")
     return emb.transform(
@@ -999,6 +1000,28 @@ def dp30_asof_forward_tolerance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp31_sessionize_boundary(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-gap BOUNDARY pin at driver scale: union events with a copy
+    shifted exactly +gap (30 min), so every event has a companion precisely
+    on the session boundary. Spark session_window merges exact-gap events
+    (only a strictly greater gap breaks a session) and must agree with the
+    oracle's lag/cumsum ``diff > gap`` formulation on every tie."""
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    both = ev.unionByName(
+        ev.select("user_id", (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"))
+    )
+    sessions = both.transform(
+        _t("sessionize", on=["user_id"], ts_col="ts", gap="30 minutes")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        epoch_us_ntz(F.max("session_start")).cast("long").alias(
+            "last_session_start_us"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1051,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
         "dp29_pack_sequences": dp29_pack_sequences,
         "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
+        "dp31_sessionize_boundary": dp31_sessionize_boundary,
     }
 
 
@@ -1875,6 +1899,35 @@ def oracle_sql() -> dict[str, str]:
                           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                           THEN 1 ELSE 0 END AS new_session
               FROM events
+            ), sess AS (
+              SELECT user_id, ts,
+                     SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            ), per_session AS (
+              SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   CAST(epoch_us(CAST(MAX(session_start) AS TIMESTAMP)) AS BIGINT)
+                       AS last_session_start_us
+            FROM per_session GROUP BY user_id
+        """,
+        "dp31_sessionize_boundary": """
+            WITH e AS (
+              SELECT user_id, ts FROM events
+              UNION ALL
+              SELECT user_id, ts + INTERVAL 30 MINUTE AS ts FROM events
+            ), marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE OR
+                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM e
             ), sess AS (
               SELECT user_id, ts,
                      SUM(new_session) OVER (

@@ -120,7 +120,15 @@ class ObjectStoreFileManager:
         self.client.delete_objects(bucket, keys)
         return None
 
-    def _copy(self) -> Optional[dict]:
+    def _copy(self) -> dict:
+        """Copy the expanded source keys; return the src→dst plan.
+
+        The plan is the single source of truth for any follow-up delete:
+        re-expanding the source prefix after the copy would also match
+        objects copied INTO a destination nested under the source (e.g.
+        ``data/`` → ``data/archive/``) and keys created concurrently —
+        deleting either would lose data.
+        """
         sb = self.configs["bucket"]
         so = self.configs["source_object"].strip().lstrip("/")
         db = self.configs.get("destination_bucket", sb)
@@ -135,19 +143,19 @@ class ObjectStoreFileManager:
             return plan
         for src, dst in plan.items():
             self.client.copy_object(sb, src, db, dst)
-        return None
+        return plan
 
     def copy_objects(self) -> Optional[dict]:
-        return self._copy()
+        plan = self._copy()
+        return plan if self.configs.get("dry_run") else None
 
     def move_objects(self) -> Optional[dict]:
         plan = self._copy()
         if self.configs.get("dry_run"):
             return plan
-        bucket = self.configs["bucket"]
-        self.client.delete_objects(
-            bucket, self._expand(bucket, self.configs["source_object"])
-        )
+        # delete EXACTLY the keys the copy plan covered — never a fresh
+        # prefix expansion (see _copy docstring)
+        self.client.delete_objects(self.configs["bucket"], list(plan.keys()))
         return None
 
     # ------------------------------------------------------------- restore

@@ -4,9 +4,9 @@ Real decode/encode for the two uncompressed formats that need no codec
 library — binary PPM (P6) and uncompressed 24/32-bit BI_RGB BMP — so the
 multimodal operators do REAL pixel work (dimensions, channel stats,
 resize, thumbnails) end-to-end in this container. Compressed formats
-(JPEG/PNG/…) still route to the documented strict-mode stub: their codecs
-aren't re-implementable responsibly here, and on a real cluster Pillow or
-ffmpeg plugs in at the same function boundary.
+(JPEG/PNG/WebP) route through the pluggable decoder registry below —
+Pillow self-registers when importable (absent in this container); with
+no registered decoder they fall back to the documented strict-mode stub.
 
 Everything is vectorized numpy (no per-pixel Python): decode is a header
 parse + ``np.frombuffer`` reshape; nearest-neighbor resize is integer
@@ -18,9 +18,50 @@ of numpy kernel calls.
 from __future__ import annotations
 
 import struct
-from typing import Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
+
+# ------------------------------------------------------------------ seam
+# Compressed codecs plug in here: media-type → (bytes → (H, W, 3) uint8).
+# Pillow registers itself for JPEG/PNG/WebP when importable (a real
+# cluster image); tests inject deterministic fakes. The multimodal
+# transformers snapshot this registry at PLAN-BUILD time and carry it
+# into the mapInPandas closure, so driver-registered decoders (including
+# closures cloudpickle serializes by value) reach executors even though
+# workers re-import this module fresh.
+_EXTRA_DECODERS: Dict[str, Callable[[bytes], np.ndarray]] = {}
+
+
+def register_decoder(media_type: str, fn: Callable[[bytes], np.ndarray]) -> None:
+    """Register a decoder for a sniffed media type (e.g. ``image/jpeg``)."""
+    _EXTRA_DECODERS[media_type] = fn
+
+
+def unregister_decoder(media_type: str) -> None:
+    _EXTRA_DECODERS.pop(media_type, None)
+
+
+def available_decoders() -> Dict[str, Callable[[bytes], np.ndarray]]:
+    """Snapshot of the registry — capture this into UDF closures."""
+    return dict(_EXTRA_DECODERS)
+
+
+def _pillow_decode(b: bytes) -> np.ndarray:
+    import io
+
+    from PIL import Image  # noqa: WPS433 — optional dependency
+
+    return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+
+
+try:  # Pillow is absent in this container; on a real cluster it plugs in
+    import PIL  # noqa: F401
+
+    for _mt in ("image/jpeg", "image/png", "image/webp"):
+        register_decoder(_mt, _pillow_decode)
+except ImportError:
+    pass
 
 
 def sniff_media(b: bytes) -> str:
@@ -37,20 +78,37 @@ def sniff_media(b: bytes) -> str:
         return "image/png"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "audio/wav"
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return "image/webp"
     return "application/octet-stream"
 
 
-def decode_image(b: bytes) -> Optional[Tuple[np.ndarray, str]]:
-    """Decode a PPM/BMP payload to an (H, W, 3) uint8 array + codec name.
+def decode_image(
+    b: bytes,
+    extra_decoders: Optional[Dict[str, Callable[[bytes], np.ndarray]]] = None,
+) -> Optional[Tuple[np.ndarray, str]]:
+    """Decode an image payload to an (H, W, 3) uint8 array + codec name.
 
-    Returns ``None`` for payloads that are not a supported uncompressed
-    image (callers decide whether that's an error or a skip).
+    PPM/BMP decode natively (pure numpy); other media types route through
+    ``extra_decoders`` (pass a :func:`available_decoders` snapshot from
+    the driver — falls back to this process's registry when omitted).
+    Returns ``None`` for payloads with no available decoder (callers
+    decide whether that's an error or a skip).
     """
     kind = sniff_media(b)
     if kind == "image/x-portable-pixmap":
         return _decode_ppm(b), "ppm"
     if kind == "image/bmp":
         return _decode_bmp(b), "bmp"
+    registry = _EXTRA_DECODERS if extra_decoders is None else extra_decoders
+    fn = registry.get(kind)
+    if fn is not None:
+        arr = np.asarray(fn(b), dtype=np.uint8)
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError(
+                f"decoder for {kind} must return (H, W, 3) uint8, got {arr.shape}"
+            )
+        return arr, kind.rsplit("/", 1)[-1]
     return None
 
 

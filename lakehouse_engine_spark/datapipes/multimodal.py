@@ -4,10 +4,11 @@ The Spark-side machinery is real and tested — schema contracts, Arrow-batched
 ``mapInPandas`` UDF signatures, partition sizing — and so is the pixel work
 for codec-free formats: PPM/BMP payloads get REAL decode, channel stats,
 nearest-neighbor resize, and mean-pool thumbnail features (pure numpy, see
-``media_codecs.py``). Compressed codecs (JPEG/PNG/video) remain behind the
-strict-mode stub — Pillow/ffmpeg plug in at the same UDF boundary on a real
-cluster — while ``fake`` mode emits deterministic byte-derived output for
-pipeline-shape tests.
+``media_codecs.py``). Compressed image codecs (JPEG/PNG/WebP) plug in via
+``media_codecs.register_decoder`` — Pillow self-registers when importable,
+and the registry snapshot is pickled into the executor closure — while
+video remains behind the ffmpeg strict-mode stub and ``fake`` mode emits
+deterministic byte-derived output for pipeline-shape tests.
 
 At 100 TB: binary payloads dominate partition size, so operators here
 repartition by byte budget (``target_partition_mb``) before the UDF stage and
@@ -154,20 +155,28 @@ def image_decode(
     on_unsupported: str = "null",  # null | error
     target_partition_mb: int = 128,
 ) -> TransformerFn:
-    """REAL image decode for codec-free formats (PPM P6, uncompressed BMP):
+    """REAL image decode: PPM P6 / uncompressed BMP natively, plus any
+    media type with a registered decoder (``media_codecs.register_decoder``
+    — Pillow self-registers for JPEG/PNG/WebP when importable). Emits
     dimensions, per-channel means, and a ``thumbnail_side²``-dim mean-pool
     grayscale feature per image — all vectorized numpy inside Arrow-batched
-    ``mapInPandas``. Unsupported codecs (JPEG/PNG/…) yield NULL fields (or
-    raise with ``on_unsupported="error"``); their magic bytes still surface
-    in ``media_type`` so a pipeline can route them to a codec-equipped
+    ``mapInPandas``. Codecs with no decoder yield NULL fields (or raise
+    with ``on_unsupported="error"``); their magic bytes still surface in
+    ``media_type`` so a pipeline can route them to a codec-equipped
     stage."""
 
     def _decode(df: DataFrame) -> DataFrame:
         from lakehouse_engine_spark.datapipes.media_codecs import (
+            available_decoders,
             decode_image,
             sniff_media,
             thumbnail_feature,
         )
+
+        # snapshot the codec registry NOW, on the driver: the closure pickles
+        # it to executors, so injected decoders (tests, plugins) work even
+        # though workers re-import media_codecs fresh
+        decoders = available_decoders()
 
         stats = df.select(
             F.sum(F.length(payload_col)).alias("total")
@@ -181,7 +190,7 @@ def image_decode(
                 for pid, b in zip(pdf["id"], pdf[payload_col]):
                     b = bytes(b) if b is not None else b""
                     kind = sniff_media(b)
-                    decoded = decode_image(b)
+                    decoded = decode_image(b, decoders)
                     out["id"].append(pid)
                     out["media_type"].append(kind)
                     if decoded is None:
@@ -230,18 +239,20 @@ def image_resize(
 
     def _resize(df: DataFrame) -> DataFrame:
         from lakehouse_engine_spark.datapipes.media_codecs import (
+            available_decoders,
             decode_image,
             encode_ppm,
             resize_nearest,
         )
 
+        decoders = available_decoders()  # driver-side snapshot (see image_decode)
         src = df.select(F.col(id_col).alias("id"), F.col(payload_col))
 
         def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
                 ids, payloads = [], []
                 for pid, b in zip(pdf["id"], pdf[payload_col]):
-                    decoded = decode_image(bytes(b) if b is not None else b"")
+                    decoded = decode_image(bytes(b) if b is not None else b"", decoders)
                     ids.append(pid)
                     payloads.append(
                         encode_ppm(resize_nearest(decoded[0], width, height))

@@ -95,6 +95,18 @@ def hyperplane_signatures(
     interpreted). Shared by knn_lsh and the LSH path of
     dedup_embedding_cosine; the seeded RNG makes the signatures
     re-derivable by an external oracle.
+
+    Floating-point knife-edge caveat: a dot product within fp-epsilon of 0
+    could in principle flip its sign bit between accumulation orders. In
+    the normal path the order IS fixed — posexplode keeps all of a row's
+    components inside one map partition in index order, so each dot is one
+    in-order partial sum, matching the oracle's fixed-order list fold —
+    but Spark's hash-aggregate SPILL fallback (sort-based, stability not
+    guaranteed) could reorder the accumulation for rows caught mid-spill.
+    Exactly-zero-knife-edge dots are measure-zero on real embeddings; if
+    bit-exact signatures are required regardless, compute the dots with
+    the interpreted HOF fold (``F.aggregate`` over ``zip_with``) instead —
+    deterministic, shuffle-free, ~3× slower per signature.
     """
     import random
 

@@ -235,6 +235,22 @@ def from_avro_with_registry(
         body = strip_confluent_header(F.col(col_name))
         return df.withColumn(col_name, decode(body, schema_json))
 
+    def _expand(df: DataFrame, struct_col: str) -> DataFrame:
+        # a decoded record field named like an existing column (topic,
+        # partition, key, …) would duplicate the name and make every
+        # downstream reference ambiguous — fail loudly at plan time
+        existing = [c for c in df.columns if c != struct_col]
+        fields = df.schema[struct_col].dataType.fieldNames()
+        clashes = sorted(set(existing) & set(fields))
+        if clashes:
+            raise ValueError(
+                f"from_avro_with_registry: decoded {struct_col!r} record "
+                f"field(s) {clashes} collide with existing column(s); rename "
+                "them upstream or expand manually with aliases "
+                f"(e.g. select('{struct_col}.{clashes[0]}' as '…'))"
+            )
+        return df.select("*", f"{struct_col}.*").drop(struct_col)
+
     def _transform(df: DataFrame) -> DataFrame:
         # decode BOTH columns before any struct expansion: a value record
         # with a field named 'key' would otherwise shadow the Kafka key
@@ -243,9 +259,9 @@ def from_avro_with_registry(
         if key_schema:
             out = _decode_col(out, key_col, key_schema)
         if expand_value:
-            out = out.select("*", f"{value_col}.*").drop(value_col)
+            out = _expand(out, value_col)
         if key_schema and expand_key:
-            out = out.select("*", f"{key_col}.*").drop(key_col)
+            out = _expand(out, key_col)
         return out
 
     return _transform

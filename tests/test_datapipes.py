@@ -432,6 +432,33 @@ def test_sessionize_batch_gap_semantics(spark):
     assert got[("u2", t0)][0] == 1
 
 
+def test_sessionize_exact_gap_boundary_merges(spark):
+    """An event EXACTLY ``gap`` after its predecessor stays in the same
+    session: Spark's session_window extends the session when the new
+    event's start <= current end, i.e. only a STRICTLY greater gap breaks
+    the session — matching the lag/cumsum oracle's ``diff > gap``. Pinned
+    so a Spark behavior change (half-open merge) can't silently diverge
+    from the dp18 oracle at larger scale factors where ties occur."""
+    from lakehouse_engine_spark.datapipes.joins import sessionize
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    one_s = dt.timedelta(seconds=1)
+    rows = [
+        ("tie", t0), ("tie", t0 + gap), ("tie", t0 + 2 * gap),  # chained ties
+        ("over", t0), ("over", t0 + gap + one_s),               # gap+1s breaks
+    ]
+    df = spark.createDataFrame(rows, "user_id STRING, ts TIMESTAMP")
+    out = df.transform(sessionize(on=["user_id"], ts_col="ts", gap="30 minutes"))
+    got = {(r["user_id"], r["session_start"]): r["n_events"] for r in out.collect()}
+    assert got == {
+        ("tie", t0): 3,                 # exact-gap events merge transitively
+        ("over", t0): 1,
+        ("over", t0 + gap + one_s): 1,  # strictly-greater gap splits
+    }
+
+
 def test_sessionize_streaming_with_watermark(spark, tmp_dir):
     """The same operator runs under Structured Streaming: stage events as
     files, readStream + watermark, sessionize, collect via memory sink."""

@@ -118,3 +118,60 @@ def test_spark_image_decode_strict_raises(spark):
     df = spark.createDataFrame([(1, b"\x89PNG\r\n\x1a\nx")], "doc_id LONG, payload BINARY")
     with pytest.raises(Exception, match="codec"):
         df.transform(t("multimodal_image_decode", on_unsupported="error")).collect()
+
+
+def test_injected_jpeg_decoder_runs_through_spark_path(spark, img):
+    """Registered compressed-codec decoders (Pillow on a real cluster; a
+    deterministic fake here) flow through the SAME Arrow-batched
+    mapInPandas pipeline as the native PPM/BMP path: the plan-build-time
+    registry snapshot is pickled into the executor closure, so a
+    driver-registered closure decodes on workers."""
+    from lakehouse_engine_spark.datapipes import media_codecs
+
+    # deterministic fake: payload after the 3 magic bytes is a raw PPM
+    def fake_jpeg(b: bytes):
+        return decode_image(b[3:])[0]
+
+    media_codecs.register_decoder("image/jpeg", fake_jpeg)
+    try:
+        rows = [
+            (1, b"\xff\xd8\xff" + make_ppm(img)),  # "jpeg" → fake decoder
+            (2, make_ppm(img)),                     # native path, same pixels
+        ]
+        df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+        meta = {r["id"]: r for r in df.transform(t("multimodal_image_decode")).collect()}
+        assert meta[1]["codec"] == "jpeg" and meta[1]["media_type"] == "image/jpeg"
+        assert (meta[1]["width"], meta[1]["height"]) == (4, 4)
+        assert list(meta[1]["feature"]) == pytest.approx(list(meta[2]["feature"]))
+        assert meta[1]["mean_rgb"] == pytest.approx([127.5, 127.5, 127.5])
+
+        # resize consumes the injected decoder too, re-encoding as PPM
+        resized = {
+            r["id"]: r["payload"]
+            for r in df.transform(t("multimodal_image_resize", width=2, height=2)).collect()
+        }
+        arr, codec = decode_image(bytes(resized[1]))
+        assert codec == "ppm" and arr.shape == (2, 2, 3)
+        assert np.array_equal(arr[0, 0], img[0, 0])
+    finally:
+        media_codecs.unregister_decoder("image/jpeg")
+
+    # registry restored: strict mode honestly raises again
+    df2 = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0x")], "doc_id LONG, payload BINARY"
+    )
+    with pytest.raises(Exception, match="codec"):
+        df2.transform(t("multimodal_image_decode", on_unsupported="error")).collect()
+
+
+def test_decoder_must_return_hw3():
+    from lakehouse_engine_spark.datapipes import media_codecs
+
+    with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+        decode_image(
+            b"\xff\xd8\xff\xe0x", {"image/jpeg": lambda b: np.zeros((4, 4))}
+        )
+
+
+def test_webp_sniff():
+    assert sniff_media(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image/webp"

@@ -89,6 +89,45 @@ def test_move_single_object(store):
     assert ("b", "other/one.txt") not in store.objects
 
 
+def test_move_into_nested_destination_keeps_copies(store):
+    """Destination nested under the source prefix: the delete must cover
+    exactly the keys the copy plan read, never a fresh prefix expansion
+    (which would match — and destroy — the freshly copied objects)."""
+    manage_files(
+        {"function": "move_objects", "bucket": "b", "source_object": "data/",
+         "destination_object": "data/archive/"},
+        client=store,
+    )
+    assert ("b", "data/archive/part-0.parquet") in store.objects
+    assert ("b", "data/archive/part-1.parquet") in store.objects
+    assert ("b", "data/part-0.parquet") not in store.objects
+    assert ("b", "data/part-1.parquet") not in store.objects
+    deletes = [c for c in store.calls if c[0] == "delete"]
+    assert deletes == [("delete", "b", ("data/part-0.parquet", "data/part-1.parquet"))]
+
+
+def test_move_does_not_delete_keys_added_during_copy(store):
+    """A key created under the source prefix between copy and delete was
+    never copied, so it must survive the move."""
+    class RacingStore(FakeStore):
+        def copy_object(self, sb, sk, db, dk):
+            super().copy_object(sb, sk, db, dk)
+            # concurrent writer lands a new object mid-move
+            self.objects.setdefault(("b", "data/late.parquet"), b"late")
+
+    racing = RacingStore(
+        {("b", "data/part-0.parquet"): b"p0"}
+    )
+    manage_files(
+        {"function": "move_objects", "bucket": "b", "source_object": "data/",
+         "destination_object": "moved/"},
+        client=racing,
+    )
+    assert ("b", "data/late.parquet") in racing.objects
+    assert ("b", "moved/part-0.parquet") in racing.objects
+    assert ("b", "data/part-0.parquet") not in racing.objects
+
+
 def test_restore_to_destination_and_wait(store):
     manage_files(
         {"function": "request_restore_to_destination_and_wait", "bucket": "b",

@@ -291,6 +291,29 @@ def test_from_avro_with_registry_decodes_key_too(spark):
     assert r["value_body"] == "v1" and r["key_body"] == "k1"
 
 
+def test_from_avro_with_registry_rejects_field_collisions(spark):
+    # a decoded record field named like an existing column (here: 'topic')
+    # would expand into a duplicate column name — must raise at plan time
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(bytes(5) + b"v1", "t0")], "value BINARY, topic STRING"
+    )
+    with pytest.raises(ValueError, match="topic.*collide"):
+        df.transform(
+            t(
+                "from_avro_with_registry",
+                schema_registry="http://r",
+                value_schema="t-value",
+                fetch_schema=lambda r, s: s,
+                avro_decode=lambda c, s: F.struct(
+                    F.decode(c, "UTF-8").alias("body"),
+                    F.lit("x").alias("topic"),
+                ),
+            )
+        )
+
+
 def test_date_transformers(spark):
     df = spark.createDataFrame([("2024-03-05", "20240305101112")], "d STRING, ts STRING")
     out = df.transform(t("convert_to_date", cols=["d"]))
