@@ -98,6 +98,59 @@ def test_streaming_checkpoint_consumes_only_new_files(spark, tmp_dir):
     assert rows == {(2, 1)}  # only the new file
 
 
+def test_streaming_restart_from_checkpoint_no_reprocessing(spark, tmp_dir):
+    """Kill/restart semantics: each load_data run starts a fresh query,
+    drains what's available (availableNow), and stops — a restart against
+    the SAME checkpointLocation must resume from the recorded file offsets,
+    never re-emitting earlier micro-batches into the sink. maxFilesPerTrigger=1
+    forces multiple micro-batches per run so the checkpoint advances
+    through several commits within one lifecycle, the way the reference's
+    streaming feature ACONs exercise it."""
+    src = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    ck = os.path.join(tmp_dir, "ck")
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "s",
+                "data_format": "parquet",
+                "location": src,
+                "read_type": "streaming",
+                "schema": SCHEMA,
+                "options": {"maxFilesPerTrigger": 1},
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "o",
+                "input_id": "s",
+                "data_format": "parquet",
+                "location": out,
+                "write_type": "append",
+                "options": {"checkpointLocation": ck},
+            }
+        ],
+    }
+    # run 1: two staged files → two micro-batches drain into the sink
+    _stage(spark, src, [(1, 1)])
+    _stage(spark, src, [(2, 1)])
+    load_data(acon)
+    assert {(r["k"], r["ver"]) for r in spark.read.parquet(out).collect()} == {
+        (1, 1),
+        (2, 1),
+    }
+    # "kill": the run-1 query object is gone. Stage more data, restart from
+    # the same checkpoint → only the new files flow; nothing re-emitted.
+    _stage(spark, src, [(3, 1)])
+    _stage(spark, src, [(4, 1)])
+    load_data(acon)
+    rows = [(r["k"], r["ver"]) for r in spark.read.parquet(out).collect()]
+    assert sorted(rows) == [(1, 1), (2, 1), (3, 1), (4, 1)]  # no duplicates
+    # restart with nothing new: sink must not change
+    load_data(acon)
+    assert spark.read.parquet(out).count() == 4
+
+
 def test_streaming_file_sink(spark, tmp_dir):
     src = os.path.join(tmp_dir, "src")
     out = os.path.join(tmp_dir, "out")
