@@ -833,6 +833,64 @@ def q18_gab_monthly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q21_gab_quarterly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """GAB QUARTER-cadence projection (reconciliation window bounds): the
+    join-free arm of _cadence_join_config — bucket start is
+    date_trunc('QUARTER'), bucket end the reference's generating rule
+    ``date(date_trunc('QUARTER', add_months(d, 3)))-1`` — so, like MONTH,
+    the whole rollup stays in one codegen stage with no calendar join
+    (reference matrix core/definitions.py:1415-1756, QUARTER rows)."""
+    orders = load_table(spark, sf, "orders")
+    orders.createOrReplaceTempView("gab_q21_orders")
+    return spark.sql(
+        f"""
+        SELECT date_format(date_trunc('QUARTER', o_orderdate), 'yyyy-MM-dd') AS from_date,
+               date_format(
+                 date_sub(date(date_trunc('QUARTER', add_months(o_orderdate, 3))), 1),
+                 'yyyy-MM-dd') AS to_date,
+               o_orderpriority AS d1,
+               COUNT(*) AS m1,
+               CAST(SUM({_dec('o_totalprice')}) AS DOUBLE) AS m2
+        FROM gab_q21_orders
+        WHERE o_orderdate >= DATE'1995-01-01' AND o_orderdate < DATE'1995-07-01'
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
+def q22_gab_quarter_month_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """GAB SNAPSHOT cadence: QUARTER cadence reconciled MONTHLY with
+    snapshot=Y — one bucket per concluded month inside each quarter,
+    spanning quarter start → least(month_end, quarter_end), so every
+    monthly snapshot accumulates quarter-to-date (the snapshot branch of
+    _cadence_join_config; reference matrix core/definitions.py:1415-1756).
+    The calendar dimension is generated and broadcast-joined, exactly as
+    GAB emits it."""
+    from lakehouse_engine_spark.utils.gab_utils import create_calendar_view
+
+    orders = load_table(spark, sf, "orders")
+    orders.createOrReplaceTempView("gab_q22_orders")
+    create_calendar_view(spark, "1995-01-01", "1995-06-30", view_name="df_cal_q22")
+    return spark.sql(
+        f"""
+        SELECT date_format(cal.cadence_start_date, 'yyyy-MM-dd') AS from_date,
+               date_format(cal.cadence_end_date, 'yyyy-MM-dd') AS to_date,
+               o.o_orderpriority AS d1,
+               COUNT(*) AS m1,
+               CAST(SUM({_dec('o.o_totalprice')}) AS DOUBLE) AS m2
+        FROM gab_q22_orders o
+        INNER JOIN (
+            SELECT DISTINCT quarter_start AS cadence_start_date,
+                            least(month_end, quarter_end) AS cadence_end_date
+            FROM df_cal_q22
+        ) cal
+          ON o.o_orderdate BETWEEN cal.cadence_start_date AND cal.cadence_end_date
+        WHERE o.o_orderdate >= DATE'1995-01-01' AND o.o_orderdate < DATE'1995-07-01'
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
 def dp11_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup removal. The 60-bit signature is an md5-fold (ANSI
     portable), so the DuckDB oracle rebuilds the full pipeline —
@@ -1042,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_events_dedup": q16_events_dedup,
         "q17_gab_weekly_rollup": q17_gab_weekly_rollup,
         "q18_gab_monthly_rollup": q18_gab_monthly_rollup,
+        "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,
+        "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,
         "dp01_text_quality": dp01_text_quality,
         "dp02_langid": dp02_langid,
         "dp03_token_count": dp03_token_count,
@@ -1963,6 +2023,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m2
             FROM orders
             WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+            GROUP BY 1, 2, 3
+        """,
+        "q21_gab_quarterly_rollup": """
+            SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS from_date,
+                   strftime(date_trunc('quarter', o_orderdate + INTERVAL 3 MONTH) - INTERVAL 1 DAY,
+                            '%Y-%m-%d') AS to_date,
+                   o_orderpriority AS d1,
+                   COUNT(*) AS m1,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m2
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+            GROUP BY 1, 2, 3
+        """,
+        "q22_gab_quarter_month_snapshot": """
+            WITH cal AS (
+              SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-06-30',
+                                            INTERVAL 1 DAY))::DATE AS d
+            ), buckets AS (
+              SELECT DISTINCT
+                     date_trunc('quarter', d)::DATE AS cadence_start_date,
+                     LEAST(last_day(d),
+                           (date_trunc('quarter', d + INTERVAL 3 MONTH)
+                            - INTERVAL 1 DAY)::DATE) AS cadence_end_date
+              FROM cal
+            )
+            SELECT strftime(b.cadence_start_date, '%Y-%m-%d') AS from_date,
+                   strftime(b.cadence_end_date, '%Y-%m-%d') AS to_date,
+                   o.o_orderpriority AS d1,
+                   COUNT(*) AS m1,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m2
+            FROM orders o
+            JOIN buckets b
+              ON o.o_orderdate BETWEEN b.cadence_start_date AND b.cadence_end_date
+            WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1995-07-01'
             GROUP BY 1, 2, 3
         """,
     }

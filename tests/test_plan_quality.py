@@ -45,6 +45,24 @@ def test_gab_calendar_join_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in physical
 
 
+def test_gab_quarterly_is_join_free(spark, sf_dir):
+    """QUARTER cadence uses the join-free arm of _cadence_join_config:
+    bucket bounds are pure date expressions, so the rollup must contain no
+    join at all — one scan, one aggregate."""
+    df = entry.queries()["q21_gab_quarterly_rollup"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Join" not in physical, physical[:2000]
+
+
+def test_gab_snapshot_calendar_join_broadcasts(spark, sf_dir):
+    """The snapshot cadence joins the generated calendar dimension — tiny,
+    so it must broadcast (never shuffle the orders side)."""
+    df = entry.queries()["q22_gab_quarter_month_snapshot"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastNestedLoopJoin" in physical or "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical
+
+
 def test_pricing_summary_prunes_columns(spark, sf_dir):
     df = entry.queries()["q01_pricing_summary"](spark, sf_dir)
     _, full = _plans(df)
