@@ -15,5 +15,6 @@ from lakehouse_engine_spark.datapipes import (  # noqa: E402,F401 — populate r
     profiling,
     sampling,
     similarity,
+    stateful,
     text,
 )
