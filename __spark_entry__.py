@@ -986,6 +986,48 @@ def dp27_image_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _le_hex(col, nbytes: int):
+    """Little-endian hex of an integer column, ``nbytes`` wide — for
+    constructing RIFF/WAV binary structures in pure SQL expressions."""
+    h = F.lpad(F.hex(col), 2 * nbytes, "0")
+    return F.concat(*[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))])
+
+
+def dp32_audio_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL binary audio decode: each doc gets a constructed PCM16 WAV
+    (sample count and constant amplitude are pure functions of doc_id),
+    the numpy RIFF-walk decoder (datapipes/media_codecs.py decode_wav)
+    parses the actual bytes inside Arrow-batched mapInPandas, and the
+    oracle predicts duration/RMS/peak arithmetically — wrong chunk
+    offsets, byte order, or normalization would break the match. Constant
+    amplitude keeps RMS == peak == amp/32768 exact in fp."""
+    docs = load_table(spark, sf, "documents")
+    n = F.expr("16 + doc_id % 16")          # samples
+    amp = F.expr("doc_id % 1000")           # constant int16 amplitude
+    payload_hex = F.concat(
+        F.lit("52494646"), _le_hex(F.lit(36) + n * 2, 4), F.lit("57415645"),
+        F.lit("666D7420"), F.lit("10000000"),  # fmt chunk, 16 bytes
+        F.lit("01000100"),                     # PCM, mono
+        F.lit("401F0000"), F.lit("803E0000"),  # 8000 Hz, 16000 B/s
+        F.lit("02001000"),                     # block align 2, 16 bit
+        F.lit("64617461"), _le_hex(n * 2, 4),  # data chunk header
+        F.repeat(_le_hex(amp, 2), n.cast("int")),
+    )
+    clips = docs.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    meta = clips.transform(_t("multimodal_audio_decode"))
+    return meta.select(
+        F.col("id").alias("doc_id"),
+        "media_type",
+        "codec",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_s",
+        "rms",
+        "peak",
+    )
+
+
 def dp28_embedding_dedup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup removal, LSH-bucketed scale path: hyperplane
     bucket candidates + exact cosine verify (datapipes/dedup.py
@@ -1135,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp29_pack_sequences": dp29_pack_sequences,
         "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
         "dp31_sessionize_boundary": dp31_sessionize_boundary,
+        "dp32_audio_decode": dp32_audio_decode,
     }
 
 
@@ -1748,6 +1791,18 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 256)::DOUBLE AS mean_r,
                    ((7 * doc_id) % 256)::DOUBLE AS mean_g,
                    ((13 * doc_id) % 256)::DOUBLE AS mean_b
+            FROM documents
+        """,
+        "dp32_audio_decode": """
+            SELECT doc_id,
+                   'audio/wav' AS media_type,
+                   'pcm16' AS codec,
+                   8000::INT AS sample_rate,
+                   1::INT AS n_channels,
+                   CAST(16 + doc_id % 16 AS BIGINT) AS n_samples,
+                   (16 + doc_id % 16) / 8000.0 AS duration_s,
+                   (doc_id % 1000) / 32768.0 AS rms,
+                   (doc_id % 1000) / 32768.0 AS peak
             FROM documents
         """,
         "dp28_embedding_dedup_lsh": _duck_lsh_sig_ctes(12, 4, 64) + f""",

@@ -158,6 +158,60 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     return (rgb[::-1] if flip else rgb).copy()
 
 
+def decode_wav(b: bytes) -> Optional[Tuple[np.ndarray, int, str]]:
+    """Decode a PCM WAV payload to ``(samples, sample_rate, codec)``.
+
+    ``samples`` is float32 of shape (frames, channels), normalized to
+    [-1, 1] (int8 is unsigned per the WAV spec; 16/32-bit are signed
+    little-endian). Pure numpy — a RIFF chunk walk + ``np.frombuffer``
+    reshape, no per-sample Python. Returns ``None`` for non-WAV payloads;
+    raises for WAV variants that are not integer PCM (compressed codecs
+    plug in at this boundary on a real cluster, like images)."""
+    if sniff_media(b) != "audio/wav":
+        return None
+    # RIFF chunk walk: [id(4) size(4) payload(size, word-aligned)] from 12
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack_from("<I", b, i + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", b, i + 8)
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _rate, _align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16, 32):
+        raise ValueError(
+            f"WAV unsupported: format={audio_format} bits={bits} (integer PCM only)"
+        )
+    if bits == 8:  # unsigned per spec
+        raw = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+        samples = (raw - 128.0) / 128.0
+    else:
+        dt = np.int16 if bits == 16 else np.int32
+        raw = np.frombuffer(data, dtype=np.dtype(dt).newbyteorder("<"))
+        samples = raw.astype(np.float32) / float(2 ** (bits - 1))
+    frames = len(samples) // channels
+    return samples[: frames * channels].reshape(frames, channels), sample_rate, f"pcm{bits}"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode (frames, channels) float32 [-1, 1] as 16-bit PCM WAV."""
+    arr = np.clip(samples, -1.0, 1.0)
+    pcm = (arr * 32767.0).astype("<i2")
+    data = pcm.tobytes()
+    channels = pcm.shape[1] if pcm.ndim == 2 else 1
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
 def encode_ppm(arr: np.ndarray) -> bytes:
     """Encode an (H, W, 3) uint8 array as binary PPM."""
     h, w = arr.shape[:2]

@@ -175,3 +175,53 @@ def test_decoder_must_return_hw3():
 
 def test_webp_sniff():
     assert sniff_media(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image/webp"
+
+
+def test_wav_roundtrip_and_levels():
+    from lakehouse_engine_spark.datapipes.media_codecs import decode_wav, encode_wav
+
+    # stereo: constant 0.5 left, constant -0.25 right, 8 frames @ 16 kHz
+    sig = np.stack(
+        [np.full(8, 0.5, np.float32), np.full(8, -0.25, np.float32)], axis=1
+    )
+    samples, rate, codec = decode_wav(encode_wav(sig, 16_000))
+    assert (rate, codec) and samples.shape == (8, 2) and rate == 16_000
+    assert codec == "pcm16"
+    assert np.allclose(samples[:, 0], 0.5, atol=1e-3)
+    assert np.allclose(samples[:, 1], -0.25, atol=1e-3)
+    assert decode_wav(b"\xff\xd8\xffnot-audio") is None
+
+
+def test_wav_8bit_unsigned():
+    from lakehouse_engine_spark.datapipes.media_codecs import decode_wav
+
+    data = bytes([128, 255, 0, 128])  # silence, +max, -max, silence
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+    hdr += b"data" + struct.pack("<I", len(data))
+    samples, rate, codec = decode_wav(hdr + data)
+    assert codec == "pcm8" and rate == 8000
+    assert np.allclose(samples[:, 0], [0.0, 0.9921875, -1.0, 0.0])
+
+
+def test_spark_audio_decode(spark):
+    from lakehouse_engine_spark.datapipes.media_codecs import encode_wav
+
+    tone = np.full((16, 1), 0.5, np.float32)
+    rows = [
+        (1, encode_wav(tone, 8000)),
+        (2, b"\xff\xd8\xff not audio"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    meta = {r["id"]: r for r in df.transform(t("multimodal_audio_decode")).collect()}
+    a = meta[1]
+    assert (a["codec"], a["sample_rate"], a["n_channels"], a["n_samples"]) == (
+        "pcm16", 8000, 1, 16,
+    )
+    assert a["duration_s"] == pytest.approx(16 / 8000)
+    assert a["rms"] == pytest.approx(0.5, abs=1e-3)
+    assert a["peak"] == pytest.approx(0.5, abs=1e-3)
+    assert meta[2]["media_type"] == "image/jpeg" and meta[2]["codec"] is None
+
+    with pytest.raises(Exception, match="codec"):
+        df.transform(t("multimodal_audio_decode", on_unsupported="error")).collect()

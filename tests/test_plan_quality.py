@@ -202,3 +202,10 @@ def test_image_decode_is_arrow_batched(spark, sf_dir):
     physical, _ = _plans(df)
     assert "MapInPandas" in physical
     assert "BatchEvalPython" not in physical  # the row-at-a-time slow path
+
+
+def test_audio_decode_is_arrow_batched(spark, sf_dir):
+    df = entry.queries()["dp32_audio_decode"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "MapInPandas" in physical
+    assert "BatchEvalPython" not in physical
