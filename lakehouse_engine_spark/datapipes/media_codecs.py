@@ -47,6 +47,27 @@ def available_decoders() -> Dict[str, Callable[[bytes], np.ndarray]]:
     return dict(_EXTRA_DECODERS)
 
 
+# Video frame extractors: media-type → (bytes, max_frames) → list of frame
+# payloads (each itself a decodable image, e.g. PPM). ffmpeg/PyAV plugs in
+# on a real cluster; tests inject deterministic fakes. Same plan-time
+# snapshot discipline as image decoders.
+_FRAME_EXTRACTORS: Dict[str, Callable[[bytes, int], list]] = {}
+
+
+def register_frame_extractor(
+    media_type: str, fn: Callable[[bytes, int], list]
+) -> None:
+    _FRAME_EXTRACTORS[media_type] = fn
+
+
+def unregister_frame_extractor(media_type: str) -> None:
+    _FRAME_EXTRACTORS.pop(media_type, None)
+
+
+def available_frame_extractors() -> Dict[str, Callable[[bytes, int], list]]:
+    return dict(_FRAME_EXTRACTORS)
+
+
 def _pillow_decode(b: bytes) -> np.ndarray:
     import io
 
@@ -80,6 +101,12 @@ def sniff_media(b: bytes) -> str:
         return "audio/wav"
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         return "image/webp"
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "video/avi"
+    if b[4:8] == b"ftyp":
+        return "video/mp4"
+    if b[:4] == b"\x1a\x45\xdf\xa3":
+        return "video/webm"
     return "application/octet-stream"
 
 

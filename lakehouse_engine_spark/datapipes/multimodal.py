@@ -355,10 +355,14 @@ def frame_sample(
     max_frames: int = 16,
     mode: str = "fake",
 ) -> TransformerFn:
-    """Frame sampling contract (video → frames): one output row per sampled
-    frame with (id, frame_idx, frame_bytes). Fake mode slices the payload at
-    fixed offsets; a real implementation decodes with ffmpeg at this exact
-    UDF boundary."""
+    """Frame sampling (video → frames): one output row per sampled frame
+    with (id, frame_idx, frame_bytes). Payloads whose sniffed media type
+    has a registered frame extractor
+    (``media_codecs.register_frame_extractor`` — ffmpeg/PyAV on a real
+    cluster; the registry snapshot is pickled into the executor closure)
+    extract REAL frames regardless of mode. For everything else, ``fake``
+    mode slices the payload at fixed offsets (pipeline-shape tests) and
+    ``strict`` raises at the documented codec boundary."""
 
     schema = T.StructType(
         [
@@ -369,21 +373,38 @@ def frame_sample(
     )
 
     def _sample(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.media_codecs import (
+            available_frame_extractors,
+            sniff_media,
+        )
+
+        extractors = available_frame_extractors()  # plan-time snapshot
         src = df.select(F.col(id_col).alias("id"), F.col(payload_col))
 
         def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
-                if mode == "strict":
-                    raise NotImplementedError("video decode stub — plug in ffmpeg here")
                 rows = {"id": [], "frame_idx": [], "frame_bytes": []}
-                for _, r in pdf.iterrows():
-                    b = r[payload_col] or b""
-                    for i in range(min(max(len(b) // every_n_bytes, 1), max_frames)):
-                        rows["id"].append(r["id"])
-                        rows["frame_idx"].append(i)
-                        rows["frame_bytes"].append(
-                            bytes(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+                for pid, b in zip(pdf["id"], pdf[payload_col]):
+                    b = bytes(b) if b is not None else b""
+                    fn = extractors.get(sniff_media(b))
+                    if fn is not None:
+                        frames = fn(b, max_frames)
+                    elif mode == "strict":
+                        raise NotImplementedError(
+                            "video decode stub — register a frame extractor "
+                            "(ffmpeg/PyAV) via media_codecs.register_frame_extractor"
                         )
+                    else:
+                        frames = [
+                            bytes(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+                            for i in range(
+                                min(max(len(b) // every_n_bytes, 1), max_frames)
+                            )
+                        ]
+                    for i, fb in enumerate(frames[:max_frames]):
+                        rows["id"].append(pid)
+                        rows["frame_idx"].append(i)
+                        rows["frame_bytes"].append(fb)
                 yield pd.DataFrame(rows)
 
         return src.mapInPandas(_batches, schema)

@@ -258,6 +258,49 @@ def test_multimodal_frame_sample_stubbed(spark):
     assert all(len(r["frame_bytes"]) == 256 for r in rows)
 
 
+def test_frame_sample_with_injected_extractor_chains_into_image_decode(spark):
+    """A registered frame extractor (ffmpeg stand-in) extracts REAL frames
+    from video payloads through the same mapInPandas path, and the frames
+    chain straight into multimodal_image_decode — the full
+    video → frames → pixels pipeline with only the codec injected."""
+    import numpy as np
+
+    from lakehouse_engine_spark.datapipes import media_codecs
+    from lakehouse_engine_spark.datapipes.media_codecs import encode_ppm
+
+    def fake_mp4_frames(b, max_frames):
+        # deterministic: one solid 2x2 PPM per body byte after the 12-byte
+        # ftyp box (size + 'ftyp' + brand)
+        return [
+            encode_ppm(np.full((2, 2, 3), v, np.uint8))
+            for v in b[12 : 12 + max_frames]
+        ]
+
+    media_codecs.register_frame_extractor("video/mp4", fake_mp4_frames)
+    try:
+        payload = b"\x00\x00\x00\x18ftypisom" + bytes([10, 20, 30, 40])
+        df = spark.createDataFrame([(7, payload)], "doc_id LONG, payload BINARY")
+        frames = df.transform(
+            t("multimodal_frame_sample", max_frames=3, mode="strict")
+        )
+        meta = frames.withColumnRenamed("frame_bytes", "payload").transform(
+            t("multimodal_image_decode", id_col="frame_idx")
+        )
+        got = {r["id"]: r for r in meta.collect()}
+        assert sorted(got) == [0, 1, 2]  # max_frames honored
+        assert all(r["codec"] == "ppm" and r["width"] == 2 for r in got.values())
+        assert [int(got[i]["mean_rgb"][0]) for i in range(3)] == [10, 20, 30]
+    finally:
+        media_codecs.unregister_frame_extractor("video/mp4")
+
+    # registry restored: strict mode raises again for video payloads
+    df2 = spark.createDataFrame(
+        [(1, b"\x00\x00\x00\x18ftypisomxx")], "doc_id LONG, payload BINARY"
+    )
+    with pytest.raises(Exception, match="frame extractor"):
+        df2.transform(t("multimodal_frame_sample", mode="strict")).collect()
+
+
 def test_hash_split_deterministic_and_stable(spark, docs):
     from lakehouse_engine_spark.datapipes.sampling import hash_sample, hash_split
 
