@@ -245,6 +245,23 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
+def resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Linear-interpolation resample of (frames, channels) float samples —
+    vectorized ``np.interp`` per channel, no per-sample Python. The
+    training-pipeline normalization step (e.g. everything → 16 kHz);
+    proper band-limited resampling plugs in at the same boundary."""
+    frames = samples.shape[0]
+    if src_rate == dst_rate or frames == 0:
+        return samples
+    out_n = max(int(round(frames * dst_rate / src_rate)), 1)
+    src_pos = np.arange(frames, dtype=np.float64)
+    dst_pos = np.arange(out_n, dtype=np.float64) * (frames - 1) / max(out_n - 1, 1)
+    return np.stack(
+        [np.interp(dst_pos, src_pos, samples[:, c]) for c in range(samples.shape[1])],
+        axis=1,
+    ).astype(np.float32)
+
+
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize via integer index gather (pure numpy)."""
     h, w = arr.shape[:2]

@@ -302,6 +302,52 @@ def audio_decode(
     return _decode
 
 
+@register("multimodal_audio_resample")
+def audio_resample(
+    target_rate: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> TransformerFn:
+    """REAL sample-rate normalization for PCM WAV payloads: linear-interp
+    resample to ``target_rate``, re-encoded as 16-bit PCM — the
+    everything-to-16kHz step an audio training corpus runs before feature
+    extraction. NULL payload for non-WAV inputs (codec boundary)."""
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def _resample(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.media_codecs import (
+            decode_wav,
+            encode_wav,
+            resample_linear,
+        )
+
+        src = df.select(F.col(id_col).alias("id"), F.col(payload_col))
+
+        def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                ids, payloads = [], []
+                for pid, b in zip(pdf["id"], pdf[payload_col]):
+                    decoded = decode_wav(bytes(b) if b is not None else b"")
+                    ids.append(pid)
+                    if decoded is None:
+                        payloads.append(None)
+                        continue
+                    samples, rate, _codec = decoded
+                    payloads.append(
+                        encode_wav(
+                            resample_linear(samples, rate, target_rate), target_rate
+                        )
+                    )
+                yield pd.DataFrame({"id": ids, "payload": payloads})
+
+        return src.mapInPandas(_batches, schema)
+
+    return _resample
+
+
 @register("multimodal_image_resize")
 def image_resize(
     width: int,

@@ -204,6 +204,37 @@ def test_wav_8bit_unsigned():
     assert np.allclose(samples[:, 0], [0.0, 0.9921875, -1.0, 0.0])
 
 
+def test_resample_linear_preserves_constant_and_ramp():
+    from lakehouse_engine_spark.datapipes.media_codecs import resample_linear
+
+    const = np.full((100, 1), 0.5, np.float32)
+    up = resample_linear(const, 8000, 16_000)
+    assert up.shape == (200, 1) and np.allclose(up, 0.5)
+    ramp = np.linspace(0, 1, 101, dtype=np.float32)[:, None]
+    down = resample_linear(ramp, 16_000, 8_000)
+    # linear interp of a linear ramp is the ramp itself, endpoints preserved
+    assert down.shape == (50, 1)
+    assert down[0, 0] == 0.0 and abs(down[-1, 0] - 1.0) < 1e-6
+    assert np.allclose(np.diff(down[:, 0]), np.diff(down[:, 0])[0], atol=1e-6)
+
+
+def test_spark_audio_resample_roundtrip(spark):
+    from lakehouse_engine_spark.datapipes.media_codecs import decode_wav, encode_wav
+
+    tone = np.full((80, 1), 0.25, np.float32)
+    rows = [(1, encode_wav(tone, 8000)), (2, b"not audio at all")]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    out = {
+        r["id"]: r["payload"]
+        for r in df.transform(t("multimodal_audio_resample", target_rate=16_000)).collect()
+    }
+    samples, rate, codec = decode_wav(bytes(out[1]))
+    assert (rate, codec) == (16_000, "pcm16")
+    assert samples.shape == (160, 1)
+    assert np.allclose(samples, 0.25, atol=1e-3)
+    assert out[2] is None
+
+
 def test_spark_audio_decode(spark):
     from lakehouse_engine_spark.datapipes.media_codecs import encode_wav
 
