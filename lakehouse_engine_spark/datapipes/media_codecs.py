@@ -227,7 +227,9 @@ def decode_wav(b: bytes) -> Optional[Tuple[np.ndarray, int, str]]:
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """Encode (frames, channels) float32 [-1, 1] as 16-bit PCM WAV."""
     arr = np.clip(samples, -1.0, 1.0)
-    pcm = (arr * 32767.0).astype("<i2")
+    # rint, not truncation: truncating doubles the quantization error
+    # (caught by the hypothesis roundtrip property)
+    pcm = np.rint(arr * 32767.0).astype("<i2")
     data = pcm.tobytes()
     channels = pcm.shape[1] if pcm.ndim == 2 else 1
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
