@@ -989,6 +989,23 @@ def dp27_image_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp33_text_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: documents split into 64-token windows with
+    a 16-token overlap (datapipes/text.py text_chunk — pure codegen
+    sequence/posexplode/slice row expansion, no shuffle). The oracle
+    replays tokenize → stride arithmetic → slice in DuckDB."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.select("doc_id", "text").transform(
+        _t("text_chunk", chunk_tokens=64, overlap=16)
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_n_tokens").cast("int").alias("chunk_n_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
 def _le_hex(col, nbytes: int):
     """Little-endian hex of an integer column, ``nbytes`` wide — for
     constructing RIFF/WAV binary structures in pure SQL expressions."""
@@ -1181,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
         "dp31_sessionize_boundary": dp31_sessionize_boundary,
         "dp32_audio_decode": dp32_audio_decode,
+        "dp33_text_chunk": dp33_text_chunk,
     }
 
 
@@ -1795,6 +1813,33 @@ def oracle_sql() -> dict[str, str]:
                    ((7 * doc_id) % 256)::DOUBLE AS mean_g,
                    ((13 * doc_id) % 256)::DOUBLE AS mean_b
             FROM documents
+        """,
+        "dp33_text_chunk": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), e AS (
+              SELECT doc_id, toks,
+                     GREATEST(CAST(CEIL((len(toks) - 16) / 48.0) AS INT), 1)
+                         AS n_chunks
+              FROM t
+            ), x AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+              FROM e
+            )
+            SELECT doc_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(len(list_slice(toks, chunk_idx * 48 + 1,
+                                       chunk_idx * 48 + 64)) AS INT)
+                       AS chunk_n_tokens,
+                   md5(array_to_string(
+                       list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64),
+                       ' ')) AS chunk_md5
+            FROM x
+            WHERE len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) >= 1
         """,
         "dp32_audio_decode": """
             SELECT doc_id,

@@ -369,6 +369,57 @@ def vocab_top_k(
     return _vocab
 
 
+@register("text_chunk")
+def text_chunk(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    min_tokens: int = 1,
+) -> TransformerFn:
+    """Split documents into fixed-size token windows with optional overlap
+    — the context-window chunking step of a pretraining/RAG pipeline. One
+    output row per chunk: all input columns plus ``chunk_idx``,
+    ``chunk_text``, ``chunk_n_tokens``.
+
+    Chunk i covers tokens ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; the last chunk is the remainder
+    (chunks under ``min_tokens`` are dropped — tail fragments fully
+    contained in the previous overlap add no signal). Entirely JVM-side:
+    tokenize once, ``sequence`` + ``posexplode`` + ``slice`` — a pure
+    codegen row-expansion, no shuffle, no Python. At 100 TB the output is
+    a flat projection whose cost is linear in emitted tokens (each token
+    appears in at most ``ceil(chunk/stride)`` chunks)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("text_chunk: need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def _chunk(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(input_col))
+        n = F.size(toks)
+        # number of stride starts covering all n tokens: ceil((n-overlap)/stride)
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+        )
+        with_chunks = df.withColumn("__toks", toks).withColumn(
+            "__idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        piece = F.slice(
+            F.col("__toks"), F.col("__idx") * stride + 1, chunk_tokens
+        )
+        return (
+            with_chunks.select(
+                *[c for c in df.columns],
+                F.col("__idx").alias("chunk_idx"),
+                F.concat_ws(" ", piece).alias("chunk_text"),
+                F.size(piece).cast("int").alias("chunk_n_tokens"),
+            )
+            .filter(F.col("chunk_n_tokens") >= min_tokens)
+        )
+
+    return _chunk
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles; documents shorter than n words yield one shingle."""
     toks = tokens_lower(col)

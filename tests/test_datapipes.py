@@ -645,6 +645,31 @@ def test_decontaminate_flag_and_drop(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
 
 
+def test_text_chunk_windows_and_overlap(spark):
+    doc = " ".join(f"w{i}" for i in range(10))  # w0..w9
+    df = spark.createDataFrame([(1, doc), (2, "a b"), (3, "")],
+                               "doc_id LONG, text STRING")
+    out = df.transform(t("text_chunk", chunk_tokens=4, overlap=2))
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_n_tokens"])
+           for r in out.collect()}
+    # doc 1: stride 2 → starts 0,2,4,6 — ceil((10-2)/2)=4 chunks
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w2 w3 w4 w5", 4)
+    assert got[(1, 3)] == ("w6 w7 w8 w9", 4)
+    assert (1, 4) not in got  # tail fully inside previous overlap
+    assert got[(2, 0)] == ("a b", 2)      # short doc = one whole chunk
+    assert all(k[0] != 3 for k in got)    # empty doc drops
+    # every token of doc 1 appears in at least one chunk
+    covered = set()
+    for (d, _i), (txt, _n) in got.items():
+        if d == 1:
+            covered |= set(txt.split())
+    assert covered == {f"w{i}" for i in range(10)}
+
+    with pytest.raises(ValueError, match="overlap"):
+        t("text_chunk", chunk_tokens=4, overlap=4)
+
+
 def test_vocab_top_k_deterministic_ties(spark):
     df = spark.createDataFrame(
         [(1, "b a c a b z"), (2, "a q")], "doc_id INT, text STRING"

@@ -204,6 +204,15 @@ def test_image_decode_is_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in physical  # the row-at-a-time slow path
 
 
+def test_text_chunk_is_shuffle_free(spark, sf_dir):
+    """Chunking is a pure row expansion (sequence + explode + slice): the
+    plan must contain no Exchange and no Python evaluation."""
+    df = entry.queries()["dp33_text_chunk"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Exchange" not in physical, physical[:2000]
+    assert "BatchEvalPython" not in physical
+
+
 def test_audio_decode_is_arrow_batched(spark, sf_dir):
     df = entry.queries()["dp32_audio_decode"](spark, sf_dir)
     physical, _ = _plans(df)
