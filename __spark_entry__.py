@@ -1006,6 +1006,99 @@ def dp33_text_chunk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp34_quality_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4-style RULE filtering (datapipes/text.py text_quality_prune):
+    hard pass/fail gates (word count, mean word length, symbol/digit ratio,
+    stopword hits, top-word repetition) — all zero-shuffle row-space
+    expressions; the oracle replays each rule in SQL."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.select("doc_id", "text", "lang").transform(
+        _t("text_quality_prune", min_words=10, min_stopword_hits=1,
+           max_top_word_ratio=0.2)
+    )
+    return out.select(
+        "doc_id", "lang", "pass_word_count", "pass_mean_word_len",
+        "pass_symbol_ratio", "pass_digit_ratio", "pass_stopwords",
+        "pass_top_word", "quality_pass",
+    )
+
+
+def dp35_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-derived unigram LM scoring (datapipes/text.py text_lm_score):
+    avg per-token log10 unigram probability as a perplexity proxy. Logs are
+    snapped to a 4dp grid as scaled BIGINTs (floor(x·10⁴+0.5)) and summed
+    exactly — no engine round() anywhere — so the oracle reproduces the
+    emitted double bit-for-bit."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.select("doc_id", "text").transform(
+        _t("text_lm_score", top_v=500)
+    )
+    return out.select("doc_id", "n_scored_tokens", "avg_logprob")
+
+
+def dp36_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document salient terms (datapipes/text.py text_tfidf_top_terms):
+    top-3 TF-IDF terms with scaled-BIGINT idf scoring so ranks are
+    engine-stable integers; df side broadcasts (vocabulary-sized)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", "text").transform(
+        _t("text_tfidf_top_terms", k=3)
+    )
+
+
+def dp37_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-order shuffle (datapipes/sampling.py
+    global_shuffle): content-hash shard + dense per-shard position — a
+    reproducible global permutation with ONE shard-keyed shuffle instead
+    of a global orderBy funnel."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(_t("global_shuffle", shards=8, seed="s1"))
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.col("position").cast("long").alias("position"),
+    )
+
+
+def dp38_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding normalize + int8 quantize (datapipes/embeddings.py):
+    L2-normalize then symmetric per-vector int8 codes. Both are index-order
+    fp folds over the array, so the norm/scale doubles and the integer
+    codes are bit-identical to the oracle's list_reduce/list_transform
+    replay; codes are emitted as an md5 of the joined array."""
+    emb = load_table(spark, sf, "embeddings")
+    out = (
+        emb.transform(_t("embedding_normalize"))
+        .transform(
+            _t("embedding_quantize_int8", input_col="embedding_unit")
+        )
+    )
+    return out.select(
+        "vec_id",
+        F.col("l2_norm").alias("l2_norm"),
+        F.col("q8_scale").alias("q8_scale"),
+        F.aggregate("embedding_q8", F.lit(0), lambda a, x: a + x)
+        .cast("long")
+        .alias("q8_sum"),
+        F.array_max("embedding_q8").cast("int").alias("q8_max"),
+        F.md5(F.concat_ws(",", F.col("embedding_q8"))).alias("q8_md5"),
+    )
+
+
+def dp39_cross_corpus_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus exact dedup (datapipes/dedup.py dedup_cross_exact):
+    flag documents whose normalized content already exists in a reference
+    corpus (here: a 30% hash-sample standing in for a previous training
+    round). Reference side reduces to distinct md5 digests before a
+    digest-keyed join."""
+    docs = load_table(spark, sf, "documents")
+    ref = docs.transform(_t("hash_sample", id_col="doc_id", fraction=0.3, seed="xr"))
+    out = docs.transform(
+        _t("dedup_cross_exact", other_df=ref, key_cols=["text"], mode="flag")
+    )
+    return out.select("doc_id", "lang", "in_reference")
+
+
 def _le_hex(col, nbytes: int):
     """Little-endian hex of an integer column, ``nbytes`` wide — for
     constructing RIFF/WAV binary structures in pure SQL expressions."""
@@ -1199,6 +1292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp31_sessionize_boundary": dp31_sessionize_boundary,
         "dp32_audio_decode": dp32_audio_decode,
         "dp33_text_chunk": dp33_text_chunk,
+        "dp34_quality_prune": dp34_quality_prune,
+        "dp35_lm_score": dp35_lm_score,
+        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,
+        "dp37_global_shuffle": dp37_global_shuffle,
+        "dp38_embedding_quantize": dp38_embedding_quantize,
+        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
     }
 
 
@@ -1813,6 +1912,148 @@ def oracle_sql() -> dict[str, str]:
                    ((7 * doc_id) % 256)::DOUBLE AS mean_g,
                    ((13 * doc_id) % 256)::DOUBLE AS mean_b
             FROM documents
+        """,
+        "dp34_quality_prune": rf"""
+            WITH base AS (
+              SELECT doc_id, lang, text, {_DUCK_TOKENS} AS w,
+                     length(text) AS n_chars
+              FROM documents
+            ), feat AS (
+              SELECT doc_id, lang,
+                     len(w) AS nw,
+                     CASE WHEN len(w) > 0
+                          THEN CAST(list_reduce(list_transform(w, t -> length(t)), (a,b) -> a+b) AS DOUBLE)/len(w)
+                          ELSE 0.0 END AS mean_wl,
+                     CASE WHEN n_chars > 0
+                          THEN CAST(n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)/n_chars
+                          ELSE 0.0 END AS sym_ratio,
+                     CASE WHEN n_chars > 0
+                          THEN CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)/n_chars
+                          ELSE 0.0 END AS digit_ratio,
+                     len(list_intersect(list_distinct(w), {sw['en']})) AS sw_hits,
+                     CASE WHEN len(w) > 0
+                          THEN CAST(list_max(list_transform(list_distinct(w),
+                                t -> len(list_filter(w, x -> x = t)))) AS DOUBLE)/len(w)
+                          ELSE 0.0 END AS top_ratio
+              FROM base
+            )
+            SELECT doc_id, lang,
+                   (nw >= 10 AND nw <= 100000) AS pass_word_count,
+                   (mean_wl >= 2.0 AND mean_wl <= 14.0) AS pass_mean_word_len,
+                   (sym_ratio <= 0.3) AS pass_symbol_ratio,
+                   (digit_ratio <= 0.3) AS pass_digit_ratio,
+                   (sw_hits >= 1) AS pass_stopwords,
+                   (top_ratio <= 0.2) AS pass_top_word,
+                   ((nw >= 10 AND nw <= 100000) AND (mean_wl >= 2.0 AND mean_wl <= 14.0)
+                    AND (sym_ratio <= 0.3) AND (digit_ratio <= 0.3)
+                    AND (sw_hits >= 1) AND (top_ratio <= 0.2)) AS quality_pass
+            FROM feat
+        """,
+        "dp35_lm_score": rf"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents
+            ), vocab AS (
+              SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+              ORDER BY c DESC, w ASC LIMIT 500
+            ), tot AS (
+              SELECT SUM(c) AS n FROM vocab
+            ), scored AS (
+              -- 4dp-grid logs as scaled BIGINTs (floor(x*1e4+0.5)): exact
+              -- integer sums, no engine round() anywhere (Spark rounds the
+              -- shortest decimal repr, DuckDB the binary value — they
+              -- disagree on the half-way points Σlp/n hits often)
+              SELECT t.doc_id, COUNT(*) AS nt,
+                     SUM(CASE WHEN v.c IS NOT NULL
+                              THEN CAST(floor(log10(v.c) * 10000 + 0.5) AS BIGINT)
+                              ELSE -3010 END) AS slp
+              FROM toks t LEFT JOIN vocab v ON t.w = v.w
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.nt, 0) AS INT) AS n_scored_tokens,
+                   (CAST(s.slp AS DOUBLE)/s.nt
+                    - floor(log10(t.n) * 10000 + 0.5)) / 10000.0 AS avg_logprob
+            FROM documents d
+            LEFT JOIN scored s ON d.doc_id = s.doc_id
+            CROSS JOIN tot t
+        """,
+        "dp36_tfidf_top_terms": rf"""
+            WITH pairs AS (
+              SELECT doc_id, w AS term, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents)
+              GROUP BY doc_id, w
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+            ), nd AS (
+              SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+            ), scored AS (
+              -- scaled-BIGINT idf (see dp35 note): exact integer ranking
+              SELECT p.doc_id, p.term, p.tf, f.df,
+                     p.tf * CAST(floor(log10(CAST(n.n + 1 AS DOUBLE)/(f.df + 1))
+                                       * 10000 + 0.5) AS BIGINT) AS tfidf_s
+              FROM pairs p JOIN dfreq f USING (term) CROSS JOIN nd n
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                   tfidf_s / 10000.0 AS tfidf, CAST(term_rank AS INT) AS term_rank
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf_s DESC, term ASC) AS term_rank
+              FROM scored
+            ) WHERE term_rank <= 3
+        """,
+        "dp37_global_shuffle": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 15)
+                          AS BIGINT) % 1000000 AS b
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(b % 8 AS INT) AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY b % 8 ORDER BY b, doc_id) - 1
+                        AS BIGINT) AS position
+            FROM t
+        """,
+        "dp38_embedding_quantize": """
+            WITH n AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
+                                      (a,b) -> a+b)) AS l2
+              FROM embeddings
+            ), u AS (
+              SELECT vec_id, l2,
+                     CASE WHEN l2 >= 1e-12 THEN list_transform(v, x -> x / l2)
+                          ELSE list_transform(v, x -> 0.0) END AS uv
+              FROM n
+            ), q AS (
+              SELECT vec_id, l2, uv,
+                     list_max(list_transform(uv, x -> abs(x))) AS amax
+              FROM u
+            ), codes AS (
+              SELECT vec_id, l2, amax,
+                     CASE WHEN amax > 0.0
+                          THEN list_transform(uv, x -> CAST(floor(x * 127.0 / amax + 0.5) AS INT))
+                          ELSE list_transform(uv, x -> 0) END AS qq
+              FROM q
+            )
+            SELECT vec_id, l2 AS l2_norm,
+                   CASE WHEN amax > 0.0 THEN amax / 127.0 ELSE 0.0 END AS q8_scale,
+                   CAST(list_reduce(qq, (a,b) -> a+b) AS BIGINT) AS q8_sum,
+                   CAST(list_max(qq) AS INT) AS q8_max,
+                   md5(array_to_string(qq, ',')) AS q8_md5
+            FROM codes
+        """,
+        "dp39_cross_corpus_dedup": r"""
+            WITH ref AS (
+              SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS kh
+              FROM documents
+              WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'xr'), 1, 15)
+                         AS BIGINT) % 1000000 < 300000
+            )
+            SELECT d.doc_id, d.lang, (r.kh IS NOT NULL) AS in_reference
+            FROM documents d
+            LEFT JOIN ref r
+              ON md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) = r.kh
         """,
         "dp33_text_chunk": r"""
             WITH t AS (

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
-from lakehouse_engine_spark.datapipes.registry import register
+from lakehouse_engine_spark.datapipes.registry import register, register_contextual
 from lakehouse_engine_spark.datapipes.text import shingles, tokens_lower
 
 TransformerFn = Callable[[DataFrame], DataFrame]
@@ -112,6 +112,72 @@ def dedup_exact(
             .drop("__min_id", *[c for c in keys if c.startswith("__norm_")])
         )
         return out
+
+    return _dedup
+
+
+@register("dedup_cross_exact")
+def dedup_cross_exact(
+    other_df: DataFrame,
+    key_cols: List[str],
+    other_key_cols: Optional[List[str]] = None,
+    normalize: bool = True,
+    mode: str = "drop",  # drop | flag
+    flag_col: str = "in_reference",
+    broadcast_other: bool = False,
+) -> TransformerFn:
+    """Cross-corpus exact dedup: remove (or flag) rows whose content key
+    already exists in a REFERENCE corpus — dedup against a previous
+    training round, an already-released dataset, or a licensed-out slice.
+    Within-corpus duplicates are untouched (compose with ``dedup_exact``
+    for that).
+
+    Scale design: the reference side reduces to DISTINCT md5 key digests
+    (32-char strings, not full rows/texts), then a LEFT ANTI (or left) hash
+    join on the digest — Spark's anti join never materializes matches, and
+    the digest projection means the shuffle carries 32 bytes per reference
+    row regardless of document size. ``broadcast_other=True`` skips the
+    corpus-side shuffle entirely when the reference fits an executor
+    (typical for decontamination-style reference lists); with AQE on, a
+    small digest side auto-broadcasts anyway.
+    """
+    other_keys = list(other_key_cols or key_cols)
+    if len(other_keys) != len(key_cols):
+        raise ValueError("dedup_cross_exact: key_cols/other_key_cols length mismatch")
+
+    def _digest(cols: List[str]) -> Column:
+        parts = [F.col(c).cast("string") for c in cols]
+        if normalize:
+            parts = [F.regexp_replace(F.lower(F.trim(p)), r"\s+", " ") for p in parts]
+        return F.md5(F.concat_ws("", *parts))
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        ref = other_df.select(_digest(other_keys).alias("__kh")).distinct()
+        if broadcast_other:
+            ref = F.broadcast(ref)
+        keyed = df.withColumn("__kh", _digest(list(key_cols)))
+        if mode == "drop":
+            return keyed.join(ref, "__kh", "left_anti").drop("__kh")
+        hit = ref.withColumn(flag_col, F.lit(True))
+        return (
+            keyed.join(hit, "__kh", "left")
+            .withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
+            .drop("__kh")
+        )
+
+    return _dedup
+
+
+@register_contextual("dedup_cross_exact_with")
+def dedup_cross_exact_with(data: dict, other: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`dedup_cross_exact`: resolve ``other`` as an
+    upstream spec_id from the dataflow dict (same convention as
+    ``text_decontaminate_with``)."""
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        if other not in data:
+            raise ValueError(f"dedup_cross_exact_with: unknown spec_id {other}")
+        return dedup_cross_exact(other_df=data[other], **args)(df)
 
     return _dedup
 

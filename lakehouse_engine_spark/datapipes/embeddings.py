@@ -1,0 +1,96 @@
+"""Embedding-column vector operators: L2 normalization and int8
+quantization — the storage/serving prep steps of an embedding pipeline
+(normalize before cosine ANN so dot == cosine; quantize 4× for the
+vector store).
+
+Both are pure row-space projections over ``array<float>`` built from
+higher-order functions (``aggregate`` / ``transform``) — zero shuffle,
+whole-stage codegen, no Python. Numeric determinism: every fold runs in
+array-index order on IEEE doubles, so Spark and the DuckDB oracle
+(``list_reduce`` folds in the same order) produce bit-identical results;
+quantization uses ``floor(x + 0.5)`` (not engine-specific rounding) so
+the int codes match exactly cross-engine.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.datapipes.registry import register
+
+TransformerFn = Callable[[DataFrame], DataFrame]
+
+
+def l2_norm(col: Column) -> Column:
+    """sqrt of the index-order fold of squared components (exact-order fp)."""
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+
+
+@register("embedding_normalize")
+def embedding_normalize(
+    input_col: str = "embedding",
+    output_col: str = "embedding_unit",
+    norm_col: str = "l2_norm",
+    min_norm: float = 1e-12,
+) -> TransformerFn:
+    """Unit-normalize embeddings: ``v / ||v||₂`` (components as double),
+    emitting the norm alongside. Zero-norm vectors (``||v|| < min_norm``)
+    pass through as all-zero rather than NaN — degenerate embeddings are a
+    data-quality signal to filter on ``norm_col``, not a crash.
+
+    After this, cosine similarity is a plain dot product, which is what the
+    ANN operators (``knn_*``, ``dedup_embedding_cosine``) exploit.
+    """
+
+    def _norm(df: DataFrame) -> DataFrame:
+        c = F.col(input_col)
+        n = l2_norm(c)
+        unit = F.when(
+            n >= min_norm,
+            F.transform(c, lambda x: x.cast("double") / n),
+        ).otherwise(F.transform(c, lambda x: F.lit(0.0)))
+        return df.withColumns({norm_col: n, output_col: unit})
+
+    return _norm
+
+
+@register("embedding_quantize_int8")
+def embedding_quantize_int8(
+    input_col: str = "embedding",
+    output_col: str = "embedding_q8",
+    scale_col: str = "q8_scale",
+) -> TransformerFn:
+    """Symmetric per-vector int8 quantization: ``q_i = floor(v_i·127/amax
+    + 0.5)`` with ``amax = max |v_i|``, codes in [-127, 127], plus the
+    dequant scale ``amax/127``. 4× smaller than float32 at ~0.3% cosine
+    error for typical embedding distributions; the per-VECTOR scale (vs
+    per-tensor) keeps outlier vectors from crushing everyone's resolution.
+
+    All-zero vectors quantize to all-zero codes with scale 0. ``floor(x +
+    0.5)`` is used instead of engine ``round`` so negative half-way codes
+    resolve identically in Spark and the DuckDB oracle.
+    """
+
+    def _quant(df: DataFrame) -> DataFrame:
+        c = F.col(input_col)
+        amax = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+        q = F.when(
+            amax > 0.0,
+            F.transform(
+                c,
+                lambda x: F.floor(x.cast("double") * 127.0 / amax + 0.5).cast("int"),
+            ),
+        ).otherwise(F.transform(c, lambda x: F.lit(0)))
+        return df.withColumns(
+            {
+                output_col: q,
+                scale_col: F.when(amax > 0.0, amax / 127.0).otherwise(F.lit(0.0)),
+            }
+        )
+
+    return _quant

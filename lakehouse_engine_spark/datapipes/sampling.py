@@ -172,6 +172,47 @@ def mixture_sample(
     return _sample
 
 
+@register("global_shuffle")
+def global_shuffle(
+    id_col: str = "doc_id",
+    shards: int = 256,
+    seed: str = "",
+    shard_col: str = "shard",
+    position_col: str = "position",
+) -> Callable[[DataFrame], DataFrame]:
+    """Deterministic training-order shuffle: assign every row a ``shard``
+    and a dense ``position`` within the shard, ordered by content hash —
+    the reproducible global permutation a training job reads in shard
+    order. Unlike ``df.orderBy(rand())``, the permutation is a pure
+    function of (ids, seed): re-runs, retries, and resumed jobs see the
+    identical order, and adding data perturbs only the insertion points.
+
+    Scale design: shard membership is a hash projection (no data movement
+    decision on the driver), and positions need only a PER-SHARD window
+    sort — ONE shuffle on the shard key with parallelism = ``shards``, not
+    a global orderBy funnel. At 100 TB pick shards ≈ executor-cores·4 so
+    each shard sorts in memory; the output is usually written
+    ``partitionBy(shard)`` so downstream readers stream shards in parallel.
+    """
+    if shards < 1:
+        raise ValueError(f"global_shuffle: shards must be >= 1, got {shards}")
+
+    def _shuffle(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        h = _bucket(id_col, seed)
+        out = df.withColumn("__h", h).withColumn(
+            shard_col, (F.col("__h") % shards).cast("int")
+        )
+        w = Window.partitionBy(shard_col).orderBy("__h", id_col)
+        return (
+            out.withColumn(position_col, (F.row_number().over(w) - 1).cast("long"))
+            .drop("__h")
+        )
+
+    return _shuffle
+
+
 @register("pack_sequences")
 def pack_sequences(
     token_col: str = "n_tokens",

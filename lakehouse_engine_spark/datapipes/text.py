@@ -420,6 +420,239 @@ def text_chunk(
     return _chunk
 
 
+@register("text_quality_prune")
+def quality_prune(
+    input_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 14.0,
+    max_symbol_ratio: float = 0.3,
+    max_digit_ratio: float = 0.3,
+    min_stopword_hits: int = 1,
+    max_top_word_ratio: float = 0.5,
+    lang: str = "en",
+    mode: str = "flag",  # flag | drop
+) -> TransformerFn:
+    """Gopher/C4-style RULE filter: apply the standard pretraining quality
+    gates as hard pass/fail rules (vs :func:`quality_score`, which emits a
+    soft composite score). Adds one boolean per rule plus ``quality_pass``;
+    ``mode="drop"`` keeps only passing rows.
+
+    Rules (all tunable): word-count bounds, mean-word-length bounds,
+    symbol(punct) ratio cap, digit ratio cap, minimum distinct-stopword
+    hits, and a most-frequent-word fraction cap (degenerate-repetition
+    gate — computed with ``aggregate`` over the token array in row space,
+    NOT an explode/groupBy, so the whole operator stays a zero-shuffle
+    projection that whole-stage-codegens and composes with pushdown at
+    100 TB).
+    """
+
+    def _prune(df: DataFrame) -> DataFrame:
+        c = F.col(input_col)
+        toks = tokens_lower(c)
+        n_words = F.size(toks)
+        n_chars = F.length(c)
+        mean_wl = F.when(
+            n_words > 0,
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+            / n_words,
+        ).otherwise(F.lit(0.0))
+        sym = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+        sym_ratio = F.when(n_chars > 0, sym.cast("double") / n_chars).otherwise(0.0)
+        digits = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
+        digit_ratio = F.when(n_chars > 0, digits.cast("double") / n_chars).otherwise(0.0)
+        sw = F.array(*[F.lit(w) for w in STOPWORDS.get(lang, STOPWORDS["en"])])
+        sw_hits = F.size(F.array_intersect(F.array_distinct(toks), sw))
+        # mode frequency in row space: for each distinct token, count its
+        # occurrences by scanning the array — O(d·n) per row on distinct
+        # tokens d, fine for document-sized rows and keeps the op shuffle-free
+        top_cnt = F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        )
+        top_ratio = F.when(
+            n_words > 0, top_cnt.cast("double") / n_words
+        ).otherwise(F.lit(0.0))
+        rules = {
+            "pass_word_count": (n_words >= min_words) & (n_words <= max_words),
+            "pass_mean_word_len": (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len),
+            "pass_symbol_ratio": sym_ratio <= max_symbol_ratio,
+            "pass_digit_ratio": digit_ratio <= max_digit_ratio,
+            "pass_stopwords": sw_hits >= min_stopword_hits,
+            "pass_top_word": top_ratio <= max_top_word_ratio,
+        }
+        all_pass = None
+        for cond in rules.values():
+            all_pass = cond if all_pass is None else (all_pass & cond)
+        out = df.withColumns({k: v for k, v in rules.items()}).withColumn(
+            "quality_pass", all_pass
+        )
+        if mode == "drop":
+            return out.filter(F.col("quality_pass")).drop(
+                *rules.keys(), "quality_pass"
+            )
+        return out
+
+    return _prune
+
+
+@register("text_lm_score")
+def lm_score(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 10_000,
+    oov_logp: float = -0.3010,
+    output_col: str = "avg_logprob",
+) -> TransformerFn:
+    """Corpus-derived unigram language-model scoring: each document gets the
+    average per-token log10 unigram probability under the corpus's own
+    empirical distribution — the classic cheap perplexity proxy for quality
+    filtering (low avg logprob = rare/garbled tokens, OCR noise, wrong
+    language).
+
+    Numeric design for cross-engine determinism: the score decomposes as
+    ``avg(log10(c_t)) − log10(N)`` over tokens t with in-vocab count c_t.
+    Each ``log10(c_t)`` has an *integer* argument and is snapped to a
+    4-dp grid as a SCALED BIGINT — ``floor(log10(c)·10⁴ + 0.5)`` — then
+    summed exactly (order-independent integer arithmetic). The final score
+    is one double expression over exact integers with NO engine ``round()``
+    call anywhere: Spark's ``round`` re-rounds the double's shortest
+    decimal representation (BigDecimal HALF_UP) while DuckDB rounds the
+    true binary value, and ``Σlp/n`` lands on exact half-way points often
+    enough (it is a small-denominator rational on a 1e-4 grid) that the
+    two engines disagree — the floor-scaled form is boundary-free. OOV
+    tokens (outside the ``top_v`` vocabulary) contribute the fixed floor
+    ``oov_logp``.
+
+    Scale design: vocab = one map-side-combined token count capped to
+    ``top_v`` rows (TakeOrderedAndProject, no global sort) → **broadcast**;
+    the per-doc pass is explode → broadcast-hash-join → one map-side-
+    combined groupBy on the doc id. No corpus-side shuffle other than the
+    doc-id agg; the vocab side is constant-size at any corpus scale.
+    """
+
+    def _score(df: DataFrame) -> DataFrame:
+        toks = (
+            df.select(F.col(id_col).alias("__id"), tokens_lower(F.col(input_col)).alias("__t"))
+            .select("__id", F.explode("__t").alias("__w"))
+        )
+        vocab = (
+            toks.groupBy("__w")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.desc("__c"), F.asc("__w"))
+            .limit(top_v)
+        )
+        # N = total in-vocab token mass; a single scalar — computed once from
+        # the (≤ top_v)-row vocab, not from the corpus
+        total = vocab.agg(F.sum("__c").alias("__n"))
+        oov_scaled = int(round(oov_logp * 10_000))
+        scored = (
+            toks.join(F.broadcast(vocab), "__w", "left")
+            .withColumn(
+                "__lp",
+                F.when(
+                    F.col("__c").isNotNull(),
+                    F.floor(F.log10(F.col("__c")) * 10_000 + 0.5).cast("long"),
+                ).otherwise(F.lit(oov_scaled).cast("long")),
+            )
+            .groupBy("__id")
+            .agg(
+                F.count(F.lit(1)).alias("__nt"),
+                F.sum("__lp").alias("__slp"),
+            )
+        )
+        lg_n = F.floor(F.log10(F.col("__n")) * 10_000 + 0.5).cast("double")
+        out = (
+            df.join(scored, df[id_col] == scored["__id"], "left")
+            .crossJoin(F.broadcast(total))
+            .withColumn(
+                output_col,
+                (F.col("__slp").cast("double") / F.col("__nt") - lg_n) / 10_000.0,
+            )
+            .withColumn("n_scored_tokens", F.coalesce("__nt", F.lit(0)).cast("int"))
+            .drop("__id", "__nt", "__slp", "__n")
+        )
+        return out
+
+    return _score
+
+
+@register("text_tfidf_top_terms")
+def tfidf_top_terms(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+) -> TransformerFn:
+    """Per-document top-``k`` TF-IDF terms — the keyword-extraction /
+    salient-term step of corpus analytics. Returns one row per (doc, term)
+    with ``term``, ``tf``, ``df``, ``tfidf`` and ``term_rank`` (1 = most
+    salient).
+
+    Numeric design: ``idf = floor(log10((n_docs+1)/(df+1))·10⁴ + 0.5)`` as
+    a SCALED BIGINT (boundary-free half-up — see ``lm_score`` for why
+    engine ``round()`` is avoided), then ``tfidf = tf · idf`` in exact
+    integer arithmetic, ranked by (scaled tfidf DESC, term ASC): integer
+    ordering means ranks can never flip on a last-ulp difference between
+    engines; the emitted double is one exact division by 10⁴.
+
+    Scale design: tf = one map-side-combined groupBy (doc, term) — shuffled
+    volume is distinct terms per doc, not token count; df = groupBy over the
+    *already-distinct* (doc, term) pairs keyed by term. The df side is
+    vocabulary-sized, so it **broadcasts** back onto tf; the final top-k is
+    a per-doc window over ≤ distinct-terms rows, one doc-keyed shuffle.
+    ``min_df`` prunes hapax noise before the join at large scale.
+    """
+
+    def _tfidf(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__nd"))
+        pairs = (
+            df.select(F.col(id_col).alias("__id"), tokens_lower(F.col(input_col)).alias("__t"))
+            .select("__id", F.explode("__t").alias("term"))
+            .groupBy("__id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = (
+            pairs.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= min_df)
+        )
+        w = Window.partitionBy("__id").orderBy(
+            F.desc("__tfidf_s"), F.asc("term")
+        )
+        return (
+            pairs.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn(
+                "__idf_s",
+                F.floor(
+                    F.log10((F.col("__nd") + 1).cast("double") / (F.col("df") + 1))
+                    * 10_000
+                    + 0.5
+                ).cast("long"),
+            )
+            .withColumn("__tfidf_s", F.col("tf") * F.col("__idf_s"))
+            .withColumn("term_rank", F.row_number().over(w))
+            .filter(F.col("term_rank") <= k)
+            .select(
+                F.col("__id").alias(id_col),
+                "term",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"),
+                (F.col("__tfidf_s") / 10_000.0).alias("tfidf"),
+                F.col("term_rank").cast("int").alias("term_rank"),
+            )
+        )
+
+    return _tfidf
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles; documents shorter than n words yield one shingle."""
     toks = tokens_lower(col)

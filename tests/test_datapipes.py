@@ -822,3 +822,136 @@ def test_knn_ivf_lloyd_refinement_improves_clusters(spark):
           nprobe=1, iters=3)
     ).collect()
     assert out and all(r["neighbor_id"] < 100 for r in out)
+
+
+# ------------------------------------------------- round-4 curation ops
+def test_quality_prune_rules_and_drop(spark):
+    rows = [
+        (0, "the cat sat on the mat and it was a very good day for everyone involved"),
+        (1, "too short"),                                  # fails word count
+        (2, "$$$ %%% ### @@@ !!! *** $$$ %%% ### @@@ !!! ***"),  # symbols, no stopwords
+        (3, "spam spam spam spam spam spam spam spam spam the end"),  # repetition
+        (4, "call 12345 67890 12345 67890 12345 67890 the 99999 88888 77777"),  # digits
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r.asDict() for r in df.transform(
+        t("text_quality_prune", min_words=10, max_top_word_ratio=0.3)
+    ).collect()}
+    assert out[0]["quality_pass"]
+    assert not out[1]["pass_word_count"]
+    assert not out[2]["pass_symbol_ratio"] and not out[2]["pass_stopwords"]
+    assert not out[3]["pass_top_word"]       # 9/11 spam
+    assert not out[4]["pass_digit_ratio"]
+    kept = df.transform(
+        t("text_quality_prune", min_words=10, max_top_word_ratio=0.3, mode="drop")
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [0]
+    assert "quality_pass" not in kept[0].asDict()
+
+
+def test_lm_score_hand_computed(spark):
+    # counts: a=2 b=2 c=1, N=5; log10 rounded to 4dp then exact decimal math
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in df.transform(t("text_lm_score")).collect()}
+    lg2, lg5 = round(math.log10(2), 4), round(math.log10(5), 4)
+    assert out[1]["avg_logprob"] == pytest.approx(round(lg2 - lg5, 4), abs=1e-9)
+    assert out[2]["avg_logprob"] == pytest.approx(round(lg2 / 2 - lg5, 4), abs=1e-9)
+    assert out[1]["n_scored_tokens"] == 3
+    # OOV floor: top_v=1 keeps only 'a' (count ties break word-asc); b and c
+    # take the fixed floor and N shrinks to the in-vocab mass
+    oov = {r["doc_id"]: r for r in df.transform(
+        t("text_lm_score", top_v=1)
+    ).collect()}
+    exp1 = (2 * lg2 - 0.3010) / 3 - lg2  # raw double: op emits unrounded
+    assert oov[1]["avg_logprob"] == pytest.approx(exp1, abs=1e-9)
+
+
+def test_tfidf_top_terms_ranking(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date date")],
+        "doc_id INT, text STRING",
+    )
+    out = df.transform(t("text_tfidf_top_terms", k=2)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["term_rank"], r["term"], r["tf"], r["df"]))
+    for v in by_doc.values():
+        v.sort()
+    # doc 1: apple tf=2 df=1 dominates banana tf=1 df=2
+    assert by_doc[1][0][1] == "apple" and by_doc[1][0][2] == 2 and by_doc[1][0][3] == 1
+    assert by_doc[1][1][1] == "banana"
+    # doc 3: date tf=2 beats cherry
+    assert by_doc[3][0][1] == "date"
+    # every doc emits at most k rows with dense ranks starting at 1
+    assert all([x[0] for x in v] == list(range(1, len(v) + 1)) for v in by_doc.values())
+
+
+def test_global_shuffle_dense_deterministic_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id INT")
+    out = df.transform(t("global_shuffle", shards=4, seed="s")).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append((r["position"], r["doc_id"]))
+    # dense 0..n-1 positions per shard
+    for rows in by_shard.values():
+        rows.sort()
+        assert [p for p, _ in rows] == list(range(len(rows)))
+    # deterministic across runs
+    again = df.transform(t("global_shuffle", shards=4, seed="s")).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # append-stability: growing the corpus preserves the relative order of
+    # surviving ids within each shard (hash order is a property of the id)
+    grown = spark.createDataFrame([(i,) for i in range(300)], "doc_id INT").transform(
+        t("global_shuffle", shards=4, seed="s")
+    ).collect()
+    pos0 = {r["doc_id"]: (r["shard"], r["position"]) for r in out}
+    posg = {r["doc_id"]: (r["shard"], r["position"]) for r in grown if r["doc_id"] < 200}
+    for shard, rows in by_shard.items():
+        order_old = [d for _, d in sorted(rows)]
+        order_new = [d for _, d in sorted((posg[d][1], d) for d in order_old)]
+        assert order_old == order_new
+        assert all(posg[d][0] == shard for d in order_old)
+
+
+def test_embedding_normalize_and_zero_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id INT, embedding ARRAY<FLOAT>"
+    )
+    out = {r["vec_id"]: r for r in df.transform(t("embedding_normalize")).collect()}
+    assert out[1]["l2_norm"] == pytest.approx(5.0)
+    assert out[1]["embedding_unit"] == pytest.approx([0.6, 0.8])
+    assert out[2]["l2_norm"] == 0.0 and out[2]["embedding_unit"] == [0.0, 0.0]
+
+
+def test_embedding_quantize_int8_codes(spark):
+    df = spark.createDataFrame(
+        [(1, [0.6, 0.8]), (2, [-0.5, 1.0]), (3, [0.0, 0.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    out = {r["vec_id"]: r for r in df.transform(t("embedding_quantize_int8")).collect()}
+    assert out[1]["embedding_q8"] == [95, 127]          # floor(95.25+.5)=95
+    assert out[1]["q8_scale"] == pytest.approx(0.8 / 127)
+    assert out[2]["embedding_q8"] == [-63, 127]         # floor(-63.5+.5)=-63
+    assert out[3]["embedding_q8"] == [0, 0] and out[3]["q8_scale"] == 0.0
+
+
+def test_dedup_cross_exact_drop_flag_normalize(spark):
+    main = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "unique text"), (3, "hello world")],
+        "doc_id INT, text STRING",
+    )
+    ref = spark.createDataFrame([(9, "hello   world")], "doc_id INT, text STRING")
+    kept = main.transform(
+        t("dedup_cross_exact", other_df=ref, key_cols=["text"])
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == [2]  # 1 and 3 normalize-match ref
+    flagged = {r["doc_id"]: r["in_reference"] for r in main.transform(
+        t("dedup_cross_exact", other_df=ref, key_cols=["text"], mode="flag",
+          broadcast_other=True)
+    ).collect()}
+    assert flagged == {1: True, 2: False, 3: True}
+    # normalize=False: exact bytes only
+    strict = main.transform(
+        t("dedup_cross_exact", other_df=ref, key_cols=["text"], normalize=False)
+    ).collect()
+    assert sorted(r["doc_id"] for r in strict) == [1, 2, 3]
