@@ -218,3 +218,68 @@ def test_audio_decode_is_arrow_batched(spark, sf_dir):
     physical, _ = _plans(df)
     assert "MapInPandas" in physical
     assert "BatchEvalPython" not in physical
+
+
+def test_quality_prune_is_pure_projection(spark, sf_dir):
+    """All six quality gates (incl. the top-word mode) compute in row space:
+    no Exchange, no Python — one codegen'd scan+project."""
+    df = entry.queries()["dp34_quality_prune"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Exchange" not in physical, physical[:2000]
+    assert "Python" not in physical
+
+
+def test_lm_score_broadcasts_vocab(spark, sf_dir):
+    """The capped vocabulary (top_v rows) must broadcast onto the token
+    stream — the corpus side never shuffles for the probability lookup —
+    and the top-v cut must be TakeOrdered, not a global sort."""
+    df = entry.queries()["dp35_lm_score"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert "TakeOrderedAndProject" in physical
+    assert "Python" not in physical
+
+
+def test_tfidf_broadcasts_doc_freq(spark, sf_dir):
+    """The document-frequency side (vocabulary-sized) broadcasts back onto
+    the (doc, term) tf pairs; no sort-merge join anywhere."""
+    df = entry.queries()["dp36_tfidf_top_terms"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical
+
+
+def test_global_shuffle_single_exchange(spark, sf_dir):
+    """One hash Exchange on the shard key (the per-shard position window) —
+    never a global orderBy funnel (rangepartitioning) or extra shuffles."""
+    df = entry.queries()["dp37_global_shuffle"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert physical.count("Exchange hashpartitioning") == 1, physical[:2000]
+    assert "rangepartitioning" not in physical
+
+
+def test_embedding_quantize_is_pure_projection(spark, sf_dir):
+    """Normalize + quantize are index-order array folds in row space: no
+    Exchange, no Python worker."""
+    df = entry.queries()["dp38_embedding_quantize"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Exchange" not in physical, physical[:2000]
+    assert "Python" not in physical
+
+
+def test_cross_dedup_joins_on_digest_only(spark, sf_dir):
+    """The reference side reduces to distinct md5 digests before the join —
+    the join key is the 32-char digest, and with broadcast_other the corpus
+    side has no shuffle at all."""
+    from lakehouse_engine_spark.datapipes.dedup import dedup_cross_exact
+    from lakehouse_engine_spark.utils.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter("doc_id % 3 = 0")
+    out = docs.transform(
+        dedup_cross_exact(other_df=ref, key_cols=["text"], broadcast_other=True)
+    )
+    physical, _ = _plans(out)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert "LeftAnti" in physical
+    assert "SortMergeJoin" not in physical
