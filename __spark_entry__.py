@@ -1099,6 +1099,30 @@ def dp39_cross_corpus_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", "in_reference")
 
 
+def dp40_cross_near_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus NEAR-dedup (datapipes/dedup.py dedup_cross_minhash):
+    flag documents whose MinHash band buckets collide with a 10%
+    hash-sampled reference corpus. The reference reduces to distinct
+    band digests (no ids/texts) before the semi join; the oracle replays
+    signatures, banding, and the bucket intersection."""
+    docs = load_table(spark, sf, "documents")
+    ref = docs.transform(_t("hash_sample", id_col="doc_id", fraction=0.1, seed="xm"))
+    out = docs.transform(
+        _t("dedup_cross_minhash", other_df=ref, mode="flag",
+           num_hashes=12, bands=4, shingle_size=3)
+    )
+    return out.select("doc_id", "lang", "near_reference")
+
+
+def dp41_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-fraction score pruning (datapipes/sampling.py quantile_prune):
+    keep the longest 25% of documents (ties at the threshold included) via
+    the histogram-cumsum threshold — no global sort, no per-row window."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(_t("quantile_prune", score_col="n_chars", keep_frac=0.25))
+    return out.select("doc_id", "n_chars")
+
+
 def _le_hex(col, nbytes: int):
     """Little-endian hex of an integer column, ``nbytes`` wide — for
     constructing RIFF/WAV binary structures in pure SQL expressions."""
@@ -1298,6 +1322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp37_global_shuffle": dp37_global_shuffle,
         "dp38_embedding_quantize": dp38_embedding_quantize,
         "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
+        "dp40_cross_near_dedup": dp40_cross_near_dedup,
+        "dp41_quantile_prune": dp41_quantile_prune,
     }
 
 
@@ -2042,6 +2068,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_max(qq) AS INT) AS q8_max,
                    md5(array_to_string(qq, ',')) AS q8_md5
             FROM codes
+        """,
+        "dp40_cross_near_dedup": rf"""
+            WITH toks AS (
+              SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, {_duck_shingles(3)} AS s FROM toks
+            ),
+            bases AS (
+              SELECT doc_id, list_distinct(list_transform(
+                s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % {MINHASH_P})) AS bs
+              FROM sh
+            ),
+            sig AS (
+              SELECT doc_id, {_duck_minhash(12)} AS sg FROM bases
+            ),
+            bandsx AS (
+              SELECT doc_id, {_duck_bands(4, 3)} AS bh FROM sig
+            ),
+            ex AS (SELECT doc_id, unnest(bh) AS h FROM bandsx),
+            ref AS (
+              SELECT DISTINCT h FROM ex
+              WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'xm'), 1, 15)
+                         AS BIGINT) % 1000000 < 100000
+            ),
+            hits AS (SELECT DISTINCT e.doc_id FROM ex e JOIN ref USING (h))
+            SELECT d.doc_id, d.lang, (x.doc_id IS NOT NULL) AS near_reference
+            FROM documents d LEFT JOIN hits x USING (doc_id)
+        """,
+        "dp41_quantile_prune": """
+            WITH hist AS (
+              SELECT n_chars AS s, COUNT(*) AS c FROM documents GROUP BY 1
+            ),
+            cum AS (
+              SELECT s, SUM(c) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cm
+              FROM hist
+            ),
+            tot AS (SELECT COUNT(*) AS n FROM documents),
+            thr AS (
+              SELECT MAX(s) AS t FROM cum CROSS JOIN tot WHERE cm >= CEIL(n * 0.25)
+            )
+            SELECT doc_id, n_chars FROM documents CROSS JOIN thr
+            WHERE n_chars >= t
         """,
         "dp39_cross_corpus_dedup": r"""
             WITH ref AS (

@@ -168,6 +168,77 @@ def dedup_cross_exact(
     return _dedup
 
 
+@register("dedup_cross_minhash")
+def dedup_cross_minhash(
+    other_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    other_text_col: Optional[str] = None,
+    other_id_col: Optional[str] = None,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_size: int = 3,
+    mode: str = "drop",  # drop | flag
+    flag_col: str = "near_reference",
+    broadcast_other: bool = False,
+) -> TransformerFn:
+    """Cross-corpus NEAR-duplicate removal: drop (or flag) documents whose
+    MinHash band buckets collide with a REFERENCE corpus — the fuzzy
+    companion of :func:`dedup_cross_exact` (dedup against a previous
+    training round / released dataset where near-dups, not just byte-dups,
+    must go). Collision in any band ≈ Jaccard above the (bands, rows)
+    threshold, the same banding rule as ``dedup_minhash_lsh``.
+
+    Scale design: the reference side reduces to its DISTINCT band-bucket
+    hashes — 32-char digests with NO ids, texts, or signatures attached
+    (≤ bands rows per reference doc, dedup'd) — and the corpus side LEFT
+    SEMI joins its own band hashes against that set, then distinct-ids the
+    hits. Both joins carry only (id, digest) pairs; the md5-heavy signature
+    pipeline runs once per side in codegen row space with map-side-combined
+    minima. ``broadcast_other=True`` makes the probe shuffle-free on the
+    corpus side when the reference bucket set fits an executor.
+    """
+    rows = num_hashes // bands
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        o_text = other_text_col or text_col
+        o_id = other_id_col or id_col
+        ref_sig = _minhash_sig_df(other_df, o_text, o_id, num_hashes, shingle_size)
+        ref_buckets = _band_exploded(ref_sig, bands, rows).select("__h").distinct()
+        if broadcast_other:
+            ref_buckets = F.broadcast(ref_buckets)
+        sig = _minhash_sig_df(df, text_col, id_col, num_hashes, shingle_size)
+        hits = (
+            _band_exploded(sig, bands, rows)
+            .join(ref_buckets, "__h", "left_semi")
+            .select("__id")
+            .distinct()
+        )
+        if mode == "drop":
+            return df.join(hits, df[id_col] == hits["__id"], "left_anti")
+        flagged = hits.withColumn(flag_col, F.lit(True))
+        return (
+            df.join(flagged, df[id_col] == flagged["__id"], "left")
+            .withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
+            .drop("__id")
+        )
+
+    return _dedup
+
+
+@register_contextual("dedup_cross_minhash_with")
+def dedup_cross_minhash_with(data: dict, other: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`dedup_cross_minhash` resolving ``other`` as
+    an upstream spec_id."""
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        if other not in data:
+            raise ValueError(f"dedup_cross_minhash_with: unknown spec_id {other}")
+        return dedup_cross_minhash(other_df=data[other], **args)(df)
+
+    return _dedup
+
+
 @register_contextual("dedup_cross_exact_with")
 def dedup_cross_exact_with(data: dict, other: str, **args) -> TransformerFn:
     """ACON wrapper for :func:`dedup_cross_exact`: resolve ``other`` as an

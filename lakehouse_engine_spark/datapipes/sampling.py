@@ -172,6 +172,51 @@ def mixture_sample(
     return _sample
 
 
+@register("quantile_prune")
+def quantile_prune(
+    score_col: str,
+    keep_frac: float,
+    higher_is_better: bool = True,
+) -> Callable[[DataFrame], DataFrame]:
+    """Keep (at least) the top ``keep_frac`` of rows by score — the
+    "train on the best X% by quality score" step. The cut threshold is the
+    loosest score whose at-or-better population reaches
+    ``ceil(keep_frac · N)``; ALL rows tied at the threshold are kept (the
+    result may slightly exceed the budget on ties — deterministic, and the
+    honest contract for a score on a rounded grid).
+
+    Scale design: no global sort and no per-row window. The score
+    HISTOGRAM (one map-side-combined groupBy — requires a bounded-grid
+    score, e.g. a 4dp-rounded quality score, so distinct values ≪ rows)
+    gets a cumulative count over its few distinct values, the threshold
+    reduces to one scalar, and the data pass is a plain broadcast-compare
+    filter. Contrast with ``percent_rank()``: that is a full orderBy
+    shuffle of every row at 100 TB.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"quantile_prune: keep_frac must be in (0, 1], got {keep_frac}")
+
+    def _prune(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        s = F.col(score_col)
+        hist = df.groupBy(s.alias("__s")).agg(F.count(F.lit(1)).alias("__c"))
+        order = F.desc("__s") if higher_is_better else F.asc("__s")
+        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        total = hist.agg(F.sum("__c").alias("__n"))
+        cum = hist.withColumn("__cum", F.sum("__c").over(w)).crossJoin(
+            F.broadcast(total)
+        )
+        agg_thr = F.max("__s") if higher_is_better else F.min("__s")
+        thr = cum.filter(
+            F.col("__cum") >= F.ceil(F.col("__n") * keep_frac)
+        ).agg(agg_thr.alias("__thr"))
+        cond = s >= F.col("__thr") if higher_is_better else s <= F.col("__thr")
+        return df.crossJoin(F.broadcast(thr)).filter(cond).drop("__thr")
+
+    return _prune
+
+
 @register("global_shuffle")
 def global_shuffle(
     id_col: str = "doc_id",

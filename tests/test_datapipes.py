@@ -955,3 +955,43 @@ def test_dedup_cross_exact_drop_flag_normalize(spark):
         t("dedup_cross_exact", other_df=ref, key_cols=["text"], normalize=False)
     ).collect()
     assert sorted(r["doc_id"] for r in strict) == [1, 2, 3]
+
+
+def test_dedup_cross_minhash_near_dup_detection(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("runs far", "sprints far")
+    other = "completely different content about databases and distributed query engines at scale today"
+    main = spark.createDataFrame(
+        [(1, near), (2, other), (3, base)], "doc_id INT, text STRING"
+    )
+    ref = spark.createDataFrame([(9, base)], "doc_id INT, text STRING")
+    flagged = {r["doc_id"]: r["near_reference"] for r in main.transform(
+        t("dedup_cross_minhash", other_df=ref, mode="flag",
+          num_hashes=12, bands=6, shingle_size=2)
+    ).collect()}
+    assert flagged[3] is True          # identical always collides
+    assert flagged[1] is True          # near-dup collides in some band
+    assert flagged[2] is False
+    kept = main.transform(
+        t("dedup_cross_minhash", other_df=ref, num_hashes=12, bands=6,
+          shingle_size=2, broadcast_other=True)
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+
+
+def test_quantile_prune_threshold_and_ties(spark):
+    # scores: 10×1, 5×2, 3×3, 2×4 (N=20); keep_frac=0.25 → target 5 rows;
+    # descending cum: 4→2, 3→5 ⇒ threshold 3, keep scores >= 3 (5 rows)
+    rows = [(i, s) for i, s in enumerate([1]*10 + [2]*5 + [3]*3 + [4]*2)]
+    df = spark.createDataFrame(rows, "id INT, score INT")
+    kept = df.transform(t("quantile_prune", score_col="score", keep_frac=0.25)).collect()
+    assert sorted(r["score"] for r in kept) == [3, 3, 3, 4, 4]
+    # ties may exceed the budget: keep_frac=0.2 → target 4; cum(3)=5 ⇒ all 5 kept
+    kept2 = df.transform(t("quantile_prune", score_col="score", keep_frac=0.2)).collect()
+    assert sorted(r["score"] for r in kept2) == [3, 3, 3, 4, 4]
+    # lower-is-better direction
+    low = df.transform(t("quantile_prune", score_col="score", keep_frac=0.5,
+                         higher_is_better=False)).collect()
+    assert sorted(r["score"] for r in low) == [1]*10
+    with pytest.raises(ValueError):
+        t("quantile_prune", score_col="score", keep_frac=0.0)

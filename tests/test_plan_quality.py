@@ -283,3 +283,23 @@ def test_cross_dedup_joins_on_digest_only(spark, sf_dir):
     assert "BroadcastHashJoin" in physical, physical[:2000]
     assert "LeftAnti" in physical
     assert "SortMergeJoin" not in physical
+
+
+def test_cross_minhash_semi_joins_digests(spark, sf_dir):
+    """Reference side must reduce to distinct band digests and the corpus
+    probe must be a semi join on the digest — never a pair join carrying
+    texts/signatures, never a cartesian."""
+    df = entry.queries()["dp40_cross_near_dedup"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "LeftSemi" in physical, physical[:2000]
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "CartesianProduct" not in physical
+
+
+def test_quantile_prune_no_global_sort_of_rows(spark, sf_dir):
+    """The threshold comes from the score HISTOGRAM: the only ordering in
+    the plan is the window over distinct scores (tiny), never a
+    rangepartitioning global sort of the data rows."""
+    df = entry.queries()["dp41_quantile_prune"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "rangepartitioning" not in physical, physical[:2000]
