@@ -1114,6 +1114,22 @@ def dp40_cross_near_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", "near_reference")
 
 
+def dp42_cross_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus SEMANTIC near-dedup (datapipes/dedup.py
+    dedup_cross_embedding): flag vectors cosine-similar (≥0.9) to a 20%
+    hash-sampled reference corpus via shared seeded-hyperplane buckets +
+    exact codegen cosine verify. max_bucket_size=None so the oracle
+    replays the uncapped pipeline (the capped default is plan-gated in
+    tests)."""
+    emb = load_table(spark, sf, "embeddings")
+    ref = emb.transform(_t("hash_sample", id_col="vec_id", fraction=0.2, seed="xe"))
+    out = emb.transform(
+        _t("dedup_cross_embedding", other_df=ref, mode="flag", threshold=0.9,
+           num_planes=12, num_tables=4, dim=64, max_bucket_size=None)
+    )
+    return out.select("vec_id", "label", "near_reference")
+
+
 def dp41_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Top-fraction score pruning (datapipes/sampling.py quantile_prune):
     keep the longest 25% of documents (ties at the threshold included) via
@@ -1324,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
         "dp40_cross_near_dedup": dp40_cross_near_dedup,
         "dp41_quantile_prune": dp41_quantile_prune,
+        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
     }
 
 
@@ -2096,6 +2113,26 @@ def oracle_sql() -> dict[str, str]:
             hits AS (SELECT DISTINCT e.doc_id FROM ex e JOIN ref USING (h))
             SELECT d.doc_id, d.lang, (x.doc_id IS NOT NULL) AS near_reference
             FROM documents d LEFT JOIN hits x USING (doc_id)
+        """,
+        "dp42_cross_embedding_dedup": _duck_lsh_sig_ctes(12, 4, 64) + """,
+        ref AS (
+          SELECT s.vec_id, s.t, s.sig FROM sigs s
+          WHERE CAST('0x' || substr(md5(CAST(s.vec_id AS VARCHAR) || 'xe'), 1, 15)
+                     AS BIGINT) % 1000000 < 200000
+        ),
+        pairs AS (
+          SELECT DISTINCT l.vec_id AS id, r.vec_id AS cand
+          FROM sigs l JOIN ref r ON l.t = r.t AND l.sig = r.sig
+        ),
+        hits AS (
+          SELECT DISTINCT p.id
+          FROM pairs p
+          JOIN v a ON a.vec_id = p.id
+          JOIN v b ON b.vec_id = p.cand
+          WHERE """ + _DUCK_COSINE + """ >= 0.9
+        )
+        SELECT e.vec_id, e.label, (x.id IS NOT NULL) AS near_reference
+        FROM embeddings e LEFT JOIN hits x ON e.vec_id = x.id
         """,
         "dp41_quantile_prune": """
             WITH hist AS (

@@ -226,6 +226,126 @@ def dedup_cross_minhash(
     return _dedup
 
 
+@register("dedup_cross_embedding")
+def dedup_cross_embedding(
+    other_df: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    other_embedding_col: Optional[str] = None,
+    other_id_col: Optional[str] = None,
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    dim: Optional[int] = None,
+    max_bucket_size: Optional[int] = 10_000,
+    mode: str = "drop",  # drop | flag
+    flag_col: str = "near_reference",
+) -> TransformerFn:
+    """Cross-corpus SEMANTIC near-dedup: drop (or flag) rows whose
+    embedding is cosine-similar (≥ ``threshold``) to ANY vector in a
+    REFERENCE corpus — completes the cross-corpus family (exact bytes:
+    :func:`dedup_cross_exact`; near text: :func:`dedup_cross_minhash`;
+    near meaning: this). Typical use: purge paraphrases of eval benchmarks
+    or a previous round's data before training.
+
+    Scale design: both sides project to hyperplane sign signatures with
+    the SAME seeded planes (``similarity.hyperplane_signatures``), so a
+    bucket equi-join on (table, signature) yields candidates without any
+    all-pairs scoring. Candidate pairs travel ids-only through the join +
+    cross-table dedup; vectors re-attach once per unique pair and the
+    exact cosine verify is a codegen'd ``element_at`` chain (same
+    left-fold order as the oracle). Oversized buckets drop per side via
+    ``max_bucket_size``. Never O(main × ref).
+    """
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.similarity import hyperplane_signatures
+
+        o_emb = other_embedding_col or embedding_col
+        o_id = other_id_col or id_col
+        d = (
+            dim
+            if dim is not None
+            else df.select(
+                F.size(F.col(embedding_col).cast("array<double>")).alias("d")
+            ).first()["d"]
+        )
+
+        def _sigs(sdf: DataFrame, emb: str, idc: str) -> DataFrame:
+            s = _cap_buckets(
+                hyperplane_signatures(sdf, emb, idc, num_planes, num_tables, dim=d),
+                ["__t", "__sig"],
+                max_bucket_size,
+            )
+            return s.withColumn(
+                "__norm",
+                F.sqrt(F.aggregate(F.col("__bv"), F.lit(0.0), lambda a, v: a + v * v)),
+            )
+
+        main = _sigs(df, embedding_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+        ref = _sigs(other_df, o_emb, o_id).persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = (
+            main.alias("l")
+            .join(
+                ref.alias("r"),
+                (F.col("l.__t") == F.col("r.__t"))
+                & (F.col("l.__sig") == F.col("r.__sig")),
+            )
+            .select(F.col("l.__bid").alias("__id"), F.col("r.__bid").alias("__cand"))
+            .dropDuplicates(["__id", "__cand"])
+        )
+        mvecs = main.select("__bid", "__bv", "__norm").dropDuplicates(["__bid"])
+        rvecs = ref.select("__bid", "__bv", "__norm").dropDuplicates(["__bid"])
+        cands = (
+            pairs.join(
+                mvecs.select(
+                    "__bid", F.col("__bv").alias("__v1"), F.col("__norm").alias("__n1")
+                ),
+                pairs["__id"] == F.col("__bid"),
+            )
+            .drop("__bid")
+            .join(
+                rvecs.select(
+                    "__bid", F.col("__bv").alias("__v2"), F.col("__norm").alias("__n2")
+                ),
+                F.col("__cand") == F.col("__bid"),
+            )
+            .drop("__bid")
+        )
+        dot = sum(
+            (F.element_at("__v1", i + 1) * F.element_at("__v2", i + 1) for i in range(1, d)),
+            F.element_at("__v1", 1) * F.element_at("__v2", 1),
+        )
+        hits = (
+            cands.filter(dot / (F.col("__n1") * F.col("__n2")) >= threshold)
+            .select("__id")
+            .distinct()
+        )
+        if mode == "drop":
+            return df.join(hits, df[id_col] == hits["__id"], "left_anti")
+        flagged = hits.withColumn(flag_col, F.lit(True))
+        return (
+            df.join(flagged, df[id_col] == flagged["__id"], "left")
+            .withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
+            .drop("__id")
+        )
+
+    return _dedup
+
+
+@register_contextual("dedup_cross_embedding_with")
+def dedup_cross_embedding_with(data: dict, other: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`dedup_cross_embedding` resolving ``other``
+    as an upstream spec_id."""
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        if other not in data:
+            raise ValueError(f"dedup_cross_embedding_with: unknown spec_id {other}")
+        return dedup_cross_embedding(other_df=data[other], **args)(df)
+
+    return _dedup
+
+
 @register_contextual("dedup_cross_minhash_with")
 def dedup_cross_minhash_with(data: dict, other: str, **args) -> TransformerFn:
     """ACON wrapper for :func:`dedup_cross_minhash` resolving ``other`` as

@@ -995,3 +995,56 @@ def test_quantile_prune_threshold_and_ties(spark):
     assert sorted(r["score"] for r in low) == [1]*10
     with pytest.raises(ValueError):
         t("quantile_prune", score_col="score", keep_frac=0.0)
+
+
+def test_dedup_cross_embedding_semantic_hits(spark):
+    rows = [
+        (1, [1.0, 0.001, 0.0, 0.0]),   # near ref vector 9
+        (2, [0.0, 0.0, 1.0, 0.0]),     # orthogonal to ref
+        (3, [1.0, 0.0, 0.0, 0.0]),     # identical direction to ref
+    ]
+    main = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    ref = spark.createDataFrame(
+        [(9, [2.0, 0.0, 0.0, 0.0])], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    flagged = {r["vec_id"]: r["near_reference"] for r in main.transform(
+        t("dedup_cross_embedding", other_df=ref, mode="flag", threshold=0.99,
+          num_planes=8, num_tables=4, dim=4)
+    ).collect()}
+    assert flagged[1] is True and flagged[3] is True
+    assert flagged[2] is False
+    kept = main.transform(
+        t("dedup_cross_embedding", other_df=ref, threshold=0.99,
+          num_planes=8, num_tables=4, dim=4)
+    ).collect()
+    assert [r["vec_id"] for r in kept] == [2]
+
+
+def test_quantize_dequant_error_bound_randomized(spark):
+    # invariant over 500 random vectors: |q*scale - v| <= scale/2 per
+    # component (round-to-nearest), codes within [-127, 127]
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(16)]) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = df.transform(t("embedding_quantize_int8")).collect()
+    orig = dict(rows)
+    for r in out:
+        scale = r["q8_scale"]
+        for q, v in zip(r["embedding_q8"], orig[r["vec_id"]]):
+            assert -127 <= q <= 127
+            assert abs(q * scale - v) <= scale / 2 + 1e-12
+
+
+def test_global_shuffle_is_bijective_permutation(spark):
+    # (shard, position) pairs form a bijection onto the id set for any
+    # shard count, including shards=1 (a total order)
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id LONG")
+    for shards in (1, 7, 64):
+        out = df.transform(t("global_shuffle", shards=shards, seed="p")).collect()
+        assert len(out) == 5000
+        assert len({(r["shard"], r["position"]) for r in out}) == 5000
+        assert all(0 <= r["shard"] < shards for r in out)

@@ -303,3 +303,13 @@ def test_quantile_prune_no_global_sort_of_rows(spark, sf_dir):
     df = entry.queries()["dp41_quantile_prune"](spark, sf_dir)
     physical, _ = _plans(df)
     assert "rangepartitioning" not in physical, physical[:2000]
+
+
+def test_cross_embedding_dedup_no_cartesian(spark, sf_dir):
+    """Cross-corpus semantic dedup must candidate-generate through the
+    (table, signature) bucket equi-join — never BroadcastNestedLoop or
+    cartesian main×ref scoring."""
+    df = entry.queries()["dp42_cross_embedding_dedup"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical, physical[:2000]
+    assert "BroadcastNestedLoopJoin" not in physical

@@ -296,3 +296,65 @@ def test_sessionize_runs_on_a_stream(spark, tmp_dir):
     # sessions closed by the watermark: user 1's first session (2 events)
     # and user 2's single-event session; the 12:00 session may remain open
     assert (1, 2) in got and (2, 1) in got
+
+
+DOC_SCHEMA = {
+    "type": "struct",
+    "fields": [
+        {"name": "doc_id", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "text", "type": "string", "nullable": True, "metadata": {}},
+    ],
+}
+
+
+def test_streaming_curation_projection_and_static_reference_join(spark, tmp_dir):
+    """Corpus curation on a STREAM: text_quality_prune is a pure projection
+    (streams untouched) and dedup_cross_exact in flag mode is a
+    stream-static join — both must run inside the streaming plan without
+    foreachBatch relocation."""
+    import os as _os
+
+    src = _os.path.join(tmp_dir, "docs_src")
+    ref_path = _os.path.join(tmp_dir, "ref")
+    good = "the quick brown fox jumps over the lazy dog and it is a very good day for all of us"
+    spark.createDataFrame([(9, good)], "doc_id INT, text STRING").write.parquet(ref_path)
+    spark.createDataFrame(
+        [(1, good), (2, "x y")], "doc_id INT, text STRING"
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = load_data(
+        {
+            "input_specs": [
+                {
+                    "spec_id": "s",
+                    "data_format": "parquet",
+                    "location": src,
+                    "read_type": "streaming",
+                    "schema": DOC_SCHEMA,
+                },
+                {"spec_id": "ref", "data_format": "parquet", "location": ref_path},
+            ],
+            "transform_specs": [
+                {
+                    "spec_id": "t",
+                    "input_id": "s",
+                    "transformers": [
+                        {"function": "text_quality_prune", "args": {"min_words": 10}},
+                        {
+                            "function": "dedup_cross_exact_with",
+                            "args": {"other": "ref", "key_cols": ["text"], "mode": "flag"},
+                        },
+                    ],
+                }
+            ],
+            "output_specs": [
+                {
+                    "spec_id": "o",
+                    "input_id": "t",
+                    "data_format": "dataframe",
+                    "options": {"checkpointLocation": _os.path.join(tmp_dir, "ck_cur")},
+                }
+            ],
+        }
+    )["o"]
+    rows = {r["doc_id"]: (r["quality_pass"], r["in_reference"]) for r in out.collect()}
+    assert rows == {1: (True, True), 2: (False, False)}
