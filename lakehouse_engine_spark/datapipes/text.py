@@ -540,12 +540,17 @@ def lm_score(
             df.select(F.col(id_col).alias("__id"), tokens_lower(F.col(input_col)).alias("__t"))
             .select("__id", F.explode("__t").alias("__w"))
         )
+        from pyspark import StorageLevel
+
+        # persist: the (≤ top_v)-row vocab feeds BOTH the total-mass scalar
+        # and the broadcast probe join — without it the full corpus token
+        # count (a 100 TB scan + shuffle) runs twice
         vocab = (
             toks.groupBy("__w")
             .agg(F.count(F.lit(1)).alias("__c"))
             .orderBy(F.desc("__c"), F.asc("__w"))
             .limit(top_v)
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         # N = total in-vocab token mass; a single scalar — computed once from
         # the (≤ top_v)-row vocab, not from the corpus
         total = vocab.agg(F.sum("__c").alias("__n"))
@@ -612,12 +617,18 @@ def tfidf_top_terms(
         from pyspark.sql import Window
 
         n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__nd"))
+        from pyspark import StorageLevel
+
+        # persist: the (doc, term, tf) aggregate feeds BOTH the df-side
+        # term counts and the scoring join — without it the corpus
+        # tokenize/explode/shuffle pipeline executes twice (no
+        # ReusedExchange across the two consumers)
         pairs = (
             df.select(F.col(id_col).alias("__id"), tokens_lower(F.col(input_col)).alias("__t"))
             .select("__id", F.explode("__t").alias("term"))
             .groupBy("__id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         dfreq = (
             pairs.groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
