@@ -1130,6 +1130,32 @@ def dp42_cross_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", "label", "near_reference")
 
 
+def dp43_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image dedup (datapipes/multimodal.py
+    multimodal_image_dedup): each doc gets a constructed 8×8 split PPM
+    (left half color A, right half color B — both pure functions of
+    doc_id), the REAL decode→thumbnail→aHash pipeline runs in Arrow-batched
+    mapInPandas, and the oracle predicts the 64-bit aHash string
+    arithmetically: bits follow which half is brighter (integer grayscale
+    sums — no fp knife-edges), so a wrong stride, pooling, or threshold
+    breaks the match."""
+    docs = load_table(spark, sf, "documents")
+    hexa = F.concat(*[F.lpad(F.hex(F.expr(e)), 2, "0") for e in
+                      ("doc_id % 256", "(7*doc_id) % 256", "(13*doc_id) % 256")])
+    hexb = F.concat(*[F.lpad(F.hex(F.expr(e)), 2, "0") for e in
+                      ("(3*doc_id) % 256", "(5*doc_id) % 256", "(11*doc_id) % 256")])
+    row = F.concat(F.repeat(hexa, 4), F.repeat(hexb, 4))
+    payload = F.concat(
+        F.lit("P6\n8 8\n255\n").cast("binary"), F.unhex(F.repeat(row, 8))
+    )
+    imgs = docs.select("doc_id", payload.alias("payload"))
+    out = imgs.transform(_t("multimodal_image_dedup", keep="flagged"))
+    return out.select(
+        "doc_id", "ahash", "is_duplicate",
+        F.col("dup_group_id").cast("long").alias("dup_group_id"),
+    )
+
+
 def dp41_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Top-fraction score pruning (datapipes/sampling.py quantile_prune):
     keep the longest 25% of documents (ties at the threshold included) via
@@ -1341,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp40_cross_near_dedup": dp40_cross_near_dedup,
         "dp41_quantile_prune": dp41_quantile_prune,
         "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
+        "dp43_image_phash_dedup": dp43_image_phash_dedup,
     }
 
 
@@ -2133,6 +2160,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT e.vec_id, e.label, (x.id IS NOT NULL) AS near_reference
         FROM embeddings e LEFT JOIN hits x ON e.vec_id = x.id
+        """,
+        "dp43_image_phash_dedup": """
+            WITH g AS (
+              SELECT doc_id,
+                     (doc_id % 256) + ((7*doc_id) % 256) + ((13*doc_id) % 256) AS sl,
+                     ((3*doc_id) % 256) + ((5*doc_id) % 256) + ((11*doc_id) % 256) AS sr
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     CASE WHEN sl > sr THEN repeat('11110000', 8)
+                          WHEN sl < sr THEN repeat('00001111', 8)
+                          ELSE repeat('0', 64) END AS ahash
+              FROM g
+            )
+            SELECT doc_id, ahash,
+                   (MIN(doc_id) OVER (PARTITION BY ahash)) < doc_id AS is_duplicate,
+                   CAST(MIN(doc_id) OVER (PARTITION BY ahash) AS BIGINT) AS dup_group_id
+            FROM h
         """,
         "dp41_quantile_prune": """
             WITH hist AS (

@@ -456,3 +456,67 @@ def frame_sample(
         return src.mapInPandas(_batches, schema)
 
     return _sample
+
+
+@register("multimodal_image_dedup")
+def image_dedup(
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    thumbnail_side: int = 8,
+    keep: str = "survivors",  # survivors | flagged
+    hash_col: str = "ahash",
+) -> TransformerFn:
+    """Perceptual IMAGE dedup: decode → ``side×side`` mean-pool grayscale
+    thumbnail → aHash (average hash: bit per cell, set iff the cell is
+    brighter than the thumbnail mean) → exact-hash dedup with min-id
+    survivors. Collapses re-encoded/metadata-touched copies and uniform
+    near-variants of the same picture — the standard first pass of image
+    corpus dedup (Hamming-tolerant pHash passes compose downstream).
+
+    Scale design: decode + thumbnail run in the Arrow-batched
+    ``mapInPandas`` image pipeline (byte-budget partitioning); the aHash
+    bits are a row-space column expression over the 64-float feature (the
+    bit string is the hash key — portable, no engine-specific bit packing),
+    and the dedup is ONE hash-partitioned window on the key, exactly
+    ``dedup_exact``'s cost class. Undecodable payloads (no codec) get a
+    NULL hash and are always kept.
+    """
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        meta = image_decode(
+            payload_col=payload_col, id_col=id_col, thumbnail_side=thumbnail_side
+        )(df)
+        feat = F.col("feature")
+        mean = F.aggregate(
+            feat, F.lit(0.0), lambda a, x: a + x.cast("double")
+        ) / F.size(feat)
+        bits = F.concat_ws(
+            "",
+            F.transform(
+                feat, lambda x: F.when(x.cast("double") > mean, "1").otherwise("0")
+            ),
+        )
+        hashed = meta.select(
+            F.col("id").alias("__mid"),
+            F.when(feat.isNotNull(), bits).alias(hash_col),
+        )
+        out = df.join(hashed, df[id_col] == F.col("__mid"), "left").drop("__mid")
+        w = Window.partitionBy(hash_col)
+        out = out.withColumn(
+            "__min_id",
+            F.when(F.col(hash_col).isNotNull(), F.min(id_col).over(w)).otherwise(
+                F.col(id_col)
+            ),
+        )
+        out = out.withColumn(
+            "is_duplicate", F.col("__min_id") < F.col(id_col)
+        ).withColumn("dup_group_id", F.col("__min_id")).drop("__min_id")
+        if keep == "survivors":
+            return out.filter(~F.col("is_duplicate")).drop(
+                "is_duplicate", "dup_group_id"
+            )
+        return out
+
+    return _dedup

@@ -256,3 +256,40 @@ def test_spark_audio_decode(spark):
 
     with pytest.raises(Exception, match="codec"):
         df.transform(t("multimodal_audio_decode", on_unsupported="error")).collect()
+
+
+def test_image_dedup_ahash_collapses_perceptual_copies(spark):
+    """aHash dedup: brightness-pattern copies collapse (same image with a
+    uniform +10 brightness shift has the SAME aHash — aHash thresholds on
+    the image's own mean), structurally different images survive, and
+    undecodable payloads keep a NULL hash and are never dropped."""
+    import numpy as np
+
+    from lakehouse_engine_spark.datapipes.media_codecs import encode_ppm
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
+
+    def t(name, **args):
+        return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 200, (16, 16, 3), dtype=np.uint8)
+    brighter = np.clip(base.astype(np.int16) + 10, 0, 255).astype(np.uint8)
+    other = 255 - base  # inverted: different bright/dark structure
+    rows = [
+        (1, bytearray(encode_ppm(base))),
+        (2, bytearray(encode_ppm(brighter))),
+        (3, bytearray(encode_ppm(other))),
+        (4, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, payload BINARY")
+    flagged = {r["doc_id"]: r for r in df.transform(
+        t("multimodal_image_dedup", keep="flagged")
+    ).collect()}
+    assert flagged[1]["ahash"] == flagged[2]["ahash"]
+    assert flagged[2]["is_duplicate"] and flagged[2]["dup_group_id"] == 1
+    assert not flagged[1]["is_duplicate"]
+    assert flagged[3]["ahash"] != flagged[1]["ahash"] and not flagged[3]["is_duplicate"]
+    assert flagged[4]["ahash"] is None and not flagged[4]["is_duplicate"]
+    kept = df.transform(t("multimodal_image_dedup")).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3, 4]
