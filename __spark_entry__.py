@@ -1156,6 +1156,19 @@ def dp43_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp44_lm_score_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram conditional-LM scoring (datapipes/text.py
+    text_lm_score_bigram): avg log10 P(w|prev) over each doc's bigrams,
+    scaled-BIGINT log grid (no engine round()), top-500 bigram vocab with
+    prefix-unigram conditioning; the oracle replays vocab, prefixes, and
+    the integer log sums."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.select("doc_id", "text").transform(
+        _t("text_lm_score_bigram", top_v=500)
+    )
+    return out.select("doc_id", "n_scored_bigrams", "avg_logprob2")
+
+
 def dp41_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Top-fraction score pruning (datapipes/sampling.py quantile_prune):
     keep the longest 25% of documents (ties at the threshold included) via
@@ -1368,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp41_quantile_prune": dp41_quantile_prune,
         "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
         "dp43_image_phash_dedup": dp43_image_phash_dedup,
+        "dp44_lm_score_bigram": dp44_lm_score_bigram,
     }
 
 
@@ -2160,6 +2174,41 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT e.vec_id, e.label, (x.id IS NOT NULL) AS near_reference
         FROM embeddings e LEFT JOIN hits x ON e.vec_id = x.id
+        """,
+        "dp44_lm_score_bigram": rf"""
+            WITH t AS (
+              SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+            ), bix AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(w)-1), i -> w[i])) AS pre,
+                     unnest(list_transform(generate_series(1, len(w)-1),
+                                           i -> w[i] || ' ' || w[i+1])) AS bg
+              FROM t WHERE len(w) >= 2
+            ), vb AS (
+              SELECT bg, COUNT(*) AS cb FROM bix GROUP BY bg
+              ORDER BY cb DESC, bg ASC LIMIT 500
+            ), pre AS (
+              SELECT DISTINCT string_split(bg, ' ')[1] AS w FROM vb
+            ), uni AS (
+              SELECT u.w, COUNT(*) AS cu
+              FROM (SELECT unnest(w) AS w FROM t) u
+              WHERE u.w IN (SELECT w FROM pre)
+              GROUP BY u.w
+            ), scored AS (
+              SELECT b.doc_id, COUNT(*) AS nb,
+                     SUM(CASE WHEN v.cb IS NOT NULL AND un.cu IS NOT NULL
+                          THEN CAST(floor(log10(v.cb) * 10000 + 0.5) AS BIGINT)
+                             - CAST(floor(log10(un.cu) * 10000 + 0.5) AS BIGINT)
+                          ELSE -30000 END) AS slp
+              FROM bix b
+              LEFT JOIN vb v USING (bg)
+              LEFT JOIN uni un ON b.pre = un.w
+              GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.nb, 0) AS INT) AS n_scored_bigrams,
+                   CAST(s.slp AS DOUBLE) / s.nb / 10000.0 AS avg_logprob2
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         """,
         "dp43_image_phash_dedup": """
             WITH g AS (

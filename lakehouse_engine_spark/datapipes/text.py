@@ -586,6 +586,99 @@ def lm_score(
     return _score
 
 
+@register("text_lm_score_bigram")
+def lm_score_bigram(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 10_000,
+    oov_logp: float = -3.0,
+    output_col: str = "avg_logprob2",
+) -> TransformerFn:
+    """Corpus-derived BIGRAM conditional-LM scoring: the average
+    ``log10 P(wᵢ | wᵢ₋₁) = log10 c(wᵢ₋₁wᵢ) − log10 c(wᵢ₋₁)`` over a
+    document's bigrams — a sharper perplexity proxy than the unigram
+    :func:`lm_score` (it punishes improbable word ORDER, not just rare
+    words; shuffled or templated text scores low even when every word is
+    common). Bigrams outside the ``top_v`` vocabulary take the ``oov_logp``
+    floor (default −3: P ≈ 10⁻³). Documents under 2 tokens score NULL with
+    ``n_scored_bigrams = 0``.
+
+    Numeric design: same scaled-BIGINT log grid as ``lm_score`` —
+    ``floor(log10(c)·10⁴+0.5)`` on the integer bigram and prefix counts,
+    exact integer sums, one final double division, no engine ``round()``.
+
+    Scale design: bigram vocab = one map-side-combined count capped to
+    ``top_v`` (TakeOrdered) → **broadcast**; prefix unigram counts are
+    computed corpus-wide but semi-joined down to the (≤ top_v) distinct
+    vocab prefixes before broadcasting. The per-doc pass is one bigram
+    explode → two broadcast joins → one doc-keyed map-side-combined agg.
+    """
+
+    def _score(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        toks = tokens_lower(F.col(input_col))
+        base = df.select(F.col(id_col).alias("__id"), toks.alias("__t")).filter(
+            F.size("__t") >= 2
+        )
+        n = F.size("__t")
+        pairs = base.select(
+            "__id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t", i.cast("int")).alias("pre"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at("__t", i.cast("int")),
+                            F.element_at("__t", (i + 1).cast("int")),
+                        ).alias("bg"),
+                    ),
+                )
+            ).alias("__x"),
+        ).select("__id", F.col("__x.pre").alias("__pre"), F.col("__x.bg").alias("__bg"))
+        vocab = (
+            pairs.groupBy("__bg")
+            .agg(F.count(F.lit(1)).alias("__cb"))
+            .orderBy(F.desc("__cb"), F.asc("__bg"))
+            .limit(top_v)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        prefixes = vocab.select(
+            F.split("__bg", " ").getItem(0).alias("__w")
+        ).distinct()
+        uni = (
+            df.select(F.explode(toks).alias("__w"))
+            .join(F.broadcast(prefixes), "__w", "left_semi")
+            .groupBy("__w")
+            .agg(F.count(F.lit(1)).alias("__cu"))
+        )
+        oov_scaled = int(round(oov_logp * 10_000))
+        lp = F.when(
+            F.col("__cb").isNotNull() & F.col("__cu").isNotNull(),
+            F.floor(F.log10(F.col("__cb")) * 10_000 + 0.5).cast("long")
+            - F.floor(F.log10(F.col("__cu")) * 10_000 + 0.5).cast("long"),
+        ).otherwise(F.lit(oov_scaled).cast("long"))
+        scored = (
+            pairs.join(F.broadcast(vocab), "__bg", "left")
+            .join(F.broadcast(uni), pairs["__pre"] == F.col("__w"), "left")
+            .withColumn("__lp", lp)
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("__nb"), F.sum("__lp").alias("__slp"))
+        )
+        return (
+            df.join(scored, df[id_col] == scored["__id"], "left")
+            .withColumn(
+                output_col,
+                F.col("__slp").cast("double") / F.col("__nb") / 10_000.0,
+            )
+            .withColumn("n_scored_bigrams", F.coalesce("__nb", F.lit(0)).cast("int"))
+            .drop("__id", "__nb", "__slp")
+        )
+
+    return _score
+
+
 @register("text_tfidf_top_terms")
 def tfidf_top_terms(
     input_col: str = "text",

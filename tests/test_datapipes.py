@@ -1048,3 +1048,38 @@ def test_global_shuffle_is_bijective_permutation(spark):
         assert len(out) == 5000
         assert len({(r["shard"], r["position"]) for r in out}) == 5000
         assert all(0 <= r["shard"] < shards for r in out)
+
+
+def test_lm_score_bigram_hand_computed(spark):
+    # corpus bigrams: "a b" ×2, "b a" ×1, "b c" ×1; unigrams a=3, b=3, c=1
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b"), (3, "")], "doc_id INT, text STRING"
+    )
+    out = {r["doc_id"]: r for r in df.transform(
+        t("text_lm_score_bigram")
+    ).collect()}
+    lg = lambda x: round(math.log10(x), 4)
+    # unigrams: a=2, b=3, c=1. doc 1 bigrams ab, ba, ab, bc →
+    # lp = [lg2-lg2, 0-lg3, lg2-lg2, 0-lg3] = [0, -lg3, 0, -lg3]
+    exp = (2 * (lg(2) - lg(2)) + 2 * (0 - lg(3))) / 4
+    assert out[1]["avg_logprob2"] == pytest.approx(exp, abs=1e-9)
+    assert out[1]["n_scored_bigrams"] == 4
+    # docs under 2 tokens: no bigrams, NULL score
+    assert out[2]["n_scored_bigrams"] == 0 and out[2]["avg_logprob2"] is None
+    assert out[3]["n_scored_bigrams"] == 0
+    # OOV floor: top_v=1 keeps only "a b"; other bigrams take -3.0
+    oov = {r["doc_id"]: r for r in df.transform(
+        t("text_lm_score_bigram", top_v=1)
+    ).collect()}
+    exp_oov = (2 * (lg(2) - lg(2)) + 2 * -3.0) / 4
+    assert oov[1]["avg_logprob2"] == pytest.approx(exp_oov, abs=1e-9)
+    # word-order sensitivity: in a corpus dominated by in-order text, the
+    # same words in garbled order hit rare bigrams and score lower
+    ordered = "the cat sat on the mat"
+    garbled = "mat the on sat cat the"
+    rows2 = [(i, ordered) for i in range(10)] + [(99, garbled)]
+    df2 = spark.createDataFrame(rows2, "doc_id INT, text STRING")
+    got = {r["doc_id"]: r["avg_logprob2"] for r in df2.transform(
+        t("text_lm_score_bigram")
+    ).collect()}
+    assert got[0] > got[99]
