@@ -1169,6 +1169,22 @@ def dp44_lm_score_bigram(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "n_scored_bigrams", "avg_logprob2")
 
 
+def dp45_embedding_mean_pool(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids (datapipes/embeddings.py
+    embedding_mean_pool): components snap to a 1e-6 grid as BIGINTs and sum
+    exactly, so the pooled means are partitioning-independent and the
+    oracle replays them bit-for-bit (emitted as an md5 over the exact
+    integer sums + the first component's mean)."""
+    emb = load_table(spark, sf, "embeddings")
+    out = emb.transform(_t("embedding_mean_pool", group_col="label"))
+    return out.select(
+        F.col("label").cast("int").alias("label"),
+        "n_vectors",
+        F.md5(F.concat_ws(",", F.col("pool_sums"))).alias("sums_md5"),
+        F.element_at("embedding_mean", 1).alias("mean_c0"),
+    )
+
+
 def dp41_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Top-fraction score pruning (datapipes/sampling.py quantile_prune):
     keep the longest 25% of documents (ties at the threshold included) via
@@ -1382,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
         "dp43_image_phash_dedup": dp43_image_phash_dedup,
         "dp44_lm_score_bigram": dp44_lm_score_bigram,
+        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
     }
 
 
@@ -2174,6 +2191,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT e.vec_id, e.label, (x.id IS NOT NULL) AS near_reference
         FROM embeddings e LEFT JOIN hits x ON e.vec_id = x.id
+        """,
+        "dp45_embedding_mean_pool": """
+            WITH v AS (
+              SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), comp AS (
+              SELECT label,
+                     unnest(generate_series(1, len(v))) AS p,
+                     unnest(list_transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS ci
+              FROM v
+            ), agg AS (
+              SELECT label, p, SUM(ci) AS s, COUNT(*) AS n
+              FROM comp GROUP BY label, p
+            ), pooled AS (
+              SELECT label, MAX(n) AS n_vectors,
+                     list(s ORDER BY p) AS sums
+              FROM agg GROUP BY label
+            )
+            SELECT CAST(label AS INT) AS label,
+                   CAST(n_vectors AS BIGINT) AS n_vectors,
+                   md5(array_to_string(sums, ',')) AS sums_md5,
+                   CAST(sums[1] AS DOUBLE) / n_vectors / 1000000 AS mean_c0
+            FROM pooled
         """,
         "dp44_lm_score_bigram": rf"""
             WITH t AS (

@@ -94,3 +94,61 @@ def embedding_quantize_int8(
         )
 
     return _quant
+
+
+@register("embedding_mean_pool")
+def embedding_mean_pool(
+    group_col: str = "label",
+    input_col: str = "embedding",
+    output_col: str = "embedding_mean",
+    scale: int = 1_000_000,
+) -> TransformerFn:
+    """Mean-pool embeddings per group — chunk→document pooling, per-class
+    centroids, per-domain "topic vectors". Returns one row per group:
+    ``group_col``, ``n_vectors``, the pooled ``output_col`` array, and
+    ``pool_sums`` (the exact scaled integer sums the mean derives from).
+
+    Numeric design: float sums over rows are accumulation-order-dependent
+    (shuffle partitioning changes the result run to run), so components
+    snap to a 1/``scale`` grid as BIGINTs — ``floor(v·scale + 0.5)`` — and
+    sum EXACTLY; the mean is one double division per component. Identical
+    output for any partitioning, and bit-reproducible by the SQL oracle.
+
+    Scale design: posexplode → ONE map-side-combined groupBy on
+    (group, component) — shuffled volume is groups × dim, not rows × dim,
+    after partial aggregation — then a groups-keyed rebuild of the array
+    via sorted collect_list (bounded: dim entries per group).
+    """
+
+    def _pool(df: DataFrame) -> DataFrame:
+        comp = (
+            df.select(
+                F.col(group_col).alias("__g"),
+                F.posexplode(F.col(input_col)).alias("__p", "__v"),
+            )
+            .withColumn(
+                "__ci",
+                F.floor(F.col("__v").cast("double") * scale + 0.5).cast("long"),
+            )
+            .groupBy("__g", "__p")
+            .agg(F.sum("__ci").alias("__s"), F.count(F.lit(1)).alias("__n"))
+        )
+        pooled = (
+            comp.groupBy("__g")
+            .agg(
+                F.max("__n").alias("n_vectors"),
+                F.array_sort(F.collect_list(F.struct("__p", "__s"))).alias("__ps"),
+            )
+            .select(
+                F.col("__g").alias(group_col),
+                F.col("n_vectors").cast("long").alias("n_vectors"),
+                F.transform("__ps", lambda x: x["__s"]).alias("pool_sums"),
+                F.transform(
+                    "__ps",
+                    lambda x: x["__s"].cast("double") / F.col("n_vectors") / scale,
+                ).alias(output_col),
+            )
+        )
+        return pooled
+
+    return _pool

@@ -1083,3 +1083,18 @@ def test_lm_score_bigram_hand_computed(spark):
         t("text_lm_score_bigram")
     ).collect()}
     assert got[0] > got[99]
+
+
+def test_embedding_mean_pool_exact_and_order_independent(spark):
+    rows = [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [-1.5, 0.5])]
+    df = spark.createDataFrame(rows, "label INT, embedding ARRAY<DOUBLE>")
+    out = {r["label"]: r for r in df.transform(t("embedding_mean_pool")).collect()}
+    assert out[0]["n_vectors"] == 2
+    assert out[0]["pool_sums"] == [4_000_000, 6_000_000]
+    assert out[0]["embedding_mean"] == pytest.approx([2.0, 3.0])
+    assert out[1]["embedding_mean"] == pytest.approx([-1.5, 0.5])
+    # partitioning independence: radically different partitioning, same sums
+    again = {r["label"]: r["pool_sums"] for r in df.repartition(7).transform(
+        t("embedding_mean_pool")
+    ).collect()}
+    assert again == {k: v["pool_sums"] for k, v in out.items()}
