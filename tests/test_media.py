@@ -293,3 +293,53 @@ def test_image_dedup_ahash_collapses_perceptual_copies(spark):
     assert flagged[4]["ahash"] is None and not flagged[4]["is_duplicate"]
     kept = df.transform(t("multimodal_image_dedup")).collect()
     assert sorted(r["doc_id"] for r in kept) == [1, 3, 4]
+
+
+def test_video_frames_chain_into_perceptual_dedup(spark):
+    """Composition: video → frame_sample (injected extractor) →
+    multimodal_image_dedup keyed on a global frame id — repeated frames
+    within/across videos collapse to one representative (the video
+    keyframe-dedup pipeline with only the codec injected)."""
+    import numpy as np
+
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.datapipes import media_codecs
+    from lakehouse_engine_spark.datapipes.media_codecs import encode_ppm
+    from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
+    from pyspark.sql import functions as F
+
+    def t(name, **args):
+        return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+    def fake_mp4_frames(b, max_frames):
+        # per-value pseudo-random pattern: same value → identical frame,
+        # different value → different STRUCTURE (aHash is structure-based;
+        # solid frames would all hash alike)
+        return [
+            encode_ppm(
+                np.random.RandomState(v).randint(0, 256, (8, 8, 3)).astype(np.uint8)
+            )
+            for v in b[12 : 12 + max_frames]
+        ]
+
+    media_codecs.register_frame_extractor("video/mp4", fake_mp4_frames)
+    try:
+        # two videos sharing frame value 10; video A repeats 10 internally
+        va = b"\x00\x00\x00\x18ftypisom" + bytes([10, 10, 20])
+        vb = b"\x00\x00\x00\x18ftypisom" + bytes([10, 30])
+        df = spark.createDataFrame(
+            [(1, va), (2, vb)], "doc_id LONG, payload BINARY"
+        )
+        frames = df.transform(
+            t("multimodal_frame_sample", max_frames=4, mode="strict")
+        ).select(
+            (F.col("id") * 100 + F.col("frame_idx")).alias("fid"),
+            F.col("frame_bytes").alias("payload"),
+        )
+        kept = frames.transform(
+            t("multimodal_image_dedup", id_col="fid")
+        ).collect()
+        # 5 frames, values [10,10,20] + [10,30] → survivors 10(min fid), 20, 30
+        assert sorted(r["fid"] for r in kept) == [100, 102, 201]
+    finally:
+        media_codecs.unregister_frame_extractor("video/mp4")
