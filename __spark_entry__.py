@@ -1185,6 +1185,24 @@ def dp45_embedding_mean_pool(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp46_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture (datapipes/sampling.py token_budget_sample):
+    downsample 'en' to 5000 tokens and 'zh' to 2000 in expectation, keep
+    other languages whole — per-group keep fraction = budget/token-total,
+    applied as the stable content-hash filter. The oracle replays the
+    totals, thresholds, and hash filter."""
+    docs = load_table(spark, sf, "documents")
+    with_tokens = docs.selectExpr(
+        "doc_id", "lang",
+        "size(filter(split(trim(text), '\\\\s+'), t -> t != '')) AS n_tokens",
+    )
+    out = with_tokens.transform(
+        _t("token_budget_sample", group_col="lang", token_col="n_tokens",
+           budgets={"en": 5000, "zh": 2000}, seed="tb")
+    )
+    return out.select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
 def dp41_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Top-fraction score pruning (datapipes/sampling.py quantile_prune):
     keep the longest 25% of documents (ties at the threshold included) via
@@ -1399,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp43_image_phash_dedup": dp43_image_phash_dedup,
         "dp44_lm_score_bigram": dp44_lm_score_bigram,
         "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
+        "dp46_token_budget_sample": dp46_token_budget_sample,
     }
 
 
@@ -2191,6 +2210,26 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT e.vec_id, e.label, (x.id IS NOT NULL) AS near_reference
         FROM embeddings e LEFT JOIN hits x ON e.vec_id = x.id
+        """,
+        "dp46_token_budget_sample": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x <> '')) AS n_tokens
+              FROM documents
+            ), tot AS (
+              SELECT lang AS g, SUM(n_tokens) AS tt FROM t GROUP BY lang
+            ), thr AS (
+              SELECT g,
+                     CASE WHEN g = 'en' THEN LEAST(1000000.0, 5000.0 / tt * 1000000)
+                          WHEN g = 'zh' THEN LEAST(1000000.0, 2000.0 / tt * 1000000)
+                          ELSE 1000000.0 END AS th
+              FROM tot
+            )
+            SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM t JOIN thr ON t.lang = thr.g
+            WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'tb'), 1, 15)
+                       AS BIGINT) % 1000000 AS DOUBLE) < th
         """,
         "dp45_embedding_mean_pool": """
             WITH v AS (

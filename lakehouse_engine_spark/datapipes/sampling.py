@@ -172,6 +172,78 @@ def mixture_sample(
     return _sample
 
 
+@register("token_budget_sample")
+def token_budget_sample(
+    group_col: str,
+    token_col: str,
+    budgets: Dict[str, int],
+    id_col: str = "doc_id",
+    default_keep: bool = True,
+    seed: str = "",
+) -> Callable[[DataFrame], DataFrame]:
+    """Token-budget mixture construction: downsample each domain/source to
+    a TOKEN budget (not a row fraction) — "200 B tokens of web, 50 B of
+    code" is how pretraining mixtures are actually specified. Each group's
+    keep-fraction is ``min(1, budget / group_token_total)``, applied as the
+    deterministic content-hash filter (``hash_sample`` semantics: stable
+    under re-runs and appends). Groups without a budget keep everything
+    (``default_keep=True``) or drop.
+
+    The realized token count is the budget in expectation (hash-uniform
+    row selection); exactness to the last token would need a per-group
+    running sum — a per-group sort at 100 TB — for <1% gain on any
+    realistically sized budget.
+
+    Scale design: pass 1 = one map-side-combined groupBy computing
+    group token totals (rows = number of groups → **broadcast**); pass 2
+    = pure hash-filter projection. No windows, no sort, no per-row state.
+    """
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"token_budget_sample: budget for {g!r} must be >= 0")
+
+    def _sample(df: DataFrame) -> DataFrame:
+        budget_expr = None
+        for g, b in budgets.items():
+            cond = F.col("__g") == g
+            budget_expr = (
+                F.when(cond, F.lit(float(b)))
+                if budget_expr is None
+                else budget_expr.when(cond, F.lit(float(b)))
+            )
+        budget_expr = (
+            budget_expr.otherwise(F.lit(None).cast("double"))
+            if budget_expr is not None
+            else F.lit(None).cast("double")
+        )
+        totals = (
+            df.groupBy(F.col(group_col).alias("__g"))
+            .agg(F.sum(F.col(token_col)).alias("__tot"))
+            .withColumn("__budget", budget_expr)
+        )
+        # threshold per group in hash-bucket units; NULL budget → keep-all
+        # or drop-all via default_keep
+        thr = totals.select(
+            "__g",
+            F.when(
+                F.col("__budget").isNotNull(),
+                F.least(
+                    F.lit(float(BUCKETS)),
+                    F.col("__budget") / F.col("__tot") * BUCKETS,
+                ),
+            )
+            .otherwise(F.lit(float(BUCKETS) if default_keep else 0.0))
+            .alias("__thr"),
+        )
+        return (
+            df.join(F.broadcast(thr), df[group_col] == F.col("__g"))
+            .filter(_bucket(id_col, seed).cast("double") < F.col("__thr"))
+            .drop("__g", "__thr")
+        )
+
+    return _sample
+
+
 @register("quantile_prune")
 def quantile_prune(
     score_col: str,

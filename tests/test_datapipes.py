@@ -1098,3 +1098,41 @@ def test_embedding_mean_pool_exact_and_order_independent(spark):
         t("embedding_mean_pool")
     ).collect()}
     assert again == {k: v["pool_sums"] for k, v in out.items()}
+
+
+def test_token_budget_sample_expected_budgets(spark):
+    # group A: 100 docs × 10 tokens = 1000 total, budget 500 → ~half kept;
+    # group B: no budget → kept whole; group C: budget 0 → dropped
+    rows = [(i, "A", 10) for i in range(100)] + \
+           [(200 + i, "B", 10) for i in range(20)] + \
+           [(300 + i, "C", 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id INT, src STRING, n_tokens INT")
+    out = df.transform(
+        t("token_budget_sample", group_col="src", token_col="n_tokens",
+          budgets={"A": 500, "C": 0}, seed="q")
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], []).append(r["doc_id"])
+    assert len(by.get("B", [])) == 20           # untouched
+    assert "C" not in by                        # zero budget drops
+    kept_tokens = len(by["A"]) * 10
+    assert 300 <= kept_tokens <= 700            # ~500 in expectation
+    # default_keep=False drops unbudgeted groups
+    strict = df.transform(
+        t("token_budget_sample", group_col="src", token_col="n_tokens",
+          budgets={"A": 500}, default_keep=False, seed="q")
+    ).collect()
+    assert {r["src"] for r in strict} == {"A"}
+    # determinism: same seed → same rows
+    again = df.transform(
+        t("token_budget_sample", group_col="src", token_col="n_tokens",
+          budgets={"A": 500, "C": 0}, seed="q")
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+    # budget >= total keeps the whole group
+    full = df.transform(
+        t("token_budget_sample", group_col="src", token_col="n_tokens",
+          budgets={"A": 10_000}, seed="q")
+    ).collect()
+    assert len([r for r in full if r["src"] == "A"]) == 100

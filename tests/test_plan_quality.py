@@ -313,3 +313,12 @@ def test_cross_embedding_dedup_no_cartesian(spark, sf_dir):
     physical, _ = _plans(df)
     assert "CartesianProduct" not in physical, physical[:2000]
     assert "BroadcastNestedLoopJoin" not in physical
+
+
+def test_token_budget_sample_broadcasts_thresholds(spark, sf_dir):
+    """Pass 1 reduces to one row per group; the threshold side must
+    broadcast onto the data pass — never shuffle the corpus for the join."""
+    df = entry.queries()["dp46_token_budget_sample"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical
