@@ -1203,6 +1203,29 @@ def dp46_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"))
 
 
+def dp47_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style corpus-wide line dedup (datapipes/text.py text_line_dedup):
+    every doc gets a shared boilerplate middle line between two slices of
+    its own text; the footer must survive only in the smallest doc id and
+    vanish everywhere else. The oracle replays split → first-occurrence
+    window → ordered reassembly."""
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60), F.lit("\n"),
+            F.lit("COMMON FOOTER BOILERPLATE"), F.lit("\n"),
+            F.substring("text", 61, 60),
+        ).alias("text"),
+    )
+    out = staged.transform(_t("text_line_dedup"))
+    return out.select(
+        "doc_id",
+        F.md5("text_deduped").alias("clean_md5"),
+        F.col("n_lines_removed").cast("int").alias("n_lines_removed"),
+    )
+
+
 def dp41_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Top-fraction score pruning (datapipes/sampling.py quantile_prune):
     keep the longest 25% of documents (ties at the threshold included) via
@@ -1418,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp44_lm_score_bigram": dp44_lm_score_bigram,
         "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
         "dp46_token_budget_sample": dp46_token_budget_sample,
+        "dp47_line_dedup": dp47_line_dedup,
     }
 
 
@@ -2210,6 +2234,31 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT e.vec_id, e.label, (x.id IS NOT NULL) AS near_reference
         FROM embeddings e LEFT JOIN hits x ON e.vec_id = x.id
+        """,
+        "dp47_line_dedup": """
+            WITH staged AS (
+              SELECT doc_id,
+                     substr(text, 1, 60) || chr(10) || 'COMMON FOOTER BOILERPLATE'
+                       || chr(10) || substr(text, 61, 60) AS t
+              FROM documents
+            ), ln AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, len(string_split(t, chr(10))) - 1)) AS idx,
+                     unnest(string_split(t, chr(10))) AS line
+              FROM staged
+            ), keyed AS (
+              SELECT doc_id, idx, line,
+                     (length(trim(line)) < 1) OR
+                     (ROW_NUMBER() OVER (PARTITION BY md5(trim(line))
+                                         ORDER BY doc_id, idx) = 1) AS keep
+              FROM ln
+            )
+            SELECT doc_id,
+                   md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                           ORDER BY idx), '')) AS clean_md5,
+                   CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS INT)
+                       AS n_lines_removed
+            FROM keyed GROUP BY doc_id
         """,
         "dp46_token_budget_sample": r"""
             WITH t AS (

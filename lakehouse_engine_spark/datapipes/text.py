@@ -757,6 +757,70 @@ def tfidf_top_terms(
     return _tfidf
 
 
+@register("text_line_dedup")
+def line_dedup(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    output_col: str = "text_deduped",
+    min_line_chars: int = 1,
+    removed_col: str = "n_lines_removed",
+) -> TransformerFn:
+    """C4-style corpus-wide LINE dedup: a (trimmed) line survives only at
+    its first occurrence in the corpus — ordered by (doc id, position) —
+    and is removed everywhere else. This is the classic boilerplate killer
+    (navigation chrome, cookie banners, license footers repeat verbatim
+    across pages while real prose doesn't). Lines shorter than
+    ``min_line_chars`` after trimming are always kept (blank separators
+    would otherwise all collapse into one document). Emits the rebuilt
+    text plus a removed-line count per document.
+
+    Scale design: explode lines → ONE window over the line digest
+    (``row_number`` per md5(trim(line)), the same cost class as exact
+    dedup) → reassemble per doc from a sorted collect_list (bounded by
+    lines-per-doc). Shuffled volume is (id, idx, digest) triples plus the
+    surviving line text — no all-pairs anything.
+    """
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        lines = df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(input_col), "\n")).alias("__idx", "__line"),
+        ).withColumn("__key", F.md5(F.trim("__line")))
+        w = Window.partitionBy("__key").orderBy("__id", "__idx")
+        kept = lines.withColumn(
+            "__keep",
+            (F.length(F.trim("__line")) < min_line_chars)
+            | (F.row_number().over(w) == 1),
+        )
+        rebuilt = (
+            kept.groupBy("__id")
+            .agg(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__keep"),
+                                    F.struct("__idx", "__line"),
+                                )
+                            )
+                        ),
+                        lambda x: x["__line"],
+                    ),
+                ).alias(output_col),
+                F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+                .cast("int")
+                .alias(removed_col),
+            )
+        )
+        return df.join(rebuilt, df[id_col] == rebuilt["__id"], "left").drop("__id")
+
+    return _dedup
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles; documents shorter than n words yield one shingle."""
     toks = tokens_lower(col)

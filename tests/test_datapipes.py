@@ -1136,3 +1136,27 @@ def test_token_budget_sample_expected_budgets(spark):
           budgets={"A": 10_000}, seed="q")
     ).collect()
     assert len([r for r in full if r["src"] == "A"]) == 100
+
+
+def test_line_dedup_c4_semantics(spark):
+    rows = [
+        (1, "unique alpha\nCOMMON FOOTER\nunique beta"),
+        (2, "unique gamma\nCOMMON FOOTER\n\nunique delta"),
+        (3, "COMMON FOOTER"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in df.transform(t("text_line_dedup")).collect()}
+    # footer survives only in doc 1 (smallest id)
+    assert out[1]["text_deduped"] == "unique alpha\nCOMMON FOOTER\nunique beta"
+    assert out[1]["n_lines_removed"] == 0
+    # doc 2 loses the footer but keeps its blank line (min_line_chars=1)
+    assert out[2]["text_deduped"] == "unique gamma\n\nunique delta"
+    assert out[2]["n_lines_removed"] == 1
+    # doc 3 becomes empty
+    assert out[3]["text_deduped"] == "" and out[3]["n_lines_removed"] == 1
+    # duplicate line WITHIN one doc also collapses to first occurrence
+    df2 = spark.createDataFrame(
+        [(9, "same line\nsame line\nother")], "doc_id INT, text STRING"
+    )
+    got = df2.transform(t("text_line_dedup")).collect()[0]
+    assert got["text_deduped"] == "same line\nother"
