@@ -263,13 +263,14 @@ def dedup_cross_embedding(
 
         o_emb = other_embedding_col or embedding_col
         o_id = other_id_col or id_col
-        d = (
-            dim
-            if dim is not None
-            else df.select(
+        if dim is not None:
+            d = dim
+        else:
+            # empty corpus probes None; any dim gives the correct empty result
+            probe = df.select(
                 F.size(F.col(embedding_col).cast("array<double>")).alias("d")
-            ).first()["d"]
-        )
+            ).first()
+            d = probe["d"] if probe is not None else 1
 
         def _sigs(sdf: DataFrame, emb: str, idc: str) -> DataFrame:
             s = _cap_buckets(
@@ -885,13 +886,13 @@ def dedup_embedding_cosine(
 
         # caller-supplied dim skips the width-probe scan job (a full action
         # on a large corpus); probed once and forwarded otherwise
-        dim = (
-            dim_arg
-            if dim_arg is not None
-            else df.select(
+        if dim_arg is not None:
+            dim = dim_arg
+        else:
+            probe = df.select(
                 F.size(F.col(embedding_col).cast("array<double>")).alias("d")
-            ).first()["d"]
-        )
+            ).first()
+            dim = probe["d"] if probe is not None else 1  # empty corpus
         # per-vector norm computed ONCE per signature row (O(n·tables)); the
         # pair verify then runs entirely inside whole-stage codegen — an
         # interpreted cosine() HOF per candidate pair was the bottleneck on
@@ -956,11 +957,11 @@ def dedup_embedding_cosine(
         return out
 
     def _dedup(df: DataFrame) -> DataFrame:
-        dim = (
-            dim_arg
-            if dim_arg is not None
-            else df.select(F.size(F.col(embedding_col)).alias("d")).first()["d"]
-        )
+        if dim_arg is not None:
+            dim = dim_arg
+        else:
+            probe = df.select(F.size(F.col(embedding_col)).alias("d")).first()
+            dim = probe["d"] if probe is not None else 1  # empty corpus
         norm = F.sqrt(
             F.aggregate(
                 F.col(embedding_col).cast("array<double>"),

@@ -111,8 +111,14 @@ def hyperplane_signatures(
     import random
 
     vec = F.col(embedding_col).cast("array<double>")
-    # dim avoids a probe job when the caller knows the embedding width
-    real_dim = dim if dim is not None else df.select(F.size(vec).alias("d")).first()["d"]
+    # dim avoids a probe job when the caller knows the embedding width;
+    # an EMPTY corpus probes None — any dim yields the correct empty
+    # signature frame, so use 1 instead of crashing
+    if dim is not None:
+        real_dim = dim
+    else:
+        probe = df.select(F.size(vec).alias("d")).first()
+        real_dim = probe["d"] if probe is not None else 1
     rng = random.Random(seed)
     n_sigs = num_tables * num_planes
     # each plane's weight vector as ONE SQL array literal (one py4j call
@@ -250,7 +256,8 @@ def knn_ivf(
             .select(F.col("__vid").alias("centroid_id"), F.col("__v").alias("__cv"))
         )
         if iters > 0:
-            dim = df.select(F.size(vec).alias("d")).first()["d"]
+            probe = df.select(F.size(vec).alias("d")).first()
+            dim = probe["d"] if probe is not None else 1  # empty corpus
             for _ in range(iters):
                 # Lloyd round: broadcast-assign, then per-cluster mean. The
                 # element-wise mean is dim scalar AVG aggregates (codegen,

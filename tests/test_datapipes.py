@@ -1160,3 +1160,47 @@ def test_line_dedup_c4_semantics(spark):
     )
     got = df2.transform(t("text_line_dedup")).collect()[0]
     assert got["text_deduped"] == "same line\nother"
+
+
+def test_datapipes_ops_handle_empty_input(spark):
+    """Empty corpora (a filtered-out partition, a first run) must yield
+    empty results, not crash — the embedding dim probes previously
+    subscripted a None row."""
+    docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    emb = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cases = [
+        ("text_quality_prune", docs, {}),
+        ("text_lm_score", docs, {}),
+        ("text_lm_score_bigram", docs, {}),
+        ("text_tfidf_top_terms", docs, {}),
+        ("text_line_dedup", docs, {}),
+        ("global_shuffle", docs, {}),
+        ("quantile_prune", docs, {"score_col": "doc_id", "keep_frac": 0.5}),
+        ("dedup_exact", docs, {"key_cols": ["text"], "id_col": "doc_id"}),
+        ("dedup_minhash_lsh", docs, {}),
+        ("dedup_simhash", docs, {}),
+        ("dedup_embedding_cosine", emb, {}),
+        ("dedup_embedding_cosine", emb, {"method": "exact"}),
+        ("embedding_normalize", emb, {}),
+        ("embedding_quantize_int8", emb, {}),
+        ("embedding_mean_pool", emb, {"group_col": "vec_id"}),
+        ("knn_brute_force", emb, {"query_filter": "vec_id < 3"}),
+        ("knn_lsh", emb, {"query_filter": "vec_id < 3"}),
+        ("knn_ivf", emb, {"query_filter": "vec_id < 3", "iters": 2}),
+        ("pack_sequences", docs.selectExpr("doc_id", "1 AS n_tokens"), {}),
+    ]
+    for name, df, args in cases:
+        assert df.transform(t(name, **args)).count() == 0, name
+    # cross ops: empty main, empty ref, and both
+    main = spark.createDataFrame([(1, "hello world")], "doc_id LONG, text STRING")
+    assert docs.transform(
+        t("dedup_cross_minhash", other_df=main, mode="flag")
+    ).count() == 0
+    assert main.transform(
+        t("dedup_cross_exact", other_df=docs, key_cols=["text"])
+    ).count() == 1
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert emb.transform(
+        t("dedup_cross_embedding", other_df=one, mode="flag")
+    ).count() == 0
+    assert one.transform(t("dedup_cross_embedding", other_df=emb)).count() == 1
