@@ -1204,3 +1204,24 @@ def test_datapipes_ops_handle_empty_input(spark):
         t("dedup_cross_embedding", other_df=one, mode="flag")
     ).count() == 0
     assert one.transform(t("dedup_cross_embedding", other_df=emb)).count() == 1
+
+
+def test_text_ops_null_text_contract(spark):
+    """NULL/empty text must degrade, not crash: scoring ops keep the row
+    (null or zero-valued features), chunking emits nothing for contentless
+    docs, and signature dedup treats null and empty text as the same
+    no-content document."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real text here with several good words for the test"), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    for name in ("text_quality_prune", "text_quality_score", "text_langid",
+                 "text_pii_redact", "text_repetition", "text_lm_score",
+                 "text_line_dedup"):
+        assert docs.transform(t(name)).count() == 3, name
+    # contentless docs yield no chunks and no tf-idf terms
+    assert [r["doc_id"] for r in docs.transform(t("text_chunk")).collect()] == [2]
+    assert {r["doc_id"] for r in docs.transform(t("text_tfidf_top_terms")).collect()} == {2}
+    # null text and empty text share the degenerate signature → one survives
+    kept = {r["doc_id"] for r in docs.transform(t("dedup_minhash_lsh")).collect()}
+    assert kept == {1, 2}
