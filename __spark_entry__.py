@@ -1226,6 +1226,33 @@ def dp47_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DP48_PASSAGE = "common shared passage tokens appear in every document exactly once here"
+
+
+def dp48_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring dedup at 8-token granularity (datapipes/dedup.py
+    dedup_substring_exact — the distributed Lee-et-al-style repeated-span
+    cut): every doc gets an 11-token shared passage spliced into its own
+    text; all repeated 8-token windows (the passage everywhere but its
+    first corpus occurrence, plus any organic repeats) are removed and the
+    text rebuilt. The oracle replays windows → first-occurrence rank →
+    span expansion → anti join → ordered rebuild."""
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80), F.lit(" " + _DP48_PASSAGE + " "),
+            F.substring("text", 81, 60),
+        ).alias("text"),
+    )
+    out = staged.transform(_t("dedup_substring_exact", k=8))
+    return out.select(
+        "doc_id",
+        F.md5("text_deduped").alias("clean_md5"),
+        F.col("n_tokens_removed").cast("int").alias("n_tokens_removed"),
+    )
+
+
 def dp41_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Top-fraction score pruning (datapipes/sampling.py quantile_prune):
     keep the longest 25% of documents (ties at the threshold included) via
@@ -1442,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
         "dp46_token_budget_sample": dp46_token_budget_sample,
         "dp47_line_dedup": dp47_line_dedup,
+        "dp48_substring_dedup": dp48_substring_dedup,
     }
 
 
@@ -2234,6 +2262,52 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT e.vec_id, e.label, (x.id IS NOT NULL) AS near_reference
         FROM embeddings e LEFT JOIN hits x ON e.vec_id = x.id
+        """,
+        "dp48_substring_dedup": rf"""
+            WITH staged AS (
+              SELECT doc_id,
+                     substr(text, 1, 80) || ' {_DP48_PASSAGE} '
+                       || substr(text, 81, 60) AS t
+              FROM documents
+            ), tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(t), '\s+'),
+                                 x -> x <> '') AS w
+              FROM staged
+            ), wins AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, len(w) - 8)) AS s,
+                     unnest(list_transform(generate_series(0, len(w) - 8),
+                       i -> md5(array_to_string(list_slice(w, i + 1, i + 8), ' ')))) AS gh
+              FROM tk WHERE len(w) >= 8
+            ), rep AS (
+              SELECT doc_id, s FROM (
+                SELECT doc_id, s,
+                       ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, s) AS rn
+                FROM wins
+              ) WHERE rn > 1
+            ), cov AS (
+              SELECT DISTINCT doc_id, p FROM (
+                SELECT doc_id, unnest(generate_series(s, s + 7)) AS p FROM rep
+              )
+            ), toksx AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, len(w) - 1)) AS p,
+                     unnest(w) AS tok
+              FROM tk WHERE len(w) >= 1
+            ), kept AS (
+              SELECT t.doc_id, t.p, t.tok
+              FROM toksx t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+              WHERE c.p IS NULL
+            ), reb AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt,
+                     COUNT(*) AS nk
+              FROM kept GROUP BY doc_id
+            )
+            SELECT k.doc_id,
+                   md5(COALESCE(r.txt, '')) AS clean_md5,
+                   CAST(len(k.w) - COALESCE(r.nk, 0) AS INT) AS n_tokens_removed
+            FROM tk k LEFT JOIN reb r ON k.doc_id = r.doc_id
         """,
         "dp47_line_dedup": """
             WITH staged AS (

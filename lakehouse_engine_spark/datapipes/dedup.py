@@ -374,6 +374,98 @@ def dedup_cross_exact_with(data: dict, other: str, **args) -> TransformerFn:
     return _dedup
 
 
+@register("dedup_substring_exact")
+def dedup_substring_exact(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    output_col: str = "text_deduped",
+    removed_col: str = "n_tokens_removed",
+) -> TransformerFn:
+    """EXACT substring dedup at ``k``-token granularity — the distributed
+    formulation of suffix-array training-data dedup (remove every repeated
+    span of ≥ k tokens, keeping its first corpus occurrence). Catches the
+    repeats document-level dedup can't: a quoted paragraph, a license
+    block pasted mid-file, self-repeating generations.
+
+    Rule: every ``k``-token window whose exact token sequence occurred
+    earlier in the corpus (ordered by doc id, then position — including
+    earlier in the SAME doc) is a repeat; the union of repeated windows'
+    spans is cut from the document and the text is rebuilt from surviving
+    tokens (single-space joined — span surgery is token-level, so original
+    inter-token whitespace is not preserved). Docs under ``k`` tokens pass
+    through (normalized the same way). Emits the rebuilt text and the
+    removed-token count.
+
+    Scale design: one windows pass (id, start, md5 of the k-gram — volume
+    ∝ corpus tokens, the same cost class as line/ngram dedup), ONE window
+    over the gram digest for first-occurrence ranking, then repeats expand
+    to covered (id, pos) pairs (volume ∝ 32 × repeated windows only, NOT
+    corpus tokens), a position-keyed anti join, and a per-doc ordered
+    rebuild. No pairwise joins; everything keys on digest, (id, pos), or
+    id.
+    """
+    if k < 2:
+        raise ValueError(f"dedup_substring_exact: k must be >= 2, got {k}")
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        toks = F.filter(F.split(F.trim(F.col(input_col)), r"\s+"), lambda t: t != "")
+        base = ensure_parallelism(df).select(
+            F.col(id_col).alias("__id"), toks.alias("__t")
+        )
+        n = F.size("__t")
+        wins = base.filter(n >= k).select(
+            "__id",
+            F.explode(F.sequence(F.lit(0), n - k)).alias("__s"),
+        )
+        wins = (
+            base.join(wins, "__id")
+            .select(
+                "__id",
+                "__s",
+                F.md5(
+                    F.concat_ws(" ", F.slice("__t", F.col("__s") + 1, k))
+                ).alias("__gh"),
+            )
+        )
+        w = Window.partitionBy("__gh").orderBy("__id", "__s")
+        repeats = (
+            wins.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select("__id", "__s")
+        )
+        covered = repeats.select(
+            "__id", F.explode(F.sequence(F.col("__s"), F.col("__s") + k - 1)).alias("__p")
+        ).distinct()
+        tokens = base.select(
+            "__id", F.posexplode("__t").alias("__p", "__tok")
+        )
+        kept = tokens.join(covered, ["__id", "__p"], "left_anti")
+        rebuilt = kept.groupBy("__id").agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__p", "__tok"))),
+                    lambda x: x["__tok"],
+                ),
+            ).alias("__joined"),
+            F.count(F.lit(1)).alias("__nkept"),
+        )
+        out = (
+            df.withColumn("__ntok", F.size(toks))
+            .join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+            .withColumn(output_col, F.coalesce(F.col("__joined"), F.lit("")))
+            .withColumn(
+                removed_col,
+                (F.col("__ntok") - F.coalesce("__nkept", F.lit(0))).cast("int"),
+            )
+            .drop("__id", "__joined", "__nkept", "__ntok")
+        )
+        return out
+
+    return _dedup
+
+
 def minhash_signature(col: Column, num_hashes: int = 12, shingle_size: int = 3) -> Column:
     """Array of ``num_hashes`` min-wise hashes (bigints) of the document's
     distinct-shingle set. Pure projection — portable to ANSI SQL.

@@ -1225,3 +1225,29 @@ def test_text_ops_null_text_contract(spark):
     # null text and empty text share the degenerate signature → one survives
     kept = {r["doc_id"] for r in docs.transform(t("dedup_minhash_lsh")).collect()}
     assert kept == {1, 2}
+
+
+def test_substring_dedup_lee_et_al_semantics(spark):
+    rows = [
+        (1, "a b c d e f g h unique one two three"),
+        (2, "x y a b c d e f g h z w"),           # repeats doc 1's 8-gram
+        (3, "totally different words without repeats here at all"),
+        (4, "p q r p q r p q r p q r p q r p q r"),  # self-repeating
+        (5, "short doc"),                          # under k tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in df.transform(
+        t("dedup_substring_exact", k=8)
+    ).collect()}
+    # first occurrence keeps the span; the later doc loses exactly it
+    assert out[1]["text_deduped"] == "a b c d e f g h unique one two three"
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text_deduped"] == "x y z w" and out[2]["n_tokens_removed"] == 8
+    assert out[3]["n_tokens_removed"] == 0
+    # self-repetition: windows repeating EARLIER IN THE SAME DOC are cut
+    # (18 tokens: first 8-gram window survives, positions 3..17 covered)
+    assert out[4]["text_deduped"] == "p q r" and out[4]["n_tokens_removed"] == 15
+    # docs under k pass through whitespace-normalized
+    assert out[5]["text_deduped"] == "short doc" and out[5]["n_tokens_removed"] == 0
+    with pytest.raises(ValueError):
+        t("dedup_substring_exact", k=1)

@@ -322,3 +322,14 @@ def test_token_budget_sample_broadcasts_thresholds(spark, sf_dir):
     physical, _ = _plans(df)
     assert "BroadcastHashJoin" in physical, physical[:2000]
     assert "SortMergeJoin" not in physical
+
+
+def test_substring_dedup_no_pairwise_joins(spark, sf_dir):
+    """Substring dedup must key everything on digest/(id,pos)/id — never a
+    cartesian or nested-loop pair join; the kept-token filter is an anti
+    join."""
+    df = entry.queries()["dp48_substring_dedup"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical, physical[:2000]
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "LeftAnti" in physical
