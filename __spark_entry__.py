@@ -1253,6 +1253,22 @@ def dp48_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp49_curation_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language curation funnel (datapipes/profiling.py
+    curation_report): quality gates from text_quality_prune summarized as
+    (lang, flag, n_rows, n_flagged, pct) in one aggregation pass; pct is a
+    raw double division, replayed exactly by the oracle."""
+    docs = load_table(spark, sf, "documents")
+    flagged = docs.transform(
+        _t("text_quality_prune", min_words=10, max_top_word_ratio=0.2)
+    )
+    return flagged.transform(
+        _t("curation_report",
+           flag_cols=["pass_word_count", "pass_stopwords", "quality_pass"],
+           group_col="lang")
+    )
+
+
 def dp41_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Top-fraction score pruning (datapipes/sampling.py quantile_prune):
     keep the longest 25% of documents (ties at the threshold included) via
@@ -1470,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp46_token_budget_sample": dp46_token_budget_sample,
         "dp47_line_dedup": dp47_line_dedup,
         "dp48_substring_dedup": dp48_substring_dedup,
+        "dp49_curation_report": dp49_curation_report,
     }
 
 
@@ -2262,6 +2279,54 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT e.vec_id, e.label, (x.id IS NOT NULL) AS near_reference
         FROM embeddings e LEFT JOIN hits x ON e.vec_id = x.id
+        """,
+        "dp49_curation_report": rf"""
+            WITH base AS (
+              SELECT doc_id, lang, text, {_DUCK_TOKENS} AS w,
+                     length(text) AS n_chars
+              FROM documents
+            ), feat AS (
+              SELECT lang,
+                     len(w) AS nw,
+                     CASE WHEN len(w) > 0
+                          THEN CAST(list_reduce(list_transform(w, t -> length(t)), (a,b) -> a+b) AS DOUBLE)/len(w)
+                          ELSE 0.0 END AS mean_wl,
+                     CASE WHEN n_chars > 0
+                          THEN CAST(n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)/n_chars
+                          ELSE 0.0 END AS sym_ratio,
+                     CASE WHEN n_chars > 0
+                          THEN CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)/n_chars
+                          ELSE 0.0 END AS digit_ratio,
+                     len(list_intersect(list_distinct(w), {sw['en']})) AS sw_hits,
+                     CASE WHEN len(w) > 0
+                          THEN CAST(list_max(list_transform(list_distinct(w),
+                                t -> len(list_filter(w, x -> x = t)))) AS DOUBLE)/len(w)
+                          ELSE 0.0 END AS top_ratio
+              FROM base
+            ), flags AS (
+              SELECT lang,
+                     (nw >= 10 AND nw <= 100000) AS f_wc,
+                     (sw_hits >= 1) AS f_sw,
+                     ((nw >= 10 AND nw <= 100000) AND (mean_wl >= 2.0 AND mean_wl <= 14.0)
+                      AND (sym_ratio <= 0.3) AND (digit_ratio <= 0.3)
+                      AND (sw_hits >= 1) AND (top_ratio <= 0.2)) AS f_qp
+              FROM feat
+            ), agg AS (
+              SELECT lang, COUNT(*) AS n,
+                     SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS c_wc,
+                     SUM(CASE WHEN f_sw THEN 1 ELSE 0 END) AS c_sw,
+                     SUM(CASE WHEN f_qp THEN 1 ELSE 0 END) AS c_qp
+              FROM flags GROUP BY lang
+            )
+            SELECT lang, 'pass_word_count' AS flag, CAST(n AS BIGINT) AS n_rows,
+                   CAST(c_wc AS BIGINT) AS n_flagged,
+                   CAST(c_wc AS DOUBLE)/n AS pct_flagged FROM agg
+            UNION ALL
+            SELECT lang, 'pass_stopwords', CAST(n AS BIGINT), CAST(c_sw AS BIGINT),
+                   CAST(c_sw AS DOUBLE)/n FROM agg
+            UNION ALL
+            SELECT lang, 'quality_pass', CAST(n AS BIGINT), CAST(c_qp AS BIGINT),
+                   CAST(c_qp AS DOUBLE)/n FROM agg
         """,
         "dp48_substring_dedup": rf"""
             WITH staged AS (

@@ -82,3 +82,54 @@ def profile_columns(
         return df.sparkSession.createDataFrame(out)
 
     return _profile
+
+
+@register("curation_report")
+def curation_report(
+    flag_cols: List[str],
+    group_col: Optional[str] = None,
+) -> TransformerFn:
+    """Curation-funnel report: for each boolean flag column (quality gate,
+    contamination flag, dedup mark…) emit ``(flag, n_rows, n_flagged,
+    pct_flagged)`` — the monitoring table every corpus pipeline wants next
+    to its output. With ``group_col``, one row per (group, flag).
+
+    One map-side-combined aggregation pass computes every flag's sum at
+    once; the long-form explode happens on the tiny aggregate. The pct is
+    a raw double division (identical in any engine — no rounding step to
+    disagree on).
+    """
+    if not flag_cols:
+        raise ValueError("curation_report: flag_cols must be non-empty")
+
+    def _report(df: DataFrame) -> DataFrame:
+        sums = [
+            F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long").alias(f"__f{i}")
+            for i, c in enumerate(flag_cols)
+        ]
+        keys = [F.col(group_col).alias("__g")] if group_col else []
+        agg = (
+            df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"), *sums)
+            if keys
+            else df.agg(F.count(F.lit(1)).alias("__n"), *sums)
+        )
+        rows = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("flag"), F.col(f"__f{i}").alias("__f")
+                    )
+                    for i, c in enumerate(flag_cols)
+                ]
+            )
+        ).alias("__x")
+        out = agg.select(*([F.col("__g")] if group_col else []), "__n", rows)
+        cols = ([F.col("__g").alias(group_col)] if group_col else []) + [
+            F.col("__x.flag").alias("flag"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col("__x.__f").alias("n_flagged"),
+            (F.col("__x.__f").cast("double") / F.col("__n")).alias("pct_flagged"),
+        ]
+        return out.select(*cols)
+
+    return _report

@@ -1251,3 +1251,21 @@ def test_substring_dedup_lee_et_al_semantics(spark):
     assert out[5]["text_deduped"] == "short doc" and out[5]["n_tokens_removed"] == 0
     with pytest.raises(ValueError):
         t("dedup_substring_exact", k=1)
+
+
+def test_curation_report_funnel(spark):
+    df = spark.createDataFrame(
+        [(1, "a", True, False), (2, "a", True, True), (3, "b", False, True)],
+        "id INT, grp STRING, f1 BOOLEAN, f2 BOOLEAN",
+    )
+    flat = {r["flag"]: r for r in df.transform(
+        t("curation_report", flag_cols=["f1", "f2"])
+    ).collect()}
+    assert flat["f1"]["n_rows"] == 3 and flat["f1"]["n_flagged"] == 2
+    assert flat["f2"]["pct_flagged"] == pytest.approx(2 / 3)
+    grouped = {(r["grp"], r["flag"]): r["n_flagged"] for r in df.transform(
+        t("curation_report", flag_cols=["f1"], group_col="grp")
+    ).collect()}
+    assert grouped == {("a", "f1"): 2, ("b", "f1"): 0}
+    with pytest.raises(ValueError):
+        t("curation_report", flag_cols=[])
