@@ -1414,6 +1414,83 @@ def dp31_sessionize_boundary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp50_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping-window event rates: 1 h windows sliding every 15 min per
+    event_type via Spark's native F.window(ts, window, slide)
+    (datapipes/joins.py hopping_window_agg) — the same operator runs under
+    Structured Streaming with a watermark. Windows are epoch-aligned, so
+    the oracle replays them with time_bucket minus k*slide offsets."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(
+        _t(
+            "hopping_window_agg",
+            group_cols=["event_type"],
+            ts_col="ts",
+            window="1 hour",
+            slide="15 minutes",
+            aggs={
+                "n_users": "COUNT(DISTINCT user_id)",
+                "sum_value": f"CAST(SUM({_dec('value')}) AS DOUBLE)",
+            },
+        )
+    )
+    return out.select(
+        "event_type",
+        epoch_us_ntz("window_start").cast("long").alias("w_start_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_users").cast("long").alias("n_users"),
+        "sum_value",
+    )
+
+
+def dp51_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile winsorization of the heavy-tailed event value, per
+    event_type (datapipes/numeric.py winsorize, method="exact" so the
+    oracle's quantile_cont — the same linear-interpolation definition —
+    replays the bounds; the approx sketch is the 100 TB default).
+    Summarized per group: learned bounds, clip counts, clipped sum."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(
+        _t(
+            "winsorize",
+            value_col="value",
+            group_cols=["event_type"],
+            lower=0.05,
+            upper=0.95,
+            method="exact",
+        )
+    )
+    return out.groupBy("event_type").agg(
+        F.round(F.first("value_lo"), 6).alias("lo_r"),
+        F.round(F.first("value_hi"), 6).alias("hi_r"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") < F.col("value_lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_lo"),
+        F.sum(F.when(F.col("value") > F.col("value_hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_hi"),
+        F.round(
+            F.sum(F.expr(_dec("value_wins"))).cast("double"), 4
+        ).alias("sum_wins"),
+    )
+
+
+def dp52_zscore_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language standardization of document length
+    (datapipes/numeric.py zscore_normalize, population stddev): the
+    mixing-comparability step before combining corpora. Doc-level z-scores
+    rounded to 4 decimals — both engines aggregate exact integer n_chars,
+    so the fp moment error (~1e-12 relative) is far inside the rounding."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(
+        _t("zscore_normalize", value_col="n_chars", group_cols=["lang"], ddof=0)
+    )
+    return out.select(
+        "doc_id", "lang", F.round("n_chars_z", 4).alias("z_r")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1487,6 +1564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp47_line_dedup": dp47_line_dedup,
         "dp48_substring_dedup": dp48_substring_dedup,
         "dp49_curation_report": dp49_curation_report,
+        "dp50_hopping_window": dp50_hopping_window,
+        "dp51_winsorize": dp51_winsorize,
+        "dp52_zscore_normalize": dp52_zscore_normalize,
     }
 
 
@@ -2868,6 +2948,53 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderdate BETWEEN b.cadence_start_date AND b.cadence_end_date
             WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1995-07-01'
             GROUP BY 1, 2, 3
+        """,
+        "dp50_hopping_window": """
+            -- each event lands in window/slide = 4 epoch-aligned hopping
+            -- windows: start = time_bucket(slide, ts) - k*slide, k in 0..3
+            WITH expanded AS (
+              SELECT e.event_type, e.user_id, e.value,
+                     time_bucket(INTERVAL 15 MINUTE, CAST(e.ts AS TIMESTAMP))
+                       - k.k * INTERVAL 15 MINUTE AS w_start
+              FROM events e
+              CROSS JOIN (SELECT unnest(range(4)) AS k) k
+            )
+            SELECT event_type,
+                   CAST(epoch_us(w_start) AS BIGINT) AS w_start_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM expanded GROUP BY 1, 2
+        """,
+        "dp51_winsorize": """
+            WITH lim AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   ROUND(lo, 6) AS lo_r,
+                   ROUND(hi, 6) AS hi_r,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN e.value < lo THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_clipped_lo,
+                   CAST(SUM(CASE WHEN e.value > hi THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_clipped_hi,
+                   ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, lo), hi)
+                                       AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_wins
+            FROM events e JOIN lim USING (event_type)
+            GROUP BY 1, 2, 3
+        """,
+        "dp52_zscore_normalize": """
+            WITH stats AS (
+              SELECT lang, AVG(n_chars) AS mu, stddev_pop(n_chars) AS sigma
+              FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang,
+                   ROUND(CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
+                              ELSE (d.n_chars - mu) / sigma END, 4) AS z_r
+            FROM documents d JOIN stats USING (lang)
         """,
     }
 

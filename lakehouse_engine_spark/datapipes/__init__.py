@@ -13,6 +13,7 @@ from lakehouse_engine_spark.datapipes import (  # noqa: E402,F401 — populate r
     embeddings,
     joins,
     multimodal,
+    numeric,
     profiling,
     sampling,
     similarity,

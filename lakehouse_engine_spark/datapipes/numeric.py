@@ -1,0 +1,133 @@
+"""Numeric feature curation: percentile winsorization and per-group
+standardization.
+
+Training-data and feature pipelines clip heavy-tailed numerics (request
+latencies, prices, token counts) before scaling, and standardize features
+per group so mixtures from different sources are comparable. Both are
+two-pass operators: one aggregation to learn the per-group statistics,
+then a broadcast join back and a codegen'd projection — no window sort,
+no per-row Python.
+
+Scale design:
+
+* The stats side is tiny (one row per group) — always broadcast, so the
+  second pass is shuffle-free regardless of corpus size.
+* ``winsorize`` defaults to ``method="approx"`` (t-digest style
+  ``percentile_approx``, mergeable partial sketches, bounded memory per
+  group). ``method="exact"`` (Spark's sort-based ``percentile``) buffers
+  each group's values in executor memory — opt-in for oracle parity and
+  modest group sizes, the same exact-vs-sketch split as
+  ``profile_columns``.
+* NULL values pass through as NULL (Spark's ``greatest``/``least`` skip
+  NULLs, which would otherwise silently clamp NULLs to the lower bound —
+  guarded explicitly).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.datapipes.registry import register
+
+TransformerFn = Callable[[DataFrame], DataFrame]
+
+
+@register("winsorize")
+def winsorize(
+    value_col: str,
+    group_cols: Optional[List[str]] = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    method: str = "approx",
+    accuracy: int = 10_000,
+    output_col: Optional[str] = None,
+) -> TransformerFn:
+    """Clip ``value_col`` to its [``lower``, ``upper``] percentile range,
+    optionally per group. Adds ``<value_col>_wins`` (or ``output_col``)
+    plus the learned ``__lo``/``__hi`` bounds as ``<value_col>_lo`` /
+    ``<value_col>_hi`` for auditability.
+
+    ``method="exact"`` uses Spark's exact ``percentile`` (linear
+    interpolation — matches DuckDB ``quantile_cont`` for the oracle);
+    ``method="approx"`` (default) uses ``percentile_approx`` with
+    ``accuracy`` — the 100 TB path (mergeable sketch, bounded memory).
+    """
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be exact|approx, got {method!r}")
+    out = output_col or f"{value_col}_wins"
+    keys = list(group_cols or [])
+
+    def _wins(df: DataFrame) -> DataFrame:
+        v = F.col(value_col)
+        if method == "exact":
+            pc = F.percentile(v, F.array(F.lit(float(lower)), F.lit(float(upper))))
+        else:
+            pc = F.percentile_approx(
+                v, F.array(F.lit(float(lower)), F.lit(float(upper))), F.lit(accuracy)
+            )
+        lim = (
+            df.groupBy(*keys)
+            .agg(pc.alias("__p"))
+            .select(
+                *keys,
+                F.col("__p")[0].alias(f"{value_col}_lo"),
+                F.col("__p")[1].alias(f"{value_col}_hi"),
+            )
+        )
+        joined = (
+            df.join(F.broadcast(lim), on=keys) if keys else df.crossJoin(F.broadcast(lim))
+        )
+        lo, hi = F.col(f"{value_col}_lo"), F.col(f"{value_col}_hi")
+        clipped = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
+            F.least(F.greatest(v.cast("double"), lo), hi)
+        )
+        return joined.withColumn(out, clipped)
+
+    return _wins
+
+
+@register("zscore_normalize")
+def zscore_normalize(
+    value_col: str,
+    group_cols: Optional[List[str]] = None,
+    ddof: int = 0,
+    output_col: Optional[str] = None,
+) -> TransformerFn:
+    """Standardize ``value_col`` to zero mean / unit variance, optionally
+    per group (source, language, event type) — the mixing-comparability
+    step before combining corpora with different numeric scales. Adds
+    ``<value_col>_z`` (or ``output_col``); a zero-variance group yields
+    NULL z-scores (explicitly, never a division blow-up).
+
+    ``ddof=0`` → population stddev (DuckDB ``stddev_pop``), ``ddof=1`` →
+    sample stddev. Two-pass: per-group mean/std aggregation (map-side
+    combined), broadcast back, codegen'd projection.
+    """
+    if ddof not in (0, 1):
+        raise ValueError(f"ddof must be 0 or 1, got {ddof}")
+    out = output_col or f"{value_col}_z"
+    keys = list(group_cols or [])
+
+    def _z(df: DataFrame) -> DataFrame:
+        v = F.col(value_col)
+        std = F.stddev_pop(v) if ddof == 0 else F.stddev_samp(v)
+        stats = df.groupBy(*keys).agg(
+            F.avg(v).alias("__mean"), std.alias("__std")
+        )
+        joined = (
+            df.join(F.broadcast(stats), on=keys)
+            if keys
+            else df.crossJoin(F.broadcast(stats))
+        )
+        z = F.when(
+            (F.col("__std").isNull()) | (F.col("__std") == 0) | v.isNull(),
+            F.lit(None).cast("double"),
+        ).otherwise((v.cast("double") - F.col("__mean")) / F.col("__std"))
+        return joined.withColumn(out, z).drop("__mean", "__std")
+
+    return _z

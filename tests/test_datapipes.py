@@ -1269,3 +1269,111 @@ def test_curation_report_funnel(spark):
     assert grouped == {("a", "f1"): 2, ("b", "f1"): 0}
     with pytest.raises(ValueError):
         t("curation_report", flag_cols=[])
+
+
+# --------------------------------------------------------------------------
+# hopping windows / numeric curation
+# --------------------------------------------------------------------------
+
+
+def test_hopping_window_assignments_and_aggs(spark):
+    """1h windows sliding 15min: an event belongs to exactly 4 epoch-aligned
+    windows; counts and extra aggs land in every containing window."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 20, 0)  # bucket(15m) = 12:15
+    df = spark.createDataFrame([("click", t0, 2.0)], "event_type STRING, ts TIMESTAMP, value DOUBLE")
+    rows = df.transform(
+        t(
+            "hopping_window_agg",
+            group_cols=["event_type"],
+            window="1 hour",
+            slide="15 minutes",
+            aggs={"sum_value": "SUM(value)"},
+        )
+    ).collect()
+    starts = sorted(r["window_start"] for r in rows)
+    expect = [dt.datetime(2024, 1, 1, 11, 30), dt.datetime(2024, 1, 1, 11, 45),
+              dt.datetime(2024, 1, 1, 12, 0), dt.datetime(2024, 1, 1, 12, 15)]
+    assert starts == expect
+    assert all(r["n_events"] == 1 and r["sum_value"] == 2.0 for r in rows)
+    assert all((r["window_end"] - r["window_start"]).total_seconds() == 3600 for r in rows)
+
+
+def test_hopping_window_runs_on_a_stream(spark, tmp_dir):
+    import datetime as dt
+    import os
+    from lakehouse_engine_spark.datapipes.joins import hopping_window_agg
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = os.path.join(tmp_dir, "hop_in")
+    spark.createDataFrame(
+        [("u1", t0), ("u1", t0 + dt.timedelta(minutes=20))],
+        "user_id STRING, ts TIMESTAMP",
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id STRING, ts TIMESTAMP")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .transform(hopping_window_agg(group_cols=["user_id"], window="1 hour", slide="30 minutes"))
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("hop_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["window_start"]: r["n_events"] for r in spark.table("hop_out").collect()}
+    # 12:00 event -> windows 11:30, 12:00; 12:20 event -> 11:30(no: 11:30+1h=12:30>12:20 yes), 12:00
+    assert got[t0] == 2 and got[t0 - dt.timedelta(minutes=30)] == 2
+
+
+def test_winsorize_exact_clips_and_preserves_nulls(spark):
+    """Exact percentiles use linear interpolation (quantile_cont): for
+    values 1..10, p10 = 1.9 and p90 = 9.1; NULLs pass through unclamped."""
+    rows = [(float(i),) for i in range(1, 11)] + [(None,)]
+    df = spark.createDataFrame(rows, "value DOUBLE")
+    out = df.transform(
+        t("winsorize", value_col="value", lower=0.1, upper=0.9, method="exact")
+    ).collect()
+    by_val = {r["value"]: r for r in out}
+    assert by_val[1.0]["value_wins"] == pytest.approx(1.9)
+    assert by_val[10.0]["value_wins"] == pytest.approx(9.1)
+    assert by_val[5.0]["value_wins"] == 5.0
+    assert by_val[None]["value_wins"] is None
+    assert by_val[5.0]["value_lo"] == pytest.approx(1.9)
+    assert by_val[5.0]["value_hi"] == pytest.approx(9.1)
+
+
+def test_winsorize_per_group_approx_default(spark):
+    """Groups learn independent bounds; the approx default stays inside the
+    group's value range and clips the extremes."""
+    rows = [("a", float(i)) for i in range(1, 101)] + [("b", 1000.0), ("b", 2000.0)]
+    df = spark.createDataFrame(rows, "grp STRING, value DOUBLE")
+    out = df.transform(
+        t("winsorize", value_col="value", group_cols=["grp"], lower=0.05, upper=0.95)
+    ).collect()
+    a = [r for r in out if r["grp"] == "a"]
+    assert all(r["value_lo"] >= 1.0 and r["value_hi"] <= 100.0 for r in a)
+    assert max(r["value_wins"] for r in a) <= 100.0
+    b_vals = {r["value"]: r["value_wins"] for r in out if r["grp"] == "b"}
+    assert set(b_vals) == {1000.0, 2000.0}  # b bounds learned from b only
+    with pytest.raises(ValueError):
+        t("winsorize", value_col="value", lower=0.9, upper=0.1)
+    with pytest.raises(ValueError):
+        t("winsorize", value_col="value", method="guess")
+
+
+def test_zscore_per_group_and_zero_variance(spark):
+    import math
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0), ("b", 7.0), ("c", None)]
+    df = spark.createDataFrame(rows, "grp STRING, v DOUBLE")
+    out = df.transform(t("zscore_normalize", value_col="v", group_cols=["grp"])).collect()
+    a = sorted(r["v_z"] for r in out if r["grp"] == "a")
+    sd = math.sqrt(2.0 / 3.0)
+    assert a == [pytest.approx(-1.0 / sd), pytest.approx(0.0), pytest.approx(1.0 / sd)]
+    # zero-variance group -> NULL z, not a division error
+    assert all(r["v_z"] is None for r in out if r["grp"] == "b")
+    assert all(r["v_z"] is None for r in out if r["grp"] == "c")
+    with pytest.raises(ValueError):
+        t("zscore_normalize", value_col="v", ddof=2)

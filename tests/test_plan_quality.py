@@ -333,3 +333,32 @@ def test_substring_dedup_no_pairwise_joins(spark, sf_dir):
     assert "CartesianProduct" not in physical, physical[:2000]
     assert "BroadcastNestedLoopJoin" not in physical
     assert "LeftAnti" in physical
+
+
+def test_hopping_window_expand_then_partial_agg(spark, sf_dir):
+    """Sliding windows must be a codegen'd Expand (each row -> its
+    window/slide assignments) feeding map-side partial aggregation — never
+    a self-join or range join against a window table."""
+    df = entry.queries()["dp50_hopping_window"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Expand" in physical, physical[:2000]
+    assert "Join" not in physical
+    # partial aggregation runs below the exchange (map-side combine), so the
+    # shuffle carries partial aggregates, not the 4x-amplified rows
+    assert physical.index("HashAggregate") < physical.index("Exchange")
+
+
+def test_winsorize_broadcasts_percentile_bounds(spark, sf_dir):
+    """The learned per-group bounds are one row per group — they must
+    broadcast back onto the corpus, never shuffle it for the join."""
+    df = entry.queries()["dp51_winsorize"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical
+
+
+def test_zscore_broadcasts_group_stats(spark, sf_dir):
+    df = entry.queries()["dp52_zscore_normalize"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical
