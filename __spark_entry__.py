@@ -1491,6 +1491,44 @@ def dp52_zscore_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp53_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Importance-weighted sampling (datapipes/sampling.py weighted_sample):
+    keep each document with probability proportional to length
+    (least(n_chars/2000, 1)) — the soft quality filter between hard pruning
+    and uniform sampling. Deterministic md5-bucket membership, zero
+    shuffle; the oracle replays hash, clamp, and FLOOR threshold."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(
+        _t("weighted_sample", id_col="doc_id",
+           prob_expr="n_chars / 2000.0", seed="w1")
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def dp54_trailing_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user 24 h trailing event velocity (datapipes/joins.py
+    trailing_window_agg): RANGE-frame window on epoch micros — count and
+    decimal-exact value sum of each user's events in [ts-24h, ts],
+    attached to every event row."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(
+        _t(
+            "trailing_window_agg",
+            on=["user_id"],
+            ts_col="ts",
+            duration="24 hours",
+            aggs={"sum_24h": f"SUM({_dec('value')})"},
+        )
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_us_ntz("ts").cast("long").alias("ts_us"),
+        F.col("n_trailing").cast("long").alias("n_24h"),
+        F.col("sum_24h").cast("double").alias("sum_24h"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1567,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp50_hopping_window": dp50_hopping_window,
         "dp51_winsorize": dp51_winsorize,
         "dp52_zscore_normalize": dp52_zscore_normalize,
+        "dp53_weighted_sample": dp53_weighted_sample,
+        "dp54_trailing_window": dp54_trailing_window,
     }
 
 
@@ -2995,6 +3035,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
                               ELSE (d.n_chars - mu) / sigma END, 4) AS z_r
             FROM documents d JOIN stats USING (lang)
+        """,
+        "dp53_weighted_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE CAST('0x' || substr(md5(doc_id::VARCHAR || 'w1'), 1, 15) AS BIGINT)
+                  % 1000000
+                  < FLOOR(LEAST(GREATEST(n_chars / 2000.0, 0.0), 1.0) * 1000000)
+        """,
+        "dp54_trailing_window": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_24h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
         """,
     }
 

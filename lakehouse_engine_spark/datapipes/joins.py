@@ -278,3 +278,66 @@ def hopping_window_agg(
         )
 
     return _hop
+
+
+_DURATION_UNITS_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+}
+
+
+def _duration_us(duration: str) -> int:
+    parts = duration.strip().lower().split()
+    if len(parts) != 2 or parts[1] not in _DURATION_UNITS_US:
+        raise ValueError(
+            f"duration must be '<n> <seconds|minutes|hours|days>', got {duration!r}"
+        )
+    return int(parts[0]) * _DURATION_UNITS_US[parts[1]]
+
+
+@register("trailing_window_agg")
+def trailing_window_agg(
+    on: List[str],
+    ts_col: str = "ts",
+    duration: str = "24 hours",
+    aggs: Optional[dict] = None,
+) -> TransformerFn:
+    """Per-key trailing time-range metrics: for every event, aggregate the
+    key's events in ``[ts - duration, ts]`` (inclusive both ends — SQL
+    ``RANGE BETWEEN <duration> PRECEDING AND CURRENT ROW`` semantics,
+    equal-timestamp peers all included). The rolling-feature primitive —
+    7-day spend, 24 h event velocity, abuse-rate lookbacks — attached to
+    every row, unlike ``hopping_window_agg`` which emits one row per
+    window.
+
+    Adds ``n_trailing`` plus any ``aggs`` ({output_name: SQL aggregate
+    expression over the frame}).
+
+    Scale design: ONE shuffle on the keys + a per-key sort — Spark
+    evaluates the RANGE frame with a sliding two-pointer pass over the
+    sorted partition, never materializing per-row neighbor sets (an O(n·w)
+    self-join at 100 TB). The range is computed on epoch microseconds
+    (timestamp-type-agnostic, NTZ-safe). Skewed keys shuffle exactly like
+    a groupBy — AQE or upstream salting applies unchanged.
+    """
+    frame_us = _duration_us(duration)
+
+    def _trail(df: DataFrame) -> DataFrame:
+        out = df.withColumn("__ts_us", epoch_us(df, ts_col))
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__ts_us")
+            .rangeBetween(-frame_us, 0)
+        )
+        cols = [F.count(F.lit(1)).over(w).alias("n_trailing")] + [
+            F.expr(e).over(w).alias(n) for n, e in (aggs or {}).items()
+        ]
+        return out.select("*", *cols).drop("__ts_us")
+
+    return _trail

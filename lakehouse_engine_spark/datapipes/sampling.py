@@ -88,6 +88,32 @@ def hash_split(
     return _split
 
 
+@register("weighted_sample")
+def weighted_sample(
+    id_col: str, prob_expr: str, seed: str = ""
+) -> Callable[[DataFrame], DataFrame]:
+    """Probability-proportional (importance-weighted) sampling: keep each
+    row independently with probability ``prob_expr`` (a SQL expression in
+    [0, 1], clamped) — e.g. keep documents proportional to a quality or
+    LM score, the standard soft-filter between hard pruning and uniform
+    sampling.
+
+    Membership is deterministic in the row id (same hash-bucket rule as
+    ``hash_sample``), so the sample is reproducible across runs/retries
+    and a row's fate only changes if its probability does. Pure codegen'd
+    projection + filter — zero shuffle at any scale. ``FLOOR`` (not cast)
+    converts the threshold so Spark and SQL oracles truncate identically.
+    """
+
+    def _sample(df: DataFrame) -> DataFrame:
+        p = F.least(
+            F.greatest(F.expr(prob_expr).cast("double"), F.lit(0.0)), F.lit(1.0)
+        )
+        return df.filter(_bucket(id_col, seed) < F.floor(p * BUCKETS))
+
+    return _sample
+
+
 @register("stratified_sample")
 def stratified_sample(
     group_cols: list,

@@ -1377,3 +1377,50 @@ def test_zscore_per_group_and_zero_variance(spark):
     assert all(r["v_z"] is None for r in out if r["grp"] == "c")
     with pytest.raises(ValueError):
         t("zscore_normalize", value_col="v", ddof=2)
+
+
+def test_weighted_sample_probability_proportional(spark):
+    """p=0 keeps nothing, p=1 keeps everything, and mid probabilities keep
+    a hash-stable subset that is monotone in p (same seed => a row kept at
+    p stays kept at p' > p)."""
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    none = df.transform(t("weighted_sample", id_col="doc_id", prob_expr="0.0"))
+    everything = df.transform(t("weighted_sample", id_col="doc_id", prob_expr="1.0"))
+    assert none.count() == 0 and everything.count() == 2000
+    low = set(r["doc_id"] for r in df.transform(
+        t("weighted_sample", id_col="doc_id", prob_expr="0.2", seed="s")).collect())
+    high = set(r["doc_id"] for r in df.transform(
+        t("weighted_sample", id_col="doc_id", prob_expr="0.6", seed="s")).collect())
+    assert low <= high
+    assert 0.1 < len(low) / 2000 < 0.3 and 0.5 < len(high) / 2000 < 0.7
+    # out-of-range probabilities clamp instead of exploding
+    clamped = df.transform(t("weighted_sample", id_col="doc_id", prob_expr="doc_id - 1000"))
+    assert clamped.count() == 999  # ids 1001..1999 have p>=1, ids <= 1000 have p<=0
+
+
+def test_trailing_window_range_frame_semantics(spark):
+    """RANGE frame: inclusive [ts-24h, ts], equal-ts peers all included,
+    keys independent."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        ("u1", t0, 1.0),
+        ("u1", t0 + 24 * h, 10.0),   # exactly 24h later -> includes t0 row
+        ("u1", t0 + 25 * h, 100.0),  # t0 row now out of range
+        ("u2", t0 + 24 * h, 5.0),    # other key unaffected
+        ("u2", t0 + 24 * h, 7.0),    # equal-ts peer: both see both
+    ]
+    df = spark.createDataFrame(rows, "user_id STRING, ts TIMESTAMP, value DOUBLE")
+    out = df.transform(
+        t("trailing_window_agg", on=["user_id"], duration="24 hours",
+          aggs={"sum_t": "SUM(value)"})
+    ).collect()
+    got = {(r["user_id"], r["value"]): (r["n_trailing"], r["sum_t"]) for r in out}
+    assert got[("u1", 1.0)] == (1, 1.0)
+    assert got[("u1", 10.0)] == (2, 11.0)
+    assert got[("u1", 100.0)] == (2, 110.0)
+    assert got[("u2", 5.0)] == (2, 12.0) and got[("u2", 7.0)] == (2, 12.0)
+    with pytest.raises(ValueError):
+        t("trailing_window_agg", on=["user_id"], duration="fortnight")

@@ -362,3 +362,25 @@ def test_zscore_broadcasts_group_stats(spark, sf_dir):
     physical, _ = _plans(df)
     assert "BroadcastHashJoin" in physical, physical[:2000]
     assert "SortMergeJoin" not in physical
+
+
+def test_weighted_sample_is_pure_filter(spark, sf_dir):
+    """Probability-proportional sampling must stay a codegen'd scan+filter:
+    no shuffle, no join, and column pruning reaches the parquet scan."""
+    df = entry.queries()["dp53_weighted_sample"](spark, sf_dir)
+    physical, full = _plans(df)
+    assert "Exchange" not in physical, physical[:2000]
+    assert "Join" not in physical
+    m = re.search(r"ReadSchema: struct<([^>]*)>", full)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols <= {"doc_id", "lang", "n_chars"}
+
+
+def test_trailing_window_single_shuffle_sort(spark, sf_dir):
+    """Trailing RANGE metrics = one hash shuffle on the keys + per-key
+    sort — never a time self-join (no Join operator in the plan)."""
+    df = entry.queries()["dp54_trailing_window"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Join" not in physical, physical[:2000]
+    assert physical.count("Exchange") == 1
+    assert "Window" in physical
