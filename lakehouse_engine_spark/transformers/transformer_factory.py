@@ -45,11 +45,31 @@ UNSUPPORTED_STREAMING_TRANSFORMERS = {
     "group_and_rank",
     "with_auto_increment_id",
     "with_row_id",
-    # datapipes batch-only ops
+    # datapipes batch-only ops: window functions, corpus-level second
+    # passes (aggregate + join back onto the same stream), or iterative
+    # algorithms — none expressible in a single streaming plan, so the
+    # DataLoader re-plans the chain tail into foreachBatch from here on.
+    # (Ops with a conditional streaming path — dedup_exact's watermark
+    # dedup, stratified_sample's fraction filter, sessionize/
+    # hopping_window_agg's native windows — stay OUT of this set.)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_connected_components",
+    "dedup_substring_exact",
+    "text_line_dedup",
+    "text_lm_score",
+    "text_lm_score_bigram",
+    "text_tfidf_top_terms",
+    "asof_join",
+    "trailing_window_agg",
+    "pack_sequences",
+    "global_shuffle",
+    "token_budget_sample",
+    "quantile_prune",
+    "winsorize",
+    "zscore_normalize",
 }
 
 # name → factory(args…) -> TransformerFn. Entries marked ctx take the dataflow

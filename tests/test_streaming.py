@@ -358,3 +358,58 @@ def test_streaming_curation_projection_and_static_reference_join(spark, tmp_dir)
     )["o"]
     rows = {r["doc_id"]: (r["quality_pass"], r["in_reference"]) for r in out.collect()}
     assert rows == {1: (True, True), 2: (False, False)}
+
+
+def test_replan_covers_windowed_datapipes_ops(spark, tmp_dir):
+    """Batch-only datapipes operators (window functions / corpus second
+    passes) are cut into foreachBatch automatically — a streaming ACON with
+    trailing_window_agg must execute, with the trailing metrics computed
+    per micro-batch."""
+    import datetime as dt
+
+    src = os.path.join(tmp_dir, "src_trail")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [("u1", t0, 1.0), ("u1", t0 + dt.timedelta(hours=1), 2.0)],
+        "user_id STRING, ts TIMESTAMP, value DOUBLE",
+    ).write.parquet(src)
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "s",
+                "data_format": "parquet",
+                "location": src,
+                "read_type": "streaming",
+                "schema": "user_id STRING, ts TIMESTAMP, value DOUBLE",
+            }
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "t",
+                "input_id": "s",
+                "transformers": [
+                    {
+                        "function": "trailing_window_agg",
+                        "args": {"on": ["user_id"], "duration": "24 hours",
+                                 "aggs": {"sum_t": "SUM(value)"}},
+                    }
+                ],
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "o",
+                "input_id": "t",
+                "data_format": "dataframe",
+                "options": {"checkpointLocation": os.path.join(tmp_dir, "ck_trail")},
+            }
+        ],
+    }
+    loader = DataLoader(acon)
+    assert loader.transform_specs[0].transformers == []
+    assert [t.function for t in loader.output_specs[0].streaming_micro_batch_transformers] == [
+        "trailing_window_agg"
+    ]
+    written = loader.execute()
+    got = {r["value"]: (r["n_trailing"], r["sum_t"]) for r in written["o"].collect()}
+    assert got[2.0] == (2, 3.0)
