@@ -47,9 +47,12 @@ def main() -> None:
     ).count()
 
     runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")), 1)
+    only = set(sys.argv[1:])  # optional name filter for local iteration
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         best, n = float("inf"), 0
         for _ in range(runs):
             # standalone timing: no cross-query cache reuse, no block buildup
