@@ -1529,6 +1529,37 @@ def dp54_trailing_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp55_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase per user
+    (datapipes/events.py funnel): k chained whole-partition window minima
+    over ONE user_id exchange — no per-stage joins. One row per user with
+    stage-reach epochs, NULL where the ordered chain breaks."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(
+        _t("funnel", on=["user_id"], stage_col="event_type",
+           stages=["view", "click", "purchase"], ts_col="ts")
+    )
+    return out.select(
+        "user_id",
+        epoch_us_ntz("stage1_ts").cast("long").alias("s1_us"),
+        epoch_us_ntz("stage2_ts").cast("long").alias("s2_us"),
+        epoch_us_ntz("stage3_ts").cast("long").alias("s3_us"),
+    )
+
+
+def dp56_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention (datapipes/events.py cohort_retention):
+    users bucketed by first-seen week, counted each week they return;
+    offsets in whole weeks. All shuffles on user_id."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(_t("cohort_retention", on=["user_id"], ts_col="ts", bucket="week"))
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_d"),
+        F.col("period_offset").cast("long").alias("period_offset"),
+        "n_active",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1607,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp52_zscore_normalize": dp52_zscore_normalize,
         "dp53_weighted_sample": dp53_weighted_sample,
         "dp54_trailing_window": dp54_trailing_window,
+        "dp55_funnel": dp55_funnel,
+        "dp56_cohort_retention": dp56_cohort_retention,
     }
 
 
@@ -3050,6 +3083,39 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "dp55_funnel": """
+            WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+                 t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+                        JOIN t1 USING (user_id)
+                        WHERE e.event_type = 'click' AND e.ts >= t1.ts1 GROUP BY 1),
+                 t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+                        JOIN t2 USING (user_id)
+                        WHERE e.event_type = 'purchase' AND e.ts >= t2.ts2 GROUP BY 1),
+                 u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CAST(epoch_us(CAST(ts1 AS TIMESTAMP)) AS BIGINT) AS s1_us,
+                   CAST(epoch_us(CAST(ts2 AS TIMESTAMP)) AS BIGINT) AS s2_us,
+                   CAST(epoch_us(CAST(ts3 AS TIMESTAMP)) AS BIGINT) AS s3_us
+            FROM u
+            LEFT JOIN t1 USING (user_id)
+            LEFT JOIN t2 USING (user_id)
+            LEFT JOIN t3 USING (user_id)
+        """,
+        "dp56_cohort_retention": """
+            WITH f AS (SELECT user_id,
+                              MIN(date_trunc('week', CAST(ts AS TIMESTAMP))::DATE)
+                                  AS cohort
+                       FROM events GROUP BY 1),
+                 a AS (SELECT DISTINCT user_id,
+                              date_trunc('week', CAST(ts AS TIMESTAMP))::DATE AS period
+                       FROM events)
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort_d,
+                   CAST((period - cohort) // 7 AS BIGINT) AS period_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
     }
 

@@ -70,6 +70,8 @@ UNSUPPORTED_STREAMING_TRANSFORMERS = {
     "quantile_prune",
     "winsorize",
     "zscore_normalize",
+    "funnel",
+    "cohort_retention",
 }
 
 # name → factory(args…) -> TransformerFn. Entries marked ctx take the dataflow

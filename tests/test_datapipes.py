@@ -1424,3 +1424,54 @@ def test_trailing_window_range_frame_semantics(spark):
     assert got[("u2", 5.0)] == (2, 12.0) and got[("u2", 7.0)] == (2, 12.0)
     with pytest.raises(ValueError):
         t("trailing_window_agg", on=["user_id"], duration="fortnight")
+
+
+def test_funnel_ordered_stage_semantics(spark):
+    """Stages must be reached IN ORDER (>= allows same-instant); a stage
+    before its predecessor doesn't count, and the chain breaks with NULLs
+    from the first missing stage."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1: clean view -> click -> purchase
+        ("u1", "view", t0), ("u1", "click", t0 + h), ("u1", "purchase", t0 + 2 * h),
+        # u2: click BEFORE first view -> click stage unreached
+        ("u2", "click", t0), ("u2", "view", t0 + h),
+        # u3: view then purchase with no click -> purchase unreached
+        ("u3", "view", t0), ("u3", "purchase", t0 + h),
+        # u4: click at the same instant as view counts (>=)
+        ("u4", "view", t0), ("u4", "click", t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id STRING, event_type STRING, ts TIMESTAMP")
+    out = {r["user_id"]: r for r in df.transform(
+        t("funnel", on=["user_id"], stage_col="event_type",
+          stages=["view", "click", "purchase"])
+    ).collect()}
+    assert len(out) == 4  # one row per user
+    assert out["u1"]["stage1_ts"] == t0 and out["u1"]["stage3_ts"] == t0 + 2 * h
+    assert out["u2"]["stage1_ts"] == t0 + h and out["u2"]["stage2_ts"] is None
+    assert out["u3"]["stage2_ts"] is None and out["u3"]["stage3_ts"] is None
+    assert out["u4"]["stage2_ts"] == t0
+    with pytest.raises(ValueError):
+        t("funnel", on=["user_id"], stage_col="event_type", stages=[])
+
+
+def test_cohort_retention_week_offsets(spark):
+    import datetime as dt
+
+    w0 = dt.datetime(2024, 1, 1)   # a Monday
+    d = dt.timedelta(days=1)
+    rows = [
+        ("u1", w0), ("u1", w0 + 2 * d),        # week 0 twice -> counted once
+        ("u1", w0 + 8 * d),                    # week 1
+        ("u2", w0 + 8 * d), ("u2", w0 + 15 * d),  # cohort week1, back week2
+    ]
+    df = spark.createDataFrame(rows, "user_id STRING, ts TIMESTAMP")
+    out = {(r["cohort"].isoformat(), r["period_offset"]): r["n_active"]
+           for r in df.transform(t("cohort_retention", on=["user_id"])).collect()}
+    assert out == {
+        ("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
+    }

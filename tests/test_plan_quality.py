@@ -384,3 +384,13 @@ def test_trailing_window_single_shuffle_sort(spark, sf_dir):
     assert "Join" not in physical, physical[:2000]
     assert physical.count("Exchange") == 1
     assert "Window" in physical
+
+
+def test_funnel_single_exchange_stacked_windows(spark, sf_dir):
+    """The k-stage funnel must evaluate all stage minima over ONE user_id
+    exchange (stacked Window operators) — never a per-stage join chain."""
+    df = entry.queries()["dp55_funnel"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Join" not in physical, physical[:2000]
+    # one exchange for the window partitioning + one for the distinct
+    assert physical.count("Exchange") <= 3
