@@ -181,3 +181,54 @@ def test_heartbeat_table_entrypoints_exist():
 
     assert callable(Heartbeat.heartbeat_sensor_control_table_data_feed)
     assert callable(Heartbeat.update_heartbeat_sensor_completion_status)
+
+
+def test_readme_curation_pipeline_end_to_end(spark):
+    """The README's flagship corpus-curation ACON, run whole: quality gate →
+    corpus LM score → quantile prune → exact dedup → MinHash near-dedup →
+    cross-corpus dedup against a previous round → deterministic global
+    shuffle. Guards that the operators compose through one ACON and that
+    each pruning stage only ever shrinks the corpus."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    n_docs = spark.read.parquet(docs).count()
+    res = eng.load_data({
+        "input_specs": [
+            {"spec_id": "docs", "data_format": "parquet", "location": docs},
+            {"spec_id": "prev_round", "data_format": "parquet", "location": docs},
+        ],
+        "transform_specs": [
+            # previous round = a disjoint slice of the corpus, so the
+            # cross-dedup has both hits and misses
+            {"spec_id": "prev", "input_id": "prev_round", "transformers": [
+                {"function": "expression_filter", "args": {"exp": "doc_id % 7 = 0"}},
+            ]},
+            {"spec_id": "curated", "input_id": "docs", "transformers": [
+                {"function": "text_quality_prune",
+                 "args": {"min_words": 3, "mode": "drop"}},
+                {"function": "text_lm_score", "args": {"top_v": 1000}},
+                {"function": "quantile_prune",
+                 "args": {"score_col": "avg_logprob", "keep_frac": 0.8}},
+                {"function": "dedup_exact",
+                 "args": {"key_cols": ["text"], "id_col": "doc_id", "normalize": True}},
+                {"function": "dedup_minhash_lsh",
+                 "args": {"num_hashes": 12, "bands": 4, "shingle_size": 3}},
+                {"function": "dedup_cross_minhash_with", "args": {"other": "prev"}},
+                {"function": "global_shuffle", "args": {"shards": 16}},
+            ]},
+        ],
+        "output_specs": [
+            {"spec_id": "o", "input_id": "curated", "data_format": "dataframe"},
+        ],
+    })
+    out = res["o"]
+    rows = out.collect()
+    assert 0 < len(rows) < n_docs
+    # the cross-dedup removed the docs shared with the previous round
+    assert all(r["doc_id"] % 7 != 0 for r in rows)
+    # global shuffle contract: shard assignment + dense within-shard position
+    assert {"shard", "position"} <= set(out.columns)
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(len(pos))), f"shard {shard} not dense"
