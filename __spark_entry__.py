@@ -1560,6 +1560,21 @@ def dp56_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp57_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/MAD robust standardization of event values per event_type
+    (datapipes/numeric.py robust_scale, method="exact" so DuckDB's
+    median/quantile_cont replays both passes). Doc-level scores rounded to
+    4 decimals — both engines derive them from identical exact medians."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(
+        _t("robust_scale", value_col="value", group_cols=["event_type"],
+           method="exact")
+    )
+    return out.select(
+        "event_id", "event_type", F.round("value_robust", 4).alias("r_r")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1640,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp54_trailing_window": dp54_trailing_window,
         "dp55_funnel": dp55_funnel,
         "dp56_cohort_retention": dp56_cohort_retention,
+        "dp57_robust_scale": dp57_robust_scale,
     }
 
 
@@ -3116,6 +3132,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_active
             FROM a JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        "dp57_robust_scale": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM events GROUP BY event_type
+            ), mad AS (
+              SELECT e.event_type, quantile_cont(ABS(e.value - med.m), 0.5) AS d
+              FROM events e JOIN med USING (event_type)
+              GROUP BY e.event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   ROUND(CASE WHEN d IS NULL OR d = 0 THEN NULL
+                              ELSE (e.value - m) / (1.4826 * d) END, 4) AS r_r
+            FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
         """,
     }
 

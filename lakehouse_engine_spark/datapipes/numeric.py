@@ -91,6 +91,67 @@ def winsorize(
     return _wins
 
 
+@register("robust_scale")
+def robust_scale(
+    value_col: str,
+    group_cols: Optional[List[str]] = None,
+    scale: float = 1.4826,
+    method: str = "approx",
+    accuracy: int = 10_000,
+    output_col: Optional[str] = None,
+) -> TransformerFn:
+    """Robust standardization: ``(x - median) / (scale * MAD)`` with
+    ``MAD = median(|x - median|)`` — the outlier-insensitive alternative
+    to ``zscore_normalize`` (a single huge value shifts a mean/std
+    z-score arbitrarily; it moves a median/MAD score by at most one rank).
+    ``scale=1.4826`` makes MAD consistent with the stddev of a normal
+    distribution. Zero-MAD groups yield NULL (never a division blow-up);
+    NULL values pass through as NULL.
+
+    Three passes by construction (median → deviations → MAD), each a
+    map-side-combined aggregation with the one-row-per-group result
+    broadcast back — still zero corpus shuffles. ``method="exact"`` uses
+    Spark's sort-based ``percentile`` (oracle parity, buffers each group);
+    ``method="approx"`` (default) the mergeable ``percentile_approx``
+    sketch — the 100 TB path.
+    """
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be exact|approx, got {method!r}")
+    out = output_col or f"{value_col}_robust"
+    keys = list(group_cols or [])
+
+    def _median(col):
+        if method == "exact":
+            return F.percentile(col, F.lit(0.5))
+        return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
+
+    def _scale(df: DataFrame) -> DataFrame:
+        v = F.col(value_col)
+
+        def _attach(base: DataFrame, stats: DataFrame) -> DataFrame:
+            return (
+                base.join(F.broadcast(stats), on=keys)
+                if keys
+                else base.crossJoin(F.broadcast(stats))
+            )
+
+        med = df.groupBy(*keys).agg(_median(v).alias("__med"))
+        with_med = _attach(df, med)
+        mad = with_med.groupBy(*keys).agg(
+            _median(F.abs(v.cast("double") - F.col("__med"))).alias("__mad")
+        )
+        joined = _attach(with_med, mad)
+        r = F.when(
+            F.col("__mad").isNull() | (F.col("__mad") == 0) | v.isNull(),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            (v.cast("double") - F.col("__med")) / (F.lit(float(scale)) * F.col("__mad"))
+        )
+        return joined.withColumn(out, r).drop("__med", "__mad")
+
+    return _scale
+
+
 @register("zscore_normalize")
 def zscore_normalize(
     value_col: str,

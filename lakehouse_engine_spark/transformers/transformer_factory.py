@@ -70,6 +70,7 @@ UNSUPPORTED_STREAMING_TRANSFORMERS = {
     "quantile_prune",
     "winsorize",
     "zscore_normalize",
+    "robust_scale",
     "funnel",
     "cohort_retention",
 }

@@ -1475,3 +1475,22 @@ def test_cohort_retention_week_offsets(spark):
         ("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
         ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
     }
+
+
+def test_robust_scale_median_mad(spark):
+    """Median/MAD scaling: values 1..9 + outlier 1000 — median 5.5, MAD is
+    outlier-insensitive; the outlier's robust score stays finite and the
+    in-range scores match the hand computation. Zero-MAD group -> NULL."""
+    rows = [("a", float(i)) for i in range(1, 10)] + [("a", 1000.0)] + [
+        ("b", 3.0), ("b", 3.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "grp STRING, v DOUBLE")
+    out = df.transform(
+        t("robust_scale", value_col="v", group_cols=["grp"], method="exact")
+    ).collect()
+    a = {r["v"]: r["v_robust"] for r in out if r["grp"] == "a"}
+    # median of 1..9,1000 = 5.5; deviations 0.5..4.5,994.5 -> MAD = 2.5
+    assert a[5.0] == pytest.approx((5.0 - 5.5) / (1.4826 * 2.5))
+    assert a[1000.0] == pytest.approx((1000.0 - 5.5) / (1.4826 * 2.5))
+    assert all(r["v_robust"] is None for r in out if r["grp"] == "b")
+    with pytest.raises(ValueError):
+        t("robust_scale", value_col="v", method="nope")

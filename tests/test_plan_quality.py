@@ -394,3 +394,12 @@ def test_funnel_single_exchange_stacked_windows(spark, sf_dir):
     assert "Join" not in physical, physical[:2000]
     # one exchange for the window partitioning + one for the distinct
     assert physical.count("Exchange") <= 3
+
+
+def test_robust_scale_broadcasts_both_stat_passes(spark, sf_dir):
+    """Median and MAD are one row per group — both must broadcast back onto
+    the corpus (two BroadcastHashJoins, zero corpus shuffles)."""
+    df = entry.queries()["dp57_robust_scale"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert physical.count("BroadcastHashJoin") >= 2, physical[:2000]
+    assert "SortMergeJoin" not in physical
