@@ -1575,6 +1575,26 @@ def dp57_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp58_quantile_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group distribution fingerprint (datapipes/numeric.py
+    quantile_summary): n + exact percentiles of event value per
+    event_type, method="exact" so Spark's sort-based percentile (linear
+    interpolation) replays as DuckDB quantile_cont. The approx sketch
+    path (the 100 TB default) is pytest-covered against this one."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(
+        _t("quantile_summary", value_col="value", group_cols=["event_type"],
+           probs=[0.25, 0.5, 0.9, 0.99], method="exact")
+    )
+    return out.select(
+        "event_type", "n",
+        F.round("p25", 4).alias("p25"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("p99", 4).alias("p99"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1656,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp55_funnel": dp55_funnel,
         "dp56_cohort_retention": dp56_cohort_retention,
         "dp57_robust_scale": dp57_robust_scale,
+        "dp58_quantile_summary": dp58_quantile_summary,
     }
 
 
@@ -3146,6 +3167,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN d IS NULL OR d = 0 THEN NULL
                               ELSE (e.value - m) / (1.4826 * d) END, 4) AS r_r
             FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        """,
+        "dp58_quantile_summary": """
+            SELECT event_type,
+                   CAST(COUNT(value) AS BIGINT) AS n,
+                   ROUND(quantile_cont(value, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 4) AS p90,
+                   ROUND(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type
         """,
     }
 

@@ -192,3 +192,56 @@ def zscore_normalize(
         return joined.withColumn(out, z).drop("__mean", "__std")
 
     return _z
+
+@register("quantile_summary")
+def quantile_summary(
+    value_col: str,
+    group_cols: Optional[List[str]] = None,
+    probs: Optional[List[float]] = None,
+    method: str = "approx",
+    accuracy: int = 10_000,
+) -> TransformerFn:
+    """Per-group quantile summary: one row per group with ``n``, ``mean``
+    and one ``p<nn>`` column per requested probability — the distribution
+    fingerprint feeding threshold choices for ``winsorize`` /
+    ``quantile_prune`` (look first, clip second).
+
+    ``method="approx"`` (default, the 100 TB path) computes every
+    probability from ONE mergeable ``percentile_approx`` sketch per group
+    — bounded memory, map-side-combined partials, a single shuffle of
+    sketch bytes. ``method="exact"`` uses Spark's sort-based
+    ``percentile`` with linear interpolation (identical to ANSI
+    ``quantile_cont`` / ``percentile_cont``) — opt-in for oracle parity
+    and modest group sizes, same split as ``winsorize``/``profile_columns``.
+    NULL values are ignored by both paths (SQL aggregate semantics).
+    """
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be exact|approx, got {method!r}")
+    ps = list(probs or [0.5, 0.9, 0.99])
+    if not all(0.0 <= p <= 1.0 for p in ps):
+        raise ValueError(f"probs must be in [0, 1], got {ps}")
+    keys = list(group_cols or [])
+
+    def _name(p: float) -> str:
+        # 0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9
+        s = f"{p * 100:.4f}".rstrip("0").rstrip(".").replace(".", "_")
+        return f"p{s}"
+
+    def _summary(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        parr = F.array(*[F.lit(float(p)) for p in ps])
+        if method == "exact":
+            q = F.percentile(v, parr)
+        else:
+            q = F.percentile_approx(v, parr, F.lit(accuracy))
+        aggs = [
+            F.count(v).cast("long").alias("n"),
+            F.avg(v).alias("mean"),
+            q.alias("__q"),
+        ]
+        out = df.groupBy(*keys).agg(*aggs)
+        for i, p in enumerate(ps):
+            out = out.withColumn(_name(p), F.col("__q")[i])
+        return out.drop("__q")
+
+    return _summary

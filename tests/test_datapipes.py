@@ -1494,3 +1494,39 @@ def test_robust_scale_median_mad(spark):
     assert all(r["v_robust"] is None for r in out if r["grp"] == "b")
     with pytest.raises(ValueError):
         t("robust_scale", value_col="v", method="nope")
+
+
+def test_quantile_summary_exact_and_approx(spark):
+    """Exact path matches hand-computed linear-interp quantiles; approx
+    sketch agrees with exact on a small group; NULLs ignored; one p-column
+    per prob with pNN naming (0.999 -> p99_9)."""
+    rows = [("a", float(i)) for i in range(1, 11)] + [("a", None), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "grp STRING, v DOUBLE")
+    out = {
+        r["grp"]: r
+        for r in df.transform(
+            t("quantile_summary", value_col="v", group_cols=["grp"],
+              probs=[0.5, 0.9], method="exact")
+        ).collect()
+    }
+    assert out["a"]["n"] == 10  # NULL not counted
+    assert out["a"]["p50"] == pytest.approx(5.5)  # interp between 5 and 6
+    assert out["a"]["p90"] == pytest.approx(9.1)  # 9 + 0.1*(10-9)
+    assert out["b"]["p50"] == pytest.approx(7.0)
+    approx = {
+        r["grp"]: r
+        for r in df.transform(
+            t("quantile_summary", value_col="v", group_cols=["grp"],
+              probs=[0.5, 0.9])
+        ).collect()
+    }
+    # sketch at default accuracy is exact-rank on 10 values (no interp)
+    assert abs(approx["a"]["p50"] - 5.5) <= 0.5
+    cols = df.transform(
+        t("quantile_summary", value_col="v", probs=[0.999])
+    ).columns
+    assert "p99_9" in cols
+    with pytest.raises(ValueError):
+        t("quantile_summary", value_col="v", method="nope")
+    with pytest.raises(ValueError):
+        t("quantile_summary", value_col="v", probs=[1.5])
