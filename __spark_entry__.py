@@ -1595,6 +1595,28 @@ def dp58_quantile_summary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp59_event_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user behavior feature vector: event log pivoted long→wide with
+    explicit pivot values (datapipes/events.py pivot_agg) — two map-side-
+    combined hash aggs ((user,type) cells, then pivotfirst on user), no
+    value-discovery scan. Sums via DECIMAL(18,4) for exact cross-engine
+    replay; empty count cells coalesced to 0."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(
+        _t("pivot_agg", on=["user_id"], pivot_col="event_type",
+           values=["view", "click", "purchase"],
+           aggs={"n": "count(1)",
+                 "rev": "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"})
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("view_n", F.lit(0)).cast("long").alias("view_n"),
+        F.coalesce("click_n", F.lit(0)).cast("long").alias("click_n"),
+        F.coalesce("purchase_n", F.lit(0)).cast("long").alias("purchase_n"),
+        F.round(F.coalesce("purchase_rev", F.lit(0.0)), 4).alias("purchase_rev"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1677,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp56_cohort_retention": dp56_cohort_retention,
         "dp57_robust_scale": dp57_robust_scale,
         "dp58_quantile_summary": dp58_quantile_summary,
+        "dp59_event_pivot": dp59_event_pivot,
     }
 
 
@@ -3176,6 +3199,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.9), 4) AS p90,
                    ROUND(quantile_cont(value, 0.99), 4) AS p99
             FROM events GROUP BY event_type
+        """,
+        "dp59_event_pivot": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view_n,
+                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click_n,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase_n,
+                   ROUND(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,4)))
+                         FILTER (event_type = 'purchase'), 0) AS DOUBLE), 4) AS purchase_rev
+            FROM events
+            GROUP BY user_id
         """,
     }
 

@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, Dict, List, Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -97,3 +97,50 @@ def cohort_retention(
         )
 
     return _cohort
+
+
+@register("pivot_agg")
+def pivot_agg(
+    on: List[str],
+    pivot_col: str,
+    values: List[str],
+    aggs: Dict[str, str],
+) -> TransformerFn:
+    """Long→wide pivot with EXPLICIT pivot values: one output row per key,
+    one ``<value>_<alias>`` column per (pivot value × aggregate) — the
+    feature-widening step that turns an event log into a per-entity
+    feature vector. ``aggs`` maps alias → SQL aggregate expression
+    (e.g. ``{"n": "count(1)", "rev": "sum(value)"}``).
+
+    Requiring ``values`` up front is the 100 TB design: Spark's
+    ``pivot(col)`` without values runs a driver-side DISTINCT job over the
+    whole corpus just to learn the column set (and caps it at
+    ``spark.sql.pivotMaxValues``). With the list given there is no
+    discovery scan or collect: the plan is two map-side-combined hash
+    aggregations — ``(key, pivot)`` cells first, then ``pivotfirst`` on
+    the key — and the first combine shrinks each partition to its distinct
+    cell count before anything shuffles. Empty count cells surface as NULL
+    (SQL conditional-aggregate semantics; ``coalesce`` downstream if 0 is
+    wanted).
+    """
+    if not values:
+        raise ValueError("pivot_agg: values must be non-empty (explicit "
+                         "pivot values keep the plan single-pass)")
+    if not aggs:
+        raise ValueError("pivot_agg: aggs must be non-empty")
+
+    def _pivot(df: DataFrame) -> DataFrame:
+        grouped = df.groupBy(*on).pivot(pivot_col, values)
+        out = grouped.agg(
+            *[F.expr(expr).alias(alias) for alias, expr in aggs.items()]
+        )
+        # Spark drops the agg alias when there is exactly one aggregate
+        # (columns named just `<value>`); normalize to `<value>_<alias>`
+        # so the output schema doesn't depend on len(aggs).
+        if len(aggs) == 1:
+            alias = next(iter(aggs))
+            for v in values:
+                out = out.withColumnRenamed(str(v), f"{v}_{alias}")
+        return out
+
+    return _pivot

@@ -1530,3 +1530,35 @@ def test_quantile_summary_exact_and_approx(spark):
         t("quantile_summary", value_col="v", method="nope")
     with pytest.raises(ValueError):
         t("quantile_summary", value_col="v", probs=[1.5])
+
+
+def test_pivot_agg_explicit_values(spark):
+    """Pivot with explicit values: one column per value×agg with
+    <value>_<alias> naming (even for a single agg), empty cells NULL,
+    values absent from the list are ignored, and the plan contains no
+    second value-discovery aggregation."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "a", 5.0), (1, "b", 2.0), (2, "b", 7.0),
+         (2, "zzz", 1.0)],
+        "k INT, typ STRING, v DOUBLE",
+    )
+    out = df.transform(
+        t("pivot_agg", on=["k"], pivot_col="typ", values=["a", "b"],
+          aggs={"n": "count(1)", "s": "sum(v)"})
+    )
+    assert sorted(out.columns) == ["a_n", "a_s", "b_n", "b_s", "k"]
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["a_n"] == 2 and rows[1]["a_s"] == 15.0
+    assert rows[2]["a_n"] is None  # empty cell -> NULL, not 0
+    assert rows[2]["b_s"] == 7.0
+    assert "zzz_n" not in out.columns  # only explicit values pivot
+
+    single = df.transform(
+        t("pivot_agg", on=["k"], pivot_col="typ", values=["a"],
+          aggs={"n": "count(1)"})
+    )
+    assert sorted(single.columns) == ["a_n", "k"]
+    with pytest.raises(ValueError):
+        t("pivot_agg", on=["k"], pivot_col="typ", values=[], aggs={"n": "count(1)"})
+    with pytest.raises(ValueError):
+        t("pivot_agg", on=["k"], pivot_col="typ", values=["a"], aggs={})
