@@ -1617,6 +1617,26 @@ def dp59_event_pivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp60_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salted fact-to-dim join (datapipes/joins.py salted_join):
+    events (hot user keys) joined to customer with the key widened by a
+    deterministic 8-way salt — pair-for-pair identical to the plain join
+    the oracle runs, which is exactly the operator's contract."""
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer").selectExpr(
+        "c_custkey AS user_id", "c_mktsegment"
+    )
+    joined = ev.select("user_id", "event_type", "value").transform(
+        _t("salted_join", right=cust, on=["user_id"], salt=8)
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("revenue"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1700,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp57_robust_scale": dp57_robust_scale,
         "dp58_quantile_summary": dp58_quantile_summary,
         "dp59_event_pivot": dp59_event_pivot,
+        "dp60_salted_join": dp60_salted_join,
     }
 
 
@@ -3209,6 +3230,14 @@ def oracle_sql() -> dict[str, str]:
                          FILTER (event_type = 'purchase'), 0) AS DOUBLE), 4) AS purchase_rev
             FROM events
             GROUP BY user_id
+        """,
+        "dp60_salted_join": """
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 4)
+                     AS revenue
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
     }
 

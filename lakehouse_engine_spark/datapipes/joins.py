@@ -31,7 +31,7 @@ from typing import Callable, List, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from lakehouse_engine_spark.datapipes.registry import register
+from lakehouse_engine_spark.datapipes.registry import register, register_contextual
 from lakehouse_engine_spark.utils.timeutils import epoch_us
 
 TransformerFn = Callable[[DataFrame], DataFrame]
@@ -341,3 +341,90 @@ def trailing_window_agg(
         return out.select("*", *cols).drop("__ts_us")
 
     return _trail
+
+
+@register("salted_join")
+def salted_join(
+    right: DataFrame,
+    on: List[str],
+    how: str = "inner",
+    salt: int = 16,
+    salt_on: Optional[List[str]] = None,
+) -> TransformerFn:
+    """Skew-salted equi-join: result-identical to ``left.join(right, on,
+    how)``, but the join key is widened with a deterministic salt so a hot
+    key's rows spread over ``salt`` shuffle partitions instead of one.
+
+    For the case AQE's skew-split can't fix: AQE splits an oversized
+    sort-merge partition only on the MAP side — a single hot key still
+    lands every matching row pair in one reducer when the downstream needs
+    the join's own partitioning (e.g. an agg on the join key right after),
+    and AQE never splits when the join is immediately consumed by such an
+    exchange reuse. Salting re-keys the exchange itself: the big/skewed
+    LEFT side gets ``pmod(xxhash64(salt_on), salt)`` (deterministic — no
+    rand(), so retried tasks re-derive the same salt and the operator is
+    replayable), the small-but-unbroadcastable RIGHT side is replicated
+    ``salt`` times via ``explode(sequence(...))``, and the join runs on
+    ``on + [__salt]``. Each (left row, right row) pair meets in exactly
+    one replica, so inner/left semantics are preserved row-for-row; right
+    shuffle volume grows ``salt``× — the standard trade, cheap when right
+    is the dimension side. ``how`` is restricted to inner/left: under
+    right/full, unmatched right rows would surface once per replica.
+
+    When the right side fits in memory, broadcast it instead (the engine's
+    ``join`` transformer with a broadcast hint) — salting is for the
+    middle regime: right too big to broadcast, left skewed.
+    """
+    nsalt = int(salt)
+    if nsalt < 1:
+        raise ValueError(f"salted_join: salt must be >= 1, got {salt}")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join: how must be inner|left (right/full would "
+            f"duplicate unmatched right rows per replica), got {how!r}"
+        )
+
+    def _join(left: DataFrame) -> DataFrame:
+        scols = salt_on or [c for c in left.columns]
+        l2 = left.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in scols]), F.lit(nsalt)).cast("int"),
+        )
+        r2 = right.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
+        )
+        return l2.join(r2, on=list(on) + ["__salt"], how=how).drop("__salt")
+
+    return _join
+
+
+def _resolve_right(data: dict, op: str, right_id: str) -> DataFrame:
+    if right_id not in data:
+        raise ValueError(f"{op}: unknown spec_id {right_id!r}")
+    return data[right_id]
+
+
+@register_contextual("asof_join_with")
+def asof_join_with(data: dict, right_id: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`asof_join`: resolve ``right_id`` as an
+    upstream spec_id from the dataflow dict (pure-JSON ACON usage, same
+    convention as the core ``join`` transformer)."""
+    return lambda df: asof_join(
+        right=_resolve_right(data, "asof_join_with", right_id), **args
+    )(df)
+
+
+@register_contextual("range_join_with")
+def range_join_with(data: dict, right_id: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`range_join` (see :func:`asof_join_with`)."""
+    return lambda df: range_join(
+        right=_resolve_right(data, "range_join_with", right_id), **args
+    )(df)
+
+
+@register_contextual("salted_join_with")
+def salted_join_with(data: dict, right_id: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`salted_join` (see :func:`asof_join_with`)."""
+    return lambda df: salted_join(
+        right=_resolve_right(data, "salted_join_with", right_id), **args
+    )(df)

@@ -1562,3 +1562,73 @@ def test_pivot_agg_explicit_values(spark):
         t("pivot_agg", on=["k"], pivot_col="typ", values=[], aggs={"n": "count(1)"})
     with pytest.raises(ValueError):
         t("pivot_agg", on=["k"], pivot_col="typ", values=["a"], aggs={})
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join is row-for-row the plain join: inner and left semantics,
+    skewed left (90% one key), duplicate left rows, unmatched keys on both
+    sides. The salt column never leaks into the output."""
+    left = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(2, 900), (2, 901), (3, 999)],
+        "k INT, payload INT",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (4, "unmatched")], "k INT, label STRING"
+    )
+    for how in ("inner", "left"):
+        out = left.transform(t("salted_join", right=right, on=["k"],
+                               how=how, salt=4))
+        exp = left.join(right, on=["k"], how=how)
+        assert "__salt" not in out.columns
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, exp.collect()))
+    with pytest.raises(ValueError):
+        t("salted_join", right=right, on=["k"], how="full")
+    with pytest.raises(ValueError):
+        t("salted_join", right=right, on=["k"], salt=0)
+
+
+def test_salted_join_salts_the_exchange(spark):
+    """The physical join keys include the salt: with broadcast disabled the
+    exchange hash-partitions on (k, __salt), spreading a hot key over
+    multiple reducers."""
+    left = spark.createDataFrame([(1, i) for i in range(50)], "k INT, p INT")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k INT, lab STRING")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = left.transform(t("salted_join", right=right, on=["k"], salt=4))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan
+        # the hot key's rows really do land in >1 salt bucket
+        n_buckets = (
+            left.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64("k", "p"), F.lit(4)),
+            ).filter("k = 1").select("__salt").distinct().count()
+        )
+        assert n_buckets > 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_join_with_wrappers_resolve_spec_ids(spark):
+    """Pure-JSON ACON variants: *_with resolve the right side from the
+    dataflow dict; unknown spec_ids raise with the op name."""
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.transformers.transformer_factory import (
+        TransformerFactory,
+    )
+
+    left = spark.createDataFrame([(1, 10), (2, 20)], "k INT, p INT")
+    right = spark.createDataFrame([(1, "x")], "k INT, lab STRING")
+    fn = TransformerFactory.get_transformer(
+        TransformerSpec("salted_join_with", {"right_id": "dim", "on": ["k"]}),
+        {"dim": right},
+    )
+    assert sorted(map(tuple, fn(left).collect())) == [(1, 10, "x")]
+    bad = TransformerFactory.get_transformer(
+        TransformerSpec("asof_join_with", {"right_id": "nope", "on": ["k"]}),
+        {"dim": right},
+    )
+    with pytest.raises(ValueError, match="asof_join_with"):
+        bad(left)
