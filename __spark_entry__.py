@@ -1637,6 +1637,20 @@ def dp60_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp61_keep_best_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware dedup survivors: MinHash connected components (same
+    params as dp20) but keeping each cluster's LONGEST document (argmax
+    n_chars, ties → smallest id) instead of the min-id member —
+    dedup_connected_components keep="best" (datapipes/dedup.py). One extra
+    component-keyed agg + join over dp20; no pairwise work."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(
+        _t("dedup_connected_components", num_hashes=12, bands=4,
+           shingle_size=3, keep="best", best_by="n_chars")
+    )
+    return out.select("doc_id", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1721,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp58_quantile_summary": dp58_quantile_summary,
         "dp59_event_pivot": dp59_event_pivot,
         "dp60_salted_join": dp60_salted_join,
+        "dp61_keep_best_dedup": dp61_keep_best_dedup,
     }
 
 
@@ -3238,6 +3253,35 @@ def oracle_sql() -> dict[str, str]:
                      AS revenue
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "dp61_keep_best_dedup": _minhash_cte(12, 4, 3).replace(
+            "WITH toks", "WITH RECURSIVE toks"
+        )
+        + """,
+            nodes AS (SELECT DISTINCT doc_id FROM ex),
+            reach AS (
+              SELECT doc_id, doc_id AS label FROM nodes
+              UNION
+              SELECT e2.doc_id, r.label
+              FROM reach r
+              JOIN ex e1 ON e1.doc_id = r.doc_id
+              JOIN ex e2 ON e2.h = e1.h
+              WHERE r.label < e2.doc_id
+            ),
+            comp AS (
+              SELECT d.doc_id, d.n_chars,
+                     COALESCE(c.comp, d.doc_id) AS component_id
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, MIN(label) AS comp FROM reach
+                         GROUP BY doc_id) c USING (doc_id)
+            ),
+            ranked AS (
+              SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY component_id
+                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM comp
+            )
+            SELECT doc_id, n_chars FROM ranked WHERE rn = 1
         """,
     }
 

@@ -872,7 +872,8 @@ def dedup_connected_components(
     shingle_size: int = 3,
     output_col: str = "component_id",
     max_iterations: int = 25,
-    keep: str = "clusters",  # clusters | survivors
+    keep: str = "clusters",  # clusters | survivors | best
+    best_by: Optional[str] = None,
 ) -> TransformerFn:
     """Transitive duplicate clusters: connected components over MinHash-LSH
     buckets (the full closure the bucket-min rule in ``dedup_minhash_lsh``
@@ -890,7 +891,19 @@ def dedup_connected_components(
     the monotone global label sum, one scalar action per round;
     ``localCheckpoint`` truncates the growing lineage so round N's plan does
     not replay rounds 1..N-1.
+
+    Survivor selection: ``keep="survivors"`` keeps the min-id member of
+    each component (cheapest — the label IS the min id, a filter).
+    ``keep="best"`` keeps the argmax of the ``best_by`` SQL expression
+    (ties → smallest id) — what production dedup actually wants: keep the
+    longest / highest-quality copy, not an arbitrary one. Costs one extra
+    map-side-combined agg on the component id plus a hash join back;
+    still no pairwise work.
     """
+    if keep not in ("clusters", "survivors", "best"):
+        raise ValueError(f"keep must be clusters|survivors|best, got {keep!r}")
+    if keep == "best" and not best_by:
+        raise ValueError('keep="best" requires best_by (a SQL expression)')
     rows = num_hashes // bands
 
     def _cc(df: DataFrame) -> DataFrame:
@@ -925,6 +938,22 @@ def dedup_connected_components(
         out = out.withColumn(output_col, F.coalesce("__label", F.col(id_col))).drop("__label")
         if keep == "survivors":
             return out.filter(F.col(output_col) == F.col(id_col)).drop(output_col)
+        if keep == "best":
+            # argmax(best_by) per component, ties -> smallest id: struct
+            # ordering gives (score desc, -id desc) == (score, id asc)
+            best = out.groupBy(output_col).agg(
+                F.max(
+                    F.struct(
+                        F.expr(best_by).alias("s"),
+                        (-F.col(id_col)).alias("nid"),
+                    )
+                ).alias("__b")
+            ).select(output_col, (-F.col("__b.nid")).alias("__best_id"))
+            return (
+                out.join(best, output_col)
+                .filter(F.col(id_col) == F.col("__best_id"))
+                .drop(output_col, "__best_id")
+            )
         return out
 
     return _cc

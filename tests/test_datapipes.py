@@ -1632,3 +1632,41 @@ def test_join_with_wrappers_resolve_spec_ids(spark):
     )
     with pytest.raises(ValueError, match="asof_join_with"):
         bad(left)
+
+
+def test_cc_keep_best_selects_argmax(spark):
+    """keep="best": each duplicate cluster keeps its argmax(best_by) member
+    (ties -> smallest id); singletons always survive; invalid keep/best_by
+    raise."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),                    # cluster {1,2,3}: 3 is longest
+        (2, base + " tail"),
+        (3, base + " much longer tail here"),
+        (10, "completely different text about spark partitions and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING").withColumn(
+        "n_chars", F.length("text")
+    )
+    out = df.transform(
+        t("dedup_connected_components", num_hashes=12, bands=6,
+          shingle_size=2, keep="best", best_by="n_chars")
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [3, 10]
+    # tie on score -> smallest id wins
+    tie = spark.createDataFrame(
+        [(5, base), (6, base)], "doc_id LONG, text STRING"
+    ).withColumn("n_chars", F.length("text"))
+    kept_tie = sorted(
+        r["doc_id"]
+        for r in tie.transform(
+            t("dedup_connected_components", num_hashes=12, bands=6,
+              shingle_size=2, keep="best", best_by="n_chars")
+        ).collect()
+    )
+    assert kept_tie == [5]
+    with pytest.raises(ValueError):
+        t("dedup_connected_components", keep="best")
+    with pytest.raises(ValueError):
+        t("dedup_connected_components", keep="nope")
