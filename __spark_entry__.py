@@ -1651,6 +1651,20 @@ def dp61_keep_best_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "n_chars")
 
 
+def dp62_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversity-balanced embedding sampling (datapipes/similarity.py
+    cluster_sample): one seeded-hyperplane LSH table buckets the space,
+    each bucket keeps ceil(sqrt(size)) vectors by md5(id) order — dense
+    clusters downweighted sublinearly. The oracle re-derives the seeded
+    planes and replays bucket → sqrt cap → md5 pick exactly."""
+    emb = load_table(spark, sf, "embeddings")
+    out = emb.transform(
+        _t("cluster_sample", num_planes=6, dim=64)
+    )
+    return out.select("vec_id", F.col("label").cast("long").alias("label"),
+                      F.col("cluster_bucket").cast("long").alias("bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1736,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp59_event_pivot": dp59_event_pivot,
         "dp60_salted_join": dp60_salted_join,
         "dp61_keep_best_dedup": dp61_keep_best_dedup,
+        "dp62_cluster_sample": dp62_cluster_sample,
     }
 
 
@@ -3282,6 +3297,19 @@ def oracle_sql() -> dict[str, str]:
               FROM comp
             )
             SELECT doc_id, n_chars FROM ranked WHERE rn = 1
+        """,
+        "dp62_cluster_sample": _duck_lsh_sig_ctes(6, 1, 64) + """,
+            ranked AS (
+              SELECT vec_id, sig,
+                     ROW_NUMBER() OVER (PARTITION BY sig
+                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY sig) AS cnt
+              FROM sigs
+            )
+            SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+                   CAST(r.sig AS BIGINT) AS bucket
+            FROM ranked r JOIN embeddings e USING (vec_id)
+            WHERE r.rn <= CEIL(SQRT(r.cnt))
         """,
     }
 

@@ -322,3 +322,58 @@ def knn_ivf(
         )
 
     return _knn
+
+
+@register("cluster_sample")
+def cluster_sample(
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    n_per_bucket: Optional[int] = None,
+    seed: int = 20240613,
+    dim: Optional[int] = None,
+    output_col: str = "cluster_bucket",
+) -> TransformerFn:
+    """Diversity-balanced corpus sampling: partition the embedding space
+    into ``2^num_planes`` semantic buckets with ONE seeded-hyperplane LSH
+    table, then keep ``ceil(sqrt(bucket_size))`` rows per bucket (or a
+    flat ``n_per_bucket``) — the sublinear cap downweights big dense
+    clusters (boilerplate, templated pages) and preserves the long tail,
+    which is what training-data mixing wants from "diverse" sampling.
+    Selection within a bucket is by ``md5(id)`` order: deterministic,
+    re-derivable, no RNG state. Survivors carry their bucket id in
+    ``output_col``.
+
+    Scale design: the signature projection (shared
+    ``hyperplane_signatures``, posexplode + map-side-combined sums) is the
+    linear-cost pass; sampling is one window over the bucket key — same
+    cost class as any per-group top-k, and the sqrt cap bounds output
+    skew: a bucket with 10^8 members emits 10^4 rows. The final attach is
+    an ids-only semi-join shaped join back to the full rows, so wide
+    payload columns never travel through the window sort.
+    """
+    if n_per_bucket is not None and n_per_bucket < 1:
+        raise ValueError(f"n_per_bucket must be >= 1, got {n_per_bucket}")
+
+    def _sample(df: DataFrame) -> DataFrame:
+        sigs = hyperplane_signatures(
+            df, embedding_col, id_col, num_planes, 1, seed, dim
+        ).select(F.col("__bid"), F.col("__sig").alias(output_col))
+        w = Window.partitionBy(output_col)
+        wo = w.orderBy(
+            F.md5(F.col("__bid").cast("string")).asc(), F.col("__bid").asc()
+        )
+        cap = (
+            F.lit(n_per_bucket)
+            if n_per_bucket is not None
+            else F.ceil(F.sqrt(F.col("__cnt")))
+        )
+        kept = (
+            sigs.withColumn("__rn", F.row_number().over(wo))
+            .withColumn("__cnt", F.count(F.lit(1)).over(w))
+            .filter(F.col("__rn") <= cap)
+            .select("__bid", output_col)
+        )
+        return df.join(kept, df[id_col] == kept["__bid"]).drop("__bid")
+
+    return _sample

@@ -1670,3 +1670,48 @@ def test_cc_keep_best_selects_argmax(spark):
         t("dedup_connected_components", keep="best")
     with pytest.raises(ValueError):
         t("dedup_connected_components", keep="nope")
+
+
+def test_cluster_sample_sqrt_cap_and_determinism(spark):
+    """sqrt cap: a bucket of n keeps ceil(sqrt(n)); flat n_per_bucket caps
+    flat; selection is deterministic across runs; survivors carry their
+    bucket id."""
+    import math
+
+    # 3 tight clusters of different sizes along distinct directions
+    rows = []
+    vid = 0
+    for c, (n, base) in enumerate([(16, [10.0, 0.0]), (4, [0.0, 10.0]),
+                                   (1, [-10.0, -10.0])]):
+        for i in range(n):
+            rows.append((vid, [base[0] + i * 1e-3, base[1] + i * 1e-3]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = df.transform(
+        t("cluster_sample", num_planes=4, dim=2)
+    )
+    got = out.select("vec_id", "cluster_bucket").collect()
+    assert "cluster_bucket" in out.columns
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r["cluster_bucket"], []).append(r["vec_id"])
+    # every bucket obeys ceil(sqrt(bucket population)) — recompute pops
+    pops = {}
+    for r in df.transform(
+        t("cluster_sample", num_planes=4, dim=2, n_per_bucket=10**9)
+    ).collect():
+        pops[r["cluster_bucket"]] = pops.get(r["cluster_bucket"], 0) + 1
+    for b, kept in by_bucket.items():
+        assert len(kept) == math.ceil(math.sqrt(pops[b]))
+    # deterministic across runs
+    again = sorted(
+        r["vec_id"]
+        for r in df.transform(t("cluster_sample", num_planes=4, dim=2)).collect()
+    )
+    assert again == sorted(r["vec_id"] for r in got)
+    # flat cap
+    flat = df.transform(t("cluster_sample", num_planes=4, dim=2, n_per_bucket=2))
+    for n in flat.groupBy("cluster_bucket").count().collect():
+        assert n["count"] <= 2
+    with pytest.raises(ValueError):
+        t("cluster_sample", n_per_bucket=0)
