@@ -1665,6 +1665,22 @@ def dp62_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
                       F.col("cluster_bucket").cast("long").alias("bucket"))
 
 
+def dp63_cdc_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (datapipes/text.py text_cdc_chunk):
+    boundaries where the rolling md5-fold of the trailing 8 tokens ≡ 0
+    (mod 16) — edit-robust chunks for chunk-level dedup. Pure row-space
+    array expressions; the oracle replays tokenize → boundary → slice
+    with DuckDB list functions, chunk text compared by md5."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(_t("text_cdc_chunk", window=8, divisor=16))
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_n_tokens").cast("long").alias("n_toks"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1751,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp60_salted_join": dp60_salted_join,
         "dp61_keep_best_dedup": dp61_keep_best_dedup,
         "dp62_cluster_sample": dp62_cluster_sample,
+        "dp63_cdc_chunk": dp63_cdc_chunk,
     }
 
 
@@ -3310,6 +3327,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.sig AS BIGINT) AS bucket
             FROM ranked r JOIN embeddings e USING (vec_id)
             WHERE r.rn <= CEIL(SQRT(r.cnt))
+        """,
+        "dp63_cdc_chunk": f"""
+            WITH t AS (
+              SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+            ),
+            b AS (
+              SELECT doc_id, w, len(w) AS n,
+                     list_concat([1], list_filter(
+                       list_transform(generate_series(1, len(w)), i ->
+                         CASE WHEN i >= 8 AND i < len(w)
+                               AND CAST('0x' || substr(md5(
+                                     array_to_string(w[i-7:i], ' ')
+                                   ), 1, 15) AS BIGINT) % 16 = 0
+                         THEN i + 1 END),
+                       x -> x IS NOT NULL)) AS starts
+              FROM t WHERE len(w) > 0
+            ),
+            ks AS (
+              SELECT doc_id, w, n, starts,
+                     unnest(generate_series(1, len(starts))) AS k
+              FROM b
+            )
+            SELECT doc_id,
+                   CAST(k - 1 AS BIGINT) AS chunk_idx,
+                   CAST((CASE WHEN k < len(starts) THEN starts[k+1] - 1
+                              ELSE n END) - starts[k] + 1 AS BIGINT) AS n_toks,
+                   md5(array_to_string(
+                     w[starts[k]:CASE WHEN k < len(starts) THEN starts[k+1] - 1
+                                      ELSE n END], ' ')) AS chunk_md5
+            FROM ks
         """,
     }
 

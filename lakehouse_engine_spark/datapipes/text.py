@@ -832,3 +832,76 @@ def shingles(col: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+@register("text_cdc_chunk")
+def cdc_chunk(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    divisor: int = 16,
+    min_tokens: int = 1,
+) -> TransformerFn:
+    """Content-defined chunking: split each document at positions where the
+    rolling hash of the trailing ``window`` tokens satisfies
+    ``h % divisor == 0`` — so chunk boundaries follow CONTENT, not offsets,
+    and an insertion near the top of a document shifts only the chunk it
+    lands in (fixed-size ``text_chunk`` windows all shift, defeating
+    chunk-level dedup). Average chunk length ≈ ``divisor`` tokens; the
+    rolling hash is the corpus-wide md5-fold convention (dedup.py), so
+    identical passages chunk identically across documents — feed the
+    chunks to ``dedup_exact``/``dedup_minhash_lsh`` for edit-robust
+    near-dedup. One output row per chunk: all input columns plus
+    ``chunk_idx``, ``chunk_text``, ``chunk_n_tokens``.
+
+    Scale design: entirely JVM-side array expressions in row space —
+    tokenize once, boundary predicate per position via
+    ``transform``+``slice`` (each position hashes one ``window``-token
+    join: O(n·window) bytes hashed per doc), chunk slices via one
+    ``posexplode`` — no shuffle, no Python, no O(n²) per-token rescan.
+    A document never leaves its partition; output size is the input token
+    count, independent of ``divisor``.
+    """
+    if window < 1:
+        raise ValueError(f"text_cdc_chunk: window must be >= 1, got {window}")
+    if divisor < 2:
+        raise ValueError(f"text_cdc_chunk: divisor must be >= 2, got {divisor}")
+
+    def _chunk(df: DataFrame) -> DataFrame:
+        d = (
+            df.withColumn("__toks", tokens(F.col(input_col)))
+            .withColumn("__n", F.size("__toks"))
+        )
+        # 1-based chunk start positions: 1, plus i+1 for every boundary
+        # AFTER token i (never after the last token — no empty tail chunk)
+        starts = f"""
+            concat(array(1), filter(transform(
+              if(__n <= 0, array(), sequence(1, __n)), i ->
+                CASE WHEN i >= {window} AND i < __n AND pmod(
+                  cast(conv(substring(md5(
+                    array_join(slice(__toks, i - {window} + 1, {window}), ' ')
+                  ), 1, 15), 16, 10) AS BIGINT), {divisor}) = 0
+                THEN i + 1 END),
+              x -> x IS NOT NULL))
+        """
+        # chunk k (0-based) spans [starts[k+1], next start - 1]
+        pieces = (
+            "transform(__starts, (s, k) -> "
+            "slice(__toks, s, coalesce(try_element_at(__starts, k + 2), __n + 1) - s))"
+        )
+        return (
+            d.withColumn("__starts", F.expr(starts))
+            .select(
+                *[c for c in df.columns],
+                F.posexplode(F.expr(pieces)).alias("chunk_idx", "__piece"),
+            )
+            .select(
+                *[c for c in df.columns],
+                "chunk_idx",
+                F.concat_ws(" ", "__piece").alias("chunk_text"),
+                F.size("__piece").cast("int").alias("chunk_n_tokens"),
+            )
+            .filter(F.col("chunk_n_tokens") >= min_tokens)
+        )
+
+    return _chunk

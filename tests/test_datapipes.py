@@ -1715,3 +1715,35 @@ def test_cluster_sample_sqrt_cap_and_determinism(spark):
         assert n["count"] <= 2
     with pytest.raises(ValueError):
         t("cluster_sample", n_per_bucket=0)
+
+
+def test_cdc_chunk_content_defined_boundaries(spark):
+    """CDC chunking: chunks tile the document exactly; boundaries depend on
+    content, so a prefix insertion leaves the shared suffix chunked
+    identically (the edit-robustness property fixed-size windows lack);
+    empty docs vanish; args validate."""
+    toks = [f"tok{i * 7919 % 1000}" for i in range(200)]
+    doc_a = " ".join(toks)
+    doc_b = " ".join(["inserted", "prefix", "tokens"] + toks)
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, "   ")], "doc_id LONG, text STRING"
+    )
+    out = df.transform(t("text_cdc_chunk", window=4, divisor=4)).collect()
+    a = sorted((r["chunk_idx"], r["chunk_text"]) for r in out if r["doc_id"] == 1)
+    b = sorted((r["chunk_idx"], r["chunk_text"]) for r in out if r["doc_id"] == 2)
+    assert not any(r["doc_id"] == 3 for r in out)  # empty doc -> no chunks
+    # chunks tile: concatenation restores the token stream
+    assert " ".join(txt for _, txt in a) == doc_a
+    assert " ".join(txt for _, txt in b) == " ".join(
+        ["inserted", "prefix", "tokens"] + toks
+    )
+    assert len(a) > 5  # divisor=4 on 200 tokens: many chunks
+    # edit robustness: most of A's chunks reappear verbatim in B
+    a_txt = [txt for _, txt in a]
+    b_txt = {txt for _, txt in b}
+    shared = sum(1 for txt in a_txt if txt in b_txt)
+    assert shared >= len(a_txt) - 2  # only the chunk hit by the edit differs
+    with pytest.raises(ValueError):
+        t("text_cdc_chunk", window=0)
+    with pytest.raises(ValueError):
+        t("text_cdc_chunk", divisor=1)
