@@ -1681,6 +1681,57 @@ def dp63_cdc_chunk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q23_rollup_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-level ROLLUP through the engine: customer ⋈ nation ⋈ region
+    (broadcast dims), then GROUP BY ROLLUP(region, nation) in a
+    sql_transformation — per-nation rows, per-region subtotals, and the
+    grand total in ONE pass (Spark expands grouping sets inside a single
+    map-side-combined aggregation; no self-union of three aggs). NULL
+    grouping keys are disambiguated with GROUPING() flags and coalesced
+    labels, identically in the DuckDB oracle."""
+    data = {
+        "nation": load_table(spark, sf, "nation"),
+        "region": load_table(spark, sf, "region"),
+    }
+    cust = load_table(spark, sf, "customer")
+    joined = (
+        cust.transform(
+            _t(
+                "join",
+                data,
+                join_with="nation",
+                join_condition="a.c_nationkey = b.n_nationkey",
+                select_cols=["a.c_acctbal", "b.n_name", "b.n_regionkey"],
+            )
+        )
+        .transform(
+            _t(
+                "join",
+                data,
+                join_with="region",
+                join_condition="a.n_regionkey = b.r_regionkey",
+                select_cols=["a.c_acctbal", "a.n_name", "b.r_name"],
+            )
+        )
+        .transform(
+            _t(
+                "sql_transformation",
+                sql=f"""
+                SELECT COALESCE(r_name, 'ALL') AS region,
+                       COALESCE(n_name, 'ALL') AS nation,
+                       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT)
+                         AS gid,
+                       COUNT(*) AS n_cust,
+                       CAST(SUM({_dec('c_acctbal')}) AS DOUBLE) AS total_bal
+                FROM lhe_current
+                GROUP BY ROLLUP(r_name, n_name)
+                """,
+            )
+        )
+    )
+    return joined.withColumn("n_cust", F.col("n_cust").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1768,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp61_keep_best_dedup": dp61_keep_best_dedup,
         "dp62_cluster_sample": dp62_cluster_sample,
         "dp63_cdc_chunk": dp63_cdc_chunk,
+        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
     }
 
 
@@ -3357,6 +3409,19 @@ def oracle_sql() -> dict[str, str]:
                      w[starts[k]:CASE WHEN k < len(starts) THEN starts[k+1] - 1
                                       ELSE n END], ' ')) AS chunk_md5
             FROM ks
+        """,
+        "q23_rollup_grouping_sets": """
+            SELECT COALESCE(r.r_name, 'ALL') AS region,
+                   COALESCE(n.n_name, 'ALL') AS nation,
+                   CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT)
+                     AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                     AS total_bal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP(r.r_name, n.n_name)
         """,
     }
 
