@@ -1732,6 +1732,36 @@ def q23_rollup_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     return joined.withColumn("n_cust", F.col("n_cust").cast("long"))
 
 
+def dp64_ewma_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user EWMA anomaly scoring (datapipes/stateful.py
+    streaming_ewma_anomaly — the same operator runs streaming with
+    checkpointed state; here its batch degradation). Events are
+    pre-aggregated to one row per (user, ts) with an exact DECIMAL sum so
+    the fold order is unique, then each value is z-scored against the
+    exponentially weighted mean/variance before it. The oracle replays
+    the EXACT recurrence with a DuckDB recursive CTE — same double
+    arithmetic in the same per-key ts order."""
+    ev = load_table(spark, sf, "events")
+    series = ev.groupBy("user_id", "ts").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v")
+    )
+    out = series.transform(
+        _t("streaming_ewma_anomaly", on=["user_id"], value_col="v",
+           ts_col="ts", alpha=0.25, threshold=2.5, min_periods=5)
+    )
+    # fixed-point micro-units instead of round(x, 6): both engines compute
+    # floor(x*1e6 + 0.5) on bit-identical doubles, so no decimal-rounding
+    # knife-edge (round() ties resolve differently between engines)
+    return out.select(
+        "user_id",
+        epoch_us_ntz("ts").cast("long").alias("ts_us"),
+        F.round("v", 4).alias("v"),
+        F.floor(F.col("ewma") * 1e6 + 0.5).cast("long").alias("ewma_u"),
+        F.floor(F.col("z") * 1e6 + 0.5).cast("long").alias("z_u"),
+        "is_anomaly",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1820,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp62_cluster_sample": dp62_cluster_sample,
         "dp63_cdc_chunk": dp63_cdc_chunk,
         "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
+        "dp64_ewma_anomaly": dp64_ewma_anomaly,
     }
 
 
@@ -3422,6 +3453,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY ROLLUP(r.r_name, n.n_name)
+        """,
+        "dp64_ewma_anomaly": """
+            WITH RECURSIVE series AS (
+              SELECT user_id, ts,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+              FROM events GROUP BY user_id, ts
+            ),
+            seq AS (
+              SELECT user_id, ts, v,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+              FROM series
+            ),
+            rec AS (
+              SELECT user_id, rn, ts, v,
+                     v AS ewma, CAST(0 AS DOUBLE) AS ewvar, 1 AS n,
+                     CAST(NULL AS DOUBLE) AS z, FALSE AS is_anomaly
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.user_id, s.rn, s.ts, s.v,
+                     r.ewma + 0.25 * (s.v - r.ewma),
+                     0.75 * (r.ewvar + 0.25 * (s.v - r.ewma) * (s.v - r.ewma)),
+                     r.n + 1,
+                     CASE WHEN r.n >= 5 AND r.ewvar > 0
+                          THEN (s.v - r.ewma) / sqrt(r.ewvar) END,
+                     CASE WHEN r.n >= 5 AND r.ewvar > 0
+                          THEN abs((s.v - r.ewma) / sqrt(r.ewvar)) > 2.5
+                          ELSE FALSE END
+              FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+            )
+            SELECT user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+                   ROUND(v, 4) AS v,
+                   CAST(FLOOR(ewma * 1e6 + 0.5) AS BIGINT) AS ewma_u,
+                   CAST(FLOOR(z * 1e6 + 0.5) AS BIGINT) AS z_u,
+                   is_anomaly
+            FROM rec
         """,
     }
 

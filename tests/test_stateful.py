@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from lakehouse_engine_spark.core.definitions import TransformerSpec
 from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
 
@@ -84,3 +86,93 @@ def test_running_totals_batch_fallback(spark):
         ).collect()
     }
     assert out == {"web": (2, 60.0, True), "code": (1, 10.0, False)}
+
+
+def _stage_ts(spark, path, rows):
+    spark.createDataFrame(
+        rows, "sensor STRING, ts TIMESTAMP_NTZ, v DOUBLE"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_ewma_stream(spark, src, out, ck, op):
+    q = (
+        spark.readStream.schema("sensor STRING, ts TIMESTAMP_NTZ, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .transform(op)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _mk_rows(vals, start=0):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    return [
+        ("s1", t0 + timedelta(minutes=start + i), float(v))
+        for i, v in enumerate(vals)
+    ]
+
+
+def test_ewma_anomaly_batch_flags_spike(spark):
+    """Batch mode: a flat series with one spike — only the spike is
+    flagged, z is NULL during warm-up, ewma tracks the level."""
+    vals = [10, 11, 10, 11, 10, 11, 10, 100, 10, 11]
+    df = spark.createDataFrame(
+        _mk_rows(vals), "sensor STRING, ts TIMESTAMP_NTZ, v DOUBLE"
+    )
+    out = df.transform(
+        t("streaming_ewma_anomaly", on=["sensor"], value_col="v",
+          ts_col="ts", alpha=0.3, threshold=3.0, min_periods=5)
+    ).orderBy("ts").collect()
+    flags = [r["is_anomaly"] for r in out]
+    assert flags == [False] * 7 + [True, False, False]
+    assert all(r["z"] is None for r in out[:5])  # warm-up
+    assert abs(out[-1]["ewma"] - 11) < 30  # pulled up by spike, decaying
+    with pytest.raises(ValueError):
+        t("streaming_ewma_anomaly", on=["sensor"], value_col="v", alpha=0.0)
+    with pytest.raises(ValueError):
+        t("streaming_ewma_anomaly", on=["sensor"], value_col="v", min_periods=0)
+
+
+def test_ewma_anomaly_stream_matches_batch_and_survives_restart(spark, tmp_dir):
+    """The same series split into 3 micro-batches across 2 runs (restart
+    from checkpoint between them) produces EXACTLY the batch-mode output:
+    batch-boundary independence + state-store recovery in one pin."""
+    vals = [10, 11, 10, 11, 10, 11, 10, 100, 10, 11, 10, 50]
+    src = os.path.join(tmp_dir, "esrc")
+    out = os.path.join(tmp_dir, "eout")
+    ck = os.path.join(tmp_dir, "eck")
+    op = t("streaming_ewma_anomaly", on=["sensor"], value_col="v",
+           ts_col="ts", alpha=0.3, threshold=3.0, min_periods=5)
+
+    _stage_ts(spark, src, _mk_rows(vals[:5], 0))
+    _stage_ts(spark, src, _mk_rows(vals[5:8], 5))
+    _run_ewma_stream(spark, src, out, ck, op)
+    _stage_ts(spark, src, _mk_rows(vals[8:], 8))   # after "kill"
+    _run_ewma_stream(spark, src, out, ck, op)      # restart, same ck
+
+    streamed = [
+        (r["v"], r["ewma"], r["z"], r["is_anomaly"])
+        for r in spark.read.parquet(out).orderBy("ts").collect()
+    ]
+    batch_df = spark.createDataFrame(
+        _mk_rows(vals), "sensor STRING, ts TIMESTAMP_NTZ, v DOUBLE"
+    )
+    batched = [
+        (r["v"], r["ewma"], r["z"], r["is_anomaly"])
+        for r in batch_df.transform(op).orderBy("ts").collect()
+    ]
+    assert len(streamed) == len(vals)
+    for s, b in zip(streamed, batched):
+        assert s[0] == b[0] and s[3] == b[3]
+        assert abs(s[1] - b[1]) < 1e-9
+        assert (s[2] is None) == (b[2] is None)
+        if s[2] is not None:
+            assert abs(s[2] - b[2]) < 1e-9
