@@ -403,3 +403,93 @@ def test_robust_scale_broadcasts_both_stat_passes(spark, sf_dir):
     physical, _ = _plans(df)
     assert physical.count("BroadcastHashJoin") >= 2, physical[:2000]
     assert "SortMergeJoin" not in physical
+
+
+def test_quantile_summary_single_aggregation(spark, sf_dir):
+    """All probs come from one (partial+final) aggregation pass — never one
+    agg per percentile; the scan reads only the grouped/valued columns."""
+    df = entry.queries()["dp58_quantile_summary"](spark, sf_dir)
+    physical, full = _plans(df)
+    assert physical.count("Exchange") <= 1, physical[:2000]
+    assert "Join" not in physical
+    m = re.search(r"ReadSchema: struct<([^>]*)>", full)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols <= {"event_type", "value"}
+
+
+def test_event_pivot_no_discovery_scan(spark, sf_dir):
+    """Explicit pivot values: the plan has exactly the two pivot
+    aggregations and NO extra distinct-collect job (a values-less pivot
+    adds one); scan pruned to the pivot/key/value columns."""
+    df = entry.queries()["dp59_event_pivot"](spark, sf_dir)
+    physical, full = _plans(df)
+    assert "pivotfirst" in physical
+    assert physical.count("Exchange") <= 2, physical[:2000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", full)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols <= {"user_id", "event_type", "value"}
+
+
+def test_salted_join_partitions_on_salt(spark, sf_dir):
+    """With broadcast disabled, the salted join must exchange on
+    (key, __salt) — the hot key spreads over salt partitions — and never
+    fall back to a nested-loop join."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = entry.queries()["dp60_salted_join"](spark, sf_dir)
+        physical, _ = _plans(df)
+        assert "__salt" in physical
+        assert "BroadcastNestedLoopJoin" not in physical
+        assert "CartesianProduct" not in physical
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cluster_sample_ids_only_window(spark, sf_dir):
+    """The sqrt-cap window sorts only (id, bucket) rows — the embedding
+    arrays must NOT travel through the window sort (they re-attach via the
+    final join)."""
+    df = entry.queries()["dp62_cluster_sample"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    # the Window operator's child must not carry the embedding column
+    win = physical[physical.index("Window") :]
+    seg = win[: win.index("Exchange")] if "Exchange" in win else win[:600]
+    assert "embedding" not in seg, seg
+
+
+def test_cdc_chunk_is_shuffle_free(spark, sf_dir):
+    """Content-defined chunking is a pure row-space expansion: no Exchange,
+    no Join, no Python — boundary hashing + slicing all in codegen'd array
+    expressions."""
+    df = entry.queries()["dp63_cdc_chunk"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Exchange" not in physical, physical[:2000]
+    assert "Join" not in physical
+    assert "Python" not in physical
+
+
+def test_ewma_single_shuffle_sorted_partitions(spark, sf_dir):
+    """Batch EWMA: pre-agg exchange + ONE key repartition with an intra-
+    partition sort feeding mapInPandas — never a per-key grouped-map plan,
+    never a global sort."""
+    df = entry.queries()["dp64_ewma_anomaly"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "MapInPandas" in physical
+    assert "FlatMapGroupsInPandas" not in physical
+    assert physical.count("Exchange") <= 3, physical[:2000]
+    # intra-partition sort only: Sort prints "], false, 0" when global=false
+    assert "Sort [" in physical and ", false, 0" in physical, physical[:2000]
+    assert ", true, 0" not in physical  # no global sort
+
+
+def test_rollup_single_expand_aggregation(spark, sf_dir):
+    """ROLLUP compiles to one Expand + aggregation over broadcast dims —
+    not a union of three separate aggregation jobs."""
+    df = entry.queries()["q23_rollup_grouping_sets"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Expand" in physical
+    assert "Union" not in physical
+    assert physical.count("BroadcastHashJoin") >= 2, physical[:2000]
