@@ -1762,6 +1762,57 @@ def dp64_ewma_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp65_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Record linkage via blocking fuzzy join (datapipes/joins.py
+    fuzzy_join): supplier names with one deterministically deleted
+    character re-matched against the clean supplier table — candidates
+    blocked on nation + length band (never all-pairs), Levenshtein ≤ 2
+    verified in JVM codegen. The oracle replays the same mangling and a
+    block-only join (bands prune only pairs that can't match, so results
+    are identical)."""
+    sup = load_table(spark, sf, "supplier")
+    mangle = (
+        "concat(substring(s_name, 1, pmod(s_suppkey, length(s_name))), "
+        "substring(s_name, pmod(s_suppkey, length(s_name)) + 2))"
+    )
+    left = sup.selectExpr(
+        "s_suppkey AS l_id", "s_nationkey", f"{mangle} AS name_m"
+    )
+    right = sup.select("s_suppkey", "s_nationkey", "s_name")
+    out = left.transform(
+        _t("fuzzy_join", right=right, left_col="name_m", right_col="s_name",
+           max_distance=2, block_on=["s_nationkey"])
+    )
+    return out.select(
+        "l_id",
+        F.col("s_suppkey").alias("r_id"),
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
+def dp66_scd2_build(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history from a state stream (datapipes/history.py scd2_build):
+    per-user event-type states (deduped to one per (user, ts)) become
+    validity intervals with no-op updates suppressed — lag-filter-lead
+    stacked on ONE user_id exchange. The oracle replays the identical
+    window pipeline in SQL."""
+    ev = load_table(spark, sf, "events")
+    states = ev.groupBy("user_id", "ts").agg(
+        F.min("event_type").alias("state")
+    )
+    out = states.transform(
+        _t("scd2_build", key_cols=["user_id"], ts_col="ts",
+           attr_cols=["state"])
+    )
+    return out.select(
+        "user_id",
+        "state",
+        epoch_us_ntz("valid_from").cast("long").alias("from_us"),
+        epoch_us_ntz("valid_to").cast("long").alias("to_us"),
+        "is_current",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1851,6 +1902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp63_cdc_chunk": dp63_cdc_chunk,
         "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
         "dp64_ewma_anomaly": dp64_ewma_anomaly,
+        "dp65_fuzzy_join": dp65_fuzzy_join,
+        "dp66_scd2_build": dp66_scd2_build,
     }
 
 
@@ -3489,6 +3542,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(z * 1e6 + 0.5) AS BIGINT) AS z_u,
                    is_anomaly
             FROM rec
+        """,
+        "dp65_fuzzy_join": """
+            WITH l AS (
+              SELECT s_suppkey AS l_id, s_nationkey,
+                     substr(s_name, 1, s_suppkey % length(s_name)) ||
+                     substr(s_name, (s_suppkey % length(s_name)) + 2) AS name_m
+              FROM supplier
+            )
+            SELECT l.l_id, r.s_suppkey AS r_id,
+                   CAST(levenshtein(l.name_m, r.s_name) AS BIGINT) AS distance
+            FROM l JOIN supplier r ON l.s_nationkey = r.s_nationkey
+            WHERE levenshtein(l.name_m, r.s_name) <= 2
+        """,
+        "dp66_scd2_build": """
+            WITH s AS (
+              SELECT user_id, ts, MIN(event_type) AS state
+              FROM events GROUP BY user_id, ts
+            ),
+            c AS (
+              SELECT user_id, ts, state,
+                     LAG(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM s
+            ),
+            k AS (
+              SELECT user_id, ts, state FROM c
+              WHERE prev IS NULL OR prev <> state
+            )
+            SELECT user_id, state,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS from_us,
+                   CAST(epoch_us(CAST(
+                     LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS TIMESTAMP)) AS BIGINT) AS to_us,
+                   (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+                     AS is_current
+            FROM k
         """,
     }
 

@@ -12,6 +12,7 @@ from lakehouse_engine_spark.datapipes import (  # noqa: E402,F401 — populate r
     dedup,
     embeddings,
     events,
+    history,
     joins,
     multimodal,
     numeric,

@@ -428,3 +428,69 @@ def salted_join_with(data: dict, right_id: str, **args) -> TransformerFn:
     return lambda df: salted_join(
         right=_resolve_right(data, "salted_join_with", right_id), **args
     )(df)
+
+
+@register("fuzzy_join")
+def fuzzy_join(
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    block_on: Optional[List[str]] = None,
+    suffix: str = "_r",
+    distance_col: str = "distance",
+) -> TransformerFn:
+    """Approximate string matching (record linkage): join left rows to
+    right rows whose ``right_col`` is within Levenshtein distance
+    ``max_distance`` of ``left_col`` — inner semantics, all matches, with
+    the edit distance in ``distance_col``.
+
+    Scale design — blocking, never all-pairs: candidate pairs must agree
+    on the ``block_on`` equality keys AND on a string-length band. An edit
+    distance ≤ d forces ``|len(l) − len(r)| ≤ d``, so with band width
+    ``d+1`` the two bands differ by at most 1 — the left side explodes to
+    its band ±1 (3 rows) and the join is a plain equi-join on
+    ``block_on + [band]``; each true pair meets in exactly one band (the
+    right row's own band), duplicates are impossible. The O(len²) DP of
+    ``levenshtein`` (JVM codegen, no Python) then runs ONLY on candidates,
+    and the `` <= d`` residual filters them. Choose ``block_on`` to bound
+    block sizes (a null blocking key drops the row — SQL equality
+    semantics — which is what record-linkage blocking wants).
+    """
+    if max_distance < 0:
+        raise ValueError(f"fuzzy_join: max_distance must be >= 0, got {max_distance}")
+    width = max_distance + 1
+
+    def _join(left: DataFrame) -> DataFrame:
+        blocks = list(block_on or [])
+        rband = F.floor(F.length(F.col(right_col)) / width).cast("long")
+        overlap = {c for c in right.columns if c in set(left.columns) - set(blocks)}
+        r2 = right
+        for c in overlap:
+            r2 = r2.withColumnRenamed(c, c + suffix)
+        rcol = right_col + suffix if right_col in overlap else right_col
+        r2 = r2.withColumn(
+            "__band", F.floor(F.length(F.col(rcol)) / width).cast("long")
+        )
+        lband = F.floor(F.length(F.col(left_col)) / width).cast("long")
+        l2 = left.withColumn(
+            "__band",
+            F.explode(F.array(lband - 1, lband, lband + 1)),
+        )
+        dist = F.levenshtein(F.col(left_col), F.col(rcol))
+        return (
+            l2.join(r2, on=blocks + ["__band"], how="inner")
+            .withColumn(distance_col, dist)
+            .filter(F.col(distance_col) <= max_distance)
+            .drop("__band")
+        )
+
+    return _join
+
+
+@register_contextual("fuzzy_join_with")
+def fuzzy_join_with(data: dict, right_id: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`fuzzy_join` (see :func:`asof_join_with`)."""
+    return lambda df: fuzzy_join(
+        right=_resolve_right(data, "fuzzy_join_with", right_id), **args
+    )(df)

@@ -1747,3 +1747,88 @@ def test_cdc_chunk_content_defined_boundaries(spark):
         t("text_cdc_chunk", window=0)
     with pytest.raises(ValueError):
         t("text_cdc_chunk", divisor=1)
+
+
+def test_fuzzy_join_blocking_matches_naive(spark):
+    """The banded blocking join returns exactly the naive filtered cross
+    join: matches within distance, across length bands, no duplicates;
+    distance column exact; null blocking keys drop."""
+    left = spark.createDataFrame(
+        [(1, "b", "kitten"), (2, "b", "abc"), (3, "b", "zzzzzz"),
+         (4, None, "kitten")],
+        "lid INT, blk STRING, lname STRING",
+    )
+    right = spark.createDataFrame(
+        [(10, "b", "sitting"), (11, "b", "kitten"), (12, "b", "ab"),
+         (13, "c", "kitten")],
+        "rid INT, blk STRING, rname STRING",
+    )
+    out = left.transform(
+        t("fuzzy_join", right=right, left_col="lname", right_col="rname",
+          max_distance=3, block_on=["blk"])
+    )
+    got = sorted((r["lid"], r["rid"], r["distance"]) for r in out.collect())
+    import itertools
+
+    naive = sorted(
+        (l["lid"], r["rid"], lev)
+        for l, r in itertools.product(left.collect(), right.collect())
+        if l["blk"] is not None and l["blk"] == r["blk"]
+        for lev in [_lev(l["lname"], r["rname"])]
+        if lev <= 3
+    )
+    assert got == naive
+    assert (1, 10, 3) in got       # kitten->sitting crosses a length band
+    assert not any(l == 4 for l, _, _ in got)  # null block key drops
+    with pytest.raises(ValueError):
+        t("fuzzy_join", right=right, left_col="a", right_col="b",
+          max_distance=-1)
+
+
+def _lev(a, b):
+    import numpy as np
+
+    d = np.arange(len(b) + 1)
+    for i, ca in enumerate(a, 1):
+        prev_diag, d[0] = d[0], i
+        for j, cb in enumerate(b, 1):
+            prev_diag, d[j] = d[j], min(
+                d[j] + 1, d[j - 1] + 1, prev_diag + (ca != cb)
+            )
+    return int(d[len(b)])
+
+
+def test_scd2_build_versions_and_noop_suppression(spark):
+    """SCD2: no-op updates collapse, validity chains are contiguous, the
+    last version per key is current; change_only=False keeps every row."""
+    from datetime import datetime
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        (1, ts(1), "A"), (1, ts(2), "A"),       # no-op -> suppressed
+        (1, ts(3), "B"), (1, ts(4), "A"),       # A again: new version
+        (2, ts(1), "X"),
+    ]
+    df = spark.createDataFrame(rows, "k INT, ts TIMESTAMP_NTZ, state STRING")
+    out = sorted(
+        (r["k"], r["valid_from"].hour, r["valid_to"].hour if r["valid_to"] else None,
+         r["state"], r["is_current"])
+        for r in df.transform(
+            t("scd2_build", key_cols=["k"], ts_col="ts", attr_cols=["state"])
+        ).collect()
+    )
+    assert out == [
+        (1, 1, 3, "A", False),
+        (1, 3, 4, "B", False),
+        (1, 4, None, "A", True),
+        (2, 1, None, "X", True),
+    ]
+    full = df.transform(
+        t("scd2_build", key_cols=["k"], ts_col="ts", attr_cols=["state"],
+          change_only=False)
+    )
+    assert full.count() == 5
+    with pytest.raises(ValueError):
+        t("scd2_build", key_cols=[], ts_col="ts")

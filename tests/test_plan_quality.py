@@ -493,3 +493,24 @@ def test_rollup_single_expand_aggregation(spark, sf_dir):
     assert "Expand" in physical
     assert "Union" not in physical
     assert physical.count("BroadcastHashJoin") >= 2, physical[:2000]
+
+
+def test_fuzzy_join_is_banded_equi_join(spark, sf_dir):
+    """Blocking keeps the fuzzy join an equi-join on (block, band): no
+    CartesianProduct / BroadcastNestedLoopJoin even with the levenshtein
+    residual; the distance DP runs post-join on candidates only."""
+    df = entry.queries()["dp65_fuzzy_join"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical, physical[:2000]
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "__band" in physical
+    assert "levenshtein" in physical
+
+
+def test_scd2_single_exchange_stacked_windows(spark, sf_dir):
+    """lag-filter-lead must stack on ONE user_id exchange after the
+    dedup agg — no self-joins, no extra shuffle for the second window."""
+    df = entry.queries()["dp66_scd2_build"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Join" not in physical, physical[:2000]
+    assert physical.count("Exchange") <= 2  # (user,ts) agg + user window
