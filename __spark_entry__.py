@@ -1813,6 +1813,60 @@ def dp66_scd2_build(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp67_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval union per user (datapipes/joins.py merge_intervals): each
+    event opens a deterministic 1-30 min activity window, overlapping/
+    touching windows collapse to maximal spans — running-max + span-id
+    windows and the final agg all on ONE user_id partitioning. FLOOR'd
+    minute derivation on both engines (double→int CAST truncates in Spark
+    but rounds in DuckDB)."""
+    ev = load_table(spark, sf, "events")
+    iv = ev.selectExpr(
+        "user_id",
+        "ts AS s",
+        "ts + make_dt_interval(0, 0, CAST(FLOOR(value % 30) AS INT) + 1, 0) AS e",
+    )
+    out = iv.transform(
+        _t("merge_intervals", on=["user_id"], start_col="s", end_col="e")
+    )
+    return out.select(
+        "user_id",
+        epoch_us_ntz("s").cast("long").alias("from_us"),
+        epoch_us_ntz("e").cast("long").alias("to_us"),
+        "n_merged",
+    )
+
+
+def dp68_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction through the engine's from_json
+    transformer (explicit schema — no inference scan) then a per-type
+    rollup of the extracted field: the JSON parse stays a codegen'd
+    projection feeding one map-side-combined aggregation. Oracle extracts
+    with DuckDB's JSON operators."""
+    ev = load_table(spark, sf, "events")
+    parsed = ev.transform(
+        _t(
+            "from_json",
+            input_col="props",
+            schema={
+                "type": "struct",
+                "fields": [{"name": "k", "type": "long",
+                            "nullable": True, "metadata": {}}],
+            },
+        )
+    )
+    # from_json expands struct fields to top level (and drops the source
+    # column), so the extracted field is simply `k`
+    return parsed.select("event_type", "k").groupBy(
+        "event_type"
+    ).agg(
+        F.count("k").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1904,6 +1958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp64_ewma_anomaly": dp64_ewma_anomaly,
         "dp65_fuzzy_join": dp65_fuzzy_join,
         "dp66_scd2_build": dp66_scd2_build,
+        "dp67_merge_intervals": dp67_merge_intervals,
+        "dp68_json_props": dp68_json_props,
     }
 
 
@@ -3577,6 +3633,42 @@ def oracle_sql() -> dict[str, str]:
                    (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
                      AS is_current
             FROM k
+        """,
+        "dp67_merge_intervals": """
+            WITH iv AS (
+              SELECT user_id, ts AS s,
+                     ts + (CAST(FLOOR(value % 30) AS INT) + 1)
+                          * INTERVAL 1 MINUTE AS e
+              FROM events
+            ),
+            m AS (
+              SELECT user_id, s, e,
+                     MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              FROM iv
+            ),
+            g AS (
+              SELECT user_id, s, e,
+                     SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS span
+              FROM m
+            )
+            SELECT user_id,
+                   CAST(epoch_us(CAST(MIN(s) AS TIMESTAMP)) AS BIGINT) AS from_us,
+                   CAST(epoch_us(CAST(MAX(e) AS TIMESTAMP)) AS BIGINT) AS to_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_merged
+            FROM g GROUP BY user_id, span
+        """,
+        "dp68_json_props": """
+            SELECT event_type,
+                   CAST(COUNT(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n,
+                   CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+            FROM events
+            GROUP BY event_type
         """,
     }
 

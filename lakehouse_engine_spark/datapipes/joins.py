@@ -494,3 +494,58 @@ def fuzzy_join_with(data: dict, right_id: str, **args) -> TransformerFn:
     return lambda df: fuzzy_join(
         right=_resolve_right(data, "fuzzy_join_with", right_id), **args
     )(df)
+
+
+@register("merge_intervals")
+def merge_intervals(
+    on: List[str],
+    start_col: str = "start",
+    end_col: str = "end",
+    merge_touching: bool = True,
+) -> TransformerFn:
+    """Collapse overlapping (and, by default, touching) intervals per key
+    into their union: one output row per maximal merged span with
+    ``start``/``end``/``n_merged`` — coverage windows from session spans,
+    downtime stitching, speech-segment merging.
+
+    The classic sweep is sequential; the distributed form is two stacked
+    steps on ONE key partitioning: a running ``max(end)`` over preceding
+    rows (interval i starts a new span iff its start exceeds every
+    earlier end), a running sum of those new-span flags as the span id,
+    then a min/max aggregate per (key, span id). Both windows and the
+    final aggregate hash-partition on the SAME key columns, so Catalyst
+    plans one Exchange for the windows and one map-side-combined agg —
+    no self-joins, no interval explosion, cost identical to any per-key
+    sort regardless of overlap depth.
+    """
+    if not on:
+        raise ValueError("merge_intervals: on must be non-empty")
+
+    def _merge(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*on).orderBy(start_col, end_col)
+        prev_max_end = F.max(end_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        gap = (
+            F.col(start_col) > prev_max_end
+            if merge_touching
+            else F.col(start_col) >= prev_max_end
+        )
+        new_span = F.when(prev_max_end.isNull() | gap, 1).otherwise(0)
+        spans = df.withColumn(
+            "__span",
+            F.sum(new_span).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return (
+            spans.groupBy(*on, "__span")
+            .agg(
+                F.min(start_col).alias(start_col),
+                F.max(end_col).alias(end_col),
+                F.count(F.lit(1)).cast("long").alias("n_merged"),
+            )
+            .drop("__span")
+        )
+
+    return _merge

@@ -1832,3 +1832,35 @@ def test_scd2_build_versions_and_noop_suppression(spark):
     assert full.count() == 5
     with pytest.raises(ValueError):
         t("scd2_build", key_cols=[], ts_col="ts")
+
+
+def test_merge_intervals_union_semantics(spark):
+    """Overlap chains collapse to one span; touching intervals merge by
+    default but split with merge_touching=False; nested intervals absorb;
+    disjoint spans stay separate; n_merged counts members."""
+    rows = [
+        ("a", 0, 10), ("a", 5, 12), ("a", 12, 20),   # chain + touching
+        ("a", 30, 40), ("a", 32, 35),                # nested absorbs
+        ("a", 50, 55),
+        ("b", 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, s INT, e INT")
+    out = sorted(
+        (r["k"], r["s"], r["e"], r["n_merged"])
+        for r in df.transform(
+            t("merge_intervals", on=["k"], start_col="s", end_col="e")
+        ).collect()
+    )
+    assert out == [
+        ("a", 0, 20, 3), ("a", 30, 40, 2), ("a", 50, 55, 1), ("b", 0, 1, 1)
+    ]
+    split = sorted(
+        (r["s"], r["e"])
+        for r in df.filter("k = 'a'").transform(
+            t("merge_intervals", on=["k"], start_col="s", end_col="e",
+              merge_touching=False)
+        ).collect()
+    )
+    assert (12, 20) in split  # touching no longer merges
+    with pytest.raises(ValueError):
+        t("merge_intervals", on=[])

@@ -514,3 +514,23 @@ def test_scd2_single_exchange_stacked_windows(spark, sf_dir):
     physical, _ = _plans(df)
     assert "Join" not in physical, physical[:2000]
     assert physical.count("Exchange") <= 2  # (user,ts) agg + user window
+
+
+def test_merge_intervals_no_join_two_exchanges(spark, sf_dir):
+    """Interval union: stacked windows on one user_id exchange + the span
+    aggregate — never a self-join or interval explosion."""
+    df = entry.queries()["dp67_merge_intervals"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Join" not in physical, physical[:2000]
+    assert physical.count("Exchange") <= 2
+
+
+def test_json_props_no_inference_scan(spark, sf_dir):
+    """from_json with an explicit schema: a codegen'd parse projection into
+    one map-side-combined agg — one exchange, no schema-inference job, no
+    Python."""
+    df = entry.queries()["dp68_json_props"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "from_json" in physical
+    assert physical.count("Exchange") <= 1, physical[:2000]
+    assert "Python" not in physical
