@@ -73,6 +73,16 @@ UNSUPPORTED_STREAMING_TRANSFORMERS = {
     "robust_scale",
     "funnel",
     "cohort_retention",
+    # round-4 additions: per-group windows / corpus second passes
+    "quantile_summary",
+    "pivot_agg",
+    "cluster_sample",
+    "merge_intervals",
+    "scd2_build",
+    "vocab_top_k",
+    # (salted_join/fuzzy_join/text_cdc_chunk stream fine: stream-static
+    # equi-joins and row-space projections; streaming_ewma_anomaly has a
+    # native stateful path)
 }
 
 # name → factory(args…) -> TransformerFn. Entries marked ctx take the dataflow

@@ -413,3 +413,55 @@ def test_replan_covers_windowed_datapipes_ops(spark, tmp_dir):
     written = loader.execute()
     got = {r["value"]: (r["n_trailing"], r["sum_t"]) for r in written["o"].collect()}
     assert got[2.0] == (2, 3.0)
+
+
+def test_replan_covers_round4_batch_only_ops(spark, tmp_dir):
+    """The round-4 batch-only operators (pivot_agg here, representative of
+    quantile_summary/cluster_sample/merge_intervals/scd2_build) are
+    re-planned into foreachBatch: the streaming ACON executes and the
+    pivot runs per micro-batch."""
+    src = os.path.join(tmp_dir, "src_pivot")
+    spark.createDataFrame(
+        [("u1", "view", 1.0), ("u1", "click", 2.0), ("u2", "view", 3.0)],
+        "user_id STRING, event_type STRING, value DOUBLE",
+    ).write.parquet(src)
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "s",
+                "data_format": "parquet",
+                "location": src,
+                "read_type": "streaming",
+                "schema": "user_id STRING, event_type STRING, value DOUBLE",
+            }
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "t",
+                "input_id": "s",
+                "transformers": [
+                    {
+                        "function": "pivot_agg",
+                        "args": {"on": ["user_id"], "pivot_col": "event_type",
+                                 "values": ["view", "click"],
+                                 "aggs": {"n": "count(1)"}},
+                    }
+                ],
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "o",
+                "input_id": "t",
+                "data_format": "dataframe",
+                "options": {"checkpointLocation": os.path.join(tmp_dir, "ck_pivot")},
+            }
+        ],
+    }
+    loader = DataLoader(acon)
+    assert [t.function for t in loader.output_specs[0].streaming_micro_batch_transformers] == [
+        "pivot_agg"
+    ]
+    written = loader.execute()
+    got = {r["user_id"]: (r["view_n"], r["click_n"]) for r in written["o"].collect()}
+    assert got == {"u1": (1, 1), "u2": (1, None)}
