@@ -1,0 +1,182 @@
+"""Property-based tests (hypothesis) for the round-4 operators: each Spark
+operator is compared against a direct Python reference model on randomized
+inputs — catching partition/segmentation edge cases single examples miss.
+Spark jobs are expensive, so examples are few but each carries many rows."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakehouse_engine_spark.core.definitions import TransformerSpec
+from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
+
+
+def t(name, **args):
+    return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+
+_few = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_intervals = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(0, 60),
+        st.integers(0, 30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _merge_ref(rows):
+    """Reference sweep: per key, sort by (start, end), merge overlapping or
+    touching spans."""
+    out = []
+    for key in sorted({k for k, _, _ in rows}):
+        iv = sorted(((s, s + d) for k, s, d in rows if k == key))
+        cur_s, cur_e, n = iv[0][0], iv[0][1], 1
+        for s, e in iv[1:]:
+            if s <= cur_e:
+                cur_e, n = max(cur_e, e), n + 1
+            else:
+                out.append((key, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        out.append((key, cur_s, cur_e, n))
+    return sorted(out)
+
+
+@_few
+@given(rows=_intervals)
+def test_merge_intervals_matches_reference_sweep(spark, rows):
+    df = spark.createDataFrame(
+        [(k, s, s + d) for k, s, d in rows], "k STRING, s INT, e INT"
+    )
+    got = sorted(
+        (r["k"], r["s"], r["e"], r["n_merged"])
+        for r in df.transform(
+            t("merge_intervals", on=["k"], start_col="s", end_col="e")
+        ).collect()
+    )
+    assert got == _merge_ref(rows)
+
+
+_states = st.lists(
+    st.tuples(st.integers(1, 3), st.sampled_from(["A", "B", "C"])),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_few
+@given(rows=_states)
+def test_scd2_matches_reference_fold(spark, rows):
+    """Random per-key state sequences: versions = run-length encoding;
+    intervals chain contiguously; exactly one current row per key."""
+    data = []
+    seq = {}
+    for k, state in rows:
+        seq.setdefault(k, []).append(state)
+        data.append((k, len(seq[k]), state))
+    df = spark.createDataFrame(data, "k INT, ts INT, state STRING")
+    got = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["state"], r["is_current"])
+        for r in df.transform(
+            t("scd2_build", key_cols=["k"], ts_col="ts", attr_cols=["state"])
+        ).collect()
+    )
+    ref = []
+    for k, states in seq.items():
+        runs = []
+        for i, s in enumerate(states, 1):
+            if not runs or runs[-1][1] != s:
+                runs.append((i, s))
+        for j, (start, s) in enumerate(runs):
+            nxt = runs[j + 1][0] if j + 1 < len(runs) else None
+            ref.append((k, start, nxt, s, nxt is None))
+    assert got == sorted(ref)
+
+
+_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=60),
+    min_size=1,
+    max_size=8,
+)
+
+
+@_few
+@given(docs=_docs)
+def test_cdc_chunk_tiles_every_document(spark, docs):
+    """Chunks always tile the token stream exactly (no loss, no overlap,
+    contiguous chunk indices), for any token content incl. highly
+    repetitive streams."""
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id LONG, text STRING",
+    )
+    out = df.transform(t("text_cdc_chunk", window=3, divisor=3)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for i, toks in enumerate(docs):
+        chunks = sorted(by_doc.get(i, []))
+        assert [c for c, _ in chunks] == list(range(len(chunks)))
+        assert " ".join(txt for _, txt in chunks).split() == toks
+
+
+_series = st.lists(
+    st.tuples(st.integers(1, 3), st.floats(-100, 100, allow_nan=False)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@_few
+@given(rows=_series)
+def test_ewma_batch_matches_python_recurrence(spark, rows):
+    """The sorted-partition mapInPandas fold equals the direct recurrence —
+    with tiny Arrow batches forcing key groups to straddle batch
+    boundaries (exercising the buffering path)."""
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k INT, ts INT, v DOUBLE")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = {
+            (r["k"], r["ts"]): (r["ewma"], r["z"], r["is_anomaly"])
+            for r in df.transform(
+                t("streaming_ewma_anomaly", on=["k"], value_col="v",
+                  ts_col="ts", alpha=0.5, threshold=2.0, min_periods=2)
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    state = {}
+    for k, ts, v in data:
+        ewma, ewvar, n = state.get(k, (0.0, 0.0, 0))
+        if n >= 2 and ewvar > 0:
+            z = (v - ewma) / math.sqrt(ewvar)
+            exp = (z, abs(z) > 2.0)
+        else:
+            exp = (None, False)
+        if n == 0:
+            ewma, ewvar = v, 0.0
+        else:
+            delta = v - ewma
+            ewma = ewma + 0.5 * delta
+            ewvar = 0.5 * (ewvar + 0.5 * delta * delta)
+        state[k] = (ewma, ewvar, n + 1)
+        g_ewma, g_z, g_flag = got[(k, ts)]
+        assert g_ewma == pytest.approx(ewma, rel=1e-12)
+        assert g_flag == exp[1]
+        if exp[0] is None:
+            assert g_z is None
+        else:
+            assert g_z == pytest.approx(exp[0], rel=1e-12)
