@@ -1867,6 +1867,27 @@ def dp68_json_props(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp69_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE (datapipes/bpe.py): learn 30 merges from the
+    documents corpus (word-frequency table training — one corpus pass,
+    then vocabulary-sized rounds), tokenize every document with the
+    learned table (distinct-word pandas encode + broadcast dictionary
+    join), and emit per-doc subword counts. NO SQL oracle: BPE training
+    is inherently iterative (each merge depends on the counts after the
+    previous one) — the sanctioned rows-only case; correctness is pinned
+    against a pure-Python reference trainer in tests/test_datapipes.py."""
+    docs = load_table(spark, sf, "documents")
+    merges = docs.transform(
+        _t("bpe_train", num_merges=30, merges_per_round=5)
+    )
+    enc = docs.transform(_t("bpe_encode", merges=merges))
+    return enc.select(
+        "doc_id",
+        F.col("bpe_tokens_n").cast("long").alias("n_bpe"),
+        F.md5(F.array_join("bpe_tokens", "")).alias("pieces_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1960,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp66_scd2_build": dp66_scd2_build,
         "dp67_merge_intervals": dp67_merge_intervals,
         "dp68_json_props": dp68_json_props,
+        "dp69_bpe_tokenize": dp69_bpe_tokenize,
     }
 
 

@@ -1,0 +1,229 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training and encoding.
+
+Real subword tokenization for the training-data pipeline — not the
+regex approximation in ``text.py`` (which estimates counts without a
+model). ``bpe_train`` learns a merge table from the corpus; ``bpe_encode``
+tokenizes with it.
+
+Scale design — the key fact is that BPE trains on the WORD-FREQUENCY
+table, not the corpus:
+
+* ONE corpus pass builds ``(distinct word, count)`` — everything after
+  runs on that table (vocabulary-sized: ~10^6-10^8 rows at 100 TB, vs
+  10^12 corpus tokens).
+* Words are held as space-separated symbol strings ("h e l l o </w>");
+  a merge round is: explode adjacent symbol pairs (JVM array ops),
+  weighted count (map-side combined), collect the top pair(s) — a few
+  KB to the driver — then apply them with chained ``regexp_replace``
+  (codegen, no Python). ``merges_per_round > 1`` batches non-interacting
+  merges into one pass (the standard trainer speedup; exact canonical
+  BPE at ``merges_per_round=1`` — batched merges may reorder ranks when
+  top pairs interact).
+* ``localCheckpoint`` truncates the per-round lineage the way the
+  connected-components loop does (dedup.py).
+* ``bpe_encode`` never tokenizes the corpus in Python: it encodes the
+  DISTINCT words (small table) with the merge list in an Arrow-batched
+  pandas pass, then broadcast-joins the word→pieces dictionary back onto
+  the corpus and reassembles per document with JVM array functions.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.datapipes.registry import register, register_contextual
+from lakehouse_engine_spark.datapipes.text import tokens
+
+TransformerFn = Callable[[DataFrame], DataFrame]
+
+END = "</w>"
+
+
+def _to_symbols(word_col):
+    """'hello' -> 'h e l l o </w>' (symbol-spaced string)."""
+    return F.concat(F.array_join(F.split(word_col, ""), " "), F.lit(" " + END))
+
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
+def apply_merges_py(word: str, merges: List[Tuple[str, str]]) -> List[str]:
+    """Reference encoder: apply merges in rank order to one word."""
+    syms = list(word) + [END]
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@register("bpe_train")
+def bpe_train(
+    text_col: str = "text",
+    num_merges: int = 100,
+    merges_per_round: int = 1,
+    lowercase: bool = False,
+) -> TransformerFn:
+    """Learn a BPE merge table from the corpus; returns one row per merge:
+    ``(rank, left, right, merged)`` in application order, ties broken by
+    pair string (deterministic). Iterative by nature (each merge depends
+    on the counts AFTER the previous one), so there is no SQL oracle —
+    correctness is pinned against a pure-Python reference trainer in
+    tests.
+    """
+    if num_merges < 1:
+        raise ValueError(f"bpe_train: num_merges must be >= 1, got {num_merges}")
+    if merges_per_round < 1:
+        raise ValueError(
+            f"bpe_train: merges_per_round must be >= 1, got {merges_per_round}"
+        )
+
+    def _train(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        words = (
+            _word_counts(df.select(src.alias(text_col)), text_col)
+            .select(_to_symbols(F.col("__w")).alias("__s"), "__cnt")
+            .localCheckpoint(eager=True)
+        )
+        merges: List[Tuple[str, str]] = []
+        while len(merges) < num_merges:
+            syms = F.split(F.col("__s"), " ")
+            pairs = words.select(
+                F.col("__cnt"),
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, 1, F.size(syms) - 1),
+                        F.slice(syms, 2, F.size(syms) - 1),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    )
+                ).alias("__pair"),
+            )
+            top = (
+                pairs.groupBy("__pair")
+                .agg(F.sum("__cnt").alias("__n"))
+                .orderBy(F.desc("__n"), F.asc("__pair"))
+                .limit(merges_per_round * 3)
+                .collect()
+            )
+            if not top:
+                break
+            # batch only non-interacting pairs: no symbol shared with an
+            # already-picked pair this round (keeps one regex pass exact)
+            picked: List[Tuple[str, str]] = []
+            used: set = set()
+            for row in top:
+                if (
+                    len(picked) >= merges_per_round
+                    or len(merges) + len(picked) >= num_merges
+                ):
+                    break
+                a, b = row["__pair"].split(" ")
+                if a in used or b in used or (a + b) in used:
+                    continue
+                picked.append((a, b))
+                used.update((a, b, a + b))
+            if not picked:
+                break
+            col = F.col("__s")
+            for a, b in picked:
+                pat = (
+                    "(^|(?<= ))"
+                    + re.escape(a)
+                    + " "
+                    + re.escape(b)
+                    + "((?= )|$)"
+                )
+                col = F.regexp_replace(col, pat, re.sub(r"([$\\])", r"\\\1", a + b))
+            words = words.select(col.alias("__s"), "__cnt").localCheckpoint(
+                eager=True
+            )
+            merges.extend(picked)
+        return spark.createDataFrame(
+            [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+            "rank INT, left STRING, right STRING, merged STRING",
+        )
+
+    return _train
+
+
+@register("bpe_encode")
+def bpe_encode(
+    merges: DataFrame,
+    text_col: str = "text",
+    output_col: str = "bpe_tokens",
+    lowercase: bool = False,
+) -> TransformerFn:
+    """Tokenize the corpus with a trained merge table: adds ``output_col``
+    (array of subword pieces, word-order preserved) and
+    ``<output_col>_n``. ``merges`` is the ``bpe_train`` output (collected
+    to the driver — vocabulary-sized).
+
+    Corpus cost: one distinct-word pass, a pandas encode over the
+    DISTINCT words only, a broadcast join back, and JVM-side per-document
+    reassembly — Python never sees corpus-scale data.
+    """
+
+    def _encode(df: DataFrame) -> DataFrame:
+        mlist = [
+            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+        ]
+
+        def _enc_fn(words):
+            return words.map(lambda w: apply_merges_py(w, mlist))
+
+        _enc = F.pandas_udf(_enc_fn, "array<string>")
+
+        src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        with_words = df.withColumn("__words", tokens(src))
+        dictionary = (
+            with_words.select(F.explode("__words").alias("__w"))
+            .distinct()
+            .withColumn("__pieces", _enc(F.col("__w")))
+        )
+        exploded = with_words.select(
+            *df.columns, F.posexplode("__words").alias("__p", "__w")
+        )
+        joined = exploded.join(F.broadcast(dictionary), "__w")
+        return (
+            joined.groupBy(*df.columns)
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__p", "__pieces"))),
+                        lambda s: s["__pieces"],
+                    )
+                ).alias(output_col)
+            )
+            .withColumn(f"{output_col}_n", F.size(output_col).cast("int"))
+        )
+
+    return _encode
+
+
+@register_contextual("bpe_encode_with")
+def bpe_encode_with(data: dict, merges_id: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`bpe_encode`: resolve the merge table from an
+    upstream spec_id (e.g. a ``bpe_train`` output)."""
+
+    def _enc(df: DataFrame) -> DataFrame:
+        if merges_id not in data:
+            raise ValueError(f"bpe_encode_with: unknown spec_id {merges_id!r}")
+        return bpe_encode(merges=data[merges_id], **args)(df)
+
+    return _enc

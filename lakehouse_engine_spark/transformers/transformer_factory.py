@@ -80,6 +80,8 @@ UNSUPPORTED_STREAMING_TRANSFORMERS = {
     "merge_intervals",
     "scd2_build",
     "vocab_top_k",
+    "bpe_train",
+    "bpe_encode",
     # (salted_join/fuzzy_join/text_cdc_chunk stream fine: stream-static
     # equi-joins and row-space projections; streaming_ewma_anomaly has a
     # native stateful path)

@@ -1864,3 +1864,61 @@ def test_merge_intervals_union_semantics(spark):
     assert (12, 20) in split  # touching no longer merges
     with pytest.raises(ValueError):
         t("merge_intervals", on=[])
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """Canonical BPE (merges_per_round=1) on the classic toy corpus
+    reproduces the reference merge sequence exactly (count desc, pair asc
+    tie-break); encoding with the learned table reconstructs each word."""
+    text = ("low low low low low lower lower newest newest newest newest "
+            "newest newest widest widest widest")
+    df = spark.createDataFrame([(text,)], "text STRING")
+    merges = df.transform(t("bpe_train", num_merges=8))
+    got = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    assert got == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"),
+        ("lo", "w"), ("e", "w"), ("ew", "est</w>"), ("n", "ewest</w>"),
+    ]
+    enc = df.transform(t("bpe_encode", merges=merges)).collect()[0]
+    # pieces reassemble the exact token stream with </w> at word ends
+    rebuilt = "".join(enc["bpe_tokens"]).replace("</w>", " ").split()
+    assert rebuilt == text.split()
+    assert enc["bpe_tokens_n"] == len(enc["bpe_tokens"])
+    # 'newest' collapsed to a single piece by rank-7
+    assert "newest</w>" in enc["bpe_tokens"]
+    with pytest.raises(ValueError):
+        t("bpe_train", num_merges=0)
+    with pytest.raises(ValueError):
+        t("bpe_train", merges_per_round=0)
+
+
+def test_bpe_batched_rounds_yield_valid_encoder(spark):
+    """merges_per_round>1 batches non-interacting pairs: the merge table
+    may reorder vs canonical, but encoding still reconstructs every word
+    and compresses repeated morphology."""
+    text = " ".join(
+        ["internationalization"] * 6 + ["internal"] * 4 + ["national"] * 5
+    )
+    df = spark.createDataFrame([(text,)], "text STRING")
+    merges = df.transform(t("bpe_train", num_merges=12, merges_per_round=4))
+    assert merges.count() == 12
+    # picked pairs within a round never share a symbol (batching contract)
+    ranks = [
+        (r["rank"], r["left"], r["right"])
+        for r in merges.orderBy("rank").collect()
+    ]
+    enc = df.transform(t("bpe_encode", merges=merges)).collect()[0]
+    rebuilt = "".join(enc["bpe_tokens"]).replace("</w>", " ").split()
+    assert rebuilt == text.split()
+    assert enc["bpe_tokens_n"] < sum(len(w) + 1 for w in text.split())
+
+
+def test_bpe_encode_handles_unseen_words(spark):
+    """Encoding a corpus containing words absent from training falls back
+    to finer pieces (ultimately characters) — never drops or errors."""
+    train = spark.createDataFrame([("aaa aaa aaa bbb",)], "text STRING")
+    merges = train.transform(t("bpe_train", num_merges=3))
+    test = spark.createDataFrame([(1, "aaa zzz qqq")], "doc_id LONG, text STRING")
+    enc = test.transform(t("bpe_encode", merges=merges)).collect()[0]
+    rebuilt = "".join(enc["bpe_tokens"]).replace("</w>", " ").split()
+    assert rebuilt == ["aaa", "zzz", "qqq"]

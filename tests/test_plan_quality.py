@@ -534,3 +534,14 @@ def test_json_props_no_inference_scan(spark, sf_dir):
     assert "from_json" in physical
     assert physical.count("Exchange") <= 1, physical[:2000]
     assert "Python" not in physical
+
+
+def test_bpe_encode_broadcasts_dictionary(spark, sf_dir):
+    """The word→pieces dictionary must broadcast back onto the corpus —
+    the pandas encode runs only over DISTINCT words, never corpus rows
+    (one ArrowEvalPython over the distinct-word side)."""
+    df = entry.queries()["dp69_bpe_tokenize"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert physical.count("ArrowEvalPython") == 1
+    assert "SortMergeJoin" not in physical
