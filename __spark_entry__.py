@@ -1888,6 +1888,47 @@ def dp69_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp70_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video decode end-to-end: each doc gets a constructed 2-frame
+    YUV4MPEG2 stream (gray 4x4 C444 frames whose Y level is a pure
+    function of doc_id and frame index), multimodal_frame_sample's
+    built-in y4m extractor (datapipes/media_codecs.py decode_y4m) parses
+    the actual container in strict mode, each frame re-enters the image
+    pipeline as PPM, and the oracle predicts the BT.601 luma→RGB
+    arithmetic — wrong header parsing, plane math, or color conversion
+    would all diverge."""
+    docs = load_table(spark, sf, "documents")
+    header = F.lit("YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n").cast("binary")
+
+    def frame(f: int):
+        y_hex = F.lpad(F.hex(F.expr(f"(doc_id * 13 + {f} * 29) % 220 + 16")), 2, "0")
+        return F.concat(
+            F.lit("FRAME\n").cast("binary"),
+            F.unhex(F.repeat(y_hex, 16)),          # Y plane: 4x4 constant
+            F.unhex(F.repeat(F.lit("80"), 32)),    # U + V planes: 128
+        )
+
+    vids = docs.select(
+        "doc_id", F.concat(header, frame(0), frame(1)).alias("payload")
+    )
+    frames = vids.transform(
+        _t("multimodal_frame_sample", max_frames=4, mode="strict")
+    ).select(
+        (F.col("id") * 4 + F.col("frame_idx")).alias("fid"),
+        F.col("frame_bytes").alias("payload"),
+    )
+    meta = frames.transform(
+        _t("multimodal_image_decode", id_col="fid")
+    )
+    return meta.select(
+        F.floor(F.col("id") / 4).cast("long").alias("doc_id"),
+        F.pmod(F.col("id"), 4).cast("long").alias("frame_idx"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.element_at("mean_rgb", 1).cast("double").alias("mean_r"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1982,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp67_merge_intervals": dp67_merge_intervals,
         "dp68_json_props": dp68_json_props,
         "dp69_bpe_tokenize": dp69_bpe_tokenize,
+        "dp70_video_frames": dp70_video_frames,
     }
 
 
@@ -3691,6 +3733,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
             FROM events
             GROUP BY event_type
+        """,
+        "dp70_video_frames": """
+            WITH f AS (
+              SELECT doc_id, unnest([0, 1]) AS frame_idx FROM documents
+            )
+            SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+                   CAST(ROUND((((doc_id * 13 + frame_idx * 29) % 220 + 16)
+                         - 16) * 255.0 / 219.0) AS DOUBLE) AS mean_r
+            FROM f
         """,
     }
 

@@ -103,6 +103,8 @@ def sniff_media(b: bytes) -> str:
         return "image/webp"
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return "video/avi"
+    if b[:9] == b"YUV4MPEG2":
+        return "video/y4m"
     if b[4:8] == b"ftyp":
         return "video/mp4"
     if b[:4] == b"\x1a\x45\xdf\xa3":
@@ -287,3 +289,114 @@ def thumbnail_feature(arr: np.ndarray, side: int = 8) -> np.ndarray:
     pooled = np.add.reduceat(gray, ye[:-1], axis=0) / np.diff(ye)[:, None]
     pooled = np.add.reduceat(pooled, xe[:-1], axis=1) / np.diff(xe)[None, :]
     return (pooled / 255.0).reshape(-1)
+
+
+# ------------------------------------------------------------------ Y4M
+# YUV4MPEG2 — the codec-FREE video container (raw planar YUV frames with a
+# text header), the video analogue of PPM for images: a real format
+# (ffmpeg -f yuv4mpegpipe emits it) parseable with numpy alone. This makes
+# the video leg of the pipeline real end-to-end in this container — sniff
+# → frame extraction → YUV→RGB → the image feature pipeline — while
+# compressed codecs (H.264/VP9) remain the documented ffmpeg/PyAV
+# registry boundary.
+
+def decode_y4m(b: bytes, max_frames: int = 16):
+    """Parse a YUV4MPEG2 stream: returns (frames, width, height) with
+    ``frames`` a list of (H, W, 3) uint8 RGB arrays (BT.601 limited-range
+    conversion). Supports C420 (default when absent), C420jpeg/C420mpeg2
+    (same layout), and C444. Raises ValueError on malformed input."""
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = b.find(b"\n")
+    if nl < 0:
+        raise ValueError("y4m: unterminated stream header")
+    width = height = None
+    subsampling = "420"
+    for tok in b[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"C":
+            s = val.decode("ascii", "replace")
+            if s.startswith("420"):
+                subsampling = "420"
+            elif s == "444":
+                subsampling = "444"
+            else:
+                raise ValueError(f"y4m: unsupported chroma {s!r}")
+    if not width or not height:
+        raise ValueError("y4m: missing W/H in stream header")
+    if subsampling == "420":
+        if width % 2 or height % 2:
+            raise ValueError("y4m: C420 needs even dimensions")
+        ysz, csz, cw, ch = width * height, (width // 2) * (height // 2), width // 2, height // 2
+    else:
+        ysz = csz = width * height
+        cw, ch = width, height
+    frames = []
+    pos = nl + 1
+    while pos < len(b) and len(frames) < max_frames:
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or b[pos : pos + 5] != b"FRAME":
+            raise ValueError("y4m: bad FRAME header")
+        pos = fnl + 1
+        end = pos + ysz + 2 * csz
+        if end > len(b):
+            raise ValueError("y4m: truncated frame payload")
+        y = np.frombuffer(b[pos : pos + ysz], np.uint8).reshape(height, width)
+        u = np.frombuffer(b[pos + ysz : pos + ysz + csz], np.uint8).reshape(ch, cw)
+        v = np.frombuffer(b[pos + ysz + csz : end], np.uint8).reshape(ch, cw)
+        if subsampling == "420":
+            u = u.repeat(2, axis=0).repeat(2, axis=1)
+            v = v.repeat(2, axis=0).repeat(2, axis=1)
+        frames.append(_yuv_to_rgb(y, u, v))
+        pos = end
+    return frames, width, height
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """BT.601 limited-range YCbCr → RGB, rounded and clipped to uint8."""
+    yf = (y.astype(np.float64) - 16.0) * (255.0 / 219.0)
+    uf = (u.astype(np.float64) - 128.0) * (255.0 / 224.0)
+    vf = (v.astype(np.float64) - 128.0) * (255.0 / 224.0)
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    bch = yf + 1.772 * uf
+    return np.clip(
+        np.round(np.stack([r, g, bch], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def encode_y4m(frames, subsampling: str = "444") -> bytes:
+    """Encode (H, W, 3)-RGB-as-YUV-source test material: takes a list of
+    (y, u, v) plane tuples (uint8 arrays) and wraps them in a YUV4MPEG2
+    stream — test/probe constructor, the inverse of :func:`decode_y4m`'s
+    parsing (not a color-space encoder)."""
+    if not frames:
+        raise ValueError("encode_y4m: need at least one frame")
+    y0 = frames[0][0]
+    h, w = y0.shape
+    head = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C%s\n" % (
+        w, h, subsampling.encode(),
+    )
+    out = [head]
+    for y, u, v in frames:
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(y, np.uint8).tobytes())
+        out.append(np.ascontiguousarray(u, np.uint8).tobytes())
+        out.append(np.ascontiguousarray(v, np.uint8).tobytes())
+    return b"".join(out)
+
+
+def _extract_y4m_frames(b: bytes, max_frames: int) -> list:
+    """Default frame extractor for video/y4m: real decode → PPM payloads
+    (each frame feeds the image pipeline unchanged)."""
+    frames, _, _ = decode_y4m(b, max_frames)
+    return [encode_ppm(f) for f in frames]
+
+
+register_frame_extractor("video/y4m", _extract_y4m_frames)

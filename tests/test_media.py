@@ -343,3 +343,80 @@ def test_video_frames_chain_into_perceptual_dedup(spark):
         assert sorted(r["fid"] for r in kept) == [100, 102, 201]
     finally:
         media_codecs.unregister_frame_extractor("video/mp4")
+
+
+def test_y4m_decode_real_parse_and_color():
+    """YUV4MPEG2: header parse, frame walk, C444 and C420 plane math, and
+    BT.601 limited-range conversion on known values; malformed inputs
+    raise with the failure named."""
+    import numpy as np
+
+    from lakehouse_engine_spark.datapipes.media_codecs import (
+        decode_y4m,
+        encode_y4m,
+        sniff_media,
+    )
+
+    u = np.full((4, 6), 128, np.uint8)
+    b = encode_y4m(
+        [(np.full((4, 6), 128, np.uint8), u, u),
+         (np.full((4, 6), 16, np.uint8), u, u),
+         (np.full((4, 6), 235, np.uint8), u, u)]
+    )
+    assert sniff_media(b) == "video/y4m"
+    frames, w, h = decode_y4m(b)
+    assert (w, h, len(frames)) == (6, 4, 3)
+    # neutral chroma: R=G=B=round((Y-16)*255/219); 16->0, 235->255 (range)
+    assert frames[0][0, 0].tolist() == [130, 130, 130]
+    assert frames[1][0, 0].tolist() == [0, 0, 0]
+    assert frames[2][0, 0].tolist() == [255, 255, 255]
+    # C420: quarter-size chroma upsamples; red-ish chroma shifts R up
+    y = np.full((2, 2), 126, np.uint8)
+    red_v = np.full((1, 1), 200, np.uint8)
+    f420, _, _ = decode_y4m(
+        encode_y4m([(y, np.full((1, 1), 128, np.uint8), red_v)],
+                   subsampling="420")
+    )
+    px = f420[0][0, 0]
+    assert px[0] > px[1] and px[0] > px[2]  # V>128 pushes red
+    # max_frames truncates
+    assert len(decode_y4m(b, max_frames=2)[0]) == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"not a video")
+    with _pt.raises(ValueError, match="truncated"):
+        decode_y4m(b[:-5])
+    with _pt.raises(ValueError, match="unsupported chroma"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C422\nFRAME\n" + b"\x00" * 8)
+
+
+def test_y4m_frames_feed_image_pipeline(spark):
+    """Composition: a real y4m payload through multimodal_frame_sample in
+    STRICT mode (built-in extractor, no injection) → image decode — the
+    frames arrive as PPM and decode to the right dims."""
+    import numpy as np
+
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.datapipes.media_codecs import encode_y4m
+    from lakehouse_engine_spark.transformers.transformer_factory import (
+        TransformerFactory,
+    )
+    from pyspark.sql import functions as F
+
+    def t(name, **args):
+        return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+    u = np.full((4, 6), 128, np.uint8)
+    vid = encode_y4m([(np.full((4, 6), 100, np.uint8), u, u)] * 3)
+    df = spark.createDataFrame([(1, bytearray(vid))], "doc_id LONG, payload BINARY")
+    frames = df.transform(
+        t("multimodal_frame_sample", max_frames=2, mode="strict")
+    ).select(
+        (F.col("id") * 10 + F.col("frame_idx")).alias("fid"),
+        F.col("frame_bytes").alias("payload"),
+    )
+    meta = frames.transform(t("multimodal_image_decode", id_col="fid")).collect()
+    assert len(meta) == 2  # max_frames honored
+    assert all(r["codec"] == "ppm" and (r["width"], r["height"]) == (6, 4)
+               for r in meta)
