@@ -1929,6 +1929,33 @@ def dp70_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q24_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi/anti joins through the engine join transformer (TPC-H
+    Q4/Q21-style EXISTS / NOT EXISTS): per order-priority, how many 1995-H1
+    orders have at least one slow lineitem (shipped >90 days after the
+    order date; left_semi) and how many have none (left_anti) — both sides unioned into one labeled rollup. Both
+    joins broadcast nothing extra: the semi/anti forms ship only the join
+    key of the right side."""
+    data = {"lineitem": load_table(spark, sf, "lineitem")}
+    orders = load_table(spark, sf, "orders").transform(
+        _t("expression_filter",
+           exp="o_orderdate >= DATE'1995-01-01' AND o_orderdate < DATE'1995-07-01'")
+    )
+    late = ("a.o_orderkey = b.l_orderkey "
+            "AND b.l_shipdate > a.o_orderdate + INTERVAL 90 DAYS")
+    semi = orders.transform(
+        _t("join", data, join_with="lineitem", join_condition=late,
+           join_type="left_semi", select_cols=["a.o_orderpriority"])
+    ).withColumn("kind", F.lit("has_late"))
+    anti = orders.transform(
+        _t("join", data, join_with="lineitem", join_condition=late,
+           join_type="left_anti", select_cols=["a.o_orderpriority"])
+    ).withColumn("kind", F.lit("none_late"))
+    return semi.unionByName(anti).groupBy("o_orderpriority", "kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2024,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp68_json_props": dp68_json_props,
         "dp69_bpe_tokenize": dp69_bpe_tokenize,
         "dp70_video_frames": dp70_video_frames,
+        "q24_semi_anti_join": q24_semi_anti_join,
     }
 
 
@@ -3743,6 +3771,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((((doc_id * 13 + frame_idx * 29) % 220 + 16)
                          - 16) * 255.0 / 219.0) AS DOUBLE) AS mean_r
             FROM f
+        """,
+        "q24_semi_anti_join": """
+            WITH o AS (
+              SELECT * FROM orders
+              WHERE o_orderdate >= DATE'1995-01-01'
+                AND o_orderdate < DATE'1995-07-01'
+            ),
+            with_late AS (
+              SELECT o_orderpriority, 'has_late' AS kind FROM o
+              WHERE EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey
+                              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            ),
+            without_late AS (
+              SELECT o_orderpriority, 'none_late' AS kind FROM o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey
+                                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            )
+            SELECT o_orderpriority, kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM (SELECT * FROM with_late UNION ALL SELECT * FROM without_late)
+            GROUP BY o_orderpriority, kind
         """,
     }
 

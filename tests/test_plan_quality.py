@@ -545,3 +545,14 @@ def test_bpe_encode_broadcasts_dictionary(spark, sf_dir):
     assert "BroadcastHashJoin" in physical, physical[:2000]
     assert physical.count("ArrowEvalPython") == 1
     assert "SortMergeJoin" not in physical
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    """EXISTS/NOT EXISTS compile to LeftSemi/LeftAnti hash joins — the
+    right side ships only its join key, never a full-row join followed by
+    dedup."""
+    df = entry.queries()["q24_semi_anti_join"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "LeftSemi" in physical, physical[:2000]
+    assert "LeftAnti" in physical
+    assert "CartesianProduct" not in physical
