@@ -400,3 +400,55 @@ def _extract_y4m_frames(b: bytes, max_frames: int) -> list:
 
 
 register_frame_extractor("video/y4m", _extract_y4m_frames)
+
+
+# ------------------------------------------------------------------ AVI
+def extract_avi_frames(b: bytes, max_frames: int = 16) -> list:
+    """Real RIFF/AVI container walk: returns the payloads of the video
+    stream chunks (fourcc ``..db`` uncompressed / ``..dc`` compressed)
+    inside the ``movi`` LIST, in stream order. Each payload is whatever
+    the stream carries — JPEG bytes for an MJPEG AVI (decoded downstream
+    by the image registry / Pillow seam), raw DIBs for ``..db``. The
+    CONTAINER parse is complete and dependency-free; only the per-frame
+    codec remains a registry boundary."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    frames: list = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end and len(frames) < max_frames:
+            fourcc = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            data_start = pos + 8
+            data_end = data_start + size
+            if data_end > end:
+                raise ValueError("avi: truncated chunk")
+            if fourcc == b"LIST":
+                list_type = buf[data_start : data_start + 4]
+                if list_type in (b"movi", b"rec "):
+                    walk(buf, data_start + 4, data_end)
+                # other lists (hdrl/strl) carry no frames — skip
+            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
+                frames.append(bytes(buf[data_start:data_end]))
+            pos = data_end + (size & 1)  # chunks pad to even offsets
+
+    walk(b, 12, len(b))
+    return frames
+
+
+def encode_avi(frame_payloads: list) -> bytes:
+    """Wrap frame payloads as a minimal valid AVI (one ``00dc`` chunk per
+    frame inside a ``movi`` LIST) — test/probe constructor for the
+    container walk, not a codec."""
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + len(data).to_bytes(4, "little") + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frame_payloads)
+    body = b"AVI " + chunk(b"LIST", movi)
+    return chunk(b"RIFF", body)
+
+
+register_frame_extractor("video/avi", extract_avi_frames)

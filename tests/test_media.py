@@ -420,3 +420,44 @@ def test_y4m_frames_feed_image_pipeline(spark):
     assert len(meta) == 2  # max_frames honored
     assert all(r["codec"] == "ppm" and (r["width"], r["height"]) == (6, 4)
                for r in meta)
+
+
+def test_avi_container_walk_extracts_stream_chunks(spark):
+    """Real RIFF/AVI walk: video chunks (00dc) inside nested LISTs come out
+    in order, odd-size padding is honored, non-video chunks are skipped,
+    truncation raises; the extractor is registered by default so
+    frame_sample handles AVI payloads in STRICT mode."""
+    import numpy as np
+
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.datapipes.media_codecs import (
+        encode_avi,
+        encode_ppm,
+        extract_avi_frames,
+    )
+    from lakehouse_engine_spark.transformers.transformer_factory import (
+        TransformerFactory,
+    )
+
+    def t(name, **args):
+        return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+    ppm1 = encode_ppm(np.full((2, 3, 3), 9, np.uint8))
+    ppm2 = encode_ppm(np.full((2, 3, 3), 10, np.uint8))
+    avi = encode_avi([ppm1, b"odd", ppm2])
+    assert extract_avi_frames(avi) == [ppm1, b"odd", ppm2]
+    assert extract_avi_frames(avi, max_frames=1) == [ppm1]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="RIFF"):
+        extract_avi_frames(b"nope")
+    with _pt.raises(ValueError, match="truncated"):
+        extract_avi_frames(avi[:-6])
+    # end-to-end through the pipeline, no injection
+    df = spark.createDataFrame([(5, bytearray(avi))], "doc_id LONG, payload BINARY")
+    rows = df.transform(
+        t("multimodal_frame_sample", max_frames=10, mode="strict")
+    ).collect()
+    assert [bytes(r["frame_bytes"]) for r in sorted(rows, key=lambda r: r["frame_idx"])] == [
+        ppm1, b"odd", ppm2
+    ]
