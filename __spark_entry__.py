@@ -1956,6 +1956,48 @@ def q24_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp71_trend_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user OLS value-over-time trend (datapipes/numeric.py trend_fit):
+    exact decimal moment sums — order-independent — one map-side-
+    combined agg. Inputs are scaled (x = hours since a fixed 2024 epoch,
+    y = integer cents) so every MOMENT stays below 2^53: DuckDB's
+    HUGEINT→DOUBLE cast rounds differently from Java's above 2^53, so
+    sub-2^53 moments are the cross-engine-exact contract (then both
+    engines run identical IEEE double closed forms)."""
+    ev = load_table(spark, sf, "events")
+    xy = ev.select(
+        "user_id",
+        (F.floor(epoch_us_ntz("ts") / F.lit(3_600_000_000)) - 400_000)
+        .cast("long").alias("x"),
+        # y in exact cents: the decimal casts then carry no rounding
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    out = xy.transform(_t("trend_fit", x_col="x", y_col="y",
+                          group_cols=["user_id"]))
+    return out.select(
+        "user_id", "n",
+        F.floor(F.col("slope") * 1e9 + 0.5).cast("long").alias("slope_p"),
+        F.floor(F.col("intercept") * 1e4 + 0.5).cast("long").alias("icpt_u"),
+        F.floor(F.col("r2") * 1e8 + 0.5).cast("long").alias("r2_u"),
+    )
+
+
+def dp72_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-bin value histogram per event type (datapipes/profiling.py
+    histogram): explicit bounds → ONE map-side-combined agg; the bucket
+    formula replays identically in the oracle; out-of-range clamps to the
+    edge buckets."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(
+        _t("histogram", value_col="value", bins=12, min_val=0.0,
+           max_val=300.0, group_cols=["event_type"])
+    )
+    return out.select(
+        "event_type", "bucket",
+        F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi"), "n",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2052,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp69_bpe_tokenize": dp69_bpe_tokenize,
         "dp70_video_frames": dp70_video_frames,
         "q24_semi_anti_join": q24_semi_anti_join,
+        "dp71_trend_fit": dp71_trend_fit,
+        "dp72_histogram": dp72_histogram,
     }
 
 
@@ -3794,6 +3838,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM (SELECT * FROM with_late UNION ALL SELECT * FROM without_late)
             GROUP BY o_orderpriority, kind
+        """,
+        "dp71_trend_fit": """
+            WITH xy AS (
+              SELECT user_id,
+                     CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+                       - 400000 AS BIGINT) AS x,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS y
+              FROM events
+            ),
+            m AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+                     CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+                     CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
+                     CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+                     CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+              FROM xy GROUP BY user_id
+            )
+            SELECT user_id, n,
+                   CAST(FLOOR(CASE WHEN n*sxx - sx*sx > 0
+                        THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END * 1e9 + 0.5)
+                     AS BIGINT) AS slope_p,
+                   CAST(FLOOR(CASE WHEN n*sxx - sx*sx > 0
+                        THEN (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n END
+                        * 1e4 + 0.5) AS BIGINT) AS icpt_u,
+                   CAST(FLOOR(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                        THEN (n*sxy - sx*sy) * (n*sxy - sx*sy)
+                             / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END
+                        * 1e8 + 0.5) AS BIGINT) AS r2_u
+            FROM m
+        """,
+        "dp72_histogram": """
+            SELECT event_type,
+                   CAST(LEAST(11, GREATEST(0,
+                        FLOOR((value - 0.0) / (300.0 - 0.0) * 12))) AS BIGINT)
+                     AS bucket,
+                   ROUND(0.0 + LEAST(11, GREATEST(0,
+                        FLOOR((value - 0.0) / (300.0 - 0.0) * 12))) * 25.0, 4)
+                     AS lo,
+                   ROUND(0.0 + (LEAST(11, GREATEST(0,
+                        FLOOR((value - 0.0) / (300.0 - 0.0) * 12))) + 1) * 25.0, 4)
+                     AS hi,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY 1, 2, 3, 4
         """,
     }
 

@@ -245,3 +245,60 @@ def quantile_summary(
         return out.drop("__q")
 
     return _summary
+
+
+@register("trend_fit")
+def trend_fit(
+    x_col: str,
+    y_col: str,
+    group_cols: Optional[List[str]] = None,
+) -> TransformerFn:
+    """Per-group ordinary-least-squares trend: one row per group with
+    ``n, slope, intercept, r2`` — drift/trend detection per entity
+    (user spend over time, sensor drift) as ONE map-side-combined
+    aggregation, no window, no iteration.
+
+    Numerics: the moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    decimals — exact and order-independent, so results are
+    bit-reproducible across partitionings AND replayable by an external
+    SQL oracle (float moment sums differ in low bits per accumulation
+    order; Spark's built-in regr_*/covar use them). Inputs are cast to
+    DECIMAL(18,6), whose products land in DECIMAL(37,12) with NO
+    precision loss (a (38,8)×(38,8) product would exceed 38 digits and
+    silently round under Spark's allowPrecisionLoss) — exact whenever
+    inputs carry ≤6 decimals and |x|,|y| < 10^12; pre-round/floor inputs
+    to that grid (e.g. epoch SECONDS, not micros). The closed forms
+    divide the exact moments in double at the end. Degenerate groups
+    (var(x)=0) yield NULL slope/intercept/r2; r2 is NULL when var(y)=0.
+    """
+    keys = list(group_cols or [])
+
+    def _fit(df: DataFrame) -> DataFrame:
+        d = F.col(x_col).cast("decimal(18,6)")
+        e = F.col(y_col).cast("decimal(18,6)")
+        agg = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(d).alias("__sx"),
+            F.sum(e).alias("__sy"),
+            F.sum(d * e).alias("__sxy"),
+            F.sum(d * d).alias("__sxx"),
+            F.sum(e * e).alias("__syy"),
+        )
+        n = F.col("n").cast("double")
+        sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+        sxy = F.col("__sxy").cast("double")
+        sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        slope = F.when(vx > 0, cov / vx)
+        intercept = F.when(vx > 0, (sy - slope * sx) / n)
+        r2 = F.when((vx > 0) & (vy > 0), (cov * cov) / (vx * vy))
+        return agg.select(
+            *keys, "n",
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+            r2.alias("r2"),
+        )
+
+    return _fit

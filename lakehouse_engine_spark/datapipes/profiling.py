@@ -133,3 +133,60 @@ def curation_report(
         return out.select(*cols)
 
     return _report
+
+
+@register("histogram")
+def histogram(
+    value_col: str,
+    bins: int = 10,
+    min_val: Optional[float] = None,
+    max_val: Optional[float] = None,
+    group_cols: Optional[List[str]] = None,
+) -> TransformerFn:
+    """Fixed-bin histogram of ``value_col`` (optionally per group): one row
+    per non-empty bucket with ``bucket, lo, hi, n`` — the distribution
+    profile for threshold/skew decisions. With explicit ``min_val``/
+    ``max_val`` it is a single map-side-combined aggregation; without,
+    one tiny global min/max pass runs first (collected — two scalars) and
+    the bounds are folded into the same projection. Values outside the
+    range clamp into the edge buckets (so streaming-ish appends beyond
+    the probed range still count). NULLs are dropped. The bucket formula
+    ``floor((v-min)/(max-min)*bins)`` runs identically in any engine, so
+    the oracle replays it exactly.
+    """
+    if bins < 1:
+        raise ValueError(f"histogram: bins must be >= 1, got {bins}")
+    if (min_val is None) != (max_val is None):
+        raise ValueError("histogram: pass both min_val and max_val or neither")
+
+    keys = list(group_cols or [])
+
+    def _hist(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        if min_val is not None:
+            lo, hi = float(min_val), float(max_val)
+        else:
+            row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+            lo = float(row["lo"]) if row["lo"] is not None else 0.0
+            hi = float(row["hi"]) if row["hi"] is not None else 1.0
+        if not hi > lo:
+            hi = lo + 1.0
+        width = (hi - lo) / bins
+        bucket = F.least(
+            F.lit(bins - 1),
+            F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(hi - lo) * bins)),
+        ).cast("long")
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(*keys, bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                *keys,
+                "bucket",
+                (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo"),
+                (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+                "n",
+            )
+        )
+
+    return _hist

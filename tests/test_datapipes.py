@@ -1922,3 +1922,54 @@ def test_bpe_encode_handles_unseen_words(spark):
     enc = test.transform(t("bpe_encode", merges=merges)).collect()[0]
     rebuilt = "".join(enc["bpe_tokens"]).replace("</w>", " ").split()
     assert rebuilt == ["aaa", "zzz", "qqq"]
+
+
+def test_trend_fit_recovers_known_line(spark):
+    """Exact line y=3x+7 -> slope 3, intercept 7, r2=1; noisy constant-x
+    group degenerates to NULLs; constant-y group gets slope 0 and NULL
+    r2."""
+    rows = (
+        [("a", float(x), 3.0 * x + 7.0) for x in range(10)]
+        + [("b", 5.0, float(v)) for v in (1, 2, 3)]        # var(x)=0
+        + [("c", float(x), 42.0) for x in range(4)]        # var(y)=0
+    )
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE, y DOUBLE")
+    out = {
+        r["g"]: r
+        for r in df.transform(
+            t("trend_fit", x_col="x", y_col="y", group_cols=["g"])
+        ).collect()
+    }
+    assert out["a"]["slope"] == pytest.approx(3.0)
+    assert out["a"]["intercept"] == pytest.approx(7.0)
+    assert out["a"]["r2"] == pytest.approx(1.0)
+    assert out["b"]["slope"] is None and out["b"]["r2"] is None
+    assert out["c"]["slope"] == pytest.approx(0.0)
+    assert out["c"]["r2"] is None
+
+
+def test_histogram_buckets_and_clamping(spark):
+    """Explicit bounds: correct bucket widths, out-of-range clamps into the
+    edge buckets, NULLs dropped, per-group grouping; auto-bounds path and
+    arg validation."""
+    rows = [("a", -5.0), ("a", 0.0), ("a", 9.9), ("a", 10.0), ("a", 25.0),
+            ("a", 99.9), ("a", 150.0), ("a", None), ("b", 55.0)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = {
+        (r["g"], r["bucket"]): (r["lo"], r["hi"], r["n"])
+        for r in df.transform(
+            t("histogram", value_col="v", bins=10, min_val=0.0,
+              max_val=100.0, group_cols=["g"])
+        ).collect()
+    }
+    assert out[("a", 0)] == (0.0, 10.0, 3)     # -5 clamps in; 9.9 in; 0.0 in
+    assert out[("a", 1)][2] == 1               # 10.0 -> bucket 1 (half-open)
+    assert out[("a", 9)] == (90.0, 100.0, 2)   # 99.9 + clamped 150.0
+    assert out[("a", 2)] == (20.0, 30.0, 1)    # 25.0
+    assert out[("b", 5)][2] == 1
+    auto = df.filter("g = 'b'").transform(t("histogram", value_col="v", bins=2))
+    assert auto.agg({"n": "sum"}).first()[0] == 1
+    with pytest.raises(ValueError):
+        t("histogram", value_col="v", bins=0)
+    with pytest.raises(ValueError):
+        t("histogram", value_col="v", min_val=0.0)
