@@ -84,7 +84,10 @@ def bpe_train(
     pair string (deterministic). Iterative by nature (each merge depends
     on the counts AFTER the previous one), so there is no SQL oracle —
     correctness is pinned against a pure-Python reference trainer in
-    tests.
+    tests. Caveat: a corpus WORD spelled literally ``</w>`` could, after
+    enough merges, produce a symbol colliding with the end-of-word
+    marker; whitespace tokenization makes this effectively impossible on
+    natural text, but pre-filter adversarial corpora.
     """
     if num_merges < 1:
         raise ValueError(f"bpe_train: num_merges must be >= 1, got {num_merges}")

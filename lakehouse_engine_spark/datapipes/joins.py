@@ -516,7 +516,9 @@ def merge_intervals(
     final aggregate hash-partition on the SAME key columns, so Catalyst
     plans one Exchange for the windows and one map-side-combined agg —
     no self-joins, no interval explosion, cost identical to any per-key
-    sort regardless of overlap depth.
+    sort regardless of overlap depth. Intervals are assumed well-formed
+    (``end >= start``); an inverted interval merges as if it were the
+    point at its start.
     """
     if not on:
         raise ValueError("merge_intervals: on must be non-empty")

@@ -276,6 +276,9 @@ def trend_fit(
     def _fit(df: DataFrame) -> DataFrame:
         d = F.col(x_col).cast("decimal(18,6)")
         e = F.col(y_col).cast("decimal(18,6)")
+        # drop incomplete pairs up front: COUNT(*) must agree with the
+        # rows the moment sums actually saw, or the closed forms skew
+        df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         agg = df.groupBy(*keys).agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(d).alias("__sx"),

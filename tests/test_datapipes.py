@@ -1973,3 +1973,17 @@ def test_histogram_buckets_and_clamping(spark):
         t("histogram", value_col="v", bins=0)
     with pytest.raises(ValueError):
         t("histogram", value_col="v", min_val=0.0)
+
+
+def test_trend_fit_ignores_incomplete_pairs(spark):
+    """Rows with NULL x or y are excluded from n AND the moments — a NULL
+    row must not skew the fit."""
+    rows = [("a", 0.0, 7.0), ("a", 1.0, 10.0), ("a", None, 99.0),
+            ("a", 2.0, None), ("a", 2.0, 13.0)]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE, y DOUBLE")
+    out = df.transform(
+        t("trend_fit", x_col="x", y_col="y", group_cols=["g"])
+    ).collect()[0]
+    assert out["n"] == 3
+    assert out["slope"] == pytest.approx(3.0)
+    assert out["intercept"] == pytest.approx(7.0)
