@@ -169,13 +169,16 @@ def bpe_train(
 def bpe_encode(
     merges: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     output_col: str = "bpe_tokens",
     lowercase: bool = False,
 ) -> TransformerFn:
     """Tokenize the corpus with a trained merge table: adds ``output_col``
     (array of subword pieces, word-order preserved) and
     ``<output_col>_n``. ``merges`` is the ``bpe_train`` output (collected
-    to the driver — vocabulary-sized).
+    to the driver — vocabulary-sized). Reassembly is keyed on ``id_col``,
+    which must be UNIQUE per row (duplicate ids would interleave their
+    token streams); token-less documents survive with an empty array.
 
     Corpus cost: one distinct-word pass, a pandas encode over the
     DISTINCT words only, a broadcast join back, and JVM-side per-document
@@ -200,19 +203,30 @@ def bpe_encode(
             .withColumn("__pieces", _enc(F.col("__w")))
         )
         exploded = with_words.select(
-            *df.columns, F.posexplode("__words").alias("__p", "__w")
+            F.col(id_col).alias("__id"),
+            F.posexplode("__words").alias("__p", "__w"),
         )
-        joined = exploded.join(F.broadcast(dictionary), "__w")
-        return (
-            joined.groupBy(*df.columns)
+        assembled = (
+            exploded.join(F.broadcast(dictionary), "__w")
+            .groupBy("__id")
             .agg(
                 F.flatten(
                     F.transform(
                         F.array_sort(F.collect_list(F.struct("__p", "__pieces"))),
                         lambda s: s["__pieces"],
                     )
-                ).alias(output_col)
+                ).alias("__assembled")
             )
+        )
+        # left join back so token-less docs keep a row (empty array)
+        return (
+            df.join(assembled, df[id_col] == assembled["__id"], "left")
+            .drop("__id")
+            .withColumn(
+                output_col,
+                F.coalesce("__assembled", F.array().cast("array<string>")),
+            )
+            .drop("__assembled")
             .withColumn(f"{output_col}_n", F.size(output_col).cast("int"))
         )
 

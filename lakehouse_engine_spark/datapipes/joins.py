@@ -463,7 +463,6 @@ def fuzzy_join(
 
     def _join(left: DataFrame) -> DataFrame:
         blocks = list(block_on or [])
-        rband = F.floor(F.length(F.col(right_col)) / width).cast("long")
         overlap = {c for c in right.columns if c in set(left.columns) - set(blocks)}
         r2 = right
         for c in overlap:

@@ -82,6 +82,12 @@ UNSUPPORTED_STREAMING_TRANSFORMERS = {
     "vocab_top_k",
     "bpe_train",
     "bpe_encode",
+    "bpe_encode_with",
+    "trend_fit",
+    "histogram",
+    # contextual wrapper of a gated base op must be gated too — the
+    # re-planner matches spec function NAMES
+    "asof_join_with",
     # (salted_join/fuzzy_join/text_cdc_chunk stream fine: stream-static
     # equi-joins and row-space projections; streaming_ewma_anomaly has a
     # native stateful path)

@@ -1872,7 +1872,7 @@ def test_bpe_train_matches_reference_trainer(spark):
     tie-break); encoding with the learned table reconstructs each word."""
     text = ("low low low low low lower lower newest newest newest newest "
             "newest newest widest widest widest")
-    df = spark.createDataFrame([(text,)], "text STRING")
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
     merges = df.transform(t("bpe_train", num_merges=8))
     got = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
     assert got == [
@@ -1899,7 +1899,7 @@ def test_bpe_batched_rounds_yield_valid_encoder(spark):
     text = " ".join(
         ["internationalization"] * 6 + ["internal"] * 4 + ["national"] * 5
     )
-    df = spark.createDataFrame([(text,)], "text STRING")
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
     merges = df.transform(t("bpe_train", num_merges=12, merges_per_round=4))
     assert merges.count() == 12
     # picked pairs within a round never share a symbol (batching contract)
@@ -1987,3 +1987,37 @@ def test_trend_fit_ignores_incomplete_pairs(spark):
     assert out["n"] == 3
     assert out["slope"] == pytest.approx(3.0)
     assert out["intercept"] == pytest.approx(7.0)
+
+
+def test_bpe_encode_keeps_duplicates_and_empty_docs(spark):
+    """Reassembly keys on id_col: duplicate TEXT rows (distinct ids) each
+    keep their own correct token stream, and token-less documents survive
+    with an empty array instead of vanishing."""
+    train = spark.createDataFrame([(0, "aaa bbb aaa bbb")], "doc_id LONG, text STRING")
+    merges = train.transform(t("bpe_train", num_merges=3))
+    corpus = spark.createDataFrame(
+        [(1, "aaa bbb"), (2, "aaa bbb"), (3, "   "), (4, "aaa")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in corpus.transform(
+        t("bpe_encode", merges=merges)).collect()}
+    assert len(rows) == 4
+    assert rows[1]["bpe_tokens"] == rows[2]["bpe_tokens"]
+    assert rows[1]["bpe_tokens_n"] == rows[2]["bpe_tokens_n"] > 0
+    assert rows[3]["bpe_tokens"] == [] and rows[3]["bpe_tokens_n"] == 0
+    rebuilt = "".join(rows[1]["bpe_tokens"]).replace("</w>", " ").split()
+    assert rebuilt == ["aaa", "bbb"]
+
+
+def test_round4_aggregating_ops_are_streaming_gated(spark):
+    """histogram/trend_fit/bpe_* and the contextual asof wrapper are in
+    the batch-only set, so the streaming planner relocates them into
+    foreachBatch instead of letting the stream plan fail."""
+    from lakehouse_engine_spark.transformers.transformer_factory import (
+        UNSUPPORTED_STREAMING_TRANSFORMERS as GATED,
+    )
+
+    for name in ("histogram", "trend_fit", "bpe_train", "bpe_encode",
+                 "bpe_encode_with", "asof_join_with", "quantile_summary",
+                 "pivot_agg", "merge_intervals", "scd2_build"):
+        assert name in GATED, name

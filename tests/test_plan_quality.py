@@ -544,7 +544,11 @@ def test_bpe_encode_broadcasts_dictionary(spark, sf_dir):
     physical, _ = _plans(df)
     assert "BroadcastHashJoin" in physical, physical[:2000]
     assert physical.count("ArrowEvalPython") == 1
-    assert "SortMergeJoin" not in physical
+    # the final reassembly attach is an id equi-join of two corpus-sized
+    # sides — SMJ there is correct; what must NOT happen is the word
+    # dictionary shuffling (its join stays broadcast, asserted above)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
 
 
 def test_semi_anti_join_shapes(spark, sf_dir):
