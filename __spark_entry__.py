@@ -1998,6 +1998,34 @@ def dp72_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp73_weighted_sample_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-k weighted sampling without replacement per language
+    (datapipes/sampling.py weighted_sample_k, A-Res): longer documents
+    proportionally likelier, hard cap of 25 per lang, fully deterministic
+    from hashed ids — the oracle replays hash → uniform → ln(u)/w →
+    rank."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(
+        _t("weighted_sample_k", k=25, weight_col="n_chars",
+           id_col="doc_id", group_cols=["lang"], seed="s1")
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def dp74_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source lexical diversity (datapipes/text.py lexical_diversity):
+    exact integer word counts → type-token ratio + inverse-Simpson
+    effective vocabulary — order-independent (no per-term logs), so the
+    oracle replays it exactly."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(_t("lexical_diversity", group_cols=["source"]))
+    return out.select(
+        "source", "n_tokens", "n_distinct",
+        F.round("ttr", 6).alias("ttr"),
+        F.round("inv_simpson", 4).alias("inv_simpson"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2096,6 +2124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_semi_anti_join": q24_semi_anti_join,
         "dp71_trend_fit": dp71_trend_fit,
         "dp72_histogram": dp72_histogram,
+        "dp73_weighted_sample_k": dp73_weighted_sample_k,
+        "dp74_lexical_diversity": dp74_lexical_diversity,
     }
 
 
@@ -3884,6 +3914,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE value IS NOT NULL
             GROUP BY 1, 2, 3, 4
+        """,
+        "dp73_weighted_sample_k": """
+            WITH keyed AS (
+              SELECT doc_id, lang, n_chars,
+                     ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'),
+                             1, 15) AS BIGINT) + 1.0)
+                        / 1152921504606846976.0)
+                     / CAST(n_chars AS DOUBLE) AS k
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY k DESC, doc_id ASC) AS rn
+              FROM keyed
+            ) WHERE rn <= 25
+        """,
+        "dp74_lexical_diversity": f"""
+            WITH w AS (
+              SELECT source, unnest({_DUCK_TOKENS}) AS wd FROM documents
+            ),
+            c AS (SELECT source, wd, COUNT(*) AS c FROM w GROUP BY 1, 2),
+            a AS (
+              SELECT source,
+                     CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(SUM(c * c) AS BIGINT) AS c2
+              FROM c GROUP BY source
+            )
+            SELECT source, n_tokens, n_distinct,
+                   ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+                   ROUND(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+                         / CAST(c2 AS DOUBLE), 4) AS inv_simpson
+            FROM a
         """,
     }
 

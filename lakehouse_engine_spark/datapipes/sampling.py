@@ -409,3 +409,57 @@ def pack_sequences(
         )
 
     return _pack
+
+
+@register("weighted_sample_k")
+def weighted_sample_k(
+    k: int,
+    weight_col: str,
+    id_col: str,
+    group_cols: Optional[list] = None,
+    seed: str = "",
+) -> Callable[[DataFrame], DataFrame]:
+    """EXACTLY-k weighted sampling WITHOUT replacement (per group):
+    Efraimidis–Spirakis A-Res — each row draws a deterministic uniform
+    ``u`` from its hashed id and ranks by ``ln(u)/w`` (the monotone form
+    of ``u^(1/w)``); the top-k per group are a true weight-proportional
+    without-replacement sample. Complements ``weighted_sample`` (expected-
+    fraction, WITH-replacement-style independent keeps) when a hard k is
+    required. Deterministic: same ids + seed → same sample on any
+    cluster; no RNG state. Rows with NULL or non-positive weight are
+    excluded (zero-weight items are unsampleable by definition).
+
+    Scale: one window over the group key (same cost class as any per-
+    group top-k); the hash-uniform and log are codegen row expressions.
+    Cross-engine caveat: ``ln`` may differ in the last ulp between
+    engines — a rank flip needs two keys within ~1e-15, vanishingly rare
+    with 60-bit hash spacing (and irrelevant to sample QUALITY either
+    way).
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample_k: k must be >= 1, got {k}")
+    keys = list(group_cols or [])
+
+    def _sample(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = F.col(weight_col).cast("double")
+        u = (_bucket_raw(id_col, seed) + F.lit(1.0)) / F.lit(float(2**60) + 1.0)
+        key = F.log(u) / w
+        win = Window.partitionBy(*keys).orderBy(
+            key.desc(), F.col(id_col).asc()
+        )
+        return (
+            df.filter(w.isNotNull() & (w > 0))
+            .withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    return _sample
+
+
+def _bucket_raw(id_col: str, seed: str) -> Column:
+    """Full 60-bit md5-fold (no modulus) — the shared portable hash."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(seed))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")

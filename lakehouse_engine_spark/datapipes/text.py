@@ -905,3 +905,48 @@ def cdc_chunk(
         )
 
     return _chunk
+
+
+@register("lexical_diversity")
+def lexical_diversity(
+    input_col: str = "text",
+    group_cols: Optional[List[str]] = None,
+) -> TransformerFn:
+    """Per-group lexical diversity from EXACT integer word counts: one row
+    per group with ``n_tokens``, ``n_distinct``, ``ttr`` (type-token
+    ratio), and ``inv_simpson`` (N²/Σc² — the effective vocabulary size;
+    2 for a coin-flip vocabulary, N for all-distinct) — the dataset-card
+    diversity metrics for corpus mixing decisions. Unlike entropy, the
+    Simpson form needs NO per-term logs: Σc² accumulates exactly (map-
+    side-combined), so results are order-independent and replay exactly
+    in any engine while Σc² stays below 2^53 (the same sub-2^53 contract
+    as ``trend_fit``).
+
+    Two map-side-combined aggregations — (group, word) counts, then group
+    rollup — both shuffling on the group key family. NULL/empty texts
+    contribute nothing; a group with no tokens at all produces no row.
+    """
+    keys = list(group_cols or [])
+
+    def _div(df: DataFrame) -> DataFrame:
+        words = df.select(
+            *keys, F.explode(tokens_lower(F.col(input_col))).alias("__w")
+        )
+        counts = words.groupBy(*keys, "__w").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        agg = counts.groupBy(*keys).agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__c2"),
+        )
+        n = F.col("n_tokens").cast("double")
+        return agg.select(
+            *keys,
+            "n_tokens",
+            "n_distinct",
+            (F.col("n_distinct") / n).alias("ttr"),
+            (n * n / F.col("__c2").cast("double")).alias("inv_simpson"),
+        )
+
+    return _div

@@ -2021,3 +2021,52 @@ def test_round4_aggregating_ops_are_streaming_gated(spark):
                  "bpe_encode_with", "asof_join_with", "quantile_summary",
                  "pivot_agg", "merge_intervals", "scd2_build"):
         assert name in GATED, name
+
+
+def test_weighted_sample_k_exact_k_and_weight_bias(spark):
+    """A-Res: exactly k per group, deterministic across runs, zero/NULL
+    weights excluded, and across many seeds heavy items are selected far
+    more often than light ones (weight-proportional without
+    replacement)."""
+    rows = [(i, "g", 100.0 if i < 5 else 1.0) for i in range(50)]
+    rows += [(99, "g", None), (98, "g", 0.0)]
+    df = spark.createDataFrame(rows, "id LONG, g STRING, w DOUBLE")
+    picks = df.transform(
+        t("weighted_sample_k", k=10, weight_col="w", id_col="id",
+          group_cols=["g"], seed="a")
+    )
+    ids = sorted(r["id"] for r in picks.collect())
+    assert len(ids) == 10 and 99 not in ids and 98 not in ids
+    again = sorted(r["id"] for r in df.transform(
+        t("weighted_sample_k", k=10, weight_col="w", id_col="id",
+          group_cols=["g"], seed="a")).collect())
+    assert again == ids
+    heavy_hits = light_hits = 0
+    for s in range(12):
+        got = {r["id"] for r in df.transform(
+            t("weighted_sample_k", k=10, weight_col="w", id_col="id",
+              group_cols=["g"], seed=f"s{s}")).collect()}
+        heavy_hits += sum(1 for i in got if i < 5)
+        light_hits += sum(1 for i in got if 5 <= i < 50)
+    # heavy items are 100x weight: near-certain picks (5/10 slots); light
+    # fill the rest at ~5/45 each
+    assert heavy_hits >= 0.9 * 5 * 12
+    assert light_hits <= 12 * 10 - heavy_hits
+    with pytest.raises(ValueError):
+        t("weighted_sample_k", k=0, weight_col="w", id_col="id")
+
+
+def test_lexical_diversity_exact_counts(spark):
+    """Hand-computed: 'a a b' + 'a c' in one group -> N=5, V=3, counts
+    (3,1,1) -> inv_simpson = 25/11; token-less group absent; case folds."""
+    df = spark.createDataFrame(
+        [("s1", "a A b"), ("s1", "a c"), ("s2", "   ")],
+        "source STRING, text STRING",
+    )
+    out = {r["source"]: r for r in df.transform(
+        t("lexical_diversity", group_cols=["source"])).collect()}
+    assert list(out) == ["s1"]
+    r = out["s1"]
+    assert (r["n_tokens"], r["n_distinct"]) == (5, 3)
+    assert r["ttr"] == pytest.approx(3 / 5)
+    assert r["inv_simpson"] == pytest.approx(25 / 11)
