@@ -313,3 +313,112 @@ def streaming_ewma_anomaly(
         )
 
     return _fn
+
+
+@register("streaming_approx_distinct")
+def streaming_approx_distinct(
+    on: List[str],
+    value_col: str,
+    precision: int = 6,
+) -> TransformerFn:
+    """Per-key APPROXIMATE distinct count across micro-batches with
+    BOUNDED state: a HyperLogLog sketch of ``2^precision`` one-byte
+    registers per key (64 B at the default) carried in the state store —
+    the streaming cardinality primitive exact ``dropDuplicates`` state
+    can't give you (exact streaming distinct state grows with the number
+    of distinct values; the sketch never grows). Emits one row per key
+    per micro-batch: ``on…, batch_rows, approx_distinct`` (cumulative
+    estimate since the checkpoint's birth, standard error ≈
+    1.04/sqrt(2^precision) ≈ 13% at the default — raise ``precision``
+    for tighter counts).
+
+    Hashing is the corpus-wide md5-fold convention, computed per value in
+    Python over the Arrow batch — the per-batch cost is rows × one md5,
+    the same cost class as the exact-dedup hash, with state O(keys ×
+    2^precision) regardless of stream length. On a BATCH DataFrame the
+    operator degrades to one pass of the same sketch per key, so batch
+    smoke-tests predict streaming estimates exactly (same hash, same
+    registers).
+    """
+    if not 4 <= precision <= 12:
+        raise ValueError(f"precision must be in [4, 12], got {precision}")
+    m = 1 << precision
+
+    def _fold(values) -> list:
+        import hashlib
+
+        regs = [0] * m
+        for v in values:
+            h = int(
+                hashlib.md5(str(v).encode("utf-8")).hexdigest()[:15], 16
+            )  # 60-bit md5-fold (shared convention)
+            idx = h & (m - 1)
+            rest = h >> precision
+            # rank of the first set bit in the remaining 60-p bits
+            width = 60 - precision
+            rho = width + 1 if rest == 0 else width - rest.bit_length() + 1
+            if rho > regs[idx]:
+                regs[idx] = rho
+        return regs
+
+    def _estimate(regs: list) -> float:
+        import math
+
+        alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+        inv = sum(2.0 ** -r for r in regs)
+        est = alpha * m * m / inv
+        zeros = regs.count(0)
+        if est <= 2.5 * m and zeros:  # small-range correction
+            est = m * math.log(m / zeros)
+        return est
+
+    def _fn(df: DataFrame) -> DataFrame:
+        key_fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.select(*on).schema.fields
+        )
+        out_schema = (
+            f"{key_fields}, batch_rows LONG, approx_distinct LONG"
+        )
+
+        if not df.isStreaming:
+            def _batch(key: Tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                regs = _fold(pdf[value_col].dropna())
+                return pd.DataFrame(
+                    [dict(zip(on, key), batch_rows=len(pdf),
+                          approx_distinct=int(round(_estimate(regs))))]
+                )
+
+            return df.groupBy(*on).applyInPandas(_batch, schema=out_schema)
+
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        state_schema = "regs ARRAY<INT>"
+
+        def _update(
+            key: Tuple,
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            (prev,) = state.get if state.exists else ([0] * m,)
+            regs = list(prev)
+            rows = 0
+            for pdf in pdfs:
+                rows += len(pdf)
+                fresh = _fold(pdf[value_col].dropna())
+                regs = [max(a, b) for a, b in zip(regs, fresh)]
+            state.update((regs,))
+            yield pd.DataFrame(
+                [dict(zip(on, key), batch_rows=rows,
+                      approx_distinct=int(round(_estimate(regs))))]
+            )
+
+        return df.groupBy(*on).applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _fn

@@ -176,3 +176,61 @@ def test_ewma_anomaly_stream_matches_batch_and_survives_restart(spark, tmp_dir):
         assert (s[2] is None) == (b[2] is None)
         if s[2] is not None:
             assert abs(s[2] - b[2]) < 1e-9
+
+
+def test_approx_distinct_accuracy_and_bounded_state(spark, tmp_dir):
+    """HLL stateful distinct: batch estimate within the sketch's error
+    band; streaming across two runs (restart between) converges to the
+    same estimate as one batch pass over everything — the registers, not
+    the values, are the state."""
+    import pyspark.sql.functions as F
+
+    vals = [(f"d{i % 7}", f"v{i}") for i in range(2000)]
+    df = spark.createDataFrame(vals, "domain STRING, v STRING")
+    est = {
+        r["domain"]: r["approx_distinct"]
+        for r in df.transform(
+            t("streaming_approx_distinct", on=["domain"], value_col="v",
+              precision=6)
+        ).collect()
+    }
+    for d, e in est.items():
+        true = 2000 / 7
+        assert abs(e - true) / true < 0.4, (d, e)  # 3x the 13% std error
+
+    src = os.path.join(tmp_dir, "hsrc")
+    out = os.path.join(tmp_dir, "hout")
+    ck = os.path.join(tmp_dir, "hck")
+    op = t("streaming_approx_distinct", on=["domain"], value_col="v",
+           precision=6)
+    half = len(vals) // 2
+    spark.createDataFrame(vals[:half], "domain STRING, v STRING").coalesce(
+        1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("domain STRING, v STRING")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .transform(op)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(vals[half:], "domain STRING, v STRING").coalesce(
+        1).write.mode("append").parquet(src)
+    run()  # restart on same checkpoint: registers restored
+    # cumulative streaming estimate == the one-pass batch estimate
+    # (identical hash + registers), for every domain
+    stream_cum = {
+        r["domain"]: r["approx_distinct"]
+        for r in spark.read.parquet(out)
+        .groupBy("domain").agg(F.max("approx_distinct").alias("approx_distinct"))
+        .collect()
+    }
+    assert stream_cum == est
+    with pytest.raises(ValueError):
+        t("streaming_approx_distinct", on=["domain"], value_col="v",
+          precision=2)
