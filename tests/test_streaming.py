@@ -465,3 +465,55 @@ def test_replan_covers_round4_batch_only_ops(spark, tmp_dir):
     written = loader.execute()
     got = {r["user_id"]: (r["view_n"], r["click_n"]) for r in written["o"].collect()}
     assert got == {"u1": (1, 1), "u2": (1, None)}
+
+
+def test_stateful_ops_stay_in_the_streaming_plan(spark, tmp_dir):
+    """streaming_running_totals has a native stateful path, so the
+    DataLoader must NOT re-plan it into foreachBatch — it runs inside the
+    streaming query proper, with its state in the checkpoint."""
+    src = os.path.join(tmp_dir, "src_state")
+    spark.createDataFrame(
+        [("web", 40), ("web", 20), ("code", 10)], "domain STRING, tokens INT"
+    ).write.parquet(src)
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "s",
+                "data_format": "parquet",
+                "location": src,
+                "read_type": "streaming",
+                "schema": "domain STRING, tokens INT",
+            }
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "t",
+                "input_id": "s",
+                "transformers": [
+                    {
+                        "function": "streaming_running_totals",
+                        "args": {"on": ["domain"], "value_col": "tokens",
+                                 "budget": 50},
+                    }
+                ],
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "o",
+                "input_id": "t",
+                "data_format": "dataframe",
+                "options": {"checkpointLocation": os.path.join(tmp_dir, "ck_state")},
+            }
+        ],
+    }
+    loader = DataLoader(acon)
+    # NOT relocated: the transformer list survives, foreachBatch plan empty
+    assert [t.function for t in loader.transform_specs[0].transformers] == [
+        "streaming_running_totals"
+    ]
+    assert loader.output_specs[0].streaming_micro_batch_transformers == []
+    written = loader.execute()
+    got = {r["domain"]: (r["total_value"], r["budget_exceeded"])
+           for r in written["o"].collect()}
+    assert got == {"web": (60.0, True), "code": (10.0, False)}
