@@ -2026,6 +2026,50 @@ def dp74_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp75_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level snapshot diff (datapipes/diff.py snapshot_diff): today's
+    orders = yesterday's minus every 97th key (removed), every 13th price
+    bumped (changed), every 397th re-keyed high (added) — ONE full-outer
+    key join + null-safe struct compare, summarized map-side. The oracle
+    rebuilds the same perturbed snapshot and classification in SQL."""
+    orders = load_table(spark, sf, "orders")
+    new = (
+        orders.filter("o_orderkey % 97 != 0")
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 13 == 0,
+                   F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter("o_orderkey % 397 = 0").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+            )
+        )
+    )
+    out = new.transform(
+        _t("snapshot_diff", right=orders, key_cols=["o_orderkey"],
+           compare_cols=["o_totalprice", "o_orderstatus"])
+    )
+    return out
+
+
+def dp76_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema/null drift report (datapipes/diff.py schema_drift): the new
+    documents snapshot drops `source`, adds `extra`, narrows n_chars to
+    int, and nulls half of `lang` — the report flags removed / added /
+    type_changed / null_drift per column from one stats pass per side.
+    The oracle recomputes both sides' null percentages and statuses."""
+    docs = load_table(spark, sf, "documents")
+    new = docs.drop("source").select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(None)).otherwise(
+            F.col("lang")).alias("lang"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.lit(1).alias("extra"),
+    )
+    return new.transform(_t("schema_drift", right=docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2126,6 +2170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp72_histogram": dp72_histogram,
         "dp73_weighted_sample_k": dp73_weighted_sample_k,
         "dp74_lexical_diversity": dp74_lexical_diversity,
+        "dp75_snapshot_diff": dp75_snapshot_diff,
+        "dp76_schema_drift": dp76_schema_drift,
     }
 
 
@@ -3948,6 +3994,85 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
                          / CAST(c2 AS DOUBLE), 4) AS inv_simpson
             FROM a
+        """,
+        "dp75_snapshot_diff": """
+            WITH newsnap AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderstatus
+              FROM orders WHERE o_orderkey % 97 <> 0
+              UNION ALL
+              SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey % 397 = 0
+            ),
+            classified AS (
+              SELECT CASE
+                       WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN n.o_totalprice IS NOT DISTINCT FROM o.o_totalprice
+                        AND n.o_orderstatus IS NOT DISTINCT FROM o.o_orderstatus
+                       THEN 'unchanged'
+                       ELSE 'changed'
+                     END AS status
+              FROM newsnap n FULL OUTER JOIN orders o USING (o_orderkey)
+            )
+            SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+            FROM classified GROUP BY status
+        """,
+        "dp76_schema_drift": """
+            WITH o AS (
+              SELECT COUNT(*) AS t,
+                     COUNT(*) - COUNT(doc_id) AS n_doc_id,
+                     COUNT(*) - COUNT(text) AS n_text,
+                     COUNT(*) - COUNT(lang) AS n_lang,
+                     COUNT(*) - COUNT(source) AS n_source,
+                     COUNT(*) - COUNT(n_chars) AS n_n_chars
+              FROM documents
+            ),
+            nw AS (
+              SELECT COUNT(*) AS t,
+                     COUNT(*) - COUNT(doc_id) AS n_doc_id,
+                     COUNT(*) - COUNT(text) AS n_text,
+                     COUNT(*) - COUNT(CASE WHEN doc_id % 2 = 0 THEN NULL
+                                           ELSE lang END) AS n_lang,
+                     COUNT(*) - COUNT(n_chars) AS n_n_chars
+              FROM documents
+            ),
+            pct AS (
+              SELECT ROUND(100.0 * o.n_doc_id / o.t, 4) AS o_doc_id,
+                     ROUND(100.0 * nw.n_doc_id / nw.t, 4) AS w_doc_id,
+                     ROUND(100.0 * o.n_text / o.t, 4) AS o_text,
+                     ROUND(100.0 * nw.n_text / nw.t, 4) AS w_text,
+                     ROUND(100.0 * o.n_lang / o.t, 4) AS o_lang,
+                     ROUND(100.0 * nw.n_lang / nw.t, 4) AS w_lang,
+                     ROUND(100.0 * o.n_source / o.t, 4) AS o_source,
+                     ROUND(100.0 * o.n_n_chars / o.t, 4) AS o_n_chars,
+                     ROUND(100.0 * nw.n_n_chars / nw.t, 4) AS w_n_chars
+              FROM o, nw
+            )
+            SELECT 'doc_id' AS column,
+                   CASE WHEN ABS(w_doc_id - o_doc_id) > 5 THEN 'null_drift'
+                        ELSE 'ok' END AS status,
+                   'bigint' AS old_type, 'bigint' AS new_type,
+                   o_doc_id AS old_null_pct, w_doc_id AS new_null_pct FROM pct
+            UNION ALL
+            SELECT 'extra', 'added', NULL, 'int', NULL, 0.0 FROM pct
+            UNION ALL
+            SELECT 'lang',
+                   CASE WHEN ABS(w_lang - o_lang) > 5 THEN 'null_drift'
+                        ELSE 'ok' END,
+                   'string', 'string', o_lang, w_lang FROM pct
+            UNION ALL
+            SELECT 'n_chars', 'type_changed', 'bigint', 'int',
+                   o_n_chars, w_n_chars FROM pct
+            UNION ALL
+            SELECT 'source', 'removed', 'string', NULL, o_source, NULL FROM pct
+            UNION ALL
+            SELECT 'text',
+                   CASE WHEN ABS(w_text - o_text) > 5 THEN 'null_drift'
+                        ELSE 'ok' END,
+                   'string', 'string', o_text, w_text FROM pct
         """,
     }
 

@@ -11,6 +11,7 @@ the hot path) and register in the engine's TransformerFactory.
 from lakehouse_engine_spark.datapipes import (  # noqa: E402,F401 — populate registry
     bpe,
     dedup,
+    diff,
     embeddings,
     events,
     history,

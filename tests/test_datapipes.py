@@ -2070,3 +2070,59 @@ def test_lexical_diversity_exact_counts(spark):
     assert (r["n_tokens"], r["n_distinct"]) == (5, 3)
     assert r["ttr"] == pytest.approx(3 / 5)
     assert r["inv_simpson"] == pytest.approx(25 / 11)
+
+
+def test_snapshot_diff_classification(spark):
+    """added/removed/changed/unchanged by key with NULL-safe compares;
+    rows mode lists the keys; summary counts them; validation."""
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k INT, s STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged
+         (2, "b", None),          # unchanged (NULL == NULL null-safely)
+         (3, "c", 31.0),          # changed
+         (5, "e", 50.0)],         # added; 4 removed
+        "k INT, s STRING, v DOUBLE",
+    )
+    summary = {
+        r["status"]: r["n"]
+        for r in new.transform(
+            t("snapshot_diff", right=old, key_cols=["k"])
+        ).collect()
+    }
+    assert summary == {"unchanged": 2, "changed": 1, "added": 1, "removed": 1}
+    rows = {
+        r["k"]: r["status"]
+        for r in new.transform(
+            t("snapshot_diff", right=old, key_cols=["k"], mode="rows")
+        ).collect()
+    }
+    assert rows == {1: "unchanged", 2: "unchanged", 3: "changed",
+                    4: "removed", 5: "added"}
+    with pytest.raises(ValueError):
+        t("snapshot_diff", right=old, key_cols=[])
+    with pytest.raises(ValueError):
+        t("snapshot_diff", right=old, key_cols=["k"], mode="nope")
+
+
+def test_schema_drift_statuses(spark):
+    """added/removed/type_changed/null_drift/ok per column; threshold
+    respected; dtypes reported from schema."""
+    old = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0)], "k INT, s STRING, v DOUBLE"
+    )
+    new = spark.createDataFrame(
+        [(1, None, 1), (2, "y", 2)], "k INT, s STRING, v INT"
+    ).withColumn("w", F.lit(True))
+    out = {r["column"]: r for r in new.transform(
+        t("schema_drift", right=old)).collect()}
+    assert out["k"]["status"] == "ok"
+    assert out["s"]["status"] == "null_drift"      # 0% -> 50%
+    assert out["v"]["status"] == "type_changed"
+    assert out["v"]["old_type"] == "double" and out["v"]["new_type"] == "int"
+    assert out["w"]["status"] == "added"
+    loose = {r["column"]: r["status"] for r in new.transform(
+        t("schema_drift", right=old, null_pct_threshold=60.0)).collect()}
+    assert loose["s"] == "ok"                       # threshold respected
