@@ -85,9 +85,15 @@ UNSUPPORTED_STREAMING_TRANSFORMERS = {
     "bpe_encode_with",
     "trend_fit",
     "histogram",
-    # contextual wrapper of a gated base op must be gated too — the
+    "weighted_sample_k",
+    "lexical_diversity",
+    "snapshot_diff",
+    "schema_drift",
+    # contextual wrappers of gated base ops must be gated too — the
     # re-planner matches spec function NAMES
     "asof_join_with",
+    "snapshot_diff_with",
+    "schema_drift_with",
     # (salted_join/fuzzy_join/text_cdc_chunk stream fine: stream-static
     # equi-joins and row-space projections; streaming_ewma_anomaly has a
     # native stateful path)

@@ -2019,7 +2019,9 @@ def test_round4_aggregating_ops_are_streaming_gated(spark):
 
     for name in ("histogram", "trend_fit", "bpe_train", "bpe_encode",
                  "bpe_encode_with", "asof_join_with", "quantile_summary",
-                 "pivot_agg", "merge_intervals", "scd2_build"):
+                 "pivot_agg", "merge_intervals", "scd2_build",
+                 "weighted_sample_k", "lexical_diversity", "snapshot_diff",
+                 "snapshot_diff_with", "schema_drift", "schema_drift_with"):
         assert name in GATED, name
 
 
