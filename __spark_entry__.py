@@ -2070,6 +2070,26 @@ def dp76_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
     return new.transform(_t("schema_drift", right=docs))
 
 
+def dp77_quality_model_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality scoring (datapipes/numeric.py linear_score): a
+    logistic classifier exported as plain weights over the text quality
+    features — the model is a literal in the plan, the score one
+    codegen'd row expression (no UDF, no model server). Composes dp01's
+    feature extraction; the oracle reuses dp01's SQL and applies the
+    identical sigmoid (fixed-point micro-units)."""
+    docs = load_table(spark, sf, "documents")
+    feats = docs.transform(_t("text_quality_score"))
+    scored = feats.transform(
+        _t("linear_score", intercept=-1.0,
+           weights={"quality_score": 3.0, "stopword_ratio": 1.5,
+                    "punct_ratio": -4.0, "mean_word_len": 0.1})
+    )
+    return scored.select(
+        "doc_id",
+        F.floor(F.col("score") * 1e6 + 0.5).cast("long").alias("score_u"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2172,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp74_lexical_diversity": dp74_lexical_diversity,
         "dp75_snapshot_diff": dp75_snapshot_diff,
         "dp76_schema_drift": dp76_schema_drift,
+        "dp77_quality_model_filter": dp77_quality_model_filter,
     }
 
 
@@ -2455,7 +2476,7 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN {lang_score['es']} = {best} THEN 'es' ELSE 'und' END"
     )
 
-    return {
+    oracles = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -4075,6 +4096,18 @@ def oracle_sql() -> dict[str, str]:
                    'string', 'string', o_text, w_text FROM pct
         """,
     }
+    # dp77 composes dp01's feature SQL verbatim, then applies the SAME
+    # left-associated linear form + sigmoid the Spark side builds
+    oracles["dp77_quality_model_filter"] = f"""
+        WITH f AS ({oracles['dp01_text_quality']})
+        SELECT doc_id,
+               CAST(FLOOR((1.0 / (1.0 + exp(-(-1.0 + 3.0 * quality_score
+                    + 1.5 * stopword_ratio + -4.0 * punct_ratio
+                    + 0.1 * mean_word_len)))) * 1e6 + 0.5) AS BIGINT)
+                 AS score_u
+        FROM f
+    """
+    return oracles
 
 
 if __name__ == "__main__":

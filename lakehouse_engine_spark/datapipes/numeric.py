@@ -305,3 +305,40 @@ def trend_fit(
         )
 
     return _fit
+
+
+@register("linear_score")
+def linear_score(
+    weights: dict,
+    intercept: float = 0.0,
+    output_col: str = "score",
+    link: str = "logistic",
+    keep_above: Optional[float] = None,
+) -> TransformerFn:
+    """Linear-model inference over feature columns: ``score =
+    link(intercept + Σ wᵢ·colᵢ)`` — the model-based quality-filtering
+    step (fastText/logistic classifiers exported as plain weights) run
+    the 100 TB way: the model is a literal in the plan, the score ONE
+    codegen'd expression per row — no UDF, no model server, no shuffle.
+    ``link``: ``logistic`` (sigmoid) or ``identity``. ``keep_above``
+    optionally filters to rows scoring strictly above the threshold
+    (filter stays in the same codegen stage, pushing row reduction to
+    the scan side of any downstream shuffle). NULL features score NULL
+    (and are dropped by ``keep_above``).
+    """
+    if link not in ("logistic", "identity"):
+        raise ValueError(f"linear_score: link must be logistic|identity, got {link}")
+    if not weights:
+        raise ValueError("linear_score: weights must be non-empty")
+
+    def _score(df: DataFrame) -> DataFrame:
+        z = F.lit(float(intercept))
+        for col, w in weights.items():
+            z = z + F.lit(float(w)) * F.col(col).cast("double")
+        s = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) if link == "logistic" else z
+        out = df.withColumn(output_col, s)
+        if keep_above is not None:
+            out = out.filter(F.col(output_col) > float(keep_above))
+        return out
+
+    return _score

@@ -2128,3 +2128,34 @@ def test_schema_drift_statuses(spark):
     loose = {r["column"]: r["status"] for r in new.transform(
         t("schema_drift", right=old, null_pct_threshold=60.0)).collect()}
     assert loose["s"] == "ok"                       # threshold respected
+
+
+def test_linear_score_links_and_threshold(spark):
+    """Hand-checked logistic and identity links; keep_above filters in the
+    same stage; NULL features score NULL and drop under the threshold;
+    validation."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 1.0), (2, -2.0, 0.0), (3, None, 5.0)],
+        "id INT, a DOUBLE, b DOUBLE",
+    )
+    out = {r["id"]: r["score"] for r in df.transform(
+        t("linear_score", weights={"a": 1.0, "b": 0.5}, intercept=0.5)
+    ).collect()}
+    assert out[1] == pytest.approx(1 / (1 + math.exp(-(0.5 + 2.0 + 0.5))))
+    assert out[2] == pytest.approx(1 / (1 + math.exp(-(0.5 - 2.0))))
+    assert out[3] is None
+    ident = {r["id"]: r["score"] for r in df.transform(
+        t("linear_score", weights={"a": 2.0}, link="identity")
+    ).collect()}
+    assert ident[1] == pytest.approx(4.0)
+    kept = [r["id"] for r in df.transform(
+        t("linear_score", weights={"a": 1.0, "b": 0.5}, intercept=0.5,
+          keep_above=0.5)
+    ).collect()]
+    assert kept == [1]  # id 2 scores < 0.5; id 3 NULL drops
+    with pytest.raises(ValueError):
+        t("linear_score", weights={})
+    with pytest.raises(ValueError):
+        t("linear_score", weights={"a": 1.0}, link="probit")
