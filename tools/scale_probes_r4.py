@@ -139,6 +139,30 @@ PROBES = {
 }
 
 
+
+
+def probe_snapshot_diff(spark):
+    """3M-row snapshots through the full-outer key diff."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    old = replicate(orders, 20, "o_orderkey", 100_000_000).persist()
+    n = old.count()
+    new = old.filter("o_orderkey % 97 != 0").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")),
+    )
+    t0 = time.time()
+    res = {r["status"]: r["n"] for r in new.transform(
+        t("snapshot_diff", right=old, key_cols=["o_orderkey"],
+          compare_cols=["o_totalprice", "o_orderstatus"])
+    ).collect()}
+    print(f"snapshot_diff: {n} x {n} rows -> {res}, {time.time()-t0:.1f}s")
+    old.unpersist()
+
+
+PROBES["snapshot_diff"] = probe_snapshot_diff
+
+
 if __name__ == "__main__":
     only = sys.argv[1:]
     spark = ExecEnv.get_or_create()
