@@ -2090,6 +2090,46 @@ def dp77_quality_model_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp78_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov transition matrix of user event sequences
+    (datapipes/events.py event_transitions): ties deduped to one event
+    per (user, ts), one lag over the user window, map-side-combined pair
+    counts, probabilities as exact count ratios."""
+    ev = load_table(spark, sf, "events")
+    seq = ev.groupBy("user_id", "ts").agg(F.min("event_type").alias("ev"))
+    out = seq.transform(
+        _t("event_transitions", on=["user_id"], event_col="ev",
+           ts_col="ts", normalize=True)
+    )
+    return out.select(
+        "from_event", "to_event", "n", F.round("p", 6).alias("p")
+    )
+
+
+def q25_scalar_subquery_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-aggregate pattern (TPC-H Q17 shape) through the engine:
+    revenue of lineitems ordering LESS than 20% of their part's average
+    quantity — per-part averages from exact DECIMAL sums (broadcast back,
+    never a per-row subquery execution), final sum exact then rounded."""
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("q25_lineitem")
+    return spark.sql(
+        f"""
+        WITH avgq AS (
+          SELECT l_partkey,
+                 CAST(SUM({_dec('l_quantity')}) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+          FROM q25_lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(CAST(SUM({_dec('l.l_extendedprice')}) AS DOUBLE) / 7.0, 2)
+                 AS avg_yearly
+        FROM q25_lineitem l JOIN avgq a ON l.l_partkey = a.l_partkey
+        WHERE l.l_quantity < 0.2 * a.avg_qty
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2193,6 +2233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp75_snapshot_diff": dp75_snapshot_diff,
         "dp76_schema_drift": dp76_schema_drift,
         "dp77_quality_model_filter": dp77_quality_model_filter,
+        "dp78_event_transitions": dp78_event_transitions,
+        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,
     }
 
 
@@ -4094,6 +4136,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ABS(w_text - o_text) > 5 THEN 'null_drift'
                         ELSE 'ok' END,
                    'string', 'string', o_text, w_text FROM pct
+        """,
+        "dp78_event_transitions": """
+            WITH seq AS (
+              SELECT user_id, ts, MIN(event_type) AS ev
+              FROM events GROUP BY user_id, ts
+            ),
+            lagged AS (
+              SELECT user_id, ev,
+                     LAG(ev) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM seq
+            ),
+            pairs AS (
+              SELECT prev AS from_event, ev AS to_event,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lagged WHERE prev IS NOT NULL
+              GROUP BY prev, ev
+            )
+            SELECT from_event, to_event, n,
+                   ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_event)
+                             AS DOUBLE), 6) AS p
+            FROM pairs
+        """,
+        "q25_scalar_subquery_avg": """
+            WITH avgq AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                       / COUNT(*) AS avg_qty
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                         AS DOUBLE) / 7.0, 2) AS avg_yearly
+            FROM lineitem l JOIN avgq a ON l.l_partkey = a.l_partkey
+            WHERE l.l_quantity < 0.2 * a.avg_qty
         """,
     }
     # dp77 composes dp01's feature SQL verbatim, then applies the SAME

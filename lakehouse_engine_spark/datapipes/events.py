@@ -144,3 +144,46 @@ def pivot_agg(
         return out
 
     return _pivot
+
+
+@register("event_transitions")
+def event_transitions(
+    on: List[str],
+    event_col: str,
+    ts_col: str = "ts",
+    normalize: bool = False,
+) -> TransformerFn:
+    """First-order transition matrix over per-key event sequences: counts
+    of ``from_event → to_event`` across consecutive events of each key —
+    the Markov-chain features behind next-action models and bot/anomaly
+    heuristics. ``normalize=True`` adds ``p``, each row's share of its
+    ``from_event`` group (transition probability).
+
+    One lag() over the key window (single hash exchange) then a map-side-
+    combined pair count — no self-join of the event log against itself
+    shifted, which shuffles twice and breaks on duplicate timestamps.
+    Rows must be unique per (key, ts): pre-aggregate ties (the lag order
+    would otherwise be nondeterministic).
+    """
+    if not on:
+        raise ValueError("event_transitions: on must be non-empty")
+
+    def _trans(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*on).orderBy(ts_col)
+        pairs = (
+            df.withColumn("__prev", F.lag(event_col).over(w))
+            .filter(F.col("__prev").isNotNull())
+            .groupBy(
+                F.col("__prev").alias("from_event"),
+                F.col(event_col).alias("to_event"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        if not normalize:
+            return pairs
+        tot = Window.partitionBy("from_event")
+        return pairs.withColumn(
+            "p", F.col("n") / F.sum("n").over(tot)
+        )
+
+    return _trans

@@ -86,6 +86,7 @@ UNSUPPORTED_STREAMING_TRANSFORMERS = {
     "trend_fit",
     "histogram",
     "weighted_sample_k",
+    "event_transitions",
     "lexical_diversity",
     "snapshot_diff",
     "schema_drift",

@@ -2021,7 +2021,8 @@ def test_round4_aggregating_ops_are_streaming_gated(spark):
                  "bpe_encode_with", "asof_join_with", "quantile_summary",
                  "pivot_agg", "merge_intervals", "scd2_build",
                  "weighted_sample_k", "lexical_diversity", "snapshot_diff",
-                 "snapshot_diff_with", "schema_drift", "schema_drift_with"):
+                 "snapshot_diff_with", "schema_drift", "schema_drift_with",
+                 "event_transitions"):
         assert name in GATED, name
 
 
@@ -2159,3 +2160,31 @@ def test_linear_score_links_and_threshold(spark):
         t("linear_score", weights={})
     with pytest.raises(ValueError):
         t("linear_score", weights={"a": 1.0}, link="probit")
+
+
+def test_event_transitions_counts_and_probs(spark):
+    """Hand-checked sequence A->B->B->C per key 1 plus A->C for key 2;
+    probabilities sum to 1 per from_event; n=1 keys yield no pairs."""
+    from datetime import datetime
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [(1, ts(1), "A"), (1, ts(2), "B"), (1, ts(3), "B"), (1, ts(4), "C"),
+            (2, ts(1), "A"), (2, ts(2), "C"), (3, ts(1), "Z")]
+    df = spark.createDataFrame(rows, "k INT, ts TIMESTAMP_NTZ, ev STRING")
+    out = {(r["from_event"], r["to_event"]): (r["n"], r["p"]) for r in df.transform(
+        t("event_transitions", on=["k"], event_col="ev", normalize=True)
+    ).collect()}
+    assert out[("A", "B")][0] == 1 and out[("A", "C")][0] == 1
+    assert out[("B", "B")] == (1, 0.5) and out[("B", "C")] == (1, 0.5)
+    assert out[("A", "B")][1] == pytest.approx(0.5)
+    assert not any(f == "Z" for f, _ in out)
+    import math
+
+    by_from = {}
+    for (f, _), (_, p) in out.items():
+        by_from[f] = by_from.get(f, 0.0) + p
+    assert all(math.isclose(v, 1.0) for v in by_from.values())
+    with pytest.raises(ValueError):
+        t("event_transitions", on=[], event_col="ev")
