@@ -2130,6 +2130,26 @@ def q25_scalar_subquery_avg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp79_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense per-user daily series (datapipes/joins.py gap_fill): daily
+    activity buckets with every quiet day materialized as zeros between
+    each user's first and last active day — grid from sequence() per key
+    (proportional to output length), co-partitioned left join back."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(
+        _t("gap_fill", on=["user_id"], ts_col="ts", step="1 day",
+           aggs={"n": "CAST(count(1) AS LONG)",
+                 "v": "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"},
+           fill={"n": 0, "v": 0.0})
+    )
+    return out.select(
+        "user_id",
+        epoch_us_ntz("bucket").cast("long").alias("bucket_us"),
+        F.col("n").cast("long").alias("n"),
+        F.round("v", 4).alias("v"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2235,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp77_quality_model_filter": dp77_quality_model_filter,
         "dp78_event_transitions": dp78_event_transitions,
         "q25_scalar_subquery_avg": q25_scalar_subquery_avg,
+        "dp79_gap_fill": dp79_gap_fill,
     }
 
 
@@ -4170,6 +4191,30 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE) / 7.0, 2) AS avg_yearly
             FROM lineitem l JOIN avgq a ON l.l_partkey = a.l_partkey
             WHERE l.l_quantity < 0.2 * a.avg_qty
+        """,
+        "dp79_gap_fill": """
+            WITH agged AS (
+              SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            spans AS (
+              SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+              FROM agged GROUP BY user_id
+            ),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+              FROM spans
+            )
+            SELECT g.user_id,
+                   CAST(epoch_us(CAST(g.bucket AS TIMESTAMP)) AS BIGINT)
+                     AS bucket_us,
+                   COALESCE(a.n, 0) AS n,
+                   ROUND(COALESCE(a.v, 0), 4) AS v
+            FROM grid g LEFT JOIN agged a
+              ON g.user_id = a.user_id AND g.bucket = a.bucket
         """,
     }
     # dp77 composes dp01's feature SQL verbatim, then applies the SAME

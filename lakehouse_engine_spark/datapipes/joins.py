@@ -550,3 +550,57 @@ def merge_intervals(
         )
 
     return _merge
+
+
+@register("gap_fill")
+def gap_fill(
+    on: List[str],
+    ts_col: str,
+    step: str,
+    aggs: dict,
+    fill: Optional[dict] = None,
+) -> TransformerFn:
+    """Dense per-key time series: aggregate events into fixed buckets of
+    ``step`` (an INTERVAL literal, e.g. ``'1 hour'``), then materialize
+    EVERY bucket between each key's first and last activity — missing
+    buckets appear with the ``fill`` value per metric (default NULL; pass
+    e.g. ``{"n": 0}``) so downstream window math (EWMA, trailing windows,
+    trend fits) sees an unbroken grid instead of silently skipping quiet
+    periods. ``aggs`` maps output name → SQL aggregate expression.
+
+    Scale design: the bucket aggregation is one map-side-combined
+    shuffle; the grid comes from ``sequence(min, max, step)`` per key —
+    a codegen row expansion proportional to the OUTPUT series length,
+    never a calendar cross-join — and the final attach is an equi-join
+    on (key, bucket) co-partitioned with the aggregation. A key's grid
+    spans only ITS OWN active range, so one ancient key doesn't inflate
+    everyone's series.
+    """
+    if not on:
+        raise ValueError("gap_fill: on must be non-empty")
+    if not aggs:
+        raise ValueError("gap_fill: aggs must be non-empty")
+
+    def _fill(df: DataFrame) -> DataFrame:
+        # bucket = the step-aligned tumbling-window start (native F.window)
+        b = F.window(F.col(ts_col), step).getField("start")
+        agged = df.groupBy(*on, b.alias("bucket")).agg(
+            *[F.expr(e).alias(a) for a, e in aggs.items()]
+        )
+        spans = agged.groupBy(*on).agg(
+            F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+        )
+        grid = spans.select(
+            *on,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+            ).alias("bucket"),
+        )
+        out = grid.join(agged, on=list(on) + ["bucket"], how="left")
+        for a in aggs:
+            fv = (fill or {}).get(a)
+            if fv is not None:
+                out = out.withColumn(a, F.coalesce(F.col(a), F.lit(fv)))
+        return out
+
+    return _fill

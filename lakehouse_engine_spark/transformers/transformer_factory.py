@@ -87,6 +87,7 @@ UNSUPPORTED_STREAMING_TRANSFORMERS = {
     "histogram",
     "weighted_sample_k",
     "event_transitions",
+    "gap_fill",
     "lexical_diversity",
     "snapshot_diff",
     "schema_drift",

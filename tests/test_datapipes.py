@@ -2022,7 +2022,7 @@ def test_round4_aggregating_ops_are_streaming_gated(spark):
                  "pivot_agg", "merge_intervals", "scd2_build",
                  "weighted_sample_k", "lexical_diversity", "snapshot_diff",
                  "snapshot_diff_with", "schema_drift", "schema_drift_with",
-                 "event_transitions"):
+                 "event_transitions", "gap_fill"):
         assert name in GATED, name
 
 
@@ -2188,3 +2188,37 @@ def test_event_transitions_counts_and_probs(spark):
     assert all(math.isclose(v, 1.0) for v in by_from.values())
     with pytest.raises(ValueError):
         t("event_transitions", on=[], event_col="ev")
+
+
+def test_gap_fill_materializes_quiet_buckets(spark):
+    """Gaps inside each key's active span become rows with the fill value;
+    nothing outside the span; aggregates correct in active buckets; fill
+    defaults to NULL when not given."""
+    from datetime import datetime
+
+    rows = [("a", datetime(2024, 1, 1, 5), 10.0),
+            ("a", datetime(2024, 1, 4, 7), 20.0),
+            ("a", datetime(2024, 1, 4, 9), 5.0),
+            ("b", datetime(2024, 2, 1, 0), 1.0)]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP_NTZ, v DOUBLE")
+    out = {(r["k"], str(r["bucket"])[:10]): (r["n"], r["s"]) for r in df.transform(
+        t("gap_fill", on=["k"], ts_col="ts", step="1 day",
+          aggs={"n": "CAST(count(1) AS LONG)", "s": "sum(v)"},
+          fill={"n": 0, "s": 0.0})
+    ).collect()}
+    assert out[("a", "2024-01-01")] == (1, 10.0)
+    assert out[("a", "2024-01-02")] == (0, 0.0)   # materialized quiet day
+    assert out[("a", "2024-01-03")] == (0, 0.0)
+    assert out[("a", "2024-01-04")] == (2, 25.0)
+    assert ("a", "2024-01-05") not in out          # outside span
+    assert out[("b", "2024-02-01")] == (1, 1.0)
+    assert len([k for k in out if k[0] == "b"]) == 1
+    nulls = df.transform(
+        t("gap_fill", on=["k"], ts_col="ts", step="1 day",
+          aggs={"n": "count(1)"})
+    ).filter("n IS NULL").count()
+    assert nulls == 2                              # default fill = NULL
+    with pytest.raises(ValueError):
+        t("gap_fill", on=[], ts_col="ts", step="1 day", aggs={"n": "count(1)"})
+    with pytest.raises(ValueError):
+        t("gap_fill", on=["k"], ts_col="ts", step="1 day", aggs={})
