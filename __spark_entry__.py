@@ -2150,6 +2150,32 @@ def dp79_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp80_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of NEAREST direction (datapipes/joins.py asof_join): each click
+    matches the user's closest purchase in EITHER direction (ties →
+    backward, pandas merge_asof semantics) — both directional passes
+    share one user_id exchange. Purchases deduped to one per (user, ts)
+    so the match payload is deterministic; oracle = per-click argmin of
+    absolute distance with the same tie-break."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = ev.filter("event_type = 'purchase'").groupBy("user_id", "ts").agg(
+        F.min("value").alias("value")
+    )
+    out = clicks.transform(
+        _t("asof_join", right=purchases, on=["user_id"], left_ts="ts",
+           right_value_cols=["value"], direction="nearest",
+           ts_match_col="near_ts")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_us_ntz("ts").cast("long").alias("click_us"),
+        epoch_us_ntz("near_ts").cast("long").alias("near_us"),
+        F.round("value_matched", 6).alias("near_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2256,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp78_event_transitions": dp78_event_transitions,
         "q25_scalar_subquery_avg": q25_scalar_subquery_avg,
         "dp79_gap_fill": dp79_gap_fill,
+        "dp80_asof_nearest": dp80_asof_nearest,
     }
 
 
@@ -4215,6 +4242,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(a.v, 0), 4) AS v
             FROM grid g LEFT JOIN agged a
               ON g.user_id = a.user_id AND g.bucket = a.bucket
+        """,
+        "dp80_asof_nearest": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ),
+            purch AS (
+              SELECT user_id, ts, MIN(value) AS value FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ),
+            pairs AS (
+              SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.value,
+                     CASE WHEN p.ts >= c.ts
+                          THEN epoch_us(CAST(p.ts AS TIMESTAMP))
+                               - epoch_us(CAST(c.ts AS TIMESTAMP))
+                          ELSE epoch_us(CAST(c.ts AS TIMESTAMP))
+                               - epoch_us(CAST(p.ts AS TIMESTAMP)) END AS gap
+              FROM clicks c JOIN purch p USING (user_id)
+            ),
+            best AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                        ORDER BY gap ASC, pts ASC) AS rn
+              FROM pairs
+            )
+            SELECT c.event_id, c.user_id,
+                   CAST(epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT)
+                     AS click_us,
+                   CAST(epoch_us(CAST(b.pts AS TIMESTAMP)) AS BIGINT)
+                     AS near_us,
+                   ROUND(b.value, 6) AS near_value
+            FROM clicks c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              ON c.event_id = b.event_id
         """,
     }
     # dp77 composes dp01's feature SQL verbatim, then applies the SAME

@@ -120,14 +120,18 @@ def asof_join(
 
     ``direction="backward"`` (default): latest right row with
     ``r.ts <= l.ts``; ``"forward"``: earliest right row with
-    ``r.ts >= l.ts``. Unmatched left rows keep NULLs (left-join
-    semantics). ``tolerance`` (an interval/numeric Column matching the ts
-    type difference) nulls out matches farther than the bound.
-    ``right_value_cols`` default: every right column not in ``on`` + ts.
-    Matched columns appear as ``<col><suffix>``; ``ts_match_col`` exposes
-    the matched right timestamp.
+    ``r.ts >= l.ts``; ``"nearest"``: whichever of the two is closer in
+    time (ties → backward, matching pandas ``merge_asof``) — computed as
+    both directional passes over the SAME key exchange (Catalyst reuses
+    it; the second direction costs one extra in-partition sort, never a
+    second shuffle) and a codegen'd distance pick. Unmatched left rows
+    keep NULLs (left-join semantics). ``tolerance`` (an interval/numeric
+    Column matching the ts type difference) nulls out matches farther
+    than the bound. ``right_value_cols`` default: every right column not
+    in ``on`` + ts. Matched columns appear as ``<col><suffix>``;
+    ``ts_match_col`` exposes the matched right timestamp.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction {direction}")
 
     def _join(left: DataFrame) -> DataFrame:
@@ -160,26 +164,47 @@ def asof_join(
 
         # backward: ascending ts, right-before-left at ties → last right seen
         # is the latest r.ts <= l.ts. forward: mirror with descending ts.
-        if direction == "backward":
-            order = [F.col("__ts").asc(), F.col("__is_left").asc()]
-        else:
-            order = [F.col("__ts").desc(), F.col("__is_left").asc()]
-        w = (
+        # nearest: both passes share the exchange; pick the closer match.
+        wb = (
             Window.partitionBy(*on)
-            .orderBy(*order)
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        matched = (
-            l2.unionByName(r2)
-            .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-            .filter(F.col("__is_left"))
+        wf = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        u = l2.unionByName(r2)
+        if direction == "backward":
+            u = u.withColumn("__m", F.last("__r", ignorenulls=True).over(wb))
+        elif direction == "forward":
+            u = u.withColumn("__m", F.last("__r", ignorenulls=True).over(wf))
+        else:
+            mb = F.last("__r", ignorenulls=True).over(wb)
+            mf = F.last("__r", ignorenulls=True).over(wf)
+            u = u.withColumn("__mb", mb).withColumn("__mf", mf).withColumn(
+                "__m",
+                F.when(F.col("__mb").isNull(), F.col("__mf"))
+                .when(F.col("__mf").isNull(), F.col("__mb"))
+                .when(
+                    (F.col("__ts") - F.col("__mb.__rts"))
+                    <= (F.col("__mf.__rts") - F.col("__ts")),
+                    F.col("__mb"),
+                )
+                .otherwise(F.col("__mf")),
+            ).drop("__mb", "__mf")
+        matched = u.filter(F.col("__is_left"))
         if tolerance is not None:
-            gap = (
-                F.col("__ts") - F.col("__m.__rts")
-                if direction == "backward"
-                else F.col("__m.__rts") - F.col("__ts")
-            )
+            if direction == "backward":
+                gap = F.col("__ts") - F.col("__m.__rts")
+            elif direction == "forward":
+                gap = F.col("__m.__rts") - F.col("__ts")
+            else:
+                gap = F.greatest(
+                    F.col("__ts") - F.col("__m.__rts"),
+                    F.col("__m.__rts") - F.col("__ts"),
+                )
             matched = matched.withColumn(
                 "__m", F.when(gap <= tolerance, F.col("__m"))
             )

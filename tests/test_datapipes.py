@@ -2222,3 +2222,33 @@ def test_gap_fill_materializes_quiet_buckets(spark):
         t("gap_fill", on=[], ts_col="ts", step="1 day", aggs={"n": "count(1)"})
     with pytest.raises(ValueError):
         t("gap_fill", on=["k"], ts_col="ts", step="1 day", aggs={})
+
+
+def test_asof_nearest_direction(spark):
+    """nearest: picks the closer of backward/forward per row, tie goes
+    backward (pandas merge_asof semantics); one-sided rows fall back to
+    the available side; tolerance bounds the absolute distance."""
+    left = spark.createDataFrame(
+        [(1, 10), (2, 14), (3, 100), (4, 3)], "id INT, t LONG"
+    ).selectExpr("id", "timestampadd(SECOND, t, TIMESTAMP_NTZ'2024-01-01') AS ts")
+    right = spark.createDataFrame(
+        [(5, "a"), (15, "b"), (40, "c")], "t LONG, lab STRING"
+    ).selectExpr("timestampadd(SECOND, t, TIMESTAMP_NTZ'2024-01-01') AS ts",
+                 "lab")
+    l2 = left.withColumn("k", F.lit(1))
+    r2 = right.withColumn("k", F.lit(1))
+    res = {r["id"]: r["lab_matched"] for r in l2.transform(
+        t("asof_join", right=r2, on=["k"], left_ts="ts",
+          right_value_cols=["lab"], direction="nearest")
+    ).collect()}
+    assert res[1] == "a"   # 10: dist 5 back vs 5 fwd -> tie -> backward
+    assert res[2] == "b"   # 14: 9 back vs 1 fwd
+    assert res[3] == "c"   # 100: only backward candidates
+    assert res[4] == "a"   # 3: only forward candidate
+    tol = {r["id"]: r["lab_matched"] for r in l2.transform(
+        t("asof_join", right=r2, on=["k"], left_ts="ts",
+          right_value_cols=["lab"], direction="nearest",
+          tolerance=F.expr("INTERVAL 10 SECONDS"))
+    ).collect()}
+    assert tol[3] is None  # 100 -> nearest is 60s away, beyond tolerance
+    assert tol[1] == "a"
