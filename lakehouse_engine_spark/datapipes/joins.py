@@ -1,12 +1,15 @@
-"""Temporal joins Spark lacks as built-ins: as-of join (and its tolerance
-variant).
+"""Temporal operators Spark lacks as built-ins: as-of joins (backward /
+forward / nearest, tolerance), bucketed range joins, sessionization,
+hopping/trailing windows, skew-salted and fuzzy (Levenshtein) joins,
+interval union, and time-bucket gap fill.
 
-The reference engine has no as-of operator (users would reach for
-``sql_transformation``); large-scale event/feature pipelines need one
+The reference engine has none of these (users would reach for
+``sql_transformation``); large-scale event/feature pipelines need them
 constantly (point-in-time-correct feature lookup, trade/quote matching,
-latest-state enrichment).
+latest-state enrichment, record linkage, coverage stitching).
 
-Scale design — the union-window formulation, NOT a range join:
+Scale design for the as-of family — the union-window formulation, NOT a
+range join:
 
 * Tag right rows, union both sides, and take ``last(right_payload,
   ignorenulls=True)`` over a window partitioned by the join keys and
