@@ -2176,6 +2176,26 @@ def dp80_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp81_text_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode/control cleanup (datapipes/text.py text_clean): every doc
+    gets deterministic dirt appended (zero-width, bell, CRLF, newline
+    runs, space runs), the regex pipeline scrubs it, and the oracle
+    replays the same five replaces in RE2 — output compared by md5, so
+    any byte divergence in the chain fails."""
+    docs = load_table(spark, sf, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.expr("chr(8203)"), F.lit("x"),
+            F.expr("chr(7)"), F.expr("chr(13)"), F.expr("chr(10)"),
+            F.expr("chr(10)"), F.expr("chr(10)"), F.expr("chr(10)"),
+            F.lit("tail   end"), F.expr("chr(1)"),
+        ).alias("text"),
+    )
+    out = dirty.transform(_t("text_clean"))
+    return out.select("doc_id", F.md5("text").alias("clean_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2283,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_scalar_subquery_avg": q25_scalar_subquery_avg,
         "dp79_gap_fill": dp79_gap_fill,
         "dp80_asof_nearest": dp80_asof_nearest,
+        "dp81_text_clean": dp81_text_clean,
     }
 
 
@@ -4274,6 +4295,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(b.value, 6) AS near_value
             FROM clicks c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
               ON c.event_id = b.event_id
+        """,
+        "dp81_text_clean": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text || chr(8203) || 'x' || chr(7) || chr(13) || chr(10)
+                          || chr(10) || chr(10) || chr(10)
+                          || 'tail   end' || chr(1) AS t
+              FROM documents
+            ),
+            cleaned AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(t,
+                          '[\x{200b}\x{200c}\x{200d}\x{2060}\x{feff}]', '', 'g'),
+                        '\r\n?', e'\n', 'g'),
+                      '[\x{01}-\x{08}\x{0b}\x{0c}\x{0e}-\x{1f}\x{7f}-\x{9f}]',
+                      '', 'g'),
+                    e'\n{3,}', e'\n\n', 'g'),
+                  e'[ \t]{2,}', ' ', 'g') AS t
+              FROM dirty
+            )
+            SELECT doc_id, md5(t) AS clean_md5 FROM cleaned
         """,
     }
     # dp77 composes dp01's feature SQL verbatim, then applies the SAME

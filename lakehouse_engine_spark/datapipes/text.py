@@ -950,3 +950,48 @@ def lexical_diversity(
         )
 
     return _div
+
+
+@register("text_clean")
+def text_clean(
+    input_col: str = "text",
+    output_col: Optional[str] = None,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+    strip_zero_width: bool = True,
+    max_consecutive_newlines: int = 2,
+) -> TransformerFn:
+    """Corpus text normalization: strip C0/C1 control characters (except
+    tab/newline), remove zero-width/joiner codepoints (the invisible
+    characters that defeat exact dedup and inflate tokenizers), cap
+    consecutive newlines, and collapse runs of spaces/tabs - the
+    pre-dedup cleanup pass of a web-scraped corpus. Purely
+    ``regexp_replace`` chains: whole-stage codegen, no Python, no
+    shuffle; each toggle drops its replace from the plan entirely.
+    Writes ``output_col`` (default: in place).
+    """
+    out = output_col or input_col
+
+    def _clean(df: DataFrame) -> DataFrame:
+        c = F.col(input_col)
+        if strip_zero_width:
+            c = F.regexp_replace(
+                c, "[\u200b\u200c\u200d\u2060\ufeff]", ""
+            )
+        if strip_control:
+            # keep tab and newline; fold CRLF / CR to newline first
+            c = F.regexp_replace(c, "\r\n?", "\n")
+            c = F.regexp_replace(
+                c, "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", ""
+            )
+        if max_consecutive_newlines is not None:
+            c = F.regexp_replace(
+                c,
+                "\n{" + str(int(max_consecutive_newlines) + 1) + ",}",
+                "\n" * int(max_consecutive_newlines),
+            )
+        if collapse_whitespace:
+            c = F.regexp_replace(c, "[ \t]{2,}", " ")
+        return df.withColumn(out, c)
+
+    return _clean

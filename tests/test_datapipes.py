@@ -2252,3 +2252,20 @@ def test_asof_nearest_direction(spark):
     ).collect()}
     assert tol[3] is None  # 100 -> nearest is 60s away, beyond tolerance
     assert tol[1] == "a"
+
+
+def test_text_clean_normalization(spark):
+    """Control chars stripped (tab/newline kept), CRLF folded, zero-width
+    removed, newline runs capped, space runs collapsed; toggles off leave
+    text alone."""
+    dirty = "a​b\x07c\r\nline2\n\n\n\nline3  \t  end\x00"
+    df = spark.createDataFrame([(1, dirty)], "id INT, text STRING")
+    out = df.transform(t("text_clean")).collect()[0]["text"]
+    assert out == "abc\nline2\n\nline3 end"
+    raw = df.transform(
+        t("text_clean", strip_control=False, collapse_whitespace=False,
+          strip_zero_width=False, max_consecutive_newlines=None,
+          output_col="clean")
+    ).collect()[0]
+    assert raw["clean"] == dirty  # all toggles off: identity
+    assert raw["text"] == dirty   # original untouched with output_col
