@@ -2196,6 +2196,25 @@ def dp81_text_clean(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.md5("text").alias("clean_md5"))
 
 
+def dp82_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (datapipes/text.py url_normalize): constructed
+    messy URLs (uppercase host, default port, tracking params, unsorted
+    query, fragment) per doc — the oracle predicts the canonical form in
+    closed form, so every normalization rule is checked end-to-end."""
+    docs = load_table(spark, sf, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Example"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".COM:80/p/"), (F.col("doc_id") % 20).cast("string"),
+            F.lit("?utm_source=s"), F.col("doc_id").cast("string"),
+            F.lit("&b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    out = urls.transform(_t("url_normalize"))
+    return out.select("doc_id", F.col("url").alias("url_norm"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2304,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp79_gap_fill": dp79_gap_fill,
         "dp80_asof_nearest": dp80_asof_nearest,
         "dp81_text_clean": dp81_text_clean,
+        "dp82_url_normalize": dp82_url_normalize,
     }
 
 
@@ -4320,6 +4340,13 @@ def oracle_sql() -> dict[str, str]:
               FROM dirty
             )
             SELECT doc_id, md5(t) AS clean_md5 FROM cleaned
+        """,
+        "dp82_url_normalize": """
+            SELECT doc_id,
+                   'http://example' || CAST(doc_id % 50 AS VARCHAR)
+                   || '.com/p/' || CAST(doc_id % 20 AS VARCHAR)
+                   || '?a=1&b=2' AS url_norm
+            FROM documents
         """,
     }
     # dp77 composes dp01's feature SQL verbatim, then applies the SAME

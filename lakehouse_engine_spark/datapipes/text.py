@@ -995,3 +995,52 @@ def text_clean(
         return df.withColumn(out, c)
 
     return _clean
+
+
+@register("url_normalize")
+def url_normalize(
+    input_col: str = "url",
+    output_col: Optional[str] = None,
+    tracking_prefixes: Optional[List[str]] = None,
+) -> TransformerFn:
+    """Canonicalize URLs for dedup/domain analysis: strip the fragment,
+    lowercase scheme+host, drop default ports (:80 http / :443 https),
+    remove tracking parameters (``utm_*``/``fbclid``/``gclid`` by
+    default), and sort the remaining query parameters — the
+    web-corpus-side twin of content dedup (the same page arrives under
+    dozens of parameter orderings and tracking decorations). Entirely
+    regexp/array codegen: no Python, no shuffle, replayable by the SQL
+    oracle byte-for-byte.
+    """
+    out = output_col or input_col
+    prefixes = tracking_prefixes or ["utm_", "fbclid", "gclid"]
+
+    def _norm(df: DataFrame) -> DataFrame:
+        u = F.regexp_replace(F.col(input_col), "#.*$", "")  # fragment
+        scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+        hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)", 1))
+        host = (
+            F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+            .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+            .otherwise(hostport)
+        )
+        tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*", "")
+        path = F.regexp_replace(tail, r"\?.*$", "")
+        qs = F.when(
+            tail.contains("?"), F.regexp_replace(tail, r"^[^?]*\?", "")
+        ).otherwise(F.lit(""))
+        drop = " OR ".join(f"startswith(p, '{pre}')" for pre in prefixes)
+        cleaned = df.withColumn("__qs", qs).withColumn(
+            "__params",
+            F.expr(
+                "array_join(array_sort(filter(split(__qs, '&'), "
+                f"p -> p <> '' AND NOT ({drop}))), '&')"
+            ),
+        )
+        norm = F.concat(
+            scheme, F.lit("://"), host, path,
+            F.when(F.col("__params") != "", F.concat(F.lit("?"), F.col("__params"))).otherwise(F.lit("")),
+        )
+        return cleaned.withColumn(out, norm).drop("__qs", "__params")
+
+    return _norm

@@ -2269,3 +2269,22 @@ def test_text_clean_normalization(spark):
     ).collect()[0]
     assert raw["clean"] == dirty  # all toggles off: identity
     assert raw["text"] == dirty   # original untouched with output_col
+
+
+def test_url_normalize_canonical_forms(spark):
+    """Fragments stripped, scheme/host lowercased, default ports dropped
+    (only for the matching scheme), tracking params removed, remaining
+    params sorted, bare '?' dropped; path case and non-default ports
+    preserved."""
+    urls = [
+        (1, "HTTP://Example.COM:80/Path/Page?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.com:443/?gclid=abc"),
+        (3, "https://example.com:8443/p?z=1&y=2"),
+        (4, "http://EXAMPLE.com/Path?a=1&b=2"),
+    ]
+    df = spark.createDataFrame(urls, "id INT, url STRING")
+    out = {r["id"]: r["url"] for r in df.transform(t("url_normalize")).collect()}
+    assert out[1] == "http://example.com/Path/Page?a=1&b=2"
+    assert out[2] == "https://example.com/"
+    assert out[3] == "https://example.com:8443/p?y=2&z=1"  # port kept
+    assert out[4] == "http://example.com/Path?a=1&b=2"
