@@ -51,17 +51,30 @@ def snapshot_diff(
         raise ValueError(f"snapshot_diff: mode must be summary|rows, got {mode}")
 
     def _diff(new: DataFrame) -> DataFrame:
-        cmp_cols = compare_cols or [
-            c for c in new.columns if c in set(right.columns) - set(key_cols)
-        ]
+        # None -> every shared non-key column; an explicit [] means
+        # key-presence-only (no row can be "changed")
+        cmp_cols = (
+            compare_cols
+            if compare_cols is not None
+            else [c for c in new.columns
+                  if c in set(right.columns) - set(key_cols)]
+        )
+
+        def payload(side: DataFrame):
+            return (
+                F.struct(*[F.col(c) for c in cmp_cols])
+                if cmp_cols
+                else F.lit(True)
+            )
+
         n = new.select(
             *key_cols,
-            F.struct(*[F.col(c) for c in cmp_cols]).alias("__new"),
+            payload(new).alias("__new"),
             F.lit(True).alias("__in_new"),
         )
         o = right.select(
             *key_cols,
-            F.struct(*[F.col(c) for c in cmp_cols]).alias("__old"),
+            payload(right).alias("__old"),
             F.lit(True).alias("__in_old"),
         )
         joined = n.join(o, on=key_cols, how="full_outer")
@@ -110,19 +123,20 @@ def schema_drift(
         spark = new.sparkSession
 
         def side(df: DataFrame):
-            aggs = [F.count(F.lit(1)).alias("__n")] + [
-                F.sum(F.col(c).isNull().cast("long")).alias(c)
-                for c in df.columns
+            aggs = [F.count(F.lit(1))] + [
+                F.sum(F.col(c).isNull().cast("long")) for c in df.columns
             ]
             row = df.agg(*aggs).first()
-            total = row["__n"]
+            total = row[0]  # positional: immune to column-name collisions
             types = dict(df.dtypes)
+            # an EMPTY side provides no values at all: report 100% null so
+            # a vanished snapshot flags null_drift instead of "ok"
             return {
                 c: (
                     types[c],
-                    round(100.0 * row[c] / total, 4) if total else 0.0,
+                    round(100.0 * row[i + 1] / total, 4) if total else 100.0,
                 )
-                for c in df.columns
+                for i, c in enumerate(df.columns)
             }
 
         new_side, old_side = side(new), side(right)

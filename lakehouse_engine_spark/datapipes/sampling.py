@@ -24,9 +24,14 @@ from lakehouse_engine_spark.datapipes.registry import register
 BUCKETS = 1_000_000
 
 
-def _bucket(id_col: str, seed: str) -> Column:
+def _bucket_raw(id_col: str, seed: str) -> Column:
+    """Full 60-bit md5-fold (no modulus) — the shared portable hash."""
     key = F.concat(F.col(id_col).cast("string"), F.lit(seed))
-    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % BUCKETS
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def _bucket(id_col: str, seed: str) -> Column:
+    return _bucket_raw(id_col, seed) % BUCKETS
 
 
 @register("hash_sample")
@@ -457,9 +462,3 @@ def weighted_sample_k(
         )
 
     return _sample
-
-
-def _bucket_raw(id_col: str, seed: str) -> Column:
-    """Full 60-bit md5-fold (no modulus) — the shared portable hash."""
-    key = F.concat(F.col(id_col).cast("string"), F.lit(seed))
-    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")

@@ -364,7 +364,10 @@ def streaming_approx_distinct(
     def _estimate(regs: list) -> float:
         import math
 
-        alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+        # small-m bias constants; the asymptotic formula from m >= 128
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+            m, 0.7213 / (1 + 1.079 / m)
+        )
         inv = sum(2.0 ** -r for r in regs)
         est = alpha * m * m / inv
         zeros = regs.count(0)

@@ -1013,7 +1013,12 @@ def url_normalize(
     oracle byte-for-byte.
     """
     out = output_col or input_col
-    prefixes = tracking_prefixes or ["utm_", "fbclid", "gclid"]
+    # None -> defaults; an explicit [] means "strip nothing"
+    prefixes = (
+        tracking_prefixes
+        if tracking_prefixes is not None
+        else ["utm_", "fbclid", "gclid"]
+    )
 
     def _norm(df: DataFrame) -> DataFrame:
         u = F.regexp_replace(F.col(input_col), "#.*$", "")  # fragment
@@ -1029,7 +1034,10 @@ def url_normalize(
         qs = F.when(
             tail.contains("?"), F.regexp_replace(tail, r"^[^?]*\?", "")
         ).otherwise(F.lit(""))
-        drop = " OR ".join(f"startswith(p, '{pre}')" for pre in prefixes)
+        drop = " OR ".join(
+            "startswith(p, '" + pre.replace("'", "\\'") + "')"
+            for pre in prefixes
+        ) or "false"
         cleaned = df.withColumn("__qs", qs).withColumn(
             "__params",
             F.expr(
@@ -1041,6 +1049,10 @@ def url_normalize(
             scheme, F.lit("://"), host, path,
             F.when(F.col("__params") != "", F.concat(F.lit("?"), F.col("__params"))).otherwise(F.lit("")),
         )
+        # only absolute scheme://host URLs are canonicalized; schemeless /
+        # protocol-relative inputs pass through unchanged rather than being
+        # corrupted with a bare '://' prefix
+        norm = F.when(scheme == "", F.col(input_col)).otherwise(norm)
         return cleaned.withColumn(out, norm).drop("__qs", "__params")
 
     return _norm

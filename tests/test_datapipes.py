@@ -2288,3 +2288,53 @@ def test_url_normalize_canonical_forms(spark):
     assert out[2] == "https://example.com/"
     assert out[3] == "https://example.com:8443/p?y=2&z=1"  # port kept
     assert out[4] == "http://example.com/Path?a=1&b=2"
+
+
+def test_review_fix_regressions(spark):
+    """Round-4 review fixes: schemeless URLs pass through; empty tracking
+    list strips nothing; quoted prefix doesn't break the plan; empty
+    compare_cols = key-presence-only diff; empty new snapshot flags
+    null_drift; HLL precision>6 uses the asymptotic alpha (estimate still
+    lands in band)."""
+    # url_normalize
+    df = spark.createDataFrame(
+        [(1, "example.com/page?a=1"), (2, "//cdn.example.com/x"),
+         (3, "HTTP://A.com/p?utm_source=1&a=2")],
+        "id INT, url STRING",
+    )
+    out = {r["id"]: r["url"] for r in df.transform(t("url_normalize")).collect()}
+    assert out[1] == "example.com/page?a=1"       # passthrough
+    assert out[2] == "//cdn.example.com/x"        # protocol-relative kept
+    assert out[3] == "http://a.com/p?a=2"
+    keep_all = df.filter("id = 3").transform(
+        t("url_normalize", tracking_prefixes=[])
+    ).collect()[0]["url"]
+    assert keep_all == "http://a.com/p?a=2&utm_source=1"
+    quoted = df.filter("id = 3").transform(
+        t("url_normalize", tracking_prefixes=["a'b", "utm_"])
+    ).collect()[0]["url"]
+    assert quoted == "http://a.com/p?a=2"
+
+    # snapshot_diff key-presence-only
+    old = spark.createDataFrame([(1, "x"), (2, "y")], "k INT, v STRING")
+    new = spark.createDataFrame([(1, "CHANGED"), (3, "z")], "k INT, v STRING")
+    summary = {r["status"]: r["n"] for r in new.transform(
+        t("snapshot_diff", right=old, key_cols=["k"], compare_cols=[])
+    ).collect()}
+    assert summary == {"unchanged": 1, "added": 1, "removed": 1}
+
+    # schema_drift empty new side
+    empty = spark.createDataFrame([], "k INT, v STRING")
+    drift = {r["column"]: r["status"] for r in empty.transform(
+        t("schema_drift", right=old)).collect()}
+    assert drift == {"k": "null_drift", "v": "null_drift"}
+
+    # HLL precision 8 (m=256): asymptotic alpha branch, reasonable estimate
+    vals = spark.createDataFrame(
+        [("d", f"v{i}") for i in range(3000)], "domain STRING, v STRING"
+    )
+    est = vals.transform(
+        t("streaming_approx_distinct", on=["domain"], value_col="v",
+          precision=8)
+    ).collect()[0]["approx_distinct"]
+    assert abs(est - 3000) / 3000 < 0.25
