@@ -891,6 +891,61 @@ def q22_gab_quarter_month_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q26_gab_daily_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """GAB DAY cadence: the degenerate join-free arm of _cadence_join_config
+    — every bucket is a single day, so from_date = to_date = the event date
+    and the whole rollup is one codegen aggregation with no calendar join
+    (reference matrix core/definitions.py:1415-1756, DAY rows; our
+    algorithms/gab.py:89 takes the same shortcut)."""
+    orders = load_table(spark, sf, "orders")
+    orders.createOrReplaceTempView("gab_q26_orders")
+    return spark.sql(
+        f"""
+        SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS from_date,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS to_date,
+               o_orderpriority AS d1,
+               COUNT(*) AS m1,
+               CAST(SUM({_dec('o_totalprice')}) AS DOUBLE) AS m2
+        FROM gab_q26_orders
+        WHERE o_orderdate >= DATE'1995-01-01' AND o_orderdate < DATE'1995-03-01'
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
+def q27_gab_year_month_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """GAB YEAR cadence reconciled MONTHLY with snapshot=Y: one bucket per
+    concluded month, spanning year start -> least(month_end, year_end), so
+    each monthly snapshot accumulates year-to-date (the snapshot branch of
+    _cadence_join_config for YEAR rows; reference matrix
+    core/definitions.py:1415-1756). Calendar dimension generated and
+    broadcast-joined exactly as GAB emits it — closes the last uncovered
+    cadence arm (DAY covered by q26)."""
+    from lakehouse_engine_spark.utils.gab_utils import create_calendar_view
+
+    orders = load_table(spark, sf, "orders")
+    orders.createOrReplaceTempView("gab_q27_orders")
+    create_calendar_view(spark, "1995-01-01", "1995-12-31", view_name="df_cal_q27")
+    return spark.sql(
+        f"""
+        SELECT date_format(cal.cadence_start_date, 'yyyy-MM-dd') AS from_date,
+               date_format(cal.cadence_end_date, 'yyyy-MM-dd') AS to_date,
+               o.o_orderpriority AS d1,
+               COUNT(*) AS m1,
+               CAST(SUM({_dec('o.o_totalprice')}) AS DOUBLE) AS m2
+        FROM gab_q27_orders o
+        INNER JOIN (
+            SELECT DISTINCT year_start AS cadence_start_date,
+                            least(month_end, year_end) AS cadence_end_date
+            FROM df_cal_q27
+        ) cal
+          ON o.o_orderdate BETWEEN cal.cadence_start_date AND cal.cadence_end_date
+        WHERE o.o_orderdate >= DATE'1995-01-01' AND o.o_orderdate < DATE'1996-01-01'
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
 def dp11_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup removal. The 60-bit signature is an md5-fold (ANSI
     portable), so the DuckDB oracle rebuilds the full pipeline —
@@ -2216,7 +2271,81 @@ def dp82_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER is load-bearing: the driver's correctness gate checks
+    # the first 50 entries each round. Policy (round 5): front-load the
+    # queries that have never received the driver's hard signal — the two
+    # new GAB cadence arms (q26/q27), dp29 (round-3's hash-red, never
+    # driver-re-checked since), then the round-4 judge-verified-only cohort
+    # dp30..dp74 (incl. q23/q24). The 9 leftovers (dp75..dp82, q25) rotate
+    # in next round; the 50 rows already driver-green in CORRECTNESS_r04
+    # follow at the back. Every entry stays value-verified every round via
+    # tools/check_oracle.py regardless of position.
     return {
+        # --- never driver-verified: new this round ---
+        "q26_gab_daily_rollup": q26_gab_daily_rollup,
+        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
+        # --- round-3 red, rotated out before re-check ---
+        "dp29_pack_sequences": dp29_pack_sequences,
+        # --- judge-verified round 4, never driver-checked ---
+        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
+        "dp31_sessionize_boundary": dp31_sessionize_boundary,
+        "dp32_audio_decode": dp32_audio_decode,
+        "dp33_text_chunk": dp33_text_chunk,
+        "dp34_quality_prune": dp34_quality_prune,
+        "dp35_lm_score": dp35_lm_score,
+        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,
+        "dp37_global_shuffle": dp37_global_shuffle,
+        "dp38_embedding_quantize": dp38_embedding_quantize,
+        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
+        "dp40_cross_near_dedup": dp40_cross_near_dedup,
+        "dp41_quantile_prune": dp41_quantile_prune,
+        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
+        "dp43_image_phash_dedup": dp43_image_phash_dedup,
+        "dp44_lm_score_bigram": dp44_lm_score_bigram,
+        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
+        "dp46_token_budget_sample": dp46_token_budget_sample,
+        "dp47_line_dedup": dp47_line_dedup,
+        "dp48_substring_dedup": dp48_substring_dedup,
+        "dp49_curation_report": dp49_curation_report,
+        "dp50_hopping_window": dp50_hopping_window,
+        "dp51_winsorize": dp51_winsorize,
+        "dp52_zscore_normalize": dp52_zscore_normalize,
+        "dp53_weighted_sample": dp53_weighted_sample,
+        "dp54_trailing_window": dp54_trailing_window,
+        "dp55_funnel": dp55_funnel,
+        "dp56_cohort_retention": dp56_cohort_retention,
+        "dp57_robust_scale": dp57_robust_scale,
+        "dp58_quantile_summary": dp58_quantile_summary,
+        "dp59_event_pivot": dp59_event_pivot,
+        "dp60_salted_join": dp60_salted_join,
+        "dp61_keep_best_dedup": dp61_keep_best_dedup,
+        "dp62_cluster_sample": dp62_cluster_sample,
+        "dp63_cdc_chunk": dp63_cdc_chunk,
+        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
+        "dp64_ewma_anomaly": dp64_ewma_anomaly,
+        "dp65_fuzzy_join": dp65_fuzzy_join,
+        "dp66_scd2_build": dp66_scd2_build,
+        "dp67_merge_intervals": dp67_merge_intervals,
+        "dp68_json_props": dp68_json_props,
+        "dp69_bpe_tokenize": dp69_bpe_tokenize,
+        "dp70_video_frames": dp70_video_frames,
+        "q24_semi_anti_join": q24_semi_anti_join,
+        "dp71_trend_fit": dp71_trend_fit,
+        "dp72_histogram": dp72_histogram,
+        "dp73_weighted_sample_k": dp73_weighted_sample_k,
+        "dp74_lexical_diversity": dp74_lexical_diversity,
+        # ---- driver window boundary (entry 50) ----
+        # judge-verified round 4, rotate into the window next round
+        "dp75_snapshot_diff": dp75_snapshot_diff,
+        "dp76_schema_drift": dp76_schema_drift,
+        "dp77_quality_model_filter": dp77_quality_model_filter,
+        "dp78_event_transitions": dp78_event_transitions,
+        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,
+        "dp79_gap_fill": dp79_gap_fill,
+        "dp80_asof_nearest": dp80_asof_nearest,
+        "dp81_text_clean": dp81_text_clean,
+        "dp82_url_normalize": dp82_url_normalize,
+        # --- driver-green in CORRECTNESS_r04 (hard signal on record) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_by_segment": q02_revenue_by_segment,
         "q03_latest_order_per_customer": q03_latest_order_per_customer,
@@ -2267,63 +2396,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp26_mixture_sample": dp26_mixture_sample,
         "dp27_image_decode": dp27_image_decode,
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
-        "dp29_pack_sequences": dp29_pack_sequences,
-        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
-        "dp31_sessionize_boundary": dp31_sessionize_boundary,
-        "dp32_audio_decode": dp32_audio_decode,
-        "dp33_text_chunk": dp33_text_chunk,
-        "dp34_quality_prune": dp34_quality_prune,
-        "dp35_lm_score": dp35_lm_score,
-        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,
-        "dp37_global_shuffle": dp37_global_shuffle,
-        "dp38_embedding_quantize": dp38_embedding_quantize,
-        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
-        "dp40_cross_near_dedup": dp40_cross_near_dedup,
-        "dp41_quantile_prune": dp41_quantile_prune,
-        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
-        "dp43_image_phash_dedup": dp43_image_phash_dedup,
-        "dp44_lm_score_bigram": dp44_lm_score_bigram,
-        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
-        "dp46_token_budget_sample": dp46_token_budget_sample,
-        "dp47_line_dedup": dp47_line_dedup,
-        "dp48_substring_dedup": dp48_substring_dedup,
-        "dp49_curation_report": dp49_curation_report,
-        "dp50_hopping_window": dp50_hopping_window,
-        "dp51_winsorize": dp51_winsorize,
-        "dp52_zscore_normalize": dp52_zscore_normalize,
-        "dp53_weighted_sample": dp53_weighted_sample,
-        "dp54_trailing_window": dp54_trailing_window,
-        "dp55_funnel": dp55_funnel,
-        "dp56_cohort_retention": dp56_cohort_retention,
-        "dp57_robust_scale": dp57_robust_scale,
-        "dp58_quantile_summary": dp58_quantile_summary,
-        "dp59_event_pivot": dp59_event_pivot,
-        "dp60_salted_join": dp60_salted_join,
-        "dp61_keep_best_dedup": dp61_keep_best_dedup,
-        "dp62_cluster_sample": dp62_cluster_sample,
-        "dp63_cdc_chunk": dp63_cdc_chunk,
-        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
-        "dp64_ewma_anomaly": dp64_ewma_anomaly,
-        "dp65_fuzzy_join": dp65_fuzzy_join,
-        "dp66_scd2_build": dp66_scd2_build,
-        "dp67_merge_intervals": dp67_merge_intervals,
-        "dp68_json_props": dp68_json_props,
-        "dp69_bpe_tokenize": dp69_bpe_tokenize,
-        "dp70_video_frames": dp70_video_frames,
-        "q24_semi_anti_join": q24_semi_anti_join,
-        "dp71_trend_fit": dp71_trend_fit,
-        "dp72_histogram": dp72_histogram,
-        "dp73_weighted_sample_k": dp73_weighted_sample_k,
-        "dp74_lexical_diversity": dp74_lexical_diversity,
-        "dp75_snapshot_diff": dp75_snapshot_diff,
-        "dp76_schema_drift": dp76_schema_drift,
-        "dp77_quality_model_filter": dp77_quality_model_filter,
-        "dp78_event_transitions": dp78_event_transitions,
-        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,
-        "dp79_gap_fill": dp79_gap_fill,
-        "dp80_asof_nearest": dp80_asof_nearest,
-        "dp81_text_clean": dp81_text_clean,
-        "dp82_url_normalize": dp82_url_normalize,
     }
 
 
@@ -3704,6 +3776,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN buckets b
               ON o.o_orderdate BETWEEN b.cadence_start_date AND b.cadence_end_date
             WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1995-07-01'
+            GROUP BY 1, 2, 3
+        """,
+        "q26_gab_daily_rollup": """
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS from_date,
+                   strftime(o_orderdate, '%Y-%m-%d') AS to_date,
+                   o_orderpriority AS d1,
+                   COUNT(*) AS m1,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m2
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-03-01'
+            GROUP BY 1, 2, 3
+        """,
+        "q27_gab_year_month_snapshot": """
+            WITH cal AS (
+              SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                                            INTERVAL 1 DAY))::DATE AS d
+            ), buckets AS (
+              SELECT DISTINCT
+                     date_trunc('year', d)::DATE AS cadence_start_date,
+                     LEAST(last_day(d),
+                           (date_trunc('year', d + INTERVAL 12 MONTH)
+                            - INTERVAL 1 DAY)::DATE) AS cadence_end_date
+              FROM cal
+            )
+            SELECT strftime(b.cadence_start_date, '%Y-%m-%d') AS from_date,
+                   strftime(b.cadence_end_date, '%Y-%m-%d') AS to_date,
+                   o.o_orderpriority AS d1,
+                   COUNT(*) AS m1,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m2
+            FROM orders o
+            JOIN buckets b
+              ON o.o_orderdate BETWEEN b.cadence_start_date AND b.cadence_end_date
+            WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1996-01-01'
             GROUP BY 1, 2, 3
         """,
         "dp50_hopping_window": """

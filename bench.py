@@ -3,13 +3,23 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
 Methodology: each query is built fresh and executed to a count action
-twice; the reported time is the best of the two runs (standard warm-run
-benchmarking — the first run additionally pays one-time JIT/whole-stage-
-codegen compilation, which a long-running cluster amortizes across
-thousands of micro-batches/queries). The session itself is warmed once
-(JVM classloading, Python worker pool for pandas-UDF queries) for the same
-reason. Caches are cleared between runs, so I/O and shuffles are real on
-every run — only compilation is amortized.
+``SPARK_GRAFT_BENCH_RUNS`` times (default 3); the reported time is the
+**median** (robust to one-off JIT/GC hiccups on a shared VM — round-4's
+dp29 "1.91x" was a single cold run; medians flattened it). The session
+itself is warmed once (JVM classloading, Python worker pool for
+pandas-UDF queries) because a long-running cluster amortizes those across
+thousands of queries. Caches are cleared between runs, so I/O and
+shuffles are real on every run — only compilation is amortized.
+
+Output contract (the driver captures only the last ~2000 chars of
+output, and the 107 full query names alone exceed that):
+
+- stdout, last line: ONE compact JSON line whose ``queries`` dict uses
+  the short unique prefix of each query name (``q01``, ``dp28``, ...) so
+  the line stays well under the capture window.
+- ``BENCH_SELF.json`` (repo root): the same result with FULL query
+  names, written before the stdout line. This file is committed per
+  round, so full-name timings are always recoverable.
 
 Set ``SPARK_GRAFT_BENCH_RUNS=1`` for single-shot (cold-compile) timings.
 """
@@ -19,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -26,6 +37,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from lakehouse_engine_spark.core.exec_env import ExecEnv
+
+
+def short_key(name: str) -> str:
+    """q01_pricing_summary -> q01; dp28_embedding_dedup_lsh -> dp28."""
+    return name.split("_", 1)[0]
 
 
 def main() -> None:
@@ -46,37 +62,51 @@ def main() -> None:
         _ident, "id long"
     ).count()
 
-    runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")), 1)
+    runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
     only = set(sys.argv[1:])  # optional name filter for local iteration
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
-        best, n = float("inf"), 0
+        samples, n = [], 0
         for _ in range(runs):
             # standalone timing: no cross-query cache reuse, no block buildup
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        dt = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        dt = round(statistics.median(samples), 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": runs,
+    }
+    # full-name record for the judge / BASELINE bookkeeping
+    self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    try:
+        with open(self_path, "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError as exc:  # never let bookkeeping kill the bench line
+        print(f"# BENCH_SELF.json write failed: {exc}", file=sys.stderr)
+
+    # driver-facing line: short keys keep it inside the ~2000-char capture
+    # window (full names total ~3KB and were truncated in round 4)
+    compact = dict(result)
+    shorts = [short_key(k) for k in timings]
+    assert len(set(shorts)) == len(shorts), "short keys must stay unique"
+    compact["queries"] = {short_key(k): v for k, v in timings.items()}
+    compact["names"] = "short keys; full names in BENCH_SELF.json"
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
