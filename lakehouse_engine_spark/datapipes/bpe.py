@@ -172,6 +172,8 @@ def bpe_encode(
     id_col: str = "doc_id",
     output_col: str = "bpe_tokens",
     lowercase: bool = False,
+    broadcast_dictionary: bool | None = None,
+    broadcast_threshold_rows: int = 2_000_000,
 ) -> TransformerFn:
     """Tokenize the corpus with a trained merge table: adds ``output_col``
     (array of subword pieces, word-order preserved) and
@@ -181,11 +183,23 @@ def bpe_encode(
     token streams); token-less documents survive with an empty array.
 
     Corpus cost: one distinct-word pass, a pandas encode over the
-    DISTINCT words only, a broadcast join back, and JVM-side per-document
+    DISTINCT words only, a join back, and JVM-side per-document
     reassembly — Python never sees corpus-scale data.
+
+    Broadcast gate: the dictionary is *distinct word types*, which on
+    clean prose is vocabulary-sized but on 100 TB of web text (typos,
+    URLs, code) can reach 10⁸–10⁹ rows × piece arrays — force-broadcasting
+    that OOMs executors. Default (``broadcast_dictionary=None``) counts
+    the distinct-word table (one aggregate over the already-persisted
+    distinct — no extra corpus pass) and broadcasts only under
+    ``broadcast_threshold_rows``; above it the encode join runs as a
+    regular shuffle join on ``__w``. Pass ``True``/``False`` to skip the
+    count and pin the strategy.
     """
 
     def _encode(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
         mlist = [
             (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
         ]
@@ -197,17 +211,26 @@ def bpe_encode(
 
         src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
         with_words = df.withColumn("__words", tokens(src))
-        dictionary = (
+        # persist the RAW distinct words (pre-UDF): reused by the size
+        # probe and the encode, so the pandas encode runs exactly once
+        # and the count never invokes Python
+        distinct_words = (
             with_words.select(F.explode("__words").alias("__w"))
             .distinct()
-            .withColumn("__pieces", _enc(F.col("__w")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        do_broadcast = broadcast_dictionary
+        if do_broadcast is None:
+            do_broadcast = distinct_words.count() <= broadcast_threshold_rows
+        dictionary = distinct_words.withColumn("__pieces", _enc(F.col("__w")))
+        if do_broadcast:
+            dictionary = F.broadcast(dictionary)
         exploded = with_words.select(
             F.col(id_col).alias("__id"),
             F.posexplode("__words").alias("__p", "__w"),
         )
         assembled = (
-            exploded.join(F.broadcast(dictionary), "__w")
+            exploded.join(dictionary, "__w")
             .groupBy("__id")
             .agg(
                 F.flatten(

@@ -685,6 +685,8 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     k: int = 5,
     min_df: int = 1,
+    broadcast_df: bool | None = None,
+    broadcast_threshold_rows: int = 2_000_000,
 ) -> TransformerFn:
     """Per-document top-``k`` TF-IDF terms — the keyword-extraction /
     salient-term step of corpus analytics. Returns one row per (doc, term)
@@ -700,10 +702,18 @@ def tfidf_top_terms(
 
     Scale design: tf = one map-side-combined groupBy (doc, term) — shuffled
     volume is distinct terms per doc, not token count; df = groupBy over the
-    *already-distinct* (doc, term) pairs keyed by term. The df side is
-    vocabulary-sized, so it **broadcasts** back onto tf; the final top-k is
+    *already-distinct* (doc, term) pairs keyed by term. The final top-k is
     a per-doc window over ≤ distinct-terms rows, one doc-keyed shuffle.
     ``min_df`` prunes hapax noise before the join at large scale.
+
+    Broadcast gate: the df side is "vocabulary-sized", but with the
+    default ``min_df=1`` on web-scale text that is every distinct term —
+    potentially 10⁸+ rows, which a forced broadcast would OOM. Default
+    (``broadcast_df=None``) counts ``dfreq`` (one aggregate over the
+    already-persisted pairs — cheap) and broadcasts only under
+    ``broadcast_threshold_rows``; above it the tf⋈df join runs as a
+    regular shuffle join on ``term``. Pass ``True``/``False`` to skip the
+    count and pin the strategy.
     """
 
     def _tfidf(df: DataFrame) -> DataFrame:
@@ -727,11 +737,16 @@ def tfidf_top_terms(
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") >= min_df)
         )
+        do_broadcast = broadcast_df
+        if do_broadcast is None:
+            do_broadcast = dfreq.count() <= broadcast_threshold_rows
+        if do_broadcast:
+            dfreq = F.broadcast(dfreq)
         w = Window.partitionBy("__id").orderBy(
             F.desc("__tfidf_s"), F.asc("term")
         )
         return (
-            pairs.join(F.broadcast(dfreq), "term")
+            pairs.join(dfreq, "term")
             .crossJoin(F.broadcast(n_docs))
             .withColumn(
                 "__idf_s",

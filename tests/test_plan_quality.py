@@ -560,3 +560,80 @@ def test_semi_anti_join_shapes(spark, sf_dir):
     assert "LeftSemi" in physical, physical[:2000]
     assert "LeftAnti" in physical
     assert "CartesianProduct" not in physical
+
+
+def test_tfidf_large_vocab_does_not_broadcast(spark):
+    """The df-side broadcast is SIZE-GATED: above broadcast_threshold_rows
+    (here forced to 0) the op must NOT plant a broadcast hint — on 100 TB
+    of web text min_df=1 makes dfreq the full distinct-term vocabulary and
+    a forced broadcast OOMs executors regardless of
+    autoBroadcastJoinThreshold. With the hint gone, Spark's own size stats
+    decide; with auto-broadcast disabled (simulating a too-big-to-estimate
+    side) the join degrades to a shuffle join, proving no hint survives."""
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.transformers.transformer_factory import (
+        TransformerFactory,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i} delta word{i % 7}") for i in range(40)],
+        "doc_id LONG, text STRING",
+    )
+    fn = TransformerFactory.get_transformer(
+        TransformerSpec("text_tfidf_top_terms", {"broadcast_threshold_rows": 0})
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = df.transform(fn)
+        physical, _ = _plans(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert ("SortMergeJoin" in physical) or ("ShuffledHashJoin" in physical), (
+        physical[:2000]
+    )
+    # and the gate is two-sided: the default auto mode on the same tiny
+    # vocab still picks the broadcast plan
+    fn_auto = TransformerFactory.get_transformer(
+        TransformerSpec("text_tfidf_top_terms", {})
+    )
+    physical_auto, _ = _plans(df.transform(fn_auto))
+    assert "BroadcastHashJoin" in physical_auto, physical_auto[:2000]
+
+
+def test_bpe_encode_large_dictionary_does_not_broadcast(spark):
+    """The word→pieces dictionary broadcast is SIZE-GATED: above
+    broadcast_threshold_rows (forced to 0) the encode join must plan as a
+    shuffle join — distinct word TYPES on web-scale corpora (typos, URLs,
+    code) reach 10⁸+ rows and a forced broadcast OOMs executors."""
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.transformers.transformer_factory import (
+        TransformerFactory,
+    )
+
+    def tf(name, **args):
+        return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+    df = spark.createDataFrame(
+        [(i, f"low lower newest widest word{i}") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    merges = df.transform(tf("bpe_train", num_merges=4))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = df.transform(
+            tf("bpe_encode", merges=merges, broadcast_threshold_rows=0)
+        )
+        physical, _ = _plans(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert ("SortMergeJoin" in physical) or ("ShuffledHashJoin" in physical), (
+        physical[:2000]
+    )
+    # results identical either way: the gate changes the plan, not values
+    pinned = df.transform(tf("bpe_encode", merges=merges,
+                             broadcast_dictionary=True))
+    got = {r["doc_id"]: r["bpe_tokens"] for r in out.collect()}
+    want = {r["doc_id"]: r["bpe_tokens"] for r in pinned.collect()}
+    assert got == want
