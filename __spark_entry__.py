@@ -1727,6 +1727,17 @@ def dp63_cdc_chunk(spark: SparkSession, sf: str) -> DataFrame:
     array expressions; the oracle replays tokenize → boundary → slice
     with DuckDB list functions, chunk text compared by md5."""
     docs = load_table(spark, sf, "documents")
+    # uppercase a prefix so the corpus is mixed-case: cdc_chunk is
+    # case-PRESERVING (chunk_text must not be rewritten), and the oracle
+    # replays with case-sensitive tokens — an all-lowercase corpus would
+    # leave that contract untested (round-4 advice)
+    docs = docs.withColumn(
+        "text",
+        F.concat(
+            F.upper(F.expr("substring(text, 1, 20)")),
+            F.expr("substring(text, 21)"),
+        ),
+    )
     out = docs.transform(_t("text_cdc_chunk", window=8, divisor=16))
     return out.select(
         "doc_id",
@@ -2405,6 +2416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # shared SQL fragments (DuckDB dialect)
 _DUCK_TOKENS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"
+# case-SENSITIVE variant for ops that preserve case (cdc_chunk: chunk_text
+# is emitted verbatim, so its boundary hash and md5 see original case)
+_DUCK_TOKENS_CS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
 
 
 def _duck_shingles(n: int) -> str:
@@ -3990,8 +4004,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.rn <= CEIL(SQRT(r.cnt))
         """,
         "dp63_cdc_chunk": f"""
-            WITH t AS (
-              SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+            WITH src AS (
+              SELECT doc_id,
+                     upper(substr(text, 1, 20)) || substr(text, 21) AS text
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id, {_DUCK_TOKENS_CS} AS w FROM src
             ),
             b AS (
               SELECT doc_id, w, len(w) AS n,

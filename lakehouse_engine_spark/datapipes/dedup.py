@@ -888,7 +888,8 @@ def dedup_connected_components(
     rounds needed = the bucket-graph diameter of the largest cluster (tiny
     for near-dup clusters — they are bucket-cliques; converges in 1-3 rounds
     in practice, bounded by ``max_iterations``). Convergence is detected by
-    the monotone global label sum, one scalar action per round;
+    an exact changed-label count over the materialized round result (type-
+    agnostic — ids may be strings), one scalar action per round;
     ``localCheckpoint`` truncates the growing lineage so round N's plan does
     not replay rounds 1..N-1.
 
@@ -912,7 +913,6 @@ def dedup_connected_components(
         labels = edges.select("__id").distinct().withColumn(
             "__label", F.col("__id")
         ).localCheckpoint(eager=False)
-        prev_sum = None
         for _ in range(max_iterations):
             bucket_min = (
                 edges.join(labels, "__id")
@@ -924,35 +924,47 @@ def dedup_connected_components(
                 .groupBy("__id")
                 .agg(F.min("__bmin").alias("__prop"))
             )
-            labels = (
+            # carry the previous label through the checkpoint so the
+            # convergence probe is an exact changed-row count over the
+            # MATERIALIZED round result (no recompute, no numeric cast —
+            # the old sum(__label) probe required numeric ids and blew up
+            # on string ids)
+            stepped = (
                 labels.join(prop, "__id", "left")
-                .select("__id", F.least("__label", F.coalesce("__prop", "__label")).alias("__label"))
+                .select(
+                    "__id",
+                    F.col("__label").alias("__old"),
+                    F.least(
+                        "__label", F.coalesce("__prop", "__label")
+                    ).alias("__label"),
+                )
                 .localCheckpoint(eager=True)
             )
-            cur_sum = labels.agg(F.sum("__label")).first()[0]
-            if cur_sum == prev_sum:
+            changed = stepped.filter(F.col("__label") != F.col("__old")).count()
+            labels = stepped.drop("__old")
+            if changed == 0:
                 break
-            prev_sum = cur_sum
         edges.unpersist()
         out = df.join(labels, df[id_col] == labels["__id"], "left").drop("__id")
         out = out.withColumn(output_col, F.coalesce("__label", F.col(id_col))).drop("__label")
         if keep == "survivors":
             return out.filter(F.col(output_col) == F.col(id_col)).drop(output_col)
         if keep == "best":
-            # argmax(best_by) per component, ties -> smallest id: struct
-            # ordering gives (score desc, -id desc) == (score, id asc)
-            best = out.groupBy(output_col).agg(
-                F.max(
-                    F.struct(
-                        F.expr(best_by).alias("s"),
-                        (-F.col(id_col)).alias("nid"),
-                    )
-                ).alias("__b")
-            ).select(output_col, (-F.col("__b.nid")).alias("__best_id"))
+            # argmax(best_by) per component, ties -> smallest id. A
+            # row_number over (score desc, id asc) is type-agnostic in the
+            # id — the earlier negate-the-id struct trick silently cast
+            # STRING ids to NULL under non-ANSI mode, dropping the whole
+            # component — and costs the same single component-keyed
+            # exchange as the groupBy+join it replaces.
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy(output_col).orderBy(
+                F.expr(best_by).desc(), F.col(id_col).asc()
+            )
             return (
-                out.join(best, output_col)
-                .filter(F.col(id_col) == F.col("__best_id"))
-                .drop(output_col, "__best_id")
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop(output_col, "__rn")
             )
         return out
 

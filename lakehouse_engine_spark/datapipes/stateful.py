@@ -173,6 +173,13 @@ def streaming_ewma_anomaly(
         # plain-float list iteration: ~20× faster than iterating the
         # Series (which boxes one numpy scalar per row)
         for v in vals.tolist():
+            if v != v:  # null/NaN value: emit unscored, do NOT fold into
+                # state — one bad row must not poison the key's baseline
+                # forever (mirrors streaming_approx_distinct's dropna)
+                zs.append(None)
+                flags.append(False)
+                means.append(ewma if n > 0 else None)
+                continue
             if n >= min_periods and ewvar > 0:
                 z = (v - ewma) / math.sqrt(ewvar)
                 zs.append(z)
@@ -190,7 +197,7 @@ def streaming_ewma_anomaly(
             means.append(ewma)
         out = pdf[[ts_col]].copy()
         out[value_col] = vals
-        out["ewma"] = means
+        out["ewma"] = pd.array(means, dtype="float64")
         out["z"] = pd.array(zs, dtype="float64")
         out["is_anomaly"] = flags
         return out, (ewma, ewvar, n)
@@ -232,8 +239,13 @@ def streaming_ewma_anomaly(
                 vals = pd.to_numeric(pdf[value_col]).to_numpy(dtype="float64")
                 change = np.zeros(n_rows, dtype=bool)
                 change[0] = True
-                for ka in karrs.values():
-                    change[1:] |= ka[1:] != ka[:-1]
+                # NaN-safe boundary detection: NaN != NaN would split a
+                # null-key partition into one group per row, diverging from
+                # the streaming path where null is ONE group
+                for c in on:
+                    s = pdf[c]
+                    sh = s.shift()
+                    change |= (s.ne(sh) & ~(s.isna() & sh.isna())).to_numpy()
                 starts = np.flatnonzero(change).tolist() + [n_rows]
                 ewma_out = np.empty(n_rows)
                 z_out = np.full(n_rows, np.nan)
@@ -243,6 +255,10 @@ def streaming_ewma_anomaly(
                     ewma, ewvar, n = 0.0, 0.0, 0
                     i = a
                     for v in vals[a:b].tolist():
+                        if v != v:  # null/NaN value: unscored, state kept
+                            ewma_out[i] = ewma if n > 0 else np.nan
+                            i += 1
+                            continue
                         if n >= min_periods and ewvar > 0:
                             z = (v - ewma) / math.sqrt(ewvar)
                             z_out[i] = z
@@ -259,7 +275,11 @@ def streaming_ewma_anomaly(
                 data = dict(karrs)
                 data[ts_col] = pdf[ts_col].to_numpy()
                 data[value_col] = vals
-                data["ewma"] = ewma_out
+                # mask NaN→null: a NaN ewma only arises for a null value
+                # before any real one (streaming path emits null there too)
+                data["ewma"] = pd.arrays.FloatingArray(
+                    ewma_out, np.isnan(ewma_out)
+                )
                 data["z"] = pd.arrays.FloatingArray(z_out, np.isnan(z_out))
                 data["is_anomaly"] = flag_out
                 return pd.DataFrame(data)
@@ -272,10 +292,16 @@ def streaming_ewma_anomaly(
                     if not len(pdf):
                         continue
                     # split off the (possibly continuing) trailing key group
+                    # (NaN-safe: a null key must match itself here, else a
+                    # null-key run would never be buffered as one group)
                     tail = np.ones(len(pdf), dtype=bool)
                     for c in on:
-                        arr = pdf[c].to_numpy()
-                        tail &= arr == arr[-1]
+                        s = pdf[c]
+                        last = s.iloc[-1]
+                        if pd.isna(last):
+                            tail &= s.isna().to_numpy()
+                        else:
+                            tail &= s.eq(last).fillna(False).to_numpy()
                     cut = len(pdf) - int(tail.sum())
                     head, buf = pdf.iloc[:cut], pdf.iloc[cut:]
                     if len(head):

@@ -1666,6 +1666,24 @@ def test_cc_keep_best_selects_argmax(spark):
         ).collect()
     )
     assert kept_tie == [5]
+    # STRING ids: the pre-round-5 argmax negated the id (string → NULL
+    # under non-ANSI mode → whole component dropped); row_number ordering
+    # is type-agnostic, ties -> lexicographically smallest id
+    sdf = spark.createDataFrame(
+        [("doc-b", base), ("doc-a", base + " tail"),
+         ("doc-c", base + " much longer tail here"),
+         ("doc-z", "completely different text about spark shuffles")],
+        "doc_id STRING, text STRING",
+    ).withColumn("n_chars", F.length("text"))
+    kept_s = sorted(
+        r["doc_id"]
+        for r in sdf.transform(
+            t("dedup_connected_components", num_hashes=12, bands=6,
+              shingle_size=2, keep="best", best_by="n_chars",
+              id_col="doc_id")
+        ).collect()
+    )
+    assert kept_s == ["doc-c", "doc-z"]
     with pytest.raises(ValueError):
         t("dedup_connected_components", keep="best")
     with pytest.raises(ValueError):

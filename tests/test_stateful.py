@@ -234,3 +234,64 @@ def test_approx_distinct_accuracy_and_bounded_state(spark, tmp_dir):
     with pytest.raises(ValueError):
         t("streaming_approx_distinct", on=["domain"], value_col="v",
           precision=2)
+
+
+def test_ewma_null_values_do_not_poison_state(spark):
+    """A null/NaN value row is emitted unscored (z NULL, not flagged) and
+    does NOT fold into the key's state — before round 5, one NaN made
+    ewma/ewvar NaN forever, so every later row z-scored to NaN. The fold
+    must behave as if the null row never happened, except the row itself
+    still appears in the output with the current baseline."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0, 11.0, None, 10.0, 11.0, 10.0, 11.0, 100.0, 10.0]
+    rows = [
+        ("s1", t0 + timedelta(minutes=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "sensor STRING, ts TIMESTAMP_NTZ, v DOUBLE")
+    out = (
+        df.transform(
+            t("streaming_ewma_anomaly", on=["sensor"], value_col="v",
+              ts_col="ts", alpha=0.3, threshold=3.0, min_periods=5)
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    # the null row: unscored, unflagged, ewma = baseline before it
+    nrow = out[2]
+    assert nrow["z"] is None and nrow["is_anomaly"] is False
+    assert nrow["ewma"] == pytest.approx(out[1]["ewma"])
+    # state survived: the spike (8 non-null values in) is still caught
+    assert [r["is_anomaly"] for r in out] == (
+        [False] * 7 + [True, False]
+    )
+    # and every post-null z is a real number once warmed up
+    assert all(r["z"] is not None for r in out[6:])
+
+
+def test_ewma_null_key_is_single_group_batch_matches_stream_semantics(spark):
+    """A NULL key partition must fold as ONE group in the batch path —
+    NaN != NaN comparisons used to split it into a group per row (fresh
+    state each row: never warms up, never flags), diverging from
+    streaming groupBy where null is a single group."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0, 11.0, 10.0, 11.0, 10.0, 11.0, 10.0, 100.0, 10.0]
+    rows = [
+        (None, t0 + timedelta(minutes=i), v) for i, v in enumerate(vals)
+    ] + [
+        ("s2", t0 + timedelta(minutes=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "sensor STRING, ts TIMESTAMP_NTZ, v DOUBLE")
+    out = df.transform(
+        t("streaming_ewma_anomaly", on=["sensor"], value_col="v",
+          ts_col="ts", alpha=0.3, threshold=3.0, min_periods=5)
+    ).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["sensor"], []).append(r)
+    for key in (None, "s2"):
+        seq = sorted(by_key[key], key=lambda r: r["ts"])
+        assert [r["is_anomaly"] for r in seq] == [False] * 7 + [True, False], key
