@@ -587,6 +587,7 @@ def gap_fill(
     step: str,
     aggs: dict,
     fill: Optional[dict] = None,
+    max_buckets_per_key: int = 1_000_000,
 ) -> TransformerFn:
     """Dense per-key time series: aggregate events into fixed buckets of
     ``step`` (an INTERVAL literal, e.g. ``'1 hour'``), then materialize
@@ -603,11 +604,24 @@ def gap_fill(
     on (key, bucket) co-partitioned with the aggregation. A key's grid
     spans only ITS OWN active range, so one ancient key doesn't inflate
     everyone's series.
+
+    Pathological-input guard: the per-key ``sequence`` materializes the
+    key's whole grid as ONE array — a sparse key spanning years at a
+    fine ``step`` (e.g. 10 y × '1 second' ≈ 3×10⁸ elements) would OOM the
+    executor before the explode. ``max_buckets_per_key`` (default 1M,
+    ≈16 MB of timestamps) is enforced INSIDE the row expression with
+    ``raise_error`` — no extra pass, the job fails fast naming the
+    offending span instead of dying on an opaque array allocation.
+    Coarsen ``step``, pre-split the span, or raise the cap explicitly.
     """
     if not on:
         raise ValueError("gap_fill: on must be non-empty")
     if not aggs:
         raise ValueError("gap_fill: aggs must be non-empty")
+    if max_buckets_per_key < 1:
+        raise ValueError(
+            f"gap_fill: max_buckets_per_key must be >= 1, got {max_buckets_per_key}"
+        )
 
     def _fill(df: DataFrame) -> DataFrame:
         # bucket = the step-aligned tumbling-window start (native F.window)
@@ -618,10 +632,33 @@ def gap_fill(
         spans = agged.groupBy(*on).agg(
             F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
         )
+        # F.window only accepts fixed day-time durations, so the step is a
+        # constant number of microseconds — computable from literals
+        step_us = F.timestamp_diff(
+            "MICROSECOND",
+            F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+            F.expr(f"to_timestamp_ntz('1970-01-01 00:00:00') + INTERVAL {step}"),
+        )
+        n_buckets = (
+            F.timestamp_diff("MICROSECOND", F.col("__lo"), F.col("__hi"))
+            / step_us
+        ).cast("long") + F.lit(1)
+        err_msg = F.concat(
+            F.lit("gap_fill: a key's grid needs "),
+            n_buckets.cast("string"),
+            F.lit(
+                f" buckets at step '{step}' (cap"
+                f" max_buckets_per_key={max_buckets_per_key});"
+                " coarsen step, split the span, or raise the cap"
+            ),
+        )
+        guarded_hi = F.when(
+            n_buckets > max_buckets_per_key, F.raise_error(err_msg)
+        ).otherwise(F.col("__hi"))
         grid = spans.select(
             *on,
             F.explode(
-                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+                F.sequence("__lo", guarded_hi, F.expr(f"INTERVAL {step}"))
             ).alias("bucket"),
         )
         out = grid.join(agged, on=list(on) + ["bucket"], how="left")

@@ -2240,6 +2240,34 @@ def test_gap_fill_materializes_quiet_buckets(spark):
         t("gap_fill", on=[], ts_col="ts", step="1 day", aggs={"n": "count(1)"})
     with pytest.raises(ValueError):
         t("gap_fill", on=["k"], ts_col="ts", step="1 day", aggs={})
+    with pytest.raises(ValueError):
+        t("gap_fill", on=["k"], ts_col="ts", step="1 day",
+          aggs={"n": "count(1)"}, max_buckets_per_key=0)
+
+
+def test_gap_fill_pathological_span_fails_fast(spark):
+    """A sparse key spanning years at a fine step must fail FAST with a
+    named error from the executor-side guard — not die opaquely trying to
+    materialize a 3×10⁸-element sequence array. The guard is part of the
+    row expression (no extra pass/action), and a span just UNDER the cap
+    still fills normally."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("k1", t0, 1.0), ("k1", t0 + timedelta(days=3650), 2.0)]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP_NTZ, v DOUBLE")
+    with pytest.raises(Exception, match="gap_fill: a key's grid needs"):
+        df.transform(
+            t("gap_fill", on=["k"], ts_col="ts", step="1 second",
+              aggs={"n": "count(1)"}, max_buckets_per_key=100_000)
+        ).count()
+    # under the cap: normal dense fill
+    ok = df.transform(
+        t("gap_fill", on=["k"], ts_col="ts", step="1 day",
+          aggs={"n": "CAST(count(1) AS LONG)"}, fill={"n": 0},
+          max_buckets_per_key=100_000)
+    )
+    assert ok.count() == 3651
 
 
 def test_asof_nearest_direction(spark):

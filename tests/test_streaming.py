@@ -517,3 +517,86 @@ def test_stateful_ops_stay_in_the_streaming_plan(spark, tmp_dir):
     got = {r["domain"]: (r["total_value"], r["budget_exceeded"])
            for r in written["o"].collect()}
     assert got == {"web": (60.0, True), "code": (10.0, False)}
+
+
+def test_stateful_budget_cutoff_restart_in_multi_op_acon(spark, tmp_dir):
+    """End-to-end kill/restart of a multi-op streaming ACON: a plain
+    transform (expression_filter) feeding streaming_running_totals with a
+    budget, into a parquet file sink with a checkpoint. Run 1 drains one
+    file; the 'killed' query is then restarted against the same checkpoint
+    with more data staged — the per-key accumulator must RESTORE from the
+    state store (run-2 totals continue from run-1, crossing the budget at
+    the right cumulative point), the filter must keep running in the same
+    restarted plan, and nothing is re-emitted."""
+    src = os.path.join(tmp_dir, "src_bud")
+    out = os.path.join(tmp_dir, "out_bud")
+    ck = os.path.join(tmp_dir, "ck_bud")
+
+    def stage(rows):
+        spark.createDataFrame(
+            rows, "domain STRING, tokens INT"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "s",
+                "data_format": "parquet",
+                "location": src,
+                "read_type": "streaming",
+                "schema": "domain STRING, tokens INT",
+                "options": {"maxFilesPerTrigger": 1},
+            }
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "t",
+                "input_id": "s",
+                "transformers": [
+                    # drops the poison-pill rows BEFORE the stateful fold
+                    {"function": "expression_filter",
+                     "args": {"exp": "tokens >= 0"}},
+                    {
+                        "function": "streaming_running_totals",
+                        "args": {"on": ["domain"], "value_col": "tokens",
+                                 "budget": 50},
+                    },
+                ],
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "o",
+                "input_id": "t",
+                "data_format": "parquet",
+                "location": out,
+                "write_type": "append",
+                "options": {"checkpointLocation": ck},
+            }
+        ],
+    }
+    # run 1: web=30 (under budget), code=10; a tokens=-5 row is filtered
+    stage([("web", 30), ("code", 10), ("web", -5)])
+    load_data(acon)
+    got1 = {
+        (r["domain"], r["total_value"], r["budget_exceeded"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {("web", 30.0, False), ("code", 10.0, False)}
+    # kill + restart with new data: web crosses the budget ONLY if run-1
+    # state was restored (30 + 30 > 50); the filtered row again invisible
+    stage([("web", 30), ("web", -100), ("code", 5)])
+    load_data(acon)
+    rows = sorted(
+        (r["domain"], r["batch_value"], r["total_value"], r["budget_exceeded"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        ("code", 5.0, 15.0, False),
+        ("code", 10.0, 10.0, False),
+        ("web", 30.0, 30.0, False),
+        ("web", 30.0, 60.0, True),
+    ]
+    # idle restart: nothing new, nothing re-emitted
+    load_data(acon)
+    assert spark.read.parquet(out).count() == 4

@@ -1,0 +1,128 @@
+"""Round-5 operator scale probes: gap_fill near-cap grids (the sequence()
+expansion surface), funnel at 2M+ events, line-dedup at 100k docs.
+Results are recorded in BASELINE.md; run standalone:
+
+    python tools/scale_probes_r5.py [probe ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.core.definitions import TransformerSpec
+from lakehouse_engine_spark.core.exec_env import ExecEnv
+from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def t(name, **args):
+    return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+
+def probe_gap_fill_dense(spark):
+    """The sequence() blow-up surface: 32 sparse keys, each with TWO events
+    ~11 days apart, filled at '1 second' → ~960k buckets per key, just
+    under the 1M default cap — 30M output rows materialized from 64 input
+    rows. Measures the per-key array expansion + explode + grid join."""
+    rows = spark.range(32).selectExpr(
+        "concat('k', id) AS k",
+        "to_timestamp_ntz('2024-01-01 00:00:00') AS ts",
+        "1.0 AS v",
+    ).union(
+        spark.range(32).selectExpr(
+            "concat('k', id) AS k",
+            "to_timestamp_ntz('2024-01-12 02:39:59') AS ts",
+            "2.0 AS v",
+        )
+    )
+    t0 = time.time()
+    out = rows.transform(
+        t("gap_fill", on=["k"], ts_col="ts", step="1 second",
+          aggs={"n": "CAST(count(1) AS LONG)"}, fill={"n": 0})
+    )
+    n = out.count()
+    print(f"gap_fill_dense: 64 events -> {n} grid rows, {time.time()-t0:.1f}s")
+    # and the cap trips cleanly one second past it
+    bad = rows.withColumn(
+        "ts",
+        F.when(F.col("v") == 2.0,
+               F.expr("to_timestamp_ntz('2024-01-13 00:00:00')")).otherwise(
+            F.col("ts")
+        ),
+    )
+    t0 = time.time()
+    try:
+        bad.transform(
+            t("gap_fill", on=["k"], ts_col="ts", step="1 second",
+              aggs={"n": "count(1)"})
+        ).count()
+        print("gap_fill_cap: ERROR — no raise")
+    except Exception as exc:
+        ok = "gap_fill: a key's grid needs" in str(exc)
+        print(f"gap_fill_cap: raised={ok} in {time.time()-t0:.1f}s (fail-fast)")
+
+
+def probe_funnel(spark):
+    """sf0.1 events replicated 20x -> 2M events, 30k users, 3-stage funnel.
+    Cost profile: one user-keyed exchange, stacked min-ts conditional
+    aggregation per stage — no per-stage joins."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    big = ev.crossJoin(
+        ExecEnv.get_or_create().range(20).withColumnRenamed("id", "__rep")
+    ).withColumn(
+        "user_id", F.col("user_id") + F.col("__rep") * 1_000_000
+    ).drop("__rep").persist()
+    n = big.count()
+    t0 = time.time()
+    out = big.transform(
+        t("funnel", on=["user_id"], stage_col="event_type", ts_col="ts",
+          stages=["view", "click", "purchase"])
+    )
+    rows = out.count()
+    print(f"funnel: {n} events -> {rows} stage rows, {time.time()-t0:.1f}s")
+    big.unpersist()
+
+
+def probe_line_dedup(spark):
+    """sf0.1 documents replicated 20x -> 100k docs with every line
+    duplicated 20-fold across the corpus: worst case for first-occurrence
+    line dedup (every hash bucket is hot). Digest-keyed window, ids-only."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    big = docs.crossJoin(
+        ExecEnv.get_or_create().range(20).withColumnRenamed("id", "__rep")
+    ).withColumn(
+        "doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000
+    ).drop("__rep").persist()
+    n = big.count()
+    t0 = time.time()
+    out = big.transform(t("text_line_dedup"))
+    rows = out.count()
+    print(f"line_dedup: {n} docs -> {rows} rows, {time.time()-t0:.1f}s")
+    big.unpersist()
+
+
+PROBES = {
+    "gap_fill_dense": probe_gap_fill_dense,
+    "funnel": probe_funnel,
+    "line_dedup": probe_line_dedup,
+}
+
+
+def main():
+    spark = ExecEnv.get_or_create()
+    only = set(sys.argv[1:])
+    for name, fn in PROBES.items():
+        if only and name not in only:
+            continue
+        fn(spark)
+
+
+if __name__ == "__main__":
+    main()
