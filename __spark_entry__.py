@@ -2281,6 +2281,33 @@ def dp82_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.col("url").alias("url_norm"))
 
 
+def dp83_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-query top-k BM25 retrieval (datapipes/text.py text_bm25_topk):
+    five fixed keyword queries against the documents corpus. Scores are
+    computed in exact integer arithmetic (scaled-bigint idf over integer-
+    argument log10s, rational tf-saturation, integer floor division), so
+    the DuckDB oracle replays every contribution bit-for-bit — ranking,
+    ties, and the emitted 4-dp doubles all match."""
+    docs = load_table(spark, sf, "documents")
+    qs = spark.createDataFrame(
+        [
+            (1, "hash join strategy"),
+            (2, "window agg stream"),
+            (3, "vector scan filter"),
+            (4, "slow merge sort"),
+            (5, "spark query plan"),
+        ],
+        "query_id LONG, query STRING",
+    )
+    out = docs.transform(_t("text_bm25_topk", queries_df=qs, k=10))
+    return out.select(
+        "query_id",
+        "doc_id",
+        "score",
+        F.col("doc_rank").cast("long").alias("doc_rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 5): front-load the
@@ -2356,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp80_asof_nearest": dp80_asof_nearest,
         "dp81_text_clean": dp81_text_clean,
         "dp82_url_normalize": dp82_url_normalize,
+        "dp83_bm25_topk": dp83_bm25_topk,
         # --- driver-green in CORRECTNESS_r04 (hard signal on record) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_by_segment": q02_revenue_by_segment,
@@ -3791,6 +3819,66 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderdate BETWEEN b.cadence_start_date AND b.cadence_end_date
             WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1995-07-01'
             GROUP BY 1, 2, 3
+        """,
+        "dp83_bm25_topk": f"""
+            -- exact-integer BM25 replay: S(x)=floor(log10(x)*1e4+0.5) over
+            -- INTEGER args, avgdl=(2T+D)//(2D), contribution via integer
+            -- floor division — identical arithmetic to the Spark operator
+            WITH qs(query_id, query) AS (VALUES
+              (1, 'hash join strategy'),
+              (2, 'window agg stream'),
+              (3, 'vector scan filter'),
+              (4, 'slow merge sort'),
+              (5, 'spark query plan')),
+            qterms AS (
+              SELECT DISTINCT query_id,
+                     unnest(list_filter(string_split_regex(trim(lower(query)),
+                       '\\s+'), t -> t <> '')) AS term
+              FROM qs
+            ),
+            qvocab AS (SELECT DISTINCT term FROM qterms),
+            toks AS (
+              SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+            ),
+            stats AS (
+              SELECT CAST(SUM(len(w)) AS BIGINT) AS T,
+                     CAST(COUNT(*) AS BIGINT) AS D
+              FROM toks
+            ),
+            pairs AS (
+              SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS dl, u.term,
+                     CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks t, unnest(t.w) AS u(term)
+              WHERE u.term IN (SELECT term FROM qvocab)
+              GROUP BY 1, 2, 3
+            ),
+            dfreq AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY 1
+            ),
+            scoredterm AS (
+              SELECT p.doc_id, p.term,
+                     (CAST(floor(log10(CAST(2*s.D + 2 AS DOUBLE))*10000 + 0.5) AS BIGINT)
+                      - CAST(floor(log10(CAST(2*f.df + 1 AS DOUBLE))*10000 + 0.5) AS BIGINT)
+                     ) * 44 * p.tf * ((2*s.T + s.D) // (2*s.D))
+                     // (20 * p.tf * ((2*s.T + s.D) // (2*s.D))
+                         + 6 * ((2*s.T + s.D) // (2*s.D))
+                         + 18 * p.dl) AS c
+              FROM pairs p JOIN dfreq f USING (term) CROSS JOIN stats s
+            ),
+            agg AS (
+              SELECT q.query_id, st.doc_id, SUM(st.c) AS s
+              FROM scoredterm st JOIN qterms q USING (term)
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT query_id, doc_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, doc_id ASC) AS doc_rank
+              FROM agg
+            )
+            SELECT query_id, doc_id, s / 10000.0 AS score,
+                   CAST(doc_rank AS BIGINT) AS doc_rank
+            FROM ranked WHERE doc_rank <= 10
         """,
         "q26_gab_daily_rollup": """
             SELECT strftime(o_orderdate, '%Y-%m-%d') AS from_date,

@@ -1071,3 +1071,142 @@ def url_normalize(
         return cleaned.withColumn(out, norm).drop("__qs", "__params")
 
     return _norm
+
+
+@register("text_bm25_topk")
+def bm25_topk(
+    queries_df: DataFrame,
+    query_col: str = "query",
+    query_id_col: str = "query_id",
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> TransformerFn:
+    """Per-query top-``k`` documents by BM25 (k1=1.2, b=0.75) — the
+    retrieval/relevance primitive for eval-set mining, nearest-document
+    lookup, and keyword-driven corpus curation. Returns one row per
+    (query, doc) with ``score`` and ``doc_rank`` (1 = best).
+
+    Numeric design for cross-engine determinism (the ``lm_score`` family's
+    scaled-BIGINT convention): with the classic constants as exact
+    rationals, every per-term contribution is computed in INTEGER
+    arithmetic —
+
+    * idf: ``(D−df+0.5)/(df+0.5)+1`` simplifies to ``(2D+2)/(2df+1)``,
+      so ``idf_s = S(2D+2) − S(2df+1)`` with ``S(x)=floor(log10(x)·10⁴
+      +0.5)`` over INTEGER arguments (boundary-free half-up grid, no
+      engine ``round()``);
+    * avgdl is snapped half-up to an integer WITHOUT doubles:
+      ``avgdl_r = (2T+D) div (2D)``;
+    * the tf saturation term ``tf·(k1+1)/(tf+k1(1−b+b·dl/avgdl_r))``
+      becomes the integer ratio ``44·tf·avgdl_r /
+      (20·tf·avgdl_r + 6·avgdl_r + 18·dl)``;
+    * per-term contribution = ``(idf_s · 44·tf·avgdl_r) div (denom)`` —
+      exact integer, summed order-independently per (query, doc); the
+      emitted double is one division by 10⁴. Magnitudes stay < 2⁵³ for
+      any corpus (the bound is ``idf_s·44·tf·avgdl_r``, independent of
+      corpus size — tf ≤ dl and avgdl_r are per-document scale).
+
+    Scale design: the corpus is never fully shuffled. Doc length is a
+    projection computed in the same pass as tokenize; corpus tokens are
+    pruned by a **broadcast semi-join on the query vocabulary** before
+    the only corpus-keyed aggregation (doc, term) — shuffled volume is
+    matching tokens only, which for realistic query sets is a tiny
+    fraction of the corpus. df and corpus totals are broadcast
+    aggregates over the pruned pairs; the final top-k is a per-query
+    window over candidate docs.
+    """
+    if k < 1:
+        raise ValueError(f"text_bm25_topk: k must be >= 1, got {k}")
+
+    def _bm25(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        toks = df.select(
+            F.col(id_col).alias("__doc"),
+            tokens_lower(F.col(input_col)).alias("__t"),
+        )
+        qterms = (
+            queries_df.select(
+                F.col(query_id_col).alias("__qid"),
+                F.explode(tokens_lower(F.col(query_col))).alias("term"),
+            )
+            .distinct()
+        )
+        qvocab = qterms.select("term").distinct()
+        # corpus stats BEFORE vocab pruning: BM25's D, T and dl cover the
+        # whole corpus, not just query-matching tokens
+        stats = toks.select(F.size("__t").alias("__dl")).agg(
+            F.sum("__dl").cast("long").alias("__T"),
+            F.count(F.lit(1)).cast("long").alias("__D"),
+        )
+        pairs = (
+            toks.select(
+                "__doc",
+                F.size("__t").alias("__dl"),
+                F.explode("__t").alias("term"),
+            )
+            .join(F.broadcast(qvocab), "term")
+            .groupBy("__doc", "__dl", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+        )
+        dfreq = pairs.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("__df")
+        )
+
+        def S(x):  # half-up 1e-4 grid of log10(integer) — see lm_score
+            return F.floor(F.log10(x.cast("double")) * 10_000 + 0.5).cast("long")
+
+        avgdl_r = F.expr("(2 * __T + __D) div (2 * __D)")
+        idf_s = S(F.lit(2) * F.col("__D") + 2) - S(F.lit(2) * F.col("__df") + 1)
+        num = idf_s * 44 * F.col("__tf") * F.col("__avgdl")
+        den = (
+            F.lit(20) * F.col("__tf") * F.col("__avgdl")
+            + 6 * F.col("__avgdl")
+            + 18 * F.col("__dl")
+        )
+        contrib = (
+            pairs.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("__avgdl", avgdl_r)
+            .select(
+                "__doc",
+                "term",
+                num.cast("long").alias("__num"),
+                den.cast("long").alias("__den"),
+            )
+            .withColumn("__c", F.expr("__num div __den"))
+        )
+        scored = (
+            contrib.join(F.broadcast(qterms), "term")
+            .groupBy("__qid", "__doc")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        w = Window.partitionBy("__qid").orderBy(
+            F.desc("__s"), F.asc("__doc")
+        )
+        return (
+            scored.withColumn("doc_rank", F.row_number().over(w))
+            .filter(F.col("doc_rank") <= k)
+            .select(
+                F.col("__qid").alias(query_id_col),
+                F.col("__doc").alias(id_col),
+                (F.col("__s") / 10_000.0).alias("score"),
+                F.col("doc_rank").cast("int").alias("doc_rank"),
+            )
+        )
+
+    return _bm25
+
+
+@register_contextual("text_bm25_topk_with")
+def bm25_topk_with(data: dict, queries_with: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`bm25_topk`: resolve the query set from an
+    upstream spec_id (same convention as ``text_decontaminate_with``)."""
+
+    def _fn(df: DataFrame) -> DataFrame:
+        if queries_with not in data:
+            raise ValueError(f"text_bm25_topk_with: unknown spec_id {queries_with!r}")
+        return bm25_topk(queries_df=data[queries_with], **args)(df)
+
+    return _fn

@@ -2384,3 +2384,80 @@ def test_review_fix_regressions(spark):
           precision=8)
     ).collect()[0]["approx_distinct"]
     assert abs(est - 3000) / 3000 < 0.25
+
+
+def test_bm25_topk_matches_reference_and_validates(spark):
+    """BM25 pinned against a transparent pure-Python implementation of the
+    SAME exact-integer formulation (scaled-bigint idf over integer-argument
+    log10s, avgdl=(2T+D)//(2D), integer floor-division contributions) on a
+    hand-sized corpus; plus ranking sanity, k validation, and the ACON
+    contextual wrapper."""
+    import math
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark shuffles and partitions and joins and broadcast joins"),
+        (3, "the dog sleeps all day the dog dreams of the fox"),
+        (4, "quantum computing with spark is not a thing"),
+    ]
+    queries = [(100, "fox dog"), (200, "spark joins")]
+
+    def ref_bm25(docs, queries, k):
+        toks = {d: s.lower().split() for d, s in docs}
+        T = sum(len(w) for w in toks.values())
+        D = len(toks)
+        avgdl = (2 * T + D) // (2 * D)
+        S = lambda x: math.floor(math.log10(x) * 10_000 + 0.5)
+        out = []
+        for qid, q in queries:
+            scores = {}
+            for term in set(q.lower().split()):
+                df = sum(1 for w in toks.values() if term in w)
+                if df == 0:
+                    continue
+                idf_s = S(2 * D + 2) - S(2 * df + 1)
+                for d, w in toks.items():
+                    tf = w.count(term)
+                    if tf == 0:
+                        continue
+                    c = (idf_s * 44 * tf * avgdl) // (
+                        20 * tf * avgdl + 6 * avgdl + 18 * len(w)
+                    )
+                    scores[d] = scores.get(d, 0) + c
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            out += [
+                (qid, d, s / 10_000.0, r + 1)
+                for r, (d, s) in enumerate(ranked)
+            ]
+        return sorted(out)
+
+    docs_df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    qs_df = spark.createDataFrame(queries, "query_id LONG, query STRING")
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["doc_rank"])
+        for r in docs_df.transform(
+            t("text_bm25_topk", queries_df=qs_df, k=3)
+        ).collect()
+    )
+    assert got == ref_bm25(docs, queries, 3)
+    # doc 3 (dog x2 + fox) outranks doc 1 (one each) for "fox dog"
+    by_q = {}
+    for qid, d, s, r in got:
+        by_q.setdefault(qid, []).append((r, d))
+    assert sorted(by_q[100])[0] == (1, 3)
+    with pytest.raises(ValueError):
+        t("text_bm25_topk", queries_df=qs_df, k=0)
+    # contextual wrapper resolves the query set from an upstream spec_id
+    from lakehouse_engine_spark.datapipes.registry import CONTEXTUAL
+
+    fn = CONTEXTUAL["text_bm25_topk_with"](
+        {"qs": qs_df}, queries_with="qs", k=3
+    )
+    assert sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["doc_rank"])
+        for r in docs_df.transform(fn).collect()
+    ) == got
+    with pytest.raises(ValueError):
+        docs_df.transform(
+            CONTEXTUAL["text_bm25_topk_with"]({}, queries_with="nope")
+        )

@@ -637,3 +637,15 @@ def test_bpe_encode_large_dictionary_does_not_broadcast(spark):
     got = {r["doc_id"]: r["bpe_tokens"] for r in out.collect()}
     want = {r["doc_id"]: r["bpe_tokens"] for r in pinned.collect()}
     assert got == want
+
+
+def test_bm25_prunes_corpus_by_broadcast_query_vocab(spark, sf_dir):
+    """The corpus-side token stream must be pruned by a BROADCAST join on
+    the (tiny) query vocabulary BEFORE the only corpus-keyed aggregation —
+    shuffled volume is matching tokens, not the corpus. No sort-merge join
+    anywhere in the plan."""
+    df = entry.queries()["dp83_bm25_topk"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical, physical[:2000]
+    assert "CartesianProduct" not in physical
