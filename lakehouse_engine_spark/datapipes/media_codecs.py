@@ -1,12 +1,15 @@
 """Pure-numpy image codecs for container-native formats.
 
-Real decode/encode for the two uncompressed formats that need no codec
-library — binary PPM (P6) and uncompressed 24/32-bit BI_RGB BMP — so the
-multimodal operators do REAL pixel work (dimensions, channel stats,
-resize, thumbnails) end-to-end in this container. Compressed formats
-(JPEG/PNG/WebP) route through the pluggable decoder registry below —
-Pillow self-registers when importable (absent in this container); with
-no registered decoder they fall back to the documented strict-mode stub.
+Real decode/encode with no codec library — binary PPM (P6), uncompressed
+24/32-bit BI_RGB BMP, and **baseline PNG** (stdlib zlib inflate + numpy
+un-filtering; 8-bit gray/gray+alpha/palette/RGB/RGBA, all five scanline
+filters) — so the multimodal operators do REAL pixel work (dimensions,
+channel stats, resize, thumbnails) end-to-end in this container,
+including a genuinely compressed format. Remaining compressed formats
+(JPEG/WebP; PNG's 16-bit and Adam7 variants) route through the pluggable
+decoder registry below — Pillow self-registers when importable (absent in
+this container); with no registered decoder they fall back to the
+documented strict-mode stub.
 
 Everything is vectorized numpy (no per-pixel Python): decode is a header
 parse + ``np.frombuffer`` reshape; nearest-neighbor resize is integer
@@ -129,6 +132,10 @@ def decode_image(
         return _decode_ppm(b), "ppm"
     if kind == "image/bmp":
         return _decode_bmp(b), "bmp"
+    if kind == "image/png":
+        # native stdlib-zlib decode for baseline 8-bit profiles; 16-bit /
+        # interlaced fall through to a registered decoder (Pillow) inside
+        return _decode_png(b, extra_decoders), "png"
     registry = _EXTRA_DECODERS if extra_decoders is None else extra_decoders
     fn = registry.get(kind)
     if fn is not None:
@@ -247,6 +254,176 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     """Encode an (H, W, 3) uint8 array as binary PPM."""
     h, w = arr.shape[:2]
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+# --------------------------------------------------------------- PNG
+# Real PNG, no codec library: the compression layer is stdlib zlib and
+# everything else is chunk walking + per-row un-filtering. Covers the
+# baseline 8-bit non-interlaced profiles (gray / gray+alpha / palette /
+# RGB / RGBA); 16-bit and Adam7 route to the decoder registry (Pillow on
+# a real cluster) and raise a guided error here otherwise.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filtering. ``raw`` is the inflated stream of
+    ``h`` rows, each ``1 + stride`` bytes (filter tag + data). Filters
+    none/sub/up are inverted with vector ops (sub is a cumulative sum mod
+    256 over per-channel lanes); average/paeth carry an inherently
+    sequential intra-row dependency, so those rows fall back to a per-byte
+    loop — correct for any input, and absent entirely from payloads our
+    own encoder produces unless asked for."""
+    rows = raw.reshape(h, 1 + stride)
+    tags, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        f = int(tags[y])
+        line = data[y].astype(np.uint16)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp] → per-lane cumsum
+            rec = line.copy()
+            lanes = rec[: (stride // bpp) * bpp].reshape(-1, bpp)
+            rec[: lanes.size] = (
+                np.cumsum(lanes, axis=0, dtype=np.uint64) % 256
+            ).reshape(-1)
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average
+            rec = np.zeros(stride, dtype=np.uint16)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + ((left + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.uint16)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (line[x] + _paeth(left, up, ul)) % 256
+        else:
+            raise ValueError(f"PNG: unknown filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_png(
+    b: bytes,
+    extra_decoders: Optional[Dict[str, Callable[[bytes], np.ndarray]]] = None,
+) -> np.ndarray:
+    """Decode baseline PNG to (H, W, 3) uint8 RGB (alpha dropped, palette
+    expanded, gray stacked). Unsupported variants (16-bit, interlaced) are
+    retried through a registered ``image/png`` decoder before raising."""
+    import zlib
+
+    def _fallback(reason: str) -> np.ndarray:
+        registry = _EXTRA_DECODERS if extra_decoders is None else extra_decoders
+        fn = registry.get("image/png")
+        if fn is not None:
+            return np.asarray(fn(b), dtype=np.uint8)
+        raise ValueError(f"PNG unsupported natively ({reason}); plug Pillow in")
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        (length,), ctype = struct.unpack_from(">I", b, pos), b[pos + 4 : pos + 8]
+        chunk = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        return _fallback(f"bit depth {depth}, interlace {interlace}")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: nonstandard compression/filter method")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+    if channels is None:
+        raise ValueError(f"PNG: unknown color type {ctype_n}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * channels
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG: inflated size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype_n == 2:
+        return px.copy()
+    if ctype_n == 6:
+        return px[:, :, :3].copy()
+    if ctype_n == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_n == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # palette
+    if plte is None:
+        raise ValueError("PNG: palette image without PLTE")
+    return plte[px[:, :, 0]]
+
+
+def encode_png(arr: np.ndarray, row_filters: Optional[list] = None) -> bytes:
+    """Encode (H, W, 3) uint8 RGB as PNG (color type 2, bit depth 8).
+    ``row_filters`` optionally assigns a filter type (0-4) per row —
+    fixtures use this to exercise every un-filter path; default is
+    filter 0 everywhere (fastest, and zlib still squeezes flat rows)."""
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    stride = w * 3
+    flat = arr.reshape(h, stride).astype(np.int16)
+    lines = []
+    for y in range(h):
+        f = int(row_filters[y]) if row_filters is not None else 0
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int16)
+        left = np.concatenate([np.zeros(3, dtype=np.int16), cur[:-3]])
+        ul = np.concatenate([np.zeros(3, dtype=np.int16), prev[:-3]])
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = (cur - left) % 256
+        elif f == 2:
+            out = (cur - prev) % 256
+        elif f == 3:
+            out = (cur - ((left + prev) >> 1)) % 256
+        elif f == 4:
+            pred = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                pred[x] = _paeth(int(left[x]), int(prev[x]), int(ul[x]))
+            out = (cur - pred) % 256
+        else:
+            raise ValueError(f"PNG: unknown filter type {f}")
+        lines.append(bytes([f]) + out.astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:

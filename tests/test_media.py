@@ -461,3 +461,127 @@ def test_avi_container_walk_extracts_stream_chunks(spark):
     assert [bytes(r["frame_bytes"]) for r in sorted(rows, key=lambda r: r["frame_idx"])] == [
         ppm1, b"odd", ppm2
     ]
+
+
+# ------------------------------------------------------------------ PNG
+
+
+def test_png_roundtrip_all_filters(img):
+    """encode→decode identity with every scanline filter type exercised
+    (rows cycle 0..4: none/sub/up/average/paeth) — the un-filter paths are
+    individually inverted, including the cumsum sub trick and the
+    sequential average/paeth fallbacks."""
+    from lakehouse_engine_spark.datapipes.media_codecs import encode_png
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    filters = [y % 5 for y in range(11)]
+    payload = encode_png(arr, row_filters=filters)
+    assert sniff_media(payload) == "image/png"
+    decoded, codec = decode_image(payload)
+    assert codec == "png"
+    np.testing.assert_array_equal(decoded, arr)
+    # default (filter 0 everywhere) too
+    decoded0, _ = decode_image(encode_png(arr))
+    np.testing.assert_array_equal(decoded0, arr)
+
+
+def test_png_gray_alpha_palette_profiles():
+    """Hand-built IHDR variants: grayscale stacks to RGB, RGBA/gray+alpha
+    drop alpha, palette expands through PLTE."""
+    import struct as _s
+    import zlib
+
+    from lakehouse_engine_spark.datapipes.media_codecs import _PNG_SIG
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def png(w, h, depth, ctype_n, raster, plte=None):
+        ihdr = _s.pack(">IIBBBBB", w, h, depth, ctype_n, 0, 0, 0)
+        body = chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += chunk(b"PLTE", plte)
+        body += chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+        return _PNG_SIG + body
+
+    # grayscale 2x2: values 10,20 / 30,40 (filter 0 rows)
+    g = png(2, 2, 8, 0, b"\x00\x0a\x14\x00\x1e\x28")
+    arr, _ = decode_image(g)
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [10, 10, 10] and arr[1, 1].tolist() == [40, 40, 40]
+    # gray+alpha: alpha dropped
+    ga = png(1, 1, 8, 4, b"\x00\x63\x80")
+    arr, _ = decode_image(ga)
+    assert arr[0, 0].tolist() == [99, 99, 99]
+    # RGBA: alpha dropped
+    rgba = png(1, 1, 8, 6, b"\x00\x01\x02\x03\xff")
+    arr, _ = decode_image(rgba)
+    assert arr[0, 0].tolist() == [1, 2, 3]
+    # palette: two indices through a 3-entry PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    pal = png(2, 1, 8, 3, b"\x00\x00\x02", plte=plte)
+    arr, _ = decode_image(pal)
+    assert arr[0, 0].tolist() == [255, 0, 0] and arr[0, 1].tolist() == [0, 0, 255]
+
+
+def test_png_unsupported_variants_route_to_registry():
+    """16-bit PNG: native decode refuses, and (a) with no registered
+    decoder raises the guided error, (b) with an injected image/png
+    decoder the payload routes through it — the Pillow seam."""
+    import struct as _s
+    import zlib
+
+    from lakehouse_engine_spark.datapipes.media_codecs import (
+        _PNG_SIG,
+        register_decoder,
+        unregister_decoder,
+    )
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = _s.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)  # 16-bit RGB
+    deep = (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01\x02" * 3))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="plug Pillow in"):
+        decode_image(deep)
+    sentinel = np.full((2, 2, 3), 42, dtype=np.uint8)
+    register_decoder("image/png", lambda b: sentinel)
+    try:
+        arr, codec = decode_image(deep)
+        assert codec == "png"
+        np.testing.assert_array_equal(arr, sentinel)
+    finally:
+        unregister_decoder("image/png")
+
+
+def test_png_through_spark_multimodal_pipeline(spark):
+    """End-to-end: PNG payloads built per row (zlib on the executors),
+    decoded by multimodal_image_decode through the SAME Arrow-batched
+    pipeline as PPM/BMP — dims and channel means recovered exactly."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_engine_spark.datapipes.media_codecs import encode_png
+
+    def make_payload(doc_id: int) -> bytes:
+        w, h = 4 + doc_id % 3, 5
+        arr = np.full((h, w, 3), 0, dtype=np.uint8)
+        arr[:, :, 0] = doc_id % 256
+        arr[:, :, 1] = (3 * doc_id) % 256
+        arr[:, :, 2] = (7 * doc_id) % 256
+        return encode_png(arr, row_filters=[y % 5 for y in range(h)])
+
+    rows = [(i, bytearray(make_payload(i))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    out = {r["id"]: r for r in df.transform(t("multimodal_image_decode")).collect()}
+    for i in range(40):
+        r = out[i]
+        assert r["media_type"] == "image/png" and r["codec"] == "png"
+        assert (r["width"], r["height"]) == (4 + i % 3, 5)
+        assert [round(x) for x in r["mean_rgb"]] == [
+            i % 256, (3 * i) % 256, (7 * i) % 256
+        ]
