@@ -2351,6 +2351,49 @@ def dp84_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp85_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL JPEG decode with no codec library: each sampled doc gets a
+    solid-color baseline JFIF built by the pure-numpy encoder
+    (datapipes/media_jpeg.py — DCT, flat quant, Annex-K Huffman), and the
+    native decoder Huffman-decodes + IDCTs the actual entropy-coded bytes
+    inside Arrow-batched mapInPandas. With flat quant tables a solid color
+    survives entirely in the DC coefficients, so the decoded RGB equals
+    the closed-form YCbCr half-up round-trip — which the oracle computes
+    arithmetically (verified exhaustively for all 256 generated colors in
+    tests). Docs sampled 1-in-10 to keep the serial entropy decode a
+    sub-second bench line at sf0.1."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_engine_spark.datapipes.media_jpeg import encode_jpeg
+
+    def _make_jpeg_fn(ids):
+        payloads = []
+        for i in ids:
+            i = int(i)
+            arr = np.empty((8, 8 + 8 * (i % 2), 3), dtype=np.uint8)
+            arr[:, :, 0] = i % 256
+            arr[:, :, 1] = (5 * i) % 256
+            arr[:, :, 2] = (11 * i) % 256
+            payloads.append(encode_jpeg(arr))
+        return pd.Series(payloads)
+
+    _make_jpeg = F.pandas_udf(_make_jpeg_fn, "binary")
+    docs = load_table(spark, sf, "documents").filter("doc_id % 10 = 0")
+    imgs = docs.select("doc_id", _make_jpeg("doc_id").alias("payload"))
+    meta = imgs.transform(_t("multimodal_image_decode"))
+    return meta.select(
+        F.col("id").alias("doc_id"),
+        "media_type",
+        "codec",
+        "width",
+        "height",
+        F.element_at("mean_rgb", 1).cast("double").alias("mean_r"),
+        F.element_at("mean_rgb", 2).cast("double").alias("mean_g"),
+        F.element_at("mean_rgb", 3).cast("double").alias("mean_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 5): front-load the
@@ -2428,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp82_url_normalize": dp82_url_normalize,
         "dp83_bm25_topk": dp83_bm25_topk,
         "dp84_png_decode": dp84_png_decode,
+        "dp85_jpeg_decode": dp85_jpeg_decode,
         # --- driver-green in CORRECTNESS_r04 (hard signal on record) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_by_segment": q02_revenue_by_segment,
@@ -3863,6 +3907,33 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderdate BETWEEN b.cadence_start_date AND b.cadence_end_date
             WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1995-07-01'
             GROUP BY 1, 2, 3
+        """,
+        "dp85_jpeg_decode": """
+            -- closed-form YCbCr half-up round-trip of each solid color:
+            -- identical double arithmetic to the codec (floor(x+0.5)),
+            -- exhaustively verified for all 256 colors in pytest
+            WITH src AS (
+              SELECT doc_id,
+                     CAST(doc_id % 256 AS DOUBLE) AS r,
+                     CAST((5 * doc_id) % 256 AS DOUBLE) AS g,
+                     CAST((11 * doc_id) % 256 AS DOUBLE) AS b
+              FROM documents WHERE doc_id % 10 = 0
+            ), ycc AS (
+              SELECT doc_id, r, g, b,
+                LEAST(GREATEST(floor(0.299*r + 0.587*g + 0.114*b + 0.5), 0), 255) AS y,
+                LEAST(GREATEST(floor(-0.168736*r - 0.331264*g + 0.5*b + 128.0 + 0.5), 0), 255) AS cb,
+                LEAST(GREATEST(floor(0.5*r - 0.418688*g - 0.081312*b + 128.0 + 0.5), 0), 255) AS cr
+              FROM src
+            )
+            SELECT doc_id,
+                   'image/jpeg' AS media_type,
+                   'jpeg' AS codec,
+                   (8 + 8 * (doc_id % 2))::INT AS width,
+                   8::INT AS height,
+                   LEAST(GREATEST(floor(y + 1.402*(cr-128) + 0.5), 0), 255)::DOUBLE AS mean_r,
+                   LEAST(GREATEST(floor(y - 0.344136*(cb-128) - 0.714136*(cr-128) + 0.5), 0), 255)::DOUBLE AS mean_g,
+                   LEAST(GREATEST(floor(y + 1.772*(cb-128) + 0.5), 0), 255)::DOUBLE AS mean_b
+            FROM ycc
         """,
         "dp84_png_decode": """
             SELECT doc_id,

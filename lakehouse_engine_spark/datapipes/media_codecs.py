@@ -135,7 +135,35 @@ def decode_image(
     if kind == "image/png":
         # native stdlib-zlib decode for baseline 8-bit profiles; 16-bit /
         # interlaced fall through to a registered decoder (Pillow) inside
-        return _decode_png(b, extra_decoders), "png"
+        # _decode_png. Malformed-or-unsupported with no fallback → None:
+        # a corrupt payload in a 100 TB corpus must surface as NULL fields
+        # (on_unsupported routing), never kill the job by default.
+        import zlib
+
+        try:
+            return _decode_png(b, extra_decoders), "png"
+        except (ValueError, KeyError, IndexError, struct.error, zlib.error):
+            return None
+    if kind == "image/jpeg":
+        # native pure-numpy baseline decode; progressive/12-bit/arithmetic
+        # and malformed payloads fall through to a registered decoder
+        # (Pillow) when present, else None — same NULL-routing contract
+        from lakehouse_engine_spark.datapipes.media_jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(b), "jpeg"
+        except (ValueError, KeyError, IndexError, struct.error):
+            registry = _EXTRA_DECODERS if extra_decoders is None else extra_decoders
+            fn = registry.get("image/jpeg")
+            if fn is not None:
+                arr = np.asarray(fn(b), dtype=np.uint8)
+                if arr.ndim != 3 or arr.shape[2] != 3:
+                    raise ValueError(
+                        f"decoder for {kind} must return (H, W, 3) uint8,"
+                        f" got {arr.shape}"
+                    )
+                return arr, "jpeg"
+            return None
     registry = _EXTRA_DECODERS if extra_decoders is None else extra_decoders
     fn = registry.get(kind)
     if fn is not None:

@@ -547,8 +547,13 @@ def test_png_unsupported_variants_route_to_registry():
     deep = (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01\x02" * 3))
             + chunk(b"IEND", b""))
+    # the raw decoder names the gap; decode_image routes it to NULL-field
+    # handling (None) so one deep payload can't kill a corpus job
+    from lakehouse_engine_spark.datapipes.media_codecs import _decode_png
+
     with pytest.raises(ValueError, match="plug Pillow in"):
-        decode_image(deep)
+        _decode_png(deep)
+    assert decode_image(deep) is None
     sentinel = np.full((2, 2, 3), 42, dtype=np.uint8)
     register_decoder("image/png", lambda b: sentinel)
     try:
@@ -585,3 +590,101 @@ def test_png_through_spark_multimodal_pipeline(spark):
         assert [round(x) for x in r["mean_rgb"]] == [
             i % 256, (3 * i) % 256, (7 * i) % 256
         ]
+
+
+# ------------------------------------------------------------------ JPEG
+
+
+def test_jpeg_solid_color_closed_form():
+    """With flat (all-ones) quant tables a solid color survives entirely in
+    the DC coefficients, so the decode equals the closed-form YCbCr
+    half-up round-trip of the input color — the exact arithmetic dp85's
+    DuckDB oracle replays."""
+    from lakehouse_engine_spark.datapipes.media_jpeg import decode_jpeg, encode_jpeg
+
+    for color in [(10, 200, 77), (0, 0, 0), (255, 255, 255), (123, 45, 67)]:
+        arr = np.zeros((16, 24, 3), dtype=np.uint8)
+        arr[:, :] = color
+        dec = decode_jpeg(encode_jpeg(arr))
+        assert dec.shape == (16, 24, 3)
+        assert (dec == dec[0, 0]).all()
+        r, g, b = map(float, color)
+        y = min(max(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0), 255)
+        cb = min(max(np.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.5), 0), 255)
+        cr = min(max(np.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.5), 0), 255)
+        exp = [
+            int(min(max(np.floor(y + 1.402 * (cr - 128) + 0.5), 0), 255)),
+            int(min(max(np.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0), 255)),
+            int(min(max(np.floor(y + 1.772 * (cb - 128) + 0.5), 0), 255)),
+        ]
+        assert dec[0, 0].tolist() == exp
+
+
+def test_jpeg_roundtrip_near_lossless_and_lossy():
+    """Flat quant: arbitrary pixels round-trip within ±2 (float DCT +
+    YCbCr rounding), including non-multiple-of-8 dims with edge-replicate
+    padding. A real coarse quant table decodes without error and stays in
+    the right neighborhood."""
+    from lakehouse_engine_spark.datapipes.media_jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 256, (24, 40, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(arr))
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 2
+    odd = rng.randint(0, 256, (13, 19, 3), dtype=np.uint8)
+    dec_odd = decode_jpeg(encode_jpeg(odd))
+    assert dec_odd.shape == (13, 19, 3)
+    assert np.abs(dec_odd.astype(int) - odd.astype(int)).max() <= 2
+    q = np.full(64, 16, dtype=np.int32)
+    q[0] = 8
+    flat = np.zeros((16, 16, 3), dtype=np.uint8)
+    flat[:8], flat[8:] = (200, 30, 90), (20, 180, 240)
+    dec_q = decode_jpeg(encode_jpeg(flat, quant=q))
+    assert np.abs(dec_q[2, 2].astype(int) - [200, 30, 90]).max() <= 8
+    assert np.abs(dec_q[12, 12].astype(int) - [20, 180, 240]).max() <= 8
+
+
+def test_jpeg_unsupported_routes_to_registry_or_null():
+    """Progressive (SOF2) refuses natively; decode_image routes it to a
+    registered decoder when present, else returns None (NULL-field
+    routing — corrupt/deep payloads must not kill a corpus job)."""
+    import struct as _s
+
+    from lakehouse_engine_spark.datapipes import media_codecs
+    from lakehouse_engine_spark.datapipes.media_jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8, 3), 99, dtype=np.uint8))
+    # rewrite SOF0 (FFC0) marker to SOF2 (FFC2): progressive
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="not baseline"):
+        decode_jpeg(prog)
+    assert media_codecs.decode_image(prog) is None
+    sentinel = np.full((2, 2, 3), 7, dtype=np.uint8)
+    media_codecs.register_decoder("image/jpeg", lambda b: sentinel)
+    try:
+        arr, codec = media_codecs.decode_image(prog)
+        assert codec == "jpeg"
+        np.testing.assert_array_equal(arr, sentinel)
+    finally:
+        media_codecs.unregister_decoder("image/jpeg")
+
+
+def test_jpeg_through_spark_multimodal_pipeline(spark):
+    """End-to-end: real JPEG payloads built per row, natively decoded by
+    multimodal_image_decode through the same Arrow-batched pipeline."""
+    from lakehouse_engine_spark.datapipes.media_jpeg import encode_jpeg
+
+    def make(i):
+        arr = np.zeros((8, 8 + 8 * (i % 2), 3), dtype=np.uint8)
+        arr[:, :] = ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+        return bytearray(encode_jpeg(arr))
+
+    df = spark.createDataFrame(
+        [(i, make(i)) for i in range(24)], "doc_id LONG, payload BINARY"
+    )
+    out = {r["id"]: r for r in df.transform(t("multimodal_image_decode")).collect()}
+    for i in range(24):
+        r = out[i]
+        assert r["media_type"] == "image/jpeg" and r["codec"] == "jpeg"
+        assert (r["width"], r["height"]) == (8 + 8 * (i % 2), 8)
+        assert r["mean_rgb"] is not None  # exact values pinned in dp85's oracle
