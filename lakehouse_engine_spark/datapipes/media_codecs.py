@@ -94,6 +94,8 @@ def sniff_media(b: bytes) -> str:
         return "empty"
     if b[:2] == b"P6":
         return "image/x-portable-pixmap"
+    if b[:4] == b"GIF8":
+        return "image/gif"
     if b[:2] == b"BM":
         return "image/bmp"
     if b[:3] == b"\xff\xd8\xff":
@@ -143,6 +145,11 @@ def decode_image(
         try:
             return _decode_png(b, extra_decoders), "png"
         except (ValueError, KeyError, IndexError, struct.error, zlib.error):
+            return None
+    if kind == "image/gif":
+        try:
+            return _decode_gif(b), "gif"
+        except (ValueError, KeyError, IndexError, struct.error):
             return None
     if kind == "image/jpeg":
         # native pure-numpy baseline decode; progressive/12-bit/arithmetic
@@ -222,6 +229,215 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     return (rgb[::-1] if flip else rgb).copy()
 
 
+# --------------------------------------------------------------- GIF
+# Real GIF87a/89a first-frame decode: logical-screen + image descriptors,
+# global/local color tables, full LZW decompression (variable code width,
+# clear/EOI, 12-bit dictionary cap), Adam-less 4-pass interlace reorder.
+# Pure Python bit twiddling for the (inherently serial) LZW stream, numpy
+# palette gather for the pixels. Animations decode as their FIRST frame.
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # dictionary: code -> byte sequence; rebuilt on CLEAR
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    width = min_code_size + 1
+    next_code = eoi + 1
+    acc = nbits = 0
+    prev: Optional[bytes] = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = dict(base)
+                width = min_code_size + 1
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out[:n_out]
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("GIF: corrupt LZW stream")
+            out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+            n_out += len(entry)
+            if n_out >= n_pixels:
+                return out[:n_pixels]
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out[:n_out]
+
+
+def _decode_gif(b: bytes) -> np.ndarray:
+    if b[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", b, 6)
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, dtype=np.uint8, count=n * 3, offset=pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor — decode this first frame
+            left, top, w, h = struct.unpack_from("<HHHH", b, pos + 1)
+            iflags = b[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(
+                    b, dtype=np.uint8, count=n * 3, offset=pos
+                ).reshape(-1, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF: no color table")
+            min_code = b[pos]
+            pos += 1
+            chunks = []
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                chunks.append(b[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(min_code, b"".join(chunks), w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF: truncated pixel data")
+            grid = idx.reshape(h, w)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(grid)
+                deinter[np.array(order)] = grid
+                grid = deinter
+            return ct[grid]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+    raise ValueError("GIF: no image descriptor")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 as a single-frame GIF with an exact 256-entry
+    color table built from the image's distinct colors (must be ≤256 —
+    fixtures; palette formats are exact, unlike JPEG). The LZW stream uses
+    the always-clear trick (a CLEAR before every literal), which keeps the
+    code width fixed — bulky but valid, and decode exercises the real
+    variable-width path via the CLEAR handling."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif: {len(colors)} colors > 256")
+    bits = max(int(np.ceil(np.log2(max(len(colors), 2)))), 1)
+    table_bits = max(bits, 1)
+    n_table = 1 << table_bits
+    palette = np.zeros((n_table, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    min_code = max(table_bits, 2)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    next_code = eoi + 1
+    dic = {bytes([i]): i for i in range(clear)}
+    acc = nbits = 0
+    stream = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    # real LZW with "early change" width growth (the GIF convention: the
+    # encoder widens one code earlier than its own counter suggests,
+    # because the decoder's dictionary lags one entry behind)
+    emit(clear)
+    prev = b""
+    for px in idx.reshape(-1).tolist():
+        cur = prev + bytes([px])
+        if cur in dic:
+            prev = cur
+            continue
+        emit(dic[prev])
+        if next_code < 4096:
+            dic[cur] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        prev = bytes([px])
+    if prev:
+        emit(dic[prev])
+    emit(eoi)
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF0 | (table_bits - 1), 0, 0)
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _build_g711_luts() -> Tuple[np.ndarray, np.ndarray]:
+    """ITU-T G.711 byte→float32 decode tables (telephony-corpus WAVs).
+    Built once at import: 256 entries each, decode is then one np.take."""
+    alaw = np.empty(256, dtype=np.float32)
+    mulaw = np.empty(256, dtype=np.float32)
+    for byte in range(256):
+        # A-law: toggle even bits, then segment/mantissa expansion
+        a = byte ^ 0x55
+        sign = -1.0 if a & 0x80 else 1.0
+        exp = (a >> 4) & 0x07
+        mant = a & 0x0F
+        mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+        alaw[byte] = sign * mag / 32768.0
+        # mu-law: complement, biased exponent expansion
+        m = ~byte & 0xFF
+        sign = -1.0 if m & 0x80 else 1.0
+        exp = (m >> 4) & 0x07
+        mant = m & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        mulaw[byte] = sign * mag / 32768.0
+    return alaw, mulaw
+
+
+_ALAW_LUT, _MULAW_LUT = _build_g711_luts()
+
+
 def decode_wav(b: bytes) -> Optional[Tuple[np.ndarray, int, str]]:
     """Decode a PCM WAV payload to ``(samples, sample_rate, codec)``.
 
@@ -246,19 +462,28 @@ def decode_wav(b: bytes) -> Optional[Tuple[np.ndarray, int, str]]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _rate, _align, bits = fmt
-    if audio_format != 1 or bits not in (8, 16, 32):
-        raise ValueError(
-            f"WAV unsupported: format={audio_format} bits={bits} (integer PCM only)"
-        )
-    if bits == 8:  # unsigned per spec
-        raw = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
-        samples = (raw - 128.0) / 128.0
+    if audio_format == 6:  # G.711 A-law: one byte per sample, LUT decode
+        samples = _ALAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+        codec = "alaw"
+    elif audio_format == 7:  # G.711 mu-law
+        samples = _MULAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+        codec = "mulaw"
+    elif audio_format == 1 and bits in (8, 16, 32):
+        if bits == 8:  # unsigned per spec
+            raw = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+            samples = (raw - 128.0) / 128.0
+        else:
+            dt = np.int16 if bits == 16 else np.int32
+            raw = np.frombuffer(data, dtype=np.dtype(dt).newbyteorder("<"))
+            samples = raw.astype(np.float32) / float(2 ** (bits - 1))
+        codec = f"pcm{bits}"
     else:
-        dt = np.int16 if bits == 16 else np.int32
-        raw = np.frombuffer(data, dtype=np.dtype(dt).newbyteorder("<"))
-        samples = raw.astype(np.float32) / float(2 ** (bits - 1))
+        raise ValueError(
+            f"WAV unsupported: format={audio_format} bits={bits}"
+            " (integer PCM / G.711 a-law / mu-law only)"
+        )
     frames = len(samples) // channels
-    return samples[: frames * channels].reshape(frames, channels), sample_rate, f"pcm{bits}"
+    return samples[: frames * channels].reshape(frames, channels), sample_rate, codec
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:

@@ -688,3 +688,125 @@ def test_jpeg_through_spark_multimodal_pipeline(spark):
         assert r["media_type"] == "image/jpeg" and r["codec"] == "jpeg"
         assert (r["width"], r["height"]) == (8 + 8 * (i % 2), 8)
         assert r["mean_rgb"] is not None  # exact values pinned in dp85's oracle
+
+
+def test_wav_g711_alaw_mulaw():
+    """G.711 telephony WAVs (formats 6/7) decode through the LUTs:
+    round-trip a sine through reference Python companders and require
+    <1% reconstruction error; known anchor bytes decode exactly."""
+    from lakehouse_engine_spark.datapipes.media_codecs import decode_wav
+
+    def wav(fmt, data, ch=1, rate=8000):
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, fmt, ch, rate, rate, ch, 8)
+        hdr += b"data" + struct.pack("<I", len(data))
+        return hdr + data
+
+    # reference encoders (inverse of the decode expansion)
+    def mulaw_enc(x):
+        v = int(np.clip(x, -1, 1) * 32768)
+        sign = 0x80 if v < 0 else 0
+        v = min(abs(v) + 0x84, 0x7FFF)
+        exp = v.bit_length() - 8
+        mant = (v >> (exp + 3)) & 0x0F
+        return (~(sign | (exp << 4) | mant)) & 0xFF
+
+    def alaw_enc(x):
+        v = int(np.clip(x, -1, 1) * 32768)
+        sign = 0x80 if v < 0 else 0
+        v = min(abs(v), 0x7FFF)
+        if v < 0x100:
+            exp, mant = 0, (v >> 4) & 0x0F
+        else:
+            exp = v.bit_length() - 8
+            mant = (v >> (exp + 3)) & 0x0F
+        return (sign | (exp << 4) | mant) ^ 0x55
+
+    sine = np.sin(np.linspace(0, 4 * np.pi, 64)) * 0.8
+    mdata = bytes(mulaw_enc(x) for x in sine)
+    adata = bytes(alaw_enc(x) for x in sine)
+    ms, mr, mc = decode_wav(wav(7, mdata))
+    as_, ar, ac = decode_wav(wav(6, adata))
+    assert (mc, ac) == ("mulaw", "alaw") and mr == ar == 8000
+    # companding bound: segment mantissas truncate in the reference
+    # encoder, so worst-case error is a full mantissa step (~2% near the
+    # 0.8 peak); the DECODE expansion itself is exact per G.711
+    assert np.abs(ms[:, 0] - sine).max() < 0.02
+    assert np.abs(as_[:, 0] - sine).max() < 0.02
+    # anchors: mu-law 0xFF is +0, A-law 0x55 is smallest positive step
+    z, _, _ = decode_wav(wav(7, b"\xff"))
+    assert z[0, 0] == 0.0
+    s, _, _ = decode_wav(wav(6, b"\x55"))
+    assert 0 < s[0, 0] < 0.001
+    # unsupported format still raises the guided error
+    with pytest.raises(ValueError, match="a-law"):
+        decode_wav(wav(3, b"\x00\x00\x00\x00"))  # IEEE float
+
+
+# ------------------------------------------------------------------ GIF
+
+
+def test_gif_roundtrip_real_lzw():
+    """encode→decode identity through REAL LZW (dictionary growth across
+    code widths, KwKwK on runs, 4096-entry cap on the big case)."""
+    from lakehouse_engine_spark.datapipes.media_codecs import encode_gif
+
+    rng = np.random.RandomState(3)
+    cases = [
+        (rng.randint(0, 4, (17, 23, 3)) * 85).astype(np.uint8),
+        np.full((8, 12, 3), (9, 200, 33), dtype=np.uint8),       # KwKwK runs
+        (rng.randint(0, 6, (100, 100, 3)) * 42).astype(np.uint8),  # >4096 codes
+    ]
+    for arr in cases:
+        payload = encode_gif(arr)
+        assert sniff_media(payload) == "image/gif"
+        dec, codec = decode_image(payload)
+        assert codec == "gif"
+        np.testing.assert_array_equal(dec, arr)
+    with pytest.raises(ValueError, match="> 256"):
+        encode_gif(rng.randint(0, 256, (40, 40, 3), dtype=np.uint8))
+    assert decode_image(b"GIF89ajunkjunk") is None  # malformed → NULL routing
+
+
+def test_gif_interlaced_decode():
+    """Interlaced GIFs (4-pass row order) deinterlace correctly: rows of a
+    plain encode are re-ordered into pass order and the interlace flag is
+    set; the decoder must reconstruct the original image."""
+    from lakehouse_engine_spark.datapipes.media_codecs import encode_gif
+
+    rng = np.random.RandomState(9)
+    arr = (rng.randint(0, 4, (13, 7, 3)) * 80).astype(np.uint8)
+    h = arr.shape[0]
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    payload = bytearray(encode_gif(arr[np.array(order)]))
+    # image descriptor: after 13-byte header + global color table
+    n_table = 2 << (payload[10] & 0x07)
+    desc = 13 + n_table * 3
+    assert payload[desc] == 0x2C
+    payload[desc + 9] |= 0x40  # set interlace flag
+    dec, codec = decode_image(bytes(payload))
+    assert codec == "gif"
+    np.testing.assert_array_equal(dec, arr)
+
+
+def test_gif_through_spark_multimodal_pipeline(spark):
+    from lakehouse_engine_spark.datapipes.media_codecs import encode_gif
+
+    def make(i):
+        arr = np.full((6, 4 + i % 4, 3), 0, dtype=np.uint8)
+        arr[:, :] = ((i * 13) % 256, (i * 29) % 256, (i * 47) % 256)
+        return bytearray(encode_gif(arr))
+
+    df = spark.createDataFrame(
+        [(i, make(i)) for i in range(30)], "doc_id LONG, payload BINARY"
+    )
+    out = {r["id"]: r for r in df.transform(t("multimodal_image_decode")).collect()}
+    for i in range(30):
+        r = out[i]
+        assert r["media_type"] == "image/gif" and r["codec"] == "gif"
+        assert (r["width"], r["height"]) == (4 + i % 4, 6)
+        # palette formats are EXACT: means are the solid color itself
+        assert [round(x, 4) for x in r["mean_rgb"]] == [
+            (i * 13) % 256, (i * 29) % 256, (i * 47) % 256
+        ]
