@@ -1,21 +1,25 @@
 """Pure-numpy image codecs for container-native formats.
 
 Real decode/encode with no codec library — binary PPM (P6), uncompressed
-24/32-bit BI_RGB BMP, and **baseline PNG** (stdlib zlib inflate + numpy
+24/32-bit BI_RGB BMP, **baseline PNG** (stdlib zlib inflate + numpy
 un-filtering; 8-bit gray/gray+alpha/palette/RGB/RGBA, all five scanline
-filters) — so the multimodal operators do REAL pixel work (dimensions,
-channel stats, resize, thumbnails) end-to-end in this container,
-including a genuinely compressed format. Remaining compressed formats
-(JPEG/WebP; PNG's 16-bit and Adam7 variants) route through the pluggable
-decoder registry below — Pillow self-registers when importable (absent in
-this container); with no registered decoder they fall back to the
-documented strict-mode stub.
+filters), **GIF** (full LZW, interlace, local/global color tables), and
+**baseline JPEG** (`media_jpeg.py`: canonical Huffman entropy decode +
+batched IDCT) — so the multimodal operators do REAL pixel work
+(dimensions, channel stats, resize, thumbnails) end-to-end in this
+container, including genuinely compressed formats. Audio: PCM WAV
+(8/16/32-bit), G.711 A-law/μ-law, and IMA ADPCM. Remaining formats
+(WebP; progressive/12-bit JPEG; 16-bit/Adam7 PNG; mp3/flac) route
+through the pluggable decoder registry below — Pillow self-registers
+when importable (absent in this container); with no registered decoder
+they fall back to the documented strict-mode stub.
 
-Everything is vectorized numpy (no per-pixel Python): decode is a header
-parse + ``np.frombuffer`` reshape; nearest-neighbor resize is integer
-index gather; the thumbnail feature is two mean-pools. These run inside
-Arrow-batched ``mapInPandas`` workers, so the per-batch cost is a handful
-of numpy kernel calls.
+The heavy math is vectorized numpy (frombuffer reshapes, palette
+gathers, einsum IDCT, LUT expansion); only the inherently serial
+entropy/differential loops (LZW, Huffman, ADPCM) run in plain Python at
+fixture-grade throughput. These run inside Arrow-batched ``mapInPandas``
+workers, so the per-batch cost is a handful of numpy kernel calls plus
+those loops.
 """
 
 from __future__ import annotations
@@ -412,6 +416,144 @@ def encode_gif(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# IMA ADPCM step-size table + index adjustments (IMA/DVI spec)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _decode_ima_adpcm(data: bytes, channels: int, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV format 0x11): each block starts with a per-channel
+    4-byte header (predictor int16, step index, reserved), then interleaved
+    4-byte channel words of eight 4-bit nibbles each. The differential
+    recurrence is inherently serial per channel — plain Python over
+    nibbles, fixture-grade throughput (real corpora route through ffmpeg
+    at the registry boundary like video)."""
+    if block_align <= 0:
+        raise ValueError("ADPCM: invalid block align")
+    out: List[float] = []
+    for bstart in range(0, len(data), block_align):
+        block = data[bstart : bstart + block_align]
+        if len(block) < 4 * channels:
+            break
+        preds, idxs = [], []
+        chans: List[List[float]] = [[] for _ in range(channels)]
+        for c in range(channels):
+            pred = struct.unpack_from("<h", block, c * 4)[0]
+            idx = block[c * 4 + 2]
+            preds.append(pred)
+            idxs.append(min(max(idx, 0), 88))
+            chans[c].append(pred / 32768.0)
+        pos = 4 * channels
+        # interleaved: 4 bytes (8 nibbles) per channel, round-robin
+        while pos + 4 * channels <= len(block):
+            for c in range(channels):
+                word = block[pos : pos + 4]
+                pos += 4
+                for byte in word:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = int(_IMA_STEPS[idxs[c]])
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        if nib & 8:
+                            preds[c] -= diff
+                        else:
+                            preds[c] += diff
+                        preds[c] = min(max(preds[c], -32768), 32767)
+                        idxs[c] = min(max(idxs[c] + int(_IMA_INDEX_ADJ[nib & 7]), 0), 88)
+                        chans[c].append(preds[c] / 32768.0)
+        n = min(len(ch) for ch in chans)
+        for i in range(n):
+            for c in range(channels):
+                out.append(chans[c][i])
+    return np.asarray(out, dtype=np.float32)
+
+
+def encode_ima_adpcm(
+    samples: np.ndarray, sample_rate: int, samples_per_block: int = 505
+) -> bytes:
+    """Encode (frames, channels) float32 [-1,1] as an IMA ADPCM WAV
+    (format 0x11) — the standard encoder recurrence, for fixtures and
+    round-trip tests."""
+    arr = np.clip(samples, -1.0, 1.0)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    frames, channels = arr.shape
+    pcm = np.rint(arr * 32767.0).astype(np.int64)
+    block_align = 4 * channels + ((samples_per_block - 1) // 8) * 4 * channels
+    blocks = bytearray()
+    f = 0
+    while f < frames:
+        take = min(samples_per_block, frames - f)
+        preds = [int(pcm[f, c]) for c in range(channels)]
+        idxs = [0 for _ in range(channels)]
+        block = bytearray()
+        for c in range(channels):
+            block += struct.pack("<hBB", preds[c], idxs[c], 0)
+        nibbles: List[List[int]] = [[] for _ in range(channels)]
+        for i in range(1, take):
+            for c in range(channels):
+                step = int(_IMA_STEPS[idxs[c]])
+                delta = int(pcm[f + i, c]) - preds[c]
+                nib = 0
+                if delta < 0:
+                    nib = 8
+                    delta = -delta
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                # reconstruct exactly as the decoder will
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                preds[c] += -diff if nib & 8 else diff
+                preds[c] = min(max(preds[c], -32768), 32767)
+                idxs[c] = min(max(idxs[c] + int(_IMA_INDEX_ADJ[nib & 7]), 0), 88)
+                nibbles[c].append(nib)
+        # pad each channel to a multiple of 8 nibbles
+        for c in range(channels):
+            while len(nibbles[c]) % 8:
+                nibbles[c].append(0)
+        n_words = len(nibbles[0]) // 8
+        for wi in range(n_words):
+            for c in range(channels):
+                chunk = nibbles[c][wi * 8 : wi * 8 + 8]
+                for j in range(0, 8, 2):
+                    block.append(chunk[j] | (chunk[j + 1] << 4))
+        block += b"\x00" * (block_align - len(block))
+        blocks += block
+        f += take
+    hdr = b"RIFF" + struct.pack("<I", 48 + len(blocks)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 0x11, channels, sample_rate,
+        sample_rate * block_align // samples_per_block, block_align, 4
+    )
+    hdr += b"fact" + struct.pack("<II", 4, frames)  # true frame count
+    hdr += b"data" + struct.pack("<I", len(blocks))
+    return hdr + bytes(blocks)
+
+
 def _build_g711_luts() -> Tuple[np.ndarray, np.ndarray]:
     """ITU-T G.711 byte→float32 decode tables (telephony-corpus WAVs).
     Built once at import: 256 entries each, decode is then one np.take."""
@@ -450,18 +592,30 @@ def decode_wav(b: bytes) -> Optional[Tuple[np.ndarray, int, str]]:
     if sniff_media(b) != "audio/wav":
         return None
     # RIFF chunk walk: [id(4) size(4) payload(size, word-aligned)] from 12
-    i, fmt, data = 12, None, None
+    i, fmt, data, fact_frames = 12, None, None, None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         size = struct.unpack_from("<I", b, i + 4)[0]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", b, i + 8)
+        elif cid == b"fact":
+            fact_frames = struct.unpack_from("<I", b, i + 8)[0]
         elif cid == b"data":
             data = b[i + 8 : i + 8 + size]
         i += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _rate, _align, bits = fmt
+    if audio_format == 0x11:  # IMA ADPCM: 4-bit differential blocks
+        samples = _decode_ima_adpcm(data, channels, _align)
+        frames = len(samples) // channels
+        if fact_frames is not None:  # drop block-padding tail samples
+            frames = min(frames, fact_frames)
+        return (
+            samples[: frames * channels].reshape(frames, channels),
+            sample_rate,
+            "ima_adpcm",
+        )
     if audio_format == 6:  # G.711 A-law: one byte per sample, LUT decode
         samples = _ALAW_LUT[np.frombuffer(data, dtype=np.uint8)]
         codec = "alaw"
