@@ -2432,6 +2432,27 @@ def dp86_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp87_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative PageRank (datapipes/graph.py graph_pagerank): a synthetic
+    2-out-degree link graph over the documents table, 5 fixed iterations.
+    Ranks are exact scaled bigints (damping 17/20, integer floor-division
+    contributions), so the oracle UNROLLS all five iterations in SQL and
+    matches every node's rank bit-for-bit — an iterative distributed
+    algorithm with a hard value oracle, not a rows-only check."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 13) % n).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 3 + 5) % n).alias("dst"),
+    )
+    out = e1.unionAll(e2).transform(_t("graph_pagerank", iterations=5))
+    return out.select("node", "rank_s", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 5): front-load the
@@ -2511,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp84_png_decode": dp84_png_decode,
         "dp85_jpeg_decode": dp85_jpeg_decode,
         "dp86_gif_decode": dp86_gif_decode,
+        "dp87_pagerank": dp87_pagerank,
         # --- driver-green in CORRECTNESS_r04 (hard signal on record) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_by_segment": q02_revenue_by_segment,
@@ -3946,6 +3968,79 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderdate BETWEEN b.cadence_start_date AND b.cadence_end_date
             WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1995-07-01'
             GROUP BY 1, 2, 3
+        """,
+        "dp87_pagerank": """
+            -- exact integer PageRank replay: damping 17/20, 1e12 scale,
+            -- floor-division contributions, 5 UNROLLED iterations
+            WITH nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+            edges AS (
+              SELECT doc_id AS src,
+                     (doc_id*7 + 13) % (SELECT n FROM nn) AS dst FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id*3 + 5) % (SELECT n FROM nn) FROM documents
+            ),
+            outdeg AS (SELECT src, COUNT(*)::BIGINT AS od FROM edges GROUP BY src),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+            ),
+            r0 AS (
+              SELECT node,
+                     CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+              FROM nodes
+            ),
+            it1 AS (
+              SELECT nd.node,
+                     CAST((3000000000000 // (20 * (SELECT n FROM nn)))
+                       + COALESCE(SUM((r0.r * 17) // (20 * o.od)), 0) AS BIGINT) AS r
+              FROM nodes nd
+              LEFT JOIN edges e ON e.dst = nd.node
+              LEFT JOIN r0 ON r0.node = e.src
+              LEFT JOIN outdeg o ON o.src = e.src
+              GROUP BY nd.node
+            ),
+            it2 AS (
+              SELECT nd.node,
+                     CAST((3000000000000 // (20 * (SELECT n FROM nn)))
+                       + COALESCE(SUM((it1.r * 17) // (20 * o.od)), 0) AS BIGINT) AS r
+              FROM nodes nd
+              LEFT JOIN edges e ON e.dst = nd.node
+              LEFT JOIN it1 ON it1.node = e.src
+              LEFT JOIN outdeg o ON o.src = e.src
+              GROUP BY nd.node
+            ),
+            it3 AS (
+              SELECT nd.node,
+                     CAST((3000000000000 // (20 * (SELECT n FROM nn)))
+                       + COALESCE(SUM((it2.r * 17) // (20 * o.od)), 0) AS BIGINT) AS r
+              FROM nodes nd
+              LEFT JOIN edges e ON e.dst = nd.node
+              LEFT JOIN it2 ON it2.node = e.src
+              LEFT JOIN outdeg o ON o.src = e.src
+              GROUP BY nd.node
+            ),
+            it4 AS (
+              SELECT nd.node,
+                     CAST((3000000000000 // (20 * (SELECT n FROM nn)))
+                       + COALESCE(SUM((it3.r * 17) // (20 * o.od)), 0) AS BIGINT) AS r
+              FROM nodes nd
+              LEFT JOIN edges e ON e.dst = nd.node
+              LEFT JOIN it3 ON it3.node = e.src
+              LEFT JOIN outdeg o ON o.src = e.src
+              GROUP BY nd.node
+            ),
+            it5 AS (
+              SELECT nd.node,
+                     CAST((3000000000000 // (20 * (SELECT n FROM nn)))
+                       + COALESCE(SUM((it4.r * 17) // (20 * o.od)), 0) AS BIGINT) AS r
+              FROM nodes nd
+              LEFT JOIN edges e ON e.dst = nd.node
+              LEFT JOIN it4 ON it4.node = e.src
+              LEFT JOIN outdeg o ON o.src = e.src
+              GROUP BY nd.node
+            )
+            SELECT node, r AS rank_s, r / 1000000000000.0 AS rank
+            FROM it5
         """,
         "dp86_gif_decode": """
             SELECT doc_id,

@@ -14,6 +14,7 @@ from lakehouse_engine_spark.datapipes import (  # noqa: E402,F401 — populate r
     diff,
     embeddings,
     events,
+    graph,
     history,
     joins,
     multimodal,

@@ -2461,3 +2461,53 @@ def test_bm25_topk_matches_reference_and_validates(spark):
         docs_df.transform(
             CONTEXTUAL["text_bm25_topk_with"]({}, queries_with="nope")
         )
+
+
+def test_pagerank_matches_reference_replay(spark):
+    """graph_pagerank pinned against a transparent pure-Python replay of
+    the same exact-integer recurrence (damping 17/20, 1e12 scale, floor
+    division) on a small graph; plus dangling-node mass leak semantics
+    and validation."""
+    SCALE = 10**12
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1), (1, 2), (2, 3), (3, 1)]
+
+    def ref(edges, iters):
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        n = len(nodes)
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        r = {v: SCALE // n for v in nodes}
+        base = (3 * SCALE) // (20 * n)
+        for _ in range(iters):
+            inc = {v: 0 for v in nodes}
+            for s, d in edges:
+                inc[d] += (r[s] * 17) // (20 * outdeg[s])
+            r = {v: base + inc[v] for v in nodes}
+        return r
+
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r["node"]: r["rank_s"]
+        for r in df.transform(t("graph_pagerank", iterations=5)).collect()
+    }
+    assert got == ref(edges, 5)
+    # dangling node: 9 has an in-edge but no out-edges — its mass leaks
+    # (documented simple variant); totals strictly below SCALE
+    d_edges = edges + [(0, 9)]
+    ddf = spark.createDataFrame(d_edges, "src LONG, dst LONG")
+    got_d = {
+        r["node"]: r["rank_s"]
+        for r in ddf.transform(t("graph_pagerank", iterations=3)).collect()
+    }
+    assert got_d == ref(d_edges, 3)
+    assert sum(got_d.values()) < SCALE
+    # ranks are probabilities-ish: the double column is rank_s / 1e12
+    row = (
+        df.transform(t("graph_pagerank", iterations=1))
+        .filter("node = 0")
+        .first()
+    )
+    assert row["rank"] == row["rank_s"] / 1e12
+    with pytest.raises(ValueError):
+        t("graph_pagerank", iterations=0)
