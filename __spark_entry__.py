@@ -946,6 +946,38 @@ def q27_gab_year_month_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q28_gab_weekly_sunday_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """GAB WEEK cadence with start_of_the_week=SUNDAY — the other week-arm
+    of the reference's calendar matrix (our gab_utils computes
+    weekstart_sun/weekend_sun as date_trunc('WEEK', d+1)-1 .. +5, i.e. the
+    Sunday-anchored week containing d). Same broadcast calendar-join shape
+    as q17; the oracle replays the Sunday anchor with DuckDB date
+    arithmetic."""
+    from lakehouse_engine_spark.utils.gab_utils import create_calendar_view
+
+    orders = load_table(spark, sf, "orders")
+    orders.createOrReplaceTempView("gab_q28_orders")
+    create_calendar_view(spark, "1995-01-01", "1995-06-30", view_name="df_cal_q28")
+    return spark.sql(
+        f"""
+        SELECT date_format(cal.cadence_start_date, 'yyyy-MM-dd') AS from_date,
+               date_format(cal.cadence_end_date, 'yyyy-MM-dd') AS to_date,
+               o.o_orderpriority AS d1,
+               COUNT(*) AS m1,
+               CAST(SUM({_dec('o.o_totalprice')}) AS DOUBLE) AS m2
+        FROM gab_q28_orders o
+        INNER JOIN (
+            SELECT DISTINCT weekstart_sun AS cadence_start_date,
+                            weekend_sun AS cadence_end_date
+            FROM df_cal_q28
+        ) cal
+          ON o.o_orderdate BETWEEN cal.cadence_start_date AND cal.cadence_end_date
+        WHERE o.o_orderdate >= DATE'1995-01-01' AND o.o_orderdate < DATE'1995-07-01'
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
 def dp11_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup removal. The 60-bit signature is an md5-fold (ANSI
     portable), so the DuckDB oracle rebuilds the full pipeline —
@@ -2456,17 +2488,19 @@ def dp87_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 5): front-load the
-    # queries that have never received the driver's hard signal — the two
-    # new GAB cadence arms (q26/q27), dp29 (round-3's hash-red, never
+    # queries that have never received the driver's hard signal — the new
+    # GAB cadence arms (q26/q27/q28), dp29 (round-3's hash-red, never
     # driver-re-checked since), then the round-4 judge-verified-only cohort
-    # dp30..dp74 (incl. q23/q24). The 9 leftovers (dp75..dp82, q25) rotate
-    # in next round; the 50 rows already driver-green in CORRECTNESS_r04
-    # follow at the back. Every entry stays value-verified every round via
-    # tools/check_oracle.py regardless of position.
+    # dp30..dp73 (incl. q23/q24). The leftovers (dp74..dp82, q25, and the
+    # round-5 additions dp83..dp87) rotate in next round; the 50 rows
+    # already driver-green in CORRECTNESS_r04 follow at the back. Every
+    # entry stays value-verified every round via tools/check_oracle.py
+    # regardless of position.
     return {
         # --- never driver-verified: new this round ---
         "q26_gab_daily_rollup": q26_gab_daily_rollup,
         "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
+        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,
         # --- round-3 red, rotated out before re-check ---
         "dp29_pack_sequences": dp29_pack_sequences,
         # --- judge-verified round 4, never driver-checked ---
@@ -2517,8 +2551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp72_histogram": dp72_histogram,
         "dp73_weighted_sample_k": dp73_weighted_sample_k,
         "dp74_lexical_diversity": dp74_lexical_diversity,
-        # ---- driver window boundary (entry 50) ----
-        # judge-verified round 4, rotate into the window next round
+        # ---- driver window boundary (entry 50 = dp73) ----
+        # judge/check_oracle-verified, rotate into the window next round
         "dp75_snapshot_diff": dp75_snapshot_diff,
         "dp76_schema_drift": dp76_schema_drift,
         "dp77_quality_model_filter": dp77_quality_model_filter,
@@ -4150,6 +4184,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id, s / 10000.0 AS score,
                    CAST(doc_rank AS BIGINT) AS doc_rank
             FROM ranked WHERE doc_rank <= 10
+        """,
+        "q28_gab_weekly_sunday_rollup": """
+            SELECT strftime(date_trunc('week', o_orderdate + INTERVAL 1 DAY)
+                            - INTERVAL 1 DAY, '%Y-%m-%d') AS from_date,
+                   strftime(date_trunc('week', o_orderdate + INTERVAL 1 DAY)
+                            + INTERVAL 5 DAY, '%Y-%m-%d') AS to_date,
+                   o_orderpriority AS d1,
+                   COUNT(*) AS m1,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m2
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+            GROUP BY 1, 2, 3
         """,
         "q26_gab_daily_rollup": """
             SELECT strftime(o_orderdate, '%Y-%m-%d') AS from_date,

@@ -1136,3 +1136,79 @@ def dedup_embedding_cosine(
         return out
 
     return _dedup_lsh if method == "lsh" else _dedup
+
+
+@register("dedup_incremental_exact")
+def dedup_incremental_exact(
+    state_location: str,
+    key_cols: List[str],
+    id_col: str,
+    normalize: bool = False,
+    update_state: bool = True,
+) -> TransformerFn:
+    """CROSS-RUN exact dedup against a persistent digest state: drop rows
+    whose key digest was seen in ANY previous run (the state parquet at
+    ``state_location``), dedupe the current batch itself (min ``id_col``
+    survivor, the ``dedup_exact`` contract), and append the batch's new
+    digests to the state for the next run. This is the production shape
+    of corpus ingestion — each crawl/delivery dedupes against everything
+    already ingested without re-reading the corpus, only its digests.
+
+    Semantics note: the state append is an EAGER side effect at transform
+    time (like ``bpe_train``'s driver-side merge table) — the survivors
+    are localCheckpointed once, their digests appended, and the
+    checkpointed result returned, so the returned DataFrame and the state
+    can never disagree. Pass ``update_state=False`` for a dry-run probe.
+
+    Scale design: the state is digests ONLY (one md5 string per unique
+    key ever seen — bytes per corpus row, not the corpus). The
+    previously-seen drop is a digest-keyed LEFT ANTI join (shuffle on the
+    digest, no broadcast of anything unbounded); the in-batch survivor
+    pick is the same min-id aggregation as ``dedup_exact``; the append
+    writes only NEW digests. State grows by unique-new keys per run and
+    is itself partitionable/compactable offline.
+    """
+    if not key_cols:
+        raise ValueError("dedup_incremental_exact: key_cols must be non-empty")
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            raise ValueError(
+                "dedup_incremental_exact is batch-only (cross-RUN state); "
+                "use dedup_exact with a watermark for within-stream dedup"
+            )
+        spark = df.sparkSession
+        keys = [F.col(c) for c in key_cols]
+        if normalize:
+            keys = [
+                F.regexp_replace(F.lower(F.trim(k)), r"\s+", " ") for k in keys
+            ]
+        digest = F.md5(F.concat_ws("\x1f", *[k.cast("string") for k in keys]))
+        with_digest = df.withColumn("__digest", digest)
+        try:
+            seen = spark.read.parquet(state_location).select("digest")
+            have_state = True
+        except Exception:  # first run: no state yet
+            seen = None
+            have_state = False
+        fresh = with_digest
+        if have_state:
+            fresh = with_digest.join(
+                seen.withColumnRenamed("digest", "__digest"),
+                "__digest",
+                "left_anti",
+            )
+        w_best = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
+        survivors = (
+            fresh.withColumn("__rn", F.row_number().over(w_best))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        if update_state:
+            survivors.select(
+                F.col("__digest").alias("digest")
+            ).write.mode("append").parquet(state_location)
+        return survivors.drop("__digest")
+
+    return _dedup

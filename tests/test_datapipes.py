@@ -2511,3 +2511,69 @@ def test_pagerank_matches_reference_replay(spark):
     assert row["rank"] == row["rank_s"] / 1e12
     with pytest.raises(ValueError):
         t("graph_pagerank", iterations=0)
+
+
+def test_dedup_incremental_exact_across_runs(spark, tmp_path):
+    """Cross-RUN dedup: run 1 dedupes within-batch and seeds the digest
+    state; run 2 drops everything already ingested AND its own internal
+    dupes; dry-run mode leaves the state untouched; streaming input and
+    empty key_cols raise."""
+    state = str(tmp_path / "digests")
+    r1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id LONG, text STRING",
+    )
+    op = t("dedup_incremental_exact", state_location=state,
+           key_cols=["text"], id_col="doc_id")
+    out1 = sorted(r["doc_id"] for r in r1.transform(op).collect())
+    assert out1 == [1, 2]  # in-batch dupe 3 dropped, min-id survivors
+    # run 2: one repeat of run 1, one repeat within batch, one new
+    r2 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text"), (12, "gamma text"),
+         (13, "delta text")],
+        "doc_id LONG, text STRING",
+    )
+    op2 = t("dedup_incremental_exact", state_location=state,
+            key_cols=["text"], id_col="doc_id")
+    out2 = sorted(r["doc_id"] for r in r2.transform(op2).collect())
+    assert out2 == [11, 13]  # alpha seen in run 1; gamma keeps min id 11
+    # state now holds all four digests
+    assert spark.read.parquet(state).distinct().count() == 4
+    # dry run: nothing dropped from state, repeat rows still filtered
+    r3 = spark.createDataFrame(
+        [(20, "delta text"), (21, "epsilon text")], "doc_id LONG, text STRING"
+    )
+    op3 = t("dedup_incremental_exact", state_location=state,
+            key_cols=["text"], id_col="doc_id", update_state=False)
+    out3 = sorted(r["doc_id"] for r in r3.transform(op3).collect())
+    assert out3 == [21]
+    assert spark.read.parquet(state).distinct().count() == 4  # unchanged
+    # epsilon was NOT recorded (dry run) → reappears next real run
+    out4 = sorted(
+        r["doc_id"]
+        for r in r3.transform(
+            t("dedup_incremental_exact", state_location=state,
+              key_cols=["text"], id_col="doc_id")
+        ).collect()
+    )
+    assert out4 == [21]
+    with pytest.raises(ValueError):
+        t("dedup_incremental_exact", state_location=state, key_cols=[],
+          id_col="doc_id")
+    # normalize: whitespace/case variants share a digest
+    r5 = spark.createDataFrame(
+        [(30, "  ALPHA   text "), (31, "zeta")], "doc_id LONG, text STRING"
+    )
+    out5 = sorted(
+        r["doc_id"]
+        for r in r5.transform(
+            t("dedup_incremental_exact", state_location=str(tmp_path / "norm"),
+              key_cols=["text"], id_col="doc_id", normalize=True)
+        ).collect()
+    )
+    assert out5 == [30, 31]
+    out6 = r5.selectExpr("doc_id + 100 AS doc_id", "text").transform(
+        t("dedup_incremental_exact", state_location=str(tmp_path / "norm"),
+          key_cols=["text"], id_col="doc_id", normalize=True)
+    ).count()
+    assert out6 == 0  # normalized repeats of run 5 all dropped
