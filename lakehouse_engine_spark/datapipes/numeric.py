@@ -44,6 +44,7 @@ def winsorize(
     method: str = "approx",
     accuracy: int = 10_000,
     output_col: Optional[str] = None,
+    broadcast_stats: bool = True,
 ) -> TransformerFn:
     """Clip ``value_col`` to its [``lower``, ``upper``] percentile range,
     optionally per group. Adds ``<value_col>_wins`` (or ``output_col``)
@@ -54,6 +55,11 @@ def winsorize(
     interpolation — matches DuckDB ``quantile_cont`` for the oracle);
     ``method="approx"`` (default) uses ``percentile_approx`` with
     ``accuracy`` — the 100 TB path (mergeable sketch, bounded memory).
+
+    ``broadcast_stats``: the per-group bounds table broadcasts by default
+    (one row per group — tiny for the usual domain/lang groupings); pass
+    ``False`` when ``group_cols`` is high-cardinality (e.g. per-user) so
+    the attach runs as a shuffle join instead of OOMing executors.
     """
     if not 0.0 <= lower <= upper <= 1.0:
         raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
@@ -79,9 +85,9 @@ def winsorize(
                 F.col("__p")[1].alias(f"{value_col}_hi"),
             )
         )
-        joined = (
-            df.join(F.broadcast(lim), on=keys) if keys else df.crossJoin(F.broadcast(lim))
-        )
+        if broadcast_stats:
+            lim = F.broadcast(lim)
+        joined = df.join(lim, on=keys) if keys else df.crossJoin(lim)
         lo, hi = F.col(f"{value_col}_lo"), F.col(f"{value_col}_hi")
         clipped = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
             F.least(F.greatest(v.cast("double"), lo), hi)
@@ -99,6 +105,7 @@ def robust_scale(
     method: str = "approx",
     accuracy: int = 10_000,
     output_col: Optional[str] = None,
+    broadcast_stats: bool = True,
 ) -> TransformerFn:
     """Robust standardization: ``(x - median) / (scale * MAD)`` with
     ``MAD = median(|x - median|)`` — the outlier-insensitive alternative
@@ -113,7 +120,9 @@ def robust_scale(
     broadcast back — still zero corpus shuffles. ``method="exact"`` uses
     Spark's sort-based ``percentile`` (oracle parity, buffers each group);
     ``method="approx"`` (default) the mergeable ``percentile_approx``
-    sketch — the 100 TB path.
+    sketch — the 100 TB path. ``broadcast_stats=False`` switches the
+    one-row-per-group attach to a shuffle join for high-cardinality
+    groupings (per-user keys can reach 10^8+ rows).
     """
     if method not in ("exact", "approx"):
         raise ValueError(f"method must be exact|approx, got {method!r}")
@@ -129,10 +138,12 @@ def robust_scale(
         v = F.col(value_col)
 
         def _attach(base: DataFrame, stats: DataFrame) -> DataFrame:
+            if broadcast_stats:
+                stats = F.broadcast(stats)
             return (
-                base.join(F.broadcast(stats), on=keys)
+                base.join(stats, on=keys)
                 if keys
-                else base.crossJoin(F.broadcast(stats))
+                else base.crossJoin(stats)
             )
 
         med = df.groupBy(*keys).agg(_median(v).alias("__med"))
@@ -158,6 +169,7 @@ def zscore_normalize(
     group_cols: Optional[List[str]] = None,
     ddof: int = 0,
     output_col: Optional[str] = None,
+    broadcast_stats: bool = True,
 ) -> TransformerFn:
     """Standardize ``value_col`` to zero mean / unit variance, optionally
     per group (source, language, event type) — the mixing-comparability
@@ -167,7 +179,9 @@ def zscore_normalize(
 
     ``ddof=0`` → population stddev (DuckDB ``stddev_pop``), ``ddof=1`` →
     sample stddev. Two-pass: per-group mean/std aggregation (map-side
-    combined), broadcast back, codegen'd projection.
+    combined), broadcast back (``broadcast_stats=False`` for
+    high-cardinality groupings — shuffle join instead), codegen'd
+    projection.
     """
     if ddof not in (0, 1):
         raise ValueError(f"ddof must be 0 or 1, got {ddof}")
@@ -180,11 +194,9 @@ def zscore_normalize(
         stats = df.groupBy(*keys).agg(
             F.avg(v).alias("__mean"), std.alias("__std")
         )
-        joined = (
-            df.join(F.broadcast(stats), on=keys)
-            if keys
-            else df.crossJoin(F.broadcast(stats))
-        )
+        if broadcast_stats:
+            stats = F.broadcast(stats)
+        joined = df.join(stats, on=keys) if keys else df.crossJoin(stats)
         z = F.when(
             (F.col("__std").isNull()) | (F.col("__std") == 0) | v.isNull(),
             F.lit(None).cast("double"),

@@ -41,6 +41,13 @@ def knn_brute_force(
 
     Output: (query_id, neighbor_id, score, rank) — rank 1 = most similar;
     self-matches excluded.
+
+    Contract: the QUERY side broadcasts (the corpus is scanned once,
+    never shuffled) — ``query_filter`` must select an executor-memory-
+    sized set (thousands of vectors, the ANN norm). For query sets that
+    approach corpus scale, this is the wrong operator: that is an
+    all-pairs similarity join — use the LSH machinery
+    (``dedup_embedding_cosine``/``knn_lsh``) instead.
     """
 
     def _knn(df: DataFrame) -> DataFrame:
