@@ -135,9 +135,18 @@ def decode_image(
     """
     kind = sniff_media(b)
     if kind == "image/x-portable-pixmap":
-        return _decode_ppm(b), "ppm"
+        # same NULL-routing contract as the compressed formats below: a
+        # corrupt payload in a corpus yields None (NULL fields / strict-
+        # mode raise via on_unsupported), never an uncaught executor error
+        try:
+            return _decode_ppm(b), "ppm"
+        except (ValueError, IndexError, struct.error):
+            return None
     if kind == "image/bmp":
-        return _decode_bmp(b), "bmp"
+        try:
+            return _decode_bmp(b), "bmp"
+        except (ValueError, IndexError, struct.error):
+            return None
     if kind == "image/png":
         # native stdlib-zlib decode for baseline 8-bit profiles; 16-bit /
         # interlaced fall through to a registered decoder (Pillow) inside
