@@ -2485,6 +2485,31 @@ def dp87_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("node", "rank_s", "rank")
 
 
+def dp88_binary_decompress(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-record decompression (datapipes/multimodal.py binary_decompress
+    — the WARC-style ingestion primitive): each doc's text is gzip-
+    compressed into a binary payload, the op auto-sniffs and inflates it,
+    and the oracle checks md5(decompressed) == md5(original text) plus the
+    decompressed byte count — a true compression round-trip through real
+    gzip bytes, trivially predictable in SQL."""
+    import gzip
+
+    import pandas as pd
+
+    def _gz_fn(texts):
+        return pd.Series([gzip.compress(t.encode("utf-8"), 6) for t in texts])
+
+    _gz = F.pandas_udf(_gz_fn, "binary")
+    docs = load_table(spark, sf, "documents")
+    packed = docs.select("doc_id", "text", _gz("text").alias("payload"))
+    out = packed.transform(_t("binary_decompress"))
+    return out.select(
+        "doc_id",
+        "raw_bytes",
+        F.md5(F.col("payload_raw").cast("string")).alias("raw_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 5): front-load the
@@ -2567,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp85_jpeg_decode": dp85_jpeg_decode,
         "dp86_gif_decode": dp86_gif_decode,
         "dp87_pagerank": dp87_pagerank,
+        "dp88_binary_decompress": dp88_binary_decompress,
         # --- driver-green in CORRECTNESS_r04 (hard signal on record) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_by_segment": q02_revenue_by_segment,
@@ -4002,6 +4028,12 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderdate BETWEEN b.cadence_start_date AND b.cadence_end_date
             WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1995-07-01'
             GROUP BY 1, 2, 3
+        """,
+        "dp88_binary_decompress": """
+            SELECT doc_id,
+                   CAST(strlen(text) AS BIGINT) AS raw_bytes,
+                   md5(text) AS raw_md5
+            FROM documents
         """,
         "dp87_pagerank": """
             -- exact integer PageRank replay: damping 17/20, 1e12 scale,

@@ -520,3 +520,87 @@ def image_dedup(
         return out
 
     return _dedup
+
+
+@register("binary_decompress")
+def binary_decompress(
+    payload_col: str = "payload",
+    output_col: str = "payload_raw",
+    codec: str = "auto",  # auto | gzip | zlib | bz2 | xz | none
+    on_error: str = "null",  # null | error | keep
+    size_col: str | None = "raw_bytes",
+) -> TransformerFn:
+    """Per-row decompression of a BINARY column — the WARC/CommonCrawl
+    ingestion primitive (HTTP bodies and archive members arrive
+    gzip/zlib-compressed per record, not per file, so Spark's file-level
+    codec handling never sees them). All codecs are stdlib: gzip, raw
+    zlib, bz2, xz/lzma. ``codec="auto"`` sniffs per row from magic bytes
+    (1f8b gzip, 425a68 bz2, fd377a xz, 0x78 zlib) and passes
+    uncompressed payloads through unchanged.
+
+    Corruption contract mirrors the image decoders: ``on_error="null"``
+    (default) yields NULL for undecodable rows — one truncated record in
+    a 100 TB crawl must not kill the job; ``"keep"`` passes the original
+    bytes through; ``"error"`` fails fast. Adds ``size_col`` (decompressed
+    byte count, NULL where decompression failed) unless set to None.
+
+    Scale: an Arrow-batched pandas UDF over the payload column only —
+    decompression is per-row CPU with no shuffle; compose with an
+    upstream byte-budget ``repartition`` (as ``multimodal_image_decode``
+    does) when payload skew is extreme.
+    """
+    if codec not in ("auto", "gzip", "zlib", "bz2", "xz", "none"):
+        raise ValueError(f"binary_decompress: unknown codec {codec!r}")
+    if on_error not in ("null", "error", "keep"):
+        raise ValueError(f"binary_decompress: on_error must be null|error|keep")
+
+    def _decomp_fn(payloads: pd.Series) -> pd.Series:
+        import bz2 as _bz2
+        import gzip as _gzip
+        import lzma as _lzma
+        import zlib as _zlib
+
+        def one(b):
+            if b is None:
+                return None
+            b = bytes(b)
+            kind = codec
+            if kind == "auto":
+                if b[:2] == b"\x1f\x8b":
+                    kind = "gzip"
+                elif b[:3] == b"BZh":
+                    kind = "bz2"
+                elif b[:6] == b"\xfd7zXZ\x00":
+                    kind = "xz"
+                elif b[:1] == b"\x78" and len(b) >= 2 and (b[0] * 256 + b[1]) % 31 == 0:
+                    kind = "zlib"  # valid zlib header checksum
+                else:
+                    kind = "none"
+            try:
+                if kind == "gzip":
+                    return _gzip.decompress(b)
+                if kind == "zlib":
+                    return _zlib.decompress(b)
+                if kind == "bz2":
+                    return _bz2.decompress(b)
+                if kind == "xz":
+                    return _lzma.decompress(b)
+                return b  # none: passthrough
+            except Exception:
+                if on_error == "error":
+                    raise
+                return b if on_error == "keep" else None
+
+        return payloads.map(one)
+
+    _decomp = F.pandas_udf(_decomp_fn, "binary")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        out = df.withColumn(output_col, _decomp(F.col(payload_col)))
+        if size_col:
+            out = out.withColumn(
+                size_col, F.length(F.col(output_col)).cast("long")
+            )
+        return out
+
+    return _apply

@@ -2577,3 +2577,57 @@ def test_dedup_incremental_exact_across_runs(spark, tmp_path):
           key_cols=["text"], id_col="doc_id", normalize=True)
     ).count()
     assert out6 == 0  # normalized repeats of run 5 all dropped
+
+
+def test_binary_decompress_all_codecs_and_error_modes(spark):
+    """gzip/zlib/bz2/xz auto-sniff + passthrough; corrupt rows NULL by
+    default, kept with on_error='keep', fail-fast with 'error'; pinned
+    codec skips sniffing; validation raises."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+    import zlib as _zlib
+
+    rows = [
+        (1, bytearray(_gzip.compress(b"hello gzip"))),
+        (2, bytearray(_zlib.compress(b"hello zlib"))),
+        (3, bytearray(_bz2.compress(b"hello bz2"))),
+        (4, bytearray(_lzma.compress(b"hello xz"))),
+        (5, bytearray(b"plain bytes")),
+        (6, bytearray(b"\x1f\x8btruncated")),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    got = {
+        r["doc_id"]: (
+            bytes(r["payload_raw"]) if r["payload_raw"] is not None else None,
+            r["raw_bytes"],
+        )
+        for r in df.transform(t("binary_decompress")).collect()
+    }
+    assert got[1] == (b"hello gzip", 10)
+    assert got[2] == (b"hello zlib", 10)
+    assert got[3] == (b"hello bz2", 9)
+    assert got[4] == (b"hello xz", 8)
+    assert got[5] == (b"plain bytes", 11)   # auto passthrough
+    assert got[6] == (None, None)           # corrupt → NULL routing
+    assert got[7] == (None, None)
+    # keep mode: corrupt rows pass original bytes through
+    kept = {
+        r["doc_id"]: bytes(r["payload_raw"]) if r["payload_raw"] is not None else None
+        for r in df.transform(t("binary_decompress", on_error="keep")).collect()
+    }
+    assert kept[6] == b"\x1f\x8btruncated"
+    # error mode fails fast on the corrupt row
+    with pytest.raises(Exception):
+        df.transform(t("binary_decompress", on_error="error")).collect()
+    # pinned codec: zlib payload under codec="gzip" is an error → NULL
+    z = spark.createDataFrame(
+        [(1, bytearray(_zlib.compress(b"x")))], "doc_id LONG, payload BINARY"
+    )
+    pinned = z.transform(t("binary_decompress", codec="gzip")).first()
+    assert pinned["payload_raw"] is None
+    with pytest.raises(ValueError):
+        t("binary_decompress", codec="snappy")
+    with pytest.raises(ValueError):
+        t("binary_decompress", on_error="boom")
