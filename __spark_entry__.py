@@ -2510,6 +2510,49 @@ def dp88_binary_decompress(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp89_sentence_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence segmentation (datapipes/text.py text_sentence_split):
+    deterministic mixed terminators (. ! ?) injected into each doc so all
+    boundary rules fire; the oracle replays collapse → RE2-portable
+    extract → trim/filter → ordinal unnest. One row per sentence."""
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(substring(text, 1, 40), '. ', substring(text, 41, 40),"
+            " '! ', substring(text, 81, 40), '? ', substring(text, 121, 60))"
+        ).alias("text"),
+    )
+    out = staged.transform(_t("text_sentence_split", min_chars=2))
+    return out.select(
+        "doc_id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence",
+        F.col("sent_n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def dp90_html_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML boilerplate removal (datapipes/text.py text_html_strip): each
+    doc wrapped in constructed HTML with script/style bodies (containing
+    '<' and quotes), entities and comments — the oracle replays the exact
+    regexp_replace chain (inline (?is)/(?s) flags work in both Java regex
+    and RE2), so tag/entity/whitespace handling is checked end-to-end."""
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('<html><head><style>.x{color:red}</style>',"
+            " '<script>if(1<2){var y=\"q\";}</script></head><body><h1>',"
+            " substring(text, 1, 30),"
+            " '</h1><p>', substring(text, 31, 50),"
+            " ' &amp; tail &lt;x&gt;</p><!-- note --></body></html>')"
+        ).alias("text"),
+    )
+    out = staged.transform(_t("text_html_strip"))
+    return out.select("doc_id", F.col("text_stripped").alias("clean"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 5): front-load the
@@ -2593,6 +2636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp86_gif_decode": dp86_gif_decode,
         "dp87_pagerank": dp87_pagerank,
         "dp88_binary_decompress": dp88_binary_decompress,
+        "dp89_sentence_split": dp89_sentence_split,
+        "dp90_html_strip": dp90_html_strip,
         # --- driver-green in CORRECTNESS_r04 (hard signal on record) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_by_segment": q02_revenue_by_segment,
@@ -4028,6 +4073,57 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderdate BETWEEN b.cadence_start_date AND b.cadence_end_date
             WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1995-07-01'
             GROUP BY 1, 2, 3
+        """,
+        "dp89_sentence_split": """
+            WITH staged AS (
+              SELECT doc_id,
+                     substr(text, 1, 40) || '. ' || substr(text, 41, 40)
+                     || '! ' || substr(text, 81, 40) || '? '
+                     || substr(text, 121, 60) AS text
+              FROM documents
+            ), ext AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(
+                         regexp_extract_all(
+                           regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                           '[^.!?]*[.!?]+[)"' || chr(39) || ']*|[^.!?]+$'),
+                         s -> trim(s)),
+                       s -> strlen(s) >= 2) AS sents
+              FROM staged
+            )
+            SELECT doc_id,
+                   unnest(generate_series(0, len(sents) - 1))::BIGINT AS sent_idx,
+                   unnest(sents) AS sentence,
+                   CAST(strlen(unnest(sents)) AS BIGINT) AS n_chars
+            FROM ext
+        """,
+        "dp90_html_strip": """
+            WITH staged AS (
+              SELECT doc_id,
+                     '<html><head><style>.x{color:red}</style>'
+                     || '<script>if(1<2){var y="q";}</script></head><body><h1>'
+                     || substr(text, 1, 30)
+                     || '</h1><p>' || substr(text, 31, 50)
+                     || ' &amp; tail &lt;x&gt;</p><!-- note --></body></html>'
+                       AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(text,
+                               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                         '(?s)<[^>]+>', ' ', 'g'),
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                     '\\s+', ' ', 'g')) AS clean
+            FROM staged
         """,
         "dp88_binary_decompress": """
             SELECT doc_id,

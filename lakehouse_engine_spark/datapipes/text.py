@@ -1210,3 +1210,76 @@ def bm25_topk_with(data: dict, queries_with: str, **args) -> TransformerFn:
         return bm25_topk(queries_df=data[queries_with], **args)(df)
 
     return _fn
+
+
+@register("text_sentence_split")
+def sentence_split(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> TransformerFn:
+    """Sentence segmentation: one output row per sentence with
+    ``sent_idx``, ``sentence`` and ``sent_n_chars`` — the unit-of-text
+    step before sentence-level dedup, quality scoring, or chunk packing.
+
+    Boundary rule: a sentence is a maximal run ending in ``.!?``
+    (with trailing quotes/brackets absorbed) or the tail of the document.
+    Deliberately regex-only and RE2-portable — NO lookbehind/lookahead —
+    so Spark (Java regex) and any SQL oracle (RE2) extract identical
+    spans: ``[^.!?]*[.!?]+[)"']*|[^.!?]+$`` over the whitespace-collapsed
+    text, trimmed. Zero shuffle: collapse + extract + posexplode is pure
+    row-space codegen.
+    """
+
+    def _split(df: DataFrame) -> DataFrame:
+        collapsed = F.regexp_replace(F.trim(F.col(input_col)), r"\s+", " ")
+        pat = "[^.!?]*[.!?]+[)\"']*|[^.!?]+$"
+        sents = F.filter(
+            F.transform(
+                F.regexp_extract_all(collapsed, F.lit(pat), 0),
+                lambda s: F.trim(s),
+            ),
+            lambda s: F.length(s) >= min_chars,
+        )
+        return (
+            df.withColumn("__sents", sents)
+            .select(
+                *df.columns,
+                F.posexplode("__sents").alias("sent_idx", "sentence"),
+            )
+            .withColumn("sent_n_chars", F.length("sentence").cast("int"))
+        )
+
+    return _split
+
+
+@register("text_html_strip")
+def html_strip(
+    input_col: str = "text",
+    output_col: str = "text_stripped",
+) -> TransformerFn:
+    """HTML boilerplate removal for web corpora: drop ``<script>`` /
+    ``<style>`` blocks wholesale, strip remaining tags and HTML comments,
+    unescape the core entities (&amp; &lt; &gt; &quot; &#39; &nbsp;),
+    and collapse whitespace. Regex-only and RE2-portable (no
+    backreferences/lookaround) so an SQL oracle replays it exactly; a
+    real DOM parser plugs in at the same column boundary when fidelity
+    beyond tag-stripping is needed. Pure projection — zero shuffle.
+    """
+
+    def _strip(df: DataFrame) -> DataFrame:
+        c = F.col(input_col)
+        # order matters: kill script/style bodies BEFORE generic tags
+        c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+        c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+        c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+        c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+        for ent, rep in (
+            ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
+        ):
+            c = F.regexp_replace(c, ent, rep)
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        return df.withColumn(output_col, c)
+
+    return _strip

@@ -2631,3 +2631,61 @@ def test_binary_decompress_all_codecs_and_error_modes(spark):
         t("binary_decompress", codec="snappy")
     with pytest.raises(ValueError):
         t("binary_decompress", on_error="boom")
+
+
+def test_sentence_split_boundaries(spark):
+    """Terminator runs, absorbed trailing quotes, unterminated tails,
+    empty/whitespace docs (no rows), and min_chars filtering."""
+    rows = [
+        (1, 'One. Two!! Three?  "Quoted end." tail with no period'),
+        (2, "   "),
+        (3, ""),
+        (4, "justonesentence"),
+        (5, "a. bb. ccc."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {}
+    for r in df.transform(t("text_sentence_split")).collect():
+        out.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"]))
+    assert [s for _, s in sorted(out[1])] == [
+        "One.", "Two!!", "Three?", '"Quoted end."', "tail with no period"
+    ]
+    assert 2 not in out and 3 not in out
+    assert out[4] == [(0, "justonesentence")]
+    assert [s for _, s in sorted(out[5])] == ["a.", "bb.", "ccc."]
+    # min_chars prunes short fragments but keeps indices dense
+    pruned = {}
+    for r in df.filter("doc_id = 5").transform(
+        t("text_sentence_split", min_chars=3)
+    ).collect():
+        pruned.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"]))
+    assert pruned[5] == [(0, "bb."), (1, "ccc.")]
+    # sent_n_chars matches
+    r0 = df.filter("doc_id = 1").transform(t("text_sentence_split")).first()
+    assert r0["sent_n_chars"] == len(r0["sentence"])
+
+
+def test_html_strip_rules(spark):
+    """script/style bodies die wholesale (even containing '<' and quotes),
+    comments and tags strip, entities unescape in the right order
+    (&amp; LAST so '&amp;lt;' becomes '&lt;' not '<'), whitespace
+    collapses; plain text passes through."""
+    rows = [
+        (1, '<p>plain</p>'),
+        (2, '<script>if(1<2){var s="</p>";}</script>kept'),
+        (3, '<STYLE media="x">.a{}</STYLE>kept2'),
+        (4, 'A &amp;lt; B &nbsp; C &#39;q&#39; &quot;w&quot;'),
+        (5, 'no markup at all'),
+        (6, '<!-- multi\nline\ncomment -->after'),
+        (7, '<div\nclass="x">multiline tag</div>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["text_stripped"]
+           for r in df.transform(t("text_html_strip")).collect()}
+    assert got[1] == "plain"
+    assert got[2] == "kept"
+    assert got[3] == "kept2"
+    assert got[4] == 'A &lt; B C \'q\' "w"'
+    assert got[5] == "no markup at all"
+    assert got[6] == "after"
+    assert got[7] == "multiline tag"
