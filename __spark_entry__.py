@@ -2560,7 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # GAB cadence arms (q26/q27/q28), dp29 (round-3's hash-red, never
     # driver-re-checked since), then the round-4 judge-verified-only cohort
     # dp30..dp73 (incl. q23/q24). The leftovers (dp74..dp82, q25, and the
-    # round-5 additions dp83..dp87) rotate in next round; the 50 rows
+    # round-5 additions dp83..dp90) rotate in next round; the 50 rows
     # already driver-green in CORRECTNESS_r04 follow at the back. Every
     # entry stays value-verified every round via tools/check_oracle.py
     # regardless of position.

@@ -115,6 +115,52 @@ PROBES = {
 }
 
 
+def probe_codec_throughput(spark):
+    """20k constructed payloads per codec (PNG with cycling filters, GIF
+    real-LZW, baseline JPEG) through multimodal_image_decode — measures
+    the native decoders' Arrow-batched throughput. JPEG is entropy-serial
+    Python and documented fixture-grade; PNG/GIF inflate/LZW are also
+    serial but cheaper; all scale linearly with cores and payload count."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lakehouse_engine_spark.datapipes.media_codecs import encode_gif, encode_png
+    from lakehouse_engine_spark.datapipes.media_jpeg import encode_jpeg
+
+    n = 20_000
+    for name, maker in (
+        ("png", lambda i: encode_png(
+            np.full((16, 16, 3), (i % 256, (3 * i) % 256, (7 * i) % 256),
+                    dtype=np.uint8),
+            row_filters=[y % 5 for y in range(16)])),
+        ("gif", lambda i: encode_gif(
+            np.full((16, 16, 3), (i % 256, (3 * i) % 256, (7 * i) % 256),
+                    dtype=np.uint8))),
+        ("jpeg", lambda i: encode_jpeg(
+            np.full((16, 16, 3), (i % 256, (3 * i) % 256, (7 * i) % 256),
+                    dtype=np.uint8))),
+    ):
+        def _mk(ids, maker=maker):
+            return pd.Series([maker(int(i)) for i in ids])
+
+        mk = F.pandas_udf(_mk, "binary")
+        payloads = spark.range(n).select(
+            F.col("id"), mk("id").alias("payload")
+        ).persist()
+        rows = payloads.count()  # materialize fixtures OUTSIDE the timing
+        t0 = time.time()
+        decoded = payloads.transform(t("multimodal_image_decode", id_col="id"))
+        ok = decoded.filter("codec IS NOT NULL").count()
+        dt = time.time() - t0
+        print(f"codec_{name}: {rows} payloads decoded={ok} in {dt:.1f}s"
+              f" ({rows/dt:,.0f} img/s)")
+        payloads.unpersist()
+
+
+PROBES["codec_throughput"] = probe_codec_throughput
+
+
 def main():
     spark = ExecEnv.get_or_create()
     only = set(sys.argv[1:])
