@@ -2639,6 +2639,45 @@ def dp93_audio_resample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp94_running_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """streaming_running_totals' batch degradation (datapipes/stateful.py):
+    per-user totals + budget flag over one 'micro-batch' containing
+    everything — the smoke-test contract ACONs use before pointing the
+    same spec at a stream. Plain aggregate oracle."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(
+        _t("streaming_running_totals", on=["user_id"], value_col="value",
+           budget=500.0)
+    )
+    return out.select(
+        "user_id",
+        "batch_rows",
+        F.round("total_value", 4).alias("total_value"),
+        "budget_exceeded",
+    )
+
+
+def dp95_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-state HyperLogLog distinct (datapipes/stateful.py
+    streaming_approx_distinct, batch path — same sketch the streaming
+    state store carries): md5-fold hashing and an EXACT integer harmonic
+    sum make the whole estimator deterministic, so the oracle rebuilds
+    the 64 registers and the estimate in SQL and matches the count
+    BIT-FOR-BIT — an approximate algorithm under an exact oracle. Values
+    are integerized (floor of cents — explicit floor because Spark's
+    double->BIGINT cast truncates while DuckDB's rounds) so Python str()
+    and SQL VARCHAR casts hash identical strings."""
+    ev = load_table(spark, sf, "events")
+    staged = ev.select(
+        "user_id", F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v")
+    )
+    out = staged.transform(
+        _t("streaming_approx_distinct", on=["user_id"], value_col="v",
+           precision=6)
+    )
+    return out.select("user_id", "batch_rows", "approx_distinct")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 5): front-load the
@@ -2727,6 +2766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,
         "dp92_image_resize": dp92_image_resize,
         "dp93_audio_resample": dp93_audio_resample,
+        "dp94_running_totals": dp94_running_totals,
+        "dp95_approx_distinct": dp95_approx_distinct,
         # --- driver-green in CORRECTNESS_r04 (hard signal on record) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_by_segment": q02_revenue_by_segment,
@@ -4162,6 +4203,68 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderdate BETWEEN b.cadence_start_date AND b.cadence_end_date
             WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1995-07-01'
             GROUP BY 1, 2, 3
+        """,
+        "dp94_running_totals": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS batch_rows,
+                   round(SUM(CAST(value AS DOUBLE)), 4) AS total_value,
+                   SUM(CAST(value AS DOUBLE)) > 500.0 AS budget_exceeded
+            FROM events
+            GROUP BY user_id
+        """,
+        "dp95_approx_distinct": """
+            -- exact HLL replay: md5-fold 60-bit hash, precision 6
+            -- (m=64, width=54), register = max rho, harmonic sum as an
+            -- exact integer scaled by 2^56, alpha_64 = 0.709,
+            -- small-range correction, half-up final rounding
+            WITH hashed AS (
+              SELECT user_id,
+                     CAST('0x' || substr(md5(CAST(CAST(floor(value * 100) AS BIGINT)
+                       AS VARCHAR)), 1, 15) AS BIGINT) AS h
+              FROM events
+              WHERE value IS NOT NULL
+            ),
+            slots AS (
+              SELECT user_id,
+                     h % 64 AS idx,
+                     CASE WHEN (h // 64) = 0 THEN 55
+                          ELSE 54 - length(format('{:b}', h // 64)) + 1
+                     END AS rho
+              FROM hashed
+            ),
+            regs AS (
+              SELECT user_id, idx, MAX(rho) AS r FROM slots GROUP BY 1, 2
+            ),
+            summed AS (
+              SELECT user_id,
+                     SUM(CAST(1 AS HUGEINT) * (CAST(1 AS HUGEINT)
+                         << (56 - r))) AS hit_scaled,
+                     COUNT(*) AS n_hit
+              FROM regs GROUP BY user_id
+            ),
+            est AS (
+              SELECT user_id,
+                     (64 - n_hit) AS zeros,
+                     0.709 * 64 * 64 /
+                       ((hit_scaled + (64 - n_hit)
+                         * (CAST(1 AS HUGEINT) << 56))
+                        / 72057594037927936.0) AS raw
+              FROM summed
+            ),
+            corrected AS (
+              SELECT user_id,
+                     CASE WHEN raw <= 160.0 AND zeros > 0
+                          THEN 64 * ln(64.0 / zeros)
+                          ELSE raw END AS e
+              FROM est
+            ),
+            counts AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS batch_rows
+              FROM events GROUP BY user_id
+            )
+            SELECT c.user_id, c.batch_rows,
+                   CAST(floor(x.e + 0.5) AS BIGINT) AS approx_distinct
+            FROM counts c JOIN corrected x USING (user_id)
         """,
         "dp91_lsh_bucket_stats": _minhash_cte(12, 4, 3) + """
             , sizes AS (SELECT h, COUNT(*) AS bucket_size FROM ex GROUP BY h)

@@ -394,7 +394,12 @@ def streaming_approx_distinct(
         alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
             m, 0.7213 / (1 + 1.079 / m)
         )
-        inv = sum(2.0 ** -r for r in regs)
+        # EXACT harmonic sum: Σ 2^-r as one arbitrary-precision integer
+        # scaled by 2^56 (max register rank is 55), divided once — order-
+        # independent and replayable bit-for-bit by a SQL oracle, unlike
+        # a float accumulation whose 2^6..2^-55 span exceeds the 53-bit
+        # mantissa (making the sum order-dependent in the last ulp)
+        inv = sum(1 << (56 - r) for r in regs) / float(1 << 56)
         est = alpha * m * m / inv
         zeros = regs.count(0)
         if est <= 2.5 * m and zeros:  # small-range correction
@@ -415,7 +420,7 @@ def streaming_approx_distinct(
                 regs = _fold(pdf[value_col].dropna())
                 return pd.DataFrame(
                     [dict(zip(on, key), batch_rows=len(pdf),
-                          approx_distinct=int(round(_estimate(regs))))]
+                          approx_distinct=int(_estimate(regs) + 0.5))]
                 )
 
             return df.groupBy(*on).applyInPandas(_batch, schema=out_schema)
@@ -439,7 +444,7 @@ def streaming_approx_distinct(
             state.update((regs,))
             yield pd.DataFrame(
                 [dict(zip(on, key), batch_rows=rows,
-                      approx_distinct=int(round(_estimate(regs))))]
+                      approx_distinct=int(_estimate(regs) + 0.5))]
             )
 
         return df.groupBy(*on).applyInPandasWithState(
