@@ -161,6 +161,50 @@ def probe_codec_throughput(spark):
 PROBES["codec_throughput"] = probe_codec_throughput
 
 
+def probe_pagerank(spark):
+    """1M-edge synthetic graph (200k nodes, out-degree 5), 5 iterations —
+    measures the per-round join+agg cadence at 12 exchanges total."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(200_000).selectExpr("id AS src").crossJoin(
+        spark.range(5).withColumnRenamed("id", "k")
+    ).selectExpr("src", "(src * 7 + k * 13 + 1) % 200000 AS dst")
+    t0 = time.time()
+    out = edges.transform(t("graph_pagerank", iterations=5))
+    n = out.count()
+    total = out.agg(F.sum("rank_s")).first()[0]
+    print(f"pagerank: 1M edges, {n} nodes, 5 iters in {time.time()-t0:.1f}s"
+          f" (mass {total/1e12:.6f})")
+
+
+def probe_bm25(spark):
+    """sf0.1 documents replicated 20x -> 100k docs, 5 keyword queries:
+    the corpus-side broadcast-prune means shuffled volume is matching
+    tokens only."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    big = docs.crossJoin(
+        ExecEnv.get_or_create().range(20).withColumnRenamed("id", "__rep")
+    ).withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000
+    ).drop("__rep").persist()
+    n = big.count()
+    qs = spark.createDataFrame(
+        [(1, "hash join strategy"), (2, "window agg stream"),
+         (3, "vector scan filter"), (4, "slow merge sort"),
+         (5, "spark query plan")],
+        "query_id LONG, query STRING",
+    )
+    t0 = time.time()
+    out = big.transform(t("text_bm25_topk", queries_df=qs, k=10))
+    rows = out.count()
+    print(f"bm25: {n} docs, 5 queries -> {rows} rows in {time.time()-t0:.1f}s")
+    big.unpersist()
+
+
+PROBES["pagerank"] = probe_pagerank
+PROBES["bm25"] = probe_bm25
+
+
+
 def main():
     spark = ExecEnv.get_or_create()
     only = set(sys.argv[1:])
