@@ -2678,6 +2678,39 @@ def dp95_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "batch_rows", "approx_distinct")
 
 
+def dp96_g711_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """G.711 telephony decode (datapipes/media_codecs.py LUT expansion):
+    per doc a constructed WAV of 8 constant companded bytes — μ-law
+    (format 7) for even ids, A-law (format 6) for odd — decoded through
+    multimodal_audio_decode. The G.711 expansion is pure integer
+    arithmetic (segment/mantissa shifts), and mag·2⁻¹⁵ is exactly
+    representable in float32, so the oracle computes the expected PEAK
+    closed-form and matches bit-for-bit (rms is float32-accumulated and
+    stays pytest-tolerance territory — deliberately not selected)."""
+    docs = load_table(spark, sf, "documents")
+    fmt_hex = F.expr("IF(doc_id % 2 = 0, '0700', '0600')")  # mu : a (LE)
+    byte = F.expr("doc_id % 256")
+    n = F.lit(8)
+    payload_hex = F.concat(
+        F.lit("52494646"), _le_hex(F.lit(36) + n, 4), F.lit("57415645"),
+        F.lit("666D7420"), F.lit("10000000"),
+        fmt_hex, F.lit("0100"),                 # format, mono
+        F.lit("401F0000"), F.lit("401F0000"),   # 8000 Hz, 8000 B/s
+        F.lit("01000800"),                      # align 1, 8 bit
+        F.lit("64617461"), _le_hex(n, 4),
+        F.repeat(F.lpad(F.hex(byte), 2, "0"), 8),
+    )
+    clips = docs.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    meta = clips.transform(_t("multimodal_audio_decode"))
+    return meta.select(
+        F.col("id").alias("doc_id"),
+        "codec",
+        "sample_rate",
+        "n_samples",
+        "peak",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 5): front-load the
@@ -2768,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp93_audio_resample": dp93_audio_resample,
         "dp94_running_totals": dp94_running_totals,
         "dp95_approx_distinct": dp95_approx_distinct,
+        "dp96_g711_decode": dp96_g711_decode,
         # --- driver-green in CORRECTNESS_r04 (hard signal on record) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_by_segment": q02_revenue_by_segment,
@@ -4203,6 +4237,38 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderdate BETWEEN b.cadence_start_date AND b.cadence_end_date
             WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1995-07-01'
             GROUP BY 1, 2, 3
+        """,
+        "dp96_g711_decode": """
+            -- G.711 expansion in closed form (integer segment/mantissa
+            -- arithmetic; |value| = mag / 32768, exact in binary)
+            WITH b AS (
+              SELECT doc_id, doc_id % 256 AS byte, doc_id % 2 = 0 AS is_mu
+              FROM documents
+            ),
+            dec AS (
+              SELECT doc_id, is_mu,
+                     CASE WHEN is_mu THEN 255 - byte
+                          ELSE xor(byte, 85) END AS x
+              FROM b
+            ),
+            mag AS (
+              SELECT doc_id, is_mu,
+                     (x >> 4) & 7 AS e, x & 15 AS mnt,
+                     CASE WHEN is_mu
+                          THEN (((x & 15) * 8 + 132) << ((x >> 4) & 7)) - 132
+                          ELSE CASE WHEN ((x >> 4) & 7) = 0
+                                    THEN (x & 15) * 16 + 8
+                                    ELSE ((x & 15) * 16 + 264)
+                                         << (((x >> 4) & 7) - 1) END
+                     END AS m
+              FROM dec
+            )
+            SELECT doc_id,
+                   CASE WHEN is_mu THEN 'mulaw' ELSE 'alaw' END AS codec,
+                   8000::INT AS sample_rate,
+                   CAST(8 AS BIGINT) AS n_samples,
+                   m / 32768.0 AS peak
+            FROM mag
         """,
         "dp94_running_totals": """
             SELECT user_id,
