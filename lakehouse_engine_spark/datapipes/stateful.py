@@ -416,6 +416,85 @@ def streaming_approx_distinct(
         )
 
         if not df.isStreaming:
+            from pyspark.sql.types import (
+                ByteType,
+                IntegerType,
+                LongType,
+                ShortType,
+                StringType,
+            )
+
+            vt = df.schema[value_col].dataType
+            if isinstance(
+                vt, (ByteType, ShortType, IntegerType, LongType, StringType)
+            ):
+                # JVM fast path: the md5-fold and register construction
+                # run as codegen expressions (Spark md5 == hashlib md5;
+                # CAST(int AS STRING) == str(int); strings pass through),
+                # so Python only sees ≤ m register values per KEY for the
+                # float estimate — identical estimates to the pandas fold
+                # at a tiny fraction of the cost. Doubles keep the pandas
+                # path: Spark's double→string rendering ('1.0E-4') is not
+                # Python's str() ('0.0001'), so their hashes differ.
+                width = 60 - precision
+                h = F.conv(
+                    F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                slots = (
+                    df.filter(F.col(value_col).isNotNull())
+                    .select(*on, h.alias("__h"))
+                    .select(
+                        *on,
+                        F.expr(f"__h % {m}").alias("__idx"),
+                        F.when(
+                            F.expr(f"__h div {m}") == 0, F.lit(width + 1)
+                        )
+                        .otherwise(
+                            F.lit(width)
+                            - F.length(F.expr(f"bin(__h div {m})"))
+                            + 1
+                        )
+                        .alias("__rho"),
+                    )
+                )
+                regs = (
+                    slots.groupBy(*on, "__idx")
+                    .agg(F.max("__rho").alias("__r"))
+                    .groupBy(*on)
+                    .agg(F.collect_list("__r").alias("__rs"))
+                )
+                counts = df.groupBy(*on).agg(
+                    F.count(F.lit(1)).cast("long").alias("batch_rows")
+                )
+
+                def _est_fn(col: pd.Series) -> pd.Series:
+                    return col.map(
+                        lambda hits: int(
+                            _estimate(
+                                list(hits) + [0] * (m - len(hits))
+                            )
+                            + 0.5
+                        )
+                    )
+
+                _est = F.pandas_udf(_est_fn, "long")
+                return (
+                    counts.join(regs, on=on, how="left")
+                    .withColumn(
+                        "__rs",
+                        F.coalesce(
+                            "__rs", F.array().cast("array<int>")
+                        ),
+                    )
+                    .select(
+                        *on,
+                        "batch_rows",
+                        _est("__rs").alias("approx_distinct"),
+                    )
+                )
+
             def _batch(key: Tuple, pdf: pd.DataFrame) -> pd.DataFrame:
                 regs = _fold(pdf[value_col].dropna())
                 return pd.DataFrame(

@@ -295,3 +295,54 @@ def test_ewma_null_key_is_single_group_batch_matches_stream_semantics(spark):
     for key in (None, "s2"):
         seq = sorted(by_key[key], key=lambda r: r["ts"])
         assert [r["is_anomaly"] for r in seq] == [False] * 7 + [True, False], key
+
+
+def test_approx_distinct_jvm_fast_path_matches_pandas_fold(spark):
+    """Batch HLL has two implementations: the JVM codegen register build
+    (integral/string values) and the pandas md5 fold (everything else,
+    and the streaming state path). Their estimates must be IDENTICAL —
+    same hash, same registers, same float arithmetic — across dtypes."""
+    rows = [(i % 7, f"v{i % 53}") for i in range(2000)]
+    sdf = spark.createDataFrame(rows, "k INT, v STRING")
+    # string dtype → JVM path
+    jvm = {
+        r["k"]: (r["batch_rows"], r["approx_distinct"])
+        for r in sdf.transform(
+            t("streaming_approx_distinct", on=["k"], value_col="v")
+        ).collect()
+    }
+    # force the pandas path by routing the same values through a DOUBLE
+    # column whose str() rendering is identical in both paths is NOT
+    # guaranteed — so instead compare against the reference fold directly
+    import hashlib
+
+    def ref(vals):
+        m = 64
+        regs = [0] * m
+        for v in vals:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            idx, rest = h & 63, h >> 6
+            rho = 55 if rest == 0 else 54 - rest.bit_length() + 1
+            regs[idx] = max(regs[idx], rho)
+        import math
+        inv = sum(1 << (56 - r) for r in regs) / float(1 << 56)
+        est = 0.709 * 64 * 64 / inv
+        zeros = regs.count(0)
+        if est <= 160 and zeros:
+            est = 64 * math.log(64 / zeros)
+        return int(est + 0.5)
+
+    by_key = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    for k, vals in by_key.items():
+        assert jvm[k] == (len(vals), ref(vals)), k
+    # double values still take the pandas fold (str() rendering differs
+    # from Spark's cast) and agree with the reference fold over str(v)
+    ddf = spark.createDataFrame(
+        [(1, float(i % 11) + 0.25) for i in range(200)], "k INT, v DOUBLE"
+    )
+    got = ddf.transform(
+        t("streaming_approx_distinct", on=["k"], value_col="v")
+    ).first()
+    assert got["approx_distinct"] == ref([float(i % 11) + 0.25 for i in range(200)])
