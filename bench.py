@@ -90,14 +90,19 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
     }
-    # full-name record for the judge / BASELINE bookkeeping
-    self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
-    try:
-        with open(self_path, "w") as f:
-            json.dump(result, f, indent=1)
-            f.write("\n")
-    except OSError as exc:  # never let bookkeeping kill the bench line
-        print(f"# BENCH_SELF.json write failed: {exc}", file=sys.stderr)
+    # full-name record for the judge / BASELINE bookkeeping — only for
+    # FULL runs: a name-filtered invocation (local iteration on one query)
+    # must not clobber the committed full-suite record
+    if not only:
+        self_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+        )
+        try:
+            with open(self_path, "w") as f:
+                json.dump(result, f, indent=1)
+                f.write("\n")
+        except OSError as exc:  # never let bookkeeping kill the bench line
+            print(f"# BENCH_SELF.json write failed: {exc}", file=sys.stderr)
 
     # driver-facing line: short keys keep it inside the ~2000-char capture
     # window (full names total ~3KB and were truncated in round 4)
