@@ -1138,6 +1138,63 @@ def dedup_embedding_cosine(
     return _dedup_lsh if method == "lsh" else _dedup
 
 
+def _state_path_exists(spark, location: str) -> bool:
+    """True iff the digest-state path exists, via the Hadoop FileSystem of
+    the path itself (works for local, HDFS, and S3A URIs alike). Only the
+    MISSING-path case may be treated as 'first run' — a corrupt state file
+    or a transient FS/permission error must propagate, otherwise cross-run
+    dedup silently disables itself and re-emits previously-seen rows."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(location)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+    except AttributeError:  # Spark Connect: no _jvm; fall back to a probe
+        from pyspark.errors import AnalysisException
+
+        try:
+            spark.read.parquet(location).schema
+            return True
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return False
+            raise
+
+
+def _compact_state(spark, location: str, max_files: int) -> None:
+    """Rewrite the digest state as a small number of files once the
+    accumulated per-run appends exceed ``max_files`` parquet parts. At
+    daily-ingest cadence the state otherwise becomes thousands of tiny
+    files and every anti-join pays their open/footer cost. The rewrite
+    stages into a sibling ``<location>__compacting`` dir and swaps via
+    FileSystem rename, so a crash mid-compaction leaves the original
+    state intact (the stale staging dir is removed on the next attempt)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(location)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    part_files = [
+        f
+        for f in fs.listStatus(jpath)
+        if f.getPath().getName().startswith("part-")
+    ]
+    if len(part_files) <= max_files:
+        return
+    staging = jvm.org.apache.hadoop.fs.Path(location + "__compacting")
+    if fs.exists(staging):
+        fs.delete(staging, True)
+    state = spark.read.parquet(location).select("digest").distinct()
+    # ~1M md5 digests per file keeps files in the tens of MB
+    n_rows = state.count()
+    n_files = max(1, (n_rows + 999_999) // 1_000_000)
+    state.coalesce(n_files).write.mode("overwrite").parquet(str(staging))
+    backup = jvm.org.apache.hadoop.fs.Path(location + "__old")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    fs.rename(jpath, backup)
+    fs.rename(staging, jpath)
+    fs.delete(backup, True)
+
+
 @register("dedup_incremental_exact")
 def dedup_incremental_exact(
     state_location: str,
@@ -1145,6 +1202,7 @@ def dedup_incremental_exact(
     id_col: str,
     normalize: bool = False,
     update_state: bool = True,
+    compact_after_files: int = 64,
 ) -> TransformerFn:
     """CROSS-RUN exact dedup against a persistent digest state: drop rows
     whose key digest was seen in ANY previous run (the state parquet at
@@ -1165,8 +1223,11 @@ def dedup_incremental_exact(
     previously-seen drop is a digest-keyed LEFT ANTI join (shuffle on the
     digest, no broadcast of anything unbounded); the in-batch survivor
     pick is the same min-id aggregation as ``dedup_exact``; the append
-    writes only NEW digests. State grows by unique-new keys per run and
-    is itself partitionable/compactable offline.
+    writes only NEW digests. State grows by unique-new keys per run; when
+    the accumulated appends exceed ``compact_after_files`` parquet parts
+    the state is rewritten in place (distinct digests, ~1M rows/file) so
+    a daily-cadence pipeline never degrades into a thousands-of-small-
+    files anti-join scan. Set ``compact_after_files=0`` to disable.
     """
     if not key_cols:
         raise ValueError("dedup_incremental_exact: key_cols must be non-empty")
@@ -1185,12 +1246,16 @@ def dedup_incremental_exact(
             ]
         digest = F.md5(F.concat_ws("\x1f", *[k.cast("string") for k in keys]))
         with_digest = df.withColumn("__digest", digest)
-        try:
-            seen = spark.read.parquet(state_location).select("digest")
-            have_state = True
-        except Exception:  # first run: no state yet
-            seen = None
-            have_state = False
+        # Existence check, NOT a bare try/except around the read: a corrupt
+        # state file or transient FS error must fail the batch loudly —
+        # treating it as "first run" would re-emit previously-seen rows and
+        # append duplicate digests to the state.
+        have_state = _state_path_exists(spark, state_location)
+        seen = (
+            spark.read.parquet(state_location).select("digest")
+            if have_state
+            else None
+        )
         fresh = with_digest
         if have_state:
             fresh = with_digest.join(
@@ -1209,6 +1274,8 @@ def dedup_incremental_exact(
             survivors.select(
                 F.col("__digest").alias("digest")
             ).write.mode("append").parquet(state_location)
+            if compact_after_files:
+                _compact_state(spark, state_location, compact_after_files)
         return survivors.drop("__digest")
 
     return _dedup

@@ -358,10 +358,12 @@ def _decode_gif(b: bytes) -> np.ndarray:
 def encode_gif(arr: np.ndarray) -> bytes:
     """Encode (H, W, 3) uint8 as a single-frame GIF with an exact 256-entry
     color table built from the image's distinct colors (must be ≤256 —
-    fixtures; palette formats are exact, unlike JPEG). The LZW stream uses
-    the always-clear trick (a CLEAR before every literal), which keeps the
-    code width fixed — bulky but valid, and decode exercises the real
-    variable-width path via the CLEAR handling."""
+    fixtures; palette formats are exact, unlike JPEG). The LZW stream is a
+    real variable-width LZW encoder: the dictionary grows per emitted code
+    with GIF's "early change" width widening, and at the 12-bit ceiling
+    it simply stops adding entries (deferred clear — valid per spec) — so
+    decode exercises dictionary growth and early-change widening, plus
+    CLEAR handling via the initial CLEAR code."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     h, w = arr.shape[:2]
     flat = arr.reshape(-1, 3)

@@ -34,6 +34,34 @@ from lakehouse_engine_spark.datapipes.registry import register
 TransformerFn = Callable[[DataFrame], DataFrame]
 
 
+def hll_estimate(regs: list, precision: int) -> float:
+    """HyperLogLog estimate from ``2^precision`` registers.
+
+    Small-m bias constants per the HLL paper; asymptotic alpha from
+    m >= 128. The harmonic sum Σ 2^-r is computed as one EXACT
+    arbitrary-precision integer scaled by 2^(61-precision) — the max
+    register rank is 61-precision (rest==0 in the 60-bit md5-fold), so
+    the shift is never negative anywhere in the allowed [4,12] precision
+    range — then divided once: order-independent and replayable
+    bit-for-bit by a SQL oracle, unlike a float accumulation whose
+    2^6..2^-55 span exceeds the 53-bit mantissa. The dp95 DuckDB oracle
+    scales by 2^56 at precision=6; rescaling by an exact power of two is
+    the same rational number, so both produce the identical
+    correctly-rounded double.
+    """
+    import math
+
+    m = 1 << precision
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    scale = 61 - precision
+    inv = sum(1 << (scale - r) for r in regs) / float(1 << scale)
+    est = alpha * m * m / inv
+    zeros = regs.count(0)
+    if est <= 2.5 * m and zeros:  # small-range correction
+        est = m * math.log(m / zeros)
+    return est
+
+
 @register("streaming_running_totals")
 def streaming_running_totals(
     on: List[str],
@@ -370,11 +398,17 @@ def streaming_approx_distinct(
         raise ValueError(f"precision must be in [4, 12], got {precision}")
     m = 1 << precision
 
-    def _fold(values) -> list:
+    def _fold(values, integral: bool = False) -> list:
         import hashlib
 
         regs = [0] * m
         for v in values:
+            if integral:
+                # A nulls-containing int64 Arrow batch reaches pandas as
+                # float64, so str(v) would hash '123.0' while the JVM fast
+                # path hashes CAST(123 AS STRING) = '123'. Coerce back so
+                # batch and streaming estimates agree for integral columns.
+                v = int(v)
             h = int(
                 hashlib.md5(str(v).encode("utf-8")).hexdigest()[:15], 16
             )  # 60-bit md5-fold (shared convention)
@@ -388,23 +422,7 @@ def streaming_approx_distinct(
         return regs
 
     def _estimate(regs: list) -> float:
-        import math
-
-        # small-m bias constants; the asymptotic formula from m >= 128
-        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
-            m, 0.7213 / (1 + 1.079 / m)
-        )
-        # EXACT harmonic sum: Σ 2^-r as one arbitrary-precision integer
-        # scaled by 2^56 (max register rank is 55), divided once — order-
-        # independent and replayable bit-for-bit by a SQL oracle, unlike
-        # a float accumulation whose 2^6..2^-55 span exceeds the 53-bit
-        # mantissa (making the sum order-dependent in the last ulp)
-        inv = sum(1 << (56 - r) for r in regs) / float(1 << 56)
-        est = alpha * m * m / inv
-        zeros = regs.count(0)
-        if est <= 2.5 * m and zeros:  # small-range correction
-            est = m * math.log(m / zeros)
-        return est
+        return hll_estimate(regs, precision)
 
     def _fn(df: DataFrame) -> DataFrame:
         key_fields = ", ".join(
@@ -505,8 +523,18 @@ def streaming_approx_distinct(
             return df.groupBy(*on).applyInPandas(_batch, schema=out_schema)
 
         from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
 
         state_schema = "regs ARRAY<INT>"
+        value_is_integral = isinstance(
+            df.schema[value_col].dataType,
+            (ByteType, ShortType, IntegerType, LongType),
+        )
 
         def _update(
             key: Tuple,
@@ -518,7 +546,9 @@ def streaming_approx_distinct(
             rows = 0
             for pdf in pdfs:
                 rows += len(pdf)
-                fresh = _fold(pdf[value_col].dropna())
+                fresh = _fold(
+                    pdf[value_col].dropna(), integral=value_is_integral
+                )
                 regs = [max(a, b) for a, b in zip(regs, fresh)]
             state.update((regs,))
             yield pd.DataFrame(

@@ -2689,3 +2689,56 @@ def test_html_strip_rules(spark):
     assert got[5] == "no markup at all"
     assert got[6] == "after"
     assert got[7] == "multiline tag"
+
+
+def test_dedup_incremental_corrupt_state_fails_loudly(spark, tmp_path):
+    """A corrupt/unreadable state must PROPAGATE, not be silently treated
+    as 'first run' — the old bare except disabled cross-run dedup on any
+    read failure, re-emitting previously-seen rows and appending duplicate
+    digests. Only a genuinely missing state path means first run."""
+    state = tmp_path / "digests"
+    state.mkdir()
+    # a parquet footer that isn't: existing path, unreadable content
+    (state / "part-00000.parquet").write_bytes(b"not a parquet file")
+    df = spark.createDataFrame([(1, "alpha")], "doc_id LONG, text STRING")
+    op = t("dedup_incremental_exact", state_location=str(state),
+           key_cols=["text"], id_col="doc_id")
+    with pytest.raises(Exception) as exc:
+        df.transform(op).collect()
+    # and the state was NOT polluted with this batch's digests
+    assert sorted(p.name for p in state.iterdir()) == ["part-00000.parquet"]
+    assert "first run" not in str(exc.value)
+
+
+def test_dedup_incremental_state_compaction(spark, tmp_path):
+    """After many runs the digest state accumulates one parquet footprint
+    per run; with compact_after_files=N the state is rewritten in place
+    (distinct digests, few files) once the part count exceeds N — and
+    dedup semantics are unchanged across the compaction boundary."""
+    state = tmp_path / "digests"
+    seen_keys = set()
+    n_runs = 8
+    for run in range(n_runs):
+        rows = [(run * 10 + j, f"doc {run} {j}") for j in range(3)]
+        rows.append((run * 10 + 9, "repeat every run"))
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        out = df.transform(
+            t("dedup_incremental_exact", state_location=str(state),
+              key_cols=["text"], id_col="doc_id", compact_after_files=4)
+        ).collect()
+        got = {r["text"] for r in out}
+        expect = {f"doc {run} {j}" for j in range(3)}
+        if run == 0:
+            expect.add("repeat every run")
+        assert got == expect, run
+        seen_keys |= expect
+    # state content: exactly one digest per unique key ever seen
+    assert spark.read.parquet(str(state)).distinct().count() == len(seen_keys)
+    assert spark.read.parquet(str(state)).count() == len(seen_keys)
+    # and the file count was held down by compaction (8 appends would have
+    # left >= 8 part files; the threshold is 4)
+    parts = [p for p in state.iterdir() if p.name.startswith("part-")]
+    assert len(parts) <= 5, [p.name for p in parts]
+    # no staging/backup leftovers
+    assert not (tmp_path / "digests__compacting").exists()
+    assert not (tmp_path / "digests__old").exists()

@@ -346,3 +346,91 @@ def test_approx_distinct_jvm_fast_path_matches_pandas_fold(spark):
         t("streaming_approx_distinct", on=["k"], value_col="v")
     ).first()
     assert got["approx_distinct"] == ref([float(i % 11) + 0.25 for i in range(200)])
+
+
+def test_hll_estimate_max_rank_register_never_negative_shift():
+    """Regression: precision=4 has max register rank 61-4=57; the old
+    2^56-scaled harmonic sum computed `1 << (56 - 57)` and raised
+    ValueError. The scale is now 2^(61-precision), non-negative across
+    the whole allowed [4,12] range even with every register at max rank."""
+    import math
+
+    from lakehouse_engine_spark.datapipes.stateful import hll_estimate
+
+    for p in range(4, 13):
+        m = 1 << p
+        regs = [61 - p] * m  # every register at the max possible rank
+        assert hll_estimate(regs, p) > 0
+    # and at precision 6 the rescale is bit-identical to the dp95 DuckDB
+    # oracle's 2^56 scaling (same rational number → same rounded double)
+    import random
+
+    random.seed(7)
+    regs = [random.randint(0, 55) for _ in range(64)]
+    inv56 = sum(1 << (56 - r) for r in regs) / float(1 << 56)
+    ref = 0.709 * 64 * 64 / inv56
+    zeros = regs.count(0)
+    if ref <= 160 and zeros:
+        ref = 64 * math.log(64 / zeros)
+    assert hll_estimate(regs, 6) == ref
+
+
+def test_approx_distinct_precision_bounds_run(spark):
+    """The operator accepts the full documented precision range; the
+    boundary precisions run end-to-end on the batch path."""
+    sdf = spark.createDataFrame(
+        [(1, f"v{i % 29}") for i in range(300)], "k INT, v STRING"
+    )
+    for p in (4, 12):
+        got = sdf.transform(
+            t("streaming_approx_distinct", on=["k"], value_col="v", precision=p)
+        ).first()
+        assert got["batch_rows"] == 300 and got["approx_distinct"] > 0, p
+
+
+def test_approx_distinct_integral_nulls_stream_matches_batch(spark, tmp_dir):
+    """An int64 column CONTAINING NULLS reaches the pandas fold as float64
+    (Arrow nullability), so str(123.0)='123.0' used to hash differently
+    from the JVM fast path's CAST(123 AS STRING)='123' — batch and
+    streaming estimates diverged. The fold now coerces back to int for
+    integral source columns; the two paths must agree exactly."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("k%d" % (i % 3), None if i % 17 == 0 else (i % 41) * 1000 + i % 7)
+        for i in range(600)
+    ]
+    sdf = spark.createDataFrame(rows, "domain STRING, v LONG")
+    batch = {
+        r["domain"]: r["approx_distinct"]
+        for r in sdf.transform(
+            t("streaming_approx_distinct", on=["domain"], value_col="v")
+        ).collect()
+    }
+
+    src = os.path.join(tmp_dir, "isrc")
+    out = os.path.join(tmp_dir, "iout")
+    ck = os.path.join(tmp_dir, "ick")
+    sdf.coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema("domain STRING, v LONG")
+        .parquet(src)
+        .transform(
+            t("streaming_approx_distinct", on=["domain"], value_col="v")
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {
+        r["domain"]: r["approx_distinct"]
+        for r in spark.read.parquet(out)
+        .groupBy("domain")
+        .agg(F.max("approx_distinct").alias("approx_distinct"))
+        .collect()
+    }
+    assert stream == batch
