@@ -978,6 +978,72 @@ def q28_gab_weekly_sunday_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q29_gab_day_recon_recompute(spark: SparkSession, sf: str) -> DataFrame:
+    """GAB reconciliation-window recompute — the recon path of
+    algorithms/gab.py (_run_cadence → _delete_insert), the one GAB
+    behavior previously pytest-only: late-arriving facts are folded in by
+    re-running the cadence over the reconciliation window and
+    DELETE+INSERTing exactly that window's insights rows, leaving older
+    buckets untouched. Scenario: DAY cadence reconciled MONTHLY; the
+    initial Jan+Feb load misses the late cohort (o_orderkey % 7 == 0);
+    the recompute runs on 1995-03-05 and re-derives February from the
+    FULL data. The window comes from the REAL extended_window_calculator
+    (utils/gab_utils.py, mirroring reference core/gab_manager.py:22-82);
+    the oracle hardcodes the expected 1995-02-01/1995-03-01 bounds, so a
+    window-calculator regression surfaces as a value mismatch. Result:
+    January buckets exclude the late rows, February buckets include
+    them."""
+    from datetime import datetime as _dtt
+    from datetime import timedelta as _td
+
+    from lakehouse_engine_spark.utils.gab_utils import (
+        extended_window_calculator,
+    )
+
+    orders = load_table(spark, sf, "orders")
+    late = (F.col("o_orderkey") % 7) == 0
+
+    b0, b1, f0, f1 = extended_window_calculator(
+        "DAY", "MONTH", _dtt(1995, 3, 5), _dtt(1995, 2, 15),
+        _dtt(1995, 2, 15), "ATM", "N", "N",
+    )
+
+    def day_rollup(df, lo, hi):
+        return (
+            df.filter(
+                (F.col("o_orderdate") >= F.lit(lo))
+                & (F.col("o_orderdate") < F.lit(hi))
+            )
+            .groupBy(
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("from_date"),
+                F.col("o_orderpriority").alias("d1"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("m1"),
+                F.sum(F.expr(_dec("o_totalprice"))).cast("double").alias("m2"),
+            )
+            .select(
+                "from_date",
+                F.col("from_date").alias("to_date"),
+                "d1", "m1", "m2",
+            )
+        )
+
+    initial = day_rollup(
+        orders.filter(~late), _dtt(1995, 1, 1).date(), _dtt(1995, 3, 1).date()
+    )
+    recomputed = day_rollup(orders, f0.date(), f1.date())
+    # delete+insert: drop the recompute window's buckets from the initial
+    # load, append the fresh ones (the parquet arm of _delete_insert)
+    kept = initial.filter(
+        ~F.col("from_date").between(
+            b0.strftime("%Y-%m-%d"),
+            (b1 - _td(days=1)).strftime("%Y-%m-%d"),
+        )
+    )
+    return kept.unionByName(recomputed)
+
+
 def dp11_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup removal. The 60-bit signature is an md5-fold (ANSI
     portable), so the DuckDB oracle rebuilds the full pipeline —
@@ -1986,6 +2052,42 @@ def dp69_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Fixed, literal BPE merge table for dp69b: no training, so the encode
+# step becomes fully deterministic and SQL-replayable. Chosen to exercise
+# END-marker merges (e</w>, a</w>), chained merges (t+a→ta→tab→tabl→
+# table</w>), and rank-order sensitivity ((r,o) before (o,w): "row"
+# becomes [ro,w,</w>], while "window" still gets its (o,w) merge).
+BPE_FIXED_MERGES = [
+    ("e", "</w>"), ("a", "</w>"), ("t", "h"), ("th", "e</w>"),
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e</w>"),
+    ("s", "c"), ("sc", "a"), ("a", "n"), ("r", "o"), ("o", "w"),
+]
+
+
+def dp69b_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE ENCODE with a FIXED merge table (datapipes/bpe.py bpe_encode):
+    the deterministic half of dp69, split out so the driver gets a full
+    hash-match oracle row (the trainer stays rows-only — iterative, no
+    SQL replay). Same production plan: distinct-word pandas encode,
+    size-gated dictionary join, JVM per-doc reassembly. The DuckDB
+    oracle replays the encoder's left-to-right non-overlapping merge
+    scan exactly, via double-space-padded string replace chains (each
+    boundary holds two spaces; a match consumes one from each side, so
+    adjacent pairs stay matchable — bit-for-bit the apply_merges_py
+    scan, validated over adversarial overlap words in tests)."""
+    docs = load_table(spark, sf, "documents")
+    merges = spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(BPE_FIXED_MERGES)],
+        "rank INT, left STRING, right STRING, merged STRING",
+    )
+    enc = docs.transform(_t("bpe_encode", merges=merges))
+    return enc.select(
+        "doc_id",
+        F.col("bpe_tokens_n").cast("long").alias("n_bpe"),
+        F.md5(F.array_join("bpe_tokens", "\x1f")).alias("pieces_md5"),
+    )
+
+
 def dp70_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     """REAL video decode end-to-end: each doc gets a constructed 2-frame
     YUV4MPEG2 stream (gray 4x4 C444 frames whose Y level is a pure
@@ -2713,72 +2815,21 @@ def dp96_g711_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
-    # the first 50 entries each round. Policy (round 5): front-load the
-    # queries that have never received the driver's hard signal — the new
-    # GAB cadence arms (q26/q27/q28), dp29 (round-3's hash-red, never
-    # driver-re-checked since), then the round-4 judge-verified-only cohort
-    # dp30..dp73 (incl. q23/q24). The leftovers (dp74..dp82, q25, and the
-    # round-5 additions dp83..dp90) rotate in next round; the 50 rows
-    # already driver-green in CORRECTNESS_r04 follow at the back. Every
-    # entry stays value-verified every round via tools/check_oracle.py
-    # regardless of position.
+    # the first 50 entries each round. Policy (round 6): front-load the 26
+    # queries that have never received the driver's hard signal — the
+    # post-rotation cohort dp74..dp96 + q25 (judge-oracle-green in round 5
+    # but never driver-checked), plus the two NEW queries dp69b (BPE encode
+    # with a fixed merge table — closes the board's only no_oracle line)
+    # and q29 (GAB reconciliation-window recompute). Then one
+    # representative per SURVEY §2 family (q01 loader/agg, q07 DQ, q08
+    # reconciliation, q17 GAB), then a 20-query refresh spread across the
+    # datapipes families (incl. dp28, round 5's perf watch item, and dp29,
+    # round 3's one-time hash-red). Everything else — all driver-green in
+    # r04/r05 — follows; every entry stays value-verified every round via
+    # tools/check_oracle.py regardless of position.
     return {
-        # --- never driver-verified: new this round ---
-        "q26_gab_daily_rollup": q26_gab_daily_rollup,
-        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
-        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,
-        # --- round-3 red, rotated out before re-check ---
-        "dp29_pack_sequences": dp29_pack_sequences,
-        # --- judge-verified round 4, never driver-checked ---
-        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
-        "dp31_sessionize_boundary": dp31_sessionize_boundary,
-        "dp32_audio_decode": dp32_audio_decode,
-        "dp33_text_chunk": dp33_text_chunk,
-        "dp34_quality_prune": dp34_quality_prune,
-        "dp35_lm_score": dp35_lm_score,
-        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,
-        "dp37_global_shuffle": dp37_global_shuffle,
-        "dp38_embedding_quantize": dp38_embedding_quantize,
-        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
-        "dp40_cross_near_dedup": dp40_cross_near_dedup,
-        "dp41_quantile_prune": dp41_quantile_prune,
-        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
-        "dp43_image_phash_dedup": dp43_image_phash_dedup,
-        "dp44_lm_score_bigram": dp44_lm_score_bigram,
-        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
-        "dp46_token_budget_sample": dp46_token_budget_sample,
-        "dp47_line_dedup": dp47_line_dedup,
-        "dp48_substring_dedup": dp48_substring_dedup,
-        "dp49_curation_report": dp49_curation_report,
-        "dp50_hopping_window": dp50_hopping_window,
-        "dp51_winsorize": dp51_winsorize,
-        "dp52_zscore_normalize": dp52_zscore_normalize,
-        "dp53_weighted_sample": dp53_weighted_sample,
-        "dp54_trailing_window": dp54_trailing_window,
-        "dp55_funnel": dp55_funnel,
-        "dp56_cohort_retention": dp56_cohort_retention,
-        "dp57_robust_scale": dp57_robust_scale,
-        "dp58_quantile_summary": dp58_quantile_summary,
-        "dp59_event_pivot": dp59_event_pivot,
-        "dp60_salted_join": dp60_salted_join,
-        "dp61_keep_best_dedup": dp61_keep_best_dedup,
-        "dp62_cluster_sample": dp62_cluster_sample,
-        "dp63_cdc_chunk": dp63_cdc_chunk,
-        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
-        "dp64_ewma_anomaly": dp64_ewma_anomaly,
-        "dp65_fuzzy_join": dp65_fuzzy_join,
-        "dp66_scd2_build": dp66_scd2_build,
-        "dp67_merge_intervals": dp67_merge_intervals,
-        "dp68_json_props": dp68_json_props,
-        "dp69_bpe_tokenize": dp69_bpe_tokenize,
-        "dp70_video_frames": dp70_video_frames,
-        "q24_semi_anti_join": q24_semi_anti_join,
-        "dp71_trend_fit": dp71_trend_fit,
-        "dp72_histogram": dp72_histogram,
-        "dp73_weighted_sample_k": dp73_weighted_sample_k,
+        # --- never driver-verified: post-rotation cohort + new this round ---
         "dp74_lexical_diversity": dp74_lexical_diversity,
-        # ---- driver window boundary (entry 50 = dp73) ----
-        # judge/check_oracle-verified, rotate into the window next round
         "dp75_snapshot_diff": dp75_snapshot_diff,
         "dp76_schema_drift": dp76_schema_drift,
         "dp77_quality_model_filter": dp77_quality_model_filter,
@@ -2802,57 +2853,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp94_running_totals": dp94_running_totals,
         "dp95_approx_distinct": dp95_approx_distinct,
         "dp96_g711_decode": dp96_g711_decode,
-        # --- driver-green in CORRECTNESS_r04 (hard signal on record) ---
+        "dp69b_bpe_encode": dp69b_bpe_encode,
+        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
+        # --- one representative per SURVEY §2 family ---
         "q01_pricing_summary": q01_pricing_summary,
-        "q02_revenue_by_segment": q02_revenue_by_segment,
+        "q07_dq_stats": q07_dq_stats,
+        "q08_reconciliation": q08_reconciliation,
+        "q17_gab_weekly_rollup": q17_gab_weekly_rollup,
+        # --- refresh spread (driver-green r04/r05; dp28 = perf watch) ---
         "q03_latest_order_per_customer": q03_latest_order_per_customer,
+        "q14_window_running": q14_window_running,
+        "q19_join_transformer": q19_join_transformer,
+        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
+        "dp01_text_quality": dp01_text_quality,
+        "dp05_dedup_exact": dp05_dedup_exact,
+        "dp06_dedup_minhash": dp06_dedup_minhash,
+        "dp08_embedding_dedup": dp08_embedding_dedup,
+        "dp12_knn_lsh": dp12_knn_lsh,
+        "dp16_asof_join": dp16_asof_join,
+        "dp18_sessionize": dp18_sessionize,
+        "dp20_dup_clusters": dp20_dup_clusters,
+        "dp25_stratified_sample": dp25_stratified_sample,
+        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
+        "dp29_pack_sequences": dp29_pack_sequences,
+        "dp33_text_chunk": dp33_text_chunk,
+        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
+        "dp55_funnel": dp55_funnel,
+        "dp64_ewma_anomaly": dp64_ewma_anomaly,
+        "dp66_scd2_build": dp66_scd2_build,
+        # ---- driver window boundary (entry 50 = dp66_scd2_build) ----
+        # driver-green in r04/r05 (hard signal on record)
+        "q26_gab_daily_rollup": q26_gab_daily_rollup,
+        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
+        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,
+        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
+        "dp31_sessionize_boundary": dp31_sessionize_boundary,
+        "dp32_audio_decode": dp32_audio_decode,
+        "dp34_quality_prune": dp34_quality_prune,
+        "dp35_lm_score": dp35_lm_score,
+        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,
+        "dp37_global_shuffle": dp37_global_shuffle,
+        "dp38_embedding_quantize": dp38_embedding_quantize,
+        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
+        "dp40_cross_near_dedup": dp40_cross_near_dedup,
+        "dp41_quantile_prune": dp41_quantile_prune,
+        "dp43_image_phash_dedup": dp43_image_phash_dedup,
+        "dp44_lm_score_bigram": dp44_lm_score_bigram,
+        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
+        "dp46_token_budget_sample": dp46_token_budget_sample,
+        "dp47_line_dedup": dp47_line_dedup,
+        "dp48_substring_dedup": dp48_substring_dedup,
+        "dp49_curation_report": dp49_curation_report,
+        "dp50_hopping_window": dp50_hopping_window,
+        "dp51_winsorize": dp51_winsorize,
+        "dp52_zscore_normalize": dp52_zscore_normalize,
+        "dp53_weighted_sample": dp53_weighted_sample,
+        "dp54_trailing_window": dp54_trailing_window,
+        "dp56_cohort_retention": dp56_cohort_retention,
+        "dp57_robust_scale": dp57_robust_scale,
+        "dp58_quantile_summary": dp58_quantile_summary,
+        "dp59_event_pivot": dp59_event_pivot,
+        "dp60_salted_join": dp60_salted_join,
+        "dp61_keep_best_dedup": dp61_keep_best_dedup,
+        "dp62_cluster_sample": dp62_cluster_sample,
+        "dp63_cdc_chunk": dp63_cdc_chunk,
+        "dp65_fuzzy_join": dp65_fuzzy_join,
+        "dp67_merge_intervals": dp67_merge_intervals,
+        "dp68_json_props": dp68_json_props,
+        "dp69_bpe_tokenize": dp69_bpe_tokenize,
+        "dp70_video_frames": dp70_video_frames,
+        "q24_semi_anti_join": q24_semi_anti_join,
+        "dp71_trend_fit": dp71_trend_fit,
+        "dp72_histogram": dp72_histogram,
+        "dp73_weighted_sample_k": dp73_weighted_sample_k,
+        "q02_revenue_by_segment": q02_revenue_by_segment,
         "q04_union_dedup": q04_union_dedup,
         "q05_incremental_filter": q05_incremental_filter,
         "q06_condense_cdc": q06_condense_cdc,
-        "q07_dq_stats": q07_dq_stats,
-        "q08_reconciliation": q08_reconciliation,
         "q09_flatten_explode": q09_flatten_explode,
         "q10_date_hierarchy": q10_date_hierarchy,
         "q11_hash_masker": q11_hash_masker,
         "q12_column_ops": q12_column_ops,
         "q13_get_max_value": q13_get_max_value,
-        "q14_window_running": q14_window_running,
         "q15_events_hourly": q15_events_hourly,
         "q16_events_dedup": q16_events_dedup,
-        "q17_gab_weekly_rollup": q17_gab_weekly_rollup,
         "q18_gab_monthly_rollup": q18_gab_monthly_rollup,
         "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,
         "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,
-        "dp01_text_quality": dp01_text_quality,
         "dp02_langid": dp02_langid,
         "dp03_token_count": dp03_token_count,
         "dp04_fingerprint": dp04_fingerprint,
-        "dp05_dedup_exact": dp05_dedup_exact,
-        "dp06_dedup_minhash": dp06_dedup_minhash,
         "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,
-        "dp08_embedding_dedup": dp08_embedding_dedup,
         "dp09_knn_brute": dp09_knn_brute,
         "dp10_multimodal_bytes": dp10_multimodal_bytes,
         "dp11_dedup_simhash": dp11_dedup_simhash,
-        "dp12_knn_lsh": dp12_knn_lsh,
         "dp13_knn_ivf": dp13_knn_ivf,
         "dp14_hash_split": dp14_hash_split,
         "dp15_hash_sample": dp15_hash_sample,
-        "dp16_asof_join": dp16_asof_join,
-        "q19_join_transformer": q19_join_transformer,
         "q20_union_by_name": q20_union_by_name,
         "dp17_range_join": dp17_range_join,
-        "dp18_sessionize": dp18_sessionize,
         "dp19_profile": dp19_profile,
-        "dp20_dup_clusters": dp20_dup_clusters,
         "dp21_pii_redact": dp21_pii_redact,
         "dp22_repetition": dp22_repetition,
         "dp23_decontaminate": dp23_decontaminate,
         "dp24_vocab_top_k": dp24_vocab_top_k,
-        "dp25_stratified_sample": dp25_stratified_sample,
         "dp26_mixture_sample": dp26_mixture_sample,
         "dp27_image_decode": dp27_image_decode,
-        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
     }
 
 
@@ -2920,6 +3026,26 @@ def _minhash_cte(num_hashes: int, bands: int, shingle_size: int) -> str:
       SELECT ex.doc_id, min(b.m) AS dup_group_id
       FROM ex JOIN buckets b USING (h) GROUP BY ex.doc_id
     )"""
+
+
+def _duck_bpe_pieces(col: str = "w") -> str:
+    """DuckDB expression: BPE-encode one word ``col`` with BPE_FIXED_MERGES.
+
+    Replays apply_merges_py's left-to-right non-overlapping scan without
+    regex (DuckDB is RE2 — no lookbehind): symbols are joined with TWO
+    spaces ('  a  b  '); each merge is a plain replace of ' a  b ' with
+    ' ab ' — the match consumes one space from each double boundary, so
+    the neighbouring pair keeps its own boundary space and stays
+    matchable, while the merged symbol cannot re-match the same pass
+    (replace continues after the replaced region), exactly like the
+    Python scanner's i += 2."""
+    e = (
+        "'  ' || array_to_string("
+        f"list_append(regexp_extract_all({col}, '.'), '</w>'), '  ') || '  '"
+    )
+    for a, b in BPE_FIXED_MERGES:
+        e = f"replace({e}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"list_filter(string_split({e}, '  '), x -> x <> '')"
 
 
 def _duck_pii() -> str:
@@ -4278,6 +4404,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id
         """,
+        "dp69b_bpe_encode": f"""
+            -- exact BPE-encode replay with the fixed merge table: per
+            -- token, chars+'</w>' double-space-joined, one replace per
+            -- merge in rank order (left-to-right non-overlapping ==
+            -- the Python scanner), pieces flattened in token order
+            WITH toks AS (
+              SELECT doc_id, {_DUCK_TOKENS_CS} AS ws FROM documents
+            ),
+            tw AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(ws))) AS pos,
+                     ws
+              FROM toks
+            ),
+            enc AS (
+              SELECT doc_id, pos, {_duck_bpe_pieces("ws[pos]")} AS pieces
+              FROM tw
+            ),
+            per_doc AS (
+              SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS pieces
+              FROM enc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(len(p.pieces), 0) AS BIGINT) AS n_bpe,
+                   md5(array_to_string(coalesce(p.pieces, []), chr(31))) AS pieces_md5
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
         "dp95_approx_distinct": """
             -- exact HLL replay: md5-fold 60-bit hash, precision 6
             -- (m=64, width=54), register = max rho, harmonic sum as an
@@ -4625,6 +4778,39 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-03-01'
             GROUP BY 1, 2, 3
+        """,
+        "q29_gab_day_recon_recompute": """
+            -- recon-window recompute replay: initial load without the
+            -- late cohort, then February (the MONTH recon window the
+            -- window calculator must derive for business date
+            -- 1995-02-15 run on 1995-03-05) deleted and re-inserted
+            -- from the full data
+            WITH initial AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS from_date,
+                     strftime(o_orderdate, '%Y-%m-%d') AS to_date,
+                     o_orderpriority AS d1,
+                     COUNT(*) AS m1,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m2
+              FROM orders
+              WHERE o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate < DATE '1995-03-01'
+                AND o_orderkey % 7 <> 0
+              GROUP BY 1, 2, 3
+            ),
+            recomputed AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS from_date,
+                     strftime(o_orderdate, '%Y-%m-%d') AS to_date,
+                     o_orderpriority AS d1,
+                     COUNT(*) AS m1,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m2
+              FROM orders
+              WHERE o_orderdate >= DATE '1995-02-01'
+                AND o_orderdate < DATE '1995-03-01'
+              GROUP BY 1, 2, 3
+            )
+            SELECT * FROM initial WHERE from_date < '1995-02-01'
+            UNION ALL
+            SELECT * FROM recomputed
         """,
         "q27_gab_year_month_snapshot": """
             WITH cal AS (

@@ -1081,6 +1081,8 @@ def bm25_topk(
     input_col: str = "text",
     id_col: str = "doc_id",
     k: int = 10,
+    broadcast_queries: bool | None = None,
+    broadcast_threshold_rows: int = 2_000_000,
 ) -> TransformerFn:
     """Per-query top-``k`` documents by BM25 (k1=1.2, b=0.75) — the
     retrieval/relevance primitive for eval-set mining, nearest-document
@@ -1109,17 +1111,28 @@ def bm25_topk(
 
     Scale design: the corpus is never fully shuffled. Doc length is a
     projection computed in the same pass as tokenize; corpus tokens are
-    pruned by a **broadcast semi-join on the query vocabulary** before
-    the only corpus-keyed aggregation (doc, term) — shuffled volume is
-    matching tokens only, which for realistic query sets is a tiny
-    fraction of the corpus. df and corpus totals are broadcast
-    aggregates over the pruned pairs; the final top-k is a per-query
-    window over candidate docs.
+    pruned by a **semi-join on the query vocabulary** before the only
+    corpus-keyed aggregation (doc, term) — shuffled volume is matching
+    tokens only, which for realistic query sets is a tiny fraction of
+    the corpus. df and corpus totals are aggregates over the pruned
+    pairs; the final top-k is a per-query window over candidate docs.
+
+    Broadcast gate: the three query-derived tables (qterms, the query
+    vocabulary, and the per-term document frequencies — all bounded by
+    the QUERY SET, not the corpus) are broadcast only while the distinct
+    (query, term) count stays under ``broadcast_threshold_rows``; for
+    eval-set mining with millions of queries the joins degrade to
+    regular shuffle joins instead of blowing the broadcast. Default
+    (``broadcast_queries=None``) probes the persisted qterms table with
+    one count (no corpus scan); pass ``True``/``False`` to pin the
+    strategy and skip the probe. The 1-row corpus-stats table is always
+    broadcast.
     """
     if k < 1:
         raise ValueError(f"text_bm25_topk: k must be >= 1, got {k}")
 
     def _bm25(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
         from pyspark.sql import Window
 
         toks = df.select(
@@ -1132,7 +1145,14 @@ def bm25_topk(
                 F.explode(tokens_lower(F.col(query_col))).alias("term"),
             )
             .distinct()
+            # reused three ways: vocab prune, final scoring join, and the
+            # size probe — persist so the query set is tokenized once
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        do_broadcast = broadcast_queries
+        if do_broadcast is None:
+            do_broadcast = qterms.count() <= broadcast_threshold_rows
+        bq = F.broadcast if do_broadcast else (lambda d: d)
         qvocab = qterms.select("term").distinct()
         # corpus stats BEFORE vocab pruning: BM25's D, T and dl cover the
         # whole corpus, not just query-matching tokens
@@ -1146,7 +1166,7 @@ def bm25_topk(
                 F.size("__t").alias("__dl"),
                 F.explode("__t").alias("term"),
             )
-            .join(F.broadcast(qvocab), "term")
+            .join(bq(qvocab), "term")
             .groupBy("__doc", "__dl", "term")
             .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
         )
@@ -1166,7 +1186,7 @@ def bm25_topk(
             + 18 * F.col("__dl")
         )
         contrib = (
-            pairs.join(F.broadcast(dfreq), "term")
+            pairs.join(bq(dfreq), "term")
             .crossJoin(F.broadcast(stats))
             .withColumn("__avgdl", avgdl_r)
             .select(
@@ -1178,7 +1198,7 @@ def bm25_topk(
             .withColumn("__c", F.expr("__num div __den"))
         )
         scored = (
-            contrib.join(F.broadcast(qterms), "term")
+            contrib.join(bq(qterms), "term")
             .groupBy("__qid", "__doc")
             .agg(F.sum("__c").alias("__s"))
         )

@@ -24,15 +24,25 @@ def test_registry_consistency():
 
 
 def test_driver_window_holds_rotation_cohort():
-    """Round-5 policy: the 50-entry driver window front-loads the queries
-    that never received the driver's hard signal (new GAB arms, dp29, the
-    judge-verified-only dp30..dp73 cohort). A reorder that silently
-    rotates dp29 or the new arms back out would waste the round's hard
+    """Round-6 policy: the 50-entry driver window front-loads the 26
+    queries that never received the driver's hard signal (the
+    post-rotation cohort dp74..dp96 + q25, plus the new dp69b and q29),
+    then §2-family representatives and a refresh spread. A reorder that
+    silently rotates the cohort back out would waste the round's hard
     signal — pin the boundary."""
     names = list(entry.queries())
     window = set(names[:50])
-    assert {"q26_gab_daily_rollup", "q27_gab_year_month_snapshot",
-            "q28_gab_weekly_sunday_rollup", "dp29_pack_sequences"} <= window
-    assert "dp30_asof_forward_tolerance" in window
-    assert "dp73_weighted_sample_k" in window
-    assert "dp74_lexical_diversity" not in window  # first of the leftovers
+    cohort = {f"dp{i}_" for i in range(74, 97)}
+    in_window_prefixes = {n.split("_")[0] + "_" for n in window}
+    assert all(p in in_window_prefixes for p in cohort), (
+        sorted(cohort - in_window_prefixes)
+    )
+    assert {"q25_scalar_subquery_avg", "dp69b_bpe_encode",
+            "q29_gab_day_recon_recompute"} <= window
+    # §2 representatives
+    assert {"q01_pricing_summary", "q07_dq_stats", "q08_reconciliation",
+            "q17_gab_weekly_rollup"} <= window
+    # perf watch item and the one-time hash-red stay under watch
+    assert {"dp28_embedding_dedup_lsh", "dp29_pack_sequences"} <= window
+    # driver-green rows rotated out to make room
+    assert "q26_gab_daily_rollup" not in window

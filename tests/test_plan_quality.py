@@ -649,3 +649,51 @@ def test_bm25_prunes_corpus_by_broadcast_query_vocab(spark, sf_dir):
     assert "BroadcastHashJoin" in physical, physical[:2000]
     assert "SortMergeJoin" not in physical, physical[:2000]
     assert "CartesianProduct" not in physical
+
+def test_bm25_large_query_set_does_not_broadcast(spark):
+    """The three query-derived broadcasts in text_bm25_topk (qterms, query
+    vocab, per-term dfreq) are SIZE-GATED: with broadcast_threshold_rows
+    forced to 0 every query-side join must plan as a shuffle join — the
+    docstring pitches eval-set mining, where query sets reach millions and
+    a forced broadcast blows the executors. Values must be identical
+    either way (the gate changes the plan, not the scores)."""
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.transformers.transformer_factory import (
+        TransformerFactory,
+    )
+
+    def tf(name, **args):
+        return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+    docs = spark.createDataFrame(
+        [(i, f"spark shuffle join table scan row{i % 5}") for i in range(40)],
+        "doc_id LONG, text STRING",
+    )
+    qs = spark.createDataFrame(
+        [(1, "shuffle join"), (2, "table scan"), (3, "row0 spark")],
+        "query_id LONG, query STRING",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = docs.transform(
+            tf("text_bm25_topk", queries_df=qs, k=3,
+               broadcast_threshold_rows=0)
+        )
+        physical, _ = _plans(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in physical, physical[:2000]
+    assert ("SortMergeJoin" in physical) or ("ShuffledHashJoin" in physical), (
+        physical[:2000]
+    )
+    # two-sided: pinning broadcast_queries=True restores the broadcast
+    # plan and the scores are identical
+    pinned = docs.transform(
+        tf("text_bm25_topk", queries_df=qs, k=3, broadcast_queries=True)
+    )
+    physical_b, _ = _plans(pinned)
+    assert "BroadcastHashJoin" in physical_b, physical_b[:2000]
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, pinned.collect()))
+    assert got == want

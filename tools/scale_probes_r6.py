@@ -1,0 +1,160 @@
+"""Round-6 operator scale probes: BM25 with a 10k-query set on the
+post-gate shuffle-join path, PageRank at 10M edges under a power-law
+(hub-heavy) in-degree, and incremental dedup across 50 accumulated runs
+with state compaction. Results are recorded in BASELINE.md; run
+standalone:
+
+    python tools/scale_probes_r6.py [probe ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.core.definitions import TransformerSpec
+from lakehouse_engine_spark.core.exec_env import ExecEnv
+from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+PROBES = {}
+
+
+def t(name, **args):
+    return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+
+def probe_bm25_10k_queries(spark):
+    """10k distinct keyword queries over 100k docs with the query-side
+    broadcasts PINNED OFF — the exact plan an eval-set-mining run with
+    millions of queries gets after the round-6 size gate. Shuffled volume
+    stays bounded by matching (doc, term) pairs; the scoring join keys on
+    the term, so hub terms ('table', 'scan') are the skew surface."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    big = docs.crossJoin(
+        spark.range(20).withColumnRenamed("id", "__rep")
+    ).withColumn(
+        "doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000
+    ).drop("__rep").persist()
+    n = big.count()
+    # 10k deterministic 3-word queries drawn from the corpus vocabulary
+    vocab = [
+        "key", "agg", "row", "scan", "slow", "fast", "table", "value",
+        "part", "hash", "merge", "batch", "line", "sort", "window",
+        "spark", "order", "data", "column", "join", "small", "customer",
+        "query", "big", "stream", "group", "vector", "filter",
+    ]
+    V = len(vocab)
+    qs = spark.range(10_000).selectExpr(
+        "id AS query_id",
+        f"concat_ws(' ', element_at(array({','.join(repr(w) for w in vocab)}), CAST(id % {V} AS INT) + 1),"
+        f" element_at(array({','.join(repr(w) for w in vocab)}), CAST((id * 7 + 3) % {V} AS INT) + 1),"
+        f" element_at(array({','.join(repr(w) for w in vocab)}), CAST((id * 13 + 11) % {V} AS INT) + 1)) AS query",
+    )
+    t0 = time.time()
+    out = big.transform(
+        t("text_bm25_topk", queries_df=qs, k=5, broadcast_queries=False)
+    )
+    rows = out.count()
+    print(
+        f"bm25_10k_queries: {n} docs x 10k queries (shuffle-join path) -> "
+        f"{rows} rows in {time.time()-t0:.1f}s"
+    )
+    big.unpersist()
+
+
+def probe_pagerank_10m_skew(spark):
+    """10M edges, 1M source nodes x 10 out-edges, destinations drawn from
+    a u^8 power law — node 0 alone receives ~18% of all edges (a 1.8M
+    in-degree hub). Proves the per-iteration groupBy(dst) survives hub
+    skew via map-side partial aggregation (the combine collapses each
+    input partition's contribution to the hub into ONE row before the
+    exchange, so the hub's shuffle input is #partitions rows, not 1.8M)."""
+    edges = (
+        spark.range(1_000_000)
+        .selectExpr("id AS src")
+        .crossJoin(spark.range(10).withColumnRenamed("id", "k"))
+        .selectExpr(
+            "src",
+            # deterministic uniform in [0,1) from a Knuth hash, raised to
+            # the 8th power -> heavy concentration at low node ids
+            "CAST(pow(pmod(src * 2654435761 + k * 40503, 2147483647)"
+            " / 2147483647.0, 8.0) * 1000000 AS LONG) AS dst",
+        )
+    )
+    hub = edges.groupBy("dst").count().orderBy(F.desc("count")).first()
+    t0 = time.time()
+    out = edges.transform(t("graph_pagerank", iterations=5))
+    n = out.count()
+    top = out.orderBy(F.desc("rank_s")).first()
+    print(
+        f"pagerank_10m_skew: 10M edges, {n} nodes, hub in-degree "
+        f"{hub['count']} (node {hub['dst']}), 5 iters in "
+        f"{time.time()-t0:.1f}s; top rank node {top['node']} "
+        f"({top['rank']:.4f})"
+    )
+
+
+def probe_incremental_dedup_50_runs(spark):
+    """50 accumulated ingest runs against one digest state with
+    compaction (compact_after_files=16): each run ingests 10k rows, 20%
+    repeats of earlier runs. Without compaction the state degrades into
+    50+ part files; the probe records the final file count and the
+    last-run wall time (dominated by the anti-join against the full
+    state)."""
+    tmp = tempfile.mkdtemp(prefix="dedup50_")
+    state = os.path.join(tmp, "digests")
+    try:
+        last = 0.0
+        for run in range(50):
+            # 8k fresh keys + 2k repeats from the previous run
+            df = spark.range(10_000).selectExpr(
+                f"id + {run} * 10000 AS doc_id",
+                f"CASE WHEN id < 8000 THEN concat('doc-', {run} * 8000 + id) "
+                f"ELSE concat('doc-', {max(run - 1, 0)} * 8000 + id - 8000) "
+                "END AS text",
+            )
+            t0 = time.time()
+            df.transform(
+                t("dedup_incremental_exact", state_location=state,
+                  key_cols=["text"], id_col="doc_id",
+                  compact_after_files=16)
+            ).count()
+            last = time.time() - t0
+        parts = [
+            p for p in os.listdir(state) if p.startswith("part-")
+        ]
+        digests = spark.read.parquet(state).count()
+        print(
+            f"incremental_dedup_50_runs: 50 runs x 10k rows -> {digests} "
+            f"state digests in {len(parts)} files; last run "
+            f"{last:.1f}s"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+PROBES["bm25_10k_queries"] = probe_bm25_10k_queries
+PROBES["pagerank_10m_skew"] = probe_pagerank_10m_skew
+PROBES["incremental_dedup_50_runs"] = probe_incremental_dedup_50_runs
+
+
+def main():
+    spark = ExecEnv.get_or_create()
+    only = set(sys.argv[1:])
+    for name, fn in PROBES.items():
+        if only and name not in only:
+            continue
+        fn(spark)
+
+
+if __name__ == "__main__":
+    main()
