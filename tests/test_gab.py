@@ -234,3 +234,95 @@ def test_render_template_if_else():
         "{% if off == 0 %}plain{% else %}shifted{% endif %}", {"off": 2}
     )
     assert out2 == "shifted"
+
+
+def test_gab_recon_window_recompute_folds_in_late_data(spark, sf_dir, tmp_path):
+    """The reconciliation path end-to-end through the REAL GAB class (the
+    behavior q29 replays in SQL): a DAY-cadence use case reconciled
+    MONTHLY. Run 1 loads Jan+Feb without the late cohort; late rows then
+    land in the source; run 2 executes on a month-end end_date, so
+    reconciliation_cadences fires recon_cadence=MONTH and the whole of
+    February is recomputed and DELETE+INSERTed. January buckets must
+    still exclude the late rows; February buckets must include them."""
+    base = tmp_path / "stages"
+    base.mkdir()
+    (base / "1_orders.sql").write_text(STAGE_SQL.replace("gab_orders", "gab_recon_orders"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS gab_db")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+        "o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-03-01'"
+    )
+    late = "o_orderkey % 7 = 0"
+    orders.filter(f"NOT ({late})").write.mode("overwrite").saveAsTable(
+        "gab_db.gab_recon_orders"
+    )
+    lookup = spark.createDataFrame(
+        [
+            (
+                "9002", "orders_recon", "GLOBAL", str(MAPPINGS),
+                str({
+                    "1": {
+                        "file_path": "1_orders.sql",
+                        "table_alias": "orders_recon",
+                        "storage_level": "",
+                        "project_date_column": "o_orderdate",
+                        "filter_date_column": "o_orderdate",
+                        "repartition": {},
+                    }
+                }),
+                str({"DAY": {"recon_window": {"MONTH": {"snapshot": "N"}}}}),
+                0, "MONDAY", "Y", "Low",
+            )
+        ],
+        "query_id string, query_label string, query_type string, mappings string, "
+        "intermediate_stages string, recon_window string, timezone_offset int, "
+        "start_of_the_week string, is_active string, queue string",
+    )
+    lookup.write.mode("overwrite").saveAsTable("gab_db.lkp_recon_builder")
+    acon = {
+        "query_label_filter": ["orders_recon"],
+        "queue_filter": ["Low"],
+        "cadence_filter": ["DAY"],
+        "target_database": "gab_db",
+        "source_database": "gab_db",
+        "start_date": "1995-01-01",
+        "end_date": "1995-02-28",   # month end -> MONTH recon cadence fires
+        "current_date": "1995-03-05",
+        "rerun_flag": "N",
+        "target_table": "gab_recon_insights",
+        "gab_base_path": str(base),
+        "lookup_table": "gab_db.lkp_recon_builder",
+    }
+    try:
+        execute_gab(acon)
+        # late rows land in the source
+        orders.filter(late).write.mode("append").saveAsTable(
+            "gab_db.gab_recon_orders"
+        )
+        # recompute run: business date inside February, month-end end_date
+        execute_gab({**acon, "start_date": "1995-02-28", "end_date": "1995-02-28"})
+
+        got = {
+            (str(r["from_date"]), r["d1"]): r["m1"]
+            for r in spark.table("gab_db.gab_recon_insights")
+            .selectExpr("from_date", "d1", "m1")
+            .collect()
+        }
+        con = duckdb.connect()
+        want_rows = con.execute(
+            f"""
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS from_date,
+                   o_orderpriority AS d1,
+                   cast(count(*) as double) AS m1
+            FROM read_parquet('{sf_dir}/orders.parquet')
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1995-03-01'
+              AND (o_orderdate >= DATE '1995-02-01' OR o_orderkey % 7 <> 0)
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+        want = {(r[0], r[1]): r[2] for r in want_rows}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gab_db.gab_recon_insights")
+        spark.sql("DROP TABLE IF EXISTS gab_db.gab_recon_orders")
+        spark.sql("DROP TABLE IF EXISTS gab_db.lkp_recon_builder")

