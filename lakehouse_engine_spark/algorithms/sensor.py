@@ -52,14 +52,21 @@ class SensorControlTable:
         self.is_path = "/" in name_or_location
 
     def _read(self) -> DataFrame:
-        try:
-            if self.is_path:
-                return self.spark.read.format(
-                    "delta" if ExecEnv.delta_available() else "parquet"
-                ).load(self.target)
-            return self.spark.read.table(self.target)
-        except Exception:  # noqa: BLE001 — first run, table absent
+        # Empty-on-missing via an explicit existence check — NOT a bare
+        # except around the read: a transient read failure presented as
+        # "no control table" would make every sensor look never-fired and
+        # re-trigger the whole fleet. Real read errors propagate.
+        if self.is_path:
+            from lakehouse_engine_spark.utils.fs_utils import path_exists
+
+            if not path_exists(self.spark, self.target):
+                return self.spark.createDataFrame([], SENSOR_SCHEMA)
+            return self.spark.read.format(
+                "delta" if ExecEnv.delta_available() else "parquet"
+            ).load(self.target)
+        if not self.spark.catalog.tableExists(self.target):
             return self.spark.createDataFrame([], SENSOR_SCHEMA)
+        return self.spark.read.table(self.target)
 
     def status_of(self, sensor_id: str) -> Optional[Row]:
         return self._read().filter(F.col("sensor_id") == sensor_id).first()

@@ -1139,26 +1139,13 @@ def dedup_embedding_cosine(
 
 
 def _state_path_exists(spark, location: str) -> bool:
-    """True iff the digest-state path exists, via the Hadoop FileSystem of
-    the path itself (works for local, HDFS, and S3A URIs alike). Only the
-    MISSING-path case may be treated as 'first run' — a corrupt state file
-    or a transient FS/permission error must propagate, otherwise cross-run
-    dedup silently disables itself and re-emits previously-seen rows."""
-    try:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(location)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(jpath))
-    except AttributeError:  # Spark Connect: no _jvm; fall back to a probe
-        from pyspark.errors import AnalysisException
+    """True iff the digest-state path exists. Only the MISSING-path case
+    may be treated as 'first run' — a corrupt state file or a transient
+    FS/permission error must propagate, otherwise cross-run dedup
+    silently disables itself and re-emits previously-seen rows."""
+    from lakehouse_engine_spark.utils.fs_utils import path_exists
 
-        try:
-            spark.read.parquet(location).schema
-            return True
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-                return False
-            raise
+    return path_exists(spark, location)
 
 
 def _compact_state(spark, location: str, max_files: int) -> None:

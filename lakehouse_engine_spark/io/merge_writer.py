@@ -39,13 +39,15 @@ def merge(
 
 
 def _target_exists(spark: SparkSession, location: Optional[str], db_table: Optional[str]) -> bool:
+    # A real existence check, not a read wrapped in a bare except: the
+    # "missing" branch OVERWRITES the target as a first load, so treating
+    # a corrupt table or a transient FS error as "missing" would destroy
+    # the target. Only a genuinely absent path/table means first load.
     if db_table:
         return spark.catalog.tableExists(db_table)
-    try:
-        spark.read.load(location).schema
-        return True
-    except Exception:  # noqa: BLE001 — any read failure = first load
-        return False
+    from lakehouse_engine_spark.utils.fs_utils import path_exists
+
+    return path_exists(spark, location)
 
 
 def _merge_delta(spark, df, opts: MergeOptions, location, db_table) -> None:

@@ -309,13 +309,14 @@ def create_calendar_view(
     Columns follow the reference calendar contract
     (``tests/resources/feature/gab/setup/column_list/calendar.json``).
     """
-    if calendar_table:
-        try:
-            df = spark.read.table(calendar_table)
-            df.createOrReplaceTempView(view_name)
-            return df
-        except Exception:
-            pass  # fall through to generated calendar
+    # Fall through to the generated calendar ONLY when the configured
+    # table is genuinely absent — a read failure on an existing table
+    # must propagate, or a transient error silently swaps the org's
+    # fiscal calendar for the generated one and rolls up wrong buckets.
+    if calendar_table and spark.catalog.tableExists(calendar_table):
+        df = spark.read.table(calendar_table)
+        df.createOrReplaceTempView(view_name)
+        return df
     df = spark.sql(
         f"""
         SELECT

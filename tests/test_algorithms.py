@@ -192,3 +192,23 @@ def test_file_manager_local_ops(tmp_dir):
     assert not os.path.exists(os.path.join(tmp_dir, "b.txt"))
     manage_files({"function": "delete_objects", "bucket_or_path": tmp_dir, "object_paths": "c.txt"})
     assert not os.path.exists(os.path.join(tmp_dir, "c.txt"))
+
+
+def test_sensor_corrupt_control_table_fails_loudly(spark, tmp_dir):
+    """A corrupt control-table path must PROPAGATE, not read as an empty
+    control table — presenting a transient read failure as 'no sensors
+    ever fired' would re-trigger the whole fleet. Only a genuinely
+    missing path means first run."""
+    from lakehouse_engine_spark.algorithms.sensor import SensorControlTable
+
+    control = os.path.join(tmp_dir, "control")
+    os.makedirs(control)
+    with open(os.path.join(control, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    table = SensorControlTable(spark, control)
+    with pytest.raises(Exception) as exc:
+        table.status_of("s1")
+    assert "PATH_NOT_FOUND" not in str(exc.value)  # it exists — real error
+    # and a genuinely missing path still reads as empty (first run)
+    missing = SensorControlTable(spark, os.path.join(tmp_dir, "nope"))
+    assert missing.status_of("s1") is None

@@ -119,3 +119,19 @@ def test_merge_creates_target_on_first_load(spark, tmp_dir):
     fresh = os.path.join(tmp_dir, "fresh")
     out = _merge(spark, fresh, [(1, "first", 1)], {"merge_predicate": "current.id = new.id"})
     assert_df_equal(out, [(1, "first", 1)])
+
+
+def test_merge_corrupt_target_fails_instead_of_overwriting(spark, tmp_dir):
+    """A corrupt/unreadable target must FAIL the merge, not be treated as
+    'first load' — the first-load branch OVERWRITES the target, so the old
+    bare except turned any transient read failure into data loss. The
+    target bytes must be untouched after the failed merge."""
+    bad = os.path.join(tmp_dir, "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        _merge(spark, bad, [(1, "x", 1)], {"merge_predicate": "current.id = new.id"})
+    assert sorted(os.listdir(bad)) == ["part-00000.parquet"]
+    with open(os.path.join(bad, "part-00000.parquet"), "rb") as f:
+        assert f.read() == b"not a parquet file"
