@@ -2813,6 +2813,32 @@ def dp96_g711_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp97_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style centroid-blocked semantic dedup (datapipes/dedup.py
+    dedup_semantic_centroid, after Abbas et al. 2023): one broadcast
+    centroid assignment (the knn_ivf md5-smallest centroid convention),
+    pairwise cosine verify ONLY within a cluster, min-id survivors — the
+    O(N·C + Σcluster²) alternative to the LSH bucket join for corpora
+    curated around K-means clusters. The oracle replays centroids,
+    best-cosine assignment (ties → larger centroid id, Spark's
+    max(struct) order), in-cluster pairs, and the no-smaller-verified-
+    neighbor survivor rule."""
+    emb = load_table(spark, sf, "embeddings")
+    return emb.transform(
+        _t("dedup_semantic_centroid", threshold=0.9, num_centroids=16, dim=64)
+    ).select("vec_id", "label")
+
+
+def dp98_ngram_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus n-gram statistics (datapipes/text.py text_ngram_counts):
+    top-40 bigrams by total count with document frequency — the table
+    behind contamination sweeps and boilerplate detection. One map-side-
+    combined groupBy on the n-gram string; top-k via
+    TakeOrderedAndProject, no global sort."""
+    docs = load_table(spark, sf, "documents")
+    return docs.transform(_t("text_ngram_counts", n=2, k=40))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -2822,7 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with a fixed merge table — closes the board's only no_oracle line)
     # and q29 (GAB reconciliation-window recompute). Then one
     # representative per SURVEY §2 family (q01 loader/agg, q07 DQ, q08
-    # reconciliation, q17 GAB), then a 20-query refresh spread across the
+    # reconciliation, q17 GAB), then a refresh spread across the
     # datapipes families (incl. dp28, round 5's perf watch item, and dp29,
     # round 3's one-time hash-red). Everything else — all driver-green in
     # r04/r05 — follows; every entry stays value-verified every round via
@@ -2871,18 +2897,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp08_embedding_dedup": dp08_embedding_dedup,
         "dp12_knn_lsh": dp12_knn_lsh,
         "dp16_asof_join": dp16_asof_join,
-        "dp18_sessionize": dp18_sessionize,
+        "dp97_semantic_dedup": dp97_semantic_dedup,
         "dp20_dup_clusters": dp20_dup_clusters,
         "dp25_stratified_sample": dp25_stratified_sample,
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
         "dp29_pack_sequences": dp29_pack_sequences,
-        "dp33_text_chunk": dp33_text_chunk,
+        "dp98_ngram_counts": dp98_ngram_counts,
         "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
         "dp55_funnel": dp55_funnel,
         "dp64_ewma_anomaly": dp64_ewma_anomaly,
         "dp66_scd2_build": dp66_scd2_build,
         # ---- driver window boundary (entry 50 = dp66_scd2_build) ----
         # driver-green in r04/r05 (hard signal on record)
+        "dp18_sessionize": dp18_sessionize,
+        "dp33_text_chunk": dp33_text_chunk,
         "q26_gab_daily_rollup": q26_gab_daily_rollup,
         "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
         "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,
@@ -4072,6 +4100,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.vec_id, e.label
         FROM embeddings e LEFT JOIN heads h ON e.vec_id = h.id
         WHERE h.g IS NULL OR h.g >= e.vec_id
+        """,
+        "dp97_semantic_dedup": f"""
+            -- SemDeDup replay: md5-smallest centroids, best-cosine
+            -- assignment (ties -> larger centroid id, Spark max(struct)),
+            -- in-cluster pairs, survivors with no smaller verified
+            -- neighbor at cosine >= 0.9
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (
+              SELECT vec_id AS cid, v AS cv FROM v
+              ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                            AS BIGINT), vec_id
+              LIMIT 16
+            ),
+            assigned AS (
+              SELECT vec_id, cid FROM (
+                SELECT a.vec_id, b.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY a.vec_id
+                         ORDER BY {_DUCK_COSINE} DESC, b.cid DESC) AS rn
+                FROM v a CROSS JOIN (SELECT cid, cv AS v FROM cent) b
+              ) WHERE rn = 1
+            ),
+            pairs AS (
+              SELECT l.vec_id AS id, r.vec_id AS cand
+              FROM assigned l JOIN assigned r
+                ON l.cid = r.cid AND l.vec_id > r.vec_id
+            ),
+            heads AS (
+              SELECT id, MIN(cand) AS g
+              FROM pairs
+              JOIN v a ON a.vec_id = pairs.id
+              JOIN v b ON b.vec_id = pairs.cand
+              WHERE {_DUCK_COSINE} >= 0.9
+              GROUP BY id
+            )
+            SELECT e.vec_id, e.label
+            FROM embeddings e LEFT JOIN heads h ON e.vec_id = h.id
+            WHERE h.g IS NULL OR h.g >= e.vec_id
+        """,
+        "dp98_ngram_counts": f"""
+            WITH toks AS (
+              SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+            ),
+            sh AS (SELECT doc_id, {_duck_shingles(2)} AS s FROM toks),
+            ex AS (SELECT doc_id, unnest(s) AS ngram FROM sh),
+            counts AS (
+              SELECT ngram,
+                     CAST(COUNT(*) AS BIGINT) AS n_count,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+              FROM ex WHERE ngram <> '' GROUP BY ngram
+            )
+            SELECT ngram, n_count, doc_freq,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY n_count DESC, ngram) AS INT) AS rank
+            FROM counts ORDER BY n_count DESC, ngram LIMIT 40
         """,
         "dp14_hash_split": """
             WITH b AS (

@@ -1138,6 +1138,131 @@ def dedup_embedding_cosine(
     return _dedup_lsh if method == "lsh" else _dedup
 
 
+@register("dedup_semantic_centroid")
+def dedup_semantic_centroid(
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_centroids: int = 16,
+    keep: str = "survivors",
+    dim: Optional[int] = None,
+    max_cluster_size: Optional[int] = 100_000,
+) -> TransformerFn:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    assign every vector to its best-cosine coarse centroid, then
+    pairwise-verify ONLY within a cluster — O(Σ cluster²) instead of the
+    LSH bucket join's collision-driven cost, and the shape used on
+    web-scale corpora where K-means clusters are the curation unit.
+
+    Centroids are the ``num_centroids`` vectors with the SMALLEST
+    md5-fold content hashes (the ``knn_ivf`` convention — deterministic,
+    id-distribution-independent, SQL-replayable). Assignment is one
+    broadcast join over the corpus with the ``max(struct)`` tie-break
+    (ties → larger centroid id, same as ``knn_ivf``). Survivors follow
+    the ``dedup_embedding_cosine`` contract: a vector is a duplicate iff
+    a SMALLER-id vector in the same cluster verifies at ``cosine >=
+    threshold``; ``keep="all"`` annotates with ``dup_group_id`` /
+    ``is_duplicate`` instead of filtering. (The SemDeDup paper keeps the
+    member farthest from the centroid; min-id keep is used here so the
+    result is join-order-free and oracle-replayable — the set of dropped
+    *clusters* is identical, only the representative differs.)
+
+    Scale design: the corpus is touched twice (assignment projection +
+    pair join), centroids broadcast, and the pair join is equi-keyed on
+    the centroid id, so AQE handles cluster-size skew; clusters above
+    ``max_cluster_size`` are dropped from pairing (fail-safe cap, same
+    policy as the LSH bucket cap). The verify dot product is the codegen
+    ``element_at`` chain — no interpreted array lambdas on the pair path.
+    """
+    if keep not in ("survivors", "all"):
+        raise ValueError(f"dedup_semantic_centroid: unknown keep {keep!r}")
+    if num_centroids < 1:
+        raise ValueError(
+            f"dedup_semantic_centroid: num_centroids must be >= 1, got {num_centroids}"
+        )
+    dim_arg = dim
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        if dim_arg is not None:
+            dim = dim_arg
+        else:
+            probe = df.select(
+                F.size(F.col(embedding_col).cast("array<double>")).alias("d")
+            ).first()
+            dim = probe["d"] if probe is not None else 1  # empty corpus
+
+        vec = F.col(embedding_col).cast("array<double>")
+        base = ensure_parallelism(df).select(
+            F.col(id_col).alias("__sid"), vec.alias("__sv")
+        )
+        chash = F.conv(
+            F.substring(F.md5(F.col("__sid").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        centroids = (
+            base.orderBy(chash.asc(), F.col("__sid").asc())
+            .limit(num_centroids)
+            .select(F.col("__sid").alias("__cid"), F.col("__sv").alias("__cv"))
+        )
+        assigned = (
+            base.join(F.broadcast(centroids))
+            .withColumn("__sim", cosine(F.col("__sv"), F.col("__cv")))
+            .groupBy("__sid")
+            .agg(F.max(F.struct("__sim", "__cid", "__sv")).alias("__b"))
+            .select(
+                "__sid",
+                F.col("__b.__cid").alias("__cid"),
+                F.col("__b.__sv").alias("__sv"),
+            )
+            .withColumn(
+                "__norm",
+                F.sqrt(
+                    F.aggregate(F.col("__sv"), F.lit(0.0), lambda s, v: s + v * v)
+                ),
+            )
+        )
+        assigned = _cap_buckets(assigned, ["__cid"], max_cluster_size).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        pairs = (
+            assigned.alias("l")
+            .join(
+                assigned.alias("r"),
+                (F.col("l.__cid") == F.col("r.__cid"))
+                & (F.col("l.__sid") > F.col("r.__sid")),
+            )
+            .select(
+                F.col("l.__sid").alias("__id"),
+                F.col("r.__sid").alias("__cand"),
+                F.col("l.__sv").alias("__v1"),
+                F.col("l.__norm").alias("__n1"),
+                F.col("r.__sv").alias("__v2"),
+                F.col("r.__norm").alias("__n2"),
+            )
+        )
+        dot = sum(
+            (
+                F.element_at("__v1", i + 1) * F.element_at("__v2", i + 1)
+                for i in range(1, dim)
+            ),
+            F.element_at("__v1", 1) * F.element_at("__v2", 1),
+        )
+        verified = pairs.filter(dot / (F.col("__n1") * F.col("__n2")) >= threshold)
+        heads = verified.groupBy("__id").agg(F.min("__cand").alias("dup_group_id"))
+        out = df.join(heads, df[id_col] == heads["__id"], "left").drop("__id")
+        out = out.withColumn(
+            "is_duplicate",
+            F.col("dup_group_id").isNotNull()
+            & (F.col("dup_group_id") < F.col(id_col)),
+        )
+        if keep == "survivors":
+            return out.filter(~F.col("is_duplicate")).drop(
+                "is_duplicate", "dup_group_id"
+            )
+        return out
+
+    return _dedup
+
+
 def _state_path_exists(spark, location: str) -> bool:
     """True iff the digest-state path exists. Only the MISSING-path case
     may be treated as 'first run' — a corrupt state file or a transient

@@ -369,6 +369,69 @@ def vocab_top_k(
     return _vocab
 
 
+@register("text_ngram_counts")
+def ngram_counts(
+    input_col: str = "text",
+    n: int = 2,
+    k: int = 100,
+    min_count: int = 1,
+) -> TransformerFn:
+    """Corpus-level word n-gram statistics: the top-``k`` n-grams by total
+    occurrence count, with document frequency — the table behind
+    contamination sweeps (which benchmark n-grams appear in the corpus,
+    and in how many documents), boilerplate detection (high-df n-grams),
+    and dataset reporting. Returns a corpus-level DataFrame
+    ``(ngram, n_count, doc_freq, rank)`` with a deterministic total order
+    (count desc, ngram asc). ``n=1`` degrades to ``text_vocab_top_k``
+    plus document frequency.
+
+    Scale design: per-document n-grams are a codegen projection (the
+    ``shingles`` slice-and-join, zero Python); the only shuffle keys on
+    the n-gram string with map-side partial aggregation — count and
+    per-document distinct count ride the SAME aggregate (doc-distinct
+    via a pre-``dropDuplicates`` on (doc-hash, ngram) would double the
+    shuffle; instead df counts distinct docs with an exact
+    count_distinct inside the one groupBy). Top-k is
+    ``orderBy().limit()`` — TakeOrderedAndProject, not a global sort.
+    """
+    if n < 1:
+        raise ValueError(f"text_ngram_counts: n must be >= 1, got {n}")
+    if k < 1:
+        raise ValueError(f"text_ngram_counts: k must be >= 1, got {k}")
+
+    def _ngrams(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        # per-doc n-gram list (keep duplicates — total counts need them);
+        # docs shorter than n words contribute their single joined shingle.
+        # The row id MUST be assigned in a projection BELOW the explode:
+        # a generator evaluates sibling expressions per OUTPUT row, so an
+        # inline monotonically_increasing_id would stamp every exploded
+        # n-gram with its own "document" and doc_freq would collapse into
+        # n_count. (Catalyst won't collapse the two projections — the id
+        # is non-deterministic.)
+        with_id = df.select(F.col(input_col).alias("__txt")).withColumn(
+            "__doc", F.monotonically_increasing_id()
+        )
+        exploded = with_id.select(
+            "__doc", F.explode(shingles(F.col("__txt"), n)).alias("ngram")
+        ).filter(F.col("ngram") != "")
+        counts = (
+            exploded.groupBy("ngram")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_count"),
+                F.count_distinct("__doc").cast("long").alias("doc_freq"),
+            )
+            .filter(F.col("n_count") >= min_count)
+            .orderBy(F.desc("n_count"), F.asc("ngram"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("n_count"), F.asc("ngram"))
+        return counts.withColumn("rank", F.row_number().over(w))
+
+    return _ngrams
+
+
 @register("text_chunk")
 def text_chunk(
     input_col: str = "text",

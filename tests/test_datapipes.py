@@ -2742,3 +2742,104 @@ def test_dedup_incremental_state_compaction(spark, tmp_path):
     # no staging/backup leftovers
     assert not (tmp_path / "digests__compacting").exists()
     assert not (tmp_path / "digests__old").exists()
+
+
+def test_semantic_centroid_dedup_matches_bruteforce(spark):
+    """dedup_semantic_centroid must agree with a brute-force reference on
+    its own contract: a vector is dropped iff a smaller-id vector in the
+    SAME best-cosine cluster has cosine >= threshold. With num_centroids
+    covering the corpus densely, near-identical pairs land in the same
+    cluster and the survivor set matches plain pairwise dedup."""
+    import math
+    import hashlib
+
+    def vec(seed, dim=8):
+        vals = [((seed * 31 + j * 7) % 13) - 6.0 for j in range(dim)]
+        return vals
+
+    rows = []
+    for i in range(40):
+        base = vec(i % 10)  # 10 distinct directions, 4 copies each
+        jitter = [v + (0.001 * (i // 10)) for v in base]
+        rows.append((i, jitter))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = df.transform(
+        t("dedup_semantic_centroid", threshold=0.999, num_centroids=6, dim=8)
+    )
+    got = sorted(r["vec_id"] for r in out.collect())
+
+    # brute-force reference of the SAME contract
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    def md5fold(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    ids = [r[0] for r in rows]
+    vecs = dict(rows)
+    cents = sorted(ids, key=lambda i: (md5fold(i), i))[:6]
+    def assign(i):
+        # best cosine; ties -> larger centroid id (max(struct) order)
+        return max(cents, key=lambda c: (cos(vecs[i], vecs[c]), c))
+    cluster = {i: assign(i) for i in ids}
+    want = sorted(
+        i for i in ids
+        if not any(
+            j < i and cluster[j] == cluster[i] and cos(vecs[i], vecs[j]) >= 0.999
+            for j in ids
+        )
+    )
+    assert got == want
+    # every kept group representative is the min id of its dropped set
+    assert 0 in got
+    # keep="all" annotates instead of filtering
+    ann = df.transform(
+        t("dedup_semantic_centroid", threshold=0.999, num_centroids=6,
+          dim=8, keep="all")
+    )
+    assert ann.count() == 40
+    assert {r["vec_id"] for r in ann.filter("NOT is_duplicate").collect()} == set(want)
+    with pytest.raises(ValueError):
+        t("dedup_semantic_centroid", keep="nope")
+    with pytest.raises(ValueError):
+        t("dedup_semantic_centroid", num_centroids=0)
+
+
+def test_ngram_counts_values_and_doc_freq(spark):
+    """text_ngram_counts: total counts keep within-doc repeats, doc_freq
+    counts distinct source rows, order is (count desc, ngram asc), short
+    docs contribute their single joined shingle."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),     # 'a b' x2, 'b a' x2
+            (2, "a b c"),         # 'a b', 'b c'
+            (3, "b"),             # short doc -> single shingle 'b'
+            (4, ""),              # empty -> filtered
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = [
+        (r["ngram"], r["n_count"], r["doc_freq"], r["rank"])
+        for r in df.transform(t("text_ngram_counts", n=2, k=10)).collect()
+    ]
+    assert got == [
+        ("a b", 3, 2, 1),
+        ("b a", 2, 1, 2),
+        ("b", 1, 1, 3),
+        ("b c", 1, 1, 4),
+    ]
+    # min_count prunes the tail
+    got2 = [
+        r["ngram"]
+        for r in df.transform(
+            t("text_ngram_counts", n=2, k=10, min_count=2)
+        ).collect()
+    ]
+    assert got2 == ["a b", "b a"]
+    with pytest.raises(ValueError):
+        t("text_ngram_counts", n=0)
+    with pytest.raises(ValueError):
+        t("text_ngram_counts", k=0)

@@ -697,3 +697,27 @@ def test_bm25_large_query_set_does_not_broadcast(spark):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, pinned.collect()))
     assert got == want
+
+def test_semantic_dedup_broadcasts_centroids_equi_joins_pairs(spark, sf_dir):
+    """dedup_semantic_centroid: the centroid assignment must be a BROADCAST
+    join (centroids are num_centroids rows — never shuffle the corpus
+    against them), and the in-cluster pair join must be EQUI-keyed on the
+    centroid id (no CartesianProduct anywhere — the whole point of
+    centroid blocking is that pairing never goes corpus x corpus)."""
+    df = entry.queries()["dp97_semantic_dedup"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert ("BroadcastNestedLoopJoin" in physical) or (
+        "BroadcastHashJoin" in physical
+    ), physical[:2000]
+    assert "CartesianProduct" not in physical, physical[:2000]
+
+
+def test_ngram_counts_take_ordered_no_global_sort(spark, sf_dir):
+    """text_ngram_counts: the top-k cut must plan as TakeOrderedAndProject
+    (per-partition partial top-k merged on the driver), not a global Sort
+    exchange over the full n-gram table; the count aggregate must be
+    map-side combined (partial_count before the exchange)."""
+    df = entry.queries()["dp98_ngram_counts"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "TakeOrderedAndProject" in physical, physical[:2000]
+    assert "partial_count" in physical or "partial_" in physical, physical[:2000]
