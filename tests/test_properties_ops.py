@@ -180,3 +180,115 @@ def test_ewma_batch_matches_python_recurrence(spark, rows):
             assert g_z is None
         else:
             assert g_z == pytest.approx(exp[0], rel=1e-12)
+
+
+_asof_data = st.tuples(
+    # left rows: (key, ts) — duplicates allowed
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 100)),
+        min_size=1, max_size=25,
+    ),
+    # right rows: (key, ts, value) — unique (key, ts) enforced below so the
+    # match is well-defined (the operator picks "a" right row at ties among
+    # identical timestamps; the contract only fixes WHICH timestamp wins)
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 100),
+                  st.integers(-5, 5)),
+        min_size=0, max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    st.sampled_from(["backward", "forward", "nearest"]),
+    st.one_of(st.none(), st.integers(0, 20)),
+)
+
+
+def _asof_ref(left, right, direction, tol):
+    """Python reference for asof_join on integer timestamps."""
+    out = []
+    for k, lt in left:
+        cands = [(rt, v) for rk, rt, v in right if rk == k]
+        back = max(((rt, v) for rt, v in cands if rt <= lt), default=None)
+        fwd = min(((rt, v) for rt, v in cands if rt >= lt), default=None)
+        if direction == "backward":
+            m = back
+        elif direction == "forward":
+            m = fwd
+        elif back is None:
+            m = fwd
+        elif fwd is None:
+            m = back
+        else:  # nearest: ties -> backward (pandas merge_asof convention)
+            m = back if (lt - back[0]) <= (fwd[0] - lt) else fwd
+        if m is not None and tol is not None:
+            gap = (lt - m[0]) if m[0] <= lt else (m[0] - lt)
+            if direction == "nearest":
+                gap = abs(lt - m[0])
+            if gap > tol:
+                m = None
+        out.append((k, lt, None if m is None else m[1]))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2]))
+
+
+@_few
+@given(data=_asof_data)
+def test_asof_join_matches_reference_all_directions(spark, data):
+    import pyspark.sql.functions as F
+
+    left, right, direction, tol = data
+    ldf = spark.createDataFrame(left, "k STRING, ts LONG")
+    rdf = spark.createDataFrame(right, "k STRING, ts LONG, v LONG")
+    got = ldf.transform(
+        t("asof_join", right=rdf, on=["k"], left_ts="ts",
+          direction=direction,
+          tolerance=None if tol is None else F.lit(tol))
+    ).select("k", "ts", "v_matched").collect()
+    got_rows = sorted(
+        ((r["k"], r["ts"], r["v_matched"]) for r in got),
+        key=lambda r: (r[0], r[1], r[2] is None, r[2]),
+    )
+    assert got_rows == _asof_ref(left, right, direction, tol)
+
+
+_sessions = st.lists(
+    st.tuples(st.sampled_from(["u1", "u2"]), st.integers(0, 500)),
+    min_size=1, max_size=40,
+)
+
+
+def _session_ref(rows, gap_s):
+    """Reference sessionization: per key, sorted events; a new session
+    starts when ts - prev_ts >= gap (Spark's session_window merges only
+    when the next event falls STRICTLY inside [prev, prev+gap))."""
+    out = []
+    for key in sorted({k for k, _ in rows}):
+        ts = sorted(s for k, s in rows if k == key)
+        start, prev, n = ts[0], ts[0], 1
+        for s in ts[1:]:
+            if s - prev >= gap_s:
+                out.append((key, start, prev + gap_s, n))
+                start, n = s, 0
+            prev = s
+            n += 1
+        out.append((key, start, prev + gap_s, n))
+    return sorted(out)
+
+
+@_few
+@given(rows=_sessions)
+def test_sessionize_matches_reference_split(spark, rows):
+    gap_s = 60
+    df = spark.createDataFrame(
+        [(k, s) for k, s in rows], "k STRING, sec LONG"
+    ).selectExpr("k", "timestamp_seconds(sec) AS ts")
+    got = sorted(
+        (
+            r["k"],
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"],
+        )
+        for r in df.transform(
+            t("sessionize", on=["k"], ts_col="ts", gap="60 seconds")
+        ).collect()
+    )
+    assert got == _session_ref(rows, gap_s)
