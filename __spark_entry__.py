@@ -2839,6 +2839,34 @@ def dp98_ngram_counts(spark: SparkSession, sf: str) -> DataFrame:
     return docs.transform(_t("text_ngram_counts", n=2, k=40))
 
 
+def dp99_hash_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-hashing document vectors (datapipes/text.py
+    text_hash_embedding, the Weinberger et al. hashing trick): model-free
+    array<double> embeddings from raw text — the bridge that lets the
+    embedding family (semantic dedup, cosine dedup, ANN) run on text-only
+    corpora. Cell values are exact ±1 sums so the md5-fold bucketing and
+    the whole vector replay bit-for-bit; the query emits the integer
+    cells as an md5 plus the (order-independent, exactly-summed) L2
+    norm."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(
+        _t("text_hash_embedding", dim=32, normalize=False)
+    )
+    vec = F.col("hash_embedding")
+    return out.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(vec, lambda v: v.cast("long").cast("string"))
+            )
+        ).alias("cells_md5"),
+        F.size(F.filter(vec, lambda v: v != 0)).cast("long").alias("n_nonzero"),
+        F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda s, v: s + v * v)
+        ).alias("norm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -2898,7 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp12_knn_lsh": dp12_knn_lsh,
         "dp16_asof_join": dp16_asof_join,
         "dp97_semantic_dedup": dp97_semantic_dedup,
-        "dp20_dup_clusters": dp20_dup_clusters,
+        "dp99_hash_embedding": dp99_hash_embedding,
         "dp25_stratified_sample": dp25_stratified_sample,
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
         "dp29_pack_sequences": dp29_pack_sequences,
@@ -2910,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (entry 50 = dp66_scd2_build) ----
         # driver-green in r04/r05 (hard signal on record)
         "dp18_sessionize": dp18_sessionize,
+        "dp20_dup_clusters": dp20_dup_clusters,
         "dp33_text_chunk": dp33_text_chunk,
         "q26_gab_daily_rollup": q26_gab_daily_rollup,
         "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
@@ -4106,7 +4135,13 @@ def oracle_sql() -> dict[str, str]:
             -- assignment (ties -> larger centroid id, Spark max(struct)),
             -- in-cluster pairs, survivors with no smaller verified
             -- neighbor at cosine >= 0.9
-            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              -- zero-norm vectors skip assignment/pairing and pass
+              -- through as survivors (they never reach `heads`)
+              WHERE list_reduce(list_transform(embedding::DOUBLE[],
+                      x -> x*x), (a,b) -> a+b) > 0
+            ),
             cent AS (
               SELECT vec_id AS cid, v AS cv FROM v
               ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
@@ -4138,6 +4173,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, e.label
             FROM embeddings e LEFT JOIN heads h ON e.vec_id = h.id
             WHERE h.g IS NULL OR h.g >= e.vec_id
+        """,
+        "dp99_hash_embedding": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv
+              FROM tok
+            ),
+            cell AS (
+              SELECT doc_id, hv % 32 AS b,
+                     SUM(CASE WHEN (hv // 32) % 2 = 0 THEN 1 ELSE -1 END) AS v
+              FROM h GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT d.doc_id, g.i, coalesce(c.v, 0) AS v
+              FROM (SELECT doc_id FROM documents) d
+              CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) g
+              LEFT JOIN cell c ON c.doc_id = d.doc_id AND c.b = g.i
+            )
+            SELECT doc_id,
+                   md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS cells_md5,
+                   CAST(COUNT(*) FILTER (WHERE v <> 0) AS BIGINT) AS n_nonzero,
+                   sqrt(SUM(CAST(v AS DOUBLE) * v)) AS norm
+            FROM grid GROUP BY doc_id
         """,
         "dp98_ngram_counts": f"""
             WITH toks AS (

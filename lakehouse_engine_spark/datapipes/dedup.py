@@ -1173,6 +1173,9 @@ def dedup_semantic_centroid(
     ``max_cluster_size`` are dropped from pairing (fail-safe cap, same
     policy as the LSH bucket cap). The verify dot product is the codegen
     ``element_at`` chain — no interpreted array lambdas on the pair path.
+    Zero-norm vectors (e.g. empty documents through
+    ``text_hash_embedding``) have no cosine direction: they skip
+    assignment and pairing and always survive.
     """
     if keep not in ("survivors", "all"):
         raise ValueError(f"dedup_semantic_centroid: unknown keep {keep!r}")
@@ -1193,31 +1196,39 @@ def dedup_semantic_centroid(
 
         vec = F.col(embedding_col).cast("array<double>")
         base = ensure_parallelism(df).select(
-            F.col(id_col).alias("__sid"), vec.alias("__sv")
+            F.col(id_col).alias("__sid"),
+            vec.alias("__sv"),
+            F.sqrt(
+                F.aggregate(vec, F.lit(0.0), lambda s, v: s + v * v)
+            ).alias("__norm"),
         )
+        # zero-norm vectors (e.g. empty documents through
+        # text_hash_embedding) have no cosine direction: they skip
+        # assignment and pairing entirely and pass through as survivors —
+        # they can never appear in `heads`, so the left join below keeps
+        # them. They are also excluded from centroid selection (a
+        # zero-vector centroid would make every assignment 0/0).
+        nonzero = base.filter(F.col("__norm") > 0)
         chash = F.conv(
             F.substring(F.md5(F.col("__sid").cast("string")), 1, 15), 16, 10
         ).cast("long")
         centroids = (
-            base.orderBy(chash.asc(), F.col("__sid").asc())
+            nonzero.orderBy(chash.asc(), F.col("__sid").asc())
             .limit(num_centroids)
             .select(F.col("__sid").alias("__cid"), F.col("__sv").alias("__cv"))
         )
         assigned = (
-            base.join(F.broadcast(centroids))
+            nonzero.join(F.broadcast(centroids))
             .withColumn("__sim", cosine(F.col("__sv"), F.col("__cv")))
             .groupBy("__sid")
-            .agg(F.max(F.struct("__sim", "__cid", "__sv")).alias("__b"))
+            .agg(
+                F.max(F.struct("__sim", "__cid", "__sv", "__norm")).alias("__b")
+            )
             .select(
                 "__sid",
                 F.col("__b.__cid").alias("__cid"),
                 F.col("__b.__sv").alias("__sv"),
-            )
-            .withColumn(
-                "__norm",
-                F.sqrt(
-                    F.aggregate(F.col("__sv"), F.lit(0.0), lambda s, v: s + v * v)
-                ),
+                F.col("__b.__norm").alias("__norm"),
             )
         )
         assigned = _cap_buckets(assigned, ["__cid"], max_cluster_size).persist(

@@ -432,6 +432,95 @@ def ngram_counts(
     return _ngrams
 
 
+@register("text_hash_embedding")
+def hash_embedding(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    output_col: str = "hash_embedding",
+    dim: int = 64,
+    normalize: bool = True,
+) -> TransformerFn:
+    """Feature-hashing document vectors (the hashing trick, Weinberger et
+    al. 2009): each token hashes to one of ``dim`` buckets with a ±1 sign
+    bit, bucket sums form the vector — a model-free ``array<double>``
+    embedding that feeds the embedding family (``dedup_semantic_centroid``,
+    ``dedup_embedding_cosine``, ``knn_*``) on raw text corpora. Token
+    hashing is the corpus-wide md5-fold convention (bucket = fold mod
+    dim, sign from the next bit), so an external oracle replays vectors
+    exactly; cell values are exact integers (order-independent sums) and
+    the optional L2 normalization divides by one sqrt — deterministic
+    across engines. Token-less documents get the zero vector (normalize
+    leaves zero vectors unchanged rather than dividing by zero).
+
+    Scale design: explode → one map-side-combined aggregation keyed on
+    (id, bucket) — shuffle volume is touched cells (≤ dim per doc), not
+    corpus tokens; the dense vector assembles from a per-doc map lookup
+    over ``sequence(0, dim-1)`` (codegen, no Python); results join back
+    on the id so all input columns survive.
+    """
+    if dim < 1:
+        raise ValueError(f"text_hash_embedding: dim must be >= 1, got {dim}")
+
+    def _emb(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("__hid"),
+            F.explode(tokens_lower(F.col(input_col))).alias("__w"),
+        )
+        hv = F.conv(F.substring(F.md5("__w"), 1, 15), 16, 10).cast("long")
+        hashed = toks.select("__hid", hv.alias("__hv"))
+        cells = (
+            hashed.select(
+                "__hid",
+                (F.col("__hv") % dim).alias("__b"),
+                F.when((F.expr(f"__hv div {dim}") % 2) == 0, 1)
+                .otherwise(-1)
+                .alias("__s"),
+            )
+            .groupBy("__hid", "__b")
+            .agg(F.sum("__s").cast("long").alias("__v"))
+        )
+        vecs = cells.groupBy("__hid").agg(
+            F.map_from_entries(F.collect_list(F.struct("__b", "__v"))).alias(
+                "__m"
+            )
+        )
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__m"), i.cast("long")), F.lit(0)
+            ).cast("double"),
+        )
+        vecs = vecs.select("__hid", dense.alias("__vec"))
+        out = (
+            df.join(vecs, df[id_col] == vecs["__hid"], "left")
+            .drop("__hid")
+            .withColumn(
+                output_col,
+                F.coalesce(
+                    "__vec",
+                    F.array_repeat(F.lit(0.0), dim),
+                ),
+            )
+            .drop("__vec")
+        )
+        if normalize:
+            norm = F.sqrt(
+                F.aggregate(
+                    F.col(output_col), F.lit(0.0), lambda s, v: s + v * v
+                )
+            )
+            out = out.withColumn(
+                output_col,
+                F.when(
+                    norm > 0,
+                    F.transform(F.col(output_col), lambda v: v / norm),
+                ).otherwise(F.col(output_col)),
+            )
+        return out
+
+    return _emb
+
+
 @register("text_chunk")
 def text_chunk(
     input_col: str = "text",

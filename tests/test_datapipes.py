@@ -2843,3 +2843,51 @@ def test_ngram_counts_values_and_doc_freq(spark):
         t("text_ngram_counts", n=0)
     with pytest.raises(ValueError):
         t("text_ngram_counts", k=0)
+
+
+def test_hash_embedding_values_and_chain_to_semantic_dedup(spark):
+    """text_hash_embedding: exact ±1 bucket sums, zero vector for
+    token-less docs, unit norm when normalized — and the output feeds the
+    embedding family directly (chained into dedup_semantic_centroid,
+    identical texts collapse)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "alpha beta alpha"),
+         (4, "gamma delta")],
+        "doc_id LONG, text STRING",
+    )
+    raw = {
+        r["doc_id"]: r["hash_embedding"]
+        for r in df.transform(
+            t("text_hash_embedding", dim=16, normalize=False)
+        ).collect()
+    }
+    # identical texts -> identical vectors; empty -> zero vector
+    assert raw[1] == raw[3] and raw[1] != raw[4]
+    assert raw[2] == [0.0] * 16
+    assert all(v == int(v) for vec in raw.values() for v in vec)
+    # token multiplicity: 'alpha' x2 contributes ±2, 'beta' ±1 — distinct
+    # buckets give {1,2}; a shared bucket gives {3} (same sign) or {1}
+    # (opposite signs cancelling to ±1)
+    assert sorted(abs(v) for v in raw[1] if v != 0) in (
+        [1.0, 2.0], [3.0], [1.0]
+    )
+    norm = {
+        r["doc_id"]: r["hash_embedding"]
+        for r in df.transform(t("text_hash_embedding", dim=16)).collect()
+    }
+    for did, vec in norm.items():
+        n = math.sqrt(sum(v * v for v in vec))
+        assert n == pytest.approx(1.0) if did != 2 else n == 0.0
+    # chain: hash-embed then semantic dedup — doc 3 (dup of 1) drops
+    out = (
+        df.transform(t("text_hash_embedding", dim=16))
+        .transform(
+            t("dedup_semantic_centroid", embedding_col="hash_embedding",
+              id_col="doc_id", threshold=0.999, num_centroids=2, dim=16)
+        )
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 4]
+    with pytest.raises(ValueError):
+        t("text_hash_embedding", dim=0)
