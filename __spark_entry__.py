@@ -2867,6 +2867,28 @@ def dp99_hash_embedding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp100_unimax_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax language-balanced sampling (datapipes/sampling.py
+    unimax_sample, after Chung et al. 2023): a total token budget
+    water-filled across languages — small languages keep everything up
+    to their epoch cap, large languages share the remaining waterline
+    equally. Allocation is exact integer arithmetic (sorted caps,
+    running ``(B − prefix) div remaining`` waterline), so the DuckDB
+    oracle replays the full allocation AND the stable-hash row filter;
+    the query emits realized per-language doc and token counts."""
+    docs = load_table(spark, sf, "documents")
+    kept = docs.transform(
+        _t("unimax_sample", budget_tokens=30_000, group_col="lang")
+    )
+    tok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(tok.cast("long")).alias("kept_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -2927,7 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp16_asof_join": dp16_asof_join,
         "dp97_semantic_dedup": dp97_semantic_dedup,
         "dp99_hash_embedding": dp99_hash_embedding,
-        "dp25_stratified_sample": dp25_stratified_sample,
+        "dp100_unimax_sample": dp100_unimax_sample,
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
         "dp29_pack_sequences": dp29_pack_sequences,
         "dp98_ngram_counts": dp98_ngram_counts,
@@ -2939,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in r04/r05 (hard signal on record)
         "dp18_sessionize": dp18_sessionize,
         "dp20_dup_clusters": dp20_dup_clusters,
+        "dp25_stratified_sample": dp25_stratified_sample,
         "dp33_text_chunk": dp33_text_chunk,
         "q26_gab_daily_rollup": q26_gab_daily_rollup,
         "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
@@ -4173,6 +4196,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, e.label
             FROM embeddings e LEFT JOIN heads h ON e.vec_id = h.id
             WHERE h.g IS NULL OR h.g >= e.vec_id
+        """,
+        "dp100_unimax_sample": rf"""
+            -- integer water-filling replay: sorted caps, running
+            -- waterline (B - prefix) // remaining; capped groups take
+            -- their cap, the rest share the final waterline; then the
+            -- stable-hash keep filter at thr = alloc*1e6 // tokens
+            WITH d AS (
+              SELECT doc_id, lang,
+                     len({_DUCK_TOKENS}) AS tok
+              FROM documents
+            ),
+            stats AS (SELECT lang AS g, SUM(tok) AS t FROM d GROUP BY 1),
+            caps AS (
+              SELECT g, t, CAST(floor(t * 1.0) AS BIGINT) AS c FROM stats
+            ),
+            ordered AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (ORDER BY c, g) AS k,
+                     COUNT(*) OVER () AS n,
+                     COALESCE(SUM(c) OVER (
+                       ORDER BY c, g
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS p
+              FROM caps
+            ),
+            flags AS (
+              SELECT *, c <= ((30000 - p) // (n - k + 1)) AS capped
+              FROM ordered
+            ),
+            agg AS (
+              SELECT COALESCE(SUM(CASE WHEN capped THEN c END), 0) AS cp,
+                     COALESCE(SUM(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS ck,
+                     MAX(n) AS n
+              FROM flags
+            ),
+            alloc AS (
+              SELECT f.g, f.t,
+                     CASE WHEN f.capped THEN f.c
+                          ELSE (30000 - a.cp) // (a.n - a.ck) END AS alc
+              FROM flags f CROSS JOIN agg a
+            ),
+            thr AS (
+              SELECT g,
+                     CASE WHEN t = 0 THEN 1000000
+                          ELSE least(1000000, alc * 1000000 // t) END AS thr
+              FROM alloc
+            ),
+            kept AS (
+              SELECT d.doc_id, d.lang, d.tok
+              FROM d JOIN thr ON d.lang = thr.g
+              WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 1000000 < thr.thr
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tok) AS BIGINT) AS kept_tokens
+            FROM kept GROUP BY lang
         """,
         "dp99_hash_embedding": f"""
             WITH tok AS (

@@ -281,6 +281,118 @@ def token_budget_sample(
     return _sample
 
 
+@register("unimax_sample")
+def unimax_sample(
+    budget_tokens: int,
+    group_col: str = "lang",
+    token_col: Optional[str] = None,
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    epochs: float = 1.0,
+    seed: str = "",
+    broadcast_thresholds: bool = True,
+) -> Callable[[DataFrame], DataFrame]:
+    """UniMax language-balanced sampling (Chung et al. 2023,
+    arXiv:2304.09151): split a TOTAL token budget across groups by
+    water-filling — every group is capped at ``epochs ×`` its own token
+    count (no group over-repeats), the remaining budget spreads uniformly
+    over the uncapped (large) groups. The result is the UniMax shape:
+    small languages keep everything up to their epoch cap, big languages
+    share the leftover equally — instead of proportional sampling's
+    head-language dominance.
+
+    Allocation is EXACT INTEGER water-filling (sorted by cap ascending;
+    a group is capped iff its cap fits under the running waterline
+    ``(B − prefix) div remaining``; uncapped groups all receive the final
+    waterline) — bit-replayable by a SQL oracle, no float accumulation.
+    Up to ``n_groups − 1`` tokens of the budget stay unallocated
+    (integer floor); per-group realized tokens hit the allocation in
+    expectation via the stable content-hash filter (``hash_sample``
+    semantics — stable under re-runs and appends). Groups with zero
+    tokens keep all their (token-less) rows. ``epochs > 1`` raises small
+    groups' caps; rows are never duplicated (keep fraction caps at 1).
+
+    Scale design: pass 1 is one map-side-combined groupBy producing a
+    groups-sized table collected to the driver (languages/domains —
+    thousands at most; the collect is a driver control decision on a
+    tiny aggregate, the same shape as ``incremental_filter``); pass 2 is
+    a broadcast threshold attach + pure hash-filter projection. No
+    windows, no sorts, no per-row state.
+    """
+    if budget_tokens < 0:
+        raise ValueError(
+            f"unimax_sample: budget_tokens must be >= 0, got {budget_tokens}"
+        )
+    if epochs <= 0:
+        raise ValueError(f"unimax_sample: epochs must be > 0, got {epochs}")
+
+    def _sample(df: DataFrame) -> DataFrame:
+        import math
+
+        tok = (
+            F.col(token_col)
+            if token_col
+            else F.size(
+                F.filter(
+                    F.split(F.trim(F.col(input_col)), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        )
+        totals = (
+            df.groupBy(F.col(group_col).alias("__g"))
+            .agg(F.sum(tok.cast("long")).alias("__tot"))
+            .collect()
+        )
+        stats = sorted(
+            (
+                (int(math.floor((r["__tot"] or 0) * epochs)), r["__tot"] or 0, r["__g"])
+                for r in totals
+            ),
+            key=lambda x: (x[0], x[2] is None, str(x[2])),
+        )
+        n = len(stats)
+        # integer water-filling: capped groups (cap fits under the running
+        # waterline) take their cap; the rest share the final waterline
+        alloc = {}
+        p = 0
+        waterline = None
+        for k, (cap, tot, g) in enumerate(stats):
+            rem = n - k
+            w = (budget_tokens - p) // rem
+            if cap <= w:
+                alloc[g] = cap
+                p += cap
+            else:
+                waterline = w
+                break
+        if waterline is not None:
+            for cap, tot, g in stats:
+                if g not in alloc:
+                    alloc[g] = waterline
+        thr_rows = []
+        for cap, tot, g in stats:
+            if tot == 0:
+                thr = BUCKETS  # token-less groups cost nothing: keep
+            else:
+                thr = min(BUCKETS, alloc[g] * BUCKETS // tot)
+            thr_rows.append((None if g is None else str(g), thr))
+        spark = df.sparkSession
+        thr_df = spark.createDataFrame(thr_rows, "__g STRING, __thr LONG")
+        if broadcast_thresholds:
+            thr_df = F.broadcast(thr_df)
+        return (
+            df.join(
+                thr_df,
+                df[group_col].cast("string").eqNullSafe(F.col("__g")),
+            )
+            .filter(_bucket(id_col, seed) < F.col("__thr"))
+            .drop("__g", "__thr")
+        )
+
+    return _sample
+
+
 @register("quantile_prune")
 def quantile_prune(
     score_col: str,

@@ -2891,3 +2891,66 @@ def test_hash_embedding_values_and_chain_to_semantic_dedup(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 4]
     with pytest.raises(ValueError):
         t("text_hash_embedding", dim=0)
+
+
+def test_unimax_sample_water_filling_allocation(spark):
+    """unimax_sample: integer water-filling — small groups keep their
+    full epoch cap, large groups share the remaining waterline; realized
+    tokens track the allocation via the stable hash filter; epochs
+    raises caps; zero-budget drops everything with tokens."""
+    import hashlib
+
+    rows = []
+    did = 0
+    # en: 100 docs x 10 tokens = 1000; de: 30 x 10 = 300; fr: 5 x 10 = 50
+    for lang, n_docs in (("en", 100), ("de", 30), ("fr", 5)):
+        for _ in range(n_docs):
+            rows.append((did, lang, "w " * 10))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    out = df.transform(
+        t("unimax_sample", budget_tokens=600, group_col="lang")
+    )
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # expected: caps fr=50, de=300, en=1000; waterline run: fr capped
+    # (50 <= 600//3), de uncapped (275 < 300) -> waterline 275 for de+en.
+    # thresholds: fr 1e6 (keep all), de 275*1e6//300, en 275*1e6//1000
+    def bucket(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % 1_000_000
+    thr = {"fr": 1_000_000, "de": 275 * 1_000_000 // 300,
+           "en": 275 * 1_000_000 // 1000}
+    want = {}
+    for doc_id, lang, _ in rows:
+        if bucket(doc_id) < thr[lang]:
+            want[lang] = want.get(lang, 0) + 1
+    assert got == want
+    assert got["fr"] == 5  # small language fully kept
+    # epochs=2 doubles fr's cap (100) — still fully kept, dilutes others
+    out2 = df.transform(
+        t("unimax_sample", budget_tokens=600, group_col="lang", epochs=2.0)
+    )
+    assert out2.filter("lang = 'fr'").count() == 5
+    # budget covering everything keeps everything
+    assert df.transform(
+        t("unimax_sample", budget_tokens=10_000, group_col="lang")
+    ).count() == 135
+    # zero budget keeps nothing (all groups have tokens)
+    assert df.transform(
+        t("unimax_sample", budget_tokens=0, group_col="lang")
+    ).count() == 0
+    # token-less group passes through untouched
+    df2 = df.union(
+        spark.createDataFrame([(900, "xx", "")], "doc_id LONG, lang STRING, text STRING")
+    )
+    kept2 = df2.transform(
+        t("unimax_sample", budget_tokens=0, group_col="lang")
+    )
+    assert [r["doc_id"] for r in kept2.collect()] == [900]
+    with pytest.raises(ValueError):
+        t("unimax_sample", budget_tokens=-1)
+    with pytest.raises(ValueError):
+        t("unimax_sample", budget_tokens=1, epochs=0)
