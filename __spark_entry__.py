@@ -2889,6 +2889,21 @@ def dp100_unimax_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp101_reservoir_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-state streaming quantiles (datapipes/stateful.py
+    streaming_reservoir_quantiles): per-user value quantiles from a
+    DETERMINISTIC hash-priority reservoir — the k rows with the smallest
+    md5-fold(event_id) priorities, a uniform mergeable sample the oracle
+    reproduces exactly (unlike a randomized reservoir). Batch arm shown
+    here (one window pass); the same operator carries the sample in the
+    state store under streaming (restart-pinned in tests)."""
+    ev = load_table(spark, sf, "events")
+    return ev.transform(
+        _t("streaming_reservoir_quantiles", on=["user_id"],
+           value_col="value", id_col="event_id", k=64, probs=[0.5, 0.9])
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -2946,7 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp06_dedup_minhash": dp06_dedup_minhash,
         "dp08_embedding_dedup": dp08_embedding_dedup,
         "dp12_knn_lsh": dp12_knn_lsh,
-        "dp16_asof_join": dp16_asof_join,
+        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
         "dp97_semantic_dedup": dp97_semantic_dedup,
         "dp99_hash_embedding": dp99_hash_embedding,
         "dp100_unimax_sample": dp100_unimax_sample,
@@ -2960,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (entry 50 = dp66_scd2_build) ----
         # driver-green in r04/r05 (hard signal on record)
         "dp18_sessionize": dp18_sessionize,
+        "dp16_asof_join": dp16_asof_join,
         "dp20_dup_clusters": dp20_dup_clusters,
         "dp25_stratified_sample": dp25_stratified_sample,
         "dp33_text_chunk": dp33_text_chunk,
@@ -4196,6 +4212,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, e.label
             FROM embeddings e LEFT JOIN heads h ON e.vec_id = h.id
             WHERE h.g IS NULL OR h.g >= e.vec_id
+        """,
+        "dp101_reservoir_quantiles": """
+            -- deterministic hash-priority reservoir replay: per user the
+            -- 64 rows with the smallest md5-fold(event_id) priorities,
+            -- quantile = lower-index order statistic over the sample
+            WITH nn AS (
+              SELECT user_id, value,
+                     CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS pri
+              FROM events WHERE value IS NOT NULL
+            ),
+            ranked AS (
+              SELECT user_id, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY pri, value) AS rn
+              FROM nn
+            ),
+            sample AS (
+              SELECT user_id, list_sort(list(value)) AS vals
+              FROM ranked WHERE rn <= 64 GROUP BY user_id
+            ),
+            counts AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+              FROM nn GROUP BY user_id
+            )
+            SELECT c.user_id, c.n_seen,
+                   CAST(len(s.vals) AS BIGINT) AS sample_n,
+                   s.vals[CAST(floor(0.5 * (len(s.vals) - 1)) AS INT) + 1] AS q_50,
+                   s.vals[CAST(floor(0.9 * (len(s.vals) - 1)) AS INT) + 1] AS q_90
+            FROM counts c JOIN sample s USING (user_id)
         """,
         "dp100_unimax_sample": rf"""
             -- integer water-filling replay: sorted caps, running

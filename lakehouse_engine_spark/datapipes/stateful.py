@@ -565,3 +565,163 @@ def streaming_approx_distinct(
         )
 
     return _fn
+
+
+@register("streaming_reservoir_quantiles")
+def streaming_reservoir_quantiles(
+    on: List[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    probs: Optional[List[float]] = None,
+    seed: str = "",
+) -> TransformerFn:
+    """Per-key quantile estimates across micro-batches with BOUNDED
+    state: a DETERMINISTIC hash-priority reservoir — each row's priority
+    is the md5-fold of ``id_col`` (+ ``seed``); the per-key sample is
+    always the ``k`` rows with the smallest priorities ever seen. That
+    sample is a uniform random subset (md5 is uniform over ids), it is
+    MERGEABLE (min-k of a union = min-k of min-k's — so micro-batches
+    fold into the state exactly), and it is REPLAYABLE: unlike a
+    randomized reservoir, an external oracle can reproduce the sample
+    and therefore the estimates bit-for-bit.
+
+    Emits one row per key per micro-batch: ``on…, n_seen`` (cumulative
+    non-null rows), ``sample_n``, and one ``q_<pp>`` column per requested
+    probability (``0.5 → q_50``, ``0.99 → q_99``). The quantile is the
+    lower-index order statistic ``sorted_vals[floor(p·(m−1))]`` — integer
+    indexing, no interpolation, so batch, streaming, and the SQL oracle
+    agree exactly. NULL values are ignored (they join neither the
+    reservoir nor ``n_seen``). On a BATCH DataFrame the operator runs as
+    one window pass (rank by priority per key → top-k → one aggregate),
+    producing the estimates the stream converges to.
+
+    Scale design: state is O(k) pairs per key regardless of stream
+    length; the batch arm is one key-partitioned window (single
+    exchange) + a groups-sized aggregate. Estimate error is the standard
+    uniform-sample bound (~1/sqrt(k) quantile deviation).
+    """
+    probs_list = [0.5, 0.9, 0.99] if probs is None else list(probs)
+    if not probs_list or any(not 0 < p <= 1 for p in probs_list):
+        raise ValueError(
+            f"streaming_reservoir_quantiles: probs must be in (0, 1], got {probs_list}"
+        )
+    if k < 1:
+        raise ValueError(f"streaming_reservoir_quantiles: k must be >= 1, got {k}")
+
+    def qname(p: float) -> str:
+        return "q_" + f"{p * 100:g}".replace(".", "_")
+
+    def _fn(df: DataFrame) -> DataFrame:
+        pri = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+        if not df.isStreaming:
+            from pyspark.sql import Window
+
+            nn = df.filter(F.col(value_col).isNotNull())
+            w = Window.partitionBy(*on).orderBy(
+                pri.asc(), F.col(value_col).asc()
+            )
+            sample = (
+                nn.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k)
+                .groupBy(*on)
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.col(value_col).cast("double"))
+                    ).alias("__vals")
+                )
+            )
+            counts = nn.groupBy(*on).agg(
+                F.count(F.lit(1)).cast("long").alias("n_seen")
+            )
+            m = F.size("__vals")
+            qcols = [
+                F.element_at(
+                    "__vals", (F.floor(F.lit(p) * (m - 1)) + 1).cast("int")
+                ).alias(qname(p))
+                for p in probs_list
+            ]
+            return counts.join(sample, list(on)).select(
+                *on, "n_seen", m.cast("long").alias("sample_n"), *qcols
+            )
+
+        import hashlib
+        import math
+
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        key_fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.select(*on).schema.fields
+        )
+        qfields = ", ".join(f"{qname(p)} DOUBLE" for p in probs_list)
+        out_schema = f"{key_fields}, n_seen LONG, sample_n LONG, {qfields}"
+        state_schema = "n LONG, pris ARRAY<LONG>, vals ARRAY<DOUBLE>"
+        # integral ids reach pandas as float64 when an Arrow batch carries
+        # nulls — coerce back to int so str(id) hashes like the JVM's
+        # CAST(id AS STRING) (same fix as the HLL fold)
+        id_is_integral = isinstance(
+            df.schema[id_col].dataType,
+            (ByteType, ShortType, IntegerType, LongType),
+        )
+
+        def _priority(v) -> int:
+            if id_is_integral:
+                v = int(v)
+            return int(
+                hashlib.md5((str(v) + seed).encode("utf-8")).hexdigest()[:15],
+                16,
+            )
+
+        def _update(
+            key: Tuple,
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            n, pris, vals = (
+                state.get if state.exists else (0, [], [])
+            )
+            entries = list(zip(pris, vals))
+            for pdf in pdfs:
+                sub = pdf[[id_col, value_col]].dropna(subset=[value_col])
+                n += len(sub)
+                for i, v in zip(sub[id_col], sub[value_col]):
+                    entries.append((_priority(i), float(v)))
+            entries.sort()
+            entries = entries[:k]
+            state.update(
+                (n, [p for p, _ in entries], [v for _, v in entries])
+            )
+            svals = sorted(v for _, v in entries)
+            m = len(svals)
+            row = dict(zip(on, key), n_seen=n, sample_n=m)
+            for p in probs_list:
+                row[qname(p)] = (
+                    svals[int(math.floor(p * (m - 1)))] if m else None
+                )
+            yield pd.DataFrame([row])
+
+        return df.groupBy(*on).applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _fn

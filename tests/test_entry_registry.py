@@ -40,7 +40,7 @@ def test_driver_window_holds_rotation_cohort():
     assert {"q25_scalar_subquery_avg", "dp69b_bpe_encode",
             "q29_gab_day_recon_recompute", "dp97_semantic_dedup",
             "dp98_ngram_counts", "dp99_hash_embedding",
-            "dp100_unimax_sample"} <= window
+            "dp100_unimax_sample", "dp101_reservoir_quantiles"} <= window
     # §2 representatives
     assert {"q01_pricing_summary", "q07_dq_stats", "q08_reconciliation",
             "q17_gab_weekly_rollup"} <= window

@@ -434,3 +434,67 @@ def test_approx_distinct_integral_nulls_stream_matches_batch(spark, tmp_dir):
         .collect()
     }
     assert stream == batch
+
+
+def _latest_per_domain(df):
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("domain").orderBy(F.desc("n_seen"))
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter("__r = 1")
+        .drop("__r")
+    )
+
+
+def test_reservoir_quantiles_stream_matches_batch_and_restarts(spark, tmp_dir):
+    """streaming_reservoir_quantiles: the hash-priority reservoir is
+    mergeable, so the cumulative streaming estimate after any number of
+    micro-batches equals the one-pass batch estimate over the same rows —
+    including across a query restart (reservoir restored from the
+    checkpoint). Null values join neither the sample nor n_seen."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("k%d" % (i % 3), i, None if i % 19 == 0 else float((i * 37) % 101))
+        for i in range(600)
+    ]
+    sdf = spark.createDataFrame(rows, "domain STRING, event_id LONG, v DOUBLE")
+    op = t("streaming_reservoir_quantiles", on=["domain"], value_col="v",
+           id_col="event_id", k=32, probs=[0.5, 0.9])
+    batch = {
+        r["domain"]: (r["n_seen"], r["sample_n"], r["q_50"], r["q_90"])
+        for r in sdf.transform(op).collect()
+    }
+    assert all(n == 200 - len([1 for d, i, v in rows
+                               if v is None and d == k])
+               for k, (n, _, _, _) in batch.items())
+
+    src = os.path.join(tmp_dir, "rsrc")
+    out = os.path.join(tmp_dir, "rout")
+    ck = os.path.join(tmp_dir, "rck")
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], "domain STRING, event_id LONG, v DOUBLE")\
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("domain STRING, event_id LONG, v DOUBLE")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .transform(op)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows[half:], "domain STRING, event_id LONG, v DOUBLE")\
+        .coalesce(1).write.mode("append").parquet(src)
+    run()  # restart on the same checkpoint: reservoir restored
+    final = {
+        r["domain"]: (r["n_seen"], r["sample_n"], r["q_50"], r["q_90"])
+        for r in _latest_per_domain(spark.read.parquet(out)).collect()
+    }
+    assert final == batch
