@@ -1212,52 +1212,103 @@ def dedup_semantic_centroid(
         chash = F.conv(
             F.substring(F.md5(F.col("__sid").cast("string")), 1, 15), 16, 10
         ).cast("long")
-        centroids = (
+        # centroids collect to the driver (num_centroids × dim doubles —
+        # KBs, the bpe_train merge-table convention) so the assignment is
+        # a PURE CODEGEN PROJECTION: per row, one fused dot-product chain
+        # per centroid against literal vectors + an array_max argmax — no
+        # groupBy shuffle, no join, and no interpreted HOF on the hot
+        # path (the broadcast-join + max(struct-with-array) formulation
+        # measured 3× slower than exact all-pairs at 40k vectors).
+        centroid_rows = (
             nonzero.orderBy(chash.asc(), F.col("__sid").asc())
             .limit(num_centroids)
-            .select(F.col("__sid").alias("__cid"), F.col("__sv").alias("__cv"))
+            .select("__sid", "__sv")
+            .collect()
         )
-        assigned = (
-            nonzero.join(F.broadcast(centroids))
-            .withColumn("__sim", cosine(F.col("__sv"), F.col("__cv")))
-            .groupBy("__sid")
-            .agg(
-                F.max(F.struct("__sim", "__cid", "__sv", "__norm")).alias("__b")
+        if not centroid_rows:
+            out = df.withColumn(
+                "dup_group_id", F.lit(None).cast(df.schema[id_col].dataType)
+            ).withColumn("is_duplicate", F.lit(False))
+            if keep == "survivors":
+                return out.drop("is_duplicate", "dup_group_id")
+            return out
+        import math
+
+        # SCALAR expansion everywhere on the hot path (the dp08 exact-arm
+        # lesson): a per-centroid literal mega-expression and element_at
+        # chains over array columns both fall out of whole-stage codegen
+        # (the 40k probe measured 26.5 s for the literal assignment alone
+        # and minutes for the array-carrying pair verify); extracting the
+        # components to plain double columns ONCE keeps the dot products
+        # fused scalar arithmetic.
+        corpus = (
+            nonzero.select(
+                "__sid",
+                "__norm",
+                *[
+                    F.element_at("__sv", i + 1).alias(f"__e{i}")
+                    for i in range(dim)
+                ],
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        spark = df.sparkSession
+        centroids = spark.createDataFrame(
+            [
+                tuple(
+                    [
+                        r["__sid"],
+                        math.sqrt(sum(x * x for x in r["__sv"])),
+                    ]
+                    + [float(x) for x in r["__sv"]]
+                )
+                for r in centroid_rows
+            ]
+        ).toDF("__cid", "__cnorm", *[f"__c{i}" for i in range(dim)])
+        cdot = sum(
+            (F.col(f"__e{i}") * F.col(f"__c{i}") for i in range(1, dim)),
+            F.col("__e0") * F.col("__c0"),
+        )
+        # broadcast centroid cross + fused dot, then a SLIM argmax (no
+        # vectors inside the max struct; ties -> larger centroid id, the
+        # SQL oracle's order) and one id-keyed rejoin to recover the
+        # scalar components
+        slim = (
+            corpus.join(F.broadcast(centroids))
             .select(
                 "__sid",
-                F.col("__b.__cid").alias("__cid"),
-                F.col("__b.__sv").alias("__sv"),
-                F.col("__b.__norm").alias("__norm"),
+                (cdot / (F.col("__norm") * F.col("__cnorm"))).alias("__sim"),
+                "__cid",
             )
+            .groupBy("__sid")
+            .agg(F.max(F.struct("__sim", "__cid")).alias("__b"))
+            .select("__sid", F.col("__b.__cid").alias("__cid"))
         )
-        assigned = _cap_buckets(assigned, ["__cid"], max_cluster_size).persist(
-            StorageLevel.MEMORY_AND_DISK
+        assigned = _cap_buckets(
+            corpus.join(slim, "__sid"), ["__cid"], max_cluster_size
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pdot = sum(
+            (
+                F.col(f"l.__e{i}") * F.col(f"r.__e{i}")
+                for i in range(1, dim)
+            ),
+            F.col("l.__e0") * F.col("r.__e0"),
         )
-        pairs = (
+        verified = (
             assigned.alias("l")
             .join(
                 assigned.alias("r"),
                 (F.col("l.__cid") == F.col("r.__cid"))
                 & (F.col("l.__sid") > F.col("r.__sid")),
             )
+            .filter(
+                pdot / (F.col("l.__norm") * F.col("r.__norm")) >= threshold
+            )
             .select(
                 F.col("l.__sid").alias("__id"),
                 F.col("r.__sid").alias("__cand"),
-                F.col("l.__sv").alias("__v1"),
-                F.col("l.__norm").alias("__n1"),
-                F.col("r.__sv").alias("__v2"),
-                F.col("r.__norm").alias("__n2"),
             )
         )
-        dot = sum(
-            (
-                F.element_at("__v1", i + 1) * F.element_at("__v2", i + 1)
-                for i in range(1, dim)
-            ),
-            F.element_at("__v1", 1) * F.element_at("__v2", 1),
-        )
-        verified = pairs.filter(dot / (F.col("__n1") * F.col("__n2")) >= threshold)
         heads = verified.groupBy("__id").agg(F.min("__cand").alias("dup_group_id"))
         out = df.join(heads, df[id_col] == heads["__id"], "left").drop("__id")
         out = out.withColumn(

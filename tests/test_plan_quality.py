@@ -698,18 +698,23 @@ def test_bm25_large_query_set_does_not_broadcast(spark):
     want = sorted(map(tuple, pinned.collect()))
     assert got == want
 
-def test_semantic_dedup_broadcasts_centroids_equi_joins_pairs(spark, sf_dir):
-    """dedup_semantic_centroid: the centroid assignment must be a BROADCAST
-    join (centroids are num_centroids rows — never shuffle the corpus
-    against them), and the in-cluster pair join must be EQUI-keyed on the
-    centroid id (no CartesianProduct anywhere — the whole point of
-    centroid blocking is that pairing never goes corpus x corpus)."""
+def test_semantic_dedup_broadcast_assignment_equi_pairs_scalar_dot(spark, sf_dir):
+    """dedup_semantic_centroid: assignment must be a BROADCAST centroid
+    cross (centroids are a tiny literal table — the corpus is never
+    shuffled against them) with the dot product over SCALAR columns
+    (array-column element_at chains and per-centroid literal
+    mega-expressions both fall out of whole-stage codegen — measured 26 s
+    for 40k assignments); the in-cluster pair join must be EQUI-keyed on
+    the centroid id (no CartesianProduct — pairing never goes corpus x
+    corpus)."""
     df = entry.queries()["dp97_semantic_dedup"](spark, sf_dir)
     physical, _ = _plans(df)
-    assert ("BroadcastNestedLoopJoin" in physical) or (
-        "BroadcastHashJoin" in physical
-    ), physical[:2000]
+    assert "BroadcastNestedLoopJoin" in physical, physical[:2000]
     assert "CartesianProduct" not in physical, physical[:2000]
+    assert ("SortMergeJoin" in physical) or ("ShuffledHashJoin" in physical)
+    # scalar expansion reached the plan: the pair dot references __e
+    # component columns, not element_at over arrays
+    assert "__e0" in physical
 
 
 def test_ngram_counts_take_ordered_no_global_sort(spark, sf_dir):

@@ -153,9 +153,64 @@ def probe_incremental_dedup_50_runs(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_semantic_dedup_40k(spark):
+    """sf0.1 embeddings replicated 20x -> 40k vectors with 20 identical
+    copies each (every copy pair lands in the same best-cosine cluster):
+    the centroid-blocked pairwise path must collapse the corpus to the
+    unique 2000 vectors. 64 centroids -> clusters of ~625 -> ~13M verify
+    pairs; this O(sum cluster^2) cost is the num_centroids /
+    max_cluster_size knob (SemDeDup runs cluster counts proportional to
+    corpus size). History: the array-carrying formulation took 134.7s
+    (element_at chains and struct-max-with-arrays fall out of codegen);
+    scalar-column expansion of the same plan runs in ~12s."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    big = emb.crossJoin(
+        spark.range(20).withColumnRenamed("id", "__rep")
+    ).withColumn("vec_id", F.col("vec_id") + F.col("__rep") * 1_000_000
+    ).drop("__rep").persist()
+    n = big.count()
+    t0 = time.time()
+    out = big.transform(
+        t("dedup_semantic_centroid", threshold=0.9999, num_centroids=64,
+          dim=64)
+    )
+    kept = out.count()
+    print(
+        f"semantic_dedup_40k: {n} vectors (20 copies each), 64 centroids "
+        f"-> {kept} survivors in {time.time()-t0:.1f}s",
+        flush=True,
+    )
+    big.unpersist()
+
+
+def probe_hash_embedding_100k(spark):
+    """sf0.1 documents replicated 20x -> 100k docs through
+    text_hash_embedding(dim=64): explode + (id, bucket) map-side-combined
+    aggregate + dense assembly — cost linear in corpus tokens."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    big = docs.crossJoin(
+        spark.range(20).withColumnRenamed("id", "__rep")
+    ).withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000
+    ).drop("__rep").persist()
+    n = big.count()
+    t0 = time.time()
+    out = big.transform(t("text_hash_embedding", dim=64))
+    total = out.selectExpr(
+        "sum(aggregate(hash_embedding, 0.0D, (s, v) -> s + v * v)) AS m"
+    ).first()["m"]
+    print(
+        f"hash_embedding_100k: {n} docs -> 64-dim vectors in "
+        f"{time.time()-t0:.1f}s (sum-sq {total:.1f})",
+        flush=True,
+    )
+    big.unpersist()
+
+
 PROBES["bm25_10k_queries"] = probe_bm25_10k_queries
 PROBES["pagerank_10m_skew"] = probe_pagerank_10m_skew
 PROBES["incremental_dedup_50_runs"] = probe_incremental_dedup_50_runs
+PROBES["semantic_dedup_40k"] = probe_semantic_dedup_40k
+PROBES["hash_embedding_100k"] = probe_hash_embedding_100k
 
 
 def main():
