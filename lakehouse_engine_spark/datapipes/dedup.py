@@ -972,11 +972,17 @@ def dedup_connected_components(
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float arrays — JVM-side higher-order fns."""
+    """Cosine similarity of two float arrays — JVM-side higher-order fns.
+
+    Zero-norm inputs (e.g. empty documents through text_hash_embedding)
+    have no direction; their similarity is defined as 0.0 instead of an
+    ANSI divide-by-zero error, so ANN ranking and dedup verify treat
+    them as similar to nothing."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
 @register("dedup_embedding_cosine")
@@ -1039,6 +1045,11 @@ def dedup_embedding_cosine(
         ).withColumn(
             "__norm",
             F.sqrt(F.aggregate(F.col("__bv"), F.lit(0.0), lambda s, v: s + v * v)),
+        ).filter(
+            # zero-norm vectors have no cosine direction: drop them from
+            # the candidate space (two colliding zero vectors would make
+            # the verify divide 0/0) — they survive via the left join
+            F.col("__norm") > 0
         ).persist(StorageLevel.MEMORY_AND_DISK)
         # candidate pairs carry ONLY ids through the bucket join + cross-table
         # dedup (a doc pair colliding in all num_tables tables would otherwise
@@ -1105,9 +1116,14 @@ def dedup_embedding_cosine(
         unit = F.transform(F.col(embedding_col).cast("array<double>"), lambda v: v / norm)
         # normalize once, persist: both the spread stream side and the
         # broadcast build side read the same tiny normalized table instead of
-        # re-running the normalization projection per join input
+        # re-running the normalization projection per join input.
+        # Zero-norm vectors have no direction: they skip the pair space
+        # entirely (the unit normalization would be 0/0) and survive via
+        # the left join below — cosine similarity cannot call them
+        # duplicates of anything.
         vecs = (
             ensure_parallelism(df)
+            .filter(norm > 0)
             .select(
                 F.col(id_col).alias("__id"),
                 *[F.element_at(unit, i + 1).alias(f"__e{i}") for i in range(dim)],

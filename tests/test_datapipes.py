@@ -2954,3 +2954,31 @@ def test_unimax_sample_water_filling_allocation(spark):
         t("unimax_sample", budget_tokens=-1)
     with pytest.raises(ValueError):
         t("unimax_sample", budget_tokens=1, epochs=0)
+
+
+def test_embedding_dedup_zero_vectors_survive_both_methods(spark):
+    """Zero-norm vectors (empty docs through text_hash_embedding) have no
+    cosine direction: both embedding-dedup arms must pass them through as
+    survivors instead of raising an ANSI divide-by-zero — including TWO
+    zero vectors (byte-identical, but cosine cannot claim them; content
+    dedup is dedup_exact's job). The shared cosine() helper defines
+    zero-norm similarity as 0.0."""
+    rows = [(1, [1.0, 2.0]), (2, [0.0, 0.0]), (3, [1.0, 2.0]),
+            (4, [2.0, 1.0]), (5, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    for method in ("exact", "lsh"):
+        got = sorted(
+            r["vec_id"]
+            for r in df.transform(
+                t("dedup_embedding_cosine", method=method, threshold=0.99,
+                  dim=2, max_bucket_size=None)
+            ).collect()
+        )
+        assert got == [1, 2, 4, 5], method  # 3 dups 1; both zeros survive
+    from lakehouse_engine_spark.datapipes.dedup import cosine
+    import pyspark.sql.functions as F
+
+    sim = df.selectExpr("embedding AS a").limit(1).select(
+        cosine(F.col("a"), F.array(F.lit(0.0), F.lit(0.0))).alias("s")
+    ).first()["s"]
+    assert sim == 0.0
