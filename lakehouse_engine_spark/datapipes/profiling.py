@@ -66,9 +66,12 @@ def profile_columns(
                 "column": c,
                 "dtype": dtypes[c],
                 "n_rows": n,
-                "n_nulls": int(row[f"__nul_{c}"]),
+                # sum()/approx_count_distinct over ZERO rows come back
+                # NULL/None — an empty corpus must profile as all-zeros,
+                # not crash on int(None)
+                "n_nulls": int(row[f"__nul_{c}"] or 0),
                 "null_pct": round(row[f"__nul_{c}"] / n * 100.0, 4) if n else 0.0,
-                "approx_distinct": int(row[f"__dis_{c}"]),
+                "approx_distinct": int(row[f"__dis_{c}"] or 0),
                 "min_str": row[f"__min_{c}"],
                 "max_str": row[f"__max_{c}"],
                 "mean": float(row[f"__avg_{c}"]) if is_num and row[f"__avg_{c}"] is not None else None,
@@ -78,8 +81,18 @@ def profile_columns(
                     float(row[f"__q_{c}"][i]) if is_num and row[f"__q_{c}"] else None
                 )
             out.append(rec)
-        # tiny (one row per column) — driver-side materialization is correct
-        return df.sparkSession.createDataFrame(out)
+        # tiny (one row per column) — driver-side materialization is
+        # correct. Schema is EXPLICIT: on an empty corpus every stat is
+        # None and inference would fail with CANNOT_DETERMINE_TYPE.
+        qfields = ", ".join(f"p{int(q * 100)} DOUBLE" for q in qs)
+        schema = (
+            "column STRING, dtype STRING, n_rows LONG, n_nulls LONG, "
+            "null_pct DOUBLE, approx_distinct LONG, min_str STRING, "
+            f"max_str STRING, mean DOUBLE, {qfields}"
+        )
+        return df.sparkSession.createDataFrame(
+            [tuple(r.values()) for r in out], schema
+        )
 
     return _profile
 
