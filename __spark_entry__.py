@@ -2904,6 +2904,28 @@ def dp101_reservoir_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp102_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination (datapipes/text.py decontaminate_bloom):
+    the constant-size-sidecar scale path — the benchmark (every 50th doc)
+    folds into a fixed 2^16-bit bitmap (3 md5-derived probes per 8-gram),
+    the corpus probe is pure codegen bitwise tests against one broadcast
+    map, NO corpus-side join. Bit positions follow the md5-fold convention,
+    so DuckDB replays the exact bitmap INCLUDING any false-positive
+    collisions — the one-sided error is itself oracle-verified."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter("doc_id % 50 = 0")
+    out = docs.transform(
+        _t(
+            "text_decontaminate_bloom",
+            benchmark_df=bench,
+            ngram=8,
+            num_bits=1 << 16,
+            num_hashes=3,
+        )
+    )
+    return out.select("doc_id", "n_bloom_hit_ngrams", "maybe_contaminated")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -2946,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp96_g711_decode": dp96_g711_decode,
         "dp69b_bpe_encode": dp69b_bpe_encode,
         "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
+        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
         # --- one representative per SURVEY §2 family ---
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -4494,6 +4517,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    COALESCE(h.n_hit, 0)::INT AS n_contaminated_ngrams,
                    COALESCE(h.n_hit, 0) > 0 AS is_contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "dp102_decontaminate_bloom": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+            gr AS (SELECT doc_id, unnest({_duck_shingles(8)}) AS g FROM toks),
+            probes AS (SELECT unnest(generate_series(0, 2)) AS i),
+            bp AS (
+              SELECT DISTINCT
+                (CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+                 + i * CAST('0x' || substr(md5(g || '#b2'), 1, 15) AS BIGINT))
+                % 65536 AS p
+              FROM (SELECT DISTINCT g FROM gr WHERE doc_id % 50 = 0) bg
+              CROSS JOIN probes
+            ),
+            chunks AS (
+              SELECT p // 60 AS c,
+                     bit_or(1::BIGINT << CAST(p % 60 AS INT)) AS b
+              FROM bp GROUP BY 1
+            ),
+            dg AS (SELECT DISTINCT doc_id, g FROM gr),
+            dpos AS (
+              SELECT doc_id, g,
+                (CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+                 + i * CAST('0x' || substr(md5(g || '#b2'), 1, 15) AS BIGINT))
+                % 65536 AS p
+              FROM dg CROSS JOIN probes
+            ),
+            ok AS (
+              SELECT doc_id, g, COUNT(*) AS nok
+              FROM dpos JOIN chunks ch
+                ON ch.c = dpos.p // 60
+               AND (ch.b & (1::BIGINT << CAST(dpos.p % 60 AS INT))) <> 0
+              GROUP BY 1, 2
+            ),
+            hits AS (SELECT doc_id, COUNT(*) AS n FROM ok WHERE nok = 3 GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0)::INT AS n_bloom_hit_ngrams,
+                   COALESCE(h.n, 0) > 0 AS maybe_contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "dp24_vocab_top_k": f"""

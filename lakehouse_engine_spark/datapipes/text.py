@@ -320,6 +320,142 @@ def decontaminate(
     return _decon
 
 
+@register("text_decontaminate_bloom")
+def decontaminate_bloom(
+    benchmark_df: DataFrame,
+    benchmark_text_col: str = "text",
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    mode: str = "flag",  # flag | drop
+) -> TransformerFn:
+    """Benchmark decontamination via a Bloom filter instead of a hash-set
+    join — the constant-size-sidecar scale path.
+
+    :func:`decontaminate` ships the benchmark's DISTINCT n-gram hashes to
+    every probe task (fine for thousands of grams; a liability when the
+    "benchmark" is a 100M-gram held-out corpus). This variant folds the
+    benchmark into a FIXED-size bitmap (``num_bits``; the default 2^20 bits
+    ≈ 131 KiB as ~17,500 packed int64 chunks — 60 set-bits per chunk, never
+    touching the sign bit, so the mask arithmetic is portable to engines
+    that raise on signed-shift overflow) with ``num_hashes`` probes per
+    gram, so the artifact shipped to executors is constant no matter how
+    large the benchmark grows, and the corpus-side probe is pure whole-stage
+    codegen (map lookup + bitwise AND) — **no join at all** on the 100 TB
+    side. One map-side-combined groupBy(id) then counts hitting grams.
+
+    The trade is one-sided error: a set bit can be a collision, so output
+    columns are ``n_bloom_hit_ngrams`` / ``maybe_contaminated`` — false
+    POSITIVES possible (over-dropping, the safe direction for
+    decontamination), false negatives impossible. FP rate ≈
+    (1 - e^(-kn/m))^k; at the defaults with a 1M-gram benchmark that is
+    ~(0.02)^4 ≈ 1e-7 per probed gram. Size ``num_bits`` ≥ ~10× benchmark
+    grams to stay there.
+
+    Determinism/oracle: bit positions are the corpus-wide md5-fold
+    convention — h1/h2 are 60-bit md5 prefixes of the gram (the second
+    salted with ``#b2``), probe i sets ``(h1 + i*h2) % num_bits`` — so
+    DuckDB replays the exact bitmap and the exact collisions.
+    """
+    if num_hashes < 1:
+        raise ValueError("text_decontaminate_bloom: num_hashes must be >= 1")
+
+    def _h(col: Column, salt: str = "") -> Column:
+        c = F.concat(col, F.lit(salt)) if salt else col
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    def _positions(gram: Column) -> List[Column]:
+        h1, h2 = _h(gram), _h(gram, "#b2")
+        return [F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)]
+
+    # SQL-string twins of _positions over the probe-side column `__g`
+    # (PySpark's shiftleft wrapper only takes a literal shift amount, so the
+    # per-gram bit tests are built as Spark SQL fragments — same codegen).
+    _H1 = "cast(conv(substring(md5(__g), 1, 15), 16, 10) as bigint)"
+    _H2 = "cast(conv(substring(md5(concat(__g, '#b2')), 1, 15), 16, 10) as bigint)"
+
+    def _pos_sql(i: int) -> str:
+        return f"pmod({_H1} + {i}L * {_H2}, {num_bits}L)"
+
+    _GRAM_HIT_SQL = " AND ".join(
+        "coalesce((element_at(__bloom, ({p} div 60)) & "
+        "shiftleft(1L, cast(({p} % 60) as int))) <> 0, false)".format(p=_pos_sql(i))
+        for i in range(num_hashes)
+    )
+
+    def _bloom(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
+
+        bench_pos = (
+            benchmark_df.select(
+                F.explode(shingles(F.col(benchmark_text_col), ngram)).alias("__g")
+            )
+            .select(F.explode(F.array(*_positions(F.col("__g")))).alias("__p"))
+            .distinct()
+        )
+        # pack set bits into int64 chunks; ONE row survives the aggregation
+        # (chunk count <= num_bits/64), so the crossJoin below is a broadcast
+        # of a single bounded map — the whole bitmap build is two exchanges
+        # over (distinct) positions, independent of corpus size.
+        chunks = bench_pos.groupBy(
+            F.expr("__p div 60").alias("__c")
+        ).agg(F.expr("bit_or(shiftleft(1L, cast(__p % 60 as int)))").alias("__b"))
+        bitmap = chunks.agg(
+            F.map_from_arrays(
+                F.collect_list("__c"), F.collect_list("__b")
+            ).alias("__bloom")
+        )
+
+        probed = ensure_parallelism(df).crossJoin(F.broadcast(bitmap))
+        grams = F.explode(shingles(F.col(input_col), ngram))
+        doc_grams = probed.select(
+            F.col(id_col).alias("__id"), grams.alias("__g"), "__bloom"
+        )
+        hits = (
+            doc_grams.groupBy("__id")
+            .agg(
+                F.count_distinct(
+                    F.when(F.expr(_GRAM_HIT_SQL), F.col("__g"))
+                ).alias("__nhit")
+            )
+        )
+        out = df.join(hits, df[id_col] == hits["__id"], "left").drop("__id")
+        out = out.withColumns(
+            {
+                "n_bloom_hit_ngrams": F.coalesce("__nhit", F.lit(0)).cast("int"),
+                "maybe_contaminated": F.coalesce("__nhit", F.lit(0)) > 0,
+            }
+        ).drop("__nhit")
+        if mode == "drop":
+            return out.filter(~F.col("maybe_contaminated")).drop(
+                "n_bloom_hit_ngrams", "maybe_contaminated"
+            )
+        return out
+
+    return _bloom
+
+
+@register_contextual("text_decontaminate_bloom_with")
+def decontaminate_bloom_with(
+    data: dict,
+    benchmark_with: str,
+    **args,
+) -> TransformerFn:
+    """ACON wrapper for :func:`decontaminate_bloom` (resolve ``benchmark_with``
+    as an upstream spec_id, the ``text_decontaminate_with`` convention)."""
+
+    def _decon(df: DataFrame) -> DataFrame:
+        if benchmark_with not in data:
+            raise ValueError(
+                f"text_decontaminate_bloom_with: unknown spec_id {benchmark_with}"
+            )
+        return decontaminate_bloom(benchmark_df=data[benchmark_with], **args)(df)
+
+    return _decon
+
+
 @register_contextual("text_decontaminate_with")
 def decontaminate_with(
     data: dict,

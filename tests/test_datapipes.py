@@ -645,6 +645,58 @@ def test_decontaminate_flag_and_drop(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
 
 
+def test_decontaminate_bloom_matches_exact_and_drops(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta completely different words"),
+            (3, "nothing in common with the benchmark text at all whatsoever here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon zeta eta theta")], "bid INT, text STRING"
+    )
+    out = docs.transform(
+        t("text_decontaminate_bloom", benchmark_df=bench, ngram=8)
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # at the default 2^20 bits a 1-gram benchmark cannot collide: the bloom
+    # verdicts coincide with the exact n-gram join's
+    assert got[1]["maybe_contaminated"] and got[1]["n_bloom_hit_ngrams"] == 1
+    assert not got[2]["maybe_contaminated"]
+    assert not got[3]["maybe_contaminated"]
+    kept = docs.transform(
+        t("text_decontaminate_bloom", benchmark_df=bench, ngram=8, mode="drop")
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_decontaminate_bloom_no_false_negatives_tiny_filter(spark):
+    """At num_bits=64 every probe collides into one or two chunks — the FP
+    rate rockets but hits must NEVER be missed (one-sided error)."""
+    docs = spark.createDataFrame(
+        [(i, f"s{i} " + " ".join(f"w{j}" for j in range(8))) for i in range(20)],
+        "doc_id INT, text STRING",
+    )
+    bench = docs.filter("doc_id < 5")
+    out = docs.transform(
+        t("text_decontaminate_bloom", benchmark_df=bench, ngram=8, num_bits=64)
+    )
+    flagged = {r["doc_id"] for r in out.collect() if r["maybe_contaminated"]}
+    assert set(range(5)) <= flagged  # benchmark members always flagged
+
+
+def test_decontaminate_bloom_empty_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(1, "some perfectly ordinary text")], "doc_id INT, text STRING"
+    )
+    bench = docs.filter("doc_id < 0")
+    out = docs.transform(t("text_decontaminate_bloom", benchmark_df=bench))
+    row = out.collect()[0]
+    assert row["n_bloom_hit_ngrams"] == 0 and not row["maybe_contaminated"]
+
+
 def test_text_chunk_windows_and_overlap(spark):
     doc = " ".join(f"w{i}" for i in range(10))  # w0..w9
     df = spark.createDataFrame([(1, doc), (2, "a b"), (3, "")],

@@ -151,6 +151,18 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     assert "SortMergeJoin" not in physical
 
 
+def test_decontaminate_bloom_probe_is_joinless(spark, sf_dir):
+    """The bloom probe must reach the corpus as ONE broadcast-nested-loop of
+    a single-row bitmap (crossJoin) — no hash/sort-merge join of corpus
+    grams against benchmark grams anywhere in the plan."""
+    df = entry.queries()["dp102_decontaminate_bloom"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastNestedLoopJoin" in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical
+    # the only hash join allowed is the final per-doc hit-count attach
+    assert physical.count("BroadcastHashJoin") <= 1
+
+
 def test_vocab_top_k_uses_take_ordered(spark, sf_dir):
     """Corpus top-k must plan as TakeOrderedAndProject (per-partition top-k
     merged on the driver), not a global Sort exchange over the vocabulary."""
