@@ -2926,6 +2926,26 @@ def dp102_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "n_bloom_hit_ngrams", "maybe_contaminated")
 
 
+def dp103_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustering key (datapipes/layout.py layout_zorder): orders
+    keyed on (o_custkey, o_orderdate) with 16 bits per dimension — one
+    min/max pass broadcast as a single stats row, then pure-codegen integer
+    quantization (SQL `div`, no float rounding) and bit interleaving, then
+    repartitionByRange on the key (the write-side layout step that makes
+    min/max file skipping work on BOTH dimensions at 100 TB). The key
+    arithmetic is exact integer, so DuckDB replays it bit-for-bit."""
+    orders = load_table(spark, sf, "orders")
+    out = orders.transform(
+        _t(
+            "layout_zorder",
+            cols=["o_custkey", "o_orderdate"],
+            bits_per_col=16,
+            num_partitions=8,
+        )
+    )
+    return out.select("o_orderkey", "o_custkey", "zorder_key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -2969,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp69b_bpe_encode": dp69b_bpe_encode,
         "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
         "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
+        "dp103_zorder_layout": dp103_zorder_layout,
         # --- one representative per SURVEY §2 family ---
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -4556,6 +4577,34 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n, 0)::INT AS n_bloom_hit_ngrams,
                    COALESCE(h.n, 0) > 0 AS maybe_contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "dp103_zorder_layout": f"""
+            WITH k AS (
+              SELECT o_orderkey, o_custkey,
+                     o_custkey AS k1,
+                     epoch_us(o_orderdate) AS k2
+              FROM orders
+            ),
+            s AS (
+              SELECT min(k1) AS lo1, max(k1) AS hi1,
+                     min(k2) AS lo2, max(k2) AS hi2
+              FROM k
+            ),
+            b AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN (hi1 - lo1 + 1) <= 2147483648
+                          THEN ((k1 - lo1) * 65536) // (hi1 - lo1 + 1)
+                          ELSE (k1 - lo1) // (((hi1 - lo1 + 1) + 65535) // 65536)
+                     END AS b1,
+                     CASE WHEN (hi2 - lo2 + 1) <= 2147483648
+                          THEN ((k2 - lo2) * 65536) // (hi2 - lo2 + 1)
+                          ELSE (k2 - lo2) // (((hi2 - lo2 + 1) + 65535) // 65536)
+                     END AS b2
+              FROM k CROSS JOIN s
+            )
+            SELECT o_orderkey, o_custkey,
+                   ({" + ".join(f"(((b1 >> {j}) & 1) << {2 * j}) + (((b2 >> {j}) & 1) << {2 * j + 1})" for j in range(16))}) AS zorder_key
+            FROM b
         """,
         "dp24_vocab_top_k": f"""
             WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),

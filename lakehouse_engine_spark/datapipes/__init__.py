@@ -17,6 +17,7 @@ from lakehouse_engine_spark.datapipes import (  # noqa: E402,F401 — populate r
     graph,
     history,
     joins,
+    layout,
     multimodal,
     numeric,
     profiling,

@@ -1,0 +1,204 @@
+"""Data-layout operators: multi-dimensional clustering keys.
+
+The reference reaches Z-ordering only through Delta's ``OPTIMIZE ... ZORDER
+BY`` (terminators/terminator_factory.py `optimize_dataset`, mirroring
+/root/reference/lakehouse_engine/terminators/dataset_optimizer.py) — an
+opaque table-service call that needs delta-spark. This module implements the
+clustering key itself, engine-side and format-agnostic: compute an
+interleaved-bit Z-value from N columns, then ``repartitionByRange`` +
+``sortWithinPartitions`` on it, so any parquet/delta write that follows lays
+files out along the space-filling curve. At 100 TB that layout is what makes
+multi-dimensional min/max file skipping work: a predicate on ANY of the
+key's columns prunes most files, not just a predicate on the leading sort
+column.
+
+Everything is whole-stage-codegen column arithmetic (one min/max aggregation
+pass + a projection + one range exchange) and every step is deterministic
+and portable to ANSI SQL, so the driver's DuckDB oracle replays keys
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from lakehouse_engine_spark.datapipes.registry import register
+from lakehouse_engine_spark.utils.timeutils import epoch_us
+
+TransformerFn = Callable[[DataFrame], DataFrame]
+
+_INTEGRALS = (ByteType, ShortType, IntegerType, LongType, BooleanType)
+_TEMPORALS = (DateType, TimestampType, TimestampNTZType)
+_FLOATS = (FloatType, DoubleType)
+
+
+def _dimension_key(df: DataFrame, col: str) -> tuple[Column, bool]:
+    """Map a column to an order-preserving sortable key.
+
+    Returns ``(key_column, is_exact_integer)``. Integral/temporal/boolean
+    columns map to exact BIGINTs; float/double/decimal stay continuous
+    (bucketed by IEEE-deterministic double arithmetic); strings map to their
+    first 7 UTF-8 bytes big-endian (56 bits — byte-lexicographic, which is
+    Spark's and DuckDB's binary string order; shorter strings sort as if
+    zero-padded, preserving prefix order).
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, _INTEGRALS):
+        return F.col(col).cast("long"), True
+    if isinstance(dt, _TEMPORALS):
+        return epoch_us(df, col), True
+    if isinstance(dt, _FLOATS) or isinstance(dt, DecimalType):
+        return F.col(col).cast("double"), False
+    if isinstance(dt, StringType):
+        # first 7 UTF-8 bytes, RIGHT-padded to 14 hex digits so shorter
+        # strings compare as if zero-padded on the right (byte-lexicographic
+        # order preserved); NULL propagates → bucket 0 downstream
+        return (
+            F.conv(
+                F.rpad(F.hex(F.substring(F.col(col), 1, 7)), 14, "0"), 16, 10
+            ).cast("long"),
+            True,
+        )
+    raise ValueError(
+        f"layout_zorder: unsupported dimension type {dt.simpleString()} for {col}"
+    )
+
+
+@register("layout_zorder")
+def zorder(
+    cols: List[str],
+    bits_per_col: int = 16,
+    output_col: str = "zorder_key",
+    num_partitions: Optional[int] = None,
+    sort: bool = True,
+    keep_key: bool = True,
+) -> TransformerFn:
+    """Z-order (Morton) clustering key + range layout over ``cols``.
+
+    Per dimension: one global min/max pass (a single broadcast stats row —
+    the established 1-row crossJoin pattern), then each value quantizes to a
+    ``bits_per_col``-bit bucket:
+
+    * exact-integer dimensions (ints, dates/timestamps as epoch, bools,
+      string 7-byte prefixes) use pure integer arithmetic — scale-up
+      ``((v-min)*2^bits) div range`` for ranges ≤ 2^31 (overflow-safe),
+      scale-down ``(v-min) div ceil(range/2^bits)`` for wider — so every
+      dimension fills its full bit budget (a narrow dimension left
+      unscaled would surrender the curve to the widest one) and the same
+      key is computed by any engine, no float rounding anywhere;
+    * float dimensions use ``floor((v - min) / ((max - min)/2^bits))``
+      clamped to the top bucket; the divisor is a power-of-two scaling of
+      ``max - min`` so the division is IEEE-exact and portable.
+
+    NULL values take bucket 0 (sort first, like NULLS FIRST). Buckets then
+    interleave bit-by-bit into one BIGINT (dimension c contributes bit j to
+    position ``j*ncols + c``) — ``len(cols) * bits_per_col`` must stay ≤ 62
+    so the key never touches the sign bit.
+
+    With ``num_partitions`` the frame is ``repartitionByRange`` on the key
+    (Spark samples the key to build balanced range bounds — the write-side
+    layout step) and ``sort=True`` adds ``sortWithinPartitions``, yielding
+    files whose per-column min/max ranges are tight on EVERY key dimension.
+    """
+    if not cols:
+        raise ValueError("layout_zorder: cols must be non-empty")
+    nbits = len(cols) * bits_per_col
+    if nbits > 62:
+        raise ValueError(
+            f"layout_zorder: {len(cols)} cols × {bits_per_col} bits = {nbits} "
+            "interleaved bits; must be ≤ 62 — lower bits_per_col"
+        )
+    top = (1 << bits_per_col) - 1
+
+    def _zorder(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
+
+        keys = [_dimension_key(df, c) for c in cols]
+        # materialize per-dimension sortable keys under stable names so the
+        # exact-integer bucket arithmetic can use SQL `div` (the Column
+        # API's `/` is double division — a precision leak for wide ranges)
+        keyed = ensure_parallelism(df).withColumns(
+            {f"__k_{c}": k for (k, _), c in zip(keys, cols)}
+        )
+        stats = keyed.agg(
+            *[
+                agg
+                for c in cols
+                for agg in (
+                    F.min(f"__k_{c}").alias(f"__min_{c}"),
+                    F.max(f"__k_{c}").alias(f"__max_{c}"),
+                )
+            ]
+        )
+        out = keyed.crossJoin(F.broadcast(stats))
+
+        buckets = []
+        scale = 1 << bits_per_col
+        for (_, exact), c in zip(keys, cols):
+            if exact:
+                # Two exact-integer regimes, both filling the full bucket
+                # range — a NARROW dimension must still use all its bits or
+                # the interleaved curve degenerates to a sort on the widest
+                # dimension (the classic z-order pitfall):
+                #   range1 ≤ 2^31: scale UP — ((k-lo)*2^bits) div range1
+                #     (product < 2^47, overflow-safe; max bucket = 2^bits-1)
+                #   wider: scale DOWN — (k-lo) div ceil(range1/2^bits)
+                b = F.expr(
+                    f"CASE WHEN (__max_{c} - __min_{c} + 1) <= 2147483648L "
+                    f"THEN ((__k_{c} - __min_{c}) * {scale}L) "
+                    f"div (__max_{c} - __min_{c} + 1) "
+                    f"ELSE (__k_{c} - __min_{c}) div "
+                    f"(((__max_{c} - __min_{c} + 1) + {scale - 1}L) div {scale}L) "
+                    f"END"
+                )
+            else:
+                lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+                divisor = (hi - lo) / F.lit(float(scale))
+                k = F.col(f"__k_{c}")
+                # NULL check is explicit: F.least SKIPS nulls, so a bare
+                # least(NULL, top) would put missing values in the TOP bucket
+                b = (
+                    F.when(k.isNull() | ~(divisor > 0), F.lit(0))
+                    .otherwise(F.least(F.floor((k - lo) / divisor), F.lit(top)))
+                    .cast("long")
+                )
+            buckets.append(F.coalesce(b, F.lit(0).cast("long")))
+
+        z = F.lit(0).cast("long")
+        for j in range(bits_per_col):
+            for ci, b in enumerate(buckets):
+                z = z + F.shiftleft(
+                    F.shiftright(b, j).bitwiseAND(F.lit(1).cast("long")),
+                    j * len(buckets) + ci,
+                )
+        out = out.withColumn(output_col, z).drop(
+            *[f"__min_{c}" for c in cols],
+            *[f"__max_{c}" for c in cols],
+            *[f"__k_{c}" for c in cols],
+        )
+        if num_partitions:
+            out = out.repartitionByRange(num_partitions, F.col(output_col))
+        if sort:
+            out = out.sortWithinPartitions(output_col)
+        if not keep_key:
+            out = out.drop(output_col)
+        return out
+
+    return _zorder

@@ -697,6 +697,53 @@ def test_decontaminate_bloom_empty_benchmark(spark):
     assert row["n_bloom_hit_ngrams"] == 0 and not row["maybe_contaminated"]
 
 
+def _z_dim(z, ci, ncols, bits):
+    return sum(((z >> (j * ncols + ci)) & 1) << j for j in range(bits))
+
+
+def test_zorder_key_interleaves_and_orders(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 99), (3, 99, 0), (4, 99, 99), (5, 50, 50)],
+        "id INT, x INT, y INT",
+    )
+    out = df.transform(t("layout_zorder", cols=["x", "y"], bits_per_col=8))
+    z = {r["id"]: r["zorder_key"] for r in out.collect()}
+    # narrow range 0..99 scales UP to fill the 8-bit budget:
+    # bucket = (v*256) div 100 — max value 99 → 253, midpoint 50 → 128
+    assert z[1] == 0
+    # x occupies even bit positions, y odd
+    assert _z_dim(z[3], 0, 2, 8) == 253 and _z_dim(z[3], 1, 2, 8) == 0
+    assert _z_dim(z[2], 0, 2, 8) == 0 and _z_dim(z[2], 1, 2, 8) == 253
+    assert _z_dim(z[4], 0, 2, 8) == 253 and _z_dim(z[4], 1, 2, 8) == 253
+    assert _z_dim(z[5], 0, 2, 8) == 128 and _z_dim(z[5], 1, 2, 8) == 128
+
+
+def test_zorder_string_and_null_dims(spark):
+    df = spark.createDataFrame(
+        [(1, "apple", 1.5), (2, "banana", 2.5), (3, "zebra", 9.0), (4, None, None)],
+        "id INT, s STRING, v DOUBLE",
+    )
+    out = df.transform(t("layout_zorder", cols=["s", "v"], bits_per_col=8))
+    z = {r["id"]: r["zorder_key"] for r in out.collect()}
+    sb = {i: _z_dim(z[i], 0, 2, 8) for i in z}
+    vb = {i: _z_dim(z[i], 1, 2, 8) for i in z}
+    # byte-lexicographic string buckets: 7-byte prefixes RIGHT-padded, so
+    # 'banana' (6 bytes) sorts between 'apple' and 'zebra' (5 bytes each)
+    assert sb[1] < sb[2] < sb[3]
+    # NULLs take bucket 0 on every dimension (F.least skips nulls — the op
+    # must route NULLs explicitly, not through least())
+    assert sb[4] == 0 and vb[4] == 0
+    assert vb[1] == 0 and vb[3] == 255
+
+
+def test_zorder_guards(spark):
+    df = spark.createDataFrame([(1, 2)], "a INT, b INT")
+    with pytest.raises(ValueError, match="62"):
+        df.transform(t("layout_zorder", cols=["a", "b"], bits_per_col=32))
+    with pytest.raises(ValueError, match="non-empty"):
+        df.transform(t("layout_zorder", cols=[]))
+
+
 def test_text_chunk_windows_and_overlap(spark):
     doc = " ".join(f"w{i}" for i in range(10))  # w0..w9
     df = spark.createDataFrame([(1, doc), (2, "a b"), (3, "")],

@@ -163,6 +163,18 @@ def test_decontaminate_bloom_probe_is_joinless(spark, sf_dir):
     assert physical.count("BroadcastHashJoin") <= 1
 
 
+def test_zorder_layout_single_range_exchange(spark, sf_dir):
+    """Z-order layout must be: one broadcast of the 1-row min/max stats +
+    exactly one rangepartitioning exchange on the key — no hash shuffle of
+    the data, no sort-merge join."""
+    df = entry.queries()["dp103_zorder_layout"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastNestedLoopJoin" in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical
+    assert physical.count("rangepartitioning") >= 1, physical[:2000]
+    assert "hashpartitioning" not in physical, physical[:2000]
+
+
 def test_vocab_top_k_uses_take_ordered(spark, sf_dir):
     """Corpus top-k must plan as TakeOrderedAndProject (per-partition top-k
     merged on the driver), not a global Sort exchange over the vocabulary."""
