@@ -2946,6 +2946,26 @@ def dp103_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("o_orderkey", "o_custkey", "zorder_key")
 
 
+def dp104_zorder_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-CDF Z-order (layout_zorder method='rank'): buckets equalize ROW
+    MASS per dimension — (rows_before(v) * 2^bits) div N over the distinct-
+    value CDF — which is what skewed dimensions need (min/max scaling parks
+    a power-law column's rows in a handful of buckets). o_totalprice is a
+    continuous double and o_custkey a dense id; both CDFs and the
+    interleave replay exactly in DuckDB (pure integer arithmetic on exact
+    cumulative counts — ties share buckets deterministically)."""
+    orders = load_table(spark, sf, "orders")
+    out = orders.transform(
+        _t(
+            "layout_zorder",
+            cols=["o_totalprice", "o_custkey"],
+            bits_per_col=16,
+            method="rank",
+        )
+    )
+    return out.select("o_orderkey", "zorder_key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -2990,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
         "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
         "dp103_zorder_layout": dp103_zorder_layout,
+        "dp104_zorder_rank": dp104_zorder_rank,
         # --- one representative per SURVEY §2 family ---
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -4603,8 +4624,39 @@ def oracle_sql() -> dict[str, str]:
               FROM k CROSS JOIN s
             )
             SELECT o_orderkey, o_custkey,
-                   ({" + ".join(f"(((b1 >> {j}) & 1) << {2 * j}) + (((b2 >> {j}) & 1) << {2 * j + 1})" for j in range(16))}) AS zorder_key
+                   ({" + ".join(f"(((b1 >> {j}) & 1) << {2 * j}) + (((b2 >> {j}) & 1) << {2 * j + 1})" for j in range(16))}) AS BIGINT) AS zorder_key
             FROM b
+        """,
+        "dp104_zorder_rank": f"""
+            WITH k AS (
+              SELECT o_orderkey, o_totalprice AS k1, o_custkey AS k2 FROM orders
+            ),
+            c1 AS (SELECT k1, COUNT(*) AS n FROM k WHERE k1 IS NOT NULL GROUP BY 1),
+            d1 AS (
+              SELECT k1,
+                COALESCE(SUM(n) OVER (ORDER BY k1
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+                SUM(n) OVER () AS nn
+              FROM c1
+            ),
+            b1 AS (SELECT k1, ((cb * 65536) // nn)::BIGINT AS b FROM d1),
+            c2 AS (SELECT k2, COUNT(*) AS n FROM k WHERE k2 IS NOT NULL GROUP BY 1),
+            d2 AS (
+              SELECT k2,
+                COALESCE(SUM(n) OVER (ORDER BY k2
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+                SUM(n) OVER () AS nn
+              FROM c2
+            ),
+            b2 AS (SELECT k2, ((cb * 65536) // nn)::BIGINT AS b FROM d2),
+            j AS (
+              SELECT k.o_orderkey,
+                     COALESCE(b1.b, 0) AS v1, COALESCE(b2.b, 0) AS v2
+              FROM k LEFT JOIN b1 USING (k1) LEFT JOIN b2 USING (k2)
+            )
+            SELECT o_orderkey,
+                   CAST(({" + ".join(f"(((v1 >> {j}) & 1) << {2 * j}) + (((v2 >> {j}) & 1) << {2 * j + 1})" for j in range(16))}) AS BIGINT) AS zorder_key
+            FROM j
         """,
         "dp24_vocab_top_k": f"""
             WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),

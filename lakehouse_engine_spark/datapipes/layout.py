@@ -89,6 +89,8 @@ def zorder(
     num_partitions: Optional[int] = None,
     sort: bool = True,
     keep_key: bool = True,
+    method: str = "minmax",  # minmax | rank
+    rank_max_distinct: int = 2_000_000,
 ) -> TransformerFn:
     """Z-order (Morton) clustering key + range layout over ``cols``.
 
@@ -116,7 +118,21 @@ def zorder(
     (Spark samples the key to build balanced range bounds — the write-side
     layout step) and ``sort=True`` adds ``sortWithinPartitions``, yielding
     files whose per-column min/max ranges are tight on EVERY key dimension.
+
+    ``method="rank"`` replaces min/max scaling with an exact distinct-value
+    CDF per dimension — ``bucket(v) = (rows_before(v) * 2^bits) div N`` —
+    so buckets equalize ROW MASS, not value range. That is what a skewed
+    dimension needs (under a power law, min/max scaling parks most rows in
+    a handful of buckets and the dimension's upper bits go constant; Delta's
+    own ZORDER uses range-partition ids for the same reason). Cost: per
+    dimension one distinct-value aggregate, one cumulative window over the
+    DISTINCT values (single-partition — bounded by ``rank_max_distinct``,
+    enforced with a fail-fast count; beyond it use ``minmax``, whose cost
+    is flat), and one broadcast join back. Equal values share a bucket, so
+    the key stays deterministic and the oracle replays it exactly.
     """
+    if method not in ("minmax", "rank"):
+        raise ValueError(f"layout_zorder: unknown method {method!r}")
     if not cols:
         raise ValueError("layout_zorder: cols must be non-empty")
     nbits = len(cols) * bits_per_col
@@ -126,6 +142,76 @@ def zorder(
             "interleaved bits; must be ≤ 62 — lower bits_per_col"
         )
     top = (1 << bits_per_col) - 1
+
+    def _interleave_and_layout(
+        out: DataFrame, buckets: List[Column], extra_drop: tuple = ()
+    ) -> DataFrame:
+        z = F.lit(0).cast("long")
+        for j in range(bits_per_col):
+            for ci, b in enumerate(buckets):
+                z = z + F.shiftleft(
+                    F.shiftright(b, j).bitwiseAND(F.lit(1).cast("long")),
+                    j * len(buckets) + ci,
+                )
+        # drop every helper column BEFORE the range exchange so the shuffle
+        # carries only real data + the key
+        out = out.withColumn(output_col, z).drop(
+            *[f"__k_{c}" for c in cols], *extra_drop
+        )
+        if num_partitions:
+            out = out.repartitionByRange(num_partitions, F.col(output_col))
+        if sort:
+            out = out.sortWithinPartitions(output_col)
+        if not keep_key:
+            out = out.drop(output_col)
+        return out
+
+    def _zorder_rank(keyed: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        scale = 1 << bits_per_col
+        ndistinct = keyed.agg(
+            *[F.count_distinct(f"__k_{c}").alias(c) for c in cols]
+        ).collect()[0]
+        for c in cols:
+            if ndistinct[c] > rank_max_distinct:
+                raise ValueError(
+                    f"layout_zorder: dimension {c} has {ndistinct[c]} distinct "
+                    f"values (> rank_max_distinct={rank_max_distinct}); the "
+                    "rank CDF window would not fit one task — use "
+                    "method='minmax' for this dimension's cardinality"
+                )
+        out = keyed
+        for c in cols:
+            kc = f"__k_{c}"
+            vals = (
+                keyed.where(F.col(kc).isNotNull())
+                .groupBy(kc)
+                .agg(F.count(F.lit(1)).alias("__n"))
+            )
+            w = Window.orderBy(kc)
+            cdf = vals.select(
+                F.col(kc),
+                F.coalesce(
+                    F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0).cast("long"),
+                ).alias("__cb"),
+                F.sum("__n")
+                .over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                )
+                .alias("__N"),
+            ).select(
+                F.col(kc),
+                F.expr(f"(__cb * {scale}L) div __N").alias(f"__b_{c}"),
+            )
+            out = out.join(F.broadcast(cdf), on=kc, how="left")
+        buckets = [
+            F.coalesce(F.col(f"__b_{c}"), F.lit(0).cast("long")) for c in cols
+        ]
+        return _interleave_and_layout(
+            out, buckets, extra_drop=tuple(f"__b_{c}" for c in cols)
+        )
 
     def _zorder(df: DataFrame) -> DataFrame:
         from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
@@ -137,6 +223,10 @@ def zorder(
         keyed = ensure_parallelism(df).withColumns(
             {f"__k_{c}": k for (k, _), c in zip(keys, cols)}
         )
+
+        if method == "rank":
+            return _zorder_rank(keyed)
+
         stats = keyed.agg(
             *[
                 agg
@@ -181,24 +271,12 @@ def zorder(
                 )
             buckets.append(F.coalesce(b, F.lit(0).cast("long")))
 
-        z = F.lit(0).cast("long")
-        for j in range(bits_per_col):
-            for ci, b in enumerate(buckets):
-                z = z + F.shiftleft(
-                    F.shiftright(b, j).bitwiseAND(F.lit(1).cast("long")),
-                    j * len(buckets) + ci,
-                )
-        out = out.withColumn(output_col, z).drop(
-            *[f"__min_{c}" for c in cols],
-            *[f"__max_{c}" for c in cols],
-            *[f"__k_{c}" for c in cols],
+        return _interleave_and_layout(
+            out,
+            buckets,
+            extra_drop=tuple(
+                n for c in cols for n in (f"__min_{c}", f"__max_{c}")
+            ),
         )
-        if num_partitions:
-            out = out.repartitionByRange(num_partitions, F.col(output_col))
-        if sort:
-            out = out.sortWithinPartitions(output_col)
-        if not keep_key:
-            out = out.drop(output_col)
-        return out
 
     return _zorder

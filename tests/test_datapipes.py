@@ -736,6 +736,35 @@ def test_zorder_string_and_null_dims(spark):
     assert vb[1] == 0 and vb[3] == 255
 
 
+def test_zorder_rank_equalizes_skew(spark):
+    """Power-law dimension: min/max scaling parks ~all rows in bucket 0;
+    the rank CDF spreads them by row mass."""
+    # 80% of rows take tiny values 0..6; 20% take 10^6 — a hub-heavy range
+    rows = [(i, 1_000_000 if i % 5 == 0 else i % 7, i % 50) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id INT, x LONG, y INT")
+    def xbucket(z):
+        return sum(((z >> (j * 2)) & 1) << j for j in range(8))
+    zmm = [xbucket(r["zorder_key"]) for r in
+           df.transform(t("layout_zorder", cols=["x", "y"], bits_per_col=8)).collect()]
+    zrk = [xbucket(r["zorder_key"]) for r in
+           df.transform(t("layout_zorder", cols=["x", "y"], bits_per_col=8,
+                          method="rank")).collect()]
+    # min/max: the 0..6 values all collapse into bucket 0 — 80% of the mass
+    assert sum(1 for b in zmm if b == 0) >= len(zmm) * 0.8
+    # rank: all 8 distinct values land at distinct CDF positions
+    assert len(set(zrk)) == 8
+    from collections import Counter
+    assert max(Counter(zrk).values()) <= len(zrk) * 0.21
+
+
+def test_zorder_rank_cardinality_guard(spark):
+    df = spark.createDataFrame([(i, i) for i in range(100)], "id INT, x INT")
+    with pytest.raises(ValueError, match="rank_max_distinct"):
+        df.transform(
+            t("layout_zorder", cols=["x"], method="rank", rank_max_distinct=10)
+        )
+
+
 def test_zorder_guards(spark):
     df = spark.createDataFrame([(1, 2)], "a INT, b INT")
     with pytest.raises(ValueError, match="62"):
