@@ -2966,6 +2966,18 @@ def dp104_zorder_rank(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("o_orderkey", "zorder_key")
 
 
+def dp105_stream_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup, batch arm (datapipes/stateful.py
+    streaming_dedup_exact): keep each content digest's smallest-id row with
+    the digest attached — identical semantics to the streaming arm's
+    first-arrival filter, whose cross-micro-batch + restart behavior is
+    pinned in tests/test_stateful.py (state = one tinyint per digest,
+    optional sliding TTL for unbounded streams)."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(_t("streaming_dedup_exact", id_col="doc_id"))
+    return out.select("doc_id", "content_digest")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -3011,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
         "dp103_zorder_layout": dp103_zorder_layout,
         "dp104_zorder_rank": dp104_zorder_rank,
+        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
         # --- one representative per SURVEY §2 family ---
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -4657,6 +4670,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    CAST(({" + ".join(f"(((v1 >> {j}) & 1) << {2 * j}) + (((v2 >> {j}) & 1) << {2 * j + 1})" for j in range(16))}) AS BIGINT) AS zorder_key
             FROM j
+        """,
+        "dp105_stream_dedup_exact": """
+            WITH d AS (
+              SELECT doc_id, md5(text) AS content_digest,
+                     ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents
+            )
+            SELECT doc_id, content_digest FROM d WHERE rn = 1
         """,
         "dp24_vocab_top_k": f"""
             WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),

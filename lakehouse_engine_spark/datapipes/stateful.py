@@ -725,3 +725,99 @@ def streaming_reservoir_quantiles(
         )
 
     return _fn
+
+
+@register("streaming_dedup_exact")
+def streaming_dedup_exact(
+    key_cols: Optional[List[str]] = None,
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "content_digest",
+    ttl_minutes: Optional[int] = None,
+) -> TransformerFn:
+    """Streaming exact dedup: emit each content digest's FIRST arrival and
+    swallow every later duplicate — across micro-batches AND restarts (the
+    digest → seen flag lives in the state store, restored from the
+    checkpoint). The streaming arm of the dedup family: batch
+    ``dedup_exact`` dedups a corpus at rest, ``dedup_incremental_exact``
+    dedups run-over-run with parquet digest state, this op dedups a LIVE
+    ingestion stream in-flight.
+
+    Identity is ``md5(concat_ws(0x1f, key_cols))`` (``[input_col]`` when
+    ``key_cols`` is None) — the corpus-wide digest convention. Within a
+    micro-batch the keeper is deterministic: smallest ``id_col`` wins
+    (stable mergesort, same rule as keep-first batch dedup).
+
+    State: ONE tinyint per distinct digest — the minimum any exact
+    streaming dedup can hold. Unbounded streams grow it without bound, so
+    ``ttl_minutes`` arms a sliding processing-time timeout per digest:
+    a digest idle that long is evicted (a later duplicate re-admits — the
+    standard boundedness/completeness trade; leave TTL off for
+    replay-window streams where the checkpoint outlives the source
+    retention). Per-micro-batch worker memory is bounded by the rows of
+    ONE digest in that batch, not by state size.
+
+    On a BATCH frame: keep-first-by-id per digest (one window pass) with
+    the digest attached — identical semantics, SQL-oracle-able, so ACONs
+    smoke-test in batch before pointing at the stream.
+    """
+    cols_for_digest = list(key_cols) if key_cols else [input_col]
+
+    def _fn(df: DataFrame) -> DataFrame:
+        digest = F.md5(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols_for_digest])
+        )
+        src = df.withColumn(digest_col, digest)
+        colnames = [f.name for f in src.schema.fields]
+
+        if not df.isStreaming:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(digest_col).orderBy(id_col)
+            return (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
+        )
+        timeout = (
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_minutes
+            else GroupStateTimeout.NoTimeout
+        )
+
+        def _update(
+            key: Tuple,
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            if ttl_minutes and state.hasTimedOut:
+                state.remove()
+                return
+            batch = [pdf for pdf in pdfs if len(pdf)]
+            if not state.exists and batch:
+                allb = batch[0] if len(batch) == 1 else pd.concat(
+                    batch, ignore_index=True
+                )
+                keeper = allb.sort_values(id_col, kind="mergesort").head(1)
+                state.update((1,))
+                yield keeper[colnames]
+            elif state.exists:
+                state.update((1,))  # refresh (sliding TTL)
+            if ttl_minutes:
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+
+        return src.groupBy(digest_col).applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType="seen TINYINT",
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+
+    return _fn

@@ -498,3 +498,55 @@ def test_reservoir_quantiles_stream_matches_batch_and_restarts(spark, tmp_dir):
         for r in _latest_per_domain(spark.read.parquet(out)).collect()
     }
     assert final == batch
+
+
+def test_streaming_dedup_exact_batch_arm(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other"), (5, "same")],
+        "doc_id INT, text STRING",
+    )
+    out = df.transform(t("streaming_dedup_exact")).collect()
+    got = {r["doc_id"]: r["content_digest"] for r in out}
+    assert set(got) == {1, 2}  # smallest id wins per digest
+    assert len({r["content_digest"] for r in out}) == 2
+
+
+def test_streaming_dedup_exact_across_batches_and_restarts(spark, tmp_dir):
+    src = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    ck = os.path.join(tmp_dir, "ck")
+    op = t("streaming_dedup_exact", id_col="doc_id")
+
+    def stage(rows):
+        spark.createDataFrame(rows, "doc_id INT, text STRING").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("doc_id INT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .transform(op)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1 has an in-batch dup (1 wins over 4); batch 2 repeats "a"
+    stage([(4, "a"), (1, "a"), (2, "b")])
+    stage([(9, "a"), (3, "c")])
+    run()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
+
+    # kill + restart on the same checkpoint: state survives — "a" and "c"
+    # stay swallowed, only the genuinely new "d" emits
+    stage([(7, "a"), (8, "c"), (6, "d")])
+    run()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 6]
