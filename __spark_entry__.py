@@ -2978,6 +2978,33 @@ def dp105_stream_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "content_digest")
 
 
+def dp106_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (datapipes/sampling.py
+    temperature_sample, the T5/mT5 convention): 30k-token budget split
+    across languages ∝ n^(1/2) — per-group weights are integer square
+    roots, so allocation and keep thresholds are pure integer arithmetic
+    the oracle replays exactly; membership is the stable content-hash
+    filter shared by the whole sampling family."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(
+        _t(
+            "temperature_sample",
+            budget_tokens=30000,
+            temperature=2.0,
+            group_col="lang",
+            id_col="doc_id",
+        )
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""))
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -3024,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp103_zorder_layout": dp103_zorder_layout,
         "dp104_zorder_rank": dp104_zorder_rank,
         "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
+        "dp106_temperature_sample": dp106_temperature_sample,
         # --- one representative per SURVEY §2 family ---
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -4678,6 +4706,38 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, content_digest FROM d WHERE rn = 1
+        """,
+        "dp106_temperature_sample": rf"""
+            -- temperature-mixing replay at T=2: integer-sqrt weights,
+            -- integer allocation B*w // Σw, keep threshold
+            -- min(1e6, alloc*1e6 // tokens), stable-hash membership
+            WITH d AS (
+              SELECT doc_id, lang, len({_DUCK_TOKENS}) AS tok FROM documents
+            ),
+            stats AS (SELECT lang AS g, SUM(tok) AS t FROM d GROUP BY 1),
+            w AS (
+              SELECT g, t, CAST(floor(sqrt(t)) AS BIGINT) AS wt FROM stats
+            ),
+            a AS (
+              SELECT g, t,
+                     CASE WHEN t = 0 THEN 1000000
+                          ELSE least(
+                            1000000,
+                            (30000 * wt // (SELECT SUM(wt) FROM w)) * 1000000 // t
+                          )
+                     END AS thr
+              FROM w
+            ),
+            kept AS (
+              SELECT d.doc_id, d.lang, d.tok
+              FROM d JOIN a ON d.lang = a.g
+              WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 1000000 < a.thr
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tok) AS BIGINT) AS kept_tokens
+            FROM kept GROUP BY lang
         """,
         "dp24_vocab_top_k": f"""
             WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),

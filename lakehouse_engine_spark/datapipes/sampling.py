@@ -393,6 +393,104 @@ def unimax_sample(
     return _sample
 
 
+@register("temperature_sample")
+def temperature_sample(
+    budget_tokens: int,
+    temperature: float = 2.0,
+    group_col: str = "lang",
+    token_col: Optional[str] = None,
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "",
+    broadcast_thresholds: bool = True,
+) -> Callable[[DataFrame], DataFrame]:
+    """Temperature-scaled mixture sampling (the T5/mT5 convention,
+    arXiv:1910.10683 §3.3.1): group g's share of a total token budget is
+    ``n_g^(1/T) / Σ n_h^(1/T)`` — T=1 is proportional (head languages
+    dominate), T→∞ is uniform, T≈2–5 is the usual flattening. Completes
+    the mixing family: ``mixture_sample`` takes explicit fractions,
+    ``unimax_sample`` water-fills with epoch caps, this op interpolates by
+    temperature.
+
+    Determinism contract: per-group weights are ``floor(n_g^(1/T))`` —
+    FLOORED TO INTEGERS (a ≤1-token-weight quantization, immaterial
+    against corpus-scale counts) — so the allocation
+    ``alloc_g = B * w_g div Σw`` and the keep threshold
+    ``min(1e6, alloc_g * 1e6 div n_g)`` are pure integer arithmetic. At
+    T=2 the weight is the integer sqrt, which every engine computes
+    identically (IEEE sqrt is correctly rounded), so the oracle replays
+    the whole pipeline bit-for-bit; other temperatures floor a libm pow —
+    equal in practice, though not IEEE-guaranteed at floor boundaries.
+    Keep fractions cap at 1: small groups are never upsampled/duplicated
+    (same convention as unimax).
+
+    Scale design: pass 1 is one map-side-combined groupBy collected to the
+    driver (distinct groups — thousands at most; driver control decision),
+    pass 2 a broadcast threshold attach + stable content-hash filter
+    (``hash_sample`` semantics: membership re-derivable, stable under
+    re-runs and appends). No windows, no sorts, no per-row state.
+    """
+    if budget_tokens < 0:
+        raise ValueError(
+            f"temperature_sample: budget_tokens must be >= 0, got {budget_tokens}"
+        )
+    if temperature <= 0:
+        raise ValueError(
+            f"temperature_sample: temperature must be > 0, got {temperature}"
+        )
+
+    def _sample(df: DataFrame) -> DataFrame:
+        import math
+
+        tok = (
+            F.col(token_col)
+            if token_col
+            else F.size(
+                F.filter(
+                    F.split(F.trim(F.col(input_col)), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        )
+        totals = (
+            df.groupBy(F.col(group_col).alias("__g"))
+            .agg(F.sum(tok.cast("long")).alias("__tot"))
+            .collect()
+        )
+        alpha = 1.0 / temperature
+        groups = []
+        for r in totals:
+            tot = r["__tot"] or 0
+            if temperature == 2.0:
+                w = math.isqrt(tot)
+            else:
+                w = int(math.floor(tot**alpha)) if tot > 0 else 0
+            groups.append((r["__g"], tot, w))
+        wsum = sum(w for _, _, w in groups)
+        thr_rows = []
+        for g, tot, w in groups:
+            if tot == 0:
+                thr = BUCKETS  # token-less groups cost nothing: keep
+            else:
+                alloc = budget_tokens * w // wsum if wsum else 0
+                thr = min(BUCKETS, alloc * BUCKETS // tot)
+            thr_rows.append((None if g is None else str(g), thr))
+        spark = df.sparkSession
+        thr_df = spark.createDataFrame(thr_rows, "__g STRING, __thr LONG")
+        if broadcast_thresholds:
+            thr_df = F.broadcast(thr_df)
+        return (
+            df.join(
+                thr_df,
+                df[group_col].cast("string").eqNullSafe(F.col("__g")),
+            )
+            .filter(_bucket(id_col, seed) < F.col("__thr"))
+            .drop("__g", "__thr")
+        )
+
+    return _sample
+
+
 @register("quantile_prune")
 def quantile_prune(
     score_col: str,

@@ -3110,3 +3110,63 @@ def test_embedding_dedup_zero_vectors_survive_both_methods(spark):
         cosine(F.col("a"), F.array(F.lit(0.0), F.lit(0.0))).alias("s")
     ).first()["s"]
     assert sim == 0.0
+
+
+def test_temperature_sample_flattens_head(spark):
+    """temperature_sample: T=2 allocates ∝ sqrt(tokens) — the head
+    language's share shrinks vs proportional; thresholds replay the
+    integer-sqrt arithmetic exactly; token-less groups pass through."""
+    import hashlib
+    import math
+
+    rows = []
+    did = 0
+    # en: 1000 tokens, de: 250, fr: 40 (steep head)
+    for lang, n_docs in (("en", 100), ("de", 25), ("fr", 4)):
+        for _ in range(n_docs):
+            rows.append((did, lang, "w " * 10))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    out = df.transform(
+        t("temperature_sample", budget_tokens=600, temperature=2.0,
+          group_col="lang")
+    )
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # replay: w = isqrt(n): en 31, de 15, fr 6 → Σ 52
+    # alloc: en 600*31//52=357, de 600*15//52=173, fr 600*6//52=69
+    # thr: en 357000, de 692000, fr 1e6 (69>=40 → cap at keep-all)
+    toks = {"en": 1000, "de": 250, "fr": 40}
+    ws = {g: math.isqrt(n) for g, n in toks.items()}
+    wsum = sum(ws.values())
+    thr = {
+        g: min(1_000_000, (600 * ws[g] // wsum) * 1_000_000 // toks[g])
+        for g in toks
+    }
+    assert thr["fr"] == 1_000_000  # sqrt flattening over-allocates the tail
+
+    def bucket(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % 1_000_000
+
+    want = {}
+    for doc_id, lang, _ in rows:
+        if bucket(doc_id) < thr[lang]:
+            want[lang] = want.get(lang, 0) + 1
+    assert got == want
+    # T=2 gives the head a SMALLER share than proportional (T=1 ≈ 77%)
+    assert thr["en"] / 1e6 < 0.45
+    # token-less group passes through untouched even at zero budget
+    df2 = df.union(
+        spark.createDataFrame(
+            [(900, "xx", "")], "doc_id LONG, lang STRING, text STRING"
+        )
+    )
+    kept = df2.transform(
+        t("temperature_sample", budget_tokens=0, group_col="lang")
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [900]
+    with pytest.raises(ValueError, match="temperature"):
+        df.transform(t("temperature_sample", budget_tokens=1, temperature=0))
