@@ -1469,3 +1469,99 @@ def dedup_incremental_exact(
         return survivors.drop("__digest")
 
     return _dedup
+
+
+@register("dedup_incremental_minhash")
+def dedup_incremental_minhash(
+    state_location: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_size: int = 3,
+    update_state: bool = True,
+    compact_after_files: int = 64,
+) -> TransformerFn:
+    """CROSS-RUN near-duplicate dedup: drop documents sharing any MinHash
+    band bucket with anything kept in ANY previous run, dedupe the batch
+    itself with the ``dedup_minhash_lsh`` bucket-min rule, and append the
+    survivors' band hashes to the state. The near-dup sibling of
+    ``dedup_incremental_exact`` — the daily-crawl production shape, where
+    today's delivery must collapse against months of history without
+    re-reading it: only the history's BUCKET HASHES persist
+    (``bands`` md5 strings per kept doc — bytes per corpus row).
+
+    Order of rules matters: history first (a doc colliding with history is
+    gone regardless of in-batch standing), THEN the in-batch bucket-min
+    among the remaining docs — so a history-dup can never claim a bucket
+    minimum and drag down a legitimate newcomer.
+
+    Same eager-state contract as the exact variant: survivors are
+    localCheckpointed once, new bucket hashes (distinct, anti-joined
+    against the state) appended, and the state compacts past
+    ``compact_after_files`` parts. ``update_state=False`` dry-runs.
+
+    Scale: the signature pipeline (the md5-heavy part) runs ONCE into a
+    persisted ids+buckets frame; every join after that is ids/hashes only
+    — history flagging is one bucket-keyed join + an id anti-join, the
+    in-batch rule is the single-window dedup_minhash_lsh shape, the state
+    append a distinct + anti-join. Nothing unbounded broadcasts.
+    """
+    rows = num_hashes // bands
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            raise ValueError(
+                "dedup_incremental_minhash is batch-only (cross-RUN state); "
+                "use streaming_dedup_exact for in-flight streams"
+            )
+        spark = df.sparkSession
+        sig = _minhash_sig_df(df, text_col, id_col, num_hashes, shingle_size)
+        exploded = _band_exploded(sig, bands, rows).persist()
+        try:
+            have_state = _state_path_exists(spark, state_location)
+            fresh_exploded = exploded
+            if have_state:
+                seen = spark.read.parquet(state_location).select(
+                    F.col("digest").alias("__h")
+                )
+                hist_ids = (
+                    exploded.join(seen, "__h", "left_semi")
+                    .select("__id")
+                    .distinct()
+                )
+                fresh_exploded = exploded.join(hist_ids, "__id", "left_anti")
+            head = (
+                fresh_exploded.withColumn(
+                    "__bucket_min", F.min("__id").over(Window.partitionBy("__h"))
+                )
+                .groupBy("__id")
+                .agg(F.min("__bucket_min").alias("__head"))
+                .filter(F.col("__head") == F.col("__id"))
+                .select("__id")
+            )
+            survivors = df.join(
+                head, df[id_col] == head["__id"], "left_semi"
+            ).localCheckpoint(eager=True)
+            if update_state:
+                new_hashes = (
+                    exploded.join(
+                        survivors.select(F.col(id_col).alias("__id")), "__id"
+                    )
+                    .select(F.col("__h").alias("digest"))
+                    .distinct()
+                )
+                if have_state:
+                    new_hashes = new_hashes.join(
+                        spark.read.parquet(state_location).select("digest"),
+                        "digest",
+                        "left_anti",
+                    )
+                new_hashes.write.mode("append").parquet(state_location)
+                if compact_after_files:
+                    _compact_state(spark, state_location, compact_after_files)
+            return survivors
+        finally:
+            exploded.unpersist()
+
+    return _dedup

@@ -3170,3 +3170,43 @@ def test_temperature_sample_flattens_head(spark):
     assert [r["doc_id"] for r in kept.collect()] == [900]
     with pytest.raises(ValueError, match="temperature"):
         df.transform(t("temperature_sample", budget_tokens=1, temperature=0))
+
+
+def test_dedup_incremental_minhash_across_runs(spark, tmp_path):
+    """Cross-RUN near-dup dedup: run 1 collapses its own near-dups and
+    seeds bucket-hash state; run 2 drops near-dups of HISTORY before the
+    in-batch rule (so a history-dup never claims a bucket minimum);
+    dry-run leaves state untouched; streaming raises."""
+    state = str(tmp_path / "buckets")
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base.replace("lazy", "sleepy")       # near-dup of base
+    other = "completely different content about engines and physics today"
+    r1 = spark.createDataFrame(
+        [(2, base), (1, near), (5, other)], "doc_id LONG, text STRING"
+    )
+    op = t("dedup_incremental_minhash", state_location=state, id_col="doc_id")
+    out1 = sorted(r["doc_id"] for r in r1.transform(op).collect())
+    assert out1 == [1, 5]  # near-dup pair collapses to min id
+    n_state_1 = spark.read.parquet(state).count()
+    assert n_state_1 >= 4  # bands per survivor (minus shared buckets)
+
+    # run 2: 10 ≈ history's base → dropped by state; 11/12 new near-pair
+    # → min id 11 survives; 13 unique
+    r2 = spark.createDataFrame(
+        [(10, base.replace("again", "againn")),
+         (12, other.replace("engines", "motors") + " x"),
+         (11, other.replace("engines", "motors") + " x"),
+         (13, "entirely novel text with nothing shared at all here now")],
+        "doc_id LONG, text STRING",
+    )
+    out2 = sorted(r["doc_id"] for r in r2.transform(op).collect())
+    assert out2 == [11, 13]
+    # dry run on a repeat: filtered but state unchanged
+    n_state_2 = spark.read.parquet(state).count()
+    r3 = spark.createDataFrame([(20, base), (21, "fresh unseen words entirely")],
+                               "doc_id LONG, text STRING")
+    op_dry = t("dedup_incremental_minhash", state_location=state,
+               id_col="doc_id", update_state=False)
+    out3 = sorted(r["doc_id"] for r in r3.transform(op_dry).collect())
+    assert out3 == [21]
+    assert spark.read.parquet(state).count() == n_state_2
