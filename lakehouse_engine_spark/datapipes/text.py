@@ -361,6 +361,12 @@ def decontaminate_bloom(
     """
     if num_hashes < 1:
         raise ValueError("text_decontaminate_bloom: num_hashes must be >= 1")
+    if num_bits > 1 << 27:
+        raise ValueError(
+            "text_decontaminate_bloom: num_bits > 2^27 would materialize a "
+            ">18 MiB driver-side bitmap literal; shard the benchmark or use "
+            "text_decontaminate's hash-set join instead"
+        )
 
     def _h(col: Column, salt: str = "") -> Column:
         c = F.concat(col, F.lit(salt)) if salt else col
@@ -370,19 +376,16 @@ def decontaminate_bloom(
         h1, h2 = _h(gram), _h(gram, "#b2")
         return [F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)]
 
-    # SQL-string twins of _positions over the probe-side column `__g`
-    # (PySpark's shiftleft wrapper only takes a literal shift amount, so the
-    # per-gram bit tests are built as Spark SQL fragments — same codegen).
-    _H1 = "cast(conv(substring(md5(__g), 1, 15), 16, 10) as bigint)"
-    _H2 = "cast(conv(substring(md5(concat(__g, '#b2')), 1, 15), 16, 10) as bigint)"
-
-    def _pos_sql(i: int) -> str:
-        return f"pmod({_H1} + {i}L * {_H2}, {num_bits}L)"
-
+    # Probe design notes (both rejected shapes die at scale): a MapType
+    # bitmap makes element_at a LINEAR SCAN of ~num_bits/60 entries per
+    # probe (Spark maps are key/value arrays), and carrying the bitmap as
+    # a row COLUMN serializes all ~131 KiB into EVERY gram row (~33 GB of
+    # row writes per 235k grams). Instead the bitmap is ONE shared binary
+    # literal referenced only inside expressions: each probe extracts a
+    # single byte (substr on the shared byte[]), so per-row state is two
+    # hoisted hashes + num_hashes byte/bit pairs.
     _GRAM_HIT_SQL = " AND ".join(
-        "coalesce((element_at(__bloom, ({p} div 60)) & "
-        "shiftleft(1L, cast(({p} % 60) as int))) <> 0, false)".format(p=_pos_sql(i))
-        for i in range(num_hashes)
+        f"(__b{i} & shiftleft(1L, __r{i})) <> 0" for i in range(num_hashes)
     )
 
     def _bloom(df: DataFrame) -> DataFrame:
@@ -395,23 +398,44 @@ def decontaminate_bloom(
             .select(F.explode(F.array(*_positions(F.col("__g")))).alias("__p"))
             .distinct()
         )
-        # pack set bits into int64 chunks; ONE row survives the aggregation
-        # (chunk count <= num_bits/64), so the crossJoin below is a broadcast
-        # of a single bounded map — the whole bitmap build is two exchanges
-        # over (distinct) positions, independent of corpus size.
+        # pack set bits into int64 chunks (count <= num_bits/60) and
+        # assemble the DENSE bitmap array on the driver — a bounded
+        # control-plane artifact (the BPE-merge-table convention; 2^20 bits
+        # = 17,476 longs ≈ 140 KiB) shipped to executors as one literal.
+        # The bitmap build is two exchanges over DISTINCT positions,
+        # independent of corpus size.
         chunks = bench_pos.groupBy(
             F.expr("__p div 60").alias("__c")
         ).agg(F.expr("bit_or(shiftleft(1L, cast(__p % 60 as int)))").alias("__b"))
-        bitmap = chunks.agg(
-            F.map_from_arrays(
-                F.collect_list("__c"), F.collect_list("__b")
-            ).alias("__bloom")
-        )
+        ba = bytearray((num_bits + 7) // 8)
+        for r in chunks.collect():
+            bits, base = r["__b"], r["__c"] * 60
+            while bits:
+                j = (bits & -bits).bit_length() - 1
+                p = base + j
+                ba[p >> 3] |= 1 << (p & 7)
+                bits &= bits - 1
+        bloom = F.lit(bytes(ba))
 
-        probed = ensure_parallelism(df).crossJoin(F.broadcast(bitmap))
+        probe_cols = {}
+        for i in range(num_hashes):
+            p = F.pmod(
+                F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(num_bits)
+            )
+            byte_pos = F.floor(p / 8).cast("int") + F.lit(1)
+            probe_cols[f"__b{i}"] = F.conv(
+                F.hex(F.substr(bloom, byte_pos, F.lit(1))), 16, 10
+            ).cast("long")
+            probe_cols[f"__r{i}"] = F.pmod(p, F.lit(8)).cast("int")
+
         grams = F.explode(shingles(F.col(input_col), ngram))
-        doc_grams = probed.select(
-            F.col(id_col).alias("__id"), grams.alias("__g"), "__bloom"
+        doc_grams = (
+            ensure_parallelism(df)
+            .select(F.col(id_col).alias("__id"), grams.alias("__g"))
+            .withColumns(
+                {"__h1": _h(F.col("__g")), "__h2": _h(F.col("__g"), "#b2")}
+            )
+            .withColumns(probe_cols)
         )
         hits = (
             doc_grams.groupBy("__id")

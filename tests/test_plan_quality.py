@@ -152,14 +152,14 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
 
 
 def test_decontaminate_bloom_probe_is_joinless(spark, sf_dir):
-    """The bloom probe must reach the corpus as ONE broadcast-nested-loop of
-    a single-row bitmap (crossJoin) — no hash/sort-merge join of corpus
-    grams against benchmark grams anywhere in the plan."""
+    """The bloom probe must reach the corpus with NO join of any kind —
+    the bitmap rides as a shared binary literal inside expressions, never
+    as a row column or a joined relation. The only join allowed anywhere
+    is the final per-doc hit-count attach."""
     df = entry.queries()["dp102_decontaminate_bloom"](spark, sf_dir)
     physical, _ = _plans(df)
-    assert "BroadcastNestedLoopJoin" in physical, physical[:2000]
+    assert "BroadcastNestedLoopJoin" not in physical, physical[:2000]
     assert "SortMergeJoin" not in physical
-    # the only hash join allowed is the final per-doc hit-count attach
     assert physical.count("BroadcastHashJoin") <= 1
 
 

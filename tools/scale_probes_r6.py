@@ -213,6 +213,111 @@ PROBES["semantic_dedup_40k"] = probe_semantic_dedup_40k
 PROBES["hash_embedding_100k"] = probe_hash_embedding_100k
 
 
+def probe_bloom_decontaminate_100k(spark):
+    """Bloom decontamination at 100k docs against a 10k-doc benchmark:
+    the joinless probe path — the benchmark folds to one ~131 KiB bitmap
+    map no matter its size, the corpus side is pure codegen bit tests +
+    one hit-count aggregate. Contrast: the exact n-gram join ships every
+    distinct benchmark gram hash to every task."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(20).withColumnRenamed("id", "__rep"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000)
+        .drop("__rep")
+        .persist()
+    )
+    n = big.count()
+    bench = big.filter("doc_id % 10 = 0")  # 10k docs play the eval set
+    t0 = time.time()
+    out = big.transform(
+        t("text_decontaminate_bloom", benchmark_df=bench, ngram=8,
+          num_bits=1 << 20, num_hashes=4)
+    )
+    flagged = out.filter("maybe_contaminated").count()
+    dt = time.time() - t0
+    print(f"[bloom_decontaminate_100k] {n} docs vs 10k-doc benchmark: "
+          f"{flagged} flagged in {dt:.1f}s")
+    big.unpersist()
+
+
+def probe_zorder_10m(spark):
+    """layout_zorder at 10M rows, 2 dims x 16 bits, 64 range partitions:
+    the write-side layout cost is one min/max agg + a codegen projection
+    + ONE range exchange (sampled bounds). Also probes rank-CDF mode on a
+    100k-distinct skewed dimension (guarded single-task window)."""
+    df = (
+        spark.range(10_000_000)
+        .selectExpr(
+            "id",
+            "cast(id % 1000000 as long) AS ck",
+            "timestamp'2020-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id % 86400) AS ts",
+        )
+    )
+    t0 = time.time()
+    out = df.transform(
+        t("layout_zorder", cols=["ck", "ts"], bits_per_col=16,
+          num_partitions=64)
+    )
+    n = out.count()
+    dt = time.time() - t0
+    print(f"[zorder_10m] minmax: {n} rows laid out in {dt:.1f}s")
+    skew = spark.range(10_000_000).selectExpr(
+        "id", "cast(pow(id % 100000, 2) as long) AS x", "id % 1000 AS y"
+    )
+    t0 = time.time()
+    out2 = skew.transform(
+        t("layout_zorder", cols=["x", "y"], bits_per_col=16, method="rank",
+          num_partitions=64)
+    )
+    n2 = out2.count()
+    dt2 = time.time() - t0
+    print(f"[zorder_10m] rank-CDF (100k-distinct skewed dim): {n2} rows "
+          f"in {dt2:.1f}s")
+
+
+def probe_incremental_minhash_20_runs(spark):
+    """20 sequential near-dup ingest runs x 10k docs (30% near-repeats of
+    earlier runs) against one band-bucket state with compaction: state
+    stays bucket-hashes-only and the last run's cost is flat."""
+    state = tempfile.mkdtemp() + "/bk"
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).persist()
+    docs.count()
+    last = 0.0
+    total_survivors = 0
+    for run in range(20):
+        batch = (
+            docs.limit(500)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(run * 1_000_000))
+            .withColumn(
+                "text",
+                F.when(
+                    (F.col("doc_id") % 10) < 3,
+                    F.col("text"),  # exact repeat of an earlier run's doc
+                ).otherwise(F.concat_ws(" ", F.col("text"), F.lit(f"r{run}"))),
+            )
+        )
+        t0 = time.time()
+        out = batch.transform(
+            t("dedup_incremental_minhash", state_location=state,
+              compact_after_files=8)
+        )
+        total_survivors += out.count()
+        last = time.time() - t0
+    import glob
+    n_files = len(glob.glob(state + "/part-*"))
+    print(f"[incremental_minhash_20_runs] 20 runs x 500 docs: "
+          f"{total_survivors} total survivors, state files={n_files}, "
+          f"last-run {last:.1f}s")
+    docs.unpersist()
+
+
+PROBES["bloom_decontaminate_100k"] = probe_bloom_decontaminate_100k
+PROBES["zorder_10m"] = probe_zorder_10m
+PROBES["incremental_minhash_20_runs"] = probe_incremental_minhash_20_runs
+
+
 def main():
     spark = ExecEnv.get_or_create()
     only = set(sys.argv[1:])
