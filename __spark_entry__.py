@@ -3005,6 +3005,29 @@ def dp106_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp107_profile_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew diagnostics (datapipes/profiling.py profile_skew): top-10
+    heaviest (lang, source) keys of the document corpus with share and
+    cumulative share — the read-before-you-shuffle table that decides
+    whether a key needs salting. One map-side-combined groupBy + a
+    TakeOrdered top-k; no global sort of the distinct-key table."""
+    docs = load_table(spark, sf, "documents")
+    return docs.transform(
+        _t("profile_skew", key_cols=["lang", "source"], top_k=10)
+    )
+
+
+def dp108_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level n-gram overlap audit (datapipes/text.py
+    corpus_overlap_stats): documents vs the every-7th-doc subset — one row
+    of distinct-gram counts, Jaccard, and both containments (the eval-set
+    leakage number). Both sides reduce to distinct md5 digests; the
+    intersection is one hash-keyed semi-join."""
+    docs = load_table(spark, sf, "documents")
+    other = docs.filter("doc_id % 7 = 0")
+    return docs.transform(_t("corpus_overlap_stats", other_df=other, ngram=8))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -3052,6 +3075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp104_zorder_rank": dp104_zorder_rank,
         "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
         "dp106_temperature_sample": dp106_temperature_sample,
+        "dp107_profile_skew": dp107_profile_skew,
+        "dp108_corpus_overlap": dp108_corpus_overlap,
         # --- one representative per SURVEY §2 family ---
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -4738,6 +4763,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(tok) AS BIGINT) AS kept_tokens
             FROM kept GROUP BY lang
+        """,
+        "dp107_profile_skew": """
+            WITH c AS (
+              SELECT lang, source, COUNT(*) AS n_rows
+              FROM documents GROUP BY 1, 2
+            ),
+            tot AS (SELECT SUM(n_rows) AS total, COUNT(*) AS nk FROM c),
+            r AS (
+              SELECT lang, source, n_rows,
+                     ROW_NUMBER() OVER (ORDER BY n_rows DESC, lang, source) AS rk,
+                     SUM(n_rows) OVER (ORDER BY n_rows DESC, lang, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM c
+            )
+            SELECT lang, source, n_rows,
+                   ROUND(n_rows * 1.0 / tot.total, 6) AS share,
+                   ROUND(cum * 1.0 / tot.total, 6) AS cum_share,
+                   tot.total::BIGINT AS total_rows,
+                   tot.nk::BIGINT AS n_distinct_keys
+            FROM r CROSS JOIN tot WHERE rk <= 10
+        """,
+        "dp108_corpus_overlap": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+            gr AS (SELECT doc_id, unnest({_duck_shingles(8)}) AS g FROM toks),
+            a AS (SELECT DISTINCT g FROM gr),
+            b AS (SELECT DISTINCT g FROM gr WHERE doc_id % 7 = 0),
+            s AS (SELECT COUNT(*) AS ns FROM a SEMI JOIN b USING (g)),
+            na AS (SELECT COUNT(*) AS n_grams_self FROM a),
+            nb AS (SELECT COUNT(*) AS n_grams_other FROM b)
+            SELECT n_grams_self, n_grams_other, ns AS n_shared,
+                   ROUND(ns * 1.0 / (n_grams_self + n_grams_other - ns), 6) AS jaccard,
+                   ROUND(ns * 1.0 / n_grams_self, 6) AS containment_self,
+                   ROUND(ns * 1.0 / n_grams_other, 6) AS containment_other
+            FROM na CROSS JOIN nb CROSS JOIN s
         """,
         "dp24_vocab_top_k": f"""
             WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),

@@ -203,3 +203,62 @@ def histogram(
         )
 
     return _hist
+
+
+@register("profile_skew")
+def profile_skew(
+    key_cols: List[str],
+    top_k: int = 20,
+) -> TransformerFn:
+    """Key-skew diagnostics for shuffle planning: per distinct key the row
+    count and its share of the table, plus the running cumulative share —
+    the table you read before deciding whether a join/aggregate on these
+    keys needs salting (``salted_join`` / ``salt_partitions``), a
+    broadcast, or nothing. Emits the ``top_k`` heaviest keys ordered by
+    count (deterministic tie-break on the key).
+
+    One map-side-combined groupBy over the keys, then a TakeOrdered top-k
+    (per-partition top-k merged on the driver — no global sort of the
+    distinct-key table) and a single tiny window over the k survivors.
+    The total row count rides the same aggregate via a grand-total sum
+    over the k-row frame's broadcast stats attach.
+    """
+    if not key_cols:
+        raise ValueError("profile_skew: key_cols must be non-empty")
+    if top_k < 1:
+        raise ValueError("profile_skew: top_k must be >= 1")
+
+    def _skew(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        counts = df.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        totals = counts.agg(
+            F.sum("n_rows").alias("__total"),
+            F.count(F.lit(1)).alias("__n_keys"),
+        )
+        top = (
+            counts.orderBy(
+                F.desc("n_rows"), *[F.asc(c) for c in key_cols]
+            )
+            .limit(top_k)
+            .crossJoin(F.broadcast(totals))
+        )
+        w = Window.orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
+        return top.select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.sum("n_rows").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("__total"),
+                6,
+            ).alias("cum_share"),
+            F.col("__total").alias("total_rows"),
+            F.col("__n_keys").alias("n_distinct_keys"),
+        )
+
+    return _skew

@@ -1615,3 +1615,87 @@ def html_strip(
         return df.withColumn(output_col, c)
 
     return _strip
+
+
+@register("corpus_overlap_stats")
+def corpus_overlap_stats(
+    other_df: DataFrame,
+    input_col: str = "text",
+    other_text_col: str = "text",
+    ngram: int = 8,
+) -> TransformerFn:
+    """Corpus-level n-gram overlap audit: ONE row with the distinct-gram
+    counts of both corpora, the shared count, Jaccard, and containment in
+    each direction — the quantitative pre-check before decontamination or
+    a merge ("how much of corpus B is already inside A?"). Containment of
+    the *other* corpus (``containment_other``) is the number eval-set
+    leakage audits report.
+
+    Scale: both sides reduce to DISTINCT md5 gram hashes (map-side
+    combined), the intersection is one hash-keyed join of digest tables,
+    and the three counts land in a single final aggregate — no text moves
+    after the first projection, no broadcast of anything unbounded.
+    """
+
+    def _stats(df: DataFrame) -> DataFrame:
+        a = (
+            df.select(F.explode(shingles(F.col(input_col), ngram)).alias("__g"))
+            .select(F.md5("__g").alias("__gh"))
+            .distinct()
+        )
+        b = (
+            other_df.select(
+                F.explode(shingles(F.col(other_text_col), ngram)).alias("__g")
+            )
+            .select(F.md5("__g").alias("__gh"))
+            .distinct()
+        )
+        shared = a.join(b, "__gh", "left_semi")
+        na = a.agg(F.count(F.lit(1)).alias("n_grams_self"))
+        nb = b.agg(F.count(F.lit(1)).alias("n_grams_other"))
+        ns = shared.agg(F.count(F.lit(1)).alias("n_shared"))
+        return (
+            na.crossJoin(F.broadcast(nb))
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "n_grams_self",
+                "n_grams_other",
+                "n_shared",
+                F.round(
+                    F.col("n_shared")
+                    / (
+                        F.col("n_grams_self")
+                        + F.col("n_grams_other")
+                        - F.col("n_shared")
+                    ),
+                    6,
+                ).alias("jaccard"),
+                F.round(F.col("n_shared") / F.col("n_grams_self"), 6).alias(
+                    "containment_self"
+                ),
+                F.round(F.col("n_shared") / F.col("n_grams_other"), 6).alias(
+                    "containment_other"
+                ),
+            )
+        )
+
+    return _stats
+
+
+@register_contextual("corpus_overlap_stats_with")
+def corpus_overlap_stats_with(
+    data: dict,
+    other_with: str,
+    **args,
+) -> TransformerFn:
+    """ACON wrapper for :func:`corpus_overlap_stats` (resolve ``other_with``
+    as an upstream spec_id)."""
+
+    def _stats(df: DataFrame) -> DataFrame:
+        if other_with not in data:
+            raise ValueError(
+                f"corpus_overlap_stats_with: unknown spec_id {other_with}"
+            )
+        return corpus_overlap_stats(other_df=data[other_with], **args)(df)
+
+    return _stats

@@ -3210,3 +3210,34 @@ def test_dedup_incremental_minhash_across_runs(spark, tmp_path):
     out3 = sorted(r["doc_id"] for r in r3.transform(op_dry).collect())
     assert out3 == [21]
     assert spark.read.parquet(state).count() == n_state_2
+
+
+def test_profile_skew_shares_and_order(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k STRING"
+    )
+    out = df.transform(t("profile_skew", key_cols=["k"], top_k=2)).collect()
+    assert [r["k"] for r in out] == ["a", "b"]
+    assert out[0]["share"] == 0.6 and out[0]["cum_share"] == 0.6
+    assert out[1]["share"] == 0.3 and out[1]["cum_share"] == 0.9
+    assert out[0]["total_rows"] == 10 and out[0]["n_distinct_keys"] == 3
+    with pytest.raises(ValueError):
+        t("profile_skew", key_cols=[])
+
+
+def test_corpus_overlap_stats_counts(spark):
+    a = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),  # grams: 2 distinct
+         (2, "x1 x2 x3 x4 x5 x6 x7 x8")],    # 1 distinct
+        "doc_id INT, text STRING",
+    )
+    b = spark.createDataFrame(
+        [(9, "w1 w2 w3 w4 w5 w6 w7 w8"),     # shares a's first gram
+         (10, "y1 y2 y3 y4 y5 y6 y7 y8")],
+        "doc_id INT, text STRING",
+    )
+    row = a.transform(t("corpus_overlap_stats", other_df=b, ngram=8)).collect()[0]
+    assert row["n_grams_self"] == 3 and row["n_grams_other"] == 2
+    assert row["n_shared"] == 1
+    assert row["jaccard"] == 0.25
+    assert row["containment_other"] == 0.5
