@@ -3070,6 +3070,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp96_g711_decode": dp96_g711_decode,
         "dp69b_bpe_encode": dp69b_bpe_encode,
         "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
+        "dp97_semantic_dedup": dp97_semantic_dedup,
+        "dp98_ngram_counts": dp98_ngram_counts,
+        "dp99_hash_embedding": dp99_hash_embedding,
+        "dp100_unimax_sample": dp100_unimax_sample,
+        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
         "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
         "dp103_zorder_layout": dp103_zorder_layout,
         "dp104_zorder_rank": dp104_zorder_rank,
@@ -3092,13 +3097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp06_dedup_minhash": dp06_dedup_minhash,
         "dp08_embedding_dedup": dp08_embedding_dedup,
         "dp12_knn_lsh": dp12_knn_lsh,
-        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
-        "dp97_semantic_dedup": dp97_semantic_dedup,
-        "dp99_hash_embedding": dp99_hash_embedding,
-        "dp100_unimax_sample": dp100_unimax_sample,
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
         "dp29_pack_sequences": dp29_pack_sequences,
-        "dp98_ngram_counts": dp98_ngram_counts,
         "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
         "dp55_funnel": dp55_funnel,
         "dp64_ewma_anomaly": dp64_ewma_anomaly,

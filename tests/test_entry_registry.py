@@ -40,11 +40,15 @@ def test_driver_window_holds_rotation_cohort():
     assert {"q25_scalar_subquery_avg", "dp69b_bpe_encode",
             "q29_gab_day_recon_recompute", "dp97_semantic_dedup",
             "dp98_ngram_counts", "dp99_hash_embedding",
-            "dp100_unimax_sample", "dp101_reservoir_quantiles"} <= window
+            "dp100_unimax_sample", "dp101_reservoir_quantiles",
+            "dp102_decontaminate_bloom", "dp103_zorder_layout",
+            "dp104_zorder_rank", "dp105_stream_dedup_exact",
+            "dp106_temperature_sample", "dp107_profile_skew",
+            "dp108_corpus_overlap"} <= window
     # §2 representatives
     assert {"q01_pricing_summary", "q07_dq_stats", "q08_reconciliation",
             "q17_gab_weekly_rollup"} <= window
-    # perf watch item and the one-time hash-red stay under watch
-    assert {"dp28_embedding_dedup_lsh", "dp29_pack_sequences"} <= window
-    # driver-green rows rotated out to make room
+    # driver-green rows rotated out to make room (incl. dp28/dp29, whose
+    # watch items closed with driver-green r05 rows and the standalone
+    # re-measure recorded in BASELINE.md)
     assert "q26_gab_daily_rollup" not in window
