@@ -127,9 +127,10 @@ def zorder(
     own ZORDER uses range-partition ids for the same reason). Cost: per
     dimension one distinct-value aggregate, one cumulative window over the
     DISTINCT values (single-partition — bounded by ``rank_max_distinct``,
-    enforced with a fail-fast count; beyond it use ``minmax``, whose cost
-    is flat), and one broadcast join back. Equal values share a bucket, so
-    the key stays deterministic and the oracle replays it exactly.
+    enforced by an in-row fail-fast inside the window itself, costing no
+    extra pass; beyond the cap use ``minmax``, whose cost is flat), and
+    one broadcast join back. Equal values share a bucket, so the key
+    stays deterministic and the oracle replays it exactly.
     """
     if method not in ("minmax", "rank"):
         raise ValueError(f"layout_zorder: unknown method {method!r}")
@@ -170,17 +171,6 @@ def zorder(
         from pyspark.sql import Window
 
         scale = 1 << bits_per_col
-        ndistinct = keyed.agg(
-            *[F.count_distinct(f"__k_{c}").alias(c) for c in cols]
-        ).collect()[0]
-        for c in cols:
-            if ndistinct[c] > rank_max_distinct:
-                raise ValueError(
-                    f"layout_zorder: dimension {c} has {ndistinct[c]} distinct "
-                    f"values (> rank_max_distinct={rank_max_distinct}); the "
-                    "rank CDF window would not fit one task — use "
-                    "method='minmax' for this dimension's cardinality"
-                )
         out = keyed
         for c in cols:
             kc = f"__k_{c}"
@@ -190,12 +180,30 @@ def zorder(
                 .agg(F.count(F.lit(1)).alias("__n"))
             )
             w = Window.orderBy(kc)
+            # cardinality guard rides the CDF window itself (in-row
+            # raise_error past the cap — the gap_fill fail-fast pattern)
+            # instead of a separate count_distinct pass over the data
             cdf = vals.select(
                 F.col(kc),
-                F.coalesce(
-                    F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-                    F.lit(0).cast("long"),
-                ).alias("__cb"),
+                F.when(
+                    F.row_number().over(w) > rank_max_distinct,
+                    F.expr(
+                        "raise_error(concat("
+                        f"'layout_zorder: dimension {c} exceeds "
+                        f"rank_max_distinct={rank_max_distinct} distinct "
+                        "values; the rank CDF window would not fit one "
+                        "task — use method=minmax for this cardinality'))"
+                    ).cast("long"),
+                )
+                .otherwise(
+                    F.coalesce(
+                        F.sum("__n").over(
+                            w.rowsBetween(Window.unboundedPreceding, -1)
+                        ),
+                        F.lit(0).cast("long"),
+                    )
+                )
+                .alias("__cb"),
                 F.sum("__n")
                 .over(
                     w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -758,11 +758,14 @@ def test_zorder_rank_equalizes_skew(spark):
 
 
 def test_zorder_rank_cardinality_guard(spark):
+    """The cap fires in-row inside the CDF window (no extra count pass),
+    so it surfaces lazily at action time as a Spark runtime error."""
     df = spark.createDataFrame([(i, i) for i in range(100)], "id INT, x INT")
-    with pytest.raises(ValueError, match="rank_max_distinct"):
-        df.transform(
-            t("layout_zorder", cols=["x"], method="rank", rank_max_distinct=10)
-        )
+    out = df.transform(
+        t("layout_zorder", cols=["x"], method="rank", rank_max_distinct=10)
+    )
+    with pytest.raises(Exception, match="rank_max_distinct"):
+        out.collect()
 
 
 def test_zorder_guards(spark):
