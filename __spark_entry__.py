@@ -4690,7 +4690,7 @@ def oracle_sql() -> dict[str, str]:
               FROM k CROSS JOIN s
             )
             SELECT o_orderkey, o_custkey,
-                   ({" + ".join(f"(((b1 >> {j}) & 1) << {2 * j}) + (((b2 >> {j}) & 1) << {2 * j + 1})" for j in range(16))}) AS BIGINT) AS zorder_key
+                   CAST(({" + ".join(f"(((b1 >> {j}) & 1) << {2 * j}) + (((b2 >> {j}) & 1) << {2 * j + 1})" for j in range(16))}) AS BIGINT) AS zorder_key
             FROM b
         """,
         "dp104_zorder_rank": f"""
