@@ -3028,6 +3028,24 @@ def dp108_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return docs.transform(_t("corpus_overlap_stats", other_df=other, ngram=8))
 
 
+def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
+    the documented Python-path op (Arrow-batched pandas_udf over
+    unicodedata; the JVM has no normalizer expression). The oracle
+    cross-checks Python's UAX#15 implementation against DuckDB's
+    nfc_normalize on every document digest, plus the changed-row flag."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(
+        _t("text_unicode_normalize", output_col="norm_text", form="NFC",
+           flag_changed=True)
+    )
+    return out.select(
+        "doc_id",
+        F.md5("norm_text").alias("norm_digest"),
+        "unicode_changed",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -3082,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp106_temperature_sample": dp106_temperature_sample,
         "dp107_profile_skew": dp107_profile_skew,
         "dp108_corpus_overlap": dp108_corpus_overlap,
+        "dp109_unicode_normalize": dp109_unicode_normalize,
         # --- one representative per SURVEY §2 family ---
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -4797,6 +4816,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ns * 1.0 / n_grams_self, 6) AS containment_self,
                    ROUND(ns * 1.0 / n_grams_other, 6) AS containment_other
             FROM na CROSS JOIN nb CROSS JOIN s
+        """,
+        "dp109_unicode_normalize": """
+            SELECT doc_id,
+                   md5(nfc_normalize(text)) AS norm_digest,
+                   nfc_normalize(text) <> text AS unicode_changed
+            FROM documents
         """,
         "dp24_vocab_top_k": f"""
             WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),

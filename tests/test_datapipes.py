@@ -3244,3 +3244,30 @@ def test_corpus_overlap_stats_counts(spark):
     assert row["n_shared"] == 1
     assert row["jaccard"] == 0.25
     assert row["containment_other"] == 0.5
+
+
+def test_unicode_normalize_forms(spark):
+    composed = "café"                 # é as one codepoint
+    decomposed = "café"              # e + combining acute
+    ligature = "ﬁle"                  # ﬁle
+    fullwidth = "Ｈｉ"             # Ｈｉ
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, ligature), (4, fullwidth),
+         (5, None)],
+        "doc_id INT, text STRING",
+    )
+    nfc = {r["doc_id"]: r["text"] for r in
+           df.transform(t("text_unicode_normalize", form="NFC")).collect()}
+    assert nfc[1] == nfc[2] == composed    # canonical equivalence collapses
+    assert nfc[3] == ligature              # NFC keeps compatibility chars
+    assert nfc[5] is None
+    nfkc = {r["doc_id"]: r["text"] for r in
+            df.transform(t("text_unicode_normalize", form="NFKC")).collect()}
+    assert nfkc[3] == "file" and nfkc[4] == "Hi"
+    flagged = {r["doc_id"]: r["unicode_changed"] for r in
+               df.transform(
+                   t("text_unicode_normalize", form="NFC", flag_changed=True)
+               ).collect()}
+    assert flagged == {1: False, 2: True, 3: False, 4: False, 5: False}
+    with pytest.raises(ValueError):
+        t("text_unicode_normalize", form="NFX")
