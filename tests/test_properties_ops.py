@@ -292,3 +292,39 @@ def test_sessionize_matches_reference_split(spark, rows):
         ).collect()
     )
     assert got == _session_ref(rows, gap_s)
+
+
+_zorder_rows = st.lists(
+    st.tuples(st.integers(-(10**12), 10**12), st.integers(-(10**6), 10**6)),
+    min_size=2,
+    max_size=60,
+    unique=True,
+)
+
+
+@_few
+@given(rows=_zorder_rows, method=st.sampled_from(["minmax", "rank"]))
+def test_zorder_bucket_monotone_per_dimension(spark, rows, method):
+    """For BOTH quantization methods, each dimension's extracted bucket is
+    non-decreasing in the dimension's value (order preservation is what
+    makes min/max file skipping sound), and the interleave keeps each
+    dimension's bits disjoint (corner keys recover their buckets)."""
+    data = [(i, x, y) for i, (x, y) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id LONG, x LONG, y LONG")
+    out = df.transform(
+        t("layout_zorder", cols=["x", "y"], bits_per_col=8, method=method,
+          sort=False)
+    )
+    got = {r["id"]: r["zorder_key"] for r in out.collect()}
+
+    def dim(z, ci):
+        return sum(((z >> (j * 2 + ci)) & 1) << j for j in range(8))
+
+    xs = sorted((x, i) for i, (x, y) in enumerate(rows))
+    # x strictly sorted -> buckets non-decreasing
+    bx = [dim(got[i], 0) for _, i in xs]
+    assert bx == sorted(bx), (method, bx)
+    ys = sorted((y, i) for i, (_, y) in enumerate(rows))
+    by = [dim(got[i], 1) for _, i in ys]
+    assert by == sorted(by), (method, by)
+    assert all(0 <= b <= 255 for b in bx + by)
