@@ -175,6 +175,23 @@ def test_zorder_layout_single_range_exchange(spark, sf_dir):
     assert "hashpartitioning" not in physical, physical[:2000]
 
 
+def test_round6_new_ops_join_shapes(spark, sf_dir):
+    """dp104/106/107/108: no sort-merge join anywhere; broadcast-nested-
+    loop only as 1-row stats attaches (profile_skew totals, overlap
+    counts); the temperature thresholds attach as ONE broadcast hash
+    join."""
+    for name, max_bnl in (
+        ("dp104_zorder_rank", 0),
+        ("dp106_temperature_sample", 0),
+        ("dp107_profile_skew", 1),
+        ("dp108_corpus_overlap", 2),
+    ):
+        df = entry.queries()[name](spark, sf_dir)
+        physical, _ = _plans(df)
+        assert "SortMergeJoin" not in physical, name
+        assert physical.count("BroadcastNestedLoopJoin") <= max_bnl, name
+
+
 def test_vocab_top_k_uses_take_ordered(spark, sf_dir):
     """Corpus top-k must plan as TakeOrderedAndProject (per-partition top-k
     merged on the driver), not a global Sort exchange over the vocabulary."""
