@@ -3046,6 +3046,27 @@ def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _rp_sign(seed: str, i: int, j: int) -> int:
+    """Shared ±1 weight derivation for dp110's Spark op and oracle."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) < 8 else -1
+
+
+def dp110_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """JL random projection (datapipes/embeddings.py
+    embedding_random_projection): 64-dim float embeddings → 16-dim via a
+    seeded Rademacher matrix scaled 1/sqrt(16) — unrolled index-order ±
+    sums on IEEE doubles, so the oracle (same literal weights, same term
+    order) reproduces every projected component bit-for-bit."""
+    emb = load_table(spark, sf, "embeddings")
+    out = emb.transform(
+        _t("embedding_random_projection", out_dim=16, seed="rp")
+    )
+    return out.select("vec_id", "embedding_rp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -3101,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp107_profile_skew": dp107_profile_skew,
         "dp108_corpus_overlap": dp108_corpus_overlap,
         "dp109_unicode_normalize": dp109_unicode_normalize,
+        "dp110_random_projection": dp110_random_projection,
         # --- one representative per SURVEY §2 family ---
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -4823,6 +4845,20 @@ def oracle_sql() -> dict[str, str]:
                    nfc_normalize(text) <> text AS unicode_changed
             FROM documents
         """,
+        "dp110_random_projection": (lambda: (
+            "SELECT vec_id, ["
+            + ", ".join(
+                "("
+                + " ".join(
+                    ("+" if _rp_sign("rp", i, j) > 0 else "-")
+                    + f" embedding[{j + 1}]::DOUBLE"
+                    for j in range(64)
+                ).lstrip("+ ")
+                + f") * {1.0 / 4.0!r}"
+                for i in range(16)
+            )
+            + "] AS embedding_rp FROM embeddings"
+        ))(),
         "dp24_vocab_top_k": f"""
             WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),
             c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1),

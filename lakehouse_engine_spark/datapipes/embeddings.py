@@ -152,3 +152,64 @@ def embedding_mean_pool(
         return pooled
 
     return _pool
+
+
+@register("embedding_random_projection")
+def embedding_random_projection(
+    out_dim: int,
+    input_col: str = "embedding",
+    output_col: str = "embedding_rp",
+    seed: str = "rp",
+) -> TransformerFn:
+    """Johnson-Lindenstrauss random projection: map ``array<float>``
+    vectors to ``out_dim`` dimensions with a seeded Rademacher (±1)
+    matrix, scaled by 1/sqrt(out_dim) — pairwise distances are preserved
+    within (1±ε) w.h.p., so ANN/LSH/dedup downstream run on vectors 4–8×
+    smaller. The standard cheap pre-step before brute/LSH search when the
+    raw embedding dimension is large.
+
+    Determinism: the ±1 weights derive from md5 of ``seed:i:j`` on the
+    DRIVER (a k×d literal — at most a few thousand ints), and each output
+    component is an UNROLLED index-order sum of ±x[j] — every engine
+    folds the same additions in the same order on IEEE doubles, so the
+    oracle reproduces projected vectors BIT-FOR-BIT (same convention as
+    the embedding family's other folds). Pure projection: no shuffle, no
+    Python, whole-stage codegen.
+    """
+    if out_dim < 1:
+        raise ValueError("embedding_random_projection: out_dim must be >= 1")
+
+    def _sign(i: int, j: int) -> int:
+        import hashlib
+
+        h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+        return 1 if int(h[0], 16) < 8 else -1
+
+    def _project(df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import ArrayType
+
+        dt = df.schema[input_col].dataType
+        if not isinstance(dt, ArrayType):
+            raise ValueError(
+                f"embedding_random_projection: {input_col} must be an array"
+            )
+        # embedding width from the data: one cheap first-row probe
+        first = df.select(F.size(input_col).alias("d")).first()
+        d_in = int(first["d"]) if first and first["d"] is not None else 0
+        if d_in < 1:
+            return df.withColumn(
+                output_col,
+                F.lit(None).cast("array<double>"),
+            )
+        scale = 1.0 / (out_dim**0.5)
+        comps = []
+        for i in range(out_dim):
+            terms = " ".join(
+                ("+" if _sign(i, j) > 0 else "-")
+                + f" cast(element_at({input_col}, {j + 1}) as double)"
+                for j in range(d_in)
+            ).lstrip("+ ")
+            comps.append(F.expr(f"({terms}) * {scale!r}"))
+        return df.withColumn(output_col, F.array(*comps))
+
+    return _project

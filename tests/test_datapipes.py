@@ -3271,3 +3271,42 @@ def test_unicode_normalize_forms(spark):
     assert flagged == {1: False, 2: True, 3: False, 4: False, 5: False}
     with pytest.raises(ValueError):
         t("text_unicode_normalize", form="NFX")
+
+
+def test_random_projection_preserves_distances(spark):
+    import math
+    import random as rnd
+    rnd.seed(7)
+    d, k, n = 64, 16, 12
+    vecs = [[rnd.gauss(0, 1) for _ in range(d)] for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    out = df.transform(t("embedding_random_projection", out_dim=k))
+    got = {r["vec_id"]: r["embedding_rp"] for r in out.collect()}
+    assert all(len(v) == k for v in got.values())
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    # JL with k=16: distance ratios concentrate around 1 (loose bounds —
+    # this is a sanity check of the projection, not a concentration proof)
+    ratios = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d0 = dist(vecs[i], vecs[j])
+            d1 = dist(got[i], got[j])
+            ratios.append(d1 / d0)
+    assert 0.4 < min(ratios) and max(ratios) < 1.8, (min(ratios), max(ratios))
+    # deterministic under re-run, different under another seed
+    again = {r["vec_id"]: r["embedding_rp"] for r in
+             df.transform(t("embedding_random_projection", out_dim=k)).collect()}
+    assert again == got
+    other = {r["vec_id"]: r["embedding_rp"] for r in
+             df.transform(
+                 t("embedding_random_projection", out_dim=k, seed="s2")
+             ).collect()}
+    assert other != got
+    with pytest.raises(ValueError):
+        t("embedding_random_projection", out_dim=0)
