@@ -3067,6 +3067,43 @@ def dp110_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", "embedding_rp")
 
 
+def dp111_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval × interval overlap join (datapipes/joins.py
+    interval_overlap_join): two order-derived interval sets (3-day vs
+    2-day windows) paired per priority where they overlap — both sides
+    bucket-exploded into a pure equi-join, each overlapping pair kept at
+    its FIRST shared bucket (algebraic dedup, no distinct), in-row
+    fail-fast on exploding spans."""
+    orders = load_table(spark, sf, "orders")
+    left = orders.filter("o_orderkey % 7 = 0").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("s"),
+        F.expr("o_orderdate + make_interval(0, 0, 0, 3)").alias("e"),
+    )
+    right = orders.filter("o_orderkey % 11 = 0").select(
+        F.col("o_orderkey").alias("rk"),
+        "o_orderpriority",
+        F.col("o_orderdate").alias("s"),
+        F.expr("o_orderdate + make_interval(0, 0, 0, 2)").alias("e"),
+    )
+    out = left.transform(
+        _t(
+            "interval_overlap_join",
+            right=right,
+            on=["o_orderpriority"],
+            left_start="s",
+            left_end="e",
+            right_start="s",
+            right_end="e",
+            bucket_width=2 * 86_400_000_000,
+        )
+    )
+    return out.select(
+        "o_orderkey", F.col("rk_r").alias("rk"), "o_orderpriority"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -3123,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp108_corpus_overlap": dp108_corpus_overlap,
         "dp109_unicode_normalize": dp109_unicode_normalize,
         "dp110_random_projection": dp110_random_projection,
+        "dp111_interval_overlap_join": dp111_interval_overlap_join,
         # --- one representative per SURVEY §2 family ---
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -4859,6 +4897,21 @@ def oracle_sql() -> dict[str, str]:
             )
             + "] AS embedding_rp FROM embeddings"
         ))(),
+        "dp111_interval_overlap_join": """
+            WITH l AS (
+              SELECT o_orderkey, o_orderpriority,
+                     o_orderdate AS s, o_orderdate + INTERVAL 3 DAY AS e
+              FROM orders WHERE o_orderkey % 7 = 0
+            ),
+            r AS (
+              SELECT o_orderkey AS rk, o_orderpriority,
+                     o_orderdate AS s, o_orderdate + INTERVAL 2 DAY AS e
+              FROM orders WHERE o_orderkey % 11 = 0
+            )
+            SELECT l.o_orderkey, r.rk, l.o_orderpriority
+            FROM l JOIN r ON l.o_orderpriority = r.o_orderpriority
+             AND l.s <= r.e AND r.s <= l.e
+        """,
         "dp24_vocab_top_k": f"""
             WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),
             c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1),

@@ -669,3 +669,103 @@ def gap_fill(
         return out
 
     return _fill
+
+
+@register("interval_overlap_join")
+def interval_overlap_join(
+    right: DataFrame,
+    on: List[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    right_value_cols: Optional[List[str]] = None,
+    suffix: str = "_r",
+    max_buckets_per_interval: int = 10_000,
+) -> TransformerFn:
+    """Interval × interval overlap join: pairs with
+    ``l.start <= r.end AND r.start <= l.end`` on matching keys —
+    sessions × incidents, availability × bookings, the genomics/temporal
+    primitive ``range_join`` (point-in-interval) cannot express.
+
+    Scale design: the naive inequality join is a per-key nested loop.
+    Here BOTH sides explode into width-``bucket_width`` buckets and meet
+    in an equi-join on (keys…, bucket); a pair overlapping many buckets
+    would duplicate, so the join keeps only the pair's FIRST shared
+    bucket — ``bucket == greatest(floor(l.start/w), floor(r.start/w))``,
+    an algebraic dedup requiring NO distinct/shuffle afterwards: each
+    overlapping pair satisfies it in exactly one bucket, non-overlapping
+    pairs in none. Explosion factor = span/width + 1 per row, capped by
+    ``max_buckets_per_interval`` with an in-row ``raise_error`` (the
+    gap_fill fail-fast convention) so a malformed open-ended interval
+    fails the job loudly instead of exploding a task. Temporal columns
+    convert via epoch micros (``bucket_width`` then in MICROSECONDS).
+    """
+
+    def _join(left: DataFrame) -> DataFrame:
+        w = int(bucket_width)
+        vals = right_value_cols or [
+            c
+            for c in right.columns
+            if c not in set(on) | {right_start, right_end}
+        ]
+        ls, le = epoch_us(left, left_start), epoch_us(left, left_end)
+        rs, re_ = epoch_us(right, right_start), epoch_us(right, right_end)
+
+        def _explode(df, s, e, tag):
+            b0, b1 = F.floor(s / w), F.floor(e / w)
+            guard = F.when(
+                b1 - b0 + 1 > max_buckets_per_interval,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"interval_overlap_join: {tag} interval spans "
+                            "more than "
+                            f"{max_buckets_per_interval} buckets of width "
+                            f"{w} ("
+                        ),
+                        (b1 - b0 + 1).cast("string"),
+                        F.lit(
+                            ") — raise bucket_width or fix open-ended "
+                            "intervals"
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(b0)
+            return df.withColumn("__b0", guard).withColumn(
+                "__bucket", F.explode(F.sequence(F.col("__b0"), b1))
+            )
+
+        l2 = _explode(
+            left.withColumn("__ls", ls).withColumn("__le", le), ls, le, "left"
+        )
+        r2 = _explode(
+            right.select(
+                *on,
+                rs.alias("__rs"),
+                re_.alias("__re"),
+                *[F.col(c).alias(f"{c}{suffix}") for c in vals],
+            ),
+            F.col("__rs"),
+            F.col("__re"),
+            "right",
+        ).withColumnRenamed("__b0", "__rb0")
+        out = (
+            l2.join(r2, [*on, "__bucket"])
+            .filter(
+                (F.col("__ls") <= F.col("__re"))
+                & (F.col("__rs") <= F.col("__le"))
+                & (
+                    F.col("__bucket")
+                    == F.greatest(F.col("__b0"), F.col("__rb0"))
+                )
+            )
+            .drop("__bucket", "__b0", "__rb0", "__ls", "__le")
+            .withColumnsRenamed(
+                {"__rs": f"{right_start}{suffix}", "__re": f"{right_end}{suffix}"}
+            )
+        )
+        return out
+
+    return _join

@@ -3310,3 +3310,38 @@ def test_random_projection_preserves_distances(spark):
     assert other != got
     with pytest.raises(ValueError):
         t("embedding_random_projection", out_dim=0)
+
+
+def test_interval_overlap_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("k", 1, 0, 10), ("k", 2, 20, 30), ("x", 3, 0, 10)],
+        "g STRING, lid INT, s LONG, e LONG",
+    )
+    right = spark.createDataFrame(
+        # r1 overlaps l1 across MANY buckets (dedup check); r2 touches l1
+        # at the boundary (10 == 10 → overlap, closed intervals); r3 is
+        # disjoint; r4 overlaps only in group x
+        [("k", 1, 2, 9), ("k", 2, 10, 15), ("k", 3, 11, 19), ("x", 4, 5, 6)],
+        "g STRING, rid INT, s LONG, e LONG",
+    )
+    out = left.transform(
+        t("interval_overlap_join", right=right, on=["g"],
+          left_start="s", left_end="e", right_start="s", right_end="e",
+          bucket_width=2)
+    )
+    pairs = sorted((r["lid"], r["rid_r"]) for r in out.collect())
+    assert pairs == [(1, 1), (1, 2), (3, 4)]
+    # no duplicates despite many shared buckets
+    assert len(pairs) == len(set(pairs))
+    # fail-fast on an exploding interval
+    import pytest as _pt
+    wide = spark.createDataFrame(
+        [("k", 9, 0, 10_000_000)], "g STRING, lid INT, s LONG, e LONG"
+    )
+    bad = wide.transform(
+        t("interval_overlap_join", right=right, on=["g"],
+          left_start="s", left_end="e", right_start="s", right_end="e",
+          bucket_width=2, max_buckets_per_interval=100)
+    )
+    with _pt.raises(Exception, match="buckets of width"):
+        bad.collect()
