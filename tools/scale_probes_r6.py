@@ -318,6 +318,34 @@ PROBES["zorder_10m"] = probe_zorder_10m
 PROBES["incremental_minhash_20_runs"] = probe_incremental_minhash_20_runs
 
 
+def probe_interval_overlap_1m(spark):
+    """interval_overlap_join at 1M x 1M intervals (100 keys, ~5k-unit
+    spans, 10k-unit buckets): the bucketed equi-join + first-shared-bucket
+    dedup plan — contrast a nested-loop inequality join, which at this
+    size evaluates ~10^10 key-local pairs."""
+    left = spark.range(1_000_000).selectExpr(
+        "id AS lid", "cast(id % 100 as long) AS g",
+        "cast((id * 37) % 1000000000 as long) AS s",
+    ).selectExpr("lid", "g", "s", "s + 5000 AS e")
+    right = spark.range(1_000_000).selectExpr(
+        "id AS rid", "cast(id % 100 as long) AS g",
+        "cast((id * 53 + 1234) % 1000000000 as long) AS s",
+    ).selectExpr("rid", "g", "s", "s + 4000 AS e")
+    t0 = time.time()
+    out = left.transform(
+        t("interval_overlap_join", right=right, on=["g"],
+          left_start="s", left_end="e", right_start="s", right_end="e",
+          bucket_width=10_000)
+    )
+    n = out.count()
+    dt = time.time() - t0
+    print(f"[interval_overlap_1m] 1M x 1M intervals, 100 keys: "
+          f"{n} overlapping pairs in {dt:.1f}s")
+
+
+PROBES["interval_overlap_1m"] = probe_interval_overlap_1m
+
+
 def main():
     spark = ExecEnv.get_or_create()
     only = set(sys.argv[1:])
