@@ -170,6 +170,23 @@ CASES = [
     ("quantile_prune", {"score_col": "x", "keep_frac": 0.5}, "num", "zero"),
     ("profile_columns", {}, "num", "any"),  # one row per column, always
     ("curation_report", {"flag_cols": ["is_ok"]}, "num", "any"),
+    ("layout_zorder", {"cols": ["doc_id", "lang"], "bits_per_col": 8}, "docs", "zero"),
+    (
+        "layout_zorder",
+        {"cols": ["doc_id"], "bits_per_col": 8, "method": "rank"},
+        "docs",
+        "zero",
+    ),
+    (
+        "temperature_sample",
+        {"budget_tokens": 10, "group_col": "lang"},
+        "docs",
+        "zero",
+    ),
+    ("profile_skew", {"key_cols": ["lang"]}, "docs", "zero"),
+    ("text_unicode_normalize", {"flag_changed": True}, "docs", "zero"),
+    ("embedding_random_projection", {"out_dim": 2}, "emb", "zero"),
+    ("streaming_dedup_exact", {"id_col": "doc_id"}, "docs", "zero"),
 ]
 
 
@@ -207,3 +224,24 @@ def test_op_survives_empty_and_single_row(spark, name, args, kind, empty_mode):
     assert [f.name for f in out_empty.schema.fields] == [
         f.name for f in out_single.schema.fields
     ]
+
+
+def test_two_input_ops_survive_empty_sides(spark):
+    """Ops taking a second DataFrame: every combination of empty/single
+    inputs must execute with a stable column set."""
+    single = _fixture(spark, "docs", empty=False)
+    empty = _fixture(spark, "docs", empty=True)
+    for a, b in [(single, empty), (empty, single), (empty, empty)]:
+        out = a.transform(t("text_decontaminate_bloom", benchmark_df=b))
+        assert out.count() >= 0
+        row = a.transform(t("corpus_overlap_stats", other_df=b))
+        assert row.count() == 1  # global one-row audit even on empty
+    iv_schema = "g STRING, s LONG, e LONG"
+    il = spark.createDataFrame([("k", 0, 5)], iv_schema)
+    ie = spark.createDataFrame([], iv_schema)
+    for a, b in [(il, ie), (ie, il), (ie, ie)]:
+        out = a.transform(
+            t("interval_overlap_join", right=b, on=["g"], left_start="s",
+              left_end="e", right_start="s", right_end="e", bucket_width=2)
+        )
+        assert out.count() == 0
