@@ -3104,6 +3104,79 @@ def dp111_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled-CTE DuckDB replay of embedding_kmeans (exact integer
+    arithmetic end-to-end, so every iteration matches bit-for-bit):
+    quantize -> md5-ordered init -> (assign, floor-div update) x iters ->
+    final assign. Mirrors datapipes/clustering.py's stated semantics."""
+
+    def assign(i: int, prev: str) -> str:
+        d = (
+            f"list_sum(list_transform(list_zip(q.v, {prev}.v),"
+            " p -> (p[1]-p[2])*(p[1]-p[2])))"
+        )
+        return (
+            f"a{i} AS (SELECT id, c, d FROM ("
+            f"SELECT q.id, {prev}.c, {d} AS d,"
+            f" row_number() OVER (PARTITION BY q.id ORDER BY {d}, {prev}.c) AS rn"
+            f" FROM q CROSS JOIN {prev}) WHERE rn = 1)"
+        )
+
+    def update(i: int, prev: str) -> str:
+        return (
+            f"u{i} AS (SELECT c, i, sum(x) AS s, count(*) AS n FROM ("
+            f"SELECT a{i}.c AS c, unnest(generate_series(1, len(q.v))) AS i,"
+            f" unnest(q.v) AS x FROM a{i} JOIN q USING (id)) GROUP BY c, i), "
+            f"c{i} AS (SELECT {prev}.c,"
+            f" CASE WHEN uu.c IS NULL THEN {prev}.v ELSE uu.lv END AS v"
+            f" FROM {prev} LEFT JOIN ("
+            f"SELECT c, list(CASE WHEN s >= 0 THEN s // n"
+            f" ELSE -((-s + n - 1) // n) END ORDER BY i) AS lv"
+            f" FROM u{i} GROUP BY c) uu ON {prev}.c = uu.c)"
+        )
+
+    ctes = [
+        "q AS (SELECT vec_id AS id, list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE)*1024.0 + 0.5) AS BIGINT)) AS v"
+        " FROM embeddings)",
+        "c0 AS (SELECT row_number() OVER"
+        " (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS c, v"
+        f" FROM q ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k})",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes.append(assign(t, prev))
+        ctes.append(update(t, prev))
+        prev = f"c{t}"
+    ctes.append(assign(iters + 1, prev))
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT id AS vec_id, c::INT AS cluster,"
+        f" d::BIGINT AS cluster_dist FROM a{iters + 1}"
+    )
+
+
+def dp112_embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic integer-grid Lloyd k-means (datapipes/clustering.py
+    embedding_kmeans): quantize to the 1024 grid (exact for the
+    power-of-two scale), md5-ordered init, 2 exact Lloyd rounds with
+    floor-div centroid updates — assignments and squared grid distances
+    replay bit-for-bit in the unrolled-CTE oracle."""
+    emb = load_table(spark, sf, "embeddings")
+    out = emb.transform(_t("embedding_kmeans", k=8, iterations=2))
+    return out.select("vec_id", "cluster", "cluster_dist")
+
+
+def dp113_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster curation diagnostics (datapipes/clustering.py
+    cluster_stats) over the dp112 assignment: size, exact bigint inertia,
+    rounded mean distance, max distance."""
+    emb = load_table(spark, sf, "embeddings")
+    out = emb.transform(_t("embedding_kmeans", k=8, iterations=2)).transform(
+        _t("cluster_stats")
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 6): front-load the 26
@@ -3161,6 +3234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp109_unicode_normalize": dp109_unicode_normalize,
         "dp110_random_projection": dp110_random_projection,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
+        "dp112_embedding_kmeans": dp112_embedding_kmeans,
+        "dp113_cluster_stats": dp113_cluster_stats,
         # --- one representative per SURVEY §2 family ---
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -4912,6 +4987,15 @@ def oracle_sql() -> dict[str, str]:
             FROM l JOIN r ON l.o_orderpriority = r.o_orderpriority
              AND l.s <= r.e AND r.s <= l.e
         """,
+        "dp112_embedding_kmeans": _kmeans_oracle_sql(8, 2),
+        "dp113_cluster_stats": (
+            "WITH asg AS (" + _kmeans_oracle_sql(8, 2) + ") "
+            "SELECT cluster, count(*)::BIGINT AS size, "
+            "sum(cluster_dist)::BIGINT AS inertia, "
+            "round(sum(cluster_dist)::DOUBLE / count(*), 6) AS mean_dist, "
+            "max(cluster_dist)::BIGINT AS max_dist "
+            "FROM asg GROUP BY cluster"
+        ),
         "dp24_vocab_top_k": f"""
             WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),
             c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1),

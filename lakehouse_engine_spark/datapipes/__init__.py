@@ -10,6 +10,7 @@ the hot path) and register in the engine's TransformerFactory.
 
 from lakehouse_engine_spark.datapipes import (  # noqa: E402,F401 — populate registry
     bpe,
+    clustering,
     dedup,
     diff,
     embeddings,

@@ -3345,3 +3345,95 @@ def test_interval_overlap_join_semantics(spark):
     )
     with _pt.raises(Exception, match="buckets of width"):
         bad.collect()
+
+
+def _lloyd_ref(vecs, k, iters):
+    """Pure-Python reference for embedding_kmeans' stated semantics:
+    1024-grid quantization, md5-ordered init, exact Lloyd rounds with
+    floor-div centroid updates, ties to the smallest cluster id."""
+    import hashlib
+    import math
+
+    q = {
+        i: [math.floor(float(x) * 1024 + 0.5) for x in v]
+        for i, v in vecs.items()
+    }
+    order = sorted(q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = [list(q[i]) for i in order[:k]]
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            dists = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+            best = min(range(len(cents)), key=lambda j: (dists[j], j))
+            out[i] = (best, dists[best])
+        return out
+
+    for _ in range(iters):
+        asg = assign()
+        for j in range(len(cents)):
+            members = [q[i] for i, (c, _) in asg.items() if c == j]
+            if members:
+                cents[j] = [
+                    sum(col) // len(members) for col in zip(*members)
+                ]
+    return assign()
+
+
+def test_embedding_kmeans_matches_reference(spark):
+    import random as rnd
+
+    rnd.seed(11)
+    vecs = {i: [rnd.uniform(-1, 1) for _ in range(8)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    out = df.transform(t("embedding_kmeans", k=4, iterations=3))
+    got = {r["vec_id"]: (r["cluster"], r["cluster_dist"]) for r in out.collect()}
+    # quantization on the Spark side happens float->double; mirror that
+    ref_vecs = {i: [float(x) for x in v] for i, v in vecs.items()}
+    import struct
+
+    ref_vecs = {
+        i: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        for i, v in ref_vecs.items()
+    }
+    assert got == _lloyd_ref(ref_vecs, 4, 3)
+    # all input columns survive, plus the two outputs
+    assert set(out.columns) == {"vec_id", "embedding", "cluster", "cluster_dist"}
+    # every cluster id in range
+    assert all(0 <= c < 4 for c, _ in got.values())
+
+
+def test_embedding_kmeans_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id INT, embedding ARRAY<FLOAT>"
+    )
+    # k larger than the corpus: every point is its own centroid, dist 0
+    out = df.transform(t("embedding_kmeans", k=5, iterations=2)).collect()
+    assert sorted((r["cluster_dist"]) for r in out) == [0, 0]
+    # iterations=0: assignment against the raw init centroids
+    out0 = df.transform(t("embedding_kmeans", k=1, iterations=0)).collect()
+    assert {r["cluster"] for r in out0} == {0}
+    # empty input: empty result with the full schema
+    empty = df.limit(0).transform(t("embedding_kmeans", k=3))
+    assert empty.count() == 0
+    assert set(empty.columns) == {"vec_id", "embedding", "cluster", "cluster_dist"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        t("embedding_kmeans", k=0)
+    with _pt.raises(ValueError):
+        t("embedding_kmeans", iterations=-1)
+
+
+def test_cluster_stats(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 30), (3, 1, 4)],
+        "vec_id INT, cluster INT, cluster_dist LONG",
+    )
+    out = {r["cluster"]: r for r in df.transform(t("cluster_stats")).collect()}
+    assert out[0]["size"] == 2 and out[0]["inertia"] == 40
+    assert out[0]["mean_dist"] == 20.0 and out[0]["max_dist"] == 30
+    assert out[1]["size"] == 1 and out[1]["inertia"] == 4

@@ -257,14 +257,16 @@ _sessions = st.lists(
 
 def _session_ref(rows, gap_s):
     """Reference sessionization: per key, sorted events; a new session
-    starts when ts - prev_ts >= gap (Spark's session_window merges only
-    when the next event falls STRICTLY inside [prev, prev+gap))."""
+    starts when ts - prev_ts > gap. Spark's session_window treats the
+    session end as an INCLUSIVE merge boundary — an event landing exactly
+    at prev+gap extends the session (verified against session_window and
+    pinned by the dp31 oracle, which marks new sessions with `> gap`)."""
     out = []
     for key in sorted({k for k, _ in rows}):
         ts = sorted(s for k, s in rows if k == key)
         start, prev, n = ts[0], ts[0], 1
         for s in ts[1:]:
-            if s - prev >= gap_s:
+            if s - prev > gap_s:
                 out.append((key, start, prev + gap_s, n))
                 start, n = s, 0
             prev = s
