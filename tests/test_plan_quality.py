@@ -767,3 +767,37 @@ def test_ngram_counts_take_ordered_no_global_sort(spark, sf_dir):
     physical, _ = _plans(df)
     assert "TakeOrderedAndProject" in physical, physical[:2000]
     assert "partial_count" in physical or "partial_" in physical, physical[:2000]
+
+
+def test_kmeans_assignment_constant_size_plan(spark, sf_dir):
+    """embedding_kmeans: the assignment must NOT inline centroid literals
+    into the plan — the round-6 formulation re-inlined every k*dim-literal
+    distance tree into each of the k argmin branches (O(k^2*dim) nodes,
+    78 s of Catalyst analysis for 0.15 s of execution at k=8/dim=64), and
+    even the O(k*dim) scalar expansion dies at Janino's 64 KB method
+    limit by k=16. The shipped shape is one Arrow-batched vectorized
+    projection: plan text stays ~constant in k and centroids ride the
+    closure, so analysis cost is flat and there is nothing for codegen
+    to blow up. Gate: the plan is ArrowEvalPython + joinless, and its
+    size does not grow with k (k=32 within 20% of k=4)."""
+    import pyspark.sql.functions as F
+
+    from lakehouse_engine_spark.datapipes import clustering as C
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    sizes = {}
+    for k in (4, 32):
+        from lakehouse_engine_spark.transformers.transformer_factory import (
+            TransformerFactory,
+        )
+        from lakehouse_engine_spark.core.definitions import TransformerSpec
+
+        out = TransformerFactory.get_transformer(
+            TransformerSpec("embedding_kmeans", {"k": k, "iterations": 0})
+        )(emb)
+        physical, _ = _plans(out)
+        assert "ArrowEvalPython" in physical, physical[:2000]
+        for bad in ("Join", "CartesianProduct", "Exchange"):
+            assert bad not in physical, (bad, physical[:2000])
+        sizes[k] = len(physical)
+    assert sizes[32] <= sizes[4] * 1.2, sizes
