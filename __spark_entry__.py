@@ -3059,12 +3059,18 @@ def dp110_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     embedding_random_projection): 64-dim float embeddings → 16-dim via a
     seeded Rademacher matrix scaled 1/sqrt(16) — unrolled index-order ±
     sums on IEEE doubles, so the oracle (same literal weights, same term
-    order) reproduces every projected component bit-for-bit."""
+    order) reproduces every projected component bit-for-bit. Output is
+    posexploded to one (vec_id, dim_idx, component) row per projected
+    component: scalar doubles the driver canonicalizer can sort/hash
+    (a raw array<double> column is unhashable in its pandas bridge),
+    while still value-pinning the entire projection."""
     emb = load_table(spark, sf, "embeddings")
     out = emb.transform(
         _t("embedding_random_projection", out_dim=16, seed="rp")
     )
-    return out.select("vec_id", "embedding_rp")
+    return out.select(
+        "vec_id", F.posexplode("embedding_rp").alias("dim_idx", "component")
+    )
 
 
 def dp111_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -4959,7 +4965,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dp110_random_projection": (lambda: (
-            "SELECT vec_id, ["
+            "WITH p AS (SELECT vec_id, ["
             + ", ".join(
                 "("
                 + " ".join(
@@ -4970,7 +4976,9 @@ def oracle_sql() -> dict[str, str]:
                 + f") * {1.0 / 4.0!r}"
                 for i in range(16)
             )
-            + "] AS embedding_rp FROM embeddings"
+            + "] AS embedding_rp FROM embeddings) "
+            "SELECT vec_id, unnest(generate_series(0, 15))::INT AS dim_idx, "
+            "unnest(embedding_rp) AS component FROM p"
         ))(),
         "dp111_interval_overlap_join": """
             WITH l AS (

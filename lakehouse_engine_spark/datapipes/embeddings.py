@@ -175,9 +175,16 @@ def embedding_random_projection(
     oracle reproduces projected vectors BIT-FOR-BIT (same convention as
     the embedding family's other folds). Pure projection: no shuffle, no
     Python, whole-stage codegen.
+
+    The unrolled form is capped at ``out_dim * d_in <= 65,536`` terms —
+    beyond that the generated expression approaches Janino method limits
+    and planner memory (e.g. 768 -> 128 is ~100k terms). A wider
+    projection should go through two chained projections (768 -> 256 ->
+    128 stays under the cap) or a coarser target dimension.
     """
     if out_dim < 1:
         raise ValueError("embedding_random_projection: out_dim must be >= 1")
+    max_terms = 65_536
 
     def _sign(i: int, j: int) -> int:
         import hashlib
@@ -193,20 +200,28 @@ def embedding_random_projection(
             raise ValueError(
                 f"embedding_random_projection: {input_col} must be an array"
             )
-        # embedding width from the data: one cheap first-row probe
-        first = df.select(F.size(input_col).alias("d")).first()
+        # embedding width from the data: one aggregate probe over
+        # non-null embeddings (a null first row must not zero the width)
+        first = df.select(F.max(F.size(input_col)).alias("d")).first()
         d_in = int(first["d"]) if first and first["d"] is not None else 0
         if d_in < 1:
             return df.withColumn(
                 output_col,
                 F.lit(None).cast("array<double>"),
             )
+        if out_dim * d_in > max_terms:
+            raise ValueError(
+                f"embedding_random_projection: out_dim * input width = "
+                f"{out_dim}*{d_in} exceeds {max_terms} unrolled terms; "
+                "chain two smaller projections instead"
+            )
         scale = 1.0 / (out_dim**0.5)
+        quoted = "`" + input_col.replace("`", "``") + "`"
         comps = []
         for i in range(out_dim):
             terms = " ".join(
                 ("+" if _sign(i, j) > 0 else "-")
-                + f" cast(element_at({input_col}, {j + 1}) as double)"
+                + f" cast(element_at({quoted}, {j + 1}) as double)"
                 for j in range(d_in)
             ).lstrip("+ ")
             comps.append(F.expr(f"({terms}) * {scale!r}"))

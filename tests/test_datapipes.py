@@ -3312,6 +3312,33 @@ def test_random_projection_preserves_distances(spark):
         t("embedding_random_projection", out_dim=0)
 
 
+def test_random_projection_guards_and_quoting(spark):
+    """Width guard: out_dim * d_in beyond the unrolled-term cap raises
+    with guidance instead of stalling the planner; non-identifier column
+    names are backtick-quoted into the generated SQL."""
+    import pyspark.sql.functions as F
+
+    weird = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id LONG, `my emb` ARRAY<DOUBLE>"
+    )
+    out = weird.transform(
+        t("embedding_random_projection", out_dim=2, input_col="my emb")
+    ).collect()
+    assert len(out[0]["embedding_rp"]) == 2
+    wide = spark.createDataFrame(
+        [(1, [float(i) for i in range(1024)])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="unrolled terms"):
+        wide.transform(t("embedding_random_projection", out_dim=256)).collect()
+    # null-first-row corpus still infers the width from later rows
+    nulled = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    rows = {r["vec_id"]: r["embedding_rp"] for r in nulled.transform(
+        t("embedding_random_projection", out_dim=2)).collect()}
+    assert rows[1] is not None and len(rows[1]) == 2
+
+
 def test_interval_overlap_join_semantics(spark):
     left = spark.createDataFrame(
         [("k", 1, 0, 10), ("k", 2, 20, 30), ("x", 3, 0, 10)],
