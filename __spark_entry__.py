@@ -4901,7 +4901,16 @@ def oracle_sql() -> dict[str, str]:
             ),
             stats AS (SELECT lang AS g, SUM(tok) AS t FROM d GROUP BY 1),
             w AS (
-              SELECT g, t, CAST(floor(sqrt(t)) AS BIGINT) AS wt FROM stats
+              -- exact integer sqrt: floor(sqrt(t)) on doubles rounds UP
+              -- for t just below a large perfect square (t = k^2 - 1,
+              -- k > ~2^26); the correction term (wt - (wt*wt > t))
+              -- makes the replay match the engine's math.isqrt exactly
+              SELECT g, t,
+                     CAST(floor(sqrt(t)) AS BIGINT)
+                       - CASE WHEN CAST(floor(sqrt(t)) AS BIGINT)
+                                   * CAST(floor(sqrt(t)) AS BIGINT) > t
+                              THEN 1 ELSE 0 END AS wt
+              FROM stats
             ),
             a AS (
               SELECT g, t,

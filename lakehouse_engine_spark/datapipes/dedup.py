@@ -1028,10 +1028,21 @@ def dedup_embedding_cosine(
         if dim_arg is not None:
             dim = dim_arg
         else:
+            # aggregate over non-null embeddings: a null FIRST row must
+            # not poison the width (range(None) raises); vectors are
+            # assumed uniform-width, with the widest width winning so
+            # narrower stragglers surface as nulls in the expansion
+            # rather than silently truncating everyone else
             probe = df.select(
-                F.size(F.col(embedding_col).cast("array<double>")).alias("d")
+                F.max(
+                    F.size(F.col(embedding_col).cast("array<double>"))
+                ).alias("d")
             ).first()
-            dim = probe["d"] if probe is not None else 1  # empty corpus
+            dim = (
+                probe["d"]
+                if probe is not None and probe["d"] is not None
+                else 1
+            )  # empty corpus
         # per-vector norm computed ONCE per signature row (O(n·tables)); the
         # pair verify then runs entirely inside whole-stage codegen — an
         # interpreted cosine() HOF per candidate pair was the bottleneck on
@@ -1189,6 +1200,13 @@ def dedup_semantic_centroid(
     ``max_cluster_size`` are dropped from pairing (fail-safe cap, same
     policy as the LSH bucket cap). The verify dot product is the codegen
     ``element_at`` chain — no interpreted array lambdas on the pair path.
+    Cache lifetime note: the expanded corpus and the capped assignment
+    are persisted because each feeds TWO downstream joins of the
+    returned (lazy) plan, so there is no sound point inside the operator
+    to unpersist them — in a long-lived session that reuses one
+    SparkSession across many invocations, reclaim them with
+    ``spark.catalog.clearCache()`` (or materialize + unpersist at the
+    call site).
     Zero-norm vectors (e.g. empty documents through
     ``text_hash_embedding``) have no cosine direction: they skip
     assignment and pairing and always survive.
@@ -1205,10 +1223,21 @@ def dedup_semantic_centroid(
         if dim_arg is not None:
             dim = dim_arg
         else:
+            # aggregate over non-null embeddings: a null FIRST row must
+            # not poison the width (range(None) raises); vectors are
+            # assumed uniform-width, with the widest width winning so
+            # narrower stragglers surface as nulls in the expansion
+            # rather than silently truncating everyone else
             probe = df.select(
-                F.size(F.col(embedding_col).cast("array<double>")).alias("d")
+                F.max(
+                    F.size(F.col(embedding_col).cast("array<double>"))
+                ).alias("d")
             ).first()
-            dim = probe["d"] if probe is not None else 1  # empty corpus
+            dim = (
+                probe["d"]
+                if probe is not None and probe["d"] is not None
+                else 1
+            )  # empty corpus
 
         vec = F.col(embedding_col).cast("array<double>")
         base = ensure_parallelism(df).select(
@@ -1341,14 +1370,47 @@ def dedup_semantic_centroid(
     return _dedup
 
 
+def _state_fs(spark, location: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(location)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
+
+
 def _state_path_exists(spark, location: str) -> bool:
-    """True iff the digest-state path exists. Only the MISSING-path case
-    may be treated as 'first run' — a corrupt state file or a transient
+    """True iff the digest-state path exists, AFTER recovering any
+    interrupted compaction swap. Only the genuinely-missing case may be
+    treated as 'first run' — a corrupt state file or a transient
     FS/permission error must propagate, otherwise cross-run dedup
     silently disables itself and re-emits previously-seen rows."""
     from lakehouse_engine_spark.utils.fs_utils import path_exists
 
+    _recover_state(spark, location)
     return path_exists(spark, location)
+
+
+def _recover_state(spark, location: str) -> None:
+    """Heal an interrupted ``_compact_state`` swap. The swap window is
+    rename(live -> __old); rename(staging -> live); delete(__old) — a
+    crash inside it leaves either (a) no live dir + a complete ``__old``
+    (restore it: the backup holds the full pre-compaction state, and
+    compaction never changes content) or (b) both live and ``__old``
+    (the second rename landed: drop the stale backup). Without this, a
+    crash in window (a) makes the next run see 'no state' and silently
+    re-emit every previously-seen row."""
+    jvm, fs, jpath = _state_fs(spark, location)
+    backup = jvm.org.apache.hadoop.fs.Path(location + "__old")
+    if not fs.exists(backup):
+        return
+    if fs.exists(jpath):
+        fs.delete(backup, True)
+        return
+    if not fs.rename(backup, jpath):
+        raise RuntimeError(
+            f"dedup state recovery: could not restore {location}__old to "
+            f"{location}; the digest state is intact at the backup path — "
+            "restore it manually before rerunning"
+        )
 
 
 def _compact_state(spark, location: str, max_files: int) -> None:
@@ -1357,11 +1419,16 @@ def _compact_state(spark, location: str, max_files: int) -> None:
     daily-ingest cadence the state otherwise becomes thousands of tiny
     files and every anti-join pays their open/footer cost. The rewrite
     stages into a sibling ``<location>__compacting`` dir and swaps via
-    FileSystem rename, so a crash mid-compaction leaves the original
-    state intact (the stale staging dir is removed on the next attempt)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(location)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    two FileSystem renames with a ``__old`` backup. Every rename's
+    return value is checked (HDFS renames report failure by returning
+    false — an unchecked first rename would make the second one move the
+    staging dir INSIDE the live state), and ``_recover_state`` heals the
+    one non-atomic window (live dir absent, backup present) on the next
+    access. On object stores without atomic dir rename (S3A), renames are
+    slow copies — prefer ``compact_after_files=0`` there and compact
+    offline, as the docstring window is longer though still recoverable."""
+    jvm, fs, jpath = _state_fs(spark, location)
+    _recover_state(spark, location)
     part_files = [
         f
         for f in fs.listStatus(jpath)
@@ -1380,8 +1447,24 @@ def _compact_state(spark, location: str, max_files: int) -> None:
     backup = jvm.org.apache.hadoop.fs.Path(location + "__old")
     if fs.exists(backup):
         fs.delete(backup, True)
-    fs.rename(jpath, backup)
-    fs.rename(staging, jpath)
+    if not fs.rename(jpath, backup):
+        raise RuntimeError(
+            f"dedup state compaction: rename {location} -> {location}__old "
+            "failed; state left untouched"
+        )
+    if not fs.rename(staging, jpath):
+        # live dir is momentarily absent; put the backup straight back so
+        # no later run can mistake this for a first run
+        if not fs.rename(backup, jpath):
+            raise RuntimeError(
+                f"dedup state compaction: swap failed AND restore failed; "
+                f"full state preserved at {location}__old — restore it "
+                "manually before rerunning"
+            )
+        raise RuntimeError(
+            f"dedup state compaction: rename {location}__compacting -> "
+            f"{location} failed; original state restored"
+        )
     fs.delete(backup, True)
 
 

@@ -23,6 +23,41 @@ from lakehouse_engine_spark.datapipes.registry import register
 
 BUCKETS = 1_000_000
 
+# The mixing samplers collect one (group, token-total) row per distinct
+# group to the driver — a control decision sized for language/domain
+# cardinality. Past this many groups that collect is a driver flood, so
+# the aggregate fails in-row instead (the layout_zorder guard policy).
+MAX_MIX_GROUPS = 100_000
+
+
+def _guarded_group_totals(df: DataFrame, group_col: str, tok: Column, op: str):
+    """One map-side-combined (group, sum-token) aggregate, collected to
+    the driver behind an IN-ROW cardinality guard: a row_number over the
+    aggregate raises past ``MAX_MIX_GROUPS`` inside the task (the
+    layout_zorder rank-arm pattern — no separate count-distinct pass, and
+    the driver never receives the flood)."""
+    from pyspark.sql import Window
+
+    agg = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.sum(tok.cast("long")).alias("__tot")
+    )
+    w = Window.orderBy("__g")
+    return agg.select(
+        "__g",
+        F.when(
+            F.row_number().over(w) > MAX_MIX_GROUPS,
+            F.expr(
+                "raise_error(concat("
+                f"'{op}: more than {MAX_MIX_GROUPS} distinct ', "
+                f"'{group_col} groups — the per-group threshold table is a ', "
+                "'driver control decision sized for language/domain ', "
+                "'cardinality; pre-bucket the group column first'))"
+            ).cast("long"),
+        )
+        .otherwise(F.col("__tot"))
+        .alias("__tot"),
+    ).collect()
+
 
 def _bucket_raw(id_col: str, seed: str) -> Column:
     """Full 60-bit md5-fold (no modulus) — the shared portable hash."""
@@ -339,11 +374,7 @@ def unimax_sample(
                 )
             )
         )
-        totals = (
-            df.groupBy(F.col(group_col).alias("__g"))
-            .agg(F.sum(tok.cast("long")).alias("__tot"))
-            .collect()
-        )
+        totals = _guarded_group_totals(df, group_col, tok, "unimax_sample")
         stats = sorted(
             (
                 (int(math.floor((r["__tot"] or 0) * epochs)), r["__tot"] or 0, r["__g"])
@@ -452,10 +483,8 @@ def temperature_sample(
                 )
             )
         )
-        totals = (
-            df.groupBy(F.col(group_col).alias("__g"))
-            .agg(F.sum(tok.cast("long")).alias("__tot"))
-            .collect()
+        totals = _guarded_group_totals(
+            df, group_col, tok, "temperature_sample"
         )
         alpha = 1.0 / temperature
         groups = []

@@ -1445,23 +1445,22 @@ def bm25_topk(
         raise ValueError(f"text_bm25_topk: k must be >= 1, got {k}")
 
     def _bm25(df: DataFrame) -> DataFrame:
-        from pyspark import StorageLevel
         from pyspark.sql import Window
 
         toks = df.select(
             F.col(id_col).alias("__doc"),
             tokens_lower(F.col(input_col)).alias("__t"),
         )
-        qterms = (
-            queries_df.select(
-                F.col(query_id_col).alias("__qid"),
-                F.explode(tokens_lower(F.col(query_col))).alias("term"),
-            )
-            .distinct()
-            # reused three ways: vocab prune, final scoring join, and the
-            # size probe — persist so the query set is tokenized once
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        qterms = queries_df.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode(tokens_lower(F.col(query_col))).alias("term"),
+        ).distinct()
+        # qterms is reused three ways (vocab prune, final scoring join,
+        # size probe), but its distinct() ends in an Exchange, so within
+        # the caller's single action ReusedExchange dedupes the identical
+        # subplans — a lingering persist is NOT needed for that and would
+        # leak cache in long-lived sessions (the returned plan is lazy, so
+        # there is no sound place to unpersist after materialization).
         do_broadcast = broadcast_queries
         if do_broadcast is None:
             do_broadcast = qterms.count() <= broadcast_threshold_rows

@@ -2841,6 +2841,40 @@ def test_dedup_incremental_corrupt_state_fails_loudly(spark, tmp_path):
     assert "first run" not in str(exc.value)
 
 
+def test_dedup_incremental_crash_mid_compaction_recovers(spark, tmp_path):
+    """The compaction swap has a window where the live state dir does not
+    exist (rename(live -> __old) landed, rename(staging -> live) did
+    not). A run starting inside that window must RESTORE the backup and
+    keep deduping against the full history — treating it as a first run
+    would silently re-emit every previously-seen row. The complete-swap
+    crash (__old left beside a live dir) must drop the stale backup."""
+    import shutil
+
+    state = tmp_path / "digests"
+    df1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id LONG, text STRING"
+    )
+    op = t("dedup_incremental_exact", state_location=str(state),
+           key_cols=["text"], id_col="doc_id")
+    assert len(df1.transform(op).collect()) == 2
+    # crash window (a): live dir gone, __old holds the full state
+    shutil.move(str(state), str(state) + "__old")
+    df2 = spark.createDataFrame(
+        [(3, "alpha"), (4, "gamma")], "doc_id LONG, text STRING"
+    )
+    out = {r["text"] for r in df2.transform(op).collect()}
+    assert out == {"gamma"}  # alpha still deduped -> state was recovered
+    assert state.exists() and not (tmp_path / "digests__old").exists()
+    # crash window (b): swap completed but the backup delete did not
+    shutil.copytree(str(state), str(state) + "__old")
+    df3 = spark.createDataFrame(
+        [(5, "beta"), (6, "delta")], "doc_id LONG, text STRING"
+    )
+    out = {r["text"] for r in df3.transform(op).collect()}
+    assert out == {"delta"}
+    assert not (tmp_path / "digests__old").exists()  # stale backup dropped
+
+
 def test_dedup_incremental_state_compaction(spark, tmp_path):
     """After many runs the digest state accumulates one parquet footprint
     per run; with compact_after_files=N the state is rewritten in place
@@ -3113,6 +3147,33 @@ def test_embedding_dedup_zero_vectors_survive_both_methods(spark):
         cosine(F.col("a"), F.array(F.lit(0.0), F.lit(0.0))).alias("s")
     ).first()["s"]
     assert sim == 0.0
+
+
+def test_mixing_samplers_group_cardinality_guard(spark, monkeypatch):
+    """The per-group threshold collect is a driver control decision sized
+    for language/domain cardinality; past MAX_MIX_GROUPS distinct groups
+    the aggregate must fail IN-ROW (executor-side raise_error, the
+    layout_zorder policy) instead of flooding the driver."""
+    from lakehouse_engine_spark.datapipes import sampling as S
+
+    monkeypatch.setattr(S, "MAX_MIX_GROUPS", 5)
+    df = spark.createDataFrame(
+        [(i, f"g{i}", "one two") for i in range(10)],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    for op_args in (
+        t("unimax_sample", budget_tokens=100),
+        t("temperature_sample", budget_tokens=100),
+    ):
+        with pytest.raises(Exception, match="distinct"):
+            df.transform(op_args).collect()
+    # under the cap both still work
+    few = spark.createDataFrame(
+        [(i, f"g{i % 3}", "one two") for i in range(9)],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    assert few.transform(t("unimax_sample", budget_tokens=100)).count() > 0
+    assert few.transform(t("temperature_sample", budget_tokens=100)).count() > 0
 
 
 def test_temperature_sample_flattens_head(spark):
