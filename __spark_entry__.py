@@ -3185,20 +3185,122 @@ def dp113_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
-    # the first 50 entries each round. Policy (round 6): front-load the 26
-    # queries that have never received the driver's hard signal — the
-    # post-rotation cohort dp74..dp96 + q25 (judge-oracle-green in round 5
-    # but never driver-checked), plus the two NEW queries dp69b (BPE encode
-    # with a fixed merge table — closes the board's only no_oracle line)
-    # and q29 (GAB reconciliation-window recompute). Then one
-    # representative per SURVEY §2 family (q01 loader/agg, q07 DQ, q08
-    # reconciliation, q17 GAB), then a refresh spread across the
-    # datapipes families (incl. dp28, round 5's perf watch item, and dp29,
-    # round 3's one-time hash-red). Everything else — all driver-green in
-    # r04/r05 — follows; every entry stays value-verified every round via
-    # tools/check_oracle.py regardless of position.
+    # the first 50 entries each round. Policy (round 7): front-load the 7
+    # queries whose code or oracle changed THIS round (the rewritten
+    # kmeans assignment dp112/dp113, the reshaped dp110, the corrected
+    # dp106 sqrt oracle, the guard-touched dp100, the width-probe-touched
+    # dp97, and dp83 whose persist lifetime changed), then the COMPLETE
+    # r04 cohort — the 43 queries whose last hard driver signal is the
+    # oldest on the board. Entries 51+ (the r05 cohort, then the
+    # r06-green remainder) still get value-verified every round via
+    # tools/check_oracle.py; the driver window rotates them back next
+    # round.
     return {
-        # --- never driver-verified: post-rotation cohort + new this round ---
+        # --- changed this round (code or oracle) ---
+        "dp110_random_projection": dp110_random_projection,
+        "dp112_embedding_kmeans": dp112_embedding_kmeans,
+        "dp113_cluster_stats": dp113_cluster_stats,
+        "dp106_temperature_sample": dp106_temperature_sample,
+        "dp100_unimax_sample": dp100_unimax_sample,
+        "dp97_semantic_dedup": dp97_semantic_dedup,
+        "dp83_bm25_topk": dp83_bm25_topk,
+        # --- complete r04 cohort: oldest driver signal on the board ---
+        "dp01_text_quality": dp01_text_quality,
+        "dp02_langid": dp02_langid,
+        "dp03_token_count": dp03_token_count,
+        "dp04_fingerprint": dp04_fingerprint,
+        "dp05_dedup_exact": dp05_dedup_exact,
+        "dp06_dedup_minhash": dp06_dedup_minhash,
+        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,
+        "dp08_embedding_dedup": dp08_embedding_dedup,
+        "dp09_knn_brute": dp09_knn_brute,
+        "dp10_multimodal_bytes": dp10_multimodal_bytes,
+        "dp11_dedup_simhash": dp11_dedup_simhash,
+        "dp12_knn_lsh": dp12_knn_lsh,
+        "dp13_knn_ivf": dp13_knn_ivf,
+        "dp14_hash_split": dp14_hash_split,
+        "dp15_hash_sample": dp15_hash_sample,
+        "dp16_asof_join": dp16_asof_join,
+        "dp17_range_join": dp17_range_join,
+        "dp18_sessionize": dp18_sessionize,
+        "dp19_profile": dp19_profile,
+        "dp20_dup_clusters": dp20_dup_clusters,
+        "dp21_pii_redact": dp21_pii_redact,
+        "dp22_repetition": dp22_repetition,
+        "dp23_decontaminate": dp23_decontaminate,
+        "dp24_vocab_top_k": dp24_vocab_top_k,
+        "dp25_stratified_sample": dp25_stratified_sample,
+        "dp26_mixture_sample": dp26_mixture_sample,
+        "dp27_image_decode": dp27_image_decode,
+        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
+        "q02_revenue_by_segment": q02_revenue_by_segment,
+        "q04_union_dedup": q04_union_dedup,
+        "q05_incremental_filter": q05_incremental_filter,
+        "q06_condense_cdc": q06_condense_cdc,
+        "q09_flatten_explode": q09_flatten_explode,
+        "q10_date_hierarchy": q10_date_hierarchy,
+        "q11_hash_masker": q11_hash_masker,
+        "q12_column_ops": q12_column_ops,
+        "q13_get_max_value": q13_get_max_value,
+        "q15_events_hourly": q15_events_hourly,
+        "q16_events_dedup": q16_events_dedup,
+        "q18_gab_monthly_rollup": q18_gab_monthly_rollup,
+        "q20_union_by_name": q20_union_by_name,
+        "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,
+        "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,
+        # ---- driver window boundary (entry 50 = q22_gab_quarter_month_snapshot) ----
+        # r05 cohort: next-oldest signal, scheduled for the r08 window
+        "dp29_pack_sequences": dp29_pack_sequences,
+        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
+        "dp31_sessionize_boundary": dp31_sessionize_boundary,
+        "dp32_audio_decode": dp32_audio_decode,
+        "dp33_text_chunk": dp33_text_chunk,
+        "dp34_quality_prune": dp34_quality_prune,
+        "dp35_lm_score": dp35_lm_score,
+        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,
+        "dp37_global_shuffle": dp37_global_shuffle,
+        "dp38_embedding_quantize": dp38_embedding_quantize,
+        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
+        "dp40_cross_near_dedup": dp40_cross_near_dedup,
+        "dp41_quantile_prune": dp41_quantile_prune,
+        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
+        "dp43_image_phash_dedup": dp43_image_phash_dedup,
+        "dp44_lm_score_bigram": dp44_lm_score_bigram,
+        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
+        "dp46_token_budget_sample": dp46_token_budget_sample,
+        "dp47_line_dedup": dp47_line_dedup,
+        "dp48_substring_dedup": dp48_substring_dedup,
+        "dp49_curation_report": dp49_curation_report,
+        "dp50_hopping_window": dp50_hopping_window,
+        "dp51_winsorize": dp51_winsorize,
+        "dp52_zscore_normalize": dp52_zscore_normalize,
+        "dp53_weighted_sample": dp53_weighted_sample,
+        "dp54_trailing_window": dp54_trailing_window,
+        "dp55_funnel": dp55_funnel,
+        "dp56_cohort_retention": dp56_cohort_retention,
+        "dp57_robust_scale": dp57_robust_scale,
+        "dp58_quantile_summary": dp58_quantile_summary,
+        "dp59_event_pivot": dp59_event_pivot,
+        "dp60_salted_join": dp60_salted_join,
+        "dp61_keep_best_dedup": dp61_keep_best_dedup,
+        "dp62_cluster_sample": dp62_cluster_sample,
+        "dp63_cdc_chunk": dp63_cdc_chunk,
+        "dp64_ewma_anomaly": dp64_ewma_anomaly,
+        "dp65_fuzzy_join": dp65_fuzzy_join,
+        "dp66_scd2_build": dp66_scd2_build,
+        "dp67_merge_intervals": dp67_merge_intervals,
+        "dp68_json_props": dp68_json_props,
+        "dp69_bpe_tokenize": dp69_bpe_tokenize,
+        "dp70_video_frames": dp70_video_frames,
+        "dp71_trend_fit": dp71_trend_fit,
+        "dp72_histogram": dp72_histogram,
+        "dp73_weighted_sample_k": dp73_weighted_sample_k,
+        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
+        "q24_semi_anti_join": q24_semi_anti_join,
+        "q26_gab_daily_rollup": q26_gab_daily_rollup,
+        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
+        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,
+        # r06-green remainder
         "dp74_lexical_diversity": dp74_lexical_diversity,
         "dp75_snapshot_diff": dp75_snapshot_diff,
         "dp76_schema_drift": dp76_schema_drift,
@@ -3209,7 +3311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp80_asof_nearest": dp80_asof_nearest,
         "dp81_text_clean": dp81_text_clean,
         "dp82_url_normalize": dp82_url_normalize,
-        "dp83_bm25_topk": dp83_bm25_topk,
         "dp84_png_decode": dp84_png_decode,
         "dp85_jpeg_decode": dp85_jpeg_decode,
         "dp86_gif_decode": dp86_gif_decode,
@@ -3225,127 +3326,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp96_g711_decode": dp96_g711_decode,
         "dp69b_bpe_encode": dp69b_bpe_encode,
         "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
-        "dp97_semantic_dedup": dp97_semantic_dedup,
         "dp98_ngram_counts": dp98_ngram_counts,
         "dp99_hash_embedding": dp99_hash_embedding,
-        "dp100_unimax_sample": dp100_unimax_sample,
         "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
         "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
         "dp103_zorder_layout": dp103_zorder_layout,
         "dp104_zorder_rank": dp104_zorder_rank,
         "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
-        "dp106_temperature_sample": dp106_temperature_sample,
         "dp107_profile_skew": dp107_profile_skew,
         "dp108_corpus_overlap": dp108_corpus_overlap,
         "dp109_unicode_normalize": dp109_unicode_normalize,
-        "dp110_random_projection": dp110_random_projection,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
-        "dp112_embedding_kmeans": dp112_embedding_kmeans,
-        "dp113_cluster_stats": dp113_cluster_stats,
-        # --- one representative per SURVEY §2 family ---
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
         "q08_reconciliation": q08_reconciliation,
         "q17_gab_weekly_rollup": q17_gab_weekly_rollup,
-        # --- refresh spread (driver-green r04/r05; dp28 = perf watch) ---
         "q03_latest_order_per_customer": q03_latest_order_per_customer,
         "q14_window_running": q14_window_running,
         "q19_join_transformer": q19_join_transformer,
-        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
-        "dp01_text_quality": dp01_text_quality,
-        "dp05_dedup_exact": dp05_dedup_exact,
-        "dp06_dedup_minhash": dp06_dedup_minhash,
-        "dp08_embedding_dedup": dp08_embedding_dedup,
-        "dp12_knn_lsh": dp12_knn_lsh,
-        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
-        "dp29_pack_sequences": dp29_pack_sequences,
-        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
-        "dp55_funnel": dp55_funnel,
-        "dp64_ewma_anomaly": dp64_ewma_anomaly,
-        "dp66_scd2_build": dp66_scd2_build,
-        # ---- driver window boundary (entry 50 = dp66_scd2_build) ----
-        # driver-green in r04/r05 (hard signal on record)
-        "dp18_sessionize": dp18_sessionize,
-        "dp16_asof_join": dp16_asof_join,
-        "dp20_dup_clusters": dp20_dup_clusters,
-        "dp25_stratified_sample": dp25_stratified_sample,
-        "dp33_text_chunk": dp33_text_chunk,
-        "q26_gab_daily_rollup": q26_gab_daily_rollup,
-        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
-        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,
-        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
-        "dp31_sessionize_boundary": dp31_sessionize_boundary,
-        "dp32_audio_decode": dp32_audio_decode,
-        "dp34_quality_prune": dp34_quality_prune,
-        "dp35_lm_score": dp35_lm_score,
-        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,
-        "dp37_global_shuffle": dp37_global_shuffle,
-        "dp38_embedding_quantize": dp38_embedding_quantize,
-        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
-        "dp40_cross_near_dedup": dp40_cross_near_dedup,
-        "dp41_quantile_prune": dp41_quantile_prune,
-        "dp43_image_phash_dedup": dp43_image_phash_dedup,
-        "dp44_lm_score_bigram": dp44_lm_score_bigram,
-        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
-        "dp46_token_budget_sample": dp46_token_budget_sample,
-        "dp47_line_dedup": dp47_line_dedup,
-        "dp48_substring_dedup": dp48_substring_dedup,
-        "dp49_curation_report": dp49_curation_report,
-        "dp50_hopping_window": dp50_hopping_window,
-        "dp51_winsorize": dp51_winsorize,
-        "dp52_zscore_normalize": dp52_zscore_normalize,
-        "dp53_weighted_sample": dp53_weighted_sample,
-        "dp54_trailing_window": dp54_trailing_window,
-        "dp56_cohort_retention": dp56_cohort_retention,
-        "dp57_robust_scale": dp57_robust_scale,
-        "dp58_quantile_summary": dp58_quantile_summary,
-        "dp59_event_pivot": dp59_event_pivot,
-        "dp60_salted_join": dp60_salted_join,
-        "dp61_keep_best_dedup": dp61_keep_best_dedup,
-        "dp62_cluster_sample": dp62_cluster_sample,
-        "dp63_cdc_chunk": dp63_cdc_chunk,
-        "dp65_fuzzy_join": dp65_fuzzy_join,
-        "dp67_merge_intervals": dp67_merge_intervals,
-        "dp68_json_props": dp68_json_props,
-        "dp69_bpe_tokenize": dp69_bpe_tokenize,
-        "dp70_video_frames": dp70_video_frames,
-        "q24_semi_anti_join": q24_semi_anti_join,
-        "dp71_trend_fit": dp71_trend_fit,
-        "dp72_histogram": dp72_histogram,
-        "dp73_weighted_sample_k": dp73_weighted_sample_k,
-        "q02_revenue_by_segment": q02_revenue_by_segment,
-        "q04_union_dedup": q04_union_dedup,
-        "q05_incremental_filter": q05_incremental_filter,
-        "q06_condense_cdc": q06_condense_cdc,
-        "q09_flatten_explode": q09_flatten_explode,
-        "q10_date_hierarchy": q10_date_hierarchy,
-        "q11_hash_masker": q11_hash_masker,
-        "q12_column_ops": q12_column_ops,
-        "q13_get_max_value": q13_get_max_value,
-        "q15_events_hourly": q15_events_hourly,
-        "q16_events_dedup": q16_events_dedup,
-        "q18_gab_monthly_rollup": q18_gab_monthly_rollup,
-        "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,
-        "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,
-        "dp02_langid": dp02_langid,
-        "dp03_token_count": dp03_token_count,
-        "dp04_fingerprint": dp04_fingerprint,
-        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,
-        "dp09_knn_brute": dp09_knn_brute,
-        "dp10_multimodal_bytes": dp10_multimodal_bytes,
-        "dp11_dedup_simhash": dp11_dedup_simhash,
-        "dp13_knn_ivf": dp13_knn_ivf,
-        "dp14_hash_split": dp14_hash_split,
-        "dp15_hash_sample": dp15_hash_sample,
-        "q20_union_by_name": q20_union_by_name,
-        "dp17_range_join": dp17_range_join,
-        "dp19_profile": dp19_profile,
-        "dp21_pii_redact": dp21_pii_redact,
-        "dp22_repetition": dp22_repetition,
-        "dp23_decontaminate": dp23_decontaminate,
-        "dp24_vocab_top_k": dp24_vocab_top_k,
-        "dp26_mixture_sample": dp26_mixture_sample,
-        "dp27_image_decode": dp27_image_decode,
     }
 
 

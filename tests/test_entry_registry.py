@@ -24,31 +24,29 @@ def test_registry_consistency():
 
 
 def test_driver_window_holds_rotation_cohort():
-    """Round-6 policy: the 50-entry driver window front-loads the 26
-    queries that never received the driver's hard signal (the
-    post-rotation cohort dp74..dp96 + q25, plus the new dp69b and q29),
-    then §2-family representatives and a refresh spread. A reorder that
-    silently rotates the cohort back out would waste the round's hard
-    signal — pin the boundary."""
+    """Round-7 policy: the 50-entry driver window front-loads the 7
+    queries whose code or oracle changed this round (the rewritten
+    kmeans assignment dp112/dp113, reshaped dp110, corrected dp106
+    oracle, touched dp100/dp97/dp83), then the COMPLETE r04 cohort —
+    the 43 queries whose last hard driver signal is the oldest on the
+    board. A reorder that silently rotates the cohort back out would
+    waste the round's hard signal — pin the boundary."""
+    import json
+    import pathlib
+
     names = list(entry.queries())
     window = set(names[:50])
-    cohort = {f"dp{i}_" for i in range(74, 97)}
-    in_window_prefixes = {n.split("_")[0] + "_" for n in window}
-    assert all(p in in_window_prefixes for p in cohort), (
-        sorted(cohort - in_window_prefixes)
-    )
-    assert {"q25_scalar_subquery_avg", "dp69b_bpe_encode",
-            "q29_gab_day_recon_recompute", "dp97_semantic_dedup",
-            "dp98_ngram_counts", "dp99_hash_embedding",
-            "dp100_unimax_sample", "dp101_reservoir_quantiles",
-            "dp102_decontaminate_bloom", "dp103_zorder_layout",
-            "dp104_zorder_rank", "dp105_stream_dedup_exact",
-            "dp106_temperature_sample", "dp107_profile_skew",
-            "dp108_corpus_overlap"} <= window
-    # §2 representatives
-    assert {"q01_pricing_summary", "q07_dq_stats", "q08_reconciliation",
-            "q17_gab_weekly_rollup"} <= window
-    # driver-green rows rotated out to make room (incl. dp28/dp29, whose
-    # watch items closed with driver-green r05 rows and the standalone
-    # re-measure recorded in BASELINE.md)
-    assert "q26_gab_daily_rollup" not in window
+    changed = {"dp110_random_projection", "dp112_embedding_kmeans",
+               "dp113_cluster_stats", "dp106_temperature_sample",
+               "dp100_unimax_sample", "dp97_semantic_dedup",
+               "dp83_bm25_topk"}
+    assert changed <= window, sorted(changed - window)
+    last = {}
+    for r in range(1, 7):
+        p = pathlib.Path(__file__).parent.parent / f"CORRECTNESS_r0{r}.json"
+        if p.exists():
+            for k in json.loads(p.read_text()):
+                last[k] = r
+    r04 = {k for k in names if last.get(k) == 4}
+    assert r04 <= window, sorted(r04 - window)
+    assert len(window) == 50
