@@ -1044,6 +1044,41 @@ def q29_gab_day_recon_recompute(spark: SparkSession, sf: str) -> DataFrame:
     return kept.unionByName(recomputed)
 
 
+def q30_gab_week_day_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """GAB WEEK cadence reconciled DAILY with snapshot=Y — the last
+    uncovered cell of the reference's cadence x reconciliation matrix
+    (core/definitions.py:1415-1756): one bucket per DAY, spanning
+    week start (Monday anchor) -> that day, so each daily snapshot
+    accumulates week-to-date. Same snapshot branch of
+    _cadence_join_config as q22/q27, on the WEEK row with the DAY
+    reconciliation column. Calendar dimension generated and
+    broadcast-joined exactly as GAB emits it."""
+    from lakehouse_engine_spark.utils.gab_utils import create_calendar_view
+
+    orders = load_table(spark, sf, "orders")
+    orders.createOrReplaceTempView("gab_q30_orders")
+    create_calendar_view(spark, "1995-01-04", "1995-02-28", view_name="df_cal_q30")
+    return spark.sql(
+        f"""
+        SELECT date_format(cal.cadence_start_date, 'yyyy-MM-dd') AS from_date,
+               date_format(cal.cadence_end_date, 'yyyy-MM-dd') AS to_date,
+               o.o_orderpriority AS d1,
+               COUNT(*) AS m1,
+               CAST(SUM({_dec('o.o_totalprice')}) AS DOUBLE) AS m2
+        FROM gab_q30_orders o
+        INNER JOIN (
+            SELECT DISTINCT weekstart_mon AS cadence_start_date,
+                            calendar_date AS cadence_end_date
+            FROM df_cal_q30
+            WHERE weekstart_mon >= DATE'1995-01-02'
+        ) cal
+          ON o.o_orderdate BETWEEN cal.cadence_start_date AND cal.cadence_end_date
+        WHERE o.o_orderdate >= DATE'1995-01-02' AND o.o_orderdate < DATE'1995-03-01'
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
 def dp11_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup removal. The 60-bit signature is an md5-fold (ANSI
     portable), so the DuckDB oracle rebuilds the full pipeline —
@@ -3189,7 +3224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries whose code or oracle changed THIS round (the rewritten
     # kmeans assignment dp112/dp113, the reshaped dp110, the corrected
     # dp106 sqrt oracle, the guard-touched dp100, the width-probe-touched
-    # dp97, and dp83 whose persist lifetime changed), then the COMPLETE
+    # dp97) plus the NEW q30 (GAB WEEK-reconciled-DAY snapshot — the
+    # matrix-closing cell), then the COMPLETE
     # r04 cohort — the 43 queries whose last hard driver signal is the
     # oldest on the board. Entries 51+ (the r05 cohort, then the
     # r06-green remainder) still get value-verified every round via
@@ -3203,7 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp106_temperature_sample": dp106_temperature_sample,
         "dp100_unimax_sample": dp100_unimax_sample,
         "dp97_semantic_dedup": dp97_semantic_dedup,
-        "dp83_bm25_topk": dp83_bm25_topk,
+        "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,
         # --- complete r04 cohort: oldest driver signal on the board ---
         "dp01_text_quality": dp01_text_quality,
         "dp02_langid": dp02_langid,
@@ -3250,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,
         # ---- driver window boundary (entry 50 = q22_gab_quarter_month_snapshot) ----
         # r05 cohort: next-oldest signal, scheduled for the r08 window
+        "dp83_bm25_topk": dp83_bm25_topk,
         "dp29_pack_sequences": dp29_pack_sequences,
         "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
         "dp31_sessionize_boundary": dp31_sessionize_boundary,
@@ -4970,6 +5007,28 @@ def oracle_sql() -> dict[str, str]:
                    md5(nfc_normalize(text)) AS norm_digest,
                    nfc_normalize(text) <> text AS unicode_changed
             FROM documents
+        """,
+        "q30_gab_week_day_snapshot": """
+            WITH cal AS (
+              SELECT unnest(generate_series(DATE '1995-01-04', DATE '1995-02-28',
+                                            INTERVAL 1 DAY))::DATE AS d
+            ), buckets AS (
+              SELECT DISTINCT
+                     date_trunc('week', d)::DATE AS cadence_start_date,
+                     d AS cadence_end_date
+              FROM cal
+              WHERE date_trunc('week', d)::DATE >= DATE '1995-01-02'
+            )
+            SELECT strftime(b.cadence_start_date, '%Y-%m-%d') AS from_date,
+                   strftime(b.cadence_end_date, '%Y-%m-%d') AS to_date,
+                   o.o_orderpriority AS d1,
+                   COUNT(*) AS m1,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m2
+            FROM orders o
+            JOIN buckets b
+              ON o.o_orderdate BETWEEN b.cadence_start_date AND b.cadence_end_date
+            WHERE o.o_orderdate >= DATE '1995-01-02' AND o.o_orderdate < DATE '1995-03-01'
+            GROUP BY 1, 2, 3
         """,
         "dp110_random_projection": (lambda: (
             "WITH p AS (SELECT vec_id, ["

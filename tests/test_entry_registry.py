@@ -27,7 +27,8 @@ def test_driver_window_holds_rotation_cohort():
     """Round-7 policy: the 50-entry driver window front-loads the 7
     queries whose code or oracle changed this round (the rewritten
     kmeans assignment dp112/dp113, reshaped dp110, corrected dp106
-    oracle, touched dp100/dp97/dp83), then the COMPLETE r04 cohort —
+    oracle, touched dp100/dp97) plus the new q30, then the COMPLETE
+    r04 cohort —
     the 43 queries whose last hard driver signal is the oldest on the
     board. A reorder that silently rotates the cohort back out would
     waste the round's hard signal — pin the boundary."""
@@ -39,7 +40,7 @@ def test_driver_window_holds_rotation_cohort():
     changed = {"dp110_random_projection", "dp112_embedding_kmeans",
                "dp113_cluster_stats", "dp106_temperature_sample",
                "dp100_unimax_sample", "dp97_semantic_dedup",
-               "dp83_bm25_topk"}
+               "q30_gab_week_day_snapshot"}
     assert changed <= window, sorted(changed - window)
     last = {}
     for r in range(1, 7):

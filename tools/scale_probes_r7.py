@@ -1,0 +1,162 @@
+"""Round-7 operator scale probes: the rewritten k-means assignment at
+k=64/dim=256/1M vectors (with plan-BUILD time recorded separately from
+execution — the round-6 defect was 78 s of driver planning for 0.15 s of
+work), and the two new multi-second corpus aggregates from round 6
+(corpus_overlap_stats, text_ngram_counts) at 100k docs. Results are
+recorded in BASELINE.md; run standalone:
+
+    python tools/scale_probes_r7.py [probe ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lakehouse_engine_spark.core.definitions import TransformerSpec
+from lakehouse_engine_spark.core.exec_env import ExecEnv
+from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+PROBES = {}
+
+
+def t(name, **args):
+    return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+
+def probe_kmeans_1m_k64_d256(spark):
+    """embedding_kmeans at 1M vectors x 256 dims, k=64, 2 Lloyd rounds —
+    the configuration whose ROUND-6 formulation would have spent hours in
+    Catalyst analysis (O(k^2*dim) literal trees) and whose O(k*dim)
+    scalar expansion dies at Janino's 64 KB method limit by k*dim ~ 1024.
+    The Arrow-batched int64 kernel keeps the plan constant-size, so the
+    interesting numbers are (a) transform BUILD time — driver-side
+    planning + 2 iteration rounds of k*dim-row collects — and (b) the
+    final assignment action. 256-dim vectors are synthesized by tiling
+    the sf0.1 embeddings 4x wide and 500x tall with per-replica jitter."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    wide = emb.select(
+        "vec_id",
+        F.flatten(
+            F.array(*[
+                F.transform("embedding", lambda x: x + F.lit(0.001) * i)
+                for i in range(4)
+            ])
+        ).alias("embedding"),
+    )
+    big = (
+        wide.crossJoin(spark.range(500).withColumnRenamed("id", "__rep"))
+        .select(
+            (F.col("vec_id") * 1000 + F.col("__rep")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.col("__rep").cast("double") / 997.0
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    n = big.count()
+    t0 = time.time()
+    out = big.transform(t("embedding_kmeans", k=64, iterations=2))
+    t_build = time.time() - t0
+    t0 = time.time()
+    stats = out.groupBy("cluster").count().orderBy(F.desc("count"))
+    top = stats.first()
+    t_exec = time.time() - t0
+    n_clusters = stats.count()
+    print(
+        f"[kmeans_1m_k64_d256] {n} vectors x 256 dims, k=64, 2 rounds: "
+        f"build (planning + 2 Lloyd collects) {t_build:.1f}s, final "
+        f"assignment+agg {t_exec:.1f}s, {n_clusters} non-empty clusters, "
+        f"largest {top['count']}"
+    )
+    big.unpersist()
+
+
+PROBES["kmeans_1m_k64_d256"] = probe_kmeans_1m_k64_d256
+
+
+def probe_corpus_overlap_100k(spark):
+    """corpus_overlap_stats at 100k docs vs a 10k-doc reference corpus —
+    the two distinct-shingle aggregates + semi-join audit at 20x the
+    oracle scale. Cost should be linear in corpus shingles (map-side
+    combined distincts), with the overlap a bucket-keyed semi-join."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(20).withColumnRenamed("id", "__rep"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000)
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ", F.col("text"),
+                F.concat(F.lit("uniq"), F.col("doc_id") % 50_000),
+            ),
+        )
+        .drop("__rep")
+        .repartition(32)
+        .persist()
+    )
+    other = docs.limit(500).crossJoin(
+        spark.range(20).withColumnRenamed("id", "__rep")
+    ).withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000).drop(
+        "__rep"
+    )
+    n = big.count()
+    t0 = time.time()
+    row = big.transform(t("corpus_overlap_stats", other_df=other)).first()
+    dt = time.time() - t0
+    print(
+        f"[corpus_overlap_100k] {n} docs vs 10k reference: {dt:.1f}s "
+        f"({row.asDict()})"
+    )
+    big.unpersist()
+
+
+PROBES["corpus_overlap_100k"] = probe_corpus_overlap_100k
+
+
+def probe_ngram_counts_100k(spark):
+    """text_ngram_counts at 100k docs: the corpus n-gram count aggregate
+    at 20x oracle scale — one explode + map-side-combined count with a
+    TakeOrderedAndProject top-k cut (no global sort). Linear in corpus
+    tokens."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(20).withColumnRenamed("id", "__rep"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000)
+        .drop("__rep")
+        .repartition(32)
+        .persist()
+    )
+    n = big.count()
+    t0 = time.time()
+    out = big.transform(t("text_ngram_counts", n=3, k=1000)).collect()
+    dt = time.time() - t0
+    print(
+        f"[ngram_counts_100k] {n} docs, 3-grams top-1000: {len(out)} rows "
+        f"in {dt:.1f}s"
+    )
+    big.unpersist()
+
+
+PROBES["ngram_counts_100k"] = probe_ngram_counts_100k
+
+
+def main():
+    spark = ExecEnv.get_or_create()
+    only = set(sys.argv[1:])
+    for name, fn in PROBES.items():
+        if only and name not in only:
+            continue
+        fn(spark)
+
+
+if __name__ == "__main__":
+    main()
