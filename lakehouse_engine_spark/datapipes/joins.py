@@ -701,9 +701,36 @@ def interval_overlap_join(
     gap_fill fail-fast convention) so a malformed open-ended interval
     fails the job loudly instead of exploding a task. Temporal columns
     convert via epoch micros (``bucket_width`` then in MICROSECONDS).
+
+    An empty ``on`` degrades the equi-join to bucket-only keys — every
+    interval pair in the same time bucket meets, which is the global
+    (keyless) overlap join and can be quadratic in dense regions; pass
+    keys whenever the data has them.
     """
+    if int(bucket_width) < 1:
+        raise ValueError(
+            f"interval_overlap_join: bucket_width must be >= 1, got "
+            f"{bucket_width}"
+        )
+    if max_buckets_per_interval < 1:
+        raise ValueError(
+            "interval_overlap_join: max_buckets_per_interval must be >= 1, "
+            f"got {max_buckets_per_interval}"
+        )
+    for col in (right_start, right_end):
+        if col not in right.columns:
+            raise ValueError(
+                f"interval_overlap_join: right column {col!r} not in the "
+                f"right frame (have {right.columns})"
+            )
 
     def _join(left: DataFrame) -> DataFrame:
+        for col in (left_start, left_end):
+            if col not in left.columns:
+                raise ValueError(
+                    f"interval_overlap_join: left column {col!r} not in "
+                    f"the left frame (have {left.columns})"
+                )
         w = int(bucket_width)
         vals = right_value_cols or [
             c

@@ -3400,6 +3400,27 @@ def test_random_projection_guards_and_quoting(spark):
     assert rows[1] is not None and len(rows[1]) == 2
 
 
+def test_interval_overlap_join_validation(spark):
+    """Bad arguments fail at construction (bucket_width/cap) or transform
+    (missing interval columns) with operator-named messages, not as
+    opaque Spark analysis errors mid-plan."""
+    il = spark.createDataFrame([("k", 0, 5)], "g STRING, s LONG, e LONG")
+    with pytest.raises(ValueError, match="bucket_width"):
+        t("interval_overlap_join", right=il, on=["g"], left_start="s",
+          left_end="e", right_start="s", right_end="e", bucket_width=0)
+    with pytest.raises(ValueError, match="max_buckets"):
+        t("interval_overlap_join", right=il, on=["g"], left_start="s",
+          left_end="e", right_start="s", right_end="e", bucket_width=2,
+          max_buckets_per_interval=0)
+    with pytest.raises(ValueError, match="right column"):
+        t("interval_overlap_join", right=il, on=["g"], left_start="s",
+          left_end="e", right_start="nope", right_end="e", bucket_width=2)
+    op = t("interval_overlap_join", right=il, on=["g"], left_start="missing",
+           left_end="e", right_start="s", right_end="e", bucket_width=2)
+    with pytest.raises(ValueError, match="left column"):
+        il.transform(op)
+
+
 def test_interval_overlap_join_semantics(spark):
     left = spark.createDataFrame(
         [("k", 1, 0, 10), ("k", 2, 20, 30), ("x", 3, 0, 10)],
