@@ -32,31 +32,27 @@ MAX_MIX_GROUPS = 100_000
 
 def _guarded_group_totals(df: DataFrame, group_col: str, tok: Column, op: str):
     """One map-side-combined (group, sum-token) aggregate, collected to
-    the driver behind an IN-ROW cardinality guard: a row_number over the
-    aggregate raises past ``MAX_MIX_GROUPS`` inside the task (the
-    layout_zorder rank-arm pattern — no separate count-distinct pass, and
-    the driver never receives the flood)."""
-    from pyspark.sql import Window
-
-    agg = df.groupBy(F.col(group_col).alias("__g")).agg(
-        F.sum(tok.cast("long")).alias("__tot")
+    the driver behind a LIMIT-bounded cardinality guard: the collect
+    fetches at most ``MAX_MIX_GROUPS + 1`` rows (so the driver can never
+    receive the flood, whatever the true cardinality) and raises when the
+    limit is hit. Cheaper than the in-row raise_error window the first
+    version used — the limit rides the existing aggregate exchange
+    instead of adding a single-partition window (~0.4 s of plan overhead
+    per invocation at bench scale)."""
+    rows = (
+        df.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.sum(tok.cast("long")).alias("__tot"))
+        .limit(MAX_MIX_GROUPS + 1)
+        .collect()
     )
-    w = Window.orderBy("__g")
-    return agg.select(
-        "__g",
-        F.when(
-            F.row_number().over(w) > MAX_MIX_GROUPS,
-            F.expr(
-                "raise_error(concat("
-                f"'{op}: more than {MAX_MIX_GROUPS} distinct ', "
-                f"'{group_col} groups — the per-group threshold table is a ', "
-                "'driver control decision sized for language/domain ', "
-                "'cardinality; pre-bucket the group column first'))"
-            ).cast("long"),
+    if len(rows) > MAX_MIX_GROUPS:
+        raise ValueError(
+            f"{op}: more than {MAX_MIX_GROUPS} distinct {group_col} groups "
+            "— the per-group threshold table is a driver control decision "
+            "sized for language/domain cardinality; pre-bucket the group "
+            "column first"
         )
-        .otherwise(F.col("__tot"))
-        .alias("__tot"),
-    ).collect()
+    return rows
 
 
 def _bucket_raw(id_col: str, seed: str) -> Column:
