@@ -3063,6 +3063,53 @@ def dp108_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return docs.transform(_t("corpus_overlap_stats", other_df=other, ngram=8))
 
 
+def dp114_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality-rule battery (datapipes/text.py text_gopher_rules,
+    Rae et al. 2021 §A1.1): per-document boolean flags for word count,
+    mean word length, symbol ratio, bullet/ellipsis lines, alphabetic
+    words and stopword presence, plus the combined keep bit — every
+    threshold an exact integer cross-multiplication, so the oracle
+    replays each flag bit-for-bit."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(_t("text_gopher_rules", min_words=30))
+    return out.select(
+        "doc_id", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_bullet_lines", "rule_ellipsis_lines",
+        "rule_alpha_words", "rule_stopwords", "gopher_keep",
+    )
+
+
+def dp115_dsir_score(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance scoring (datapipes/text.py text_dsir_score, Xie
+    et al. 2023): hashed unigram+bigram bucket distributions of the
+    full corpus (source) vs its English slice (target); per-doc log
+    importance weight on the exact scaled-log grid — bit-replayed by
+    the oracle's full pipeline (hash buckets, add-one smoothing,
+    integer log snaps)."""
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter("lang = 'en'")
+    out = docs.transform(
+        _t("text_dsir_score", target_df=target)
+    )
+    return out.select("doc_id", "lang", "dsir_score")
+
+
+def dp116_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encoding (datapipes/clustering.py
+    embedding_pq_encode): 64-dim embeddings -> 4 subspace codes against
+    md5-sampled 16-entry codebooks on the exact integer grid, plus the
+    exact reconstruction residual. Codes posexploded to scalar rows for
+    the driver canonicalizer; the oracle replays quantize -> codebook
+    slice -> per-subspace argmin -> summed residual bit-for-bit."""
+    emb = load_table(spark, sf, "embeddings")
+    out = emb.transform(_t("embedding_pq_encode", m=4, k=16))
+    return out.select(
+        "vec_id",
+        F.posexplode("pq_code").alias("subspace", "code"),
+        F.col("pq_code_dist").alias("pq_dist"),
+    )
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3379,6 +3426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp107_profile_skew": dp107_profile_skew,
         "dp108_corpus_overlap": dp108_corpus_overlap,
         "dp109_unicode_normalize": dp109_unicode_normalize,
+        "dp114_gopher_rules": dp114_gopher_rules,
+        "dp115_dsir_score": dp115_dsir_score,
+        "dp116_pq_encode": dp116_pq_encode,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5013,6 +5063,135 @@ def oracle_sql() -> dict[str, str]:
                    md5(nfc_normalize(text)) AS norm_digest,
                    nfc_normalize(text) <> text AS unicode_changed
             FROM documents
+        """,
+        "dp114_gopher_rules": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS tx,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                                 t -> t <> '') AS w,
+                     list_filter(string_split(coalesce(text, ''), chr(10)),
+                                 l -> trim(l) <> '') AS ln
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     len(w) AS n_words,
+                     coalesce(list_sum(list_transform(w, t -> len(t))), 0) AS sum_wl,
+                     (len(tx) - len(replace(tx, '#', '')))
+                       + len(regexp_extract_all(tx, '(\.\.\.|…)')) AS n_sym,
+                     len(ln) AS n_lines,
+                     len(list_filter(ln, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullet_lines,
+                     len(list_filter(ln, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ellipsis_lines,
+                     len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
+                     len(list_intersect(
+                       list_distinct(list_filter(
+                         string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+                         t -> t <> '')),
+                       ['the','and','of','to','in','is','that','it','for','was','with','on']
+                     )) AS sw_hits
+              FROM b JOIN documents USING (doc_id)
+            )
+            SELECT doc_id,
+                   (n_words >= 30 AND n_words <= 100000) AS rule_word_count,
+                   (n_words > 0 AND sum_wl >= 3 * n_words
+                    AND sum_wl <= 10 * n_words) AS rule_mean_word_len,
+                   (1000 * n_sym <= 100 * n_words) AS rule_symbol_ratio,
+                   (1000 * bullet_lines <= 900 * n_lines) AS rule_bullet_lines,
+                   (1000 * ellipsis_lines <= 300 * n_lines) AS rule_ellipsis_lines,
+                   (1000 * alpha_words >= 800 * n_words) AS rule_alpha_words,
+                   (sw_hits >= 2) AS rule_stopwords,
+                   ((n_words >= 30 AND n_words <= 100000)
+                    AND (n_words > 0 AND sum_wl >= 3 * n_words
+                         AND sum_wl <= 10 * n_words)
+                    AND (1000 * n_sym <= 100 * n_words)
+                    AND (1000 * bullet_lines <= 900 * n_lines)
+                    AND (1000 * ellipsis_lines <= 300 * n_lines)
+                    AND (1000 * alpha_words >= 800 * n_words)
+                    AND (sw_hits >= 2)) AS gopher_keep
+            FROM c
+        """,
+        "dp115_dsir_score": f"""
+            WITH toks AS (
+              SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+            ),
+            sg AS (
+              SELECT doc_id,
+                     unnest(list_concat({_duck_shingles(1)}, {_duck_shingles(2)})) AS g
+              FROM toks
+            ),
+            sb AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 10000 AS b
+              FROM sg
+            ),
+            ttoks AS (
+              SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents WHERE lang = 'en'
+            ),
+            tg AS (
+              SELECT unnest(list_concat({_duck_shingles(1)}, {_duck_shingles(2)})) AS g
+              FROM ttoks
+            ),
+            tb AS (
+              SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 10000 AS b
+              FROM tg
+            ),
+            sc AS (SELECT b, COUNT(*) AS cs FROM sb GROUP BY 1),
+            tc AS (SELECT b, COUNT(*) AS ct FROM tb GROUP BY 1),
+            tbl AS (
+              SELECT coalesce(sc.b, tc.b) AS b,
+                     CAST(floor(log10(coalesce(ct, 0) + 1) * 10000 + 0.5) AS BIGINT) AS lt,
+                     CAST(floor(log10(coalesce(cs, 0) + 1) * 10000 + 0.5) AS BIGINT) AS ls
+              FROM sc FULL OUTER JOIN tc ON sc.b = tc.b
+            ),
+            st AS (
+              SELECT CAST(floor(log10((SELECT SUM(cs) FROM sc) + 10000) * 10000 + 0.5) AS BIGINT) AS sts,
+                     CAST(floor(log10((SELECT SUM(ct) FROM tc) + 10000) * 10000 + 0.5) AS BIGINT) AS stt
+            ),
+            agg AS (
+              SELECT sb.doc_id,
+                     SUM(coalesce(tbl.lt, 0) - coalesce(tbl.ls, 0)) AS d,
+                     COUNT(*) AS n
+              FROM sb LEFT JOIN tbl ON sb.b = tbl.b
+              GROUP BY 1
+            )
+            SELECT doc.doc_id, doc.lang,
+                   (agg.d + agg.n * (st.sts - st.stt))::BIGINT AS dsir_score
+            FROM documents doc
+            JOIN agg ON doc.doc_id = agg.doc_id
+            CROSS JOIN st
+        """,
+        "dp116_pq_encode": """
+            WITH q AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*1024.0 + 0.5) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            cb AS (
+              SELECT row_number() OVER
+                       (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS c, v
+              FROM q ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16
+            ),
+            pairs AS (
+              SELECT q.id, cb.c, ss.s,
+                     list_sum(list_transform(
+                       list_zip(q.v[ss.s*16+1 : (ss.s+1)*16],
+                                cb.v[ss.s*16+1 : (ss.s+1)*16]),
+                       p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+              FROM q
+              CROSS JOIN cb
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) ss
+            ),
+            best AS (
+              SELECT id, s, c, d,
+                     row_number() OVER (PARTITION BY id, s ORDER BY d, c) AS rn
+              FROM pairs
+            ),
+            sel AS (SELECT id, s, c, d FROM best WHERE rn = 1),
+            tot AS (SELECT id, SUM(d) AS td FROM sel GROUP BY 1)
+            SELECT sel.id AS vec_id, sel.s::INT AS subspace,
+                   sel.c::INT AS code, tot.td::BIGINT AS pq_dist
+            FROM sel JOIN tot ON sel.id = tot.id
         """,
         "q30_gab_week_day_snapshot": """
             WITH cal AS (

@@ -1762,3 +1762,225 @@ def unicode_normalize(
         return out
 
     return _norm
+
+
+@register("text_gopher_rules")
+def gopher_rules(
+    input_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_permille: int = 100,
+    max_bullet_line_permille: int = 900,
+    max_ellipsis_line_permille: int = 300,
+    min_alpha_word_permille: int = 800,
+    min_stopword_hits: int = 2,
+    mode: str = "annotate",
+) -> TransformerFn:
+    """Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+    §A1.1) — the standard pretraining web-filter battery, as one pure
+    projection emitting a boolean per rule plus the combined
+    ``gopher_keep``:
+
+    * ``rule_word_count``: word count in [min_words, max_words];
+    * ``rule_mean_word_len``: mean word length in [3, 10];
+    * ``rule_symbol_ratio``: (# of ``#`` chars + ``...``/``…``
+      occurrences) per word <= 0.1;
+    * ``rule_bullet_lines``: <= 90% of lines start with a bullet
+      (``-``, ``*``, ``•`` after leading whitespace);
+    * ``rule_ellipsis_lines``: <= 30% of lines end with ``...``/``…``;
+    * ``rule_alpha_words``: >= 80% of words contain an alphabetic char;
+    * ``rule_stopwords``: >= 2 distinct hits from the small English
+      stop-set (the paper's "contains at least 2 of 8 common words").
+
+    Every threshold compares as EXACT INTEGER cross-multiplication
+    (``1000*count <= permille*total`` — no float division anywhere), so
+    a SQL oracle replays each flag bit-for-bit and boundary documents
+    cannot flip between engines. Ratio rules on an empty document
+    (0 words / 0 lines) pass vacuously — the word-count rule is the one
+    that rejects empties, mirroring the reference battery's ordering.
+    ``mode="filter"`` keeps only passing rows (flags dropped);
+    ``mode="annotate"`` emits the flags.
+
+    Scale: one codegen map pass, no shuffle, no UDF — the same cost
+    class as ``text_quality_score``.
+    """
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"text_gopher_rules: unknown mode {mode!r}")
+
+    def _rules(df: DataFrame) -> DataFrame:
+        c = F.coalesce(F.col(input_col).cast("string"), F.lit(""))
+        toks = tokens(c)
+        n_words = F.size(toks)
+        sum_wl = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        lines = F.filter(
+            F.split(c, r"\n"), lambda l: F.trim(l) != ""
+        )
+        n_lines = F.size(lines)
+        hash_chars = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+        ellipses = F.regexp_count(c, F.lit(r"(\.\.\.|…)"))
+        n_sym = hash_chars + ellipses
+        bullet_lines = F.size(
+            F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))
+        )
+        ellipsis_lines = F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+        )
+        alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        sw_hits = F.size(
+            F.array_intersect(F.array_distinct(tokens_lower(c)), sw)
+        )
+        flags = {
+            "rule_word_count": (n_words >= min_words)
+            & (n_words <= max_words),
+            "rule_mean_word_len": (n_words > 0)
+            & (sum_wl >= min_mean_word_len * n_words)
+            & (sum_wl <= max_mean_word_len * n_words),
+            "rule_symbol_ratio": 1000 * n_sym
+            <= max_symbol_word_permille * n_words,
+            "rule_bullet_lines": 1000 * bullet_lines
+            <= max_bullet_line_permille * n_lines,
+            "rule_ellipsis_lines": 1000 * ellipsis_lines
+            <= max_ellipsis_line_permille * n_lines,
+            "rule_alpha_words": 1000 * alpha_words
+            >= min_alpha_word_permille * n_words,
+            "rule_stopwords": sw_hits >= min_stopword_hits,
+        }
+        keep = None
+        for expr in flags.values():
+            keep = expr if keep is None else keep & expr
+        out = df.withColumns({**flags, "gopher_keep": keep})
+        if mode == "filter":
+            return out.filter(F.col("gopher_keep")).drop(
+                *flags.keys(), "gopher_keep"
+            )
+        return out
+
+    return _rules
+
+
+@register("text_dsir_score")
+def dsir_score(
+    target_df: DataFrame,
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str = "text",
+    num_buckets: int = 10_000,
+    max_ngram: int = 2,
+    output_col: str = "dsir_score",
+) -> TransformerFn:
+    """DSIR importance scoring (Xie et al. 2023, arXiv:2302.03169):
+    score every source document by how much more likely its hashed
+    n-gram features are under the TARGET corpus's bucket distribution
+    than under the source's own — the data-selection step that picks
+    pretraining documents resembling a trusted target (the paper's
+    hashed-n-gram importance resampling, minus the Gumbel top-k draw:
+    this operator emits the raw log importance weight; compose with
+    ``weighted_sample``/``quantile_prune`` to resample).
+
+    Features: word 1..``max_ngram``-grams of the lowercased text (the
+    ``shingles`` convention — a doc shorter than n words contributes its
+    single joined shingle, an empty doc the empty-string gram), each
+    hashed to ``md5-fold % num_buckets`` (the corpus-wide portable
+    hash). Bucket probabilities are add-one smoothed over
+    ``num_buckets``; every log10 is an INTEGER-argument snap to the
+    4-dp scaled-bigint grid (the ``text_lm_score`` convention:
+    ``floor(log10(c)*10^4 + 0.5)``), so the per-doc weight
+
+        Σ_grams [S(ct_b + 1) − S(cs_b + 1)] + n_grams·[S(Ts + B) − S(Tt + B)]
+
+    is exact integer arithmetic, replayed bit-for-bit by a SQL oracle.
+    Positive = more target-like.
+
+    Scale design: both corpora make ONE gram-explode pass into map-side-
+    combined bucket counts (≤ ``num_buckets`` rows each after combine);
+    the merged bucket table and the 1-row totals both BROADCAST (gated:
+    ``num_buckets`` ≤ 1M keeps the broadcast ≤ ~25 MB); the per-doc pass
+    is explode → broadcast-hash-join → one map-side-combined groupBy on
+    the doc id — the ``text_lm_score`` cost class, no corpus-side
+    shuffle beyond the doc-id aggregate.
+    """
+    if not 1 <= num_buckets <= 1_000_000:
+        raise ValueError(
+            f"text_dsir_score: num_buckets must be in [1, 1e6], got "
+            f"{num_buckets} (the bucket table broadcasts)"
+        )
+    if max_ngram < 1:
+        raise ValueError(
+            f"text_dsir_score: max_ngram must be >= 1, got {max_ngram}"
+        )
+    if target_text_col not in target_df.columns:
+        raise ValueError(
+            f"text_dsir_score: target column {target_text_col!r} not in "
+            f"the target frame (have {target_df.columns})"
+        )
+
+    def _S(x: Column) -> Column:
+        return F.floor(F.log10(x.cast("double")) * 10_000 + 0.5).cast("long")
+
+    def _bucket(g: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+            % num_buckets
+        )
+
+    def _grams(col: Column) -> Column:
+        parts = [shingles(col, n) for n in range(1, max_ngram + 1)]
+        return F.flatten(F.array(*parts)) if len(parts) > 1 else parts[0]
+
+    def _score(df: DataFrame) -> DataFrame:
+        src = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(_grams(F.col(input_col))).alias("__g"),
+        ).select("__id", _bucket(F.col("__g")).alias("__b"))
+        tgt = target_df.select(
+            F.explode(_grams(F.col(target_text_col))).alias("__g")
+        ).select(_bucket(F.col("__g")).alias("__b"))
+        s_counts = src.groupBy("__b").agg(F.count(F.lit(1)).alias("__cs"))
+        t_counts = tgt.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+        tbl = (
+            s_counts.join(t_counts, "__b", "full_outer")
+            .select(
+                "__b",
+                _S(F.coalesce(F.col("__ct"), F.lit(0)) + 1).alias("__lt"),
+                _S(F.coalesce(F.col("__cs"), F.lit(0)) + 1).alias("__ls"),
+            )
+        )
+        stats = (
+            s_counts.agg(F.sum("__cs").alias("__ts"))
+            .crossJoin(t_counts.agg(F.sum("__ct").alias("__tt")))
+            .select(
+                _S(F.coalesce(F.col("__ts"), F.lit(0)) + num_buckets).alias(
+                    "__sts"
+                ),
+                _S(F.coalesce(F.col("__tt"), F.lit(0)) + num_buckets).alias(
+                    "__stt"
+                ),
+            )
+        )
+        scored = (
+            src.join(F.broadcast(tbl), "__b", "left")
+            .groupBy("__id")
+            .agg(
+                F.sum(
+                    F.coalesce(F.col("__lt"), F.lit(0))
+                    - F.coalesce(F.col("__ls"), F.lit(0))
+                ).alias("__d"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "__id",
+                (
+                    F.col("__d")
+                    + F.col("__n") * (F.col("__sts") - F.col("__stt"))
+                ).alias(output_col),
+            )
+        )
+        return df.join(
+            scored, df[id_col] == scored["__id"], "left"
+        ).drop("__id")
+
+    return _score

@@ -3149,6 +3149,159 @@ def test_embedding_dedup_zero_vectors_survive_both_methods(spark):
     assert sim == 0.0
 
 
+def test_pq_encode_matches_python_reference(spark):
+    """embedding_pq_encode replayed by a direct Python implementation:
+    md5-sampled codebooks, per-subspace exact int argmin (ties ->
+    smallest code), summed residual; null embeddings yield null
+    code/dist; a width not divisible by m raises."""
+    import hashlib
+
+    rows = [(i, [float(i % 5) / 3 + 0.1 * j for j in range(8)])
+            for i in range(12)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    m, k, sub = 2, 3, 4
+
+    def quant(v):
+        import math
+        return [math.floor(x * 1024 + 0.5) for x in v]
+
+    ordered = sorted(
+        [r for r in rows if r[1] is not None],
+        key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+    )[:k]
+    books = [[quant(r[1])[s * sub:(s + 1) * sub] for r in ordered]
+             for s in range(m)]
+
+    def encode(v):
+        qv = quant(v)
+        codes, tot = [], 0
+        for s in range(m):
+            ds = [sum((a - b) ** 2 for a, b in
+                      zip(qv[s * sub:(s + 1) * sub], books[s][j]))
+                  for j in range(k)]
+            best = min(range(k), key=lambda j: (ds[j], j))
+            codes.append(best)
+            tot += ds[best]
+        return codes, tot
+
+    out = {r["vec_id"]: r for r in df.transform(
+        t("embedding_pq_encode", m=m, k=k)).collect()}
+    for i, v in rows:
+        if v is None:
+            assert out[i]["pq_code"] is None and out[i]["pq_code_dist"] is None
+        else:
+            codes, tot = encode(v)
+            assert out[i]["pq_code"] == codes, (i, out[i]["pq_code"], codes)
+            assert out[i]["pq_code_dist"] == tot
+    with pytest.raises(ValueError, match="divisible"):
+        df.transform(t("embedding_pq_encode", m=3)).collect()
+    with pytest.raises(ValueError):
+        t("embedding_pq_encode", m=0)
+    empty = df.limit(0).transform(t("embedding_pq_encode", m=2, k=3))
+    assert empty.count() == 0
+    assert "pq_code" in empty.columns
+
+
+def test_gopher_rules_battery(spark):
+    """Each Gopher rule trips on its designed violation and the combined
+    keep is the conjunction; thresholds compare as exact integers (a doc
+    sitting exactly on a boundary passes)."""
+    good = ("the quick brown fox and the lazy dog went to town in a hurry "
+            "because it was late for dinner with friends ") * 3
+    bullets = "\n".join(f"- item {i} of the list" for i in range(20))
+    elly = "\n".join("this line trails off... " for _ in range(10))
+    rows = [(1, good), (2, "short text"), (3, bullets), (4, elly),
+            (5, "#### ## # " + good), (6, "x1 2y3 99 00 11 22 " * 20),
+            (7, None), (8, "")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in
+           df.transform(t("text_gopher_rules", min_words=20)).collect()}
+    assert got[1]["gopher_keep"]
+    assert not got[2]["rule_word_count"]
+    assert not got[3]["rule_bullet_lines"]
+    assert not got[4]["rule_ellipsis_lines"] and not got[4]["rule_symbol_ratio"]
+    assert not got[5]["rule_symbol_ratio"] and got[5]["rule_stopwords"]
+    assert not got[6]["rule_alpha_words"]
+    for d in (7, 8):
+        assert not got[d]["rule_word_count"] and not got[d]["gopher_keep"]
+        # ratio rules pass vacuously on empty docs
+        assert got[d]["rule_symbol_ratio"] and got[d]["rule_bullet_lines"]
+    # boundary: exactly min_words words with mean length exactly 3 passes
+    boundary = " ".join(["the"] * 20)
+    row = (spark.createDataFrame([(9, boundary)], "doc_id LONG, text STRING")
+           .transform(t("text_gopher_rules", min_words=20)).collect()[0])
+    assert row["rule_word_count"] and row["rule_mean_word_len"]
+    with pytest.raises(ValueError):
+        t("text_gopher_rules", mode="nope")
+    # filter mode drops flags and non-keepers
+    kept = df.transform(t("text_gopher_rules", min_words=20, mode="filter"))
+    assert kept.columns == ["doc_id", "text"] and kept.count() == 1
+
+
+def test_dsir_score_matches_python_reference(spark):
+    """text_dsir_score replayed by an independent Python implementation
+    of the stated semantics (hashed 1..2-gram buckets, add-one
+    smoothing, scaled-integer log10 snaps) on a tiny corpus; docs
+    made of target-corpus phrases must outscore alien-vocabulary docs."""
+    import hashlib
+    import math
+
+    B = 64
+
+    def toks(s):
+        return [t for t in s.lower().split() if t]
+
+    def sh(ws, n):
+        if len(ws) >= n:
+            return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+        return [" ".join(ws)]
+
+    def grams(s):
+        w = toks(s)
+        return sh(w, 1) + sh(w, 2)
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    def S(x):
+        return math.floor(math.log10(x) * 10_000 + 0.5)
+
+    src_rows = [
+        (1, "the model trains on the web data"),
+        (2, "the model reads the target style text"),
+        (3, "zz qq xx vv kk jj pp ww"),
+    ]
+    tgt_rows = ["the target style text is clean", "the model reads text"]
+
+    cs, ct = {}, {}
+    for _, s in src_rows:
+        for g in grams(s):
+            cs[bucket(g)] = cs.get(bucket(g), 0) + 1
+    for s in tgt_rows:
+        for g in grams(s):
+            ct[bucket(g)] = ct.get(bucket(g), 0) + 1
+    Ts, Tt = sum(cs.values()), sum(ct.values())
+    expect = {}
+    for i, s in src_rows:
+        gs = grams(s)
+        expect[i] = sum(
+            S(ct.get(bucket(g), 0) + 1) - S(cs.get(bucket(g), 0) + 1)
+            for g in gs
+        ) + len(gs) * (S(Ts + B) - S(Tt + B))
+
+    df = spark.createDataFrame(src_rows, "doc_id LONG, text STRING")
+    tgt = spark.createDataFrame([(s,) for s in tgt_rows], "text STRING")
+    got = {r["doc_id"]: r["dsir_score"] for r in df.transform(
+        t("text_dsir_score", target_df=tgt, num_buckets=B)).collect()}
+    assert got == expect, (got, expect)
+    # the alien-vocab doc scores strictly below both target-like docs
+    assert got[3] < min(got[1], got[2])
+    with pytest.raises(ValueError, match="num_buckets"):
+        t("text_dsir_score", target_df=tgt, num_buckets=0)
+    with pytest.raises(ValueError, match="target column"):
+        t("text_dsir_score", target_df=tgt, target_text_col="nope")
+
+
 def test_mixing_samplers_group_cardinality_guard(spark, monkeypatch):
     """The per-group threshold collect is a driver control decision sized
     for language/domain cardinality; past MAX_MIX_GROUPS distinct groups
