@@ -3110,6 +3110,18 @@ def dp116_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp117_knn_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance ANN (datapipes/clustering.py knn_pq): the
+    corpus stored as dp116's codes, queries scored by exact integer
+    LUT sums over the codes — top-5 per query, ties to the smaller
+    neighbor id. Oracle replays codebooks -> codes -> per-subspace LUT
+    joins -> rank bit-for-bit."""
+    emb = load_table(spark, sf, "embeddings")
+    return emb.transform(
+        _t("knn_pq", k=5, m=4, num_codes=16, query_filter="vec_id < 10")
+    )
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3429,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp114_gopher_rules": dp114_gopher_rules,
         "dp115_dsir_score": dp115_dsir_score,
         "dp116_pq_encode": dp116_pq_encode,
+        "dp117_knn_pq": dp117_knn_pq,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5192,6 +5205,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT sel.id AS vec_id, sel.s::INT AS subspace,
                    sel.c::INT AS code, tot.td::BIGINT AS pq_dist
             FROM sel JOIN tot ON sel.id = tot.id
+        """,
+        "dp117_knn_pq": """
+            WITH q AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*1024.0 + 0.5) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            cb AS (
+              SELECT row_number() OVER
+                       (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS c, v
+              FROM q ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16
+            ),
+            pairs AS (
+              SELECT q.id, cb.c, ss.s,
+                     list_sum(list_transform(
+                       list_zip(q.v[ss.s*16+1 : (ss.s+1)*16],
+                                cb.v[ss.s*16+1 : (ss.s+1)*16]),
+                       p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+              FROM q
+              CROSS JOIN cb
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) ss
+            ),
+            codes AS (
+              SELECT id, s, c FROM (
+                SELECT id, s, c, d,
+                       row_number() OVER (PARTITION BY id, s ORDER BY d, c) AS rn
+                FROM pairs
+              ) WHERE rn = 1
+            ),
+            qry AS (SELECT id AS qid, v AS qv FROM q WHERE id < 10),
+            adc AS (
+              SELECT qry.qid, codes.id AS nid,
+                     SUM(list_sum(list_transform(
+                       list_zip(qry.qv[codes.s*16+1 : (codes.s+1)*16],
+                                cb.v[codes.s*16+1 : (codes.s+1)*16]),
+                       p -> (p[1]-p[2])*(p[1]-p[2])))) AS d
+              FROM qry
+              CROSS JOIN codes
+              JOIN cb ON cb.c = codes.c
+              WHERE qry.qid <> codes.id
+              GROUP BY 1, 2
+            )
+            SELECT qid AS query_id, nid AS neighbor_id,
+                   d::BIGINT AS adc_dist, rank::INT AS rank
+            FROM (
+              SELECT qid, nid, d,
+                     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+              FROM adc
+            ) WHERE rank <= 5
         """,
         "q30_gab_week_day_snapshot": """
             WITH cal AS (

@@ -359,7 +359,7 @@ def embedding_pq_encode(
             _quantize_expr(input_col, quant_scale).alias("__pq_v"),
         )
         init = (
-            q.select(
+            q.filter(F.col("__pq_v").isNotNull()).select(
                 "__pq_v",
                 F.md5(F.col("__pq_id").cast("string")).alias("__h"),
                 "__pq_id",
@@ -413,3 +413,150 @@ def embedding_pq_encode(
         )
 
     return _encode
+
+
+@register("knn_pq")
+def knn_pq(
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    m: int = 4,
+    num_codes: int = 16,
+    quant_scale: int = 1024,
+    query_filter: str = "vec_id < 10",
+) -> TransformerFn:
+    """Approximate top-k via PQ asymmetric distance computation (ADC —
+    Jégou et al. 2011 §IV): the corpus is stored only as
+    ``embedding_pq_encode`` codes; each query precomputes an exact
+    integer lookup table of per-subspace distances to every codeword,
+    and a document's approximate distance is the m-term LUT sum over its
+    codes. The serving-side complement of ``embedding_pq_encode`` — the
+    memory-bound ANN shape where the corpus no longer fits as raw
+    vectors.
+
+    Output: ``(query_id, neighbor_id, adc_dist, rank)`` — rank 1 =
+    smallest ADC distance, ties -> smallest neighbor id; self-matches
+    excluded; null-embedding corpus rows unscoreable and skipped.
+
+    Contract (the ``knn_brute_force`` convention): ``query_filter`` must
+    select a driver-memory-sized query set — the queries and their
+    (n_queries × m × num_codes) int64 LUTs ride the kernel closure. The
+    corpus is scanned once through the Arrow-batched code+LUT kernel
+    (no join, no literal tables in codegen), then one exploded
+    (neighbor, query) frame takes a single per-query top-k window —
+    shuffle volume is corpus × n_queries skinny rows, the same class as
+    the brute-force scorer, but each row's score came from m lookups
+    instead of a dim-term dot product.
+    """
+    if k < 1:
+        raise ValueError(f"knn_pq: k must be >= 1, got {k}")
+    if m < 1:
+        raise ValueError(f"knn_pq: m must be >= 1, got {m}")
+    if not 1 <= num_codes <= 65_536:
+        raise ValueError(
+            f"knn_pq: num_codes must be in [1, 65536], got {num_codes}"
+        )
+
+    def _knn(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        probe = df.select(F.max(F.size(embedding_col)).alias("d")).first()
+        dim = int(probe["d"]) if probe is not None and probe["d"] is not None else 0
+        empty_out = df.sparkSession.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, adc_dist long, rank int",
+        )
+        if dim == 0:
+            return empty_out
+        if dim % m != 0:
+            raise ValueError(
+                f"knn_pq: embedding width {dim} is not divisible by "
+                f"m={m} subspaces"
+            )
+        sub = dim // m
+        q = df.select(
+            F.col(id_col).alias("__pq_id"),
+            _quantize_expr(embedding_col, quant_scale).alias("__pq_v"),
+        )
+        init = (
+            q.filter(F.col("__pq_v").isNotNull())
+            .select(
+                "__pq_v",
+                F.md5(F.col("__pq_id").cast("string")).alias("__h"),
+                "__pq_id",
+            )
+            .orderBy("__h", "__pq_id")
+            .limit(num_codes)
+            .collect()
+        )  # driver control decision: num_codes rows
+        queries = (
+            q.filter(F.expr(query_filter).isNotNull() & F.expr(query_filter))
+            if query_filter
+            else q
+        )
+        qrows = queries.filter(F.col("__pq_v").isNotNull()).collect()
+        if not init or not qrows:
+            return empty_out
+        books = (
+            np.array([list(r["__pq_v"]) for r in init], dtype=np.int64)
+            .reshape(len(init), m, sub)
+            .transpose(1, 0, 2)
+        )  # (m, k, sub)
+        bnorm = (books * books).sum(axis=2)  # (m, k)
+        Q = np.array([list(r["__pq_v"]) for r in qrows], dtype=np.int64)
+        qids = [r["__pq_id"] for r in qrows]
+        Qs = Q.reshape(len(Q), m, sub)
+        # exact int64 LUT: (nq, m, k) squared distances query-sub x code
+        lut = (
+            (Qs * Qs).sum(axis=2)[:, :, None]
+            - 2 * np.einsum("qms,mks->qmk", Qs, books)
+            + bnorm[None, :, :]
+        )
+        nq = len(qids)
+
+        @F.pandas_udf("array<bigint>")
+        def adc(v: pd.Series) -> pd.Series:
+            out = [None] * len(v)
+            mask = v.notna().to_numpy()
+            if mask.any():
+                X = np.array([list(x) for x in v[mask]], dtype=np.int64)
+                Xs = X.reshape(len(X), m, sub)
+                xnorm = (Xs * Xs).sum(axis=2)
+                cross = np.einsum("nms,mks->nmk", Xs, books)
+                dist = xnorm[:, :, None] - 2 * cross + bnorm[None, :, :]
+                codes = dist.argmin(axis=2)  # (n, m)
+                # ADC: gather LUT rows at each doc's codes, sum subspaces
+                d = np.zeros((len(X), nq), dtype=np.int64)
+                for s in range(m):
+                    d += lut[:, s, :][:, codes[:, s]].T
+                di = iter(d)
+                for i in range(len(v)):
+                    if mask[i]:
+                        out[i] = next(di).tolist()
+            return pd.Series(out)
+
+        scored = (
+            q.select("__pq_id", adc(F.col("__pq_v")).alias("__ds"))
+            .filter(F.col("__ds").isNotNull())
+            .select(
+                F.col("__pq_id").alias("neighbor_id"),
+                F.posexplode("__ds").alias("__qi", "adc_dist"),
+            )
+            .withColumn(
+                "query_id",
+                F.element_at(
+                    F.array(*[F.lit(i) for i in qids]), F.col("__qi") + 1
+                ),
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_dist"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_dist", "rank")
+        )
+
+    return _knn

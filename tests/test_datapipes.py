@@ -3149,6 +3149,67 @@ def test_embedding_dedup_zero_vectors_survive_both_methods(spark):
     assert sim == 0.0
 
 
+def test_knn_pq_adc_matches_python_reference(spark):
+    """knn_pq replayed in Python: encode corpus with md5-sampled
+    codebooks, ADC distance = sum over subspaces of
+    ||q_s - codeword(code_s)||^2 exact ints, top-k per query by
+    (dist, neighbor id), self excluded."""
+    import hashlib
+    import math
+
+    rows = [(i, [math.sin(i * 1.7 + j) for j in range(8)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    m, nc, sub, k = 2, 4, 4, 3
+
+    def quant(v):
+        return [math.floor(x * 1024 + 0.5) for x in v]
+
+    ordered = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )[:nc]
+    books = [[quant(r[1])[s * sub:(s + 1) * sub] for r in ordered]
+             for s in range(m)]
+
+    def code(v):
+        qv = quant(v)
+        return [min(range(nc), key=lambda j: (sum(
+            (a - b) ** 2 for a, b in
+            zip(qv[s * sub:(s + 1) * sub], books[s][j])), j))
+            for s in range(m)]
+
+    def adc(qv, codes):
+        return sum(
+            sum((a - b) ** 2 for a, b in
+                zip(qv[s * sub:(s + 1) * sub], books[s][codes[s]]))
+            for s in range(m)
+        )
+
+    expect = {}
+    for qid, qv in rows:
+        if qid >= 3:
+            continue
+        scored = sorted(
+            (adc(quant(qv), code(v)), nid)
+            for nid, v in rows if nid != qid
+        )[:k]
+        expect[qid] = [(nid, d) for d, nid in scored]
+
+    out = df.transform(
+        t("knn_pq", k=k, m=m, num_codes=nc, query_filter="vec_id < 3")
+    ).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["adc_dist"])
+        )
+    assert got == expect, (got, expect)
+    with pytest.raises(ValueError):
+        t("knn_pq", k=0)
+    assert df.limit(0).transform(
+        t("knn_pq", m=m, num_codes=nc)).count() == 0
+
+
 def test_pq_encode_matches_python_reference(spark):
     """embedding_pq_encode replayed by a direct Python implementation:
     md5-sampled codebooks, per-subspace exact int argmin (ties ->
