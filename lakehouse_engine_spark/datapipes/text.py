@@ -1803,8 +1803,10 @@ def gopher_rules(
     ``mode="filter"`` keeps only passing rows (flags dropped);
     ``mode="annotate"`` emits the flags.
 
-    Scale: one codegen map pass, no shuffle, no UDF — the same cost
-    class as ``text_quality_score``.
+    Scale: one shuffle-free JVM map pass, no Python workers — the same
+    cost class as ``text_quality_score`` (the token/line lambdas are
+    higher-order functions, single-stage though outside whole-stage
+    codegen).
     """
     if mode not in ("annotate", "filter"):
         raise ValueError(f"text_gopher_rules: unknown mode {mode!r}")

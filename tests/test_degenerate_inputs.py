@@ -187,6 +187,11 @@ CASES = [
     ("text_unicode_normalize", {"flag_changed": True}, "docs", "zero"),
     ("embedding_random_projection", {"out_dim": 2}, "emb", "zero"),
     ("streaming_dedup_exact", {"id_col": "doc_id"}, "docs", "zero"),
+    ("embedding_kmeans", {"k": 2, "iterations": 1}, "emb", "zero"),
+    ("embedding_pq_encode", {"m": 2, "k": 2}, "emb", "zero"),
+    ("knn_pq", {"k": 2, "m": 2, "num_codes": 2,
+                "query_filter": "vec_id >= 0"}, "emb", "zero"),
+    ("text_gopher_rules", {"min_words": 2}, "docs", "zero"),
 ]
 
 
@@ -236,6 +241,8 @@ def test_two_input_ops_survive_empty_sides(spark):
         assert out.count() >= 0
         row = a.transform(t("corpus_overlap_stats", other_df=b))
         assert row.count() == 1  # global one-row audit even on empty
+        ds = a.transform(t("text_dsir_score", target_df=b, num_buckets=8))
+        assert ds.count() == a.count() and "dsir_score" in ds.columns
     iv_schema = "g STRING, s LONG, e LONG"
     il = spark.createDataFrame([("k", 0, 5)], iv_schema)
     ie = spark.createDataFrame([], iv_schema)

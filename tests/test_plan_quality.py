@@ -801,3 +801,51 @@ def test_kmeans_assignment_constant_size_plan(spark, sf_dir):
             assert bad not in physical, (bad, physical[:2000])
         sizes[k] = len(physical)
     assert sizes[32] <= sizes[4] * 1.2, sizes
+
+
+def test_gopher_rules_single_codegen_pass(spark, sf_dir):
+    """text_gopher_rules: ONE shuffle-free projection — no Exchange, no
+    Join, no Python workers (the token/line lambdas are JVM higher-order
+    functions, which keep the pass single-stage even though HOFs sit
+    outside whole-stage codegen)."""
+    df = entry.queries()["dp114_gopher_rules"](spark, sf_dir)
+    physical, _ = _plans(df)
+    for bad in ("Exchange", "Join", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in physical, (bad, physical[:2000])
+
+
+def test_dsir_broadcasts_bucket_table(spark, sf_dir):
+    """text_dsir_score: the bucket stats attach to the corpus by
+    BROADCAST joins only — the corpus-side shuffles are the bounded
+    bucket-count aggregates and the final doc-id aggregate, never a
+    corpus x bucket-table sort-merge."""
+    df = entry.queries()["dp115_dsir_score"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical or "BroadcastNestedLoopJoin" in physical
+    assert "CartesianProduct" not in physical
+    # exactly two sort-merge joins are legitimate: the bounded
+    # bucket-table full-outer (both sides aggregates of <= num_buckets
+    # rows) and the final doc-id rejoin (co-keyed corpus join). The
+    # corpus-sized exploded gram frame itself must attach its bucket
+    # stats by BROADCAST hash join, which the count pins: a third SMJ
+    # would mean the scoring join fell back to a shuffle.
+    assert physical.count("SortMergeJoin") <= 2, physical[:3000]
+    assert "BroadcastHashJoin" in physical, physical[:3000]
+
+
+def test_pq_ops_joinless_arrow_projection(spark, sf_dir):
+    """embedding_pq_encode / knn_pq: the corpus pass is one joinless
+    Arrow-batched projection (codebooks/LUTs ride the closure — no
+    literal tables in codegen, nothing broadcast-joined against the
+    corpus); knn_pq's only exchange is the per-query top-k window."""
+    enc = entry.queries()["dp116_pq_encode"](spark, sf_dir)
+    physical, _ = _plans(enc)
+    assert "ArrowEvalPython" in physical
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in physical, (bad, physical[:2000])
+    ann = entry.queries()["dp117_knn_pq"](spark, sf_dir)
+    physical, _ = _plans(ann)
+    assert "ArrowEvalPython" in physical
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in physical, (bad, physical[:2000])
+    assert "Window" in physical
