@@ -334,9 +334,12 @@ def embedding_pq_encode(
     """
     if m < 1:
         raise ValueError(f"embedding_pq_encode: m must be >= 1, got {m}")
-    if not 1 <= k <= 65_536:
+    if not 1 <= k <= 4096:
+        # the codebook draw collects k full vectors to the driver and the
+        # per-batch distance tensor is rows x m x k — 4096 codes already
+        # exceeds any published PQ configuration (k<=256 is the norm)
         raise ValueError(
-            f"embedding_pq_encode: k must be in [1, 65536], got {k}"
+            f"embedding_pq_encode: k must be in [1, 4096], got {k}"
         )
 
     def _encode(df: DataFrame) -> DataFrame:
@@ -452,9 +455,9 @@ def knn_pq(
         raise ValueError(f"knn_pq: k must be >= 1, got {k}")
     if m < 1:
         raise ValueError(f"knn_pq: m must be >= 1, got {m}")
-    if not 1 <= num_codes <= 65_536:
+    if not 1 <= num_codes <= 4096:
         raise ValueError(
-            f"knn_pq: num_codes must be in [1, 65536], got {num_codes}"
+            f"knn_pq: num_codes must be in [1, 4096], got {num_codes}"
         )
 
     def _knn(df: DataFrame) -> DataFrame:
@@ -494,7 +497,19 @@ def knn_pq(
             if query_filter
             else q
         )
-        qrows = queries.filter(F.col("__pq_v").isNotNull()).collect()
+        max_q = 100_000
+        qrows = (
+            queries.filter(F.col("__pq_v").isNotNull())
+            .limit(max_q + 1)
+            .collect()
+        )
+        if len(qrows) > max_q:
+            raise ValueError(
+                f"knn_pq: query_filter selected more than {max_q} rows — "
+                "queries and their LUTs ride the kernel closure; a "
+                "corpus-scale query set is an all-pairs problem (use the "
+                "LSH machinery instead)"
+            )
         if not init or not qrows:
             return empty_out
         books = (

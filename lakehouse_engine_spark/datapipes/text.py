@@ -1814,22 +1814,28 @@ def gopher_rules(
     def _rules(df: DataFrame) -> DataFrame:
         c = F.coalesce(F.col(input_col).cast("string"), F.lit(""))
         toks = tokens(c)
-        n_words = F.size(toks)
-        sum_wl = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        # counts as BIGINT before the cross-multiplications: 1000 * an
+        # int count silently wraps past ~2.1M chars in non-ANSI mode
+        n_words = F.size(toks).cast("long")
+        sum_wl = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        )
         lines = F.filter(
             F.split(c, r"\n"), lambda l: F.trim(l) != ""
         )
-        n_lines = F.size(lines)
+        n_lines = F.size(lines).cast("long")
         hash_chars = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
         ellipses = F.regexp_count(c, F.lit(r"(\.\.\.|…)"))
-        n_sym = hash_chars + ellipses
+        n_sym = (hash_chars + ellipses).cast("long")
         bullet_lines = F.size(
             F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))
-        )
+        ).cast("long")
         ellipsis_lines = F.size(
             F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
-        )
-        alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        ).cast("long")
+        alpha_words = F.size(
+            F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+        ).cast("long")
         sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
         sw_hits = F.size(
             F.array_intersect(F.array_distinct(tokens_lower(c)), sw)
