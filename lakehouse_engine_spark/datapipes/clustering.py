@@ -128,6 +128,57 @@ def _assign_frame(q: DataFrame, centroids: List[List[int]]) -> DataFrame:
     )
 
 
+def _iteration_sums(q: DataFrame, centroids: List[List[int]], dim: int):
+    """One Lloyd iteration's (cluster, dim) -> (sum, count) table, as an
+    Arrow-batched partial aggregation: each batch assigns its rows with
+    the same exact int64 kernel and scatter-adds into a local k x dim
+    accumulator, emitting at most k*dim partial rows per PARTITION. The
+    first formulation posexploded rows x dim skinny rows into the
+    aggregate (256M intermediate rows per iteration on the 1M x 256
+    probe, ~23 s/iteration); the partials keep the same exact integer
+    semantics (int64 scatter-adds are order-free) at one Arrow scan.
+    """
+    carr = np.array(centroids, dtype=np.int64)
+    cnorm = (carr * carr).sum(axis=1)
+    k = len(centroids)
+
+    def part(batches):
+        S = np.zeros((k, dim), dtype=np.int64)
+        N = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            v = pdf["__km_v"]
+            mask = v.notna().to_numpy()
+            if not mask.any():
+                continue
+            X = np.array([list(x) for x in v[mask]], dtype=np.int64)
+            dist = (
+                (X * X).sum(axis=1)[:, None]
+                - 2 * (X @ carr.T)
+                + cnorm[None, :]
+            )
+            c = dist.argmin(axis=1)
+            np.add.at(N, c, 1)
+            np.add.at(S, c, X)
+        live = np.nonzero(N)[0]
+        if len(live):
+            yield pd.DataFrame(
+                {
+                    "__km_c": np.repeat(live, dim).astype("int32"),
+                    "__i": np.tile(np.arange(dim, dtype="int32"), len(live)),
+                    "__s": S[live].reshape(-1),
+                    "__n": np.repeat(N[live], dim),
+                }
+            )
+
+    return (
+        q.select("__km_v")
+        .mapInPandas(part, "__km_c int, __i int, __s long, __n long")
+        .groupBy("__km_c", "__i")
+        .agg(F.sum("__s").alias("__s"), F.sum("__n").alias("__n"))
+        .collect()
+    )  # k*dim rows after the partial combine
+
+
 @register("embedding_kmeans")
 def embedding_kmeans(
     id_col: str = "vec_id",
@@ -220,16 +271,7 @@ def embedding_kmeans(
                 return df.select("*", *schema_cols).limit(0)
             centroids = [list(r["__km_v"]) for r in init]
             for _ in range(iterations):
-                sums = (
-                    _assign_frame(q, centroids)
-                    .select("__km_c", F.posexplode("__km_v").alias("__i", "__x"))
-                    .groupBy("__km_c", "__i")
-                    .agg(
-                        F.sum("__x").alias("__s"),
-                        F.count(F.lit(1)).alias("__n"),
-                    )
-                    .collect()
-                )  # k*dim rows after map-side combine
+                sums = _iteration_sums(q, centroids, dim)
                 nxt = [list(c) for c in centroids]
                 for r in sums:
                     nxt[r["__km_c"]][r["__i"]] = _floordiv(
