@@ -149,6 +149,71 @@ def probe_ngram_counts_100k(spark):
 PROBES["ngram_counts_100k"] = probe_ngram_counts_100k
 
 
+def probe_dsir_100k(spark):
+    """text_dsir_score at 100k source docs vs a 5k-doc target slice:
+    two gram-explode bucket aggregates (~20M grams total) + the
+    broadcast-attached scoring join + one doc-keyed aggregate. Linear
+    in corpus grams; the bucket table stays 10k rows at any corpus
+    size."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(20).withColumnRenamed("id", "__rep"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000)
+        .drop("__rep")
+        .repartition(32)
+        .persist()
+    )
+    n = big.count()
+    target = big.filter("doc_id % 20 = 0")
+    t0 = time.time()
+    out = big.transform(t("text_dsir_score", target_df=target))
+    cnt = out.filter("dsir_score > 0").count()
+    dt = time.time() - t0
+    print(f"[dsir_100k] {n} docs vs 5k target: {dt:.1f}s, "
+          f"{cnt} docs score target-positive")
+    big.unpersist()
+
+
+PROBES["dsir_100k"] = probe_dsir_100k
+
+
+def probe_pq_1m(spark):
+    """embedding_pq_encode + knn_pq at 1M x 64-dim vectors (m=4, 256
+    codes): both are one Arrow-batched corpus pass; the ANN side adds
+    only the per-query top-k window over corpus x n_queries skinny
+    rows."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    big = (
+        emb.crossJoin(spark.range(500).withColumnRenamed("id", "__rep"))
+        .select(
+            (F.col("vec_id") * 1000 + F.col("__rep")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x + F.col("__rep").cast("double") / 997.0,
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    n = big.count()
+    t0 = time.time()
+    enc = big.transform(t("embedding_pq_encode", m=4, k=256))
+    total = enc.selectExpr("sum(pq_code_dist) AS s").first()["s"]
+    t_enc = time.time() - t0
+    t0 = time.time()
+    ann = big.transform(
+        t("knn_pq", k=10, m=4, num_codes=256, query_filter="vec_id < 8")
+    )
+    rows = ann.count()
+    t_ann = time.time() - t0
+    print(f"[pq_1m] {n} vectors: encode {t_enc:.1f}s (residual sum "
+          f"{total}), ADC top-10 for 8 queries {t_ann:.1f}s ({rows} rows)")
+    big.unpersist()
+
+
+PROBES["pq_1m"] = probe_pq_1m
+
+
 def main():
     spark = ExecEnv.get_or_create()
     only = set(sys.argv[1:])
