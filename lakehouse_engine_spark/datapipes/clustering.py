@@ -538,14 +538,17 @@ def knn_pq(
             .limit(num_codes)
             .collect()
         )  # driver control decision: num_codes rows
-        queries = (
-            q.filter(F.expr(query_filter).isNotNull() & F.expr(query_filter))
-            if query_filter
-            else q
-        )
+        # filter on the CALLER's frame (before the rename) so the
+        # predicate sees the user's column names; a null predicate row is
+        # simply not selected (filter semantics)
+        qsrc = df.filter(query_filter) if query_filter else df
         max_q = 100_000
         qrows = (
-            queries.filter(F.col("__pq_v").isNotNull())
+            qsrc.select(
+                F.col(id_col).alias("__pq_id"),
+                _quantize_expr(embedding_col, quant_scale).alias("__pq_v"),
+            )
+            .filter(F.col("__pq_v").isNotNull())
             .limit(max_q + 1)
             .collect()
         )
