@@ -2092,6 +2092,19 @@ def dp69_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
 # END-marker merges (e</w>, a</w>), chained merges (t+a→ta→tab→tabl→
 # table</w>), and rank-order sensitivity ((r,o) before (o,w): "row"
 # becomes [ro,w,</w>], while "window" still gets its (o,w) merge).
+# Fixed WordPiece vocabulary for dp118: word-initial single letters,
+# ##-prefixed continuation letters, and two-char pieces that make the
+# greedy longest-match non-trivial on the synthetic corpus vocabulary.
+WP_FIXED_VOCAB = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["sc", "##an", "ta", "##ble", "th", "##e", "sl", "##ow", "fa",
+       "##st", "ke", "##y", "ro", "##w", "ha", "##sh", "me", "##rge",
+       "ba", "##tch", "sp", "##ark", "li", "##ne", "so", "##rt", "wi",
+       "##ndow", "va", "##lue", "pa", "##rt", "ag", "##gg", "wh", "##ere",
+       "jo", "##in", "gr", "##oup", "##ter", "##ing", "##er"]
+)
+
 BPE_FIXED_MERGES = [
     ("e", "</w>"), ("a", "</w>"), ("t", "h"), ("th", "e</w>"),
     ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e</w>"),
@@ -3122,6 +3135,32 @@ def dp117_knn_pq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp118_wordpiece_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece ENCODE with a fixed vocabulary (datapipes/bpe.py
+    wordpiece_encode — the BERT greedy longest-match-first scheme,
+    complementing dp69b's BPE merge scan). Same production plan:
+    distinct-word pandas encode, size-gated dictionary join, JVM
+    reassembly. The oracle replays the greedy scan EXACTLY: a
+    (word, position) longest-piece table from the shared vocab literal,
+    then a deterministic recursive walk — any unmatched position or
+    over-long word collapses to [UNK], as in the operator."""
+    docs = load_table(spark, sf, "documents")
+    vocab = spark.createDataFrame(
+        [(p,) for p in WP_FIXED_VOCAB], "piece STRING"
+    )
+    enc = docs.transform(
+        _t("wordpiece_encode", vocab=vocab, lowercase=True)
+    )
+    return enc.select(
+        "doc_id",
+        F.col("wp_tokens_n").cast("long").alias("n_wp"),
+        F.size(F.filter("wp_tokens", lambda t: t == "[UNK]"))
+        .cast("long")
+        .alias("n_unk"),
+        F.md5(F.array_join("wp_tokens", "\x1f")).alias("pieces_md5"),
+    )
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3445,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp115_dsir_score": dp115_dsir_score,
         "dp116_pq_encode": dp116_pq_encode,
         "dp117_knn_pq": dp117_knn_pq,
+        "dp118_wordpiece_encode": dp118_wordpiece_encode,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5259,6 +5299,70 @@ def oracle_sql() -> dict[str, str]:
               FROM adc
             ) WHERE rank <= 5
         """,
+        "dp118_wordpiece_encode": (lambda: (
+            "WITH RECURSIVE vocab(v) AS (VALUES "
+            + ", ".join("('" + p + "')" for p in WP_FIXED_VOCAB)
+            + f"""),
+            toks AS (SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents),
+            tw AS (
+              SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+              FROM toks
+            ),
+            words AS (SELECT doc_id, pos, ws[pos] AS w FROM tw),
+            dw AS (SELECT DISTINCT w FROM words),
+            pos_l AS (
+              SELECT w, unnest(generate_series(1, len(w))) AS p FROM dw
+            ),
+            cand_all AS (
+              SELECT w, p, unnest(generate_series(1, len(w) - p + 1)) AS L
+              FROM pos_l
+            ),
+            cand AS (
+              SELECT c.w, c.p, MAX(c.L) AS bestL
+              FROM cand_all c
+              JOIN vocab ON vocab.v = CASE WHEN c.p = 1
+                                           THEN substr(c.w, c.p, c.L)
+                                           ELSE '##' || substr(c.w, c.p, c.L)
+                                      END
+              GROUP BY 1, 2
+            ),
+            walk AS (
+              SELECT w, CAST(1 AS BIGINT) AS p,
+                     CAST([] AS VARCHAR[]) AS pieces, FALSE AS dead
+              FROM dw
+              UNION ALL
+              SELECT walk.w,
+                     CASE WHEN cand.bestL IS NULL THEN len(walk.w) + 1
+                          ELSE walk.p + cand.bestL END,
+                     CASE WHEN cand.bestL IS NULL THEN ['[UNK]']
+                          ELSE list_append(walk.pieces,
+                               CASE WHEN walk.p = 1
+                                    THEN substr(walk.w, walk.p, cand.bestL)
+                                    ELSE '##' || substr(walk.w, walk.p, cand.bestL)
+                               END) END,
+                     cand.bestL IS NULL
+              FROM walk
+              LEFT JOIN cand ON cand.w = walk.w AND cand.p = walk.p
+              WHERE walk.p <= len(walk.w) AND NOT walk.dead
+            ),
+            done AS (
+              SELECT w,
+                     CASE WHEN len(w) > 100 THEN ['[UNK]'] ELSE pieces END AS pieces
+              FROM walk WHERE p > len(w) OR dead
+            ),
+            per_doc AS (
+              SELECT words.doc_id,
+                     flatten(list(done.pieces ORDER BY words.pos)) AS pieces
+              FROM words JOIN done ON done.w = words.w
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(len(p.pieces), 0) AS BIGINT) AS n_wp,
+                   CAST(coalesce(len(list_filter(p.pieces, x -> x = '[UNK]')), 0)
+                        AS BIGINT) AS n_unk,
+                   md5(array_to_string(coalesce(p.pieces, []), chr(31))) AS pieces_md5
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """))(),
         "q30_gab_week_day_snapshot": """
             WITH cal AS (
               SELECT unnest(generate_series(DATE '1995-01-04', DATE '1995-02-28',

@@ -267,3 +267,127 @@ def bpe_encode_with(data: dict, merges_id: str, **args) -> TransformerFn:
         return bpe_encode(merges=data[merges_id], **args)(df)
 
     return _enc
+
+
+def wordpiece_py(
+    word: str,
+    vocab: set,
+    cont_prefix: str = "##",
+    unk_token: str = "[UNK]",
+    max_word_len: int = 100,
+) -> List[str]:
+    """Greedy longest-match-first WordPiece segmentation of one word
+    (the BERT tokenizer's WordpieceTokenizer, Devlin et al. 2018): from
+    each position take the LONGEST vocab piece (continuation positions
+    prefixed ``##``); any position with no match makes the whole word
+    ``unk_token``, as does a word over ``max_word_len`` chars."""
+    if not word or len(word) > max_word_len:
+        return [unk_token]
+    pieces: List[str] = []
+    pos, n = 0, len(word)
+    while pos < n:
+        end = n
+        found = None
+        while end > pos:
+            piece = word[pos:end]
+            if pos > 0:
+                piece = cont_prefix + piece
+            if piece in vocab:
+                found = piece
+                break
+            end -= 1
+        if found is None:
+            return [unk_token]
+        pieces.append(found)
+        pos = end
+    return pieces
+
+
+@register("wordpiece_encode")
+def wordpiece_encode(
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    output_col: str = "wp_tokens",
+    cont_prefix: str = "##",
+    unk_token: str = "[UNK]",
+    max_word_len: int = 100,
+    lowercase: bool = False,
+    broadcast_dictionary: bool | None = None,
+    broadcast_threshold_rows: int = 2_000_000,
+) -> TransformerFn:
+    """Tokenize the corpus with a fixed WordPiece vocabulary (the BERT
+    family's greedy longest-match-first subword scheme — the other
+    mainstream tokenizer next to ``bpe_encode``'s merge-rank scan).
+    ``vocab`` is one ``piece`` string column: word-initial pieces plain,
+    continuation pieces carrying ``cont_prefix``. Adds ``output_col``
+    (array of pieces, word order preserved) and ``<output_col>_n``;
+    un-segmentable or over-long words become ``unk_token``. ``id_col``
+    must be unique per row (the ``bpe_encode`` reassembly contract).
+
+    Same production plan as ``bpe_encode``: one distinct-word pass, a
+    pandas encode over DISTINCT words only (the vocab set rides the
+    closure — vocabulary-sized), a size-gated dictionary join
+    (broadcast under ``broadcast_threshold_rows`` distinct words, else
+    a shuffle join), and JVM-side per-document reassembly — Python
+    never sees corpus-scale data. The greedy scan is a pure
+    per-position function, so a SQL oracle replays it exactly
+    (longest-match table + deterministic walk).
+    """
+
+    def _encode(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        piece_col = vocab.columns[0]
+        vset = {r[piece_col] for r in vocab.select(piece_col).collect()}
+
+        def _enc_fn(words):
+            return words.map(
+                lambda w: wordpiece_py(
+                    w, vset, cont_prefix, unk_token, max_word_len
+                )
+            )
+
+        _enc = F.pandas_udf(_enc_fn, "array<string>")
+
+        src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        with_words = df.withColumn("__words", tokens(src))
+        distinct_words = (
+            with_words.select(F.explode("__words").alias("__w"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        do_broadcast = broadcast_dictionary
+        if do_broadcast is None:
+            do_broadcast = distinct_words.count() <= broadcast_threshold_rows
+        dictionary = distinct_words.withColumn("__pieces", _enc(F.col("__w")))
+        if do_broadcast:
+            dictionary = F.broadcast(dictionary)
+        exploded = with_words.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode("__words").alias("__p", "__w"),
+        )
+        assembled = (
+            exploded.join(dictionary, "__w")
+            .groupBy("__id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__p", "__pieces"))),
+                        lambda s: s["__pieces"],
+                    )
+                ).alias("__assembled")
+            )
+        )
+        return (
+            df.join(assembled, df[id_col] == assembled["__id"], "left")
+            .drop("__id")
+            .withColumn(
+                output_col,
+                F.coalesce("__assembled", F.array().cast("array<string>")),
+            )
+            .drop("__assembled")
+            .withColumn(f"{output_col}_n", F.size(output_col).cast("int"))
+        )
+
+    return _encode

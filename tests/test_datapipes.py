@@ -3149,6 +3149,36 @@ def test_embedding_dedup_zero_vectors_survive_both_methods(spark):
     assert sim == 0.0
 
 
+def test_wordpiece_encode_bert_semantics(spark):
+    """wordpiece_encode follows the BERT WordpieceTokenizer exactly:
+    greedy longest-match-first with ## continuations, whole-word [UNK]
+    on any unmatchable position or over-long word, order-preserving
+    per-doc reassembly, empty docs -> empty arrays."""
+    vocab = spark.createDataFrame(
+        [(p,) for p in
+         ["un", "##aff", "##able", "aff", "##ab", "ab", "##c", "a",
+          "##b", "x"]],
+        "piece STRING",
+    )
+    rows = [
+        (1, "unaffable"),       # the canonical BERT example
+        (2, "abc"),             # ab + ##c (greedy longest at pos 0)
+        (3, "abq"),             # ##q missing -> [UNK]
+        (4, "x " + "y" * 150),  # over-long word -> [UNK]
+        (5, ""),                # token-less doc -> []
+        (6, "ab unaffable"),    # multi-word order preserved
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in df.transform(
+        t("wordpiece_encode", vocab=vocab, max_word_len=100)).collect()}
+    assert got[1]["wp_tokens"] == ["un", "##aff", "##able"]
+    assert got[2]["wp_tokens"] == ["ab", "##c"]
+    assert got[3]["wp_tokens"] == ["[UNK]"]
+    assert got[4]["wp_tokens"] == ["x", "[UNK]"]
+    assert got[5]["wp_tokens"] == [] and got[5]["wp_tokens_n"] == 0
+    assert got[6]["wp_tokens"] == ["ab", "un", "##aff", "##able"]
+
+
 def test_knn_pq_adc_matches_python_reference(spark):
     """knn_pq replayed in Python: encode corpus with md5-sampled
     codebooks, ADC distance = sum over subspaces of
