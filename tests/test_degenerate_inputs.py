@@ -243,6 +243,13 @@ def test_two_input_ops_survive_empty_sides(spark):
         assert row.count() == 1  # global one-row audit even on empty
         ds = a.transform(t("text_dsir_score", target_df=b, num_buckets=8))
         assert ds.count() == a.count() and "dsir_score" in ds.columns
+    vocab = spark.createDataFrame([("a",), ("##b",)], "piece STRING")
+    empty_vocab = vocab.limit(0)
+    for corpus, vv in [(single, vocab), (empty, vocab),
+                       (single, empty_vocab), (empty, empty_vocab)]:
+        wp = corpus.transform(t("wordpiece_encode", vocab=vv))
+        assert wp.count() == corpus.count()
+        assert "wp_tokens" in wp.columns
     iv_schema = "g STRING, s LONG, e LONG"
     il = spark.createDataFrame([("k", 0, 5)], iv_schema)
     ie = spark.createDataFrame([], iv_schema)
