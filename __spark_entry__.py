@@ -3334,10 +3334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oldest on the board. Entries 51+ (the r05 cohort, then the
     # r06-green remainder) still get value-verified every round via
     # tools/check_oracle.py; the driver window rotates them back next
-    # round. The five queries NEW this round (q30 in-window; dp114
-    # gopher rules, dp115 DSIR, dp116 PQ encode, dp117 PQ ANN after the
-    # boundary) are first in line for the round-8 window alongside the
-    # r05 cohort.
+    # round. The six queries NEW this round (q30 in-window; dp114
+    # gopher rules, dp115 DSIR, dp116 PQ encode, dp117 PQ ANN, dp118
+    # WordPiece after the boundary) are first in line for the round-8
+    # window alongside the r05 cohort.
     return {
         # --- changed this round (code or oracle) ---
         "dp110_random_projection": dp110_random_projection,
