@@ -391,3 +391,18 @@ def wordpiece_encode(
         )
 
     return _encode
+
+
+@register_contextual("wordpiece_encode_with")
+def wordpiece_encode_with(data: dict, vocab_id: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`wordpiece_encode`: resolve the vocabulary
+    from an upstream spec_id."""
+
+    def _enc(df: DataFrame) -> DataFrame:
+        if vocab_id not in data:
+            raise ValueError(
+                f"wordpiece_encode_with: unknown spec_id {vocab_id!r}"
+            )
+        return wordpiece_encode(vocab=data[vocab_id], **args)(df)
+
+    return _enc

@@ -1992,3 +1992,18 @@ def dsir_score(
         ).drop("__id")
 
     return _score
+
+
+@register_contextual("text_dsir_score_with")
+def dsir_score_with(data: dict, target_with: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`dsir_score` (resolve ``target_with`` as an
+    upstream spec_id)."""
+
+    def _score(df: DataFrame) -> DataFrame:
+        if target_with not in data:
+            raise ValueError(
+                f"text_dsir_score_with: unknown spec_id {target_with}"
+            )
+        return dsir_score(target_df=data[target_with], **args)(df)
+
+    return _score

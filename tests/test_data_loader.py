@@ -327,3 +327,73 @@ def test_contextual_datapipe_decontaminate_with(spark, tmp_dir):
         }
     )
     assert [r["doc_id"] for r in res["out"].collect()] == [2]
+
+
+def test_acon_round7_curation_pipeline(spark, tmp_dir):
+    """Round-7 curation ops driven end-to-end through DataLoader with a
+    pure-JSON ACON: Gopher rule filtering, DSIR scoring against a
+    target slice resolved by spec_id, and WordPiece encoding with a
+    vocab resolved by spec_id — the engine-integration seam for every
+    new datapipes operator."""
+    import os as _os
+
+    docs = _os.path.join(tmp_dir, "r7docs")
+    vocab = _os.path.join(tmp_dir, "r7vocab")
+    long_good = (
+        "the model trains on the web data and it reads the target "
+        "style text for a clean corpus with many common words in it "
+    ) * 2
+    spark.createDataFrame(
+        [(1, long_good), (2, "short"), (3, long_good + " extra tail")],
+        "doc_id INT, text STRING",
+    ).write.parquet(docs)
+    spark.createDataFrame(
+        [(p,) for p in ["the", "mo", "##del", "a", "##a", "t", "##t"]],
+        "piece STRING",
+    ).write.parquet(vocab)
+    res = load_data(
+        {
+            "input_specs": [
+                {"spec_id": "docs", "data_format": "parquet", "location": docs},
+                {"spec_id": "vocab", "data_format": "parquet", "location": vocab},
+            ],
+            "transform_specs": [
+                {
+                    "spec_id": "target",
+                    "input_id": "docs",
+                    "transformers": [
+                        {
+                            "function": "expression_filter",
+                            "args": {"exp": "doc_id = 1"},
+                        }
+                    ],
+                },
+                {
+                    "spec_id": "curated",
+                    "input_id": "docs",
+                    "transformers": [
+                        {
+                            "function": "text_gopher_rules",
+                            "args": {"min_words": 10, "mode": "filter"},
+                        },
+                        {
+                            "function": "text_dsir_score_with",
+                            "args": {"target_with": "target", "num_buckets": 32},
+                        },
+                        {
+                            "function": "wordpiece_encode_with",
+                            "args": {"vocab_id": "vocab"},
+                        },
+                    ],
+                },
+            ],
+            "output_specs": [
+                {"spec_id": "out", "input_id": "curated", "data_format": "dataframe"}
+            ],
+        }
+    )
+    rows = {r["doc_id"]: r for r in res["out"].collect()}
+    assert set(rows) == {1, 3}  # gopher filter dropped the short doc
+    assert all("dsir_score" in r.asDict() and r["dsir_score"] is not None
+               for r in rows.values())
+    assert all(r["wp_tokens_n"] > 0 for r in rows.values())
