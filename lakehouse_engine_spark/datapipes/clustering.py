@@ -578,49 +578,125 @@ def knn_pq(
         )
         nq = len(qids)
 
-        @F.pandas_udf("array<bigint>")
-        def adc(v: pd.Series) -> pd.Series:
-            out = [None] * len(v)
+        def _batch_dists(v):
+            """(docs-in-batch, nq) exact int64 ADC matrix for a batch's
+            non-null vectors (mask returned alongside)."""
             mask = v.notna().to_numpy()
-            if mask.any():
-                X = np.stack(v[mask].to_numpy()).astype(np.int64)
-                Xs = X.reshape(len(X), m, sub)
-                xnorm = (Xs * Xs).sum(axis=2)
-                cross = np.einsum("nms,mks->nmk", Xs, books)
-                dist = xnorm[:, :, None] - 2 * cross + bnorm[None, :, :]
-                codes = dist.argmin(axis=2)  # (n, m)
-                # ADC: gather LUT rows at each doc's codes, sum subspaces
-                d = np.zeros((len(X), nq), dtype=np.int64)
-                for s in range(m):
-                    d += lut[:, s, :][:, codes[:, s]].T
-                di = iter(d)
-                for i in range(len(v)):
-                    if mask[i]:
-                        out[i] = next(di).tolist()
-            return pd.Series(out)
+            if not mask.any():
+                return None, mask
+            X = np.stack(v[mask].to_numpy()).astype(np.int64)
+            Xs = X.reshape(len(X), m, sub)
+            xnorm = (Xs * Xs).sum(axis=2)
+            cross = np.einsum("nms,mks->nmk", Xs, books)
+            dist = xnorm[:, :, None] - 2 * cross + bnorm[None, :, :]
+            codes = dist.argmin(axis=2)  # (n, m)
+            d = np.zeros((len(X), nq), dtype=np.int64)
+            for s in range(m):
+                d += lut[:, s, :][:, codes[:, s]].T
+            return d, mask
 
-        scored = (
-            q.select("__pq_id", adc(F.col("__pq_v")).alias("__ds"))
-            .filter(F.col("__ds").isNotNull())
-            .select(
-                F.col("__pq_id").alias("neighbor_id"),
-                F.posexplode("__ds").alias("__qi", "adc_dist"),
-            )
-            .withColumn(
-                "query_id",
-                F.element_at(
-                    F.array(*[F.lit(i) for i in qids]), F.col("__qi") + 1
-                ),
-            )
-            .filter(F.col("query_id") != F.col("neighbor_id"))
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
         )
+
+        id_type = q.schema["__pq_id"].dataType
+        if isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+            # FAST PATH (integral ids): partition-local top-k INSIDE the
+            # kernel — each partition emits at most nq*k candidate rows
+            # (the global top-k is a subset of the union of per-partition
+            # top-ks under the same (dist, id) total order), so the only
+            # exchange ships partitions x nq x k skinny rows instead of
+            # corpus x nq. The 1M-vector probe's window previously sorted
+            # 8M exploded rows.
+            qid_arr = np.array([int(x) for x in qids], dtype=np.int64)
+
+            def part(batches):
+                cand_d = [np.empty(0, np.int64) for _ in range(nq)]
+                cand_i = [np.empty(0, np.int64) for _ in range(nq)]
+                for pdf in batches:
+                    d, mask = _batch_dists(pdf["__pq_v"])
+                    if d is None:
+                        continue
+                    ids_m = (
+                        pdf["__pq_id"].to_numpy()[mask].astype(np.int64)
+                    )
+                    for qi in range(nq):
+                        excl = ids_m != qid_arr[qi]
+                        dd = np.concatenate([cand_d[qi], d[excl, qi]])
+                        ii = np.concatenate([cand_i[qi], ids_m[excl]])
+                        if len(dd) > k:
+                            sel = np.lexsort((ii, dd))[:k]
+                            dd, ii = dd[sel], ii[sel]
+                        cand_d[qi], cand_i[qi] = dd, ii
+                live = [qi for qi in range(nq) if len(cand_d[qi])]
+                if live:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(
+                                [
+                                    np.full(
+                                        len(cand_d[qi]), qid_arr[qi],
+                                        dtype=np.int64,
+                                    )
+                                    for qi in live
+                                ]
+                            ),
+                            "neighbor_id": np.concatenate(
+                                [cand_i[qi] for qi in live]
+                            ),
+                            "adc_dist": np.concatenate(
+                                [cand_d[qi] for qi in live]
+                            ),
+                        }
+                    )
+
+            scored = q.mapInPandas(
+                part, "query_id long, neighbor_id long, adc_dist long"
+            )
+        else:
+            # generic ids: score per row and let the window rank — the
+            # numpy top-k merge needs an ordered numeric id dtype
+            @F.pandas_udf("array<bigint>")
+            def adc(v: pd.Series) -> pd.Series:
+                out = [None] * len(v)
+                d, mask = _batch_dists(v)
+                if d is not None:
+                    di = iter(d)
+                    for i in range(len(v)):
+                        if mask[i]:
+                            out[i] = next(di).tolist()
+                return pd.Series(out)
+
+            scored = (
+                q.select("__pq_id", adc(F.col("__pq_v")).alias("__ds"))
+                .filter(F.col("__ds").isNotNull())
+                .select(
+                    F.col("__pq_id").alias("neighbor_id"),
+                    F.posexplode("__ds").alias("__qi", "adc_dist"),
+                )
+                .withColumn(
+                    "query_id",
+                    F.element_at(
+                        F.array(*[F.lit(i) for i in qids]), F.col("__qi") + 1
+                    ),
+                )
+                .filter(F.col("query_id") != F.col("neighbor_id"))
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.asc("adc_dist"), F.asc("neighbor_id")
         )
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "adc_dist", "rank")
+            .select(
+                F.col("query_id").cast(id_type).alias("query_id"),
+                F.col("neighbor_id").cast(id_type).alias("neighbor_id"),
+                F.col("adc_dist").cast("long").alias("adc_dist"),
+                F.col("rank").cast("int").alias("rank"),
+            )
         )
 
     return _knn
