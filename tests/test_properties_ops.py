@@ -330,3 +330,104 @@ def test_zorder_bucket_monotone_per_dimension(spark, rows, method):
     by = [dim(got[i], 1) for _, i in ys]
     assert by == sorted(by), (method, by)
     assert all(0 <= b <= 255 for b in bx + by)
+
+
+_wp_words = st.lists(
+    st.text(alphabet="abcdex#", min_size=1, max_size=10).filter(
+        lambda w: not w.startswith("#")
+    ),
+    min_size=1,
+    max_size=12,
+)
+_wp_vocab = st.sets(
+    st.one_of(
+        st.text(alphabet="abcdex", min_size=1, max_size=3),
+        st.text(alphabet="abcdex", min_size=1, max_size=3).map(
+            lambda p: "##" + p
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(words=_wp_words, vocab=_wp_vocab)
+@_few
+def test_wordpiece_reconstructs_or_unks(spark, words, vocab):
+    """For every document: each word's pieces either concatenate (modulo
+    the ## prefix) back to the word EXACTLY, or the word is the single
+    [UNK]; piece counts are consistent; and the Spark result equals the
+    pure-Python scanner on every word."""
+    from lakehouse_engine_spark.datapipes.bpe import wordpiece_py
+
+    text = " ".join(words)
+    vdf = spark.createDataFrame([(p,) for p in sorted(vocab)], "piece STRING")
+    row = (
+        spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+        .transform(t("wordpiece_encode", vocab=vdf))
+        .collect()[0]
+    )
+    got = row["wp_tokens"]
+    expect = []
+    for w in words:
+        expect.extend(wordpiece_py(w, vocab))
+    assert got == expect
+    # reconstruction property, word by word
+    i = 0
+    for w in words:
+        ref = wordpiece_py(w, vocab)
+        seg = got[i:i + len(ref)]
+        i += len(ref)
+        if seg == ["[UNK]"]:
+            continue
+        assert "".join(p[2:] if p.startswith("##") else p for p in seg) == w
+
+
+_gopher_docs = st.lists(
+    st.text(
+        alphabet="ab #.\n…-*x",
+        min_size=0,
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_gopher_docs)
+@_few
+def test_gopher_flags_match_python_reference(spark, texts):
+    """Every Gopher flag equals a direct Python evaluation of the stated
+    integer cross-multiplication semantics on adversarial text soup
+    (bullets, ellipses, hashes, unicode ellipsis, newlines)."""
+    import re
+
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r
+        for r in df.transform(t("text_gopher_rules", min_words=2)).collect()
+    }
+    for i, s in rows:
+        wtoks = [w for w in re.split(r"\s+", s.strip()) if w]
+        n_words = len(wtoks)
+        sum_wl = sum(len(w) for w in wtoks)
+        lines = [l for l in s.split("\n") if l.strip()]
+        n_lines = len(lines)
+        n_sym = s.count("#") + len(re.findall(r"(\.\.\.|…)", s))
+        bullets = sum(
+            1 for l in lines if re.match(r"^[-*•]", l.lstrip())
+        )
+        ells = sum(
+            1 for l in lines if re.search(r"(\.\.\.|…)$", l.rstrip())
+        )
+        alpha = sum(1 for w in wtoks if re.search("[A-Za-z]", w))
+        r = got[i]
+        assert r["rule_word_count"] == (2 <= n_words <= 100_000)
+        assert r["rule_mean_word_len"] == (
+            n_words > 0 and 3 * n_words <= sum_wl <= 10 * n_words
+        )
+        assert r["rule_symbol_ratio"] == (1000 * n_sym <= 100 * n_words)
+        assert r["rule_bullet_lines"] == (1000 * bullets <= 900 * n_lines)
+        assert r["rule_ellipsis_lines"] == (1000 * ells <= 300 * n_lines)
+        assert r["rule_alpha_words"] == (1000 * alpha >= 800 * n_words)
