@@ -3161,6 +3161,33 @@ def dp118_wordpiece_encode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp119_decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Surgical span-removal decontamination (datapipes/text.py
+    text_decontaminate_spans, the GPT-3/PaLM appendix procedure): every
+    50th document plays the eval set; matching 8-gram spans are CUT and
+    the clean remainders kept as fragments (shards under 5 tokens
+    pruned). The oracle replays gram match -> contaminated ranges ->
+    gaps-and-islands fragmentation bit-for-bit."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter("doc_id % 50 = 0").selectExpr(
+        "doc_id AS bid", "text"
+    )
+    out = docs.transform(
+        _t(
+            "text_decontaminate_spans",
+            benchmark_df=bench,
+            ngram=8,
+            min_fragment_tokens=5,
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_fragments").cast("int").alias("n_fragments"),
+        "n_removed_tokens",
+        F.md5(F.array_join("clean_fragments", "\x1f")).alias("frags_md5"),
+    )
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3336,7 +3363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py; the driver window rotates them back next
     # round. The six queries NEW this round (q30 in-window; dp114
     # gopher rules, dp115 DSIR, dp116 PQ encode, dp117 PQ ANN, dp118
-    # WordPiece after the boundary) are first in line for the round-8
+    # WordPiece, dp119 span decontamination after the boundary) are
+    # first in line for the round-8
     # window alongside the r05 cohort.
     return {
         # --- changed this round (code or oracle) ---
@@ -3485,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp116_pq_encode": dp116_pq_encode,
         "dp117_knn_pq": dp117_knn_pq,
         "dp118_wordpiece_encode": dp118_wordpiece_encode,
+        "dp119_decontaminate_spans": dp119_decontaminate_spans,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5363,6 +5392,71 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(coalesce(p.pieces, []), chr(31))) AS pieces_md5
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """))(),
+        "dp119_decontaminate_spans": f"""
+            WITH bg AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest({_duck_shingles(8)}) AS g
+                FROM (SELECT {_DUCK_TOKENS} AS w FROM documents
+                      WHERE doc_id % 50 = 0)
+              )
+            ),
+            tcs AS (SELECT doc_id, {_DUCK_TOKENS_CS} AS w FROM documents),
+            pos AS (
+              SELECT doc_id, unnest(generate_series(1, len(w))) AS tp, w
+              FROM tcs WHERE len(w) >= 1
+            ),
+            st AS (
+              SELECT doc_id, unnest(generate_series(1, len(w) - 7)) AS p, w
+              FROM tcs WHERE len(w) >= 8
+            ),
+            hitp AS (
+              SELECT st.doc_id, st.p FROM st
+              JOIN bg ON lower(array_to_string(st.w[st.p : st.p + 7], ' ')) = bg.g
+            ),
+            hitdocs AS (SELECT DISTINCT doc_id FROM hitp),
+            kept AS (
+              SELECT pos.doc_id, pos.tp, pos.w[pos.tp] AS tok
+              FROM pos JOIN hitdocs USING (doc_id)
+              WHERE NOT EXISTS (
+                SELECT 1 FROM hitp
+                WHERE hitp.doc_id = pos.doc_id
+                  AND pos.tp BETWEEN hitp.p AND hitp.p + 7
+              )
+            ),
+            isl AS (
+              SELECT doc_id, tp, tok,
+                     tp - row_number() OVER (PARTITION BY doc_id ORDER BY tp) AS g
+              FROM kept
+            ),
+            fr AS (
+              SELECT doc_id, g, MIN(tp) AS fp, COUNT(*) AS flen,
+                     string_agg(tok, ' ' ORDER BY tp) AS ftext
+              FROM isl GROUP BY 1, 2
+            ),
+            fr2 AS (
+              SELECT doc_id, list(ftext ORDER BY fp) AS frags,
+                     SUM(flen) AS keptn
+              FROM fr WHERE flen >= 5 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN h.doc_id IS NULL
+                             THEN CASE WHEN len(t.w) > 0 THEN 1 ELSE 0 END
+                             ELSE coalesce(len(f.frags), 0) END AS INT)
+                     AS n_fragments,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN 0
+                             ELSE len(t.w) - coalesce(f.keptn, 0) END AS BIGINT)
+                     AS n_removed_tokens,
+                   md5(coalesce(CASE WHEN h.doc_id IS NULL
+                            THEN CASE WHEN len(t.w) > 0
+                                      THEN array_to_string(t.w, ' ')
+                                      ELSE '' END
+                            ELSE array_to_string(coalesce(f.frags, []), chr(31))
+                       END, '')) AS frags_md5
+            FROM documents d
+            JOIN tcs t USING (doc_id)
+            LEFT JOIN hitdocs h ON h.doc_id = d.doc_id
+            LEFT JOIN fr2 f ON f.doc_id = d.doc_id
+        """,
         "q30_gab_week_day_snapshot": """
             WITH cal AS (
               SELECT unnest(generate_series(DATE '1995-01-04', DATE '1995-02-28',

@@ -2007,3 +2007,195 @@ def dsir_score_with(data: dict, target_with: str, **args) -> TransformerFn:
         return dsir_score(target_df=data[target_with], **args)(df)
 
     return _score
+
+
+@register("text_decontaminate_spans")
+def decontaminate_spans(
+    benchmark_df: DataFrame,
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark_text_col: str = "text",
+    ngram: int = 8,
+    min_fragment_tokens: int = 20,
+    output_col: str = "clean_fragments",
+    broadcast_benchmark: bool = True,
+) -> TransformerFn:
+    """SURGICAL decontamination (the GPT-3/PaLM appendix procedure):
+    instead of dropping whole documents that share an n-gram with the
+    benchmark (``text_decontaminate``'s mode), remove only the
+    contaminated SPANS and keep the clean remainder as fragments —
+    the variant that preserves the bulk of a long document leaking one
+    quoted test item.
+
+    Semantics (exact, oracle-replayable): tokens split on whitespace
+    CASE-PRESERVING; matching runs on LOWERCASED token ``ngram``-grams
+    against the distinct benchmark gram set; every matching start p
+    contaminates token positions [p, p+ngram-1]; maximal runs of
+    uncontaminated tokens become fragments (single-space joined, in
+    order), and fragments BORN OF A SPLIT shorter than
+    ``min_fragment_tokens`` are pruned (shards around a removed quote
+    are usually boilerplate). Uncontaminated documents — including
+    those shorter than the n-gram — pass through as ONE fragment
+    regardless of length. Adds ``output_col`` (array<string>),
+    ``n_removed_tokens``, ``n_fragments``.
+
+    Scale design: benchmark grams broadcast (eval sets are small; pass
+    ``broadcast_benchmark=False`` to shuffle-join a giant one); the
+    corpus makes one gram-explode pass into a semi-join, and ONLY the
+    documents with hits (the rare case) take the exploded
+    gaps-and-islands path (posexplode -> kept-token islands via one
+    doc-keyed window -> fragment reassembly); clean documents ride a
+    join-free pass-through projection. Shuffle volume beyond the gram
+    probe is proportional to CONTAMINATED tokens, not the corpus.
+    """
+    if ngram < 1:
+        raise ValueError(
+            f"text_decontaminate_spans: ngram must be >= 1, got {ngram}"
+        )
+    if min_fragment_tokens < 0:
+        raise ValueError(
+            "text_decontaminate_spans: min_fragment_tokens must be >= 0, "
+            f"got {min_fragment_tokens}"
+        )
+
+    def _decon(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
+
+        bench = (
+            benchmark_df.select(
+                F.explode(
+                    shingles(F.col(benchmark_text_col), ngram)
+                ).alias("__g")
+            )
+            .select(F.md5("__g").alias("__gh"))
+            .distinct()
+        )
+        if broadcast_benchmark:
+            bench = F.broadcast(bench)
+        base = ensure_parallelism(df).select(
+            F.col(id_col).alias("__id"), F.col(input_col).alias("__tx")
+        )
+        toks = base.select(
+            "__id", tokens(F.col("__tx")).alias("__t")
+        )
+        # contaminated start positions (1-based), lowercased match
+        starts = (
+            toks.filter(F.size("__t") >= ngram)
+            .select(
+                "__id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__t") - ngram + 1),
+                        lambda i: F.md5(
+                            F.lower(
+                                F.concat_ws(
+                                    " ", F.slice(F.col("__t"), i, ngram)
+                                )
+                            )
+                        ),
+                    )
+                ).alias("__p0", "__gh"),
+            )
+            .select("__id", (F.col("__p0") + 1).alias("__p"), "__gh")
+            .join(bench, "__gh")
+            .select("__id", "__p")
+        )
+        hit_ids = starts.select("__id").distinct()
+        hit_starts = starts.groupBy("__id").agg(
+            F.array_sort(F.collect_list("__p")).alias("__ps")
+        )
+        # dirty docs only: kept-token islands -> fragments
+        dirty = toks.join(hit_ids, "__id", "left_semi").join(
+            hit_starts, "__id"
+        )
+        kept = (
+            dirty.select(
+                "__id",
+                "__ps",
+                F.size("__t").alias("__n"),
+                F.posexplode("__t").alias("__tp0", "__tok"),
+            )
+            .select(
+                "__id", "__ps", "__n",
+                (F.col("__tp0") + 1).alias("__tp"), "__tok",
+            )
+            .filter(
+                ~F.exists(
+                    "__ps",
+                    lambda s: (F.col("__tp") >= s)
+                    & (F.col("__tp") < s + ngram),
+                )
+            )
+        )
+        w = Window.partitionBy("__id").orderBy("__tp")
+        frags = (
+            kept.withColumn("__isl", F.col("__tp") - F.row_number().over(w))
+            .groupBy("__id", "__isl")
+            .agg(
+                F.min("__tp").alias("__fp"),
+                F.count(F.lit(1)).alias("__flen"),
+                F.concat_ws(
+                    " ", F.array_sort(F.collect_list(F.struct("__tp", "__tok")))
+                    .getField("__tok")
+                ).alias("__ftext"),
+                F.first("__n").alias("__n"),
+            )
+            .filter(F.col("__flen") >= min_fragment_tokens)
+            .groupBy("__id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__fp", "__ftext", "__flen"))
+                ).alias("__fs"),
+                F.sum("__flen").alias("__keptn"),
+                F.first("__n").alias("__n"),
+            )
+            .select(
+                "__id",
+                F.col("__fs").getField("__ftext").alias("__frags"),
+                (F.col("__n") - F.col("__keptn")).alias("__removed"),
+            )
+        )
+        out = (
+            df.join(
+                frags, df[id_col] == frags["__id"], "left"
+            )
+            .drop("__id")
+            .join(
+                hit_ids.withColumnRenamed("__id", "__hid"),
+                df[id_col] == F.col("__hid"),
+                "left",
+            )
+        )
+        is_dirty = F.col("__hid").isNotNull()
+        clean_toks = tokens(F.col(input_col))
+        whole = F.when(
+            F.size(clean_toks) > 0,
+            F.array(F.concat_ws(" ", clean_toks)),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            out.withColumn(
+                output_col,
+                F.when(
+                    is_dirty,
+                    F.coalesce(
+                        "__frags", F.array().cast("array<string>")
+                    ),
+                ).otherwise(whole),
+            )
+            .withColumn(
+                "n_removed_tokens",
+                F.when(is_dirty,
+                       F.coalesce(
+                           "__removed",
+                           F.size(tokens(F.col(input_col))).cast("long"),
+                       ))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+            .withColumn("n_fragments", F.size(output_col).cast("int"))
+            .drop("__frags", "__removed", "__hid")
+        )
+
+    return _decon

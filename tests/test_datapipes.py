@@ -3149,6 +3149,42 @@ def test_embedding_dedup_zero_vectors_survive_both_methods(spark):
     assert sim == 0.0
 
 
+def test_decontaminate_spans_surgical_removal(spark):
+    """Span-removal decontamination: contaminated n-gram ranges are cut
+    (case-insensitive match), clean remainders become ordered
+    fragments, split shards under min_fragment_tokens are pruned,
+    uncontaminated docs pass through whole, fully-contaminated docs
+    empty out."""
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "bid LONG, text STRING"
+    )
+    head = " ".join(f"head{i}" for i in range(25))
+    tail = " ".join(f"tail{i}" for i in range(25))
+    rows = [
+        (1, f"{head} Alpha BETA gamma delta {tail}"),
+        (2, "totally clean document with several words"),
+        (3, f"alpha beta gamma delta {tail}"),
+        (4, "alpha beta gamma delta"),
+        (5, "short alpha beta gamma delta tl"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in df.transform(
+        t("text_decontaminate_spans", benchmark_df=bench, ngram=4,
+          min_fragment_tokens=5)).collect()}
+    assert got[1]["n_fragments"] == 2 and got[1]["n_removed_tokens"] == 4
+    assert got[1]["clean_fragments"][0].startswith("head0 ")
+    assert got[1]["clean_fragments"][1].startswith("tail0 ")
+    assert got[2]["clean_fragments"] == [rows[1][1]]
+    assert got[2]["n_removed_tokens"] == 0
+    assert got[3]["n_fragments"] == 1
+    assert got[4]["clean_fragments"] == [] and got[4]["n_removed_tokens"] == 4
+    assert got[5]["clean_fragments"] == [] and got[5]["n_removed_tokens"] == 6
+    assert got[6]["clean_fragments"] == [] and got[6]["n_removed_tokens"] == 0
+    with pytest.raises(ValueError):
+        t("text_decontaminate_spans", benchmark_df=bench, ngram=0)
+
+
 def test_wordpiece_encode_bert_semantics(spark):
     """wordpiece_encode follows the BERT WordpieceTokenizer exactly:
     greedy longest-match-first with ## continuations, whole-word [UNK]

@@ -243,6 +243,8 @@ def test_two_input_ops_survive_empty_sides(spark):
         assert row.count() == 1  # global one-row audit even on empty
         ds = a.transform(t("text_dsir_score", target_df=b, num_buckets=8))
         assert ds.count() == a.count() and "dsir_score" in ds.columns
+        sp = a.transform(t("text_decontaminate_spans", benchmark_df=b))
+        assert sp.count() == a.count() and "clean_fragments" in sp.columns
     vocab = spark.createDataFrame([("a",), ("##b",)], "piece STRING")
     empty_vocab = vocab.limit(0)
     for corpus, vv in [(single, vocab), (empty, vocab),
