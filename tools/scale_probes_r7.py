@@ -214,6 +214,39 @@ def probe_pq_1m(spark):
 PROBES["pq_1m"] = probe_pq_1m
 
 
+def probe_decontaminate_spans_100k(spark):
+    """text_decontaminate_spans at 100k docs vs a 5k-doc benchmark: the
+    islands path must touch only CONTAMINATED documents (~5% here), so
+    cost is the broadcast gram probe + a small exploded window."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(20).withColumnRenamed("id", "__rep"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000)
+        .drop("__rep")
+        .repartition(32)
+        .persist()
+    )
+    n = big.count()
+    bench = docs.filter("doc_id % 10 = 0").selectExpr("doc_id AS bid", "text")
+    t0 = time.time()
+    out = big.transform(
+        t("text_decontaminate_spans", benchmark_df=bench, ngram=8,
+          min_fragment_tokens=5)
+    )
+    stats = out.selectExpr(
+        "count(*) AS docs",
+        "sum(CASE WHEN n_removed_tokens > 0 THEN 1 ELSE 0 END) AS dirty",
+        "sum(n_removed_tokens) AS removed",
+    ).first()
+    dt = time.time() - t0
+    print(f"[decon_spans_100k] {n} docs vs 5k benchmark: {dt:.1f}s — "
+          f"{stats['dirty']} dirty docs, {stats['removed']} tokens removed")
+    big.unpersist()
+
+
+PROBES["decon_spans_100k"] = probe_decontaminate_spans_100k
+
+
 def main():
     spark = ExecEnv.get_or_create()
     only = set(sys.argv[1:])
