@@ -845,7 +845,9 @@ def test_pq_ops_joinless_arrow_projection(spark, sf_dir):
         assert bad not in physical, (bad, physical[:2000])
     ann = entry.queries()["dp117_knn_pq"](spark, sf_dir)
     physical, _ = _plans(ann)
-    assert "ArrowEvalPython" in physical
+    # integral ids take the partition-local top-k kernel (MapInPandas);
+    # the exploded fallback would show ArrowEvalPython + Generate
+    assert "MapInPandas" in physical or "ArrowEvalPython" in physical
     for bad in ("Join", "CartesianProduct"):
         assert bad not in physical, (bad, physical[:2000])
     assert "Window" in physical
