@@ -3188,6 +3188,23 @@ def dp119_decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp120_dup_line_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-line repetition stats (datapipes/text.py
+    text_dup_line_stats — the duplicate-line half of Gopher §A1.1,
+    complementing dp22's word/n-gram cells). The single-line synthetic
+    docs are given a deterministic line structure first (every ' a '
+    becomes a newline in BOTH engines); fractions are single IEEE
+    divisions of exact counts, so the oracle matches bit-for-bit."""
+    docs = load_table(spark, sf, "documents")
+    lined = docs.withColumn(
+        "text", F.expr("replace(text, ' a ', chr(10))")
+    )
+    out = lined.transform(_t("text_dup_line_stats"))
+    return out.select(
+        "doc_id", "n_lines", "n_dup_lines", "dup_line_frac", "dup_char_frac"
+    )
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3514,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp117_knn_pq": dp117_knn_pq,
         "dp118_wordpiece_encode": dp118_wordpiece_encode,
         "dp119_decontaminate_spans": dp119_decontaminate_spans,
+        "dp120_dup_line_stats": dp120_dup_line_stats,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5456,6 +5474,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN tcs t USING (doc_id)
             LEFT JOIN hitdocs h ON h.doc_id = d.doc_id
             LEFT JOIN fr2 f ON f.doc_id = d.doc_id
+        """,
+        "dp120_dup_line_stats": """
+            WITH lined AS (
+              SELECT doc_id, replace(text, ' a ', chr(10)) AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, trim(l) AS l
+              FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''),
+                                                       chr(10))) AS l
+                    FROM lined)
+              WHERE trim(l) <> ''
+            ),
+            grp AS (
+              SELECT doc_id, l, COUNT(*) AS c FROM lines GROUP BY 1, 2
+            ),
+            per_doc AS (
+              SELECT doc_id,
+                     SUM(c) AS n_lines,
+                     SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS n_dup,
+                     SUM(len(l) * c) AS tc,
+                     SUM(CASE WHEN c >= 2 THEN len(l) * c ELSE 0 END) AS dc
+              FROM grp GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_lines,
+                   CASE WHEN coalesce(p.n_lines, 0) > 0
+                        THEN CAST(p.n_dup AS DOUBLE) / p.n_lines
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN coalesce(p.tc, 0) > 0
+                        THEN CAST(p.dc AS DOUBLE) / p.tc
+                        ELSE 0.0 END AS dup_char_frac
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         "q30_gab_week_day_snapshot": """
             WITH cal AS (

@@ -2199,3 +2199,97 @@ def decontaminate_spans(
         )
 
     return _decon
+
+
+@register("text_dup_line_stats")
+def dup_line_stats(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> TransformerFn:
+    """The duplicate-line half of Gopher's repetition battery (Rae et
+    al. 2021 §A1.1 — ``text_repetition`` covers the distinct-word and
+    top-n-gram cells): per document, how many lines are exact
+    duplicates of another line in the SAME document, and what fraction
+    of line characters sit in those duplicates — the boilerplate /
+    scraped-navigation signal. ``sep`` is a regex (default newline;
+    pass ``\\n\\n+`` for the paragraph variant). Lines compare TRIMMED,
+    empties dropped.
+
+    Adds ``n_lines``, ``n_dup_lines``, ``dup_line_frac``,
+    ``dup_char_frac``. The fractions are single IEEE divisions of exact
+    integer counts (no ``round()`` anywhere — both engines produce the
+    identical correctly-rounded double), so the oracle matches
+    bit-for-bit.
+
+    Scale design: explode -> ONE map-side-combined (doc, line)
+    aggregate (shuffled volume is distinct lines per doc, not corpus
+    lines) -> one doc-keyed aggregate -> id join back; the
+    ``text_repetition`` cost class.
+    """
+
+    def _stats(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
+
+        base = (
+            ensure_parallelism(df)
+            .select(
+                F.col(id_col).alias("__id"),
+                F.explode(
+                    F.filter(
+                        F.transform(
+                            F.split(
+                                F.coalesce(
+                                    F.col(input_col).cast("string"),
+                                    F.lit(""),
+                                ),
+                                sep,
+                            ),
+                            lambda l: F.trim(l),
+                        ),
+                        lambda l: l != "",
+                    )
+                ).alias("__l"),
+            )
+        )
+        grp = base.groupBy("__id", "__l").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        per_doc = grp.groupBy("__id").agg(
+            F.sum("__c").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_lines"),
+            F.sum(F.length("__l") * F.col("__c")).cast("long").alias("__tc"),
+            F.sum(
+                F.when(
+                    F.col("__c") >= 2, F.length("__l") * F.col("__c")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("__dc"),
+        )
+        out = df.join(
+            per_doc, df[id_col] == per_doc["__id"], "left"
+        ).drop("__id")
+        return (
+            out.withColumn("n_lines", F.coalesce("n_lines", F.lit(0)))
+            .withColumn("n_dup_lines", F.coalesce("n_dup_lines", F.lit(0)))
+            .withColumn(
+                "dup_line_frac",
+                F.when(
+                    F.col("n_lines") > 0,
+                    F.col("n_dup_lines").cast("double") / F.col("n_lines"),
+                ).otherwise(F.lit(0.0)),
+            )
+            .withColumn(
+                "dup_char_frac",
+                F.when(
+                    F.coalesce("__tc", F.lit(0)) > 0,
+                    F.col("__dc").cast("double") / F.col("__tc"),
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop("__tc", "__dc")
+        )
+
+    return _stats

@@ -3149,6 +3149,34 @@ def test_embedding_dedup_zero_vectors_survive_both_methods(spark):
     assert sim == 0.0
 
 
+def test_dup_line_stats(spark):
+    """Duplicate-line fractions: trimmed comparison, empties dropped,
+    exact counts, null/empty docs zero out."""
+    rows = [
+        (1, "nav menu\ncontent one\nnav menu\ncontent two\n nav menu "),
+        (2, "all\nunique\nlines"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in
+           df.transform(t("text_dup_line_stats")).collect()}
+    assert got[1]["n_lines"] == 5 and got[1]["n_dup_lines"] == 3
+    assert abs(got[1]["dup_line_frac"] - 0.6) < 1e-12
+    assert abs(got[1]["dup_char_frac"] - 24 / 46) < 1e-12
+    assert got[2]["n_dup_lines"] == 0 and got[2]["dup_line_frac"] == 0.0
+    for d in (3, 4):
+        assert got[d]["n_lines"] == 0 and got[d]["dup_char_frac"] == 0.0
+    # paragraph variant via regex separator
+    para = spark.createDataFrame(
+        [(1, "dup para\n\ndup para\n\nunique body text")],
+        "doc_id LONG, text STRING",
+    )
+    r = para.transform(
+        t("text_dup_line_stats", sep="\\n\\n+")).collect()[0]
+    assert r["n_lines"] == 3 and r["n_dup_lines"] == 2
+
+
 def test_decontaminate_spans_surgical_removal(spark):
     """Span-removal decontamination: contaminated n-gram ranges are cut
     (case-insensitive match), clean remainders become ordered

@@ -192,6 +192,7 @@ CASES = [
     ("knn_pq", {"k": 2, "m": 2, "num_codes": 2,
                 "query_filter": "vec_id >= 0"}, "emb", "zero"),
     ("text_gopher_rules", {"min_words": 2}, "docs", "zero"),
+    ("text_dup_line_stats", {}, "docs", "zero"),
 ]
 
 
