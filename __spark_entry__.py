@@ -3380,7 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py; the driver window rotates them back next
     # round. The six queries NEW this round (q30 in-window; dp114
     # gopher rules, dp115 DSIR, dp116 PQ encode, dp117 PQ ANN, dp118
-    # WordPiece, dp119 span decontamination after the boundary) are
+    # WordPiece, dp119 span decontamination, dp120 dup-line stats after the boundary) are
     # first in line for the round-8
     # window alongside the r05 cohort.
     return {

@@ -1909,6 +1909,14 @@ def dsir_score(
     is explode → broadcast-hash-join → one map-side-combined groupBy on
     the doc id — the ``text_lm_score`` cost class, no corpus-side
     shuffle beyond the doc-id aggregate.
+
+    Deliberate trade-off: the source gram projection is COMPUTED TWICE
+    (once into the bucket counts, once into the per-doc scoring) rather
+    than exchanged once and reused — re-running a split+md5 projection
+    is CPU, while materializing corpus x grams through an exchange for
+    ReusedExchange would shuffle the token stream itself; at 100 TB the
+    recompute wins. This is why the op costs ~2x ``text_ngram_counts``
+    in the bench.
     """
     if not 1 <= num_buckets <= 1_000_000:
         raise ValueError(
