@@ -3205,6 +3205,40 @@ def dp120_dup_line_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp121_graph_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components (datapipes/graph.py graph_connected_components
+    — alternating large-star/small-star, the O(log^2 n)-round algorithm
+    near-dup clustering needs on high-diameter graphs). The edge graph is
+    deterministic and ADVERSARIAL for naive min-propagation: doc_ids form
+    50-node chain blocks (diameter 49), and blocks (3k, 3k+1) are bridged
+    into 100-node paths; self-loops register every doc as a node so
+    isolated tails still appear. Components are labeled by their minimum
+    node id — exact, engine-independent — and the oracle replays
+    reachability with a recursive CTE, not the generator's closed form,
+    so a labeling bug cannot cancel out."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    chain = (
+        docs.where(F.col("doc_id") % 50 != 49)
+        .join(docs.select(F.col("doc_id").alias("dst")),
+              F.col("doc_id") + 1 == F.col("dst"))
+        .select(F.col("doc_id").alias("src"), "dst")
+    )
+    bridge = (
+        docs.where((F.col("doc_id") % 150 == 0))
+        .join(docs.withColumnRenamed("doc_id", "dst"),
+              F.col("doc_id") + 50 == F.col("dst"))
+        .select(F.col("doc_id").alias("src"), "dst")
+    )
+    loops = docs.select(F.col("doc_id").alias("src"),
+                        F.col("doc_id").alias("dst"))
+    edges = chain.unionAll(bridge).unionAll(loops)
+    out = edges.transform(_t("graph_connected_components"))
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3532,6 +3566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp118_wordpiece_encode": dp118_wordpiece_encode,
         "dp119_decontaminate_spans": dp119_decontaminate_spans,
         "dp120_dup_line_stats": dp120_dup_line_stats,
+        "dp121_graph_components": dp121_graph_components,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5474,6 +5509,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN tcs t USING (doc_id)
             LEFT JOIN hitdocs h ON h.doc_id = d.doc_id
             LEFT JOIN fr2 f ON f.doc_id = d.doc_id
+        """,
+        "dp121_graph_components": """
+            -- reachability replay with a recursive CTE (NOT the edge
+            -- generator's closed form, so a labeling bug cannot cancel)
+            WITH RECURSIVE
+            chain AS (
+              SELECT d.doc_id AS src, e.doc_id AS dst
+              FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+              WHERE d.doc_id % 50 <> 49
+            ),
+            bridge AS (
+              SELECT d.doc_id AS src, e.doc_id AS dst
+              FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 50
+              WHERE d.doc_id % 150 = 0
+            ),
+            edges AS (
+              SELECT src, dst FROM chain UNION ALL SELECT dst, src FROM chain
+              UNION ALL
+              SELECT src, dst FROM bridge UNION ALL SELECT dst, src FROM bridge
+            ),
+            reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(MIN(lab) AS BIGINT) AS component
+            FROM reach GROUP BY node
         """,
         "dp120_dup_line_stats": """
             WITH lined AS (

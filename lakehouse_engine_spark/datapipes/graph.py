@@ -30,6 +30,133 @@ TransformerFn = Callable[[DataFrame], DataFrame]
 SCALE = 10**12
 
 
+@register("graph_connected_components")
+def connected_components(
+    src_col: str = "src",
+    dst_col: str = "dst",
+    output_col: str = "component",
+    max_iterations: int = 50,
+) -> TransformerFn:
+    """Connected components over an edge list via the alternating
+    large-star / small-star algorithm (Kiveris et al., *Connected
+    Components in MapReduce and Beyond*, SoCC'14 — a public paper).
+    Returns one row per node: ``node``, ``<output_col>`` (the smallest
+    node id in its component — deterministic, engine-independent).
+
+    Input rows are undirected edges; direction is ignored, duplicates
+    and self-loops are tolerated (a self-loop registers the node in the
+    output universe without connecting it to anything — callers can
+    union ``(n, n)`` rows to label isolated nodes). Ids may be any
+    orderable type (numeric or string); "smallest" is Spark's ordering
+    for that type.
+
+    Scale design — this exists because the min-label-propagation loop in
+    ``dedup_connected_components`` converges in O(graph diameter) rounds,
+    which is the right shape for near-dup bucket cliques (diameter 1-3)
+    but DIES on high-diameter graphs: a 1M-node path graph would need 1M
+    rounds. The star transforms contract paths exponentially —
+    O(log^2 n) rounds worst-case, 2-8 rounds in practice — so the same
+    1M-node path converges in a handful of passes (see
+    tools/scale_probes_r7.py). Each half-round is one map-side-combined
+    min aggregation keyed on node plus one co-partitioned join back to
+    the edge list (both hash-partitioned on the SAME key, so AQE reuses
+    the exchange), shuffling only (node, node) pairs — never neighbor
+    lists, never anything super-linear in the edge count. Skew safety:
+    a hub of degree d contributes d rows to a SUM-like min combine (no
+    per-key list materialization), the same property the pagerank
+    hub-skew probe pins. ``localCheckpoint`` per round keeps plan depth
+    constant; convergence is an exact changed-edge count (distinct sets:
+    equal cardinality + empty one-sided ``exceptAll``).
+    """
+    if max_iterations < 1:
+        raise ValueError(
+            f"graph_connected_components: max_iterations must be >= 1, "
+            f"got {max_iterations}"
+        )
+
+    def _cc(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        raw = df.select(
+            F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")
+        )
+        nodes = (
+            raw.select(F.col("__a").alias("__node"))
+            .union(raw.select(F.col("__b").alias("__node")))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        nodes.count()  # materialize before edges are rewritten below
+        edges = (
+            raw.where(F.col("__a") != F.col("__b"))
+            .select(
+                F.greatest("__a", "__b").alias("__u"),
+                F.least("__a", "__b").alias("__v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        prev_n = edges.count()
+        converged = prev_n == 0
+        for _ in range(max_iterations):
+            if converged:
+                break
+            # large-star: every node u sends its strictly-LARGER
+            # neighbors to m = min(u, neighbors) — contracts tall
+            # trees toward the minimum without growing edge count
+            sym = edges.union(
+                edges.select(F.col("__v").alias("__u"), F.col("__u").alias("__v"))
+            )
+            lmin = sym.groupBy("__u").agg(F.min("__v").alias("__mv"))
+            large = (
+                sym.join(lmin, "__u")
+                .where(F.col("__v") > F.col("__u"))
+                .select(
+                    F.col("__v").alias("__u"),
+                    F.least("__u", "__mv").alias("__v"),
+                )
+                .distinct()
+            )
+            # small-star: every node u re-points its smaller-or-equal
+            # neighbors (and itself) at their collective minimum
+            smin = large.groupBy("__u").agg(F.min("__v").alias("__m"))
+            new_edges = (
+                large.join(smin, "__u")
+                .where(F.col("__v") != F.col("__m"))
+                .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
+                .union(smin.select(F.col("__u"), F.col("__m").alias("__v")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            new_n = new_edges.count()
+            if new_n == prev_n and new_edges.exceptAll(edges).count() == 0:
+                converged = True
+            edges, prev_n = new_edges, new_n
+        if not converged:
+            raise RuntimeError(
+                f"graph_connected_components: no convergence after "
+                f"{max_iterations} alternating star rounds — the bound is "
+                f"O(log^2 n); raise max_iterations only for graphs beyond "
+                f"~2^{max_iterations // 2} nodes or report a bug"
+            )
+        # converged edge set is (child, root) stars rooted at each
+        # component's minimum; roots + isolated nodes label themselves
+        labels = edges.select(
+            F.col("__u").alias("__node"), F.col("__v").alias("__comp")
+        )
+        out = (
+            nodes.join(labels, "__node", "left")
+            .select(
+                F.col("__node").alias("node"),
+                F.coalesce("__comp", "__node").alias(output_col),
+            )
+        )
+        nodes.unpersist()
+        return out
+
+    return _cc
+
+
 @register("graph_pagerank")
 def pagerank(
     src_col: str = "src",

@@ -2644,6 +2644,75 @@ def test_pagerank_matches_reference_replay(spark):
         t("graph_pagerank", iterations=0)
 
 
+def test_connected_components_matches_union_find(spark):
+    """graph_connected_components (alternating large-star/small-star)
+    pinned against a transparent union-find on seeded random graphs,
+    plus the adversarial case the algorithm exists for: a long path
+    graph whose diameter would stall naive min-propagation."""
+    import random
+
+    def uf(n, edges):
+        p = list(range(n))
+
+        def find(x):
+            while p[x] != x:
+                p[x] = p[p[x]]
+                x = p[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                p[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for i in range(n):
+            comp.setdefault(find(i), []).append(i)
+        return {i: min(ms) for ms in comp.values() for i in ms}
+
+    rng = random.Random(7)
+    for _ in range(4):
+        n = rng.choice([12, 40, 80])
+        m = rng.randint(0, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        df = spark.createDataFrame(
+            edges + [(i, i) for i in range(n)], "src LONG, dst LONG"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in df.transform(t("graph_connected_components")).collect()
+        }
+        assert got == uf(n, edges)
+    # path graph: diameter n-1, converges in O(log^2 n) star rounds
+    n = 512
+    pdf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG"
+    )
+    got = pdf.transform(t("graph_connected_components")).collect()
+    assert len(got) == n and all(r["component"] == 0 for r in got)
+
+
+def test_connected_components_contracts(spark):
+    """String ids order lexicographically; self-loops register isolated
+    nodes; duplicate/reversed edges are tolerated; empty input yields
+    empty output; output column is renameable; validation raises."""
+    df = spark.createDataFrame(
+        [("b", "c"), ("c", "b"), ("b", "b"), ("x", "x"), ("a", "b")],
+        "src STRING, dst STRING",
+    )
+    got = {
+        r["node"]: r["cc"]
+        for r in df.transform(
+            t("graph_connected_components", output_col="cc")
+        ).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x"}
+    empty = spark.createDataFrame([], "src LONG, dst LONG")
+    assert df.sparkSession is not None
+    assert empty.transform(t("graph_connected_components")).count() == 0
+    with pytest.raises(ValueError):
+        t("graph_connected_components", max_iterations=0)
+
+
 def test_dedup_incremental_exact_across_runs(spark, tmp_path):
     """Cross-RUN dedup: run 1 dedupes within-batch and seeds the digest
     state; run 2 drops everything already ingested AND its own internal

@@ -193,6 +193,8 @@ CASES = [
                 "query_filter": "vec_id >= 0"}, "emb", "zero"),
     ("text_gopher_rules", {"min_words": 2}, "docs", "zero"),
     ("text_dup_line_stats", {}, "docs", "zero"),
+    ("graph_pagerank", {"iterations": 1}, "graph", "zero"),
+    ("graph_connected_components", {}, "graph", "zero"),
 ]
 
 
@@ -208,6 +210,8 @@ def _fixture(spark, kind, empty):
         return spark.createDataFrame([] if empty else row, EV_SCHEMA)
     if kind == "num":
         return spark.createDataFrame([] if empty else NUM_ROW, NUM_SCHEMA)
+    if kind == "graph":
+        return spark.createDataFrame([] if empty else [(1, 2)], "src LONG, dst LONG")
     raise ValueError(kind)
 
 

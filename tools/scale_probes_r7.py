@@ -214,6 +214,49 @@ def probe_pq_1m(spark):
 PROBES["pq_1m"] = probe_pq_1m
 
 
+def probe_cc_path_1m(spark):
+    """graph_connected_components on the adversarial shapes: (a) a
+    1M-node PATH (diameter 10^6 — naive min-propagation would need 10^6
+    rounds / 2x10^6 shuffles; the alternating star transform contracts
+    it in O(log^2 n) rounds), and (b) a 1M-leaf STAR hub merged with a
+    100k-node path (degree skew: one node touches 1M edges — the min
+    combine is map-side partial, no neighbor-list materialization)."""
+    n = 1_000_000
+    path = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    t0 = time.time()
+    out = path.transform(t("graph_connected_components", max_iterations=60))
+    comps = out.agg(
+        F.countDistinct("component").alias("c"), F.count("*").alias("n")
+    ).collect()[0]
+    dt = time.time() - t0
+    print(f"[cc_path_1m] path 1M nodes: {comps['c']} component(s) over "
+          f"{comps['n']} nodes in {dt:.1f}s")
+    assert comps["c"] == 1 and comps["n"] == n
+    hub = spark.range(n).select(
+        F.lit(5_000_000).alias("src"), (F.col("id") + 2_000_000).alias("dst")
+    )
+    tail = spark.range(100_000).select(
+        (F.col("id") + 2_000_000).alias("src"),
+        (F.col("id") + 2_000_001).alias("dst"),
+    )
+    t0 = time.time()
+    out = hub.unionAll(tail).transform(
+        t("graph_connected_components", max_iterations=60)
+    )
+    comps = out.agg(
+        F.countDistinct("component").alias("c"), F.count("*").alias("n")
+    ).collect()[0]
+    dt = time.time() - t0
+    print(f"[cc_hub_1m] 1M-leaf hub + 100k path: {comps['c']} component(s) "
+          f"over {comps['n']} nodes in {dt:.1f}s")
+    assert comps["c"] == 1
+
+
+PROBES["cc_path_1m"] = probe_cc_path_1m
+
+
 def probe_decontaminate_spans_100k(spark):
     """text_decontaminate_spans at 100k docs vs a 5k-doc benchmark: the
     islands path must touch only CONTAMINATED documents (~5% here), so
