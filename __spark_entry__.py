@@ -3239,6 +3239,21 @@ def dp121_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp122_pca_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA, oracle surface (datapipes/embeddings.py
+    embedding_pca mode="stats"): the EXACT integer second-moment table
+    the eigendecomposition derives from — upper-triangle Gram cells over
+    1024-grid-quantized components, per-dim sums, and the row count, all
+    int64 (order-independent, bit-replayable). One Arrow-batched pass +
+    one (i, j)-keyed combine; shuffle volume is O(partitions * dim^2),
+    independent of corpus size. The float eigh/projection half is pinned
+    by tests/test_datapipes.py against a transparent numpy replay (sign
+    convention: largest-|entry| positive)."""
+    emb = load_table(spark, sf, "embeddings")
+    out = emb.transform(_t("embedding_pca", mode="stats"))
+    return out.select("i", "j", "sxy")
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3567,6 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp119_decontaminate_spans": dp119_decontaminate_spans,
         "dp120_dup_line_stats": dp120_dup_line_stats,
         "dp121_graph_components": dp121_graph_components,
+        "dp122_pca_moments": dp122_pca_moments,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5509,6 +5525,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN tcs t USING (doc_id)
             LEFT JOIN hitdocs h ON h.doc_id = d.doc_id
             LEFT JOIN fr2 f ON f.doc_id = d.doc_id
+        """,
+        "dp122_pca_moments": """
+            -- exact integer moment replay: 1024-grid quantization, upper
+            -- triangle of the Gram matrix + per-dim sums + count
+            WITH q AS (
+              SELECT list_transform(
+                       embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)
+                     ) AS qe
+              FROM embeddings
+              WHERE embedding IS NOT NULL
+            ),
+            dims AS (SELECT CAST(UNNEST(range(64)) AS INT) AS i)
+            SELECT p.i, p.j,
+                   CAST(SUM(q.qe[p.i + 1] * q.qe[p.j + 1]) AS BIGINT) AS sxy
+            FROM q, (SELECT d1.i AS i, d2.i AS j
+                     FROM dims d1 JOIN dims d2 ON d2.i >= d1.i) p
+            GROUP BY p.i, p.j
+            UNION ALL
+            SELECT d.i, CAST(-1 AS INT) AS j,
+                   CAST(SUM(q.qe[d.i + 1]) AS BIGINT) AS sxy
+            FROM q, dims d GROUP BY d.i
+            UNION ALL
+            SELECT CAST(-1 AS INT), CAST(-1 AS INT),
+                   CAST(COUNT(*) AS BIGINT) FROM q
         """,
         "dp121_graph_components": """
             -- reachability replay with a recursive CTE (NOT the edge

@@ -16,6 +16,9 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -152,6 +155,205 @@ def embedding_mean_pool(
         return pooled
 
     return _pool
+
+
+@register("embedding_pca")
+def embedding_pca(
+    n_components: int = 8,
+    input_col: str = "embedding",
+    output_col: str = "pca",
+    scale: int = 1024,
+    mode: str = "project",
+    max_dim: int = 4096,
+) -> TransformerFn:
+    """Distributed PCA over an embedding column — the whitening /
+    decorrelation step SemDeDup-style pipelines apply before cosine
+    thresholds, and the exact counterpart of the seeded JL projection
+    when the data's own covariance (not a random matrix) should pick the
+    subspace.
+
+    Two modes. ``mode="stats"`` emits the EXACT integer second-moment
+    table the decomposition derives from — one row per (i, j) upper-
+    triangle pair with ``sxy = Σ q_i·q_j`` over grid-quantized components
+    (``floor(x·scale + 0.5)`` as int64 — the same exact-grid discipline
+    as ``embedding_kmeans``), plus ``(i, -1, Σ q_i)`` sum rows and a
+    ``(-1, -1, n)`` count row. Integer sums are order-independent, so an
+    external SQL engine replays every cell bit-for-bit (this is the
+    dp122 oracle surface). ``mode="project"`` eigendecomposes the
+    covariance assembled from those same moments on the DRIVER
+    (dim x dim — numpy ``eigh``, deterministic sign convention: each
+    component's largest-|entry| is made positive, ties to the lowest
+    index) and appends ``output_col`` = the centered projection onto the
+    top ``n_components`` eigenvectors, descending eigenvalue order.
+    Rows with NULL embeddings are excluded from the moments and project
+    to NULL.
+
+    Scale design: ONE Arrow-batched ``mapInPandas`` pass scatter-adds
+    each partition's Gram matrix locally (``X^T X`` in vectorized int64)
+    and emits at most dim·(dim+3)/2 + 1 partial rows per partition; one
+    map-side-combined sum keyed on (i, j) reduces them — shuffle volume
+    is O(partitions · dim^2), independent of row count, and nothing
+    corpus-sized ever reaches the driver (the collected moment table is
+    dim^2 longs; eigh is O(dim^3) driver-side, bounded by ``max_dim``).
+    The projection is a second stateless Arrow pass with the (k x dim)
+    eigenvector matrix riding the closure. Overflow: |q| <= scale·|x|,
+    so with unit-norm embeddings and scale 1024 the int64 Gram sums are
+    safe past 2^40 rows; widen ``scale`` only with narrower corpora.
+
+    Width contract: the embedding width is probed with one aggregate
+    over non-null rows (min(size) must equal max(size) — mixed widths
+    raise rather than silently truncating; the dp110 ADVICE class).
+    """
+    if mode not in ("project", "stats"):
+        raise ValueError(f"embedding_pca: mode must be project|stats, got {mode!r}")
+    if n_components < 1:
+        raise ValueError("embedding_pca: n_components must be >= 1")
+    if scale < 1:
+        raise ValueError("embedding_pca: scale must be >= 1")
+
+    def _moments(df: DataFrame, dim: int):
+        def part(batches):
+            import pyarrow as pa
+
+            G = np.zeros((dim, dim), dtype=np.int64)
+            S = np.zeros(dim, dtype=np.int64)
+            n = 0
+            for rb in batches:
+                col = rb.column(0)
+                if col.null_count:
+                    col = col.drop_null()
+                if len(col) == 0:
+                    continue
+                # zero-copy flatten of the Arrow list column — the
+                # object-array np.stack this replaces measured ~60% of
+                # the 1M x 256 probe's scan time
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                X = flat.reshape(len(col), dim).astype(np.float64)
+                # quantize in-kernel (identical IEEE ops to the SQL
+                # replay: floor(x*scale + 0.5)); numpy has no BLAS
+                # kernel for int64 GEMM (naive int64 matmul measured
+                # 80s on the 1M x 256 probe), so the per-batch Gram
+                # runs in float64 BLAS — EXACT while every partial sum
+                # of q_i*q_j stays an integer < 2^53, which
+                # rows*max|q|^2 bounds per batch; batches violating
+                # the bound fall back to exact int64 matmul.
+                Q = np.floor(X * scale + 0.5)
+                m = float(np.abs(Q).max(initial=0.0))
+                if len(col) * m * m < 2.0**53:
+                    G += np.rint(Q.T @ Q).astype(np.int64)
+                    S += np.rint(Q.sum(axis=0)).astype(np.int64)
+                else:
+                    Qi = Q.astype(np.int64)
+                    G += Qi.T @ Qi
+                    S += Qi.sum(axis=0)
+                n += len(col)
+            iu = np.triu_indices(dim)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "i": pa.array(
+                        np.concatenate([iu[0], np.arange(dim), [-1]]).astype(
+                            "int32"
+                        )
+                    ),
+                    "j": pa.array(
+                        np.concatenate([iu[1], np.full(dim, -1), [-1]]).astype(
+                            "int32"
+                        )
+                    ),
+                    "sxy": pa.array(np.concatenate([G[iu], S, [n]])),
+                }
+            )
+
+        q = df.where(F.col(input_col).isNotNull()).select(
+            F.col(input_col).cast("array<double>").alias("__pca_x")
+        )
+        return (
+            q.mapInArrow(part, "i int, j int, sxy long")
+            .groupBy("i", "j")
+            .agg(F.sum("sxy").alias("sxy"))
+        )
+
+    def _probe_dim(df: DataFrame) -> int:
+        probe = df.where(F.col(input_col).isNotNull()).select(
+            F.min(F.size(input_col)).alias("lo"),
+            F.max(F.size(input_col)).alias("hi"),
+        ).first()
+        if probe is None or probe["hi"] is None:
+            return 0
+        if probe["lo"] != probe["hi"]:
+            raise ValueError(
+                f"embedding_pca: mixed embedding widths {probe['lo']} vs "
+                f"{probe['hi']} — uniform width required"
+            )
+        dim = int(probe["hi"])
+        if dim > max_dim:
+            raise ValueError(
+                f"embedding_pca: width {dim} exceeds max_dim={max_dim} "
+                "(driver-side eigh is O(dim^3); raise max_dim deliberately)"
+            )
+        return dim
+
+    def _pca(df: DataFrame) -> DataFrame:
+        dim = _probe_dim(df)
+        if mode == "stats":
+            if dim == 0:
+                return df.sparkSession.createDataFrame(
+                    [], "i int, j int, sxy long"
+                )
+            return _moments(df, dim)
+        if dim == 0:
+            return df.withColumn(output_col, F.lit(None).cast("array<double>"))
+        k = min(n_components, dim)
+        rows = _moments(df, dim).collect()
+        n = 0
+        S = np.zeros(dim, dtype=np.int64)
+        G = np.zeros((dim, dim), dtype=np.int64)
+        for r in rows:
+            if r["i"] == -1:
+                n = int(r["sxy"])
+            elif r["j"] == -1:
+                S[r["i"]] = r["sxy"]
+            else:
+                G[r["i"], r["j"]] = r["sxy"]
+                G[r["j"], r["i"]] = r["sxy"]
+        if n < 2:
+            # a 0/1-row corpus has no covariance; project to zeros by
+            # convention (centered single point is the origin)
+            mean = S.astype(np.float64) / max(n, 1) / scale
+            V = np.zeros((k, dim))
+        else:
+            mean_q = S.astype(np.float64) / n
+            cov = (G.astype(np.float64) - np.outer(mean_q, mean_q) * n) / (
+                (n - 1) * scale * scale
+            )
+            evals, evecs = np.linalg.eigh(cov)
+            order = np.argsort(-evals, kind="stable")[:k]
+            V = evecs[:, order].T  # k x dim
+            # deterministic sign: largest-|entry| positive, ties -> lowest i
+            for c in range(k):
+                amax = int(np.argmax(np.abs(V[c])))
+                if V[c, amax] < 0:
+                    V[c] = -V[c]
+            mean = mean_q / scale
+        cols = df.columns
+
+        @F.pandas_udf("array<double>")
+        def project(v: pd.Series) -> pd.Series:
+            res = np.empty(len(v), dtype=object)
+            mask = v.notna().to_numpy()
+            if mask.any():
+                X = np.stack(v[mask].to_numpy()).astype(np.float64)
+                Xq = np.floor(X * scale + 0.5) / scale
+                Y = (Xq - mean) @ V.T
+                # row-wise object assignment (a 2D ndarray would be
+                # rejected by the masked setitem); matmul dominates
+                for t, row in zip(np.nonzero(mask)[0], Y):
+                    res[t] = row
+            return pd.Series(res)
+
+        return df.select(*cols, project(F.col(input_col)).alias(output_col))
+
+    return _pca
 
 
 @register("embedding_random_projection")

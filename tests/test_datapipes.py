@@ -2713,6 +2713,82 @@ def test_connected_components_contracts(spark):
         t("graph_connected_components", max_iterations=0)
 
 
+def test_embedding_pca_matches_numpy_replay(spark):
+    """embedding_pca pinned against a transparent numpy replay of the
+    same pipeline (1024-grid quantize → exact integer moments → sample
+    covariance → eigh → sign-normalized top-k projection), plus the
+    exact-moment stats mode and NULL-row exclusion."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(200, 2)) @ rng.normal(size=(2, 5)) + 1.5
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(200)]
+    df = spark.createDataFrame(
+        rows + [(200, None)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    q = np.floor(base * 1024 + 0.5).astype(np.int64)
+
+    stats = {
+        (r["i"], r["j"]): r["sxy"]
+        for r in df.transform(t("embedding_pca", mode="stats")).collect()
+    }
+    assert stats[(-1, -1)] == 200  # NULL row excluded
+    assert stats[(2, -1)] == int(q[:, 2].sum())
+    assert stats[(0, 3)] == int((q[:, 0] * q[:, 3]).sum())
+    assert len(stats) == 5 * 6 // 2 + 5 + 1
+
+    out = (
+        df.transform(t("embedding_pca", n_components=2))
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert out[200]["pca"] is None
+    P = np.array([r["pca"] for r in out[:200]])
+    qf = q / 1024.0
+    cov = np.cov(qf.T, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:2]
+    V = evecs[:, order].T
+    for c in range(2):
+        am = int(np.argmax(np.abs(V[c])))
+        if V[c, am] < 0:
+            V[c] = -V[c]
+    ref = (qf - qf.mean(axis=0)) @ V.T
+    assert np.abs(P - ref).max() < 1e-9
+    # projected variance along PC1 equals the top eigenvalue
+    assert abs(P[:, 0].var(ddof=1) - evals[order[0]]) < 1e-9 * evals[order[0]]
+
+
+def test_embedding_pca_contracts(spark):
+    """Width/argument validation and tiny-corpus conventions: mixed
+    widths raise, max_dim raises, a 1-row corpus projects to the origin,
+    and n_components above the width clamps to the width."""
+    import numpy as np
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="mixed embedding widths"):
+        mixed.transform(t("embedding_pca"))
+    wide = spark.createDataFrame(
+        [(1, [0.5] * 8)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="max_dim"):
+        wide.transform(t("embedding_pca", max_dim=4))
+    single = wide.transform(t("embedding_pca", n_components=3)).first()
+    assert single["pca"] == [0.0, 0.0, 0.0]
+    clamp = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).transform(t("embedding_pca", n_components=9))
+    assert len(clamp.first()["pca"]) == 2
+    with pytest.raises(ValueError):
+        t("embedding_pca", mode="nope")
+    with pytest.raises(ValueError):
+        t("embedding_pca", n_components=0)
+
+
 def test_dedup_incremental_exact_across_runs(spark, tmp_path):
     """Cross-RUN dedup: run 1 dedupes within-batch and seeds the digest
     state; run 2 drops everything already ingested AND its own internal

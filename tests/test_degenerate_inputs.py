@@ -195,6 +195,8 @@ CASES = [
     ("text_dup_line_stats", {}, "docs", "zero"),
     ("graph_pagerank", {"iterations": 1}, "graph", "zero"),
     ("graph_connected_components", {}, "graph", "zero"),
+    ("embedding_pca", {"n_components": 2}, "emb", "zero"),
+    ("embedding_pca", {"mode": "stats"}, "emb", "any"),
 ]
 
 

@@ -257,6 +257,55 @@ def probe_cc_path_1m(spark):
 PROBES["cc_path_1m"] = probe_cc_path_1m
 
 
+def probe_pca_1m_d256(spark):
+    """embedding_pca at 1M vectors x 256 dims: the moments pass is one
+    Arrow scan emitting <= dim*(dim+3)/2+1 partial rows per partition
+    (dim^2-sized shuffle, row-count independent), eigh is driver-side
+    O(dim^3), the projection a second stateless Arrow pass. Records the
+    fit (moments+eigh) and project+agg phases separately."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    wide = emb.select(
+        "vec_id",
+        F.flatten(
+            F.array(*[
+                F.transform("embedding", lambda x: x + F.lit(0.001) * i)
+                for i in range(4)
+            ])
+        ).alias("embedding"),
+    )
+    big = (
+        wide.crossJoin(spark.range(500).withColumnRenamed("id", "__rep"))
+        .select(
+            (F.col("vec_id") * 1000 + F.col("__rep")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.col("__rep").cast("double") / 997.0
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    n = big.count()
+    t0 = time.time()
+    out = big.transform(t("embedding_pca", n_components=16))
+    t_fit = time.time() - t0
+    t0 = time.time()
+    agg = out.select(
+        F.avg(F.element_at("pca", 1)).alias("m1"),
+        F.count("*").alias("n"),
+    ).first()
+    t_proj = time.time() - t0
+    print(
+        f"[pca_1m_d256] {n} vectors x 256 dims -> 16 components: "
+        f"fit (1 Arrow moments pass + driver eigh) {t_fit:.1f}s, "
+        f"project+agg {t_proj:.1f}s, mean(PC1)={agg['m1']:.3e} "
+        f"(centered => ~0) over {agg['n']} rows"
+    )
+    big.unpersist()
+
+
+PROBES["pca_1m_d256"] = probe_pca_1m_d256
+
+
 def probe_decontaminate_spans_100k(spark):
     """text_decontaminate_spans at 100k docs vs a 5k-doc benchmark: the
     islands path must touch only CONTAMINATED documents (~5% here), so
