@@ -3254,6 +3254,20 @@ def dp122_pca_moments(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("i", "j", "sxy")
 
 
+def dp123_frequent_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact corpus heavy hitters (datapipes/text.py text_frequent_terms):
+    per-partition Misra-Gries candidate summaries (bounded k counters —
+    at most k rows per partition reach the shuffle, independent of
+    vocabulary size) + one exact recount pass over just the candidates.
+    Output is EXACT — every term at >= 0.4% of total token occurrences
+    with its true count — so the oracle is a plain tokenize/count/HAVING
+    replay; the candidate machinery can only ever be proven wrong by it,
+    never excused."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(_t("text_frequent_terms", min_support=0.004))
+    return out.select("term", "n", "support")
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3583,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp120_dup_line_stats": dp120_dup_line_stats,
         "dp121_graph_components": dp121_graph_components,
         "dp122_pca_moments": dp122_pca_moments,
+        "dp123_frequent_terms": dp123_frequent_terms,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5525,6 +5540,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN tcs t USING (doc_id)
             LEFT JOIN hitdocs h ON h.doc_id = d.doc_id
             LEFT JOIN fr2 f ON f.doc_id = d.doc_id
+        """,
+        "dp123_frequent_terms": f"""
+            -- plain exact replay: the MG candidate pass is invisible to
+            -- a correct implementation (superset + exact recount)
+            WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS term FROM documents),
+            tot AS (SELECT COUNT(*)::BIGINT AS total FROM w),
+            c AS (SELECT term, COUNT(*)::BIGINT AS n FROM w GROUP BY 1)
+            SELECT c.term, c.n,
+                   CAST(c.n AS DOUBLE) / t.total AS support
+            FROM c, tot t
+            WHERE c.n >= CEIL(CAST(0.004 AS DOUBLE) * t.total)
         """,
         "dp122_pca_moments": """
             -- exact integer moment replay: 1024-grid quantization, upper

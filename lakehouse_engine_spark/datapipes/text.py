@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -528,6 +530,129 @@ def vocab_top_k(
         return counts.withColumn("rank", F.row_number().over(w))
 
     return _vocab
+
+
+@register("text_frequent_terms")
+def frequent_terms(
+    input_col: str = "text",
+    min_support: float = 0.001,
+    broadcast_candidates: bool | None = None,
+    max_broadcast_candidates: int = 1_000_000,
+) -> TransformerFn:
+    """EXACT corpus heavy hitters: every word whose occurrence count is
+    ``>= ceil(min_support * total_tokens)``, with exact counts — the
+    stopword/boilerplate discovery and vocab-pruning primitive. Returns
+    (term, n, support), deterministic.
+
+    Scale design — this is ``vocab_top_k``'s unbounded-vocabulary
+    sibling. A straight groupBy must shuffle every distinct term a
+    partition holds; at web scale (billions of distinct tokens /
+    shingles) the long tail IS the shuffle. Here pass 1 runs a
+    Misra-Gries summary per partition inside one Arrow-batched
+    ``mapInPandas`` scan with ``k = ceil(1/min_support) + 1`` counters:
+    the mergeable-summaries guarantee (Agarwal et al., PODS'12 — public)
+    is that any term with partition frequency > n_p/(k+1) survives
+    pruning, and a term with GLOBAL support >= min_support must clear
+    that bar in at least one partition (pigeonhole), so the union of
+    partition candidates is a SUPERSET of the answer — at most k rows
+    per partition ever reach the shuffle, independent of vocabulary
+    size. Pass 2 re-scans the corpus once and exact-counts ONLY the
+    candidate terms (hash semi-join against the deduped candidate set —
+    broadcast when small, auto-probed against
+    ``max_broadcast_candidates``), then applies the exact threshold.
+    Recompute-over-shuffle, the same trade recorded for ``dsir_score``
+    in BASELINE.md: two cheap scans beat shuffling an unbounded tail.
+
+    Tokenization matches ``vocab_top_k`` (lowercased whitespace split),
+    so the SQL oracle replays it term-for-term; the threshold is
+    ``ceil`` of one IEEE double product, identical cross-engine.
+    """
+    if not (0.0 < min_support <= 1.0):
+        raise ValueError(
+            f"text_frequent_terms: min_support must be in (0, 1], got "
+            f"{min_support}"
+        )
+    counters = int(math.ceil(1.0 / min_support)) + 1
+
+    def _mg_prune(cnt: dict, k: int) -> dict:
+        if len(cnt) <= k:
+            return cnt
+        vals = sorted(cnt.values(), reverse=True)
+        d = vals[k]  # the (k+1)-th largest count
+        return {t: c - d for t, c in cnt.items() if c > d}
+
+    def _freq(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        toks = df.select(tokens_lower(F.col(input_col)).alias("__ft_toks"))
+
+        def part(batches):
+            from collections import Counter
+
+            cnt: dict = Counter()
+            total = 0
+            for pdf in batches:
+                flat: list = []
+                for arr in pdf["__ft_toks"]:
+                    if arr is not None:
+                        flat.extend(arr.tolist())
+                total += len(flat)
+                cnt.update(flat)
+                if len(cnt) > 8 * counters:
+                    cnt = Counter(_mg_prune(cnt, counters))
+            cnt = _mg_prune(dict(cnt), counters)
+            yield pd.DataFrame(
+                {
+                    "term": list(cnt.keys()) + [None],
+                    "nt": [0] * len(cnt) + [total],
+                }
+            )
+
+        summary = toks.mapInPandas(part, "term string, nt long").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        total = summary.where(F.col("term").isNull()).agg(
+            F.sum("nt")
+        ).first()[0]
+        if not total:
+            summary.unpersist()
+            return df.sparkSession.createDataFrame(
+                [], "term string, n long, support double"
+            )
+        threshold = int(math.ceil(min_support * total))
+        # candidates are <= counters rows per partition; checkpoint them
+        # (eager, tiny) so the MG summary can be unpersisted NOW instead
+        # of leaking into the session (the bm25 qterms ADVICE class)
+        cand = (
+            summary.where(F.col("term").isNotNull())
+            .select("term")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        summary.unpersist()
+        if broadcast_candidates is None:
+            do_broadcast = cand.count() <= max_broadcast_candidates
+        else:
+            do_broadcast = broadcast_candidates
+        cand_side = F.broadcast(cand) if do_broadcast else cand
+        exploded = df.select(
+            F.explode(tokens_lower(F.col(input_col))).alias("term")
+        )
+        return (
+            exploded.join(cand_side, "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= threshold)
+            .select(
+                "term",
+                "n",
+                (F.col("n").cast("double") / F.lit(float(total))).alias(
+                    "support"
+                ),
+            )
+        )
+
+    return _freq
 
 
 @register("text_ngram_counts")

@@ -2789,6 +2789,55 @@ def test_embedding_pca_contracts(spark):
         t("embedding_pca", n_components=0)
 
 
+def test_frequent_terms_exact_vs_counter(spark):
+    """text_frequent_terms pinned against an exact Counter replay under
+    conditions that FORCE Misra-Gries pruning (tiny counter budget,
+    vocabulary far beyond 8*k), on a skewed corpus across multiple
+    partitions; the shuffle-join arm must agree with the broadcast arm."""
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(400)]
+    weights = [1.0 / (i + 1) for i in range(400)]
+    docs = [
+        (d, " ".join(rng.choices(vocab, weights, k=60))) for d in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING").repartition(7)
+    cnt = Counter()
+    for _, txt in docs:
+        cnt.update(txt.lower().split())
+    total = sum(cnt.values())
+    for support in (0.02, 0.005):
+        thr = math.ceil(support * total)
+        ref = {w: c for w, c in cnt.items() if c >= thr}
+        got = {
+            r["term"]: r["n"]
+            for r in df.transform(
+                t("text_frequent_terms", min_support=support)
+            ).collect()
+        }
+        assert got == ref, f"support={support}"
+    shuffled = {
+        r["term"]: r["n"]
+        for r in df.transform(
+            t(
+                "text_frequent_terms",
+                min_support=0.02,
+                broadcast_candidates=False,
+            )
+        ).collect()
+    }
+    assert shuffled == {w: c for w, c in cnt.items() if c >= math.ceil(0.02 * total)}
+    srow = df.transform(t("text_frequent_terms", min_support=0.02)).first()
+    assert abs(srow["support"] - srow["n"] / total) < 1e-15
+    with pytest.raises(ValueError):
+        t("text_frequent_terms", min_support=0.0)
+    with pytest.raises(ValueError):
+        t("text_frequent_terms", min_support=1.5)
+
+
 def test_dedup_incremental_exact_across_runs(spark, tmp_path):
     """Cross-RUN dedup: run 1 dedupes within-batch and seeds the digest
     state; run 2 drops everything already ingested AND its own internal

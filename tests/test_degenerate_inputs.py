@@ -197,6 +197,7 @@ CASES = [
     ("graph_connected_components", {}, "graph", "zero"),
     ("embedding_pca", {"n_components": 2}, "emb", "zero"),
     ("embedding_pca", {"mode": "stats"}, "emb", "any"),
+    ("text_frequent_terms", {"min_support": 0.1}, "docs", "any"),
 ]
 
 

@@ -851,3 +851,39 @@ def test_pq_ops_joinless_arrow_projection(spark, sf_dir):
     for bad in ("Join", "CartesianProduct"):
         assert bad not in physical, (bad, physical[:2000])
     assert "Window" in physical
+
+
+def test_frequent_terms_candidate_broadcast_recount(spark, sf_dir):
+    """text_frequent_terms pass 2: the corpus token stream is pruned by a
+    BROADCAST hash join on the (bounded, <= k rows/partition) candidate
+    set — no sort-merge join of the long tail, no cartesian — and the
+    exact recount aggregate is map-side combined (partial + final
+    HashAggregate pair)."""
+    df = entry.queries()["dp123_frequent_terms"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical, physical[:2000]
+    assert "CartesianProduct" not in physical
+    assert physical.count("HashAggregate") >= 2, physical[:2000]
+
+
+def test_connected_components_no_broadcast_of_edges(spark, sf_dir):
+    """graph_connected_components: per-round work is min-aggregations and
+    node-keyed equi-joins over (node, node) pairs — nothing corpus-sized
+    is broadcast (edge tables grow with the graph), and no cartesian
+    anywhere in the converged plan."""
+    df = entry.queries()["dp121_graph_components"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+
+
+def test_pca_moments_single_arrow_pass(spark, sf_dir):
+    """embedding_pca stats mode: ONE Arrow scan (MapInArrow) feeding one
+    map-side-combined (i, j) aggregate — no join, no window, nothing
+    broadcast; shuffle volume is O(partitions * dim^2)."""
+    df = entry.queries()["dp122_pca_moments"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "MapInArrow" in physical, physical[:2000]
+    for bad in ("Join", "CartesianProduct", "Window"):
+        assert bad not in physical, (bad, physical[:2000])
+    assert physical.count("HashAggregate") >= 2, physical[:2000]

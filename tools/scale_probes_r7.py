@@ -306,6 +306,36 @@ def probe_pca_1m_d256(spark):
 PROBES["pca_1m_d256"] = probe_pca_1m_d256
 
 
+def probe_frequent_terms_100k(spark):
+    """text_frequent_terms at 100k docs (20x oracle scale): two corpus
+    scans — a Misra-Gries candidate pass whose shuffle is bounded by
+    k = ceil(1/min_support)+1 rows per partition regardless of
+    vocabulary size, then a broadcast-pruned exact recount. Compare
+    against the groupBy-everything shape vocab_top_k uses (which
+    shuffles every distinct term)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(20).withColumnRenamed("id", "__rep"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000)
+        .drop("__rep")
+        .repartition(32)
+        .persist()
+    )
+    n = big.count()
+    t0 = time.time()
+    out = big.transform(t("text_frequent_terms", min_support=0.001)).collect()
+    dt = time.time() - t0
+    print(
+        f"[frequent_terms_100k] {n} docs, min_support=0.1%: {len(out)} "
+        f"exact heavy hitters in {dt:.1f}s (candidate shuffle bounded at "
+        f"1001 rows/partition)"
+    )
+    big.unpersist()
+
+
+PROBES["frequent_terms_100k"] = probe_frequent_terms_100k
+
+
 def probe_decontaminate_spans_100k(spark):
     """text_decontaminate_spans at 100k docs vs a 5k-doc benchmark: the
     islands path must touch only CONTAMINATED documents (~5% here), so
