@@ -3445,7 +3445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gopher rules, dp115 DSIR, dp116 PQ encode, dp117 PQ ANN, dp118
     # WordPiece, dp119 span decontamination, dp120 dup-line stats after the boundary) are
     # first in line for the round-8
-    # window alongside the r05 cohort.
+    # window alongside the r05 cohort, as are the third-batch additions
+    # dp121 connected components, dp122 PCA moments, dp123 exact
+    # frequent terms.
     return {
         # --- changed this round (code or oracle) ---
         "dp110_random_projection": dp110_random_projection,

@@ -87,6 +87,16 @@ def connected_components(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         nodes.count()  # materialize before edges are rewritten below
+        def _stats(e: DataFrame):
+            row = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal sum: an int64 hash sum overflows under ANSI
+                F.sum(F.xxhash64("__u", "__v").cast("decimal(20,0)")).alias(
+                    "h"
+                ),
+            ).first()
+            return int(row["n"]), row["h"]
+
         edges = (
             raw.where(F.col("__a") != F.col("__b"))
             .select(
@@ -96,7 +106,7 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        prev_n = edges.count()
+        prev_n, prev_h = _stats(edges)
         converged = prev_n == 0
         for _ in range(max_iterations):
             if converged:
@@ -126,12 +136,22 @@ def connected_components(
                 .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
                 .union(smin.select(F.col("__u"), F.col("__m").alias("__v")))
                 .distinct()
-                .localCheckpoint(eager=True)
+                # lazy checkpoint: the stats aggregate right below is the
+                # materializing action — one job per round, not two
+                .localCheckpoint(eager=False)
             )
-            new_n = new_edges.count()
-            if new_n == prev_n and new_edges.exceptAll(edges).count() == 0:
+            # cheap necessary condition first (count + order-free hash
+            # sum, ONE aggregate job); the exact exceptAll confirmation
+            # runs only when it signals a fixpoint — distinct sets of
+            # equal size with an empty one-sided difference are equal
+            new_n, new_h = _stats(new_edges)
+            if (
+                new_n == prev_n
+                and new_h == prev_h
+                and new_edges.exceptAll(edges).count() == 0
+            ):
                 converged = True
-            edges, prev_n = new_edges, new_n
+            edges, prev_n, prev_h = new_edges, new_n, new_h
         if not converged:
             raise RuntimeError(
                 f"graph_connected_components: no convergence after "
