@@ -431,3 +431,111 @@ def test_gopher_flags_match_python_reference(spark, texts):
         assert r["rule_bullet_lines"] == (1000 * bullets <= 900 * n_lines)
         assert r["rule_ellipsis_lines"] == (1000 * ells <= 300 * n_lines)
         assert r["rule_alpha_words"] == (1000 * alpha >= 800 * n_words)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=0,
+    max_size=60,
+)
+
+
+@_few
+@given(edges=_edges)
+def test_connected_components_matches_union_find_property(spark, edges):
+    """graph_connected_components == union-find min-labels on arbitrary
+    random multigraphs (self-loops, duplicates, reversed edges included),
+    with all touched nodes present in the output exactly once."""
+    nodes = sorted({n for e in edges for n in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    ref = {n: min(ms) for ms in comp.values() for n in ms}
+
+    if not edges:
+        df = spark.createDataFrame([], "src LONG, dst LONG")
+    else:
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r["node"]: r["component"]
+        for r in df.transform(t("graph_connected_components")).collect()
+    }
+    assert got == ref
+
+
+_corpus = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+             min_size=0, max_size=12),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_few
+@given(docs=_corpus, support=st.sampled_from([0.05, 0.2, 0.5]))
+def test_frequent_terms_exact_filter_property(spark, docs, support):
+    """text_frequent_terms output == the exact {term: count >= ceil(s*N)}
+    filter for arbitrary corpora and supports — the MG candidate pass is
+    invisible when correct (superset + exact recount)."""
+    from collections import Counter
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING").repartition(3)
+    cnt = Counter(w for ws in docs for w in ws)
+    total = sum(cnt.values())
+    ref = (
+        {w: c for w, c in cnt.items() if c >= math.ceil(support * total)}
+        if total
+        else {}
+    )
+    got = {
+        r["term"]: r["n"]
+        for r in df.transform(
+            t("text_frequent_terms", min_support=support)
+        ).collect()
+    }
+    assert got == ref
+
+
+_vec_corpus = st.lists(
+    st.lists(
+        st.floats(-2.0, 2.0, allow_nan=False, allow_infinity=False),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=3,
+    max_size=20,
+)
+
+
+@_few
+@given(vecs=_vec_corpus)
+def test_pca_projection_invariants(spark, vecs):
+    """embedding_pca invariants on arbitrary 3-dim corpora: projections
+    are centered, per-component variances are non-increasing, and total
+    projected variance never exceeds the input's total variance (energy
+    conservation under an orthonormal projection of centered data)."""
+    import numpy as np
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = df.transform(t("embedding_pca", n_components=3)).collect()
+    P = np.array([r["pca"] for r in out])
+    assert np.abs(P.mean(axis=0)).max() < 1e-9
+    var = P.var(axis=0, ddof=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(len(var) - 1))
+    q = np.floor(np.array(vecs) * 1024 + 0.5) / 1024
+    total_in = q.var(axis=0, ddof=0).sum()
+    assert var.sum() <= total_in + 1e-9
