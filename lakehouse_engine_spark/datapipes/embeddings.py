@@ -165,6 +165,8 @@ def embedding_pca(
     scale: int = 1024,
     mode: str = "project",
     max_dim: int = 4096,
+    whiten: bool = False,
+    whiten_eps: float = 1e-12,
 ) -> TransformerFn:
     """Distributed PCA over an embedding column — the whitening /
     decorrelation step SemDeDup-style pipelines apply before cosine
@@ -203,6 +205,12 @@ def embedding_pca(
     Width contract: the embedding width is probed with one aggregate
     over non-null rows (min(size) must equal max(size) — mixed widths
     raise rather than silently truncating; the dp110 ADVICE class).
+
+    ``whiten=True`` rescales each component by 1/sqrt(eigenvalue) so the
+    projected components have unit sample variance (ZCA-less PCA
+    whitening — what cosine-threshold dedup wants before comparing
+    distances across anisotropic embedding spaces); directions with
+    eigenvalue <= ``whiten_eps`` map to zero instead of exploding.
     """
     if mode not in ("project", "stats"):
         raise ValueError(f"embedding_pca: mode must be project|stats, got {mode!r}")
@@ -334,6 +342,16 @@ def embedding_pca(
                 amax = int(np.argmax(np.abs(V[c])))
                 if V[c, amax] < 0:
                     V[c] = -V[c]
+            if whiten:
+                # unit-variance components: divide each eigenvector by
+                # sqrt(eigenvalue); degenerate directions (eigenvalue
+                # below whiten_eps) stay unscaled-to-zero rather than
+                # exploding to inf — they carry no signal to whiten
+                lam = evals[order]
+                inv = np.where(lam > whiten_eps, 1.0 / np.sqrt(
+                    np.maximum(lam, whiten_eps)
+                ), 0.0)
+                V = V * inv[:, None]
             mean = mean_q / scale
         cols = df.columns
 

@@ -2787,6 +2787,26 @@ def test_embedding_pca_contracts(spark):
         t("embedding_pca", mode="nope")
     with pytest.raises(ValueError):
         t("embedding_pca", n_components=0)
+    # whiten: unit variance per component, zero cross-covariance; a
+    # degenerate (constant) direction maps to zero, not inf
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(60, 2)) @ np.array([[3.0, 0.1, 0.0], [0.1, 0.5, 0.0]])
+    wdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    W = np.array(
+        [
+            r["pca"]
+            for r in wdf.transform(
+                t("embedding_pca", n_components=3, whiten=True)
+            ).collect()
+        ]
+    )
+    C = np.cov(W.T, ddof=1)
+    assert abs(C[0, 0] - 1.0) < 1e-6 and abs(C[1, 1] - 1.0) < 1e-6
+    assert abs(C[0, 1]) < 1e-6
+    assert np.abs(W[:, 2]).max() == 0.0  # constant third dim -> zeroed
 
 
 def test_frequent_terms_exact_vs_counter(spark):
