@@ -3268,6 +3268,17 @@ def dp123_frequent_terms(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("term", "n", "support")
 
 
+def dp124_word_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining (datapipes/text.py text_word_pmi): top adjacent
+    word pairs by pointwise mutual information among pairs seen >= 4
+    times. Every log has an integer argument snapped to the 1e-4 grid as
+    a scaled bigint (the lm_score convention), so the oracle replays
+    pmi_s/pmi bit-for-bit; ties break (w1, w2)-ascending."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(_t("text_word_pmi", k=40, min_count=4))
+    return out.select("w1", "w2", "n_ab", "pmi_s", "pmi")
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3600,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp121_graph_components": dp121_graph_components,
         "dp122_pca_moments": dp122_pca_moments,
         "dp123_frequent_terms": dp123_frequent_terms,
+        "dp124_word_pmi": dp124_word_pmi,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5542,6 +5554,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN tcs t USING (doc_id)
             LEFT JOIN hitdocs h ON h.doc_id = d.doc_id
             LEFT JOIN fr2 f ON f.doc_id = d.doc_id
+        """,
+        "dp124_word_pmi": f"""
+            -- grid-snapped integer-argument logs (the lm_score
+            -- convention): L(x) = floor(log10(x)*1e4 + 0.5) as BIGINT
+            WITH t AS (SELECT {_DUCK_TOKENS} AS w FROM documents),
+            tot AS (
+              SELECT SUM(len(w))::BIGINT AS nu,
+                     SUM(GREATEST(len(w) - 1, 0))::BIGINT AS nb
+              FROM t
+            ),
+            bi AS (
+              SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*)::BIGINT AS n_ab
+              FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i
+                    FROM t WHERE len(w) >= 2)
+              GROUP BY 1, 2 HAVING COUNT(*) >= 4
+            ),
+            uni AS (
+              SELECT u.w, COUNT(*)::BIGINT AS cu
+              FROM (SELECT unnest(w) AS w FROM t) u
+              WHERE u.w IN (SELECT w1 FROM bi UNION SELECT w2 FROM bi)
+              GROUP BY 1
+            ),
+            scored AS (
+              SELECT b.w1, b.w2, b.n_ab,
+                     CAST(floor(log10(b.n_ab) * 10000 + 0.5) AS BIGINT)
+                     + 2 * CAST(floor(log10(t.nu) * 10000 + 0.5) AS BIGINT)
+                     - CAST(floor(log10(t.nb) * 10000 + 0.5) AS BIGINT)
+                     - CAST(floor(log10(u1.cu) * 10000 + 0.5) AS BIGINT)
+                     - CAST(floor(log10(u2.cu) * 10000 + 0.5) AS BIGINT)
+                       AS pmi_s
+              FROM bi b
+              JOIN uni u1 ON u1.w = b.w1
+              JOIN uni u2 ON u2.w = b.w2
+              CROSS JOIN tot t
+            )
+            SELECT w1, w2, n_ab, pmi_s,
+                   CAST(pmi_s AS DOUBLE) / 10000.0 AS pmi
+            FROM scored
+            ORDER BY pmi_s DESC, w1 ASC, w2 ASC
+            LIMIT 40
         """,
         "dp123_frequent_terms": f"""
             -- plain exact replay: the MG candidate pass is invisible to

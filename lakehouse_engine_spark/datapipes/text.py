@@ -1117,6 +1117,115 @@ def lm_score_bigram(
     return _score
 
 
+@register("text_word_pmi")
+def word_pmi(
+    input_col: str = "text",
+    k: int = 100,
+    min_count: int = 5,
+    broadcast_unigrams: bool | None = None,
+    max_broadcast_unigrams: int = 2_000_000,
+) -> TransformerFn:
+    """Collocation mining: the top-``k`` adjacent word pairs by pointwise
+    mutual information — ``PMI(a,b) = log10( p(ab) / (p(a)·p(b)) )`` with
+    ``p(ab) = c_ab/N_bi`` over bigrams and ``p(·) = c/N_uni`` over
+    unigrams — restricted to pairs seen at least ``min_count`` times.
+    The standard phrase-discovery / tokenizer-evaluation signal (high
+    PMI = words that belong together: named entities, technical terms).
+
+    Numeric design (the ``lm_score`` convention): every log has an
+    INTEGER argument and is snapped to a 1e-4 grid as a scaled bigint —
+    ``pmi_s = L(c_ab) + 2·L(N_uni) − L(N_bi) − L(c_a) − L(c_b)`` with
+    ``L(x) = floor(log10(x)·10⁴ + 0.5)`` — then combined with exact
+    integer arithmetic, so the SQL oracle replays every value without
+    engine-``round()`` half-way hazards. ``pmi = pmi_s / 10⁴``.
+
+    Scale design: the bigram count is one map-side-combined aggregate
+    cut to ``>= min_count`` survivors (eagerly checkpointed — tiny);
+    unigram counts are then computed ONLY for words appearing in a
+    surviving pair, by pruning the corpus token stream with a size-gated
+    broadcast semi-join before the count — the full unigram vocabulary
+    (unbounded at web scale) never reaches a shuffle. Same
+    recount-the-candidates trade recorded for ``text_frequent_terms``
+    and ``dsir_score``. Totals (N_uni, N_bi) are two pure aggregates
+    over token-array sizes — no explode, no shuffle. The final top-k is
+    ``orderBy().limit()`` — TakeOrderedAndProject, no global sort.
+    """
+    if k < 1:
+        raise ValueError("text_word_pmi: k must be >= 1")
+    if min_count < 1:
+        raise ValueError("text_word_pmi: min_count must be >= 1")
+
+    def _L(col: Column) -> Column:
+        return F.floor(F.log10(col.cast("double")) * 10_000 + 0.5).cast("long")
+
+    def _pmi(df: DataFrame) -> DataFrame:
+        toks = tokens_lower(F.col(input_col))
+        base = df.select(toks.alias("__t"))
+        totals = base.agg(
+            F.sum(F.size("__t")).alias("__nu"),
+            F.sum(F.greatest(F.size("__t") - 1, F.lit(0))).alias("__nb"),
+        )
+        n = F.size("__t")
+        pairs = base.filter(F.size("__t") >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t", i.cast("int")).alias("w1"),
+                        F.element_at("__t", (i + 1).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("__p")
+        ).select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        bi = (
+            pairs.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .where(F.col("n_ab") >= min_count)
+            .localCheckpoint(eager=True)
+        )
+        words = (
+            bi.select(F.col("w1").alias("__w"))
+            .union(bi.select(F.col("w2").alias("__w")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if broadcast_unigrams is None:
+            do_broadcast = words.count() <= max_broadcast_unigrams
+        else:
+            do_broadcast = broadcast_unigrams
+        words_side = F.broadcast(words) if do_broadcast else words
+        uni = (
+            base.select(F.explode("__t").alias("__w"))
+            .join(words_side, "__w")
+            .groupBy("__w")
+            .agg(F.count(F.lit(1)).alias("__cu"))
+        )
+        u1 = uni.select(F.col("__w").alias("w1"), F.col("__cu").alias("__c1"))
+        u2 = uni.select(F.col("__w").alias("w2"), F.col("__cu").alias("__c2"))
+        if do_broadcast:  # the same gate covers the count attach joins
+            u1, u2 = F.broadcast(u1), F.broadcast(u2)
+        joined = (
+            bi.join(u1, "w1").join(u2, "w2").crossJoin(F.broadcast(totals))
+        )
+        scored = joined.select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                _L(F.col("n_ab"))
+                + F.lit(2) * _L(F.col("__nu"))
+                - _L(F.col("__nb"))
+                - _L(F.col("__c1"))
+                - _L(F.col("__c2"))
+            ).alias("pmi_s"),
+        ).withColumn("pmi", F.col("pmi_s").cast("double") / 10_000.0)
+        return scored.orderBy(
+            F.desc("pmi_s"), F.asc("w1"), F.asc("w2")
+        ).limit(k)
+
+    return _pmi
+
+
 @register("text_tfidf_top_terms")
 def tfidf_top_terms(
     input_col: str = "text",

@@ -2858,6 +2858,58 @@ def test_frequent_terms_exact_vs_counter(spark):
         t("text_frequent_terms", min_support=1.5)
 
 
+def test_word_pmi_matches_python_replay(spark):
+    """text_word_pmi pinned against a transparent Python replay of the
+    grid-snapped log decomposition, with an injected strong collocation
+    that must rank first; plus threshold and validation contracts."""
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for d in range(120):
+        ws = rng.choices(vocab, k=rng.randint(1, 40))
+        if d % 3 == 0:
+            pos = rng.randrange(len(ws))
+            ws[pos:pos] = ["new", "york"]
+        docs.append((d, " ".join(ws)))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING").repartition(5)
+    got = [
+        (r["w1"], r["w2"], r["n_ab"], r["pmi_s"], r["pmi"])
+        for r in df.transform(t("text_word_pmi", k=10, min_count=3)).collect()
+    ]
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    nu = nb = 0
+    for _, txt in docs:
+        ws = txt.lower().split()
+        uni.update(ws)
+        nu += len(ws)
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+        nb += max(len(ws) - 1, 0)
+
+    def L(x):
+        return math.floor(math.log10(x) * 10000 + 0.5)
+
+    scored = sorted(
+        (
+            (-(L(c) + 2 * L(nu) - L(nb) - L(uni[a]) - L(uni[b])), a, b, c)
+            for (a, b), c in bi.items()
+            if c >= 3
+        )
+    )
+    ref = [(a, b, c, -ns, -ns / 10000.0) for ns, a, b, c in scored[:10]]
+    assert got == ref
+    assert got[0][:2] == ("new", "york")
+    with pytest.raises(ValueError):
+        t("text_word_pmi", k=0)
+    with pytest.raises(ValueError):
+        t("text_word_pmi", min_count=0)
+
+
 def test_dedup_incremental_exact_across_runs(spark, tmp_path):
     """Cross-RUN dedup: run 1 dedupes within-batch and seeds the digest
     state; run 2 drops everything already ingested AND its own internal

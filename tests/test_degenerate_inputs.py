@@ -198,6 +198,7 @@ CASES = [
     ("embedding_pca", {"n_components": 2}, "emb", "zero"),
     ("embedding_pca", {"mode": "stats"}, "emb", "any"),
     ("text_frequent_terms", {"min_support": 0.1}, "docs", "any"),
+    ("text_word_pmi", {"k": 5, "min_count": 1}, "docs", "zero"),
 ]
 
 

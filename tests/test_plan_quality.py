@@ -887,3 +887,17 @@ def test_pca_moments_single_arrow_pass(spark, sf_dir):
     for bad in ("Join", "CartesianProduct", "Window"):
         assert bad not in physical, (bad, physical[:2000])
     assert physical.count("HashAggregate") >= 2, physical[:2000]
+
+
+def test_word_pmi_broadcast_attach_take_ordered(spark, sf_dir):
+    """text_word_pmi: unigram counts are computed only for surviving-pair
+    words (broadcast semi-join prune before the count), count attach is
+    broadcast, the top-k is TakeOrderedAndProject — no sort-merge join,
+    no cartesian (the totals cross join is a broadcast of ONE row), no
+    global sort."""
+    df = entry.queries()["dp124_word_pmi"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical, physical[:2000]
+    assert "CartesianProduct" not in physical
+    assert "TakeOrderedAndProject" in physical, physical[:2000]
