@@ -3279,6 +3279,51 @@ def dp124_word_pmi(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("w1", "w2", "n_ab", "pmi_s", "pmi")
 
 
+UG_FIXED_VOCAB = tuple(
+    [(c, -30000) for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    + [
+        ("th", -14000), ("he", -15000), ("in", -15000), ("er", -15000),
+        ("an", -15000), ("re", -15000), ("on", -15000), ("at", -15000),
+        ("en", -15000), ("nd", -15000), ("ti", -15000), ("es", -15000),
+        ("or", -15000), ("te", -15000), ("ed", -15000), ("is", -15000),
+        ("it", -15000), ("al", -15000), ("ar", -15000), ("st", -15000),
+        ("to", -15000), ("nt", -15000), ("ng", -16000), ("se", -15000),
+        ("the", -9000), ("ing", -9500), ("and", -9000), ("ion", -9500),
+        ("tio", -9500), ("ent", -9500), ("ati", -9500), ("for", -9000),
+        ("her", -9500), ("ter", -9500), ("hat", -9500), ("tha", -9500),
+        ("ere", -9500), ("ate", -9500), ("his", -9500), ("con", -9500),
+        ("res", -9500), ("ver", -9500),
+    ]
+)
+
+
+def dp125_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM ENCODE with a fixed piece table (datapipes/bpe.py
+    unigram_encode — the SentencePiece Viterbi scheme, completing the
+    tokenizer trio next to dp69b's BPE merge scan and dp118's WordPiece
+    greedy match). Scores are caller-supplied INTEGERS, so the whole
+    pipeline is exact arithmetic; the tie-break (max score, fewest
+    pieces, smallest chr(1)-joined path) is a total order the oracle
+    replays by EXHAUSTIVE path enumeration over <= 12-char words in a
+    recursive CTE, then per-document reassembly in word order."""
+    docs = load_table(spark, sf, "documents")
+    vocab = spark.createDataFrame(
+        list(UG_FIXED_VOCAB), "piece STRING, logp_s LONG"
+    )
+    enc = docs.transform(
+        _t("unigram_encode", vocab=vocab, lowercase=True, max_word_len=12)
+    )
+    return enc.select(
+        "doc_id",
+        F.col("ug_tokens_n").cast("long").alias("n_ug"),
+        F.size(F.filter("ug_tokens", lambda t: t == "[UNK]"))
+        .cast("long")
+        .alias("n_unk"),
+        F.col("ug_tokens_score_s").alias("score_s"),
+        F.md5(F.array_join("ug_tokens", "\x1f")).alias("pieces_md5"),
+    )
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3612,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp122_pca_moments": dp122_pca_moments,
         "dp123_frequent_terms": dp123_frequent_terms,
         "dp124_word_pmi": dp124_word_pmi,
+        "dp125_unigram_encode": dp125_unigram_encode,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5555,6 +5601,66 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hitdocs h ON h.doc_id = d.doc_id
             LEFT JOIN fr2 f ON f.doc_id = d.doc_id
         """,
+        "dp125_unigram_encode": (lambda: (
+            "WITH RECURSIVE vocab(piece, lp) AS (VALUES "
+            + ", ".join(
+                f"('{p}', CAST({lp} AS BIGINT))" for p, lp in UG_FIXED_VOCAB
+            )
+            + f"""),
+            toks AS (SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents),
+            tw AS (
+              SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+              FROM toks
+            ),
+            words AS (SELECT doc_id, pos, ws[pos] AS w FROM tw),
+            dw AS (SELECT DISTINCT w FROM words),
+            short AS (SELECT w FROM dw WHERE len(w) <= 12),
+            -- exhaustive segmentation enumeration (words are bounded, so
+            -- the path set is finite); Viterbi = ORDER BY over all paths
+            rec(w, pos, score, np, path) AS (
+              SELECT w, 0, CAST(0 AS BIGINT), 0, '' FROM short
+              UNION ALL
+              SELECT r.w, r.pos + len(v.piece), r.score + v.lp, r.np + 1,
+                     CASE WHEN r.path = '' THEN v.piece
+                          ELSE r.path || chr(1) || v.piece END
+              FROM rec r JOIN vocab v
+                ON substr(r.w, r.pos + 1, len(v.piece)) = v.piece
+              WHERE r.pos < len(r.w)
+            ),
+            best AS (
+              SELECT w, score, np, path,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY w
+                       ORDER BY score DESC, np ASC, path ASC
+                     ) AS rn
+              FROM rec WHERE pos = len(w)
+            ),
+            enc AS (
+              SELECT d.w,
+                     COALESCE(b.path, '[UNK]') AS path,
+                     COALESCE(b.score, -100000) AS score,
+                     COALESCE(b.np, 1) AS np,
+                     CASE WHEN b.path IS NULL THEN 1 ELSE 0 END AS unk
+              FROM dw d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+                USING (w)
+            ),
+            asm AS (
+              SELECT wd.doc_id,
+                     SUM(e.np)::BIGINT AS n_ug,
+                     SUM(e.unk)::BIGINT AS n_unk,
+                     SUM(e.score)::BIGINT AS score_s,
+                     string_agg(replace(e.path, chr(1), chr(31)), chr(31)
+                                ORDER BY wd.pos) AS joined
+              FROM words wd JOIN enc e USING (w)
+              GROUP BY wd.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_ug, 0) AS n_ug,
+                   COALESCE(a.n_unk, 0) AS n_unk,
+                   COALESCE(a.score_s, 0) AS score_s,
+                   md5(COALESCE(a.joined, '')) AS pieces_md5
+            FROM documents d LEFT JOIN asm a USING (doc_id)
+        """))(),
         "dp124_word_pmi": f"""
             -- grid-snapped integer-argument logs (the lm_score
             -- convention): L(x) = floor(log10(x)*1e4 + 0.5) as BIGINT

@@ -32,6 +32,8 @@ from __future__ import annotations
 import re
 from typing import Callable, List, Tuple
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -391,6 +393,176 @@ def wordpiece_encode(
         )
 
     return _encode
+
+
+SEP = "\x01"  # path separator: sorts below every token character, so
+# joined-path string order == piece-tuple lexicographic order (the
+# property both the Python DP and the SQL oracle's tie-break rely on)
+
+
+def unigram_viterbi_py(
+    word: str,
+    vocab: dict,
+    max_piece_len: int,
+    unk_token: str = "[UNK]",
+    unk_logp_s: int = -100_000,
+    max_word_len: int = 100,
+):
+    """Viterbi segmentation of one word under a fixed unigram LM (the
+    SentencePiece unigram scheme, Kudo 2018): maximize the sum of piece
+    scores; deterministic tie-break (max score, then fewest pieces, then
+    lexicographically smallest SEP-joined path — identical to the SQL
+    oracle's ORDER BY). Unsegmentable or over-long words collapse to
+    ``(unk_token, unk_logp_s)``. Returns (pieces, score_s)."""
+    if not word or len(word) > max_word_len:
+        return [unk_token], unk_logp_s
+    n = len(word)
+    # best[i]: (neg_score, n_pieces, path_str) — tuple order IS the rule
+    best: list = [None] * (n + 1)
+    best[0] = (0, 0, "")
+    for i in range(1, n + 1):
+        cand = None
+        for j in range(max(0, i - max_piece_len), i):
+            prev = best[j]
+            if prev is None:
+                continue
+            lp = vocab.get(word[j:i])
+            if lp is None:
+                continue
+            path = word[j:i] if not prev[2] else prev[2] + SEP + word[j:i]
+            key = (prev[0] - lp, prev[1] + 1, path)
+            if cand is None or key < cand:
+                cand = key
+        best[i] = cand
+    if best[n] is None:
+        return [unk_token], unk_logp_s
+    return best[n][2].split(SEP), -best[n][0]
+
+
+@register("unigram_encode")
+def unigram_encode(
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    output_col: str = "ug_tokens",
+    unk_token: str = "[UNK]",
+    unk_logp_s: int = -100_000,
+    max_word_len: int = 100,
+    lowercase: bool = False,
+    broadcast_dictionary: bool | None = None,
+    broadcast_threshold_rows: int = 2_000_000,
+) -> TransformerFn:
+    """Tokenize the corpus with a fixed unigram language model — the
+    SentencePiece scheme (Kudo 2018) used by the LLaMA/T5 tokenizer
+    family, completing the trio next to ``bpe_encode`` (merge ranks) and
+    ``wordpiece_encode`` (greedy longest match). ``vocab`` carries two
+    columns: ``piece`` (string) and ``logp_s`` (INTEGER scaled log-prob,
+    caller's grid — exact arithmetic end to end, no floats anywhere).
+    Each word takes the Viterbi-optimal segmentation (max total score;
+    ties → fewest pieces, then lexicographically smallest path), so the
+    encoding is deterministic and an external SQL engine can replay it
+    by exhaustive path enumeration on bounded words. Adds ``output_col``
+    (pieces, word order preserved), ``<output_col>_n``, and
+    ``<output_col>_score_s`` (exact summed piece scores; UNK words
+    contribute ``unk_logp_s``).
+
+    Same production plan as the other two encoders: one distinct-word
+    pass, a pandas DP over DISTINCT words only (the vocab dict rides the
+    closure), a size-gated dictionary join, JVM-side per-document
+    reassembly — Python never touches corpus-scale data, and the DP is
+    O(len · max_piece_len) per distinct word.
+    """
+
+    def _encode(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        cols = vocab.columns
+        rows = vocab.select(cols[0], cols[1]).collect()
+        vmap = {r[0]: int(r[1]) for r in rows}
+        # empty vocab: every word is unsegmentable -> unk_token (the
+        # wordpiece_encode degenerate contract, not an error)
+        max_piece = max((len(p) for p in vmap), default=1)
+
+        def _enc_fn(words):
+            recs = [
+                unigram_viterbi_py(
+                    w, vmap, max_piece, unk_token, unk_logp_s, max_word_len
+                )
+                for w in words
+            ]
+            return pd.DataFrame(
+                {"p": [r[0] for r in recs], "s": [r[1] for r in recs]}
+            )
+
+        _enc = F.pandas_udf(_enc_fn, "struct<p: array<string>, s: long>")
+
+        src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        with_words = df.withColumn("__words", tokens(src))
+        distinct_words = (
+            with_words.select(F.explode("__words").alias("__w"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        do_broadcast = broadcast_dictionary
+        if do_broadcast is None:
+            do_broadcast = distinct_words.count() <= broadcast_threshold_rows
+        enc = _enc(F.col("__w"))
+        dictionary = distinct_words.select(
+            "__w", enc["p"].alias("__pieces"), enc["s"].alias("__score")
+        )
+        if do_broadcast:
+            dictionary = F.broadcast(dictionary)
+        exploded = with_words.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode("__words").alias("__p", "__w"),
+        )
+        assembled = (
+            exploded.join(dictionary, "__w")
+            .groupBy("__id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__p", "__pieces"))
+                        ),
+                        lambda s: s["__pieces"],
+                    )
+                ).alias("__assembled"),
+                F.sum("__score").alias("__sc"),
+            )
+        )
+        return (
+            df.join(assembled, df[id_col] == assembled["__id"], "left")
+            .drop("__id")
+            .withColumn(
+                output_col,
+                F.coalesce("__assembled", F.array().cast("array<string>")),
+            )
+            .drop("__assembled")
+            .withColumn(f"{output_col}_n", F.size(output_col).cast("int"))
+            .withColumn(
+                f"{output_col}_score_s",
+                F.coalesce("__sc", F.lit(0)).cast("long"),
+            )
+            .drop("__sc")
+        )
+
+    return _encode
+
+
+@register_contextual("unigram_encode_with")
+def unigram_encode_with(data: dict, vocab_id: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`unigram_encode`: resolve the unigram LM
+    vocabulary from an upstream spec_id."""
+
+    def _enc(df: DataFrame) -> DataFrame:
+        if vocab_id not in data:
+            raise ValueError(
+                f"unigram_encode_with: unknown spec_id {vocab_id!r}"
+            )
+        return unigram_encode(vocab=data[vocab_id], **args)(df)
+
+    return _enc
 
 
 @register_contextual("wordpiece_encode_with")

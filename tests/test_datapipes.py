@@ -2910,6 +2910,88 @@ def test_word_pmi_matches_python_replay(spark):
         t("text_word_pmi", min_count=0)
 
 
+def test_unigram_encode_viterbi_matches_brute_force(spark):
+    """unigram_encode's per-word Viterbi DP == brute-force enumeration of
+    every segmentation under the same total order (max score, fewest
+    pieces, smallest chr(1)-joined path) on 300 random words; plus
+    end-to-end document reassembly, UNK/score contracts, and the
+    shuffle-join dictionary arm matching the broadcast arm."""
+    import random
+
+    from lakehouse_engine_spark.datapipes.bpe import unigram_viterbi_py
+
+    import string
+
+    pieces = {c: -30000 for c in string.ascii_lowercase}
+    for p in ("th", "he", "in", "er", "an", "ing", "ion", "the", "and"):
+        pieces[p] = -15000
+
+    def brute(w):
+        best = None
+
+        def rec(pos, path, sc):
+            nonlocal best
+            if pos == len(w):
+                key = (-sc, len(path), "\x01".join(path))
+                if best is None or key < best:
+                    best = key
+                return
+            for e in range(pos + 1, min(pos + 3, len(w)) + 1):
+                if w[pos:e] in pieces:
+                    rec(e, path + [w[pos:e]], sc + pieces[w[pos:e]])
+
+        rec(0, [], 0)
+        if best is None:
+            return ["[UNK]"], -100000
+        return best[2].split("\x01"), -best[0]
+
+    rng = random.Random(1)
+    for _ in range(300):
+        w = "".join(rng.choice("theringanod") for _ in range(rng.randint(1, 9)))
+        assert unigram_viterbi_py(w, pieces, 3) == brute(w), w
+
+    vocab = spark.createDataFrame(
+        [(k, v) for k, v in pieces.items()], "piece STRING, logp_s LONG"
+    )
+    docs = spark.createDataFrame(
+        [(0, "the running lion"), (1, ""), (2, "zzz? the")],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: (
+            r["ug_tokens"], r["ug_tokens_n"], r["ug_tokens_score_s"]
+        )
+        for r in docs.transform(
+            t("unigram_encode", vocab=vocab, lowercase=True)
+        ).collect()
+    }
+    assert out[0][0] == ["the", "r", "u", "n", "n", "ing", "l", "ion"]
+    assert out[0][1] == 8 and out[0][2] == -195000
+    assert out[1] == ([], 0, 0)
+    # "zzz?" contains a char outside the vocab -> whole word UNK
+    assert out[2][0] == ["[UNK]", "the"] and out[2][2] == -115000
+    shuf = {
+        r["doc_id"]: r["ug_tokens"]
+        for r in docs.transform(
+            t(
+                "unigram_encode",
+                vocab=vocab,
+                lowercase=True,
+                broadcast_dictionary=False,
+            )
+        ).collect()
+    }
+    assert shuf == {d: v[0] for d, v in out.items()}
+    empty_vocab = spark.createDataFrame([], "piece STRING, logp_s LONG")
+    ev = {
+        r["doc_id"]: r["ug_tokens"]
+        for r in docs.transform(
+            t("unigram_encode", vocab=empty_vocab, lowercase=True)
+        ).collect()
+    }
+    assert ev == {0: ["[UNK]"] * 3, 1: [], 2: ["[UNK]"] * 2}
+
+
 def test_dedup_incremental_exact_across_runs(spark, tmp_path):
     """Cross-RUN dedup: run 1 dedupes within-batch and seeds the digest
     state; run 2 drops everything already ingested AND its own internal

@@ -261,6 +261,12 @@ def test_two_input_ops_survive_empty_sides(spark):
         wp = corpus.transform(t("wordpiece_encode", vocab=vv))
         assert wp.count() == corpus.count()
         assert "wp_tokens" in wp.columns
+    ug_vocab = spark.createDataFrame([("a", -100)], "piece STRING, logp_s LONG")
+    for corpus, vv in [(single, ug_vocab), (empty, ug_vocab),
+                       (single, ug_vocab.limit(0)), (empty, ug_vocab.limit(0))]:
+        ug = corpus.transform(t("unigram_encode", vocab=vv))
+        assert ug.count() == corpus.count()
+        assert "ug_tokens" in ug.columns and "ug_tokens_score_s" in ug.columns
     iv_schema = "g STRING, s LONG, e LONG"
     il = spark.createDataFrame([("k", 0, 5)], iv_schema)
     ie = spark.createDataFrame([], iv_schema)

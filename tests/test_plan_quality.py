@@ -901,3 +901,17 @@ def test_word_pmi_broadcast_attach_take_ordered(spark, sf_dir):
     assert "SortMergeJoin" not in physical, physical[:2000]
     assert "CartesianProduct" not in physical
     assert "TakeOrderedAndProject" in physical, physical[:2000]
+
+
+def test_unigram_encode_distinct_word_dictionary(spark, sf_dir):
+    """unigram_encode (dp125): the Viterbi DP runs over DISTINCT words
+    only (ArrowEvalPython on the deduped word column, the vocab dict in
+    the closure — never corpus-scale rows), the dictionary join is
+    broadcast under the size gate, reassembly is one doc-keyed
+    aggregate; no sort-merge join, no cartesian."""
+    df = entry.queries()["dp125_unigram_encode"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "ArrowEvalPython" in physical, physical[:2000]
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical, physical[:2000]
+    assert "CartesianProduct" not in physical
