@@ -3324,6 +3324,31 @@ def dp125_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp126_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture planner (datapipes/sampling.py mixture_plan): integer-parts
+    target weights + a token budget -> per-group plan (budget share,
+    epoch-capped plan tokens, ppm sampler rate, epochs, shortfall).
+    Exact floor-division arithmetic end to end; one pushed-down-filtered
+    map-side aggregate is the only corpus-sized work. Includes a group
+    absent from the corpus (available=0, fully capped) and a cap-binding
+    group."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(
+        _t(
+            "mixture_plan",
+            group_col="lang",
+            weights={"en": 60, "de": 20, "fr": 15, "xx": 5},
+            budget_tokens=2_000_000,
+            token_col="n_chars",
+            max_epochs_ppm=1_500_000,
+        )
+    )
+    return out.select(
+        "lang", "parts", "available", "desired_tokens", "plan_tokens",
+        "capped", "sample_rate_ppm", "epochs_ppm", "shortfall_tokens",
+    )
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3658,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp123_frequent_terms": dp123_frequent_terms,
         "dp124_word_pmi": dp124_word_pmi,
         "dp125_unigram_encode": dp125_unigram_encode,
+        "dp126_mixture_plan": dp126_mixture_plan,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5600,6 +5626,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN tcs t USING (doc_id)
             LEFT JOIN hitdocs h ON h.doc_id = d.doc_id
             LEFT JOIN fr2 f ON f.doc_id = d.doc_id
+        """,
+        "dp126_mixture_plan": """
+            -- exact floor-division replay of the planner arithmetic
+            WITH w(lang, parts) AS (
+              VALUES ('de', 20), ('en', 60), ('fr', 15), ('xx', 5)
+            ),
+            avail AS (
+              SELECT lang, SUM(n_chars)::BIGINT AS available
+              FROM documents WHERE lang IN ('en', 'de', 'fr', 'xx')
+              GROUP BY lang
+            ),
+            base AS (
+              SELECT w.lang, CAST(w.parts AS BIGINT) AS parts,
+                     COALESCE(a.available, 0) AS available,
+                     (CAST(2000000 AS BIGINT) * w.parts) // 100
+                       AS desired_tokens
+              FROM w LEFT JOIN avail a USING (lang)
+            ),
+            planned AS (
+              SELECT *,
+                     LEAST(desired_tokens,
+                           (CAST(1500000 AS BIGINT) * available)
+                             // 1000000) AS plan_tokens
+              FROM base
+            )
+            SELECT lang, parts, available, desired_tokens, plan_tokens,
+                   plan_tokens < desired_tokens AS capped,
+                   CASE WHEN available > 0
+                        THEN (plan_tokens * CAST(1000000 AS BIGINT))
+                               // available
+                        ELSE 0 END AS sample_rate_ppm,
+                   CASE WHEN available > 0
+                        THEN (desired_tokens * CAST(1000000 AS BIGINT))
+                               // available
+                        ELSE 0 END AS epochs_ppm,
+                   desired_tokens - plan_tokens AS shortfall_tokens
+            FROM planned
         """,
         "dp125_unigram_encode": (lambda: (
             "WITH RECURSIVE vocab(piece, lp) AS (VALUES "

@@ -234,6 +234,109 @@ def mixture_sample(
     return _sample
 
 
+@register("mixture_plan")
+def mixture_plan(
+    group_col: str,
+    weights: Dict[str, int],
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    max_epochs_ppm: int = 1_000_000,
+) -> Callable[[DataFrame], DataFrame]:
+    """Mixture PLANNER: turn target mixture proportions + a token budget
+    into the per-group numbers the samplers consume — the arithmetic
+    half of pretraining data mixing (The Pile / LLaMA-style fixed-weight
+    recipes with per-domain epoch caps). One row per group in
+    ``weights``: available tokens, the budget share, the planned token
+    count after the epoch cap, the hash-sampler rate, epochs, and a
+    ``capped`` flag showing where the recipe is infeasible (the
+    shortfall is reported, not silently redistributed — recipe repair is
+    a human decision).
+
+    Exact integer arithmetic end to end so any engine replays it:
+    weights are integer PARTS (e.g. {en: 70, de: 30}), the share is
+    ``desired = (budget * parts) div sum(parts)`` (floor division), the
+    cap is ``max_tokens = (max_epochs_ppm * available) div 1e6``, and
+    rates/epochs are parts-per-million floor quotients. Groups present
+    in the corpus but absent from ``weights`` get no row (their plan is
+    0 by definition); groups in ``weights`` with no corpus rows appear
+    with ``available = 0``.
+
+    Scale design: ONE map-side-combined groupBy over the token column —
+    the only corpus-sized work; everything else is per-group arithmetic
+    on a weights-sized frame joined against a broadcast literal table.
+    """
+    if budget_tokens < 0:
+        raise ValueError("mixture_plan: budget_tokens must be >= 0")
+    if max_epochs_ppm < 1:
+        raise ValueError("mixture_plan: max_epochs_ppm must be >= 1")
+    if not weights:
+        raise ValueError("mixture_plan: weights must be non-empty")
+    for g, p in weights.items():
+        if int(p) != p or p < 0:
+            raise ValueError(
+                f"mixture_plan: weight parts for {g!r} must be a "
+                f"non-negative integer, got {p}"
+            )
+    total_parts = sum(int(p) for p in weights.values())
+    if total_parts == 0:
+        raise ValueError("mixture_plan: weight parts sum to zero")
+
+    def _plan(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(g, int(p)) for g, p in sorted(weights.items())],
+            f"`{group_col}` string, parts long",
+        )
+        # pre-filter to planned groups: the predicate pushes to the scan
+        # and bounds the aggregate output at |weights| rows, so it can be
+        # broadcast as the RIGHT side of the weights-preserving left join
+        # (the preserved side of an outer join cannot be broadcast)
+        avail = (
+            df.where(F.col(group_col).isin([g for g in weights]))
+            .groupBy(group_col)
+            .agg(F.sum(F.col(token_col).cast("long")).alias("available"))
+        )
+        base = (
+            wdf.join(F.broadcast(avail), group_col, "left")
+            .select(
+                group_col,
+                "parts",
+                F.coalesce("available", F.lit(0)).alias("available"),
+            )
+        )
+        desired = F.expr(f"({budget_tokens} * parts) div {total_parts}")
+        out = base.withColumn("desired_tokens", desired)
+        cap = F.expr(f"({max_epochs_ppm} * available) div 1000000")
+        out = out.withColumn(
+            "plan_tokens", F.least("desired_tokens", cap)
+        ).withColumn("capped", F.col("plan_tokens") < F.col("desired_tokens"))
+        return out.select(
+            group_col,
+            "parts",
+            "available",
+            "desired_tokens",
+            "plan_tokens",
+            "capped",
+            F.when(
+                F.col("available") > 0,
+                F.expr("(plan_tokens * 1000000) div available"),
+            )
+            .otherwise(F.lit(0))
+            .alias("sample_rate_ppm"),
+            F.when(
+                F.col("available") > 0,
+                F.expr("(desired_tokens * 1000000) div available"),
+            )
+            .otherwise(F.lit(0))
+            .alias("epochs_ppm"),
+            (F.col("desired_tokens") - F.col("plan_tokens")).alias(
+                "shortfall_tokens"
+            ),
+        )
+
+    return _plan
+
+
 @register("token_budget_sample")
 def token_budget_sample(
     group_col: str,

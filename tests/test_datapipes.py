@@ -2992,6 +2992,65 @@ def test_unigram_encode_viterbi_matches_brute_force(spark):
     assert ev == {0: ["[UNK]"] * 3, 1: [], 2: ["[UNK]"] * 2}
 
 
+def test_mixture_plan_arithmetic_and_contracts(spark):
+    """mixture_plan pinned against a transparent integer replay: budget
+    shares by floor division, epoch cap, ppm rates, shortfall; a group
+    absent from the corpus plans to zero with full shortfall; corpus
+    groups absent from the weights get no row; validation raises."""
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], 100 + i) for i in range(90)],
+        "doc_id LONG, lang STRING, n_tokens INT",
+    )
+    out = {
+        r["lang"]: r.asDict()
+        for r in docs.transform(
+            t(
+                "mixture_plan",
+                group_col="lang",
+                weights={"en": 70, "de": 20, "xx": 10},
+                budget_tokens=10_000,
+                max_epochs_ppm=2_000_000,
+            )
+        ).collect()
+    }
+    en_avail = sum(100 + i for i in range(90) if i % 3 == 0)
+    assert out["en"]["available"] == en_avail
+    assert out["en"]["desired_tokens"] == (10_000 * 70) // 100
+    assert out["en"]["plan_tokens"] == min(
+        7000, (2_000_000 * en_avail) // 1_000_000
+    )
+    assert out["en"]["epochs_ppm"] == (7000 * 1_000_000) // en_avail
+    assert out["en"]["sample_rate_ppm"] == (
+        out["en"]["plan_tokens"] * 1_000_000
+    ) // en_avail
+    assert out["xx"]["available"] == 0 and out["xx"]["capped"]
+    assert out["xx"]["shortfall_tokens"] == 1000
+    assert "fr" not in out
+    with pytest.raises(ValueError):
+        t("mixture_plan", group_col="lang", weights={}, budget_tokens=1)
+    with pytest.raises(ValueError):
+        t(
+            "mixture_plan",
+            group_col="lang",
+            weights={"en": 0},
+            budget_tokens=1,
+        )
+    with pytest.raises(ValueError):
+        t(
+            "mixture_plan",
+            group_col="lang",
+            weights={"en": 1.5},
+            budget_tokens=1,
+        )
+    with pytest.raises(ValueError):
+        t(
+            "mixture_plan",
+            group_col="lang",
+            weights={"en": 1},
+            budget_tokens=-1,
+        )
+
+
 def test_dedup_incremental_exact_across_runs(spark, tmp_path):
     """Cross-RUN dedup: run 1 dedupes within-batch and seeds the digest
     state; run 2 drops everything already ingested AND its own internal

@@ -199,6 +199,13 @@ CASES = [
     ("embedding_pca", {"mode": "stats"}, "emb", "any"),
     ("text_frequent_terms", {"min_support": 0.1}, "docs", "any"),
     ("text_word_pmi", {"k": 5, "min_count": 1}, "docs", "zero"),
+    (
+        "mixture_plan",
+        {"group_col": "lang", "weights": {"en": 1}, "budget_tokens": 10,
+         "token_col": "n_tokens"},
+        "docs",
+        "any",  # planner emits one row per weighted group even on empty
+    ),
 ]
 
 
