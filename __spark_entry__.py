@@ -3349,6 +3349,56 @@ def dp126_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _hilbert_level_ctes(bits: int, carry: str) -> str:
+    """Per-level CTE chain replaying layout_hilbert's unrolled xy2d
+    recursion (quadrant digit + reflect/rotate) — shared shape between
+    the dp127 oracle and any future hilbert query."""
+    n_full = (1 << bits) - 1
+    parts = []
+    prev = "l_in"
+    for step, i in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << i
+        name = f"l{step}"
+        parts.append(
+            f"""{name} AS (
+              SELECT {carry},
+                CASE WHEN ((y >> {i}) & 1) = 0 THEN
+                  CASE WHEN ((x >> {i}) & 1) = 1
+                       THEN {n_full} - y ELSE y END
+                ELSE x END AS x,
+                CASE WHEN ((y >> {i}) & 1) = 0 THEN
+                  CASE WHEN ((x >> {i}) & 1) = 1
+                       THEN {n_full} - x ELSE x END
+                ELSE y END AS y,
+                d + CAST({s * s} AS BIGINT)
+                    * xor(3 * ((x >> {i}) & 1), (y >> {i}) & 1) AS d
+              FROM {prev})"""
+        )
+        prev = name
+    return ",\n".join(parts), prev
+
+
+def dp127_hilbert_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Hilbert-curve clustering key (datapipes/layout.py layout_hilbert):
+    orders keyed on (o_custkey, o_orderdate), 8 bits per dimension — the
+    same minmax bucket arithmetic as dp103's z-order (shared helper),
+    then the xy2d quadrant/rotate recursion unrolled one level per bit.
+    All integer CASE arithmetic; the oracle replays the recursion as a
+    chain of per-level CTEs, bit for bit. See tools/scale_probes_r7.py
+    probe_hilbert_vs_zorder_spans for the measured file-skipping
+    comparison against the Morton key."""
+    orders = load_table(spark, sf, "orders")
+    out = orders.transform(
+        _t(
+            "layout_hilbert",
+            cols=["o_custkey", "o_orderdate"],
+            bits_per_col=8,
+            num_partitions=8,
+        )
+    )
+    return out.select("o_orderkey", "o_custkey", "hilbert_key")
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3684,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp124_word_pmi": dp124_word_pmi,
         "dp125_unigram_encode": dp125_unigram_encode,
         "dp126_mixture_plan": dp126_mixture_plan,
+        "dp127_hilbert_layout": dp127_hilbert_layout,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5627,6 +5678,36 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hitdocs h ON h.doc_id = d.doc_id
             LEFT JOIN fr2 f ON f.doc_id = d.doc_id
         """,
+        "dp127_hilbert_layout": (lambda levels=_hilbert_level_ctes(
+            8, "o_orderkey, o_custkey"
+        ): f"""
+            WITH k AS (
+              SELECT o_orderkey, o_custkey,
+                     o_custkey AS k1,
+                     epoch_us(o_orderdate) AS k2
+              FROM orders
+            ),
+            s AS (
+              SELECT min(k1) AS lo1, max(k1) AS hi1,
+                     min(k2) AS lo2, max(k2) AS hi2
+              FROM k
+            ),
+            l_in AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN (hi1 - lo1 + 1) <= 2147483648
+                          THEN ((k1 - lo1) * 256) // (hi1 - lo1 + 1)
+                          ELSE (k1 - lo1) // (((hi1 - lo1 + 1) + 255) // 256)
+                     END AS x,
+                     CASE WHEN (hi2 - lo2 + 1) <= 2147483648
+                          THEN ((k2 - lo2) * 256) // (hi2 - lo2 + 1)
+                          ELSE (k2 - lo2) // (((hi2 - lo2 + 1) + 255) // 256)
+                     END AS y,
+                     CAST(0 AS BIGINT) AS d
+              FROM k CROSS JOIN s
+            ),
+            {levels[0]}
+            SELECT o_orderkey, o_custkey, d AS hilbert_key FROM {levels[1]}
+        """)(),
         "dp126_mixture_plan": """
             -- exact floor-division replay of the planner arithmetic
             WITH w(lang, parts) AS (

@@ -81,6 +81,147 @@ def _dimension_key(df: DataFrame, col: str) -> tuple[Column, bool]:
     )
 
 
+def _minmax_bucket_exprs(
+    keys: List[tuple], cols: List[str], bits_per_col: int
+) -> List[Column]:
+    """Per-dimension minmax bucket expressions (the layout_zorder
+    quantization rules, shared verbatim by layout_hilbert): exact-integer
+    dims use overflow-safe scale-up/scale-down SQL `div`; float dims use
+    the IEEE-exact power-of-two-scaled division; NULL -> bucket 0.
+    Assumes ``__k_{c}``/``__min_{c}``/``__max_{c}`` columns exist."""
+    buckets: List[Column] = []
+    scale = 1 << bits_per_col
+    top = scale - 1
+    for (_, exact), c in zip(keys, cols):
+        if exact:
+            b = F.expr(
+                f"CASE WHEN (__max_{c} - __min_{c} + 1) <= 2147483648L "
+                f"THEN ((__k_{c} - __min_{c}) * {scale}L) "
+                f"div (__max_{c} - __min_{c} + 1) "
+                f"ELSE (__k_{c} - __min_{c}) div "
+                f"(((__max_{c} - __min_{c} + 1) + {scale - 1}L) div {scale}L) "
+                f"END"
+            )
+        else:
+            lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+            divisor = (hi - lo) / F.lit(float(scale))
+            k = F.col(f"__k_{c}")
+            b = (
+                F.when(k.isNull() | ~(divisor > 0), F.lit(0))
+                .otherwise(F.least(F.floor((k - lo) / divisor), F.lit(top)))
+                .cast("long")
+            )
+        buckets.append(F.coalesce(b, F.lit(0).cast("long")))
+    return buckets
+
+
+@register("layout_hilbert")
+def hilbert(
+    cols: List[str],
+    bits_per_col: int = 8,
+    output_col: str = "hilbert_key",
+    num_partitions: Optional[int] = None,
+    sort: bool = True,
+    keep_key: bool = True,
+) -> TransformerFn:
+    """Hilbert-curve clustering key + range layout over exactly TWO
+    columns — the locality-tighter sibling of ``layout_zorder`` (modern
+    table services moved from Z-order to Hilbert for exactly this:
+    Morton interleaving has unbounded "seams" where consecutive keys
+    jump across the space, while every step along the Hilbert curve is
+    grid-adjacent, so per-file min/max boxes come out tighter and
+    multi-dimensional file skipping prunes more; see the dp127 probe
+    for the measured span comparison).
+
+    Dimensions quantize to ``bits_per_col``-bit buckets with the SAME
+    rules as ``layout_zorder`` (shared helper — exact-integer `div`
+    arithmetic, IEEE-exact float bucketing, NULL -> 0), then the bucket
+    pair maps to its distance along the order-``bits_per_col`` Hilbert
+    curve via the classic xy2d bit recursion (quadrant digit + rotate /
+    reflect; Wikipedia's public-domain formulation), unrolled one level
+    per bit as materialized columns. All integer CASE arithmetic — the
+    oracle replays it as a chain of per-level CTEs, bit for bit.
+
+    ``bits_per_col`` is capped at 12: the per-level rotate references
+    both previous-level coordinates, so Catalyst's projection collapse
+    can inline the recursion into an O(2^bits) tree — 12 bits (a
+    16.7M-cell grid, far finer than any file layout needs) keeps the
+    plan small; beyond that use ``layout_zorder``, whose key is one
+    flat expression at any width. For skew-equalized bucketing compose
+    with ``layout_zorder(method='rank')``'s CDF idea by pre-ranking the
+    dimension upstream.
+    """
+    if len(cols) != 2:
+        raise ValueError(
+            f"layout_hilbert: exactly 2 cols required (got {len(cols)}); "
+            "the 2-D curve is the file-layout case — for more dimensions "
+            "use layout_zorder"
+        )
+    if not 1 <= bits_per_col <= 12:
+        raise ValueError(
+            f"layout_hilbert: bits_per_col must be in [1, 12], got "
+            f"{bits_per_col} (the unrolled rotate recursion grows the plan "
+            "past 12 bits; use layout_zorder for finer grids)"
+        )
+
+    def _hilbert(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
+
+        keys = [_dimension_key(df, c) for c in cols]
+        keyed = ensure_parallelism(df).withColumns(
+            {f"__k_{c}": k for (k, _), c in zip(keys, cols)}
+        )
+        stats = keyed.agg(
+            *[
+                agg
+                for c in cols
+                for agg in (
+                    F.min(f"__k_{c}").alias(f"__min_{c}"),
+                    F.max(f"__k_{c}").alias(f"__max_{c}"),
+                )
+            ]
+        )
+        out = keyed.crossJoin(F.broadcast(stats))
+        bx, by = _minmax_bucket_exprs(keys, cols, bits_per_col)
+        out = out.withColumns(
+            {"__hx": bx, "__hy": by, "__hd": F.lit(0).cast("long")}
+        )
+        one = F.lit(1).cast("long")
+        for i in range(bits_per_col - 1, -1, -1):
+            s = 1 << i
+            x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
+            rx = F.shiftright(x, i).bitwiseAND(one)
+            ry = F.shiftright(y, i).bitwiseAND(one)
+            new_d = d + F.lit(s * s).cast("long") * (
+                (F.lit(3).cast("long") * rx).bitwiseXOR(ry)
+            )
+            n_full = F.lit((1 << bits_per_col) - 1).cast("long")
+            refl_x = F.when(rx == one, n_full - x).otherwise(x)
+            refl_y = F.when(rx == one, n_full - y).otherwise(y)
+            # rot: when ry == 0, (optionally reflect by rx) then swap x/y
+            new_x = F.when(ry == F.lit(0).cast("long"), refl_y).otherwise(x)
+            new_y = F.when(ry == F.lit(0).cast("long"), refl_x).otherwise(y)
+            out = out.withColumns(
+                {"__hx": new_x, "__hy": new_y, "__hd": new_d}
+            )
+        out = out.withColumn(output_col, F.col("__hd")).drop(
+            "__hx",
+            "__hy",
+            "__hd",
+            *[f"__k_{c}" for c in cols],
+            *[n for c in cols for n in (f"__min_{c}", f"__max_{c}")],
+        )
+        if num_partitions:
+            out = out.repartitionByRange(num_partitions, F.col(output_col))
+        if sort:
+            out = out.sortWithinPartitions(output_col)
+        if not keep_key:
+            out = out.drop(output_col)
+        return out
+
+    return _hilbert
+
+
 @register("layout_zorder")
 def zorder(
     cols: List[str],
@@ -142,7 +283,6 @@ def zorder(
             f"layout_zorder: {len(cols)} cols × {bits_per_col} bits = {nbits} "
             "interleaved bits; must be ≤ 62 — lower bits_per_col"
         )
-    top = (1 << bits_per_col) - 1
 
     def _interleave_and_layout(
         out: DataFrame, buckets: List[Column], extra_drop: tuple = ()
@@ -247,37 +387,17 @@ def zorder(
         )
         out = keyed.crossJoin(F.broadcast(stats))
 
-        buckets = []
-        scale = 1 << bits_per_col
-        for (_, exact), c in zip(keys, cols):
-            if exact:
-                # Two exact-integer regimes, both filling the full bucket
-                # range — a NARROW dimension must still use all its bits or
-                # the interleaved curve degenerates to a sort on the widest
-                # dimension (the classic z-order pitfall):
-                #   range1 ≤ 2^31: scale UP — ((k-lo)*2^bits) div range1
-                #     (product < 2^47, overflow-safe; max bucket = 2^bits-1)
-                #   wider: scale DOWN — (k-lo) div ceil(range1/2^bits)
-                b = F.expr(
-                    f"CASE WHEN (__max_{c} - __min_{c} + 1) <= 2147483648L "
-                    f"THEN ((__k_{c} - __min_{c}) * {scale}L) "
-                    f"div (__max_{c} - __min_{c} + 1) "
-                    f"ELSE (__k_{c} - __min_{c}) div "
-                    f"(((__max_{c} - __min_{c} + 1) + {scale - 1}L) div {scale}L) "
-                    f"END"
-                )
-            else:
-                lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
-                divisor = (hi - lo) / F.lit(float(scale))
-                k = F.col(f"__k_{c}")
-                # NULL check is explicit: F.least SKIPS nulls, so a bare
-                # least(NULL, top) would put missing values in the TOP bucket
-                b = (
-                    F.when(k.isNull() | ~(divisor > 0), F.lit(0))
-                    .otherwise(F.least(F.floor((k - lo) / divisor), F.lit(top)))
-                    .cast("long")
-                )
-            buckets.append(F.coalesce(b, F.lit(0).cast("long")))
+        # Two exact-integer regimes inside the shared helper, both filling
+        # the full bucket range — a NARROW dimension must still use all its
+        # bits or the interleaved curve degenerates to a sort on the widest
+        # dimension (the classic z-order pitfall):
+        #   range1 ≤ 2^31: scale UP — ((k-lo)*2^bits) div range1
+        #     (product < 2^47, overflow-safe; max bucket = 2^bits-1)
+        #   wider: scale DOWN — (k-lo) div ceil(range1/2^bits)
+        # Floats: IEEE-exact power-of-two-scaled division; NULLs explicit
+        # (F.least SKIPS nulls — a bare least(NULL, top) would put missing
+        # values in the TOP bucket).
+        buckets = _minmax_bucket_exprs(keys, cols, bits_per_col)
 
         return _interleave_and_layout(
             out,

@@ -3051,6 +3051,49 @@ def test_mixture_plan_arithmetic_and_contracts(spark):
         )
 
 
+def test_hilbert_key_matches_xy2d_reference(spark):
+    """layout_hilbert pinned against the classic xy2d bit recursion on a
+    full 8x8 grid: exact key match, bijectivity over the grid, and the
+    defining curve property (every consecutive key step is grid-adjacent
+    — the locality Z-order's seams break); plus validation."""
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    b, n = 3, 8
+    rows = [(i, i // n, i % n) for i in range(n * n)]
+    df = spark.createDataFrame(rows, "id LONG, x LONG, y LONG")
+    out = {
+        (r["x"], r["y"]): r["hilbert_key"]
+        for r in df.transform(
+            t("layout_hilbert", cols=["x", "y"], bits_per_col=b, sort=False)
+        ).collect()
+    }
+    ref = {(x, y): xy2d(n, x, y) for _, x, y in rows}
+    assert out == ref
+    inv = {d: k for k, d in ref.items()}
+    assert sorted(inv) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+    with pytest.raises(ValueError):
+        t("layout_hilbert", cols=["x"])
+    with pytest.raises(ValueError):
+        t("layout_hilbert", cols=["x", "y", "z"])
+    with pytest.raises(ValueError):
+        t("layout_hilbert", cols=["x", "y"], bits_per_col=13)
+
+
 def test_dedup_incremental_exact_across_runs(spark, tmp_path):
     """Cross-RUN dedup: run 1 dedupes within-batch and seeds the digest
     state; run 2 drops everything already ingested AND its own internal

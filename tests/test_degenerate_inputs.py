@@ -171,6 +171,7 @@ CASES = [
     ("profile_columns", {}, "num", "any"),  # one row per column, always
     ("curation_report", {"flag_cols": ["is_ok"]}, "num", "any"),
     ("layout_zorder", {"cols": ["doc_id", "lang"], "bits_per_col": 8}, "docs", "zero"),
+    ("layout_hilbert", {"cols": ["doc_id", "lang"], "bits_per_col": 8}, "docs", "zero"),
     (
         "layout_zorder",
         {"cols": ["doc_id"], "bits_per_col": 8, "method": "rank"},

@@ -336,6 +336,64 @@ def probe_frequent_terms_100k(spark):
 PROBES["frequent_terms_100k"] = probe_frequent_terms_100k
 
 
+def probe_hilbert_vs_zorder_spans(spark):
+    """The file-skipping comparison layout_hilbert exists for: lay 10M
+    (x, y) rows into 64 range partitions by Morton key vs Hilbert key,
+    then measure the per-partition min/max BOX on each dimension — the
+    exact statistics parquet footers would carry, partition = file proxy.
+    Skipping power is the mean normalized box AREA (smaller = a point
+    predicate on either dim prunes more files). Hilbert's unit-step
+    adjacency removes Morton's cross-space seams, so its boxes should be
+    measurably tighter at equal cost."""
+    df = spark.range(10_000_000).selectExpr(
+        "id",
+        "cast(id % 3163 as long) AS x",
+        "cast((id * 2654435761) % 3163 as long) AS y",
+    )
+
+    def boxes(out, key):
+        p = out.withColumn("__pid", F.spark_partition_id())
+        stats = (
+            p.groupBy("__pid")
+            .agg(
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.min("y").alias("y0"), F.max("y").alias("y1"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        span = 3163.0
+        area = sum(
+            ((r["x1"] - r["x0"] + 1) / span) * ((r["y1"] - r["y0"] + 1) / span)
+            for r in stats
+        ) / len(stats)
+        return area, len(stats)
+
+    t0 = time.time()
+    hz = df.transform(
+        t("layout_hilbert", cols=["x", "y"], bits_per_col=8,
+          num_partitions=64)
+    )
+    a_h, n_h = boxes(hz, "hilbert_key")
+    dt_h = time.time() - t0
+    t0 = time.time()
+    zz = df.transform(
+        t("layout_zorder", cols=["x", "y"], bits_per_col=8,
+          num_partitions=64)
+    )
+    a_z, n_z = boxes(zz, "zorder_key")
+    dt_z = time.time() - t0
+    print(
+        f"[hilbert_vs_zorder] 10M rows, 64 partitions: mean normalized "
+        f"min/max box area hilbert={a_h:.4f} ({dt_h:.1f}s, {n_h} parts) "
+        f"vs zorder={a_z:.4f} ({dt_z:.1f}s, {n_z} parts) — "
+        f"{a_z / a_h:.2f}x tighter"
+    )
+
+
+PROBES["hilbert_vs_zorder_spans"] = probe_hilbert_vs_zorder_spans
+
+
 def probe_decontaminate_spans_100k(spark):
     """text_decontaminate_spans at 100k docs vs a 5k-doc benchmark: the
     islands path must touch only CONTAMINATED documents (~5% here), so
