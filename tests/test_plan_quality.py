@@ -915,3 +915,15 @@ def test_unigram_encode_distinct_word_dictionary(spark, sf_dir):
     assert "BroadcastHashJoin" in physical, physical[:2000]
     assert "SortMergeJoin" not in physical, physical[:2000]
     assert "CartesianProduct" not in physical
+
+
+def test_hilbert_layout_single_range_exchange(spark, sf_dir):
+    """layout_hilbert (dp127): one broadcast stats row + pure-codegen key
+    arithmetic + ONE range exchange — same plan shape as layout_zorder;
+    no sort-merge join, no cartesian, and exactly one rangepartitioning
+    exchange (the write-side layout step)."""
+    df = entry.queries()["dp127_hilbert_layout"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "SortMergeJoin" not in physical, physical[:2000]
+    assert "CartesianProduct" not in physical
+    assert physical.count("rangepartitioning") == 1, physical[:2000]
