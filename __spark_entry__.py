@@ -3578,7 +3578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first in line for the round-8
     # window alongside the r05 cohort, as are the third-batch additions
     # dp121 connected components, dp122 PCA moments, dp123 exact
-    # frequent terms.
+    # frequent terms, dp124 PMI collocations, dp125 unigram Viterbi
+    # encode, dp126 mixture planner, dp127 Hilbert layout.
     return {
         # --- changed this round (code or oracle) ---
         "dp110_random_projection": dp110_random_projection,
