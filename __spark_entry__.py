@@ -3399,6 +3399,20 @@ def dp127_hilbert_layout(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("o_orderkey", "o_custkey", "hilbert_key")
 
 
+def dp128_frequent_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact heavy hitters over word BIGRAMS (datapipes/text.py
+    text_frequent_terms ngram=2) — the regime the Misra-Gries candidate
+    pass exists for: distinct shingles grow without bound at corpus
+    scale, but the candidate shuffle stays capped at k rows/partition.
+    Output is exact (superset + recount), so the oracle is a plain
+    shingle/count/HAVING replay."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(
+        _t("text_frequent_terms", min_support=0.0015, ngram=2)
+    )
+    return out.select("term", "n", "support")
+
+
 def dp109_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC normalization (datapipes/text.py unicode_normalize) —
     the documented Python-path op (Arrow-batched pandas_udf over
@@ -3736,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp125_unigram_encode": dp125_unigram_encode,
         "dp126_mixture_plan": dp126_mixture_plan,
         "dp127_hilbert_layout": dp127_hilbert_layout,
+        "dp128_frequent_bigrams": dp128_frequent_bigrams,
         "dp111_interval_overlap_join": dp111_interval_overlap_join,
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
@@ -5678,6 +5693,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN tcs t USING (doc_id)
             LEFT JOIN hitdocs h ON h.doc_id = d.doc_id
             LEFT JOIN fr2 f ON f.doc_id = d.doc_id
+        """,
+        "dp128_frequent_bigrams": f"""
+            WITH toks AS (
+              SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+            ),
+            sh AS (SELECT doc_id, {_duck_shingles(2)} AS s FROM toks),
+            g AS (SELECT unnest(s) AS term FROM sh),
+            gg AS (SELECT term FROM g WHERE term <> ''),
+            tot AS (SELECT COUNT(*)::BIGINT AS total FROM gg),
+            c AS (SELECT term, COUNT(*)::BIGINT AS n FROM gg GROUP BY 1)
+            SELECT c.term, c.n,
+                   CAST(c.n AS DOUBLE) / t.total AS support
+            FROM c, tot t
+            WHERE c.n >= CEIL(CAST(0.0015 AS DOUBLE) * t.total)
         """,
         "dp127_hilbert_layout": (lambda levels=_hilbert_level_ctes(
             8, "o_orderkey, o_custkey"

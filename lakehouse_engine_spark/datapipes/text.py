@@ -536,6 +536,7 @@ def vocab_top_k(
 def frequent_terms(
     input_col: str = "text",
     min_support: float = 0.001,
+    ngram: int = 1,
     broadcast_candidates: bool | None = None,
     max_broadcast_candidates: int = 1_000_000,
 ) -> TransformerFn:
@@ -566,11 +567,21 @@ def frequent_terms(
     Tokenization matches ``vocab_top_k`` (lowercased whitespace split),
     so the SQL oracle replays it term-for-term; the threshold is
     ``ceil`` of one IEEE double product, identical cross-engine.
+
+    ``ngram > 1`` runs the same machinery over word n-gram shingles
+    (the ``text_ngram_counts`` convention: short docs contribute their
+    single joined shingle) — the regime the MG candidate pass exists
+    for, since distinct shingles grow without bound where distinct
+    words merely grow slowly.
     """
     if not (0.0 < min_support <= 1.0):
         raise ValueError(
             f"text_frequent_terms: min_support must be in (0, 1], got "
             f"{min_support}"
+        )
+    if ngram < 1:
+        raise ValueError(
+            f"text_frequent_terms: ngram must be >= 1, got {ngram}"
         )
     counters = int(math.ceil(1.0 / min_support)) + 1
 
@@ -584,7 +595,16 @@ def frequent_terms(
     def _freq(df: DataFrame) -> DataFrame:
         from pyspark import StorageLevel
 
-        toks = df.select(tokens_lower(F.col(input_col)).alias("__ft_toks"))
+        def _stream() -> Column:
+            if ngram == 1:
+                return tokens_lower(F.col(input_col))
+            # empty docs' degenerate "" shingle is dropped (the
+            # text_ngram_counts post-explode filter, applied in-array)
+            return F.filter(
+                shingles(F.col(input_col), ngram), lambda s: s != ""
+            )
+
+        toks = df.select(_stream().alias("__ft_toks"))
 
         def part(batches):
             from collections import Counter
@@ -635,9 +655,7 @@ def frequent_terms(
         else:
             do_broadcast = broadcast_candidates
         cand_side = F.broadcast(cand) if do_broadcast else cand
-        exploded = df.select(
-            F.explode(tokens_lower(F.col(input_col))).alias("term")
-        )
+        exploded = df.select(F.explode(_stream()).alias("term"))
         return (
             exploded.join(cand_side, "term")
             .groupBy("term")

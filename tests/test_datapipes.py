@@ -2852,10 +2852,30 @@ def test_frequent_terms_exact_vs_counter(spark):
     assert shuffled == {w: c for w, c in cnt.items() if c >= math.ceil(0.02 * total)}
     srow = df.transform(t("text_frequent_terms", min_support=0.02)).first()
     assert abs(srow["support"] - srow["n"] / total) < 1e-15
+    # ngram=2: same exact-filter contract over bigram shingles (short
+    # docs contribute their single joined shingle, per text_ngram_counts)
+    bi = Counter()
+    for _, txt in docs:
+        ws = txt.lower().split()
+        if len(ws) >= 2:
+            bi.update(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+        elif ws:
+            bi.update([" ".join(ws)])
+    btot = sum(bi.values())
+    bthr = math.ceil(0.01 * btot)
+    bgot = {
+        r["term"]: r["n"]
+        for r in df.transform(
+            t("text_frequent_terms", min_support=0.01, ngram=2)
+        ).collect()
+    }
+    assert bgot == {g: c for g, c in bi.items() if c >= bthr}
     with pytest.raises(ValueError):
         t("text_frequent_terms", min_support=0.0)
     with pytest.raises(ValueError):
         t("text_frequent_terms", min_support=1.5)
+    with pytest.raises(ValueError):
+        t("text_frequent_terms", min_support=0.5, ngram=0)
 
 
 def test_word_pmi_matches_python_replay(spark):

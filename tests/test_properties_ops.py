@@ -521,6 +521,48 @@ _vec_corpus = st.lists(
 
 
 @_few
+@given(
+    bits=st.integers(1, 6),
+    pts=st.lists(
+        st.tuples(st.integers(0, 63), st.integers(0, 63)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_hilbert_matches_xy2d_property(spark, bits, pts):
+    """layout_hilbert == the classic xy2d recursion for random grid
+    points at random curve orders (coordinates reduced mod 2^bits; the
+    dims span the full bucket range via an injected corner point so the
+    minmax quantization is the identity)."""
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    n = 1 << bits
+    pts = [(x % n, y % n) for x, y in pts] + [(0, 0), (n - 1, n - 1)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id LONG, x LONG, y LONG"
+    )
+    got = {
+        r["id"]: r["hilbert_key"]
+        for r in df.transform(
+            t("layout_hilbert", cols=["x", "y"], bits_per_col=bits, sort=False)
+        ).collect()
+    }
+    assert got == {i: xy2d(n, x, y) for i, (x, y) in enumerate(pts)}
+
+
+@_few
 @given(vecs=_vec_corpus)
 def test_pca_projection_invariants(spark, vecs):
     """embedding_pca invariants on arbitrary 3-dim corpora: projections

@@ -394,6 +394,46 @@ def probe_hilbert_vs_zorder_spans(spark):
 PROBES["hilbert_vs_zorder_spans"] = probe_hilbert_vs_zorder_spans
 
 
+def probe_frequent_trigrams_100k(spark):
+    """text_frequent_terms ngram=3 at 100k docs — the unbounded-
+    vocabulary regime the MG pass exists for: the distinct 3-gram count
+    here is corpus-sized (millions), but the candidate shuffle stays at
+    k+1 = 1001 rows per partition. Contrast: text_ngram_counts must
+    shuffle every distinct shingle a partition holds."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(20).withColumnRenamed("id", "__rep"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000)
+        .drop("__rep")
+        .repartition(32)
+        .persist()
+    )
+    n = big.count()
+    distinct_grams = (
+        big.selectExpr(
+            "explode(filter(transform(sequence(1, greatest(size(split(trim("
+            "lower(text)), '\\\\s+')) - 2, 1)), i -> concat_ws(' ', slice("
+            "split(trim(lower(text)), '\\\\s+'), i, 3))), s -> s <> '')) g"
+        )
+        .agg(F.approx_count_distinct("g"))
+        .first()[0]
+    )
+    t0 = time.time()
+    out = big.transform(
+        t("text_frequent_terms", min_support=0.001, ngram=3)
+    ).collect()
+    dt = time.time() - t0
+    print(
+        f"[frequent_trigrams_100k] {n} docs, ~{distinct_grams} distinct "
+        f"3-grams, min_support=0.1%: {len(out)} exact heavy hitters in "
+        f"{dt:.1f}s (candidate shuffle capped at 1001 rows/partition)"
+    )
+    big.unpersist()
+
+
+PROBES["frequent_trigrams_100k"] = probe_frequent_trigrams_100k
+
+
 def probe_decontaminate_spans_100k(spark):
     """text_decontaminate_spans at 100k docs vs a 5k-doc benchmark: the
     islands path must touch only CONTAMINATED documents (~5% here), so
