@@ -5409,7 +5409,7 @@ def oracle_sql() -> dict[str, str]:
                        list_distinct(list_filter(
                          string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
                          t -> t <> '')),
-                       ['the','and','of','to','in','is','that','it','for','was','with','on']
+                       ['the','be','to','of','and','that','have','with']
                      )) AS sw_hits
               FROM b JOIN documents USING (doc_id)
             )

@@ -338,8 +338,6 @@ def wordpiece_encode(
     """
 
     def _encode(df: DataFrame) -> DataFrame:
-        from pyspark import StorageLevel
-
         piece_col = vocab.columns[0]
         vset = {r[piece_col] for r in vocab.select(piece_col).collect()}
 
@@ -354,13 +352,22 @@ def wordpiece_encode(
 
         src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
         with_words = df.withColumn("__words", tokens(src))
-        distinct_words = (
-            with_words.select(F.explode("__words").alias("__w"))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        distinct_words = with_words.select(
+            F.explode("__words").alias("__w")
+        ).distinct()
         do_broadcast = broadcast_dictionary
         if do_broadcast is None:
+            # the size probe is a separate ACTION, so sharing the distinct
+            # pass with the final plan needs materialization — an EAGER
+            # localCheckpoint instead of persist: blocks are
+            # reference-tracked and dropped when the plan is GC'd, leaving
+            # no cache-manager entry behind in long-lived sessions (the
+            # returned plan is lazy, so there is no sound place to
+            # unpersist after materialization; this is the
+            # text_bm25_topk cache-lifetime rationale). With the strategy
+            # PINNED by the caller there is no probe and distinct_words
+            # appears once in the final plan — no materialization at all.
+            distinct_words = distinct_words.localCheckpoint(eager=True)
             do_broadcast = distinct_words.count() <= broadcast_threshold_rows
         dictionary = distinct_words.withColumn("__pieces", _enc(F.col("__w")))
         if do_broadcast:
@@ -474,8 +481,6 @@ def unigram_encode(
     """
 
     def _encode(df: DataFrame) -> DataFrame:
-        from pyspark import StorageLevel
-
         cols = vocab.columns
         rows = vocab.select(cols[0], cols[1]).collect()
         vmap = {r[0]: int(r[1]) for r in rows}
@@ -498,13 +503,16 @@ def unigram_encode(
 
         src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
         with_words = df.withColumn("__words", tokens(src))
-        distinct_words = (
-            with_words.select(F.explode("__words").alias("__w"))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        distinct_words = with_words.select(
+            F.explode("__words").alias("__w")
+        ).distinct()
         do_broadcast = broadcast_dictionary
         if do_broadcast is None:
+            # eager localCheckpoint, not persist: the wordpiece_encode
+            # cache-lifetime rationale — blocks drop with the plan's GC,
+            # no lingering cache-manager entry; pinned strategy skips
+            # materialization entirely
+            distinct_words = distinct_words.localCheckpoint(eager=True)
             do_broadcast = distinct_words.count() <= broadcast_threshold_rows
         enc = _enc(F.col("__w"))
         dictionary = distinct_words.select(

@@ -107,15 +107,34 @@ def _assign_udf(centroids: List[List[int]]):
             # per-element list() conversion this replaces measured
             # ~0.35 s per 10k x 256 batch, 18x the stack, and dominated
             # the whole kernel
-            X = np.stack(v[mask].to_numpy()).astype(np.int64)
-            # exact int64 expansion of ||x - c||^2; ties -> first index
-            dist = (
-                (X * X).sum(axis=1)[:, None]
-                - 2 * (X @ carr.T)
-                + cnorm[None, :]
-            )
-            out_c[mask] = dist.argmin(axis=1)
-            out_d[mask] = dist.min(axis=1)
+            X = np.stack(v[mask].to_numpy())
+            # an embedding containing a null ELEMENT arrives either as an
+            # object row (None inside) or as float64 with NaN, depending
+            # on the Arrow conversion path; route such rows to the null
+            # contract (cluster 0, null distance) instead of letting
+            # astype(int64) throw an opaque TypeError / wrap NaN to
+            # INT64_MIN. The dtype check keeps the all-clean int64 hot
+            # path branch-free.
+            bad = None
+            if X.dtype == object:
+                bad = pd.isnull(X).any(axis=1)
+            elif X.dtype.kind == "f":
+                bad = np.isnan(X).any(axis=1)
+            if bad is not None and bad.any():
+                idx = np.flatnonzero(mask)
+                mask[idx[bad]] = False
+                X = X[~bad]
+            if len(X):
+                X = X.astype(np.int64)
+                # exact int64 expansion of ||x - c||^2; ties -> first
+                # index
+                dist = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2 * (X @ carr.T)
+                    + cnorm[None, :]
+                )
+                out_c[mask] = dist.argmin(axis=1)
+                out_d[mask] = dist.min(axis=1)
         return pd.DataFrame(
             {"c": out_c, "d": pd.array(out_d, dtype="Int64")}
         )
@@ -508,12 +527,29 @@ def knn_pq(
 
     def _knn(df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
 
         probe = df.select(F.max(F.size(embedding_col)).alias("d")).first()
         dim = int(probe["d"]) if probe is not None and probe["d"] is not None else 0
+        # the empty/degenerate result must carry the SAME id dtype the
+        # populated path casts to — a string-id corpus previously flipped
+        # schema depending on whether any results existed
+        id_type = df.schema[id_col].dataType
         empty_out = df.sparkSession.createDataFrame(
             [],
-            "query_id long, neighbor_id long, adc_dist long, rank int",
+            StructType(
+                [
+                    StructField("query_id", id_type),
+                    StructField("neighbor_id", id_type),
+                    StructField("adc_dist", LongType()),
+                    StructField("rank", IntegerType()),
+                ]
+            ),
         )
         if dim == 0:
             return empty_out
@@ -595,14 +631,8 @@ def knn_pq(
                 d += lut[:, s, :][:, codes[:, s]].T
             return d, mask
 
-        from pyspark.sql.types import (
-            ByteType,
-            IntegerType,
-            LongType,
-            ShortType,
-        )
+        from pyspark.sql.types import ByteType, ShortType
 
-        id_type = q.schema["__pq_id"].dataType
         if isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
             # FAST PATH (integral ids): partition-local top-k INSIDE the
             # kernel — each partition emits at most nq*k candidate rows

@@ -380,6 +380,8 @@ def embedding_random_projection(
     input_col: str = "embedding",
     output_col: str = "embedding_rp",
     seed: str = "rp",
+    method: str = "auto",
+    fold: str = "pinned",
 ) -> TransformerFn:
     """Johnson-Lindenstrauss random projection: map ``array<float>``
     vectors to ``out_dim`` dimensions with a seeded Rademacher (±1)
@@ -389,21 +391,52 @@ def embedding_random_projection(
     raw embedding dimension is large.
 
     Determinism: the ±1 weights derive from md5 of ``seed:i:j`` on the
-    DRIVER (a k×d literal — at most a few thousand ints), and each output
-    component is an UNROLLED index-order sum of ±x[j] — every engine
-    folds the same additions in the same order on IEEE doubles, so the
-    oracle reproduces projected vectors BIT-FOR-BIT (same convention as
-    the embedding family's other folds). Pure projection: no shuffle, no
-    Python, whole-stage codegen.
+    DRIVER, and each output component is an index-order LEFT-ASSOCIATIVE
+    sum of ±x[j] scaled by 1/sqrt(out_dim) — a single numeric spec every
+    execution path reproduces BIT-FOR-BIT.
 
-    The unrolled form is capped at ``out_dim * d_in <= 65,536`` terms —
-    beyond that the generated expression approaches Janino method limits
-    and planner memory (e.g. 768 -> 128 is ~100k terms). A wider
-    projection should go through two chained projections (768 -> 256 ->
-    128 stays under the cap) or a coarser target dimension.
+    Two physical paths select on ``out_dim * d_in`` (``method="auto"``):
+
+    * ``unroll`` (≤ 65,536 terms): the fold as one whole-stage-codegen
+      SQL expression — no shuffle, no Python, and an external SQL engine
+      replays it exactly (the dp110 oracle surface). Past the budget the
+      generated expression would blow Janino's 64 KB method limit, hence:
+    * ``kernel`` (beyond the budget, or forced): an Arrow-batched numpy
+      pass (the ``embedding_pq_encode`` pattern); the ±1 matrix is built
+      once on the driver (an int8 ``out_dim × d_in`` closure — ~100 KB
+      for 768→128) and each batch folds column-by-column in the SAME
+      left-associative index order on IEEE doubles, so kernel output is
+      bit-identical to the unrolled expression at any width — one op
+      definition across regimes, independent of partitioning and Arrow
+      batch boundaries (per-row arithmetic only). ``fold="blas"`` opts
+      into a float64 BLAS matmul instead: ~10-20× faster on realistic
+      widths, deterministic for a fixed numpy/BLAS build, but its
+      summation order is implementation-defined — use it when downstream
+      consumers re-derive (ANN candidates get exact re-verification)
+      rather than replay.
+
+    Kernel null contract: a null embedding, a wrong-width embedding, or
+    one containing null/NaN components projects to ``out_dim`` null
+    components — the unrolled expression's null-poisoning result for
+    null ELEMENTS (Arrow erases the null-element/NaN distinction, so
+    genuine NaN inputs also null out on the kernel path; NaN embeddings
+    carry no signal to project). Wrong-width rows are the one divergence:
+    under ANSI mode the unrolled ``element_at`` raises on them, while the
+    kernel nulls them out — at 100 TB one malformed row should poison its
+    own output, not kill the job.
     """
     if out_dim < 1:
         raise ValueError("embedding_random_projection: out_dim must be >= 1")
+    if method not in ("auto", "unroll", "kernel"):
+        raise ValueError(
+            f"embedding_random_projection: method must be auto|unroll|"
+            f"kernel, got {method!r}"
+        )
+    if fold not in ("pinned", "blas"):
+        raise ValueError(
+            f"embedding_random_projection: fold must be pinned|blas, "
+            f"got {fold!r}"
+        )
     max_terms = 65_536
 
     def _sign(i: int, j: int) -> int:
@@ -411,6 +444,61 @@ def embedding_random_projection(
 
         h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
         return 1 if int(h[0], 16) < 8 else -1
+
+    def _project_unroll(df: DataFrame, d_in: int, scale: float) -> DataFrame:
+        quoted = "`" + input_col.replace("`", "``") + "`"
+        comps = []
+        for i in range(out_dim):
+            terms = " ".join(
+                ("+" if _sign(i, j) > 0 else "-")
+                + f" cast(element_at({quoted}, {j + 1}) as double)"
+                for j in range(d_in)
+            ).lstrip("+ ")
+            comps.append(F.expr(f"({terms}) * {scale!r}"))
+        return df.withColumn(output_col, F.array(*comps))
+
+    def _project_kernel(df: DataFrame, d_in: int, scale: float) -> DataFrame:
+        # one md5 per cell, driver-side: 768*128 ≈ 100k hashes ≈ 0.1 s;
+        # int8 in the closure, widened to float64 once per executor call
+        S = np.empty((d_in, out_dim), dtype=np.int8)
+        for i in range(out_dim):
+            for j in range(d_in):
+                S[j, i] = _sign(i, j)
+
+        @F.pandas_udf("array<double>")
+        def project(v: pd.Series) -> pd.Series:
+            Sd = S.astype(np.float64)
+            res = np.empty(len(v), dtype=object)
+            nulls = [None] * out_dim
+            arrs = v.to_numpy()
+            ok = []
+            for t, a in enumerate(arrs):
+                if a is None or len(a) != d_in:
+                    res[t] = nulls
+                else:
+                    ok.append(t)
+            if ok:
+                X = np.stack([arrs[t] for t in ok])
+                if X.dtype == object:  # null elements survived as None
+                    X = np.where(pd.isnull(X), np.nan, X).astype(np.float64)
+                else:
+                    X = X.astype(np.float64)
+                bad = np.isnan(X).any(axis=1)
+                if fold == "pinned":
+                    # column-by-column left-associative fold: the exact
+                    # IEEE op sequence of the unrolled SQL expression —
+                    # acc_j = acc_{j-1} + (±1.0)*x_j, then * scale
+                    acc = X[:, 0:1] * Sd[0][None, :]
+                    for j in range(1, d_in):
+                        acc += X[:, j : j + 1] * Sd[j][None, :]
+                else:  # blas
+                    acc = X @ Sd
+                Y = acc * scale
+                for r, t in enumerate(ok):
+                    res[t] = nulls if bad[r] else Y[r]
+            return pd.Series(res)
+
+        return df.withColumn(output_col, project(F.col(input_col)))
 
     def _project(df: DataFrame) -> DataFrame:
         from pyspark.sql.types import ArrayType
@@ -429,22 +517,20 @@ def embedding_random_projection(
                 output_col,
                 F.lit(None).cast("array<double>"),
             )
+        scale = 1.0 / (out_dim**0.5)
+        use_kernel = method == "kernel" or (
+            method == "auto" and out_dim * d_in > max_terms
+        )
+        if use_kernel:
+            return _project_kernel(df, d_in, scale)
         if out_dim * d_in > max_terms:
             raise ValueError(
                 f"embedding_random_projection: out_dim * input width = "
-                f"{out_dim}*{d_in} exceeds {max_terms} unrolled terms; "
-                "chain two smaller projections instead"
+                f"{out_dim}*{d_in} exceeds {max_terms} unrolled terms "
+                "(Janino's 64 KB codegen method limit); use "
+                'method="auto"/"kernel" for the bit-identical Arrow '
+                "kernel path"
             )
-        scale = 1.0 / (out_dim**0.5)
-        quoted = "`" + input_col.replace("`", "``") + "`"
-        comps = []
-        for i in range(out_dim):
-            terms = " ".join(
-                ("+" if _sign(i, j) > 0 else "-")
-                + f" cast(element_at({quoted}, {j + 1}) as double)"
-                for j in range(d_in)
-            ).lstrip("+ ")
-            comps.append(F.expr(f"({terms}) * {scale!r}"))
-        return df.withColumn(output_col, F.array(*comps))
+        return _project_unroll(df, d_in, scale)
 
     return _project

@@ -287,12 +287,20 @@ def mixture_plan(
             [(g, int(p)) for g, p in sorted(weights.items())],
             f"`{group_col}` string, parts long",
         )
+        # the weights frame keys groups as STRING; a non-string corpus
+        # group column would otherwise match through implicit casts that
+        # can silently yield available=0 — cast it explicitly so the
+        # filter/join semantics are string-vs-string on both sides (the
+        # string fast path stays a no-op, preserving scan pushdown)
+        src = df
+        if df.schema[group_col].dataType.simpleString() != "string":
+            src = df.withColumn(group_col, F.col(group_col).cast("string"))
         # pre-filter to planned groups: the predicate pushes to the scan
         # and bounds the aggregate output at |weights| rows, so it can be
         # broadcast as the RIGHT side of the weights-preserving left join
         # (the preserved side of an outer join cannot be broadcast)
         avail = (
-            df.where(F.col(group_col).isin([g for g in weights]))
+            src.where(F.col(group_col).isin([g for g in weights]))
             .groupBy(group_col)
             .agg(F.sum(F.col(token_col).cast("long")).alias("available"))
         )

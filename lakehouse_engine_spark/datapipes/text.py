@@ -33,9 +33,34 @@ def tokens_lower(col: Column) -> Column:
     return tokens(F.lower(col))
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Raise a starved scan to the session's parallelism before
+    per-row-heavy work (gram construction, Misra-Gries summaries, Arrow
+    kernels). A corpus that arrives as one small file is one input
+    split, so a 32-core session would run the whole pass on ONE task —
+    measured 8.7 s -> 0.8 s for the dsir gram explode at sf0.1. The
+    repartition is GATED on the deficit: at production scale (hundreds
+    of ~128 MB splits per executor wave) the input already has >=
+    defaultParallelism partitions and this is a no-op — the corpus is
+    never shuffled just-in-case. Round-robin, so skewless regardless of
+    upstream keying."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans; keep the scan
+        return df
+    return df.repartition(p) if have < p else df
+
+
 # BPE-ish lexer: word pieces OR runs of non-word/non-space punctuation —
 # approximates subword token counts without a tokenizer model.
 BPE_ISH_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# The Gopher paper's exact 8-word stop set (Rae et al. 2021 §A1.1:
+# "contains at least 2 of the following English words") — distinct from
+# the langid STOPWORDS profiles below, which serve a different heuristic.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
 STOPWORDS: Dict[str, List[str]] = {
@@ -604,7 +629,12 @@ def frequent_terms(
                 shingles(F.col(input_col), ngram), lambda s: s != ""
             )
 
-        toks = df.select(_stream().alias("__ft_toks"))
+        # spread only the shingle regime: n-gram construction is the
+        # per-row-heavy pass a starved scan serializes (8.9 s -> 2.2 s
+        # for the bigram query at sf0.1); a unigram whitespace split is
+        # IO-bound, so the extra text shuffle would only add work
+        sdf = spread_scan(df) if ngram > 1 else df
+        toks = sdf.select(_stream().alias("__ft_toks"))
 
         def part(batches):
             from collections import Counter
@@ -655,7 +685,7 @@ def frequent_terms(
         else:
             do_broadcast = broadcast_candidates
         cand_side = F.broadcast(cand) if do_broadcast else cand
-        exploded = df.select(F.explode(_stream()).alias("term"))
+        exploded = sdf.select(F.explode(_stream()).alias("term"))
         return (
             exploded.join(cand_side, "term")
             .groupBy("term")
@@ -714,9 +744,12 @@ def ngram_counts(
         # n-gram with its own "document" and doc_freq would collapse into
         # n_count. (Catalyst won't collapse the two projections — the id
         # is non-deterministic.)
-        with_id = df.select(F.col(input_col).alias("__txt")).withColumn(
-            "__doc", F.monotonically_increasing_id()
-        )
+        # spread the shingle regime only (the frequent_terms rationale:
+        # n-gram construction is per-row-heavy, a unigram split is not)
+        base = df.select(F.col(input_col).alias("__txt"))
+        if n > 1:
+            base = spread_scan(base)
+        with_id = base.withColumn("__doc", F.monotonically_increasing_id())
         exploded = with_id.select(
             "__doc", F.explode(shingles(F.col("__txt"), n)).alias("ngram")
         ).filter(F.col("ngram") != "")
@@ -1890,13 +1923,17 @@ def corpus_overlap_stats(
     """
 
     def _stats(df: DataFrame) -> DataFrame:
+        # 8-gram shingle construction is the per-row-heavy pass — spread
+        # a starved scan first (no-op at production split counts)
         a = (
-            df.select(F.explode(shingles(F.col(input_col), ngram)).alias("__g"))
+            spread_scan(df)
+            .select(F.explode(shingles(F.col(input_col), ngram)).alias("__g"))
             .select(F.md5("__g").alias("__gh"))
             .distinct()
         )
         b = (
-            other_df.select(
+            spread_scan(other_df)
+            .select(
                 F.explode(shingles(F.col(other_text_col), ngram)).alias("__g")
             )
             .select(F.md5("__g").alias("__gh"))
@@ -2028,6 +2065,7 @@ def gopher_rules(
     max_ellipsis_line_permille: int = 300,
     min_alpha_word_permille: int = 800,
     min_stopword_hits: int = 2,
+    stopwords: tuple = GOPHER_STOPWORDS,
     mode: str = "annotate",
 ) -> TransformerFn:
     """Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
@@ -2043,16 +2081,20 @@ def gopher_rules(
       (``-``, ``*``, ``•`` after leading whitespace);
     * ``rule_ellipsis_lines``: <= 30% of lines end with ``...``/``…``;
     * ``rule_alpha_words``: >= 80% of words contain an alphabetic char;
-    * ``rule_stopwords``: >= 2 distinct hits from the small English
-      stop-set (the paper's "contains at least 2 of 8 common words").
+    * ``rule_stopwords``: >= ``min_stopword_hits`` distinct hits from
+      ``stopwords`` — default is the paper's exact 8-word set
+      ("contains at least 2 of the following English words: the, be,
+      to, of, and, that, have, with"); pass another tuple for a
+      different language profile.
 
     Every threshold compares as EXACT INTEGER cross-multiplication
     (``1000*count <= permille*total`` — no float division anywhere), so
     a SQL oracle replays each flag bit-for-bit and boundary documents
-    cannot flip between engines. Ratio rules on an empty document
-    (0 words / 0 lines) pass vacuously — the word-count rule is the one
-    that rejects empties, mirroring the reference battery's ordering.
-    ``mode="filter"`` keeps only passing rows (flags dropped);
+    cannot flip between engines. On an empty document (0 words /
+    0 lines) the permille ratio rules pass vacuously; the word-count
+    rule rejects it, and so does ``rule_mean_word_len`` (its explicit
+    ``n_words > 0`` term fails — an undefined mean is not a passing
+    mean). ``mode="filter"`` keeps only passing rows (flags dropped);
     ``mode="annotate"`` emits the flags.
 
     Scale: one shuffle-free JVM map pass, no Python workers — the same
@@ -2088,7 +2130,7 @@ def gopher_rules(
         alpha_words = F.size(
             F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
         ).cast("long")
-        sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        sw = F.array(*[F.lit(w) for w in stopwords])
         sw_hits = F.size(
             F.array_intersect(F.array_distinct(tokens_lower(c)), sw)
         )
@@ -2154,21 +2196,24 @@ def dsir_score(
     is exact integer arithmetic, replayed bit-for-bit by a SQL oracle.
     Positive = more target-like.
 
-    Scale design: both corpora make ONE gram-explode pass into map-side-
-    combined bucket counts (≤ ``num_buckets`` rows each after combine);
-    the merged bucket table and the 1-row totals both BROADCAST (gated:
-    ``num_buckets`` ≤ 1M keeps the broadcast ≤ ~25 MB); the per-doc pass
-    is explode → broadcast-hash-join → one map-side-combined groupBy on
-    the doc id — the ``text_lm_score`` cost class, no corpus-side
-    shuffle beyond the doc-id aggregate.
-
-    Deliberate trade-off: the source gram projection is COMPUTED TWICE
-    (once into the bucket counts, once into the per-doc scoring) rather
-    than exchanged once and reused — re-running a split+md5 projection
-    is CPU, while materializing corpus x grams through an exchange for
-    ReusedExchange would shuffle the token stream itself; at 100 TB the
-    recompute wins. This is why the op costs ~2x ``text_ngram_counts``
-    in the bench.
+    Scale design: the SOURCE corpus makes ONE gram-explode pass into a
+    (doc, bucket) count aggregate — map-side combined, so the exchange
+    carries each document's DISTINCT buckets with multiplicities, not
+    the raw token stream — and BOTH consumers (the source bucket
+    distribution and the per-doc scoring join) derive from that same
+    exchange, which ReusedExchange dedupes within the single action
+    (the ``text_bm25_topk`` pattern; no persist, no cache-lifetime
+    leak). The target makes its own one explode pass into ≤
+    ``num_buckets`` combined rows. The merged bucket table and the
+    1-row totals both BROADCAST (gated: ``num_buckets`` ≤ 1M keeps the
+    broadcast ≤ ~25 MB); scoring is broadcast-hash-join over the
+    doc-bucket rows + one map-side-combined groupBy on the doc id,
+    weighting each bucket's log-ratio by its per-doc count — exact
+    integer arithmetic, identical totals to summing per gram. (Round 7
+    computed the source gram projection twice instead — the explode was
+    the dominant cost class, paid 2x; deriving both sides from the
+    doc-bucket exchange halves it while shuffling strictly less data
+    than the gram stream.)
     """
     if not 1 <= num_buckets <= 1_000_000:
         raise ValueError(
@@ -2199,14 +2244,23 @@ def dsir_score(
         return F.flatten(F.array(*parts)) if len(parts) > 1 else parts[0]
 
     def _score(df: DataFrame) -> DataFrame:
-        src = df.select(
+        src = spread_scan(df).select(
             F.col(id_col).alias("__id"),
             F.explode(_grams(F.col(input_col))).alias("__g"),
         ).select("__id", _bucket(F.col("__g")).alias("__b"))
-        tgt = target_df.select(
+        # ONE exchange of (doc, bucket, count) feeds both the source
+        # bucket distribution and the per-doc scoring — ReusedExchange
+        # dedupes the identical subplan within the action, so the gram
+        # explode runs once (plan-gated in test_plan_quality)
+        doc_buckets = src.groupBy("__id", "__b").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        tgt = spread_scan(target_df).select(
             F.explode(_grams(F.col(target_text_col))).alias("__g")
         ).select(_bucket(F.col("__g")).alias("__b"))
-        s_counts = src.groupBy("__b").agg(F.count(F.lit(1)).alias("__cs"))
+        s_counts = doc_buckets.groupBy("__b").agg(
+            F.sum("__c").alias("__cs")
+        )
         t_counts = tgt.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
         tbl = (
             s_counts.join(t_counts, "__b", "full_outer")
@@ -2229,14 +2283,17 @@ def dsir_score(
             )
         )
         scored = (
-            src.join(F.broadcast(tbl), "__b", "left")
+            doc_buckets.join(F.broadcast(tbl), "__b", "left")
             .groupBy("__id")
             .agg(
                 F.sum(
-                    F.coalesce(F.col("__lt"), F.lit(0))
-                    - F.coalesce(F.col("__ls"), F.lit(0))
+                    F.col("__c")
+                    * (
+                        F.coalesce(F.col("__lt"), F.lit(0))
+                        - F.coalesce(F.col("__ls"), F.lit(0))
+                    )
                 ).alias("__d"),
-                F.count(F.lit(1)).alias("__n"),
+                F.sum("__c").alias("__n"),
             )
             .crossJoin(F.broadcast(stats))
             .select(

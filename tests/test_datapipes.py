@@ -3861,6 +3861,20 @@ def test_gopher_rules_battery(spark):
     # filter mode drops flags and non-keepers
     kept = df.transform(t("text_gopher_rules", min_words=20, mode="filter"))
     assert kept.columns == ["doc_id", "text"] and kept.count() == 1
+    # stop set is the paper's exact 8 words: "be have" are hits (they were
+    # not in the langid profile), "in is it" are NOT (they are not in the
+    # paper's set); the parameter overrides the set entirely
+    probe = spark.createDataFrame(
+        [(1, "be have xxxx yyyy"), (2, "in is it for was on")],
+        "doc_id LONG, text STRING",
+    )
+    g = {r["doc_id"]: r for r in
+         probe.transform(t("text_gopher_rules", min_words=1)).collect()}
+    assert g[1]["rule_stopwords"] and not g[2]["rule_stopwords"]
+    custom = {r["doc_id"]: r for r in
+              probe.transform(t("text_gopher_rules", min_words=1,
+                                stopwords=("in", "is"))).collect()}
+    assert custom[2]["rule_stopwords"] and not custom[1]["rule_stopwords"]
 
 
 def test_dsir_score_matches_python_reference(spark):
@@ -4168,7 +4182,19 @@ def test_random_projection_guards_and_quoting(spark):
         [(1, [float(i) for i in range(1024)])], "vec_id LONG, embedding ARRAY<DOUBLE>"
     )
     with pytest.raises(ValueError, match="unrolled terms"):
-        wide.transform(t("embedding_random_projection", out_dim=256)).collect()
+        wide.transform(
+            t("embedding_random_projection", out_dim=256, method="unroll")
+        ).collect()
+    # auto switches to the Arrow kernel past the cap instead of raising —
+    # realistic LLM widths (1024 -> 256) project fine
+    big = wide.transform(
+        t("embedding_random_projection", out_dim=256)
+    ).collect()
+    assert len(big[0]["embedding_rp"]) == 256
+    with pytest.raises(ValueError, match="method"):
+        t("embedding_random_projection", out_dim=2, method="nope")
+    with pytest.raises(ValueError, match="fold"):
+        t("embedding_random_projection", out_dim=2, fold="nope")
     # null-first-row corpus still infers the width from later rows
     nulled = spark.createDataFrame(
         [(0, None), (1, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
@@ -4176,6 +4202,56 @@ def test_random_projection_guards_and_quoting(spark):
     rows = {r["vec_id"]: r["embedding_rp"] for r in nulled.transform(
         t("embedding_random_projection", out_dim=2)).collect()}
     assert rows[1] is not None and len(rows[1]) == 2
+
+
+def test_random_projection_kernel_bit_identical_to_unroll(spark):
+    """The Arrow kernel's column-by-column pinned fold performs the SAME
+    left-associative IEEE op sequence as the unrolled SQL expression, so
+    forced-kernel output is bit-for-bit equal to forced-unroll output —
+    one numeric spec across both physical regimes (null rows and
+    null-element rows included). fold="blas" agrees to ~1e-12 relative;
+    results are invariant to partitioning and Arrow batch boundaries."""
+    import math
+    import random as rnd
+
+    rnd.seed(11)
+    d, k = 32, 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(d)]) for i in range(40)]
+    rows.append((100, None))
+    nul = [rnd.gauss(0, 1) for _ in range(d)]
+    nul[5] = None
+    rows.append((101, nul))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    a = {r["vec_id"]: r["embedding_rp"] for r in df.transform(
+        t("embedding_random_projection", out_dim=k, method="unroll")
+    ).collect()}
+    b = {r["vec_id"]: r["embedding_rp"] for r in df.transform(
+        t("embedding_random_projection", out_dim=k, method="kernel")
+    ).collect()}
+    c = {r["vec_id"]: r["embedding_rp"] for r in df.transform(
+        t("embedding_random_projection", out_dim=k, method="kernel",
+          fold="blas")
+    ).collect()}
+    assert a == b  # bitwise: Row equality compares float bits via ==
+    # null row and null-element row both null-poison into [None] * k
+    assert a[100] == [None] * k and a[101] == [None] * k
+    for i in a:
+        if a[i] is None or a[i][0] is None:
+            assert c[i] == a[i]
+            continue
+        for x, z in zip(a[i], c[i]):
+            assert math.isclose(x, z, rel_tol=1e-9)
+    # batch/partition invariance of the kernel path
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 7)
+        b2 = {r["vec_id"]: r["embedding_rp"] for r in
+              df.repartition(7).transform(
+                  t("embedding_random_projection", out_dim=k,
+                    method="kernel")).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert b2 == b
 
 
 def test_interval_overlap_join_validation(spark):

@@ -908,12 +908,19 @@ def test_unigram_encode_distinct_word_dictionary(spark, sf_dir):
     only (ArrowEvalPython on the deduped word column, the vocab dict in
     the closure — never corpus-scale rows), the dictionary join is
     broadcast under the size gate, reassembly is one doc-keyed
-    aggregate; no sort-merge join, no cartesian."""
+    aggregate; no cartesian. The word-keyed join must never sort-merge
+    (that would shuffle the exploded token stream on the word); the
+    final doc-id rejoin MAY — it is co-keyed corpus-vs-per-doc-result,
+    the join you'd want merged at scale (the localCheckpointed
+    dictionary carries no stats, so the initial plan no longer
+    auto-broadcasts the assembled side; AQE picks the cheaper strategy
+    at runtime)."""
     df = entry.queries()["dp125_unigram_encode"](spark, sf_dir)
     physical, _ = _plans(df)
     assert "ArrowEvalPython" in physical, physical[:2000]
     assert "BroadcastHashJoin" in physical, physical[:2000]
-    assert "SortMergeJoin" not in physical, physical[:2000]
+    assert "SortMergeJoin [__w" not in physical, physical[:2000]
+    assert physical.count("SortMergeJoin") <= 1, physical[:2000]
     assert "CartesianProduct" not in physical
 
 
@@ -927,3 +934,39 @@ def test_hilbert_layout_single_range_exchange(spark, sf_dir):
     assert "SortMergeJoin" not in physical, physical[:2000]
     assert "CartesianProduct" not in physical
     assert physical.count("rangepartitioning") == 1, physical[:2000]
+
+
+def test_random_projection_regime_gate(spark):
+    """embedding_random_projection's physical regime switch: under the
+    65,536-term budget the fold is ONE whole-stage-codegen expression (no
+    Python in the plan); past it (768->128 here would be ~100k terms,
+    beyond Janino's 64 KB method limit) the plan swaps to a single
+    ArrowEvalPython with no unrolled element_at chain — and never a
+    shuffle in either regime (pure row-space projection)."""
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.transformers.transformer_factory import (
+        TransformerFactory,
+    )
+
+    def t(name, **args):
+        return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+    small = spark.createDataFrame(
+        [(1, [float(i) for i in range(16)])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    physical, _ = _plans(
+        small.transform(t("embedding_random_projection", out_dim=4))
+    )
+    assert "ArrowEvalPython" not in physical, physical[:2000]
+    assert "Exchange" not in physical, physical[:2000]
+    big = spark.createDataFrame(
+        [(1, [float(i) for i in range(768)])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    physical, _ = _plans(
+        big.transform(t("embedding_random_projection", out_dim=128))
+    )
+    assert "ArrowEvalPython" in physical, physical[:2000]
+    assert "element_at" not in physical, physical[:3000]
+    assert "Exchange" not in physical, physical[:2000]
