@@ -3576,34 +3576,135 @@ def dp113_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
-    # the first 50 entries each round. Policy (round 7): front-load the 7
-    # queries whose code or oracle changed THIS round (the rewritten
-    # kmeans assignment dp112/dp113, the reshaped dp110, the corrected
-    # dp106 sqrt oracle, the guard-touched dp100, the width-probe-touched
-    # dp97) plus the NEW q30 (GAB WEEK-reconciled-DAY snapshot — the
-    # matrix-closing cell), then the COMPLETE
-    # r04 cohort — the 43 queries whose last hard driver signal is the
-    # oldest on the board. Entries 51+ (the r05 cohort, then the
-    # r06-green remainder) still get value-verified every round via
-    # tools/check_oracle.py; the driver window rotates them back next
-    # round. The six queries NEW this round (q30 in-window; dp114
-    # gopher rules, dp115 DSIR, dp116 PQ encode, dp117 PQ ANN, dp118
-    # WordPiece, dp119 span decontamination, dp120 dup-line stats after the boundary) are
-    # first in line for the round-8
-    # window alongside the r05 cohort, as are the third-batch additions
-    # dp121 connected components, dp122 PCA moments, dp123 exact
-    # frequent terms, dp124 PMI collocations, dp125 unigram Viterbi
-    # encode, dp126 mixture planner, dp127 Hilbert layout.
+    # the first 50 entries each round. Policy (round 8, per the round-7
+    # verdict): front-load the FIFTEEN round-7 additions dp114-dp128 —
+    # judge-green via check_oracle but with no hard driver signal yet —
+    # then the queries whose code was touched this round (dp110 kernel
+    # path; dp112/dp113 null-element guard; dp98/dp108 spread_scan) plus
+    # q30, then backfill with the head of the r05 cohort (last
+    # driver-checked r06). Entries 51+ (rest of the r05 cohort, the
+    # r06-green remainder, the r07-green window cohort, and the r04/r07
+    # cohort re-confirmed in r07) still get value-verified every round
+    # via tools/check_oracle.py; the r05 tail rotates into the r09
+    # window next.
     return {
-        # --- changed this round (code or oracle) ---
+        # --- round-7 additions: first hard driver signal this round ---
+        "dp114_gopher_rules": dp114_gopher_rules,
+        "dp115_dsir_score": dp115_dsir_score,
+        "dp116_pq_encode": dp116_pq_encode,
+        "dp117_knn_pq": dp117_knn_pq,
+        "dp118_wordpiece_encode": dp118_wordpiece_encode,
+        "dp119_decontaminate_spans": dp119_decontaminate_spans,
+        "dp120_dup_line_stats": dp120_dup_line_stats,
+        "dp121_graph_components": dp121_graph_components,
+        "dp122_pca_moments": dp122_pca_moments,
+        "dp123_frequent_terms": dp123_frequent_terms,
+        "dp124_word_pmi": dp124_word_pmi,
+        "dp125_unigram_encode": dp125_unigram_encode,
+        "dp126_mixture_plan": dp126_mixture_plan,
+        "dp127_hilbert_layout": dp127_hilbert_layout,
+        "dp128_frequent_bigrams": dp128_frequent_bigrams,
+        # --- code touched in round 8 (+ q30 per the verdict brief) ---
         "dp110_random_projection": dp110_random_projection,
         "dp112_embedding_kmeans": dp112_embedding_kmeans,
         "dp113_cluster_stats": dp113_cluster_stats,
+        "dp98_ngram_counts": dp98_ngram_counts,
+        "dp108_corpus_overlap": dp108_corpus_overlap,
+        "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,
+        # --- r05 cohort backfill (last driver-checked r06) ---
+        "dp83_bm25_topk": dp83_bm25_topk,
+        "dp29_pack_sequences": dp29_pack_sequences,
+        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
+        "dp31_sessionize_boundary": dp31_sessionize_boundary,
+        "dp32_audio_decode": dp32_audio_decode,
+        "dp33_text_chunk": dp33_text_chunk,
+        "dp34_quality_prune": dp34_quality_prune,
+        "dp35_lm_score": dp35_lm_score,
+        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,
+        "dp37_global_shuffle": dp37_global_shuffle,
+        "dp38_embedding_quantize": dp38_embedding_quantize,
+        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
+        "dp40_cross_near_dedup": dp40_cross_near_dedup,
+        "dp41_quantile_prune": dp41_quantile_prune,
+        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
+        "dp43_image_phash_dedup": dp43_image_phash_dedup,
+        "dp44_lm_score_bigram": dp44_lm_score_bigram,
+        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
+        "dp46_token_budget_sample": dp46_token_budget_sample,
+        "dp47_line_dedup": dp47_line_dedup,
+        "dp48_substring_dedup": dp48_substring_dedup,
+        "dp49_curation_report": dp49_curation_report,
+        "dp50_hopping_window": dp50_hopping_window,
+        "dp51_winsorize": dp51_winsorize,
+        "dp52_zscore_normalize": dp52_zscore_normalize,
+        "dp53_weighted_sample": dp53_weighted_sample,
+        "dp54_trailing_window": dp54_trailing_window,
+        "dp55_funnel": dp55_funnel,
+        "dp56_cohort_retention": dp56_cohort_retention,
+        # ---- driver window boundary (entry 50 = dp56_cohort_retention) ----
+        # --- rest of the r05 cohort: first in line for the r09 window ---
+        "dp57_robust_scale": dp57_robust_scale,
+        "dp58_quantile_summary": dp58_quantile_summary,
+        "dp59_event_pivot": dp59_event_pivot,
+        "dp60_salted_join": dp60_salted_join,
+        "dp61_keep_best_dedup": dp61_keep_best_dedup,
+        "dp62_cluster_sample": dp62_cluster_sample,
+        "dp63_cdc_chunk": dp63_cdc_chunk,
+        "dp64_ewma_anomaly": dp64_ewma_anomaly,
+        "dp65_fuzzy_join": dp65_fuzzy_join,
+        "dp66_scd2_build": dp66_scd2_build,
+        "dp67_merge_intervals": dp67_merge_intervals,
+        "dp68_json_props": dp68_json_props,
+        "dp69_bpe_tokenize": dp69_bpe_tokenize,
+        "dp70_video_frames": dp70_video_frames,
+        "dp71_trend_fit": dp71_trend_fit,
+        "dp72_histogram": dp72_histogram,
+        "dp73_weighted_sample_k": dp73_weighted_sample_k,
+        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
+        "q24_semi_anti_join": q24_semi_anti_join,
+        "q26_gab_daily_rollup": q26_gab_daily_rollup,
+        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
+        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,
+        # --- r06-green remainder ---
+        "dp74_lexical_diversity": dp74_lexical_diversity,
+        "dp75_snapshot_diff": dp75_snapshot_diff,
+        "dp76_schema_drift": dp76_schema_drift,
+        "dp77_quality_model_filter": dp77_quality_model_filter,
+        "dp78_event_transitions": dp78_event_transitions,
+        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,
+        "dp79_gap_fill": dp79_gap_fill,
+        "dp80_asof_nearest": dp80_asof_nearest,
+        "dp81_text_clean": dp81_text_clean,
+        "dp82_url_normalize": dp82_url_normalize,
+        "dp84_png_decode": dp84_png_decode,
+        "dp85_jpeg_decode": dp85_jpeg_decode,
+        "dp86_gif_decode": dp86_gif_decode,
+        "dp87_pagerank": dp87_pagerank,
+        "dp88_binary_decompress": dp88_binary_decompress,
+        "dp89_sentence_split": dp89_sentence_split,
+        "dp90_html_strip": dp90_html_strip,
+        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,
+        "dp92_image_resize": dp92_image_resize,
+        "dp93_audio_resample": dp93_audio_resample,
+        "dp94_running_totals": dp94_running_totals,
+        "dp95_approx_distinct": dp95_approx_distinct,
+        "dp96_g711_decode": dp96_g711_decode,
+        "dp69b_bpe_encode": dp69b_bpe_encode,
+        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
+        "dp99_hash_embedding": dp99_hash_embedding,
+        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
+        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
+        "dp103_zorder_layout": dp103_zorder_layout,
+        "dp104_zorder_rank": dp104_zorder_rank,
+        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
+        "dp107_profile_skew": dp107_profile_skew,
+        "dp109_unicode_normalize": dp109_unicode_normalize,
+        "dp111_interval_overlap_join": dp111_interval_overlap_join,
+        # --- r07 window cohort (driver-green r07) ---
         "dp106_temperature_sample": dp106_temperature_sample,
         "dp100_unimax_sample": dp100_unimax_sample,
         "dp97_semantic_dedup": dp97_semantic_dedup,
-        "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,
-        # --- complete r04 cohort: oldest driver signal on the board ---
+        # --- r04/r07 cohort (re-confirmed driver-green r07) ---
         "dp01_text_quality": dp01_text_quality,
         "dp02_langid": dp02_langid,
         "dp03_token_count": dp03_token_count,
@@ -3647,111 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_union_by_name": q20_union_by_name,
         "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,
         "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,
-        # ---- driver window boundary (entry 50 = q22_gab_quarter_month_snapshot) ----
-        # r05 cohort: next-oldest signal, scheduled for the r08 window
-        "dp83_bm25_topk": dp83_bm25_topk,
-        "dp29_pack_sequences": dp29_pack_sequences,
-        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
-        "dp31_sessionize_boundary": dp31_sessionize_boundary,
-        "dp32_audio_decode": dp32_audio_decode,
-        "dp33_text_chunk": dp33_text_chunk,
-        "dp34_quality_prune": dp34_quality_prune,
-        "dp35_lm_score": dp35_lm_score,
-        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,
-        "dp37_global_shuffle": dp37_global_shuffle,
-        "dp38_embedding_quantize": dp38_embedding_quantize,
-        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
-        "dp40_cross_near_dedup": dp40_cross_near_dedup,
-        "dp41_quantile_prune": dp41_quantile_prune,
-        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
-        "dp43_image_phash_dedup": dp43_image_phash_dedup,
-        "dp44_lm_score_bigram": dp44_lm_score_bigram,
-        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
-        "dp46_token_budget_sample": dp46_token_budget_sample,
-        "dp47_line_dedup": dp47_line_dedup,
-        "dp48_substring_dedup": dp48_substring_dedup,
-        "dp49_curation_report": dp49_curation_report,
-        "dp50_hopping_window": dp50_hopping_window,
-        "dp51_winsorize": dp51_winsorize,
-        "dp52_zscore_normalize": dp52_zscore_normalize,
-        "dp53_weighted_sample": dp53_weighted_sample,
-        "dp54_trailing_window": dp54_trailing_window,
-        "dp55_funnel": dp55_funnel,
-        "dp56_cohort_retention": dp56_cohort_retention,
-        "dp57_robust_scale": dp57_robust_scale,
-        "dp58_quantile_summary": dp58_quantile_summary,
-        "dp59_event_pivot": dp59_event_pivot,
-        "dp60_salted_join": dp60_salted_join,
-        "dp61_keep_best_dedup": dp61_keep_best_dedup,
-        "dp62_cluster_sample": dp62_cluster_sample,
-        "dp63_cdc_chunk": dp63_cdc_chunk,
-        "dp64_ewma_anomaly": dp64_ewma_anomaly,
-        "dp65_fuzzy_join": dp65_fuzzy_join,
-        "dp66_scd2_build": dp66_scd2_build,
-        "dp67_merge_intervals": dp67_merge_intervals,
-        "dp68_json_props": dp68_json_props,
-        "dp69_bpe_tokenize": dp69_bpe_tokenize,
-        "dp70_video_frames": dp70_video_frames,
-        "dp71_trend_fit": dp71_trend_fit,
-        "dp72_histogram": dp72_histogram,
-        "dp73_weighted_sample_k": dp73_weighted_sample_k,
-        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
-        "q24_semi_anti_join": q24_semi_anti_join,
-        "q26_gab_daily_rollup": q26_gab_daily_rollup,
-        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
-        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,
-        # r06-green remainder
-        "dp74_lexical_diversity": dp74_lexical_diversity,
-        "dp75_snapshot_diff": dp75_snapshot_diff,
-        "dp76_schema_drift": dp76_schema_drift,
-        "dp77_quality_model_filter": dp77_quality_model_filter,
-        "dp78_event_transitions": dp78_event_transitions,
-        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,
-        "dp79_gap_fill": dp79_gap_fill,
-        "dp80_asof_nearest": dp80_asof_nearest,
-        "dp81_text_clean": dp81_text_clean,
-        "dp82_url_normalize": dp82_url_normalize,
-        "dp84_png_decode": dp84_png_decode,
-        "dp85_jpeg_decode": dp85_jpeg_decode,
-        "dp86_gif_decode": dp86_gif_decode,
-        "dp87_pagerank": dp87_pagerank,
-        "dp88_binary_decompress": dp88_binary_decompress,
-        "dp89_sentence_split": dp89_sentence_split,
-        "dp90_html_strip": dp90_html_strip,
-        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,
-        "dp92_image_resize": dp92_image_resize,
-        "dp93_audio_resample": dp93_audio_resample,
-        "dp94_running_totals": dp94_running_totals,
-        "dp95_approx_distinct": dp95_approx_distinct,
-        "dp96_g711_decode": dp96_g711_decode,
-        "dp69b_bpe_encode": dp69b_bpe_encode,
-        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
-        "dp98_ngram_counts": dp98_ngram_counts,
-        "dp99_hash_embedding": dp99_hash_embedding,
-        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
-        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
-        "dp103_zorder_layout": dp103_zorder_layout,
-        "dp104_zorder_rank": dp104_zorder_rank,
-        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
-        "dp107_profile_skew": dp107_profile_skew,
-        "dp108_corpus_overlap": dp108_corpus_overlap,
-        "dp109_unicode_normalize": dp109_unicode_normalize,
-        "dp114_gopher_rules": dp114_gopher_rules,
-        "dp115_dsir_score": dp115_dsir_score,
-        "dp116_pq_encode": dp116_pq_encode,
-        "dp117_knn_pq": dp117_knn_pq,
-        "dp118_wordpiece_encode": dp118_wordpiece_encode,
-        "dp119_decontaminate_spans": dp119_decontaminate_spans,
-        "dp120_dup_line_stats": dp120_dup_line_stats,
-        "dp121_graph_components": dp121_graph_components,
-        "dp122_pca_moments": dp122_pca_moments,
-        "dp123_frequent_terms": dp123_frequent_terms,
-        "dp124_word_pmi": dp124_word_pmi,
-        "dp125_unigram_encode": dp125_unigram_encode,
-        "dp126_mixture_plan": dp126_mixture_plan,
-        "dp127_hilbert_layout": dp127_hilbert_layout,
-        "dp128_frequent_bigrams": dp128_frequent_bigrams,
-        "dp111_interval_overlap_join": dp111_interval_overlap_join,
+        # --- tail: multiply-confirmed classics ---
         "q01_pricing_summary": q01_pricing_summary,
         "q07_dq_stats": q07_dq_stats,
         "q08_reconciliation": q08_reconciliation,
