@@ -20,7 +20,10 @@ table, not the corpus:
   BPE at ``merges_per_round=1`` — batched merges may reorder ranks when
   top pairs interact).
 * ``localCheckpoint`` truncates the per-round lineage the way the
-  connected-components loop does (dedup.py).
+  connected-components loop does (dedup.py); under
+  ``spark.dynamicAllocation.enabled`` the shared ``_materialize`` helper
+  falls back to ``persist()`` so executor scale-in cannot strand
+  non-recomputable checkpoint blocks.
 * ``bpe_encode`` never tokenizes the corpus in Python: it encodes the
   DISTINCT words (small table) with the merge list in an Arrow-batched
   pandas pass, then broadcast-joins the word→pieces dictionary back onto
@@ -36,9 +39,34 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from lakehouse_engine_spark.datapipes.registry import register, register_contextual
 from lakehouse_engine_spark.datapipes.text import tokens
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Truncate lineage for a small control-path frame that more than one
+    action will consume (trainer rounds, the dictionary size probe).
+
+    ``localCheckpoint`` blocks are NOT recomputable: losing the executor
+    that holds them (dynamic-allocation scale-in, spot kill) fails every
+    downstream stage unrecoverably. On a static cluster that is the right
+    trade — blocks are reference-tracked and dropped when the plan is
+    GC'd, leaving no cache-manager entry in long-lived sessions. Under
+    ``spark.dynamicAllocation.enabled`` it conflicts with the engine's
+    recomputability posture, so fall back to ``persist()`` there
+    (rebuildable from lineage; the lingering cache-manager entry until
+    the caller's ``unpersist`` is the documented cost)."""
+    spark = df.sparkSession
+    dyn = (
+        spark.conf.get("spark.dynamicAllocation.enabled", "false") or "false"
+    ).lower() == "true"
+    if dyn:
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
+    return df.localCheckpoint(eager=True)
 
 TransformerFn = Callable[[DataFrame], DataFrame]
 
@@ -101,10 +129,9 @@ def bpe_train(
     def _train(df: DataFrame) -> DataFrame:
         spark = df.sparkSession
         src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-        words = (
+        words = _materialize(
             _word_counts(df.select(src.alias(text_col)), text_col)
             .select(_to_symbols(F.col("__w")).alias("__s"), "__cnt")
-            .localCheckpoint(eager=True)
         )
         merges: List[Tuple[str, str]] = []
         while len(merges) < num_merges:
@@ -155,9 +182,9 @@ def bpe_train(
                     + "((?= )|$)"
                 )
                 col = F.regexp_replace(col, pat, re.sub(r"([$\\])", r"\\\1", a + b))
-            words = words.select(col.alias("__s"), "__cnt").localCheckpoint(
-                eager=True
-            )
+            nxt = _materialize(words.select(col.alias("__s"), "__cnt"))
+            words.unpersist()  # no-op on the localCheckpoint path
+            words = nxt
             merges.extend(picked)
         return spark.createDataFrame(
             [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
@@ -358,16 +385,14 @@ def wordpiece_encode(
         do_broadcast = broadcast_dictionary
         if do_broadcast is None:
             # the size probe is a separate ACTION, so sharing the distinct
-            # pass with the final plan needs materialization — an EAGER
-            # localCheckpoint instead of persist: blocks are
-            # reference-tracked and dropped when the plan is GC'd, leaving
-            # no cache-manager entry behind in long-lived sessions (the
+            # pass with the final plan needs materialization — see
+            # _materialize for the localCheckpoint-vs-persist trade (the
             # returned plan is lazy, so there is no sound place to
             # unpersist after materialization; this is the
             # text_bm25_topk cache-lifetime rationale). With the strategy
             # PINNED by the caller there is no probe and distinct_words
             # appears once in the final plan — no materialization at all.
-            distinct_words = distinct_words.localCheckpoint(eager=True)
+            distinct_words = _materialize(distinct_words)
             do_broadcast = distinct_words.count() <= broadcast_threshold_rows
         dictionary = distinct_words.withColumn("__pieces", _enc(F.col("__w")))
         if do_broadcast:
@@ -508,11 +533,10 @@ def unigram_encode(
         ).distinct()
         do_broadcast = broadcast_dictionary
         if do_broadcast is None:
-            # eager localCheckpoint, not persist: the wordpiece_encode
-            # cache-lifetime rationale — blocks drop with the plan's GC,
-            # no lingering cache-manager entry; pinned strategy skips
-            # materialization entirely
-            distinct_words = distinct_words.localCheckpoint(eager=True)
+            # shared materialization policy (_materialize): checkpoint on
+            # static clusters, persist under dynamic allocation; pinned
+            # strategy skips materialization entirely
+            distinct_words = _materialize(distinct_words)
             do_broadcast = distinct_words.count() <= broadcast_threshold_rows
         enc = _enc(F.col("__w"))
         dictionary = distinct_words.select(

@@ -107,7 +107,8 @@ def _assign_udf(centroids: List[List[int]]):
             # per-element list() conversion this replaces measured
             # ~0.35 s per 10k x 256 batch, 18x the stack, and dominated
             # the whole kernel
-            X = np.stack(v[mask].to_numpy())
+            rows = v[mask].to_numpy()
+            X = np.stack(rows)
             # an embedding containing a null ELEMENT arrives either as an
             # object row (None inside) or as float64 with NaN, depending
             # on the Arrow conversion path; route such rows to the null
@@ -123,7 +124,18 @@ def _assign_udf(centroids: List[List[int]]):
             if bad is not None and bad.any():
                 idx = np.flatnonzero(mask)
                 mask[idx[bad]] = False
-                X = X[~bad]
+                # re-stack the CLEAN rows from the original per-row
+                # arrays instead of slicing the promoted matrix: one
+                # dirty row makes np.stack promote the whole batch to
+                # float64/object, and a float64 round-trip would
+                # silently round quantized values above 2^53 — the
+                # clean rows themselves never lost their int64 dtype
+                good = ~bad
+                X = (
+                    np.stack(rows[good])
+                    if good.any()
+                    else X[:0]
+                )
             if len(X):
                 X = X.astype(np.int64)
                 # exact int64 expansion of ||x - c||^2; ties -> first
@@ -173,7 +185,24 @@ def _iteration_sums(q: DataFrame, centroids: List[List[int]], dim: int):
             mask = v.notna().to_numpy()
             if not mask.any():
                 continue
-            X = np.stack(v[mask].to_numpy()).astype(np.int64)
+            rows = v[mask].to_numpy()
+            X = np.stack(rows)
+            # same null-ELEMENT routing as _assign_udf: a dirty row
+            # promotes the whole stacked batch, so drop dirty rows and
+            # re-stack the clean ones from the original per-row arrays
+            # (preserves int64 — no float64 round-trip past 2^53)
+            if X.dtype == object:
+                bad = pd.isnull(X).any(axis=1)
+            elif X.dtype.kind == "f":
+                bad = np.isnan(X).any(axis=1)
+            else:
+                bad = None
+            if bad is not None and bad.any():
+                good = ~bad
+                if not good.any():
+                    continue
+                X = np.stack(rows[good])
+            X = X.astype(np.int64)
             dist = (
                 (X * X).sum(axis=1)[:, None]
                 - 2 * (X @ carr.T)

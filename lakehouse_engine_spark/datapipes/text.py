@@ -2244,7 +2244,14 @@ def dsir_score(
         return F.flatten(F.array(*parts)) if len(parts) > 1 else parts[0]
 
     def _score(df: DataFrame) -> DataFrame:
-        src = spread_scan(df).select(
+        # the EXPLICIT isnotnull matters for plan reuse, not just
+        # semantics: the scoring branch joins on __id, so Catalyst
+        # infers isnotnull(doc_id) into THAT branch only — without
+        # filtering here the two (doc, bucket) aggregate subplans stop
+        # canonicalizing identically and AQE re-runs the gram explode
+        # instead of reusing the exchange (null ids could never score
+        # through the left join anyway)
+        src = spread_scan(df.filter(F.col(id_col).isNotNull())).select(
             F.col(id_col).alias("__id"),
             F.explode(_grams(F.col(input_col))).alias("__g"),
         ).select("__id", _bucket(F.col("__g")).alias("__b"))

@@ -4232,7 +4232,18 @@ def test_random_projection_kernel_bit_identical_to_unroll(spark):
         t("embedding_random_projection", out_dim=k, method="kernel",
           fold="blas")
     ).collect()}
-    assert a == b  # bitwise: Row equality compares float bits via ==
+    # TRUE bitwise identity: Python float == is value comparison
+    # (-0.0 == 0.0 would pass), so compare the raw IEEE-754 bit patterns
+    import struct
+
+    def _bits(vals):
+        return [
+            None if x is None else struct.pack("<d", x) for x in (vals or [])
+        ]
+
+    assert set(a) == set(b)
+    for i in a:
+        assert _bits(a[i]) == _bits(b[i]), i
     # null row and null-element row both null-poison into [None] * k
     assert a[100] == [None] * k and a[101] == [None] * k
     for i in a:

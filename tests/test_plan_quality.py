@@ -831,6 +831,19 @@ def test_dsir_broadcasts_bucket_table(spark, sf_dir):
     # would mean the scoring join fell back to a shuffle.
     assert physical.count("SortMergeJoin") <= 2, physical[:3000]
     assert "BroadcastHashJoin" in physical, physical[:3000]
+    # the single (doc, bucket) aggregate feeds BOTH the source bucket
+    # distribution and the per-doc scoring — the gram explode must run
+    # ONCE (the regression the round-8 single-aggregate rework exists to
+    # prevent). AQE only materializes exchange reuse at runtime, so gate
+    # on the FINAL adaptive plan after an action: exactly 2 Generates
+    # (source explode + target explode) and the (doc,bucket) exchange
+    # deduped by ReusedExchange.
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("+- == Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final, final[:500]
+    assert "ReusedExchange" in final, final[:3000]
+    assert final.count("Generate") == 2, final[:3000]
 
 
 def test_pq_ops_joinless_arrow_projection(spark, sf_dir):
