@@ -3574,6 +3574,116 @@ def dp113_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+_Q31_FOOTER = "CURATION FOOTER BOILERPLATE SHARED ACROSS EVERY PAGE"
+_Q31_STOPWORDS = ["the", "a", "value", "table"]
+
+
+def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation pipeline through ONE ACON ``load_data`` run —
+    the composition surface itself (transform_specs chaining across
+    specs, mirroring reference
+    ``lakehouse_engine/algorithms/data_loader.py:97-128``): stage a shared
+    footer line into every document, Gopher-filter with a
+    corpus-appropriate stopword profile, C4 line dedup, MinHash+LSH near
+    dedup ON THE DEDUPED TEXT, 8-gram benchmark decontamination in drop
+    mode (benchmark resolved from a SIBLING transform spec via
+    ``text_decontaminate_with``), then a mixture plan over the final
+    survivors. Every stage is consequential at sf0.01
+    (500 -> 442 gopher -> 424 docs lose lines -> 406 minhash -> 397
+    decontaminated); the oracle replays the whole chain stage by stage.
+    """
+    from lakehouse_engine_spark import load_data
+
+    staged_text = (
+        "concat(substring(text, 1, 60), chr(10), "
+        f"'{_Q31_FOOTER}', chr(10), substring(text, 61, 100000))"
+    )
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "docs",
+                "data_format": "parquet",
+                "location": f"{sf}/documents.parquet",
+            }
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "bench",
+                "input_id": "docs",
+                "transformers": [
+                    {
+                        "function": "expression_filter",
+                        "args": {"exp": "doc_id % 50 = 0"},
+                    }
+                ],
+            },
+            {
+                "spec_id": "curated",
+                "input_id": "docs",
+                "transformers": [
+                    {
+                        "function": "with_expressions",
+                        "args": {"cols_and_exprs": {"text": staged_text}},
+                    },
+                    {
+                        "function": "text_gopher_rules",
+                        "args": {
+                            "min_words": 30,
+                            "stopwords": _Q31_STOPWORDS,
+                            "min_stopword_hits": 2,
+                        },
+                    },
+                    {
+                        "function": "expression_filter",
+                        "args": {"exp": "gopher_keep"},
+                    },
+                    {"function": "text_line_dedup", "args": {}},
+                    {
+                        "function": "dedup_minhash_lsh",
+                        "args": {
+                            "text_col": "text_deduped",
+                            "num_hashes": 12,
+                            "bands": 4,
+                            "shingle_size": 3,
+                        },
+                    },
+                    {
+                        "function": "text_decontaminate_with",
+                        "args": {
+                            "benchmark_with": "bench",
+                            "input_col": "text_deduped",
+                            "ngram": 8,
+                            "mode": "drop",
+                        },
+                    },
+                    {
+                        "function": "mixture_plan",
+                        "args": {
+                            "group_col": "lang",
+                            "weights": {"en": 50, "de": 30, "fr": 15, "xx": 5},
+                            "budget_tokens": 1_000_000,
+                            "token_col": "n_chars",
+                            "max_epochs_ppm": 2_000_000,
+                        },
+                    },
+                ],
+            },
+        ],
+        "output_specs": [
+            {
+                "spec_id": "out",
+                "input_id": "curated",
+                "data_format": "dataframe",
+            }
+        ],
+    }
+    res = load_data(acon)
+    return res["out"].select(
+        "lang", "parts", "available", "desired_tokens", "plan_tokens",
+        "capped", "sample_rate_ppm", "epochs_ppm", "shortfall_tokens",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
     # the first 50 entries each round. Policy (round 8, per the round-7
@@ -3611,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp98_ngram_counts": dp98_ngram_counts,
         "dp108_corpus_overlap": dp108_corpus_overlap,
         "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,
+        "q31_curation_pipeline": q31_curation_pipeline,
         # --- r05 cohort backfill (last driver-checked r06) ---
         "dp83_bm25_topk": dp83_bm25_topk,
         "dp29_pack_sequences": dp29_pack_sequences,
@@ -5756,6 +5867,164 @@ def oracle_sql() -> dict[str, str]:
               SELECT *,
                      LEAST(desired_tokens,
                            (CAST(1500000 AS BIGINT) * available)
+                             // 1000000) AS plan_tokens
+              FROM base
+            )
+            SELECT lang, parts, available, desired_tokens, plan_tokens,
+                   plan_tokens < desired_tokens AS capped,
+                   CASE WHEN available > 0
+                        THEN (plan_tokens * CAST(1000000 AS BIGINT))
+                               // available
+                        ELSE 0 END AS sample_rate_ppm,
+                   CASE WHEN available > 0
+                        THEN (desired_tokens * CAST(1000000 AS BIGINT))
+                               // available
+                        ELSE 0 END AS epochs_ppm,
+                   desired_tokens - plan_tokens AS shortfall_tokens
+            FROM planned
+        """,
+        # full replay of the q31 composed curation chain: staging ->
+        # gopher (corpus stopword profile) -> corpus line dedup ->
+        # MinHash+LSH on the deduped text -> 8-gram decontamination vs
+        # the raw benchmark slice -> mixture plan over survivors
+        "q31_curation_pipeline": rf"""
+            WITH staged AS (
+              SELECT doc_id, lang, n_chars,
+                     substr(text, 1, 60) || chr(10) || '{_Q31_FOOTER}'
+                       || chr(10) || substr(text, 61, 100000) AS tx
+              FROM documents
+            ),
+            gb AS (
+              SELECT doc_id, tx,
+                     list_filter(string_split_regex(trim(tx), '\s+'),
+                                 t -> t <> '') AS w,
+                     list_filter(string_split(tx, chr(10)),
+                                 l -> trim(l) <> '') AS ln
+              FROM staged
+            ),
+            gc AS (
+              SELECT doc_id,
+                     len(w) AS n_words,
+                     coalesce(list_sum(list_transform(w, t -> len(t))), 0)
+                       AS sum_wl,
+                     (len(tx) - len(replace(tx, '#', '')))
+                       + len(regexp_extract_all(tx, '(\.\.\.|…)')) AS n_sym,
+                     len(ln) AS n_lines,
+                     len(list_filter(ln,
+                         l -> regexp_matches(ltrim(l), '^[-*•]')))
+                       AS bullet_lines,
+                     len(list_filter(ln,
+                         l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+                       AS ellipsis_lines,
+                     len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+                       AS alpha_words,
+                     len(list_intersect(
+                       list_distinct(list_filter(
+                         string_split_regex(trim(lower(tx)), '\s+'),
+                         t -> t <> '')),
+                       ['the','a','value','table'])) AS sw_hits
+              FROM gb
+            ),
+            keepers AS (
+              SELECT doc_id FROM gc
+              WHERE n_words >= 30 AND n_words <= 100000
+                AND n_words > 0 AND sum_wl >= 3 * n_words
+                AND sum_wl <= 10 * n_words
+                AND 1000 * n_sym <= 100 * n_words
+                AND 1000 * bullet_lines <= 900 * n_lines
+                AND 1000 * ellipsis_lines <= 300 * n_lines
+                AND 1000 * alpha_words >= 800 * n_words
+                AND sw_hits >= 2
+            ),
+            gdocs AS (
+              SELECT s.doc_id, s.tx FROM staged s JOIN keepers USING (doc_id)
+            ),
+            lns AS (
+              SELECT doc_id,
+                     unnest(generate_series(0,
+                       len(string_split(tx, chr(10))) - 1)) AS idx,
+                     unnest(string_split(tx, chr(10))) AS line
+              FROM gdocs
+            ),
+            keyed AS (
+              SELECT doc_id, idx, line,
+                     (length(trim(line)) < 1) OR
+                     (ROW_NUMBER() OVER (PARTITION BY md5(trim(line))
+                                         ORDER BY doc_id, idx) = 1) AS keep
+              FROM lns
+            ),
+            ded AS (
+              SELECT doc_id,
+                     COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                         chr(10) ORDER BY idx), '') AS t2
+              FROM keyed GROUP BY doc_id
+            ),
+            mtoks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(t2)), '\s+'),
+                                 t -> t <> '') AS w
+              FROM ded
+            ),
+            msh AS (SELECT doc_id, {_duck_shingles(3)} AS s FROM mtoks),
+            mbases AS (
+              SELECT doc_id, list_distinct(list_transform(
+                s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                          % {MINHASH_P})) AS bs
+              FROM msh
+            ),
+            msig AS (SELECT doc_id, {_duck_minhash(12)} AS sg FROM mbases),
+            mbds AS (SELECT doc_id, {_duck_bands(4, 3)} AS bh FROM msig),
+            mex AS (SELECT doc_id, unnest(bh) AS h FROM mbds),
+            mbuckets AS (SELECT h, min(doc_id) AS m FROM mex GROUP BY h),
+            mheads AS (
+              SELECT mex.doc_id, min(b.m) AS g
+              FROM mex JOIN mbuckets b USING (h) GROUP BY mex.doc_id
+            ),
+            msurv AS (
+              SELECT d.doc_id, d.t2
+              FROM ded d JOIN mheads h ON d.doc_id = h.doc_id
+              WHERE h.g = d.doc_id
+            ),
+            btoks AS (
+              SELECT doc_id, {_DUCK_TOKENS} AS w
+              FROM documents WHERE doc_id % 50 = 0
+            ),
+            bgr AS (SELECT unnest({_duck_shingles(8)}) AS g FROM btoks),
+            bg AS (SELECT DISTINCT g FROM bgr),
+            dtoks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(t2)), '\s+'),
+                                 t -> t <> '') AS w
+              FROM msurv
+            ),
+            dgr AS (
+              SELECT doc_id, unnest({_duck_shingles(8)}) AS g FROM dtoks
+            ),
+            hits AS (SELECT DISTINCT doc_id FROM dgr JOIN bg USING (g)),
+            surv AS (
+              SELECT doc_id FROM msurv
+              WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+            ),
+            wt(lang, parts) AS (
+              VALUES ('de', 30), ('en', 50), ('fr', 15), ('xx', 5)
+            ),
+            avail AS (
+              SELECT d.lang, SUM(d.n_chars)::BIGINT AS available
+              FROM documents d JOIN surv USING (doc_id)
+              WHERE d.lang IN ('en', 'de', 'fr', 'xx')
+              GROUP BY d.lang
+            ),
+            base AS (
+              SELECT wt.lang, CAST(wt.parts AS BIGINT) AS parts,
+                     COALESCE(a.available, 0) AS available,
+                     (CAST(1000000 AS BIGINT) * wt.parts) // 100
+                       AS desired_tokens
+              FROM wt LEFT JOIN avail a USING (lang)
+            ),
+            planned AS (
+              SELECT *,
+                     LEAST(desired_tokens,
+                           (CAST(2000000 AS BIGINT) * available)
                              // 1000000) AS plan_tokens
               FROM base
             )
