@@ -3345,6 +3345,93 @@ def test_dedup_incremental_crash_mid_compaction_recovers(spark, tmp_path):
     assert not (tmp_path / "digests__old").exists()  # stale backup dropped
 
 
+class _RenameFailFS:
+    """FileSystem proxy that makes rename() return false (the HDFS
+    failure convention) when the (src, dst) pair matches a predicate —
+    everything else delegates to the real FileSystem."""
+
+    def __init__(self, real, fail_when):
+        self._real = real
+        self._fail_when = fail_when
+        self.failed = []
+
+    def rename(self, src, dst):
+        if self._fail_when(str(src), str(dst)):
+            self.failed.append((str(src), str(dst)))
+            return False
+        return self._real.rename(src, dst)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def test_dedup_incremental_compaction_rename_failure_both_legs(
+    spark, tmp_path, monkeypatch
+):
+    """Inject rename() FAILURE (returns false, the HDFS convention) into
+    each leg of the compaction swap — rename(live -> __old) and
+    rename(staging -> live) — plus the double-failure leg where the
+    restore rename also fails. Every leg must raise loudly, never lose
+    the live state, and never let a later run silently re-emit
+    previously-seen rows."""
+    from lakehouse_engine_spark.datapipes import dedup as dedup_mod
+
+    state = tmp_path / "digests"
+    real_state_fs = dedup_mod._state_fs
+
+    def run(keys, compact_after=99):
+        df = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(keys)], "doc_id LONG, text STRING"
+        )
+        out = df.transform(
+            t("dedup_incremental_exact", state_location=str(state),
+              key_cols=["text"], id_col="doc_id",
+              compact_after_files=compact_after)
+        ).collect()
+        return {r["text"] for r in out}
+
+    def inject(fail_when):
+        def patched(spark_, location):
+            jvm, fs, jpath = real_state_fs(spark_, location)
+            return jvm, _RenameFailFS(fs, fail_when), jpath
+
+        monkeypatch.setattr(dedup_mod, "_state_fs", patched)
+
+    # seed three runs without compaction -> 3+ part files, 3 known keys
+    assert run(["alpha"]) == {"alpha"}
+    assert run(["beta"]) == {"beta"}
+    assert run(["gamma"]) == {"gamma"}
+
+    # leg 1: rename(live -> __old) fails -> state left untouched
+    inject(lambda s, d: d.endswith("__old"))
+    with pytest.raises(RuntimeError, match="state left untouched"):
+        run(["delta"], compact_after=1)
+    monkeypatch.setattr(dedup_mod, "_state_fs", real_state_fs)
+    assert state.exists() and not (tmp_path / "digests__old").exists()
+    # no silent re-emit of ANY previously-seen key (incl. the failing
+    # run's batch — its digests were appended before the compaction)
+    assert run(["alpha", "beta", "gamma", "delta", "eps1"]) == {"eps1"}
+
+    # leg 2: rename(staging -> live) fails -> backup restored in place
+    inject(lambda s, d: s.endswith("__compacting"))
+    with pytest.raises(RuntimeError, match="original state restored"):
+        run(["zeta"], compact_after=1)
+    monkeypatch.setattr(dedup_mod, "_state_fs", real_state_fs)
+    assert state.exists() and not (tmp_path / "digests__old").exists()
+    assert run(["alpha", "delta", "zeta", "eps2"]) == {"eps2"}
+
+    # leg 3: swap fails AND restore fails -> full state preserved at the
+    # __old backup, error says so, and the NEXT access heals it
+    inject(lambda s, d: s.endswith("__compacting") or s.endswith("__old"))
+    with pytest.raises(RuntimeError, match="restore it manually"):
+        run(["eta"], compact_after=1)
+    monkeypatch.setattr(dedup_mod, "_state_fs", real_state_fs)
+    assert (tmp_path / "digests__old").exists() and not state.exists()
+    # next run recovers via _recover_state and still dedups history
+    assert run(["beta", "zeta", "eta", "eps3"]) == {"eps3"}
+    assert state.exists() and not (tmp_path / "digests__old").exists()
+
+
 def test_dedup_incremental_state_compaction(spark, tmp_path):
     """After many runs the digest state accumulates one parquet footprint
     per run; with compact_after_files=N the state is rewritten in place
