@@ -46,6 +46,13 @@ class ExecEnv:
         # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no nanos
         # type); utils.tables.load_table converts them to micros timestamps.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Object-store-first posture: there is no HDFS block locality to
+        # wait for on parquet-over-S3 (and none in local mode), but the
+        # default 3s delay-scheduling wait DOES apply to persisted RDD
+        # blocks — profiling dp28 showed stages sitting at 0 running
+        # tasks for multiples of 3s whenever a stage read a cached
+        # frame, turning a stable 3.5s query into a 4-18s lottery.
+        "spark.locality.wait": "0s",
     }
 
     @classmethod
