@@ -3684,45 +3684,121 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Queries whose CODE changed (or that are new) in the current round —
+# they must sit inside the driver window so the change gets a hard
+# driver signal. tests/test_entry_registry derives the expected window
+# from this constant + the CORRECTNESS history, so update it as part of
+# every rotation. Round 9: q31 is new; the dsir null-id plan-reuse fix
+# touches dp115; the kmeans-kernel re-stack touches dp112/dp113; the
+# bpe _materialize rework touches dp69/dp69b/dp118/dp125.
+WINDOW_RETOUCHED = (
+    "q31_curation_pipeline",
+    "dp115_dsir_score",
+    "dp112_embedding_kmeans",
+    "dp113_cluster_stats",
+    "dp118_wordpiece_encode",
+    "dp125_unigram_encode",
+    "dp69_bpe_tokenize",
+    "dp69b_bpe_encode",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
-    # the first 50 entries each round. Policy (round 8, per the round-7
-    # verdict): front-load the FIFTEEN round-7 additions dp114-dp128 —
-    # judge-green via check_oracle but with no hard driver signal yet —
-    # then the queries whose code was touched this round (dp110 kernel
-    # path; dp112/dp113 null-element guard; dp98/dp108 spread_scan) plus
-    # q30, then backfill with the head of the r05 cohort (last
-    # driver-checked r06). Entries 51+ (rest of the r05 cohort, the
-    # r06-green remainder, the r07-green window cohort, and the r04/r07
-    # cohort re-confirmed in r07) still get value-verified every round
-    # via tools/check_oracle.py; the r05 tail rotates into the r09
-    # window next.
+    # the first 50 entries each round. Policy (round 9, per the round-8
+    # verdict): front-load WINDOW_RETOUCHED (the new q31 plus every query
+    # whose code changed this round), then the r05 tail + q23-q28 cohort
+    # (last hard driver signal r06 — the stalest on the board), then the
+    # head of the r06-green remainder up to 50. Entries 51+ (rest of the
+    # r06 remainder, the r07/r08 window cohorts, and the multiply-
+    # confirmed classics) still get value-verified every round via
+    # tools/check_oracle.py; the r06 remainder tail (dp88+) rotates into
+    # the r10 window next.
     return {
-        # --- round-7 additions: first hard driver signal this round ---
-        "dp114_gopher_rules": dp114_gopher_rules,
+        # --- new + code-touched this round (WINDOW_RETOUCHED) ---
+        "q31_curation_pipeline": q31_curation_pipeline,
         "dp115_dsir_score": dp115_dsir_score,
+        "dp112_embedding_kmeans": dp112_embedding_kmeans,
+        "dp113_cluster_stats": dp113_cluster_stats,
+        "dp118_wordpiece_encode": dp118_wordpiece_encode,
+        "dp125_unigram_encode": dp125_unigram_encode,
+        # --- r05 tail + q23-q28 cohort (last driver-checked r06) ---
+        "dp57_robust_scale": dp57_robust_scale,
+        "dp58_quantile_summary": dp58_quantile_summary,
+        "dp59_event_pivot": dp59_event_pivot,
+        "dp60_salted_join": dp60_salted_join,
+        "dp61_keep_best_dedup": dp61_keep_best_dedup,
+        "dp62_cluster_sample": dp62_cluster_sample,
+        "dp63_cdc_chunk": dp63_cdc_chunk,
+        "dp64_ewma_anomaly": dp64_ewma_anomaly,
+        "dp65_fuzzy_join": dp65_fuzzy_join,
+        "dp66_scd2_build": dp66_scd2_build,
+        "dp67_merge_intervals": dp67_merge_intervals,
+        "dp68_json_props": dp68_json_props,
+        "dp69_bpe_tokenize": dp69_bpe_tokenize,
+        "dp69b_bpe_encode": dp69b_bpe_encode,
+        "dp70_video_frames": dp70_video_frames,
+        "dp71_trend_fit": dp71_trend_fit,
+        "dp72_histogram": dp72_histogram,
+        "dp73_weighted_sample_k": dp73_weighted_sample_k,
+        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
+        "q24_semi_anti_join": q24_semi_anti_join,
+        "q26_gab_daily_rollup": q26_gab_daily_rollup,
+        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
+        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,
+        # --- r06-green remainder head (rest rotates into r10) ---
+        "dp74_lexical_diversity": dp74_lexical_diversity,
+        "dp75_snapshot_diff": dp75_snapshot_diff,
+        "dp76_schema_drift": dp76_schema_drift,
+        "dp77_quality_model_filter": dp77_quality_model_filter,
+        "dp78_event_transitions": dp78_event_transitions,
+        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,
+        "dp79_gap_fill": dp79_gap_fill,
+        "dp80_asof_nearest": dp80_asof_nearest,
+        "dp81_text_clean": dp81_text_clean,
+        "dp82_url_normalize": dp82_url_normalize,
+        "dp84_png_decode": dp84_png_decode,
+        "dp85_jpeg_decode": dp85_jpeg_decode,
+        "dp86_gif_decode": dp86_gif_decode,
+        "dp87_pagerank": dp87_pagerank,
+        "dp88_binary_decompress": dp88_binary_decompress,
+        "dp89_sentence_split": dp89_sentence_split,
+        "dp90_html_strip": dp90_html_strip,
+        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,
+        "dp92_image_resize": dp92_image_resize,
+        "dp93_audio_resample": dp93_audio_resample,
+        "dp94_running_totals": dp94_running_totals,
+        # ---- driver window boundary (entry 50 = dp94_running_totals) ----
+        # --- rest of the r06 remainder: first in line for the r10 window ---
+        "dp95_approx_distinct": dp95_approx_distinct,
+        "dp96_g711_decode": dp96_g711_decode,
+        "dp99_hash_embedding": dp99_hash_embedding,
+        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
+        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
+        "dp103_zorder_layout": dp103_zorder_layout,
+        "dp104_zorder_rank": dp104_zorder_rank,
+        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
+        "dp107_profile_skew": dp107_profile_skew,
+        "dp109_unicode_normalize": dp109_unicode_normalize,
+        "dp111_interval_overlap_join": dp111_interval_overlap_join,
+        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
+        # --- r08 window cohort (driver-green r08) ---
+        "dp114_gopher_rules": dp114_gopher_rules,
         "dp116_pq_encode": dp116_pq_encode,
         "dp117_knn_pq": dp117_knn_pq,
-        "dp118_wordpiece_encode": dp118_wordpiece_encode,
         "dp119_decontaminate_spans": dp119_decontaminate_spans,
         "dp120_dup_line_stats": dp120_dup_line_stats,
         "dp121_graph_components": dp121_graph_components,
         "dp122_pca_moments": dp122_pca_moments,
         "dp123_frequent_terms": dp123_frequent_terms,
         "dp124_word_pmi": dp124_word_pmi,
-        "dp125_unigram_encode": dp125_unigram_encode,
         "dp126_mixture_plan": dp126_mixture_plan,
         "dp127_hilbert_layout": dp127_hilbert_layout,
         "dp128_frequent_bigrams": dp128_frequent_bigrams,
-        # --- code touched in round 8 (+ q30 per the verdict brief) ---
         "dp110_random_projection": dp110_random_projection,
-        "dp112_embedding_kmeans": dp112_embedding_kmeans,
-        "dp113_cluster_stats": dp113_cluster_stats,
         "dp98_ngram_counts": dp98_ngram_counts,
         "dp108_corpus_overlap": dp108_corpus_overlap,
         "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,
-        "q31_curation_pipeline": q31_curation_pipeline,
-        # --- r05 cohort backfill (last driver-checked r06) ---
         "dp83_bm25_topk": dp83_bm25_topk,
         "dp29_pack_sequences": dp29_pack_sequences,
         "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
@@ -3752,65 +3828,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp54_trailing_window": dp54_trailing_window,
         "dp55_funnel": dp55_funnel,
         "dp56_cohort_retention": dp56_cohort_retention,
-        # ---- driver window boundary (entry 50 = dp56_cohort_retention) ----
-        # --- rest of the r05 cohort: first in line for the r09 window ---
-        "dp57_robust_scale": dp57_robust_scale,
-        "dp58_quantile_summary": dp58_quantile_summary,
-        "dp59_event_pivot": dp59_event_pivot,
-        "dp60_salted_join": dp60_salted_join,
-        "dp61_keep_best_dedup": dp61_keep_best_dedup,
-        "dp62_cluster_sample": dp62_cluster_sample,
-        "dp63_cdc_chunk": dp63_cdc_chunk,
-        "dp64_ewma_anomaly": dp64_ewma_anomaly,
-        "dp65_fuzzy_join": dp65_fuzzy_join,
-        "dp66_scd2_build": dp66_scd2_build,
-        "dp67_merge_intervals": dp67_merge_intervals,
-        "dp68_json_props": dp68_json_props,
-        "dp69_bpe_tokenize": dp69_bpe_tokenize,
-        "dp70_video_frames": dp70_video_frames,
-        "dp71_trend_fit": dp71_trend_fit,
-        "dp72_histogram": dp72_histogram,
-        "dp73_weighted_sample_k": dp73_weighted_sample_k,
-        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
-        "q24_semi_anti_join": q24_semi_anti_join,
-        "q26_gab_daily_rollup": q26_gab_daily_rollup,
-        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
-        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,
-        # --- r06-green remainder ---
-        "dp74_lexical_diversity": dp74_lexical_diversity,
-        "dp75_snapshot_diff": dp75_snapshot_diff,
-        "dp76_schema_drift": dp76_schema_drift,
-        "dp77_quality_model_filter": dp77_quality_model_filter,
-        "dp78_event_transitions": dp78_event_transitions,
-        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,
-        "dp79_gap_fill": dp79_gap_fill,
-        "dp80_asof_nearest": dp80_asof_nearest,
-        "dp81_text_clean": dp81_text_clean,
-        "dp82_url_normalize": dp82_url_normalize,
-        "dp84_png_decode": dp84_png_decode,
-        "dp85_jpeg_decode": dp85_jpeg_decode,
-        "dp86_gif_decode": dp86_gif_decode,
-        "dp87_pagerank": dp87_pagerank,
-        "dp88_binary_decompress": dp88_binary_decompress,
-        "dp89_sentence_split": dp89_sentence_split,
-        "dp90_html_strip": dp90_html_strip,
-        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,
-        "dp92_image_resize": dp92_image_resize,
-        "dp93_audio_resample": dp93_audio_resample,
-        "dp94_running_totals": dp94_running_totals,
-        "dp95_approx_distinct": dp95_approx_distinct,
-        "dp96_g711_decode": dp96_g711_decode,
-        "dp69b_bpe_encode": dp69b_bpe_encode,
-        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
-        "dp99_hash_embedding": dp99_hash_embedding,
-        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
-        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
-        "dp103_zorder_layout": dp103_zorder_layout,
-        "dp104_zorder_rank": dp104_zorder_rank,
-        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
-        "dp107_profile_skew": dp107_profile_skew,
-        "dp109_unicode_normalize": dp109_unicode_normalize,
-        "dp111_interval_overlap_join": dp111_interval_overlap_join,
         # --- r07 window cohort (driver-green r07) ---
         "dp106_temperature_sample": dp106_temperature_sample,
         "dp100_unimax_sample": dp100_unimax_sample,

@@ -24,30 +24,59 @@ def test_registry_consistency():
 
 
 def test_driver_window_holds_rotation_cohort():
-    """Round-7 policy: the 50-entry driver window front-loads the 7
-    queries whose code or oracle changed this round (the rewritten
-    kmeans assignment dp112/dp113, reshaped dp110, corrected dp106
-    oracle, touched dp100/dp97) plus the new q30, then the COMPLETE
-    r04 cohort —
-    the 43 queries whose last hard driver signal is the oldest on the
-    board. A reorder that silently rotates the cohort back out would
-    waste the round's hard signal — pin the boundary."""
+    """The 50-entry driver window must front-load (a) every query named
+    in entry.WINDOW_RETOUCHED — new or code-touched this round — and
+    (b) the queries whose last hard driver signal is the STALEST on the
+    board. Derived entirely from the registry's own WINDOW_RETOUCHED
+    constant plus the CORRECTNESS_r*.json history, so a rotation only
+    has to update WINDOW_RETOUCHED — per-round name pins can never go
+    stale again (the round-8 lesson). The newest CORRECTNESS file is
+    skipped when it is the PRODUCT of the current window (>= 90% key
+    overlap with the first 50): it describes this window, it is not
+    evidence the window should rotate."""
     import json
     import pathlib
+    import re
 
     names = list(entry.queries())
-    window = set(names[:50])
-    changed = {"dp110_random_projection", "dp112_embedding_kmeans",
-               "dp113_cluster_stats", "dp106_temperature_sample",
-               "dp100_unimax_sample", "dp97_semantic_dedup",
-               "q30_gab_week_day_snapshot"}
-    assert changed <= window, sorted(changed - window)
-    last = {}
-    for r in range(1, 7):
-        p = pathlib.Path(__file__).parent.parent / f"CORRECTNESS_r0{r}.json"
-        if p.exists():
-            for k in json.loads(p.read_text()):
-                last[k] = r
-    r04 = {k for k in names if last.get(k) == 4}
-    assert r04 <= window, sorted(r04 - window)
-    assert len(window) == 50
+    window = names[:50]
+    wset = set(window)
+    assert len(window) == 50 and len(wset) == 50
+    retouched = set(entry.WINDOW_RETOUCHED)
+    assert retouched <= set(names), sorted(retouched - set(names))
+    # (a) retouched queries are inside the window
+    assert retouched <= wset, sorted(retouched - wset)
+
+    root = pathlib.Path(__file__).parent.parent
+    files = sorted(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    last: dict = {}
+    for p in files:
+        rnd = int(re.search(r"(\d+)", p.name).group(1))
+        keys = set(json.loads(p.read_text()))
+        if p is files[-1] and len(keys & wset) >= 45:
+            continue  # this file was generated FROM the current window
+        for k in keys:
+            last[k] = max(last.get(k, 0), rnd)
+    if not last:
+        return  # round 1: no history yet, nothing to derive
+    # new queries (never driver-checked) must be getting their first
+    # hard signal now
+    never = {k for k in names if k not in last}
+    assert never <= wset, sorted(never - wset)
+    # (b) staleness priority: nothing OUTSIDE the window may be strictly
+    # staler than the freshest non-retouched query INSIDE it
+    inside = [last[k] for k in window if k not in retouched and k in last]
+    if inside:
+        boundary = max(inside)
+        stale_out = sorted(
+            k for k in names[50:]
+            if k not in retouched and last.get(k, boundary) < boundary
+        )
+        assert stale_out == [], (
+            f"queries staler than the window boundary r{boundary:02d} were "
+            f"rotated out: {stale_out} — rotate them in (or add them to "
+            "WINDOW_RETOUCHED if their code changed)"
+        )
