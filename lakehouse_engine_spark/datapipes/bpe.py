@@ -45,6 +45,14 @@ from lakehouse_engine_spark.datapipes.registry import register, register_context
 from lakehouse_engine_spark.datapipes.text import tokens
 
 
+def _dyn_alloc_enabled(spark) -> bool:
+    """Whether executors can be removed under us (dynamic allocation) —
+    split out so tests can monkeypatch the environment signal."""
+    return (
+        spark.conf.get("spark.dynamicAllocation.enabled", "false") or "false"
+    ).lower() == "true"
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Truncate lineage for a small control-path frame that more than one
     action will consume (trainer rounds, the dictionary size probe).
@@ -58,11 +66,7 @@ def _materialize(df: DataFrame) -> DataFrame:
     recomputability posture, so fall back to ``persist()`` there
     (rebuildable from lineage; the lingering cache-manager entry until
     the caller's ``unpersist`` is the documented cost)."""
-    spark = df.sparkSession
-    dyn = (
-        spark.conf.get("spark.dynamicAllocation.enabled", "false") or "false"
-    ).lower() == "true"
-    if dyn:
+    if _dyn_alloc_enabled(df.sparkSession):
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         out.count()
         return out

@@ -3770,6 +3770,28 @@ def test_decontaminate_spans_surgical_removal(spark):
         t("text_decontaminate_spans", benchmark_df=bench, ngram=0)
 
 
+def test_materialize_persists_under_dynamic_allocation(spark, monkeypatch):
+    """_materialize must choose a RECOMPUTABLE persist() when dynamic
+    allocation can remove the executor holding checkpoint blocks, and the
+    GC-friendly eager localCheckpoint otherwise — identical contents
+    either way."""
+    from lakehouse_engine_spark.datapipes import bpe as bpe_mod
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "v LONG")
+    # static cluster (this container): checkpoint path, no cache entry
+    static = bpe_mod._materialize(df)
+    # lineage truncated to the checkpointed RDD, no cache-manager entry
+    assert "ExistingRDD" in static._jdf.queryExecution().executedPlan().toString()
+    assert static.storageLevel.useMemory is False
+    # dynamic allocation: persist path — rebuildable from lineage
+    monkeypatch.setattr(bpe_mod, "_dyn_alloc_enabled", lambda s: True)
+    dyn = bpe_mod._materialize(df)
+    assert not dyn.rdd.isLocallyCheckpointed()
+    assert dyn.storageLevel.useMemory
+    assert sorted(r["v"] for r in dyn.collect()) == list(range(10))
+    dyn.unpersist()
+
+
 def test_wordpiece_encode_bert_semantics(spark):
     """wordpiece_encode follows the BERT WordpieceTokenizer exactly:
     greedy longest-match-first with ## continuations, whole-word [UNK]
