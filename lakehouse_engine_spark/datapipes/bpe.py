@@ -21,9 +21,12 @@ table, not the corpus:
   top pairs interact).
 * ``localCheckpoint`` truncates the per-round lineage the way the
   connected-components loop does (dedup.py); under
-  ``spark.dynamicAllocation.enabled`` the shared ``_materialize`` helper
-  falls back to ``persist()`` so executor scale-in cannot strand
-  non-recomputable checkpoint blocks.
+  ``spark.dynamicAllocation.enabled`` the ``_materialize`` helper
+  instead persists (recomputable) behind a plan-truncating LogicalRDD
+  wrapper with an explicit ``_release`` per round, and one-shot size
+  probes (``_probe_materialize``) skip materialization entirely — so
+  executor scale-in cannot strand non-recomputable checkpoint blocks
+  and long-lived sessions cannot leak cache entries.
 * ``bpe_encode`` never tokenizes the corpus in Python: it encodes the
   DISTINCT words (small table) with the merge list in an Arrow-batched
   pandas pass, then broadcast-joins the word→pieces dictionary back onto
@@ -54,22 +57,61 @@ def _dyn_alloc_enabled(spark) -> bool:
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Truncate lineage for a small control-path frame that more than one
-    action will consume (trainer rounds, the dictionary size probe).
+    """Truncate the LOGICAL PLAN of a small control-path frame that an
+    iterative caller (the trainer's merge loop) re-derives every round —
+    without a per-round truncation, Catalyst re-analyzes a plan that
+    grows one layer per round (quadratic driver time, StackOverflow at
+    thousands of rounds).
 
-    ``localCheckpoint`` blocks are NOT recomputable: losing the executor
-    that holds them (dynamic-allocation scale-in, spot kill) fails every
-    downstream stage unrecoverably. On a static cluster that is the right
-    trade — blocks are reference-tracked and dropped when the plan is
-    GC'd, leaving no cache-manager entry in long-lived sessions. Under
-    ``spark.dynamicAllocation.enabled`` it conflicts with the engine's
-    recomputability posture, so fall back to ``persist()`` there
-    (rebuildable from lineage; the lingering cache-manager entry until
-    the caller's ``unpersist`` is the documented cost)."""
-    if _dyn_alloc_enabled(df.sparkSession):
-        out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()
+    * Static cluster: eager ``localCheckpoint`` — blocks are
+      reference-tracked and dropped when the plan is GC'd (no
+      cache-manager entry), at the documented cost that checkpoint
+      blocks are NOT recomputable after executor loss.
+    * ``spark.dynamicAllocation.enabled``: executors CAN disappear under
+      us, so instead ``persist()`` + count (recomputable from lineage)
+      and wrap the result in a LogicalRDD so the per-round Catalyst plan
+      stays bounded; the persisted handle rides on the wrapper as
+      ``_lhe_cache_handle`` and the caller MUST release it with
+      :func:`_release` once the next round is materialized. One-shot
+      size probes must not use this path — they have no sound release
+      point (see wordpiece_encode/unigram_encode).
+    """
+    spark = df.sparkSession
+    if _dyn_alloc_enabled(spark):
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        out = spark.createDataFrame(cached.rdd, cached.schema)
+        out._lhe_cache_handle = cached
         return out
+    return df.localCheckpoint(eager=True)
+
+
+def _release(df: DataFrame) -> None:
+    """Unpersist the cache handle attached by :func:`_materialize`'s
+    dynamic-allocation path; no-op for the localCheckpoint path (its
+    blocks drop with plan GC)."""
+    handle = getattr(df, "_lhe_cache_handle", None)
+    if handle is not None:
+        handle.unpersist()
+
+
+def _probe_materialize(df: DataFrame) -> DataFrame:
+    """Materialization for ONE-SHOT dictionary size probes: count now,
+    reuse inside a LAZILY-returned plan.
+
+    * Static cluster: eager ``localCheckpoint`` — the distinct pass runs
+      once, blocks drop with plan GC, and there is no release point to
+      miss (the returned plan is lazy, so an explicit unpersist has no
+      sound place to live; the text_bm25_topk cache-lifetime rationale).
+    * Dynamic allocation: NO materialization — a persist here could
+      never be released and would leak one cache-manager entry per call
+      in a long-lived session, and a localCheckpoint could strand
+      non-recomputable blocks. The probe counts the raw frame and the
+      final plan recomputes the distinct pass: one extra aggregate,
+      leak-free and loss-safe. Callers that care pin the broadcast
+      strategy and skip the probe entirely."""
+    if _dyn_alloc_enabled(df.sparkSession):
+        return df
     return df.localCheckpoint(eager=True)
 
 TransformerFn = Callable[[DataFrame], DataFrame]
@@ -187,9 +229,10 @@ def bpe_train(
                 )
                 col = F.regexp_replace(col, pat, re.sub(r"([$\\])", r"\\\1", a + b))
             nxt = _materialize(words.select(col.alias("__s"), "__cnt"))
-            words.unpersist()  # no-op on the localCheckpoint path
+            _release(words)  # previous round's cache handle, if any
             words = nxt
             merges.extend(picked)
+        _release(words)  # the merge list lives on the driver now
         return spark.createDataFrame(
             [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
             "rank INT, left STRING, right STRING, merged STRING",
@@ -388,15 +431,13 @@ def wordpiece_encode(
         ).distinct()
         do_broadcast = broadcast_dictionary
         if do_broadcast is None:
-            # the size probe is a separate ACTION, so sharing the distinct
-            # pass with the final plan needs materialization — see
-            # _materialize for the localCheckpoint-vs-persist trade (the
-            # returned plan is lazy, so there is no sound place to
-            # unpersist after materialization; this is the
-            # text_bm25_topk cache-lifetime rationale). With the strategy
-            # PINNED by the caller there is no probe and distinct_words
-            # appears once in the final plan — no materialization at all.
-            distinct_words = _materialize(distinct_words)
+            # the size probe is a separate ACTION — _probe_materialize
+            # shares the distinct pass with the final plan where that is
+            # sound (static clusters) and recomputes it where it is not
+            # (dynamic allocation). With the strategy PINNED by the
+            # caller there is no probe and distinct_words appears once
+            # in the final plan — no materialization at all.
+            distinct_words = _probe_materialize(distinct_words)
             do_broadcast = distinct_words.count() <= broadcast_threshold_rows
         dictionary = distinct_words.withColumn("__pieces", _enc(F.col("__w")))
         if do_broadcast:
@@ -537,10 +578,10 @@ def unigram_encode(
         ).distinct()
         do_broadcast = broadcast_dictionary
         if do_broadcast is None:
-            # shared materialization policy (_materialize): checkpoint on
-            # static clusters, persist under dynamic allocation; pinned
+            # one-shot probe policy (_probe_materialize): checkpoint on
+            # static clusters, recompute under dynamic allocation; pinned
             # strategy skips materialization entirely
-            distinct_words = _materialize(distinct_words)
+            distinct_words = _probe_materialize(distinct_words)
             do_broadcast = distinct_words.count() <= broadcast_threshold_rows
         enc = _enc(F.col("__w"))
         dictionary = distinct_words.select(

@@ -86,6 +86,33 @@ def _quantize_expr(input_col: str, scale: int):
     )
 
 
+def _clean_int_rows(rows: np.ndarray):
+    """Stack Arrow-delivered per-row arrays into an exact int64 matrix,
+    routing rows with a null ELEMENT out of the batch.
+
+    A dirty row arrives either as an object row (None inside) or as
+    float64 with NaN, depending on the Arrow conversion path, and one
+    such row makes ``np.stack`` promote the WHOLE batch — so the clean
+    rows are re-stacked from the original per-row arrays (which never
+    lost their int64 dtype; a float64 round-trip would silently round
+    quantized values above 2^53). Returns ``(X, good)`` where ``X`` is
+    the int64 matrix of clean rows (possibly empty) and ``good`` the
+    boolean keep-mask over ``rows`` (None when every row is clean —
+    the all-clean hot path stays branch-free)."""
+    X = np.stack(rows)
+    if X.dtype == object:
+        bad = pd.isnull(X).any(axis=1)
+    elif X.dtype.kind == "f":
+        bad = np.isnan(X).any(axis=1)
+    else:
+        bad = None
+    good = None
+    if bad is not None and bad.any():
+        good = ~bad
+        X = np.stack(rows[good]) if good.any() else X[:0]
+    return (X.astype(np.int64, copy=False) if len(X) else X), good
+
+
 def _assign_udf(centroids: List[List[int]]):
     """Arrow-batched exact argmin: returns a struct<c:int, d:bigint>
     column (nearest cluster id, exact squared grid distance). Ties go to
@@ -103,41 +130,18 @@ def _assign_udf(centroids: List[List[int]]):
         out_d = np.full(n, None, dtype=object)
         mask = v.notna().to_numpy()
         if mask.any():
-            # np.stack over the Arrow-delivered ndarray elements — the
-            # per-element list() conversion this replaces measured
-            # ~0.35 s per 10k x 256 batch, 18x the stack, and dominated
-            # the whole kernel
-            rows = v[mask].to_numpy()
-            X = np.stack(rows)
-            # an embedding containing a null ELEMENT arrives either as an
-            # object row (None inside) or as float64 with NaN, depending
-            # on the Arrow conversion path; route such rows to the null
-            # contract (cluster 0, null distance) instead of letting
-            # astype(int64) throw an opaque TypeError / wrap NaN to
-            # INT64_MIN. The dtype check keeps the all-clean int64 hot
-            # path branch-free.
-            bad = None
-            if X.dtype == object:
-                bad = pd.isnull(X).any(axis=1)
-            elif X.dtype.kind == "f":
-                bad = np.isnan(X).any(axis=1)
-            if bad is not None and bad.any():
+            # np.stack (inside _clean_int_rows) over the Arrow-delivered
+            # ndarray elements — the per-element list() conversion this
+            # replaces measured ~0.35 s per 10k x 256 batch, 18x the
+            # stack, and dominated the whole kernel. Rows with a null
+            # ELEMENT route to the null contract (cluster 0, null
+            # distance) instead of letting astype(int64) throw / wrap
+            # NaN to INT64_MIN.
+            X, good = _clean_int_rows(v[mask].to_numpy())
+            if good is not None:
                 idx = np.flatnonzero(mask)
-                mask[idx[bad]] = False
-                # re-stack the CLEAN rows from the original per-row
-                # arrays instead of slicing the promoted matrix: one
-                # dirty row makes np.stack promote the whole batch to
-                # float64/object, and a float64 round-trip would
-                # silently round quantized values above 2^53 — the
-                # clean rows themselves never lost their int64 dtype
-                good = ~bad
-                X = (
-                    np.stack(rows[good])
-                    if good.any()
-                    else X[:0]
-                )
+                mask[idx[~good]] = False
             if len(X):
-                X = X.astype(np.int64)
                 # exact int64 expansion of ||x - c||^2; ties -> first
                 # index
                 dist = (
@@ -185,24 +189,11 @@ def _iteration_sums(q: DataFrame, centroids: List[List[int]], dim: int):
             mask = v.notna().to_numpy()
             if not mask.any():
                 continue
-            rows = v[mask].to_numpy()
-            X = np.stack(rows)
-            # same null-ELEMENT routing as _assign_udf: a dirty row
-            # promotes the whole stacked batch, so drop dirty rows and
-            # re-stack the clean ones from the original per-row arrays
-            # (preserves int64 — no float64 round-trip past 2^53)
-            if X.dtype == object:
-                bad = pd.isnull(X).any(axis=1)
-            elif X.dtype.kind == "f":
-                bad = np.isnan(X).any(axis=1)
-            else:
-                bad = None
-            if bad is not None and bad.any():
-                good = ~bad
-                if not good.any():
-                    continue
-                X = np.stack(rows[good])
-            X = X.astype(np.int64)
+            # same null-ELEMENT routing as _assign_udf (shared helper):
+            # dirty rows drop out of the iteration sums
+            X, _ = _clean_int_rows(v[mask].to_numpy())
+            if not len(X):
+                continue
             dist = (
                 (X * X).sum(axis=1)[:, None]
                 - 2 * (X @ carr.T)

@@ -2194,7 +2194,10 @@ def dsir_score(
         Σ_grams [S(ct_b + 1) − S(cs_b + 1)] + n_grams·[S(Ts + B) − S(Tt + B)]
 
     is exact integer arithmetic, replayed bit-for-bit by a SQL oracle.
-    Positive = more target-like.
+    Positive = more target-like. Documents with a null ``id_col`` are
+    excluded from the operator entirely — from scoring and from the
+    source bucket distribution (an id-less row cannot be acted on
+    downstream, so it gets no invisible influence on other scores).
 
     Scale design: the SOURCE corpus makes ONE gram-explode pass into a
     (doc, bucket) count aggregate — map-side combined, so the exchange
@@ -2244,13 +2247,18 @@ def dsir_score(
         return F.flatten(F.array(*parts)) if len(parts) > 1 else parts[0]
 
     def _score(df: DataFrame) -> DataFrame:
-        # the EXPLICIT isnotnull matters for plan reuse, not just
-        # semantics: the scoring branch joins on __id, so Catalyst
-        # infers isnotnull(doc_id) into THAT branch only — without
-        # filtering here the two (doc, bucket) aggregate subplans stop
+        # INPUT CONTRACT: documents with a null id are excluded from the
+        # operator entirely — from the per-doc scoring (a null id could
+        # never match the left join) AND from the source bucket
+        # distribution. This is a deliberate semantic: an id-less row
+        # cannot be acted on downstream, so letting it shift every other
+        # document's score would be unreproducible influence. The
+        # EXPLICIT filter also carries the plan-reuse property: the
+        # scoring branch joins on __id, so Catalyst infers
+        # isnotnull(doc_id) into THAT branch only — without filtering
+        # here the two (doc, bucket) aggregate subplans stop
         # canonicalizing identically and AQE re-runs the gram explode
-        # instead of reusing the exchange (null ids could never score
-        # through the left join anyway)
+        # instead of reusing the exchange.
         src = spread_scan(df.filter(F.col(id_col).isNotNull())).select(
             F.col(id_col).alias("__id"),
             F.explode(_grams(F.col(input_col))).alias("__g"),

@@ -3770,11 +3770,13 @@ def test_decontaminate_spans_surgical_removal(spark):
         t("text_decontaminate_spans", benchmark_df=bench, ngram=0)
 
 
-def test_materialize_persists_under_dynamic_allocation(spark, monkeypatch):
-    """_materialize must choose a RECOMPUTABLE persist() when dynamic
-    allocation can remove the executor holding checkpoint blocks, and the
-    GC-friendly eager localCheckpoint otherwise — identical contents
-    either way."""
+def test_materialize_policies_under_dynamic_allocation(spark, monkeypatch):
+    """_materialize must choose a RECOMPUTABLE persist (behind a
+    plan-truncating LogicalRDD wrapper with a releasable handle) when
+    dynamic allocation can remove the executor holding checkpoint
+    blocks, and the GC-friendly eager localCheckpoint otherwise; the
+    one-shot probe policy must never persist under dynamic allocation
+    (no sound release point) — identical contents on every path."""
     from lakehouse_engine_spark.datapipes import bpe as bpe_mod
 
     df = spark.createDataFrame([(i,) for i in range(10)], "v LONG")
@@ -3783,13 +3785,20 @@ def test_materialize_persists_under_dynamic_allocation(spark, monkeypatch):
     # lineage truncated to the checkpointed RDD, no cache-manager entry
     assert "ExistingRDD" in static._jdf.queryExecution().executedPlan().toString()
     assert static.storageLevel.useMemory is False
-    # dynamic allocation: persist path — rebuildable from lineage
+    assert bpe_mod._probe_materialize(df) is not df  # probe checkpoints too
+    # dynamic allocation: persist path — rebuildable from lineage, plan
+    # bounded by the LogicalRDD wrapper, handle released explicitly
     monkeypatch.setattr(bpe_mod, "_dyn_alloc_enabled", lambda s: True)
     dyn = bpe_mod._materialize(df)
-    assert not dyn.rdd.isLocallyCheckpointed()
-    assert dyn.storageLevel.useMemory
+    assert "ExistingRDD" in dyn._jdf.queryExecution().executedPlan().toString()
+    handle = dyn._lhe_cache_handle
+    assert handle.storageLevel.useMemory
     assert sorted(r["v"] for r in dyn.collect()) == list(range(10))
-    dyn.unpersist()
+    bpe_mod._release(dyn)
+    assert handle.storageLevel.useMemory is False  # unpersisted
+    bpe_mod._release(static)  # no handle -> no-op
+    # probe path under dynamic allocation: NO materialization at all
+    assert bpe_mod._probe_materialize(df) is df
 
 
 def test_wordpiece_encode_bert_semantics(spark):

@@ -31,9 +31,11 @@ def test_driver_window_holds_rotation_cohort():
     constant plus the CORRECTNESS_r*.json history, so a rotation only
     has to update WINDOW_RETOUCHED — per-round name pins can never go
     stale again (the round-8 lesson). The newest CORRECTNESS file is
-    skipped when it is the PRODUCT of the current window (>= 90% key
-    overlap with the first 50): it describes this window, it is not
-    evidence the window should rotate."""
+    skipped only when its key set is EXACTLY the current first-50: that
+    file is the product of this very window (the driver writes it from
+    the registry order), not evidence the window should rotate; any
+    genuine partial rotation changes the set and the file counts as
+    history."""
     import json
     import pathlib
     import re
@@ -56,7 +58,7 @@ def test_driver_window_holds_rotation_cohort():
     for p in files:
         rnd = int(re.search(r"(\d+)", p.name).group(1))
         keys = set(json.loads(p.read_text()))
-        if p is files[-1] and len(keys & wset) >= 45:
+        if p is files[-1] and keys == wset:
             continue  # this file was generated FROM the current window
         for k in keys:
             last[k] = max(last.get(k, 0), rnd)

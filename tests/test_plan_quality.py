@@ -814,6 +814,20 @@ def test_gopher_rules_single_codegen_pass(spark, sf_dir):
         assert bad not in physical, (bad, physical[:2000])
 
 
+def test_curation_pipeline_composes_scale_correct_plans(spark, sf_dir):
+    """q31 (the composed ACON curation chain) must inherit every stage's
+    scale posture through composition: no cartesian product anywhere, no
+    sort-merge join (the decontamination probe, minhash bucket attach and
+    mixture arithmetic all broadcast at these sizes), and the small
+    side-tables attach by broadcast hash join."""
+    df = entry.queries()["q31_curation_pipeline"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "SortMergeJoin" not in physical, physical[:3000]
+    assert physical.count("BroadcastHashJoin") >= 4, physical[:3000]
+
+
 def test_dsir_broadcasts_bucket_table(spark, sf_dir):
     """text_dsir_score: the bucket stats attach to the corpus by
     BROADCAST joins only — the corpus-side shuffles are the bounded
