@@ -581,3 +581,60 @@ def test_pca_projection_invariants(spark, vecs):
     q = np.floor(np.array(vecs) * 1024 + 0.5) / 1024
     total_in = q.var(axis=0, ddof=0).sum()
     assert var.sum() <= total_in + 1e-9
+
+
+_batch_rows = st.lists(
+    st.one_of(
+        # clean int64 rows, including magnitudes past 2^53 where a
+        # float64 round-trip would silently round
+        st.lists(
+            st.integers(-(2**62), 2**62), min_size=3, max_size=3
+        ),
+        # dirty rows: a null element (object path) or NaN (float path)
+        st.lists(
+            st.integers(-100, 100), min_size=3, max_size=3
+        ).map(lambda v: [v[0], None, v[2]]),
+        st.lists(
+            st.integers(-100, 100), min_size=3, max_size=3
+        ).map(lambda v: [float(v[0]), float("nan"), float(v[2])]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(rows=_batch_rows)
+def test_clean_int_rows_exact_past_2_53(rows):
+    """_clean_int_rows (the shared kmeans/PQ dirty-batch router) must
+    return EXACT int64 values for every clean row — even when a dirty
+    row in the same Arrow batch would have promoted the stacked matrix
+    to float64 (rounding magnitudes past 2^53) — and a keep-mask that
+    flags exactly the rows containing a null/NaN element."""
+    import numpy as np
+
+    from lakehouse_engine_spark.datapipes.clustering import _clean_int_rows
+
+    def is_clean(row):
+        return all(
+            x is not None and not (isinstance(x, float) and math.isnan(x))
+            for x in row
+        )
+
+    # mimic the Arrow delivery: per-row ndarrays inside an object array
+    arr = np.empty(len(rows), dtype=object)
+    for i, row in enumerate(rows):
+        if is_clean(row):
+            arr[i] = np.array(row, dtype=np.int64)
+        else:
+            arr[i] = np.array(row, dtype=object)
+    X, good = _clean_int_rows(arr)
+    clean = [row for row in rows if is_clean(row)]
+    if good is None:
+        assert len(rows) == len(clean)
+    else:
+        assert list(good) == [is_clean(row) for row in rows]
+    assert X.dtype == np.int64 or len(X) == 0
+    assert [[int(x) for x in r] for r in X] == [
+        [int(x) for x in row] for row in clean
+    ]
