@@ -58,6 +58,14 @@ UNSUPPORTED_STREAMING_TRANSFORMERS = {
     "dedup_embedding_cosine",
     "dedup_connected_components",
     "dedup_substring_exact",
+    # cross-RUN persistent-state dedup: inside foreachBatch each
+    # micro-batch is a plain batch frame, so the digest state carries
+    # ACROSS micro-batches (and restarts) — true streaming near-dup
+    # dedup. foreachBatch's at-least-once caveat applies: a retried
+    # batch may re-append digests (harmless — the anti-join semantics
+    # are idempotent) and re-emit its survivors downstream.
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
     "text_line_dedup",
     "text_lm_score",
     "text_lm_score_bigram",

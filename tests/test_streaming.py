@@ -600,3 +600,88 @@ def test_stateful_budget_cutoff_restart_in_multi_op_acon(spark, tmp_dir):
     # idle restart: nothing new, nothing re-emitted
     load_data(acon)
     assert spark.read.parquet(out).count() == 4
+
+
+def test_streaming_incremental_minhash_dedups_across_batches_and_runs(
+    spark, tmp_dir
+):
+    """dedup_incremental_minhash in a STREAMING ACON must be re-planned
+    into foreachBatch (inside which every micro-batch is a plain batch
+    frame), so the persistent band-bucket digest state carries across
+    micro-batches AND across stream restarts — true streaming near-dup
+    dedup. A doc repeated in a later micro-batch, or in a later RUN, is
+    suppressed; fresh docs flow."""
+    src = os.path.join(tmp_dir, "docs_src")
+    out = os.path.join(tmp_dir, "docs_out")
+    state = os.path.join(tmp_dir, "mh_state")
+
+    def stage(rows):
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "s",
+                "data_format": "parquet",
+                "location": src,
+                "read_type": "streaming",
+                "schema": "doc_id LONG, text STRING",
+                "options": {"maxFilesPerTrigger": 1},
+            }
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "t",
+                "input_id": "s",
+                "transformers": [
+                    {
+                        "function": "dedup_incremental_minhash",
+                        "args": {
+                            "state_location": state,
+                            "text_col": "text",
+                            "id_col": "doc_id",
+                            "num_hashes": 12,
+                            "bands": 4,
+                            "shingle_size": 3,
+                        },
+                    }
+                ],
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "o",
+                "input_id": "t",
+                "data_format": "parquet",
+                "location": out,
+                "write_type": "append",
+                "options": {
+                    "checkpointLocation": os.path.join(tmp_dir, "ck_mh")
+                },
+            }
+        ],
+    }
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    # batch 1: two fresh docs; batch 2: an exact near-dup of doc 1 (all
+    # bands collide) + one fresh doc
+    stage([(1, base * 3), (2, "completely different second document text")])
+    stage([(10, base * 3), (11, "a third novel document body entirely")])
+    loader = DataLoader(acon)
+    # re-planned: the transformer list moved into foreachBatch
+    assert loader.transform_specs[0].transformers == []
+    assert [
+        t.function
+        for t in loader.output_specs[0].streaming_micro_batch_transformers
+    ] == ["dedup_incremental_minhash"]
+    loader.execute()
+    texts = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert 1 in texts or 10 in texts
+    assert not (1 in texts and 10 in texts)  # the near-dup was suppressed
+    assert 2 in texts and 11 in texts and len(texts) == 3
+    # cross-RUN: a restarted stream (same state) still suppresses
+    stage([(20, base * 3), (21, "yet another brand new document wording")])
+    load_data(acon)
+    after = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert 20 not in after and 21 in after and len(after) == 4
