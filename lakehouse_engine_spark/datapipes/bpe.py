@@ -67,17 +67,28 @@ def _materialize(df: DataFrame) -> DataFrame:
       reference-tracked and dropped when the plan is GC'd (no
       cache-manager entry), at the documented cost that checkpoint
       blocks are NOT recomputable after executor loss.
-    * ``spark.dynamicAllocation.enabled``: executors CAN disappear under
-      us, so instead ``persist()`` + count (recomputable from lineage)
-      and wrap the result in a LogicalRDD so the per-round Catalyst plan
-      stays bounded; the persisted handle rides on the wrapper as
+    * ``spark.dynamicAllocation.enabled`` with a RELIABLE checkpoint dir
+      configured (``SparkContext.setCheckpointDir``): eager
+      ``checkpoint`` — fault-tolerant, plan-truncating, the canonical
+      answer on elastic clusters (checkpoint files outlive the job
+      unless ``spark.cleaner.referenceTracking.cleanCheckpoints`` is
+      set; that is the cluster admin's documented trade).
+    * ``spark.dynamicAllocation.enabled`` without a checkpoint dir:
+      ``persist()`` + count (recomputable from lineage) and wrap the
+      result in a LogicalRDD so the per-round Catalyst plan stays
+      bounded; the persisted handle rides on the wrapper as
       ``_lhe_cache_handle`` and the caller MUST release it with
-      :func:`_release` once the next round is materialized. One-shot
-      size probes must not use this path — they have no sound release
-      point (see wordpiece_encode/unigram_encode).
+      :func:`_release` once the next round is materialized. The wrapper
+      routes reads through Python Row serialization — acceptable here
+      because every caller's frame is vocabulary-sized (distinct words
+      / merge states), never corpus-sized. One-shot size probes must
+      not use this path — they have no sound release point (see
+      wordpiece_encode/unigram_encode).
     """
     spark = df.sparkSession
     if _dyn_alloc_enabled(spark):
+        if not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+            return df.checkpoint(eager=True)
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         cached.count()
         out = spark.createDataFrame(cached.rdd, cached.schema)

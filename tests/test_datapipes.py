@@ -3799,6 +3799,14 @@ def test_materialize_policies_under_dynamic_allocation(spark, monkeypatch):
     bpe_mod._release(static)  # no handle -> no-op
     # probe path under dynamic allocation: NO materialization at all
     assert bpe_mod._probe_materialize(df) is df
+    # with a RELIABLE checkpoint dir configured, dyn-alloc takes the
+    # fault-tolerant checkpoint branch (no cache handle to release)
+    import tempfile
+
+    spark.sparkContext.setCheckpointDir(tempfile.mkdtemp())
+    ck = bpe_mod._materialize(df)
+    assert not hasattr(ck, "_lhe_cache_handle")
+    assert sorted(r["v"] for r in ck.collect()) == list(range(10))
 
 
 def test_wordpiece_encode_bert_semantics(spark):
