@@ -42,88 +42,24 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+from lakehouse_engine_spark.datapipes.materialize import (
+    iter_materialize,
+    probe_materialize,
+    release,
+)
 
 from lakehouse_engine_spark.datapipes.registry import register, register_contextual
 from lakehouse_engine_spark.datapipes.text import tokens
 
 
-def _dyn_alloc_enabled(spark) -> bool:
-    """Whether executors can be removed under us (dynamic allocation) —
-    split out so tests can monkeypatch the environment signal."""
-    return (
-        spark.conf.get("spark.dynamicAllocation.enabled", "false") or "false"
-    ).lower() == "true"
+# Materialization policy shared with the other iterative loops (CC,
+# PageRank) — see datapipes/materialize.py for the full
+# static/checkpoint-dir/persist-wrapper decision table and the
+# release protocol.
+_materialize = iter_materialize
+_release = release
+_probe_materialize = probe_materialize
 
-
-def _materialize(df: DataFrame) -> DataFrame:
-    """Truncate the LOGICAL PLAN of a small control-path frame that an
-    iterative caller (the trainer's merge loop) re-derives every round —
-    without a per-round truncation, Catalyst re-analyzes a plan that
-    grows one layer per round (quadratic driver time, StackOverflow at
-    thousands of rounds).
-
-    * Static cluster: eager ``localCheckpoint`` — blocks are
-      reference-tracked and dropped when the plan is GC'd (no
-      cache-manager entry), at the documented cost that checkpoint
-      blocks are NOT recomputable after executor loss.
-    * ``spark.dynamicAllocation.enabled`` with a RELIABLE checkpoint dir
-      configured (``SparkContext.setCheckpointDir``): eager
-      ``checkpoint`` — fault-tolerant, plan-truncating, the canonical
-      answer on elastic clusters (checkpoint files outlive the job
-      unless ``spark.cleaner.referenceTracking.cleanCheckpoints`` is
-      set; that is the cluster admin's documented trade).
-    * ``spark.dynamicAllocation.enabled`` without a checkpoint dir:
-      ``persist()`` + count (recomputable from lineage) and wrap the
-      result in a LogicalRDD so the per-round Catalyst plan stays
-      bounded; the persisted handle rides on the wrapper as
-      ``_lhe_cache_handle`` and the caller MUST release it with
-      :func:`_release` once the next round is materialized. The wrapper
-      routes reads through Python Row serialization — acceptable here
-      because every caller's frame is vocabulary-sized (distinct words
-      / merge states), never corpus-sized. One-shot size probes must
-      not use this path — they have no sound release point (see
-      wordpiece_encode/unigram_encode).
-    """
-    spark = df.sparkSession
-    if _dyn_alloc_enabled(spark):
-        if not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
-            return df.checkpoint(eager=True)
-        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-        cached.count()
-        out = spark.createDataFrame(cached.rdd, cached.schema)
-        out._lhe_cache_handle = cached
-        return out
-    return df.localCheckpoint(eager=True)
-
-
-def _release(df: DataFrame) -> None:
-    """Unpersist the cache handle attached by :func:`_materialize`'s
-    dynamic-allocation path; no-op for the localCheckpoint path (its
-    blocks drop with plan GC)."""
-    handle = getattr(df, "_lhe_cache_handle", None)
-    if handle is not None:
-        handle.unpersist()
-
-
-def _probe_materialize(df: DataFrame) -> DataFrame:
-    """Materialization for ONE-SHOT dictionary size probes: count now,
-    reuse inside a LAZILY-returned plan.
-
-    * Static cluster: eager ``localCheckpoint`` — the distinct pass runs
-      once, blocks drop with plan GC, and there is no release point to
-      miss (the returned plan is lazy, so an explicit unpersist has no
-      sound place to live; the text_bm25_topk cache-lifetime rationale).
-    * Dynamic allocation: NO materialization — a persist here could
-      never be released and would leak one cache-manager entry per call
-      in a long-lived session, and a localCheckpoint could strand
-      non-recomputable blocks. The probe counts the raw frame and the
-      final plan recomputes the distinct pass: one extra aggregate,
-      leak-free and loss-safe. Callers that care pin the broadcast
-      strategy and skip the probe entirely."""
-    if _dyn_alloc_enabled(df.sparkSession):
-        return df
-    return df.localCheckpoint(eager=True)
 
 TransformerFn = Callable[[DataFrame], DataFrame]
 

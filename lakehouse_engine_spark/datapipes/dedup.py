@@ -31,6 +31,10 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakehouse_engine_spark.datapipes.materialize import (
+    iter_materialize,
+    release,
+)
 from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
 from lakehouse_engine_spark.datapipes.registry import register, register_contextual
 from lakehouse_engine_spark.datapipes.text import shingles, tokens_lower
@@ -910,9 +914,12 @@ def dedup_connected_components(
     def _cc(df: DataFrame) -> DataFrame:
         sig = _minhash_sig_df(df, text_col, id_col, num_hashes, shingle_size)
         edges = _band_exploded(sig, bands, rows).persist(StorageLevel.MEMORY_AND_DISK)
-        labels = edges.select("__id").distinct().withColumn(
-            "__label", F.col("__id")
-        ).localCheckpoint(eager=False)
+        labels = iter_materialize(
+            edges.select("__id").distinct().withColumn(
+                "__label", F.col("__id")
+            ),
+            eager=False,
+        )
         for _ in range(max_iterations):
             bucket_min = (
                 edges.join(labels, "__id")
@@ -929,7 +936,7 @@ def dedup_connected_components(
             # MATERIALIZED round result (no recompute, no numeric cast —
             # the old sum(__label) probe required numeric ids and blew up
             # on string ids)
-            stepped = (
+            stepped = iter_materialize(
                 labels.join(prop, "__id", "left")
                 .select(
                     "__id",
@@ -938,10 +945,13 @@ def dedup_connected_components(
                         "__label", F.coalesce("__prop", "__label")
                     ).alias("__label"),
                 )
-                .localCheckpoint(eager=True)
             )
             changed = stepped.filter(F.col("__label") != F.col("__old")).count()
+            release(labels)  # previous round, now superseded
             labels = stepped.drop("__old")
+            labels._lhe_cache_handle = getattr(
+                stepped, "_lhe_cache_handle", None
+            )
             if changed == 0:
                 break
         edges.unpersist()
@@ -1541,6 +1551,12 @@ def dedup_incremental_exact(
             fresh.withColumn("__rn", F.row_number().over(w_best))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
+            # MUST stay localCheckpoint (not iter_materialize): the
+            # lineage reads the state this function is about to MUTATE —
+            # a recomputable persist would, after executor loss, re-read
+            # the already-appended digests and silently drop every row of
+            # this batch. Non-recomputable blocks fail LOUDLY instead,
+            # which is the correct behavior here.
             .localCheckpoint(eager=True)
         )
         if update_state:
@@ -1623,6 +1639,8 @@ def dedup_incremental_minhash(
                 .filter(F.col("__head") == F.col("__id"))
                 .select("__id")
             )
+            # MUST stay localCheckpoint — same read-then-mutate-state
+            # rationale as dedup_incremental_exact above
             survivors = df.join(
                 head, df[id_col] == head["__id"], "left_semi"
             ).localCheckpoint(eager=True)

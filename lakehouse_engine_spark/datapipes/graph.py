@@ -5,9 +5,11 @@ centrality feeds quality filtering, crawl prioritization, and dedup
 survivor choice). The operators here run the classic iterative
 message-passing shape Spark-first: edges stay partitioned by source,
 each iteration is one co-partitioned join + one map-side-combined
-aggregation, and lineage is truncated per round with ``localCheckpoint``
-so iteration K's plan never replays rounds 1..K-1 (the same discipline
-as ``dedup_connected_components``).
+aggregation, and lineage is truncated per round with ``iter_materialize``
+(localCheckpoint on static clusters; recomputable persist or reliable
+checkpoint under dynamic allocation — see datapipes/materialize.py) so
+iteration K's plan never replays rounds 1..K-1 (the same discipline as
+``dedup_connected_components``).
 
 Numeric design: ranks are SCALED BIGINTS (1e12 grid) and every
 per-edge contribution is ``(rank * 17) div (20 * outdeg)`` — damping
@@ -23,6 +25,10 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_engine_spark.datapipes.materialize import (
+    iter_materialize,
+    release,
+)
 from lakehouse_engine_spark.datapipes.registry import register
 
 TransformerFn = Callable[[DataFrame], DataFrame]
@@ -97,14 +103,13 @@ def connected_components(
             ).first()
             return int(row["n"]), row["h"]
 
-        edges = (
+        edges = iter_materialize(
             raw.where(F.col("__a") != F.col("__b"))
             .select(
                 F.greatest("__a", "__b").alias("__u"),
                 F.least("__a", "__b").alias("__v"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
         prev_n, prev_h = _stats(edges)
         converged = prev_n == 0
@@ -136,10 +141,10 @@ def connected_components(
                 .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
                 .union(smin.select(F.col("__u"), F.col("__m").alias("__v")))
                 .distinct()
-                # lazy checkpoint: the stats aggregate right below is the
-                # materializing action — one job per round, not two
-                .localCheckpoint(eager=False)
             )
+            # lazy materialization: the stats aggregate right below is
+            # the materializing action — one job per round, not two
+            new_edges = iter_materialize(new_edges, eager=False)
             # cheap necessary condition first (count + order-free hash
             # sum, ONE aggregate job); the exact exceptAll confirmation
             # runs only when it signals a fixpoint — distinct sets of
@@ -151,6 +156,7 @@ def connected_components(
                 and new_edges.exceptAll(edges).count() == 0
             ):
                 converged = True
+            release(edges)  # previous round, now superseded
             edges, prev_n, prev_h = new_edges, new_n, new_h
         if not converged:
             raise RuntimeError(
@@ -232,9 +238,10 @@ def pagerank(
             )
         init_s = SCALE // n
         base_s = (3 * SCALE) // (20 * n)
-        ranks = nodes.select(
-            "__node", F.lit(init_s).cast("long").alias("__r")
-        ).localCheckpoint(eager=False)
+        ranks = iter_materialize(
+            nodes.select("__node", F.lit(init_s).cast("long").alias("__r")),
+            eager=False,
+        )
         for _ in range(iterations):
             contribs = (
                 annotated.join(
@@ -247,7 +254,7 @@ def pagerank(
                 .groupBy("__node")
                 .agg(F.sum("__c").alias("__in"))
             )
-            ranks = (
+            nxt = iter_materialize(
                 nodes.join(contribs, "__node", "left")
                 .select(
                     "__node",
@@ -255,8 +262,9 @@ def pagerank(
                     .cast("long")
                     .alias("__r"),
                 )
-                .localCheckpoint(eager=True)
             )
+            release(ranks)  # previous round, now superseded
+            ranks = nxt
         annotated.unpersist()
         nodes.unpersist()
         return ranks.select(

@@ -1,0 +1,96 @@
+"""Materialization policy for iterative datapipes loops.
+
+Iterative operators (connected components, PageRank, the BPE trainer)
+re-derive a small control frame every round; without per-round plan
+truncation Catalyst re-analyzes a plan that grows one layer per round
+(quadratic driver time, StackOverflow at thousands of rounds). The
+classic truncation is ``localCheckpoint`` — but its blocks are NOT
+recomputable, so losing the executor that holds them (dynamic-allocation
+scale-in, spot kill) fails every downstream stage unrecoverably.
+
+:func:`iter_materialize` picks per environment:
+
+* Static cluster: ``localCheckpoint`` (blocks are reference-tracked and
+  dropped when the plan is GC'd — no cache-manager entry, no release
+  protocol needed).
+* ``spark.dynamicAllocation.enabled`` + a reliable checkpoint dir
+  (``SparkContext.setCheckpointDir``): ``checkpoint`` — fault-tolerant
+  and plan-truncating (checkpoint files outlive the job unless
+  ``spark.cleaner.referenceTracking.cleanCheckpoints`` is set; the
+  cluster admin's documented trade).
+* ``spark.dynamicAllocation.enabled`` without a checkpoint dir:
+  ``persist`` (recomputable from lineage) behind a plan-truncating
+  LogicalRDD wrapper. The caller MUST call :func:`release` on the
+  previous round's frame once the next round is materialized. The
+  wrapper routes reads through Python Row serialization — acceptable
+  because every iterative caller's frame is control-sized (labels,
+  ranks, distinct words), never corpus-sized.
+
+NOT for every localCheckpoint site: operators whose returned (lazy) plan
+must read a snapshot of state the operator itself then MUTATES — the
+``dedup_incremental_*`` family checkpoints the survivors BEFORE
+appending their digests to the state the anti-join reads — must keep
+``localCheckpoint`` unconditionally: a lineage recompute after executor
+loss would re-read the already-updated state and silently drop rows,
+so failing loudly is the correct behavior there.
+
+One-shot size probes (count now, reuse in a lazily-returned plan) use
+:func:`probe_materialize`: checkpoint on static clusters, NO
+materialization under dynamic allocation (a persist could never be
+released; the probe recomputes instead — leak-free and loss-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+def dyn_alloc_enabled(spark) -> bool:
+    """Whether executors can be removed under us (dynamic allocation) —
+    split out so tests can monkeypatch the environment signal."""
+    return (
+        spark.conf.get("spark.dynamicAllocation.enabled", "false") or "false"
+    ).lower() == "true"
+
+
+def has_checkpoint_dir(spark) -> bool:
+    """Whether a reliable checkpoint dir is configured — split out so
+    tests can pin the branch regardless of shared-session state."""
+    return not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()
+
+
+def iter_materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate the logical plan of one loop round (policy above).
+
+    ``eager=False`` preserves the one-job-per-round optimization where
+    the caller's own next action materializes the frame (the graph CC
+    stats probe); the dyn-alloc persist branch stays lazy the same way —
+    persist and the LogicalRDD wrapper are both lazy until acted on.
+    """
+    spark = df.sparkSession
+    if dyn_alloc_enabled(spark):
+        if has_checkpoint_dir(spark):
+            return df.checkpoint(eager=eager)
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            cached.count()
+        out = spark.createDataFrame(cached.rdd, cached.schema)
+        out._lhe_cache_handle = cached
+        return out
+    return df.localCheckpoint(eager=eager)
+
+
+def release(df) -> None:
+    """Unpersist the cache handle attached by :func:`iter_materialize`'s
+    persist branch; no-op for every other branch (and for None)."""
+    handle = getattr(df, "_lhe_cache_handle", None)
+    if handle is not None:
+        handle.unpersist()
+
+
+def probe_materialize(df: DataFrame) -> DataFrame:
+    """One-shot size-probe materialization (policy above)."""
+    if dyn_alloc_enabled(df.sparkSession):
+        return df
+    return df.localCheckpoint(eager=True)

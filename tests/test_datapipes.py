@@ -3778,6 +3778,7 @@ def test_materialize_policies_under_dynamic_allocation(spark, monkeypatch):
     one-shot probe policy must never persist under dynamic allocation
     (no sound release point) — identical contents on every path."""
     from lakehouse_engine_spark.datapipes import bpe as bpe_mod
+    from lakehouse_engine_spark.datapipes import materialize as mat_mod
 
     df = spark.createDataFrame([(i,) for i in range(10)], "v LONG")
     # static cluster (this container): checkpoint path, no cache entry
@@ -3788,7 +3789,7 @@ def test_materialize_policies_under_dynamic_allocation(spark, monkeypatch):
     assert bpe_mod._probe_materialize(df) is not df  # probe checkpoints too
     # dynamic allocation: persist path — rebuildable from lineage, plan
     # bounded by the LogicalRDD wrapper, handle released explicitly
-    monkeypatch.setattr(bpe_mod, "_dyn_alloc_enabled", lambda s: True)
+    monkeypatch.setattr(mat_mod, "dyn_alloc_enabled", lambda s: True)
     dyn = bpe_mod._materialize(df)
     assert "ExistingRDD" in dyn._jdf.queryExecution().executedPlan().toString()
     handle = dyn._lhe_cache_handle
@@ -4537,3 +4538,48 @@ def test_cluster_stats(spark):
     assert out[0]["size"] == 2 and out[0]["inertia"] == 40
     assert out[0]["mean_dist"] == 20.0 and out[0]["max_dist"] == 30
     assert out[1]["size"] == 1 and out[1]["inertia"] == 4
+
+
+def test_iterative_loops_under_dynamic_allocation(spark, monkeypatch):
+    """The iterative loops (dedup CC, graph CC, PageRank, BPE trainer)
+    must produce IDENTICAL results through iter_materialize's
+    dynamic-allocation persist branch (plan-truncating LogicalRDD over a
+    recomputable persist, handle released per round) as through the
+    static localCheckpoint branch."""
+    from lakehouse_engine_spark.datapipes import materialize as mat_mod
+
+    docs = spark.createDataFrame(
+        [(i, f"shared near duplicate body text number {i % 3} with more words")
+         for i in range(12)],
+        "doc_id LONG, text STRING",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 6), (7, 1)], "src LONG, dst LONG"
+    )
+
+    def run_all():
+        cc = {r["doc_id"]: r["dup_cluster"] for r in docs.transform(
+            t("dedup_connected_components", num_hashes=12, bands=4,
+              shingle_size=3, keep="clusters", output_col="dup_cluster")
+        ).collect()}
+        gcc = {r["node"]: r["component"] for r in edges.transform(
+            t("graph_connected_components", max_iterations=20)
+        ).collect()}
+        pr = {r["node"]: r["rank_s"] for r in edges.transform(
+            t("graph_pagerank", iterations=4)
+        ).collect()}
+        tr = [tuple(r) for r in docs.transform(
+            t("bpe_train", num_merges=6)
+        ).collect()]
+        return cc, gcc, pr, tr
+
+    static = run_all()
+    monkeypatch.setattr(mat_mod, "dyn_alloc_enabled", lambda s: True)
+    # pin the persist branch regardless of shared-session checkpoint dir
+    monkeypatch.setattr(mat_mod, "has_checkpoint_dir", lambda s: False)
+    dyn = run_all()
+    assert dyn == static
+    # per-round handles were released: at most the final round's entry
+    # per loop may linger (documented); nothing unbounded
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getRDDStorageInfo().__len__() <= 8
