@@ -3690,7 +3690,9 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # from this constant + the CORRECTNESS history, so update it as part of
 # every rotation. Round 9: q31 is new; the dsir null-id plan-reuse fix
 # touches dp115; the kmeans-kernel re-stack touches dp112/dp113; the
-# bpe _materialize rework touches dp69/dp69b/dp118/dp125.
+# bpe/dedup-CC/graph iterative loops adopted the shared iter_materialize
+# policy, touching dp69/dp69b/dp118/dp125, dp20/dp61, dp87 and dp121
+# (dp61 sits in the r05-tail block below).
 WINDOW_RETOUCHED = (
     "q31_curation_pipeline",
     "dp115_dsir_score",
@@ -3700,6 +3702,10 @@ WINDOW_RETOUCHED = (
     "dp125_unigram_encode",
     "dp69_bpe_tokenize",
     "dp69b_bpe_encode",
+    "dp20_dup_clusters",
+    "dp61_keep_best_dedup",
+    "dp87_pagerank",
+    "dp121_graph_components",
 )
 
 
@@ -3722,6 +3728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp113_cluster_stats": dp113_cluster_stats,
         "dp118_wordpiece_encode": dp118_wordpiece_encode,
         "dp125_unigram_encode": dp125_unigram_encode,
+        "dp20_dup_clusters": dp20_dup_clusters,
+        "dp121_graph_components": dp121_graph_components,
         # --- r05 tail + q23-q28 cohort (last driver-checked r06) ---
         "dp57_robust_scale": dp57_robust_scale,
         "dp58_quantile_summary": dp58_quantile_summary,
@@ -3766,10 +3774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp90_html_strip": dp90_html_strip,
         "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,
         "dp92_image_resize": dp92_image_resize,
+        # ---- driver window boundary (entry 50 = dp92_image_resize) ----
+        # --- rest of the r06 remainder: first in line for the r10 window ---
         "dp93_audio_resample": dp93_audio_resample,
         "dp94_running_totals": dp94_running_totals,
-        # ---- driver window boundary (entry 50 = dp94_running_totals) ----
-        # --- rest of the r06 remainder: first in line for the r10 window ---
         "dp95_approx_distinct": dp95_approx_distinct,
         "dp96_g711_decode": dp96_g711_decode,
         "dp99_hash_embedding": dp99_hash_embedding,
@@ -3788,7 +3796,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp117_knn_pq": dp117_knn_pq,
         "dp119_decontaminate_spans": dp119_decontaminate_spans,
         "dp120_dup_line_stats": dp120_dup_line_stats,
-        "dp121_graph_components": dp121_graph_components,
         "dp122_pca_moments": dp122_pca_moments,
         "dp123_frequent_terms": dp123_frequent_terms,
         "dp124_word_pmi": dp124_word_pmi,
@@ -3852,7 +3859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp17_range_join": dp17_range_join,
         "dp18_sessionize": dp18_sessionize,
         "dp19_profile": dp19_profile,
-        "dp20_dup_clusters": dp20_dup_clusters,
         "dp21_pii_redact": dp21_pii_redact,
         "dp22_repetition": dp22_repetition,
         "dp23_decontaminate": dp23_decontaminate,
