@@ -1466,6 +1466,21 @@ def dp41_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "n_chars")
 
 
+def dp129_group_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """PER-GROUP top-fraction pruning (datapipes/sampling.py
+    quantile_prune with group_cols): keep the longest 30% of documents
+    WITHIN EACH LANGUAGE — the standard per-language curation cut (a
+    single global threshold lets a verbose language starve the others).
+    Same histogram-cumsum threshold as dp41, partitioned by group; the
+    groups-sized threshold table broadcasts."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(
+        _t("quantile_prune", score_col="n_chars", keep_frac=0.3,
+           group_cols=["lang"])
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def _le_hex(col, nbytes: int):
     """Little-endian hex of an integer column, ``nbytes`` wide — for
     constructing RIFF/WAV binary structures in pure SQL expressions."""
@@ -3706,6 +3721,7 @@ WINDOW_RETOUCHED = (
     "dp61_keep_best_dedup",
     "dp87_pagerank",
     "dp121_graph_components",
+    "dp129_group_quantile_prune",  # new this round (grouped threshold)
 )
 
 
@@ -3730,6 +3746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp125_unigram_encode": dp125_unigram_encode,
         "dp20_dup_clusters": dp20_dup_clusters,
         "dp121_graph_components": dp121_graph_components,
+        "dp129_group_quantile_prune": dp129_group_quantile_prune,
         # --- r05 tail + q23-q28 cohort (last driver-checked r06) ---
         "dp57_robust_scale": dp57_robust_scale,
         "dp58_quantile_summary": dp58_quantile_summary,
@@ -3773,9 +3790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp89_sentence_split": dp89_sentence_split,
         "dp90_html_strip": dp90_html_strip,
         "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,
-        "dp92_image_resize": dp92_image_resize,
-        # ---- driver window boundary (entry 50 = dp92_image_resize) ----
+        # ---- driver window boundary (entry 50 = dp91_lsh_bucket_stats) ----
         # --- rest of the r06 remainder: first in line for the r10 window ---
+        "dp92_image_resize": dp92_image_resize,
         "dp93_audio_resample": dp93_audio_resample,
         "dp94_running_totals": dp94_running_totals,
         "dp95_approx_distinct": dp95_approx_distinct,
@@ -4934,6 +4951,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars FROM documents CROSS JOIN thr
             WHERE n_chars >= t
+        """,
+        "dp129_group_quantile_prune": """
+            WITH hist AS (
+              SELECT lang, n_chars AS s, COUNT(*) AS c
+              FROM documents GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT lang, s,
+                     SUM(c) OVER (PARTITION BY lang ORDER BY s DESC
+                                  ROWS UNBOUNDED PRECEDING) AS cm,
+                     SUM(c) OVER (PARTITION BY lang) AS n
+              FROM hist
+            ),
+            thr AS (
+              SELECT lang, MAX(s) AS t FROM cum
+              WHERE cm >= CEIL(n * 0.3) GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN thr USING (lang)
+            WHERE d.n_chars >= thr.t
         """,
         "dp39_cross_corpus_dedup": r"""
             WITH ref AS (

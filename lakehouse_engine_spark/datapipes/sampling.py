@@ -14,7 +14,7 @@ for the oracle (``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -632,6 +632,7 @@ def quantile_prune(
     score_col: str,
     keep_frac: float,
     higher_is_better: bool = True,
+    group_cols: Optional[List[str]] = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Keep (at least) the top ``keep_frac`` of rows by score — the
     "train on the best X% by quality score" step. The cut threshold is the
@@ -640,34 +641,83 @@ def quantile_prune(
     result may slightly exceed the budget on ties — deterministic, and the
     honest contract for a score on a rounded grid).
 
+    With ``group_cols`` the cut is computed PER GROUP (the standard
+    per-language / per-domain curation threshold — a single global cut
+    lets a verbose language starve the others). Rows whose group value is
+    null form their own group (null-safe threshold attach).
+
     Scale design: no global sort and no per-row window. The score
     HISTOGRAM (one map-side-combined groupBy — requires a bounded-grid
     score, e.g. a 4dp-rounded quality score, so distinct values ≪ rows)
     gets a cumulative count over its few distinct values, the threshold
-    reduces to one scalar, and the data pass is a plain broadcast-compare
-    filter. Contrast with ``percent_rank()``: that is a full orderBy
-    shuffle of every row at 100 TB.
+    reduces to one scalar per group (the threshold table is
+    groups-sized, so it broadcasts), and the data pass is a plain
+    broadcast-compare filter. Contrast with ``percent_rank()``: that is
+    a full orderBy shuffle of every row at 100 TB.
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"quantile_prune: keep_frac must be in (0, 1], got {keep_frac}")
 
     def _prune(df: DataFrame) -> DataFrame:
+        from functools import reduce as _reduce
+        from operator import and_ as _and
+
         from pyspark.sql import Window
 
         s = F.col(score_col)
-        hist = df.groupBy(s.alias("__s")).agg(F.count(F.lit(1)).alias("__c"))
         order = F.desc("__s") if higher_is_better else F.asc("__s")
-        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        total = hist.agg(F.sum("__c").alias("__n"))
-        cum = hist.withColumn("__cum", F.sum("__c").over(w)).crossJoin(
-            F.broadcast(total)
-        )
         agg_thr = F.max("__s") if higher_is_better else F.min("__s")
-        thr = cum.filter(
-            F.col("__cum") >= F.ceil(F.col("__n") * keep_frac)
-        ).agg(agg_thr.alias("__thr"))
-        cond = s >= F.col("__thr") if higher_is_better else s <= F.col("__thr")
-        return df.crossJoin(F.broadcast(thr)).filter(cond).drop("__thr")
+        cond = (
+            (s >= F.col("__thr"))
+            if higher_is_better
+            else (s <= F.col("__thr"))
+        )
+        if not group_cols:
+            hist = df.groupBy(s.alias("__s")).agg(
+                F.count(F.lit(1)).alias("__c")
+            )
+            w = Window.orderBy(order).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            total = hist.agg(F.sum("__c").alias("__n"))
+            cum = hist.withColumn("__cum", F.sum("__c").over(w)).crossJoin(
+                F.broadcast(total)
+            )
+            thr = cum.filter(
+                F.col("__cum") >= F.ceil(F.col("__n") * keep_frac)
+            ).agg(agg_thr.alias("__thr"))
+            return df.crossJoin(F.broadcast(thr)).filter(cond).drop("__thr")
+        # per-group: the histogram gains the group key, the cumulative
+        # window partitions by it, and the one-row threshold becomes a
+        # groups-sized broadcast table (null-safe equi-join so null
+        # groups prune against their own threshold, not vanish)
+        hist = df.groupBy(
+            *[F.col(c) for c in group_cols], s.alias("__s")
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.partitionBy(*group_cols).orderBy(order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wg = Window.partitionBy(*group_cols)
+        cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+            "__n", F.sum("__c").over(wg)
+        )
+        thr = (
+            cum.filter(F.col("__cum") >= F.ceil(F.col("__n") * keep_frac))
+            .groupBy(*group_cols)
+            .agg(agg_thr.alias("__thr"))
+            .select(
+                *[F.col(c).alias(f"__g_{c}") for c in group_cols], "__thr"
+            )
+        )
+        on = _reduce(
+            _and,
+            [df[c].eqNullSafe(F.col(f"__g_{c}")) for c in group_cols],
+        )
+        return (
+            df.join(F.broadcast(thr), on)
+            .filter(cond)
+            .drop("__thr", *[f"__g_{c}" for c in group_cols])
+        )
 
     return _prune
 

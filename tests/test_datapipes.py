@@ -4583,3 +4583,34 @@ def test_iterative_loops_under_dynamic_allocation(spark, monkeypatch):
     # per loop may linger (documented); nothing unbounded
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getRDDStorageInfo().__len__() <= 8
+
+
+def test_quantile_prune_per_group_with_null_group_and_ties(spark):
+    """quantile_prune(group_cols=...): the cut is computed per group —
+    every group keeps (at least) its own top keep_frac, ties at each
+    group's threshold are all kept, and rows with a NULL group value form
+    their own group (null-safe threshold attach) instead of vanishing."""
+    rows = (
+        [("en", i, 100 + i) for i in range(10)]          # en: scores 100..109
+        + [("de", 100 + i, 7) for i in range(4)]         # de: all tied at 7
+        + [(None, 200 + i, 50 + i) for i in range(4)]    # null group: 50..53
+    )
+    df = spark.createDataFrame(rows, "lang STRING, doc_id LONG, score LONG")
+    out = df.transform(
+        t("quantile_prune", score_col="score", keep_frac=0.3,
+          group_cols=["lang"])
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["lang"], set()).add(r["score"])
+    # en: ceil(10*0.3)=3 -> top 3 scores
+    assert got["en"] == {109, 108, 107}
+    # de: all tied at the threshold -> every row kept
+    assert got["de"] == {7} and sum(r["lang"] == "de" for r in out) == 4
+    # null group: ceil(4*0.3)=2 -> top 2, not dropped by the join
+    assert got[None] == {53, 52}
+    # and the global path is unchanged: one threshold across all rows
+    glob = df.transform(
+        t("quantile_prune", score_col="score", keep_frac=0.3)
+    ).collect()
+    assert {r["score"] for r in glob} == {104, 105, 106, 107, 108, 109}

@@ -814,6 +814,18 @@ def test_gopher_rules_single_codegen_pass(spark, sf_dir):
         assert bad not in physical, (bad, physical[:2000])
 
 
+def test_group_quantile_prune_broadcasts_threshold_table(spark, sf_dir):
+    """dp129 (per-group quantile prune): the groups-sized threshold table
+    attaches by ONE broadcast hash join — no sort-merge, no cartesian,
+    and no per-row window over the corpus (the cumulative window runs on
+    the bounded-grid histogram only)."""
+    df = entry.queries()["dp129_group_quantile_prune"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert physical.count("BroadcastHashJoin") == 1, physical[:2000]
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in physical, (bad, physical[:2000])
+
+
 def test_curation_pipeline_composes_scale_correct_plans(spark, sf_dir):
     """q31 (the composed ACON curation chain) must inherit every stage's
     scale posture through composition: no cartesian product anywhere, no
