@@ -4574,15 +4574,17 @@ def test_iterative_loops_under_dynamic_allocation(spark, monkeypatch):
         return cc, gcc, pr, tr
 
     static = run_all()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getRDDStorageInfo().__len__()
     monkeypatch.setattr(mat_mod, "dyn_alloc_enabled", lambda s: True)
     # pin the persist branch regardless of shared-session checkpoint dir
     monkeypatch.setattr(mat_mod, "has_checkpoint_dir", lambda s: False)
     dyn = run_all()
     assert dyn == static
     # per-round handles were released: at most the final round's entry
-    # per loop may linger (documented); nothing unbounded
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getRDDStorageInfo().__len__() <= 8
+    # per loop may linger (documented); nothing unbounded. Delta, not an
+    # absolute count — other suite tests legitimately leave cached RDDs.
+    assert jsc.getRDDStorageInfo().__len__() - before <= 8
 
 
 def test_quantile_prune_per_group_with_null_group_and_ties(spark):
