@@ -919,6 +919,7 @@ def dedup_connected_components(
                 "__label", F.col("__id")
             ),
             eager=False,
+            corpus_sized=True,
         )
         for _ in range(max_iterations):
             bucket_min = (
@@ -944,7 +945,8 @@ def dedup_connected_components(
                     F.least(
                         "__label", F.coalesce("__prop", "__label")
                     ).alias("__label"),
-                )
+                ),
+                corpus_sized=True,
             )
             changed = stepped.filter(F.col("__label") != F.col("__old")).count()
             release(labels)  # previous round, now superseded

@@ -109,7 +109,8 @@ def connected_components(
                 F.greatest("__a", "__b").alias("__u"),
                 F.least("__a", "__b").alias("__v"),
             )
-            .distinct()
+            .distinct(),
+            corpus_sized=True,
         )
         prev_n, prev_h = _stats(edges)
         converged = prev_n == 0
@@ -144,7 +145,7 @@ def connected_components(
             )
             # lazy materialization: the stats aggregate right below is
             # the materializing action — one job per round, not two
-            new_edges = iter_materialize(new_edges, eager=False)
+            new_edges = iter_materialize(new_edges, eager=False, corpus_sized=True)
             # cheap necessary condition first (count + order-free hash
             # sum, ONE aggregate job); the exact exceptAll confirmation
             # runs only when it signals a fixpoint — distinct sets of
@@ -241,6 +242,7 @@ def pagerank(
         ranks = iter_materialize(
             nodes.select("__node", F.lit(init_s).cast("long").alias("__r")),
             eager=False,
+            corpus_sized=True,
         )
         for _ in range(iterations):
             contribs = (
@@ -261,7 +263,8 @@ def pagerank(
                     (F.lit(base_s) + F.coalesce("__in", F.lit(0)))
                     .cast("long")
                     .alias("__r"),
-                )
+                ),
+                corpus_sized=True,
             )
             release(ranks)  # previous round, now superseded
             ranks = nxt

@@ -19,12 +19,12 @@ scale-in, spot kill) fails every downstream stage unrecoverably.
   ``spark.cleaner.referenceTracking.cleanCheckpoints`` is set; the
   cluster admin's documented trade).
 * ``spark.dynamicAllocation.enabled`` without a checkpoint dir:
-  ``persist`` (recomputable from lineage) behind a plan-truncating
-  LogicalRDD wrapper. The caller MUST call :func:`release` on the
-  previous round's frame once the next round is materialized. The
-  wrapper routes reads through Python Row serialization — acceptable
-  because every iterative caller's frame is control-sized (labels,
-  ranks, distinct words), never corpus-sized.
+  ``persist`` (recomputable from lineage) — behind a plan-truncating
+  LogicalRDD wrapper for control-sized frames (distinct words, merge
+  states), or bare for ``corpus_sized=True`` callers whose round count
+  is bounded (see :func:`iter_materialize`). The caller MUST call
+  :func:`release` on the previous round's frame once the next round is
+  materialized.
 
 NOT for every localCheckpoint site: operators whose returned (lazy) plan
 must read a snapshot of state the operator itself then MUTATES — the
@@ -60,13 +60,24 @@ def has_checkpoint_dir(spark) -> bool:
     return not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()
 
 
-def iter_materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+def iter_materialize(
+    df: DataFrame, eager: bool = True, corpus_sized: bool = False
+) -> DataFrame:
     """Truncate the logical plan of one loop round (policy above).
 
     ``eager=False`` preserves the one-job-per-round optimization where
     the caller's own next action materializes the frame (the graph CC
-    stats probe); the dyn-alloc persist branch stays lazy the same way —
-    persist and the LogicalRDD wrapper are both lazy until acted on.
+    stats probe); the dyn-alloc persist branch stays lazy the same way.
+
+    ``corpus_sized=True`` declares the frame scales with the corpus
+    (CC labels/edges, PageRank ranks): the persist fallback then SKIPS
+    the LogicalRDD wrapper — its Python Row round-trip is only
+    acceptable for control-sized frames (distinct words, merge states).
+    The plan is left growing one layer per round instead, which is
+    bounded for these callers (CC converges in O(log^2 n) rounds,
+    PageRank runs a fixed iteration count) — quadratic-in-rounds
+    analysis over <= ~50 rounds is noise next to a corpus-sized pickle
+    round-trip per round.
     """
     spark = df.sparkSession
     if dyn_alloc_enabled(spark):
@@ -75,6 +86,11 @@ def iter_materialize(df: DataFrame, eager: bool = True) -> DataFrame:
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         if eager:
             cached.count()
+        if corpus_sized:
+            # persist alone: recompute-safe; plan depth bounded by the
+            # caller's round count (see docstring)
+            cached._lhe_cache_handle = cached
+            return cached
         out = spark.createDataFrame(cached.rdd, cached.schema)
         out._lhe_cache_handle = cached
         return out
