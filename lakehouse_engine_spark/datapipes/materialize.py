@@ -19,12 +19,13 @@ scale-in, spot kill) fails every downstream stage unrecoverably.
   ``spark.cleaner.referenceTracking.cleanCheckpoints`` is set; the
   cluster admin's documented trade).
 * ``spark.dynamicAllocation.enabled`` without a checkpoint dir:
-  ``persist`` (recomputable from lineage) — behind a plan-truncating
+  ``persist`` (recomputable from lineage) behind a plan-truncating
   LogicalRDD wrapper for control-sized frames (distinct words, merge
-  states), or bare for ``corpus_sized=True`` callers whose round count
-  is bounded (see :func:`iter_materialize`). The caller MUST call
-  :func:`release` on the previous round's frame once the next round is
-  materialized.
+  states) — the caller MUST call :func:`release` on the previous
+  round's frame once the next round is materialized; corpus-sized
+  frames fall back to a warned ``localCheckpoint`` (see
+  :func:`iter_materialize` for why un-truncated plans are not an
+  option).
 
 NOT for every localCheckpoint site: operators whose returned (lazy) plan
 must read a snapshot of state the operator itself then MUTATES — the
@@ -42,8 +43,13 @@ released; the probe recomputes instead — leak-free and loss-safe).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
+
+_LOGGER = logging.getLogger(__name__)
+_warned_corpus_dyn = False
 
 
 def dyn_alloc_enabled(spark) -> bool:
@@ -70,27 +76,38 @@ def iter_materialize(
     stats probe); the dyn-alloc persist branch stays lazy the same way.
 
     ``corpus_sized=True`` declares the frame scales with the corpus
-    (CC labels/edges, PageRank ranks): the persist fallback then SKIPS
-    the LogicalRDD wrapper — its Python Row round-trip is only
-    acceptable for control-sized frames (distinct words, merge states).
-    The plan is left growing one layer per round instead, which is
-    bounded for these callers (CC converges in O(log^2 n) rounds,
-    PageRank runs a fixed iteration count) — quadratic-in-rounds
-    analysis over <= ~50 rounds is noise next to a corpus-sized pickle
-    round-trip per round.
+    (CC labels/edges, PageRank ranks): the LogicalRDD wrapper's Python
+    Row round-trip is only acceptable for control-sized frames
+    (distinct words, merge states), and leaving the plan UN-truncated is
+    not an option at all — these loops reference the previous round's
+    frame several times per round, so the un-truncated plan tree grows
+    EXPONENTIALLY (measured: the 1M-node CC probe explodes past 400
+    stages and OOMs the driver by round ~13). Under dynamic allocation
+    without a checkpoint dir, corpus-sized frames therefore fall back
+    to ``localCheckpoint`` with a one-time warning: bounded plans and
+    native-speed rounds, at the documented risk that executor scale-in
+    fails the job loudly — configure ``SparkContext.setCheckpointDir``
+    to get the fault-tolerant branch instead.
     """
     spark = df.sparkSession
     if dyn_alloc_enabled(spark):
         if has_checkpoint_dir(spark):
             return df.checkpoint(eager=eager)
+        if corpus_sized:
+            global _warned_corpus_dyn
+            if not _warned_corpus_dyn:
+                _warned_corpus_dyn = True
+                _LOGGER.warning(
+                    "iter_materialize: dynamic allocation is on but no "
+                    "checkpoint dir is set — corpus-sized loop frames use "
+                    "localCheckpoint (non-recomputable after executor "
+                    "scale-in; the job fails loudly). Set "
+                    "SparkContext.setCheckpointDir for fault tolerance."
+                )
+            return df.localCheckpoint(eager=eager)
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         if eager:
             cached.count()
-        if corpus_sized:
-            # persist alone: recompute-safe; plan depth bounded by the
-            # caller's round count (see docstring)
-            cached._lhe_cache_handle = cached
-            return cached
         out = spark.createDataFrame(cached.rdd, cached.schema)
         out._lhe_cache_handle = cached
         return out
