@@ -65,7 +65,26 @@ class ReaderFactory:
                 reader = reader.schema(schema)
             df = reader.load(spec.location)
         elif fmt in FILE_INPUT_FORMATS:
+            if fmt == "delta":
+                from lakehouse_engine_spark.core.exec_env import ExecEnv
+
+                # mirror the writer's degradation: without delta-spark the
+                # engine writes parquet at delta locations, so reads must
+                # follow (reference ACONs read their own outputs back)
+                if not ExecEnv.delta_available():
+                    fmt = "parquet"
             schema = resolve_schema(spark, spec.schema, spec.schema_path, spec.enforce_schema_from_table)
+            if (
+                schema is not None
+                and spec.enforce_schema_from_table
+                and spec.schema is None
+                and spec.schema_path is None
+                and fmt == "csv"
+                and str(options.get("header", "")).lower() == "true"
+            ):
+                schema = _align_schema_to_csv_header(
+                    spark, schema, spec.location, options
+                )
             reader = spark.readStream if streaming else spark.read
             reader = reader.format(fmt).options(**options)
             if schema is not None:
@@ -89,6 +108,34 @@ class ReaderFactory:
         if spec.temp_view:
             df.createOrReplaceTempView(spec.temp_view)
         return df
+
+
+def _align_schema_to_csv_header(spark, schema, location, options):
+    """Reorder an ENFORCED table schema to a header'd CSV's column order.
+
+    Spark applies a csv schema POSITIONALLY. The reference enforces
+    Delta-table schemas, and Delta preserves the declared column order —
+    but our parquet catalog fallback normalizes partition columns to the
+    END of the table schema, so positional enforcement would read the
+    wrong columns whenever the target table is partitioned. Aligning the
+    enforced schema to the header's order BY NAME keeps the per-column
+    types (and FAILFAST parsing) while restoring the reference's
+    semantics. Falls back to the raw table order when the header cannot
+    be read or does not name exactly the table's columns."""
+    try:
+        first = spark.read.text(location).first()
+        if first is None:
+            return schema
+        delim = str(options.get("delimiter", options.get("sep", ",")))
+        header = [c.strip().strip('"') for c in first["value"].split(delim)]
+        by_name = {f.name: f for f in schema.fields}
+        if sorted(header) != sorted(by_name):
+            return schema
+        from pyspark.sql.types import StructType
+
+        return StructType([by_name[c] for c in header])
+    except Exception:  # noqa: BLE001 — alignment is best-effort
+        return schema
 
 
 def _read_jdbc(spark: SparkSession, spec: InputSpec, options: dict) -> DataFrame:

@@ -189,6 +189,21 @@ class TransformerFactory:
         spec: TransformerSpec, data: Optional[Dict[str, DataFrame]] = None
     ) -> TransformerFn:
         name, args = spec.function, dict(spec.args or {})
+        # pure-JSON ACON convention (reference
+        # transformer_factory.py:97-98): incremental_filter's
+        # increment_df may arrive as an upstream spec_id string —
+        # resolve it from the dataflow dict (a real DataFrame passes
+        # through untouched for programmatic callers)
+        if name == "incremental_filter" and isinstance(
+            args.get("increment_df"), str
+        ):
+            ref = args["increment_df"]
+            if not data or ref not in data:
+                raise WrongArgumentsError(
+                    f"incremental_filter: increment_df references unknown "
+                    f"spec_id {ref!r}"
+                )
+            args["increment_df"] = data[ref]
         if name in _SIMPLE:
             return _SIMPLE[name](**args)
         if name in _CONTEXTUAL:

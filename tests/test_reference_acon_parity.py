@@ -1,0 +1,137 @@
+"""Drop-in parity: run the REFERENCE's own feature ACON fixtures, verbatim.
+
+The reference repo ships its feature scenarios as plain ACON JSON plus
+pipe-delimited source/control CSVs
+(``reference/tests/resources/feature/<feature>/<scenario>/``). These tests
+load those JSONs at runtime (read-only — nothing is copied into this
+repo), remap ONLY the container-specific I/O locations
+(``file:///app/tests/lakehouse/{in,out}/...`` -> staged temp dirs), and
+execute them through OUR ``load_data`` — proving a user of the reference
+can bring their ACONs over unchanged.
+
+Staging protocol (the reference runner's convention, re-implemented):
+each run stages ONE ``part-NN.csv`` into the input dir; ``control/``
+(where present) is the expected FINAL state after the last run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from lakehouse_engine_spark import load_data
+
+REF = "/root/reference/tests/resources/feature"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference resources not present"
+)
+
+
+def _remap(obj, in_dir: str, out_dir: str):
+    """Deep-substitute the reference container paths with staged dirs."""
+    if isinstance(obj, dict):
+        return {k: _remap(v, in_dir, out_dir) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_remap(v, in_dir, out_dir) for v in obj]
+    if isinstance(obj, str):
+        if "/app/tests/lakehouse/in/" in obj:
+            return f"file://{in_dir}"
+        if "/app/tests/lakehouse/out/" in obj:
+            return f"file://{out_dir}"
+    return obj
+
+
+def _acon(feature: str, scenario: str, name: str, in_dir: str, out_dir: str):
+    path = f"{REF}/{feature}/{scenario}/{name}.json"
+    with open(path) as fh:
+        return _remap(json.load(fh), in_dir, out_dir)
+
+
+def _stage(feature: str, scenario: str, in_dir: str, parts):
+    src = f"{REF}/{feature}/{scenario}/data/source"
+    shutil.rmtree(in_dir, ignore_errors=True)
+    os.makedirs(in_dir)
+    for p in parts:
+        shutil.copy(os.path.join(src, p), in_dir)
+
+
+def _read_csv(spark, path: str):
+    return (
+        spark.read.option("header", True)
+        .option("delimiter", "|")
+        .option("inferSchema", True)
+        .csv(f"file://{path}")
+    )
+
+
+def _rows(df):
+    return sorted(
+        tuple(str(v) for v in row) for row in df.select(sorted(df.columns)).collect()
+    )
+
+
+@pytest.mark.parametrize("scenario", ["full_overwrite", "with_filter"])
+def test_reference_full_load_acons_run_verbatim(spark, tmp_path, scenario):
+    """full_load scenarios: the reference's batch.json (csv read ->
+    transformers -> partitioned overwrite write) must produce exactly the
+    reference's control data. Only the I/O locations are remapped; every
+    spec key, transformer name and argument is the reference's own."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    # final run stages the last part (full load overwrites per run)
+    _stage("full_load", scenario, in_dir, ["part-02.csv"])
+    acon = _acon("full_load", scenario, "batch", in_dir, out_dir)
+    load_data(acon)
+    got = spark.read.parquet(f"file://{out_dir}")
+    expected = _read_csv(spark, f"{REF}/full_load/{scenario}/data/control")
+    assert sorted(got.columns) == sorted(expected.columns)
+    assert _rows(got) == _rows(expected)
+
+
+def test_reference_append_load_failfast_acon_runs_verbatim(spark, tmp_path):
+    """append_load/failfast: batch_init creates the target table from
+    part-01, then part-02 appends through the reference's own
+    get_max_value + incremental_filter + db_table round-trip (FAILFAST
+    csv mode, schema enforced from the table). part-03 is the scenario's
+    deliberately MALFORMED file (renamed + extra column): the run must
+    RAISE under FAILFAST and leave the table untouched."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql("DROP TABLE IF EXISTS test_db.failfast_table")
+    _stage("append_load", "failfast", in_dir, ["part-01.csv"])
+    load_data(_acon("append_load", "failfast", "batch_init", in_dir, out_dir))
+    assert spark.table("test_db.failfast_table").count() == 3
+    _stage("append_load", "failfast", in_dir, ["part-02.csv"])
+    load_data(_acon("append_load", "failfast", "batch", in_dir, out_dir))
+    assert spark.table("test_db.failfast_table").count() == 13
+    # re-running the same part appends nothing (incremental filter:
+    # nothing newer than the table's max date)
+    load_data(_acon("append_load", "failfast", "batch", in_dir, out_dir))
+    tbl = spark.table("test_db.failfast_table")
+    assert tbl.count() == 13
+    dates = {str(r["date"]) for r in tbl.select("date").distinct().collect()}
+    assert dates == {"20160601", "20170215", "20170430"}
+    # the malformed part must FAIL FAST and not corrupt the table
+    _stage("append_load", "failfast", in_dir, ["part-03.csv"])
+    with pytest.raises(Exception, match="FAILED_READ_FILE|Malformed|MALFORMED"):
+        load_data(_acon("append_load", "failfast", "batch", in_dir, out_dir))
+    assert spark.table("test_db.failfast_table").count() == 13
+    spark.sql("DROP TABLE IF EXISTS test_db.failfast_table")
+
+
+# NOT covered here: the delta_load/record_mode_cdc scenarios. Their
+# runner pre-creates the Delta table with an explicit DDL
+# (reference tests/feature/delta_load/test_delta_load_record_mode_cdc.py
+# :273-288) and relies on Delta's store-assignment semantics — PATH
+# writes that cast to the catalog table's declared schema (part-01
+# infers `request` BIGINT, the DDL says STRING; Delta keeps STRING).
+# A parquet fallback has no schema authority over path writes, so this
+# is a genuine delta-spark environmental boundary (same class as the
+# CDF/vacuum legs), not a transformer/ACON gap — the condense +
+# incremental_filter + merge operators themselves are covered by
+# test_merge_writer and the q06/q05/q13 oracles.
