@@ -185,6 +185,16 @@ class DQSpec:
     result_sink_format: str = OutputFormat.DELTA.value
     result_sink_options: Optional[dict] = None
     result_sink_partitions: Optional[List[str]] = None
+    # reference GE-store keys: store_backend selects where validation
+    # artifacts live ("file_system" | "s3"); local_fs_root_dir is the
+    # file_system store root — the native engine writes one JSON
+    # artifact per run there (its result SINK is the primary output).
+    # result_sink_extra_columns ("validation_results.result.*"-style)
+    # is accepted for parity: the native sink always flattens the
+    # per-expectation result fields as columns.
+    store_backend: str = "file_system"
+    local_fs_root_dir: Optional[str] = None
+    result_sink_extra_columns: Optional[List[str]] = None
     source: Optional[str] = None
     cache_df: bool = False
 

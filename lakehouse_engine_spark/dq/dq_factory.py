@@ -88,6 +88,9 @@ class DQFactory:
             elif fn.function == "expect_queried_column_agg_value_to_be":
                 ok = E.eval_queried_agg(spark, df, fn.args.get("template_dict", fn.args))
                 results.append((fn, ok, 0 if ok else n, n))
+            elif fn.function == "expect_column_to_exist":
+                ok = E.eval_column_exists(df, **fn.args)
+                results.append((fn, ok, 0 if ok else n, n))
 
         overall = all(ok for _, ok, _, _ in results)
         run_time = datetime.datetime.now(datetime.timezone.utc)
@@ -111,6 +114,8 @@ class DQFactory:
         ]
         result_df = spark.createDataFrame(rows, RESULT_SINK_SCHEMA)
         cls._write_result_sink(spark, spec, result_df)
+        if spec.local_fs_root_dir and spec.store_backend == "file_system":
+            cls._write_fs_store_artifact(spec, run_name, run_time, rows)
 
         out_df = df
         if spec.tag_source_data:
@@ -141,6 +146,37 @@ class DQFactory:
                 options=spec.result_sink_options,
             ),
         )
+
+    @staticmethod
+    def _write_fs_store_artifact(spec: DQSpec, run_name, run_time, rows) -> None:
+        """GE-file-store-shaped validation artifact: one JSON per run under
+        ``local_fs_root_dir/<run_name>/`` (reference ``store_backend:
+        file_system`` — what build_data_docs reads; the result SINK stays
+        the primary machine-readable output)."""
+        import os
+
+        d = os.path.join(spec.local_fs_root_dir, run_name)
+        os.makedirs(d, exist_ok=True)
+        payload = {
+            "run_name": run_name,
+            "run_time": run_time.isoformat(),
+            "spec_id": spec.spec_id,
+            "input_id": spec.input_id,
+            "success": all(r[7] for r in rows),
+            "expectations": [
+                {
+                    "expectation_type": r[5],
+                    "kwargs": json.loads(r[6]),
+                    "success": r[7],
+                    "unexpected_count": r[8],
+                    "unexpected_percent": r[9],
+                    "element_count": r[10],
+                }
+                for r in rows
+            ],
+        }
+        with open(os.path.join(d, "validation_result.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, default=str)
 
     @staticmethod
     def _tag_source(df: DataFrame, row_fns) -> DataFrame:

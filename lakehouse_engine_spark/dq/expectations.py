@@ -161,8 +161,15 @@ def eval_queried_agg(
     return (lo is None or val >= lo) and (hi is None or val <= hi)
 
 
+def eval_column_exists(df: DataFrame, column: str, **_: object) -> bool:
+    """``expect_column_to_exist`` — a SCHEMA-level check (no data pass):
+    true iff the column is present in the frame."""
+    return column in df.columns
+
+
 AGG_EXPECTATIONS = {
     "expect_column_values_to_be_unique",
     "expect_table_row_count_to_be_between",
     "expect_queried_column_agg_value_to_be",
+    "expect_column_to_exist",
 }

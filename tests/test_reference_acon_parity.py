@@ -32,16 +32,17 @@ pytestmark = pytest.mark.skipif(
 
 
 def _remap(obj, in_dir: str, out_dir: str):
-    """Deep-substitute the reference container paths with staged dirs."""
+    """Deep-substitute the reference container path ROOTS with staged
+    dirs, preserving each location's path suffix (an ACON may point
+    several distinct paths under the same root — data dir, dq dir)."""
     if isinstance(obj, dict):
         return {k: _remap(v, in_dir, out_dir) for k, v in obj.items()}
     if isinstance(obj, list):
         return [_remap(v, in_dir, out_dir) for v in obj]
     if isinstance(obj, str):
-        if "/app/tests/lakehouse/in/" in obj:
-            return f"file://{in_dir}"
-        if "/app/tests/lakehouse/out/" in obj:
-            return f"file://{out_dir}"
+        return obj.replace("/app/tests/lakehouse/in", in_dir).replace(
+            "/app/tests/lakehouse/out", out_dir
+        )
     return obj
 
 
@@ -52,11 +53,18 @@ def _acon(feature: str, scenario: str, name: str, in_dir: str, out_dir: str):
 
 
 def _stage(feature: str, scenario: str, in_dir: str, parts):
+    """Copy the selected source parts to where the remapped ACON reads:
+    ``<in_dir>/feature/<feature>/<scenario>/data``."""
     src = f"{REF}/{feature}/{scenario}/data/source"
-    shutil.rmtree(in_dir, ignore_errors=True)
-    os.makedirs(in_dir)
+    dst = f"{in_dir}/feature/{feature}/{scenario}/data"
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
     for p in parts:
-        shutil.copy(os.path.join(src, p), in_dir)
+        shutil.copy(os.path.join(src, p), dst)
+
+
+def _out(out_dir: str, feature: str, scenario: str) -> str:
+    return f"{out_dir}/feature/{feature}/{scenario}/data"
 
 
 def _read_csv(spark, path: str):
@@ -86,7 +94,7 @@ def test_reference_full_load_acons_run_verbatim(spark, tmp_path, scenario):
     _stage("full_load", scenario, in_dir, ["part-02.csv"])
     acon = _acon("full_load", scenario, "batch", in_dir, out_dir)
     load_data(acon)
-    got = spark.read.parquet(f"file://{out_dir}")
+    got = spark.read.parquet(f"file://{_out(out_dir, 'full_load', scenario)}")
     expected = _read_csv(spark, f"{REF}/full_load/{scenario}/data/control")
     assert sorted(got.columns) == sorted(expected.columns)
     assert _rows(got) == _rows(expected)
@@ -135,3 +143,40 @@ def test_reference_append_load_failfast_acon_runs_verbatim(spark, tmp_path):
 # CDF/vacuum legs), not a transformer/ACON gap — the condense +
 # incremental_filter + merge operators themselves are covered by
 # test_merge_writer and the q06/q05/q13 oracles.
+
+
+def test_reference_dq_validator_tag_acon_runs_verbatim(spark, tmp_path):
+    """data_quality/load_with_dq_validator/full_overwrite_tag: the
+    reference's dq_specs flow verbatim — validator suite
+    (expect_column_to_exist + expect_table_row_count_to_be_between) with
+    tag_source_data and a result-sink table, feeding a partitioned
+    overwrite write. The written data must carry the dq_validations tag
+    struct and the result sink must record the run."""
+    feat, scen = "data_quality", "load_with_dq_validator/full_overwrite_tag"
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql("DROP TABLE IF EXISTS test_db.validator_full_overwrite_tag")
+    _stage(feat, scen, in_dir, ["part-01.csv"])
+    load_data(_acon(feat, scen, "batch_init", in_dir, out_dir))
+    got = spark.read.parquet(f"file://{_out(out_dir, feat, scen)}")
+    src = _read_csv(spark, f"{REF}/{feat}/{scen}/data/source/part-01.csv")
+    assert got.count() == src.count()
+    # tag_source_data adds the dq_validations struct to every row
+    assert "dq_validations" in got.columns
+    tags = got.select("dq_validations.run_success").distinct().collect()
+    assert [r["run_success"] for r in tags] == [True]
+    # the result sink table recorded the (passing) expectations
+    sink = spark.table("test_db.validator_full_overwrite_tag")
+    assert sink.count() >= 2  # one exploded row per expectation
+    assert {r["success"] for r in sink.select("success").collect()} == {True}
+    # the file_system store root (local_fs_root_dir) got a GE-shaped
+    # validation artifact for the run
+    import glob
+    import json as _json
+
+    arts = glob.glob(f"{out_dir}/feature/{feat}/{scen}/dq/*/validation_result.json")
+    assert len(arts) == 1
+    payload = _json.load(open(arts[0]))
+    assert payload["success"] is True and len(payload["expectations"]) == 2
+    spark.sql("DROP TABLE IF EXISTS test_db.validator_full_overwrite_tag")
