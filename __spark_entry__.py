@@ -3606,6 +3606,14 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     survivors. Every stage is consequential at sf0.01
     (500 -> 442 gopher -> 424 docs lose lines -> 406 minhash -> 397
     decontaminated); the oracle replays the whole chain stage by stage.
+
+    Scale note: stages like minhash and decontamination join their
+    verdicts back onto their input, so a lazily-composed chain
+    recomputes the upstream corpus once per such stage (the reference
+    composes the same way). At 100 TB insert the registry's ``persist``
+    transformer after the expensive stages — the ACON-level knob for
+    exactly this; the 100k-doc probe (tools/scale_probes_r9.py) runs the
+    un-persisted chain in 24.8 s, the sum of its stages.
     """
     from lakehouse_engine_spark import load_data
 
