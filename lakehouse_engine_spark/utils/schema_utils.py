@@ -31,7 +31,10 @@ def schema_from_dict(schema) -> StructType:
 
 
 def schema_from_file(path: str) -> StructType:
-    """Build a StructType from a JSON file on a local/posix path."""
+    """Build a StructType from a JSON file on a local/posix path
+    (``file://`` URIs accepted — the reference's ACONs use them)."""
+    if path.startswith("file://"):
+        path = path[len("file://"):]
     with open(path, encoding="utf-8") as fh:
         return StructType.fromJson(json.load(fh))
 

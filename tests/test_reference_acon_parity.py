@@ -180,3 +180,68 @@ def test_reference_dq_validator_tag_acon_runs_verbatim(spark, tmp_path):
     payload = _json.load(open(arts[0]))
     assert payload["success"] is True and len(payload["expectations"]) == 2
     spark.sql("DROP TABLE IF EXISTS test_db.validator_full_overwrite_tag")
+
+
+def _stage_unions(in_root: str):
+    base = f"{REF}/transformations/unions"
+    dest = f"{in_root}/feature/transformations/unions"
+    for fam in ("sales_historical", "sales_new", "sales_shipment"):
+        os.makedirs(f"{dest}/data/sales/{fam}", exist_ok=True)
+    shutil.copy(f"{base}/sales_schema.json", dest)
+    shutil.copy(f"{base}/sales_shipment_schema.json", dest)
+    for f in (
+        "sales-historical-part-01.csv",
+        "sales-new-part-01.csv",
+        "sales-shipment-part-01.csv",
+    ):
+        fam = f.rsplit("-part", 1)[0].replace("-", "_")
+        shutil.copy(f"{base}/data/source/{f}", f"{dest}/data/sales/{fam}/")
+
+
+def test_reference_union_acons_run_verbatim(spark, tmp_path):
+    """transformations/unions: batch_union (schema_path-typed FAILFAST csv
+    inputs, positional union across sibling specs, partitioned append)
+    must equal the reference's control_sales; batch_unionByName_diff_schema
+    (allowMissingColumns) must equal control_sales_shipment; and
+    batch_union_diff_schema must raise the same union-arity
+    AnalysisException the reference pins."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    in_root = str(tmp_path / "in")
+    out_root = str(tmp_path / "out")
+    _stage_unions(in_root)
+    base = f"{REF}/transformations/unions"
+
+    load_data(_acon("transformations", "unions", "batch_union", in_root, out_root))
+    got = spark.read.parquet(
+        f"file://{out_root}/feature/transformations/unions/batch_union/data"
+    )
+    expected = _read_csv(spark, f"{base}/data/control/control_sales.csv")
+    assert _rows(got) == _rows(expected)
+
+    load_data(
+        _acon(
+            "transformations", "unions", "batch_unionByName_diff_schema",
+            in_root, out_root,
+        )
+    )
+    got2 = spark.read.parquet(
+        f"file://{out_root}/feature/transformations/unions/"
+        "batch_unionByName_diff_schema/data"
+    )
+    expected2 = _read_csv(
+        spark, f"{base}/data/control/control_sales_shipment.csv"
+    )
+    assert sorted(got2.columns) == sorted(expected2.columns)
+    assert _rows(got2) == _rows(expected2)
+
+    with pytest.raises(
+        AnalysisException,
+        match=".*UNION can only be performed on inputs with the same number.*",
+    ):
+        load_data(
+            _acon(
+                "transformations", "unions", "batch_union_diff_schema",
+                in_root, out_root,
+            )
+        )
