@@ -2069,8 +2069,9 @@ def dp68_json_props(spark: SparkSession, sf: str) -> DataFrame:
             },
         )
     )
-    # from_json expands struct fields to top level (and drops the source
-    # column), so the extracted field is simply `k`
+    # from_json adds the parsed struct as `props_json` (reference
+    # contract — original column kept); extract the field from it
+    parsed = parsed.select("event_type", F.col("props_json.k").alias("k"))
     return parsed.select("event_type", "k").groupBy(
         "event_type"
     ).agg(

@@ -104,7 +104,8 @@ class ReaderFactory:
             raise WrongArgumentsError(f"InputSpec {spec.spec_id}: cannot dispatch format {fmt}")
 
         if spec.with_filepath:
-            df = df.selectExpr("*", "_metadata.file_path AS lhe_file_path")
+            # reference column name: io/readers/file_reader.py:42 there
+            df = df.selectExpr("*", "_metadata.file_path AS lhe_extraction_filepath")
         if spec.temp_view:
             df.createOrReplaceTempView(spec.temp_view)
         return df

@@ -118,8 +118,12 @@ def from_json(
 ) -> TransformerFn:
     """Parse a JSON string/binary column into a struct (reference ``column_reshapers.py:349-409``).
 
-    When no schema is given, one is inferred from the data (extra job — batch
-    only; supply a schema for streaming/scale paths).
+    Reference contract: the parsed struct is ADDED as ``{input_col}_json``
+    (the original column is kept; with ``drop_all_cols`` the struct is the
+    only output column). Downstream ``flatten_schema`` expands it to
+    ``{input_col}_json_<field>`` columns. When no schema is given, one is
+    inferred from the data (extra job — batch only; supply a schema for
+    streaming/scale paths).
     """
 
     def _from_json(df: DataFrame) -> DataFrame:
@@ -133,9 +137,10 @@ def from_json(
                 sample.rdd.map(lambda r: r["j"])  # schema inference only
             ).schema
         parsed = F.from_json(F.col(input_col).cast("string"), st, json_options or {})
+        out_col = f"{input_col}_json"
         if drop_all_cols:
-            return df.select(parsed.alias(input_col)).select(f"{input_col}.*")
-        return df.withColumn(input_col, parsed).select("*", f"{input_col}.*").drop(input_col)
+            return df.select(parsed.alias(out_col))
+        return df.select("*", parsed.alias(out_col))
 
     return _from_json
 

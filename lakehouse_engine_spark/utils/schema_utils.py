@@ -81,8 +81,10 @@ def _flat_paths(
         if path in ignore_cols or f_.name in ignore_cols:
             cols.append(F.col(path))
             continue
+        # reference recurses while level <= max_level (schema_utils.py:160
+        # there): max_level=N expands structs encountered at depths 1..N
         recurse = isinstance(f_.dataType, StructType) and (
-            max_level is None or level < max_level
+            max_level is None or level <= max_level
         )
         if recurse:
             cols.extend(

@@ -76,10 +76,24 @@ def _read_csv(spark, path: str):
     )
 
 
-def _rows(df):
-    return sorted(
-        tuple(str(v) for v in row) for row in df.select(sorted(df.columns)).collect()
-    )
+def _read_json(spark, path: str):
+    return spark.read.option("multiLine", True).json(f"file://{path}")
+
+
+def _norm(v):
+    """Canonical string form tolerant of csv-inferSchema vs parquet dtype
+    families (10 vs 10.0), matching the value-level intent of the
+    reference's ``has_diff`` (which compares under an explicit schema)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def _rows(df, cols=None):
+    sel = sorted(cols) if cols else sorted(df.columns)
+    return sorted(tuple(_norm(v) for v in row) for row in df.select(sel).collect())
 
 
 @pytest.mark.parametrize("scenario", ["full_overwrite", "with_filter"])
@@ -245,3 +259,236 @@ def test_reference_union_acons_run_verbatim(spark, tmp_path):
                 in_root, out_root,
             )
         )
+
+
+# ---------------------------------------------------------------------------
+# transformations/* — one fixture per transformer family, run verbatim.
+# Each scenario descriptor mirrors the reference's own runner
+# (reference/tests/feature/transformations/test_*.py): stage = (fixture
+# file -> path under the remapped `in` root), acon = fixture ACON,
+# compares = (output dir under the remapped `out` root, control file,
+# control format, column subset the reference's has_diff selects).
+# ---------------------------------------------------------------------------
+
+_T = "transformations"
+
+TRANSFORMER_SCENARIOS = {
+    "column_creators": dict(
+        stage=[
+            (f"{_T}/column_creators/data/source/part-01.csv",
+             f"{_T}/column_creators/data/"),
+            (f"{_T}/column_creators/source_schema.json",
+             f"{_T}/column_creators/"),
+        ],
+        acon=f"{_T}/column_creators/batch.json",
+        compares=[
+            (f"{_T}/column_creators/batch/data",
+             f"{_T}/column_creators/data/control/part-01.json", "json",
+             ["salesorder", "item", "date", "customer", "article", "amount",
+              "dummy_string", "dummy_int", "dummy_double", "dummy_boolean"]),
+        ],
+    ),
+    "data_maskers_hash": dict(
+        stage=[
+            (f"{_T}/data_maskers/data/source/part-01.csv",
+             f"{_T}/data_maskers/data/"),
+            (f"{_T}/data_maskers/source_schema.json", f"{_T}/data_maskers/"),
+        ],
+        acon=f"{_T}/data_maskers/hash_masking.json",
+        compares=[
+            (f"{_T}/data_maskers/hash_masking/data",
+             f"{_T}/data_maskers/data/control/hash_masking.csv", "csv", None),
+        ],
+    ),
+    "data_maskers_drop": dict(
+        stage=[
+            (f"{_T}/data_maskers/data/source/part-01.csv",
+             f"{_T}/data_maskers/data/"),
+            (f"{_T}/data_maskers/source_schema.json", f"{_T}/data_maskers/"),
+        ],
+        acon=f"{_T}/data_maskers/drop_columns.json",
+        compares=[
+            (f"{_T}/data_maskers/drop_columns/data",
+             f"{_T}/data_maskers/data/control/drop_columns.csv", "csv", None),
+        ],
+    ),
+    "drop_duplicate_rows": dict(
+        stage=[
+            (f"{_T}/drop_duplicate_rows/data/source/part-01.csv",
+             f"{_T}/drop_duplicate_rows/data/part-01.csv"),
+            (f"{_T}/drop_duplicate_rows/source_schema.json",
+             f"{_T}/drop_duplicate_rows/"),
+        ],
+        acon=f"{_T}/drop_duplicate_rows/batch.json",
+        compares=[
+            (f"{_T}/drop_duplicate_rows/batch/columns/data",
+             f"{_T}/drop_duplicate_rows/data/control/batch_drop_duplicates.json",
+             "json", None),
+            (f"{_T}/drop_duplicate_rows/batch/orders_duplicate_no_args/data",
+             f"{_T}/drop_duplicate_rows/data/control/batch_distinct.json",
+             "json", None),
+            (f"{_T}/drop_duplicate_rows/batch/orders_duplicate_empty/data",
+             f"{_T}/drop_duplicate_rows/data/control/batch_distinct.json",
+             "json", None),
+        ],
+    ),
+    "joiners": dict(
+        stage=[
+            (f"{_T}/joiners/data/source/sales-part-01.csv",
+             f"{_T}/joiners/data/sales/"),
+            (f"{_T}/joiners/data/source/sales-part-02.csv",
+             f"{_T}/joiners/data/sales/"),
+            (f"{_T}/joiners/data/source/customer-part-01.csv",
+             f"{_T}/joiners/data/customers/"),
+            (f"{_T}/joiners/sales_schema.json", f"{_T}/joiners/"),
+            (f"{_T}/joiners/customer_schema.json", f"{_T}/joiners/"),
+        ],
+        acon=f"{_T}/joiners/batch.json",
+        compares=[
+            (f"{_T}/joiners/batch/data",
+             f"{_T}/joiners/data/control/control_scenario_1_and_2.csv",
+             "csv", None),
+        ],
+        tables=["test_db.batch_join"],
+    ),
+    "multiple_transform": dict(
+        stage=[
+            (f"{_T}/multiple_transform/data/source/part-01.csv",
+             f"{_T}/multiple_transform/data/"),
+            (f"{_T}/multiple_transform/source_schema.json",
+             f"{_T}/multiple_transform/"),
+        ],
+        acon=f"{_T}/multiple_transform/batch.json",
+        compares=[
+            (f"{_T}/multiple_transform/batch/orders_customer_cols/data",
+             f"{_T}/multiple_transform/data/control/part-01.json", "json",
+             ["date", "country", "customer_number"]),
+            (f"{_T}/multiple_transform/batch/orders_kpi_cols/data",
+             f"{_T}/multiple_transform/data/control/part-01.json", "json",
+             ["date", "city", "amount"]),
+        ],
+    ),
+    "regex_transformers": dict(
+        stage=[
+            (f"{_T}/regex_transformers/with_regex_value/data/source/"
+             "WE_SO_SCL_202108111400000029.csv",
+             f"{_T}/regex_transformers/with_regex_value/data/"),
+            (f"{_T}/regex_transformers/with_regex_value/source_schema.json",
+             f"{_T}/regex_transformers/with_regex_value/"),
+        ],
+        acon=f"{_T}/regex_transformers/with_regex_value/batch.json",
+        compares=[
+            (f"{_T}/regex_transformers/with_regex_value/data",
+             f"{_T}/regex_transformers/with_regex_value/data/control/part-01.csv",
+             "csv", None),
+        ],
+    ),
+    "reshape_explode_arrays": dict(
+        stage=[
+            (f"{_T}/column_reshapers/explode_arrays/data/source/part-01.json",
+             f"{_T}/column_reshapers/explode_arrays/data/"),
+            (f"{_T}/column_reshapers/explode_arrays/source_schema.json",
+             f"{_T}/column_reshapers/explode_arrays/"),
+        ],
+        acon=f"{_T}/column_reshapers/explode_arrays/batch.json",
+        compares=[
+            (f"{_T}/column_reshapers/explode_arrays/batch/data",
+             f"{_T}/column_reshapers/explode_arrays/data/control/part-01.csv",
+             "csv", None),
+        ],
+    ),
+    "reshape_flatten_schema": dict(
+        stage=[
+            (f"{_T}/column_reshapers/flatten_schema/data/source/part-01.json",
+             f"{_T}/column_reshapers/flatten_schema/data/"),
+            (f"{_T}/column_reshapers/flatten_schema/source_schema.json",
+             f"{_T}/column_reshapers/flatten_schema/"),
+        ],
+        acon=f"{_T}/column_reshapers/flatten_schema/batch.json",
+        compares=[
+            (f"{_T}/column_reshapers/flatten_schema/batch/data",
+             f"{_T}/column_reshapers/flatten_schema/data/control/part-01.csv",
+             "csv", None),
+        ],
+    ),
+    "reshape_flatten_and_explode": dict(
+        stage=[
+            (f"{_T}/column_reshapers/flatten_and_explode_arrays_and_maps/data/"
+             "source/part-01.json",
+             f"{_T}/column_reshapers/flatten_and_explode_arrays_and_maps/data/"),
+            (f"{_T}/column_reshapers/flatten_and_explode_arrays_and_maps/"
+             "source_schema.json",
+             f"{_T}/column_reshapers/flatten_and_explode_arrays_and_maps/"),
+        ],
+        acon=f"{_T}/column_reshapers/flatten_and_explode_arrays_and_maps/batch.json",
+        compares=[
+            (f"{_T}/column_reshapers/flatten_and_explode_arrays_and_maps/batch/data",
+             f"{_T}/column_reshapers/flatten_and_explode_arrays_and_maps/data/"
+             "control/part-01.csv",
+             "csv", None),
+        ],
+    ),
+    "chain_transformations": dict(
+        stage=[
+            (f"{_T}/chain_transformations/source/sales_historical.csv",
+             f"{_T}/chain_transformations/source/sales_historical/"),
+            (f"{_T}/chain_transformations/source/sales_new.csv",
+             f"{_T}/chain_transformations/source/sales_new/"),
+            (f"{_T}/chain_transformations/schema/sales_schema.json",
+             f"{_T}/chain_transformations/schema/"),
+        ],
+        acon=f"{_T}/chain_transformations/acons/batch.json",
+        compares=[
+            (f"{_T}/chain_transformations/batch/data",
+             f"{_T}/chain_transformations/control/chain_control.csv",
+             "csv", None),
+        ],
+    ),
+}
+
+
+def _stage_files(in_dir: str, stage):
+    for src_rel, dst_rel in stage:
+        src = f"{REF}/{src_rel}"
+        dst = f"{in_dir}/feature/{dst_rel}"
+        if dst_rel.endswith("/"):
+            os.makedirs(dst, exist_ok=True)
+            shutil.copy(src, dst)
+        else:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy(src, dst)
+
+
+def _read_control(spark, path: str, fmt: str):
+    return _read_json(spark, path) if fmt == "json" else _read_csv(spark, path)
+
+
+@pytest.mark.parametrize("name", sorted(TRANSFORMER_SCENARIOS))
+def test_reference_transformer_acons_run_verbatim(spark, tmp_path, name):
+    """Every reference per-transformer-family batch fixture, verbatim:
+    only I/O roots are remapped; every spec key, transformer name and
+    argument is the reference's own JSON. Outputs must equal the
+    reference's shipped control files (the same files its own
+    ``has_diff`` asserts against)."""
+    sc = TRANSFORMER_SCENARIOS[name]
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    for tbl in sc.get("tables", ()):
+        spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    _stage_files(in_dir, sc["stage"])
+    with open(f"{REF}/{sc['acon']}") as fh:
+        acon = _remap(json.load(fh), in_dir, out_dir)
+    load_data(acon)
+    for out_rel, control_rel, fmt, cols in sc["compares"]:
+        got = spark.read.parquet(f"file://{out_dir}/feature/{out_rel}")
+        want = _read_control(spark, f"{REF}/{control_rel}", fmt)
+        # the reference's has_diff projects BOTH sides onto the result's
+        # columns (tests/utils/dataframe_helpers.py:55-61 there) — a
+        # control may carry extra columns shared across scenarios
+        if cols is None:
+            cols = got.columns
+            missing = set(cols) - set(want.columns)
+            assert not missing, f"{name}: result has extra columns {missing}"
+        assert _rows(got, cols) == _rows(want, cols), f"{name}: {out_rel}"
+    for tbl in sc.get("tables", ()):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

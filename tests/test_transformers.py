@@ -219,7 +219,9 @@ def test_flatten_schema_and_explode(spark):
     )
     flat = df.transform(t("flatten_schema"))
     assert set(flat.columns) == {"id", "s_a", "s_b_c", "arr"}
-    one_level = df.transform(t("flatten_schema", max_level=2))
+    # max_level=N expands structs met at depths 1..N (reference recursion
+    # is `level <= max_level`): max_level=1 keeps the nested struct intact
+    one_level = df.transform(t("flatten_schema", max_level=1))
     assert set(one_level.columns) == {"id", "s_a", "s_b", "arr"}
     exploded = df.transform(t("explode_columns", explode_arrays=True))
     assert exploded.count() == 2
@@ -231,7 +233,9 @@ def test_from_to_json(spark):
         t("from_json", input_col="payload", schema={"type": "struct", "fields": [
             {"name": "x", "type": "integer", "nullable": True, "metadata": {}}]})
     )
-    assert out.columns == ["id", "x"] and out.first()["x"] == 5  # struct expands
+    # reference contract: original kept, parsed struct added as <col>_json
+    assert out.columns == ["id", "payload", "payload_json"]
+    assert out.first()["payload_json"]["x"] == 5
     back = spark.createDataFrame([(1, 5)], "id INT, x INT").transform(
         t("to_json", in_cols=["x"], out_col="j")
     )
