@@ -49,7 +49,8 @@ def test_reconciliation_green(spark, truth_current):
         [{"metric": "amount", "type": "percentage", "aggregation": "avg", "yellow": 0.01, "red": 0.1}],
     )
     assert status["overall"] == "green"
-    assert status["metrics"]["amount_diff"] == 0.0
+    # reference result naming: {metric}_{type}_diff_{aggregation}
+    assert status["metrics"]["amount_percentage_diff_avg"] == 0.0
 
 
 def test_reconciliation_redlines(spark, truth_current):

