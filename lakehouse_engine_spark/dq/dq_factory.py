@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import datetime
 import json
-import uuid
+import logging
 from typing import List, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +27,8 @@ from lakehouse_engine_spark.core.definitions import (
 )
 from lakehouse_engine_spark.dq import expectations as E
 
+_LOGGER = logging.getLogger(__name__)
+
 RESULT_SINK_SCHEMA = T.StructType(
     [
         T.StructField("run_name", T.StringType()),
@@ -34,19 +36,56 @@ RESULT_SINK_SCHEMA = T.StructType(
         T.StructField("success", T.BooleanType()),
         T.StructField("spec_id", T.StringType()),
         T.StructField("input_id", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("evaluated_expectations", T.LongType()),
+        T.StructField("success_percent", T.DoubleType()),
+        T.StructField("successful_expectations", T.LongType()),
+        T.StructField("unsuccessful_expectations", T.LongType()),
         T.StructField("expectation_type", T.StringType()),
-        T.StructField("kwargs", T.StringType()),
         T.StructField("expectation_success", T.BooleanType()),
+        T.StructField("kwargs", T.StringType()),
         T.StructField("unexpected_count", T.LongType()),
         T.StructField("unexpected_percent", T.DoubleType()),
         T.StructField("element_count", T.LongType()),
-        T.StructField("source", T.StringType()),
+        T.StructField("run_time_year", T.IntegerType()),
+        T.StructField("run_time_month", T.IntegerType()),
+        T.StructField("run_time_day", T.IntegerType()),
+        T.StructField("source_primary_key", T.ArrayType(T.StringType())),
+        T.StructField("processed_keys", T.StringType()),
     ]
 )
+
+# `processed_keys` is a control-plane summary of the run's PK tuples (the
+# reference joins every pk into one string — unbounded at 100 TB); cap the
+# driver-side read so the sink row stays bounded regardless of data volume.
+PROCESSED_KEYS_CAP = 10_000
+
+# result_sink_extra_columns paths the native sink already materializes as
+# flat columns (reference GE-shape explosion, dq_factory.py:423-527 there).
+_KNOWN_EXTRA_COLUMNS = {
+    "validation_results.result.*",
+    "validation_results.expectation_config.meta",
+}
 
 
 class DQFactory:
     """Compiles and runs DQSpec expectation suites."""
+
+    @staticmethod
+    def _processed_keys(df: DataFrame, pk: List[str]) -> str:
+        """'||'-joined sorted PK tuples of the validated batch (reference
+        result-sink column). LIMIT-guarded driver read: at most
+        PROCESSED_KEYS_CAP tuples are summarized, so the sink row stays
+        bounded at any data volume."""
+        vals = (
+            df.select(F.concat_ws(", ", *[F.col(c).cast("string") for c in pk])
+                      .alias("__pk"))
+            .orderBy("__pk")
+            .limit(PROCESSED_KEYS_CAP)
+            .collect()
+        )
+        return "||".join(r["__pk"] for r in vals)
 
     @classmethod
     def run_dq_process(cls, spark: SparkSession, spec: DQSpec, df: DataFrame) -> DataFrame:
@@ -94,32 +133,72 @@ class DQFactory:
 
         overall = all(ok for _, ok, _, _ in results)
         run_time = datetime.datetime.now(datetime.timezone.utc)
-        run_name = f"{spec.spec_id}-{uuid.uuid4().hex[:8]}"
+        # GE checkpoint run-name shape (two timestamp segments) so
+        # digit-stripped comparisons against reference controls line up
+        run_name = (
+            f"{run_time:%Y%m%d-%H%M%S}-{spec.spec_id}-{spec.input_id}"
+            f"-{run_time:%Y%m%d%H%M%S}-checkpoint"
+        )
+        n_ok = sum(1 for _, ok, _, _ in results if ok)
+        wants_sink = bool(
+            spec.result_sink_location or spec.result_sink_db_table
+            or (spec.local_fs_root_dir and spec.store_backend == "file_system")
+        )
+        processed_keys = (
+            cls._processed_keys(df, spec.unexpected_rows_pk)
+            if wants_sink and spec.unexpected_rows_pk
+            else None
+        )
         rows = [
-            (
-                run_name,
-                run_time,
-                overall,
-                spec.spec_id,
-                spec.input_id,
-                fn.function,
-                json.dumps(fn.args, default=str),
-                bool(ok),
-                int(u),
-                (float(u) / cnt * 100.0) if cnt else 0.0,
-                int(cnt),
-                spec.source,
-            )
+            {
+                "run_name": run_name,
+                "run_time": run_time,
+                "success": overall,
+                "spec_id": spec.spec_id,
+                "input_id": spec.input_id,
+                "source": spec.source,
+                "column": (fn.args or {}).get("column"),
+                "evaluated_expectations": len(results),
+                "success_percent": 100.0 * n_ok / max(len(results), 1),
+                "successful_expectations": n_ok,
+                "unsuccessful_expectations": len(results) - n_ok,
+                "expectation_type": fn.function,
+                "expectation_success": bool(ok),
+                "kwargs": json.dumps(fn.args, default=str),
+                "unexpected_count": int(u),
+                "unexpected_percent": (float(u) / cnt * 100.0) if cnt else 0.0,
+                "element_count": int(cnt),
+                "run_time_year": run_time.year,
+                "run_time_month": run_time.month,
+                "run_time_day": run_time.day,
+                "source_primary_key": spec.unexpected_rows_pk,
+                "processed_keys": processed_keys,
+            }
             for fn, ok, u, cnt in results
         ]
         result_df = spark.createDataFrame(rows, RESULT_SINK_SCHEMA)
         cls._write_result_sink(spark, spec, result_df)
         if spec.local_fs_root_dir and spec.store_backend == "file_system":
             cls._write_fs_store_artifact(spec, run_name, run_time, rows)
+        elif spec.local_fs_root_dir and spec.store_backend != "file_system":
+            _LOGGER.warning(
+                "store_backend=%s writes no local validation artifact "
+                "(only file_system is materialized in this engine)",
+                spec.store_backend,
+            )
+        for extra in spec.result_sink_extra_columns or []:
+            if extra not in _KNOWN_EXTRA_COLUMNS:
+                _LOGGER.warning(
+                    "result_sink_extra_columns entry %r is not a recognized "
+                    "GE result path; the native sink flattens "
+                    "validation_results.result.* fields by default and "
+                    "cannot add this column",
+                    extra,
+                )
 
         out_df = df
         if spec.tag_source_data:
-            out_df = cls._tag_source(df, row_fns)
+            out_df = cls._tag_source(df, row_fns, run_name, overall)
 
         cls._log_or_fail(spec, results, critical, n)
         return out_df
@@ -162,15 +241,15 @@ class DQFactory:
             "run_time": run_time.isoformat(),
             "spec_id": spec.spec_id,
             "input_id": spec.input_id,
-            "success": all(r[7] for r in rows),
+            "success": all(r["expectation_success"] for r in rows),
             "expectations": [
                 {
-                    "expectation_type": r[5],
-                    "kwargs": json.loads(r[6]),
-                    "success": r[7],
-                    "unexpected_count": r[8],
-                    "unexpected_percent": r[9],
-                    "element_count": r[10],
+                    "expectation_type": r["expectation_type"],
+                    "kwargs": json.loads(r["kwargs"]),
+                    "success": r["expectation_success"],
+                    "unexpected_count": r["unexpected_count"],
+                    "unexpected_percent": r["unexpected_percent"],
+                    "element_count": r["element_count"],
                 }
                 for r in rows
             ],
@@ -179,18 +258,26 @@ class DQFactory:
             json.dump(payload, fh, indent=1, default=str)
 
     @staticmethod
-    def _tag_source(df: DataFrame, row_fns) -> DataFrame:
+    def _tag_source(df: DataFrame, row_fns, run_name: str, run_success: bool) -> DataFrame:
         """Append the ``dq_validations`` struct to every source row — computed
         inline (vectorized whens), no join back needed.
 
-        Reference tags via unexpected-index join
-        (``dq_processors/validator.py:136-228``); evaluating the same
-        conditions in the projection is plan-equivalent and shuffle-free.
-        """
-        failures = F.array_compact(
+        Reference tags via unexpected-index join and carries the struct
+        fields run_name / run_success / raised_exceptions / run_row_success
+        / dq_failure_details (``dq_processors/validator.py:136-283``);
+        evaluating the same conditions in the projection is plan-equivalent
+        and shuffle-free, and emits the same field names so downstream
+        consumers of the reference's tag keep working."""
+        details = F.array_compact(
             F.array(
                 *[
-                    F.when(~cond, F.lit(fn.function)).otherwise(F.lit(None))
+                    F.when(
+                        ~cond,
+                        F.struct(
+                            F.lit(fn.function).alias("expectation_type"),
+                            F.lit(json.dumps(fn.args, default=str)).alias("kwargs"),
+                        ),
+                    ).otherwise(F.lit(None))
                     for fn, cond in row_fns
                 ]
             )
@@ -198,9 +285,11 @@ class DQFactory:
         return df.withColumn(
             "dq_validations",
             F.struct(
-                F.lit(True).alias("run_success"),
-                (F.size(failures) == 0).alias("row_success"),
-                failures.alias("failed_expectations"),
+                F.lit(run_name).alias("run_name"),
+                F.lit(run_success).alias("run_success"),
+                F.lit(False).alias("raised_exceptions"),
+                (F.size(details) == 0).alias("run_row_success"),
+                F.when(F.size(details) > 0, details).alias("dq_failure_details"),
             ),
         )
 

@@ -110,10 +110,10 @@ def test_tag_source_data(spark, df):
         tag_source_data=True,
         fail_on_error=False,
     )
-    tagged = {r["id"]: r["dq_validations"]["row_success"] for r in out.collect() if r["name"] is None}
+    tagged = {r["id"]: r["dq_validations"]["run_row_success"] for r in out.collect() if r["name"] is None}
     assert tagged == {3: False}
     ok = out.filter("name IS NOT NULL").first()["dq_validations"]
-    assert ok["row_success"] is True and ok["failed_expectations"] == []
+    assert ok["run_row_success"] is True and ok["dq_failure_details"] is None
 
 
 def test_result_sink(spark, df, tmp_dir):

@@ -77,7 +77,17 @@ def _read_csv(spark, path: str):
 
 
 def _read_json(spark, path: str):
-    return spark.read.option("multiLine", True).json(f"file://{path}")
+    """Reference controls come in two JSON layouts: pretty-printed
+    single-object/array files (need multiLine) and NDJSON (one object per
+    line — multiLine would swallow all but the first). Sniff which."""
+    with open(path) as fh:
+        first = fh.readline().strip()
+    try:
+        json.loads(first)
+        multi = False  # first line is a complete JSON doc -> NDJSON
+    except json.JSONDecodeError:
+        multi = True
+    return spark.read.option("multiLine", multi).json(f"file://{path}")
 
 
 def _norm(v):
@@ -651,3 +661,121 @@ def test_reference_reconciliation_nulls_zeros_and_exact_values(spark):
     ).execute()
     assert free["metrics"]["net_sales_percentage_diff_sum"] == 1.0
     assert abs(free["metrics"]["net_sales_percentage_diff_avg"] - 1 / 3) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# data_quality — beyond the full_overwrite_tag scenario: the validator
+# full_overwrite two-phase flow (result-sink table accumulates runs) and
+# the PRISMA dq_table flow (rules resolved from a governance table built
+# from the reference's own dq_functions CSV).
+# ---------------------------------------------------------------------------
+
+# the stable (non-volatile) result-sink columns the reference's own test
+# compares after dropping run-dependent ones (test_data_quality.py:346-365)
+_SINK_COMPARE_COLS = [
+    "spec_id", "input_id", "source", "column", "evaluated_expectations",
+    "success_percent", "successful_expectations", "unsuccessful_expectations",
+    "expectation_type", "expectation_success", "success",
+]
+
+
+def test_reference_dq_validator_full_overwrite_two_phase(spark, tmp_path):
+    """data_quality/load_with_dq_validator/full_overwrite: init run on
+    part-01 then full-overwrite run on part-02 — the result-sink table
+    accumulates 2 runs x 2 expectations and matches the reference's
+    control data_validator.json on every stable column."""
+    feat, scen = "data_quality", "load_with_dq_validator/full_overwrite"
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql("DROP TABLE IF EXISTS test_db.validator_full_overwrite")
+    # a prior aborted run may leave an orphan managed-table dir behind
+    # (catalog is in-memory per session; the warehouse dir is not)
+    shutil.rmtree("spark-warehouse/test_db.db/validator_full_overwrite",
+                  ignore_errors=True)
+    _stage(feat, scen, in_dir, ["part-01.csv"])
+    load_data(_acon(feat, scen, "batch_init", in_dir, out_dir))
+    _stage(feat, scen, in_dir, ["part-02.csv"])
+    load_data(_acon(feat, scen, "batch_new", in_dir, out_dir))
+
+    sink = spark.table("test_db.validator_full_overwrite")
+    want = _read_json(spark, f"{REF}/{feat}/{scen}/data/control/data_validator.json")
+    assert sink.count() == 4  # 2 runs x 2 expectations
+    assert _rows(sink, _SINK_COMPARE_COLS) == _rows(want, _SINK_COMPARE_COLS)
+    # source_primary_key round-trips as the ACON's unexpected_rows_pk
+    pks = {tuple(r["source_primary_key"]) for r in sink.collect()}
+    assert pks == {("salesorder", "item", "date", "customer")}
+    # the written data is the LAST run's overwrite (part-02: 16 rows)
+    got = spark.read.parquet(f"file://{_out(out_dir, feat, scen)}")
+    src2 = _read_csv(spark, f"{REF}/{feat}/{scen}/data/source/part-02.csv")
+    assert got.count() == src2.count()
+    assert "dq_validations" in got.columns  # tag_source_data in the ACON
+    spark.sql("DROP TABLE IF EXISTS test_db.validator_full_overwrite")
+
+
+def _create_dq_functions_table(spark, csv_path: str, table: str, location: str):
+    """The reference runner's dq-rules-table protocol
+    (tests/utils/dq_rules_table_utils.py there): stage the dq_functions CSV
+    into a governance table carrying the full PRISMA column contract."""
+    df = (
+        spark.read.option("header", True).option("delimiter", "|")
+        .csv(f"file://{csv_path}")
+    )
+    from pyspark.sql import functions as F
+
+    for c in ("dq_check_type", "filters", "expected_technical_expression",
+              "dimension"):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("string"))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    df.write.option("path", location).saveAsTable(table, mode="overwrite")
+
+
+def test_reference_dq_table_prisma_acon_runs_verbatim(spark, tmp_path, monkeypatch):
+    """data_quality/load_with_dq_table/full_overwrite_tag: dq_type=prisma
+    resolves the expectations from the governance table built from the
+    reference's own dq_functions CSV; the result sink lands under
+    {dq_bucket}/{data_product_name}/result_sink/ and matches the control;
+    the written rows carry the reference-shaped dq_validations tag."""
+    feat, scen = "data_quality", "load_with_dq_table/full_overwrite_tag"
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    monkeypatch.setenv("LAKEHOUSE_DQ_BUCKET", f"{out_dir}/feature")
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    tbl = "test_db.dq_functions_source_load_with_dq_table_full_overwrite_tag_init"
+    _create_dq_functions_table(
+        spark,
+        f"{REF}/{feat}/{scen}/data/dq_functions/{tbl}.csv",
+        tbl,
+        f"{out_dir}/feature/{feat}/{scen}/dq_functions",
+    )
+    _stage(feat, scen, in_dir, ["part-01.csv"])
+    load_data(_acon(feat, scen, "batch_init", in_dir, out_dir))
+    _stage(feat, scen, in_dir, ["part-02.csv"])
+    load_data(_acon(feat, scen, "batch_new", in_dir, out_dir))
+
+    sink = spark.read.parquet(
+        f"file://{out_dir}/feature/full_overwrite_tag/result_sink"
+    )
+    want = _read_json(spark, f"{REF}/{feat}/{scen}/data/control/data_validator.json")
+    assert sink.count() == 4
+    assert _rows(sink, _SINK_COMPARE_COLS) == _rows(want, _SINK_COMPARE_COLS)
+
+    # written data equals the control sales.json on data columns, and the
+    # dq_validations struct matches after the reference's own
+    # _prepare_validation_df normalization (digits stripped from run_name)
+    got = spark.read.parquet(f"file://{_out(out_dir, feat, scen)}")
+    want_sales = _read_json(spark, f"{REF}/{feat}/{scen}/data/control/sales.json")
+    data_cols = ["salesorder", "item", "date", "customer", "article", "amount"]
+    assert _rows(got, data_cols) == _rows(want_sales, data_cols)
+    from pyspark.sql import functions as F
+
+    norm = got.select(
+        F.regexp_replace("dq_validations.run_name", "[0-9]", "").alias("rn"),
+        F.col("dq_validations.run_success").alias("rs"),
+        F.col("dq_validations.raised_exceptions").alias("re"),
+        F.col("dq_validations.run_row_success").alias("rrs"),
+    ).distinct().collect()
+    assert len(norm) == 1 and norm[0]["rn"] == (
+        "--dq_validator-sales_source--checkpoint"
+    )
+    assert norm[0]["rs"] is True and norm[0]["re"] is False and norm[0]["rrs"] is True
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
