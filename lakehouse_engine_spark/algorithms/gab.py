@@ -84,7 +84,12 @@ def _cadence_join_config(
     the reference (``algorithms/gab.py:573-604``).
     """
     cadence, recon = cadence.upper(), recon.upper()
-    ws = "mon" if week_start.upper().startswith("M") else "sun"
+    # the reference renders EVERY calendar join with Monday weeks — the
+    # configured start_of_the_week only drives window/due-ness derivation
+    # (algorithms/gab.py:587 there substitutes the literal "Monday"); keep
+    # the parameter for the due-ness path but pin the join anchor
+    del week_start
+    ws = "mon"
     trunc = "date(date_trunc('${cad}', ${date_column}))"
     if cadence == "DAY":
         return "", trunc, trunc
@@ -150,10 +155,26 @@ class GAB:
             target_table=acon["target_table"],
             source_database=acon.get("source_database", acon["target_database"]),
             gab_base_path=acon.get("gab_base_path", ""),
-            lookup_table=acon["lookup_table"],
-            calendar_table=acon.get("calendar_table", ""),
+            # reference ACONs carry UNQUALIFIED names and GABSpec prefixes
+            # source_database (definitions.py:1320-1330 there, with defaults
+            # lkp_query_builder / dim_calendar); already-qualified names are
+            # also accepted
+            lookup_table=self._qualify(
+                acon.get("lookup_table", "lkp_query_builder"),
+                acon.get("source_database", acon["target_database"]),
+            ),
+            calendar_table=self._qualify(
+                acon.get("calendar_table", "dim_calendar"),
+                acon.get("source_database", acon["target_database"]),
+            ),
         )
         self.spark = ExecEnv.get_or_create()
+
+    @staticmethod
+    def _qualify(name: str, database: str) -> str:
+        if not name or "." in name or "/" in name:
+            return name
+        return f"{database}.{name}"
 
     # ------------------------------------------------------------------ run
     def execute(self) -> None:
@@ -203,7 +224,9 @@ class GAB:
             return
 
         self._load_stage_templates(stages, use_case)
-        end_conf = cadence_configuration_at_end_date(self.spec.end_date)
+        end_conf = cadence_configuration_at_end_date(
+            self.spec.end_date, (use_case["start_of_the_week"] or "MONDAY").upper()
+        )
 
         processed = False
         for cadence in cadences:
@@ -280,7 +303,12 @@ class GAB:
                 filter_start_s,
                 filter_end_s,
             )
-            final_view = f"gab_{use_case['query_label']}_stage_{i}"
+            # stages reference EACH OTHER by their configured table_alias
+            # (reference _create_stage_view registers the view under it)
+            final_view = (
+                stage.get("table_alias")
+                or f"gab_{use_case['query_label']}_stage_{i}"
+            )
             df = spark.sql(rendered)
             rep = stage.get("repartition") or {}
             if rep.get("keys"):
@@ -374,8 +402,13 @@ class GAB:
             cols.append(f"{src} as d{i}" if src else f"cast(null as string) as d{i}")
         for i in range(1, N_METRICS + 1):
             m = metrics.get(f"m{i}")
+            # the insights table stores every metric as DOUBLE (reference
+            # column contract) — decimal stage outputs cast here so derived
+            # metrics downstream reproduce the reference's float arithmetic
             cols.append(
-                f"{m['metric_name']} as m{i}" if m else f"cast(null as double) as m{i}"
+                f"cast({m['metric_name']} as double) as m{i}"
+                if m
+                else f"cast(null as double) as m{i}"
             )
         cols.append("current_timestamp() as lh_created_on")
         return self.spark.sql(f"SELECT {', '.join(cols)} FROM {final_view}")
@@ -428,15 +461,21 @@ class GAB:
     def _create_consumption_views(
         self, use_case: Row, mappings: dict, recon: dict
     ) -> None:
-        """One view per mapping key, re-aliasing dims/metrics.
+        """One CATALOG view per mapping key in the target database,
+        re-aliasing dims/metrics (reference ``core/gab_sql_generator.py:
+        187-426`` + ``core/gab_manager.py:640-890``).
 
-        Snapshot cadences are deduplicated to the latest ``to_date`` per
-        (cadence, dims, from_date) with ``row_number`` — reference
-        ``core/gab_sql_generator.py:343-426``. Derived metrics
-        (``formula``) become expression columns; ``last_cadence`` /
-        ``window_function`` calculated metrics become lag / rolling-window
-        functions over the consumption rows.
-        """
+        Snapshot cadences keep every ``to_date`` version (deduplicated to
+        the latest per (cadence, dims, from_date) elsewhere via
+        ``row_number``). Calculated metrics follow the reference SQL
+        exactly: ``last_cadence`` -> ``COALESCE(LAG(m, w) OVER (...), 0)``;
+        ``last_year_cadence`` partitions additionally by the same
+        day-of-year struct so the lag lands on the same period last year;
+        ``window_function`` -> ``COALESCE(agg(m) OVER (ROWS BETWEEN a
+        PRECEDING AND b PRECEDING), 0)``; when the use case has snapshot
+        cadences every window partitions additionally by ``rn`` (the
+        reference's snapshot arm). The view is plain SQL over the insights
+        table — no data is copied and the rollup stays one scan at read."""
         spark = self.spark
         target = f"{self.spec.target_database}.{self.spec.target_table}"
         snap_cadences = [
@@ -447,60 +486,87 @@ class GAB:
                 for w in (conf or {}).get("recon_window", {}).values()
             )
         ]
+        has_snapshot = bool(snap_cadences)
         for view_name, mapping in mappings.items():
             dims: Dict[str, str] = mapping["dimensions"]
             metrics: Dict[str, dict] = mapping["metric"]
-            dim_aliases = [
-                f"{k} as {v}" for k, v in dims.items() if k not in ("from_date", "to_date")
+            plain_dims = {
+                k: v for k, v in dims.items() if k not in ("from_date", "to_date")
+            }
+            from_alias = dims.get("from_date", "from_date")
+            to_alias = dims.get("to_date", "to_date")
+            dim_aliases = [f"{k} as {v}" for k, v in plain_dims.items()]
+            metric_aliases = [
+                f"{k} as {m['metric_name']}" for k, m in metrics.items()
             ]
-            metric_aliases = [f"{k} as {m['metric_name']}" for k, m in metrics.items()]
-            dim_keys = ", ".join(
-                k for k in dims.keys() if k not in ("from_date", "to_date")
-            ) or "1"
+            dim_keys = ", ".join(plain_dims.keys()) or "1"
+            dim_partition = ", ".join(["cadence"] + list(plain_dims.values()))
+            rn_part = ", rn" if has_snapshot else ""
+
+            calc_exprs: List[str] = []
+            for m in metrics.values():
+                name = m["metric_name"]
+                calc = m.get("calculated_metric") or {}
+                for spec in calc.get("last_cadence") or []:
+                    calc_exprs.append(
+                        f"COALESCE(LAG({name}, {int(spec['window'])}) OVER ("
+                        f"PARTITION BY {dim_partition}{rn_part} "
+                        f"ORDER BY from_date), 0) AS {spec['label']}"
+                    )
+                for spec in calc.get("last_year_cadence") or []:
+                    calc_exprs.append(
+                        f"COALESCE(LAG({name}, {int(spec['window'])}) OVER ("
+                        f"PARTITION BY {dim_partition}{rn_part}, "
+                        "CASE WHEN cadence IN ('DAY','MONTH','QUARTER') "
+                        "THEN struct(month(from_date), day(from_date)) "
+                        "WHEN cadence IN ('WEEK') "
+                        "THEN struct(weekofyear(from_date + 1), 1) END "
+                        f"ORDER BY from_date), 0) AS {spec['label']}"
+                    )
+                for spec in calc.get("window_function") or []:
+                    back, fwd = int(spec["window"][0]), int(spec["window"][1])
+                    agg = spec.get("agg_func", "sum")
+                    calc_exprs.append(
+                        f"COALESCE({agg}({name}) OVER ("
+                        f"PARTITION BY {dim_partition}{rn_part} "
+                        f"ORDER BY from_date ROWS BETWEEN {back} PRECEDING "
+                        f"AND {fwd} PRECEDING), 0) AS {spec['label']}"
+                    )
+                derived = m.get("derived_metric") or []
+                if isinstance(derived, dict):
+                    derived = []
+                for spec in derived:
+                    calc_exprs.append(f"{spec['formula']} AS {spec['label']}")
 
             snap_list = ", ".join(f"'{c}'" for c in snap_cadences) or "''"
-            base = f"""
-                SELECT cadence, from_date, to_date,
-                       {', '.join(dim_aliases + metric_aliases)}
-                FROM (
-                  SELECT *, row_number() OVER (
-                      PARTITION BY cadence, {dim_keys}, from_date
-                      ORDER BY to_date DESC
-                  ) AS rn
-                  FROM {target}
-                  WHERE query_id = '{use_case['query_id']}'
-                ) WHERE rn = 1 OR cadence IN ({snap_list})
-            """
-            df = spark.sql(base)
-            df = self._add_calculated_metrics(df, dims, metrics)
+            # the mapping filter references RAW dN names (reference
+            # contract) so it applies before aliasing
             view_filter = mapping.get("filter")
-            if view_filter and not isinstance(view_filter, dict):
-                df = df.filter(view_filter)
-            df.createOrReplaceTempView(view_name)
-
-    def _add_calculated_metrics(
-        self, df: DataFrame, dims: Dict[str, str], metrics: Dict[str, dict]
-    ) -> DataFrame:
-        from pyspark.sql import Window
-
-        dim_cols = [v for k, v in dims.items() if k not in ("from_date", "to_date")]
-        w = Window.partitionBy("cadence", *dim_cols).orderBy("from_date")
-        for m in metrics.values():
-            name = m["metric_name"]
-            calc = m.get("calculated_metric") or {}
-            for spec in calc.get("last_cadence", []) or []:
-                df = df.withColumn(
-                    spec["label"], F.lag(name, int(spec["window"])).over(w)
+            extra_filter = (
+                f"AND ({view_filter})"
+                if view_filter and not isinstance(view_filter, dict)
+                else ""
+            )
+            out_cols = (
+                ["cadence", f"from_date AS {from_alias}", f"to_date AS {to_alias}"]
+                + [v for v in plain_dims.values()]
+                + [m["metric_name"] for m in metrics.values()]
+                + calc_exprs
+            )
+            sql = f"""
+                CREATE OR REPLACE VIEW {self.spec.target_database}.{view_name} AS
+                SELECT {', '.join(out_cols)}
+                FROM (
+                  SELECT cadence, from_date, to_date, rn,
+                         {', '.join(dim_aliases + metric_aliases)}
+                  FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY cadence, {dim_keys}, from_date
+                        ORDER BY to_date DESC
+                    ) AS rn
+                    FROM {target}
+                    WHERE query_id = '{use_case['query_id']}'
+                  ) WHERE (rn = 1 OR cadence IN ({snap_list})) {extra_filter}
                 )
-            for spec in calc.get("window_function", []) or []:
-                back, fwd = int(spec["window"][0]), int(spec["window"][1])
-                agg = getattr(F, spec.get("agg_func", "sum"))
-                df = df.withColumn(
-                    spec["label"], agg(name).over(w.rowsBetween(-back, -fwd))
-                )
-            derived = m.get("derived_metric") or []
-            if isinstance(derived, dict):
-                derived = []
-            for spec in derived:
-                df = df.withColumn(spec["label"], F.expr(spec["formula"]))
-        return df
+            """
+            spark.sql(sql)

@@ -91,13 +91,17 @@ def cadence_end(d, cadence: str, start_of_week: str = "MONDAY") -> datetime:
     raise ValueError(f"Unknown cadence: {cadence}")
 
 
-def cadence_configuration_at_end_date(end_date) -> Dict[str, str]:
+def cadence_configuration_at_end_date(
+    end_date, week_start: str = "MONDAY"
+) -> Dict[str, str]:
     """Which cadences conclude exactly at ``end_date``.
 
     Mirrors reference ``utils/gab_utils.py:236-281`` — e.g. 2024-03-31 is a
-    MONTH and QUARTER end, so MONTH/QUARTER use cases are due. The WEEK check
-    uses the ISO (Monday-start) week end, as the reference's pendulum
-    ``end_of("week")`` does. DAY is always due.
+    MONTH and QUARTER end, so MONTH/QUARTER use cases are due. The WEEK
+    check honours the use case's configured week anchor (the reference sets
+    pendulum's week boundaries from ``start_of_the_week``,
+    ``algorithms/gab.py:535-547`` there) — with SUNDAY weeks a Saturday
+    end_date makes WEEK due. DAY is always due.
     """
     end_date = _as_dt(end_date)
     due: Dict[str, str] = {}
@@ -107,7 +111,7 @@ def cadence_configuration_at_end_date(end_date) -> Dict[str, str]:
         due["QUARTER"] = "N"
     if end_date == cadence_end(end_date, "MONTH"):
         due["MONTH"] = "N"
-    if end_date == cadence_end(end_date, "WEEK", "MONDAY"):
+    if end_date == cadence_end(end_date, "WEEK", week_start):
         due["WEEK"] = "N"
     due["DAY"] = "N"
     return due

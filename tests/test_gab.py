@@ -97,6 +97,7 @@ def gab_env(spark, sf_dir, tmp_path_factory):
     )
     lookup.write.mode("overwrite").saveAsTable("gab_db.lkp_query_builder")
     yield {"base": str(base), "sf_dir": sf_dir}
+    spark.sql("DROP VIEW IF EXISTS gab_db.vw_orders_kpi")
     spark.sql("DROP TABLE IF EXISTS gab_db.gab_insights")
     spark.sql("DROP TABLE IF EXISTS gab_db.gab_orders")
     spark.sql("DROP TABLE IF EXISTS gab_db.lkp_query_builder")
@@ -139,8 +140,8 @@ def test_gab_monthly_rollup_matches_duckdb(spark, gab_env):
     ).fetchall()
     assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
 
-    # consumption view exposes re-aliased dims/metrics + derived metric
-    view = spark.table("vw_orders_kpi")
+    # consumption view is a CATALOG view in the target database
+    view = spark.table("gab_db.vw_orders_kpi")
     assert {"o_orderpriority", "orders", "total_price", "discounted_total"} <= set(
         view.columns
     )

@@ -94,8 +94,12 @@ def _norm(v):
     """Canonical string form tolerant of csv-inferSchema vs parquet dtype
     families (10 vs 10.0), matching the value-level intent of the
     reference's ``has_diff`` (which compares under an explicit schema)."""
+    import decimal
+
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float) and v.is_integer():
         return str(int(v))
     return str(v)
@@ -779,3 +783,88 @@ def test_reference_dq_table_prisma_acon_runs_verbatim(spark, tmp_path, monkeypat
     )
     assert norm[0]["rs"] is True and norm[0]["re"] is False and norm[0]["rrs"] is True
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ---------------------------------------------------------------------------
+# gab — the reference's Gold Asset Builder use cases, rendered from ITS
+# own stage SQL templates, lookup config CSV and source data, compared
+# against ITS control gold-asset CSVs.
+# ---------------------------------------------------------------------------
+
+GAB_REF = f"{REF}/gab"
+
+
+@pytest.fixture(scope="module")
+def gab_reference_env(spark, tmp_path_factory):
+    """The reference runner's GAB setup protocol: load lkp_query_builder +
+    use-case source tables from the fixture CSVs (schemas from
+    setup/schema/*.json), stage the use-case SQL files under gab_base_path."""
+    import shutil as _sh
+
+    from lakehouse_engine_spark.utils.schema_utils import schema_from_file
+
+    base = str(tmp_path_factory.mktemp("gab_ref"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    for tbl in ("lkp_query_builder", "order_events", "dummy_sales_kpi"):
+        schema = schema_from_file(f"file://{GAB_REF}/setup/schema/{tbl}.json")
+        df = (
+            spark.read.option("header", True).option("delimiter", "|")
+            .option("nullValue", "null").option("mode", "FAILFAST")
+            .schema(schema).csv(f"file://{GAB_REF}/setup/data/{tbl}.csv")
+        )
+        spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
+        _sh.rmtree(f"spark-warehouse/test_db.db/{tbl}", ignore_errors=True)
+        df.write.saveAsTable(f"test_db.{tbl}")
+    for uc in ("order_events", "dummy_sales_kpi"):
+        os.makedirs(f"{base}/{uc}", exist_ok=True)
+        for f in os.listdir(f"{GAB_REF}/usecases/{uc}"):
+            if f.endswith(".sql"):
+                _sh.copy(f"{GAB_REF}/usecases/{uc}/{f}", f"{base}/{uc}/")
+    _sh.rmtree("spark-warehouse/test_db.db/gab_use_case_results",
+               ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS test_db.gab_use_case_results")
+    yield base
+    for t in ("lkp_query_builder", "order_events", "dummy_sales_kpi",
+              "gab_use_case_results"):
+        spark.sql(f"DROP TABLE IF EXISTS test_db.{t}")
+    for v in ("vw_orders_all", "vw_orders_filtered", "vw_dummy_sales_kpi"):
+        spark.sql(f"DROP VIEW IF EXISTS test_db.{v}")
+
+
+GAB_SCENARIOS = [
+    ("order_events", "order_events",
+     [("vw_orders_all", "vw_orders"), ("vw_orders_filtered", "vw_orders")]),
+    ("dummy_sales_kpi", "dummy_sales_kpi",
+     [("vw_dummy_sales_kpi", "vw_dummy_sales_kpi")]),
+]
+
+
+@pytest.mark.parametrize("use_case,stages_dir,assets", GAB_SCENARIOS,
+                         ids=[s[0] for s in GAB_SCENARIOS])
+def test_reference_gab_use_cases_run_verbatim(spark, gab_reference_env,
+                                              use_case, stages_dir, assets):
+    """execute_gab over the reference's own scenario ACON (only
+    gab_base_path remapped): every cadence/recon-window combination in the
+    lookup config runs, the insights table is DELETE+INSERTed, and each
+    consumption view equals the reference's control CSV — including the
+    calculated metrics (last_cadence / last_year_cadence /
+    window_function) and derived metrics."""
+    from lakehouse_engine_spark import execute_gab
+    from lakehouse_engine_spark.utils.schema_utils import schema_from_file
+
+    with open(f"{GAB_REF}/usecases/{stages_dir}/scenario/{use_case}.json") as fh:
+        acon = json.load(fh)
+    acon["gab_base_path"] = gab_reference_env
+    execute_gab(acon)
+
+    for asset, schema_name in assets:
+        got = spark.sql(f"SELECT * FROM test_db.{asset}")
+        want = (
+            spark.read.option("header", True).option("delimiter", "|")
+            .schema(schema_from_file(
+                f"file://{GAB_REF}/control/schema/{schema_name}.json"))
+            .csv(f"file://{GAB_REF}/control/data/{asset}.csv")
+        )
+        missing = set(got.columns) - set(want.columns)
+        assert not missing, f"{asset}: extra columns {missing}"
+        assert _rows(got) == _rows(want.select(*got.columns)), asset
