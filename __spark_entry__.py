@@ -5610,8 +5610,13 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "dp115_dsir_score": f"""
+            -- doc_id IS NOT NULL encodes the engine contract: dsir_score
+            -- excludes null-id docs from the SOURCE bucket distribution
+            -- (datapipes/text.py dsir_score) — the oracle must agree even
+            -- if the generator ever emits null ids
             WITH toks AS (
               SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+              WHERE doc_id IS NOT NULL
             ),
             sg AS (
               SELECT doc_id,

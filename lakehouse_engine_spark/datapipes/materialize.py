@@ -123,7 +123,16 @@ def release(df) -> None:
 
 
 def probe_materialize(df: DataFrame) -> DataFrame:
-    """One-shot size-probe materialization (policy above)."""
-    if dyn_alloc_enabled(df.sparkSession):
+    """One-shot size-probe materialization (policy above).
+
+    Mirrors :func:`iter_materialize` on the dyn-alloc branch: with a
+    reliable checkpoint dir configured the probe is checkpointed
+    (fault-tolerant, reused by the final plan); without one it is left
+    un-materialized — a persist could never be released, so the probe
+    recomputes instead (leak-free and loss-safe)."""
+    spark = df.sparkSession
+    if dyn_alloc_enabled(spark):
+        if has_checkpoint_dir(spark):
+            return df.checkpoint(eager=True)
         return df
     return df.localCheckpoint(eager=True)

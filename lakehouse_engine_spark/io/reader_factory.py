@@ -70,8 +70,20 @@ class ReaderFactory:
 
                 # mirror the writer's degradation: without delta-spark the
                 # engine writes parquet at delta locations, so reads must
-                # follow (reference ACONs read their own outputs back)
+                # follow (reference ACONs read their own outputs back).
+                # BUT a location with a _delta_log is a GENUINE Delta table
+                # (superseded part files on disk): a raw parquet scan would
+                # silently resurrect deleted/overwritten row versions, so
+                # that case must fail loudly instead of degrading.
                 if not ExecEnv.delta_available():
+                    if _has_delta_log(spec.location):
+                        raise RuntimeError(
+                            f"{spec.location} holds a Delta table "
+                            "(_delta_log present) but delta-spark is not "
+                            "installed — refusing to degrade to a raw "
+                            "parquet scan, which would read superseded "
+                            "row versions."
+                        )
                     fmt = "parquet"
             schema = resolve_schema(spark, spec.schema, spec.schema_path, spec.enforce_schema_from_table)
             if (
@@ -109,6 +121,25 @@ class ReaderFactory:
         if spec.temp_view:
             df.createOrReplaceTempView(spec.temp_view)
         return df
+
+
+def _has_delta_log(location: str) -> bool:
+    """True when the location holds a real Delta table (_delta_log dir).
+
+    Local/posix check only — object-store paths (s3://, abfss://) can't be
+    probed without the corresponding filesystem client, and in those
+    environments delta-spark is present anyway."""
+    import os
+
+    path = location or ""
+    if path.startswith("file://"):
+        from urllib.parse import urlparse
+        from urllib.request import url2pathname
+
+        path = url2pathname(urlparse(path).path)
+    if "://" in path:
+        return False
+    return os.path.isdir(os.path.join(path, "_delta_log"))
 
 
 def _align_schema_to_csv_header(spark, schema, location, options):

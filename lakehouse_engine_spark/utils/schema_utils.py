@@ -32,9 +32,22 @@ def schema_from_dict(schema) -> StructType:
 
 def schema_from_file(path: str) -> StructType:
     """Build a StructType from a JSON file on a local/posix path
-    (``file://`` URIs accepted — the reference's ACONs use them)."""
-    if path.startswith("file://"):
-        path = path[len("file://"):]
+    (``file://`` URIs accepted — the reference's ACONs use them).
+
+    URI parsing goes through urllib so ``file:///a%20b/x.json`` decodes
+    and a non-empty netloc (``file://host/path`` — a remote-host file URI)
+    is rejected instead of silently becoming the relative path
+    ``host/path``."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+        from urllib.request import url2pathname
+
+        parsed = urlparse(path)
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file URI with a remote netloc is not supported: {path}"
+            )
+        path = url2pathname(parsed.path)
     with open(path, encoding="utf-8") as fh:
         return StructType.fromJson(json.load(fh))
 

@@ -397,3 +397,72 @@ def test_acon_round7_curation_pipeline(spark, tmp_dir):
     assert all("dsir_score" in r.asDict() and r["dsir_score"] is not None
                for r in rows.values())
     assert all(r["wp_tokens_n"] > 0 for r in rows.values())
+
+
+def test_delta_read_refuses_raw_parquet_scan_over_real_delta_table(spark, tmp_dir):
+    """Without delta-spark, delta reads degrade to parquet ONLY for
+    engine-written parquet-at-delta-location outputs. A location holding a
+    GENUINE Delta table (_delta_log present — superseded part files on
+    disk) must fail loudly: a raw parquet scan would silently resurrect
+    deleted/overwritten row versions."""
+    import os
+
+    from lakehouse_engine_spark.core.exec_env import ExecEnv
+
+    if ExecEnv.delta_available():
+        pytest.skip("delta-spark installed — degradation path inactive")
+    loc = os.path.join(tmp_dir, "real_delta")
+    spark.range(3).write.parquet(loc)
+    os.makedirs(os.path.join(loc, "_delta_log"))
+    with pytest.raises(RuntimeError, match="_delta_log"):
+        load_data(
+            {
+                "input_specs": [
+                    {"spec_id": "d", "data_format": "delta", "location": loc}
+                ],
+                "output_specs": [
+                    {"spec_id": "o", "input_id": "d", "data_format": "dataframe"}
+                ],
+            }
+        )
+    # without the log dir the engine's own degradation still works
+    import shutil
+
+    shutil.rmtree(os.path.join(loc, "_delta_log"))
+    out = load_data(
+        {
+            "input_specs": [
+                {"spec_id": "d", "data_format": "delta", "location": loc}
+            ],
+            "output_specs": [
+                {"spec_id": "o", "input_id": "d", "data_format": "dataframe"}
+            ],
+        }
+    )
+    assert out["o"].count() == 3
+
+
+def test_schema_from_file_uri_forms(tmp_dir):
+    """file: URI parsing: triple-slash, percent-encoded chars, and
+    localhost netloc resolve; a remote netloc is rejected (it must not
+    silently become a relative path)."""
+    import json as _json
+    import os
+
+    from lakehouse_engine_spark.utils.schema_utils import schema_from_file
+
+    d = os.path.join(tmp_dir, "sch dir")
+    os.makedirs(d)
+    p = os.path.join(d, "s.json")
+    with open(p, "w") as fh:
+        _json.dump(
+            {"type": "struct", "fields": [
+                {"name": "x", "type": "integer", "nullable": True, "metadata": {}}
+            ]}, fh,
+        )
+    from urllib.parse import quote
+
+    assert schema_from_file(f"file://{quote(p)}").fieldNames() == ["x"]
+    assert schema_from_file(f"file://localhost{quote(p)}").fieldNames() == ["x"]
+    with pytest.raises(ValueError, match="netloc"):
+        schema_from_file("file://remotehost/etc/schema.json")
