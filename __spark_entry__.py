@@ -2083,17 +2083,23 @@ def dp68_json_props(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dp69_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
-    """Distributed BPE (datapipes/bpe.py): learn 30 merges from the
-    documents corpus (word-frequency table training — one corpus pass,
-    then vocabulary-sized rounds), tokenize every document with the
-    learned table (distinct-word pandas encode + broadcast dictionary
-    join), and emit per-doc subword counts. NO SQL oracle: BPE training
-    is inherently iterative (each merge depends on the counts after the
-    previous one) — the sanctioned rows-only case; correctness is pinned
-    against a pure-Python reference trainer in tests/test_datapipes.py."""
+    """Distributed BPE (datapipes/bpe.py): learn 30 CANONICAL merges from
+    the documents corpus (word-frequency table training — one corpus
+    pass, then vocabulary-sized rounds at merges_per_round=1), tokenize
+    every document with the learned table (distinct-word pandas encode +
+    broadcast dictionary join), and emit per-doc subword counts. Fully
+    SQL-oracled since round 10: the DuckDB oracle UNROLLS the 30 training
+    rounds (exactly as dp87 unrolls PageRank iterations) — each round
+    re-counts weighted symbol pairs, picks argmax with the trainer's
+    (count DESC, pair ASC) tie-break, and applies the merge with the
+    dp69b double-space-padded replace (bit-exact left-to-right
+    non-overlapping scan) — then recomputes each doc's piece count from
+    the final per-word symbol strings. The batched merges_per_round>1
+    trainer arm stays pinned against the pure-Python reference trainer
+    in tests/test_datapipes.py."""
     docs = load_table(spark, sf, "documents")
     merges = docs.transform(
-        _t("bpe_train", num_merges=30, merges_per_round=5)
+        _t("bpe_train", num_merges=30, merges_per_round=1)
     )
     enc = docs.transform(_t("bpe_encode", merges=merges))
     return enc.select(
@@ -3955,6 +3961,60 @@ def _duck_bands(bands: int, rows: int) -> str:
         for b in range(bands)
     )
     return f"[{parts}]"
+
+
+def _duck_bpe_train(num_merges: int) -> str:
+    """Unrolled canonical BPE training rounds as DuckDB CTEs (bpe.py
+    bpe_train at merges_per_round=1). Produces w0..w{N} (per-WORD symbol
+    strings, word column threaded through) and m0..m{N-1} (one picked
+    merge per round). The merge application replays the engine's
+    left-to-right non-overlapping regex scan via the dp69b double-space
+    padding trick; coalesce guards keep a dried-up corpus from nulling
+    the chain."""
+    parts = [
+        f"""wc AS (
+          SELECT w, COUNT(*) AS cnt
+          FROM (SELECT unnest({_DUCK_TOKENS_CS}) AS w FROM documents)
+          GROUP BY 1
+        ),
+        w0 AS MATERIALIZED (
+          SELECT w, array_to_string(str_split(w, ''), ' ') || ' </w>' AS s, cnt
+          FROM wc
+        )"""
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f"""p{r} AS (
+              SELECT pair, SUM(cnt) AS n FROM (
+                SELECT cnt,
+                       unnest(list_transform(
+                           generate_series(1, len(str_split(s, ' ')) - 1),
+                           i -> str_split(s, ' ')[i] || ' ' || str_split(s, ' ')[i+1]
+                       )) AS pair
+                FROM w{r}
+              ) GROUP BY 1
+            ),
+            m{r} AS MATERIALIZED (
+              SELECT {r} AS rank,
+                     str_split(pair, ' ')[1] AS a,
+                     str_split(pair, ' ')[2] AS b,
+                     replace(pair, ' ', '') AS merged,
+                     ' ' || replace(pair, ' ', '  ') || ' ' AS pat,
+                     ' ' || replace(pair, ' ', '') || ' ' AS rep
+              FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1
+            ),
+            w{r+1} AS MATERIALIZED (
+              SELECT w.w,
+                     trim(replace(replace(
+                         ' ' || replace(w.s, ' ', '  ') || ' ',
+                         coalesce((SELECT pat FROM m{r}), chr(1)),
+                         coalesce((SELECT rep FROM m{r}), chr(1))
+                     ), '  ', ' ')) AS s,
+                     w.cnt
+              FROM w{r} w
+            )"""
+        )
+    return ",\n".join(parts)
 
 
 def _minhash_cte(num_hashes: int, bands: int, shingle_size: int) -> str:
@@ -6552,6 +6612,35 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(value AS DOUBLE)) > 500.0 AS budget_exceeded
             FROM events
             GROUP BY user_id
+        """,
+        "dp69_bpe_tokenize": f"""
+            -- full canonical-BPE replay: 30 UNROLLED training rounds
+            -- (weighted pair counts -> argmax with (count DESC, pair ASC)
+            -- tie-break -> double-space-padded merge application), then
+            -- per-doc piece counts + chr(1)-joined piece streams from the
+            -- final per-word symbol strings (the Spark side joins pieces
+            -- with the \\x01 separator, so pieces_md5 sees every merge
+            -- BOUNDARY — both columns hash every round's pick).
+            WITH {_duck_bpe_train(30)},
+            dw AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, len(ws) - 1)) AS i,
+                     unnest(ws) AS w
+              FROM (SELECT doc_id, {_DUCK_TOKENS_CS} AS ws FROM documents)
+              WHERE len(ws) >= 1
+            ),
+            per_doc AS (
+              SELECT dw.doc_id,
+                     CAST(SUM(len(str_split(e.s, ' '))) AS BIGINT) AS n_bpe,
+                     md5(string_agg(replace(e.s, ' ', chr(1)), chr(1)
+                         ORDER BY dw.i)) AS pieces_md5
+              FROM dw JOIN w30 e ON dw.w = e.w
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_bpe, 0) AS n_bpe,
+                   coalesce(p.pieces_md5, md5('')) AS pieces_md5
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         "dp69b_bpe_encode": f"""
             -- exact BPE-encode replay with the fixed merge table: per

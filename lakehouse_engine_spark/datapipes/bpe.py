@@ -175,7 +175,12 @@ def bpe_train(
                     + "((?= )|$)"
                 )
                 col = F.regexp_replace(col, pat, re.sub(r"([$\\])", r"\\\1", a + b))
-            nxt = _materialize(words.select(col.alias("__s"), "__cnt"))
+            # lazy truncation: the NEXT round's pair-count job (or the
+            # final release) materializes the checkpoint — one job per
+            # round instead of two (30-round canonical training halves)
+            nxt = _materialize(
+                words.select(col.alias("__s"), "__cnt"), eager=False
+            )
             _release(words)  # previous round's cache handle, if any
             words = nxt
             merges.extend(picked)
