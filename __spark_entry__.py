@@ -3574,6 +3574,89 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
     )
 
 
+def _kmeans_hier_oracle_sql(k1: int, k2: int, it1: int, it2: int) -> str:
+    """Unrolled-CTE DuckDB replay of embedding_kmeans_hier: the flat
+    trainer's level-1 CTEs, then per-cell md5-ordered sub-init and
+    ``it2`` confined Lloyd rounds with the same exact integer algebra
+    (ties -> smallest sub id, floor-div updates, empty keeps previous).
+    Fine-round CTEs are MATERIALIZED — each is referenced by both the
+    next round's assign and update, so inlining would compound."""
+    flat = _kmeans_oracle_sql(k1, it1)
+    head, _tail = flat.rsplit(" SELECT id AS vec_id", 1)
+    final_a = f"a{it1 + 1}"
+    ctes = [
+        head,
+        f"pts AS MATERIALIZED (SELECT q.id, q.v, {final_a}.c AS g"
+        f" FROM q JOIN {final_a} USING (id))",
+        "s0 AS MATERIALIZED (SELECT g, sc, v FROM ("
+        "SELECT g, v, row_number() OVER (PARTITION BY g"
+        " ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS sc"
+        f" FROM pts) WHERE sc < {k2})",
+    ]
+
+    def fassign(i: int, prev: str) -> str:
+        d = (
+            f"list_sum(list_transform(list_zip(p.v, {prev}.v),"
+            " z -> (z[1]-z[2])*(z[1]-z[2])))"
+        )
+        return (
+            f"fa{i} AS MATERIALIZED (SELECT id, g, sc, d FROM ("
+            f"SELECT p.id, p.g, {prev}.sc, {d} AS d,"
+            f" row_number() OVER (PARTITION BY p.id ORDER BY {d}, {prev}.sc) AS rn"
+            f" FROM pts p JOIN {prev} ON p.g = {prev}.g) WHERE rn = 1)"
+        )
+
+    def fupdate(i: int, prev: str) -> str:
+        return (
+            f"fu{i} AS (SELECT g, sc, i, sum(x) AS s, count(*) AS n FROM ("
+            f"SELECT fa{i}.g, fa{i}.sc, unnest(generate_series(1, len(p.v))) AS i,"
+            f" unnest(p.v) AS x FROM fa{i} JOIN pts p USING (id)) GROUP BY g, sc, i), "
+            f"s{i} AS MATERIALIZED (SELECT {prev}.g, {prev}.sc,"
+            f" CASE WHEN uu.g IS NULL THEN {prev}.v ELSE uu.lv END AS v"
+            f" FROM {prev} LEFT JOIN ("
+            f"SELECT g, sc, list(CASE WHEN s >= 0 THEN s // n"
+            f" ELSE -((-s + n - 1) // n) END ORDER BY i) AS lv"
+            f" FROM fu{i} GROUP BY g, sc) uu"
+            f" ON {prev}.g = uu.g AND {prev}.sc = uu.sc)"
+        )
+
+    prev = "s0"
+    for t in range(1, it2 + 1):
+        ctes.append(fassign(t, prev))
+        ctes.append(fupdate(t, prev))
+        prev = f"s{t}"
+    ctes.append(fassign(it2 + 1, prev))
+    return (
+        ", ".join(ctes)
+        + f" SELECT id AS vec_id, g::INT AS cluster_coarse, sc::INT AS cluster_fine,"
+        f" (g * {k2} + sc)::INT AS cluster, d::BIGINT AS cluster_dist"
+        f" FROM fa{it2 + 1}"
+    )
+
+
+def dp130_kmeans_hier(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level hierarchical quantizer (datapipes/clustering.py
+    embedding_kmeans_hier): exact integer-grid Lloyd at both levels —
+    level 1 is dp112's flat trainer (k_coarse=4, 1 round); level 2
+    initializes each coarse cell from its k_fine=3 md5-smallest members
+    and runs 1 confined round. Assignments, the global
+    ``coarse*k_fine+fine`` id and squared grid distances replay
+    bit-for-bit in the unrolled hierarchical oracle."""
+    emb = load_table(spark, sf, "embeddings")
+    out = emb.transform(
+        _t(
+            "embedding_kmeans_hier",
+            k_coarse=4,
+            k_fine=3,
+            coarse_iterations=1,
+            fine_iterations=1,
+        )
+    )
+    return out.select(
+        "vec_id", "cluster_coarse", "cluster_fine", "cluster", "cluster_dist"
+    )
+
+
 def dp112_embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic integer-grid Lloyd k-means (datapipes/clustering.py
     embedding_kmeans): quantize to the 1024 grid (exact for the
@@ -3753,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the r10 window next.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED) ---
+        "dp130_kmeans_hier": dp130_kmeans_hier,
         "q31_curation_pipeline": q31_curation_pipeline,
         "dp115_dsir_score": dp115_dsir_score,
         "dp112_embedding_kmeans": dp112_embedding_kmeans,
@@ -6427,6 +6511,7 @@ def oracle_sql() -> dict[str, str]:
              AND l.s <= r.e AND r.s <= l.e
         """,
         "dp112_embedding_kmeans": _kmeans_oracle_sql(8, 2),
+        "dp130_kmeans_hier": _kmeans_hier_oracle_sql(4, 3, 1, 1),
         "dp113_cluster_stats": (
             "WITH asg AS (" + _kmeans_oracle_sql(8, 2) + ") "
             "SELECT cluster, count(*)::BIGINT AS size, "

@@ -338,6 +338,264 @@ def embedding_kmeans(
     return _kmeans
 
 
+def _grouped_assign_udf(cmap):
+    """Arrow-batched exact argmin WITHIN each point's coarse cluster:
+    input (coarse id, quantized vector) -> struct<c:int, d:bigint> (fine
+    cluster id within the coarse cell, exact squared grid distance).
+    ``cmap`` maps coarse id -> int64 [k_fine_c x dim] sub-centroid matrix
+    (a cell with fewer points than k_fine has a shorter matrix). Same
+    tie-break and null contract as :func:`_assign_udf`."""
+    norms = {g: (m * m).sum(axis=1) for g, m in cmap.items()}
+
+    @F.pandas_udf("struct<c: int, d: bigint>")
+    def assign(g: pd.Series, v: pd.Series) -> pd.DataFrame:
+        n = len(v)
+        out_c = np.zeros(n, dtype=np.int32)
+        out_d = np.full(n, None, dtype=object)
+        mask = (v.notna() & g.notna()).to_numpy()
+        if mask.any():
+            X, good = _clean_int_rows(v[mask].to_numpy())
+            if good is not None:
+                idx = np.flatnonzero(mask)
+                mask[idx[~good]] = False
+            if len(X):
+                gv = g.to_numpy()[mask]
+                pos = np.flatnonzero(mask)
+                for cell in np.unique(gv):
+                    m = cmap.get(int(cell))
+                    if m is None:
+                        continue  # null-contract rows stay (0, null)
+                    rows = gv == cell
+                    Xi = X[rows]
+                    dist = (
+                        (Xi * Xi).sum(axis=1)[:, None]
+                        - 2 * (Xi @ m.T)
+                        + norms[int(cell)][None, :]
+                    )
+                    out_c[pos[rows]] = dist.argmin(axis=1)
+                    for p_, d_ in zip(pos[rows], dist.min(axis=1)):
+                        out_d[p_] = d_
+        return pd.DataFrame({"c": out_c, "d": pd.array(out_d, dtype="Int64")})
+
+    return assign
+
+
+def _grouped_iteration_sums(q: DataFrame, cmap, dim: int):
+    """One per-cell Lloyd iteration's (coarse, fine, dim) -> (sum, count)
+    table — the grouped twin of :func:`_iteration_sums`: each Arrow batch
+    assigns its rows against THEIR cell's sub-centroids and scatter-adds
+    into per-cell accumulators; at most sum(k_fine_c)*dim partial rows
+    leave each partition."""
+    norms = {g: (m * m).sum(axis=1) for g, m in cmap.items()}
+
+    def part(batches):
+        S = {g: np.zeros((len(m), dim), dtype=np.int64) for g, m in cmap.items()}
+        N = {g: np.zeros(len(m), dtype=np.int64) for g, m in cmap.items()}
+        for pdf in batches:
+            v, g = pdf["__km_v"], pdf["__km_g"]
+            mask = (v.notna() & g.notna()).to_numpy()
+            if not mask.any():
+                continue
+            X, good = _clean_int_rows(v[mask].to_numpy())
+            if good is not None:
+                idx = np.flatnonzero(mask)
+                mask[idx[~good]] = False
+            if not len(X):
+                continue
+            gv = g.to_numpy()[mask]
+            for cell in np.unique(gv):
+                m = cmap.get(int(cell))
+                if m is None:
+                    continue
+                Xi = X[gv == cell]
+                dist = (
+                    (Xi * Xi).sum(axis=1)[:, None]
+                    - 2 * (Xi @ m.T)
+                    + norms[int(cell)][None, :]
+                )
+                c = dist.argmin(axis=1)
+                np.add.at(N[int(cell)], c, 1)
+                np.add.at(S[int(cell)], c, Xi)
+        frames = []
+        for cell in cmap:
+            live = np.nonzero(N[cell])[0]
+            if len(live):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__km_g": np.full(len(live) * dim, cell, dtype="int32"),
+                            "__km_c": np.repeat(live, dim).astype("int32"),
+                            "__i": np.tile(np.arange(dim, dtype="int32"), len(live)),
+                            "__s": S[cell][live].reshape(-1),
+                            "__n": np.repeat(N[cell][live], dim),
+                        }
+                    )
+                )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return (
+        q.select("__km_g", "__km_v")
+        .mapInPandas(part, "__km_g int, __km_c int, __i int, __s long, __n long")
+        .groupBy("__km_g", "__km_c", "__i")
+        .agg(F.sum("__s").alias("__s"), F.sum("__n").alias("__n"))
+        .collect()
+    )  # sum(k_fine_c) * dim rows after the partial combine
+
+
+@register("embedding_kmeans_hier")
+def embedding_kmeans_hier(
+    id_col: str = "vec_id",
+    input_col: str = "embedding",
+    k_coarse: int = 8,
+    k_fine: int = 8,
+    coarse_iterations: int = 2,
+    fine_iterations: int = 2,
+    quant_scale: int = 1024,
+    output_col: str = "cluster",
+) -> TransformerFn:
+    """Two-level hierarchical Lloyd k-means — the coarse quantizer the
+    flat trainer's MAX_K error message points at, for effective k beyond
+    the per-batch distance-matrix cap (SemDeDup at 100M+ vectors wants
+    k ~ 1e5; here k_eff = k_coarse * k_fine with each level <= MAX_K).
+
+    Semantics (deterministic, oracle-replayable): level 1 IS
+    :func:`embedding_kmeans` on (k_coarse, coarse_iterations). Level 2,
+    within each coarse cell: sub-centroids init from the k_fine cell
+    members with the smallest ``(md5(id), id)`` (sub ids 0..k_fine-1 in
+    that order; a smaller cell gets its size), then ``fine_iterations``
+    exact Lloyd rounds confined to the cell (same floor-div update, ties
+    to the smallest sub id, empty sub-cluster keeps its centroid).
+
+    Output adds ``<output_col>_coarse`` (int), ``<output_col>_fine``
+    (int), ``<output_col>`` (int, the global id
+    ``coarse * k_fine + fine``) and ``<output_col>_dist`` (bigint, exact
+    squared grid distance to the final sub-centroid). Null embeddings
+    keep the flat trainer's contract (coarse 0 / fine 0 / null distance).
+
+    Scale: every per-round job ships only (sum of cell sub-centroids) x
+    dim int64 to the driver — at k_eff = 32k x 256 dims that is ~67 MB
+    of control-plane state, independent of corpus size; assignment work
+    per Arrow batch is rows x k_fine (not rows x k_eff), which is what
+    makes the wide-k regime feasible at all.
+    """
+    for name, v in (("k_coarse", k_coarse), ("k_fine", k_fine)):
+        if v < 1:
+            raise ValueError(f"embedding_kmeans_hier: {name} must be >= 1, got {v}")
+        if v > MAX_K:
+            raise ValueError(
+                f"embedding_kmeans_hier: {name} = {v} exceeds {MAX_K} "
+                "(each level is one flat trainer; raise the other level "
+                "to widen k_eff)"
+            )
+    if coarse_iterations < 0 or fine_iterations < 0:
+        raise ValueError("embedding_kmeans_hier: iterations must be >= 0")
+
+    def _hier(df: DataFrame) -> DataFrame:
+        probe = df.select(F.max(F.size(input_col)).alias("d")).first()
+        dim = int(probe["d"]) if probe is not None and probe["d"] is not None else 0
+        null_cols = [
+            F.lit(None).cast("int").alias(f"{output_col}_coarse"),
+            F.lit(None).cast("int").alias(f"{output_col}_fine"),
+            F.lit(None).cast("int").alias(output_col),
+            F.lit(None).cast("long").alias(f"{output_col}_dist"),
+        ]
+        if dim == 0:
+            if df.isEmpty():
+                return df.select("*", *null_cols).limit(0)
+            return df.select(
+                "*",
+                F.lit(0).cast("int").alias(f"{output_col}_coarse"),
+                F.lit(0).cast("int").alias(f"{output_col}_fine"),
+                F.lit(0).cast("int").alias(output_col),
+                F.lit(0).cast("long").alias(f"{output_col}_dist"),
+            )
+        q = df.select(
+            F.col(id_col).alias("__km_id"),
+            _quantize_expr(input_col, quant_scale).alias("__km_v"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # ----- level 1: the flat trainer, verbatim semantics -----
+            init = (
+                q.select(
+                    "__km_v",
+                    F.md5(F.col("__km_id").cast("string")).alias("__h"),
+                    "__km_id",
+                )
+                .orderBy("__h", "__km_id")
+                .limit(k_coarse)
+                .collect()
+            )
+            if not init:
+                return df.select("*", *null_cols).limit(0)
+            coarse = [list(r["__km_v"]) for r in init]
+            for _ in range(coarse_iterations):
+                sums = _iteration_sums(q, coarse, dim)
+                nxt = [list(c) for c in coarse]
+                for r in sums:
+                    nxt[r["__km_c"]][r["__i"]] = _floordiv(
+                        int(r["__s"]), int(r["__n"])
+                    )
+                coarse = nxt
+            g = _assign_frame(q, coarse).select(
+                "__km_id", "__km_v", F.col("__km_c").alias("__km_g")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            # ----- level 2: per-cell init + confined Lloyd rounds -----
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("__km_g").orderBy(
+                F.md5(F.col("__km_id").cast("string")), "__km_id"
+            )
+            sub_init = (
+                g.filter(F.col("__km_v").isNotNull())
+                .select(
+                    "__km_g", "__km_v", (F.row_number().over(w) - 1).alias("__r")
+                )
+                .filter(F.col("__r") < k_fine)
+                .collect()
+            )  # driver control decision: <= k_coarse*k_fine rows
+            cells: dict = {}
+            for r in sorted(sub_init, key=lambda r: (r["__km_g"], r["__r"])):
+                cells.setdefault(int(r["__km_g"]), []).append(list(r["__km_v"]))
+            cmap = {
+                c: np.array(v, dtype=np.int64) for c, v in cells.items()
+            }
+            for _ in range(fine_iterations):
+                sums = _grouped_iteration_sums(g, cmap, dim)
+                nxt = {c: m.copy() for c, m in cmap.items()}
+                for r in sums:
+                    nxt[int(r["__km_g"])][int(r["__km_c"]), int(r["__i"])] = (
+                        _floordiv(int(r["__s"]), int(r["__n"]))
+                    )
+                cmap = nxt
+            # ----- final assignment projected onto the caller's frame -----
+            out = df.select(
+                "*", _quantize_expr(input_col, quant_scale).alias("__km_v")
+            )
+            out = _assign_frame(out, coarse).withColumnRenamed(
+                "__km_c", "__km_g"
+            ).drop("__km_d")
+            a = _grouped_assign_udf(cmap)(F.col("__km_g"), F.col("__km_v"))
+            out = out.select("*", a["c"].alias("__km_f"), a["d"].alias("__km_fd"))
+            return out.select(
+                *[F.col(c) for c in df.columns],
+                F.col("__km_g").cast("int").alias(f"{output_col}_coarse"),
+                F.col("__km_f").cast("int").alias(f"{output_col}_fine"),
+                (F.col("__km_g") * k_fine + F.col("__km_f"))
+                .cast("int")
+                .alias(output_col),
+                F.col("__km_fd").alias(f"{output_col}_dist"),
+            )
+        finally:
+            q.unpersist()
+            try:
+                g.unpersist()
+            except Exception:
+                pass
+
+    return _hier
+
+
 @register("cluster_stats")
 def cluster_stats(
     cluster_col: str = "cluster",

@@ -4616,3 +4616,104 @@ def test_quantile_prune_per_group_with_null_group_and_ties(spark):
         t("quantile_prune", score_col="score", keep_frac=0.3)
     ).collect()
     assert {r["score"] for r in glob} == {104, 105, 106, 107, 108, 109}
+
+
+def _hier_ref(vecs, k1, k2, it1, it2):
+    """Pure-Python reference for embedding_kmeans_hier's stated semantics:
+    level 1 = _lloyd_ref's algebra; level 2 = per-cell md5-ordered init +
+    confined exact Lloyd rounds; global id = coarse * k_fine + fine."""
+    import hashlib
+    import math
+
+    q = {
+        i: [math.floor(float(x) * 1024 + 0.5) for x in v]
+        for i, v in vecs.items()
+    }
+
+    def md5o(i):
+        return (hashlib.md5(str(i).encode()).hexdigest(), i)
+
+    def assign(ids, cents):
+        out = {}
+        for i in ids:
+            dists = [sum((a - b) ** 2 for a, b in zip(q[i], c)) for c in cents]
+            best = min(range(len(cents)), key=lambda j: (dists[j], j))
+            out[i] = (best, dists[best])
+        return out
+
+    def lloyd(ids, cents, iters):
+        for _ in range(iters):
+            asg = assign(ids, cents)
+            for j in range(len(cents)):
+                members = [q[i] for i, (c, _) in asg.items() if c == j]
+                if members:
+                    cents[j] = [
+                        s // len(members) if s >= 0
+                        else -((-s + len(members) - 1) // len(members))
+                        for s in (sum(col) for col in zip(*members))
+                    ]
+        return assign(ids, cents)
+
+    order = sorted(q, key=md5o)
+    coarse = [list(q[i]) for i in order[:k1]]
+    l1 = lloyd(sorted(q), coarse, it1)
+    out = {}
+    for cell in {c for c, _ in l1.values()}:
+        members = sorted((i for i, (c, _) in l1.items() if c == cell), key=md5o)
+        subs = [list(q[i]) for i in members[:k2]]
+        l2 = lloyd(sorted(i for i, (c, _) in l1.items() if c == cell), subs, it2)
+        for i, (sc, d) in l2.items():
+            out[i] = (cell, sc, cell * k2 + sc, d)
+    return out
+
+
+def test_embedding_kmeans_hier_matches_reference(spark):
+    import random as rnd
+    import struct
+
+    rnd.seed(23)
+    vecs = {
+        i: [struct.unpack("f", struct.pack("f", rnd.uniform(-1, 1)))[0]
+            for _ in range(6)]
+        for i in range(60)
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    out = df.transform(
+        t("embedding_kmeans_hier", k_coarse=3, k_fine=4,
+          coarse_iterations=2, fine_iterations=2)
+    )
+    got = {
+        r["vec_id"]: (r["cluster_coarse"], r["cluster_fine"], r["cluster"],
+                      r["cluster_dist"])
+        for r in out.collect()
+    }
+    assert got == _hier_ref(vecs, 3, 4, 2, 2)
+
+
+def test_embedding_kmeans_hier_edges(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [2.0, 2.0]), (3, None)],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    out = {r["vec_id"]: r for r in
+           df.transform(t("embedding_kmeans_hier", k_coarse=2, k_fine=2,
+                          coarse_iterations=1, fine_iterations=1)).collect()}
+    # null embedding keeps the flat trainer's null contract
+    assert out[3]["cluster_coarse"] == 0 and out[3]["cluster"] == 0
+    assert out[3]["cluster_dist"] is None
+    assert out[1]["cluster_dist"] == 0 and out[2]["cluster_dist"] == 0
+    # empty input keeps the full schema
+    empty = df.limit(0).transform(t("embedding_kmeans_hier"))
+    assert empty.count() == 0
+    assert {"cluster", "cluster_coarse", "cluster_fine", "cluster_dist"} <= set(
+        empty.columns
+    )
+    with _pt.raises(ValueError, match="exceeds"):
+        t("embedding_kmeans_hier", k_fine=5000)
+    with _pt.raises(ValueError, match=">= 1"):
+        t("embedding_kmeans_hier", k_coarse=0)

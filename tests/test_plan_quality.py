@@ -1009,3 +1009,92 @@ def test_random_projection_regime_gate(spark):
     assert "ArrowEvalPython" in physical, physical[:2000]
     assert "element_at" not in physical, physical[:3000]
     assert "Exchange" not in physical, physical[:2000]
+
+
+def test_q31_persist_knob_collapses_corpus_scans(spark, sf_dir):
+    """The composed curation chain's verdict-join stages (minhash,
+    decontaminate) each re-derive the upstream corpus when un-persisted
+    (documented q31 characteristic, same as the reference's composition).
+    The registry's `persist` transformer is the ACON-level knob users
+    reach for at 100 TB: inserted after the gopher stage it must collapse
+    the executed plan to ONE documents parquet scan on the curated
+    branch (vs 3 un-persisted), with the persisted subtree read back as
+    InMemoryTableScan."""
+    from lakehouse_engine_spark import load_data
+
+    def acon(persist_after_gopher):
+        gopher = [
+            {"function": "text_gopher_rules",
+             "args": {"min_words": 5, "stopwords": ["the", "a"],
+                      "min_stopword_hits": 0}},
+            {"function": "expression_filter", "args": {"exp": "gopher_keep"}},
+        ]
+        if persist_after_gopher:
+            gopher.append({"function": "persist"})
+        return {
+            "input_specs": [
+                {"spec_id": "docs", "data_format": "parquet",
+                 "location": f"{sf_dir}/documents.parquet"}
+            ],
+            "transform_specs": [
+                {"spec_id": "bench", "input_id": "docs", "transformers": [
+                    {"function": "expression_filter",
+                     "args": {"exp": "doc_id % 50 = 0"}}]},
+                {"spec_id": "curated", "input_id": "docs", "transformers": gopher + [
+                    {"function": "dedup_minhash_lsh",
+                     "args": {"num_hashes": 12, "bands": 4, "shingle_size": 3}},
+                    {"function": "text_decontaminate_with",
+                     "args": {"benchmark_with": "bench", "ngram": 8,
+                              "mode": "drop"}},
+                ]},
+            ],
+            "output_specs": [
+                {"spec_id": "out", "input_id": "curated",
+                 "data_format": "dataframe"}
+            ],
+        }
+
+    def corpus_scans(df):
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan()
+        # AdaptiveSparkPlanExec reports ITSELF as a leaf — unwrap to the
+        # physical plan it wraps (cache substitution happens before AQE)
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.inputPlan()
+        # walk the REAL plan tree: cached blocks re-print their child
+        # plan in toString (phantom FileScan text), but collectLeaves
+        # only yields live leaves (FileSourceScan / InMemoryTableScan)
+        leaves = plan.collectLeaves()
+        live = 0
+        inmem = 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            nm = leaf.getClass().getSimpleName()
+            if "FileSourceScan" in nm and "documents.parquet" in leaf.toString():
+                live += 1
+            if "InMemoryTableScan" in nm:
+                inmem += 1
+        return live, inmem, plan.toString()
+
+    plain_scans, plain_inmem, _ = corpus_scans(load_data(acon(False))["out"])
+    pers_scans, pers_inmem, executed = corpus_scans(load_data(acon(True))["out"])
+    try:
+        # the persisted variant must collapse every post-gopher re-scan of
+        # the curated branch into cache reads: only the bench (benchmark)
+        # branch still scans the corpus. Pin both counts so a recompute
+        # creeping back in (or a new hidden scan) fails loudly.
+        assert (plain_scans, plain_inmem) == (5, 0), (
+            f"un-persisted: expected 5 live scans / 0 cache reads, saw "
+            f"{(plain_scans, plain_inmem)}"
+        )
+        assert pers_scans < plain_scans and pers_inmem >= 2, (
+            f"persisted: expected collapsed scans + cache reads, saw "
+            f"{(pers_scans, pers_inmem)}:\n{executed[:3000]}"
+        )
+        assert (pers_scans, pers_inmem) == (1, 4), (
+            f"persisted: pinned (1 live corpus scan [the bench branch], "
+            f"4 cache reads [both minhash verdict sides + both "
+            f"decontaminate sides]), saw {(pers_scans, pers_inmem)}"
+        )
+    finally:
+        spark.catalog.clearCache()
