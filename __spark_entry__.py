@@ -3801,44 +3801,91 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # they must sit inside the driver window so the change gets a hard
 # driver signal. tests/test_entry_registry derives the expected window
 # from this constant + the CORRECTNESS history, so update it as part of
-# every rotation. Round 9: q31 is new; the dsir null-id plan-reuse fix
-# touches dp115; the kmeans-kernel re-stack touches dp112/dp113; the
-# bpe/dedup-CC/graph iterative loops adopted the shared iter_materialize
-# policy, touching dp69/dp69b/dp118/dp125, dp20/dp61, dp87 and dp121
-# (dp61 sits in the r05-tail block below).
+# every rotation. Round 10: dp130 is new (hierarchical quantizer);
+# canonical-BPE + lazy round materialization touch dp69/dp69b; the
+# reference from_json contract touches dp68; the flatten max_level fix
+# touches q09; the DQ result-sink/tag reshape touches q07; the dp115
+# oracle gained the null-id filter.
 WINDOW_RETOUCHED = (
-    "q31_curation_pipeline",
-    "dp115_dsir_score",
-    "dp112_embedding_kmeans",
-    "dp113_cluster_stats",
-    "dp118_wordpiece_encode",
-    "dp125_unigram_encode",
+    "dp130_kmeans_hier",
     "dp69_bpe_tokenize",
     "dp69b_bpe_encode",
-    "dp20_dup_clusters",
-    "dp61_keep_best_dedup",
-    "dp87_pagerank",
-    "dp121_graph_components",
-    "dp129_group_quantile_prune",  # new this round (grouped threshold)
+    "dp68_json_props",
+    "q09_flatten_explode",
+    "q07_dq_stats",
+    "dp115_dsir_score",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
-    # the first 50 entries each round. Policy (round 9, per the round-8
-    # verdict): front-load WINDOW_RETOUCHED (the new q31 plus every query
-    # whose code changed this round), then the r05 tail + q23-q28 cohort
-    # (last hard driver signal r06 — the stalest on the board), then the
-    # head of the r06-green remainder up to 50. Entries 51+ (rest of the
-    # r06 remainder, the r07/r08 window cohorts, and the multiply-
-    # confirmed classics) still get value-verified every round via
-    # tools/check_oracle.py; the r06 remainder tail (dp88+) rotates into
-    # the r10 window next.
+    # the first 50 entries each round. Policy (round 10, per the round-9
+    # verdict): front-load WINDOW_RETOUCHED (the new dp130 plus every
+    # query whose code changed this round), then the stalest cohort on
+    # the board — the r06-remainder tail (dp92-dp111 + q29) and the
+    # r07-checked classics (dp01+, q01/q03/q08/q14/q17/q19) — up to 50.
+    # Entries 51+ (the r08/r09-fresh cohorts) still get value-verified
+    # every round via tools/check_oracle.py. The window derivation is
+    # pinned by tests/test_entry_registry.py from WINDOW_RETOUCHED + the
+    # CORRECTNESS_r*.json history.
     return {
-        # --- new + code-touched this round (WINDOW_RETOUCHED) ---
+        # --- new + code-touched this round (WINDOW_RETOUCHED r10) ---
         "dp130_kmeans_hier": dp130_kmeans_hier,
-        "q31_curation_pipeline": q31_curation_pipeline,
+        "dp69_bpe_tokenize": dp69_bpe_tokenize,
+        "dp69b_bpe_encode": dp69b_bpe_encode,
+        "dp68_json_props": dp68_json_props,
+        "q09_flatten_explode": q09_flatten_explode,
+        "q07_dq_stats": q07_dq_stats,
         "dp115_dsir_score": dp115_dsir_score,
+        # --- r10 rotation cohort: stalest-first (r06 remainder dp92+,
+        # --- then the r07-checked classics) up to entry 50 ---
+        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,  # last hard driver signal r06
+        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,  # last hard driver signal r06
+        "dp103_zorder_layout": dp103_zorder_layout,  # last hard driver signal r06
+        "dp104_zorder_rank": dp104_zorder_rank,  # last hard driver signal r06
+        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,  # last hard driver signal r06
+        "dp107_profile_skew": dp107_profile_skew,  # last hard driver signal r06
+        "dp109_unicode_normalize": dp109_unicode_normalize,  # last hard driver signal r06
+        "dp111_interval_overlap_join": dp111_interval_overlap_join,  # last hard driver signal r06
+        "dp92_image_resize": dp92_image_resize,  # last hard driver signal r06
+        "dp93_audio_resample": dp93_audio_resample,  # last hard driver signal r06
+        "dp94_running_totals": dp94_running_totals,  # last hard driver signal r06
+        "dp95_approx_distinct": dp95_approx_distinct,  # last hard driver signal r06
+        "dp96_g711_decode": dp96_g711_decode,  # last hard driver signal r06
+        "dp99_hash_embedding": dp99_hash_embedding,  # last hard driver signal r06
+        "q01_pricing_summary": q01_pricing_summary,  # last hard driver signal r06
+        "q03_latest_order_per_customer": q03_latest_order_per_customer,  # last hard driver signal r06
+        "q08_reconciliation": q08_reconciliation,  # last hard driver signal r06
+        "q14_window_running": q14_window_running,  # last hard driver signal r06
+        "q17_gab_weekly_rollup": q17_gab_weekly_rollup,  # last hard driver signal r06
+        "q19_join_transformer": q19_join_transformer,  # last hard driver signal r06
+        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,  # last hard driver signal r06
+        "dp01_text_quality": dp01_text_quality,  # last hard driver signal r07
+        "dp02_langid": dp02_langid,  # last hard driver signal r07
+        "dp03_token_count": dp03_token_count,  # last hard driver signal r07
+        "dp04_fingerprint": dp04_fingerprint,  # last hard driver signal r07
+        "dp05_dedup_exact": dp05_dedup_exact,  # last hard driver signal r07
+        "dp06_dedup_minhash": dp06_dedup_minhash,  # last hard driver signal r07
+        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,  # last hard driver signal r07
+        "dp08_embedding_dedup": dp08_embedding_dedup,  # last hard driver signal r07
+        "dp09_knn_brute": dp09_knn_brute,  # last hard driver signal r07
+        "dp100_unimax_sample": dp100_unimax_sample,  # last hard driver signal r07
+        "dp106_temperature_sample": dp106_temperature_sample,  # last hard driver signal r07
+        "dp10_multimodal_bytes": dp10_multimodal_bytes,  # last hard driver signal r07
+        "dp11_dedup_simhash": dp11_dedup_simhash,  # last hard driver signal r07
+        "dp12_knn_lsh": dp12_knn_lsh,  # last hard driver signal r07
+        "dp13_knn_ivf": dp13_knn_ivf,  # last hard driver signal r07
+        "dp14_hash_split": dp14_hash_split,  # last hard driver signal r07
+        "dp15_hash_sample": dp15_hash_sample,  # last hard driver signal r07
+        "dp16_asof_join": dp16_asof_join,  # last hard driver signal r07
+        "dp17_range_join": dp17_range_join,  # last hard driver signal r07
+        "dp18_sessionize": dp18_sessionize,  # last hard driver signal r07
+        "dp19_profile": dp19_profile,  # last hard driver signal r07
+        "dp21_pii_redact": dp21_pii_redact,  # last hard driver signal r07
+        # ---- driver window boundary (entry 50 = dp21_pii_redact) ----
+        # --- remainder: r08/r09-fresh cohorts, value-verified via
+        # --- tools/check_oracle.py every round ---
+        "q31_curation_pipeline": q31_curation_pipeline,
         "dp112_embedding_kmeans": dp112_embedding_kmeans,
         "dp113_cluster_stats": dp113_cluster_stats,
         "dp118_wordpiece_encode": dp118_wordpiece_encode,
@@ -3846,7 +3893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp20_dup_clusters": dp20_dup_clusters,
         "dp121_graph_components": dp121_graph_components,
         "dp129_group_quantile_prune": dp129_group_quantile_prune,
-        # --- r05 tail + q23-q28 cohort (last driver-checked r06) ---
         "dp57_robust_scale": dp57_robust_scale,
         "dp58_quantile_summary": dp58_quantile_summary,
         "dp59_event_pivot": dp59_event_pivot,
@@ -3858,9 +3904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp65_fuzzy_join": dp65_fuzzy_join,
         "dp66_scd2_build": dp66_scd2_build,
         "dp67_merge_intervals": dp67_merge_intervals,
-        "dp68_json_props": dp68_json_props,
-        "dp69_bpe_tokenize": dp69_bpe_tokenize,
-        "dp69b_bpe_encode": dp69b_bpe_encode,
         "dp70_video_frames": dp70_video_frames,
         "dp71_trend_fit": dp71_trend_fit,
         "dp72_histogram": dp72_histogram,
@@ -3870,7 +3913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_gab_daily_rollup": q26_gab_daily_rollup,
         "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
         "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,
-        # --- r06-green remainder head (rest rotates into r10) ---
         "dp74_lexical_diversity": dp74_lexical_diversity,
         "dp75_snapshot_diff": dp75_snapshot_diff,
         "dp76_schema_drift": dp76_schema_drift,
@@ -3889,24 +3931,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp89_sentence_split": dp89_sentence_split,
         "dp90_html_strip": dp90_html_strip,
         "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,
-        # ---- driver window boundary (entry 50 = dp91_lsh_bucket_stats) ----
-        # --- rest of the r06 remainder: first in line for the r10 window ---
-        "dp92_image_resize": dp92_image_resize,
-        "dp93_audio_resample": dp93_audio_resample,
-        "dp94_running_totals": dp94_running_totals,
-        "dp95_approx_distinct": dp95_approx_distinct,
-        "dp96_g711_decode": dp96_g711_decode,
-        "dp99_hash_embedding": dp99_hash_embedding,
-        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
-        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
-        "dp103_zorder_layout": dp103_zorder_layout,
-        "dp104_zorder_rank": dp104_zorder_rank,
-        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
-        "dp107_profile_skew": dp107_profile_skew,
-        "dp109_unicode_normalize": dp109_unicode_normalize,
-        "dp111_interval_overlap_join": dp111_interval_overlap_join,
-        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
-        # --- r08 window cohort (driver-green r08) ---
         "dp114_gopher_rules": dp114_gopher_rules,
         "dp116_pq_encode": dp116_pq_encode,
         "dp117_knn_pq": dp117_knn_pq,
@@ -3951,31 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp54_trailing_window": dp54_trailing_window,
         "dp55_funnel": dp55_funnel,
         "dp56_cohort_retention": dp56_cohort_retention,
-        # --- r07 window cohort (driver-green r07) ---
-        "dp106_temperature_sample": dp106_temperature_sample,
-        "dp100_unimax_sample": dp100_unimax_sample,
         "dp97_semantic_dedup": dp97_semantic_dedup,
-        # --- r04/r07 cohort (re-confirmed driver-green r07) ---
-        "dp01_text_quality": dp01_text_quality,
-        "dp02_langid": dp02_langid,
-        "dp03_token_count": dp03_token_count,
-        "dp04_fingerprint": dp04_fingerprint,
-        "dp05_dedup_exact": dp05_dedup_exact,
-        "dp06_dedup_minhash": dp06_dedup_minhash,
-        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,
-        "dp08_embedding_dedup": dp08_embedding_dedup,
-        "dp09_knn_brute": dp09_knn_brute,
-        "dp10_multimodal_bytes": dp10_multimodal_bytes,
-        "dp11_dedup_simhash": dp11_dedup_simhash,
-        "dp12_knn_lsh": dp12_knn_lsh,
-        "dp13_knn_ivf": dp13_knn_ivf,
-        "dp14_hash_split": dp14_hash_split,
-        "dp15_hash_sample": dp15_hash_sample,
-        "dp16_asof_join": dp16_asof_join,
-        "dp17_range_join": dp17_range_join,
-        "dp18_sessionize": dp18_sessionize,
-        "dp19_profile": dp19_profile,
-        "dp21_pii_redact": dp21_pii_redact,
         "dp22_repetition": dp22_repetition,
         "dp23_decontaminate": dp23_decontaminate,
         "dp24_vocab_top_k": dp24_vocab_top_k,
@@ -3987,7 +3987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q04_union_dedup": q04_union_dedup,
         "q05_incremental_filter": q05_incremental_filter,
         "q06_condense_cdc": q06_condense_cdc,
-        "q09_flatten_explode": q09_flatten_explode,
         "q10_date_hierarchy": q10_date_hierarchy,
         "q11_hash_masker": q11_hash_masker,
         "q12_column_ops": q12_column_ops,
@@ -3998,14 +3997,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_union_by_name": q20_union_by_name,
         "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,
         "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,
-        # --- tail: multiply-confirmed classics ---
-        "q01_pricing_summary": q01_pricing_summary,
-        "q07_dq_stats": q07_dq_stats,
-        "q08_reconciliation": q08_reconciliation,
-        "q17_gab_weekly_rollup": q17_gab_weekly_rollup,
-        "q03_latest_order_per_customer": q03_latest_order_per_customer,
-        "q14_window_running": q14_window_running,
-        "q19_join_transformer": q19_join_transformer,
     }
 
 

@@ -15,9 +15,10 @@ def test_registry_consistency():
     # every oracle key corresponds to a registered query
     unknown = [k for k in o if k not in q]
     assert unknown == [], f"orphan oracle entries: {unknown}"
-    # the only intentionally oracle-less query is the iterative BPE trainer
+    # round 10 closed the last no-oracle row (dp69's trainer is replayed
+    # via 30 unrolled merge rounds) — every registered query has an oracle
     missing = [k for k in q if k not in o]
-    assert missing == ["dp69_bpe_tokenize"], missing
+    assert missing == [], missing
     # no duplicate short keys — bench.py's compact driver line depends on it
     shorts = [k.split("_", 1)[0] for k in q]
     assert len(set(shorts)) == len(shorts)

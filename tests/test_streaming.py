@@ -685,3 +685,124 @@ def test_streaming_incremental_minhash_dedups_across_batches_and_runs(
     load_data(acon)
     after = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert 20 not in after and 21 in after and len(after) == 4
+
+
+def test_streaming_curation_chain_end_to_end_with_restart(spark, tmp_dir):
+    """The q31 curation chain's STREAMING arm: file stream -> gopher
+    quality rules -> cross-batch incremental near-dup dedup ->
+    8-gram decontamination against a STATIC batch benchmark — all
+    through one streaming ACON. The stateless stages (gopher,
+    decontaminate) and the stateful dedup are re-planned into
+    foreachBatch automatically; the persistent digest state carries
+    across micro-batches AND a stream restart."""
+    src = os.path.join(tmp_dir, "cur_src")
+    bench_loc = os.path.join(tmp_dir, "cur_bench")
+    out = os.path.join(tmp_dir, "cur_out")
+    state = os.path.join(tmp_dir, "cur_state")
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then keeps "
+        "running across the wide green field toward a distant quiet barn "
+    )
+    contaminated = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+    )
+    spark.createDataFrame(
+        [(900, contaminated)], "doc_id LONG, text STRING"
+    ).write.parquet(bench_loc)
+
+    def stage(rows):
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "stream",
+                "data_format": "parquet",
+                "location": src,
+                "read_type": "streaming",
+                "schema": "doc_id LONG, text STRING",
+                "options": {"maxFilesPerTrigger": 1},
+            },
+            {
+                "spec_id": "bench",
+                "data_format": "parquet",
+                "location": bench_loc,
+                "read_type": "batch",
+            },
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "curated",
+                "input_id": "stream",
+                "transformers": [
+                    {
+                        "function": "text_gopher_rules",
+                        "args": {"min_words": 10, "stopwords": ["the"],
+                                 "min_stopword_hits": 0},
+                    },
+                    {"function": "expression_filter",
+                     "args": {"exp": "gopher_keep"}},
+                    {
+                        "function": "dedup_incremental_minhash",
+                        "args": {"state_location": state, "text_col": "text",
+                                 "id_col": "doc_id", "num_hashes": 12,
+                                 "bands": 4, "shingle_size": 3},
+                    },
+                    {
+                        "function": "text_decontaminate_with",
+                        "args": {"benchmark_with": "bench", "ngram": 8,
+                                 "mode": "drop"},
+                    },
+                ],
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "o",
+                "input_id": "curated",
+                "data_format": "parquet",
+                "location": out,
+                "write_type": "append",
+                "options": {
+                    "checkpointLocation": os.path.join(tmp_dir, "cur_ck")
+                },
+            }
+        ],
+    }
+
+    # batch 1: one clean doc + one too-short (gopher drop) + one
+    # contaminated (8-gram overlap with the benchmark -> drop)
+    stage([(1, good * 2), (2, "too short"), (3, contaminated * 2)])
+    # batch 2: a near-dup of doc 1 (cross-BATCH suppression) + one fresh
+    stage([(10, good * 2), (11, "an entirely different second body of "
+                                "writing with plenty of fresh words to "
+                                "pass the quality gate just fine the")])
+    loader = DataLoader(acon)
+    # stream-capable stages (gopher, filter) STAY in the streaming plan;
+    # the tail from the first streaming-unsupported op onward relocates
+    # into foreachBatch
+    assert [t.function for t in loader.transform_specs[0].transformers] == [
+        "text_gopher_rules", "expression_filter",
+    ]
+    assert [
+        t.function
+        for t in loader.output_specs[0].streaming_micro_batch_transformers
+    ] == ["dedup_incremental_minhash", "text_decontaminate_with"]
+    loader.execute()
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert 2 not in ids and 3 not in ids  # gopher + decontamination
+    assert (1 in ids) != (10 in ids)  # near-dup suppressed across batches
+    assert 11 in ids and len(ids) == 2
+
+    # RESTART: same state + checkpoint — a near-dup arriving in a new run
+    # is still suppressed; fresh clean docs flow
+    stage([(20, good * 2), (21, "yet another brand new clean document "
+                                "with enough unique words to pass the "
+                                "gopher filter easily and cleanly the")])
+    load_data(acon)
+    after = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert 20 not in after and 21 in after and len(after) == 3
