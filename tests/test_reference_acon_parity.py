@@ -868,3 +868,110 @@ def test_reference_gab_use_cases_run_verbatim(spark, gab_reference_env,
         missing = set(got.columns) - set(want.columns)
         assert not missing, f"{asset}: extra columns {missing}"
         assert _rows(got) == _rows(want.select(*got.columns)), asset
+
+
+# ---------------------------------------------------------------------------
+# transformations/* STREAMING fixtures — the same per-family ACONs with
+# read_type=streaming (csv file stream + checkpointed append). The
+# engine's default terminating trigger makes load_data return after the
+# staged files are consumed, exactly like the reference runner.
+# ---------------------------------------------------------------------------
+
+STREAMING_TRANSFORMER_SCENARIOS = {
+    "column_creators_streaming": dict(
+        stage=[
+            (f"{_T}/column_creators/data/source/part-01.csv",
+             f"{_T}/column_creators/data/"),
+            (f"{_T}/column_creators/source_schema.json",
+             f"{_T}/column_creators/"),
+        ],
+        acon=f"{_T}/column_creators/streaming.json",
+        compares=[
+            (f"{_T}/column_creators/streaming/data",
+             f"{_T}/column_creators/data/control/part-01.json", "json",
+             ["salesorder", "item", "date", "customer", "article", "amount",
+              "dummy_string", "dummy_int", "dummy_double", "dummy_boolean"]),
+        ],
+    ),
+    "date_transformers_streaming": dict(
+        stage=[
+            (f"{_T}/date_transformers/data/source/part-01.csv",
+             f"{_T}/date_transformers/data/"),
+            (f"{_T}/date_transformers/source_schema.json",
+             f"{_T}/date_transformers/"),
+        ],
+        acon=f"{_T}/date_transformers/streaming.json",
+        drop=["curr_date"],  # run-date dependent (the reference drops it too)
+        compares=[
+            (f"{_T}/date_transformers/streaming/data",
+             f"{_T}/date_transformers/data/control/part-01.csv", "csv", None),
+        ],
+    ),
+    "null_handlers_streaming": dict(
+        stage=[
+            (f"{_T}/null_handlers/data/source/part-01.csv",
+             f"{_T}/null_handlers/data/"),
+            (f"{_T}/null_handlers/source_schema.json", f"{_T}/null_handlers/"),
+        ],
+        acon=f"{_T}/null_handlers/replace_nulls.json",
+        compares=[
+            (f"{_T}/null_handlers/replace_nulls/data",
+             f"{_T}/null_handlers/data/control/replace_nulls.csv", "csv", None),
+        ],
+    ),
+    "null_handlers_subset_streaming": dict(
+        stage=[
+            (f"{_T}/null_handlers/data/source/part-01.csv",
+             f"{_T}/null_handlers/data/"),
+            (f"{_T}/null_handlers/source_schema.json", f"{_T}/null_handlers/"),
+        ],
+        acon=f"{_T}/null_handlers/replace_nulls_col_subset.json",
+        compares=[
+            (f"{_T}/null_handlers/replace_nulls_col_subset/data",
+             f"{_T}/null_handlers/data/control/replace_nulls_col_subset.csv",
+             "csv", None),
+        ],
+    ),
+    "drop_duplicate_rows_streaming": dict(
+        stage=[
+            (f"{_T}/drop_duplicate_rows/data/source/part-01.csv",
+             f"{_T}/drop_duplicate_rows/data/"),
+            (f"{_T}/drop_duplicate_rows/data/source/part-02.csv",
+             f"{_T}/drop_duplicate_rows/data/"),
+            (f"{_T}/drop_duplicate_rows/source_schema.json",
+             f"{_T}/drop_duplicate_rows/"),
+        ],
+        acon=f"{_T}/drop_duplicate_rows/streaming.json",
+        compares=[
+            (f"{_T}/drop_duplicate_rows/streaming/columns/data",
+             f"{_T}/drop_duplicate_rows/data/control/"
+             "streaming_drop_duplicates.json", "json", None),
+            (f"{_T}/drop_duplicate_rows/streaming/orders_duplicate_no_args/data",
+             f"{_T}/drop_duplicate_rows/data/control/streaming_distinct.json",
+             "json", None),
+            (f"{_T}/drop_duplicate_rows/streaming/orders_duplicate_empty/data",
+             f"{_T}/drop_duplicate_rows/data/control/streaming_distinct.json",
+             "json", None),
+        ],
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(STREAMING_TRANSFORMER_SCENARIOS))
+def test_reference_streaming_transformer_acons_run_verbatim(spark, tmp_path, name):
+    sc = STREAMING_TRANSFORMER_SCENARIOS[name]
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _stage_files(in_dir, sc["stage"])
+    with open(f"{REF}/{sc['acon']}") as fh:
+        acon = _remap(json.load(fh), in_dir, out_dir)
+    load_data(acon)
+    for out_rel, control_rel, fmt, cols in sc["compares"]:
+        got = spark.read.parquet(f"file://{out_dir}/feature/{out_rel}")
+        for c in sc.get("drop", ()):
+            got = got.drop(c)
+        want = _read_control(spark, f"{REF}/{control_rel}", fmt)
+        if cols is None:
+            cols = got.columns
+            missing = set(cols) - set(want.columns)
+            assert not missing, f"{name}: result has extra columns {missing}"
+        assert _rows(got, cols) == _rows(want, cols), f"{name}: {out_rel}"
