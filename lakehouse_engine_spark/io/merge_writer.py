@@ -80,20 +80,103 @@ def _merge_delta(spark, df, opts: MergeOptions, location, db_table) -> None:
     builder.execute()
 
 
+def _normalize_fs_path(p: str) -> str:
+    import os
+
+    for prefix in ("file://", "file:"):
+        if p.startswith(prefix):
+            p = p[len(prefix):]
+            break
+    return os.path.normpath(p)
+
+
+def _catalog_schema_for_location(spark, location):
+    """The catalog table registered AT a path target is the schema
+    authority for parquet-fallback merges — the honest equivalent of
+    Delta's ``_delta_log`` role for path writes (Delta casts path writes
+    to the table's declared schema; raw parquet has no such anchor).
+    Control-plane scan, consulted only on first load / empty target."""
+    if not location:
+        return None
+    want = _normalize_fs_path(location)
+    try:
+        for db in spark.catalog.listDatabases():
+            for t in spark.catalog.listTables(db.name):
+                if t.isTemporary:
+                    continue
+                try:
+                    rows = spark.sql(
+                        f"DESCRIBE FORMATTED {db.name}.{t.name}"
+                    ).collect()
+                except Exception:
+                    continue
+                loc = next(
+                    (r["data_type"] for r in rows if r["col_name"] == "Location"),
+                    None,
+                )
+                if loc and _normalize_fs_path(loc) == want:
+                    return spark.table(f"{db.name}.{t.name}").schema
+    except Exception:
+        return None
+    return None
+
+
+def _store_assign(df, schema, keep_extra: bool = False):
+    """Delta store-assignment semantics: cast the incoming columns to the
+    target's declared types (by name); target columns absent from the
+    source become typed nulls. ``keep_extra`` keeps source-only columns
+    (so merge predicates can still reference them — the written result is
+    target-schema-driven either way); first loads drop them (the declared
+    DDL wins, as with Delta path writes)."""
+    out = []
+    for f_ in schema.fields:
+        if f_.name in df.columns:
+            out.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+        else:
+            out.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    if keep_extra:
+        named = {f_.name for f_ in schema.fields}
+        out.extend(F.col(c) for c in df.columns if c not in named)
+    return df.select(*out)
+
+
 def _merge_rewrite(spark, df, opts: MergeOptions, location, db_table, data_format) -> None:
     """Join-based merge for non-Delta targets.
 
     Packs each side into a struct column named after its merge alias so the
     user's ``current.x = new.y`` predicates evaluate unchanged as struct-field
-    accesses.
+    accesses. Store assignment follows Delta: the target's declared schema
+    (the table itself, or the catalog table registered at a path target)
+    casts the incoming frame before merging, so e.g. a CSV batch whose
+    inferSchema disagrees with the DDL lands with the declared types.
     """
     fmt = data_format if data_format != "delta" else "parquet"
-    if not _target_exists(spark, location, db_table):
-        writer = df.write.format(fmt).mode("overwrite")
+
+    def _first_load():
+        frame = df
+        schema = (
+            spark.table(db_table).schema
+            if db_table and spark.catalog.tableExists(db_table)
+            else _catalog_schema_for_location(spark, location)
+        )
+        if schema is not None:
+            frame = _store_assign(frame, schema)
+        writer = frame.write.format(fmt).mode("overwrite")
         writer.saveAsTable(db_table) if db_table else writer.save(location)
+
+    if not _target_exists(spark, location, db_table):
+        _first_load()
         return
 
-    target = spark.read.table(db_table) if db_table else spark.read.format(fmt).load(location)
+    try:
+        target = spark.read.table(db_table) if db_table else spark.read.format(fmt).load(location)
+        target.schema  # force schema resolution now
+    except Exception as exc:  # pre-created EMPTY target dir (DDL, no data)
+        if "UNABLE_TO_INFER_SCHEMA" in str(exc) or "Unable to infer" in str(exc):
+            _first_load()
+            return
+        raise
+    df = _store_assign(df, target.schema, keep_extra=True)
     cols = target.columns
     cur = target.select(F.struct(*target.columns).alias("current"))
     new = df.select(F.struct(*df.columns).alias("new"))
@@ -106,11 +189,20 @@ def _merge_rewrite(spark, df, opts: MergeOptions, location, db_table, data_forma
     if opts.insert_only:
         kept_matched = matched.select("current.*")
     else:
+        # Delta clause semantics: a NULL condition means the clause does
+        # NOT fire — a row with a null delete condition survives, and a
+        # row with a null update condition stays untouched (never lost)
         if opts.delete_predicate:
-            matched = matched.filter(~F.expr(opts.delete_predicate))
+            matched = matched.filter(
+                ~F.coalesce(F.expr(opts.delete_predicate), F.lit(False))
+            )
         upd_cond = F.expr(opts.update_predicate) if opts.update_predicate else F.lit(True)
         to_update = matched.filter(upd_cond)
-        untouched = matched.filter(~upd_cond) if opts.update_predicate else matched.limit(0)
+        untouched = (
+            matched.filter(~F.coalesce(upd_cond, F.lit(False)))
+            if opts.update_predicate
+            else matched.limit(0)
+        )
         if opts.update_column_set:
             upd_cols = [
                 F.expr(opts.update_column_set[c]).alias(c)

@@ -160,17 +160,12 @@ def test_reference_append_load_failfast_acon_runs_verbatim(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS test_db.failfast_table")
 
 
-# NOT covered here: the delta_load/record_mode_cdc scenarios. Their
-# runner pre-creates the Delta table with an explicit DDL
-# (reference tests/feature/delta_load/test_delta_load_record_mode_cdc.py
-# :273-288) and relies on Delta's store-assignment semantics — PATH
-# writes that cast to the catalog table's declared schema (part-01
-# infers `request` BIGINT, the DDL says STRING; Delta keeps STRING).
-# A parquet fallback has no schema authority over path writes, so this
-# is a genuine delta-spark environmental boundary (same class as the
-# CDF/vacuum legs), not a transformer/ACON gap — the condense +
-# incremental_filter + merge operators themselves are covered by
-# test_merge_writer and the q06/q05/q13 oracles.
+# delta_load/record_mode_cdc: covered below since round 10 — the merge
+# writer's parquet fallback gained Delta's store-assignment semantics
+# (the catalog table registered at a path target is the schema
+# authority, as the _delta_log is for Delta) plus Delta's clause-null
+# semantics (a NULL delete/update condition does not fire), so the
+# reference's CDC chains run verbatim without delta-spark.
 
 
 def test_reference_dq_validator_tag_acon_runs_verbatim(spark, tmp_path):
@@ -975,3 +970,69 @@ def test_reference_streaming_transformer_acons_run_verbatim(spark, tmp_path, nam
             missing = set(cols) - set(want.columns)
             assert not missing, f"{name}: result has extra columns {missing}"
         assert _rows(got, cols) == _rows(want, cols), f"{name}: {out_rel}"
+
+
+# ---------------------------------------------------------------------------
+# delta_load/record_mode_cdc — the reference's CDC delta-load chains, run
+# verbatim through the parquet-fallback merge writer. The runner protocol
+# (reference tests/feature/delta_load/test_delta_load_record_mode_cdc.py)
+# pre-creates the target table with an explicit DDL at the output
+# location; the engine's store-assignment (the catalog table is the
+# schema authority for path targets, as Delta's _delta_log is) casts
+# each batch to the declared types — part-01 infers `request` BIGINT,
+# the DDL says STRING, later batches carry 'request1'.
+# ---------------------------------------------------------------------------
+
+_CDC_DDL = """
+    CREATE TABLE IF NOT EXISTS test_db.{name} (
+        extraction_timestamp string, actrequest_timestamp string,
+        request string, datapakid int, partno int, record int,
+        salesorder int, item int, recordmode string, date int,
+        customer string, article string, amount int
+    ) USING parquet LOCATION '{location}'
+"""
+
+CDC_SCENARIOS = [
+    "late_arriving_changes",
+    "out_of_order_changes",
+    "with_duplicates",
+    "with_deletes_additional_columns",
+]
+
+
+@pytest.mark.parametrize("scenario", CDC_SCENARIOS)
+def test_reference_delta_load_cdc_acons_run_verbatim(spark, tmp_path, scenario):
+    """batch_init (merge into the pre-created empty table) then
+    batch_delta (get_max_value -> incremental_filter -> condense CDC ->
+    merge with the reference's own predicates) over parts 02-04; the
+    final table state must equal the reference's control CSV."""
+    feat = f"delta_load/record_mode_cdc/{scenario}"
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    tbl = f"cdc_{scenario}"
+    spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
+
+    init = _acon(*feat.rsplit("/", 1), "batch_init", in_dir, out_dir)
+    delta = _acon(*feat.rsplit("/", 1), "batch_delta", in_dir, out_dir)
+    src_loc = init["input_specs"][0]["location"].replace("file://", "")
+    out_loc = init["output_specs"][0]["location"].replace("file://", "")
+    spark.sql(_CDC_DDL.format(name=tbl, location=out_loc))
+
+    src = f"{REF}/{feat}/data/source"
+    os.makedirs(src_loc, exist_ok=True)
+    shutil.copy(f"{src}/part-01.csv", src_loc)
+    load_data(init)
+    for p in sorted(os.listdir(src)):
+        if p != "part-01.csv":
+            shutil.copy(f"{src}/{p}", src_loc)
+    load_data(delta)
+
+    got = spark.read.parquet(f"file://{out_loc}")
+    # declared types survived store assignment (DDL says STRING even
+    # though part-01's inferSchema saw an integer column)
+    assert dict(got.dtypes)["request"] == "string"
+    want = _read_csv(spark, f"{REF}/{feat}/data/control/part-01.csv")
+    missing = set(got.columns) - set(want.columns)
+    assert not missing, f"{scenario}: extra columns {missing}"
+    assert _rows(got) == _rows(want.select(*got.columns)), scenario
+    spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
