@@ -195,6 +195,10 @@ class DQSpec:
     store_backend: str = "file_system"
     local_fs_root_dir: Optional[str] = None
     result_sink_extra_columns: Optional[List[str]] = None
+    # accepted for reference parity: the native sink is ALWAYS exploded
+    # (one row per expectation); False would ask for the raw GE payload
+    # shape, which has no native equivalent — the factory warns
+    result_sink_explode: bool = True
     source: Optional[str] = None
     cache_df: bool = False
 

@@ -186,6 +186,12 @@ class DQFactory:
                 "(only file_system is materialized in this engine)",
                 spec.store_backend,
             )
+        if spec.result_sink_explode is False:
+            _LOGGER.warning(
+                "result_sink_explode=False requests the raw GE payload "
+                "shape; the native sink always writes the exploded "
+                "one-row-per-expectation form"
+            )
         for extra in spec.result_sink_extra_columns or []:
             if extra not in _KNOWN_EXTRA_COLUMNS:
                 _LOGGER.warning(

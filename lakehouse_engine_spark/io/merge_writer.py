@@ -90,6 +90,30 @@ def _normalize_fs_path(p: str) -> str:
     return os.path.normpath(p)
 
 
+def _table_location(spark, db_table):
+    """The catalog table's Location (None for managed tables we shouldn't
+    pin) — saveAsTable(overwrite) recreates the table, so an EXTERNAL
+    target must be re-pinned to its path or it silently turns managed."""
+    try:
+        rows = spark.sql(f"DESCRIBE FORMATTED {db_table}").collect()
+        typ = next((r["data_type"] for r in rows if r["col_name"] == "Type"), "")
+        if str(typ).strip().upper() != "EXTERNAL":
+            return None
+        return next(
+            (r["data_type"] for r in rows if r["col_name"] == "Location"), None
+        )
+    except Exception:
+        return None
+
+
+def _save_table(frame, spark, db_table, fmt):
+    writer = frame.write.format(fmt).mode("overwrite")
+    loc = _table_location(spark, db_table)
+    if loc:
+        writer = writer.option("path", loc)
+    writer.saveAsTable(db_table)
+
+
 def _catalog_schema_for_location(spark, location):
     """The catalog table registered AT a path target is the schema
     authority for parquet-fallback merges — the honest equivalent of
@@ -161,8 +185,10 @@ def _merge_rewrite(spark, df, opts: MergeOptions, location, db_table, data_forma
         )
         if schema is not None:
             frame = _store_assign(frame, schema)
-        writer = frame.write.format(fmt).mode("overwrite")
-        writer.saveAsTable(db_table) if db_table else writer.save(location)
+        if db_table:
+            _save_table(frame, spark, db_table, fmt)
+        else:
+            frame.write.format(fmt).mode("overwrite").save(location)
 
     if not _target_exists(spark, location, db_table):
         _first_load()
@@ -230,5 +256,7 @@ def _merge_rewrite(spark, df, opts: MergeOptions, location, db_table, data_forma
     result = target_only.unionByName(kept_matched).unionByName(inserts)
     # Materialize before overwriting the table we read from.
     result = result.localCheckpoint(eager=True)
-    writer = result.write.format(fmt).mode("overwrite")
-    writer.saveAsTable(db_table) if db_table else writer.save(location)
+    if db_table:
+        _save_table(result, spark, db_table, fmt)
+    else:
+        result.write.format(fmt).mode("overwrite").save(location)

@@ -217,6 +217,10 @@ def _write_streaming(
     ):
         query = writer.start()
     elif spec.db_table:
+        if spec.location:
+            # db_table + location = EXTERNAL table at the path (the batch
+            # writer's contract; reference table writers behave the same)
+            writer = writer.option("path", spec.location)
         query = writer.toTable(spec.db_table)
     else:
         query = writer.start(spec.location)

@@ -1036,3 +1036,152 @@ def test_reference_delta_load_cdc_acons_run_verbatim(spark, tmp_path, scenario):
     assert not missing, f"{scenario}: extra columns {missing}"
     assert _rows(got) == _rows(want.select(*got.columns)), scenario
     spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
+
+
+# ---------------------------------------------------------------------------
+# transformations/watermarker — stream-stream joins with per-side
+# watermarks and watermarked streaming dropDuplicates, the reference's
+# Structured-Streaming-specific fixtures.
+# ---------------------------------------------------------------------------
+
+WATERMARKER_SCENARIOS = {
+    "streaming_inner_join": dict(
+        stage=[
+            (f"{_T}/watermarker/streaming_inner_join/data/source/sales-part-01.csv",
+             f"{_T}/watermarker/streaming_inner_join/data/sales/"),
+            (f"{_T}/watermarker/streaming_inner_join/data/source/sales-part-02.csv",
+             f"{_T}/watermarker/streaming_inner_join/data/sales/"),
+            (f"{_T}/watermarker/streaming_inner_join/data/source/customer-part-01.csv",
+             f"{_T}/watermarker/streaming_inner_join/data/customers/"),
+            (f"{_T}/watermarker/streaming_inner_join/sales_schema.json",
+             f"{_T}/watermarker/streaming_inner_join/"),
+            (f"{_T}/watermarker/streaming_inner_join/customer_schema.json",
+             f"{_T}/watermarker/streaming_inner_join/"),
+        ],
+        acon=f"{_T}/watermarker/streaming_inner_join/streaming_inner_join.json",
+        compares=[
+            (f"{_T}/watermarker/streaming_inner_join/data",
+             f"{_T}/watermarker/streaming_inner_join/data/control/"
+             "streaming_inner_join.csv", "csv", None),
+        ],
+        tables=["test_db.streaming_inner_join"],
+    ),
+}
+
+
+def test_reference_watermarker_drop_duplicates_two_runs(spark, tmp_path):
+    """watermarker/streaming_drop_duplicates verbatim, with the
+    reference runner's two-run protocol: part-01 in run 1, part-02 in
+    run 2 against the same checkpoint — the persisted watermark makes
+    run 2's older-than-watermark duplicates LATE input (discarded by the
+    stateful dropDuplicates), which is the behavior the control pins."""
+    scen = "watermarker/streaming_drop_duplicates"
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql("DROP TABLE IF EXISTS test_db.validator_full_overwrite")
+    shutil.rmtree("spark-warehouse/test_db.db/validator_full_overwrite",
+                  ignore_errors=True)
+    _stage_files(in_dir, [
+        (f"{_T}/{scen}/source_schema.json", f"{_T}/{scen}/"),
+        (f"{_T}/{scen}/data/source/part-01.csv", f"{_T}/{scen}/data/"),
+    ])
+    with open(f"{REF}/{_T}/{scen}/streaming_drop_duplicates.json") as fh:
+        acon = _remap(json.load(fh), in_dir, out_dir)
+    load_data(acon)
+    _stage_files(in_dir, [
+        (f"{_T}/{scen}/data/source/part-02.csv", f"{_T}/{scen}/data/"),
+    ])
+    load_data(acon)
+    got = spark.read.parquet(f"file://{out_dir}/feature/{_T}/{scen}/data")
+    want = _read_csv(
+        spark, f"{REF}/{_T}/{scen}/data/control/streaming_drop_duplicates.csv"
+    )
+    missing = set(got.columns) - set(want.columns)
+    assert not missing, f"extra columns {missing}"
+    assert _rows(got) == _rows(want.select(*got.columns))
+    spark.sql("DROP TABLE IF EXISTS test_db.validator_full_overwrite")
+
+
+@pytest.mark.parametrize("name", sorted(WATERMARKER_SCENARIOS))
+def test_reference_watermarker_acons_run_verbatim(spark, tmp_path, name):
+    """The reference's watermarker fixtures verbatim: per-side watermarks
+    feed a stream-stream (interval) join / a watermarked streaming
+    dropDuplicates, appended through a checkpointed sink; the final state
+    equals the reference's control CSV."""
+    sc = WATERMARKER_SCENARIOS[name]
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    for tbl in sc.get("tables", ()):
+        spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(
+            f"spark-warehouse/test_db.db/{tbl.split('.')[-1]}",
+            ignore_errors=True,
+        )
+    _stage_files(in_dir, sc["stage"])
+    with open(f"{REF}/{sc['acon']}") as fh:
+        acon = _remap(json.load(fh), in_dir, out_dir)
+    load_data(acon)
+    for out_rel, control_rel, fmt, cols in sc["compares"]:
+        got = spark.read.parquet(f"file://{out_dir}/feature/{out_rel}")
+        want = _read_control(spark, f"{REF}/{control_rel}", fmt)
+        if cols is None:
+            cols = got.columns
+            missing = set(cols) - set(want.columns)
+            assert not missing, f"{name}: result has extra columns {missing}"
+        assert _rows(got, cols) == _rows(want, cols), f"{name}: {out_rel}"
+    for tbl in sc.get("tables", ()):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+@pytest.mark.parametrize(
+    "scenario,loads,table",
+    [
+        ("streaming_left_outer_join", 5, None),
+        ("streaming_right_outer_join", 2, "streaming_outer_join"),
+    ],
+)
+def test_reference_watermarker_outer_joins_run_verbatim(
+    spark, tmp_path, scenario, loads, table
+):
+    """Outer stream-stream joins with per-side watermarks, the reference
+    runner's N sequential loads protocol (unmatched rows only emit once
+    the persisted watermark passes them — single-run staging would never
+    release them). The right-outer variant merges each micro-batch into
+    a pre-created table (the reference's DDL, parquet here) through the
+    foreachBatch merge path."""
+    scen = f"watermarker/{scenario}"
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    out_loc = f"{out_dir}/feature/{_T}/{scen}/data"
+    if table:
+        spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+        spark.sql(f"DROP TABLE IF EXISTS test_db.{table}")
+        shutil.rmtree(f"spark-warehouse/test_db.db/{table}", ignore_errors=True)
+        spark.sql(f"""
+            CREATE TABLE test_db.{table} (
+                salesorder int, item int, date timestamp, customer string,
+                article string, amount int, customer_name string
+            ) USING parquet LOCATION '{out_loc}'
+        """)
+    _stage_files(in_dir, [
+        (f"{_T}/{scen}/sales_schema.json", f"{_T}/{scen}/"),
+        (f"{_T}/{scen}/customer_schema.json", f"{_T}/{scen}/"),
+    ])
+    with open(f"{REF}/{_T}/{scen}/{scenario}.json") as fh:
+        acon = _remap(json.load(fh), in_dir, out_dir)
+    for load in range(1, loads + 1):
+        stage = [(f"{_T}/{scen}/data/source/sales-part-0{load}.csv",
+                  f"{_T}/{scen}/data/sales/")]
+        cpart = (f"{REF}/{_T}/{scen}/data/source/"
+                 f"customer-part-0{load}.csv")
+        if os.path.exists(cpart):
+            stage.append((f"{_T}/{scen}/data/source/customer-part-0{load}.csv",
+                          f"{_T}/{scen}/data/customers/"))
+        _stage_files(in_dir, stage)
+        load_data(acon)
+    got = spark.read.parquet(f"file://{out_loc}")
+    want = _read_csv(spark, f"{REF}/{_T}/{scen}/data/control/{scenario}.csv")
+    missing = set(got.columns) - set(want.columns)
+    assert not missing, f"{scenario}: extra columns {missing}"
+    assert _rows(got) == _rows(want.select(*got.columns)), scenario
+    if table:
+        spark.sql(f"DROP TABLE IF EXISTS test_db.{table}")
