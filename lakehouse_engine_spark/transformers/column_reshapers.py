@@ -27,10 +27,20 @@ TransformerFn = Callable[[DataFrame], DataFrame]
 
 
 def cast(cols: Dict[str, str]) -> TransformerFn:
-    """Cast columns to Spark SQL type names (reference ``column_reshapers.py:30-51``)."""
+    """Cast columns to the designated types (reference ``column_reshapers.py:30-51``).
+
+    Accepts BOTH the reference's pyspark type-class names ("StringType",
+    per its getattr(spark_types, t)() resolution) and Spark SQL DDL names
+    ("string")."""
+
+    def _resolve(t: str):
+        cls_ = getattr(T, t, None)
+        if isinstance(cls_, type) and issubclass(cls_, T.DataType):
+            return cls_()
+        return t
 
     def _cast(df: DataFrame) -> DataFrame:
-        return df.withColumns({c: F.col(c).cast(t) for c, t in cols.items()})
+        return df.withColumns({c: F.col(c).cast(_resolve(t)) for c, t in cols.items()})
 
     return _cast
 

@@ -69,8 +69,12 @@ def join(
     spark = left.sparkSession
     tag = uuid.uuid4().hex[:8]
     lview, rview = f"lhe_join_l_{tag}", f"lhe_join_r_{tag}"
-    left.createOrReplaceTempView(lview)
-    right.createOrReplaceTempView(rview)
+    # GLOBAL temp views (the reference's SparkUtils.create_temp_view
+    # choice): each side registers in ITS own session but global_temp is
+    # context-wide, so a batch dimension planned in the main session
+    # resolves inside a foreachBatch micro-batch session too
+    left.createOrReplaceGlobalTempView(lview)
+    right.createOrReplaceGlobalTempView(rview)
     hint = f"/*+ BROADCAST({right_df_alias}) */ " if broadcast_join else ""
     cols = ", ".join(select_cols) if select_cols else f"{left_df_alias}.*"
     sql_join_type = {"semi": "LEFT SEMI", "leftsemi": "LEFT SEMI", "left_semi": "LEFT SEMI",
@@ -81,10 +85,15 @@ def join(
                      "right_outer": "RIGHT OUTER", "right": "RIGHT OUTER",
                      "cross": "CROSS", "inner": "INNER"}[jt]
     on_clause = "" if jt == "cross" else f" ON {join_condition}"
-    return spark.sql(
-        f"SELECT {hint}{cols} FROM {lview} AS {left_df_alias} "
-        f"{sql_join_type} JOIN {rview} AS {right_df_alias}{on_clause}"
+    out = spark.sql(
+        f"SELECT {hint}{cols} FROM global_temp.{lview} AS {left_df_alias} "
+        f"{sql_join_type} JOIN global_temp.{rview} AS {right_df_alias}{on_clause}"
     )
+    # the returned plan is analyzed — drop the per-call views so repeated
+    # micro-batch invocations don't litter the global catalog
+    spark.catalog.dropGlobalTempView(lview)
+    spark.catalog.dropGlobalTempView(rview)
+    return out
 
 
 def join_transformer(

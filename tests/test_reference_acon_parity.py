@@ -1185,3 +1185,199 @@ def test_reference_watermarker_outer_joins_run_verbatim(
     assert _rows(got) == _rows(want.select(*got.columns)), scenario
     if table:
         spark.sql(f"DROP TABLE IF EXISTS test_db.{table}")
+
+
+# ---------------------------------------------------------------------------
+# transformations/joiners — the streaming variants: a csv stream joined
+# to a BATCH dimension (broadcast by default / explicitly disabled /
+# unrenamed select / forced foreachBatch), checkpointed append into an
+# external table at the remapped location.
+# ---------------------------------------------------------------------------
+
+JOINER_STREAMING = [
+    ("streaming", "test_db.streaming_join", "control_scenario_1_and_2"),
+    ("streaming_without_broadcast", "test_db.streaming_without_broadcast",
+     "control_scenario_1_and_2"),
+    ("streaming_without_column_rename",
+     "test_db.streaming_join_without_column_rename", "control_scenario_3"),
+    ("streaming_foreachBatch", "test_db.streaming_join_foreachBatch",
+     "control_scenario_1_and_2"),
+]
+
+
+@pytest.mark.parametrize("scenario,table,control",
+                         JOINER_STREAMING, ids=[s[0] for s in JOINER_STREAMING])
+def test_reference_joiner_streaming_acons_run_verbatim(
+    spark, tmp_path, scenario, table, control
+):
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(f"spark-warehouse/test_db.db/{table.split('.')[-1]}",
+                  ignore_errors=True)
+    _stage_files(in_dir, [
+        (f"{_T}/joiners/data/source/sales-part-01.csv",
+         f"{_T}/joiners/data/sales/"),
+        (f"{_T}/joiners/data/source/sales-part-02.csv",
+         f"{_T}/joiners/data/sales/"),
+        (f"{_T}/joiners/data/source/customer-part-01.csv",
+         f"{_T}/joiners/data/customers/"),
+        (f"{_T}/joiners/sales_schema.json", f"{_T}/joiners/"),
+        (f"{_T}/joiners/customer_schema.json", f"{_T}/joiners/"),
+    ])
+    with open(f"{REF}/{_T}/joiners/{scenario}.json") as fh:
+        acon = _remap(json.load(fh), in_dir, out_dir)
+    load_data(acon)
+    got = spark.read.parquet(
+        f"file://{out_dir}/feature/{_T}/joiners/{scenario}/data"
+    )
+    want = _read_csv(
+        spark, f"{REF}/{_T}/joiners/data/control/{control}.csv"
+    )
+    missing = set(got.columns) - set(want.columns)
+    assert not missing, f"{scenario}: extra columns {missing}"
+    assert _rows(got) == _rows(want.select(*got.columns)), scenario
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_reference_union_streaming_acons_run_verbatim(spark, tmp_path):
+    """unions streaming fixtures verbatim: a stream-stream positional
+    union, and a stream+batch union forced into foreachBatch
+    (force_streaming_foreach_batch_processing) — each against its own
+    streaming control CSV."""
+    in_root, out_root = str(tmp_path / "in"), str(tmp_path / "out")
+    _stage_unions(in_root)
+    base = f"{REF}/transformations/unions"
+    # the streaming controls cover BOTH parts of each family
+    dest = f"{in_root}/feature/transformations/unions"
+    for f in ("sales-historical-part-02.csv", "sales-new-part-02.csv",
+              "sales-shipment-part-02.csv"):
+        fam = f.rsplit("-part", 1)[0].replace("-", "_")
+        shutil.copy(f"{base}/data/source/{f}", f"{dest}/data/sales/{fam}/")
+
+    load_data(_acon("transformations", "unions", "streaming_union",
+                    in_root, out_root))
+    got = spark.read.parquet(
+        f"file://{out_root}/feature/transformations/unions/streaming_union/data"
+    )
+    want = _read_csv(spark, f"{base}/data/control/control_sales_streaming.csv")
+    assert _rows(got) == _rows(want.select(*got.columns))
+
+    load_data(_acon("transformations", "unions", "streaming_union_foreachBatch",
+                    in_root, out_root))
+    got2 = spark.read.parquet(
+        f"file://{out_root}/feature/transformations/unions/"
+        "streaming_union_foreachBatch/data"
+    )
+    want2 = _read_csv(
+        spark, f"{base}/data/control/control_sales_streaming_foreachBatch.csv"
+    )
+    assert _rows(got2) == _rows(want2.select(*got2.columns))
+
+
+def _stage_chain(in_dir: str):
+    base = f"{_T}/chain_transformations"
+    _stage_files(in_dir, [
+        (f"{base}/source/sales_historical.csv", f"{base}/source/sales_historical/"),
+        (f"{base}/source/sales_new.csv", f"{base}/source/sales_new/"),
+        (f"{base}/source/customers.csv", f"{base}/source/customers/"),
+        (f"{base}/source/struct_data.csv", f"{base}/source/struct_data/"),
+        (f"{base}/schema/sales_schema.json", f"{base}/schema/"),
+        (f"{base}/schema/customer_schema.json", f"{base}/schema/"),
+        (f"{base}/schema/struct_data_schema.json", f"{base}/schema/"),
+    ])
+
+
+def test_reference_chain_streaming_acons_run_verbatim(spark, tmp_path):
+    """chain_transformations streaming scenarios verbatim:
+
+    * ``streaming`` — two csv streams with_literals + positional union;
+    * ``streaming_batch`` — the union joined to a BATCH customers dim +
+      with_row_id (row-id VALUES are partition-layout dependent, so they
+      are checked for uniqueness and excluded from the value compare —
+      the reference's control encodes ITS layout);
+    * ``write_streaming_struct_data`` — a cast/rename/from_json/to_json/
+      flatten chain whose SECOND spec is forced into foreachBatch,
+      compared against the struct_data control;
+    * ``write_streaming_struct_data_fail`` — a transform spec consuming a
+      foreachBatch-relocated sibling must FAIL (the dependency can't be
+      planned), exactly as the reference pins."""
+    base = f"{REF}/{_T}/chain_transformations"
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _stage_chain(in_dir)
+
+    def acon(name):
+        with open(f"{base}/acons/{name}.json") as fh:
+            return _remap(json.load(fh), in_dir, out_dir)
+
+    out_base = f"{out_dir}/feature/{_T}/chain_transformations"
+    control = _read_csv(spark, f"{base}/control/chain_control.csv")
+
+    load_data(acon("streaming"))
+    got = spark.read.parquet(f"file://{out_base}/streaming/data")
+    assert _rows(got) == _rows(control.select(*got.columns))
+
+    load_data(acon("streaming_batch"))
+    got2 = spark.read.parquet(f"file://{out_base}/streaming_batch/data")
+    ids = [r["lhe_row_id"] for r in got2.select("lhe_row_id").collect()]
+    assert len(ids) == len(set(ids))
+    cols2 = [c for c in got2.columns if c != "lhe_row_id"]
+    assert _rows(got2, cols2) == _rows(control.select(*cols2), cols2)
+
+    load_data(acon("write_streaming_struct_data"))
+    got3 = spark.read.parquet(
+        f"file://{out_base}/write_streaming_struct_data/data"
+    )
+    want3 = _read_json(spark, f"{base}/control/struct_data.json").select(
+        "salesorder", "item", "article", "sample_json_field1",
+        "sample_json_field4", "item_amount_json",
+    )
+    # sample_json_field4 is a struct; compare its fields as strings
+    from pyspark.sql import functions as F
+
+    def flat4(df):
+        return df.select(
+            "salesorder", "item", "article", "sample_json_field1",
+            F.col("sample_json_field4.field1").alias("f41"),
+            F.col("sample_json_field4.field2").alias("f42"),
+            "item_amount_json",
+        )
+
+    assert _rows(flat4(got3)) == _rows(flat4(want3))
+
+    with pytest.raises(Exception):
+        load_data(acon("write_streaming_struct_data_fail"))
+
+
+RESHAPER_STREAMING = [
+    "explode_arrays",
+    "flatten_schema",
+    "flatten_and_explode_arrays_and_maps",
+]
+
+
+@pytest.mark.parametrize("scenario", RESHAPER_STREAMING)
+def test_reference_reshaper_streaming_acons_run_verbatim(spark, tmp_path, scenario):
+    """column_reshapers streaming fixtures verbatim (json stream ->
+    rename/with_expressions/from_json/to_json/flatten/explode chain ->
+    checkpointed append), against the same controls as the batch arms."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _stage_files(in_dir, [
+        (f"{_T}/column_reshapers/{scenario}/data/source/part-01.json",
+         f"{_T}/column_reshapers/{scenario}/data/"),
+        (f"{_T}/column_reshapers/{scenario}/source_schema.json",
+         f"{_T}/column_reshapers/{scenario}/"),
+    ])
+    with open(f"{REF}/{_T}/column_reshapers/{scenario}/streaming.json") as fh:
+        acon = _remap(json.load(fh), in_dir, out_dir)
+    load_data(acon)
+    got = spark.read.parquet(
+        f"file://{out_dir}/feature/{_T}/column_reshapers/{scenario}/streaming/data"
+    )
+    want = _read_csv(
+        spark, f"{REF}/{_T}/column_reshapers/{scenario}/data/control/part-01.csv"
+    )
+    cols = got.columns
+    missing = set(cols) - set(want.columns)
+    assert not missing, f"{scenario}: extra columns {missing}"
+    assert _rows(got, cols) == _rows(want, cols), scenario
