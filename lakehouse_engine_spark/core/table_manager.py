@@ -48,17 +48,36 @@ class TableManager:
     def _run_sql_file_or_stmt(self) -> None:
         path = self.acon.get("path")
         if path:
+            if path.startswith("file://"):
+                path = path[len("file://"):]
             with open(path, encoding="utf-8") as fh:
                 sql = fh.read()
             disable_dbfs = self.acon.get("disable_dbfs_retry", False)  # parity no-op
             _ = disable_dbfs
             for stmt in split_sql_statements(sql):
-                self.spark.sql(stmt)
+                self.spark.sql(self._degrade_delta_ddl(stmt))
         elif self.acon.get("sql"):
             for stmt in split_sql_statements(self.acon["sql"]):
-                self.spark.sql(stmt)
+                self.spark.sql(self._degrade_delta_ddl(stmt))
         else:
             raise ValueError("TableManager: path or sql required")
+
+    def _degrade_delta_ddl(self, stmt: str) -> str:
+        """Without delta-spark, ``USING DELTA`` DDL degrades to parquet —
+        the same degradation the writers apply to delta-format outputs,
+        so reference DDL fixtures run verbatim in this environment."""
+        if ExecEnv.delta_available():
+            return stmt
+        import re as _re
+
+        out = _re.sub(r"\busing\s+delta\b", "USING PARQUET", stmt, flags=_re.I)
+        if out != stmt:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "delta-spark absent: rewrote USING DELTA -> USING PARQUET"
+            )
+        return out
 
     def create_table(self) -> None:
         self._run_sql_file_or_stmt()
@@ -90,16 +109,35 @@ class TableManager:
         props = self.show_tbl_properties().collect()
         for row in props:
             if row["key"] == "lakehouse.primary_key":
-                return [c.strip() for c in row["value"].split(",")]
+                # reference strips spaces AND backticks (translate " `" -> "")
+                return [
+                    c.replace("`", "").strip() for c in row["value"].split(",")
+                ]
         raise ValueError("Table has no lakehouse.primary_key property")
 
     def repair_table(self) -> None:
         self.spark.sql(f"MSCK REPAIR TABLE {self.acon['table_or_view']}")
 
     def delete_where(self) -> None:
-        self.spark.sql(
-            f"DELETE FROM {self.acon['table_or_view']} WHERE {self.acon['where_clause']}"
+        tgt = self.acon["table_or_view"]
+        cond = self.acon["where_clause"]
+        if ExecEnv.delta_available():
+            self.spark.sql(f"DELETE FROM {tgt} WHERE {cond}")
+            return
+        # parquet tables don't support SQL DELETE — degrade to an
+        # anti-filter + atomic overwrite, preserving an external
+        # table's path (the merge writer's fallback pattern)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "delta-spark absent: delete_where on %s degrades to "
+            "anti-filter + overwrite", tgt
         )
+        kept = self.spark.table(tgt).filter(f"NOT ({cond})")
+        kept = kept.localCheckpoint(eager=True)
+        from lakehouse_engine_spark.io.merge_writer import _save_table
+
+        _save_table(kept, self.spark, tgt, "parquet")
 
     def vacuum(self) -> None:
         if not ExecEnv.delta_available():

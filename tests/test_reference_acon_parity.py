@@ -1381,3 +1381,83 @@ def test_reference_reshaper_streaming_acons_run_verbatim(spark, tmp_path, scenar
     missing = set(cols) - set(want.columns)
     assert not missing, f"{scenario}: extra columns {missing}"
     assert _rows(got, cols) == _rows(want, cols), scenario
+
+
+# ---------------------------------------------------------------------------
+# table_manager — the reference's DDL ACONs + SQL fixture files, run
+# verbatim through execute_manager (USING DELTA degrades to parquet in
+# this delta-less environment, matching the writers' degradation).
+# ---------------------------------------------------------------------------
+
+def test_reference_table_manager_acons_run_verbatim(spark, tmp_path):
+    """The simple_split chain: create_table (multi-statement SQL file) ->
+    execute_sql (column comment) -> create_view -> describe /
+    show_tbl_properties / get_tbl_pk -> delete_where -> drop_view /
+    drop_table — every ACON and SQL file is the reference's own."""
+    from lakehouse_engine_spark import execute_manager
+
+    tm = "table_manager"
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql("DROP VIEW IF EXISTS test_db.DummyViewBronzeSimpleSplitScenario")
+    spark.sql("DROP TABLE IF EXISTS test_db.DummyTableBronzeSimpleSplitScenario")
+    _stage_files(in_dir, [
+        (f"{tm}/create/table/test_table_simple_split_scenario.sql",
+         f"{tm}/create/table/"),
+        (f"{tm}/create/view/test_view_simple_split_scenario.sql",
+         f"{tm}/create/view/"),
+    ])
+
+    def acon(sub, name):
+        with open(f"{REF}/{tm}/{sub}/{name}.json") as fh:
+            a = _remap(json.load(fh), in_dir, out_dir)
+        # the manager dispatcher routes on the `manager` key
+        a["manager"] = "table"
+        return a
+
+    execute_manager(acon("create", "acon_create_table_simple_split_scenario"))
+    assert spark.catalog.tableExists(
+        "test_db.DummyTableBronzeSimpleSplitScenario"
+    )
+    execute_manager(acon("execute_sql", "acon_execute_sql_simple_split_scenario"))
+    desc = spark.sql(
+        "DESCRIBE test_db.DummyTableBronzeSimpleSplitScenario"
+    ).collect()
+    comments = {r["col_name"]: r["comment"] for r in desc if r["col_name"]}
+    assert comments.get("col1") == "comment for col1"
+
+    # the create_view acon points at test_view.sql; the runner stages the
+    # scenario view SQL under that name
+    shutil.copy(
+        f"{REF}/{tm}/create/view/test_view_simple_split_scenario.sql",
+        f"{in_dir}/feature/{tm}/create/view/test_view.sql",
+    )
+    execute_manager(acon("create", "acon_create_view"))
+    assert spark.catalog.tableExists(
+        "test_db.DummyViewBronzeSimpleSplitScenario"
+    )
+
+    from lakehouse_engine_spark.core.table_manager import TableManager
+
+    pk = TableManager(acon("get_tbl_pk", "get_tbl_pk_simple_split_scenario")).execute()
+    assert pk == ["id", "col1"]
+    props = TableManager(
+        acon("show_tbl_properties", "show_tbl_properties_simple_split_scenario")
+    ).execute()
+    prows = {r["key"]: r["value"] for r in props.collect()}
+    assert prows.get("lakehouse.primary_key") == " id, `col1`"
+    TableManager(acon("describe", "acon_describe_simple_split_scenario")).execute()
+
+    spark.sql(
+        "INSERT INTO test_db.DummyTableBronzeSimpleSplitScenario VALUES "
+        "(1,'a',1,true,'x',2021,1,1), (2,'b',2,false,'y',2022,2,2)"
+    )
+    execute_manager(acon("delete", "acon_delete_where_table_simple_split_scenario"))
+    left = spark.table("test_db.DummyTableBronzeSimpleSplitScenario").collect()
+    assert [r["year"] for r in left] == [2022]
+
+    execute_manager(acon("drop", "acon_drop_view_simple_split_scenario"))
+    execute_manager(acon("drop", "acon_drop_table_simple_split_scenario"))
+    assert not spark.catalog.tableExists(
+        "test_db.DummyTableBronzeSimpleSplitScenario"
+    )
