@@ -147,20 +147,24 @@ def _catalog_schema_for_location(spark, location):
 
 def _store_assign(df, schema, keep_extra: bool = False):
     """Delta store-assignment semantics: cast the incoming columns to the
-    target's declared types (by name); target columns absent from the
-    source become typed nulls. ``keep_extra`` keeps source-only columns
-    (so merge predicates can still reference them — the written result is
+    target's declared types (by name, CASE-INSENSITIVELY — Spark/Delta
+    resolution treats `article`/`ARTICLE` as the same column, and the
+    target's casing wins); target columns absent from the source become
+    typed nulls. ``keep_extra`` keeps source-only columns (so merge
+    predicates can still reference them — the written result is
     target-schema-driven either way); first loads drop them (the declared
     DDL wins, as with Delta path writes)."""
+    by_lower = {c.lower(): c for c in df.columns}
     out = []
     for f_ in schema.fields:
-        if f_.name in df.columns:
-            out.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+        src = by_lower.get(f_.name.lower())
+        if src is not None:
+            out.append(F.col(src).cast(f_.dataType).alias(f_.name))
         else:
             out.append(F.lit(None).cast(f_.dataType).alias(f_.name))
     if keep_extra:
-        named = {f_.name for f_ in schema.fields}
-        out.extend(F.col(c) for c in df.columns if c not in named)
+        named = {f_.name.lower() for f_ in schema.fields}
+        out.extend(F.col(c) for c in df.columns if c.lower() not in named)
     return df.select(*out)
 
 
@@ -202,7 +206,39 @@ def _merge_rewrite(spark, df, opts: MergeOptions, location, db_table, data_forma
             _first_load()
             return
         raise
+    src_cols = {c.lower() for c in df.columns}
+    auto_merge_flag = (
+        spark.conf.get(
+            "spark.databricks.delta.schema.autoMerge.enabled", "false"
+        )
+        or "false"
+    ).lower() == "true"
+    # Delta's updateAll/insertAll REQUIRE every target column in the
+    # source unless schema evolution is on — silently null-filling would
+    # resurrect rows with wrong values where Delta fails loudly
+    lacking = [
+        f_.name
+        for f_ in target.schema.fields
+        if f_.name.lower() not in src_cols
+    ]
+    if lacking and not auto_merge_flag and not (
+        opts.update_column_set and opts.insert_column_set
+    ):
+        raise ValueError(
+            f"merge: source is missing target columns {lacking} and "
+            "spark.databricks.delta.schema.autoMerge.enabled is false "
+            "(Delta updateAll/insertAll semantics)"
+        )
     df = _store_assign(df, target.schema, keep_extra=True)
+    if auto_merge_flag:
+        # Delta schema evolution: new source columns evolve the target
+        # schema (existing rows get typed nulls); updateAll/insertAll then
+        # write them through like any other column
+        src_types = dict(df.dtypes)
+        tgt_lower = {c.lower() for c in target.columns}
+        for c in df.columns:
+            if c.lower() not in tgt_lower:
+                target = target.withColumn(c, F.lit(None).cast(src_types[c]))
     cols = target.columns
     cur = target.select(F.struct(*target.columns).alias("current"))
     new = df.select(F.struct(*df.columns).alias("new"))
@@ -237,7 +273,17 @@ def _merge_rewrite(spark, df, opts: MergeOptions, location, db_table, data_forma
                 for c in cols
             ]
         else:
-            upd_cols = [F.col(f"new.{c}").alias(c) for c in cols]
+            # Delta updateAll = "SET *" over the SOURCE's columns: a
+            # target column absent from the original source keeps its
+            # CURRENT value on update (inserts leave it null)
+            upd_cols = [
+                (
+                    F.col(f"new.{c}")
+                    if c.lower() in src_cols
+                    else F.col(f"current.{c}")
+                ).alias(c)
+                for c in cols
+            ]
         kept_matched = to_update.select(*upd_cols).unionByName(untouched.select("current.*"))
 
     if opts.insert_predicate:

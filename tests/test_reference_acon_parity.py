@@ -1461,3 +1461,111 @@ def test_reference_table_manager_acons_run_verbatim(spark, tmp_path):
     assert not spark.catalog.tableExists(
         "test_db.DummyTableBronzeSimpleSplitScenario"
     )
+
+
+# ---------------------------------------------------------------------------
+# schema_evolution/delta_load — the reference's evolution matrix over
+# CDC merges, verbatim: autoMerge on (new columns evolve the schema,
+# removed columns null-fill) vs off (new columns ignored for the target
+# schema; removed columns fail the merge loudly).
+# ---------------------------------------------------------------------------
+
+_SE = "schema_evolution/delta_load"
+_SE_DDL = """
+    CREATE TABLE IF NOT EXISTS test_db.{name} (
+        actrequest_timestamp string, request string, datapakid int,
+        partno int, record int, salesorder int, item int,
+        recordmode string, date int, customer string, ARTICLE string,
+        amount int, code int
+    ) USING parquet LOCATION '{location}'
+"""
+
+SE_SCENARIOS = [
+    # (name, delta part, delta acon, control schema, fails)
+    ("auto_merge_enabled_add_column", "part-02", "batch_delta_enabled",
+     "control_schema_add_column", False),
+    ("auto_merge_disabled_add_column", "part-02", "batch_delta_disabled",
+     "control_schema_add_column", False),
+    ("auto_merge_enabled_remove_column", "part-03", "batch_delta_enabled",
+     "control_schema", False),
+    ("auto_merge_disabled_remove_column", "part-03", "batch_delta_disabled",
+     "control_schema", True),
+    ("auto_merge_enabled_cast_column", "part-04", "batch_delta_enabled",
+     "control_schema", False),
+    ("auto_merge_enabled_rename_column_file", "part-05", "batch_delta_enabled",
+     "control_schema_rename", False),
+]
+
+
+@pytest.mark.parametrize("name,part,delta_acon,control_schema,fails",
+                         SE_SCENARIOS, ids=[s[0] for s in SE_SCENARIOS])
+def test_reference_schema_evolution_delta_load_runs_verbatim(
+    spark, tmp_path, name, part, delta_acon, control_schema, fails
+):
+    from lakehouse_engine_spark.utils.schema_utils import schema_from_file
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    enabled = "enabled" in name
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    tbl = "schema_evolution_delta_load"
+    spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
+    out_loc = f"{out_dir}/feature/{_SE}/data"
+    spark.sql(_SE_DDL.format(name=tbl, location=out_loc))
+    _stage_files(in_dir, [
+        (f"{_SE}/data/source/part-01.csv", f"{_SE}/data/"),
+        (f"{_SE}/schema/source/source_part-01_schema.json", f"{_SE}/"),
+    ])
+    prev = spark.conf.get(
+        "spark.databricks.delta.schema.autoMerge.enabled", None
+    )
+    try:
+        spark.conf.set(
+            "spark.databricks.delta.schema.autoMerge.enabled", str(enabled).lower()
+        )
+        load_data(_acon(*_SE.rsplit("/", 1),
+                        f"batch_init_{'enabled' if enabled else 'disabled'}",
+                        in_dir, out_dir))
+        initial_cols = set(spark.read.parquet(f"file://{out_loc}").columns)
+        _stage_files(in_dir, [
+            (f"{_SE}/data/source/{part}.csv", f"{_SE}/data/"),
+            (f"{_SE}/schema/source/source_{part}_schema.json",
+             f"{_SE}/source_delta_schema.json"),
+        ])
+        acon = _acon(*_SE.rsplit("/", 1), delta_acon, in_dir, out_dir)
+        if fails:
+            # Delta updateAll semantics without evolution: a missing
+            # target column must fail the merge loudly
+            with pytest.raises(Exception, match="missing target columns"):
+                load_data(acon)
+            return
+        load_data(acon)
+        got = spark.read.parquet(f"file://{out_loc}")
+        if name == "auto_merge_disabled_add_column":
+            assert "new_column" not in got.columns
+        elif name == "auto_merge_enabled_cast_column":
+            # the cast transformer normalizes the source type; the TARGET
+            # type never changes automatically
+            assert set(got.columns) == initial_cols
+            assert dict(got.dtypes)["code"] == "int"
+        else:
+            want = (
+                spark.read.option("header", True).option("delimiter", "|")
+                .schema(schema_from_file(
+                    f"file://{REF}/{_SE}/schema/control/{control_schema}.json"))
+                .csv(f"file://{REF}/{_SE}/data/control/{part}.csv")
+            )
+            # Spark/Delta column resolution is case-insensitive and the
+            # controls mix ARTICLE/article casing — normalize both sides
+            got_n = got.toDF(*[c.lower() for c in got.columns])
+            want_n = want.toDF(*[c.lower() for c in want.columns])
+            missing = set(got_n.columns) - set(want_n.columns)
+            assert not missing, f"{name}: extra columns {missing}"
+            assert _rows(got_n) == _rows(want_n.select(*got_n.columns)), name
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.databricks.delta.schema.autoMerge.enabled")
+        else:
+            spark.conf.set(
+                "spark.databricks.delta.schema.autoMerge.enabled", prev
+            )
+        spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
