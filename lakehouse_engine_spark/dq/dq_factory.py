@@ -130,6 +130,9 @@ class DQFactory:
             elif fn.function == "expect_column_to_exist":
                 ok = E.eval_column_exists(df, **fn.args)
                 results.append((fn, ok, 0 if ok else n, n))
+            elif fn.function == "expect_table_column_count_to_be_between":
+                ok = E.eval_column_count_between(df, **fn.args)
+                results.append((fn, ok, 0 if ok else n, n))
 
         overall = all(ok for _, ok, _, _ in results)
         run_time = datetime.datetime.now(datetime.timezone.utc)

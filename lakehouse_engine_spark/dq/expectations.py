@@ -103,6 +103,21 @@ def _date_not_older_than(column: str, timeframe: Optional[dict] = None, **_: obj
     return c.isNull() | (c >= cutoff)
 
 
+def _pair_equal(column_A: str, column_B: str, **_: object):
+    """GE ``expect_column_pair_values_to_be_equal`` (null-safe)."""
+    return F.col(column_A).eqNullSafe(F.col(column_B))
+
+
+def _multicolumn_sum_equal(column_list, sum_total, **_: object):
+    """GE ``expect_multicolumn_sum_to_equal``: per row, the sum of the
+    listed columns equals ``sum_total``."""
+    total = None
+    for c in column_list:
+        piece = F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+        total = piece if total is None else total + piece
+    return total == F.lit(float(sum_total))
+
+
 ROW_EXPECTATIONS: dict = {
     "expect_column_values_to_not_be_null": _not_null,
     "expect_column_values_to_not_be_null_or_empty_string": _not_null_or_empty,
@@ -116,6 +131,8 @@ ROW_EXPECTATIONS: dict = {
     "expect_column_pair_date_a_to_be_greater_than_or_equal_to_date_b": _pair_date_a_ge_b,
     "expect_multicolumn_column_a_must_equal_b_or_c": _a_must_equal_b_or_c,
     "expect_column_values_to_be_date_not_older_than": _date_not_older_than,
+    "expect_column_pair_values_to_be_equal": _pair_equal,
+    "expect_multicolumn_sum_to_equal": _multicolumn_sum_equal,
 }
 
 
@@ -167,9 +184,21 @@ def eval_column_exists(df: DataFrame, column: str, **_: object) -> bool:
     return column in df.columns
 
 
+def eval_column_count_between(
+    df: DataFrame, min_value=None, max_value=None, **_: object
+) -> bool:
+    """``expect_table_column_count_to_be_between`` — schema-level (no
+    data pass): the frame's column count within [min, max]."""
+    n = len(df.columns)
+    return (min_value is None or n >= min_value) and (
+        max_value is None or n <= max_value
+    )
+
+
 AGG_EXPECTATIONS = {
     "expect_column_values_to_be_unique",
     "expect_table_row_count_to_be_between",
+    "expect_table_column_count_to_be_between",
     "expect_queried_column_agg_value_to_be",
     "expect_column_to_exist",
 }

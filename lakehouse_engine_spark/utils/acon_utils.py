@@ -78,6 +78,11 @@ def parse_dq_spec(d: dict, execution_point: str = "in_motion") -> DQSpec:
     fns = [_build(DQFunctionSpec, f) for f in d.get("dq_functions", [])]
     crit = [_build(DQFunctionSpec, f) for f in d.get("critical_functions", [])]
     rest = {k: v for k, v in d.items() if k not in ("dq_functions", "critical_functions")}
+    # reference contract: tag_source_data=True NULLIFIES fail_on_error
+    # (the run tags failing rows instead of aborting —
+    # core/definitions.py:779-786 there)
+    if rest.get("tag_source_data") and "fail_on_error" not in rest:
+        rest["fail_on_error"] = False
     return _build(DQSpec, rest, dq_functions=fns, critical_functions=crit)
 
 

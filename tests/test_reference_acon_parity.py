@@ -1569,3 +1569,98 @@ def test_reference_schema_evolution_delta_load_runs_verbatim(
                 "spark.databricks.delta.schema.autoMerge.enabled", prev
             )
         spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
+
+
+def test_reference_dq_delta_with_duplicates_streaming_runs_verbatim(spark, tmp_path):
+    """data_quality/load_with_dq_validator/delta_with_duplicates: the
+    reference's STREAMING CDC flow verbatim — schema-inferred csv stream
+    -> condense_record_mode_cdc -> per-micro-batch DQ validation
+    (row-count + column-count suites) -> per-micro-batch MERGE with
+    delete predicate, two runs against one checkpoint; the result-sink
+    table accumulates 2 runs x 2 expectations matching the control."""
+    feat, scen = "data_quality", "load_with_dq_validator/delta_with_duplicates"
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql("DROP TABLE IF EXISTS test_db.validator_delta_with_duplicates")
+    shutil.rmtree("spark-warehouse/test_db.db/validator_delta_with_duplicates",
+                  ignore_errors=True)
+    _stage(feat, scen, in_dir, ["part-01.csv"])
+    load_data(_acon(feat, scen, "streaming_init", in_dir, out_dir))
+    _stage(feat, scen, in_dir,
+           ["part-01.csv", "part-02.csv", "part-03.csv", "part-04.csv"])
+    load_data(_acon(feat, scen, "streaming_new", in_dir, out_dir))
+
+    sink = spark.table("test_db.validator_delta_with_duplicates")
+    want = _read_json(
+        spark, f"{REF}/{feat}/{scen}/data/control/data_validator.json"
+    )
+    assert sink.count() == 4  # 2 runs x 2 expectations
+    cols = ["spec_id", "input_id", "source", "evaluated_expectations",
+            "success_percent", "successful_expectations",
+            "unsuccessful_expectations", "expectation_type",
+            "expectation_success", "success"]
+    assert _rows(sink, cols) == _rows(want, cols)
+    spark.sql("DROP TABLE IF EXISTS test_db.validator_delta_with_duplicates")
+
+
+def test_reference_dq_delta_with_duplicates_tag_streaming_runs_verbatim(
+    spark, tmp_path
+):
+    """The _tag variant of the streaming CDC DQ flow: the full GE
+    expectation battery (row-count/column-count/in-set/length/exists/
+    pair-equal/multicolumn-sum) with SUCCESSES AND FAILURES, row tagging
+    through the merge — tag_source_data nullifies fail_on_error
+    (reference contract), failing rows land with per-row
+    dq_failure_details, and the final data matches the reference's
+    control sales.json (row success flags + failed expectation types
+    compared; GE kwargs text excluded)."""
+    feat, scen = "data_quality", "load_with_dq_validator/delta_with_duplicates_tag"
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    tbl = "test_db.validator_delta_with_duplicates_tag"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(
+        "spark-warehouse/test_db.db/validator_delta_with_duplicates_tag",
+        ignore_errors=True,
+    )
+    _stage(feat, scen, in_dir, ["part-01.csv"])
+    load_data(_acon(feat, scen, "streaming_init", in_dir, out_dir))
+    _stage(feat, scen, in_dir,
+           ["part-01.csv", "part-02.csv", "part-03.csv", "part-04.csv"])
+    load_data(_acon(feat, scen, "streaming_new", in_dir, out_dir))
+
+    # result sink: run outcomes per expectation match the control
+    sink = spark.table(tbl)
+    want_sink = _read_json(
+        spark, f"{REF}/{feat}/{scen}/data/control/data_validator.json"
+    )
+    assert sink.count() == want_sink.count() == 9
+    cols = ["expectation_type", "expectation_success", "success"]
+    assert _rows(sink, cols) == _rows(want_sink, cols)
+
+    # written data: business columns + per-row tag outcome + the SET of
+    # failed expectation types per row (kwargs text is GE-formatted in
+    # the control — engine-specific, excluded)
+    from pyspark.sql import functions as F
+
+    def norm(df):
+        return df.select(
+            "salesorder", "item", "customer", "article", "amount",
+            F.col("dq_validations.run_row_success").alias("rrs"),
+            F.array_sort(
+                F.transform(
+                    F.coalesce(
+                        "dq_validations.dq_failure_details",
+                        F.array().cast(
+                            "array<struct<expectation_type:string,kwargs:string>>"
+                        ),
+                    ),
+                    lambda x: x["expectation_type"],
+                )
+            ).cast("string").alias("failed_types"),
+        )
+
+    got = spark.read.parquet(f"file://{_out(out_dir, feat, scen)}")
+    want = _read_json(spark, f"{REF}/{feat}/{scen}/data/control/sales.json")
+    assert _rows(norm(got)) == _rows(norm(want))
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
