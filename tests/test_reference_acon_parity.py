@@ -1463,6 +1463,15 @@ def test_reference_table_manager_acons_run_verbatim(spark, tmp_path):
     )
 
 
+# NOT covered: schema_evolution/append_load's failure arms pin Delta's
+# literal write-path error strings ("A schema mismatch detected when
+# writing to the Delta table") — an error-message-level environmental
+# boundary; the successful arms' semantics are covered by
+# tests/test_schema_evolution.py. custom_expectations/ and dq_validator/
+# scenarios construct their ACONs in the reference's TEST CODE (only the
+# staging ACONs are JSON), so there is nothing JSON-verbatim to run —
+# the expectations themselves are covered by test_dq + the q07 oracle.
+
 # ---------------------------------------------------------------------------
 # schema_evolution/delta_load — the reference's evolution matrix over
 # CDC merges, verbatim: autoMerge on (new columns evolve the schema,
