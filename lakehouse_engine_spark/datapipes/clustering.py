@@ -373,8 +373,9 @@ def _grouped_assign_udf(cmap):
                         + norms[int(cell)][None, :]
                     )
                     out_c[pos[rows]] = dist.argmin(axis=1)
-                    for p_, d_ in zip(pos[rows], dist.min(axis=1)):
-                        out_d[p_] = d_
+                    # object-dtype fancy assignment is elementwise — no
+                    # per-row Python loop in the kernel
+                    out_d[pos[rows]] = dist.min(axis=1)
         return pd.DataFrame({"c": out_c, "d": pd.array(out_d, dtype="Int64")})
 
     return assign

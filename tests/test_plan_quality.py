@@ -1098,3 +1098,15 @@ def test_q31_persist_knob_collapses_corpus_scans(spark, sf_dir):
         )
     finally:
         spark.catalog.clearCache()
+
+
+def test_kmeans_hier_plan_is_join_free_and_bounded(spark, sf_dir):
+    """The hierarchical quantizer's final assignment: Arrow-batched
+    kernels only — no join anywhere (cell routing happens inside the
+    grouped kernel), and the per-round control tables reduce through a
+    partial-combine aggregate, so nothing corpus-sized ever converges on
+    one node."""
+    df = entry.queries()["dp130_kmeans_hier"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Join" not in physical, physical[:2000]
+    assert "ArrowEvalPython" in physical or "PythonUDF" in physical
