@@ -1673,3 +1673,53 @@ def test_reference_dq_delta_with_duplicates_tag_streaming_runs_verbatim(
     want = _read_json(spark, f"{REF}/{feat}/{scen}/data/control/sales.json")
     assert _rows(norm(got)) == _rows(norm(want))
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ---------------------------------------------------------------------------
+# file_manager — the reference's S3 file-op ACONs, verbatim, against the
+# injectable object-store client (the cloud-credential boundary).
+# ---------------------------------------------------------------------------
+
+def test_reference_file_manager_acons_run_verbatim():
+    """copy (single + directory, incl. dry runs) and delete ACONs with the
+    reference's own bucket/object keys: dry runs touch nothing; directory
+    ops fan out over the prefix; deletes remove both a single object and
+    a directory prefix."""
+    from lakehouse_engine_spark.core.file_manager import FileManager
+    from tests.test_object_store import FakeStore
+
+    fm_ref = f"{REF}/file_manager"
+
+    def acon(sub, name):
+        with open(f"{fm_ref}/{sub}/{name}.json") as fh:
+            return json.load(fh)
+
+    def store():
+        return FakeStore({
+            ("test_bucket", "test_single_file.json"): b"x",
+            ("test_bucket", "test_directory/a.json"): b"a",
+            ("test_bucket", "test_directory/sub/b.json"): b"b",
+        })
+
+    # dry runs: listings only, nothing copied or deleted
+    st = store()
+    FileManager(acon("copy_object", "acon_copy_single_object_dry_run"),
+                client=st).execute()
+    FileManager(acon("delete_objects", "acon_delete_objects_dry_run"),
+                client=st).execute()
+    assert not [c for c in st.calls if c[0] in ("copy", "delete")]
+    assert len(st.objects) == 3
+
+    # real copy: single object + directory fan-out preserving suffixes
+    st = store()
+    FileManager(acon("copy_object", "acon_copy_single_object"), client=st).execute()
+    assert ("destination_bucket", "destination_single_file") in st.objects
+    FileManager(acon("copy_object", "acon_copy_directory"), client=st).execute()
+    dest_keys = sorted(k for (b, k) in st.objects if b == "destination_bucket")
+    assert "destination_directory/a.json" in dest_keys
+    assert "destination_directory/sub/b.json" in dest_keys
+
+    # real delete: single object + directory prefix
+    st = store()
+    FileManager(acon("delete_objects", "acon_delete_objects"), client=st).execute()
+    assert not [k for (b, k) in st.objects if b == "test_bucket"]
