@@ -221,6 +221,13 @@ class GAB:
             )
         )
         if not cadences or not stages:
+            import logging
+
+            # reference skip message (its tests assert this exact text)
+            logging.getLogger(__name__).info(
+                "Skipping use case %s. No cadence processed for the use case.",
+                use_case["query_label"],
+            )
             return
 
         self._load_stage_templates(stages, use_case)
@@ -463,19 +470,21 @@ class GAB:
     ) -> None:
         """One CATALOG view per mapping key in the target database,
         re-aliasing dims/metrics (reference ``core/gab_sql_generator.py:
-        187-426`` + ``core/gab_manager.py:640-890``).
+        187-426`` + ``core/gab_manager.py:590-890``).
 
-        Snapshot cadences keep every ``to_date`` version (deduplicated to
-        the latest per (cadence, dims, from_date) elsewhere via
-        ``row_number``). Calculated metrics follow the reference SQL
-        exactly: ``last_cadence`` -> ``COALESCE(LAG(m, w) OVER (...), 0)``;
-        ``last_year_cadence`` partitions additionally by the same
-        day-of-year struct so the lag lands on the same period last year;
-        ``window_function`` -> ``COALESCE(agg(m) OVER (ROWS BETWEEN a
-        PRECEDING AND b PRECEDING), 0)``; when the use case has snapshot
-        cadences every window partitions additionally by ``rn`` (the
-        reference's snapshot arm). The view is plain SQL over the insights
-        table — no data is copied and the rollup stays one scan at read."""
+        Structure follows the reference exactly: non-snapshot cadences
+        (TEMP1) carry the plain calculated metrics —
+        ``COALESCE(LAG/agg OVER (PARTITION BY cadence, dims ORDER BY
+        from_date), 0)``; snapshot cadences (TEMP2) keep every ``to_date``
+        version and their calculated metrics step across the SNAPSHOT
+        VERSIONS of one bucket — partition (cadence, dims, from_date),
+        ORDER BY to_date (this is the semantics the reference's own
+        control data pins: each snapshot's last_cadence is the previous
+        day's snapshot of the same bucket; its published SQL reaches the
+        same ordering through the TEMP_RN row ordering); the final view
+        is the set-UNION of both arms (deduping the full-bucket snapshot
+        row against the plain cadence row). The view is plain SQL over
+        the insights table — no data copied, one scan at read."""
         spark = self.spark
         target = f"{self.spec.target_database}.{self.spec.target_table}"
         snap_cadences = [
@@ -486,7 +495,7 @@ class GAB:
                 for w in (conf or {}).get("recon_window", {}).values()
             )
         ]
-        has_snapshot = bool(snap_cadences)
+        no_snap_cadences = [c for c in recon if c not in snap_cadences]
         for view_name, mapping in mappings.items():
             dims: Dict[str, str] = mapping["dimensions"]
             metrics: Dict[str, dict] = mapping["metric"]
@@ -495,78 +504,98 @@ class GAB:
             }
             from_alias = dims.get("from_date", "from_date")
             to_alias = dims.get("to_date", "to_date")
-            dim_aliases = [f"{k} as {v}" for k, v in plain_dims.items()]
+            dim_aliases = [f"a.{k} AS {v}" for k, v in plain_dims.items()]
             metric_aliases = [
-                f"{k} as {m['metric_name']}" for k, m in metrics.items()
+                f"a.{k} AS {m['metric_name']}" for k, m in metrics.items()
             ]
-            dim_keys = ", ".join(plain_dims.keys()) or "1"
-            dim_partition = ", ".join(["cadence"] + list(plain_dims.values()))
-            rn_part = ", rn" if has_snapshot else ""
+            dim_partition = ", ".join(
+                ["a.cadence"] + [f"a.{k}" for k in plain_dims.keys()]
+            )
 
-            calc_exprs: List[str] = []
-            for m in metrics.values():
-                name = m["metric_name"]
-                calc = m.get("calculated_metric") or {}
-                for spec in calc.get("last_cadence") or []:
-                    calc_exprs.append(
-                        f"COALESCE(LAG({name}, {int(spec['window'])}) OVER ("
-                        f"PARTITION BY {dim_partition}{rn_part} "
-                        f"ORDER BY from_date), 0) AS {spec['label']}"
-                    )
-                for spec in calc.get("last_year_cadence") or []:
-                    calc_exprs.append(
-                        f"COALESCE(LAG({name}, {int(spec['window'])}) OVER ("
-                        f"PARTITION BY {dim_partition}{rn_part}, "
-                        "CASE WHEN cadence IN ('DAY','MONTH','QUARTER') "
-                        "THEN struct(month(from_date), day(from_date)) "
-                        "WHEN cadence IN ('WEEK') "
-                        "THEN struct(weekofyear(from_date + 1), 1) END "
-                        f"ORDER BY from_date), 0) AS {spec['label']}"
-                    )
-                for spec in calc.get("window_function") or []:
-                    back, fwd = int(spec["window"][0]), int(spec["window"][1])
-                    agg = spec.get("agg_func", "sum")
-                    calc_exprs.append(
-                        f"COALESCE({agg}({name}) OVER ("
-                        f"PARTITION BY {dim_partition}{rn_part} "
-                        f"ORDER BY from_date ROWS BETWEEN {back} PRECEDING "
-                        f"AND {fwd} PRECEDING), 0) AS {spec['label']}"
-                    )
-                derived = m.get("derived_metric") or []
-                if isinstance(derived, dict):
-                    derived = []
-                for spec in derived:
-                    calc_exprs.append(f"{spec['formula']} AS {spec['label']}")
+            def calc_exprs(snapshot: bool) -> List[str]:
+                part = dim_partition + (", a.from_date" if snapshot else "")
+                order = "a.to_date" if snapshot else "a.from_date"
+                out: List[str] = []
+                for mk, m in metrics.items():
+                    name = f"a.{mk}"
+                    calc = m.get("calculated_metric") or {}
+                    for spec in calc.get("last_cadence") or []:
+                        out.append(
+                            f"COALESCE(LAG({name}, {int(spec['window'])}) OVER ("
+                            f"PARTITION BY {part} ORDER BY {order}), 0) "
+                            f"AS {spec['label']}"
+                        )
+                    for spec in calc.get("last_year_cadence") or []:
+                        out.append(
+                            f"COALESCE(LAG({name}, {int(spec['window'])}) OVER ("
+                            f"PARTITION BY {part}, "
+                            "CASE WHEN a.cadence IN ('DAY','MONTH','QUARTER') "
+                            "THEN struct(month(a.from_date), day(a.from_date)) "
+                            "WHEN a.cadence IN ('WEEK') "
+                            "THEN struct(weekofyear(a.from_date + 1), 1) END "
+                            f"ORDER BY {order}), 0) AS {spec['label']}"
+                        )
+                    for spec in calc.get("window_function") or []:
+                        back, fwd = int(spec["window"][0]), int(spec["window"][1])
+                        agg = spec.get("agg_func", "sum")
+                        out.append(
+                            f"COALESCE({agg}({name}) OVER ("
+                            f"PARTITION BY {part} ORDER BY {order} "
+                            f"ROWS BETWEEN {back} PRECEDING AND {fwd} "
+                            f"PRECEDING), 0) AS {spec['label']}"
+                        )
+                    derived = m.get("derived_metric") or []
+                    if isinstance(derived, dict):
+                        derived = []
+                    for spec in derived:
+                        formula = spec["formula"]
+                        for k2, m2 in metrics.items():
+                            formula = formula.replace(
+                                m2["metric_name"], f"a.{k2}"
+                            )
+                        out.append(f"{formula} AS {spec['label']}")
+                return out
 
-            snap_list = ", ".join(f"'{c}'" for c in snap_cadences) or "''"
-            # the mapping filter references RAW dN names (reference
-            # contract) so it applies before aliasing
+            # the mapping filter references RAW dN names (reference contract)
             view_filter = mapping.get("filter")
-            extra_filter = (
+            extra = (
                 f"AND ({view_filter})"
                 if view_filter and not isinstance(view_filter, dict)
                 else ""
             )
-            out_cols = (
-                ["cadence", f"from_date AS {from_alias}", f"to_date AS {to_alias}"]
-                + [v for v in plain_dims.values()]
-                + [m["metric_name"] for m in metrics.values()]
-                + calc_exprs
+            select_cols = ", ".join(
+                [f"a.from_date AS {from_alias}", f"a.to_date AS {to_alias}"]
+                + dim_aliases
+                + metric_aliases
             )
-            sql = f"""
-                CREATE OR REPLACE VIEW {self.spec.target_database}.{view_name} AS
-                SELECT {', '.join(out_cols)}
-                FROM (
-                  SELECT cadence, from_date, to_date, rn,
-                         {', '.join(dim_aliases + metric_aliases)}
-                  FROM (
-                    SELECT *, row_number() OVER (
-                        PARTITION BY cadence, {dim_keys}, from_date
-                        ORDER BY to_date DESC
-                    ) AS rn
-                    FROM {target}
-                    WHERE query_id = '{use_case['query_id']}'
-                  ) WHERE (rn = 1 OR cadence IN ({snap_list})) {extra_filter}
-                )
-            """
+            arms = []
+            if no_snap_cadences:
+                cads = ", ".join(f"'{c}'" for c in no_snap_cadences)
+                arms.append(f"""
+                    SELECT a.cadence, {select_cols},
+                           {', '.join(calc_exprs(False)) or '1 AS __one'}
+                    FROM {target} a
+                    WHERE a.query_id = '{use_case['query_id']}'
+                      AND a.cadence IN ({cads}) {extra}
+                """)
+            if snap_cadences:
+                cads = ", ".join(f"'{c}'" for c in snap_cadences)
+                arms.append(f"""
+                    SELECT a.cadence, {select_cols},
+                           {', '.join(calc_exprs(True)) or '1 AS __one'}
+                    FROM {target} a
+                    WHERE a.query_id = '{use_case['query_id']}'
+                      AND a.cadence IN ({cads}) {extra}
+                """)
+            body = " UNION ".join(arms)
+            drop_one = not any(
+                (m.get("calculated_metric") or m.get("derived_metric"))
+                for m in metrics.values()
+            )
+            final = "*" if not drop_one else "* EXCEPT (__one)"
+            sql = (
+                f"CREATE OR REPLACE VIEW "
+                f"{self.spec.target_database}.{view_name} AS "
+                f"SELECT {final} FROM ({body})"
+            )
             spark.sql(sql)

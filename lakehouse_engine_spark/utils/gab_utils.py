@@ -263,7 +263,10 @@ def partition_condition(start_date: str, end_date: str) -> str:
 
 
 _IF_RE = re.compile(
-    r"\{%\s*if\s+(\w+)\s*==\s*(-?\w+)\s*%\}(.*?)"
+    # the left operand may already be a PRE-SUBSTITUTED literal (the
+    # reference replaces replace_offset_value in the file text before
+    # Jinja runs) — accept signed numbers on either side
+    r"\{%\s*if\s+(-?\w+)\s*==\s*(-?\w+)\s*%\}(.*?)"
     r"(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}",
     re.DOTALL,
 )

@@ -831,7 +831,50 @@ GAB_SCENARIOS = [
      [("vw_orders_all", "vw_orders"), ("vw_orders_filtered", "vw_orders")]),
     ("dummy_sales_kpi", "dummy_sales_kpi",
      [("vw_dummy_sales_kpi", "vw_dummy_sales_kpi")]),
+    # snapshot: WEEK reconciled DAILY with snapshot=Y — every concluded
+    # day's version of each week is kept and the calculated metrics step
+    # across the snapshot VERSIONS of a bucket
+    ("order_events_snapshot", "order_events",
+     [("vw_orders_all_snapshot", "vw_orders"),
+      ("vw_orders_filtered_snapshot", "vw_orders")]),
+    # NAM query type + MONDAY weeks
+    ("order_events_nam", "order_events",
+     [("vw_nam_orders_all_snapshot", "vw_orders"),
+      ("vw_nam_orders_filtered_snapshot", "vw_orders")]),
+    # -3h timezone offset flows through the jinja offset conditional,
+    # the filter window and the projection
+    ("order_events_negative_timezone_offset", "order_events",
+     [("vw_negative_offset_orders_all", "vw_orders"),
+      ("vw_negative_offset_orders_filtered", "vw_orders")]),
 ]
+
+
+SKIP_SCENARIOS = [
+    "skip_use_case_by_empty_reconciliation",
+    "skip_use_case_by_empty_requested_cadence",
+    "skip_use_case_by_not_configured_cadence",
+    "skip_use_case_by_unexisting_cadence",
+]
+
+
+@pytest.mark.parametrize("use_case", SKIP_SCENARIOS)
+def test_reference_gab_skip_scenarios(spark, gab_reference_env, use_case, caplog):
+    """The reference's skip matrix: an empty/unmatched reconciliation or
+    cadence configuration must skip the use case with the reference's
+    exact log message and touch nothing."""
+    import logging
+
+    from lakehouse_engine_spark import execute_gab
+
+    with open(
+        f"{GAB_REF}/usecases/order_events/scenario/{use_case}.json"
+    ) as fh:
+        acon = json.load(fh)
+    acon["gab_base_path"] = gab_reference_env
+    with caplog.at_level(logging.INFO,
+                         logger="lakehouse_engine_spark.algorithms.gab"):
+        execute_gab(acon)
+    assert "No cadence processed for the use case." in caplog.text
 
 
 @pytest.mark.parametrize("use_case,stages_dir,assets", GAB_SCENARIOS,
