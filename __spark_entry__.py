@@ -3634,6 +3634,87 @@ def _kmeans_hier_oracle_sql(k1: int, k2: int, it1: int, it2: int) -> str:
     )
 
 
+def _duck_knn_ivf_hier(
+    k: int, k1: int, k2: int, it1: int, it2: int, nprobe: int
+) -> str:
+    """Mirror of knn_ivf_hier: the hierarchical-quantizer CTEs define the
+    cells; each cell's probing centroid is the exact floor-div mean of its
+    members' quantized vectors; queries rank cells by exact squared grid
+    distance (ties -> smaller cell id), probe nprobe, exact-cosine re-rank
+    on the raw embeddings (ties -> smaller neighbor id)."""
+    hier = _kmeans_hier_oracle_sql(k1, k2, it1, it2)
+    head, _ = hier.rsplit(" SELECT id AS vec_id", 1)
+    fa = f"fa{it2 + 1}"
+    grid = (
+        "list_sum(list_transform(list_zip(q2.qv, c.cv),"
+        " z -> (z[1]-z[2])*(z[1]-z[2])))"
+    )
+    return f"""{head},
+        vr AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+        asg AS (SELECT id, g * {k2} + sc AS cell FROM {fa}),
+        mem AS (SELECT a.id, a.cell, q.v AS qv FROM asg a JOIN q ON q.id = a.id),
+        cent AS (
+          SELECT cell,
+                 list(CASE WHEN s >= 0 THEN s // n
+                      ELSE -((-s + n - 1) // n) END ORDER BY i) AS cv
+          FROM (
+            SELECT cell, i, SUM(x) AS s, COUNT(*) AS n FROM (
+              SELECT cell,
+                     unnest(generate_series(1, len(qv))) AS i,
+                     unnest(qv) AS x
+              FROM mem
+            ) GROUP BY 1, 2
+          ) GROUP BY cell
+        ),
+        qs AS (SELECT id AS query_id, qv FROM mem WHERE id < 10),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q2.query_id, c.cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q2.query_id
+                     ORDER BY {grid} ASC, c.cell ASC) AS rn
+            FROM qs q2 CROSS JOIN cent c
+          ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+          SELECT p.query_id, m.id AS neighbor_id,
+                 ROUND({_DUCK_COSINE}, 6) AS score
+          FROM probes p
+          JOIN mem m ON m.cell = p.cell AND m.id <> p.query_id
+          JOIN vr a ON a.vec_id = p.query_id
+          JOIN vr b ON b.vec_id = m.id
+        )
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level IVF ANN (datapipes/similarity.py knn_ivf_hier): inverted
+    lists = the hierarchical quantizer's 4x4 cells, probing centroids =
+    exact floor-div cell means on the integer grid, nprobe=3 probing with
+    exact-cosine in-list re-rank — the FAISS coarse-quantizer pattern for
+    list counts past the flat trainer's MAX_K cap, replayed bit-for-bit
+    by the unrolled hierarchical oracle."""
+    emb = load_table(spark, sf, "embeddings")
+    return emb.transform(
+        _t(
+            "knn_ivf_hier",
+            k=5,
+            k_coarse=4,
+            k_fine=4,
+            coarse_iterations=1,
+            fine_iterations=1,
+            nprobe=3,
+            query_filter="vec_id < 10",
+        )
+    )
+
+
 def dp130_kmeans_hier(spark: SparkSession, sf: str) -> DataFrame:
     """Two-level hierarchical quantizer (datapipes/clustering.py
     embedding_kmeans_hier): exact integer-grid Lloyd at both levels —
@@ -3808,6 +3889,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # oracle gained the null-id filter.
 WINDOW_RETOUCHED = (
     "dp130_kmeans_hier",
+    "dp131_knn_ivf_hier",
     "dp69_bpe_tokenize",
     "dp69b_bpe_encode",
     "dp68_json_props",
@@ -3831,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r10) ---
         "dp130_kmeans_hier": dp130_kmeans_hier,
+        "dp131_knn_ivf_hier": dp131_knn_ivf_hier,
         "dp69_bpe_tokenize": dp69_bpe_tokenize,
         "dp69b_bpe_encode": dp69b_bpe_encode,
         "dp68_json_props": dp68_json_props,
@@ -6503,6 +6586,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dp112_embedding_kmeans": _kmeans_oracle_sql(8, 2),
         "dp130_kmeans_hier": _kmeans_hier_oracle_sql(4, 3, 1, 1),
+        "dp131_knn_ivf_hier": _duck_knn_ivf_hier(5, 4, 4, 1, 1, 3),
         "dp113_cluster_stats": (
             "WITH asg AS (" + _kmeans_oracle_sql(8, 2) + ") "
             "SELECT cluster, count(*)::BIGINT AS size, "

@@ -331,6 +331,143 @@ def knn_ivf(
     return _knn
 
 
+@register("knn_ivf_hier")
+def knn_ivf_hier(
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    query_filter: str = "vec_id < 10",
+    k_coarse: int = 4,
+    k_fine: int = 4,
+    coarse_iterations: int = 1,
+    fine_iterations: int = 1,
+    nprobe: int = 3,
+    quant_scale: int = 1024,
+) -> TransformerFn:
+    """Two-level IVF ANN: the inverted lists are the HIERARCHICAL
+    quantizer's cells (k_coarse x k_fine — the FAISS coarse-quantizer
+    pattern for list counts past the flat trainer's per-batch cap).
+
+    Deterministic, oracle-replayable semantics: cells come from
+    ``embedding_kmeans_hier`` (exact integer-grid Lloyd at both levels);
+    each cell's probing centroid is the exact FLOOR-DIV mean of its
+    members' quantized vectors; queries rank cells by exact squared grid
+    distance (ties -> smaller global cell id), probe ``nprobe`` cells,
+    and re-rank in-list by exact cosine on the RAW embeddings (ties ->
+    smaller neighbor id).
+
+    Scale: the cell table is k_eff rows (broadcast); assignment work per
+    Arrow batch is rows x k_fine; search touches ~nprobe/k_eff of the
+    corpus, and nothing corpus-sized converges on one node.
+    """
+
+    def _knn(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.clustering import (
+            _quantize_expr,
+            embedding_kmeans_hier,
+        )
+
+        assigned = df.transform(
+            embedding_kmeans_hier(
+                id_col=id_col,
+                input_col=embedding_col,
+                k_coarse=k_coarse,
+                k_fine=k_fine,
+                coarse_iterations=coarse_iterations,
+                fine_iterations=fine_iterations,
+                quant_scale=quant_scale,
+                output_col="__cell",
+            )
+        )
+        base = (
+            ensure_parallelism(assigned)
+            .filter(F.col(embedding_col).isNotNull())
+            .select(
+                F.col(id_col).alias("__vid"),
+                F.col(embedding_col).cast("array<double>").alias("__v"),
+                _quantize_expr(embedding_col, quant_scale).alias("__qv"),
+                F.col("__cell"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            probe = base.select(F.max(F.size("__qv")).alias("d")).first()
+            dim = int(probe["d"]) if probe and probe["d"] is not None else 0
+            if dim == 0:
+                return base.sparkSession.createDataFrame(
+                    [], "query_id long, neighbor_id long, score double, rank int"
+                )
+            sums = [
+                F.sum(F.element_at("__qv", i + 1)).alias(f"__s{i}")
+                for i in range(dim)
+            ]
+            cents_raw = base.groupBy("__cell").agg(
+                F.count(F.lit(1)).alias("__n"), *sums
+            )
+            # exact floor-div mean per dimension (the trainer's update rule)
+            mean_exprs = [
+                F.expr(
+                    f"CASE WHEN __s{i} >= 0 THEN __s{i} DIV __n "
+                    f"ELSE -((-__s{i} + __n - 1) DIV __n) END"
+                )
+                for i in range(dim)
+            ]
+            cents = cents_raw.select(
+                "__cell", F.array(*mean_exprs).alias("__cv")
+            )
+            q = base.filter(query_filter.replace(id_col, "__vid")).select(
+                F.col("__vid").alias("query_id"),
+                F.col("__v").alias("__queryv"),
+                F.col("__qv").alias("__queryq"),
+            )
+            grid_dist = F.aggregate(
+                F.zip_with(
+                    F.col("__queryq"), F.col("__cv"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            probe_w = Window.partitionBy("query_id").orderBy(
+                F.asc("__d"), F.asc("__cell")
+            )
+            probes = (
+                q.join(F.broadcast(cents))
+                .withColumn("__d", grid_dist)
+                .withColumn("__r", F.row_number().over(probe_w))
+                .filter(F.col("__r") <= nprobe)
+                .select("query_id", "__queryv", "__cell")
+            )
+            scored = (
+                F.broadcast(probes)
+                .join(base, "__cell")
+                .filter(F.col("query_id") != F.col("__vid"))
+                .withColumn(
+                    "score", F.round(cosine(F.col("__queryv"), F.col("__v")), 6)
+                )
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("__vid")
+            )
+            out = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    "query_id", F.col("__vid").alias("neighbor_id"),
+                    "score", "rank",
+                )
+            )
+            # materialize before unpersisting the frame the plan reads;
+            # keep the EXECUTED logical plan reachable for plan gates
+            result = out.localCheckpoint(eager=True)
+            result._lhe_plan_df = out
+            return result
+        finally:
+            base.unpersist()
+
+    return _knn
+
+
 @register("cluster_sample")
 def cluster_sample(
     embedding_col: str = "embedding",

@@ -1110,3 +1110,15 @@ def test_kmeans_hier_plan_is_join_free_and_bounded(spark, sf_dir):
     physical, _ = _plans(df)
     assert "Join" not in physical, physical[:2000]
     assert "ArrowEvalPython" in physical or "PythonUDF" in physical
+
+
+def test_knn_ivf_hier_broadcasts_cells_no_smj(spark, sf_dir):
+    """Two-level IVF: the cell-centroid table and the probe list both
+    BROADCAST onto the corpus — a shuffle join on either side would drag
+    the whole corpus through an exchange at 100 TB."""
+    df = entry.queries()["dp131_knn_ivf_hier"](spark, sf_dir)
+    # the op returns a materialized checkpoint; the plan that EXECUTED is
+    # kept reachable on the result for exactly this gate
+    physical, _ = _plans(df._lhe_plan_df)
+    assert "SortMergeJoin" not in physical, physical[:2000]
+    assert "BroadcastHashJoin" in physical or "BroadcastNestedLoopJoin" in physical
