@@ -3693,6 +3693,40 @@ def _duck_knn_ivf_hier(
     """
 
 
+def _duck_semantic_hier(
+    threshold: float, k1: int, k2: int, it1: int, it2: int
+) -> str:
+    """Mirror of dedup_semantic_hier (keep="all"): the hierarchical-
+    quantizer CTEs define the cells (dp130's exact integer algebra);
+    pairs form within a cell among norm>0 vectors, a vector's
+    dup_group_id is the SMALLEST same-cell id verifying at
+    cosine >= threshold (null embeddings and zero-norm vectors never
+    pair, so they always survive)."""
+    hier = _kmeans_hier_oracle_sql(k1, k2, it1, it2)
+    head, _ = hier.rsplit(" SELECT id AS vec_id", 1)
+    fa = f"fa{it2 + 1}"
+    return f"""{head},
+        asg AS (SELECT id, g * {k2} + sc AS cell FROM {fa}),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE embedding IS NOT NULL
+                AND list_reduce(list_transform(embedding::DOUBLE[],
+                      x -> x*x), (x,y) -> x+y) > 0),
+        heads AS (
+          SELECT a.vec_id AS id, MIN(b.vec_id) AS g
+          FROM v a
+          JOIN asg ca ON ca.id = a.vec_id
+          JOIN asg cb ON cb.cell = ca.cell AND cb.id < a.vec_id
+          JOIN v b ON b.vec_id = cb.id
+          WHERE {_DUCK_COSINE} >= {threshold}
+          GROUP BY a.vec_id
+        )
+        SELECT e.vec_id,
+               h.g AS dup_group_id,
+               (h.g IS NOT NULL AND h.g < e.vec_id) AS is_duplicate
+        FROM embeddings e LEFT JOIN heads h ON e.vec_id = h.id
+    """
+
+
 def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     """Two-level IVF ANN (datapipes/similarity.py knn_ivf_hier): inverted
     lists = the hierarchical quantizer's 4x4 cells, probing centroids =
@@ -3713,6 +3747,29 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
             query_filter="vec_id < 10",
         )
     )
+
+
+def dp132_semantic_dedup_hier(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup over the hierarchical quantizer's cells (datapipes/dedup.py
+    dedup_semantic_hier): clusters = embedding_kmeans_hier's 4x3 cells
+    (exact integer-grid Lloyd, dp130's pinned semantics), in-cell pairwise
+    cosine verify on the raw embeddings, min-id survivor rule — the
+    wide-k arm of dp97 for SemDeDup past the flat trainer's MAX_K cap
+    (k_eff 32k/65k probed on the 200k corpus, BASELINE.md). keep="all"
+    so the oracle value-pins the full annotation, not just survivors."""
+    emb = load_table(spark, sf, "embeddings")
+    return emb.transform(
+        _t(
+            "dedup_semantic_hier",
+            threshold=0.9,
+            k_coarse=4,
+            k_fine=3,
+            coarse_iterations=1,
+            fine_iterations=1,
+            keep="all",
+            dim=64,
+        )
+    ).select("vec_id", "dup_group_id", "is_duplicate")
 
 
 def dp130_kmeans_hier(spark: SparkSession, sf: str) -> DataFrame:
@@ -3912,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r10) ---
+        "dp132_semantic_dedup_hier": dp132_semantic_dedup_hier,
         "dp130_kmeans_hier": dp130_kmeans_hier,
         "dp131_knn_ivf_hier": dp131_knn_ivf_hier,
         "dp69_bpe_tokenize": dp69_bpe_tokenize,
@@ -6586,6 +6644,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dp112_embedding_kmeans": _kmeans_oracle_sql(8, 2),
         "dp130_kmeans_hier": _kmeans_hier_oracle_sql(4, 3, 1, 1),
+        "dp132_semantic_dedup_hier": _duck_semantic_hier(0.9, 4, 3, 1, 1),
         "dp131_knn_ivf_hier": _duck_knn_ivf_hier(5, 4, 4, 1, 1, 3),
         "dp113_cluster_stats": (
             "WITH asg AS (" + _kmeans_oracle_sql(8, 2) + ") "

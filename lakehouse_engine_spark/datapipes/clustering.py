@@ -296,8 +296,12 @@ def embedding_kmeans(
             _quantize_expr(input_col, quant_scale).alias("__km_v"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            # init from NON-NULL vectors only: a null embedding can win the
+            # md5 order but is no usable centroid (assignment still gives
+            # null rows the cluster-0/null-dist contract)
             init = (
-                q.select(
+                q.filter(F.col("__km_v").isNotNull())
+                .select(
                     "__km_v",
                     F.md5(F.col("__km_id").cast("string")).alias("__h"),
                     "__km_id",
@@ -517,8 +521,10 @@ def embedding_kmeans_hier(
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             # ----- level 1: the flat trainer, verbatim semantics -----
+            # (incl. its non-null init filter — see embedding_kmeans)
             init = (
-                q.select(
+                q.filter(F.col("__km_v").isNotNull())
+                .select(
                     "__km_v",
                     F.md5(F.col("__km_id").cast("string")).alias("__h"),
                     "__km_id",

@@ -1344,40 +1344,163 @@ def dedup_semantic_centroid(
         assigned = _cap_buckets(
             corpus.join(slim, "__sid"), ["__cid"], max_cluster_size
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        pdot = sum(
-            (
-                F.col(f"l.__e{i}") * F.col(f"r.__e{i}")
-                for i in range(1, dim)
-            ),
-            F.col("l.__e0") * F.col("r.__e0"),
+        heads = _semantic_verify_heads(assigned, dim, threshold)
+        return _semantic_annotate(df, id_col, heads, keep)
+
+    return _dedup
+
+
+def _semantic_verify_heads(
+    assigned: DataFrame, dim: int, threshold: float
+) -> DataFrame:
+    """In-cluster pairwise cosine verify shared by the flat and
+    hierarchical SemDeDup arms. ``assigned`` carries ``__sid`` /
+    ``__norm`` / ``__cid`` plus the SCALAR components ``__e0..__e{d-1}``
+    (the codegen-friendly expansion — array-carrying pair joins fall out
+    of whole-stage codegen, see the flat arm's notes). Returns one row
+    per verified duplicate: (``__id``, ``dup_group_id`` = the smallest
+    same-cluster id verifying at ``cosine >= threshold``). The pair join
+    is equi-keyed on the cluster id so AQE handles cluster-size skew."""
+    pdot = sum(
+        (
+            F.col(f"l.__e{i}") * F.col(f"r.__e{i}")
+            for i in range(1, dim)
+        ),
+        F.col("l.__e0") * F.col("r.__e0"),
+    )
+    verified = (
+        assigned.alias("l")
+        .join(
+            assigned.alias("r"),
+            (F.col("l.__cid") == F.col("r.__cid"))
+            & (F.col("l.__sid") > F.col("r.__sid")),
         )
-        verified = (
-            assigned.alias("l")
-            .join(
-                assigned.alias("r"),
-                (F.col("l.__cid") == F.col("r.__cid"))
-                & (F.col("l.__sid") > F.col("r.__sid")),
-            )
-            .filter(
-                pdot / (F.col("l.__norm") * F.col("r.__norm")) >= threshold
-            )
-            .select(
-                F.col("l.__sid").alias("__id"),
-                F.col("r.__sid").alias("__cand"),
-            )
+        .filter(
+            pdot / (F.col("l.__norm") * F.col("r.__norm")) >= threshold
         )
-        heads = verified.groupBy("__id").agg(F.min("__cand").alias("dup_group_id"))
-        out = df.join(heads, df[id_col] == heads["__id"], "left").drop("__id")
-        out = out.withColumn(
-            "is_duplicate",
-            F.col("dup_group_id").isNotNull()
-            & (F.col("dup_group_id") < F.col(id_col)),
+        .select(
+            F.col("l.__sid").alias("__id"),
+            F.col("r.__sid").alias("__cand"),
         )
-        if keep == "survivors":
-            return out.filter(~F.col("is_duplicate")).drop(
-                "is_duplicate", "dup_group_id"
+    )
+    return verified.groupBy("__id").agg(F.min("__cand").alias("dup_group_id"))
+
+
+def _semantic_annotate(
+    df: DataFrame, id_col: str, heads: DataFrame, keep: str
+) -> DataFrame:
+    """Rejoin the duplicate heads onto the original frame and apply the
+    ``keep`` contract shared by the SemDeDup arms (min-id survivors or
+    ``dup_group_id``/``is_duplicate`` annotation)."""
+    out = df.join(heads, df[id_col] == heads["__id"], "left").drop("__id")
+    out = out.withColumn(
+        "is_duplicate",
+        F.col("dup_group_id").isNotNull()
+        & (F.col("dup_group_id") < F.col(id_col)),
+    )
+    if keep == "survivors":
+        return out.filter(~F.col("is_duplicate")).drop(
+            "is_duplicate", "dup_group_id"
+        )
+    return out
+
+
+@register("dedup_semantic_hier")
+def dedup_semantic_hier(
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    k_coarse: int = 8,
+    k_fine: int = 8,
+    coarse_iterations: int = 2,
+    fine_iterations: int = 2,
+    quant_scale: int = 1024,
+    keep: str = "survivors",
+    max_cluster_size: Optional[int] = 100_000,
+    dim: Optional[int] = None,
+) -> TransformerFn:
+    """SemDeDup over the HIERARCHICAL quantizer's cells — the wide-k arm
+    of :func:`dedup_semantic_centroid` (Abbas et al. 2023 run semantic
+    dedup at k ~ 1e5 clusters on web corpora; the flat arm's broadcast
+    centroid table caps out at the trainer's MAX_K).
+
+    Clusters come from ``embedding_kmeans_hier`` (k_eff = k_coarse ×
+    k_fine, exact integer-grid Lloyd at both levels — deterministic and
+    SQL-replayable); the in-cell pairwise verify, min-id survivor rule
+    and ``keep`` contract are shared with the flat arm
+    (:func:`_semantic_verify_heads` / :func:`_semantic_annotate`), so
+    only the cluster-assignment strategy differs. With k_eff cells the
+    expected cell size is N/k_eff, so the pair join's Σ cell² term keeps
+    shrinking as k grows — this is what makes SemDeDup feasible at
+    100 TB (k_eff 32k–65k probed on the 200k×256 corpus, BASELINE.md).
+
+    Contract notes: null embeddings and zero-norm vectors always survive
+    (no cosine direction — they're excluded from pairing; zero-norm rows
+    STILL participate in the quantizer, whose grid distance is defined
+    for them, keeping cell ids identical to a standalone
+    ``embedding_kmeans_hier`` run). Cells above ``max_cluster_size``
+    are dropped from pairing (fail-safe cap, same policy as the flat
+    arm / LSH buckets).
+    """
+    if keep not in ("survivors", "all"):
+        raise ValueError(f"dedup_semantic_hier: unknown keep {keep!r}")
+    dim_arg = dim
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.clustering import (
+            embedding_kmeans_hier,
+        )
+
+        cells = df.transform(
+            embedding_kmeans_hier(
+                id_col=id_col,
+                input_col=embedding_col,
+                k_coarse=k_coarse,
+                k_fine=k_fine,
+                coarse_iterations=coarse_iterations,
+                fine_iterations=fine_iterations,
+                quant_scale=quant_scale,
+                output_col="__sdh",
             )
-        return out
+        ).drop("__sdh_coarse", "__sdh_fine", "__sdh_dist")
+        if dim_arg is not None:
+            dim = dim_arg
+        else:
+            probe = cells.select(
+                F.max(
+                    F.size(F.col(embedding_col).cast("array<double>"))
+                ).alias("d")
+            ).first()
+            dim = (
+                probe["d"]
+                if probe is not None and probe["d"] is not None
+                else 0
+            )
+        if dim == 0:
+            out = cells.drop("__sdh").withColumn(
+                "dup_group_id", F.lit(None).cast(df.schema[id_col].dataType)
+            ).withColumn("is_duplicate", F.lit(False))
+            if keep == "survivors":
+                return out.drop("is_duplicate", "dup_group_id")
+            return out
+        vec = F.col(embedding_col).cast("array<double>")
+        base = ensure_parallelism(cells).select(
+            F.col(id_col).alias("__sid"),
+            F.col("__sdh").alias("__cid"),
+            F.sqrt(
+                F.aggregate(vec, F.lit(0.0), lambda s, v: s + v * v)
+            ).alias("__norm"),
+            *[F.element_at(vec, i + 1).alias(f"__e{i}") for i in range(dim)],
+        )
+        # zero-norm / null-cell rows skip pairing (they can never reach
+        # `heads`, so the annotate left-join keeps them as survivors)
+        assigned = _cap_buckets(
+            base.filter((F.col("__norm") > 0) & F.col("__cid").isNotNull()),
+            ["__cid"],
+            max_cluster_size,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        heads = _semantic_verify_heads(assigned, dim, threshold)
+        return _semantic_annotate(df, id_col, heads, keep)
 
     return _dedup
 

@@ -3530,6 +3530,75 @@ def test_semantic_centroid_dedup_matches_bruteforce(spark):
         t("dedup_semantic_centroid", num_centroids=0)
 
 
+def test_semantic_hier_dedup_matches_bruteforce_over_hier_cells(spark):
+    """dedup_semantic_hier: a vector is dropped iff a smaller-id vector in
+    the SAME hierarchical-quantizer cell verifies at cosine >= threshold.
+    Cells come from embedding_kmeans_hier (its own oracle pins the
+    assignment, dp130); this test brute-forces the NEW logic — the
+    in-cell pair verify and survivor rule — against those cells."""
+    import math
+
+    def vec(seed, dim=8):
+        return [((seed * 31 + j * 7) % 13) - 6.0 for j in range(dim)]
+
+    rows = []
+    for i in range(40):
+        base = vec(i % 10)
+        jitter = [v + (0.001 * (i // 10)) for v in base]
+        rows.append((i, jitter))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    hier_args = dict(
+        k_coarse=3, k_fine=2, coarse_iterations=1, fine_iterations=1
+    )
+    cell = {
+        r["vec_id"]: r["cluster"]
+        for r in df.transform(t("embedding_kmeans_hier", **hier_args)).collect()
+    }
+    out = df.transform(
+        t("dedup_semantic_hier", threshold=0.999, dim=8, **hier_args)
+    )
+    got = sorted(r["vec_id"] for r in out.collect())
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    ids = [r[0] for r in rows]
+    vecs = dict(rows)
+    want = sorted(
+        i for i in ids
+        if not any(
+            j < i and cell[j] == cell[i] and cos(vecs[i], vecs[j]) >= 0.999
+            for j in ids
+        )
+    )
+    assert got == want
+    # keep="all" annotates instead of filtering
+    ann = df.transform(
+        t("dedup_semantic_hier", threshold=0.999, dim=8, keep="all",
+          **hier_args)
+    )
+    assert ann.count() == 40
+    assert {r["vec_id"] for r in ann.filter("NOT is_duplicate").collect()} == set(want)
+    # zero-norm and null embeddings always survive (no cosine direction)
+    edge = spark.createDataFrame(
+        [(100, [0.0] * 8), (101, None), (102, [1.0] * 8), (103, [1.0] * 8)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in edge.transform(
+            t("dedup_semantic_hier", threshold=0.9, dim=8, k_coarse=1,
+              k_fine=1, coarse_iterations=0, fine_iterations=0)
+        ).collect()
+    )
+    assert kept == [100, 101, 102]
+    with pytest.raises(ValueError):
+        t("dedup_semantic_hier", keep="nope")
+
+
 def test_ngram_counts_values_and_doc_freq(spark):
     """text_ngram_counts: total counts keep within-doc repeats, doc_freq
     counts distinct source rows, order is (count desc, ngram asc), short

@@ -78,6 +78,7 @@ CASES = [
     ("pack_sequences", {"token_col": "n_tokens", "budget": 16}, "docs", "zero"),
     ("text_quality_prune", {}, "docs", "zero"),
     ("dedup_semantic_centroid", {"num_centroids": 4}, "emb", "zero"),
+    ("dedup_semantic_hier", {"k_coarse": 2, "k_fine": 2}, "emb", "zero"),
     ("dedup_embedding_cosine", {"method": "exact"}, "emb", "zero"),
     ("dedup_embedding_cosine", {"method": "lsh"}, "emb", "zero"),
     ("knn_brute_force", {"k": 2, "query_filter": "vec_id >= 0"}, "emb", "zero"),

@@ -758,6 +758,22 @@ def test_semantic_dedup_broadcast_assignment_equi_pairs_scalar_dot(spark, sf_dir
     assert "__e0" in physical
 
 
+def test_semantic_hier_dedup_equi_pairs_scalar_dot_no_cartesian(spark, sf_dir):
+    """dedup_semantic_hier: cluster assignment rides the hierarchical
+    quantizer's Arrow kernels (joinless per dp130's gate), so the ONLY
+    join in the dedup plan should be the in-cell pair join — EQUI-keyed
+    on the cell id (no CartesianProduct / BroadcastNestedLoopJoin:
+    pairing never goes corpus x corpus), with the verify dot product
+    over SCALAR __e columns (the codegen-friendly expansion, same
+    rationale as the flat arm's gate)."""
+    df = entry.queries()["dp132_semantic_dedup_hier"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical, physical[:2000]
+    assert "BroadcastNestedLoopJoin" not in physical, physical[:2000]
+    assert ("SortMergeJoin" in physical) or ("ShuffledHashJoin" in physical)
+    assert "__e0" in physical
+
+
 def test_ngram_counts_take_ordered_no_global_sort(spark, sf_dir):
     """text_ngram_counts: the top-k cut must plan as TakeOrderedAndProject
     (per-partition partial top-k merged on the driver), not a global Sort
