@@ -1791,3 +1791,203 @@ def dedup_incremental_minhash(
             exploded.unpersist()
 
     return _dedup
+
+
+@register("dedup_incremental_embedding")
+def dedup_incremental_embedding(
+    state_location: str,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    max_bucket_size: Optional[int] = 10_000,
+    update_state: bool = True,
+    compact_after_files: int = 64,
+    dim: Optional[int] = None,
+) -> TransformerFn:
+    """CROSS-RUN embedding near-dup dedup — the dense-representation arm
+    of the incremental family: drop vectors sharing any random-hyperplane
+    bucket with anything kept in ANY previous run, dedupe the batch
+    itself with ``dedup_embedding_cosine``'s LSH+exact-verify rule, and
+    append the survivors' bucket hashes to the state.
+
+    State contract (same as the MinHash arm): BUCKET HASHES ONLY —
+    ``num_tables`` md5 strings per kept vector, bytes per corpus row;
+    the embeddings themselves never persist. The hyperplanes are seeded
+    literals (``similarity.hyperplane_signatures``), so signatures are
+    re-derivable across runs/restarts and the state stays meaningful.
+    Consequence, documented: the HISTORY drop is bucket-collision only
+    (no vectors in the state to cosine-verify against) — at the tight
+    thresholds this family targets (~0.98) a full-signature sign-LSH
+    collision implies a tiny angle, so precision tracks the batch arm's;
+    the IN-BATCH rule among fresh vectors keeps the full exact-cosine
+    verify. Order of rules matches the MinHash arm: history first, then
+    in-batch — a history-dup can never suppress a legitimate newcomer.
+
+    Crash-safety: same eager-state contract (survivors localCheckpointed
+    BEFORE the state append — the lineage reads files this function
+    mutates), same interrupted-compaction recovery + parts compaction
+    (:func:`_compact_state`); ``update_state=False`` dry-runs. Zero-norm
+    and null embeddings have no cosine direction: they skip buckets and
+    pairing and always survive (and never enter the state).
+
+    Scale: history flagging is one bucket-hash semi-join + an id
+    anti-join (ids/hashes only); the in-batch verify re-attaches vectors
+    once per UNIQUE candidate pair (the batch arm's slim-join design);
+    the state append is a distinct + anti-join. Nothing unbounded
+    broadcasts, state grows by ``num_tables`` rows per NEW kept vector.
+    """
+    dim_arg = dim
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            raise ValueError(
+                "dedup_incremental_embedding is batch-only (cross-RUN "
+                "state); in a streaming ACON it is re-planned into "
+                "foreachBatch automatically"
+            )
+        from lakehouse_engine_spark.datapipes.similarity import (
+            hyperplane_signatures,
+        )
+
+        spark = df.sparkSession
+        if dim_arg is not None:
+            dim = dim_arg
+        else:
+            probe = df.select(
+                F.max(
+                    F.size(F.col(embedding_col).cast("array<double>"))
+                ).alias("d")
+            ).first()
+            dim = (
+                probe["d"]
+                if probe is not None and probe["d"] is not None
+                else 1
+            )
+        sigs = (
+            hyperplane_signatures(
+                df, embedding_col, id_col, num_planes, num_tables, dim=dim
+            )
+            .withColumn(
+                "__h",
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("__t").cast("string"),
+                        F.col("__sig").cast("string"),
+                    )
+                ),
+            )
+            .withColumn(
+                "__norm",
+                F.sqrt(
+                    F.aggregate(
+                        F.col("__bv"), F.lit(0.0), lambda s, v: s + v * v
+                    )
+                ),
+            )
+            .filter(F.col("__norm") > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            have_state = _state_path_exists(spark, state_location)
+            fresh_sigs = sigs
+            hist_ids = None
+            if have_state:
+                seen = spark.read.parquet(state_location).select(
+                    F.col("digest").alias("__h")
+                )
+                hist_ids = (
+                    sigs.join(seen, "__h", "left_semi")
+                    .select("__bid")
+                    .distinct()
+                )
+                fresh_sigs = sigs.join(hist_ids, "__bid", "left_anti")
+            # in-batch rule among fresh vectors: the batch arm's capped
+            # bucket join + exact-cosine verify, min-id survivor
+            capped = _cap_buckets(
+                fresh_sigs, ["__t", "__sig"], max_bucket_size
+            )
+            pairs = (
+                capped.alias("l")
+                .join(
+                    capped.alias("r"),
+                    (F.col("l.__t") == F.col("r.__t"))
+                    & (F.col("l.__sig") == F.col("r.__sig"))
+                    & (F.col("l.__bid") > F.col("r.__bid")),
+                )
+                .select(
+                    F.col("l.__bid").alias("__id"),
+                    F.col("r.__bid").alias("__cand"),
+                )
+                .dropDuplicates(["__id", "__cand"])
+            )
+            vecs = fresh_sigs.select(
+                "__bid", "__bv", "__norm"
+            ).dropDuplicates(["__bid"])
+            cands = (
+                pairs.join(
+                    vecs.select(
+                        "__bid",
+                        F.col("__bv").alias("__v1"),
+                        F.col("__norm").alias("__n1"),
+                    ),
+                    pairs["__id"] == F.col("__bid"),
+                )
+                .drop("__bid")
+                .join(
+                    vecs.select(
+                        "__bid",
+                        F.col("__bv").alias("__v2"),
+                        F.col("__norm").alias("__n2"),
+                    ),
+                    F.col("__cand") == F.col("__bid"),
+                )
+                .drop("__bid")
+            )
+            dot = sum(
+                (
+                    F.element_at("__v1", i + 1) * F.element_at("__v2", i + 1)
+                    for i in range(1, dim)
+                ),
+                F.element_at("__v1", 1) * F.element_at("__v2", 1),
+            )
+            dup_ids = (
+                cands.filter(dot / (F.col("__n1") * F.col("__n2")) >= threshold)
+                .select("__id")
+                .distinct()
+            )
+            dropped = (
+                hist_ids.select(F.col("__bid").alias("__id")).union(dup_ids)
+                if hist_ids is not None
+                else dup_ids
+            )
+            # MUST stay localCheckpoint — same read-then-mutate-state
+            # rationale as the exact/minhash arms
+            survivors = df.join(
+                dropped, df[id_col] == dropped["__id"], "left_anti"
+            ).localCheckpoint(eager=True)
+            if update_state:
+                new_hashes = (
+                    sigs.join(
+                        survivors.select(F.col(id_col).alias("__bid")),
+                        "__bid",
+                    )
+                    .select(F.col("__h").alias("digest"))
+                    .distinct()
+                )
+                if have_state:
+                    new_hashes = new_hashes.join(
+                        spark.read.parquet(state_location).select("digest"),
+                        "digest",
+                        "left_anti",
+                    )
+                new_hashes.write.mode("append").parquet(state_location)
+                if compact_after_files:
+                    _compact_state(spark, state_location, compact_after_files)
+            return survivors
+        finally:
+            sigs.unpersist()
+
+    return _dedup

@@ -114,32 +114,71 @@ def _save_table(frame, spark, db_table, fmt):
     writer.saveAsTable(db_table)
 
 
+# location -> qualified table name, filled by successful lookups so a
+# given path target walks the catalog at most once per session. Only the
+# NAME binding is cached — the schema is re-read fresh on every hit, and
+# a stale binding (table dropped since) falls through to a re-walk.
+_LOCATION_TABLE_CACHE: dict = {}
+
+
+def _find_table_at_location_in_db(spark, db: str, want: str):
+    """One ``SHOW TABLE EXTENDED`` round-trip resolves every table
+    location in ``db`` at once (vs one DESCRIBE per table — thousands of
+    metastore round-trips on a real catalog); per-table DESCRIBE remains
+    as the fallback for catalogs that don't support the bulk form."""
+    import re as _re
+
+    try:
+        rows = spark.sql(f"SHOW TABLE EXTENDED IN {db} LIKE '*'").collect()
+        for r in rows:
+            if r["isTemporary"]:
+                continue
+            m = _re.search(r"Location: (\S+)", r["information"] or "")
+            if m and _normalize_fs_path(m.group(1)) == want:
+                return f"{db}.{r['tableName']}"
+        return None
+    except Exception:
+        pass
+    for t in spark.catalog.listTables(db):
+        if t.isTemporary:
+            continue
+        try:
+            rows = spark.sql(f"DESCRIBE FORMATTED {db}.{t.name}").collect()
+        except Exception:
+            continue
+        loc = next(
+            (r["data_type"] for r in rows if r["col_name"] == "Location"), None
+        )
+        if loc and _normalize_fs_path(loc) == want:
+            return f"{db}.{t.name}"
+    return None
+
+
 def _catalog_schema_for_location(spark, location):
     """The catalog table registered AT a path target is the schema
     authority for parquet-fallback merges — the honest equivalent of
     Delta's ``_delta_log`` role for path writes (Delta casts path writes
     to the table's declared schema; raw parquet has no such anchor).
-    Control-plane scan, consulted only on first load / empty target."""
+    Control-plane lookup, consulted only on first load / empty target:
+    one bulk ``SHOW TABLE EXTENDED`` per database (NOT one DESCRIBE per
+    table), memoized per location for the session. Misses are NOT
+    cached — the common flow creates the table right before the first
+    merge, so a cached miss would wrongly skip the new registration."""
     if not location:
         return None
     want = _normalize_fs_path(location)
+    hit = _LOCATION_TABLE_CACHE.get(want)
+    if hit:
+        try:
+            return spark.table(hit).schema
+        except Exception:
+            _LOCATION_TABLE_CACHE.pop(want, None)
     try:
         for db in spark.catalog.listDatabases():
-            for t in spark.catalog.listTables(db.name):
-                if t.isTemporary:
-                    continue
-                try:
-                    rows = spark.sql(
-                        f"DESCRIBE FORMATTED {db.name}.{t.name}"
-                    ).collect()
-                except Exception:
-                    continue
-                loc = next(
-                    (r["data_type"] for r in rows if r["col_name"] == "Location"),
-                    None,
-                )
-                if loc and _normalize_fs_path(loc) == want:
-                    return spark.table(f"{db.name}.{t.name}").schema
+            name = _find_table_at_location_in_db(spark, db.name, want)
+            if name:
+                _LOCATION_TABLE_CACHE[want] = name
+                return spark.table(name).schema
     except Exception:
         return None
     return None

@@ -66,6 +66,7 @@ UNSUPPORTED_STREAMING_TRANSFORMERS = {
     # are idempotent) and re-emit its survivors downstream.
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
+    "dedup_incremental_embedding",
     "text_line_dedup",
     "text_lm_score",
     "text_lm_score_bigram",

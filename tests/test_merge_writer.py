@@ -135,3 +135,64 @@ def test_merge_corrupt_target_fails_instead_of_overwriting(spark, tmp_dir):
     assert sorted(os.listdir(bad)) == ["part-00000.parquet"]
     with open(os.path.join(bad, "part-00000.parquet"), "rb") as f:
         assert f.read() == b"not a parquet file"
+
+
+def test_catalog_schema_lookup_is_bulk_and_memoized(spark, tmp_dir):
+    """_catalog_schema_for_location must not do one metastore round-trip
+    per table: the walk is one bulk SHOW TABLE EXTENDED per database
+    (zero per-table DESCRIBEs on catalogs that support it), and a second
+    lookup for the same location hits the per-location memo — no catalog
+    walk at all."""
+    from unittest.mock import patch
+
+    from lakehouse_engine_spark.io import merge_writer as mw
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS lookup_db")
+    locs = []
+    for i in range(5):
+        loc = os.path.join(tmp_dir, f"lk{i}")
+        spark.createDataFrame([(i, f"v{i}")], "id INT, val STRING").write.mode(
+            "overwrite"
+        ).parquet(loc)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS lookup_db.lk{i} (id INT, val STRING) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        locs.append(loc)
+    mw._LOCATION_TABLE_CACHE.clear()
+    sql_calls = []
+    real_sql = spark.sql
+
+    def counting_sql(q, *a, **kw):
+        sql_calls.append(q)
+        return real_sql(q, *a, **kw)
+
+    n_dbs = len(spark.catalog.listDatabases())
+    with patch.object(spark, "sql", side_effect=counting_sql):
+        schema = mw._catalog_schema_for_location(spark, locs[3])
+        assert schema is not None and [f.name for f in schema.fields] == [
+            "id", "val",
+        ]
+        first_pass = list(sql_calls)
+        # bulk path: at most one SHOW per database, zero per-table DESCRIBEs
+        assert not [q for q in first_pass if "DESCRIBE" in q], first_pass
+        assert len(
+            [q for q in first_pass if "SHOW TABLE EXTENDED" in q]
+        ) <= n_dbs
+        with patch.object(
+            spark.catalog, "listDatabases", wraps=spark.catalog.listDatabases
+        ) as ld:
+            sql_calls.clear()
+            schema2 = mw._catalog_schema_for_location(spark, locs[3])
+            assert schema2 == schema
+            # memo hit: no catalog walk, no SHOW/DESCRIBE round-trips
+            assert ld.call_count == 0
+            assert not [
+                q for q in sql_calls if "SHOW TABLE" in q or "DESCRIBE" in q
+            ], sql_calls
+    # stale binding falls through to a re-walk instead of erroring
+    spark.sql("DROP TABLE lookup_db.lk3")
+    assert mw._catalog_schema_for_location(spark, locs[3]) is None
+    for i in range(5):
+        spark.sql(f"DROP TABLE IF EXISTS lookup_db.lk{i}")
+    spark.sql("DROP DATABASE IF EXISTS lookup_db")

@@ -687,6 +687,155 @@ def test_streaming_incremental_minhash_dedups_across_batches_and_runs(
     assert 20 not in after and 21 in after and len(after) == 4
 
 
+def test_streaming_incremental_embedding_dedups_across_batches_and_runs(
+    spark, tmp_dir
+):
+    """dedup_incremental_embedding in a STREAMING ACON must be re-planned
+    into foreachBatch, so the hyperplane bucket-hash state carries across
+    micro-batches AND across stream restarts — the dense-representation
+    sibling of the minhash test. A vector repeated (near-identically) in
+    a later micro-batch, or in a later RUN, is suppressed; orthogonal
+    vectors flow; zero-norm vectors always survive."""
+    src = os.path.join(tmp_dir, "emb_src")
+    out = os.path.join(tmp_dir, "emb_out")
+    state = os.path.join(tmp_dir, "emb_state")
+
+    def stage(rows):
+        spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "s",
+                "data_format": "parquet",
+                "location": src,
+                "read_type": "streaming",
+                "schema": "vec_id LONG, embedding ARRAY<DOUBLE>",
+                "options": {"maxFilesPerTrigger": 1},
+            }
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "t",
+                "input_id": "s",
+                "transformers": [
+                    {
+                        "function": "dedup_incremental_embedding",
+                        "args": {
+                            "state_location": state,
+                            "embedding_col": "embedding",
+                            "id_col": "vec_id",
+                            "threshold": 0.98,
+                            "num_planes": 8,
+                            "num_tables": 3,
+                            "dim": 6,
+                        },
+                    }
+                ],
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "o",
+                "input_id": "t",
+                "data_format": "parquet",
+                "location": out,
+                "write_type": "append",
+                "options": {
+                    "checkpointLocation": os.path.join(tmp_dir, "ck_emb")
+                },
+            }
+        ],
+    }
+    a = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    a_near = [1.001, 2.0, 3.0, 4.0, 5.0, 6.0]  # cosine ~ 1.0 with a
+    b = [6.0, -5.0, 4.0, -3.0, 2.0, -1.0]  # far from a
+    c = [-1.0, 7.0, -2.0, 5.0, 0.5, 3.0]
+    zero = [0.0] * 6
+    # batch 1: a + b fresh; batch 2: near-dup of a + fresh c + a zero vec
+    stage([(1, a), (2, b)])
+    stage([(10, a_near), (11, c), (12, zero)])
+    loader = DataLoader(acon)
+    assert loader.transform_specs[0].transformers == []
+    assert [
+        t.function
+        for t in loader.output_specs[0].streaming_micro_batch_transformers
+    ] == ["dedup_incremental_embedding"]
+    loader.execute()
+    ids = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    assert 1 in ids or 10 in ids
+    assert not (1 in ids and 10 in ids)  # the near-dup was suppressed
+    assert 2 in ids and 11 in ids and 12 in ids and len(ids) == 4
+    # cross-RUN: a restarted stream (same state) still suppresses
+    stage([(20, a), (21, [2.0, -6.0, -1.0, 5.0, -3.0, 0.5])])
+    load_data(acon)
+    after = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    assert 20 not in after and 21 in after and len(after) == 5
+
+
+def test_incremental_embedding_batch_contract_and_compaction(spark, tmp_path):
+    """Batch-mode contract of dedup_incremental_embedding: first run
+    dedupes in-batch with the exact-cosine verify (bucket collision alone
+    is NOT enough in-batch), later runs drop history bucket collisions,
+    update_state=False dry-runs, and repeated appends compact the state
+    parts like the exact/minhash arms."""
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.transformers.transformer_factory import (
+        TransformerFactory,
+    )
+
+    def t(name, **args):
+        return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+    state = str(tmp_path / "st")
+    a = [1.0, 2.0, 3.0, 4.0]
+    a_near = [1.0005, 2.0, 3.0, 4.0]
+    b = [4.0, -3.0, 2.0, -1.0]
+    df1 = spark.createDataFrame(
+        [(1, a), (2, a_near), (3, b)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    op = lambda **kw: t(  # noqa: E731
+        "dedup_incremental_embedding",
+        state_location=state, threshold=0.98, num_planes=8, num_tables=3,
+        dim=4, compact_after_files=2, **kw,
+    )
+    got1 = sorted(r["vec_id"] for r in df1.transform(op()).collect())
+    assert got1 == [1, 3]  # 2 verified near-dup of 1 in-batch
+    # dry-run: nothing dropped against itself, state unchanged
+    df2 = spark.createDataFrame(
+        [(10, a), (11, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    dry = sorted(
+        r["vec_id"] for r in df2.transform(op(update_state=False)).collect()
+    )
+    assert dry == [11]  # 10 collides with history; zero-norm survives
+    # real run: same outcome, state grows only by nothing new (10 dropped)
+    got2 = sorted(r["vec_id"] for r in df2.transform(op()).collect())
+    assert got2 == [11]
+    # a few more runs to force compaction; state parts stay bounded
+    for i in range(4):
+        dfn = spark.createDataFrame(
+            [(100 + i, [float(i + 2), 1.0, -float(i), 0.5])],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+        dfn.transform(op()).collect()
+    parts = [
+        p for p in (tmp_path / "st").iterdir() if p.name.startswith("part-")
+    ]
+    assert len(parts) <= 3, [p.name for p in parts]
+    # streaming frames are rejected outside foreachBatch
+    import pytest as _pt
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with _pt.raises(ValueError):
+        op()(stream)
+
+
 def test_streaming_curation_chain_end_to_end_with_restart(spark, tmp_dir):
     """The q31 curation chain's STREAMING arm: file stream -> gopher
     quality rules -> cross-batch incremental near-dup dedup ->

@@ -1,0 +1,163 @@
+"""Round-11 scale probes (run on local[32]; results recorded in BASELINE.md).
+
+Usage::
+
+    python tools/scale_probes_r11.py [probe ...]
+
+* ``semantic_hier_widek`` — dedup_semantic_hier at 200k x 256-dim
+  synthetic vectors (the round-9/10 knee corpus), k_eff = 32768
+  (256x128): SemDeDup at the cluster count the paper's web-scale runs
+  use, which the flat arm (dedup_semantic_centroid, broadcast-centroid
+  assignment capped at MAX_K=4096) cannot reach. Expected cell size
+  ~ N/k_eff ~ 6, so the in-cell pair join's sum(cell^2) term is tiny —
+  assignment (the hier trainer) dominates, and that cost was mapped by
+  the round-10 kmeans_hier_widek probe.
+
+* ``incremental_embedding_runs`` — dedup_incremental_embedding over
+  three consecutive 100k x 64-dim deliveries against one persistent
+  bucket-hash state: per-run cost must stay flat (state is hashes-only
+  — num_tables strings per kept vector — so run N's history semi-join
+  scales with kept-corpus size, not with N), and the state parts stay
+  compacted.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lakehouse_engine_spark.core.definitions import TransformerSpec  # noqa: E402
+from lakehouse_engine_spark.core.exec_env import ExecEnv  # noqa: E402
+from lakehouse_engine_spark.transformers.transformer_factory import (  # noqa: E402
+    TransformerFactory,
+)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PROBES = {}
+
+
+def _t(name, **args):
+    return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+
+def _knee_corpus(spark):
+    """200k x 256-dim corpus (the round-9/10 knee corpus, same recipe)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    big = (
+        emb.crossJoin(spark.range(100).withColumnRenamed("id", "__c"))
+        .select(
+            (F.col("vec_id") * 100 + F.col("__c")).alias("vec_id"),
+            F.flatten(
+                F.array(
+                    *[
+                        F.transform(
+                            "embedding",
+                            lambda x, i=i: x * (1.0 + 0.01 * i)
+                            + F.col("__c") * 0.001,
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("embedding"),
+        )
+        .repartition(32)
+    )
+    loc = "/tmp/probe_semdedup_emb_r11"
+    big.write.mode("overwrite").parquet(loc)
+    return spark.read.parquet(loc)
+
+
+def probe_semantic_hier_widek(spark):
+    big = _knee_corpus(spark)
+    n = big.count()
+    k1, k2 = 256, 128
+    op = _t(
+        "dedup_semantic_hier",
+        threshold=0.95,
+        k_coarse=k1,
+        k_fine=k2,
+        coarse_iterations=1,
+        fine_iterations=1,
+        keep="all",
+        dim=256,
+    )
+    t0 = time.time()
+    out = big.transform(op)
+    dups = out.filter("is_duplicate").count()
+    kept = n - dups
+    print(
+        f"[semantic_hier_widek] {n} x 256 dims, k_eff={k1 * k2} "
+        f"({k1}x{k2}), threshold=0.95: {time.time() - t0:.1f}s, "
+        f"{dups} duplicates dropped, {kept} kept"
+    )
+
+
+PROBES["semantic_hier_widek"] = probe_semantic_hier_widek
+
+
+def probe_incremental_embedding_runs(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    state = "/tmp/probe_incemb_state_r11"
+    shutil.rmtree(state, ignore_errors=True)
+    for run in range(3):
+        # each delivery: 100k 64-dim vectors, half fresh, half near-dups
+        # of the PREVIOUS delivery (shifted ids, jittered values)
+        big = (
+            emb.crossJoin(spark.range(100).withColumnRenamed("id", "__c"))
+            .select(
+                (
+                    F.col("vec_id") * 1000 + F.col("__c") * 10 + run
+                ).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: x * (1.0 + 0.0001 * run) + F.col("__c") * 0.01,
+                ).alias("embedding"),
+            )
+            .repartition(32)
+        )
+        loc = f"/tmp/probe_incemb_run{run}_r11"
+        big.write.mode("overwrite").parquet(loc)
+        delivery = spark.read.parquet(loc)
+        n = delivery.count()
+        op = _t(
+            "dedup_incremental_embedding",
+            state_location=state,
+            threshold=0.98,
+            num_planes=12,
+            num_tables=4,
+            dim=64,
+            compact_after_files=8,
+        )
+        t0 = time.time()
+        kept = delivery.transform(op).count()
+        state_rows = spark.read.parquet(state).count()
+        parts = len(
+            [p for p in os.listdir(state) if p.startswith("part-")]
+        )
+        print(
+            f"[incremental_embedding_runs] run {run}: {n} x 64 dims in "
+            f"{time.time() - t0:.1f}s, kept {kept}, state {state_rows} "
+            f"hashes / {parts} parts"
+        )
+
+
+PROBES["incremental_embedding_runs"] = probe_incremental_embedding_runs
+
+
+def main():
+    spark = ExecEnv.get_or_create()
+    only = set(sys.argv[1:])
+    for name, fn in PROBES.items():
+        if only and name not in only:
+            continue
+        fn(spark)
+
+
+if __name__ == "__main__":
+    main()
