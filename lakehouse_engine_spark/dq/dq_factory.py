@@ -179,7 +179,12 @@ class DQFactory:
             }
             for fn, ok, u, cnt in results
         ]
-        result_df = spark.createDataFrame(rows, RESULT_SINK_SCHEMA)
+        if spec.result_sink_explode is False:
+            result_df = cls._raw_result_df(
+                spark, spec, run_name, run_time, overall, results
+            )
+        else:
+            result_df = spark.createDataFrame(rows, RESULT_SINK_SCHEMA)
         cls._write_result_sink(spark, spec, result_df)
         if spec.local_fs_root_dir and spec.store_backend == "file_system":
             cls._write_fs_store_artifact(spec, run_name, run_time, rows)
@@ -188,12 +193,6 @@ class DQFactory:
                 "store_backend=%s writes no local validation artifact "
                 "(only file_system is materialized in this engine)",
                 spec.store_backend,
-            )
-        if spec.result_sink_explode is False:
-            _LOGGER.warning(
-                "result_sink_explode=False requests the raw GE payload "
-                "shape; the native sink always writes the exploded "
-                "one-row-per-expectation form"
             )
         for extra in spec.result_sink_extra_columns or []:
             if extra not in _KNOWN_EXTRA_COLUMNS:
@@ -213,6 +212,64 @@ class DQFactory:
         return out_df
 
     # ------------------------------------------------------------- internals
+
+    @staticmethod
+    def _raw_result_df(
+        spark: SparkSession, spec: DQSpec, run_name, run_time, overall, results
+    ) -> DataFrame:
+        """``result_sink_explode=False``: ONE row per run in the raw GE
+        payload shape — the run-level fields plus the full per-expectation
+        results as ONE ``validation_results`` JSON string (each element
+        carries ``success`` + ``expectation_config`` + ``result``), the
+        reference's non-exploded sink contract
+        (``dq_processors/dq_factory.py:809-815``: keep ``results`` as
+        ``to_json``, drop statistics/meta/suite_name/id)."""
+        validation_results = json.dumps(
+            [
+                {
+                    "success": bool(ok),
+                    "expectation_config": {
+                        "type": fn.function,
+                        "kwargs": fn.args,
+                        "meta": getattr(fn, "meta", None),
+                    },
+                    "result": {
+                        "element_count": int(cnt),
+                        "unexpected_count": int(u),
+                        "unexpected_percent": (
+                            float(u) / cnt * 100.0 if cnt else 0.0
+                        ),
+                    },
+                }
+                for fn, ok, u, cnt in results
+            ],
+            default=str,
+        )
+        schema = T.StructType(
+            [
+                T.StructField("run_name", T.StringType()),
+                T.StructField("run_time", T.TimestampType()),
+                T.StructField("success", T.BooleanType()),
+                T.StructField("spec_id", T.StringType()),
+                T.StructField("input_id", T.StringType()),
+                T.StructField("validation_results", T.StringType()),
+                T.StructField("source_primary_key", T.ArrayType(T.StringType())),
+            ]
+        )
+        return spark.createDataFrame(
+            [
+                {
+                    "run_name": run_name,
+                    "run_time": run_time,
+                    "success": bool(overall),
+                    "spec_id": spec.spec_id,
+                    "input_id": spec.input_id,
+                    "validation_results": validation_results,
+                    "source_primary_key": spec.unexpected_rows_pk,
+                }
+            ],
+            schema,
+        )
 
     @staticmethod
     def _write_result_sink(spark: SparkSession, spec: DQSpec, result_df: DataFrame) -> None:

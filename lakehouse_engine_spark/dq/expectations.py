@@ -80,8 +80,36 @@ def _pair_date_a_ge_b(column_A: str, column_B: str, **_: object) -> Column:
     return a.isNull() | b.isNull() | (a >= b)
 
 
-def _a_must_equal_b_or_c(column_A: str, column_B: str, column_C: str, **_: object) -> Column:
-    """Reference ``expect_multicolumn_column_a_must_equal_b_or_c``."""
+def _a_must_equal_b_or_c(
+    column_A: str = None,
+    column_B: str = None,
+    column_C: str = None,
+    column_list=None,
+    validation_regex_b: str = ".*",
+    validation_regex_c: str = ".*",
+    **_: object,
+) -> Column:
+    """Reference ``expect_multicolumn_column_a_must_equal_b_or_c``. The
+    reference form takes ``column_list=[a, b, c]`` with OPTIONAL
+    per-column regex guards and is reference-exact
+    (custom_expectations/expect_multicolumn_column_a_must_equal_b_or_c.py:43-55):
+    a is non-null AND ((b non-null, b matches regex_b, a == b) OR
+    (b null, c matches regex_c, a == c)). The legacy ``column_A/B/C``
+    triple keeps the earlier null-safe-equality contract."""
+    if column_list is not None:
+        a, b, c = (F.col(x) for x in column_list)
+        return a.isNotNull() & (
+            (
+                b.isNotNull()
+                & b.cast("string").rlike(validation_regex_b)
+                & (a == b)
+            )
+            | (
+                b.isNull()
+                & c.cast("string").rlike(validation_regex_c)
+                & (a == c)
+            )
+        )
     a = F.col(column_A)
     return a.eqNullSafe(F.col(column_B)) | a.eqNullSafe(F.col(column_C))
 
@@ -166,9 +194,59 @@ def eval_row_count_between(df_count: int, min_value=None, max_value=None, **_: o
 def eval_queried_agg(
     spark, df: DataFrame, template_dict: dict, **_: object
 ) -> bool:
-    """Reference ``expect_queried_column_agg_value_to_be`` — run a query over
-    the batch, aggregate a column, assert between min/max."""
+    """Reference ``expect_queried_column_agg_value_to_be``.
+
+    Reference template form (custom_expectations/
+    expect_queried_column_agg_value_to_be.py:29-172): ``column`` +
+    ``agg_type`` + ``group_column_list`` render the grouped-agg query,
+    then ``condition`` checks each group's value — ``between``
+    (min <= y <= max), ``lesser`` (y < max_value, strict), ``greater``
+    (y > min_value, strict). One deliberate divergence: the reference's
+    ``_validate_condition`` overwrites its result per group so only the
+    LAST group decides; here EVERY group must satisfy (strictly
+    stronger — any fixture that passes there passes here for the same
+    reason). The legacy ``user_query``/``query`` single-value form keeps
+    its inclusive min/max contract."""
+    # temp views are session-scoped: register AND query through the
+    # frame's own session (the caller's handle can be a different
+    # session object under foreachBatch or cloned-session setups)
     df.createOrReplaceTempView("batch")
+    spark = df.sparkSession
+    if "column" in template_dict and "agg_type" in template_dict:
+        col = template_dict["column"]
+        agg = template_dict["agg_type"]
+        groups = str(template_dict.get("group_column_list", "")).strip()
+        cond = template_dict.get("condition", "between")
+        sel = f"{groups}, " if groups else ""
+        q = f"SELECT {sel}{agg}({col}) AS __agg FROM batch"
+        if groups:
+            q += f" GROUP BY {groups}"
+        rows = spark.sql(q).collect()
+        if not rows:
+            return False
+        vals = [r["__agg"] for r in rows]
+        if any(v is None for v in vals):
+            return False
+
+        # the reference's own fixture declares numeric columns as STRING
+        # (its GE query then aggregates lexicographically); keep the query
+        # semantics but compare numerically wherever both sides parse
+        def _num(v):
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return v
+
+        vals = [_num(v) for v in vals]
+        if cond == "lesser":
+            hi = _num(template_dict["max_value"])
+            return all(v < hi for v in vals)
+        if cond == "greater":
+            lo = _num(template_dict["min_value"])
+            return all(v > lo for v in vals)
+        lo = _num(template_dict["min_value"])
+        hi = _num(template_dict["max_value"])
+        return all(lo <= v <= hi for v in vals)
     q = template_dict["user_query"] if "user_query" in template_dict else template_dict["query"]
     row = spark.sql(q).first()
     val = row[0] if row is not None else None

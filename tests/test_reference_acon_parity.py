@@ -1766,3 +1766,181 @@ def test_reference_file_manager_acons_run_verbatim():
     st = store()
     FileManager(acon("delete_objects", "acon_delete_objects"), client=st).execute()
     assert not [k for (b, k) in st.objects if b == "test_bucket"]
+
+
+# ---------------------------------------------------------------------------
+# custom_expectations: the reference's one-fixture-per-expectation matrix
+# (reference/tests/feature/custom_expectations/test_custom_expectations.py),
+# batch AND streaming, run through OUR execute_dq_validation with the
+# reference's own acon shape (result_sink_explode=False raw GE payload,
+# result sink table, file_system store backend) and value-compared against
+# the reference's dq_control_success.csv.
+# ---------------------------------------------------------------------------
+
+_CUSTOM_EXPECTATION_SCENARIOS = [
+    # (expectation_name, arguments) — the reference's parametrize list,
+    # each run in batch and streaming read_type
+    (
+        "expect_column_pair_a_to_be_smaller_or_equal_than_b",
+        {"column_A": "salesorder", "column_B": "amount", "margin": 9.78},
+        "batch",
+    ),
+    (
+        "expect_column_pair_a_to_be_smaller_or_equal_than_b",
+        {"column_A": "salesorder", "column_B": "amount"},
+        "streaming",
+    ),
+    (
+        "expect_multicolumn_column_a_must_equal_b_or_c",
+        {"column_list": ["item", "itemcode", "amount"]},
+        "batch",
+    ),
+    (
+        "expect_multicolumn_column_a_must_equal_b_or_c",
+        {"column_list": ["item", "itemcode", "amount"]},
+        "streaming",
+    ),
+    (
+        "expect_queried_column_agg_value_to_be",
+        {
+            "template_dict": {
+                "column": "amount",
+                "group_column_list": "year, month, day",
+                "agg_type": "max",
+                "condition": "lesser",
+                "max_value": 10000,
+            }
+        },
+        "batch",
+    ),
+    (
+        "expect_queried_column_agg_value_to_be",
+        {
+            "template_dict": {
+                "column": "amount",
+                "group_column_list": "year,month,day",
+                "agg_type": "count",
+                "condition": "greater",
+                "min_value": 0,
+            }
+        },
+        "streaming",
+    ),
+    (
+        "expect_column_values_to_be_date_not_older_than",
+        {"column": "date", "timeframe": {"years": 100}},
+        "streaming",
+    ),
+    (
+        "expect_column_values_to_be_date_not_older_than",
+        {"column": "date", "timeframe": {"years": 100}},
+        "batch",
+    ),
+    (
+        "expect_column_pair_date_a_to_be_greater_than_or_equal_to_date_b",
+        {"column_A": "EDATU", "column_B": "ERDAT"},
+        "streaming",
+    ),
+    (
+        "expect_column_pair_date_a_to_be_greater_than_or_equal_to_date_b",
+        {"column_A": "MBDAT", "column_B": "ERDATA"},
+        "batch",
+    ),
+    (
+        "expect_column_pair_a_to_be_not_equal_to_b",
+        {"column_A": "group_article", "column_B": "article_number"},
+        "streaming",
+    ),
+    (
+        "expect_column_pair_a_to_be_not_equal_to_b",
+        {"column_A": "group_article", "column_B": "article_number"},
+        "batch",
+    ),
+    (
+        "expect_column_values_to_not_be_null_or_empty_string",
+        {"column": "number"},
+        "streaming",
+    ),
+    (
+        "expect_column_values_to_not_be_null_or_empty_string",
+        {"column": "number"},
+        "batch",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "expectation,arguments,read_type",
+    _CUSTOM_EXPECTATION_SCENARIOS,
+    ids=[f"{e}-{rt}" for e, _a, rt in _CUSTOM_EXPECTATION_SCENARIOS],
+)
+def test_reference_custom_expectations_run_verbatim(
+    spark, tmp_path, expectation, arguments, read_type
+):
+    """Each reference custom-expectation fixture, batch and streaming:
+    source CSVs read under the fixture's own schema (readStream for the
+    streaming scenarios, exercising the foreachBatch DQ path), validated
+    through the reference's validator acon shape with the raw
+    (non-exploded) sink, and the sink's (spec_id, input_id, success)
+    row compared against dq_control_success.csv; every
+    validation_results element must carry success + expectation_config
+    (the reference's assertions, verbatim)."""
+    import json as _json
+
+    from lakehouse_engine_spark import execute_dq_validation
+    from lakehouse_engine_spark.utils.schema_utils import schema_from_file
+
+    res = f"{REF}/custom_expectations/{expectation}"
+    schema = schema_from_file(f"{res}/dq_sales_schema.json")
+    reader = (
+        spark.read if read_type == "batch" else spark.readStream
+    )
+    src = (
+        f"{res}/data/source/part-01.csv"
+        if read_type == "batch"
+        else f"{res}/data/source/*"
+    )
+    input_df = (
+        reader.format("csv")
+        .option("header", True)
+        .option("delimiter", "|")
+        .schema(schema)
+        .load(f"file://{src}")
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql("DROP TABLE IF EXISTS test_db.sales_order")
+    acon = {
+        "input_spec": {
+            "spec_id": "sales_source",
+            "read_type": read_type,
+            "data_format": "dataframe",
+            "df_name": input_df,
+        },
+        "dq_spec": {
+            "spec_id": "dq_sales",
+            "input_id": "sales_source",
+            "dq_type": "validator",
+            "store_backend": "file_system",
+            "local_fs_root_dir": str(tmp_path / "dq"),
+            "result_sink_db_table": "test_db.sales_order",
+            "result_sink_format": "json",
+            "result_sink_explode": False,
+            "dq_functions": [
+                {"function": expectation, "args": arguments}
+            ],
+        },
+        "restore_prev_version": False,
+    }
+    execute_dq_validation(acon=acon)
+
+    dq_result_df = spark.table("test_db.sales_order")
+    control = _read_csv(
+        spark, f"{res}/data/control/dq_control_success.csv"
+    )
+    assert _rows(
+        dq_result_df.select("spec_id", "input_id", "success")
+    ) == _rows(control.select("spec_id", "input_id", "success"))
+    for key in dq_result_df.collect():
+        for result in _json.loads(key["validation_results"]):
+            assert {"success", "expectation_config"}.issubset(result.keys())
+    spark.sql("DROP TABLE IF EXISTS test_db.sales_order")
