@@ -41,6 +41,13 @@ def write_rest_api(df: DataFrame, options: dict) -> None:
     method = str(options.get("rest_api_method", "post")).lower()
     headers = options.get("rest_api_header") or {"Content-Type": "application/json"}
     auth_conf = options.get("rest_api_basic_auth")
+    # the reference's writers fixtures also pass the flat form
+    # (rest_api_basic_auth_username / rest_api_basic_auth_password)
+    if not auth_conf and options.get("rest_api_basic_auth_username"):
+        auth_conf = {
+            "username": options["rest_api_basic_auth_username"],
+            "password": options.get("rest_api_basic_auth_password", ""),
+        }
     timeout = float(options.get("rest_api_timeout", 30))
     payload_col = options.get("rest_api_payload_col")
     chunk_size = int(options.get("rest_api_chunk_size", 1))

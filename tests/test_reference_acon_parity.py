@@ -1944,3 +1944,240 @@ def test_reference_custom_expectations_run_verbatim(
         for result in _json.loads(key["validation_results"]):
             assert {"success", "expectation_config"}.issubset(result.keys())
     spark.sql("DROP TABLE IF EXISTS test_db.sales_order")
+
+
+# ---------------------------------------------------------------------------
+# writers: the reference's writer matrix (reference/tests/feature/
+# test_writers.py) — files/table/console/dataframe sinks, plain streaming,
+# forced-foreachBatch streaming, dataframe checkpoints, chained-acon
+# composition and the rest_api sink against a live local HTTP endpoint.
+# jdbc/kafka scenarios are live-system (driver jar / broker) and excluded.
+# ---------------------------------------------------------------------------
+
+
+def _stage_writers(in_dir: str, iteration: int = 0):
+    """The reference runner's _prepare_files: stage the source CSVs (all
+    parts, or just part ``iteration``) + the schema under the remapped
+    in-dir."""
+    suffix = ["1", "2"] if iteration == 0 else [str(iteration)]
+    for name in ("sales_historical", "sales_new"):
+        dst = f"{in_dir}/feature/writers/source/{name}"
+        os.makedirs(dst, exist_ok=True)
+        for s in suffix:
+            shutil.copy(f"{REF}/writers/source/{name}_{s}.csv", dst)
+    sdir = f"{in_dir}/feature/writers/schema"
+    os.makedirs(sdir, exist_ok=True)
+    shutil.copy(f"{REF}/writers/schema/sales_schema.json", sdir)
+
+
+def _writers_acon(name: str, in_dir: str, out_dir: str):
+    return _acon("writers", "acons", name, in_dir, out_dir)
+
+
+def _writers_control(spark, name: str = "writers_control"):
+    return _read_csv(spark, f"{REF}/writers/control/{name}.csv")
+
+
+@pytest.mark.parametrize(
+    "scenario",
+    [
+        "write_batch_files",
+        "write_streaming_files",
+        "write_streaming_foreachBatch_files",
+    ],
+)
+def test_reference_writers_files_acons_run_verbatim(spark, tmp_path, scenario):
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _stage_writers(in_dir)
+    load_data(_writers_acon(scenario, in_dir, out_dir))
+    got = spark.read.parquet(
+        f"file://{out_dir}/feature/writers/{scenario}/data"
+    )
+    expected = _writers_control(spark)
+    assert sorted(got.columns) == sorted(expected.columns)
+    assert _rows(got) == _rows(expected)
+
+
+@pytest.mark.parametrize(
+    "scenario",
+    [
+        "write_batch_table",
+        "write_streaming_table",
+        "write_streaming_foreachBatch_table",
+    ],
+)
+def test_reference_writers_table_acons_run_verbatim(spark, tmp_path, scenario):
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _stage_writers(in_dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql(f"DROP TABLE IF EXISTS test_db.{scenario}")
+    load_data(_writers_acon(scenario, in_dir, out_dir))
+    got = spark.table(f"test_db.{scenario}")
+    expected = _writers_control(spark)
+    assert _rows(got) == _rows(expected)
+    spark.sql(f"DROP TABLE IF EXISTS test_db.{scenario}")
+
+
+@pytest.mark.parametrize(
+    "scenario",
+    [
+        "write_batch_console",
+        "write_streaming_console",
+        "write_streaming_foreachBatch_console",
+    ],
+)
+def test_reference_writers_console_acons_run_verbatim(
+    spark, tmp_path, scenario, capfd
+):
+    """The reference asserts the console sink actually printed the data
+    (a pipe-bordered row slice). Batch console prints Python-side
+    (df.show), streaming console prints from the JVM — capfd sees both."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _stage_writers(in_dir)
+    load_data(_writers_acon(scenario, in_dir, out_dir))
+    captured = capfd.readouterr()
+    assert "20140601|customer1|article3" in captured.out.replace(" ", "")
+
+
+@pytest.mark.parametrize(
+    "scenario",
+    [
+        "write_batch_dataframe",
+        "write_streaming_dataframe",
+        "write_streaming_foreachBatch_dataframe",
+    ],
+)
+def test_reference_writers_dataframe_acons_run_verbatim(
+    spark, tmp_path, scenario
+):
+    """dataframe sink: load_data returns {spec_id: DataFrame}; the
+    reference value-compares result['sales'] and pins the key set."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _stage_writers(in_dir)
+    result = load_data(_writers_acon(scenario, in_dir, out_dir))
+    expected = _writers_control(spark)
+    assert list(result.keys()) == ["sales"]
+    assert _rows(result["sales"]) == _rows(expected)
+
+
+@pytest.mark.parametrize(
+    "scenario,control",
+    [
+        ("write_streaming_df_with_checkpoint", "streaming_dataframe"),
+        (
+            "write_streaming_foreachBatch_df_with_checkpoint",
+            "streaming_dataframe_foreachBatch",
+        ),
+    ],
+)
+def test_reference_writers_dataframe_checkpoint_acons_run_verbatim(
+    spark, tmp_path, scenario, control
+):
+    """maxFilesPerTrigger=1 + checkpointLocation on a dataframe sink: the
+    first run reads only the first staged file per source (the
+    reference's iteration-1 control)."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _stage_writers(in_dir, iteration=1)
+    result = load_data(_writers_acon(scenario, in_dir, out_dir))
+    expected = _writers_control(spark, f"writers_control_{control}_1")
+    assert list(result.keys()) == ["sales"]
+    assert _rows(result["sales"]) == _rows(expected)
+
+
+def test_reference_writers_multiple_dfs_chained_acons(spark, tmp_path):
+    """write_streaming_multiple_dfs: one ACON emits two dataframes; a
+    second ACON consumes them as dataframe inputs (the reference's
+    chained-acon composition) and the union matches the control."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _stage_writers(in_dir)
+    first = load_data(_writers_acon("write_streaming_multiple_dfs", in_dir, out_dir))
+    assert list(first.keys()) == ["sales_historical", "sales_new"]
+    second = load_data(
+        {
+            "input_specs": [
+                {
+                    "spec_id": "sales_historical",
+                    "read_type": "batch",
+                    "data_format": "dataframe",
+                    "df_name": first["sales_historical"],
+                },
+                {
+                    "spec_id": "sales_new",
+                    "read_type": "batch",
+                    "data_format": "dataframe",
+                    "df_name": first["sales_new"],
+                },
+            ],
+            "transform_specs": [
+                {
+                    "spec_id": "union_dataframes",
+                    "input_id": "sales_historical",
+                    "transformers": [
+                        {"function": "union", "args": {"union_with": ["sales_new"]}}
+                    ],
+                }
+            ],
+            "output_specs": [
+                {
+                    "spec_id": "sales",
+                    "input_id": "union_dataframes",
+                    "data_format": "dataframe",
+                }
+            ],
+        }
+    )
+    assert list(second.keys()) == ["sales"]
+    assert _rows(second["sales"]) == _rows(_writers_control(spark))
+
+
+@pytest.mark.parametrize(
+    "scenario", ["write_batch_rest_api", "write_streaming_rest_api"]
+)
+def test_reference_writers_rest_api_acons_run_verbatim(
+    spark, tmp_path, scenario
+):
+    """rest_api sink: the reference patches its HTTP call; here the ACON
+    runs verbatim against a LIVE local endpoint (POST and PUT), asserting
+    one JSON body per source row actually arrived."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    received: list = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def _take(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append(_json.loads(body))
+            self.send_response(200)
+            self.end_headers()
+
+        do_POST = _take
+        do_PUT = _take
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+        _stage_writers(in_dir)
+        acon = _writers_acon(scenario, in_dir, out_dir)
+        url = f"http://127.0.0.1:{server.server_port}/ingest"
+
+        def swap(o):
+            if isinstance(o, dict):
+                return {k: swap(v) for k, v in o.items()}
+            if isinstance(o, list):
+                return [swap(v) for v in o]
+            if isinstance(o, str) and o.startswith("https://www.dummy-url"):
+                return url
+            return o
+
+        load_data(swap(acon))
+        n_source = _writers_control(spark).count()
+        assert len(received) == n_source
+        assert all("salesorder" in r for r in received)
+    finally:
+        server.shutdown()
