@@ -2181,3 +2181,306 @@ def test_reference_writers_rest_api_acons_run_verbatim(
         assert all("salesorder" in r for r in received)
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# data_loader_custom_transformer: the reference's three scenarios
+# (reference/tests/feature/data_loader_custom_transformer/) — a python
+# custom_transformation, a sql_transformation, and a streaming CDC
+# delta_load whose chain mixes a custom transformer with
+# condense_record_mode_cdc + a dq_spec + a 4-run merge.
+# ---------------------------------------------------------------------------
+
+
+def test_reference_custom_transformer_calculate_kpi_runs_verbatim(
+    spark, tmp_path
+):
+    """calculate_kpi: a user-supplied python callable in the ACON
+    (custom_transformation) aggregates through a temp view; output
+    value-compared against the reference control under its declared
+    control schema."""
+    from lakehouse_engine_spark.core.exec_env import ExecEnv
+    from lakehouse_engine_spark.utils.schema_utils import schema_from_file
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    res = f"{REF}/data_loader_custom_transformer/calculate_kpi"
+    dst = f"{in_dir}/feature/data_loader_custom_transformer/calculate_kpi"
+    os.makedirs(f"{dst}/data", exist_ok=True)
+    shutil.copy(f"{res}/data/source/part-01.csv", f"{dst}/data/")
+    shutil.copy(f"{res}/source_schema.json", dst)
+
+    def yet_another_kpi_calculator(df):
+        session = ExecEnv.SESSION
+        df.createOrReplaceTempView("sales")
+        return session.sql(
+            "SELECT date, SUM(amount) AS amount FROM sales GROUP BY date"
+        )
+
+    acon = _remap(
+        {
+            "input_specs": [
+                {
+                    "spec_id": "sales_source",
+                    "read_type": "batch",
+                    "data_format": "csv",
+                    "options": {"mode": "FAILFAST", "header": True, "delimiter": "|"},
+                    "schema_path": "file:///app/tests/lakehouse/in/feature/"
+                    "data_loader_custom_transformer/calculate_kpi/"
+                    "source_schema.json",
+                    "location": "file:///app/tests/lakehouse/in/feature/"
+                    "data_loader_custom_transformer/calculate_kpi/data",
+                }
+            ],
+            "transform_specs": [
+                {
+                    "spec_id": "calculated_kpi",
+                    "input_id": "sales_source",
+                    "transformers": [
+                        {
+                            "function": "custom_transformation",
+                            "args": {"custom_transformer": yet_another_kpi_calculator},
+                        }
+                    ],
+                }
+            ],
+            "output_specs": [
+                {
+                    "spec_id": "sales_bronze",
+                    "input_id": "calculated_kpi",
+                    "write_type": "overwrite",
+                    "data_format": "delta",
+                    "location": "file:///app/tests/lakehouse/out/feature/"
+                    "data_loader_custom_transformer/calculate_kpi/data",
+                }
+            ],
+        },
+        in_dir,
+        out_dir,
+    )
+    load_data(acon)
+    got = spark.read.parquet(
+        f"file://{out_dir}/feature/data_loader_custom_transformer/calculate_kpi/data"
+    )
+    expected = (
+        spark.read.option("header", True)
+        .option("delimiter", "|")
+        .schema(schema_from_file(f"{res}/control_schema.json"))
+        .csv(f"file://{res}/data/control")
+    )
+    assert _rows(got) == _rows(expected)
+
+
+def test_reference_custom_transformer_sql_transformation_runs_verbatim(
+    spark, tmp_path
+):
+    """sql_transformation over the input spec's temp_view, value-compared
+    against the reference control."""
+    from lakehouse_engine_spark.utils.schema_utils import schema_from_file
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    res = f"{REF}/data_loader_custom_transformer/sql_transformation"
+    dst = f"{in_dir}/feature/data_loader_custom_transformer/sql_transformation"
+    os.makedirs(f"{dst}/data", exist_ok=True)
+    shutil.copy(f"{res}/data/source/part-01.csv", f"{dst}/data/")
+    shutil.copy(f"{res}/source_schema.json", dst)
+    acon = _remap(
+        {
+            "input_specs": [
+                {
+                    "spec_id": "sales_source",
+                    "read_type": "batch",
+                    "data_format": "csv",
+                    "options": {"mode": "FAILFAST", "header": True, "delimiter": "|"},
+                    "schema_path": "file:///app/tests/lakehouse/in/feature/"
+                    "data_loader_custom_transformer/sql_transformation/"
+                    "source_schema.json",
+                    "location": "file:///app/tests/lakehouse/in/feature/"
+                    "data_loader_custom_transformer/sql_transformation/data",
+                    "temp_view": "sales_sql",
+                }
+            ],
+            "transform_specs": [
+                {
+                    "spec_id": "calculated_kpi",
+                    "input_id": "sales_source",
+                    "transformers": [
+                        {
+                            "function": "sql_transformation",
+                            "args": {
+                                "sql": "SELECT date, SUM(amount) AS amount "
+                                "FROM sales_sql GROUP BY date"
+                            },
+                        }
+                    ],
+                }
+            ],
+            "output_specs": [
+                {
+                    "spec_id": "sales_bronze",
+                    "input_id": "calculated_kpi",
+                    "write_type": "overwrite",
+                    "data_format": "delta",
+                    "location": "file:///app/tests/lakehouse/out/feature/"
+                    "data_loader_custom_transformer/sql_transformation/data",
+                }
+            ],
+        },
+        in_dir,
+        out_dir,
+    )
+    load_data(acon)
+    got = spark.read.parquet(
+        f"file://{out_dir}/feature/data_loader_custom_transformer/"
+        "sql_transformation/data"
+    )
+    expected = (
+        spark.read.option("header", True)
+        .option("delimiter", "|")
+        .schema(schema_from_file(f"{res}/control_schema.json"))
+        .csv(f"file://{res}/data/control")
+    )
+    assert _rows(got) == _rows(expected)
+
+
+def test_reference_custom_transformer_delta_load_cdc_runs_verbatim(
+    spark, tmp_path
+):
+    """delta_load: the reference's streaming CDC chain with a python
+    custom transformer (multiply_by_100) ahead of condense_record_mode_cdc,
+    a dq_spec in the middle, and a 4-run merge with the full
+    update/delete/insert predicate set — final table value-compared
+    against the reference control."""
+    from pyspark.sql.functions import col
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    res = f"{REF}/data_loader_custom_transformer/delta_load"
+    dst_in = f"{in_dir}/feature/data_loader_custom_transformer/delta_load/data"
+    os.makedirs(dst_in, exist_ok=True)
+    tbl_loc = (
+        f"{out_dir}/feature/data_loader_custom_transformer/delta_load/data"
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql("DROP TABLE IF EXISTS test_db.delta_load")
+    spark.sql(
+        f"""
+        CREATE TABLE test_db.delta_load (
+            actrequest_timestamp string, request string, datapakid int,
+            partno int, record int, salesorder int, item int,
+            recordmode string, date int, customer string, article string,
+            amount int
+        ) USING parquet LOCATION '{tbl_loc}'
+        """
+    )
+
+    def multiply_by_100(df):
+        return df.withColumn("amount", col("amount") * 100)
+
+    def acon():
+        return _remap(
+            {
+                "input_specs": [
+                    {
+                        "spec_id": "sales_source",
+                        "read_type": "streaming",
+                        "data_format": "csv",
+                        "options": {"header": True, "delimiter": "|"},
+                        "location": "file:///app/tests/lakehouse/in/feature/"
+                        "data_loader_custom_transformer/delta_load/data",
+                    }
+                ],
+                "transform_specs": [
+                    {
+                        "spec_id": "transformed_sales_source",
+                        "input_id": "sales_source",
+                        "transformers": [
+                            {
+                                "function": "custom_transformation",
+                                "args": {"custom_transformer": multiply_by_100},
+                            },
+                            {
+                                "function": "condense_record_mode_cdc",
+                                "args": {
+                                    "business_key": ["salesorder", "item"],
+                                    "ranking_key_desc": [
+                                        "actrequest_timestamp",
+                                        "datapakid",
+                                        "partno",
+                                        "record",
+                                    ],
+                                    "record_mode_col": "recordmode",
+                                    "valid_record_modes": ["", "N", "R", "D", "X"],
+                                },
+                            },
+                        ],
+                    }
+                ],
+                "dq_specs": [
+                    {
+                        "spec_id": "checked_transformed_sales_source",
+                        "input_id": "transformed_sales_source",
+                        "dq_type": "validator",
+                        "store_backend": "file_system",
+                        "local_fs_root_dir": "/app/tests/lakehouse/out/feature/"
+                        "data_loader_custom_transformer/dq",
+                        "unexpected_rows_pk": [
+                            "salesorder", "item", "date", "customer",
+                        ],
+                        "dq_functions": [
+                            {
+                                "function": "expect_column_values_to_not_be_null",
+                                "args": {"column": "article"},
+                            }
+                        ],
+                    },
+                ],
+                "output_specs": [
+                    {
+                        "spec_id": "sales_bronze",
+                        "input_id": "checked_transformed_sales_source",
+                        "write_type": "merge",
+                        "data_format": "delta",
+                        "location": "file:///app/tests/lakehouse/out/feature/"
+                        "data_loader_custom_transformer/delta_load/data",
+                        "options": {
+                            "checkpointLocation": "file:///app/tests/lakehouse/"
+                            "out/feature/data_loader_custom_transformer/"
+                            "delta_load/checkpoint"
+                        },
+                        "merge_opts": {
+                            "merge_predicate": "current.salesorder = new.salesorder "
+                            "and current.item = new.item "
+                            "and current.date <=> new.date",
+                            "update_predicate": "new.actrequest_timestamp > "
+                            "current.actrequest_timestamp or ( "
+                            "new.actrequest_timestamp = "
+                            "current.actrequest_timestamp and "
+                            "new.datapakid > current.datapakid) or ( "
+                            "new.actrequest_timestamp = "
+                            "current.actrequest_timestamp and "
+                            "new.datapakid = current.datapakid and "
+                            "new.partno > current.partno) or ( "
+                            "new.actrequest_timestamp = "
+                            "current.actrequest_timestamp and "
+                            "new.datapakid = current.datapakid and "
+                            "new.partno = current.partno and new.record "
+                            ">= current.record)",
+                            "delete_predicate": "new.recordmode in ('R','D','X')",
+                            "insert_predicate": "new.recordmode is null or "
+                            "new.recordmode not in ('R','D','X')",
+                        },
+                    }
+                ],
+                "exec_env": {"spark.sql.streaming.schemaInference": True},
+            },
+            in_dir,
+            out_dir,
+        )
+
+    for part in ("part-01", "part-03", "part-02", "part-04"):
+        shutil.copy(f"{res}/data/source/{part}.csv", dst_in)
+        load_data(acon())
+    got = spark.read.parquet(f"file://{tbl_loc}")
+    expected = _read_csv(spark, f"{res}/data/control")
+    assert sorted(got.columns) == sorted(expected.columns)
+    assert _rows(got) == _rows(expected)
+    spark.sql("DROP TABLE IF EXISTS test_db.delta_load")
