@@ -14,6 +14,8 @@ from typing import Optional
 
 from pyspark.sql import SparkSession
 
+from lakehouse_engine_spark.core.definitions import EngineConfig
+
 _LOGGER = logging.getLogger(__name__)
 
 # Conf prefixes that only exist on proprietary runtimes — set best-effort.
@@ -29,6 +31,16 @@ class ExecEnv:
     """
 
     SESSION: Optional[SparkSession] = None
+
+    # Engine-level (non-Spark) configuration — reference
+    # ``core/exec_env.py`` loads this from engine.yaml; here it defaults
+    # empty and deployments replace it via ``set_engine_config`` (e.g.
+    # the disallowed-SMTP-server list the notifier gate checks).
+    ENGINE_CONFIG: EngineConfig = EngineConfig()
+
+    @classmethod
+    def set_engine_config(cls, **fields) -> None:
+        cls.ENGINE_CONFIG = EngineConfig(**fields)
 
     DEFAULT_CONFS = {
         # AQE re-plans shuffles at runtime: coalesces small partitions,

@@ -1499,7 +1499,55 @@ def dedup_semantic_hier(
             ["__cid"],
             max_cluster_size,
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        heads = _semantic_verify_heads(assigned, dim, threshold)
+        # SLIM pair join (ids+cell only), vectors re-attached once per
+        # pair — the dedup_embedding_cosine LSH design. The flat arm
+        # fuses the scalars through its pair join because its regime is
+        # modest dims / capped cells; HERE the target regime is wide dims
+        # (256+) and dup-dense cells, where carrying 2 x dim doubles per
+        # candidate pair multiplies shuffle bytes by ~dim (a 200k x 256
+        # probe with 100-member duplicate families spilled hundreds of
+        # GB through the fused join; the slim join ships 16 bytes/pair).
+        slim = assigned.select("__sid", "__cid")
+        pairs = (
+            slim.alias("l")
+            .join(
+                slim.alias("r"),
+                (F.col("l.__cid") == F.col("r.__cid"))
+                & (F.col("l.__sid") > F.col("r.__sid")),
+            )
+            .select(
+                F.col("l.__sid").alias("__id"),
+                F.col("r.__sid").alias("__cand"),
+            )
+        )
+        vecs = assigned.drop("__cid")
+        cands = (
+            pairs.join(
+                vecs.select(
+                    F.col("__sid").alias("__id"),
+                    F.col("__norm").alias("__n1"),
+                    *[F.col(f"__e{i}").alias(f"__l{i}") for i in range(dim)],
+                ),
+                "__id",
+            )
+            .join(
+                vecs.select(
+                    F.col("__sid").alias("__cand"),
+                    F.col("__norm").alias("__n2"),
+                    *[F.col(f"__e{i}").alias(f"__r{i}") for i in range(dim)],
+                ),
+                "__cand",
+            )
+        )
+        pdot = sum(
+            (F.col(f"__l{i}") * F.col(f"__r{i}") for i in range(1, dim)),
+            F.col("__l0") * F.col("__r0"),
+        )
+        heads = (
+            cands.filter(pdot / (F.col("__n1") * F.col("__n2")) >= threshold)
+            .groupBy("__id")
+            .agg(F.min("__cand").alias("dup_group_id"))
+        )
         return _semantic_annotate(df, id_col, heads, keep)
 
     return _dedup

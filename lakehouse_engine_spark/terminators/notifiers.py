@@ -39,15 +39,16 @@ from lakehouse_engine_spark.core.definitions import TerminatorSpec
 
 _LOGGER = logging.getLogger(__name__)
 
-# Template registry (reference ``notification_templates.py:4-16``).
+# Template registry (reference ``notification_templates.py:4-16`` — the
+# message body keeps the reference's exact newline/indent shape so
+# rendered notifications compare byte-for-byte).
 NOTIFICATION_TEMPLATES: Dict[str, Dict[str, Any]] = {
     "failure_notification_email": {
         "subject": "Service Failure",
         "mimetype": "text/text",
-        "message": (
-            "Job {{ job_name }} in workspace {{ workspace_id }} has "
-            "failed with the exception: {{ exception }}"
-        ),
+        "message": """
+            Job {{ job_name }} in workspace {{ workspace_id }} has
+            failed with the exception: {{ exception }}""",
         "on_failure": True,
     },
 }
@@ -59,6 +60,11 @@ class NotifierConfigException(Exception):
 
 class NotifierTemplateNotFoundException(Exception):
     """Requested template does not exist."""
+
+
+class NotifierTemplateConfigException(Exception):
+    """Template rendering/config problem (reference
+    ``terminators/notifiers/exceptions.py``)."""
 
 
 class NotifierNotFoundException(Exception):
@@ -105,9 +111,10 @@ class Notifier:
 
         args = dict(self.notification.get("args") or {})
         args.setdefault("exception", self.notification.get("exception", ""))
-        args.setdefault(
-            "job_name", os.environ.get("SPARK_APP_NAME", "lakehouse_engine_spark")
-        )
+        # the reference resolves these from the Databricks job context and
+        # falls back to "local" outside one — same fallback here (env
+        # overrides for OSS deployments that want real names)
+        args.setdefault("job_name", os.environ.get("SPARK_APP_NAME", "local"))
         args.setdefault("workspace_id", os.environ.get("SPARK_WORKSPACE_ID", "local"))
         return Template(field).render(args)
 
@@ -137,55 +144,115 @@ class EmailNotifier(Notifier):
         self.transport = transport
 
     def send_notification(self) -> None:
-        self._validate()
+        """Validate -> disallowed-server gate -> deliver. Reference
+        ``email_notifier.py:68-180`` semantics, with the injectable
+        ``transport`` kept as the test/custom-delivery seam (it replaces
+        only the SMTP leg — validation and the disallowed-server gate
+        still apply when a server is configured)."""
         if self.transport is not None:
+            self._check_disallowed_server()
             self.transport(self.notification)
             return
+        self._validate()
+        self._check_disallowed_server()
+        self._smtp_send(self.notification["server"])
+
+    def _check_disallowed_server(self) -> None:
+        from lakehouse_engine_spark.core.exec_env import ExecEnv
+
         server = self.notification.get("server")
-        if server:
-            self._smtp_send(server)
-        else:
-            _LOGGER.warning(
-                "NOTIFICATION (no transport/server configured): subject=%r to=%s\n%s",
-                self.notification.get("subject"),
-                self.notification.get("to"),
-                self.notification.get("message"),
+        disallowed = getattr(
+            ExecEnv.ENGINE_CONFIG, "notif_disallowed_email_servers", None
+        )
+        if server and disallowed and server in disallowed:
+            raise NotifierConfigException(
+                f"Trying to use disallowed smtp server: '{server}'.\n"
+                f"Disallowed smtp servers: {str(disallowed)}"
             )
 
     def _validate(self) -> None:
-        missing = [
-            f
-            for f in ("from", "to")
-            if f not in self.notification and self.notification.get("server")
-        ]
-        if missing:
+        """Reference ``_validate_email_notification`` — exact messages."""
+        if not self.notification.get("from"):
             raise NotifierConfigException(
-                f"Email notification missing fields: {missing}"
+                "Email notification must contain 'from' field."
+            )
+        if not self.notification.get("server"):
+            raise NotifierConfigException(
+                "Email notification must contain 'server' field."
+            )
+        if not self.notification.get("port"):
+            raise NotifierConfigException(
+                "Email notification must contain 'port' field."
+            )
+        if (
+            not self.notification.get("to")
+            and not self.notification.get("cc")
+            and not self.notification.get("bcc")
+        ):
+            raise NotifierConfigException(
+                "No recipients provided. Please provide at least one recipient."
             )
 
     def _build_mime(self) -> MIMEMultipart:
+        from email.mime.application import MIMEApplication
+        from posixpath import basename
+
         msg = MIMEMultipart()
         msg["From"] = self.notification.get("from", "")
-        msg["To"] = ", ".join(self.notification.get("to", []))
+        to = self.notification.get("to", []) or []
+        cc = self.notification.get("cc", []) or []
+        bcc = self.notification.get("bcc", []) or []
+        msg["To"] = ", ".join(to)
+        msg["CC"] = ", ".join(cc)
+        msg["BCC"] = ", ".join(bcc)
         msg["Subject"] = self.notification.get("subject", "")
-        subtype = "plain"
-        if str(self.notification.get("mimetype", "")).endswith("html"):
+        msg["Importance"] = {
+            "critical": "High", "high": "High", "low": "Low",
+        }.get(str(self.notification.get("importance", "normal")), "Normal")
+        # reference mimetype mapping (MIMEText subtype "text" emits the
+        # Content-Type "text/text" its controls expect)
+        raw = str(self.notification.get("mimetype", "plain"))
+        if raw in ("html", "text/html"):
             subtype = "html"
+        elif raw in ("text", "text/plain", "plain", "text/text"):
+            subtype = "text"
+        else:
+            _LOGGER.warning(
+                "Unknown mimetype %r provided. Defaulting to 'plain'.", raw
+            )
+            subtype = "text"
         msg.attach(MIMEText(self.notification.get("message", ""), subtype))
+        for f in self.notification.get("attachments", []) or []:
+            with open(f, "rb") as fil:
+                part = MIMEApplication(fil.read(), Name=basename(f))
+            part["Content-Disposition"] = (
+                'attachment; filename="%s"' % basename(f)
+            )
+            msg.attach(part)
         return msg
 
     def _smtp_send(self, server: str) -> None:
         port = int(self.notification.get("port", 25))
         msg = self._build_mime()
+        to = self.notification.get("to", []) or []
+        cc = self.notification.get("cc", []) or []
+        bcc = self.notification.get("bcc", []) or []
         with smtplib.SMTP(server, port) as smtp:
-            if self.notification.get("starttls", False):
+            # reference behavior: attempt TLS+auth, fall back to an
+            # unauthenticated send when the server doesn't support them
+            try:
                 smtp.starttls()
-            user = self.notification.get("user")
-            if user:
-                smtp.login(user, self.notification.get("password", ""))
+                smtp.login(
+                    self.notification.get("user", ""),
+                    self.notification.get("password", ""),
+                )
+            except smtplib.SMTPException as e:
+                _LOGGER.info(
+                    "smtp auth unavailable (%s); sending unauthenticated", e
+                )
             smtp.sendmail(
                 self.notification.get("from", ""),
-                self.notification.get("to", []),
+                to + cc + bcc,
                 msg.as_string(),
             )
 

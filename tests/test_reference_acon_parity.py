@@ -2484,3 +2484,236 @@ def test_reference_custom_transformer_delta_load_cdc_runs_verbatim(
     assert sorted(got.columns) == sorted(expected.columns)
     assert _rows(got) == _rows(expected)
     spark.sql("DROP TABLE IF EXISTS test_db.delta_load")
+
+
+# ---------------------------------------------------------------------------
+# notification: the reference's email matrix (reference/tests/feature/
+# test_notification.py) — template + free-form + html + attachments + cc/bcc
+# sent through a LIVE in-process SMTP sink and parsed with the reference's
+# own regex parser; error scenarios assert the reference's exact messages.
+# ---------------------------------------------------------------------------
+
+
+class _SmtpSink:
+    """Minimal threaded SMTP endpoint (the reference uses a debugging
+    smtpd): speaks just enough protocol for smtplib — EHLO, a refused
+    STARTTLS (exercising the notifier's unauthenticated fallback), MAIL/
+    RCPT/DATA — and stores the raw message."""
+
+    def __init__(self):
+        import socket
+        import threading
+
+        self.messages = []
+        self._sock = socket.socket()
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(1)
+        self.port = self._sock.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        conn, _ = self._sock.accept()
+        f = conn.makefile("rb")
+        conn.sendall(b"220 local SMTP sink\r\n")
+        data, in_data = [], False
+        for raw in f:
+            line = raw.decode("utf-8", "replace").rstrip("\r\n")
+            if in_data:
+                if line == ".":
+                    self.messages.append("\n".join(data))
+                    conn.sendall(b"250 OK\r\n")
+                    in_data, data = False, []
+                else:
+                    data.append(line[1:] if line.startswith("..") else line)
+                continue
+            verb = line.split(" ", 1)[0].upper()
+            if verb in ("EHLO", "HELO"):
+                conn.sendall(b"250-local\r\n250 HELP\r\n")
+            elif verb == "STARTTLS":
+                conn.sendall(b"502 not supported\r\n")
+            elif verb == "DATA":
+                conn.sendall(b"354 go\r\n")
+                in_data = True
+            elif verb == "QUIT":
+                conn.sendall(b"221 bye\r\n")
+                break
+            else:
+                conn.sendall(b"250 OK\r\n")
+        conn.close()
+        self._sock.close()
+
+
+def _parse_email_output(mail_content: str):
+    """The reference's _parse_email_output, verbatim regexes."""
+    import re
+
+    email_from = re.search("(?<=From: ).*", mail_content).group()
+    email_to = re.search("(?<=To: ).*", mail_content).group().split(", ")
+    email_cc = re.search("(?<=CC: ).*", mail_content).group().split(", ")
+    email_bcc = re.search("(?<=BCC: ).*", mail_content).group().split(", ")
+    mimetype = re.search(
+        "(?<=Content-Type: ).*(?=; charset)", mail_content
+    ).group()
+    subject = re.search("(?<=Subject: ).*", mail_content).group()
+    message = re.search("(?<=bit\n).*?(?=--=)", mail_content, re.S).group()[1:-1]
+    attachments = re.findall('(?<=filename=").*(?=")', mail_content)
+    return (
+        email_from, email_to, email_cc, email_bcc,
+        mimetype, subject, message, attachments,
+    )
+
+
+_NOTIF_REF = f"{REF}/notification"
+
+_NOTIFICATION_SCENARIOS = [
+    {
+        "name": "template",
+        "args": {
+            "type": "email",
+            "template": "failure_notification_email",
+            "from": "test-email@email.com",
+            "to": ["test-email1@email.com", "test-email2@email.com"],
+            "cc": ["test-email3@email.com", "test-email4@email.com"],
+            "mimetype": "text/text",
+            "exception": "test-exception",
+        },
+        "expected": """
+            Job local in workspace local has
+            failed with the exception: test-exception""",
+        "expected_subject": "Service Failure",
+    },
+    {
+        "name": "free-form-attachments",
+        "args": {
+            "type": "email",
+            "from": "test-email@email.com",
+            "to": ["test-email1@email.com", "test-email2@email.com"],
+            "mimetype": "text/text",
+            "subject": "Test Email",
+            "message": "Test message for the email.",
+            "attachments": [
+                f"{_NOTIF_REF}/test_attachement.txt",
+                f"{_NOTIF_REF}/test_image.png",
+            ],
+        },
+        "expected": "Test message for the email.",
+        "expected_subject": "Test Email",
+        "expected_attachments": ["test_attachement.txt", "test_image.png"],
+    },
+    {
+        "name": "html",
+        "args": {
+            "type": "email",
+            "from": "test-email@email.com",
+            "to": ["test-email1@email.com", "test-email2@email.com"],
+            "mimetype": "text/html",
+            "subject": "Test Email",
+            "message": "<html><body>Test message.</body></html>",
+        },
+        "expected": "<html><body>Test message.</body></html>",
+        "expected_subject": "Test Email",
+    },
+    {
+        "name": "bcc",
+        "args": {
+            "type": "email",
+            "from": "test-email@email.com",
+            "bcc": ["test-email1@email.com", "test-email2@email.com"],
+            "mimetype": "text/text",
+            "subject": "Test Email",
+            "message": "Test message for the email.",
+        },
+        "expected": "Test message for the email.",
+        "expected_subject": "Test Email",
+    },
+]
+
+
+@pytest.mark.parametrize(
+    "scenario", _NOTIFICATION_SCENARIOS, ids=[s["name"] for s in _NOTIFICATION_SCENARIOS]
+)
+def test_reference_notification_emails_render_and_send(scenario, monkeypatch):
+    """Send scenarios through send_notification -> live SMTP sink, then
+    assert with the reference's own parser: from/to/cc/bcc round-trip,
+    Content-Type matches the requested mimetype (incl. the text/text
+    quirk), the message renders byte-for-byte (template placeholders ->
+    'local' outside a job context), attachments by filename."""
+    from lakehouse_engine_spark import send_notification
+
+    monkeypatch.delenv("SPARK_APP_NAME", raising=False)
+    monkeypatch.delenv("SPARK_WORKSPACE_ID", raising=False)
+    sink = _SmtpSink()
+    args = dict(scenario["args"])
+    args["server"] = "localhost"
+    args["port"] = str(sink.port)
+    send_notification(args=args)
+    assert len(sink.messages) == 1
+    (
+        email_from, email_to, email_cc, email_bcc,
+        mimetype, subject, message, attachments,
+    ) = _parse_email_output(sink.messages[0])
+    assert email_from == args["from"]
+    if "to" in args:
+        assert email_to == args["to"]
+    if "cc" in args:
+        assert email_cc == args["cc"]
+    if "bcc" in args:
+        assert email_bcc == args["bcc"]
+    assert mimetype == args["mimetype"]
+    assert subject == scenario["expected_subject"]
+    assert message == scenario["expected"]
+    assert attachments == scenario.get("expected_attachments", [])
+
+
+def test_reference_notification_error_scenarios():
+    """The reference's error matrix with its exact messages: missing
+    template, malformed definition, and the disallowed-SMTP-server gate
+    (engine-config driven, like the reference's tests/configs/engine.yaml)."""
+    from lakehouse_engine_spark import send_notification
+    from lakehouse_engine_spark.core.exec_env import ExecEnv
+    from lakehouse_engine_spark.terminators.notifiers import (
+        NotifierConfigException,
+        NotifierTemplateNotFoundException,
+    )
+
+    with pytest.raises(NotifierTemplateNotFoundException) as e:
+        send_notification(
+            args={
+                "server": "localhost", "port": "1025", "type": "email",
+                "template": "missing_template",
+            }
+        )
+    assert "Template missing_template does not exist" in str(e.value)
+
+    with pytest.raises(NotifierConfigException) as e:
+        send_notification(
+            args={
+                "server": "localhost", "port": "1025", "type": "email",
+                "from": "test-email@email.com",
+                "to": ["test-email1@email.com"],
+            }
+        )
+    assert "Malformed Notification Definition" in str(e.value)
+
+    prev = ExecEnv.ENGINE_CONFIG
+    try:
+        ExecEnv.set_engine_config(
+            notif_disallowed_email_servers=["smtp.test.com"]
+        )
+        with pytest.raises(NotifierConfigException) as e:
+            send_notification(
+                args={
+                    "server": "smtp.test.com", "port": "1025", "type": "email",
+                    "from": "test-email@email.com",
+                    "to": ["test-email1@email.com"],
+                    "mimetype": "text/text", "subject": "Test Email",
+                    "message": "Test message for the email.",
+                }
+            )
+        assert (
+            "Trying to use disallowed smtp server: 'smtp.test.com'.\n"
+            "Disallowed smtp servers: ['smtp.test.com']"
+        ) in str(e.value)
+    finally:
+        ExecEnv.ENGINE_CONFIG = prev
