@@ -70,7 +70,10 @@ class TableManager:
             return stmt
         import re as _re
 
-        out = _re.sub(r"\busing\s+delta\b", "USING PARQUET", stmt, flags=_re.I)
+        # lowercase provider: Spark records the DDL token verbatim as the
+        # table's provider and later compares it case-SENSITIVELY against
+        # streaming writers' format("parquet")
+        out = _re.sub(r"\busing\s+delta\b", "USING parquet", stmt, flags=_re.I)
         if out != stmt:
             import logging
 

@@ -115,15 +115,17 @@ def expose_cdf(
 
     if read_cdf is None:
         if not ExecEnv.delta_available():
-            raise NotImplementedError(
-                "expose_cdf needs delta-spark for readChangeFeed (or inject read_cdf)"
+            df = _emulated_cdf_stream(
+                spark, db_table, location, materialized_cdf_location
             )
-        reader = spark.readStream.format("delta").option("readChangeFeed", "true")
-        for k, v in (db_table_options or {}).items():
-            reader = reader.option(k, str(v))
-        df = reader.table(db_table) if db_table else reader.load(location)
+        else:
+            reader = spark.readStream.format("delta").option("readChangeFeed", "true")
+            for k, v in (db_table_options or {}).items():
+                reader = reader.option(k, str(v))
+            df = reader.table(db_table) if db_table else reader.load(location)
     else:
         df = read_cdf()
+    _LOGGER.info("Writing CDF to external table...")
 
     df = df.withColumn(
         "_commit_timestamp", F.date_format(F.col("_commit_timestamp"), "yyyyMMddHHmmss")
@@ -137,14 +139,37 @@ def expose_cdf(
     if write_cdf is not None:
         write_cdf(df)
     elif df.isStreaming:
-        q = (
-            df.writeStream.format(fmt)
-            .outputMode("append")
-            .partitionBy("_commit_timestamp")
-            .options(**(materialized_cdf_options or {}))
-            .trigger(availableNow=True)
-            .start(materialized_cdf_location)
-        )
+        if fmt == "delta" and ExecEnv.delta_available():
+            q = (
+                df.writeStream.format(fmt)
+                .outputMode("append")
+                .partitionBy("_commit_timestamp")
+                .options(**(materialized_cdf_options or {}))
+                .trigger(availableNow=True)
+                .start(materialized_cdf_location)
+            )
+        else:
+            # parquet fallback: append per micro-batch via foreachBatch
+            # instead of the direct file sink — the sink's _spark_metadata
+            # log goes permanently stale the moment retention rewrites
+            # the materialization (reads then resolve deleted files).
+            # Batch appends keep reads listing-based and
+            # retention-consistent; exactly-once degrades to the same
+            # at-least-once contract as every foreachBatch path here.
+            def _append(batch_df: DataFrame, _: int) -> None:
+                (
+                    batch_df.write.format(fmt)
+                    .mode("append")
+                    .partitionBy("_commit_timestamp")
+                    .save(materialized_cdf_location)
+                )
+
+            q = (
+                df.writeStream.foreachBatch(_append)
+                .options(**(materialized_cdf_options or {}))
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
     else:
         (
@@ -156,6 +181,10 @@ def expose_cdf(
         )
 
     if clean_cdf:
+        _LOGGER.info("Cleaning CDF table...")
+        # the stream sink just mutated the location — drop any cached
+        # file listing before re-reading it
+        spark.catalog.refreshByPath(materialized_cdf_location)
         limit = ((now or _dt.datetime.today()) - _dt.timedelta(days=days_to_keep)).strftime(
             "%Y%m%d%H%M%S"
         )
@@ -187,7 +216,125 @@ def expose_cdf(
                 .save(materialized_cdf_location)
             )
 
-    if vacuum_cdf and fmt == "delta" and ExecEnv.delta_available():
-        from delta.tables import DeltaTable
+    if vacuum_cdf:
+        _LOGGER.info("Vacuuming CDF table...")
+        if fmt == "delta" and ExecEnv.delta_available():
+            from delta.tables import DeltaTable
 
-        DeltaTable.forPath(spark, materialized_cdf_location).vacuum(vacuum_hours)
+            DeltaTable.forPath(spark, materialized_cdf_location).vacuum(vacuum_hours)
+        else:
+            # parquet fallback: the clean rewrite above already dropped
+            # the data files — there is no tombstoned-file backlog to
+            # reclaim, so vacuum is complete by construction
+            _LOGGER.info(
+                "parquet materialization has no tombstoned files; "
+                "vacuum is a no-op"
+            )
+
+
+def _emulated_cdf_stream(
+    spark: SparkSession,
+    db_table: Optional[str],
+    location: Optional[str],
+    materialized_cdf_location: str,
+):
+    """APPEND-ONLY Change-Data-Feed emulation for runtimes without
+    delta-spark (this engine degrades delta tables to parquet, so there
+    is no ``_delta_log`` to read a real CDF from).
+
+    A file stream over the table's storage location with the CDF
+    checkpoint is exactly "the files appended since the last
+    materialization" — for append-only tables (the reference's
+    streaming-ingest CDF scenario, ``tests/feature/test_materialize_cdf.py``)
+    that IS the insert CDF. Each ``expose_cdf`` invocation is stamped as
+    one commit: ``_change_type='insert'``, ``_commit_version`` from a
+    tiny sidecar counter next to the materialization (starts at 1 —
+    table creation is version 0, mirroring Delta's numbering for the
+    create→append→expose flow), ``_commit_timestamp`` = processing time.
+    Update/delete capture requires a real Delta log — the merge/overwrite
+    writers on parquet rewrite files, which a file stream would
+    double-count — so this emulation is documented append-only.
+
+    Scale: the file-stream source lists only NEW files per run (Spark's
+    file-source checkpoint index), so each materialization touches the
+    increment, not the table.
+    """
+    from pyspark.sql import functions as F
+
+    if db_table:
+        schema = spark.table(db_table).schema
+        rows = spark.sql(f"DESCRIBE FORMATTED {db_table}").collect()
+        src_loc = next(
+            (r["data_type"] for r in rows if r["col_name"] == "Location"), None
+        )
+        if not src_loc:
+            raise ValueError(
+                f"expose_cdf emulation: no storage location for {db_table}"
+            )
+    else:
+        if not location:
+            raise ValueError("expose_cdf needs db_table or location")
+        schema = spark.read.parquet(location).schema
+        src_loc = location
+    version = _bump_cdf_version(spark, materialized_cdf_location)
+    # stream over the partition dirs only (basePath-anchored glob): table
+    # locations routinely hold non-data dirs — streaming checkpoints,
+    # _spark_metadata sink logs — that break partition inference if the
+    # listing starts at the root
+    stream_path = _partition_glob(spark, src_loc)
+    return (
+        spark.readStream.schema(schema)
+        .option("basePath", src_loc)
+        .parquet(stream_path)
+        .withColumn("_change_type", F.lit("insert"))
+        .withColumn("_commit_version", F.lit(version).cast("long"))
+        .withColumn("_commit_timestamp", F.current_timestamp())
+    )
+
+
+def _partition_glob(spark: SparkSession, src_loc: str) -> str:
+    """``<loc>/<key>=*`` when the location's first level is Hive-style
+    partition dirs, else the location itself — one control-plane listing."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(src_loc)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        statuses = fs.listStatus(p)
+    except Exception:
+        return src_loc
+    keys = set()
+    for st in statuses:
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name and not name.startswith("_"):
+            keys.add(name.split("=", 1)[0])
+    if len(keys) == 1:
+        return f"{src_loc.rstrip('/')}/{keys.pop()}=*"
+    return src_loc
+
+
+def _bump_cdf_version(spark: SparkSession, materialized_cdf_location: str) -> int:
+    """Read-increment-write the emulated commit counter. Sidecar file
+    NEXT TO the materialization (inside it, the clean rewrite's overwrite
+    would drop it). Hadoop FS API so file:// and object stores both work."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        materialized_cdf_location.rstrip("/") + "__cdf_version"
+    )
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    current = 0
+    if fs.exists(path):
+        stream = fs.open(path)
+        try:
+            current = int(
+                jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                ).strip()
+            )
+        finally:
+            stream.close()
+    out = fs.create(path, True)
+    try:
+        out.write(str(current + 1).encode("utf-8"))
+    finally:
+        out.close()
+    return current + 1

@@ -2717,3 +2717,80 @@ def test_reference_notification_error_scenarios():
         ) in str(e.value)
     finally:
         ExecEnv.ENGINE_CONFIG = prev
+
+
+# ---------------------------------------------------------------------------
+# materialize_cdf: the reference's expose_cdf scenario (reference/tests/
+# feature/test_materialize_cdf.py) — DDL acon creates the CDF-enabled
+# table, a streaming load appends + materializes the CDF, the control is
+# value-compared, then a second load exercises clean_cdf retention +
+# vacuum after aging the first materialization's commit partition.
+# ---------------------------------------------------------------------------
+
+
+def test_reference_materialize_cdf_acons_run_verbatim(spark, tmp_path, caplog):
+    import logging as _logging
+
+    from lakehouse_engine_spark import manage_table
+
+    caplog.set_level(_logging.INFO)
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    res = f"{REF}/materialize_cdf"
+    scenario = "streaming_with_cdf"
+
+    # stage + remap the reference's CREATE TABLE sql (the reference
+    # copies it into its lakehouse-in dir the same way)
+    with open(f"{res}/data/table/streaming_with_cdf.sql") as fh:
+        sql = fh.read().replace("/app/tests/lakehouse/out", out_dir)
+    sql_dir = tmp_path / "table"
+    sql_dir.mkdir()
+    (sql_dir / "streaming_with_cdf.sql").write_text(sql)
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql("DROP TABLE IF EXISTS test_db.streaming_with_cdf")
+    manage_table(
+        {
+            "function": "create_table",
+            "path": f"file://{sql_dir}/streaming_with_cdf.sql",
+        }
+    )
+
+    src = f"{in_dir}/feature/materialize_cdf/{scenario}/data"
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{res}/data/source/part-01.csv", src)
+    load_data(_acon("materialize_cdf", ".", "streaming_without_clean_cdf", in_dir, out_dir))
+    assert "Writing CDF to external table..." in caplog.text
+
+    cdf_loc = f"{out_dir}/feature/materialize_cdf/{scenario}/cdf_data"
+    control = _read_csv(spark, f"{res}/data/control/part-01_cdf.csv")
+    got = spark.read.parquet(f"file://{cdf_loc}").select(*control.columns)
+    assert _rows(got) == _rows(control)
+
+    # age run-1's commit so clean_cdf (days_to_keep=1) drops it — the
+    # reference time-travel-updates _commit_timestamp; on the parquet
+    # materialization the stamp is the partition DIRECTORY, so renaming
+    # it is the same mutation
+    parts = [
+        p
+        for p in os.listdir(cdf_loc)
+        if p.startswith("_commit_timestamp=")
+    ]
+    assert len(parts) == 1
+    os.rename(
+        os.path.join(cdf_loc, parts[0]),
+        os.path.join(cdf_loc, "_commit_timestamp=20211105132711"),
+    )
+    spark.catalog.refreshByPath(f"file://{cdf_loc}")
+
+    shutil.copy(f"{res}/data/source/part-02.csv", src)
+    load_data(_acon("materialize_cdf", ".", "streaming_with_clean_and_vacuum", in_dir, out_dir))
+    assert "Writing CDF to external table..." in caplog.text
+    assert "Cleaning CDF table..." in caplog.text
+    assert "Vacuuming CDF table..." in caplog.text
+
+    final = spark.read.parquet(f"file://{cdf_loc}")
+    assert final.count() == 6
+    # the surviving rows are run 2's commit (version 2), all inserts
+    assert set(
+        r["_commit_version"] for r in final.select("_commit_version").collect()
+    ) == {2}
+    spark.sql("DROP TABLE IF EXISTS test_db.streaming_with_cdf")

@@ -85,10 +85,54 @@ def test_expose_cdf_requires_location(spark):
         expose_cdf(spark)
 
 
-def test_expose_cdf_without_delta_and_no_seam_raises(spark):
+def test_expose_cdf_without_delta_emulates_append_only_cdf(spark, tmp_path):
+    """Without delta-spark, expose_cdf runs the APPEND-ONLY CDF
+    emulation: a checkpointed file stream over the table location,
+    stamped _change_type='insert' with a monotonically bumped
+    _commit_version per invocation (1, 2, ... — table creation is
+    version 0). Incremental: run 2 materializes only run 2's appends."""
     from lakehouse_engine_spark.core.exec_env import ExecEnv
 
     if ExecEnv.delta_available():
         pytest.skip("delta present: the real readChangeFeed path applies")
-    with pytest.raises(NotImplementedError, match="readChangeFeed"):
-        expose_cdf(spark, db_table="t", materialized_cdf_location="/tmp/x")
+    loc = str(tmp_path / "tbl")
+    cdf = str(tmp_path / "cdf")
+    ckpt = str(tmp_path / "ckpt")
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql("DROP TABLE IF EXISTS test_db.cdf_emu")
+    spark.sql(
+        f"CREATE TABLE test_db.cdf_emu (id INT, v STRING) USING parquet "
+        f"LOCATION '{loc}'"
+    )
+    spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING").write.mode(
+        "append"
+    ).parquet(loc)
+    expose_cdf(
+        spark,
+        db_table="test_db.cdf_emu",
+        materialized_cdf_location=cdf,
+        materialized_cdf_options={"checkpointLocation": ckpt},
+        clean_cdf=False,
+    )
+    got = spark.read.parquet(cdf)
+    assert got.count() == 2
+    assert set(r["_change_type"] for r in got.collect()) == {"insert"}
+    assert set(r["_commit_version"] for r in got.collect()) == {1}
+    # append more rows; the next materialization ships ONLY the increment
+    spark.createDataFrame([(3, "c")], "id INT, v STRING").write.mode(
+        "append"
+    ).parquet(loc)
+    expose_cdf(
+        spark,
+        db_table="test_db.cdf_emu",
+        materialized_cdf_location=cdf,
+        materialized_cdf_options={"checkpointLocation": ckpt},
+        clean_cdf=False,
+    )
+    spark.catalog.refreshByPath(cdf)
+    after = spark.read.parquet(cdf)
+    assert after.count() == 3
+    assert sorted(
+        r["_commit_version"] for r in after.collect()
+    ) == [1, 1, 2]
+    spark.sql("DROP TABLE IF EXISTS test_db.cdf_emu")

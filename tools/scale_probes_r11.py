@@ -133,6 +133,12 @@ def probe_incremental_embedding_runs(spark):
             num_tables=4,
             dim=64,
             compact_after_files=8,
+            # this synthetic corpus is 2000 true directions x 100 jittered
+            # copies — hot buckets are the POINT of the cap: at the default
+            # 10k cap a degenerate bucket still yields 50M pairs; 2000 keeps
+            # the pair budget ~2M/bucket (the production tuning rule: cap^2/2
+            # x hot-bucket-count must fit the shuffle budget)
+            max_bucket_size=2000,
         )
         t0 = time.time()
         kept = delivery.transform(op).count()
