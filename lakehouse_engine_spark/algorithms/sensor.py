@@ -73,16 +73,44 @@ class SensorControlTable:
 
     def upsert(self, spec: SensorSpec, status: str, upstream_key=None, upstream_value=None) -> None:
         now = datetime.datetime.now(datetime.timezone.utc)
+        # reference merge-set semantics (core/definitions.py
+        # SENSOR_UPDATE_SET + _get_sensor_update_set): only sensor_id/
+        # status/status_change_timestamp always update; assets,
+        # checkpoint_location and upstream key/value update ONLY when
+        # provided — an existing row keeps its values otherwise (a
+        # status-only update must not wipe the sensor's identity fields)
+        existing = self.status_of(spec.sensor_id)
+        assets = list(spec.assets) if spec.assets else None
+        if assets is None and existing is not None:
+            assets = existing["assets"]
+        ckpt = spec.checkpoint_location
+        if ckpt is None and existing is not None:
+            ckpt = existing["checkpoint_location"]
+        if upstream_key is not None:
+            uk = str(upstream_key)
+        elif existing is not None:
+            uk = existing["upstream_key"]
+        else:
+            # reference insert artifact (_convert_sensor_to_data applies
+            # str() unconditionally): a brand-new row with no upstream
+            # stores the literal "None" strings
+            uk = str(upstream_key)
+        if upstream_value is not None:
+            uv = str(upstream_value)
+        elif existing is not None:
+            uv = existing["upstream_value"]
+        else:
+            uv = str(upstream_value)
         new_row = self.spark.createDataFrame(
             [
                 (
                     spec.sensor_id,
-                    list(spec.assets or []),
+                    assets,
                     status,
                     now,
-                    spec.checkpoint_location,
-                    str(upstream_key) if upstream_key is not None else None,
-                    str(upstream_value) if upstream_value is not None else None,
+                    ckpt,
+                    uk,
+                    uv,
                 )
             ],
             SENSOR_SCHEMA,
@@ -250,7 +278,7 @@ def update_sensor_status(
     control = SensorControlTable(spark, control_db_table_name)
     spec = SensorSpec(
         sensor_id=sensor_id,
-        assets=assets or [],
+        assets=assets,
         control_db_table_name=control_db_table_name,
         input_spec=None,  # type: ignore[arg-type] — status-only update
     )

@@ -2794,3 +2794,173 @@ def test_reference_materialize_cdf_acons_run_verbatim(spark, tmp_path, caplog):
         r["_commit_version"] for r in final.select("_commit_version").collect()
     ) == {2}
     spark.sql("DROP TABLE IF EXISTS test_db.streaming_with_cdf")
+
+
+# ---------------------------------------------------------------------------
+# heartbeat: the reference's two end-to-end scenarios (reference/tests/
+# feature/test_heartbeat.py) — data feed -> sensor fleet execution ->
+# completion status update (heartbeat + engine sensor tables) -> job
+# triggering, each stage value-compared against the reference's control
+# CSVs/JSONs under a frozen clock (2025-08-14 23:00, the reference's own
+# mocked timestamp).
+# ---------------------------------------------------------------------------
+
+_HB_SCENARIOS = [
+    {
+        "name": "default",
+        "new_events": 1,
+        "job_id": "1927384615203749",
+        "insert_heartbeat": """
+            ("delta_table","dummy_order","batch",
+            "dummy_heartbeat_asset",NULL,NULL,NULL,
+            "1015557820139870","data-product_job_name_orders","NEW_EVENT_AVAILABLE",
+            NULL,NULL,NULL,"UNPAUSED","true")""",
+        "insert_sensors": """
+            ("dummy_order",
+            array("dummy_heartbeat_asset"),"ACQUIRED_NEW_DATA",
+            NULL,NULL,"LOAD_DATE","10155578201985")""",
+    },
+    {
+        "name": "heartbeat_paused_sensor_new_record",
+        "new_events": 0,
+        "job_id": "2604918372561094",
+        "insert_heartbeat": """
+            ("delta_table","dummy_order","batch",
+            "dummy_heartbeat_asset",NULL,NULL,NULL,
+            "1015557820139870","data-product_job_name_orders","IN PROGRESS",
+            NULL,NULL,NULL,"UNPAUSED","true")""",
+        "insert_sensors": """
+            ("dummy_order",
+            array("dummy_heartbeat_asset"),"ACQUIRED_NEW_DATA",
+            NULL,NULL,"LOAD_DATE","10155578201985")""",
+    },
+]
+
+
+@pytest.mark.parametrize(
+    "scenario", _HB_SCENARIOS, ids=[s["name"] for s in _HB_SCENARIOS]
+)
+def test_reference_heartbeat_scenarios_run_verbatim(spark, scenario, monkeypatch):
+    import datetime as _dt
+    import types
+
+    from pyspark.sql import functions as _F
+
+    import lakehouse_engine_spark.algorithms.heartbeat as hb_mod
+    import lakehouse_engine_spark.algorithms.sensor as sensor_mod
+    from lakehouse_engine_spark import (
+        execute_heartbeat_sensor_data_feed,
+        execute_sensor_heartbeat,
+        trigger_heartbeat_sensor_jobs,
+        update_heartbeat_sensor_status,
+    )
+    from lakehouse_engine_spark.utils.schema_utils import schema_from_file
+
+    name = scenario["name"]
+    res = f"{REF}/heartbeat"
+    hb_table = "test_db.heartbeat_sensor_control_table"
+    sensor_table = "test_db.sensor_table"
+    ctrl_schema = schema_from_file(
+        f"{res}/control/{name}/schema/ctrl_heart_tbl_schema.json"
+    )
+    sensor_schema = schema_from_file(
+        f"{res}/setup/{name}/schema/schema_sensor_df.json"
+    )
+
+    def heart_control(fname):
+        return (
+            spark.read.option("header", True)
+            .option("delimiter", "|")
+            .schema(ctrl_schema)
+            .csv(f"file://{res}/control/{name}/data/{fname}")
+        )
+
+    # frozen clock: the reference mocks current_timestamp (heartbeat) and
+    # sensor_manager.datetime to 2025/08/14 23:00
+    fixed = _dt.datetime(2025, 8, 14, 23, 0, 0)
+    monkeypatch.setattr(
+        hb_mod.F, "current_timestamp",
+        lambda: _F.lit("2025-08-14 23:00:00").cast("timestamp"),
+    )
+
+    class _FrozenDT(_dt.datetime):
+        @classmethod
+        def now(cls, tz=None):
+            return fixed
+
+    monkeypatch.setattr(
+        sensor_mod, "datetime",
+        types.SimpleNamespace(datetime=_FrozenDT, timezone=_dt.timezone),
+    )
+
+    # create the two control tables from the fixture column lists
+    import json as _json
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    for tbl in ("heartbeat_sensor_control_table", "sensor_table"):
+        cols = _json.load(
+            open(f"{res}/setup/{name}/column_list/{tbl}.json")
+        )
+        spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
+        spark.sql(
+            f"CREATE TABLE test_db.{tbl} ("
+            + ",".join(f"`{c}` {t}" for c, t in cols.items())
+            + ") USING parquet"
+        )
+
+    acon = {
+        "heartbeat_sensor_db_table": hb_table,
+        "lakehouse_engine_sensor_db_table": sensor_table,
+        "data_format": "delta",
+        "sensor_source": "delta_table",
+    }
+
+    # ---- 1. data feed populates the heartbeat control table
+    execute_heartbeat_sensor_data_feed(
+        f"file://{res}/setup/{name}/data/setup_heartbeat_data.csv", hb_table
+    )
+    assert _rows(spark.table(hb_table)) == _rows(
+        heart_control("ctr_heart_tbl_heartb_feed.csv")
+    )
+
+    # ---- 2. sensor fleet execution (sensor run itself mocked true, as
+    # the reference mocks _execute_batch_of_sensor)
+    monkeypatch.setattr(sensor_mod.Sensor, "execute", lambda self: True)
+    execute_sensor_heartbeat(acon=acon)
+    hb_after = spark.table(hb_table)
+    assert (
+        hb_after.filter("status = 'NEW_EVENT_AVAILABLE'").count()
+        == scenario["new_events"]
+    )
+    assert _rows(hb_after) == _rows(heart_control("ctrl_heart_tbl_exec_sensor.csv"))
+
+    # ---- 3. completion-status update over both tables
+    sensors_data = spark.read.schema(sensor_schema).json(
+        f"file://{res}/setup/{name}/data/setup_sensor_data.json"
+    )
+    sensors_data.write.format("parquet").mode("overwrite").saveAsTable(
+        sensor_table
+    )
+    update_heartbeat_sensor_status(hb_table, sensor_table, scenario["job_id"])
+    assert _rows(spark.table(hb_table)) == _rows(
+        heart_control("ctrl_heart_tbl_updated.csv")
+    )
+    ctrl_sensors = spark.read.schema(sensor_schema).json(
+        f"file://{res}/control/{name}/data/ctrl_sensor_tbl_upd_status.json"
+    )
+    assert _rows(spark.table(sensor_table)) == _rows(ctrl_sensors)
+
+    # ---- 4. job triggering (job runner mocked like the reference's
+    # run_job patch)
+    spark.sql(
+        f"INSERT INTO {hb_table} VALUES {scenario['insert_heartbeat']}"
+    )
+    spark.sql(
+        f"INSERT INTO {sensor_table} VALUES {scenario['insert_sensors']}"
+    )
+    trigger_heartbeat_sensor_jobs(acon, job_runner=lambda job_id: ("run_id", None))
+    assert _rows(spark.table(hb_table)) == _rows(
+        heart_control("ctrl_heart_tbl_trigger_job.csv")
+    )
+    for tbl in ("heartbeat_sensor_control_table", "sensor_table"):
+        spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
