@@ -182,6 +182,19 @@ def bw_delta_query(cfg: SAPBWConfig, min_timestamp: str, max_timestamp: str) -> 
     return f"{cols} {base}", _predicates_query(cfg.partition_column, base)
 
 
+def derive_data_target(options: dict) -> str:
+    """B4 data_target from the option, or derived from ``dbtable``
+    (reference ``sap_b4_extraction_utils.py:104-125``): strip quote and
+    backslash characters, take the segment after the last ``/``, drop its
+    first and last character (``/BIC/abtable12`` -> ``btable1``)."""
+    import re as _re
+
+    if options.get("data_target"):
+        return str(options["data_target"])
+    cleaned = _re.sub(r"[\"'\\\\]", "", options["dbtable"])
+    return cleaned.split("/")[-1][1:-1]
+
+
 def b4_request_status_filter(cfg: SAPB4Config) -> str:
     """ADSO-type-specific RSPMREQUEST filter
     (``sap_b4_extraction_utils.py:261-280``)."""
