@@ -3939,96 +3939,139 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # they must sit inside the driver window so the change gets a hard
 # driver signal. tests/test_entry_registry derives the expected window
 # from this constant + the CORRECTNESS history, so update it as part of
-# every rotation. Round 10: dp130 is new (hierarchical quantizer);
-# canonical-BPE + lazy round materialization touch dp69/dp69b; the
-# reference from_json contract touches dp68; the flatten max_level fix
-# touches q09; the DQ result-sink/tag reshape touches q07; the dp115
-# oracle gained the null-id filter.
+# every rotation. Round 11: dp132 is new (SemDeDup over hierarchical
+# cells); the shared verify-heads refactor touches dp97; the non-null
+# kmeans-init fix touches dp112/dp113/dp130/dp131; the raw
+# (non-exploded) DQ result sink + queried-agg template support touch
+# the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp132_semantic_dedup_hier",
+    "dp97_semantic_dedup",
+    "dp112_embedding_kmeans",
+    "dp113_cluster_stats",
     "dp130_kmeans_hier",
     "dp131_knn_ivf_hier",
-    "dp69_bpe_tokenize",
-    "dp69b_bpe_encode",
-    "dp68_json_props",
-    "q09_flatten_explode",
     "q07_dq_stats",
-    "dp115_dsir_score",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
-    # the first 50 entries each round. Policy (round 10, per the round-9
-    # verdict): front-load WINDOW_RETOUCHED (the new dp130 plus every
+    # the first 50 entries each round. Policy (round 11, per the round-10
+    # verdict): front-load WINDOW_RETOUCHED (the new dp132 plus every
     # query whose code changed this round), then the stalest cohort on
-    # the board — the r06-remainder tail (dp92-dp111 + q29) and the
-    # r07-checked classics (dp01+, q01/q03/q08/q14/q17/q19) — up to 50.
-    # Entries 51+ (the r08/r09-fresh cohorts) still get value-verified
-    # every round via tools/check_oracle.py. The window derivation is
-    # pinned by tests/test_entry_registry.py from WINDOW_RETOUCHED + the
-    # CORRECTNESS_r*.json history.
+    # the board — the full r07-checked remainder (dp21-dp28 + the
+    # q02-q22 tail) and the r08-checked dp29-dp49 block — up to 50.
+    # Entries 51+ (the r08/r09/r10-fresh cohorts) still get
+    # value-verified every round via tools/check_oracle.py. The window
+    # derivation is pinned by tests/test_entry_registry.py from
+    # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
-        # --- new + code-touched this round (WINDOW_RETOUCHED r10) ---
+        # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
         "dp132_semantic_dedup_hier": dp132_semantic_dedup_hier,
+        "dp97_semantic_dedup": dp97_semantic_dedup,
+        "dp112_embedding_kmeans": dp112_embedding_kmeans,
+        "dp113_cluster_stats": dp113_cluster_stats,
         "dp130_kmeans_hier": dp130_kmeans_hier,
         "dp131_knn_ivf_hier": dp131_knn_ivf_hier,
+        "q07_dq_stats": q07_dq_stats,
+        # --- r11 rotation cohort: stalest-first — the r07-checked
+        # --- remainder (dp2x + the q-series tail) ---
+        "dp21_pii_redact": dp21_pii_redact,  # last hard driver signal r07
+        "dp22_repetition": dp22_repetition,  # last hard driver signal r07
+        "dp23_decontaminate": dp23_decontaminate,  # last hard driver signal r07
+        "dp24_vocab_top_k": dp24_vocab_top_k,  # last hard driver signal r07
+        "dp25_stratified_sample": dp25_stratified_sample,  # last hard driver signal r07
+        "dp26_mixture_sample": dp26_mixture_sample,  # last hard driver signal r07
+        "dp27_image_decode": dp27_image_decode,  # last hard driver signal r07
+        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,  # last hard driver signal r07
+        "q02_revenue_by_segment": q02_revenue_by_segment,  # last hard driver signal r07
+        "q04_union_dedup": q04_union_dedup,  # last hard driver signal r07
+        "q05_incremental_filter": q05_incremental_filter,  # last hard driver signal r07
+        "q06_condense_cdc": q06_condense_cdc,  # last hard driver signal r07
+        "q10_date_hierarchy": q10_date_hierarchy,  # last hard driver signal r07
+        "q11_hash_masker": q11_hash_masker,  # last hard driver signal r07
+        "q12_column_ops": q12_column_ops,  # last hard driver signal r07
+        "q13_get_max_value": q13_get_max_value,  # last hard driver signal r07
+        "q15_events_hourly": q15_events_hourly,  # last hard driver signal r07
+        "q16_events_dedup": q16_events_dedup,  # last hard driver signal r07
+        "q18_gab_monthly_rollup": q18_gab_monthly_rollup,  # last hard driver signal r07
+        "q20_union_by_name": q20_union_by_name,  # last hard driver signal r07
+        "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,  # last hard driver signal r07
+        "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,  # last hard driver signal r07
+        # --- then the r08-checked dp29-dp49 block up to entry 50 ---
+        "dp29_pack_sequences": dp29_pack_sequences,  # last hard driver signal r08
+        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,  # last hard driver signal r08
+        "dp31_sessionize_boundary": dp31_sessionize_boundary,  # last hard driver signal r08
+        "dp32_audio_decode": dp32_audio_decode,  # last hard driver signal r08
+        "dp33_text_chunk": dp33_text_chunk,  # last hard driver signal r08
+        "dp34_quality_prune": dp34_quality_prune,  # last hard driver signal r08
+        "dp35_lm_score": dp35_lm_score,  # last hard driver signal r08
+        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,  # last hard driver signal r08
+        "dp37_global_shuffle": dp37_global_shuffle,  # last hard driver signal r08
+        "dp38_embedding_quantize": dp38_embedding_quantize,  # last hard driver signal r08
+        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,  # last hard driver signal r08
+        "dp40_cross_near_dedup": dp40_cross_near_dedup,  # last hard driver signal r08
+        "dp41_quantile_prune": dp41_quantile_prune,  # last hard driver signal r08
+        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,  # last hard driver signal r08
+        "dp43_image_phash_dedup": dp43_image_phash_dedup,  # last hard driver signal r08
+        "dp44_lm_score_bigram": dp44_lm_score_bigram,  # last hard driver signal r08
+        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,  # last hard driver signal r08
+        "dp46_token_budget_sample": dp46_token_budget_sample,  # last hard driver signal r08
+        "dp47_line_dedup": dp47_line_dedup,  # last hard driver signal r08
+        "dp48_substring_dedup": dp48_substring_dedup,  # last hard driver signal r08
+        "dp49_curation_report": dp49_curation_report,  # last hard driver signal r08
+        # ---- driver window boundary (entry 50 = dp49_curation_report) ----
+        # --- remainder: r08/r09/r10-fresh cohorts, value-verified via
+        # --- tools/check_oracle.py every round ---
         "dp69_bpe_tokenize": dp69_bpe_tokenize,
         "dp69b_bpe_encode": dp69b_bpe_encode,
         "dp68_json_props": dp68_json_props,
         "q09_flatten_explode": q09_flatten_explode,
-        "q07_dq_stats": q07_dq_stats,
         "dp115_dsir_score": dp115_dsir_score,
-        # --- r10 rotation cohort: stalest-first (r06 remainder dp92+,
-        # --- then the r07-checked classics) up to entry 50 ---
-        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,  # last hard driver signal r06
-        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,  # last hard driver signal r06
-        "dp103_zorder_layout": dp103_zorder_layout,  # last hard driver signal r06
-        "dp104_zorder_rank": dp104_zorder_rank,  # last hard driver signal r06
-        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,  # last hard driver signal r06
-        "dp107_profile_skew": dp107_profile_skew,  # last hard driver signal r06
-        "dp109_unicode_normalize": dp109_unicode_normalize,  # last hard driver signal r06
-        "dp111_interval_overlap_join": dp111_interval_overlap_join,  # last hard driver signal r06
-        "dp92_image_resize": dp92_image_resize,  # last hard driver signal r06
-        "dp93_audio_resample": dp93_audio_resample,  # last hard driver signal r06
-        "dp94_running_totals": dp94_running_totals,  # last hard driver signal r06
-        "dp95_approx_distinct": dp95_approx_distinct,  # last hard driver signal r06
-        "dp96_g711_decode": dp96_g711_decode,  # last hard driver signal r06
-        "dp99_hash_embedding": dp99_hash_embedding,  # last hard driver signal r06
-        "q01_pricing_summary": q01_pricing_summary,  # last hard driver signal r06
-        "q03_latest_order_per_customer": q03_latest_order_per_customer,  # last hard driver signal r06
-        "q08_reconciliation": q08_reconciliation,  # last hard driver signal r06
-        "q14_window_running": q14_window_running,  # last hard driver signal r06
-        "q17_gab_weekly_rollup": q17_gab_weekly_rollup,  # last hard driver signal r06
-        "q19_join_transformer": q19_join_transformer,  # last hard driver signal r06
-        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,  # last hard driver signal r06
-        "dp01_text_quality": dp01_text_quality,  # last hard driver signal r07
-        "dp02_langid": dp02_langid,  # last hard driver signal r07
-        "dp03_token_count": dp03_token_count,  # last hard driver signal r07
-        "dp04_fingerprint": dp04_fingerprint,  # last hard driver signal r07
-        "dp05_dedup_exact": dp05_dedup_exact,  # last hard driver signal r07
-        "dp06_dedup_minhash": dp06_dedup_minhash,  # last hard driver signal r07
-        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,  # last hard driver signal r07
-        "dp08_embedding_dedup": dp08_embedding_dedup,  # last hard driver signal r07
-        "dp09_knn_brute": dp09_knn_brute,  # last hard driver signal r07
-        "dp100_unimax_sample": dp100_unimax_sample,  # last hard driver signal r07
-        "dp106_temperature_sample": dp106_temperature_sample,  # last hard driver signal r07
-        "dp10_multimodal_bytes": dp10_multimodal_bytes,  # last hard driver signal r07
-        "dp11_dedup_simhash": dp11_dedup_simhash,  # last hard driver signal r07
-        "dp12_knn_lsh": dp12_knn_lsh,  # last hard driver signal r07
-        "dp13_knn_ivf": dp13_knn_ivf,  # last hard driver signal r07
-        "dp14_hash_split": dp14_hash_split,  # last hard driver signal r07
-        "dp15_hash_sample": dp15_hash_sample,  # last hard driver signal r07
-        "dp16_asof_join": dp16_asof_join,  # last hard driver signal r07
-        "dp17_range_join": dp17_range_join,  # last hard driver signal r07
-        "dp18_sessionize": dp18_sessionize,  # last hard driver signal r07
-        "dp19_profile": dp19_profile,  # last hard driver signal r07
-        "dp21_pii_redact": dp21_pii_redact,  # last hard driver signal r07
-        # ---- driver window boundary (entry 50 = dp21_pii_redact) ----
-        # --- remainder: r08/r09-fresh cohorts, value-verified via
-        # --- tools/check_oracle.py every round ---
+        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
+        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
+        "dp103_zorder_layout": dp103_zorder_layout,
+        "dp104_zorder_rank": dp104_zorder_rank,
+        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
+        "dp107_profile_skew": dp107_profile_skew,
+        "dp109_unicode_normalize": dp109_unicode_normalize,
+        "dp111_interval_overlap_join": dp111_interval_overlap_join,
+        "dp92_image_resize": dp92_image_resize,
+        "dp93_audio_resample": dp93_audio_resample,
+        "dp94_running_totals": dp94_running_totals,
+        "dp95_approx_distinct": dp95_approx_distinct,
+        "dp96_g711_decode": dp96_g711_decode,
+        "dp99_hash_embedding": dp99_hash_embedding,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_latest_order_per_customer": q03_latest_order_per_customer,
+        "q08_reconciliation": q08_reconciliation,
+        "q14_window_running": q14_window_running,
+        "q17_gab_weekly_rollup": q17_gab_weekly_rollup,
+        "q19_join_transformer": q19_join_transformer,
+        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
+        "dp01_text_quality": dp01_text_quality,
+        "dp02_langid": dp02_langid,
+        "dp03_token_count": dp03_token_count,
+        "dp04_fingerprint": dp04_fingerprint,
+        "dp05_dedup_exact": dp05_dedup_exact,
+        "dp06_dedup_minhash": dp06_dedup_minhash,
+        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,
+        "dp08_embedding_dedup": dp08_embedding_dedup,
+        "dp09_knn_brute": dp09_knn_brute,
+        "dp100_unimax_sample": dp100_unimax_sample,
+        "dp106_temperature_sample": dp106_temperature_sample,
+        "dp10_multimodal_bytes": dp10_multimodal_bytes,
+        "dp11_dedup_simhash": dp11_dedup_simhash,
+        "dp12_knn_lsh": dp12_knn_lsh,
+        "dp13_knn_ivf": dp13_knn_ivf,
+        "dp14_hash_split": dp14_hash_split,
+        "dp15_hash_sample": dp15_hash_sample,
+        "dp16_asof_join": dp16_asof_join,
+        "dp17_range_join": dp17_range_join,
+        "dp18_sessionize": dp18_sessionize,
+        "dp19_profile": dp19_profile,
         "q31_curation_pipeline": q31_curation_pipeline,
-        "dp112_embedding_kmeans": dp112_embedding_kmeans,
-        "dp113_cluster_stats": dp113_cluster_stats,
         "dp118_wordpiece_encode": dp118_wordpiece_encode,
         "dp125_unigram_encode": dp125_unigram_encode,
         "dp20_dup_clusters": dp20_dup_clusters,
@@ -4088,27 +4131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp108_corpus_overlap": dp108_corpus_overlap,
         "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,
         "dp83_bm25_topk": dp83_bm25_topk,
-        "dp29_pack_sequences": dp29_pack_sequences,
-        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,
-        "dp31_sessionize_boundary": dp31_sessionize_boundary,
-        "dp32_audio_decode": dp32_audio_decode,
-        "dp33_text_chunk": dp33_text_chunk,
-        "dp34_quality_prune": dp34_quality_prune,
-        "dp35_lm_score": dp35_lm_score,
-        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,
-        "dp37_global_shuffle": dp37_global_shuffle,
-        "dp38_embedding_quantize": dp38_embedding_quantize,
-        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
-        "dp40_cross_near_dedup": dp40_cross_near_dedup,
-        "dp41_quantile_prune": dp41_quantile_prune,
-        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
-        "dp43_image_phash_dedup": dp43_image_phash_dedup,
-        "dp44_lm_score_bigram": dp44_lm_score_bigram,
-        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,
-        "dp46_token_budget_sample": dp46_token_budget_sample,
-        "dp47_line_dedup": dp47_line_dedup,
-        "dp48_substring_dedup": dp48_substring_dedup,
-        "dp49_curation_report": dp49_curation_report,
         "dp50_hopping_window": dp50_hopping_window,
         "dp51_winsorize": dp51_winsorize,
         "dp52_zscore_normalize": dp52_zscore_normalize,
@@ -4116,28 +4138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp54_trailing_window": dp54_trailing_window,
         "dp55_funnel": dp55_funnel,
         "dp56_cohort_retention": dp56_cohort_retention,
-        "dp97_semantic_dedup": dp97_semantic_dedup,
-        "dp22_repetition": dp22_repetition,
-        "dp23_decontaminate": dp23_decontaminate,
-        "dp24_vocab_top_k": dp24_vocab_top_k,
-        "dp25_stratified_sample": dp25_stratified_sample,
-        "dp26_mixture_sample": dp26_mixture_sample,
-        "dp27_image_decode": dp27_image_decode,
-        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
-        "q02_revenue_by_segment": q02_revenue_by_segment,
-        "q04_union_dedup": q04_union_dedup,
-        "q05_incremental_filter": q05_incremental_filter,
-        "q06_condense_cdc": q06_condense_cdc,
-        "q10_date_hierarchy": q10_date_hierarchy,
-        "q11_hash_masker": q11_hash_masker,
-        "q12_column_ops": q12_column_ops,
-        "q13_get_max_value": q13_get_max_value,
-        "q15_events_hourly": q15_events_hourly,
-        "q16_events_dedup": q16_events_dedup,
-        "q18_gab_monthly_rollup": q18_gab_monthly_rollup,
-        "q20_union_by_name": q20_union_by_name,
-        "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,
-        "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,
     }
 
 
