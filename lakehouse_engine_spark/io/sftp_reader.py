@@ -111,11 +111,11 @@ def _parse_dt(text: str) -> datetime:
 
 
 def _matches(attrs, options: dict, fmt: str) -> bool:
+    """Reference filter semantics (sftp_extraction_utils.py:264-300):
+    ``file_name_contains`` + the date interval ONLY — the files_format
+    drives the PARSER, never the listing (fwf feeds read .txt files, gz
+    members can wrap any format)."""
     name = attrs.filename
-    base = name[:-3] if name.endswith(".gz") else name
-    base = base[:-4] if base.endswith(".zip") else base
-    if not (base.endswith(f".{fmt}") or fnmatch.fnmatch(base, f"*.{fmt}")):
-        return False
     if FILE_NAME_CONTAINS in options and options[FILE_NAME_CONTAINS] not in name:
         return False
     mtime = datetime.fromtimestamp(attrs.st_mtime)
@@ -157,9 +157,18 @@ def _read_one(filename: str, fh, fmt: str, args: dict) -> pd.DataFrame:
             return reader(io.TextIOWrapper(gz), **args)
     if filename.endswith(".zip"):
         with ZipFile(fh, "r") as zf:
+            # skip archiver metadata members (__MACOSX/, AppleDouble ._*
+            # dotfiles) — the reference serves zips re-packed to data
+            # members only (its test fixture does exactly this), so
+            # parsing junk members would diverge, not match
+            members = [
+                n for n in zf.namelist()
+                if not n.startswith("__MACOSX/")
+                and not os.path.basename(n).startswith(".")
+            ]
             dfs = [
                 reader(io.TextIOWrapper(zf.open(n)), **args).fillna("")
-                for n in zf.namelist()
+                for n in members
             ]
             out = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame()
             # zip members are read as strings to dodge per-member dtype drift
@@ -203,5 +212,6 @@ def read_sftp(spark: SparkSession, spec: InputSpec) -> DataFrame:
         client.close()
         transport.close()
     if not dfs:
-        raise ValueError("sftp reader: no files matched the specified parameters")
+        # reference's exact message (utils/extraction/sftp_extraction_utils.py)
+        raise ValueError("No files were found with the specified parameters.")
     return spark.createDataFrame(pd.concat(dfs, ignore_index=True))

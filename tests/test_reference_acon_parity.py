@@ -2964,3 +2964,171 @@ def test_reference_heartbeat_scenarios_run_verbatim(spark, scenario, monkeypatch
     )
     for tbl in ("heartbeat_sensor_control_table", "sensor_table"):
         spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
+
+
+# ---------------------------------------------------------------------------
+# sftp_reader: the reference's SFTP extraction matrix (reference/tests/
+# feature/test_sftp_reader.py) over the reference's own files — csv date
+# windows (+ the no-files failure), fwf earliest-file, gz and zip
+# decompression, json/xml parsing, multi-file globs — run through OUR sftp
+# reader with the injectable client transport serving the fixture dir (the
+# reference spins a live paramiko/pytest-sftpserver pair; the transport is
+# the only remap, parsing/filter/error semantics are asserted identically).
+# ---------------------------------------------------------------------------
+
+_SFTP_DATA = f"{REF}/sftp_reader/data"
+
+
+def _sftp_acon(tmp_path, scenario, option_params):
+    """The reference's _get_test_acon, verbatim (location -> fixture dir,
+    client -> the injectable local transport)."""
+    from lakehouse_engine_spark.io.sftp_reader import (
+        LocalSFTPClient,
+        _NullTransport,
+    )
+
+    options = dict(option_params)
+    options["sftp_client_factory"] = lambda _o: (LocalSFTPClient(), _NullTransport())
+    return {
+        "input_specs": [
+            {
+                "spec_id": "sftp_source",
+                "read_type": "batch",
+                "data_format": "sftp",
+                "sftp_files_format": scenario["sftp_files_format"],
+                "location": _SFTP_DATA,
+                "options": options,
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "sftp_bronze",
+                "input_id": "sftp_source",
+                "write_type": "overwrite",
+                "data_format": "csv",
+                "options": {"header": True, "delimiter": "|", "inferSchema": True},
+                "location": f"file://{tmp_path}/out/"
+                f"{scenario['scenario_name']}/{scenario['test_name']}/data",
+            }
+        ],
+    }
+
+
+def _sftp_result(spark, tmp_path, scenario):
+    return (
+        spark.read.option("header", True)
+        .option("delimiter", "|")
+        .option("inferSchema", True)
+        .csv(
+            f"file://{tmp_path}/out/{scenario['scenario_name']}/"
+            f"{scenario['test_name']}/data"
+        )
+    )
+
+
+def test_reference_sftp_csv_between_dates_and_failure(spark, tmp_path):
+    scenario = {"scenario_name": "sftp_csv", "test_name": "between_dates",
+                "sftp_files_format": "csv"}
+    opts = {
+        "date_time_gt": "2022-01-01", "date_time_lt": "9999-12-31",
+        "file_name_contains": "e.csv", "args": {"sep": "|"},
+    }
+    load_data(_sftp_acon(tmp_path, scenario, opts))
+    control = _read_csv(spark, f"{_SFTP_DATA}/file.csv")
+    got = _sftp_result(spark, tmp_path, scenario)
+    assert _rows(got) == _rows(control)
+    # the failure arm: a date window matching nothing raises the
+    # reference's exact error
+    fail = dict(scenario, test_name="between_dates_fail")
+    opts_fail = dict(opts, date_time_lt="2021-01-01")
+    with pytest.raises(ValueError, match="No files were found with the specified parameters."):
+        load_data(_sftp_acon(tmp_path, fail, opts_fail))
+
+
+def test_reference_sftp_fwf_earliest_file(spark, tmp_path):
+    scenario = {"scenario_name": "sftp_fwf", "test_name": "earliest_file",
+                "sftp_files_format": "fwf"}
+    opts = {
+        "earliest_file": True, "file_name_contains": ".txt",
+        "args": {"index_col": False, "names": ["value"]},
+    }
+    load_data(_sftp_acon(tmp_path, scenario, opts))
+    control = spark.read.format("text").option("lineSep", "\n").load(
+        f"file://{_SFTP_DATA}/file5.txt"
+    )
+    got = _sftp_result(spark, tmp_path, scenario)
+    assert _rows(got) == _rows(control)
+
+
+def test_reference_sftp_gz_file(spark, tmp_path):
+    scenario = {"scenario_name": "sftp_gz_file", "test_name": "compressed_gz_file",
+                "sftp_files_format": "csv"}
+    opts = {"file_name_contains": "file6", "args": {"sep": "|"}}
+    load_data(_sftp_acon(tmp_path, scenario, opts))
+    control = _read_csv(spark, f"{_SFTP_DATA}/file6.compress.gz")
+    got = _sftp_result(spark, tmp_path, scenario)
+    assert _rows(got) == _rows(control)
+
+
+def test_reference_sftp_json_greater_than(spark, tmp_path):
+    scenario = {"scenario_name": "sftp_json", "test_name": "greater_than",
+                "sftp_files_format": "json"}
+    opts = {
+        "date_time_gt": "2022-01-01", "file_name_contains": ".json",
+        "args": {"lines": True, "orient": "columns"},
+    }
+    load_data(_sftp_acon(tmp_path, scenario, opts))
+    control = _read_json(spark, f"{_SFTP_DATA}/file3.json")
+    got = _sftp_result(spark, tmp_path, scenario)
+    assert _rows(got) == _rows(control)
+
+
+def test_reference_sftp_multiple_csv_files(spark, tmp_path):
+    scenario = {"scenario_name": "sftp_mult_files", "test_name": "file_name_contains",
+                "sftp_files_format": "csv"}
+    opts = {"file_name_contains": ".csv", "args": {"sep": "|"}}
+    load_data(_sftp_acon(tmp_path, scenario, opts))
+    control = _read_csv(spark, f"{_SFTP_DATA}/file*.csv")
+    got = _sftp_result(spark, tmp_path, scenario)
+    assert _rows(got) == _rows(control)
+
+
+def test_reference_sftp_xml_lower_than_and_failure(spark, tmp_path):
+    scenario = {"scenario_name": "sftp_xml", "test_name": "lower_than",
+                "sftp_files_format": "xml"}
+    opts = {
+        "date_time_lt": "9999-12-31", "file_name_contains": ".xml",
+        # pandas' lxml backend is absent in this container; the etree
+        # parser is the documented pandas fallback for the same parse
+        "args": {"parser": "etree"},
+    }
+    load_data(_sftp_acon(tmp_path, scenario, opts))
+    control = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .load(f"file://{_SFTP_DATA}/file4.xml")
+    )
+    got = _sftp_result(spark, tmp_path, scenario)
+    assert _rows(got) == _rows(control)
+    fail = dict(scenario, test_name="lower_than_fails")
+    with pytest.raises(ValueError, match="No files were found with the specified parameters."):
+        load_data(_sftp_acon(tmp_path, fail, dict(opts, date_time_lt="2022-01-01")))
+
+
+def test_reference_sftp_zip_file(spark, tmp_path):
+    import io as _io
+    from zipfile import ZipFile
+
+    import pandas as pd
+
+    scenario = {"scenario_name": "sftp_zip_file", "test_name": "compressed_zip_file",
+                "sftp_files_format": "csv"}
+    opts = {"sub_dir": True, "file_name_contains": "file7", "args": {"sep": "|"}}
+    load_data(_sftp_acon(tmp_path, scenario, opts))
+    with ZipFile(f"{_SFTP_DATA}/file7.zip", "r") as zf:
+        pdf = pd.read_csv(
+            _io.TextIOWrapper(zf.open(zf.namelist()[0])), sep="|"
+        ).fillna("").astype(str)
+    control = spark.createDataFrame(pdf)
+    got = _sftp_result(spark, tmp_path, scenario)
+    assert _rows(got) == _rows(control)
