@@ -102,6 +102,173 @@ class WriteType(str, Enum):
     IGNORE_IF_EXISTS = "ignore"
 
 
+SHAREPOINT_SUPPORTED_EXTENSIONS = {".csv", ".xlsx"}
+
+
+class InputNotFoundException(Exception):
+    """Required input option missing (reference exceptions module)."""
+
+
+class InvalidSharepointPathException(Exception):
+    """Contradictory Sharepoint path setup (reference exceptions module)."""
+
+
+class NotSupportedException(Exception):
+    """Requested mode/feature unsupported by this writer/reader
+    (reference ``io/exceptions.py``)."""
+
+
+class EndpointNotFoundException(Exception):
+    """Remote endpoint missing (reference ``io/exceptions.py``)."""
+
+
+class WriteToLocalException(Exception):
+    """Local staging write failed (reference ``io/exceptions.py``)."""
+
+
+@dataclass
+class SharepointFile:
+    """A Sharepoint file with metadata and optional content (reference
+    ``core/definitions.py:163-199`` — the field set IS the API contract
+    shared with the injectable utils/transport)."""
+
+    file_name: str
+    time_created: str = ""
+    time_modified: str = ""
+    content: Optional[bytes] = None
+    _folder: Optional[str] = None
+    skip_rename: bool = False
+    _already_archived: bool = False
+
+    @property
+    def file_extension(self) -> str:
+        import posixpath
+
+        _, ext = posixpath.splitext(self.file_name)
+        return ext
+
+    @property
+    def file_path(self) -> str:
+        if not self._folder:
+            raise AttributeError("file_path unavailable; _folder not set.")
+        return f"{self._folder}/{self.file_name}"
+
+    @property
+    def is_csv(self) -> bool:
+        return self.file_extension.lower() == ".csv"
+
+    @property
+    def is_excel(self) -> bool:
+        return self.file_extension.lower() == ".xlsx"
+
+
+@dataclass
+class SharepointOptions:
+    """Sharepoint I/O options (reference ``core/definitions.py:203-428`` —
+    field names, validation rules and error STRINGS are the ACON API
+    contract; the checks are condensed here but raise identically)."""
+
+    client_id: Optional[str] = None
+    tenant_id: Optional[str] = None
+    site_name: Optional[str] = None
+    drive_name: Optional[str] = None
+    secret: Optional[str] = None
+    local_path: Optional[str] = None
+    file_name: Optional[str] = None
+    api_version: str = "v1.0"
+    conflict_behaviour: Optional[str] = None
+    allowed_extensions: Optional[Any] = None
+    file_type: Optional[str] = None
+    folder_relative_path: Optional[str] = None
+    file_pattern: Optional[str] = None
+    chunk_size: Optional[int] = 100 * 1024 * 1024
+    local_options: Optional[dict] = None
+    archive_enabled: bool = True
+    archive_success_subfolder: Optional[str] = "done"
+    archive_error_subfolder: Optional[str] = "error"
+
+    def _allowed(self) -> set:
+        return {
+            e.lower()
+            for e in (self.allowed_extensions or SHAREPOINT_SUPPORTED_EXTENSIONS)
+        }
+
+    @staticmethod
+    def _ends_supported(value: str, allowed: set) -> bool:
+        low = value.lower()
+        return any(low.endswith(e) for e in allowed)
+
+    def __post_init__(self) -> None:
+        allowed = self._allowed()
+        types = {e.lstrip(".") for e in allowed}
+        if self.file_type and self.file_type.lower() not in types:
+            raise ValueError(
+                f"`file_type` must be one of {sorted(types)}. "
+                f"Got: '{self.file_type}'"
+            )
+        if self.folder_relative_path:
+            self.folder_relative_path = self.folder_relative_path.strip("/")
+            last = self.folder_relative_path.split("/")[-1]
+            if "." in last and not self._ends_supported(last, allowed):
+                raise ValueError(
+                    f"`folder_relative_path` appears to be a file path but "
+                    f"does not end with one of {sorted(allowed)}: "
+                    f"{self.folder_relative_path}"
+                )
+            if self._ends_supported(self.folder_relative_path, allowed):
+                if self.file_name:
+                    raise ValueError(
+                        "When `folder_relative_path` points to a file, "
+                        "`file_name` must be None."
+                    )
+                if self.file_pattern:
+                    raise ValueError(
+                        "When `folder_relative_path` points to a file, "
+                        "`file_pattern` must be None."
+                    )
+                if self.file_type:
+                    raise ValueError(
+                        "When `folder_relative_path` points to a file, "
+                        "`file_type` must be None (it's derived from "
+                        "file_path extension)"
+                    )
+        if self.file_name and self.file_pattern:
+            raise ValueError(
+                "Conflicting options: provide either `file_name` or "
+                "`file_pattern`, not both."
+            )
+
+    def validate_for_reader(self) -> None:
+        missing = [
+            o
+            for o in ("site_name", "drive_name", "folder_relative_path")
+            if not getattr(self, o)
+        ]
+        if missing:
+            raise InputNotFoundException(
+                f"Missing required Sharepoint options for reader: "
+                f"{', '.join(missing)}"
+            )
+        allowed = self._allowed()
+        if self.file_name and not self._ends_supported(self.file_name, allowed):
+            raise ValueError(
+                f"`file_name` must end with one of {sorted(allowed)}, "
+                f"got: {self.file_name}"
+            )
+
+    def validate_for_writer(self) -> None:
+        missing = [
+            o
+            for o in ("site_name", "drive_name", "local_path")
+            if not getattr(self, o)
+        ]
+        if missing:
+            raise InputNotFoundException(
+                f"Missing required Sharepoint options for writer: "
+                f"{', '.join(missing)}"
+            )
+
+
 @dataclass
 class InputSpec:
     """Source specification (reference ``core/definitions.py:604-674``)."""
@@ -125,10 +292,13 @@ class InputSpec:
     calc_upper_bound_schema: Optional[str] = None
     temp_view: Optional[str] = None
     sftp_files_format: Optional[str] = None
+    sharepoint_opts: Optional["SharepointOptions"] = None
 
     def __post_init__(self) -> None:
         if self.data_format is None and self.db_table:
             self.data_format = InputFormat.DELTA.value
+        if isinstance(self.sharepoint_opts, dict):
+            self.sharepoint_opts = SharepointOptions(**self.sharepoint_opts)
 
 
 @dataclass
@@ -244,6 +414,11 @@ class OutputSpec:
     streaming_await_termination: bool = True
     streaming_await_termination_timeout: Optional[int] = None
     with_batch_id: bool = False
+    sharepoint_opts: Optional["SharepointOptions"] = None
+
+    def __post_init__(self) -> None:
+        if isinstance(self.sharepoint_opts, dict):
+            self.sharepoint_opts = SharepointOptions(**self.sharepoint_opts)
 
 
 @dataclass

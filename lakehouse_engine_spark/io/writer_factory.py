@@ -162,6 +162,11 @@ def _write_streaming(
     options = dict(spec.options or {})
     fmt = spec.data_format
 
+    if fmt == OutputFormat.SHAREPOINT.value:
+        from lakehouse_engine_spark.core.definitions import NotSupportedException
+
+        raise NotSupportedException("Sharepoint writer doesn't support streaming!")
+
     if _needs_foreach_batch(spec, micro_batch_fn):
         view = f"lhe_stream_{spec.spec_id}"
         if spec.data_format == OutputFormat.DATAFRAME.value:

@@ -49,6 +49,9 @@ def parse_input_spec(d: dict) -> InputSpec:
             InputFormat.DATAFRAME.value,
             InputFormat.RATE.value,
         ) or (
+            # sharepoint_opts carries the path contract itself
+            spec.data_format == "sharepoint" and spec.sharepoint_opts is not None
+        ) or (
             spec.data_format
             in (InputFormat.JDBC.value, InputFormat.SAP_BW.value, InputFormat.SAP_B4.value)
             and ("dbtable" in opts or "query" in opts)
