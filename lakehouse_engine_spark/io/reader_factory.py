@@ -187,13 +187,27 @@ def _read_jdbc(spark: SparkSession, spec: InputSpec, options: dict) -> DataFrame
         jdbc_args["predicates"] = jdbc_utils.generate_predicates(
             spark, options, add_null=spec.predicates_add_null
         )
+    # The reference's two styles (io/readers/jdbc_reader.py:26-66):
+    # jdbc_args present -> spark.read.jdbc(**jdbc_args) combined with
+    # .options(**options); unexpected jdbc_args keywords surface as the
+    # reference's TypeError. Otherwise .format("jdbc").options(...) —
+    # where `predicates` silently does nothing in vanilla Spark, so the
+    # reference (and we) raise instead.
+    if jdbc_args.get("url") or jdbc_args.get("table"):
+        reader = spark.read
+        if options:
+            reader = reader.options(**options)
+        return reader.jdbc(**jdbc_args)
     if jdbc_args.get("predicates"):
+        # generated predicates ride the options' url/dbtable
         return spark.read.jdbc(
             url=options.pop("url"),
             table=options.pop("dbtable"),
             predicates=jdbc_args["predicates"],
             properties={k: str(v) for k, v in options.items()},
         )
+    if "predicates" in options:
+        raise WrongArgumentsError("Predicates can only be used with jdbc_args.")
     return spark.read.format("jdbc").options(**options).load()
 
 

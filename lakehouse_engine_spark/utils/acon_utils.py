@@ -48,14 +48,18 @@ def parse_input_spec(d: dict) -> InputSpec:
         exempt = spec.data_format in (
             InputFormat.DATAFRAME.value,
             InputFormat.RATE.value,
+            # jdbc/sap carry their source in options/jdbc_args; a missing
+            # dbtable must surface as Spark's own "Option ... is required"
+            # (the reference's jdbc_format/wrong_arguments contract), not
+            # as a parse-time guard
+            InputFormat.JDBC.value,
+            InputFormat.SAP_BW.value,
+            InputFormat.SAP_B4.value,
         ) or (
             # sharepoint_opts carries the path contract itself
             spec.data_format == "sharepoint" and spec.sharepoint_opts is not None
-        ) or (
-            spec.data_format
-            in (InputFormat.JDBC.value, InputFormat.SAP_BW.value, InputFormat.SAP_B4.value)
-            and ("dbtable" in opts or "query" in opts)
         )
+        _ = opts  # kept for clarity of the exemption rationale
         if not exempt:
             raise WrongArgumentsError(
                 f"InputSpec {spec.spec_id}: one of location/db_table/query/df_name required"

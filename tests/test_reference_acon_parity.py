@@ -3547,3 +3547,90 @@ def test_reference_sharepoint_writer_success(spark, tmp_path, monkeypatch, caplo
     assert len(text.strip().splitlines()) == 1 + spark.read.option(
         "header", True
     ).option("delimiter", "|").csv(f"file://{src}").count()
+
+
+# ---------------------------------------------------------------------------
+# jdbc_reader: the reference's five scenarios (reference/tests/feature/
+# test_jdbc_reader.py) — the jdbc_args function style and the
+# .format("jdbc") options style, correct + wrong arguments + the
+# predicates-in-options guard — run against a LIVE embedded Derby database
+# (the reference uses a sqlite driver jar; Derby ships with Spark, so the
+# url/driver strings are the only remap, exactly like the path remaps).
+# ---------------------------------------------------------------------------
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby_stage(spark, tmp_path, table):
+    """The reference's write_into_jdbc_table: stage the source CSV into a
+    live JDBC table."""
+    src = _read_csv(spark, f"{REF}/jdbc_reader/jdbc_function/correct_arguments/data/source/part-01.csv")
+    url = f"jdbc:derby:{tmp_path}/tests_{table}db"
+    src.write.option("driver", _DERBY_DRIVER).jdbc(
+        url + ";create=true", table, mode="overwrite"
+    )
+    return url, src
+
+
+def _jdbc_remap(acon, url):
+    def swap(o):
+        if isinstance(o, dict):
+            return {k: swap(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [swap(v) for v in o]
+        if isinstance(o, str):
+            if o.startswith("jdbc:sqlite:"):
+                return url
+            if o == "org.sqlite.JDBC":
+                return _DERBY_DRIVER
+        return o
+    return swap(acon)
+
+
+@pytest.mark.parametrize("style", ["jdbc_function", "jdbc_format"])
+def test_reference_jdbc_reader_correct_arguments(spark, tmp_path, style):
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    url, src = _derby_stage(spark, tmp_path, style)
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql(f"DROP TABLE IF EXISTS test_db.{style}_table")
+    acon = _jdbc_remap(
+        _acon("jdbc_reader", f"{style}/correct_arguments", "batch_init", in_dir, out_dir),
+        url,
+    )
+    load_data(acon)
+    got = spark.table(f"test_db.{style}_table")
+    control = _read_csv(
+        spark, f"{REF}/jdbc_reader/{style}/correct_arguments/data/control/part-01.csv"
+    )
+    assert _rows(got) == _rows(control)
+    spark.sql(f"DROP TABLE IF EXISTS test_db.{style}_table")
+
+
+def test_reference_jdbc_reader_wrong_arguments_and_predicates_guard(
+    spark, tmp_path
+):
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    url, _ = _derby_stage(spark, tmp_path, "guard")
+    # function style with a bad keyword -> the reference's TypeError
+    with pytest.raises(TypeError, match=r"jdbc\(\) got an unexpected keyword argument"):
+        load_data(_jdbc_remap(
+            _acon("jdbc_reader", "jdbc_function/wrong_arguments", "batch_init", in_dir, out_dir),
+            url,
+        ))
+    # format style missing dbtable -> Spark's Option-required error
+    with pytest.raises(Exception, match="Option .* is required|dbtable"):
+        load_data(_jdbc_remap(
+            _acon("jdbc_reader", "jdbc_format/wrong_arguments", "batch_init", in_dir, out_dir),
+            url,
+        ))
+    # predicates passed as a .format("jdbc") OPTION are silently ignored by
+    # Spark — the reference (and we) raise instead
+    from lakehouse_engine_spark.core.definitions import WrongArgumentsError
+
+    with pytest.raises(
+        WrongArgumentsError, match="Predicates can only be used with jdbc_args."
+    ):
+        load_data(_jdbc_remap(
+            _acon("jdbc_reader", "jdbc_format/predicates", "batch_init", in_dir, out_dir),
+            url,
+        ))
