@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame
 from lakehouse_engine_spark.core.exec_env import ExecEnv
 
 
-def load_data(acon: dict, collect_engine_usage: Optional[str] = None) -> Optional[dict]:
+def load_data(
+    acon: dict,
+    collect_engine_usage: Optional[str] = None,
+    spark_confs: Optional[dict] = None,
+) -> Optional[dict]:
     """Load data according to an ACON (reference ``engine.py:29-53``).
 
     Runs the DataLoader algorithm: read → transform → data quality → write →
@@ -36,7 +40,9 @@ def load_data(acon: dict, collect_engine_usage: Optional[str] = None) -> Optiona
     ``dataframe`` format, else ``None``.
     """
     from lakehouse_engine_spark.algorithms.data_loader import DataLoader
+    from lakehouse_engine_spark.utils.engine_usage import store_engine_usage
 
+    store_engine_usage(acon, "load_data", collect_engine_usage, spark_confs)
     return DataLoader(acon).execute()
 
 
@@ -52,10 +58,16 @@ def execute_reconciliation(acon: dict) -> dict:
     return Reconciliator(acon).execute()
 
 
-def execute_dq_validation(acon: dict) -> Any:
+def execute_dq_validation(
+    acon: dict,
+    collect_engine_usage: Optional[str] = None,
+    spark_confs: Optional[dict] = None,
+) -> Any:
     """Run data-quality validation at rest (reference ``engine.py:85-113``)."""
     from lakehouse_engine_spark.algorithms.dq_validator import DQValidator
+    from lakehouse_engine_spark.utils.engine_usage import store_engine_usage
 
+    store_engine_usage(acon, "execute_dq_validation", collect_engine_usage, spark_confs)
     return DQValidator(acon).execute()
 
 
@@ -104,10 +116,16 @@ def trigger_heartbeat_sensor_jobs(acon: dict, job_runner: Any = None) -> list:
     return Heartbeat(acon, job_runner=job_runner).trigger_jobs()
 
 
-def manage_table(acon: dict) -> Any:
+def manage_table(
+    acon: dict,
+    collect_engine_usage: Optional[str] = None,
+    spark_confs: Optional[dict] = None,
+) -> Any:
     """Execute a table-management operation (reference ``engine.py:116-140``)."""
     from lakehouse_engine_spark.core.table_manager import TableManager
+    from lakehouse_engine_spark.utils.engine_usage import store_engine_usage
 
+    store_engine_usage(acon, "manage_table", collect_engine_usage, spark_confs)
     return TableManager(acon).execute()
 
 

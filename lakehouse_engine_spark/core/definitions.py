@@ -567,7 +567,7 @@ DQ_VALIDATIONS_COL = "dq_validations"
 
 
 class CollectEngineUsage(str, Enum):
-    """Engine-usage collection switch (kept for API parity; a no-op here)."""
+    """Engine-usage collection switch (``utils/engine_usage.py``)."""
 
     ENABLED = "enabled"
     PROD_ONLY = "prod_only"
@@ -581,6 +581,7 @@ class EngineConfig:
     dq_bucket: Optional[str] = None
     notif_disallowed_email_servers: Optional[list] = None
     engine_usage_path: Optional[str] = None
+    engine_dev_usage_path: Optional[str] = None
     collect_engine_usage: str = CollectEngineUsage.DISABLED.value
 
 

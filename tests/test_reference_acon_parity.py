@@ -3634,3 +3634,182 @@ def test_reference_jdbc_reader_wrong_arguments_and_predicates_guard(
             _acon("jdbc_reader", "jdbc_format/predicates", "batch_init", in_dir, out_dir),
             url,
         ))
+
+
+# ---------------------------------------------------------------------------
+# engine_usage_stats: the reference's usage-telemetry matrix
+# (reference/tests/feature/test_engine_usage_stats.py) — load_data (simple
+# acon + custom-transformer/df acon), manage_table and execute_dq_validation
+# each write one usage JSON under <engine_usage_path>/<dp_name>/<y>/<m>/
+# with the acon's sensitive values masked; compared with the reference's
+# own controls (path roots remapped) using the reference's comparison rule
+# (columns equal, start_timestamp monotonic, acon struct string-equal after
+# scrubbing function addresses).
+# ---------------------------------------------------------------------------
+
+
+def custom_transformation(df):
+    """Module-level like the reference's (its qualname is part of the
+    masked-function string the control compares)."""
+    from pyspark.sql.functions import lit
+
+    return df.withColumn("new_column", lit("literal"))
+
+
+def _usage_compare(spark, tmp_path, scenario, logs_dir, in_dir, out_dir):
+    import re as _re
+    from datetime import datetime as _dt
+
+    with open(f"{REF}/engine_usage_stats/{scenario}/data/control.json") as fh:
+        control_text = (
+            fh.read()
+            .replace("/app/tests/lakehouse/in", in_dir)
+            .replace("/app/tests/lakehouse/out", out_dir)
+        )
+    ctrl_path = tmp_path / f"ctrl_{scenario}.json"
+    ctrl_path.write_text(control_text)
+    control_df = spark.read.json(f"file://{ctrl_path}")
+    now = _dt.now()
+    log_folder = f"{logs_dir}/{scenario}/{now.year}/{now.month}/"
+    log_file = sorted(os.listdir(log_folder))[-1]
+    got_df = spark.read.json(f"file://{log_folder}{log_file}")
+    assert got_df.columns == control_df.columns
+    assert (
+        got_df.select("start_timestamp").first()[0]
+        >= control_df.select("start_timestamp").first()[0]
+    )
+
+    def prep(df):
+        s = str(df.drop("start_timestamp", "engine_version").first()[0])
+        s = _re.sub("'<function ", "", s)
+        return _re.sub(" at.*'", "", s)
+
+    assert prep(got_df) == prep(control_df)
+
+
+@pytest.fixture()
+def usage_logs(tmp_path):
+    from lakehouse_engine_spark.core.exec_env import ExecEnv
+
+    prev = ExecEnv.ENGINE_CONFIG
+    logs = str(tmp_path / "logs")
+    ExecEnv.set_engine_config(engine_usage_path=logs)
+    yield logs
+    ExecEnv.ENGINE_CONFIG = prev
+
+
+@pytest.mark.parametrize(
+    "scenario", ["load_simple_acon", "load_custom_transf_and_df"]
+)
+def test_reference_engine_usage_stats_load_data(
+    spark, tmp_path, usage_logs, scenario
+):
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    src = f"{in_dir}/feature/engine_usage_stats/{scenario}/data"
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{REF}/engine_usage_stats/{scenario}/data/source.csv", src)
+
+    transformers = [
+        {"function": "rename", "args": {"cols": {"salesorder": "salesorder1"}}}
+    ]
+    if "simple_acon" not in scenario:
+        transformers.append(
+            {
+                "function": "custom_transformation",
+                "args": {"custom_transformer": custom_transformation},
+            }
+        )
+        df = spark.read.options(
+            header="True", inferSchema="True", delimiter="|"
+        ).csv(f"file://{src}")
+        input_spec = {
+            "spec_id": "sales_source", "read_type": "batch",
+            "data_format": "dataframe", "df_name": df,
+        }
+    else:
+        input_spec = {
+            "spec_id": "sales_source", "read_type": "batch",
+            "data_format": "csv",
+            "options": {
+                "mode": "FAILFAST", "header": True, "delimiter": "|",
+                "password": "dummy_password",
+            },
+            "location": f"{in_dir}/feature/engine_usage_stats/{scenario}/data/",
+        }
+    acon = {
+        "input_specs": [input_spec],
+        "transform_specs": [
+            {"spec_id": "renamed_kpi", "input_id": "sales_source",
+             "transformers": transformers}
+        ],
+        "output_specs": [
+            {
+                "spec_id": "sales_bronze", "input_id": "renamed_kpi",
+                "write_type": "overwrite", "data_format": "delta",
+                "location": f"{out_dir}/feature/engine_usage_stats/{scenario}/data/",
+            }
+        ],
+        "exec_env": {"dp_name": scenario},
+    }
+    load_data(
+        acon=acon, spark_confs={"dp_name": "dp_name"},
+        collect_engine_usage="enabled",
+    )
+    _usage_compare(spark, tmp_path, scenario, usage_logs, in_dir, out_dir)
+
+
+def test_reference_engine_usage_stats_table_manager(spark, tmp_path, usage_logs):
+    from lakehouse_engine_spark import manage_table
+
+    manage_table(
+        acon={
+            "function": "execute_sql", "sql": "select 1",
+            "exec_env": {"dp_name": "table_manager"},
+        },
+        spark_confs={"dp_name": "dp_name"},
+        collect_engine_usage="enabled",
+    )
+    _usage_compare(
+        spark, tmp_path, "table_manager", usage_logs,
+        str(tmp_path / "in"), str(tmp_path / "out"),
+    )
+
+
+def test_reference_engine_usage_stats_dq_validator(spark, tmp_path, usage_logs):
+    from lakehouse_engine_spark import execute_dq_validation
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    src = f"{in_dir}/feature/engine_usage_stats/dq_validator/data"
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{REF}/engine_usage_stats/dq_validator/data/source.csv", src)
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_db")
+    spark.sql("DROP TABLE IF EXISTS test_db.dq_validator")
+    acon = {
+        "input_spec": {
+            "spec_id": "sales_source", "read_type": "batch",
+            "data_format": "csv",
+            "options": {"mode": "FAILFAST", "header": True, "delimiter": "|"},
+            "location": f"{in_dir}/feature/engine_usage_stats/dq_validator/data/",
+        },
+        "dq_spec": {
+            "spec_id": "dq_sales", "input_id": "sales_source",
+            "dq_type": "validator", "store_backend": "file_system",
+            "local_fs_root_dir": f"{out_dir}/feature/engine_usage_stats/dq",
+            "result_sink_db_table": "test_db.dq_validator",
+            "result_sink_format": "json", "result_sink_explode": False,
+            "dq_functions": [
+                {"function": "expect_column_to_exist", "args": {"column": "article"}},
+                {"function": "expect_table_row_count_to_be_between",
+                 "args": {"min_value": 3, "max_value": 11}},
+                {"function": "expect_column_pair_a_to_be_smaller_or_equal_than_b",
+                 "args": {"column_A": "salesorder", "column_B": "amount"}},
+            ],
+        },
+        "exec_env": {"dp_name": "dq_validator"},
+    }
+    execute_dq_validation(
+        acon=acon, spark_confs={"dp_name": "dp_name"},
+        collect_engine_usage="enabled",
+    )
+    _usage_compare(spark, tmp_path, "dq_validator", usage_logs, in_dir, out_dir)
+    spark.sql("DROP TABLE IF EXISTS test_db.dq_validator")
