@@ -3813,3 +3813,136 @@ def test_reference_engine_usage_stats_dq_validator(spark, tmp_path, usage_logs):
     )
     _usage_compare(spark, tmp_path, "dq_validator", usage_logs, in_dir, out_dir)
     spark.sql("DROP TABLE IF EXISTS test_db.dq_validator")
+
+
+# ---------------------------------------------------------------------------
+# file_manager_dbfs: the reference's DBFS file-manager flow (reference/
+# tests/feature/test_file_manager_dbfs.py) — copy/delete/move of a
+# 2000-file tree, dry-run listing dicts and real operations — run through
+# OUR DbfsFileManager with the reference's own dbutils fixture shape
+# injected as the client (the exact seam its test patches in).
+# ---------------------------------------------------------------------------
+
+
+class _FileInfo:
+    def __init__(self, path, name, size):
+        self.path, self.name, self.size = path, name, size
+
+    def isDir(self):
+        return os.path.isdir(self.path)
+
+    def isFile(self):
+        return os.path.isfile(self.path)
+
+
+class _DbUtilsFixture:
+    """The reference test's DBUtilsFixture, re-typed: local-fs dbutils."""
+
+    def __init__(self):
+        self.fs = self
+
+    @staticmethod
+    def cp(src, dest, recurse=False):
+        if os.path.isfile(src):
+            shutil.copy(src, dest)
+        elif recurse:
+            shutil.copytree(src, dest)
+        else:
+            shutil.copy(src, dest)
+
+    @staticmethod
+    def ls(path):
+        import pathlib
+
+        return [
+            _FileInfo(str(p.absolute()), p.name, p.stat().st_size)
+            for p in pathlib.Path(path).glob("*")
+        ]
+
+    @staticmethod
+    def mkdirs(path):
+        import pathlib
+
+        pathlib.Path(path).mkdir(parents=True, exist_ok=True)
+
+    @staticmethod
+    def mv(src, dest, recurse=False):
+        shutil.move(src, dest)
+
+    @staticmethod
+    def put(path, content, overwrite=False):
+        import pathlib
+
+        f = pathlib.Path(path)
+        if f.exists() and not overwrite:
+            raise FileExistsError("File already exists")
+        f.write_text(content, encoding="utf-8")
+
+    @staticmethod
+    def rm(path, recurse=False):
+        if os.path.isfile(path):
+            os.remove(path)
+        elif recurse:
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
+
+
+def test_reference_file_manager_dbfs_acons_run_verbatim(
+    tmp_path, monkeypatch, caplog
+):
+    import logging as _logging
+
+    from lakehouse_engine_spark import manage_files
+
+    caplog.set_level(_logging.INFO)
+    monkeypatch.chdir(tmp_path)  # the reference acons use relative dbfs paths
+    dbutils = _DbUtilsFixture()
+    root = "tests/lakehouse/dbfs"
+    dbutils.fs.mkdirs(root)
+    dbutils.fs.put(f"{root}/test_single_file.json", "")
+    for d in ("test_directory", "test_directory_test"):
+        dbutils.fs.mkdirs(f"{root}/{d}/")
+        for x in range(2000):
+            dbutils.fs.put(f"{root}/{d}/test_recursive_file{x}.json", "")
+
+    def acon(op, name):
+        with open(f"{REF}/file_manager_dbfs/{op}/{name}.json") as fh:
+            return json.load(fh)
+
+    abs_root = str(tmp_path / root)
+
+    # ---- copy: dry run lists every file, real copy mirrors the tree,
+    # single-object copy lands next to the source
+    manage_files(acon("copy_objects", "acon_copy_directory_dry_run"), client=dbutils)
+    assert all(
+        f"{abs_root}/test_directory/test_recursive_file{x}.json" in caplog.text
+        for x in range(2000)
+    )
+    manage_files(acon("copy_objects", "acon_copy_directory"), client=dbutils)
+    assert len(dbutils.fs.ls(f"{root}/test_directory")) == len(
+        dbutils.fs.ls(f"{root}/destination_directory")
+    )
+    manage_files(acon("copy_objects", "acon_copy_single_object"), client=dbutils)
+    names = {i.name for i in dbutils.fs.ls(f"{root}/")}
+    assert {"test_single_file.json", "destination_single_file.json"} <= names
+
+    # ---- delete: dry run lists both trees, real delete empties the copy
+    manage_files(acon("delete_objects", "acon_delete_objects_dry_run"), client=dbutils)
+    assert (
+        f"{{'{root}/test_directory': ['{abs_root}/test_directory/"
+        in caplog.text
+    )
+    assert all(
+        f"{abs_root}/destination_directory/test_recursive_file{x}.json"
+        in caplog.text
+        for x in range(2000)
+    )
+    manage_files(acon("delete_objects", "acon_delete_objects"), client=dbutils)
+    assert len(dbutils.fs.ls(f"{root}/destination_directory")) == 0
+
+    # ---- move: dry run lists the source, real move relocates the tree
+    manage_files(acon("move_objects", "acon_move_objects_dry_run"), client=dbutils)
+    manage_files(acon("move_objects", "acon_move_objects"), client=dbutils)
+    assert not os.path.exists(f"{root}/test_directory")
+    assert len(dbutils.fs.ls(f"{root}/test_mv_directory")) == 2000
