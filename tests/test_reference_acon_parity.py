@@ -2909,13 +2909,16 @@ def test_reference_heartbeat_scenarios_run_verbatim(spark, scenario, monkeypatch
         spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
         # a dropped managed table can leave its warehouse dir behind
         # (other tests create tables of the same name) — CREATE TABLE
-        # refuses to reuse the location otherwise
+        # refuses to reuse the location otherwise, and Spark's shared
+        # file-index cache can still hold the OLD table's part files
         shutil.rmtree(f"{wh}/test_db.db/{tbl}", ignore_errors=True)
+        spark.catalog.refreshByPath(f"file://{wh}/test_db.db/{tbl}")
         spark.sql(
             f"CREATE TABLE test_db.{tbl} ("
             + ",".join(f"`{c}` {t}" for c, t in cols.items())
             + ") USING parquet"
         )
+        spark.catalog.refreshTable(f"test_db.{tbl}")
 
     acon = {
         "heartbeat_sensor_db_table": hb_table,
