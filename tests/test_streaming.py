@@ -955,3 +955,38 @@ def test_streaming_curation_chain_end_to_end_with_restart(spark, tmp_dir):
     load_data(acon)
     after = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert 20 not in after and 21 in after and len(after) == 3
+
+
+def test_incremental_embedding_empty_and_null_edge_cases(spark, tmp_path):
+    """Degenerate inputs: an all-null/zero-norm delivery keeps every row
+    and appends no state; an EMPTY delivery survives the run (no crash,
+    no state rows); a following real delivery still dedups in-batch."""
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.transformers.transformer_factory import (
+        TransformerFactory,
+    )
+
+    def t(name, **args):
+        return TransformerFactory.get_transformer(TransformerSpec(name, args))
+
+    state = str(tmp_path / "st")
+    op = lambda: t(  # noqa: E731
+        "dedup_incremental_embedding", state_location=state, threshold=0.98,
+        num_planes=6, num_tables=2, dim=4,
+    )
+    nulls = spark.createDataFrame(
+        [(1, None), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    assert sorted(r["vec_id"] for r in nulls.transform(op()).collect()) == [1, 2]
+    import os as _os
+
+    state_rows = spark.read.parquet(state).count() if _os.path.isdir(state) else 0
+    assert state_rows == 0  # no cosine direction -> nothing persisted
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert empty.transform(op()).count() == 0
+    real = spark.createDataFrame(
+        [(10, [1.0, 2.0, 3.0, 4.0]), (11, [1.0005, 2.0, 3.0, 4.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    assert sorted(r["vec_id"] for r in real.transform(op()).collect()) == [10]
