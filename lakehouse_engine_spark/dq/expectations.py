@@ -238,15 +238,21 @@ def eval_queried_agg(
                 return v
 
         vals = [_num(v) for v in vals]
-        if cond == "lesser":
-            hi = _num(template_dict["max_value"])
-            return all(v < hi for v in vals)
-        if cond == "greater":
+        try:
+            if cond == "lesser":
+                hi = _num(template_dict["max_value"])
+                return all(v < hi for v in vals)
+            if cond == "greater":
+                lo = _num(template_dict["min_value"])
+                return all(v > lo for v in vals)
             lo = _num(template_dict["min_value"])
-            return all(v > lo for v in vals)
-        lo = _num(template_dict["min_value"])
-        hi = _num(template_dict["max_value"])
-        return all(lo <= v <= hi for v in vals)
+            hi = _num(template_dict["max_value"])
+            return all(lo <= v <= hi for v in vals)
+        except TypeError:
+            # a group value that doesn't parse numerically (e.g. max over
+            # strings landing on 'N/A') can't satisfy a numeric bound —
+            # the EXPECTATION fails; the run must not crash
+            return False
     q = template_dict["user_query"] if "user_query" in template_dict else template_dict["query"]
     row = spark.sql(q).first()
     val = row[0] if row is not None else None

@@ -169,8 +169,19 @@ def _catalog_schema_for_location(spark, location):
     want = _normalize_fs_path(location)
     hit = _LOCATION_TABLE_CACHE.get(want)
     if hit:
+        # validate the binding still points AT the location (one DESCRIBE
+        # on one table): a dropped table, or a same-named table re-created
+        # at a different path, must fall through to a re-walk instead of
+        # serving a stale schema authority
         try:
-            return spark.table(hit).schema
+            rows = spark.sql(f"DESCRIBE FORMATTED {hit}").collect()
+            loc = next(
+                (r["data_type"] for r in rows if r["col_name"] == "Location"),
+                None,
+            )
+            if loc and _normalize_fs_path(loc) == want:
+                return spark.table(hit).schema
+            _LOCATION_TABLE_CACHE.pop(want, None)
         except Exception:
             _LOCATION_TABLE_CACHE.pop(want, None)
     try:

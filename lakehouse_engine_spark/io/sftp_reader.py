@@ -20,7 +20,6 @@ reader.
 
 from __future__ import annotations
 
-import fnmatch
 import gzip
 import io
 import os
@@ -110,7 +109,7 @@ def _parse_dt(text: str) -> datetime:
     )
 
 
-def _matches(attrs, options: dict, fmt: str) -> bool:
+def _matches(attrs, options: dict) -> bool:
     """Reference filter semantics (sftp_extraction_utils.py:264-300):
     ``file_name_contains`` + the date interval ONLY — the files_format
     drives the PARSER, never the listing (fwf feeds read .txt files, gz
@@ -137,7 +136,7 @@ def get_files_list(client, location: str, options: dict, fmt: str) -> List[str]:
             path = f"{folder}/{attrs.filename}"
             if statmod.S_ISDIR(attrs.st_mode):
                 stack.append(path)
-            elif _matches(attrs, options, fmt):
+            elif _matches(attrs, options):
                 files.append((path, attrs.st_mtime))
     if not files:
         return []

@@ -317,7 +317,11 @@ def read_sharepoint_opts(
                         to_path=error_folder,
                         move_enabled=opts.archive_enabled,
                     )
+                    # flag BOTH handles: the except block below checks `f`,
+                    # so flagging only the re-fetched f_loaded would archive
+                    # the same file twice
                     f_loaded._already_archived = True
+                    f._already_archived = True
                     raise ValueError(f"Schema mismatch in '{f.file_name}'")
                 base_schema = base_schema or df.schema
                 dfs.append(df)

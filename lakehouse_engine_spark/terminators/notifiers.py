@@ -250,11 +250,17 @@ class EmailNotifier(Notifier):
                 _LOGGER.info(
                     "smtp auth unavailable (%s); sending unauthenticated", e
                 )
-            smtp.sendmail(
-                self.notification.get("from", ""),
-                to + cc + bcc,
-                msg.as_string(),
-            )
+            try:
+                smtp.sendmail(
+                    self.notification.get("from", ""),
+                    to + cc + bcc,
+                    msg.as_string(),
+                )
+                _LOGGER.info("Email sent successfully.")
+            except smtplib.SMTPException as e:
+                # reference behavior: a rejected send is logged, never
+                # fails the pipeline (email_notifier.py:173-179)
+                _LOGGER.exception("Exception while sending email: %s", e)
 
 
 class NotifierFactory:

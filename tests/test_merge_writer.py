@@ -185,11 +185,12 @@ def test_catalog_schema_lookup_is_bulk_and_memoized(spark, tmp_dir):
             sql_calls.clear()
             schema2 = mw._catalog_schema_for_location(spark, locs[3])
             assert schema2 == schema
-            # memo hit: no catalog walk, no SHOW/DESCRIBE round-trips
+            # memo hit: no catalog walk; exactly one validating DESCRIBE
+            # (the binding must be re-checked against the location so a
+            # re-created table can't serve a stale schema), no SHOWs
             assert ld.call_count == 0
-            assert not [
-                q for q in sql_calls if "SHOW TABLE" in q or "DESCRIBE" in q
-            ], sql_calls
+            assert not [q for q in sql_calls if "SHOW TABLE" in q], sql_calls
+            assert len([q for q in sql_calls if "DESCRIBE" in q]) == 1, sql_calls
     # stale binding falls through to a re-walk instead of erroring
     spark.sql("DROP TABLE lookup_db.lk3")
     assert mw._catalog_schema_for_location(spark, locs[3]) is None
