@@ -2858,8 +2858,11 @@ def test_reference_heartbeat_scenarios_run_verbatim(spark, scenario, monkeypatch
 
     name = scenario["name"]
     res = f"{REF}/heartbeat"
-    hb_table = "test_db.heartbeat_sensor_control_table"
-    sensor_table = "test_db.sensor_table"
+    # UNIQUE table names: other suites create/drop tables named like the
+    # reference's at the same warehouse paths, and Spark's path-keyed
+    # relation caches alias across them under full-suite load
+    hb_table = "test_db.hb_parity_control_table"
+    sensor_table = "test_db.hb_parity_sensor_table"
     ctrl_schema = schema_from_file(
         f"{res}/control/{name}/schema/ctrl_heart_tbl_schema.json"
     )
@@ -2902,9 +2905,12 @@ def test_reference_heartbeat_scenarios_run_verbatim(spark, scenario, monkeypatch
         if wh.startswith(prefix):
             wh = wh[len(prefix):]
             break
-    for tbl in ("heartbeat_sensor_control_table", "sensor_table"):
+    for tbl, src_cols in (
+        ("hb_parity_control_table", "heartbeat_sensor_control_table"),
+        ("hb_parity_sensor_table", "sensor_table"),
+    ):
         cols = _json.load(
-            open(f"{res}/setup/{name}/column_list/{tbl}.json")
+            open(f"{res}/setup/{name}/column_list/{src_cols}.json")
         )
         spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
         # a dropped managed table can leave its warehouse dir behind
@@ -2974,7 +2980,7 @@ def test_reference_heartbeat_scenarios_run_verbatim(spark, scenario, monkeypatch
     assert _rows(spark.table(hb_table)) == _rows(
         heart_control("ctrl_heart_tbl_trigger_job.csv")
     )
-    for tbl in ("heartbeat_sensor_control_table", "sensor_table"):
+    for tbl in ("hb_parity_control_table", "hb_parity_sensor_table"):
         spark.sql(f"DROP TABLE IF EXISTS test_db.{tbl}")
 
 
