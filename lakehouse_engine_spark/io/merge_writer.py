@@ -112,6 +112,14 @@ def _save_table(frame, spark, db_table, fmt):
     if loc:
         writer = writer.option("path", loc)
     writer.saveAsTable(db_table)
+    # the overwrite REPLACED the files under the table's path; other
+    # relations cached against that path (a different table object on the
+    # same location, long-lived sessions) would otherwise resolve the
+    # deleted part files — the Delta reference is transactional here, the
+    # parquet fallback must invalidate explicitly
+    spark.catalog.refreshTable(db_table)
+    if loc:
+        spark.catalog.refreshByPath(loc)
 
 
 # location -> qualified table name, filled by successful lookups so a
