@@ -79,6 +79,15 @@ class Heartbeat:
 
     # ------------------------------------------------------------- sensing
     def _control_df(self) -> DataFrame:
+        # refresh-at-read: the control table is rewritten by saveAsTable
+        # overwrite between calls (the parquet fallback is not
+        # transactional like the reference's Delta), and long-lived
+        # sessions can otherwise resolve deleted part files from cached
+        # listings (Spark's KD001 remedy). Control-plane table — the
+        # refresh is a metadata no-op in the common case.
+        self.spark.sql(
+            f"REFRESH TABLE {self.spec.heartbeat_sensor_db_table}"
+        )
         return self.spark.read.table(self.spec.heartbeat_sensor_db_table)
 
     def _active_jobs(self) -> DataFrame:

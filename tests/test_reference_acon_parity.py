@@ -2870,6 +2870,12 @@ def test_reference_heartbeat_scenarios_run_verbatim(spark, scenario, monkeypatch
         f"{res}/setup/{name}/schema/schema_sensor_df.json"
     )
 
+    def heart_table():
+        # refresh-at-read for the same reason as Heartbeat._control_df —
+        # the table was just rewritten by a non-transactional overwrite
+        spark.sql(f"REFRESH TABLE {hb_table}")
+        return spark.table(hb_table)
+
     def heart_control(fname):
         return (
             spark.read.option("header", True)
@@ -2937,7 +2943,7 @@ def test_reference_heartbeat_scenarios_run_verbatim(spark, scenario, monkeypatch
     execute_heartbeat_sensor_data_feed(
         f"file://{res}/setup/{name}/data/setup_heartbeat_data.csv", hb_table
     )
-    assert _rows(spark.table(hb_table)) == _rows(
+    assert _rows(heart_table()) == _rows(
         heart_control("ctr_heart_tbl_heartb_feed.csv")
     )
 
@@ -2945,7 +2951,7 @@ def test_reference_heartbeat_scenarios_run_verbatim(spark, scenario, monkeypatch
     # the reference mocks _execute_batch_of_sensor)
     monkeypatch.setattr(sensor_mod.Sensor, "execute", lambda self: True)
     execute_sensor_heartbeat(acon=acon)
-    hb_after = spark.table(hb_table)
+    hb_after = heart_table()
     assert (
         hb_after.filter("status = 'NEW_EVENT_AVAILABLE'").count()
         == scenario["new_events"]
@@ -2960,7 +2966,7 @@ def test_reference_heartbeat_scenarios_run_verbatim(spark, scenario, monkeypatch
         sensor_table
     )
     update_heartbeat_sensor_status(hb_table, sensor_table, scenario["job_id"])
-    assert _rows(spark.table(hb_table)) == _rows(
+    assert _rows(heart_table()) == _rows(
         heart_control("ctrl_heart_tbl_updated.csv")
     )
     ctrl_sensors = spark.read.schema(sensor_schema).json(
@@ -2977,7 +2983,7 @@ def test_reference_heartbeat_scenarios_run_verbatim(spark, scenario, monkeypatch
         f"INSERT INTO {sensor_table} VALUES {scenario['insert_sensors']}"
     )
     trigger_heartbeat_sensor_jobs(acon, job_runner=lambda job_id: ("run_id", None))
-    assert _rows(spark.table(hb_table)) == _rows(
+    assert _rows(heart_table()) == _rows(
         heart_control("ctrl_heart_tbl_trigger_job.csv")
     )
     for tbl in ("hb_parity_control_table", "hb_parity_sensor_table"):
