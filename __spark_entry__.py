@@ -3693,6 +3693,36 @@ def _duck_knn_ivf_hier(
     """
 
 
+def _duck_prototype_prune(k: int, iters: int, keep_frac: float) -> str:
+    """Mirror of dp133: the flat trainer's CTEs give (id, cluster, dist);
+    the per-cluster cut replays quantile_prune's histogram-cumsum
+    threshold with higher_is_better=False (ascending cum over the exact
+    bigint distances, threshold = smallest score whose at-or-better
+    population reaches ceil(frac*n), ties kept)."""
+    flat = _kmeans_oracle_sql(k, iters)
+    head, _ = flat.rsplit(" SELECT id AS vec_id", 1)
+    fa = f"a{iters + 1}"
+    return f"""{head},
+        asg AS (SELECT id, c, d FROM {fa}),
+        hist AS (SELECT c, d AS s, COUNT(*) AS cnt FROM asg GROUP BY 1, 2),
+        cum AS (
+          SELECT c, s,
+                 SUM(cnt) OVER (PARTITION BY c ORDER BY s ASC
+                                ROWS UNBOUNDED PRECEDING) AS cm,
+                 SUM(cnt) OVER (PARTITION BY c) AS n
+          FROM hist
+        ),
+        thr AS (
+          SELECT c, MIN(s) AS t FROM cum
+          WHERE cm >= CEIL(n * {keep_frac}) GROUP BY c
+        )
+        SELECT asg.id AS vec_id, asg.c::INT AS cluster,
+               asg.d::BIGINT AS cluster_dist
+        FROM asg JOIN thr USING (c)
+        WHERE asg.d <= thr.t
+    """
+
+
 def _duck_semantic_hier(
     threshold: float, k1: int, k2: int, it1: int, it2: int
 ) -> str:
@@ -3747,6 +3777,30 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
             query_filter="vec_id < 10",
         )
     )
+
+
+def dp133_prototype_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Prototypicality data pruning (Sorscher et al. 2022, 'Beyond neural
+    scaling laws': prune by distance to the cluster prototype): cluster
+    with dp112's deterministic integer-grid trainer, then keep the 50%
+    most prototypical vectors WITHIN EACH CLUSTER (smallest exact squared
+    grid distance to the final centroid). Pure composition —
+    embedding_kmeans -> quantile_prune(higher_is_better=False,
+    group_cols=[cluster]) — so the cut is dp129's per-group histogram
+    threshold (no global sort, no per-row window; the cluster-sized
+    threshold table broadcasts), and the oracle replays the trainer CTEs
+    plus the cumulative-histogram cut bit-for-bit."""
+    emb = load_table(spark, sf, "embeddings")
+    out = emb.transform(_t("embedding_kmeans", k=8, iterations=2)).transform(
+        _t(
+            "quantile_prune",
+            score_col="cluster_dist",
+            keep_frac=0.5,
+            higher_is_better=False,
+            group_cols=["cluster"],
+        )
+    )
+    return out.select("vec_id", "cluster", "cluster_dist")
 
 
 def dp132_semantic_dedup_hier(spark: SparkSession, sf: str) -> DataFrame:
@@ -3945,6 +3999,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp133_prototype_prune",
     "dp132_semantic_dedup_hier",
     "dp97_semantic_dedup",
     "dp112_embedding_kmeans",
@@ -3968,6 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp133_prototype_prune": dp133_prototype_prune,
         "dp132_semantic_dedup_hier": dp132_semantic_dedup_hier,
         "dp97_semantic_dedup": dp97_semantic_dedup,
         "dp112_embedding_kmeans": dp112_embedding_kmeans,
@@ -4020,8 +4076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp46_token_budget_sample": dp46_token_budget_sample,  # last hard driver signal r08
         "dp47_line_dedup": dp47_line_dedup,  # last hard driver signal r08
         "dp48_substring_dedup": dp48_substring_dedup,  # last hard driver signal r08
+        # ---- driver window boundary (entry 50 = dp48_substring_dedup;
+        # ---- dp49 slips to 51 — same r08 staleness as the boundary, so
+        # ---- the rotation rule holds) ----
         "dp49_curation_report": dp49_curation_report,  # last hard driver signal r08
-        # ---- driver window boundary (entry 50 = dp49_curation_report) ----
         # --- remainder: r08/r09/r10-fresh cohorts, value-verified via
         # --- tools/check_oracle.py every round ---
         "dp69_bpe_tokenize": dp69_bpe_tokenize,
@@ -6645,6 +6703,7 @@ def oracle_sql() -> dict[str, str]:
         "dp112_embedding_kmeans": _kmeans_oracle_sql(8, 2),
         "dp130_kmeans_hier": _kmeans_hier_oracle_sql(4, 3, 1, 1),
         "dp132_semantic_dedup_hier": _duck_semantic_hier(0.9, 4, 3, 1, 1),
+        "dp133_prototype_prune": _duck_prototype_prune(8, 2, 0.5),
         "dp131_knn_ivf_hier": _duck_knn_ivf_hier(5, 4, 4, 1, 1, 3),
         "dp113_cluster_stats": (
             "WITH asg AS (" + _kmeans_oracle_sql(8, 2) + ") "
