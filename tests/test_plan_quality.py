@@ -842,6 +842,22 @@ def test_group_quantile_prune_broadcasts_threshold_table(spark, sf_dir):
         assert bad not in physical, (bad, physical[:2000])
 
 
+def test_prototype_prune_composition_inherits_scale_posture(spark, sf_dir):
+    """dp133 (prototypicality pruning = kmeans -> per-cluster quantile
+    prune): the composition must keep both constituents' scale shapes —
+    the trainer's joinless Arrow assignment (no join shuffles the
+    corpus against centroids) and the prune's broadcast threshold
+    attach; no cartesian, no sort-merge join, and no per-row window
+    over the corpus (the cumulative window runs on the bounded-grid
+    distance histogram only)."""
+    df = entry.queries()["dp133_prototype_prune"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in physical, (bad, physical[:2000])
+    assert "ArrowEvalPython" in physical  # the trainer's assignment kernel
+
+
 def test_curation_pipeline_composes_scale_correct_plans(spark, sf_dir):
     """q31 (the composed ACON curation chain) must inherit every stage's
     scale posture through composition: no cartesian product anywhere, no
