@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_engine_spark.core.definitions import DQFunctionSpec, DQSpec, TransformerSpec
 from lakehouse_engine_spark.datapipes.dedup import MINHASH_AB, MINHASH_P
+from lakehouse_engine_spark.datapipes.numeric import cramer_fit_exprs
 from lakehouse_engine_spark.datapipes.text import PII_PATTERNS
 from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
 from lakehouse_engine_spark.utils.tables import load_table
@@ -3779,6 +3780,39 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp134_linear_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed ridge-regression TRAINING (datapipes/numeric.py
+    linear_fit_normal): per-label closed-form fit of grid-quantized
+    embedding dim 1 on dims 2-4 — ONE map-side-combined moment pass
+    (exact DECIMAL Gram sums, order-independent), then an unrolled
+    Cramer solve whose generated SQL text is shared VERBATIM with this
+    oracle, so the final IEEE doubles (weights + r2) hash-match
+    bit-for-bit. The trainer half of dp_linear_score's inference: fit on
+    a labeled seed, export weights, score 100 TB as a projection."""
+    emb = load_table(spark, sf, "embeddings")
+    grid = emb.select(
+        "label",
+        *[
+            F.floor(
+                F.element_at(F.col("embedding"), i).cast("double") * 1024.0 + 0.5
+            )
+            .cast("long")
+            .alias(f"x{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    out = grid.transform(
+        _t(
+            "linear_fit_normal",
+            feature_cols=["x2", "x3", "x4"],
+            y_col="x1",
+            l2=1.0,
+            group_cols=["label"],
+        )
+    )
+    return out.select("label", "n", "w0", "w1", "w2", "w3", "r2")
+
+
 def dp133_prototype_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Prototypicality data pruning (Sorscher et al. 2022, 'Beyond neural
     scaling laws': prune by distance to the cluster prototype): cluster
@@ -3999,6 +4033,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp134_linear_fit",
     "dp133_prototype_prune",
     "dp132_semantic_dedup_hier",
     "dp97_semantic_dedup",
@@ -4023,6 +4058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp134_linear_fit": dp134_linear_fit,
         "dp133_prototype_prune": dp133_prototype_prune,
         "dp132_semantic_dedup_hier": dp132_semantic_dedup_hier,
         "dp97_semantic_dedup": dp97_semantic_dedup,
@@ -4533,6 +4569,61 @@ def _duck_knn_ivf(k: int, num_centroids: int, nprobe: int) -> str:
             PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
           FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+def _duck_linear_fit(l2: float) -> str:
+    """Replay of dp134: grid-quantize dims 1-4, exact integer moment sums
+    (DuckDB HUGEINT ≡ Spark's exact DECIMAL(37,12) sums — both cast to
+    the nearest double of the same exact integer), then the IDENTICAL
+    Cramer/r2 expression text the Spark plan runs
+    (numeric.cramer_fit_exprs) — bit-for-bit weight parity."""
+    ex = cramer_fit_exprs(3, l2)
+    dims = {f"x{i}": f"CAST(floor(CAST(embedding[{i}] AS DOUBLE)*1024.0 + 0.5) AS BIGINT)" for i in (1, 2, 3, 4)}
+    feats = ["x2", "x3", "x4"]  # y = x1
+    moments = [
+        "COUNT(*) AS n",
+        "CAST(COUNT(*) AS DOUBLE) AS g00",
+    ]
+    for i, f in enumerate(feats, start=1):
+        moments.append(f"CAST(SUM({f}) AS DOUBLE) AS g0{i}")
+        for j, f2 in enumerate(feats[i - 1:], start=i):
+            moments.append(f"CAST(SUM({f}*{f2}) AS DOUBLE) AS g{i}{j}")
+    moments.append("CAST(SUM(x1) AS DOUBLE) AS b0")
+    for i, f in enumerate(feats, start=1):
+        moments.append(f"CAST(SUM({f}*x1) AS DOUBLE) AS b{i}")
+    moments.append("CAST(SUM(x1*x1) AS DOUBLE) AS syy")
+    wb = " + ".join(f"w{i}*b{i}" for i in range(4))
+    wgw = " + ".join(
+        f"w{i}*w{j}*g{min(i, j)}{max(i, j)}" for i in range(4) for j in range(4)
+    )
+    sse = f"(syy - 2.0*({wb}) + ({wgw}))"
+    sst = "(syy - b0*b0/n)"
+    return f"""
+        WITH q AS (
+          SELECT label,
+                 {dims['x1']} AS x1, {dims['x2']} AS x2,
+                 {dims['x3']} AS x3, {dims['x4']} AS x4
+          FROM embeddings
+        ), qq AS (
+          SELECT * FROM q
+          WHERE x1 IS NOT NULL AND x2 IS NOT NULL
+            AND x3 IS NOT NULL AND x4 IS NOT NULL
+        ), mom AS (
+          SELECT label, {', '.join(moments)}
+          FROM qq GROUP BY label
+        ), solved AS (
+          SELECT *, {ex['det']} AS det,
+                 CASE WHEN {ex['det']} <> 0.0 THEN {ex['w0']} / {ex['det']} END AS w0,
+                 CASE WHEN {ex['det']} <> 0.0 THEN {ex['w1']} / {ex['det']} END AS w1,
+                 CASE WHEN {ex['det']} <> 0.0 THEN {ex['w2']} / {ex['det']} END AS w2,
+                 CASE WHEN {ex['det']} <> 0.0 THEN {ex['w3']} / {ex['det']} END AS w3
+          FROM mom
+        )
+        SELECT label, n, w0, w1, w2, w3,
+               CASE WHEN det <> 0.0 AND {sst} > 0.0
+                    THEN 1.0 - {sse}/{sst} END AS r2
+        FROM solved
     """
 
 
@@ -6704,6 +6795,7 @@ def oracle_sql() -> dict[str, str]:
         "dp130_kmeans_hier": _kmeans_hier_oracle_sql(4, 3, 1, 1),
         "dp132_semantic_dedup_hier": _duck_semantic_hier(0.9, 4, 3, 1, 1),
         "dp133_prototype_prune": _duck_prototype_prune(8, 2, 0.5),
+        "dp134_linear_fit": _duck_linear_fit(1.0),
         "dp131_knn_ivf_hier": _duck_knn_ivf_hier(5, 4, 4, 1, 1, 3),
         "dp113_cluster_stats": (
             "WITH asg AS (" + _kmeans_oracle_sql(8, 2) + ") "

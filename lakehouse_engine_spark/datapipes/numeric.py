@@ -25,7 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, Dict, List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -354,3 +354,155 @@ def linear_score(
         return out
 
     return _score
+
+
+# ---------------------------------------------------------------------------
+# linear_fit_normal: distributed ridge-regression TRAINING
+# ---------------------------------------------------------------------------
+
+def _det_sql(m: List[List[str]]) -> str:
+    """Determinant of a matrix of SQL sub-expressions by cofactor expansion
+    along the first row. The generated TEXT is dialect-neutral (only ``*``,
+    ``+``, ``-`` and parentheses), so the exact same string runs in Spark
+    SQL and in the DuckDB oracle — IEEE double arithmetic over identical
+    expression trees is bit-identical across engines, which is what makes
+    a closed-form model fit value-hashable."""
+    n = len(m)
+    if n == 1:
+        return m[0][0]
+    if n == 2:
+        return f"({m[0][0]}*{m[1][1]} - {m[0][1]}*{m[1][0]})"
+    terms = []
+    for j in range(n):
+        minor = [[row[k] for k in range(n) if k != j] for row in m[1:]]
+        term = f"{m[0][j]}*{_det_sql(minor)}"
+        terms.append(term if j % 2 == 0 else f"(0.0 - {term})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def cramer_fit_exprs(d: int, l2: float = 0.0) -> Dict[str, str]:
+    """SQL expression strings solving the ridge normal equations
+    ``(G + l2·I')w = b`` by Cramer's rule, over moment columns named
+    ``g{i}{j}`` (i ≤ j; index 0 is the intercept column of ones — no
+    ridge on it) and ``b{i}``. Returns ``{"det": ..., "w0": ...,
+    "w{d}": ...}``. Shared verbatim by :func:`linear_fit_normal` and the
+    driver's DuckDB oracle."""
+    k = d + 1
+
+    def g(i: int, j: int) -> str:
+        i, j = min(i, j), max(i, j)
+        name = f"g{i}{j}"
+        if i == j and i > 0 and l2:
+            return f"({name} + {float(l2)!r})"
+        return name
+
+    gram = [[g(i, j) for j in range(k)] for i in range(k)]
+    out = {"det": _det_sql(gram)}
+    for w in range(k):
+        num = [[(f"b{i}" if j == w else gram[i][j]) for j in range(k)] for i in range(k)]
+        out[f"w{w}"] = _det_sql(num)
+    return out
+
+
+@register("linear_fit_normal")
+def linear_fit_normal(
+    feature_cols: List[str],
+    y_col: str,
+    l2: float = 0.0,
+    group_cols: Optional[List[str]] = None,
+) -> TransformerFn:
+    """Distributed linear-model TRAINING: ridge regression
+    ``y ≈ w0 + Σ wᵢ·xᵢ`` solved in closed form from the normal equations
+    — the trainer behind :func:`linear_score`'s inference (fit a quality
+    classifier on a labeled seed set, export the weights, score 100 TB
+    with a codegen'd projection). One row per group with ``n``, the
+    weights ``w0..w{d}`` (w0 = intercept), and ``r2``.
+
+    Numerics (the oracle contract): inputs are cast to DECIMAL(18,6)
+    exactly like :func:`trend_fit` — the Gram/moment sums (Σxᵢxⱼ, Σxᵢy,
+    Σy², counts) accumulate as DECIMAL(37,12), exact and
+    order-independent, so they are bit-identical under any partitioning
+    AND replayable by an external SQL engine. The solve is an UNROLLED
+    Cramer expansion (:func:`cramer_fit_exprs`) over the exact moments
+    cast to double — the expression TEXT is shared with the oracle, so
+    the final doubles match bit-for-bit. Cramer is numerically fine for
+    the supported d ≤ 3 on sane feature scales (pre-scale features to a
+    comparable grid; ridge ``l2`` conditions degenerate designs);
+    ``det = 0`` (collinear features on exact moments) yields NULL
+    weights. ``r2 = 1 − SSE/SST`` with ``SSE = Σy² − 2wᵀb + wᵀGw``
+    evaluated from the same moments (valid for any w, so it is the
+    honest in-sample fit even under ridge); NULL when var(y) = 0.
+
+    Scale design: ONE map-side-combined aggregation pass over the corpus
+    — (d+1)(d+2)/2 + d + 2 decimal sums — then a solve on the
+    group-count-sized result (a projection, no second corpus pass, no
+    driver collect). Rows with any NULL feature/label are excluded from
+    n and the moments up front.
+    """
+    d = len(feature_cols)
+    if not 1 <= d <= 3:
+        raise ValueError(
+            f"linear_fit_normal: 1..3 features supported (Cramer solve), got {d}"
+        )
+    keys = list(group_cols or [])
+
+    def _fit(df: DataFrame) -> DataFrame:
+        cond = F.col(y_col).isNotNull()
+        for c in feature_cols:
+            cond = cond & F.col(c).isNotNull()
+        df = df.filter(cond)
+        x = [F.lit(1).cast("decimal(18,6)")] + [
+            F.col(c).cast("decimal(18,6)") for c in feature_cols
+        ]
+        y = F.col(y_col).cast("decimal(18,6)")
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        for i in range(d + 1):
+            for j in range(i, d + 1):
+                aggs.append(F.sum(x[i] * x[j]).alias(f"__g{i}{j}"))
+            aggs.append(F.sum(x[i] * y).alias(f"__b{i}"))
+        aggs.append(F.sum(y * y).alias("__syy"))
+        mom = df.groupBy(*keys).agg(*aggs)
+        # exact decimal moments -> double, named for the shared solve text
+        dbl = mom.select(
+            *keys,
+            "n",
+            *[
+                F.col(f"__g{i}{j}").cast("double").alias(f"g{i}{j}")
+                for i in range(d + 1)
+                for j in range(i, d + 1)
+            ],
+            *[F.col(f"__b{i}").cast("double").alias(f"b{i}") for i in range(d + 1)],
+            F.col("__syy").cast("double").alias("syy"),
+        )
+        ex = cramer_fit_exprs(d, l2)
+        solved = dbl.selectExpr(
+            *keys,
+            "n",
+            *[f"g{i}{j}" for i in range(d + 1) for j in range(i, d + 1)],
+            *[f"b{i}" for i in range(d + 1)],
+            "syy",
+            f"{ex['det']} AS det",
+            *[
+                f"CASE WHEN {ex['det']} <> 0.0 THEN {ex[f'w{w}']} / {ex['det']} END AS w{w}"
+                for w in range(d + 1)
+            ],
+        )
+        # SSE = syy - 2*w'b + w'Gw over the SAME moment columns; SST from
+        # b0 (= Σy) and n. Text kept dialect-neutral for the oracle.
+        wb = " + ".join(f"w{i}*b{i}" for i in range(d + 1))
+        wgw = " + ".join(
+            f"w{i}*w{j}*g{min(i, j)}{max(i, j)}"
+            for i in range(d + 1)
+            for j in range(d + 1)
+        )
+        sse = f"(syy - 2.0*({wb}) + ({wgw}))"
+        sst = "(syy - b0*b0/n)"
+        r2 = (
+            f"CASE WHEN det <> 0.0 AND {sst} > 0.0 "
+            f"THEN 1.0 - {sse}/{sst} END AS r2"
+        )
+        return solved.selectExpr(
+            *keys, "n", *[f"w{w}" for w in range(d + 1)], r2
+        )
+
+    return _fit

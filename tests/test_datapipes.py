@@ -4786,3 +4786,67 @@ def test_embedding_kmeans_hier_edges(spark):
         t("embedding_kmeans_hier", k_fine=5000)
     with _pt.raises(ValueError, match=">= 1"):
         t("embedding_kmeans_hier", k_coarse=0)
+
+
+def test_linear_fit_normal_recovers_known_plane(spark):
+    """Exact plane y = 2 + 3*x1 - 1.5*x2 -> exact weights and r2=1 per
+    group; a second group with a different plane fits independently."""
+    rows = []
+    for i in range(60):
+        x1, x2 = float(i % 13), float((i * 7) % 11)
+        rows.append(("a", x1, x2, 2.0 + 3.0 * x1 - 1.5 * x2))
+        rows.append(("b", x1, x2, -1.0 + 0.5 * x1 + 4.0 * x2))
+    df = spark.createDataFrame(rows, "g STRING, x1 DOUBLE, x2 DOUBLE, y DOUBLE")
+    out = {
+        r["g"]: r
+        for r in df.transform(
+            t("linear_fit_normal", feature_cols=["x1", "x2"], y_col="y",
+              group_cols=["g"])
+        ).collect()
+    }
+    assert out["a"]["w0"] == pytest.approx(2.0)
+    assert out["a"]["w1"] == pytest.approx(3.0)
+    assert out["a"]["w2"] == pytest.approx(-1.5)
+    assert out["a"]["r2"] == pytest.approx(1.0)
+    assert out["b"]["w1"] == pytest.approx(0.5)
+    assert out["b"]["w2"] == pytest.approx(4.0)
+
+
+def test_linear_fit_normal_collinear_and_ridge(spark):
+    """Exactly collinear features -> det=0 on the exact moments -> NULL
+    weights; the same design with l2>0 becomes solvable; NULL rows are
+    excluded from n and the moments; d outside 1..3 is rejected."""
+    rows = [("g", float(i), float(2 * i), float(i)) for i in range(10)]
+    rows.append(("g", None, 1.0, 1.0))   # NULL feature: excluded
+    rows.append(("g", 1.0, 2.0, None))   # NULL label: excluded
+    df = spark.createDataFrame(rows, "g STRING, x1 DOUBLE, x2 DOUBLE, y DOUBLE")
+    flat = df.transform(
+        t("linear_fit_normal", feature_cols=["x1", "x2"], y_col="y")
+    ).first()
+    assert flat["n"] == 10 and flat["w0"] is None and flat["r2"] is None
+    ridged = df.transform(
+        t("linear_fit_normal", feature_cols=["x1", "x2"], y_col="y", l2=1.0)
+    ).first()
+    assert ridged["w1"] is not None and 0.9 < ridged["r2"] <= 1.0
+    with pytest.raises(ValueError):
+        t("linear_fit_normal", feature_cols=[], y_col="y")
+    with pytest.raises(ValueError):
+        t("linear_fit_normal", feature_cols=["a", "b", "c", "d"], y_col="y")
+
+
+def test_linear_fit_then_linear_score_round_trip(spark):
+    """The trainer's exported weights drive linear_score inference: the
+    identity-link scores reproduce the training labels on a noiseless
+    design — the fit->export->score contract the two operators share."""
+    rows = [(float(i % 7), float((i * 3) % 5), 1.0 + 2.0 * (i % 7) - 0.5 * ((i * 3) % 5))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "f1 DOUBLE, f2 DOUBLE, y DOUBLE")
+    w = df.transform(
+        t("linear_fit_normal", feature_cols=["f1", "f2"], y_col="y")
+    ).first()
+    scored = df.transform(
+        t("linear_score", weights={"f1": w["w1"], "f2": w["w2"]},
+          intercept=w["w0"], link="identity")
+    )
+    bad = scored.filter(F.abs(F.col("score") - F.col("y")) > 1e-9).count()
+    assert bad == 0

@@ -1154,3 +1154,16 @@ def test_knn_ivf_hier_broadcasts_cells_no_smj(spark, sf_dir):
     physical, _ = _plans(df._lhe_plan_df)
     assert "SortMergeJoin" not in physical, physical[:2000]
     assert "BroadcastHashJoin" in physical or "BroadcastNestedLoopJoin" in physical
+
+
+def test_linear_fit_single_pass_no_join(spark, sf_dir):
+    """Training is ONE map-side-combined moment aggregation over the
+    corpus followed by a constant-size solve projection: the plan must
+    contain partial+final HashAggregate, no join of any kind, and no
+    global sort — the corpus is scanned exactly once."""
+    df = entry.queries()["dp134_linear_fit"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Join" not in physical, physical[:2000]
+    assert "rangepartitioning" not in physical
+    assert physical.count("Scan parquet") == 1, physical[:2000]
+    assert "HashAggregate" in physical
