@@ -3780,6 +3780,32 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp135_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence detection (datapipes/events.py
+    event_pattern_match): per-user time-ordered event symbols folded to
+    one string, conversion pattern ``vc*p`` (view, any clicks, purchase)
+    counted with the shared Java/RE2 leftmost-first non-overlapping
+    semantics. One shuffle on the user key; the regex runs once per key
+    on the folded string. Oracle: ordered string_agg + regexp over the
+    identical symbol mapping."""
+    ev = load_table(spark, sf, "events")
+    return ev.transform(
+        _t(
+            "event_pattern_match",
+            on=["user_id"],
+            symbols={
+                "view": "v",
+                "click": "c",
+                "purchase": "p",
+                "signup": "s",
+                "error": "e",
+            },
+            pattern="vc*p",
+            tiebreak_col="event_id",
+        )
+    )
+
+
 def dp134_linear_fit(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed ridge-regression TRAINING (datapipes/numeric.py
     linear_fit_normal): per-label closed-form fit of grid-quantized
@@ -4033,6 +4059,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp135_event_pattern",
     "dp134_linear_fit",
     "dp133_prototype_prune",
     "dp132_semantic_dedup_hier",
@@ -4058,6 +4085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp135_event_pattern": dp135_event_pattern,
         "dp134_linear_fit": dp134_linear_fit,
         "dp133_prototype_prune": dp133_prototype_prune,
         "dp132_semantic_dedup_hier": dp132_semantic_dedup_hier,
@@ -6796,6 +6824,27 @@ def oracle_sql() -> dict[str, str]:
         "dp132_semantic_dedup_hier": _duck_semantic_hier(0.9, 4, 3, 1, 1),
         "dp133_prototype_prune": _duck_prototype_prune(8, 2, 0.5),
         "dp134_linear_fit": _duck_linear_fit(1.0),
+        "dp135_event_pattern": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CASE event_type
+                       WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                       WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                       WHEN 'error' THEN 'e' END AS sym
+              FROM events
+              WHERE ts IS NOT NULL
+            ), f AS (
+              SELECT * FROM s WHERE sym IS NOT NULL
+            ), a AS (
+              SELECT user_id,
+                     string_agg(sym, '' ORDER BY ts, event_id) AS seq
+              FROM f GROUP BY user_id
+            )
+            SELECT user_id, seq,
+                   CAST(len(regexp_extract_all(seq, 'vc*p')) AS INT) AS n_matches,
+                   nullif(regexp_extract(seq, 'vc*p'), '') AS first_match
+            FROM a
+        """,
         "dp131_knn_ivf_hier": _duck_knn_ivf_hier(5, 4, 4, 1, 1, 3),
         "dp113_cluster_stats": (
             "WITH asg AS (" + _kmeans_oracle_sql(8, 2) + ") "

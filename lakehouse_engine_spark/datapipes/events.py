@@ -187,3 +187,77 @@ def event_transitions(
         )
 
     return _trans
+
+
+@register("event_pattern_match")
+def event_pattern_match(
+    on: List[str],
+    symbols: Dict[str, str],
+    pattern: str,
+    stage_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: Optional[str] = None,
+    default_symbol: Optional[str] = None,
+) -> TransformerFn:
+    """MATCH_RECOGNIZE-lite: regex pattern detection over each key's
+    time-ordered event-type sequence — the sequence-analytics operator SQL
+    engines expose as ``MATCH_RECOGNIZE`` (abandoned-cart ``vc*$``,
+    conversion ``vc*p``, error-retry loops ``(ef)+``), done the
+    lakehouse way: map each event type to a single-character symbol,
+    fold each key's ordered events into one symbol string, then run an
+    ordinary regex over it. Output: one row per key with ``seq`` (the
+    symbol string), ``n_matches`` (non-overlapping, leftmost-first — the
+    shared Java/RE2 semantics), and ``first_match`` (NULL when none).
+
+    ``symbols`` maps event types to single characters; unmapped types
+    take ``default_symbol`` or (None, the default) are dropped from the
+    sequence. Events with NULL ``ts_col`` are excluded. Pass a unique
+    ``tiebreak_col`` (an event id) so same-timestamp orderings — and
+    therefore the matched sequences — are deterministic.
+
+    Scale design: ONE shuffle on the key; the fold is
+    ``array_sort(collect_list(struct(ts, tiebreak, sym)))`` — per-key
+    state is that key's event count, the same bound as any per-entity
+    sequence operator (sessionize first and key on ``(user, session)``
+    when single keys can exceed executor memory). The regex runs
+    codegen'd on the folded string, once per key, not per event. No
+    window over the raw events, no self-join, no Python.
+    """
+    if not on:
+        raise ValueError("event_pattern_match: 'on' keys must be non-empty")
+    if not symbols:
+        raise ValueError("event_pattern_match: symbols must be non-empty")
+    bad = {k: v for k, v in symbols.items() if len(v) != 1}
+    if bad:
+        raise ValueError(f"event_pattern_match: symbols must be single chars: {bad}")
+    if default_symbol is not None and len(default_symbol) != 1:
+        raise ValueError("event_pattern_match: default_symbol must be a single char")
+
+    def _match(df: DataFrame) -> DataFrame:
+        sym = None
+        for k, v in symbols.items():
+            cond = F.col(stage_col) == k
+            sym = F.when(cond, F.lit(v)) if sym is None else sym.when(cond, F.lit(v))
+        sym = sym.otherwise(F.lit(default_symbol))
+        order = [F.col(ts_col)]
+        if tiebreak_col:
+            order.append(F.col(tiebreak_col))
+        d = (
+            df.withColumn("__sym", sym)
+            .filter(F.col("__sym").isNotNull() & F.col(ts_col).isNotNull())
+            .select(*on, F.struct(*order, F.col("__sym")).alias("__e"))
+        )
+        seq = F.concat_ws(
+            "",
+            F.transform(F.array_sort(F.collect_list("__e")), lambda x: x["__sym"]),
+        )
+        agg = d.groupBy(*on).agg(seq.alias("seq"))
+        first = F.regexp_extract(F.col("seq"), pattern, 0)
+        return agg.select(
+            *on,
+            "seq",
+            F.regexp_count(F.col("seq"), F.lit(pattern)).cast("int").alias("n_matches"),
+            F.when(first != "", first).alias("first_match"),
+        )
+
+    return _match

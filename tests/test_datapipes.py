@@ -4850,3 +4850,74 @@ def test_linear_fit_then_linear_score_round_trip(spark):
     )
     bad = scored.filter(F.abs(F.col("score") - F.col("y")) > 1e-9).count()
     assert bad == 0
+
+
+def test_event_pattern_match_counts_and_first_match(spark):
+    """Non-overlapping leftmost-first matching over the time-ordered
+    symbol string; unmapped types drop by default or take default_symbol;
+    NULL-ts events are excluded; arg validation."""
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, at(0), 10, "view"), (1, at(1), 11, "click"),
+        (1, at(2), 12, "click"), (1, at(3), 13, "purchase"),
+        (1, at(4), 14, "view"), (1, at(5), 15, "purchase"),
+        (2, at(0), 20, "view"), (2, at(1), 21, "error"),
+        (2, None, 22, "purchase"),              # NULL ts: excluded
+        (3, at(0), 30, "refund"),               # unmapped
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP, event_id INT, event_type STRING"
+    )
+    sym = {"view": "v", "click": "c", "purchase": "p", "error": "e"}
+    out = {
+        r["user_id"]: r
+        for r in df.transform(
+            t("event_pattern_match", on=["user_id"], symbols=sym,
+              pattern="vc*p", tiebreak_col="event_id")
+        ).collect()
+    }
+    assert out[1]["seq"] == "vccpvp" and out[1]["n_matches"] == 2
+    assert out[1]["first_match"] == "vccp"
+    assert out[2]["seq"] == "ve" and out[2]["n_matches"] == 0
+    assert out[2]["first_match"] is None
+    assert 3 not in out  # all events unmapped -> no sequence row
+    kept = {
+        r["user_id"]: r["seq"]
+        for r in df.transform(
+            t("event_pattern_match", on=["user_id"], symbols=sym,
+              pattern="x", default_symbol="x", tiebreak_col="event_id")
+        ).collect()
+    }
+    assert kept[3] == "x"
+    with pytest.raises(ValueError):
+        t("event_pattern_match", on=[], symbols=sym, pattern="v")
+    with pytest.raises(ValueError):
+        t("event_pattern_match", on=["user_id"], symbols={"view": "vv"},
+          pattern="v")
+    with pytest.raises(ValueError):
+        t("event_pattern_match", on=["user_id"], symbols=sym, pattern="v",
+          default_symbol="xy")
+
+
+def test_event_pattern_match_same_ts_tiebreak(spark):
+    """Same-timestamp events order by the tiebreak column, so the folded
+    sequence — and the match — is deterministic."""
+    import datetime as dt
+
+    T = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, T, 2, "purchase"), (1, T, 1, "view")],
+        "user_id INT, ts TIMESTAMP, event_id INT, event_type STRING",
+    )
+    row = df.transform(
+        t("event_pattern_match", on=["user_id"],
+          symbols={"view": "v", "purchase": "p"}, pattern="vp",
+          tiebreak_col="event_id")
+    ).first()
+    assert row["seq"] == "vp" and row["n_matches"] == 1

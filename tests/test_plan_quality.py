@@ -1167,3 +1167,14 @@ def test_linear_fit_single_pass_no_join(spark, sf_dir):
     assert "rangepartitioning" not in physical
     assert physical.count("Scan parquet") == 1, physical[:2000]
     assert "HashAggregate" in physical
+
+
+def test_event_pattern_match_single_key_shuffle(spark, sf_dir):
+    """The fold is one aggregation keyed on the user: exactly one
+    exchange, no join, no global sort — the regex runs on the folded
+    string, never per raw event row."""
+    df = entry.queries()["dp135_event_pattern"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Join" not in physical, physical[:2000]
+    assert "rangepartitioning" not in physical
+    assert physical.count("Exchange") == 1, physical[:2000]
