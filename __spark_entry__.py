@@ -3780,6 +3780,17 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp136_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source mixture drift (datapipes/text.py
+    source_unigram_divergence): KL(source ‖ corpus) over unigram
+    distributions on the exact scaled-log10 grid — integer sums, one
+    final double division. The corpus is scanned once; all downstream
+    tables are vocabulary-sized. Oracle replays the count tables and
+    the identical grid algebra."""
+    docs = load_table(spark, sf, "documents")
+    return docs.transform(_t("source_unigram_divergence"))
+
+
 def dp135_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
     """MATCH_RECOGNIZE-lite sequence detection (datapipes/events.py
     event_pattern_match): per-user time-ordered event symbols folded to
@@ -4059,6 +4070,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp136_source_divergence",
     "dp135_event_pattern",
     "dp134_linear_fit",
     "dp133_prototype_prune",
@@ -4085,6 +4097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp136_source_divergence": dp136_source_divergence,
         "dp135_event_pattern": dp135_event_pattern,
         "dp134_linear_fit": dp134_linear_fit,
         "dp133_prototype_prune": dp133_prototype_prune,
@@ -6824,6 +6837,29 @@ def oracle_sql() -> dict[str, str]:
         "dp132_semantic_dedup_hier": _duck_semantic_hier(0.9, 4, 3, 1, 1),
         "dp133_prototype_prune": _duck_prototype_prune(8, 2, 0.5),
         "dp134_linear_fit": _duck_linear_fit(1.0),
+        "dp136_source_divergence": f"""
+            WITH toks AS (
+              SELECT source AS g, unnest({_DUCK_TOKENS}) AS w FROM documents
+            ), sw AS (
+              SELECT g, w, COUNT(*) AS c FROM toks GROUP BY g, w
+            ), cw AS (
+              SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY w
+            ), tot AS (
+              SELECT CAST(SUM(cw) AS BIGINT) AS n FROM cw
+            ), agg AS (
+              SELECT g,
+                     CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     COUNT(*) AS n_distinct_tokens,
+                     CAST(SUM(c * (CAST(floor(log10(c)*10000 + 0.5) AS BIGINT)
+                                   - CAST(floor(log10(cw)*10000 + 0.5) AS BIGINT))) AS BIGINT) AS s
+              FROM sw JOIN cw USING (w) GROUP BY g
+            )
+            SELECT g AS source, n_tokens, n_distinct_tokens,
+                   CAST(s + n_tokens*(CAST(floor(log10(n)*10000 + 0.5) AS BIGINT)
+                                      - CAST(floor(log10(n_tokens)*10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / CAST(n_tokens*10000 AS DOUBLE) AS kl10
+            FROM agg CROSS JOIN tot
+        """,
         "dp135_event_pattern": """
             WITH s AS (
               SELECT user_id, ts, event_id,

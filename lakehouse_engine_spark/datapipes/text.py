@@ -2625,3 +2625,74 @@ def dup_line_stats(
         )
 
     return _stats
+
+
+@register("source_unigram_divergence")
+def source_unigram_divergence(
+    group_col: str = "source",
+    input_col: str = "text",
+) -> TransformerFn:
+    """Per-source distribution drift for mixture design: the KL divergence
+    ``KL(P_source ‖ P_corpus)`` between each source's unigram distribution
+    and the whole corpus's, in log10 units (``kl_nats = kl10 · ln 10``) —
+    the quantitative answer to "which sources are distributionally far
+    from the blend" when weighting a training mixture (pair with
+    ``mixture_plan``; DSIR answers the per-DOCUMENT version of the same
+    question against a target).
+
+    Numeric design (the oracle contract): with c_sw the source token
+    counts, c_w the corpus counts, N_s and N the masses, the divergence
+    decomposes as ``[Σ_w c_sw·(L(c_sw) − L(c_w)) + N_s·(L(N) − L(N_s))]
+    / (N_s·10⁴)`` where ``L(x) = floor(log10(x)·10⁴ + 0.5)`` — every log
+    has an INTEGER argument snapped to the scaled-BIGINT grid, the sums
+    are exact order-independent integer arithmetic, and the only double
+    op is the final division. No engine ``round()``, no float
+    accumulation — bit-replayable by any ANSI engine.
+
+    Scale design: one corpus-wide (source, token) count — a standard
+    map-side-combined word-count shuffle; EVERYTHING downstream runs on
+    vocabulary-sized tables derived from it (the corpus count re-aggs
+    the source counts — the corpus is scanned ONCE). The source-count
+    table persists because it feeds both the re-agg and the join; the
+    per-source result is one row per source.
+    """
+
+    def _div(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        def L(c) -> Column:
+            return F.floor(F.log10(c) * 10_000 + 0.5).cast("long")
+
+        toks = df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens_lower(F.col(input_col))).alias("__w"),
+        )
+        sw = (
+            toks.groupBy("__g", "__w").agg(F.count(F.lit(1)).alias("__c"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cw = sw.groupBy("__w").agg(F.sum("__c").alias("__cw"))
+        tot = cw.agg(F.sum("__cw").alias("__n"))
+        agg = (
+            sw.join(cw, "__w")
+            .groupBy("__g")
+            .agg(
+                F.sum("__c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_distinct_tokens"),
+                F.sum(F.col("__c") * (L(F.col("__c")) - L(F.col("__cw")))).alias("__s"),
+            )
+        )
+        num = F.col("__s") + F.col("n_tokens") * (L(F.col("__n")) - L(F.col("n_tokens")))
+        return (
+            agg.crossJoin(F.broadcast(tot))
+            .select(
+                F.col("__g").alias(group_col),
+                "n_tokens",
+                "n_distinct_tokens",
+                (
+                    num.cast("double")
+                    / (F.col("n_tokens") * 10_000).cast("double")
+                ).alias("kl10"),
+            )
+        )
+
+    return _div

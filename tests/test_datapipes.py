@@ -4921,3 +4921,28 @@ def test_event_pattern_match_same_ts_tiebreak(spark):
           tiebreak_col="event_id")
     ).first()
     assert row["seq"] == "vp" and row["n_matches"] == 1
+
+
+def test_source_divergence_zero_for_identical_and_log_for_disjoint(spark):
+    """A source distributed exactly like the corpus sits at ~0 (within one
+    1e-4 grid step); disjoint-vocabulary sources land at exactly
+    log10(N/N_s) = log10(2) on the grid."""
+    same = spark.createDataFrame(
+        [("A", "a a b b"), ("B", "a a b b")], "source STRING, text STRING"
+    )
+    out = {
+        r["source"]: r
+        for r in same.transform(t("source_unigram_divergence")).collect()
+    }
+    assert abs(out["A"]["kl10"]) < 5e-4 and abs(out["B"]["kl10"]) < 5e-4
+    assert out["A"]["n_tokens"] == 4 and out["A"]["n_distinct_tokens"] == 2
+    disjoint = spark.createDataFrame(
+        [("A", "x x x x"), ("B", "y y y y")], "source STRING, text STRING"
+    )
+    kl = {
+        r["source"]: r["kl10"]
+        for r in disjoint.transform(t("source_unigram_divergence")).collect()
+    }
+    import math
+    assert kl["A"] == pytest.approx(math.log10(2.0), abs=1e-4)
+    assert kl["B"] == pytest.approx(math.log10(2.0), abs=1e-4)

@@ -1178,3 +1178,37 @@ def test_event_pattern_match_single_key_shuffle(spark, sf_dir):
     assert "Join" not in physical, physical[:2000]
     assert "rangepartitioning" not in physical
     assert physical.count("Exchange") == 1, physical[:2000]
+
+
+def test_source_divergence_single_corpus_scan(spark, sf_dir):
+    """The corpus feeds ONE (source, token) count; the corpus-wide count,
+    the total, and the join probe all re-read that persisted table — so
+    the LIVE plan has exactly one parquet scan and ≥3 cache reads, no
+    global sort, no cartesian (the 1-row total broadcasts). collectLeaves
+    is used because cached blocks re-print their build plan in toString
+    (phantom FileScan text)."""
+    df = entry.queries()["dp136_source_divergence"](spark, sf_dir)
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.inputPlan()
+        leaves = plan.collectLeaves()
+        live = sum(
+            1
+            for i in range(leaves.size())
+            if "FileSourceScan" in leaves.apply(i).getClass().getSimpleName()
+        )
+        inmem = sum(
+            1
+            for i in range(leaves.size())
+            if "InMemoryTableScan" in leaves.apply(i).getClass().getSimpleName()
+        )
+        # the ONLY parquet scan lives inside the cache's build plan (it
+        # runs once, when the (source, token) count materializes); every
+        # live leaf is a cache read
+        assert (live, inmem) == (0, 3), plan.toString()[:2000]
+        physical = plan.toString()
+        assert "rangepartitioning" not in physical
+        assert "CartesianProduct" not in physical
+    finally:
+        spark.catalog.clearCache()
