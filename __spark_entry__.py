@@ -3780,6 +3780,17 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp137_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc 8-gram novelty (datapipes/text.py text_ngram_novelty):
+    distinct-gram and corpus-unique-gram counts per document — grams
+    travel as md5 digests, document frequency is one map-side-combined
+    count on the digest, integer outputs hash-exact. Oracle replays the
+    shingle set, digesting, and df=1 test."""
+    docs = load_table(spark, sf, "documents")
+    out = docs.transform(_t("text_ngram_novelty", n=8))
+    return out.select("doc_id", "lang", "n_distinct_grams", "n_unique_grams")
+
+
 def dp136_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source mixture drift (datapipes/text.py
     source_unigram_divergence): KL(source ‖ corpus) over unigram
@@ -4070,6 +4081,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp137_ngram_novelty",
     "dp136_source_divergence",
     "dp135_event_pattern",
     "dp134_linear_fit",
@@ -4097,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp137_ngram_novelty": dp137_ngram_novelty,
         "dp136_source_divergence": dp136_source_divergence,
         "dp135_event_pattern": dp135_event_pattern,
         "dp134_linear_fit": dp134_linear_fit,
@@ -6837,6 +6850,25 @@ def oracle_sql() -> dict[str, str]:
         "dp132_semantic_dedup_hier": _duck_semantic_hier(0.9, 4, 3, 1, 1),
         "dp133_prototype_prune": _duck_prototype_prune(8, 2, 0.5),
         "dp134_linear_fit": _duck_linear_fit(1.0),
+        "dp137_ngram_novelty": f"""
+            WITH toks AS (
+              SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+              WHERE text IS NOT NULL
+            ), g AS (
+              SELECT DISTINCT doc_id, md5(gram) AS d
+              FROM (SELECT doc_id, unnest({_duck_shingles(8)}) AS gram FROM toks)
+            ), f AS (
+              SELECT d, COUNT(*) AS dfreq FROM g GROUP BY d
+            ), p AS (
+              SELECT doc_id,
+                     COUNT(*) AS n_distinct_grams,
+                     CAST(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unique_grams
+              FROM g JOIN f USING (d) GROUP BY doc_id
+            )
+            SELECT doc.doc_id, doc.lang, p.n_distinct_grams, p.n_unique_grams
+            FROM documents doc LEFT JOIN p ON doc.doc_id = p.doc_id
+        """,
         "dp136_source_divergence": f"""
             WITH toks AS (
               SELECT source AS g, unnest({_DUCK_TOKENS}) AS w FROM documents

@@ -2696,3 +2696,63 @@ def source_unigram_divergence(
         )
 
     return _div
+
+
+@register("text_ngram_novelty")
+def ngram_novelty(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> TransformerFn:
+    """Per-document n-gram novelty: how much of a document's n-gram set
+    exists NOWHERE else in the corpus — the memorization/boilerplate
+    lens (near-zero novelty = template or near-dup tail even when no
+    dedup pair fires; dedup asks "is there a twin", novelty asks "how
+    much of THIS text is corpus-unique"). Output: the input plus
+    ``n_distinct_grams`` (the doc's distinct n-gram count) and
+    ``n_unique_grams`` (those appearing in no OTHER document) — integer
+    columns, so downstream ratio thresholds are the caller's choice and
+    the result stays hash-exact.
+
+    Shingling follows :func:`shingles`: lowercase whitespace tokens,
+    documents shorter than ``n`` words contribute their whole text as
+    one gram. Repeats WITHIN a document don't spoil uniqueness — the
+    document-frequency table counts distinct (gram, doc) pairs.
+
+    Scale design: explode → distinct (gram, doc) pairs → one map-side-
+    combined document-frequency count on the gram digest → equi-join
+    back on the digest (both sides hash-partitioned on it — AQE
+    coalesces) → one doc-keyed count. Grams travel as md5 digests, not
+    strings, so shuffle width is constant per gram. No broadcast of the
+    corpus-sized gram table, no pairwise joins.
+    """
+    if n < 1:
+        raise ValueError(f"text_ngram_novelty: n must be >= 1, got {n}")
+
+    def _nov(df: DataFrame) -> DataFrame:
+        pairs = (
+            # NULL text carries no grams (left join -> NULL counts); the
+            # explicit filter keeps Spark's array(concat_ws(NULL)) -> [""]
+            # quirk out of the gram set, matching the SQL-oracle semantics
+            df.filter(F.col(input_col).isNotNull())
+            .select(
+                F.col(id_col).alias("__id"),
+                F.explode(shingles(F.col(input_col), n)).alias("__g"),
+            )
+            .select("__id", F.md5(F.col("__g")).alias("__d"))
+            .distinct()
+        )
+        freq = pairs.groupBy("__d").agg(F.count(F.lit(1)).alias("__df"))
+        per_doc = (
+            pairs.join(freq, "__d")
+            .groupBy("__id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+                F.sum((F.col("__df") == 1).cast("long")).alias("n_unique_grams"),
+            )
+        )
+        return df.join(
+            per_doc, df[id_col] == per_doc["__id"], "left"
+        ).drop("__id")
+
+    return _nov

@@ -4946,3 +4946,30 @@ def test_source_divergence_zero_for_identical_and_log_for_disjoint(spark):
     import math
     assert kl["A"] == pytest.approx(math.log10(2.0), abs=1e-4)
     assert kl["B"] == pytest.approx(math.log10(2.0), abs=1e-4)
+
+
+def test_ngram_novelty_counts_unique_vs_shared(spark):
+    """Docs sharing every 2-gram score zero novelty; a disjoint doc is
+    fully novel; in-doc repeats don't inflate uniqueness; short docs
+    contribute their whole text as one gram; NULL text -> NULL counts."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b c"),          # grams: "a b", "b c"
+            (1, "a b c"),          # identical: both grams shared
+            (2, "x y x y"),        # "x y", "y x", "x y" -> 2 distinct, unique
+            (3, "z"),              # short: whole-text gram "z"
+            (4, None),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.transform(t("text_ngram_novelty", n=2)).collect()
+    }
+    assert out[0]["n_distinct_grams"] == 2 and out[0]["n_unique_grams"] == 0
+    assert out[1]["n_unique_grams"] == 0
+    assert out[2]["n_distinct_grams"] == 2 and out[2]["n_unique_grams"] == 2
+    assert out[3]["n_distinct_grams"] == 1 and out[3]["n_unique_grams"] == 1
+    assert out[4]["n_distinct_grams"] is None
+    with pytest.raises(ValueError):
+        t("text_ngram_novelty", n=0)

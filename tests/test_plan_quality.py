@@ -1212,3 +1212,14 @@ def test_source_divergence_single_corpus_scan(spark, sf_dir):
         assert "CartesianProduct" not in physical
     finally:
         spark.catalog.clearCache()
+
+
+def test_ngram_novelty_digest_equi_joins_only(spark, sf_dir):
+    """Grams travel as md5 digests through distinct -> document-frequency
+    count -> digest equi-join; never a cartesian/nested-loop pairing and
+    never a global sort of the gram table."""
+    df = entry.queries()["dp137_ngram_novelty"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "rangepartitioning" not in physical
