@@ -3780,6 +3780,17 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp138_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS winnowing fingerprints (datapipes/text.py
+    text_winnow_fingerprint, Schleimer et al. 2003): char-5-gram 60-bit
+    hashes over normalized text, rightmost-min-per-window-of-4
+    selection — one codegen projection per doc, explode of the SELECTED
+    set only, one distinct shuffle. Oracle replays normalization, gram
+    hashing, and the window argmin bit-for-bit."""
+    docs = load_table(spark, sf, "documents")
+    return docs.transform(_t("text_winnow_fingerprint", k=5, window=4))
+
+
 def dp137_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc 8-gram novelty (datapipes/text.py text_ngram_novelty):
     distinct-gram and corpus-unique-gram counts per document — grams
@@ -4081,6 +4092,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp138_winnow_fingerprint",
     "dp137_ngram_novelty",
     "dp136_source_divergence",
     "dp135_event_pattern",
@@ -4109,6 +4121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp138_winnow_fingerprint": dp138_winnow_fingerprint,
         "dp137_ngram_novelty": dp137_ngram_novelty,
         "dp136_source_divergence": dp136_source_divergence,
         "dp135_event_pattern": dp135_event_pattern,
@@ -6850,6 +6863,28 @@ def oracle_sql() -> dict[str, str]:
         "dp132_semantic_dedup_hier": _duck_semantic_hier(0.9, 4, 3, 1, 1),
         "dp133_prototype_prune": _duck_prototype_prune(8, 2, 0.5),
         "dp134_linear_fit": _duck_linear_fit(1.0),
+        "dp138_winnow_fingerprint": """
+            WITH nrm AS (
+              SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+              FROM documents WHERE text IS NOT NULL
+            ), g AS (
+              SELECT doc_id, s, length(s) - 5 + 1 AS m FROM nrm WHERE length(s) >= 5
+            ), hs AS (
+              SELECT doc_id, m,
+                     list_transform(generate_series(1, m),
+                       i -> CAST('0x' || substr(md5(substr(s, i, 5)), 1, 15) AS BIGINT)) AS h
+              FROM g
+            ), w AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(m - 4 + 1, 1)),
+                       i -> struct_pack(
+                         pos := CAST(i + len(h[i:i+3])
+                                   - list_position(list_reverse(h[i:i+3]), list_min(h[i:i+3])) AS INTEGER),
+                         fp := list_min(h[i:i+3])))) AS f
+              FROM hs
+            )
+            SELECT DISTINCT doc_id, f.pos AS pos, f.fp AS fp FROM w
+        """,
         "dp137_ngram_novelty": f"""
             WITH toks AS (
               SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents

@@ -2756,3 +2756,89 @@ def ngram_novelty(
         ).drop("__id")
 
     return _nov
+
+
+@register("text_winnow_fingerprint")
+def winnow_fingerprint(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> TransformerFn:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm): character ``k``-gram hashes over the
+    normalized text, one fingerprint selected per sliding ``window`` of
+    consecutive hashes (the window's minimum; RIGHTMOST position on
+    ties, per the original's density argument). Guarantee: any verbatim
+    match of length ≥ ``window + k − 1`` characters shares at least one
+    selected fingerprint — the copy-detection primitive that survives
+    insertions/reordering where whole-doc hashes and minhash-over-words
+    don't localize. Output: one row per distinct (doc, position,
+    fingerprint), ``pos`` 1-based over the normalized text.
+
+    Normalization: lowercase, strip everything outside [a-z0-9] — the
+    standard MOSS whitespace/punctuation immunity. Hashes are the
+    engine's shared 60-bit md5 prefix (collision-safe for fingerprint
+    OVERLAP detection; this is not a uniqueness counter). Texts shorter
+    than ``k`` after normalization yield no fingerprints; docs with
+    fewer than ``window`` grams winnow one fingerprint from the grams
+    they have.
+
+    Scale design: the gram/hash/winnow pipeline is ONE codegen'd
+    projection per document (array expressions over the text — no
+    explode of raw grams, no shuffle until the final distinct on the
+    selected fingerprints, which are ~1/window of the grams). Per-doc
+    cost is O(len·window) comparisons inside the projection; the
+    exploded output is the SELECTED set only.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("text_winnow_fingerprint: k and window must be >= 1")
+
+    def _winnow(df: DataFrame) -> DataFrame:
+        norm = F.regexp_replace(F.lower(F.col(input_col)), "[^a-z0-9]", "")
+        m = F.length(norm) - k + 1  # gram count
+        hs = F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.conv(F.substring(F.md5(F.substring(norm, i, k)), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+        # MATERIALIZE the hash array behind a projection boundary: the
+        # winnow expression slices it O(window) times per window — an
+        # inlined `hs` subtree would re-derive every md5 at every slice
+        # site (O(m²·window) hashes per doc; measured pathological).
+        # Behind a bound column reference the hashes compute once per doc.
+        staged = (
+            spread_scan(df.filter(F.col(input_col).isNotNull() & (m >= 1)))
+            .select(F.col(id_col).alias("__id"), hs.alias("__hs"))
+        )
+        h = F.col("__hs")
+        nwin = F.greatest(F.size(h) - window + 1, F.lit(1))
+
+        def win(i):
+            return F.slice(h, i, window)
+
+        # one struct per window: global position + value of the RIGHTMOST
+        # minimal hash (first position in the reversed window)
+        fps = F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.struct(
+                (
+                    i
+                    + F.size(win(i))
+                    - F.array_position(F.reverse(win(i)), F.array_min(win(i)))
+                ).cast("int").alias("pos"),
+                F.array_min(win(i)).alias("fp"),
+            ),
+        )
+        return (
+            staged.select("__id", F.explode(fps).alias("__f"))
+            .select(
+                F.col("__id").alias(id_col),
+                F.col("__f.pos").alias("pos"),
+                F.col("__f.fp").alias("fp"),
+            )
+            .distinct()
+        )
+
+    return _winnow

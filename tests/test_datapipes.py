@@ -4973,3 +4973,50 @@ def test_ngram_novelty_counts_unique_vs_shared(spark):
     assert out[4]["n_distinct_grams"] is None
     with pytest.raises(ValueError):
         t("text_ngram_novelty", n=0)
+
+
+def test_winnow_fingerprint_match_guarantee_and_normalization(spark):
+    """The winnowing guarantee: any verbatim match of length >= window+k-1
+    normalized chars shares a fingerprint VALUE; punctuation/case changes
+    don't alter the fingerprint set; unrelated text shares nothing; docs
+    shorter than k (after normalization) yield no rows; NULL text none."""
+    base = "The quick brown fox jumps over the lazy dog!"
+    df = spark.createDataFrame(
+        [
+            (0, base),
+            (1, "He said: the QUICK brown fox jumps over the lazy dog?"),
+            (2, "Completely unrelated zebra words, nothing shared at all."),
+            (3, "ab!"),
+            (4, None),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = df.transform(t("text_winnow_fingerprint", k=5, window=4)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # normalized doc 1 contains doc 0's full normalized text -> every
+    # fingerprint of 0 must appear in 1 (positions shift, values match)
+    assert by_doc[0] <= by_doc[1]
+    assert not (by_doc[0] & by_doc[2])
+    assert 3 not in by_doc and 4 not in by_doc
+    with pytest.raises(ValueError):
+        t("text_winnow_fingerprint", k=0)
+
+
+def test_winnow_fingerprint_rightmost_tie_and_short_doc(spark):
+    """Repetitive text (equal window minima at several positions) selects
+    the RIGHTMOST minimal hash per window — the original algorithm's
+    density rule; a doc with fewer than `window` grams still winnows one
+    fingerprint from the grams it has."""
+    df = spark.createDataFrame(
+        [(0, "aaaaaaaaaa"), (1, "abcdef")], "doc_id INT, text STRING"
+    )
+    rows = df.transform(t("text_winnow_fingerprint", k=5, window=4)).collect()
+    a = sorted((r["pos"], r["fp"]) for r in rows if r["doc_id"] == 0)
+    # 6 grams ("aaaaa" x6, all the same hash), 3 windows, rightmost min:
+    # window i selects position i+3 -> global positions 4,5,6; one fp value
+    assert [p for p, _ in a] == [4, 5, 6]
+    assert len({fp for _, fp in a}) == 1
+    b = [r for r in rows if r["doc_id"] == 1]
+    assert len(b) == 1  # 2 grams < window -> single min-of-all fingerprint

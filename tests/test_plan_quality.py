@@ -1223,3 +1223,18 @@ def test_ngram_novelty_digest_equi_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in physical
     assert "BroadcastNestedLoopJoin" not in physical
     assert "rangepartitioning" not in physical
+
+
+def test_winnow_fingerprint_projection_until_distinct(spark, sf_dir):
+    """The gram/hash/winnow pipeline is one codegen projection per doc —
+    the ONLY data exchange is the final distinct on the selected
+    fingerprints (~1/window of the grams); no join, no global sort. A
+    deficit-gated spread_scan round-robin may precede the heavy
+    projection on starved local inputs (no-op at production split
+    counts)."""
+    df = entry.queries()["dp138_winnow_fingerprint"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Join" not in physical, physical[:2000]
+    assert "rangepartitioning" not in physical
+    assert physical.count("Exchange hashpartitioning") == 1, physical[:2000]
+    assert physical.count("Exchange") <= 2, physical[:2000]
