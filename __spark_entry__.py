@@ -3780,6 +3780,20 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp139_seed_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Seed-set NB quality classifier (datapipes/text.py
+    text_seed_classifier_score): English docs as the trusted positive
+    seed, the whole corpus as negative; add-one NB log-likelihood ratio
+    over the combined top-10k vocabulary on the exact scaled-log grid,
+    plus the >0 prediction. The interpretable-token sibling of dp115's
+    hashed-bucket DSIR. Oracle replays counts, vocab cutoff, masses,
+    and the integer LLR algebra."""
+    docs = load_table(spark, sf, "documents")
+    pos = docs.filter("lang = 'en'")
+    out = docs.transform(_t("text_seed_classifier_score", pos_df=pos))
+    return out.select("doc_id", "lang", "seed_llr", "n_scored_tokens", "seed_pred")
+
+
 def dp138_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """MOSS winnowing fingerprints (datapipes/text.py
     text_winnow_fingerprint, Schleimer et al. 2003): char-5-gram 60-bit
@@ -4092,6 +4106,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp139_seed_classifier",
     "dp138_winnow_fingerprint",
     "dp137_ngram_novelty",
     "dp136_source_divergence",
@@ -4121,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp139_seed_classifier": dp139_seed_classifier,
         "dp138_winnow_fingerprint": dp138_winnow_fingerprint,
         "dp137_ngram_novelty": dp137_ngram_novelty,
         "dp136_source_divergence": dp136_source_divergence,
@@ -6863,6 +6879,43 @@ def oracle_sql() -> dict[str, str]:
         "dp132_semantic_dedup_hier": _duck_semantic_hier(0.9, 4, 3, 1, 1),
         "dp133_prototype_prune": _duck_prototype_prune(8, 2, 0.5),
         "dp134_linear_fit": _duck_linear_fit(1.0),
+        "dp139_seed_classifier": f"""
+            WITH neg AS (
+              SELECT unnest({_DUCK_TOKENS}) AS w FROM documents
+            ), pos AS (
+              SELECT unnest({_DUCK_TOKENS}) AS w FROM documents WHERE lang = 'en'
+            ), tcn AS (
+              SELECT w, COUNT(*) AS c_n FROM neg GROUP BY w
+            ), tcp AS (
+              SELECT w, COUNT(*) AS c_p FROM pos GROUP BY w
+            ), vocab AS (
+              SELECT coalesce(tcn.w, tcp.w) AS w,
+                     coalesce(c_n, 0) AS c_n, coalesce(c_p, 0) AS c_p
+              FROM tcn FULL OUTER JOIN tcp ON tcn.w = tcp.w
+              ORDER BY (coalesce(c_n, 0) + coalesce(c_p, 0)) DESC,
+                       coalesce(tcn.w, tcp.w) ASC
+              LIMIT 10000
+            ), m AS (
+              SELECT CAST(SUM(c_p) AS BIGINT) AS np,
+                     CAST(SUM(c_n) AS BIGINT) AS nn,
+                     COUNT(*) AS v
+              FROM vocab
+            ), toks AS (
+              SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents
+            ), sc AS (
+              SELECT doc_id, COUNT(*) AS nt,
+                     CAST(SUM(CAST(floor(log10(coalesce(c_p, 0) + 1)*10000 + 0.5) AS BIGINT)
+                              - CAST(floor(log10(coalesce(c_n, 0) + 1)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS slp
+              FROM toks LEFT JOIN vocab USING (w) GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang,
+                   CAST(sc.slp + sc.nt*(CAST(floor(log10(m.nn + m.v)*10000 + 0.5) AS BIGINT) - CAST(floor(log10(m.np + m.v)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS seed_llr,
+                   CAST(coalesce(sc.nt, 0) AS INT) AS n_scored_tokens,
+                   (sc.slp + sc.nt*(CAST(floor(log10(m.nn + m.v)*10000 + 0.5) AS BIGINT) - CAST(floor(log10(m.np + m.v)*10000 + 0.5) AS BIGINT))) > 0 AS seed_pred
+            FROM documents d
+            LEFT JOIN sc ON d.doc_id = sc.doc_id
+            CROSS JOIN m
+        """,
         "dp138_winnow_fingerprint": """
             WITH nrm AS (
               SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s

@@ -2842,3 +2842,105 @@ def winnow_fingerprint(
         )
 
     return _winnow
+
+
+@register("text_seed_classifier_score")
+def seed_classifier_score(
+    pos_df: DataFrame,
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    pos_text_col: str = "text",
+    top_v: int = 10_000,
+    output_col: str = "seed_llr",
+) -> TransformerFn:
+    """Seed-set quality classifier (the CCNet/GPT-3 'fastText filter'
+    shape): a Naive-Bayes log-likelihood-ratio scorer trained on a
+    trusted POSITIVE seed corpus (``pos_df``: Wikipedia, curated pages)
+    against the input corpus itself as the negative class — score > 0
+    reads "more seed-like than corpus-like". Where DSIR scores hashed
+    n-gram buckets against a target distribution, this trains on an
+    EXPLICIT token vocabulary (interpretable per-token weights, exactly
+    what exported fastText/NB quality filters ship) and emits a
+    prediction. Output: the input plus ``seed_llr`` (scaled-BIGINT
+    log10 LLR on the 1e-4 grid — NULL for token-less docs),
+    ``n_scored_tokens``, and ``seed_pred`` (llr > 0).
+
+    Model: add-one-smoothed class-conditional unigrams over the shared
+    top-``top_v`` vocabulary (ranked by combined class count, token
+    tie-break — deterministic at the cutoff). With S(x) the scaled
+    integer log, cp/cn per-token class counts, Np/Nn in-vocab masses
+    and V the realized vocab size:
+
+        llr = Σ_tokens [S(cp+1) − S(cn+1)] + n·[S(Nn+V) − S(Np+V)]
+
+    — every log argument an integer, sums exact and order-independent,
+    bit-replayable by a SQL oracle. Out-of-vocab tokens take the same
+    zero-count arithmetic as unseen in-vocab tokens (cp=cn=0), so no
+    separate OOV constant leaks in.
+
+    Scale design: one token-count pass per class (map-side combined,
+    vocabulary-sized output), full-outer merge, TakeOrdered cap to
+    ``top_v`` → the vocab table persists (it feeds the 1-row masses AND
+    the probe) and **broadcasts**; scoring is explode →
+    broadcast-hash-join → one doc-keyed agg — the ``text_lm_score``
+    posture: no corpus-side shuffle beyond the doc-id agg, vocab side
+    constant-size at any corpus scale.
+    """
+    if top_v < 1:
+        raise ValueError(f"text_seed_classifier_score: top_v must be >= 1, got {top_v}")
+
+    def _score(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        def S(c) -> Column:
+            return F.floor(F.log10(c) * 10_000 + 0.5).cast("long")
+
+        cn = (
+            df.select(F.explode(tokens_lower(F.col(input_col))).alias("__w"))
+            .groupBy("__w")
+            .agg(F.count(F.lit(1)).alias("__cn"))
+        )
+        cp = (
+            pos_df.select(F.explode(tokens_lower(F.col(pos_text_col))).alias("__w"))
+            .groupBy("__w")
+            .agg(F.count(F.lit(1)).alias("__cp"))
+        )
+        vocab = (
+            cn.join(cp, "__w", "full")
+            .select(
+                "__w",
+                F.coalesce("__cn", F.lit(0)).alias("__cn"),
+                F.coalesce("__cp", F.lit(0)).alias("__cp"),
+            )
+            .orderBy(F.desc(F.col("__cn") + F.col("__cp")), F.asc("__w"))
+            .limit(top_v)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        masses = vocab.agg(
+            F.sum("__cp").alias("__np"),
+            F.sum("__cn").alias("__nn"),
+            F.count(F.lit(1)).alias("__v"),
+        )
+        toks = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens_lower(F.col(input_col))).alias("__w"),
+        )
+        scored = (
+            toks.join(F.broadcast(vocab), "__w", "left")
+            .withColumn(
+                "__lp",
+                S(F.coalesce("__cp", F.lit(0)) + 1) - S(F.coalesce("__cn", F.lit(0)) + 1),
+            )
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("__nt"), F.sum("__lp").alias("__slp"))
+        )
+        const = S(F.col("__nn") + F.col("__v")) - S(F.col("__np") + F.col("__v"))
+        return (
+            df.join(scored, df[id_col] == scored["__id"], "left")
+            .crossJoin(F.broadcast(masses))
+            .withColumn(output_col, F.col("__slp") + F.col("__nt") * const)
+            .withColumn("n_scored_tokens", F.coalesce("__nt", F.lit(0)).cast("int"))
+            .withColumn("seed_pred", F.col(output_col) > 0)
+            .drop("__id", "__nt", "__slp", "__np", "__nn", "__v")
+        )
+
+    return _score

@@ -5020,3 +5020,58 @@ def test_winnow_fingerprint_rightmost_tie_and_short_doc(spark):
     assert len({fp for _, fp in a}) == 1
     b = [r for r in rows if r["doc_id"] == 1]
     assert len(b) == 1  # 2 grams < window -> single min-of-all fingerprint
+
+
+def test_seed_classifier_separates_seed_like_from_other(spark):
+    """Docs made of seed-corpus tokens score positive (seed_pred True),
+    docs of tokens never in the seed score negative; empty text -> NULL
+    llr, 0 scored tokens, NULL pred; top_v validation."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma alpha beta"),
+            (1, "junk spam noise junk spam noise junk"),
+            (2, ""),
+        ],
+        "doc_id INT, text STRING",
+    )
+    seeds = spark.createDataFrame(
+        [(100, "alpha beta gamma delta alpha beta gamma")],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.transform(
+            t("text_seed_classifier_score", pos_df=seeds)
+        ).collect()
+    }
+    assert out[0]["seed_llr"] > 0 and out[0]["seed_pred"] is True
+    assert out[1]["seed_llr"] < 0 and out[1]["seed_pred"] is False
+    assert out[0]["n_scored_tokens"] == 5
+    assert out[2]["seed_llr"] is None and out[2]["n_scored_tokens"] == 0
+    assert out[2]["seed_pred"] is None
+    with pytest.raises(ValueError):
+        t("text_seed_classifier_score", pos_df=seeds, top_v=0)
+
+
+def test_seed_classifier_vocab_cutoff_deterministic(spark):
+    """top_v caps the vocabulary by combined count with token tie-break;
+    out-of-vocab tokens take the zero-count arithmetic, so scores stay
+    defined (and exact) for fully-OOV documents."""
+    corpus = spark.createDataFrame(
+        [(0, "aa aa aa bb"), (1, "zz zz")], "doc_id INT, text STRING"
+    )
+    seeds = spark.createDataFrame([(9, "aa aa")], "doc_id INT, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in corpus.transform(
+            t("text_seed_classifier_score", pos_df=seeds, top_v=1)
+        ).collect()
+    }
+    # vocab = {aa} only (cn=3, cp=2 -> np=2, nn=3, v=1). Doc 1 is fully
+    # OOV yet scores deterministically: each OOV token contributes the
+    # zero-count constant S(nn+v)-S(np+v) = S(4)-S(3) = 1250 -> 2500
+    # (OOV leans positive when the NEGATIVE mass is larger — honest NB
+    # arithmetic, not a bug).
+    assert out[1]["seed_llr"] == 2500
+    # doc 0: 3x aa at S(3)-S(4) = -1250 each, bb at 0, + 4x 1250 = 1250
+    assert out[0]["seed_llr"] == 1250

@@ -1238,3 +1238,18 @@ def test_winnow_fingerprint_projection_until_distinct(spark, sf_dir):
     assert "rangepartitioning" not in physical
     assert physical.count("Exchange hashpartitioning") == 1, physical[:2000]
     assert physical.count("Exchange") <= 2, physical[:2000]
+
+
+def test_seed_classifier_broadcasts_vocab(spark, sf_dir):
+    """The capped vocab table broadcasts onto the scoring pass (the
+    text_lm_score posture): the token probe must be a
+    BroadcastHashJoin — never a sort-merge on the token key (a
+    sort-merge is fine for the vocabulary-sized full-outer class merge
+    and the doc-id result attach; raw SMJ counts are unreliable here
+    because the persisted vocab's build plan re-prints at every cache
+    reference). No cartesian anywhere."""
+    df = entry.queries()["dp139_seed_classifier"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin [__w" in physical, physical[:2000]
+    assert not re.search(r"SortMergeJoin \[__w\S*\], \[__w\S*\], LeftOuter", physical), physical[:2000]
+    assert "CartesianProduct" not in physical
