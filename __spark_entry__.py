@@ -4107,6 +4107,12 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
     "dp139_seed_classifier",
+    # pair_budget knob threaded through the five LSH pair-join dedup ops
+    "dp07_dedup_ngram_jaccard",
+    "dp08_embedding_dedup",
+    "dp11_dedup_simhash",
+    "dp28_embedding_dedup_lsh",
+    "dp42_cross_embedding_dedup",
     "dp138_winnow_fingerprint",
     "dp137_ngram_novelty",
     "dp136_source_divergence",
@@ -4142,6 +4148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp136_source_divergence": dp136_source_divergence,
         "dp135_event_pattern": dp135_event_pattern,
         "dp134_linear_fit": dp134_linear_fit,
+        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,
+        "dp08_embedding_dedup": dp08_embedding_dedup,
+        "dp11_dedup_simhash": dp11_dedup_simhash,
+        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
         "dp133_prototype_prune": dp133_prototype_prune,
         "dp132_semantic_dedup_hier": dp132_semantic_dedup_hier,
         "dp97_semantic_dedup": dp97_semantic_dedup,
@@ -4188,7 +4198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,  # last hard driver signal r08
         "dp40_cross_near_dedup": dp40_cross_near_dedup,  # last hard driver signal r08
         "dp41_quantile_prune": dp41_quantile_prune,  # last hard driver signal r08
-        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,  # last hard driver signal r08
         "dp43_image_phash_dedup": dp43_image_phash_dedup,  # last hard driver signal r08
         "dp44_lm_score_bigram": dp44_lm_score_bigram,  # last hard driver signal r08
         "dp45_embedding_mean_pool": dp45_embedding_mean_pool,  # last hard driver signal r08
@@ -4233,13 +4242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp04_fingerprint": dp04_fingerprint,
         "dp05_dedup_exact": dp05_dedup_exact,
         "dp06_dedup_minhash": dp06_dedup_minhash,
-        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,
-        "dp08_embedding_dedup": dp08_embedding_dedup,
         "dp09_knn_brute": dp09_knn_brute,
         "dp100_unimax_sample": dp100_unimax_sample,
         "dp106_temperature_sample": dp106_temperature_sample,
         "dp10_multimodal_bytes": dp10_multimodal_bytes,
-        "dp11_dedup_simhash": dp11_dedup_simhash,
         "dp12_knn_lsh": dp12_knn_lsh,
         "dp13_knn_ivf": dp13_knn_ivf,
         "dp14_hash_split": dp14_hash_split,

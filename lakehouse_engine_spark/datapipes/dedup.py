@@ -242,6 +242,7 @@ def dedup_cross_embedding(
     num_tables: int = 4,
     dim: Optional[int] = None,
     max_bucket_size: Optional[int] = 10_000,
+    pair_budget: Optional[int] = None,
     mode: str = "drop",  # drop | flag
     flag_col: str = "near_reference",
 ) -> TransformerFn:
@@ -281,6 +282,7 @@ def dedup_cross_embedding(
                 hyperplane_signatures(sdf, emb, idc, num_planes, num_tables, dim=d),
                 ["__t", "__sig"],
                 max_bucket_size,
+                pair_budget,
             )
             return s.withColumn(
                 "__norm",
@@ -710,9 +712,35 @@ def _simhash_sig_df(
     return counters.select("__id", sig.alias("__sim"))
 
 
-def _cap_buckets(df: DataFrame, keys: List[str], max_bucket_size: Optional[int]) -> DataFrame:
-    """Drop LSH buckets larger than ``max_bucket_size`` before a pair
-    self-join.
+def _effective_cap(
+    max_bucket_size: Optional[int], pair_budget: Optional[int]
+) -> Optional[int]:
+    """Resolve the LSH bucket cap from an explicit member count and/or a
+    per-bucket candidate-PAIR budget: a bucket of k members costs
+    ~k²/2 verify pairs, so a budget of P pairs caps k at isqrt(2·P).
+    The budget form is the production knob — pair work is the quantity
+    the verify join actually pays (BASELINE.md records the
+    cap²/2 × hot-bucket-count rule; the 10k default size cap admits
+    ~50M pairs per degenerate bucket, the round-11 ADVICE finding this
+    knob closes). When both are given the tighter cap wins."""
+    import math
+
+    caps = [c for c in (max_bucket_size,) if c is not None]
+    if pair_budget is not None:
+        if pair_budget < 1:
+            raise ValueError(f"pair_budget must be >= 1, got {pair_budget}")
+        caps.append(max(1, math.isqrt(2 * pair_budget)))
+    return min(caps) if caps else None
+
+
+def _cap_buckets(
+    df: DataFrame,
+    keys: List[str],
+    max_bucket_size: Optional[int],
+    pair_budget: Optional[int] = None,
+) -> DataFrame:
+    """Drop LSH buckets larger than the effective cap (see
+    :func:`_effective_cap`) before a pair self-join.
 
     A degenerate bucket of k members (empty strings, license boilerplate,
     near-constant signatures) produces k² candidate pairs — at web-corpus
@@ -722,12 +750,13 @@ def _cap_buckets(df: DataFrame, keys: List[str], max_bucket_size: Optional[int])
     The window count shuffles on the bucket key the pair join also uses, so
     the partitioning is reused — no extra exchange.
     """
-    if max_bucket_size is None:
+    cap = _effective_cap(max_bucket_size, pair_budget)
+    if cap is None:
         return df
     w = Window.partitionBy(*keys)
     return (
         df.withColumn("__bn", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bn") <= max_bucket_size)
+        .filter(F.col("__bn") <= cap)
         .drop("__bn")
     )
 
@@ -740,6 +769,7 @@ def dedup_simhash(
     shingle_size: int = 2,
     keep: str = "survivors",
     max_bucket_size: Optional[int] = 10_000,
+    pair_budget: Optional[int] = None,
 ) -> TransformerFn:
     """SimHash near-dup removal: bucket on the 4 15-bit chunks of the
     signature (Hamming ≤ 3 ⇒ at least one chunk identical), verify candidate
@@ -768,6 +798,7 @@ def dedup_simhash(
             ),
             ["__k", "__chunk"],
             max_bucket_size,
+            pair_budget,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         pairs = (
             chunks.alias("l")
@@ -806,6 +837,7 @@ def dedup_ngram_jaccard(
     bands: int = 6,
     keep: str = "survivors",
     max_bucket_size: Optional[int] = 10_000,
+    pair_budget: Optional[int] = None,
 ) -> TransformerFn:
     """n-gram Jaccard dedup: MinHash-LSH candidates, exact Jaccard verify.
 
@@ -824,7 +856,8 @@ def dedup_ngram_jaccard(
         # materialize once (ids+hashes only, a sliver of the corpus size;
         # spills to disk if it ever doesn't fit)
         exploded = _cap_buckets(
-            _band_exploded(sig, bands, rows), ["__h"], max_bucket_size
+            _band_exploded(sig, bands, rows), ["__h"], max_bucket_size,
+            pair_budget,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         # candidate pairs carry ONLY ids through the bucket join + dedup;
         # the (large) shingle arrays attach afterwards, once per unique pair
@@ -1007,6 +1040,7 @@ def dedup_embedding_cosine(
     num_planes: int = 12,
     num_tables: int = 4,
     max_bucket_size: Optional[int] = 10_000,
+    pair_budget: Optional[int] = None,
     dim: Optional[int] = None,
 ) -> TransformerFn:
     """Embedding near-dup removal.
@@ -1065,6 +1099,7 @@ def dedup_embedding_cosine(
             ),
             ["__t", "__sig"],
             max_bucket_size,
+            pair_budget,
         ).withColumn(
             "__norm",
             F.sqrt(F.aggregate(F.col("__bv"), F.lit(0.0), lambda s, v: s + v * v)),
@@ -1850,6 +1885,7 @@ def dedup_incremental_embedding(
     num_planes: int = 12,
     num_tables: int = 4,
     max_bucket_size: Optional[int] = 10_000,
+    pair_budget: Optional[int] = None,
     update_state: bool = True,
     compact_after_files: int = 64,
     dim: Optional[int] = None,
@@ -1955,7 +1991,8 @@ def dedup_incremental_embedding(
             # in-batch rule among fresh vectors: the batch arm's capped
             # bucket join + exact-cosine verify, min-id survivor
             capped = _cap_buckets(
-                fresh_sigs, ["__t", "__sig"], max_bucket_size
+                fresh_sigs, ["__t", "__sig"], max_bucket_size,
+                pair_budget,
             )
             pairs = (
                 capped.alias("l")

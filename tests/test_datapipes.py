@@ -5075,3 +5075,39 @@ def test_seed_classifier_vocab_cutoff_deterministic(spark):
     assert out[1]["seed_llr"] == 2500
     # doc 0: 3x aa at S(3)-S(4) = -1250 each, bb at 0, + 4x 1250 = 1250
     assert out[0]["seed_llr"] == 1250
+
+
+def test_pair_budget_caps_lsh_buckets(spark):
+    """pair_budget derives the bucket cap from the verify-pair cost
+    (k <= isqrt(2*budget)) — the production knob the round-11 ADVICE
+    called for: a boilerplate bucket that squeaks under the size cap is
+    dropped under a tight pair budget (its members kept as
+    non-duplicates), while genuinely small buckets still dedup."""
+    from lakehouse_engine_spark.datapipes.dedup import _effective_cap
+
+    assert _effective_cap(10_000, None) == 10_000
+    assert _effective_cap(None, None) is None
+    assert _effective_cap(None, 50_000_000) == 10_000  # the documented rule
+    assert _effective_cap(10_000, 50) == 10            # tighter budget wins
+    assert _effective_cap(3, 50_000_000) == 3          # tighter size wins
+    with pytest.raises(ValueError):
+        _effective_cap(None, 0)
+
+    boiler = [(i, "exactly the same boilerplate text repeated verbatim")
+              for i in range(8)]
+    pair = [(100, "a genuinely unique sentence about distributed engines"),
+            (101, "a genuinely unique sentence about distributed engines!")]
+    df = spark.createDataFrame(boiler + pair, "doc_id INT, text STRING")
+    # size cap admits the 8-member boilerplate bucket -> it dedups
+    full = df.transform(
+        t("dedup_ngram_jaccard", shingle_size=2, threshold=0.5,
+          max_bucket_size=10, keep="survivors")
+    ).count()
+    # pair budget 3 -> cap isqrt(6)=2: the 8-member bucket drops (kept as
+    # non-dups), the 2-member pair still verifies and dedups
+    budgeted = df.transform(
+        t("dedup_ngram_jaccard", shingle_size=2, threshold=0.5,
+          max_bucket_size=10, pair_budget=3, keep="survivors")
+    ).count()
+    assert full == 2       # 1 boilerplate survivor + 1 pair survivor
+    assert budgeted == 9   # 8 kept boilerplate + 1 pair survivor
