@@ -294,7 +294,10 @@ def _emulated_cdf_stream(
 
 def _partition_glob(spark: SparkSession, src_loc: str) -> str:
     """``<loc>/<key>=*`` when the location's first level is Hive-style
-    partition dirs, else the location itself — one control-plane listing."""
+    partition dirs; ``<loc>/*.parquet`` when an UNPARTITIONED location
+    shares its root with non-data directories (streaming checkpoints,
+    exports — a root listing would feed those to partition inference);
+    else the location itself. One control-plane listing."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(src_loc)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -303,12 +306,19 @@ def _partition_glob(spark: SparkSession, src_loc: str) -> str:
     except Exception:
         return src_loc
     keys = set()
+    stray_dir = False
     for st in statuses:
         name = st.getPath().getName()
-        if st.isDirectory() and "=" in name and not name.startswith("_"):
+        if not st.isDirectory() or name.startswith(("_", ".")):
+            continue  # files; Spark-ignored metadata/hidden dirs
+        if "=" in name:
             keys.add(name.split("=", 1)[0])
+        else:
+            stray_dir = True
     if len(keys) == 1:
         return f"{src_loc.rstrip('/')}/{keys.pop()}=*"
+    if not keys and stray_dir:
+        return f"{src_loc.rstrip('/')}/*.parquet"
     return src_loc
 
 

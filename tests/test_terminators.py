@@ -136,3 +136,29 @@ def test_expose_cdf_without_delta_emulates_append_only_cdf(spark, tmp_path):
         r["_commit_version"] for r in after.collect()
     ) == [1, 1, 2]
     spark.sql("DROP TABLE IF EXISTS test_db.cdf_emu")
+
+
+def test_partition_glob_isolates_data_from_stray_dirs(spark, tmp_path):
+    """_partition_glob: Hive-partitioned roots glob the partition dirs;
+    clean unpartitioned roots stream as-is; an unpartitioned root that
+    also holds a non-data directory (a streaming checkpoint, an export)
+    must glob the leaf parquet files only — feeding the stray dir to
+    the file stream breaks partition inference (round-11 ADVICE #1)."""
+    from lakehouse_engine_spark.terminators.terminator_factory import (
+        _partition_glob,
+    )
+
+    part = tmp_path / "part"
+    (part / "ds=2024-01-01").mkdir(parents=True)
+    (part / "ds=2024-01-01" / "f.parquet").write_bytes(b"x")
+    assert _partition_glob(spark, str(part)).endswith("/ds=*")
+
+    clean = tmp_path / "clean"
+    clean.mkdir()
+    (clean / "part-0.parquet").write_bytes(b"x")
+    assert _partition_glob(spark, str(clean)) == str(clean)
+
+    mixed = tmp_path / "mixed"
+    (mixed / "checkpoint" / "offsets").mkdir(parents=True)
+    (mixed / "part-0.parquet").write_bytes(b"x")
+    assert _partition_glob(spark, str(mixed)).endswith("/*.parquet")
