@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_engine_spark.core.definitions import DQFunctionSpec, DQSpec, TransformerSpec
 from lakehouse_engine_spark.datapipes.dedup import MINHASH_AB, MINHASH_P
-from lakehouse_engine_spark.datapipes.numeric import cramer_fit_exprs
+from lakehouse_engine_spark.datapipes.numeric import corr_pair_expr, cramer_fit_exprs
 from lakehouse_engine_spark.datapipes.text import PII_PATTERNS
 from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
 from lakehouse_engine_spark.utils.tables import load_table
@@ -3780,6 +3780,33 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp140_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson feature correlations (datapipes/numeric.py
+    correlation_matrix): per-label correlation of grid-quantized
+    embedding dims 1-4 — ONE exact-decimal moment pass, constant-size
+    pair explode, closed form whose SQL text (corr_pair_expr) is shared
+    verbatim with this oracle so the doubles hash bit-for-bit."""
+    emb = load_table(spark, sf, "embeddings")
+    grid = emb.select(
+        "label",
+        *[
+            F.floor(
+                F.element_at(F.col("embedding"), i).cast("double") * 1024.0 + 0.5
+            )
+            .cast("long")
+            .alias(f"x{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    return grid.transform(
+        _t(
+            "correlation_matrix",
+            value_cols=["x1", "x2", "x3", "x4"],
+            group_cols=["label"],
+        )
+    )
+
+
 def dp139_seed_classifier(spark: SparkSession, sf: str) -> DataFrame:
     """Seed-set NB quality classifier (datapipes/text.py
     text_seed_classifier_score): English docs as the trusted positive
@@ -4106,6 +4133,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp140_correlation_matrix",
     "dp139_seed_classifier",
     # pair_budget knob threaded through the five LSH pair-join dedup ops
     "dp07_dedup_ngram_jaccard",
@@ -4142,6 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp140_correlation_matrix": dp140_correlation_matrix,
         "dp139_seed_classifier": dp139_seed_classifier,
         "dp138_winnow_fingerprint": dp138_winnow_fingerprint,
         "dp137_ngram_novelty": dp137_ngram_novelty,
@@ -6885,6 +6914,32 @@ def oracle_sql() -> dict[str, str]:
         "dp132_semantic_dedup_hier": _duck_semantic_hier(0.9, 4, 3, 1, 1),
         "dp133_prototype_prune": _duck_prototype_prune(8, 2, 0.5),
         "dp134_linear_fit": _duck_linear_fit(1.0),
+        "dp140_correlation_matrix": """
+            WITH q AS (
+              SELECT label,
+                     CAST(floor(CAST(embedding[1] AS DOUBLE)*1024.0 + 0.5) AS BIGINT) AS x1, CAST(floor(CAST(embedding[2] AS DOUBLE)*1024.0 + 0.5) AS BIGINT) AS x2,
+                     CAST(floor(CAST(embedding[3] AS DOUBLE)*1024.0 + 0.5) AS BIGINT) AS x3, CAST(floor(CAST(embedding[4] AS DOUBLE)*1024.0 + 0.5) AS BIGINT) AS x4
+              FROM embeddings
+            ), qq AS (
+              SELECT * FROM q
+              WHERE x1 IS NOT NULL AND x2 IS NOT NULL
+                AND x3 IS NOT NULL AND x4 IS NOT NULL
+            ), mom AS (
+              SELECT label, COUNT(*) AS n, CAST(SUM(x1) AS DOUBLE) AS s0, CAST(SUM(x1*x1) AS DOUBLE) AS s00, CAST(SUM(x1*x2) AS DOUBLE) AS s01, CAST(SUM(x1*x3) AS DOUBLE) AS s02, CAST(SUM(x1*x4) AS DOUBLE) AS s03, CAST(SUM(x2) AS DOUBLE) AS s1, CAST(SUM(x2*x2) AS DOUBLE) AS s11, CAST(SUM(x2*x3) AS DOUBLE) AS s12, CAST(SUM(x2*x4) AS DOUBLE) AS s13, CAST(SUM(x3) AS DOUBLE) AS s2, CAST(SUM(x3*x3) AS DOUBLE) AS s22, CAST(SUM(x3*x4) AS DOUBLE) AS s23, CAST(SUM(x4) AS DOUBLE) AS s3, CAST(SUM(x4*x4) AS DOUBLE) AS s33
+              FROM qq GROUP BY label
+            ), pairs AS (
+              SELECT label, n,
+                     unnest([struct_pack(col_x := 'x1', col_y := 'x2', corr := CASE WHEN (n*s00 - s0*s0) > 0.0 AND (n*s11 - s1*s1) > 0.0 THEN (n*s01 - s0*s1) / sqrt((n*s00 - s0*s0) * (n*s11 - s1*s1)) END),
+                       struct_pack(col_x := 'x1', col_y := 'x3', corr := CASE WHEN (n*s00 - s0*s0) > 0.0 AND (n*s22 - s2*s2) > 0.0 THEN (n*s02 - s0*s2) / sqrt((n*s00 - s0*s0) * (n*s22 - s2*s2)) END),
+                       struct_pack(col_x := 'x1', col_y := 'x4', corr := CASE WHEN (n*s00 - s0*s0) > 0.0 AND (n*s33 - s3*s3) > 0.0 THEN (n*s03 - s0*s3) / sqrt((n*s00 - s0*s0) * (n*s33 - s3*s3)) END),
+                       struct_pack(col_x := 'x2', col_y := 'x3', corr := CASE WHEN (n*s11 - s1*s1) > 0.0 AND (n*s22 - s2*s2) > 0.0 THEN (n*s12 - s1*s2) / sqrt((n*s11 - s1*s1) * (n*s22 - s2*s2)) END),
+                       struct_pack(col_x := 'x2', col_y := 'x4', corr := CASE WHEN (n*s11 - s1*s1) > 0.0 AND (n*s33 - s3*s3) > 0.0 THEN (n*s13 - s1*s3) / sqrt((n*s11 - s1*s1) * (n*s33 - s3*s3)) END),
+                       struct_pack(col_x := 'x3', col_y := 'x4', corr := CASE WHEN (n*s22 - s2*s2) > 0.0 AND (n*s33 - s3*s3) > 0.0 THEN (n*s23 - s2*s3) / sqrt((n*s22 - s2*s2) * (n*s33 - s3*s3)) END)]) AS u
+              FROM mom
+            )
+            SELECT label, n, u.col_x AS col_x, u.col_y AS col_y, u.corr AS corr
+            FROM pairs
+        """,
         "dp139_seed_classifier": f"""
             WITH neg AS (
               SELECT unnest({_DUCK_TOKENS}) AS w FROM documents

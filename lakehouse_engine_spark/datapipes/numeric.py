@@ -506,3 +506,83 @@ def linear_fit_normal(
         )
 
     return _fit
+
+
+def corr_pair_expr(i: int, j: int) -> str:
+    """Dialect-neutral Pearson-correlation SQL text over moment columns
+    ``n, s{i}, s{j}, s{i}{i}, s{i}{j}, s{j}{j}`` (exact sums cast to
+    double). Shared verbatim between the Spark plan and the DuckDB
+    oracle — identical expression trees over identical doubles are
+    bit-identical. NULL when either variance is zero."""
+    vi = f"(n*s{i}{i} - s{i}*s{i})"
+    vj = f"(n*s{j}{j} - s{j}*s{j})"
+    cov = f"(n*s{i}{j} - s{i}*s{j})"
+    return (
+        f"CASE WHEN {vi} > 0.0 AND {vj} > 0.0 "
+        f"THEN {cov} / sqrt({vi} * {vj}) END"
+    )
+
+
+@register("correlation_matrix")
+def correlation_matrix(
+    value_cols: List[str],
+    group_cols: Optional[List[str]] = None,
+) -> TransformerFn:
+    """Pairwise Pearson correlations over a feature set — the feature-QA
+    companion to :func:`trend_fit` (one pair) and
+    :func:`linear_fit_normal` (one response): one row per unordered
+    column pair (per group) with ``col_x, col_y, n, corr`` — redundancy
+    screening before training a :func:`linear_fit_normal` model or
+    pruning near-duplicate features from a mixture.
+
+    Numerics: listwise-complete rows (any NULL among ``value_cols``
+    drops the row — every pair sees the same n), DECIMAL(18,6) moment
+    sums (exact, order-independent — the ``trend_fit`` convention), and
+    a closed form whose SQL text (:func:`corr_pair_expr`) is shared
+    verbatim with the oracle, so the final doubles hash bit-for-bit.
+    Zero-variance columns yield NULL correlations.
+
+    Scale design: ONE map-side-combined aggregation pass — d + d(d+1)/2
+    sums — then a constant-size explode of the pair rows per group. No
+    second corpus pass, no window, no join.
+    """
+    d = len(value_cols)
+    if d < 2:
+        raise ValueError(
+            f"correlation_matrix: need >= 2 value_cols, got {d}"
+        )
+    keys = list(group_cols or [])
+
+    def _corr(df: DataFrame) -> DataFrame:
+        cond = F.lit(True)
+        for c in value_cols:
+            cond = cond & F.col(c).isNotNull()
+        df = df.filter(cond)
+        x = [F.col(c).cast("decimal(18,6)") for c in value_cols]
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        for i in range(d):
+            aggs.append(F.sum(x[i]).alias(f"__s{i}"))
+            for j in range(i, d):
+                aggs.append(F.sum(x[i] * x[j]).alias(f"__s{i}{j}"))
+        mom = df.groupBy(*keys).agg(*aggs)
+        dbl = mom.select(
+            *keys,
+            "n",
+            *[F.col(f"__s{i}").cast("double").alias(f"s{i}") for i in range(d)],
+            *[
+                F.col(f"__s{i}{j}").cast("double").alias(f"s{i}{j}")
+                for i in range(d)
+                for j in range(i, d)
+            ],
+        )
+        pair_structs = ", ".join(
+            f"struct('{value_cols[i]}' AS col_x, '{value_cols[j]}' AS col_y, "
+            f"{corr_pair_expr(i, j)} AS corr)"
+            for i in range(d)
+            for j in range(i + 1, d)
+        )
+        return dbl.selectExpr(
+            *keys, "n", f"inline(array({pair_structs}))"
+        )
+
+    return _corr

@@ -5111,3 +5111,23 @@ def test_pair_budget_caps_lsh_buckets(spark):
     ).count()
     assert full == 2       # 1 boilerplate survivor + 1 pair survivor
     assert budgeted == 9   # 8 kept boilerplate + 1 pair survivor
+
+
+def test_correlation_matrix_known_pairs(spark):
+    """Perfect positive/negative/zero-variance pairs; listwise NULL
+    exclusion keeps every pair on the same n; arg validation."""
+    rows = [(float(i), 2.0 * i + 1.0, float(-i), 5.0) for i in range(10)]
+    rows.append((None, 1.0, 1.0, 5.0))  # listwise-dropped
+    df = spark.createDataFrame(rows, "a DOUBLE, b DOUBLE, c DOUBLE, k DOUBLE")
+    out = {
+        (r["col_x"], r["col_y"]): r
+        for r in df.transform(
+            t("correlation_matrix", value_cols=["a", "b", "c", "k"])
+        ).collect()
+    }
+    assert len(out) == 6 and all(r["n"] == 10 for r in out.values())
+    assert out[("a", "b")]["corr"] == pytest.approx(1.0)
+    assert out[("a", "c")]["corr"] == pytest.approx(-1.0)
+    assert out[("a", "k")]["corr"] is None  # zero variance
+    with pytest.raises(ValueError):
+        t("correlation_matrix", value_cols=["a"])

@@ -1253,3 +1253,13 @@ def test_seed_classifier_broadcasts_vocab(spark, sf_dir):
     assert "BroadcastHashJoin [__w" in physical, physical[:2000]
     assert not re.search(r"SortMergeJoin \[__w\S*\], \[__w\S*\], LeftOuter", physical), physical[:2000]
     assert "CartesianProduct" not in physical
+
+
+def test_correlation_matrix_single_pass_no_join(spark, sf_dir):
+    """One map-side-combined moment pass + constant-size pair inline:
+    no join, no global sort, exactly one corpus scan."""
+    df = entry.queries()["dp140_correlation_matrix"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "Join" not in physical, physical[:2000]
+    assert "rangepartitioning" not in physical
+    assert physical.count("Scan parquet") == 1, physical[:2000]
