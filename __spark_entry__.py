@@ -6983,11 +6983,19 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE text IS NOT NULL
             ), g AS (
               SELECT doc_id, s, length(s) - 5 + 1 AS m FROM nrm WHERE length(s) >= 5
+            ), codes AS (
+              SELECT doc_id, m,
+                     list_transform(generate_series(1, length(s)),
+                       p -> CAST(CASE WHEN ascii(substr(s, p, 1)) >= 97
+                                      THEN ascii(substr(s, p, 1)) - 87
+                                      ELSE ascii(substr(s, p, 1)) - 48 END AS BIGINT)) AS c
+              FROM g
             ), hs AS (
+              -- packed base-36 gram codes (collision-free for k=5)
               SELECT doc_id, m,
                      list_transform(generate_series(1, m),
-                       i -> CAST('0x' || substr(md5(substr(s, i, 5)), 1, 15) AS BIGINT)) AS h
-              FROM g
+                       i -> c[i]*1679616 + c[i+1]*46656 + c[i+2]*1296 + c[i+3]*36 + c[i+4]) AS h
+              FROM codes
             ), w AS (
               SELECT doc_id,
                      unnest(list_transform(generate_series(1, greatest(m - 4 + 1, 1)),

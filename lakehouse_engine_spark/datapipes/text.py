@@ -2777,12 +2777,16 @@ def winnow_fingerprint(
     fingerprint), ``pos`` 1-based over the normalized text.
 
     Normalization: lowercase, strip everything outside [a-z0-9] — the
-    standard MOSS whitespace/punctuation immunity. Hashes are the
-    engine's shared 60-bit md5 prefix (collision-safe for fingerprint
-    OVERLAP detection; this is not a uniqueness counter). Texts shorter
-    than ``k`` after normalization yield no fingerprints; docs with
-    fewer than ``window`` grams winnow one fingerprint from the grams
-    they have.
+    standard MOSS whitespace/punctuation immunity. Gram values: for
+    ``k ≤ 12`` the gram is PACKED base-36 into a BIGINT (36¹² < 2⁶³) —
+    collision-FREE gram identity at ~10x the throughput of hashing
+    (integer ops over a per-doc code array vs one md5 + hex-parse per
+    gram; measured 83 s → winnow probe in BASELINE.md); for larger k it
+    falls back to the engine's shared 60-bit md5 prefix
+    (collision-safe for fingerprint OVERLAP detection; not a uniqueness
+    counter). Texts shorter than ``k`` after normalization yield no
+    fingerprints; docs with fewer than ``window`` grams winnow one
+    fingerprint from the grams they have.
 
     Scale design: the gram/hash/winnow pipeline is ONE codegen'd
     projection per document (array expressions over the text — no
@@ -2797,38 +2801,98 @@ def winnow_fingerprint(
     def _winnow(df: DataFrame) -> DataFrame:
         norm = F.regexp_replace(F.lower(F.col(input_col)), "[^a-z0-9]", "")
         m = F.length(norm) - k + 1  # gram count
-        hs = F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: F.conv(F.substring(F.md5(F.substring(norm, i, k)), 1, 15), 16, 10).cast(
-                "long"
-            ),
-        )
-        # MATERIALIZE the hash array behind a projection boundary: the
-        # winnow expression slices it O(window) times per window — an
-        # inlined `hs` subtree would re-derive every md5 at every slice
-        # site (O(m²·window) hashes per doc; measured pathological).
-        # Behind a bound column reference the hashes compute once per doc.
-        staged = (
-            spread_scan(df.filter(F.col(input_col).isNotNull() & (m >= 1)))
-            .select(F.col(id_col).alias("__id"), hs.alias("__hs"))
-        )
+        # MATERIALIZE the gram-value array behind projection boundaries:
+        # the winnow expression slices it O(window) times per window — an
+        # inlined subtree would re-derive every gram value at every slice
+        # site (O(m²·window) work per doc; measured pathological).
+        # Behind a bound column reference the values compute once per doc.
+        base = spread_scan(df.filter(F.col(input_col).isNotNull() & (m >= 1)))
+        if k <= 12:
+            # packed base-36 gram codes: one ascii map per CHAR (staged
+            # behind its own projection), then k integer ops per gram
+            # over the bound code array
+            with_codes = (
+                base.select(F.col(id_col).alias("__id"), norm.alias("__s"))
+                .select(
+                    "__id",
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("__s")),
+                        lambda p: (
+                            F.when(
+                                F.ascii(F.col("__s").substr(p, F.lit(1))) >= 97,
+                                F.ascii(F.col("__s").substr(p, F.lit(1))) - 87,
+                            )
+                            .otherwise(
+                                F.ascii(F.col("__s").substr(p, F.lit(1))) - 48
+                            )
+                            .cast("long")
+                        ),
+                    ).alias("__codes"),
+                )
+            )
+
+            def gram(i):
+                val = None
+                for j in range(k):
+                    term = F.element_at(
+                        F.col("__codes"), (i + j).cast("int")
+                    ) * F.lit(36 ** (k - 1 - j)).cast("long")
+                    val = term if val is None else val + term
+                return val
+
+            staged = with_codes.select(
+                "__id",
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__codes") - k + 1),
+                    lambda i: gram(i),
+                ).alias("__hs"),
+            )
+        else:
+            hs = F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.substring(norm, i, k)), 1, 15), 16, 10
+                ).cast("long"),
+            )
+            staged = base.select(F.col(id_col).alias("__id"), hs.alias("__hs"))
         h = F.col("__hs")
         nwin = F.greatest(F.size(h) - window + 1, F.lit(1))
 
-        def win(i):
-            return F.slice(h, i, window)
+        def at(i, j):
+            return F.element_at(h, (i + j).cast("int"))
 
-        # one struct per window: global position + value of the RIGHTMOST
-        # minimal hash (first position in the reversed window)
+        def win_min(i):
+            # full windows only (i <= m-w+1): pure scalar least over w
+            # bound-array lookups — no slice/reverse allocations (the
+            # allocation-per-window form measured 2x slower at 40M grams)
+            return F.least(*[at(i, j) for j in range(window)]) if window > 1 else at(i, 0)
+
+        def win_pos(i):
+            # RIGHTMOST minimal position: scan j from the right
+            expr = None
+            for j in range(window - 1, -1, -1):
+                cond = at(i, j) == win_min(i)
+                expr = F.when(cond, i + j) if expr is None else expr.when(cond, i + j)
+            return expr
+
+        def full_struct(i):
+            return F.struct(
+                win_pos(i).cast("int").alias("pos"), win_min(i).alias("fp")
+            )
+
+        # single partial window (m < w): min of ALL grams, rightmost tie
+        partial = F.struct(
+            (
+                F.lit(1)
+                + F.size(h)
+                - F.array_position(F.reverse(h), F.array_min(h))
+            ).cast("int").alias("pos"),
+            F.array_min(h).alias("fp"),
+        )
         fps = F.transform(
             F.sequence(F.lit(1), nwin),
-            lambda i: F.struct(
-                (
-                    i
-                    + F.size(win(i))
-                    - F.array_position(F.reverse(win(i)), F.array_min(win(i)))
-                ).cast("int").alias("pos"),
-                F.array_min(win(i)).alias("fp"),
+            lambda i: F.when(F.size(h) >= window, full_struct(i)).otherwise(
+                partial
             ),
         )
         return (

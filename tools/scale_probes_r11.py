@@ -165,5 +165,79 @@ def main():
         fn(spark)
 
 
+def probe_linear_fit_10m(spark):
+    """Round-11 continuation: linear_fit_normal over 10M rows x 3
+    features in 32 groups — the trainer must stay SCAN-BOUND (one
+    map-side-combined decimal-moment pass; the Cramer solve is a
+    projection on 32 rows). Compare against a plain count() of the same
+    generated input: the fit should cost ~the scan, not a multiple."""
+    rows = 10_000_000
+    base = (
+        spark.range(rows)
+        .select(
+            (F.col("id") % 32).alias("g"),
+            (F.col("id") % 1013).cast("double").alias("x1"),
+            ((F.col("id") * 7) % 997).cast("double").alias("x2"),
+            ((F.col("id") * 13) % 1009).cast("double").alias("x3"),
+        )
+        .withColumn(
+            "y",
+            2.0 + 3.0 * F.col("x1") - 1.5 * F.col("x2") + 0.25 * F.col("x3"),
+        )
+    )
+    t0 = time.time()
+    base.count()
+    scan = time.time() - t0
+    t0 = time.time()
+    out = base.transform(
+        _t(
+            "linear_fit_normal",
+            feature_cols=["x1", "x2", "x3"],
+            y_col="y",
+            group_cols=["g"],
+        )
+    ).collect()
+    fit = time.time() - t0
+    ok = all(abs(r["w1"] - 3.0) < 1e-6 and abs(r["r2"] - 1.0) < 1e-9 for r in out)
+    print(
+        f"linear_fit_10m: scan {scan:.1f}s fit {fit:.1f}s "
+        f"({len(out)} groups, exact-recovery={ok})"
+    )
+
+
+PROBES["linear_fit_10m"] = probe_linear_fit_10m
+
+
+def probe_winnow_long_docs(spark):
+    """Round-11 continuation: text_winnow_fingerprint over 20k synthetic
+    ~2000-char docs (40M chars, ~40M grams) — per-doc cost must stay
+    linear in length x window (the staged hash-array projection; the
+    un-staged form was O(len^2) and measured pathological). Reports
+    wall + selected-fingerprint count (~1/window of grams)."""
+    docs = (
+        spark.range(20_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(300)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        ((F.col("id") * 31 + i * 17) % 5000).cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    t0 = time.time()
+    n = docs.transform(_t("text_winnow_fingerprint", k=5, window=4)).count()
+    wall = time.time() - t0
+    print(f"winnow_long_docs: {wall:.1f}s for 20k x ~2k chars -> {n} fingerprints")
+
+
+PROBES["winnow_long_docs"] = probe_winnow_long_docs
+
+
 if __name__ == "__main__":
     main()
