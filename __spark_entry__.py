@@ -3780,6 +3780,19 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp141_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS copy-detection report (datapipes/dedup.py text_winnow_overlap):
+    document pairs ranked by distinct shared winnowing fingerprints —
+    equi-join on the fingerprint value over distinct (doc, fp) rows with
+    the LSH family's bucket cap, one map-side-combined pair count.
+    Oracle: the dp138 winnow CTE + self-join + HAVING replay."""
+    docs = load_table(spark, sf, "documents")
+    return docs.transform(
+        _t("text_winnow_overlap", k=5, window=4, min_shared=20,
+           max_bucket_size=50)
+    )
+
+
 def dp140_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise Pearson feature correlations (datapipes/numeric.py
     correlation_matrix): per-label correlation of grid-quantized
@@ -4133,6 +4146,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp141_winnow_overlap",
     "dp140_correlation_matrix",
     "dp139_seed_classifier",
     # pair_budget knob threaded through the five LSH pair-join dedup ops
@@ -4170,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp141_winnow_overlap": dp141_winnow_overlap,
         "dp140_correlation_matrix": dp140_correlation_matrix,
         "dp139_seed_classifier": dp139_seed_classifier,
         "dp138_winnow_fingerprint": dp138_winnow_fingerprint,
@@ -4688,6 +4703,38 @@ def _duck_knn_ivf(k: int, num_centroids: int, nprobe: int) -> str:
           FROM scored
         ) WHERE rank <= {k}
     """
+
+
+_DUCK_WINNOW_FPS = """
+            WITH nrm AS (
+              SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+              FROM documents WHERE text IS NOT NULL
+            ), g AS (
+              SELECT doc_id, s, length(s) - 5 + 1 AS m FROM nrm WHERE length(s) >= 5
+            ), codes AS (
+              SELECT doc_id, m,
+                     list_transform(generate_series(1, length(s)),
+                       p -> CAST(CASE WHEN ascii(substr(s, p, 1)) >= 97
+                                      THEN ascii(substr(s, p, 1)) - 87
+                                      ELSE ascii(substr(s, p, 1)) - 48 END AS BIGINT)) AS c
+              FROM g
+            ), hs AS (
+              -- packed base-36 gram codes (collision-free for k=5)
+              SELECT doc_id, m,
+                     list_transform(generate_series(1, m),
+                       i -> c[i]*1679616 + c[i+1]*46656 + c[i+2]*1296 + c[i+3]*36 + c[i+4]) AS h
+              FROM codes
+            ), w AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(m - 4 + 1, 1)),
+                       i -> struct_pack(
+                         pos := CAST(i + len(h[i:i+3])
+                                   - list_position(list_reverse(h[i:i+3]), list_min(h[i:i+3])) AS INTEGER),
+                         fp := list_min(h[i:i+3])))) AS f
+              FROM hs
+            )
+            SELECT DISTINCT doc_id, f.pos AS pos, f.fp AS fp FROM w
+"""
 
 
 def _duck_linear_fit(l2: float) -> str:
@@ -6977,36 +7024,26 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sc ON d.doc_id = sc.doc_id
             CROSS JOIN m
         """,
-        "dp138_winnow_fingerprint": """
-            WITH nrm AS (
-              SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
-              FROM documents WHERE text IS NOT NULL
-            ), g AS (
-              SELECT doc_id, s, length(s) - 5 + 1 AS m FROM nrm WHERE length(s) >= 5
-            ), codes AS (
-              SELECT doc_id, m,
-                     list_transform(generate_series(1, length(s)),
-                       p -> CAST(CASE WHEN ascii(substr(s, p, 1)) >= 97
-                                      THEN ascii(substr(s, p, 1)) - 87
-                                      ELSE ascii(substr(s, p, 1)) - 48 END AS BIGINT)) AS c
-              FROM g
-            ), hs AS (
-              -- packed base-36 gram codes (collision-free for k=5)
-              SELECT doc_id, m,
-                     list_transform(generate_series(1, m),
-                       i -> c[i]*1679616 + c[i+1]*46656 + c[i+2]*1296 + c[i+3]*36 + c[i+4]) AS h
-              FROM codes
-            ), w AS (
-              SELECT doc_id,
-                     unnest(list_transform(generate_series(1, greatest(m - 4 + 1, 1)),
-                       i -> struct_pack(
-                         pos := CAST(i + len(h[i:i+3])
-                                   - list_position(list_reverse(h[i:i+3]), list_min(h[i:i+3])) AS INTEGER),
-                         fp := list_min(h[i:i+3])))) AS f
-              FROM hs
+        "dp138_winnow_fingerprint": _DUCK_WINNOW_FPS,
+        "dp141_winnow_overlap": (
+            "WITH fps AS (" + _DUCK_WINNOW_FPS + "), "
+            """f0 AS (
+              SELECT DISTINCT doc_id, fp FROM fps
+            ), f AS (
+              -- the query BINDS the boilerplate cap (max_bucket_size=50):
+              -- replay it exactly — ubiquitous fingerprints drop pre-pairing
+              SELECT doc_id, fp FROM (
+                SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS bn
+                FROM f0
+              ) WHERE bn <= 50
+            ), p AS (
+              SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+              FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
             )
-            SELECT DISTINCT doc_id, f.pos AS pos, f.fp AS fp FROM w
-        """,
+            SELECT doc_a, doc_b, COUNT(*) AS shared_fps
+            FROM p GROUP BY doc_a, doc_b
+            HAVING COUNT(*) >= 20
+        """),
         "dp137_ngram_novelty": f"""
             WITH toks AS (
               SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents

@@ -37,7 +37,7 @@ from lakehouse_engine_spark.datapipes.materialize import (
 )
 from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
 from lakehouse_engine_spark.datapipes.registry import register, register_contextual
-from lakehouse_engine_spark.datapipes.text import shingles, tokens_lower
+from lakehouse_engine_spark.datapipes.text import shingles, tokens_lower, winnow_fingerprint
 
 TransformerFn = Callable[[DataFrame], DataFrame]
 
@@ -2076,3 +2076,58 @@ def dedup_incremental_embedding(
             sigs.unpersist()
 
     return _dedup
+
+
+@register("text_winnow_overlap")
+def text_winnow_overlap(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: Optional[int] = 10_000,
+    pair_budget: Optional[int] = None,
+) -> TransformerFn:
+    """MOSS-style copy-detection REPORT: document pairs ranked by shared
+    winnowing fingerprints (:func:`text.winnow_fingerprint` supplies the
+    selected gram values) — the step MOSS itself performs after
+    winnowing. Where the dedup family answers "collapse these", this
+    answers "SHOW me the overlapping pairs and how much they share":
+    plagiarism/provenance review, license-boilerplate audits, contaminated
+    -span triage. Output: ``(doc_a, doc_b, shared_fps)`` with
+    ``doc_a < doc_b`` and ``shared_fps >= min_shared`` distinct shared
+    fingerprint VALUES.
+
+    Scale design: the pair join is an equi-join on the fingerprint value
+    over DISTINCT (doc, fp) rows — never all-pairs; ubiquitous
+    fingerprints (template/boilerplate grams shared by everything) are
+    dropped by the same :func:`_cap_buckets` cap/:``pair_budget`` rule
+    as the LSH dedup family, BEFORE pairing. The per-pair count is one
+    map-side-combined aggregation on the (a, b) key.
+    """
+    if min_shared < 1:
+        raise ValueError(f"text_winnow_overlap: min_shared must be >= 1, got {min_shared}")
+
+    def _overlap(df: DataFrame) -> DataFrame:
+        fps = winnow_fingerprint(
+            input_col=text_col, id_col=id_col, k=k, window=window
+        )(df)
+        f = _cap_buckets(
+            fps.select(F.col(id_col).alias("__id"), "fp").distinct(),
+            ["fp"],
+            max_bucket_size,
+            pair_budget,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = (
+            f.alias("l")
+            .join(f.alias("r"), "fp")
+            .filter(F.col("l.__id") < F.col("r.__id"))
+            .groupBy(
+                F.col("l.__id").alias("doc_a"), F.col("r.__id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared)
+        )
+        return pairs
+
+    return _overlap

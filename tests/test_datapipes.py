@@ -5131,3 +5131,29 @@ def test_correlation_matrix_known_pairs(spark):
     assert out[("a", "k")]["corr"] is None  # zero variance
     with pytest.raises(ValueError):
         t("correlation_matrix", value_cols=["a"])
+
+
+def test_winnow_overlap_reports_copied_pairs(spark):
+    """A verbatim-copy pair dominates the shared-fingerprint report;
+    unrelated docs fall under min_shared; the pair is ordered
+    doc_a < doc_b; min_shared validation."""
+    base = ("students will winnow their documents before comparing them "
+            "for overlapping fingerprints in the copy detection system")
+    df = spark.createDataFrame(
+        [
+            (3, base),
+            (1, base + " with a small appended edit"),
+            (2, "an entirely different subject matter sentence about "
+                "volcanic geology and mineral formations"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = df.transform(
+        t("text_winnow_overlap", k=5, window=4, min_shared=5)
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["shared_fps"] for r in rows}
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 5
+    assert all(2 not in p for p in pairs)
+    assert all(a < b for a, b in pairs)
+    with pytest.raises(ValueError):
+        t("text_winnow_overlap", min_shared=0)

@@ -1263,3 +1263,14 @@ def test_correlation_matrix_single_pass_no_join(spark, sf_dir):
     assert "Join" not in physical, physical[:2000]
     assert "rangepartitioning" not in physical
     assert physical.count("Scan parquet") == 1, physical[:2000]
+
+
+def test_winnow_overlap_equi_join_on_fingerprint(spark, sf_dir):
+    """The pair join must be an equi-join on the fingerprint value over
+    distinct (doc, fp) rows — never a cartesian/nested-loop, with the
+    LSH family's bucket cap applied before pairing."""
+    df = entry.queries()["dp141_winnow_overlap"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "rangepartitioning" not in physical
