@@ -3780,6 +3780,31 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp142_streaming_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch arm of streaming_event_pattern (datapipes/stateful.py): the
+    live MATCH_RECOGNIZE operator's oracle-able smoke path — dp135's
+    totals reshaped to the streaming columns (n_new, cumulative
+    n_matches, seq_len, first_match). The cross-batch/restart semantics
+    are pytest-pinned (tests/test_stateful.py)."""
+    ev = load_table(spark, sf, "events")
+    return ev.transform(
+        _t(
+            "streaming_event_pattern",
+            on=["user_id"],
+            symbols={
+                "view": "v",
+                "click": "c",
+                "purchase": "p",
+                "signup": "s",
+                "error": "e",
+            },
+            pattern="vc*p",
+            max_span=50,
+            tiebreak_col="event_id",
+        )
+    )
+
+
 def dp141_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """MOSS copy-detection report (datapipes/dedup.py text_winnow_overlap):
     document pairs ranked by distinct shared winnowing fingerprints —
@@ -4146,6 +4171,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp142_streaming_pattern",
     "dp141_winnow_overlap",
     "dp140_correlation_matrix",
     "dp139_seed_classifier",
@@ -4184,6 +4210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp142_streaming_pattern": dp142_streaming_pattern,
         "dp141_winnow_overlap": dp141_winnow_overlap,
         "dp140_correlation_matrix": dp140_correlation_matrix,
         "dp139_seed_classifier": dp139_seed_classifier,
@@ -7025,6 +7052,29 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN m
         """,
         "dp138_winnow_fingerprint": _DUCK_WINNOW_FPS,
+        "dp142_streaming_pattern": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CASE event_type
+                       WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                       WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                       WHEN 'error' THEN 'e' END AS sym
+              FROM events
+              WHERE ts IS NOT NULL
+            ), f AS (
+              SELECT * FROM s WHERE sym IS NOT NULL
+            ), a AS (
+              SELECT user_id,
+                     string_agg(sym, '' ORDER BY ts, event_id) AS seq
+              FROM f GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(seq, 'vc*p')) AS INT) AS n_new,
+                   CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_matches,
+                   CAST(length(seq) AS BIGINT) AS seq_len,
+                   nullif(regexp_extract(seq, 'vc*p'), '') AS first_match
+            FROM a
+        """,
         "dp141_winnow_overlap": (
             "WITH fps AS (" + _DUCK_WINNOW_FPS + "), "
             """f0 AS (

@@ -821,3 +821,133 @@ def streaming_dedup_exact(
         )
 
     return _fn
+
+
+@register("streaming_event_pattern")
+def streaming_event_pattern(
+    on: List[str],
+    symbols: dict,
+    pattern: str,
+    max_span: int,
+    stage_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: Optional[str] = None,
+    default_symbol: Optional[str] = None,
+) -> TransformerFn:
+    """Streaming MATCH_RECOGNIZE-lite: the live arm of
+    ``event_pattern_match`` — regex sequence detection over each key's
+    event stream, across micro-batches AND restarts (the carried suffix
+    lives in the state store). Emits one row per key per micro-batch:
+    ``n_new`` (matches completed this batch), cumulative ``n_matches``,
+    total ``seq_len``, and the first match ever (``first_match``).
+
+    ``max_span`` bounds the longest match (in symbols) the pattern can
+    produce and is REQUIRED: the state keeps only the unconsumed suffix
+    that could still participate in a match — ``max_span − 1`` symbols
+    after the last counted match — so per-key state is O(max_span)
+    regardless of stream length. Matches longer than ``max_span`` are
+    missed (the standard boundedness/completeness trade, same family as
+    ``streaming_dedup_exact``'s TTL). Counting is non-overlapping
+    leftmost-first, identical to the batch arm for any match within the
+    bound. The streaming side matches with Python ``re``; the batch arm
+    with Java regex — identical semantics for the symbol-alphabet
+    patterns this operator is for (keep patterns to character classes,
+    alternation, and quantifiers).
+
+    Within a micro-batch, events order by ``(ts, tiebreak)`` — pass a
+    unique tiebreak for deterministic sequences. ACROSS batches arrival
+    order is source order: feed the operator an ordered-per-key stream
+    (a partitioned file stream, a per-key-ordered Kafka topic).
+
+    On a BATCH frame: delegates to ``event_pattern_match`` and reshapes
+    to the streaming columns — same totals, SQL-oracle-able smoke path.
+    """
+    if max_span < 1:
+        raise ValueError(f"streaming_event_pattern: max_span must be >= 1, got {max_span}")
+
+    from lakehouse_engine_spark.datapipes.events import event_pattern_match
+
+    def _fn(df: DataFrame) -> DataFrame:
+        if not df.isStreaming:
+            out = event_pattern_match(
+                on=on,
+                symbols=symbols,
+                pattern=pattern,
+                stage_col=stage_col,
+                ts_col=ts_col,
+                tiebreak_col=tiebreak_col,
+                default_symbol=default_symbol,
+            )(df)
+            return out.select(
+                *on,
+                F.col("n_matches").cast("int").alias("n_new"),
+                F.col("n_matches").cast("long").alias("n_matches"),
+                F.length("seq").cast("long").alias("seq_len"),
+                "first_match",
+            )
+
+        sym = None
+        for k, v in symbols.items():
+            cond = F.col(stage_col) == k
+            sym = F.when(cond, F.lit(v)) if sym is None else sym.when(cond, F.lit(v))
+        sym = sym.otherwise(F.lit(default_symbol))
+        order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        src = (
+            df.withColumn("__sym", sym)
+            .filter(F.col("__sym").isNotNull() & F.col(ts_col).isNotNull())
+            .select(*on, *order_cols, "__sym")
+        )
+        key_fields = [f for f in src.schema.fields if f.name in on]
+        out_schema = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+            + ["n_new INT", "n_matches BIGINT", "seq_len BIGINT", "first_match STRING"]
+        )
+
+        import re as _re
+
+        rx = _re.compile(pattern)
+        keep = max_span - 1
+
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def _update(
+            key: Tuple,
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            batch = [pdf for pdf in pdfs if len(pdf)]
+            if not batch:
+                return
+            allb = batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
+            allb = allb.sort_values(order_cols, kind="mergesort")
+            syms = "".join(allb["__sym"].tolist())
+            carry, n, slen, first = (
+                state.get if state.exists else ("", 0, 0, None)
+            )
+            s = carry + syms
+            n_new, last_end = 0, 0
+            for m in rx.finditer(s):
+                n_new += 1
+                last_end = m.end()
+                if first is None:
+                    first = m.group(0)
+            unconsumed = s[last_end:]
+            carry_next = unconsumed[-keep:] if keep > 0 else ""
+            n += n_new
+            slen += len(syms)
+            state.update((carry_next, n, slen, first))
+            yield pd.DataFrame(
+                [list(key) + [n_new, n, slen, first]],
+                columns=[f.name for f in key_fields]
+                + ["n_new", "n_matches", "seq_len", "first_match"],
+            )
+
+        return src.groupBy(*on).applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType="carry STRING, n BIGINT, slen BIGINT, first STRING",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _fn

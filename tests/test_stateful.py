@@ -550,3 +550,101 @@ def test_streaming_dedup_exact_across_batches_and_restarts(spark, tmp_dir):
     run()
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 6]
+
+
+def _stage_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP_NTZ, event_id INT, event_type STRING"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_pattern_stream(spark, src, out, ck, op):
+    q = (
+        spark.readStream.schema(
+            "user_id INT, ts TIMESTAMP_NTZ, event_id INT, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .transform(op)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_event_pattern_spans_batches_and_restarts(spark, tmp_dir):
+    """A match whose symbols arrive in DIFFERENT micro-batches completes
+    when the closing symbol lands (the carried suffix lives in the state
+    store); counts keep accumulating across a checkpoint restart; the
+    carry is bounded by max_span."""
+    import datetime as dt
+
+    import os
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    src = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    ck = os.path.join(tmp_dir, "ck")
+    op = t(
+        "streaming_event_pattern",
+        on=["user_id"],
+        symbols={"view": "v", "click": "c", "purchase": "p"},
+        pattern="vc*p",
+        max_span=10,
+        tiebreak_col="event_id",
+    )
+    # batch 1: v c (pending, no match) — batch 2: p completes it
+    _stage_events(spark, src, [(1, at(0), 1, "view"), (1, at(1), 2, "click")])
+    _stage_events(spark, src, [(1, at(2), 3, "purchase")])
+    _run_pattern_stream(spark, src, out, ck, op)
+    rows = {
+        (r["user_id"], r["seq_len"]): (r["n_new"], r["n_matches"], r["first_match"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows[(1, 2)] == (0, 0, None)        # pending after batch 1
+    assert rows[(1, 3)] == (1, 1, "vcp")       # completed across the boundary
+
+    # restart on the same checkpoint: another full match accumulates
+    _stage_events(spark, src, [(1, at(3), 4, "view"), (1, at(4), 5, "purchase")])
+    _run_pattern_stream(spark, src, out, ck, op)
+    rows = {
+        (r["user_id"], r["seq_len"]): (r["n_new"], r["n_matches"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows[(1, 5)] == (1, 2)
+
+
+def test_streaming_event_pattern_batch_arm_matches_batch_operator(spark):
+    """On a batch frame the op reshapes event_pattern_match's totals into
+    the streaming columns; max_span validation."""
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, T0, 1, "view"), (1, T0 + dt.timedelta(minutes=1), 2, "purchase"),
+        (2, T0, 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP, event_id INT, event_type STRING"
+    )
+    out = {
+        r["user_id"]: (r["n_new"], r["n_matches"], r["seq_len"], r["first_match"])
+        for r in df.transform(
+            t("streaming_event_pattern", on=["user_id"],
+              symbols={"view": "v", "click": "c", "purchase": "p"},
+              pattern="vc*p", max_span=10, tiebreak_col="event_id")
+        ).collect()
+    }
+    assert out[1] == (1, 1, 2, "vp")
+    assert out[2] == (0, 0, 1, None)
+    with pytest.raises(ValueError):
+        t("streaming_event_pattern", on=["user_id"], symbols={"view": "v"},
+          pattern="v", max_span=0)
