@@ -3780,6 +3780,18 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp143_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch arm of streaming_bottomk_sample (datapipes/stateful.py):
+    deterministic per-group bottom-k-by-md5 reservoir — the uniform
+    sample as a pure function of the id set, identical streamed or at
+    rest (order/batch/restart independence pytest-pinned). Oracle: one
+    window rank replay."""
+    ev = load_table(spark, sf, "events")
+    return ev.transform(
+        _t("streaming_bottomk_sample", on=["user_id"], id_col="event_id", k=5)
+    )
+
+
 def dp142_streaming_pattern(spark: SparkSession, sf: str) -> DataFrame:
     """Batch arm of streaming_event_pattern (datapipes/stateful.py): the
     live MATCH_RECOGNIZE operator's oracle-able smoke path — dp135's
@@ -4171,6 +4183,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp143_bottomk_sample",
     "dp142_streaming_pattern",
     "dp141_winnow_overlap",
     "dp140_correlation_matrix",
@@ -4210,6 +4223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp143_bottomk_sample": dp143_bottomk_sample,
         "dp142_streaming_pattern": dp142_streaming_pattern,
         "dp141_winnow_overlap": dp141_winnow_overlap,
         "dp140_correlation_matrix": dp140_correlation_matrix,
@@ -7052,6 +7066,18 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN m
         """,
         "dp138_winnow_fingerprint": _DUCK_WINNOW_FPS,
+        "dp143_bottomk_sample": """
+            SELECT user_id, event_id, sample_rank, total_seen FROM (
+              SELECT user_id, event_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                     ) AS INT) AS sample_rank,
+                     CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS total_seen
+              FROM events
+            ) WHERE sample_rank <= 5
+        """,
         "dp142_streaming_pattern": """
             WITH s AS (
               SELECT user_id, ts, event_id,

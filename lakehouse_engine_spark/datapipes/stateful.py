@@ -951,3 +951,112 @@ def streaming_event_pattern(
         )
 
     return _fn
+
+
+@register("streaming_bottomk_sample")
+def streaming_bottomk_sample(
+    on: List[str],
+    id_col: str,
+    k: int,
+) -> TransformerFn:
+    """Deterministic streaming reservoir: a uniform-without-replacement
+    sample of ``k`` ids per group, maintained ACROSS micro-batches and
+    restarts — the hold-out-capture step of a live curation pipeline
+    (sample every source while the stream runs; join the sampled ids
+    back to storage for payloads — at scale you sample KEYS, not rows).
+
+    Determinism is the whole design: the "random" priority is
+    ``md5(id)``, so the bottom-k by ``(priority, id)`` is a fixed
+    function of the id SET seen so far — independent of arrival order,
+    batch boundaries, restarts, and partitioning, and exactly
+    replayable by a SQL oracle (the same bottom-k the batch arm
+    computes). Classic reservoir sampling is order-sensitive RNG state;
+    this is the bottom-k-sketch formulation of the same uniform sample.
+
+    State: the k ``(priority, id)`` pairs plus a seen-counter —
+    O(k) per group forever. Each micro-batch emits the group's CURRENT
+    reservoir snapshot (``sample_rank`` 1..k by priority) tagged with
+    cumulative ``total_seen``; append-mode sinks therefore hold one
+    snapshot per batch — read the rows with the max ``total_seen`` per
+    group (the ``streaming_running_totals`` convention: cumulative
+    emissions, reader takes the latest).
+
+    On a BATCH frame: the same bottom-k via one window rank per group —
+    identical ids, SQL-oracle-able.
+    """
+    if k < 1:
+        raise ValueError(f"streaming_bottomk_sample: k must be >= 1, got {k}")
+    if not on:
+        raise ValueError("streaming_bottomk_sample: 'on' keys must be non-empty")
+
+    def _fn(df: DataFrame) -> DataFrame:
+        prio = F.md5(F.col(id_col).cast("string"))
+        if not df.isStreaming:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*on).orderBy(prio, F.col(id_col))
+            cw = Window.partitionBy(*on)
+            return (
+                df.select(*on, F.col(id_col))
+                .withColumn("sample_rank", F.row_number().over(w))
+                .withColumn("total_seen", F.count(F.lit(1)).over(cw))
+                .filter(F.col("sample_rank") <= k)
+            )
+
+        src = df.select(*on, F.col(id_col), prio.alias("__prio"))
+        key_fields = [f for f in src.schema.fields if f.name in on]
+        id_field = [f for f in src.schema.fields if f.name == id_col][0]
+        out_schema = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+            + [
+                f"`{id_field.name}` {id_field.dataType.simpleString()}",
+                "sample_rank INT",
+                "total_seen BIGINT",
+            ]
+        )
+
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def _update(
+            key: Tuple,
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            batch = [pdf for pdf in pdfs if len(pdf)]
+            if not batch:
+                return
+            allb = batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
+            # ids as strings in state; cast back on emit via the id dtype
+            cand = list(
+                zip(allb["__prio"].tolist(), allb[id_col].astype(str).tolist())
+            )
+            if state.exists:
+                prios, ids, seen = state.get
+                cand += list(zip(prios, ids))
+            else:
+                seen = 0
+            seen += len(allb)
+            # dedup ids (re-deliveries keep one entry), then bottom-k
+            best = sorted(set(cand))[:k]
+            state.update(([p for p, _ in best], [i for _, i in best], seen))
+            out = pd.DataFrame(
+                [
+                    list(key) + [i, rank + 1, seen]
+                    for rank, (_, i) in enumerate(best)
+                ],
+                columns=[f.name for f in key_fields]
+                + [id_col, "sample_rank", "total_seen"],
+            )
+            if "int" in id_field.dataType.simpleString():
+                out[id_col] = out[id_col].astype("int64")
+            yield out
+
+        return src.groupBy(*on).applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType="prios ARRAY<STRING>, ids ARRAY<STRING>, seen BIGINT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _fn

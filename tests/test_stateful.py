@@ -648,3 +648,76 @@ def test_streaming_event_pattern_batch_arm_matches_batch_operator(spark):
     with pytest.raises(ValueError):
         t("streaming_event_pattern", on=["user_id"], symbols={"view": "v"},
           pattern="v", max_span=0)
+
+
+def _stage_ids(spark, path, rows):
+    spark.createDataFrame(rows, "src STRING, id BIGINT").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run_bottomk_stream(spark, src, out, ck, op):
+    q = (
+        spark.readStream.schema("src STRING, id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .transform(op)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_bottomk_sample_order_independent_and_restart_safe(spark, tmp_dir):
+    """The maintained sample is a pure function of the id SET: streaming
+    any split of the ids (including across a restart) converges to the
+    batch arm's bottom-k; re-delivered ids don't double-enter; snapshots
+    carry cumulative total_seen."""
+    import os
+
+    src = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    ck = os.path.join(tmp_dir, "ck")
+    op = t("streaming_bottomk_sample", on=["src"], id_col="id", k=3)
+
+    ids = [("a", i) for i in range(20)]
+    batch_df = spark.createDataFrame(ids, "src STRING, id BIGINT")
+    expected = sorted(
+        r["id"] for r in batch_df.transform(op).collect()
+    )
+
+    _stage_ids(spark, src, ids[:7])
+    _stage_ids(spark, src, ids[7:12] + ids[:2])  # re-delivery of 0,1
+    _run_bottomk_stream(spark, src, out, ck, op)
+    _stage_ids(spark, src, ids[12:])             # rest after a restart
+    _run_bottomk_stream(spark, src, out, ck, op)
+
+    rows = spark.read.parquet(out).collect()
+    latest_seen = max(r["total_seen"] for r in rows)
+    final = sorted(r["id"] for r in rows if r["total_seen"] == latest_seen)
+    assert final == expected
+    assert latest_seen == 22  # 20 ids + 2 re-deliveries counted as rows
+    # every snapshot is a valid bottom-k of what had been seen
+    assert all(1 <= r["sample_rank"] <= 3 for r in rows)
+
+
+def test_streaming_bottomk_sample_batch_arm_window_rank(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", 100)], "src STRING, id BIGINT"
+    )
+    out = df.transform(
+        t("streaming_bottomk_sample", on=["src"], id_col="id", k=2)
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], []).append(r)
+    assert len(by["a"]) == 2 and all(r["total_seen"] == 10 for r in by["a"])
+    assert len(by["b"]) == 1 and by["b"][0]["sample_rank"] == 1
+    with pytest.raises(ValueError):
+        t("streaming_bottomk_sample", on=["src"], id_col="id", k=0)
+    with pytest.raises(ValueError):
+        t("streaming_bottomk_sample", on=[], id_col="id", k=1)
