@@ -638,3 +638,98 @@ def test_clean_int_rows_exact_past_2_53(rows):
     assert [[int(x) for x in r] for r in X] == [
         [int(x) for x in row] for row in clean
     ]
+
+
+# ---------------------------------------------------------------------------
+# round-11 continuation ops: linear_fit_normal vs numpy lstsq,
+# event_pattern_match vs Python re, winnowing guarantee
+# ---------------------------------------------------------------------------
+
+_designs = st.lists(
+    st.tuples(
+        st.integers(0, 50), st.integers(0, 50), st.integers(-20, 20)
+    ),
+    min_size=8,
+    max_size=60,
+)
+
+
+@_few
+@given(rows=_designs)
+def test_linear_fit_matches_numpy_lstsq(spark, rows):
+    """OLS weights (l2=0) from the exact-moment Cramer solve must agree
+    with numpy's lstsq on any (possibly collinear) random integer
+    design; collinear designs yield NULLs instead of garbage."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(float(a), float(b), 1.0 + 2.0 * a - b + 0.5 * c) for a, b, c in rows],
+        "x1 DOUBLE, x2 DOUBLE, y DOUBLE",
+    )
+    got = df.transform(
+        t("linear_fit_normal", feature_cols=["x1", "x2"], y_col="y")
+    ).first()
+    X = np.array([[1.0, a, b] for a, b, _ in rows])
+    yv = np.array([1.0 + 2.0 * a - b + 0.5 * c for a, b, c in rows])
+    # rank-deficient (constant column / collinear) -> operator must NULL
+    if np.linalg.matrix_rank(X.T @ X) < 3:
+        assert got["w0"] is None
+        return
+    ref, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert got["w0"] == pytest.approx(ref[0], abs=1e-6)
+    assert got["w1"] == pytest.approx(ref[1], abs=1e-6)
+    assert got["w2"] == pytest.approx(ref[2], abs=1e-6)
+
+
+_event_seqs = st.lists(
+    st.sampled_from(["view", "click", "purchase", "error"]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@_few
+@given(seq=_event_seqs)
+def test_event_pattern_matches_python_re(spark, seq):
+    """n_matches/first_match must equal Python re on the folded symbol
+    string — Java and Python regex agree on this operator's
+    symbol-alphabet pattern class."""
+    import datetime as dt
+    import re
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, T0 + dt.timedelta(minutes=i), i, ev) for i, ev in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP, event_id INT, event_type STRING"
+    )
+    got = df.transform(
+        t("event_pattern_match", on=["user_id"],
+          symbols={"view": "v", "click": "c", "purchase": "p", "error": "e"},
+          pattern="vc*p", tiebreak_col="event_id")
+    ).first()
+    s = "".join({"view": "v", "click": "c", "purchase": "p", "error": "e"}[e] for e in seq)
+    ms = list(re.finditer("vc*p", s))
+    assert got["seq"] == s
+    assert got["n_matches"] == len(ms)
+    assert got["first_match"] == (ms[0].group(0) if ms else None)
+
+
+_texts = st.text(alphabet="abc xyz.,", min_size=0, max_size=80)
+
+
+@_few
+@given(a=_texts, b=_texts, shared=st.text(alphabet="abcxyz", min_size=8, max_size=16))
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark, a, b, shared):
+    """The winnowing guarantee: two docs containing the same >= w+k-1
+    normalized-char run (k=5, w=4 -> 8 chars) share at least one
+    fingerprint VALUE."""
+    df = spark.createDataFrame(
+        [(0, a + " " + shared + " " + b), (1, b + "! " + shared + ". " + a)],
+        "doc_id INT, text STRING",
+    )
+    rows = df.transform(t("text_winnow_fingerprint", k=5, window=4)).collect()
+    f0 = {r["fp"] for r in rows if r["doc_id"] == 0}
+    f1 = {r["fp"] for r in rows if r["doc_id"] == 1}
+    assert f0 & f1
