@@ -3780,6 +3780,22 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp144_streaming_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch arm of streaming_heavy_hitters (datapipes/stateful.py): the
+    MG guarantee set with exact counts — every per-user event type whose
+    count clears processed/width. The live arm's O(width)-state summary
+    and restart semantics are pytest-pinned."""
+    ev = load_table(spark, sf, "events")
+    return ev.transform(
+        _t(
+            "streaming_heavy_hitters",
+            on=["user_id"],
+            value_col="event_type",
+            width=8,
+        )
+    )
+
+
 def dp143_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Batch arm of streaming_bottomk_sample (datapipes/stateful.py):
     deterministic per-group bottom-k-by-md5 reservoir — the uniform
@@ -4183,6 +4199,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp144_streaming_heavy_hitters",
     "dp143_bottomk_sample",
     "dp142_streaming_pattern",
     "dp141_winnow_overlap",
@@ -4223,6 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,
         "dp143_bottomk_sample": dp143_bottomk_sample,
         "dp142_streaming_pattern": dp142_streaming_pattern,
         "dp141_winnow_overlap": dp141_winnow_overlap,
@@ -7066,6 +7084,19 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN m
         """,
         "dp138_winnow_fingerprint": _DUCK_WINNOW_FPS,
+        "dp144_streaming_heavy_hitters": """
+            SELECT user_id, item,
+                   CAST(c AS BIGINT) AS count_min,
+                   CAST(c AS BIGINT) AS count_max,
+                   CAST(n AS BIGINT) AS processed
+            FROM (
+              SELECT user_id, event_type AS item, COUNT(*) AS c,
+                     SUM(COUNT(*)) OVER (PARTITION BY user_id) AS n
+              FROM events
+              WHERE event_type IS NOT NULL
+              GROUP BY user_id, event_type
+            ) WHERE c * 8 > n
+        """,
         "dp143_bottomk_sample": """
             SELECT user_id, event_id, sample_rank, total_seen FROM (
               SELECT user_id, event_id,

@@ -1060,3 +1060,122 @@ def streaming_bottomk_sample(
         )
 
     return _fn
+
+
+@register("streaming_heavy_hitters")
+def streaming_heavy_hitters(
+    on: List[str],
+    value_col: str,
+    width: int = 100,
+) -> TransformerFn:
+    """Streaming heavy hitters: a Misra-Gries summary of ``width``
+    counters per group, maintained across micro-batches and restarts —
+    the live arm of the frequency family (``text_frequent_terms`` is the
+    batch EXACT heavy-hitter pass; ``vocab_top_k`` the bounded-vocab
+    top-k). Emits each group's current summary per micro-batch:
+    ``(item, count_min, count_max, processed)`` where the true count is
+    bracketed by ``[count_min, count_max]`` and the MG GUARANTEE holds —
+    any item whose true frequency exceeds ``processed / width`` is IN
+    the summary (Misra & Gries 1982; mergeable per Agarwal et al.
+    PODS'12, both public).
+
+    State: at most ``width`` (item, counter) pairs plus the processed
+    count and the cumulative decrement total — O(width) per group at
+    any stream length. Batch-arm semantics (SQL-oracle-able, and what a
+    reader should treat the summary AS): the exact counts of every item
+    with count strictly greater than ``n / width`` — the guarantee set
+    with ``count_min = count_max`` = exact count. Append-mode sinks hold
+    one snapshot per batch: read rows at the max ``processed`` per
+    group (the ``streaming_running_totals`` convention).
+    """
+    if width < 1:
+        raise ValueError(f"streaming_heavy_hitters: width must be >= 1, got {width}")
+    if not on:
+        raise ValueError("streaming_heavy_hitters: 'on' keys must be non-empty")
+
+    def _fn(df: DataFrame) -> DataFrame:
+        if not df.isStreaming:
+            from pyspark.sql import Window
+
+            cw = Window.partitionBy(*on)
+            counts = (
+                df.filter(F.col(value_col).isNotNull())
+                .groupBy(*on, F.col(value_col).cast("string").alias("item"))
+                .agg(F.count(F.lit(1)).alias("count_min"))
+            )
+            tot = counts.withColumn(
+                "processed", F.sum("count_min").over(cw)
+            )
+            return tot.filter(
+                F.col("count_min") * width > F.col("processed")
+            ).select(
+                *on,
+                "item",
+                F.col("count_min").cast("long"),
+                F.col("count_min").cast("long").alias("count_max"),
+                F.col("processed").cast("long"),
+            )
+
+        src = df.filter(F.col(value_col).isNotNull()).select(
+            *on, F.col(value_col).cast("string").alias("item")
+        )
+        key_fields = [f for f in src.schema.fields if f.name in on]
+        out_schema = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+            + ["item STRING", "count_min BIGINT", "count_max BIGINT",
+               "processed BIGINT"]
+        )
+
+        from collections import Counter
+
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def _update(
+            key: Tuple,
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            batch = [pdf for pdf in pdfs if len(pdf)]
+            if not batch:
+                return
+            allb = batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
+            if state.exists:
+                items, counts, processed, decs = state.get
+                summ = dict(zip(items, (int(c) for c in counts)))
+            else:
+                summ, processed, decs = {}, 0, 0
+            # exact batch counts, then MG-merge into the carried summary
+            for item, c in Counter(allb["item"].tolist()).items():
+                summ[item] = summ.get(item, 0) + c
+            processed += len(allb)
+            # decrement until at most `width` counters survive (mergeable
+            # MG: subtracting the (width+1)-th largest count from all)
+            if len(summ) > width:
+                kth = sorted(summ.values(), reverse=True)[width]
+                decs += kth
+                summ = {i: c - kth for i, c in summ.items() if c > kth}
+            items = sorted(summ)  # deterministic state + emission order
+            state.update(
+                (items, [summ[i] for i in items], processed, decs)
+            )
+            yield pd.DataFrame(
+                [
+                    list(key) + [i, summ[i], summ[i] + decs, processed]
+                    for i in items
+                ],
+                columns=[f.name for f in key_fields]
+                + ["item", "count_min", "count_max", "processed"],
+            )
+
+        return src.groupBy(*on).applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=(
+                "items ARRAY<STRING>, counts ARRAY<BIGINT>, "
+                "processed BIGINT, decs BIGINT"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _fn

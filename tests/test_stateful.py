@@ -721,3 +721,78 @@ def test_streaming_bottomk_sample_batch_arm_window_rank(spark):
         t("streaming_bottomk_sample", on=["src"], id_col="id", k=0)
     with pytest.raises(ValueError):
         t("streaming_bottomk_sample", on=[], id_col="id", k=1)
+
+
+def _stage_items(spark, path, rows):
+    spark.createDataFrame(rows, "src STRING, item STRING").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run_hh_stream(spark, src, out, ck, op):
+    q = (
+        spark.readStream.schema("src STRING, item STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .transform(op)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_heavy_hitters_guarantee_across_restart(spark, tmp_dir):
+    """An item above the n/width frequency bar must be IN the summary
+    with its true count inside [count_min, count_max]; summary size
+    never exceeds width; state survives a checkpoint restart."""
+    import os
+
+    src = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    ck = os.path.join(tmp_dir, "ck")
+    op = t("streaming_heavy_hitters", on=["src"], value_col="item", width=3)
+
+    # hot item "H" (12x) among 9 distinct cold items (1x each): n=21,
+    # true freq 12/21 >> 1/3
+    hot = [("a", "H")] * 6
+    cold1 = [("a", f"c{i}") for i in range(5)]
+    _stage_items(spark, src, hot + cold1)
+    _stage_items(spark, src, [("a", "H")] * 3)
+    _run_hh_stream(spark, src, out, ck, op)
+    _stage_items(spark, src, [("a", "H")] * 3 + [("a", f"d{i}") for i in range(4)])
+    _run_hh_stream(spark, src, out, ck, op)  # restart on same checkpoint
+
+    rows = spark.read.parquet(out).collect()
+    latest = max(r["processed"] for r in rows)
+    final = {r["item"]: r for r in rows if r["processed"] == latest}
+    assert latest == 21
+    assert len(final) <= 3
+    h = final["H"]
+    assert h["count_min"] <= 12 <= h["count_max"]
+    # per-batch snapshots also respect the width bound
+    from collections import Counter
+    per_batch = Counter(r["processed"] for r in rows)
+    assert all(v <= 3 for v in per_batch.values())
+
+
+def test_streaming_heavy_hitters_batch_arm_exact_guarantee_set(spark):
+    """Batch arm: the exact counts of every item with count*width > n —
+    the guarantee set a reader should treat the summary as."""
+    rows = [("a", "x")] * 5 + [("a", "y")] * 4 + [("a", "z")]
+    df = spark.createDataFrame(rows, "src STRING, item STRING")
+    out = {
+        r["item"]: r
+        for r in df.transform(
+            t("streaming_heavy_hitters", on=["src"], value_col="item", width=3)
+        ).collect()
+    }
+    # n=10, bar=10/3: x(5) and y(4) qualify, z(1) doesn't
+    assert set(out) == {"x", "y"}
+    assert out["x"]["count_min"] == out["x"]["count_max"] == 5
+    assert out["x"]["processed"] == 10
+    with pytest.raises(ValueError):
+        t("streaming_heavy_hitters", on=["src"], value_col="item", width=0)
