@@ -1006,6 +1006,15 @@ def streaming_bottomk_sample(
         src = df.select(*on, F.col(id_col), prio.alias("__prio"))
         key_fields = [f for f in src.schema.fields if f.name in on]
         id_field = [f for f in src.schema.fields if f.name == id_col][0]
+        id_type = id_field.dataType.simpleString()
+        if not ("int" in id_type or id_type == "string"):
+            # state carries ids as strings; only types with an exact
+            # string round-trip are safe (a double id would come back
+            # reformatted)
+            raise ValueError(
+                f"streaming_bottomk_sample: id_col must be an integer or "
+                f"string type, got {id_type}"
+            )
         out_schema = ", ".join(
             [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
             + [
@@ -1047,7 +1056,7 @@ def streaming_bottomk_sample(
                 columns=[f.name for f in key_fields]
                 + [id_col, "sample_rank", "total_seen"],
             )
-            if "int" in id_field.dataType.simpleString():
+            if "int" in id_type:
                 out[id_col] = out[id_col].astype("int64")
             yield out
 
