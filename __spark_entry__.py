@@ -3780,6 +3780,24 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp145_streaming_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch arm of streaming_funnel (datapipes/stateful.py): the live
+    conversion-funnel operator delegates to the batch funnel on a
+    static frame — dp55's chained-minima semantics, same oracle shape.
+    Cross-batch ratcheting + restart are pytest-pinned."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(
+        _t("streaming_funnel", on=["user_id"], stage_col="event_type",
+           stages=["view", "click", "purchase"], ts_col="ts")
+    )
+    return out.select(
+        "user_id",
+        epoch_us_ntz("stage1_ts").cast("long").alias("s1_us"),
+        epoch_us_ntz("stage2_ts").cast("long").alias("s2_us"),
+        epoch_us_ntz("stage3_ts").cast("long").alias("s3_us"),
+    )
+
+
 def dp144_streaming_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Batch arm of streaming_heavy_hitters (datapipes/stateful.py): the
     MG guarantee set with exact counts — every per-user event type whose
@@ -4199,6 +4217,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp145_streaming_funnel",
     "dp144_streaming_heavy_hitters",
     "dp143_bottomk_sample",
     "dp142_streaming_pattern",
@@ -4240,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp145_streaming_funnel": dp145_streaming_funnel,
         "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,
         "dp143_bottomk_sample": dp143_bottomk_sample,
         "dp142_streaming_pattern": dp142_streaming_pattern,
@@ -7084,6 +7104,25 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN m
         """,
         "dp138_winnow_fingerprint": _DUCK_WINNOW_FPS,
+        "dp145_streaming_funnel": """
+            WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+                 t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+                        JOIN t1 USING (user_id)
+                        WHERE e.event_type = 'click' AND e.ts >= t1.ts1 GROUP BY 1),
+                 t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+                        JOIN t2 USING (user_id)
+                        WHERE e.event_type = 'purchase' AND e.ts >= t2.ts2 GROUP BY 1),
+                 u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CAST(epoch_us(CAST(ts1 AS TIMESTAMP)) AS BIGINT) AS s1_us,
+                   CAST(epoch_us(CAST(ts2 AS TIMESTAMP)) AS BIGINT) AS s2_us,
+                   CAST(epoch_us(CAST(ts3 AS TIMESTAMP)) AS BIGINT) AS s3_us
+            FROM u
+            LEFT JOIN t1 USING (user_id)
+            LEFT JOIN t2 USING (user_id)
+            LEFT JOIN t3 USING (user_id)
+        """,
         "dp144_streaming_heavy_hitters": """
             SELECT user_id, item,
                    CAST(c AS BIGINT) AS count_min,

@@ -1188,3 +1188,103 @@ def streaming_heavy_hitters(
         )
 
     return _fn
+
+
+@register("streaming_funnel")
+def streaming_funnel(
+    on: List[str],
+    stage_col: str,
+    stages: List[str],
+    ts_col: str = "ts",
+) -> TransformerFn:
+    """Streaming ordered-conversion funnel: the live arm of ``funnel`` —
+    each key's earliest chained stage-reach times maintained across
+    micro-batches and restarts. Emits one row per key per micro-batch
+    with the CURRENT ``stage1_ts..stageK_ts`` (NULL until reached; a
+    same-instant next stage counts via the batch arm's ``>=`` rule,
+    including within one batch).
+
+    State: K nullable epoch-microsecond stamps per key — constant size.
+    Per batch the update replays the batch formula stage-by-stage (min
+    qualifying event per stage against the just-updated previous
+    stage), so within-batch ordering quirks (ties at the same
+    timestamp) resolve exactly as the batch operator. ACROSS batches
+    arrival must be per-key time-ordered (the
+    ``streaming_event_pattern`` caveat): stage times only ever ratchet
+    earlier within a batch, never retroactively across them.
+
+    On a BATCH frame: delegates to ``funnel`` — identical output,
+    SQL-oracle-able.
+    """
+    if not stages:
+        raise ValueError("streaming_funnel: stages must be non-empty")
+
+    from lakehouse_engine_spark.datapipes.events import funnel as batch_funnel
+
+    def _fn(df: DataFrame) -> DataFrame:
+        if not df.isStreaming:
+            return batch_funnel(
+                on=on, stage_col=stage_col, stages=stages, ts_col=ts_col
+            )(df)
+
+        src = df.filter(
+            F.col(ts_col).isNotNull() & F.col(stage_col).isin(list(stages))
+        ).select(*on, F.col(stage_col).alias("__st"), F.col(ts_col).alias("__ts"))
+        key_fields = [f for f in src.schema.fields if f.name in on]
+        ts_type = [f for f in src.schema.fields if f.name == "__ts"][0].dataType.simpleString()
+        k = len(stages)
+        out_schema = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+            + [f"stage{i + 1}_ts {ts_type}" for i in range(k)]
+        )
+        state_schema = ", ".join(f"s{i + 1} BIGINT" for i in range(k))
+
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def _update(
+            key: Tuple,
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            batch = [pdf for pdf in pdfs if len(pdf)]
+            if not batch:
+                return
+            allb = batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
+            cur = list(state.get) if state.exists else [None] * k
+            for i, stage in enumerate(stages):
+                cand = allb[allb["__st"] == stage]
+                if i > 0:
+                    if cur[i - 1] is None:
+                        continue  # chain not reached; later stages stay NULL
+                    # epoch MICROS on both sides (ns//1000; datetime64
+                    # unit varies by Arrow path, so normalize via ns)
+                    cand = cand[
+                        cand["__ts"].astype("datetime64[ns]").astype("int64")
+                        // 1000
+                        >= cur[i - 1]
+                    ]
+                if len(cand):
+                    m = int(cand["__ts"].min().value // 1000)
+                    cur[i] = m if cur[i] is None else min(cur[i], m)
+            state.update(tuple(cur))
+            yield pd.DataFrame(
+                [
+                    list(key)
+                    + [
+                        (pd.Timestamp(v * 1000) if v is not None else pd.NaT)
+                        for v in cur
+                    ]
+                ],
+                columns=[f.name for f in key_fields]
+                + [f"stage{i + 1}_ts" for i in range(k)],
+            )
+
+        return src.groupBy(*on).applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _fn

@@ -796,3 +796,60 @@ def test_streaming_heavy_hitters_batch_arm_exact_guarantee_set(spark):
     assert out["x"]["processed"] == 10
     with pytest.raises(ValueError):
         t("streaming_heavy_hitters", on=["src"], value_col="item", width=0)
+
+
+def test_streaming_funnel_chains_across_batches_and_restart(spark, tmp_dir):
+    """Stage times ratchet in as the chain completes across micro-batches
+    (click before view doesn't count; a later view then click does);
+    state survives a restart; batch arm equals the funnel operator."""
+    import datetime as dt
+    import os
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    src = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    ck = os.path.join(tmp_dir, "ck")
+    op = t("streaming_funnel", on=["user_id"], stage_col="event_type",
+           stages=["view", "click", "purchase"])
+
+    # batch 1: click (ignored: no view yet) then view
+    _stage_events(spark, src, [(1, at(0), 1, "click"), (1, at(1), 2, "view")])
+    # batch 2: click qualifies now
+    _stage_events(spark, src, [(1, at(2), 3, "click")])
+    _run_pattern_stream(spark, src, out, ck, op)
+    # restart: purchase completes the funnel
+    _stage_events(spark, src, [(1, at(3), 4, "purchase")])
+    _run_pattern_stream(spark, src, out, ck, op)
+
+    rows = sorted(
+        spark.read.parquet(out).collect(),
+        key=lambda r: (r["stage1_ts"] is None, r["stage2_ts"] is None,
+                       r["stage3_ts"] is None),
+    )
+    snap1 = [r for r in rows if r["stage2_ts"] is None][0]
+    assert snap1["stage1_ts"] == at(1) and snap1["stage3_ts"] is None
+    final = [r for r in rows if r["stage3_ts"] is not None][0]
+    assert (final["stage1_ts"], final["stage2_ts"], final["stage3_ts"]) == (
+        at(1), at(2), at(3)
+    )
+
+    # batch arm == funnel operator
+    df = spark.createDataFrame(
+        [(1, at(0), 1, "click"), (1, at(1), 2, "view"),
+         (1, at(2), 3, "click"), (1, at(3), 4, "purchase")],
+        "user_id INT, ts TIMESTAMP_NTZ, event_id INT, event_type STRING",
+    )
+    got = df.transform(op).first()
+    ref = df.transform(
+        t("funnel", on=["user_id"], stage_col="event_type",
+          stages=["view", "click", "purchase"])
+    ).first()
+    assert (got["stage1_ts"], got["stage2_ts"], got["stage3_ts"]) == (
+        ref["stage1_ts"], ref["stage2_ts"], ref["stage3_ts"]
+    )
+    with pytest.raises(ValueError):
+        t("streaming_funnel", on=["user_id"], stage_col="event_type", stages=[])
