@@ -3780,6 +3780,26 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp146_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch arm of streaming_session_stats (datapipes/stateful.py):
+    Spark's NATIVE session_window aggregation — per (user, session)
+    first/last event + count, gap 30 min. session_window's merge rule
+    IS the lag-gap split, which the oracle replays; the streaming arm
+    is the same aggregation behind a watermark (built-in stateful
+    operator, no Python state)."""
+    ev = load_table(spark, sf, "events")
+    out = ev.transform(
+        _t("streaming_session_stats", on=["user_id"], ts_col="ts",
+           gap="30 minutes")
+    )
+    return out.select(
+        "user_id",
+        epoch_us_ntz("session_start").cast("long").alias("start_us"),
+        epoch_us_ntz("session_last").cast("long").alias("last_us"),
+        "n_events",
+    )
+
+
 def dp145_streaming_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Batch arm of streaming_funnel (datapipes/stateful.py): the live
     conversion-funnel operator delegates to the batch funnel on a
@@ -4217,6 +4237,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp146_session_stats",
     "dp145_streaming_funnel",
     "dp144_streaming_heavy_hitters",
     "dp143_bottomk_sample",
@@ -4259,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp146_session_stats": dp146_session_stats,
         "dp145_streaming_funnel": dp145_streaming_funnel,
         "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,
         "dp143_bottomk_sample": dp143_bottomk_sample,
@@ -7104,6 +7126,27 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN m
         """,
         "dp138_winnow_fingerprint": _DUCK_WINNOW_FPS,
+        "dp146_session_stats": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE OR
+                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events WHERE ts IS NOT NULL
+            ), sess AS (
+              SELECT user_id, ts,
+                     SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            )
+            SELECT user_id,
+                   CAST(epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT) AS start_us,
+                   CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS BIGINT) AS last_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, session_id
+        """,
         "dp145_streaming_funnel": """
             WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
                         WHERE event_type = 'view' GROUP BY 1),

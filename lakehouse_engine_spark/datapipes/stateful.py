@@ -1288,3 +1288,59 @@ def streaming_funnel(
         )
 
     return _fn
+
+
+@register("streaming_session_stats")
+def streaming_session_stats(
+    on: List[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: Optional[str] = None,
+) -> TransformerFn:
+    """Per-session event stats over a live stream using Spark's NATIVE
+    session windows — ``session_window(ts, gap)`` + watermark, no Python
+    state (the built-in-first rule: where Structured Streaming already
+    has the stateful operator, use it; ``applyInPandasWithState`` is for
+    semantics Spark lacks). One row per (key, session): ``session_start``
+    (first event), ``session_last`` (last event), ``n_events``.
+
+    Streaming requires ``watermark`` (e.g. ``"1 hour"``): sessions close
+    and EMIT once the watermark passes their end — late events beyond it
+    are dropped, the standard completeness/latency trade. On a BATCH
+    frame the same aggregation runs without a watermark and is replayed
+    exactly by the gap-split SQL oracle (``session_window``'s merge rule
+    IS the lag-gap split: events closer than ``gap`` chain into one
+    session).
+    """
+    if not on:
+        raise ValueError("streaming_session_stats: 'on' keys must be non-empty")
+
+    def _fn(df: DataFrame) -> DataFrame:
+        src = df.filter(F.col(ts_col).isNotNull())
+        evt = ts_col
+        if df.isStreaming:
+            if not watermark:
+                raise ValueError(
+                    "streaming_session_stats: watermark is required on a stream"
+                )
+            ts_type = dict(
+                (f.name, f.dataType.simpleString()) for f in src.schema.fields
+            )[ts_col]
+            if ts_type == "timestamp_ntz":
+                # watermarks require TIMESTAMP; run event time through a
+                # session-tz cast (ExecEnv pins UTC) and keep the NTZ
+                # column for the reported session bounds
+                src = src.withColumn("__evt", F.col(ts_col).cast("timestamp"))
+                evt = "__evt"
+            src = src.withWatermark(evt, watermark)
+        return (
+            src.groupBy(*on, F.session_window(F.col(evt), gap).alias("__w"))
+            .agg(
+                F.min(ts_col).alias("session_start"),
+                F.max(ts_col).alias("session_last"),
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+            )
+            .drop("__w")
+        )
+
+    return _fn

@@ -853,3 +853,63 @@ def test_streaming_funnel_chains_across_batches_and_restart(spark, tmp_dir):
     )
     with pytest.raises(ValueError):
         t("streaming_funnel", on=["user_id"], stage_col="event_type", stages=[])
+
+
+def test_streaming_session_stats_native_session_window(spark, tmp_dir):
+    """Native session_window + watermark: events within the gap chain
+    into one session; a session emits once the watermark (advanced by
+    much-later events) passes it; batch arm replays the lag-gap split;
+    a stream without a watermark is rejected."""
+    import datetime as dt
+    import os
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    src = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    ck = os.path.join(tmp_dir, "ck")
+    op = t("streaming_session_stats", on=["user_id"], ts_col="ts",
+           gap="30 minutes", watermark="10 minutes")
+
+    # one session of 3 events (gaps < 30m), then a far-future event that
+    # pushes the watermark past it
+    _stage_events(spark, src, [(1, at(0), 1, "view"), (1, at(10), 2, "click"),
+                               (1, at(35), 3, "view")])
+    _stage_events(spark, src, [(1, at(600), 4, "view")])
+    _run_pattern_stream(spark, src, out, ck, op)
+    rows = spark.read.parquet(out).collect()
+    closed = [r for r in rows if r["n_events"] == 3]
+    assert len(closed) == 1
+    assert closed[0]["session_start"] == at(0)
+    assert closed[0]["session_last"] == at(35)
+
+    # batch arm: same events, same sessions (plus the singleton)
+    df = spark.createDataFrame(
+        [(1, at(0), 1, "v"), (1, at(10), 2, "v"), (1, at(35), 3, "v"),
+         (1, at(600), 4, "v")],
+        "user_id INT, ts TIMESTAMP_NTZ, event_id INT, event_type STRING",
+    )
+    got = sorted(
+        (r["session_start"], r["session_last"], r["n_events"])
+        for r in df.transform(
+            t("streaming_session_stats", on=["user_id"], gap="30 minutes")
+        ).collect()
+    )
+    assert got == [(at(0), at(35), 3), (at(600), at(600), 1)]
+
+    # stream without watermark -> rejected at plan time
+    stream = (
+        spark.readStream.schema(
+            "user_id INT, ts TIMESTAMP_NTZ, event_id INT, event_type STRING"
+        )
+        .parquet(src)
+    )
+    with pytest.raises(ValueError):
+        stream.transform(
+            t("streaming_session_stats", on=["user_id"], gap="30 minutes")
+        )
+    with pytest.raises(ValueError):
+        t("streaming_session_stats", on=[])
