@@ -4113,6 +4113,66 @@ _Q31_FOOTER = "CURATION FOOTER BOILERPLATE SHARED ACROSS EVERY PAGE"
 _Q31_STOPWORDS = ["the", "a", "value", "table"]
 
 
+def q32_tokenize_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end TOKENIZATION pipeline through ONE ACON load_data run —
+    the q31 sibling for the tokenize-and-pack half of pretraining data
+    prep: language-ID and filter to English, BPE-encode with the fixed
+    merge table (distinct-word pandas encode + size-gated dictionary
+    join), then greedy context-window packing of the BPE token counts
+    into 512-token shard-local packs. Summarized per pack; the oracle
+    replays langid -> per-word merge scan -> shard/cumsum/pack
+    arithmetic stage by stage."""
+    from lakehouse_engine_spark import load_data
+
+    merges = spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(BPE_FIXED_MERGES)],
+        "rank INT, left STRING, right STRING, merged STRING",
+    )
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "docs",
+                "data_format": "parquet",
+                "location": f"{sf}/documents.parquet",
+            }
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "tok",
+                "input_id": "docs",
+                "transformers": [
+                    {"function": "text_langid", "args": {}},
+                    {"function": "expression_filter",
+                     "args": {"exp": "lang_pred = 'en'"}},
+                    {"function": "bpe_encode", "args": {"merges": merges}},
+                    {"function": "pack_sequences",
+                     "args": {"token_col": "bpe_tokens_n", "id_col": "doc_id",
+                              "budget": 512, "shards": 8}},
+                ],
+            }
+        ],
+        "output_specs": [
+            {"spec_id": "out", "input_id": "tok", "data_format": "dataframe"}
+        ],
+    }
+    packed = load_data(acon)["out"]
+    return (
+        packed.groupBy("pack_shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("bpe_tokens_n").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select(
+            F.col("pack_shard").cast("long"),
+            F.col("pack_id").cast("long"),
+            "n_docs",
+            "n_tokens",
+            "first_doc",
+        )
+    )
+
+
 def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end curation pipeline through ONE ACON ``load_data`` run —
     the composition surface itself (transform_specs chaining across
@@ -4237,6 +4297,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "q32_tokenize_pipeline",
     "dp146_session_stats",
     "dp145_streaming_funnel",
     "dp144_streaming_heavy_hitters",
@@ -4280,6 +4341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "q32_tokenize_pipeline": q32_tokenize_pipeline,
         "dp146_session_stats": dp146_session_stats,
         "dp145_streaming_funnel": dp145_streaming_funnel,
         "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,
@@ -7126,6 +7188,50 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN m
         """,
         "dp138_winnow_fingerprint": _DUCK_WINNOW_FPS,
+        "q32_tokenize_pipeline": f"""
+            -- full pipeline replay: langid filter -> per-word BPE merge
+            -- scan -> shard/cumsum/pack arithmetic (dp29's replay over
+            -- the BPE counts)
+            WITH langed AS (
+              SELECT doc_id, text FROM documents WHERE {pred} = 'en'
+            ),
+            toks AS (
+              SELECT doc_id, {_DUCK_TOKENS_CS} AS ws FROM langed
+            ),
+            tw AS (
+              SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+              FROM toks
+            ),
+            enc AS (
+              SELECT doc_id, pos, len({_duck_bpe_pieces("ws[pos]")}) AS np
+              FROM tw
+            ),
+            per_doc AS (
+              SELECT l.doc_id,
+                     CAST(coalesce(SUM(e.np), 0) AS BIGINT) AS n_tokens
+              FROM langed l LEFT JOIN enc e ON l.doc_id = e.doc_id
+              GROUP BY l.doc_id
+            ),
+            t AS (
+              SELECT doc_id, n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 1000000 AS b
+              FROM per_doc
+            ),
+            s AS (
+              SELECT doc_id, n_tokens, b % 8 AS pack_shard,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY b % 8 ORDER BY b, doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+              FROM t
+            )
+            SELECT CAST(pack_shard AS BIGINT) AS pack_shard,
+                   CAST(pack_shard * 1000000000 + (strt // 512) AS BIGINT) AS pack_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   MIN(doc_id) AS first_doc
+            FROM s GROUP BY 1, 2
+        """,
         "dp146_session_stats": """
             WITH marked AS (
               SELECT user_id, ts,

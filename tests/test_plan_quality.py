@@ -1274,3 +1274,14 @@ def test_winnow_overlap_equi_join_on_fingerprint(spark, sf_dir):
     assert "CartesianProduct" not in physical
     assert "BroadcastNestedLoopJoin" not in physical
     assert "rangepartitioning" not in physical
+
+
+def test_q32_tokenize_pipeline_composition_shapes(spark, sf_dir):
+    """The composed tokenize-and-pack ACON keeps each stage's posture:
+    the BPE dictionary attaches via broadcast (size-gated), packing
+    shuffles only on the shard key — no cartesian, no global sort
+    anywhere in the composition."""
+    df = entry.queries()["q32_tokenize_pipeline"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "rangepartitioning" not in physical, physical[:2000]
