@@ -7286,16 +7286,22 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE c * 8 > n
         """,
         "dp143_bottomk_sample": """
-            SELECT user_id, event_id, sample_rank, total_seen FROM (
+            -- rank DISTINCT ids (the stream dedups re-deliveries in
+            -- state); total_seen counts raw rows like the stream does
+            WITH tot AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS total_seen
+              FROM events GROUP BY user_id
+            ), ranked AS (
               SELECT user_id, event_id,
                      CAST(row_number() OVER (
                        PARTITION BY user_id
                        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
-                     ) AS INT) AS sample_rank,
-                     CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
-                       AS total_seen
-              FROM events
-            ) WHERE sample_rank <= 5
+                     ) AS INT) AS sample_rank
+              FROM (SELECT DISTINCT user_id, event_id FROM events)
+            )
+            SELECT r.user_id, r.event_id, r.sample_rank, t.total_seen
+            FROM ranked r JOIN tot t USING (user_id)
+            WHERE r.sample_rank <= 5
         """,
         "dp142_streaming_pattern": """
             WITH s AS (

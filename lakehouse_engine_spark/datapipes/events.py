@@ -189,6 +189,34 @@ def event_transitions(
     return _trans
 
 
+def _validate_pattern_args(on: List[str], symbols: Dict[str, str],
+                           default_symbol: Optional[str]) -> None:
+    """Shared arg checks for the batch and streaming pattern matchers."""
+    if not on:
+        raise ValueError("event pattern: 'on' keys must be non-empty")
+    if not symbols:
+        raise ValueError("event pattern: symbols must be non-empty")
+    bad = {k: v for k, v in symbols.items() if len(v) != 1}
+    if bad:
+        raise ValueError(f"event pattern: symbols must be single chars: {bad}")
+    if default_symbol is not None and len(default_symbol) != 1:
+        raise ValueError("event pattern: default_symbol must be a single char")
+
+
+def map_symbols(stage_col: str, symbols: Dict[str, str],
+                default_symbol: Optional[str]):
+    """NULL-safe symbol mapping column: NULL stage is ALWAYS dropped
+    (NULL is not an 'unmapped type'); unmapped non-NULL types take
+    default_symbol or drop."""
+    sym = None
+    for k, v in symbols.items():
+        cond = F.col(stage_col) == k
+        sym = F.when(cond, F.lit(v)) if sym is None else sym.when(cond, F.lit(v))
+    return F.when(F.col(stage_col).isNull(), F.lit(None)).otherwise(
+        sym.otherwise(F.lit(default_symbol))
+    )
+
+
 @register("event_pattern_match")
 def event_pattern_match(
     on: List[str],
@@ -223,22 +251,10 @@ def event_pattern_match(
     codegen'd on the folded string, once per key, not per event. No
     window over the raw events, no self-join, no Python.
     """
-    if not on:
-        raise ValueError("event_pattern_match: 'on' keys must be non-empty")
-    if not symbols:
-        raise ValueError("event_pattern_match: symbols must be non-empty")
-    bad = {k: v for k, v in symbols.items() if len(v) != 1}
-    if bad:
-        raise ValueError(f"event_pattern_match: symbols must be single chars: {bad}")
-    if default_symbol is not None and len(default_symbol) != 1:
-        raise ValueError("event_pattern_match: default_symbol must be a single char")
+    _validate_pattern_args(on, symbols, default_symbol)
 
     def _match(df: DataFrame) -> DataFrame:
-        sym = None
-        for k, v in symbols.items():
-            cond = F.col(stage_col) == k
-            sym = F.when(cond, F.lit(v)) if sym is None else sym.when(cond, F.lit(v))
-        sym = sym.otherwise(F.lit(default_symbol))
+        sym = map_symbols(stage_col, symbols, default_symbol)
         order = [F.col(ts_col)]
         if tiebreak_col:
             order.append(F.col(tiebreak_col))

@@ -833,6 +833,7 @@ def streaming_event_pattern(
     ts_col: str = "ts",
     tiebreak_col: Optional[str] = None,
     default_symbol: Optional[str] = None,
+    finalize: str = "eager",
 ) -> TransformerFn:
     """Streaming MATCH_RECOGNIZE-lite: the live arm of
     ``event_pattern_match`` — regex sequence detection over each key's
@@ -848,8 +849,19 @@ def streaming_event_pattern(
     regardless of stream length. Matches longer than ``max_span`` are
     missed (the standard boundedness/completeness trade, same family as
     ``streaming_dedup_exact``'s TTL). Counting is non-overlapping
-    leftmost-first, identical to the batch arm for any match within the
-    bound. The streaming side matches with Python ``re``; the batch arm
+    leftmost-first.
+
+    ``finalize`` picks the boundary semantics: ``"eager"`` (default)
+    counts a match the moment its closing symbol lands — lowest
+    latency, but a quantified pattern whose match could still GROW
+    (``(ef)+`` with the next ``ef`` arriving in a later batch) counts
+    as two matches where the batch arm's greedy scan merges them into
+    one. ``"span"`` defers counting until ``max_span`` symbols have
+    passed the match start, so no in-bound continuation can change it
+    — EXACT batch-arm equality for any pattern within the bound, at up
+    to ``max_span`` symbols of emission latency. Patterns that cannot
+    extend a completed match (``vc*p`` — nothing follows the closing
+    symbol) are identical under both modes except for the latency. The streaming side matches with Python ``re``; the batch arm
     with Java regex — identical semantics for the symbol-alphabet
     patterns this operator is for (keep patterns to character classes,
     alternation, and quantifiers).
@@ -864,8 +876,18 @@ def streaming_event_pattern(
     """
     if max_span < 1:
         raise ValueError(f"streaming_event_pattern: max_span must be >= 1, got {max_span}")
+    if finalize not in ("eager", "span"):
+        raise ValueError(
+            f"streaming_event_pattern: finalize must be eager|span, got {finalize!r}"
+        )
 
-    from lakehouse_engine_spark.datapipes.events import event_pattern_match
+    from lakehouse_engine_spark.datapipes.events import (
+        _validate_pattern_args,
+        event_pattern_match,
+        map_symbols,
+    )
+
+    _validate_pattern_args(on, symbols, default_symbol)
 
     def _fn(df: DataFrame) -> DataFrame:
         if not df.isStreaming:
@@ -886,11 +908,7 @@ def streaming_event_pattern(
                 "first_match",
             )
 
-        sym = None
-        for k, v in symbols.items():
-            cond = F.col(stage_col) == k
-            sym = F.when(cond, F.lit(v)) if sym is None else sym.when(cond, F.lit(v))
-        sym = sym.otherwise(F.lit(default_symbol))
+        sym = map_symbols(stage_col, symbols, default_symbol)
         order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
         src = (
             df.withColumn("__sym", sym)
@@ -927,10 +945,16 @@ def streaming_event_pattern(
             s = carry + syms
             n_new, last_end = 0, 0
             for m in rx.finditer(s):
+                if finalize == "span" and m.start() + max_span > len(s):
+                    # the match (or a longer one starting here) could
+                    # still grow within the bound — leave it pending; a
+                    # later batch re-scans it from carry
+                    break
                 n_new += 1
                 last_end = m.end()
-                if first is None:
-                    first = m.group(0)
+                if first is None and m.group(0):
+                    first = m.group(0)  # '' (empty match) stays None —
+                    # the batch arm's nullif('') convention
             unconsumed = s[last_end:]
             carry_next = unconsumed[-keep:] if keep > 0 else ""
             n += n_new
@@ -994,13 +1018,21 @@ def streaming_bottomk_sample(
         if not df.isStreaming:
             from pyspark.sql import Window
 
+            # the stream dedups (priority, id) pairs in state, so the
+            # batch arm ranks DISTINCT ids too — duplicate-id rows count
+            # toward total_seen (the stream counts rows) but cannot crowd
+            # a distinct id out of the sample
+            base = df.select(*on, F.col(id_col))
+            tot = base.groupBy(*on).agg(
+                F.count(F.lit(1)).cast("long").alias("total_seen")
+            )
             w = Window.partitionBy(*on).orderBy(prio, F.col(id_col))
-            cw = Window.partitionBy(*on)
             return (
-                df.select(*on, F.col(id_col))
+                base.distinct()
                 .withColumn("sample_rank", F.row_number().over(w))
-                .withColumn("total_seen", F.count(F.lit(1)).over(cw))
                 .filter(F.col("sample_rank") <= k)
+                .join(tot, on=list(on))
+                .select(*on, id_col, "sample_rank", "total_seen")
             )
 
         src = df.select(*on, F.col(id_col), prio.alias("__prio"))
@@ -1333,14 +1365,26 @@ def streaming_session_stats(
                 src = src.withColumn("__evt", F.col(ts_col).cast("timestamp"))
                 evt = "__evt"
             src = src.withWatermark(evt, watermark)
-        return (
-            src.groupBy(*on, F.session_window(F.col(evt), gap).alias("__w"))
-            .agg(
-                F.min(ts_col).alias("session_start"),
-                F.max(ts_col).alias("session_last"),
-                F.count(F.lit(1)).cast("long").alias("n_events"),
-            )
-            .drop("__w")
+        # the aggregation itself IS the registered sessionize operator
+        # (joins.py) — this op only adds the watermark attach and the
+        # NTZ event-time cast, so session_window semantics live in ONE
+        # place
+        from lakehouse_engine_spark.datapipes.joins import sessionize
+
+        out = sessionize(
+            on=list(on),
+            ts_col=evt,
+            gap=gap,
+            aggs={
+                "__ss": f"min(`{ts_col}`)",
+                "__sl": f"max(`{ts_col}`)",
+            },
+        )(src)
+        return out.select(
+            *on,
+            F.col("__ss").alias("session_start"),
+            F.col("__sl").alias("session_last"),
+            F.col("n_events").cast("long").alias("n_events"),
         )
 
     return _fn

@@ -307,17 +307,25 @@ def _partition_glob(spark: SparkSession, src_loc: str) -> str:
         return src_loc
     keys = set()
     stray_dir = False
+    root_parquet = False
     for st in statuses:
         name = st.getPath().getName()
-        if not st.isDirectory() or name.startswith(("_", ".")):
-            continue  # files; Spark-ignored metadata/hidden dirs
+        if not st.isDirectory():
+            root_parquet = root_parquet or name.endswith(".parquet")
+            continue
+        if name.startswith(("_", ".")):
+            continue  # Spark-ignored metadata/hidden dirs
         if "=" in name:
             keys.add(name.split("=", 1)[0])
         else:
             stray_dir = True
     if len(keys) == 1:
         return f"{src_loc.rstrip('/')}/{keys.pop()}=*"
-    if not keys and stray_dir:
+    if not keys and stray_dir and root_parquet:
+        # unpartitioned data files sharing the root with non-data dirs:
+        # glob the leaves. Only when root data files EXIST — a nested
+        # non-hive layout (loc/batch-N/part.parquet) must keep the
+        # recursive root listing or the stream silently reads nothing.
         return f"{src_loc.rstrip('/')}/*.parquet"
     return src_loc
 

@@ -5157,3 +5157,22 @@ def test_winnow_overlap_reports_copied_pairs(spark):
     assert all(a < b for a, b in pairs)
     with pytest.raises(ValueError):
         t("text_winnow_overlap", min_shared=0)
+
+
+def test_event_pattern_null_stage_always_dropped(spark):
+    """A NULL event type is junk, not an 'unmapped type': it never takes
+    default_symbol and never enters the sequence."""
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, T0, 1, "view"), (1, T0 + dt.timedelta(minutes=1), 2, None),
+         (1, T0 + dt.timedelta(minutes=2), 3, "purchase")],
+        "user_id INT, ts TIMESTAMP, event_id INT, event_type STRING",
+    )
+    row = df.transform(
+        t("event_pattern_match", on=["user_id"],
+          symbols={"view": "v", "purchase": "p"}, pattern="vp",
+          default_symbol="x", tiebreak_col="event_id")
+    ).first()
+    assert row["seq"] == "vp" and row["n_matches"] == 1

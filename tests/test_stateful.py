@@ -913,3 +913,53 @@ def test_streaming_session_stats_native_session_window(spark, tmp_dir):
         )
     with pytest.raises(ValueError):
         t("streaming_session_stats", on=[])
+
+
+def test_streaming_event_pattern_finalize_span_merges_boundary_growth(spark, tmp_dir):
+    """finalize='span' defers counting until max_span symbols pass the
+    match start, so a quantified match growing across a batch boundary
+    counts ONCE like the batch arm; 'eager' counts the boundary pieces
+    separately (the documented latency/merge trade)."""
+    import datetime as dt
+    import os
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    def events(path_suffix, mode):
+        src = os.path.join(tmp_dir, f"src_{path_suffix}")
+        out = os.path.join(tmp_dir, f"out_{path_suffix}")
+        ck = os.path.join(tmp_dir, f"ck_{path_suffix}")
+        op = t("streaming_event_pattern", on=["user_id"],
+               symbols={"error": "e", "fix": "f"},
+               pattern="(ef)+", max_span=6, finalize=mode)
+        _stage_events(spark, src, [(1, at(0), 1, "error"), (1, at(1), 2, "fix")])
+        _stage_events(spark, src, [(1, at(2), 3, "error"), (1, at(3), 4, "fix")])
+        # pad far past max_span so pending matches finalize
+        _stage_events(spark, src, [(1, at(10 + i), 10 + i, "error")
+                                   for i in range(8)])
+        _run_pattern_stream(spark, src, out, ck, op)
+        rows = spark.read.parquet(out).collect()
+        latest = max(r["seq_len"] for r in rows)
+        return [r for r in rows if r["seq_len"] == latest][0]
+
+    span = events("span", "span")
+    assert span["n_matches"] == 1 and span["first_match"] == "efef"
+    eager = events("eager", "eager")
+    assert eager["n_matches"] == 2 and eager["first_match"] == "ef"
+
+
+def test_streaming_bottomk_batch_arm_dedups_duplicate_ids(spark):
+    """Duplicate-id rows count toward total_seen but can't crowd a
+    distinct id out of the sample — batch arm matches the stream's
+    state dedup."""
+    rows = [("a", 7), ("a", 7), ("a", 7)] + [("a", i) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "src STRING, id BIGINT")
+    out = df.transform(
+        t("streaming_bottomk_sample", on=["src"], id_col="id", k=3)
+    ).collect()
+    ids = sorted(r["id"] for r in out)
+    assert len(ids) == len(set(ids)) == 3       # three DISTINCT ids
+    assert all(r["total_seen"] == 8 for r in out)  # raw rows counted

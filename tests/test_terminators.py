@@ -162,3 +162,10 @@ def test_partition_glob_isolates_data_from_stray_dirs(spark, tmp_path):
     (mixed / "checkpoint" / "offsets").mkdir(parents=True)
     (mixed / "part-0.parquet").write_bytes(b"x")
     assert _partition_glob(spark, str(mixed)).endswith("/*.parquet")
+
+    # nested NON-hive layout with no root data files: the leaf glob
+    # would silently match nothing — must keep the recursive root
+    nested = tmp_path / "nested"
+    (nested / "batch-0").mkdir(parents=True)
+    (nested / "batch-0" / "part-0.parquet").write_bytes(b"x")
+    assert _partition_glob(spark, str(nested)) == str(nested)
