@@ -239,5 +239,86 @@ def probe_winnow_long_docs(spark):
 PROBES["winnow_long_docs"] = probe_winnow_long_docs
 
 
+def probe_streaming_pattern_1m(spark):
+    """Round-11 continuation: streaming_event_pattern over 1M events /
+    10k keys delivered as two availableNow micro-batches — per-key state
+    is O(max_span) and per-batch work is one pandas sort + regex per
+    key, so wall should track event volume, not state size. Reports
+    per-run wall + the final match totals."""
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="probe_pat_")
+    src, out, ck = [os.path.join(base, d) for d in ("src", "out", "ck")]
+    types = ["view", "click", "purchase", "error"]
+    try:
+        for half in (0, 1):
+            (
+                spark.range(500_000)
+                .select(
+                    (F.col("id") % 10_000).alias("user_id"),
+                    F.timestamp_seconds(
+                        F.lit(1_700_000_000) + half * 500_000 + F.col("id")
+                    ).cast("timestamp_ntz").alias("ts"),
+                    (F.col("id") + half * 500_000).alias("event_id"),
+                    F.element_at(
+                        F.array(*[F.lit(t) for t in types]),
+                        # vary per user-step: id%10000 is the user, id//10000
+                        # the step — a pure id*k%4 is constant per user
+                        (
+                            (F.col("id") % 10_000 + (F.col("id") / 10_000).cast("long"))
+                            % 4 + 1
+                        ).cast("int"),
+                    ).alias("event_type"),
+                )
+                .coalesce(4)
+                .write.mode("append")
+                .parquet(src)
+            )
+        op = _t(
+            "streaming_event_pattern",
+            on=["user_id"],
+            symbols={"view": "v", "click": "c", "purchase": "p", "error": "e"},
+            pattern="vc*p",
+            max_span=20,
+            tiebreak_col="event_id",
+        )
+        t0 = time.time()
+        q = (
+            spark.readStream.schema(
+                "user_id BIGINT, ts TIMESTAMP_NTZ, event_id BIGINT, event_type STRING"
+            )
+            .option("maxFilesPerTrigger", 4)
+            .parquet(src)
+            .transform(op)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.time() - t0
+        res = spark.read.parquet(out)
+        latest = res.groupBy("user_id").agg(F.max("seq_len").alias("m"))
+        total = (
+            res.join(latest, ["user_id"])
+            .filter(F.col("seq_len") == F.col("m"))
+            .agg(F.sum("n_matches"))
+            .first()[0]
+        )
+        print(
+            f"streaming_pattern_1m: {wall:.1f}s for 1M events / 10k keys "
+            f"(2 micro-batches) -> {total} total matches"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+PROBES["streaming_pattern_1m"] = probe_streaming_pattern_1m
+
+
 if __name__ == "__main__":
     main()
