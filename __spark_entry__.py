@@ -3780,6 +3780,38 @@ def dp131_knn_ivf_hier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DP147_SHARED = (
+    "this boilerplate disclaimer paragraph appears on every page of the site"
+)
+
+
+def dp147_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-granularity near-dedup with reconstruction
+    (datapipes/dedup.py text_paragraph_dedup): every doc staged into
+    three paragraphs with a SHARED boilerplate middle; the minhash
+    bucket-min rule keeps the lowest (doc, pos) copy corpus-wide and
+    each doc reassembles from its survivors. Oracle replays staging,
+    the per-paragraph signature/band pipeline, the bucket-min key rule,
+    and the ordered reassembly."""
+    docs = load_table(spark, sf, "documents")
+    staged = docs.withColumn(
+        "text",
+        F.concat(
+            F.substring("text", 1, 50),
+            F.lit("\n" + _DP147_SHARED + "\n"),
+            F.substring("text", 51, 100000),
+        ),
+    )
+    out = staged.transform(_t("text_paragraph_dedup"))
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_paragraphs",
+        "n_kept",
+        F.md5("text_dedup").alias("dedup_md5"),
+    )
+
+
 def dp146_session_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Batch arm of streaming_session_stats (datapipes/stateful.py):
     Spark's NATIVE session_window aggregation — per (user, session)
@@ -4297,6 +4329,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp147_paragraph_dedup",
     "q32_tokenize_pipeline",
     "dp146_session_stats",
     "dp145_streaming_funnel",
@@ -4341,6 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp147_paragraph_dedup": dp147_paragraph_dedup,
         "q32_tokenize_pipeline": q32_tokenize_pipeline,
         "dp146_session_stats": dp146_session_stats,
         "dp145_streaming_funnel": dp145_streaming_funnel,
@@ -7231,6 +7265,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                    MIN(doc_id) AS first_doc
             FROM s GROUP BY 1, 2
+        """,
+        "dp147_paragraph_dedup": """
+            WITH staged AS (
+              SELECT doc_id, lang,
+                     substr(text, 1, 50) || chr(10) || 'this boilerplate disclaimer paragraph appears on every page of the site'
+                       || chr(10) || substr(text, 51, 100000) AS text
+              FROM documents
+            ), ps AS (
+              SELECT doc_id, lang, string_split_regex(text, '\n') AS parr
+              FROM staged
+            ), paras0 AS (
+              SELECT doc_id, lang,
+                     unnest(generate_series(1, len(parr))) AS pos, parr
+              FROM ps
+            ), paras AS (
+              SELECT doc_id, lang, pos, parr[pos] AS p,
+                     doc_id * 1000000 + pos AS key
+              FROM paras0 WHERE trim(parr[pos]) <> ''
+            ), toks AS (
+              SELECT key, list_filter(string_split_regex(trim(lower(p)), '\s+'), t -> t <> '') AS w FROM paras
+            ), sh AS (
+              SELECT key, CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) ELSE [array_to_string(w, ' ')] END AS s FROM toks
+            ), bases AS (
+              SELECT key, list_distinct(list_transform(
+                s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 2147483647)) AS bs
+              FROM sh
+            ), sig AS (
+              SELECT key, [list_min(list_transform(bs, x -> (1657496063*x + 1357401439) % 2147483647)),
+    list_min(list_transform(bs, x -> (821433261*x + 902625397) % 2147483647)),
+    list_min(list_transform(bs, x -> (997695499*x + 376332411) % 2147483647)),
+    list_min(list_transform(bs, x -> (143048345*x + 822191857) % 2147483647)),
+    list_min(list_transform(bs, x -> (771207895*x + 846760279) % 2147483647)),
+    list_min(list_transform(bs, x -> (125119557*x + 1626915117) % 2147483647)),
+    list_min(list_transform(bs, x -> (1788094051*x + 378692595) % 2147483647)),
+    list_min(list_transform(bs, x -> (934987953*x + 198001449) % 2147483647)),
+    list_min(list_transform(bs, x -> (1804748463*x + 929385551) % 2147483647)),
+    list_min(list_transform(bs, x -> (125550557*x + 609085669) % 2147483647)),
+    list_min(list_transform(bs, x -> (2017468347*x + 13917803) % 2147483647)),
+    list_min(list_transform(bs, x -> (1089666505*x + 1098460769) % 2147483647))] AS sg FROM bases
+            ), bandt AS (
+              SELECT key, [md5('0:' || array_to_string(sg[1:3], '|')),
+    md5('1:' || array_to_string(sg[4:6], '|')),
+    md5('2:' || array_to_string(sg[7:9], '|')),
+    md5('3:' || array_to_string(sg[10:12], '|'))] AS bh FROM sig
+            ), ex AS (
+              SELECT key, unnest(bh) AS h FROM bandt
+            ), buckets AS (
+              SELECT h, min(key) AS m FROM ex GROUP BY h
+            ), dup AS (
+              SELECT DISTINCT ex.key FROM ex JOIN buckets b USING (h)
+              WHERE ex.key > b.m
+            ), flagged AS (
+              SELECT paras.*, (dup.key IS NOT NULL) AS is_dup
+              FROM paras LEFT JOIN dup USING (key)
+            ), per_doc AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+                     CAST(SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+                     array_to_string(
+                       list(CASE WHEN is_dup THEN NULL ELSE p END ORDER BY pos),
+                       chr(10)) AS text_dedup
+              FROM flagged GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang,
+                   coalesce(pd.n_paragraphs, 0) AS n_paragraphs,
+                   coalesce(pd.n_kept, 0) AS n_kept,
+                   md5(coalesce(pd.text_dedup, '')) AS dedup_md5
+            FROM documents d LEFT JOIN per_doc pd USING (doc_id)
         """,
         "dp146_session_stats": """
             WITH marked AS (

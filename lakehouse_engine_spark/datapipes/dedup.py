@@ -2131,3 +2131,141 @@ def text_winnow_overlap(
         return pairs
 
     return _overlap
+
+
+@register("text_paragraph_dedup")
+def text_paragraph_dedup(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    joiner: str = "\n",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_size: int = 3,
+    keep: str = "reassembled",
+) -> TransformerFn:
+    """Paragraph-granularity near-dedup with document RECONSTRUCTION —
+    the RefinedWeb/C4-style sub-document pass: documents split on
+    ``sep``, every paragraph MinHash-banded corpus-wide, near-duplicate
+    paragraphs dropped (keep the lowest (doc, position) copy — the
+    ``dedup_minhash_lsh`` bucket-min rule at paragraph scope), and each
+    document reassembled from its surviving paragraphs in order. Where
+    ``text_line_dedup`` removes EXACT repeated lines, this removes
+    boilerplate paragraphs that vary slightly per page (footers with
+    dates, templated disclaimers).
+
+    ``keep="reassembled"`` (default): one row per input doc —
+    ``text_dedup`` (surviving paragraphs joined with ``joiner``; empty
+    string when everything was boilerplate), ``n_paragraphs``,
+    ``n_kept``. ``keep="paragraphs"``: the exploded per-paragraph view
+    ``(id, paragraph_pos, paragraph, is_duplicate)`` for auditing.
+
+    Determinism/oracle contract: the paragraph key is
+    ``id·10⁶ + position`` (positions 1-based; documents must stay under
+    10⁶ paragraphs), bucket survivor = the bucket's minimum key, and
+    the signature/band pipeline is the corpus-wide
+    :func:`minhash_signature` convention — fully SQL-replayable.
+
+    Scale design: paragraphs explode once; signatures are a pure
+    codegen projection per paragraph; the only shuffles are the band
+    bucket-min aggregate, the dup semi-join back on the bucket, and the
+    per-doc reassembly — all keyed, no pair joins at all (the bucket-min
+    rule needs no pairwise verify).
+    """
+    if keep not in ("reassembled", "paragraphs"):
+        raise ValueError(
+            f"text_paragraph_dedup: keep must be reassembled|paragraphs, got {keep!r}"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError("text_paragraph_dedup: bands must divide num_hashes")
+    rows = num_hashes // bands
+
+    def _fn(df: DataFrame) -> DataFrame:
+        paras = (
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.posexplode(F.split(F.col(input_col), sep)).alias("__pos0", "__p"),
+            )
+            .filter(F.trim(F.col("__p")) != "")
+            .select(
+                "__id",
+                (F.col("__pos0") + 1).alias("__pos"),
+                "__p",
+                (F.col("__id") * 1_000_000 + F.col("__pos0") + 1).alias("__key"),
+            )
+        )
+        sig = paras.withColumn(
+            "__sig", minhash_signature(F.col("__p"), num_hashes, shingle_size)
+        )
+        band_cols = [
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("__sig", b * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ],
+                    ),
+                )
+            )
+            for b in range(bands)
+        ]
+        buckets = sig.select(
+            "__key", F.explode(F.array(*band_cols)).alias("__b")
+        )
+        mins = buckets.groupBy("__b").agg(F.min("__key").alias("__m"))
+        dups = (
+            buckets.join(mins, "__b")
+            .filter(F.col("__key") > F.col("__m"))
+            .select("__key")
+            .distinct()
+        )
+        dup_keys = dups.select(F.col("__key").alias("__dupkey"))
+        flagged = paras.join(
+            dup_keys, paras["__key"] == dup_keys["__dupkey"], "left"
+        ).select(
+            "__id",
+            "__pos",
+            "__p",
+            "__key",
+            F.col("__dupkey").isNotNull().alias("__dup"),
+        )
+        if keep == "paragraphs":
+            return flagged.select(
+                F.col("__id").alias(id_col),
+                F.col("__pos").alias("paragraph_pos"),
+                F.col("__p").alias("paragraph"),
+                F.col("__dup").alias("is_duplicate"),
+            )
+        per_doc = (
+            flagged.groupBy("__id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+                F.sum((~F.col("__dup")).cast("long")).alias("n_kept"),
+                F.concat_ws(
+                    joiner,
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("__dup"),
+                                    F.struct(F.col("__pos"), F.col("__p")),
+                                )
+                            )
+                        ),
+                        lambda x: x["__p"],
+                    ),
+                ).alias("text_dedup"),
+            )
+        )
+        return (
+            df.join(per_doc, df[id_col] == per_doc["__id"], "left")
+            .drop("__id")
+            .withColumn("n_paragraphs", F.coalesce("n_paragraphs", F.lit(0)))
+            .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
+            .withColumn("text_dedup", F.coalesce("text_dedup", F.lit("")))
+        )
+
+    return _fn

@@ -5176,3 +5176,38 @@ def test_event_pattern_null_stage_always_dropped(spark):
           default_symbol="x", tiebreak_col="event_id")
     ).first()
     assert row["seq"] == "vp" and row["n_matches"] == 1
+
+
+def test_paragraph_dedup_keeps_lowest_copy_and_reassembles(spark):
+    """The shared/near-dup paragraph survives only at its lowest
+    (doc, pos) key; docs reassemble from surviving paragraphs in order;
+    whole-doc-boilerplate reassembles to ''; keep='paragraphs' exposes
+    the audit view; arg validation."""
+    shared = "this boilerplate disclaimer paragraph appears on every page of the site"
+    near = shared.replace("every page", "every single page")
+    df = spark.createDataFrame(
+        [
+            (0, f"unique alpha content one\n{shared}\nmore unique tail zero"),
+            (1, f"different beta content two\n{near}\nother unique tail one"),
+            (2, f"{shared}\ncompletely fresh gamma content three"),
+            (3, ""),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.transform(t("text_paragraph_dedup")).collect()
+    }
+    assert out[0]["n_kept"] == 3 and shared in out[0]["text_dedup"]
+    assert out[1]["n_kept"] == 2 and "single page" not in out[1]["text_dedup"]
+    assert out[1]["text_dedup"] == "different beta content two\nother unique tail one"
+    assert out[2]["n_kept"] == 1 and out[2]["text_dedup"].startswith("completely")
+    assert out[3]["n_paragraphs"] == 0 and out[3]["text_dedup"] == ""
+    flags = df.transform(t("text_paragraph_dedup", keep="paragraphs")).collect()
+    dup_flags = {(r["doc_id"], r["paragraph_pos"]): r["is_duplicate"] for r in flags}
+    assert dup_flags[(0, 2)] is False      # lowest copy of the boilerplate
+    assert dup_flags[(1, 2)] and dup_flags[(2, 1)]
+    with pytest.raises(ValueError):
+        t("text_paragraph_dedup", keep="bogus")
+    with pytest.raises(ValueError):
+        t("text_paragraph_dedup", num_hashes=12, bands=5)

@@ -1285,3 +1285,14 @@ def test_q32_tokenize_pipeline_composition_shapes(spark, sf_dir):
     physical, _ = _plans(df)
     assert "CartesianProduct" not in physical
     assert "rangepartitioning" not in physical, physical[:2000]
+
+
+def test_paragraph_dedup_no_pair_joins(spark, sf_dir):
+    """Paragraph near-dedup uses the bucket-min rule — keyed aggregates
+    and semi-join-shaped attaches only, never a pairwise/cartesian join
+    and never a global sort."""
+    df = entry.queries()["dp147_paragraph_dedup"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "rangepartitioning" not in physical
