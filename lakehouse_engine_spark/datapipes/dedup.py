@@ -2182,7 +2182,11 @@ def text_paragraph_dedup(
 
     def _fn(df: DataFrame) -> DataFrame:
         paras = (
-            df.select(
+            # per-paragraph signature folds are expression-heavy: raise a
+            # starved scan to session parallelism first (no-op at
+            # production split counts)
+            ensure_parallelism(df)
+            .select(
                 F.col(id_col).alias("__id"),
                 F.posexplode(F.split(F.col(input_col), sep)).alias("__pos0", "__p"),
             )
