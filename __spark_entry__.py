@@ -3785,6 +3785,28 @@ _DP147_SHARED = (
 )
 
 
+def dp148_winnow_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus MOSS overlap (datapipes/dedup.py
+    text_winnow_cross_overlap): main docs screened against a reference
+    of 120-char excerpts of every 25th doc — localized, ranked
+    (doc, ref, shared_fps) pairs, boilerplate fingerprints capped over
+    BOTH corpora. The winnow guarantee makes any verbatim 8-char run
+    detectable; the oracle runs the winnow chain twice (prefixed CTEs)
+    and replays the union cap + fp equi-join."""
+    docs = load_table(spark, sf, "documents")
+    ref = docs.filter("doc_id % 25 = 0").select(
+        "doc_id", F.substring("text", 20, 120).alias("text")
+    )
+    return docs.transform(
+        _t(
+            "text_winnow_cross_overlap",
+            other_df=ref,
+            min_shared=3,
+            max_bucket_size=50,
+        )
+    )
+
+
 def dp147_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Paragraph-granularity near-dedup with reconstruction
     (datapipes/dedup.py text_paragraph_dedup): every doc staged into
@@ -4329,6 +4351,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # (non-exploded) DQ result sink + queried-agg template support touch
 # the dq_factory path q07 exercises.
 WINDOW_RETOUCHED = (
+    "dp148_winnow_cross",
     "dp147_paragraph_dedup",
     "q32_tokenize_pipeline",
     "dp146_session_stats",
@@ -4374,6 +4397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
+        "dp148_winnow_cross": dp148_winnow_cross,
         "dp147_paragraph_dedup": dp147_paragraph_dedup,
         "q32_tokenize_pipeline": q32_tokenize_pipeline,
         "dp146_session_stats": dp146_session_stats,
@@ -4902,37 +4926,44 @@ def _duck_knn_ivf(k: int, num_centroids: int, nprobe: int) -> str:
     """
 
 
-_DUCK_WINNOW_FPS = """
-            WITH nrm AS (
+def _duck_winnow_fps(src: str = "documents", pre: str = "") -> str:
+    """Winnow-fingerprint CTE chain (the dp138 replay) over ``src`` (a
+    table name or parenthesized subquery) with CTE names prefixed by
+    ``pre`` so two chains can coexist in one statement (dp148's
+    main-vs-reference overlap)."""
+    return f"""
+            WITH {pre}nrm AS (
               SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
-              FROM documents WHERE text IS NOT NULL
-            ), g AS (
-              SELECT doc_id, s, length(s) - 5 + 1 AS m FROM nrm WHERE length(s) >= 5
-            ), codes AS (
+              FROM {src} WHERE text IS NOT NULL
+            ), {pre}g AS (
+              SELECT doc_id, s, length(s) - 5 + 1 AS m FROM {pre}nrm WHERE length(s) >= 5
+            ), {pre}codes AS (
               SELECT doc_id, m,
                      list_transform(generate_series(1, length(s)),
                        p -> CAST(CASE WHEN ascii(substr(s, p, 1)) >= 97
                                       THEN ascii(substr(s, p, 1)) - 87
                                       ELSE ascii(substr(s, p, 1)) - 48 END AS BIGINT)) AS c
-              FROM g
-            ), hs AS (
+              FROM {pre}g
+            ), {pre}hs AS (
               -- packed base-36 gram codes (collision-free for k=5)
               SELECT doc_id, m,
                      list_transform(generate_series(1, m),
                        i -> c[i]*1679616 + c[i+1]*46656 + c[i+2]*1296 + c[i+3]*36 + c[i+4]) AS h
-              FROM codes
-            ), w AS (
+              FROM {pre}codes
+            ), {pre}w AS (
               SELECT doc_id,
                      unnest(list_transform(generate_series(1, greatest(m - 4 + 1, 1)),
                        i -> struct_pack(
                          pos := CAST(i + len(h[i:i+3])
                                    - list_position(list_reverse(h[i:i+3]), list_min(h[i:i+3])) AS INTEGER),
                          fp := list_min(h[i:i+3])))) AS f
-              FROM hs
+              FROM {pre}hs
             )
-            SELECT DISTINCT doc_id, f.pos AS pos, f.fp AS fp FROM w
+            SELECT DISTINCT doc_id, f.pos AS pos, f.fp AS fp FROM {pre}w
 """
 
+
+_DUCK_WINNOW_FPS = _duck_winnow_fps()
 
 def _duck_linear_fit(l2: float) -> str:
     """Replay of dp134: grid-quantize dims 1-4, exact integer moment sums
@@ -7266,6 +7297,30 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS first_doc
             FROM s GROUP BY 1, 2
         """,
+        "dp148_winnow_cross": (
+            "WITH mf AS (" + _duck_winnow_fps("documents", "m_") + "), "
+            "rf AS (" + _duck_winnow_fps(
+                "(SELECT doc_id, substr(text, 20, 120) AS text "
+                "FROM documents WHERE doc_id % 25 = 0)", "r_") + "), "
+            """md AS (
+              SELECT DISTINCT doc_id AS mid, fp FROM mf
+            ), rd AS (
+              SELECT DISTINCT doc_id AS rid, fp FROM rf
+            ), hot AS (
+              SELECT fp FROM (
+                SELECT fp FROM md UNION ALL SELECT fp FROM rd
+              ) GROUP BY fp HAVING COUNT(*) > 50
+            ), mm AS (
+              SELECT * FROM md WHERE fp NOT IN (SELECT fp FROM hot)
+            ), rr AS (
+              SELECT * FROM rd WHERE fp NOT IN (SELECT fp FROM hot)
+            )
+            SELECT mm.mid AS doc_id, rr.rid AS ref_id,
+                   CAST(COUNT(*) AS BIGINT) AS shared_fps
+            FROM mm JOIN rr USING (fp)
+            GROUP BY mm.mid, rr.rid
+            HAVING COUNT(*) >= 3
+        """),
         "dp147_paragraph_dedup": """
             WITH staged AS (
               SELECT doc_id, lang,

@@ -2273,3 +2273,92 @@ def text_paragraph_dedup(
         )
 
     return _fn
+
+
+@register("text_winnow_cross_overlap")
+def text_winnow_cross_overlap(
+    other_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    other_text_col: str = "text",
+    other_id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: Optional[int] = 10_000,
+    pair_budget: Optional[int] = None,
+    broadcast_other: bool = False,
+) -> TransformerFn:
+    """Cross-corpus MOSS overlap: main documents scored against a
+    REFERENCE corpus by shared winnowing fingerprints — provenance and
+    plagiarism screening against a known set (benchmark test splits, a
+    licensed-out corpus, an earlier release). Where
+    ``text_decontaminate`` asks "does this doc contain any benchmark
+    n-gram", this LOCALIZES and RANKS: ``(doc_id, ref_id, shared_fps)``
+    pairs with ``doc_id`` from the main corpus, ``ref_id`` from the
+    reference, surviving ``min_shared`` distinct shared fingerprints —
+    the winnowing guarantee makes any verbatim run of
+    ``window + k − 1`` normalized chars detectable.
+
+    Scale design: both sides reduce to DISTINCT (id, fp) rows; ubiquitous
+    fingerprints drop by the LSH family's cap/:``pair_budget`` rule
+    applied to the UNION of both sides (a gram common across either
+    corpus is boilerplate); the pair join is fp-equi, main×ref only.
+    ``broadcast_other=True`` broadcasts the reference fingerprint set —
+    the decontamination posture when the reference is benchmark-sized.
+    """
+    if min_shared < 1:
+        raise ValueError(
+            f"text_winnow_cross_overlap: min_shared must be >= 1, got {min_shared}"
+        )
+
+    from lakehouse_engine_spark.datapipes.text import winnow_fingerprint
+
+    def _overlap(df: DataFrame) -> DataFrame:
+        main = (
+            winnow_fingerprint(input_col=text_col, id_col=id_col, k=k, window=window)(df)
+            .select(F.col(id_col).alias("__mid"), "fp")
+            .distinct()
+        )
+        ref = (
+            winnow_fingerprint(
+                input_col=other_text_col, id_col=other_id_col, k=k, window=window
+            )(other_df)
+            .select(F.col(other_id_col).alias("__rid"), "fp")
+            .distinct()
+        )
+        # boilerplate cap over BOTH corpora: a fingerprint's bucket is its
+        # total membership across main+ref
+        both = main.select("fp").unionByName(ref.select("fp"))
+        cap = _effective_cap(max_bucket_size, pair_budget)
+        if cap is not None:
+            hot = (
+                both.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > cap)
+                .select("fp")
+            )
+            main = main.join(hot, "fp", "left_anti")
+            ref = ref.join(hot, "fp", "left_anti")
+        r = F.broadcast(ref) if broadcast_other else ref
+        return (
+            main.join(r, "fp")
+            .groupBy(F.col("__mid").alias("doc_id"), F.col("__rid").alias("ref_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared)
+        )
+
+    return _overlap
+
+
+@register_contextual("text_winnow_cross_overlap_with")
+def text_winnow_cross_overlap_with(data: dict, other: str, **args) -> TransformerFn:
+    """ACON wrapper for :func:`text_winnow_cross_overlap` resolving
+    ``other`` as an upstream spec_id."""
+
+    def _fn(df: DataFrame) -> DataFrame:
+        if other not in data:
+            raise ValueError(f"text_winnow_cross_overlap_with: unknown spec_id {other}")
+        return text_winnow_cross_overlap(other_df=data[other], **args)(df)
+
+    return _fn

@@ -5211,3 +5211,30 @@ def test_paragraph_dedup_keeps_lowest_copy_and_reassembles(spark):
         t("text_paragraph_dedup", keep="bogus")
     with pytest.raises(ValueError):
         t("text_paragraph_dedup", num_hashes=12, bands=5)
+
+
+def test_winnow_cross_overlap_localizes_reference_hits(spark):
+    """A doc containing a reference excerpt pairs with THAT reference id;
+    clean docs pair with nothing; the both-corpora boilerplate cap drops
+    ubiquitous fingerprints; spec_id wrapper resolves; validation."""
+    ref_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro words here {ref_text} closing words"),
+            (1, "completely unrelated content about database engines and storage"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    ref = spark.createDataFrame(
+        [(100, ref_text), (200, "some other benchmark passage entirely different")],
+        "doc_id INT, text STRING",
+    )
+    out = docs.transform(
+        t("text_winnow_cross_overlap", other_df=ref, min_shared=3)
+    ).collect()
+    pairs = {(r["doc_id"], r["ref_id"]): r["shared_fps"] for r in out}
+    assert (0, 100) in pairs and pairs[(0, 100)] >= 3
+    assert all(d != 1 for d, _ in pairs)
+    assert all(rid != 200 for _, rid in pairs)
+    with pytest.raises(ValueError):
+        t("text_winnow_cross_overlap", other_df=ref, min_shared=0)

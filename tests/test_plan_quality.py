@@ -1296,3 +1296,14 @@ def test_paragraph_dedup_no_pair_joins(spark, sf_dir):
     assert "CartesianProduct" not in physical
     assert "BroadcastNestedLoopJoin" not in physical
     assert "rangepartitioning" not in physical
+
+
+def test_winnow_cross_overlap_fp_equi_join_only(spark, sf_dir):
+    """Main x reference pairing is an fp equi-join over distinct (id, fp)
+    rows with the union boilerplate cap applied first — no cartesian, no
+    nested loop, no global sort."""
+    df = entry.queries()["dp148_winnow_cross"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "rangepartitioning" not in physical

@@ -733,3 +733,35 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark, a, b, shared):
     f0 = {r["fp"] for r in rows if r["doc_id"] == 0}
     f1 = {r["fp"] for r in rows if r["doc_id"] == 1}
     assert f0 & f1
+
+
+_para_docs = st.lists(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=5),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_few
+@given(docs=_para_docs)
+def test_paragraph_dedup_reassembly_identity(spark, docs):
+    """With globally-unique paragraphs (disjoint token vocabularies per
+    paragraph), nothing dedups and every document reassembles to its
+    exact original text — the reconstruction path is lossless."""
+    rows = []
+    uid = 0
+    for i, paras in enumerate(docs):
+        text = "\n".join(
+            " ".join(f"tok{uid * 100 + j}" for j in range(6))
+            for uid in range(uid, uid + len(paras))
+        )
+        uid += len(paras)
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in df.transform(t("text_paragraph_dedup")).collect()
+    }
+    for i, text in rows:
+        assert out[i]["text_dedup"] == text
+        assert out[i]["n_kept"] == out[i]["n_paragraphs"]
