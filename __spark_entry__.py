@@ -7321,7 +7321,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY mm.mid, rr.rid
             HAVING COUNT(*) >= 3
         """),
-        "dp147_paragraph_dedup": """
+        "dp147_paragraph_dedup": r"""
             WITH staged AS (
               SELECT doc_id, lang,
                      substr(text, 1, 50) || chr(10) || 'this boilerplate disclaimer paragraph appears on every page of the site'
