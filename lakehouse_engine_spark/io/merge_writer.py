@@ -174,7 +174,12 @@ def _catalog_schema_for_location(spark, location):
     merge, so a cached miss would wrongly skip the new registration."""
     if not location:
         return None
-    want = _normalize_fs_path(location)
+    # cache keyed per SparkSession (round-11 ADVICE #4 residue): a
+    # module-global shared across sessions/catalogs could serve one
+    # session's binding to another — the DESCRIBE validation would
+    # usually catch it, but a same-named table in a different catalog
+    # at the same path would not
+    want = (id(spark), _normalize_fs_path(location))
     hit = _LOCATION_TABLE_CACHE.get(want)
     if hit:
         # validate the binding still points AT the location (one DESCRIBE
@@ -187,14 +192,14 @@ def _catalog_schema_for_location(spark, location):
                 (r["data_type"] for r in rows if r["col_name"] == "Location"),
                 None,
             )
-            if loc and _normalize_fs_path(loc) == want:
+            if loc and _normalize_fs_path(loc) == want[1]:
                 return spark.table(hit).schema
             _LOCATION_TABLE_CACHE.pop(want, None)
         except Exception:
             _LOCATION_TABLE_CACHE.pop(want, None)
     try:
         for db in spark.catalog.listDatabases():
-            name = _find_table_at_location_in_db(spark, db.name, want)
+            name = _find_table_at_location_in_db(spark, db.name, want[1])
             if name:
                 _LOCATION_TABLE_CACHE[want] = name
                 return spark.table(name).schema
