@@ -2362,3 +2362,115 @@ def text_winnow_cross_overlap_with(data: dict, other: str, **args) -> Transforme
         return text_winnow_cross_overlap(other_df=data[other], **args)(df)
 
     return _fn
+
+
+@register("text_winnow_incremental")
+def text_winnow_incremental(
+    state_location: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    mode: str = "flag",  # flag | drop
+    update_state: bool = True,
+    compact_after_files: int = 64,
+) -> TransformerFn:
+    """CROSS-RUN copy-detection against a persistent winnowing-fingerprint
+    state: every delivery is screened for verbatim overlap with EVERYTHING
+    previously ingested — without re-reading the corpus, only its selected
+    fingerprints (the MOSS guarantee localizes any verbatim run of
+    ``window + k − 1`` normalized chars). The incremental sibling of
+    ``dedup_incremental_exact`` (whole-doc digests) and
+    ``dedup_incremental_minhash`` (near-dup signatures): those ask "have
+    I seen this DOCUMENT", this asks "have I seen this TEXT anywhere,
+    in any document".
+
+    Output (``mode="flag"``): the input plus ``hist_shared_fps``
+    (distinct fingerprints shared with the state) and ``is_seen``
+    (``>= min_shared``). ``mode="drop"`` keeps only unseen docs. In both
+    modes the state then grows by the batch's NEW fingerprints —
+    contributed by surviving docs only under ``drop`` (a rejected doc
+    must not poison the state with text it merely copied), by all docs
+    under ``flag``. ``update_state=False`` is the dry-run probe.
+
+    State discipline mirrors the family: fingerprints ONLY (one BIGINT
+    per distinct selected gram, ~1/window of the corpus grams), eager
+    append AFTER a localCheckpoint of the screened result (the returned
+    frame and the state can never disagree; a recomputable lineage would
+    re-read the mutated state after executor loss), loud failure on a
+    corrupt state, in-place compaction after ``compact_after_files``
+    parts. The screen is one fp-keyed semi-join-shaped count — no pair
+    joins; ubiquitous-boilerplate control is ``min_shared`` (a doc must
+    share that many DISTINCT fingerprints with history).
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"text_winnow_incremental: mode must be flag|drop, got {mode!r}")
+    if min_shared < 1:
+        raise ValueError(
+            f"text_winnow_incremental: min_shared must be >= 1, got {min_shared}"
+        )
+
+    from lakehouse_engine_spark.datapipes.text import winnow_fingerprint
+
+    def _fn(df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            raise ValueError(
+                "text_winnow_incremental is batch-only (cross-RUN state); "
+                "relocate into foreachBatch for streaming deliveries"
+            )
+        spark = df.sparkSession
+        fps = (
+            winnow_fingerprint(input_col=text_col, id_col=id_col, k=k, window=window)(df)
+            .select(F.col(id_col).alias("__id"), "fp")
+            .distinct()
+        )
+        have_state = _state_path_exists(spark, state_location)
+        if have_state:
+            # state column named `digest` (a BIGINT fp here) so the
+            # family-shared _compact_state rewrite applies unchanged
+            seen = (
+                spark.read.parquet(state_location)
+                .select(F.col("digest").alias("fp"))
+                .distinct()
+            )
+            hits = (
+                fps.join(seen, "fp")
+                .groupBy("__id")
+                .agg(F.count(F.lit(1)).cast("long").alias("hist_shared_fps"))
+            )
+        else:
+            hits = None
+        out = df
+        if hits is not None:
+            out = df.join(hits, df[id_col] == hits["__id"], "left").drop("__id")
+            out = out.withColumn(
+                "hist_shared_fps", F.coalesce("hist_shared_fps", F.lit(0))
+            )
+        else:
+            out = out.withColumn("hist_shared_fps", F.lit(0).cast("long"))
+        out = out.withColumn("is_seen", F.col("hist_shared_fps") >= min_shared)
+        if mode == "drop":
+            out = out.filter(~F.col("is_seen")).drop("hist_shared_fps", "is_seen")
+        out = out.localCheckpoint(eager=True)
+        if update_state:
+            contributors = (
+                out.select(F.col(id_col).alias("__kid"))
+                if mode == "drop"
+                else df.select(F.col(id_col).alias("__kid"))
+            )
+            new_fps = fps.join(
+                contributors, fps["__id"] == contributors["__kid"], "left_semi"
+            ).select(F.col("fp").alias("digest"))
+            if have_state:
+                new_fps = new_fps.join(
+                    spark.read.parquet(state_location).select("digest"),
+                    "digest",
+                    "left_anti",
+                )
+            new_fps.distinct().write.mode("append").parquet(state_location)
+            if compact_after_files:
+                _compact_state(spark, state_location, compact_after_files)
+        return out
+
+    return _fn

@@ -5238,3 +5238,64 @@ def test_winnow_cross_overlap_localizes_reference_hits(spark):
     assert all(rid != 200 for _, rid in pairs)
     with pytest.raises(ValueError):
         t("text_winnow_cross_overlap", other_df=ref, min_shared=0)
+
+
+def test_winnow_incremental_flags_history_overlap_across_runs(spark, tmp_path):
+    """Run 1 populates the fingerprint state; run 2's delivery containing
+    a verbatim excerpt of run-1 text is flagged (drop mode removes it and
+    its copied text never enters the state); dry-run leaves the state
+    untouched; fresh text passes every run."""
+    state = str(tmp_path / "winnow_state")
+    src = ("the original ingested passage about distributed query engines "
+           "and their shuffle behavior at scale")
+    run1 = spark.createDataFrame(
+        [(1, src), (2, "some other first-run content entirely unrelated")],
+        "doc_id INT, text STRING",
+    )
+    op = lambda **kw: t("text_winnow_incremental", state_location=state, **kw)
+    out1 = run1.transform(op(mode="flag")).collect()
+    assert all(r["hist_shared_fps"] == 0 and not r["is_seen"] for r in out1)
+
+    run2 = spark.createDataFrame(
+        [(10, f"prefix words {src} suffix words"),        # copies run-1 text
+         (11, "genuinely fresh second-run material here nothing copied")],
+        "doc_id INT, text STRING",
+    )
+    out2 = {r["doc_id"]: r for r in run2.transform(op(mode="flag")).collect()}
+    assert out2[10]["is_seen"] and out2[10]["hist_shared_fps"] >= 2
+    assert not out2[11]["is_seen"]
+
+    # drop mode against a FRESH state: the copying doc is removed and
+    # must NOT poison the state with its unique framing text
+    # (survivors-only append) — a later doc made of that framing alone
+    # passes clean
+    state2 = str(tmp_path / "winnow_state_drop")
+    op2 = lambda **kw: t("text_winnow_incremental", state_location=state2, **kw)
+    spark.createDataFrame([(1, src)], "doc_id INT, text STRING").transform(
+        op2(mode="drop")
+    ).collect()
+    framing_a = "unique framing alpha beta gamma delta words"
+    framing_b = "omega closing tail words entirely its own"
+    runB = spark.createDataFrame(
+        [(10, f"{framing_a} {src} {framing_b}"),
+         (11, "totally new second delivery content")],
+        "doc_id INT, text STRING",
+    )
+    keptB = {r["doc_id"] for r in runB.transform(op2(mode="drop")).collect()}
+    assert keptB == {11}
+    runC = spark.createDataFrame(
+        [(30, f"{framing_a} {framing_b}")], "doc_id INT, text STRING"
+    )
+    keptC = {r["doc_id"] for r in runC.transform(op2(mode="drop")).collect()}
+    assert keptC == {30}  # the rejected doc's framing never entered the state
+
+    # dry run: screening without mutating the state
+    import os
+    before = sorted(os.listdir(state))
+    run2.transform(op(mode="flag", update_state=False)).collect()
+    assert sorted(os.listdir(state)) == before
+
+    with pytest.raises(ValueError):
+        t("text_winnow_incremental", state_location=state, mode="bogus")
+    with pytest.raises(ValueError):
+        t("text_winnow_incremental", state_location=state, min_shared=0)
