@@ -2315,18 +2315,21 @@ def text_winnow_cross_overlap(
     from lakehouse_engine_spark.datapipes.text import winnow_fingerprint
 
     def _overlap(df: DataFrame) -> DataFrame:
+        # persist both fingerprint sets: each feeds the union boilerplate
+        # cap AND the pair join — un-persisted, the per-doc winnow chain
+        # (the expensive projection) would run TWICE per side
         main = (
             winnow_fingerprint(input_col=text_col, id_col=id_col, k=k, window=window)(df)
             .select(F.col(id_col).alias("__mid"), "fp")
             .distinct()
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         ref = (
             winnow_fingerprint(
                 input_col=other_text_col, id_col=other_id_col, k=k, window=window
             )(other_df)
             .select(F.col(other_id_col).alias("__rid"), "fp")
             .distinct()
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         # boilerplate cap over BOTH corpora: a fingerprint's bucket is its
         # total membership across main+ref
         both = main.select("fp").unionByName(ref.select("fp"))
