@@ -1307,3 +1307,24 @@ def test_winnow_cross_overlap_fp_equi_join_only(spark, sf_dir):
     assert "CartesianProduct" not in physical
     assert "BroadcastNestedLoopJoin" not in physical
     assert "rangepartitioning" not in physical
+
+
+def test_winnow_cross_overlap_persists_fingerprint_sets(spark, sf_dir):
+    """Both fingerprint sets feed the union boilerplate cap AND the pair
+    join: they must read back from cache (InMemoryTableScan leaves) so
+    the expensive per-doc winnow projection runs once per side — the
+    un-persisted recompute was a measured 7x variance lever."""
+    df = entry.queries()["dp148_winnow_cross"](spark, sf_dir)
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.inputPlan()
+        leaves = plan.collectLeaves()
+        inmem = sum(
+            1
+            for i in range(leaves.size())
+            if "InMemoryTableScan" in leaves.apply(i).getClass().getSimpleName()
+        )
+        assert inmem >= 4, plan.toString()[:2000]  # 2 uses x 2 sides
+    finally:
+        spark.catalog.clearCache()
