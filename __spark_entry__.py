@@ -7444,17 +7444,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dp143_bottomk_sample": """
             -- rank DISTINCT ids (the stream dedups re-deliveries in
-            -- state); total_seen counts raw rows like the stream does
+            -- state); total_seen counts raw rows like the stream does;
+            -- NULL ids are excluded on both arms (md5(NULL) has no order)
             WITH tot AS (
               SELECT user_id, CAST(COUNT(*) AS BIGINT) AS total_seen
-              FROM events GROUP BY user_id
+              FROM events WHERE event_id IS NOT NULL GROUP BY user_id
             ), ranked AS (
               SELECT user_id, event_id,
                      CAST(row_number() OVER (
                        PARTITION BY user_id
                        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
                      ) AS INT) AS sample_rank
-              FROM (SELECT DISTINCT user_id, event_id FROM events)
+              FROM (SELECT DISTINCT user_id, event_id FROM events
+                    WHERE event_id IS NOT NULL)
             )
             SELECT r.user_id, r.event_id, r.sample_rank, t.total_seen
             FROM ranked r JOIN tot t USING (user_id)

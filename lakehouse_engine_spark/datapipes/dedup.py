@@ -2181,6 +2181,36 @@ def text_paragraph_dedup(
     rows = num_hashes // bands
 
     def _fn(df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+        id_type = df.schema[id_col].dataType
+        if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+            raise TypeError(
+                f"text_paragraph_dedup: id_col {id_col!r} must be an integral "
+                f"type (the synthetic paragraph key is id*1_000_000 + pos), "
+                f"got {id_type.simpleString()}; derive a bigint id first "
+                f"(e.g. xxhash64(id) via a selector transformer)"
+            )
+        # keys must stay injective: pos < 1e6 and id*1e6+pos inside bigint.
+        # Enforced per-row with raise_error (a codegen branch, not an extra
+        # action) instead of only documenting the bound.
+        max_id = (2**63 - 1) // 1_000_000 - 1
+        key_expr = F.when(
+            (F.col("__pos0") + 1 >= 1_000_000)
+            | (F.abs(F.col("__id").cast("long")) > max_id),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "text_paragraph_dedup: paragraph key out of range "
+                        "(need paragraph_pos < 1e6 and |doc_id| < 9.2e12): "
+                        "doc_id="
+                    ),
+                    F.col("__id").cast("string"),
+                    F.lit(" paragraph_pos="),
+                    (F.col("__pos0") + 1).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__id").cast("long") * 1_000_000 + F.col("__pos0") + 1)
         paras = (
             # per-paragraph signature folds are expression-heavy: raise a
             # starved scan to session parallelism first (no-op at
@@ -2195,7 +2225,7 @@ def text_paragraph_dedup(
                 "__id",
                 (F.col("__pos0") + 1).alias("__pos"),
                 "__p",
-                (F.col("__id") * 1_000_000 + F.col("__pos0") + 1).alias("__key"),
+                key_expr.alias("__key"),
             )
         )
         sig = paras.withColumn(

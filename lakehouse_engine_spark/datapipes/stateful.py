@@ -1014,6 +1014,12 @@ def streaming_bottomk_sample(
         raise ValueError("streaming_bottomk_sample: 'on' keys must be non-empty")
 
     def _fn(df: DataFrame) -> DataFrame:
+        # NULL ids are excluded on BOTH arms before priorities exist:
+        # md5(NULL) is NULL (which would rank first in the batch window),
+        # and a None priority is unorderable against strings in the
+        # streaming state's sorted(); a NULL id also isn't a sampleable
+        # key for the join-back-to-storage step this op feeds.
+        df = df.filter(F.col(id_col).isNotNull())
         prio = F.md5(F.col(id_col).cast("string"))
         if not df.isStreaming:
             from pyspark.sql import Window

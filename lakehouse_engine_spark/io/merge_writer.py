@@ -126,7 +126,12 @@ def _save_table(frame, spark, db_table, fmt):
 # given path target walks the catalog at most once per session. Only the
 # NAME binding is cached — the schema is re-read fresh on every hit, and
 # a stale binding (table dropped since) falls through to a re-walk.
-_LOCATION_TABLE_CACHE: dict = {}
+# WeakKeyDictionary keyed by the SparkSession OBJECT (not id(spark):
+# addresses get reused after GC, which could hand a dead session's
+# binding to a new session — and dead entries would never evict).
+import weakref
+
+_LOCATION_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _find_table_at_location_in_db(spark, db: str, want: str):
@@ -174,13 +179,18 @@ def _catalog_schema_for_location(spark, location):
     merge, so a cached miss would wrongly skip the new registration."""
     if not location:
         return None
-    # cache keyed per SparkSession (round-11 ADVICE #4 residue): a
-    # module-global shared across sessions/catalogs could serve one
-    # session's binding to another — the DESCRIBE validation would
-    # usually catch it, but a same-named table in a different catalog
-    # at the same path would not
-    want = (id(spark), _normalize_fs_path(location))
-    hit = _LOCATION_TABLE_CACHE.get(want)
+    # cache scoped to the SparkSession via weakref (round-11 ADVICE #4
+    # residue): a module-global shared across sessions/catalogs could
+    # serve one session's binding to another — the DESCRIBE validation
+    # would usually catch it, but a same-named table in a different
+    # catalog at the same path would not. Weak keys mean a session's
+    # entries die WITH the session (no id() reuse, no leak).
+    want = _normalize_fs_path(location)
+    per_session = _LOCATION_TABLE_CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _LOCATION_TABLE_CACHE[spark] = per_session
+    hit = per_session.get(want)
     if hit:
         # validate the binding still points AT the location (one DESCRIBE
         # on one table): a dropped table, or a same-named table re-created
@@ -192,16 +202,16 @@ def _catalog_schema_for_location(spark, location):
                 (r["data_type"] for r in rows if r["col_name"] == "Location"),
                 None,
             )
-            if loc and _normalize_fs_path(loc) == want[1]:
+            if loc and _normalize_fs_path(loc) == want:
                 return spark.table(hit).schema
-            _LOCATION_TABLE_CACHE.pop(want, None)
+            per_session.pop(want, None)
         except Exception:
-            _LOCATION_TABLE_CACHE.pop(want, None)
+            per_session.pop(want, None)
     try:
         for db in spark.catalog.listDatabases():
-            name = _find_table_at_location_in_db(spark, db.name, want[1])
+            name = _find_table_at_location_in_db(spark, db.name, want)
             if name:
-                _LOCATION_TABLE_CACHE[want] = name
+                per_session[want] = name
                 return spark.table(name).schema
     except Exception:
         return None

@@ -306,7 +306,7 @@ def _partition_glob(spark: SparkSession, src_loc: str) -> str:
     except Exception:
         return src_loc
     keys = set()
-    stray_dir = False
+    stray_dirs: list = []
     root_parquet = False
     for st in statuses:
         name = st.getPath().getName()
@@ -318,14 +318,25 @@ def _partition_glob(spark: SparkSession, src_loc: str) -> str:
         if "=" in name:
             keys.add(name.split("=", 1)[0])
         else:
-            stray_dir = True
+            stray_dirs.append(name)
     if len(keys) == 1:
         return f"{src_loc.rstrip('/')}/{keys.pop()}=*"
-    if not keys and stray_dir and root_parquet:
+    if not keys and stray_dirs and root_parquet:
         # unpartitioned data files sharing the root with non-data dirs:
         # glob the leaves. Only when root data files EXIST — a nested
         # non-hive layout (loc/batch-N/part.parquet) must keep the
         # recursive root listing or the stream silently reads nothing.
+        # MIXED layouts (root parquet AND nested data dirs) under-read
+        # with this glob — make the exclusion visible, never silent.
+        _LOGGER.warning(
+            "expose_cdf: location %s has root-level parquet files next to "
+            "non-hive directories %s; streaming the root *.parquet glob and "
+            "EXCLUDING those directories. If they contain data files, "
+            "restructure the location (hive partition dirs or data-only "
+            "root) — a mixed layout cannot be read as one stream source.",
+            src_loc,
+            stray_dirs,
+        )
         return f"{src_loc.rstrip('/')}/*.parquet"
     return src_loc
 

@@ -5213,6 +5213,24 @@ def test_paragraph_dedup_keeps_lowest_copy_and_reassembles(spark):
         t("text_paragraph_dedup", num_hashes=12, bands=5)
 
 
+def test_paragraph_dedup_key_bounds_enforced(spark):
+    """The synthetic key id*1e6+pos is validated, not just documented:
+    a string doc_id fails up front with a clear TypeError (not an opaque
+    mid-plan CAST error), and an id too large for the bigint key raises
+    at execution instead of colliding silently."""
+    sdf = spark.createDataFrame(
+        [("d1", "alpha one\nbeta two")], "doc_id STRING, text STRING"
+    )
+    with pytest.raises(TypeError, match="integral type"):
+        sdf.transform(t("text_paragraph_dedup"))
+
+    big = spark.createDataFrame(
+        [(2**62, "alpha one\nbeta two")], "doc_id BIGINT, text STRING"
+    )
+    with pytest.raises(Exception, match="out of range"):
+        big.transform(t("text_paragraph_dedup")).collect()
+
+
 def test_winnow_cross_overlap_localizes_reference_hits(spark):
     """A doc containing a reference excerpt pairs with THAT reference id;
     clean docs pair with nothing; the both-corpora boilerplate cap drops

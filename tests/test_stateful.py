@@ -951,6 +951,39 @@ def test_streaming_event_pattern_finalize_span_merges_boundary_growth(spark, tmp
     assert eager["n_matches"] == 2 and eager["first_match"] == "ef"
 
 
+def test_streaming_bottomk_sample_null_ids_excluded(spark, tmp_dir):
+    """NULL ids are filtered on BOTH arms before priorities exist:
+    md5(NULL) would otherwise rank first in the batch window, and a None
+    priority is unorderable in the streaming state's sorted()."""
+    import os
+
+    rows = [("a", None), ("a", None)] + [("a", i) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "src STRING, id BIGINT")
+    op = t("streaming_bottomk_sample", on=["src"], id_col="id", k=3)
+    out = df.transform(op).collect()
+    assert all(r["id"] is not None for r in out)
+    assert len(out) == 3
+    assert all(r["total_seen"] == 5 for r in out)  # NULL rows not counted
+
+    # streaming arm: must not raise (None priority in sorted()) and must
+    # converge to the same NULL-free sample
+    src = os.path.join(tmp_dir, "src_null")
+    sink = os.path.join(tmp_dir, "out_null")
+    ck = os.path.join(tmp_dir, "ck_null")
+    spark.createDataFrame(rows[:4], "src STRING, id BIGINT").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[4:], "src STRING, id BIGINT").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    _run_bottomk_stream(spark, src, sink, ck, op)
+    got = spark.read.parquet(sink).collect()
+    latest = max(r["total_seen"] for r in got)
+    assert latest == 5
+    final = sorted(r["id"] for r in got if r["total_seen"] == latest)
+    assert final == sorted(r["id"] for r in out)
+
+
 def test_streaming_bottomk_batch_arm_dedups_duplicate_ids(spark):
     """Duplicate-id rows count toward total_seen but can't crowd a
     distinct id out of the sample — batch arm matches the stream's
