@@ -94,77 +94,134 @@ def hyperplane_signatures(
     """``(__bid, __bv, __t, __sig)`` sign signatures against seeded
     hyperplanes, one row per (vector, table).
 
-    Plane weights are seeded literal arrays; each (row, component)
-    contributes to every plane's dot product through ONE posexplode +
-    per-plane SUM aggregates — small codegen'd expressions with map-side
-    combine, instead of one enormous flat linear-combination expression
-    (which overwhelms codegen) or per-component hashing (which runs
-    interpreted). Shared by knn_lsh and the LSH path of
+    All ``num_tables * num_planes`` dot products are computed in ONE
+    Arrow-batched ``mapInArrow`` pass: per batch, a vectorized
+    accumulate over components (numpy). This replaced a
+    posexplode + 48-sum hash aggregate whose cost was dominated by plan
+    build / codegen compile and a dim× row-amplification shuffle — the
+    map pass has NO shuffle, no join-back, and its per-row cost is a
+    C-loop FMA. Shared by knn_lsh and the LSH paths of
     dedup_embedding_cosine; the seeded RNG makes the signatures
     re-derivable by an external oracle.
 
-    Floating-point knife-edge caveat: a dot product within fp-epsilon of 0
-    could in principle flip its sign bit between accumulation orders. In
-    the normal path the order IS fixed — posexplode keeps all of a row's
-    components inside one map partition in index order, so each dot is one
-    in-order partial sum, matching the oracle's fixed-order list fold —
-    but Spark's hash-aggregate SPILL fallback (sort-based, stability not
-    guaranteed) could reorder the accumulation for rows caught mid-spill.
-    Exactly-zero-knife-edge dots are measure-zero on real embeddings; if
-    bit-exact signatures are required regardless, compute the dots with
-    the interpreted HOF fold (``F.aggregate`` over ``zip_with``) instead —
-    deterministic, shuffle-free, ~3× slower per signature.
+    Bit-exactness contract (what the SQL oracles replay): each dot is the
+    strict in-index-order left fold ``acc = acc + v[p] * w[p]`` in
+    float64 — the accumulate loop below applies exactly those IEEE ops in
+    exactly that order (one fused row-vectorized step per component), so
+    values are bit-identical to the previous Spark fold and to the
+    oracle's ordered list fold. NULL/short components simply don't
+    contribute (SUM-skip semantics); a vector whose components are ALL
+    null keeps the all-zero signature the old NULL-dot path produced.
+    NULL/empty embeddings produce no signature rows (posexplode-drop
+    semantics preserved).
     """
     import random
 
     vec = F.col(embedding_col).cast("array<double>")
     # dim avoids a probe job when the caller knows the embedding width;
-    # an EMPTY corpus probes None — any dim yields the correct empty
-    # signature frame, so use 1 instead of crashing
+    # an EMPTY corpus (or all-null embeddings) probes nothing — any dim
+    # yields the correct empty signature frame, so use 1 instead of
+    # crashing
     if dim is not None:
         real_dim = dim
     else:
-        probe = df.select(F.size(vec).alias("d")).first()
+        probe = (
+            df.select(F.size(vec).alias("d")).filter(F.col("d") > 0).first()
+        )
         real_dim = probe["d"] if probe is not None else 1
     rng = random.Random(seed)
     n_sigs = num_tables * num_planes
-    # each plane's weight vector as ONE SQL array literal (one py4j call
-    # per plane, parsed server-side) — building dim separate F.lit Column
-    # objects per plane dominated driver-side plan-build time
-    planes = [
-        F.expr(
-            "array(" + ",".join(repr(rng.gauss(0.0, 1.0)) for _ in range(real_dim)) + ")"
-        )
-        for _ in range(n_sigs)
-    ]
+    # same draw order as the previous literal-array build: plane-major,
+    # component-minor — existing oracles re-derive these exact floats
+    import numpy as np
 
-    base = ensure_parallelism(df).select(F.col(id_col).alias("__bid"), vec.alias("__bv"))
-    ex = base.select("__bid", F.posexplode("__bv").alias("__p", "__v"))
-    dots = ex.groupBy("__bid").agg(
-        *[
-            F.sum(F.col("__v") * F.element_at(planes[j], (F.col("__p") + 1).cast("int"))).alias(
-                f"__d{j}"
-            )
-            for j in range(n_sigs)
-        ]
+    weights = np.array(
+        [[rng.gauss(0.0, 1.0) for _ in range(real_dim)] for _ in range(n_sigs)],
+        dtype=np.float64,
+    ).T  # (real_dim, n_sigs)
+
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__bid"), vec.alias("__bv"))
+        .filter(F.col("__bv").isNotNull() & (F.size("__bv") > 0))
     )
+    id_sql_type = base.schema["__bid"].dataType.simpleString()
+    out_schema = f"`__bid` {id_sql_type}, `__bv` array<double>, `__sigs` array<bigint>"
+    planes_per_table, n_tables, rdim = num_planes, num_tables, real_dim
 
-    def table_sig(t: int) -> Column:
-        bits = [
-            F.when(F.col(f"__d{t * num_planes + p}") >= 0, F.lit(1)).otherwise(
-                F.lit(0)
+    def _sign_sigs(batches):
+        import numpy as _np
+        import pyarrow as pa
+
+        pow2 = (2 ** _np.arange(planes_per_table, dtype=_np.int64)).astype(
+            _np.int64
+        )
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            bv = batch.column(1)
+            offs = bv.offsets.to_numpy(zero_copy_only=False).astype(_np.int64)
+            lens = _np.diff(offs)
+            flat = bv.values
+            vals = flat.to_numpy(zero_copy_only=False).astype(
+                _np.float64, copy=False
             )
-            * (2 ** p)
-            for p in range(num_planes)
-        ]
-        return sum(bits[1:], bits[0]).cast("long")
+            valid = (
+                _np.ones(len(vals), dtype=bool)
+                if flat.null_count == 0
+                else _np.asarray(flat.is_valid())
+            )
+            # dense (n, rdim) component matrix + validity mask; rows
+            # shorter than rdim (or with null components) contribute
+            # nothing for those slots — SUM-skip semantics
+            mat = _np.zeros((n, rdim), dtype=_np.float64)
+            mask = _np.zeros((n, rdim), dtype=bool)
+            widths = _np.minimum(lens, rdim)
+            if (
+                flat.null_count == 0
+                and len(_np.unique(lens)) == 1
+                and lens[0] == rdim
+            ):
+                mat = vals[offs[0] : offs[0] + n * rdim].reshape(n, rdim)
+                mask[:] = True
+            else:
+                for i in range(n):
+                    w_i = widths[i]
+                    s = offs[i]
+                    mat[i, :w_i] = _np.where(
+                        valid[s : s + w_i], vals[s : s + w_i], 0.0
+                    )
+                    mask[i, :w_i] = valid[s : s + w_i]
+            acc = _np.zeros((n, n_sigs), dtype=_np.float64)
+            for p_i in range(rdim):
+                # strict in-order fold: one IEEE mul + add per (row, sig)
+                # per component — bit-identical to the SQL oracle's fold.
+                # Invalid slots add exactly 0.0 (same bit pattern as the
+                # oracle's skip for every non-NaN accumulator).
+                contrib = mat[:, p_i : p_i + 1] * weights[p_i]
+                _np.add(acc, contrib, out=acc, where=mask[:, p_i : p_i + 1])
+            bits = acc >= 0.0
+            any_valid = mask.any(axis=1)
+            sigs = _np.empty((n, n_tables), dtype=_np.int64)
+            for t in range(n_tables):
+                sigs[:, t] = (
+                    bits[:, t * planes_per_table : (t + 1) * planes_per_table]
+                    * pow2
+                ).sum(axis=1)
+            # all components null -> every dot was NULL -> all bits 0
+            sigs[~any_valid] = 0
+            sig_list = pa.ListArray.from_arrays(
+                _np.arange(0, (n + 1) * n_tables, n_tables, dtype=_np.int32),
+                pa.array(sigs.ravel(), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), bv, sig_list],
+                names=["__bid", "__bv", "__sigs"],
+            )
 
-    return dots.join(base, "__bid").select(
-        "__bid",
-        "__bv",
-        F.posexplode(F.array(*[table_sig(t) for t in range(num_tables)])).alias(
-            "__t", "__sig"
-        ),
+    return base.mapInArrow(_sign_sigs, out_schema).select(
+        "__bid", "__bv", F.posexplode("__sigs").alias("__t", "__sig")
     )
 
 
