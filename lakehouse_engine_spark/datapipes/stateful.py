@@ -834,6 +834,7 @@ def streaming_event_pattern(
     tiebreak_col: Optional[str] = None,
     default_symbol: Optional[str] = None,
     finalize: str = "eager",
+    watermark_delay: Optional[str] = None,
 ) -> TransformerFn:
     """Streaming MATCH_RECOGNIZE-lite: the live arm of
     ``event_pattern_match`` — regex sequence detection over each key's
@@ -867,9 +868,25 @@ def streaming_event_pattern(
     alternation, and quantifiers).
 
     Within a micro-batch, events order by ``(ts, tiebreak)`` — pass a
-    unique tiebreak for deterministic sequences. ACROSS batches arrival
-    order is source order: feed the operator an ordered-per-key stream
-    (a partitioned file stream, a per-key-ordered Kafka topic).
+    unique tiebreak for deterministic sequences. ACROSS batches there
+    are two arms:
+
+    * ``watermark_delay=None`` (default): arrival order is source order
+      — feed the operator an ordered-per-key stream (a partitioned file
+      stream, a per-key-ordered Kafka topic).
+    * ``watermark_delay="10 minutes"`` (any Spark interval): the
+      OUT-OF-ORDER-SAFE arm for real unordered sources. The source gets
+      ``withWatermark(ts_col, delay)``; arriving events are BUFFERED in
+      state and consumed in EVENT-TIME ``(ts, tiebreak)`` order only
+      once the watermark passes their timestamp (no earlier event can
+      still arrive — Spark drops later-than-delay stragglers at the
+      watermark filter). An event-time timeout flushes ripe buffered
+      events on no-data micro-batches, so an ``availableNow`` drain
+      finalizes everything older than ``max_ts − delay``; events inside
+      the final delay window stay pending (indistinguishable from a
+      still-open stream). State grows by the buffer: O(max_span +
+      arrival_rate × delay) per key — size the delay to the source's
+      real disorder, not to taste.
 
     On a BATCH frame: delegates to ``event_pattern_match`` and reshapes
     to the streaming columns — same totals, SQL-oracle-able smoke path.
@@ -910,10 +927,28 @@ def streaming_event_pattern(
 
         sym = map_symbols(stage_col, symbols, default_symbol)
         order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        extra_cols: List[str] = []
+        if watermark_delay:
+            # watermark BEFORE the symbol filter: an unmapped-symbol
+            # event still advances event time (useful as a flush tick).
+            # Watermarks need TIMESTAMP — NTZ event time is cast (session
+            # tz; monotone, so ordering and the delay are unaffected) —
+            # and the epoch-ms used against getCurrentWatermarkMs is
+            # computed SPARK-side from the same column, so the pandas
+            # side never re-interprets wall times.
+            is_tz = df.schema[ts_col].dataType.simpleString() == "timestamp"
+            ets = F.col(ts_col) if is_tz else F.col(ts_col).cast("timestamp")
+            df = df.withColumn("__ets", ets).withWatermark(
+                "__ets", watermark_delay
+            )
+            # __ets itself must flow into the stateful operator — the
+            # analyzer requires the watermarked column in its input
+            extra_cols = ["__ets", "__ts_ms"]
+            df = df.withColumn("__ts_ms", F.unix_millis("__ets"))
         src = (
             df.withColumn("__sym", sym)
             .filter(F.col("__sym").isNotNull() & F.col(ts_col).isNotNull())
-            .select(*on, *order_cols, "__sym")
+            .select(*on, *order_cols, *extra_cols, "__sym")
         )
         key_fields = [f for f in src.schema.fields if f.name in on]
         out_schema = ", ".join(
@@ -927,6 +962,114 @@ def streaming_event_pattern(
         keep = max_span - 1
 
         from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def _scan(s: str, n: int, first):
+            """Non-overlapping leftmost count over consumed sequence
+            ``s``; returns (n_new, carry, n, first) — shared by both
+            arms so ordered and watermark semantics cannot drift."""
+            n_new, last_end = 0, 0
+            for m in rx.finditer(s):
+                if finalize == "span" and m.start() + max_span > len(s):
+                    break
+                n_new += 1
+                last_end = m.end()
+                if first is None and m.group(0):
+                    first = m.group(0)
+            unconsumed = s[last_end:]
+            carry_next = unconsumed[-keep:] if keep > 0 else ""
+            return n_new, carry_next, n + n_new, first
+
+        if watermark_delay:
+            tb_field = (
+                [f for f in src.schema.fields if f.name == tiebreak_col][0]
+                if tiebreak_col
+                else None
+            )
+            tb_sql = tb_field.dataType.simpleString() if tb_field else "string"
+            state_schema = (
+                "carry STRING, n BIGINT, slen BIGINT, first STRING, "
+                f"buf_ts ARRAY<BIGINT>, buf_tb ARRAY<{tb_sql}>, buf_sym STRING"
+            )
+
+            def _update_wm(
+                key: Tuple,
+                pdfs: Iterator[pd.DataFrame],
+                state: GroupState,
+            ) -> Iterator[pd.DataFrame]:
+                wm = state.getCurrentWatermarkMs()
+                if state.exists:
+                    carry, n, slen, first, b_ts, b_tb, b_sym = state.get
+                    buf = list(zip(b_ts or [], b_tb or [], b_sym or ""))
+                else:
+                    carry, n, slen, first, buf = "", 0, 0, None, []
+                batch = [] if state.hasTimedOut else [
+                    pdf for pdf in pdfs if len(pdf)
+                ]
+                if batch:
+                    allb = (
+                        batch[0]
+                        if len(batch) == 1
+                        else pd.concat(batch, ignore_index=True)
+                    )
+                    ts_ms = allb["__ts_ms"].tolist()
+                    tbv = (
+                        allb[tiebreak_col].tolist()
+                        if tiebreak_col
+                        else [None] * len(allb)
+                    )
+                    # events older than the CURRENT watermark are late
+                    # beyond the declared delay — dropped, the same
+                    # contract streaming aggregations apply (keeping
+                    # them would splice symbols behind consumed ones)
+                    buf.extend(
+                        e
+                        for e in zip(ts_ms, tbv, allb["__sym"].tolist())
+                        if e[0] >= wm
+                    )
+                elif not state.hasTimedOut:
+                    return
+                # ripe = strictly below the watermark: nothing earlier can
+                # still arrive (Spark admits late events down to ts >= wm)
+                ripe = [e for e in buf if e[0] < wm]
+                pending = [e for e in buf if e[0] >= wm]
+                ripe.sort(
+                    key=(lambda e: (e[0], e[1]))
+                    if tiebreak_col
+                    else (lambda e: e[0])
+                )
+                syms = "".join(e[2] for e in ripe)
+                n_new, carry, n, first = _scan(carry + syms, n, first)
+                slen += len(syms)
+                state.update(
+                    (
+                        carry,
+                        n,
+                        slen,
+                        first,
+                        [e[0] for e in pending],
+                        [e[1] for e in pending],
+                        "".join(e[2] for e in pending),
+                    )
+                )
+                if pending:
+                    # fire once the watermark passes the earliest pending
+                    # event (must be strictly beyond the current watermark)
+                    state.setTimeoutTimestamp(
+                        max(wm + 1, min(e[0] for e in pending) + 1)
+                    )
+                yield pd.DataFrame(
+                    [list(key) + [n_new, n, slen, first]],
+                    columns=[f.name for f in key_fields]
+                    + ["n_new", "n_matches", "seq_len", "first_match"],
+                )
+
+            return src.groupBy(*on).applyInPandasWithState(
+                _update_wm,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
 
         def _update(
             key: Tuple,
@@ -942,22 +1085,10 @@ def streaming_event_pattern(
             carry, n, slen, first = (
                 state.get if state.exists else ("", 0, 0, None)
             )
-            s = carry + syms
-            n_new, last_end = 0, 0
-            for m in rx.finditer(s):
-                if finalize == "span" and m.start() + max_span > len(s):
-                    # the match (or a longer one starting here) could
-                    # still grow within the bound — leave it pending; a
-                    # later batch re-scans it from carry
-                    break
-                n_new += 1
-                last_end = m.end()
-                if first is None and m.group(0):
-                    first = m.group(0)  # '' (empty match) stays None —
-                    # the batch arm's nullif('') convention
-            unconsumed = s[last_end:]
-            carry_next = unconsumed[-keep:] if keep > 0 else ""
-            n += n_new
+            # finalize="span" leaves a still-growable match pending in
+            # carry (re-scanned next batch); '' first matches stay None —
+            # the batch arm's nullif('') convention. Both inside _scan.
+            n_new, carry_next, n, first = _scan(carry + syms, n, first)
             slen += len(syms)
             state.update((carry_next, n, slen, first))
             yield pd.DataFrame(

@@ -951,6 +951,62 @@ def test_streaming_event_pattern_finalize_span_merges_boundary_growth(spark, tmp
     assert eager["n_matches"] == 2 and eager["first_match"] == "ef"
 
 
+def test_streaming_event_pattern_watermark_arm_out_of_order(spark, tmp_dir):
+    """The watermark arm equals the batch arm under SHUFFLED cross-batch
+    delivery: events arrive out of event-time order across micro-batches,
+    are buffered in state, and are consumed only once the watermark
+    passes them — in event-time order. A far-future unmapped event
+    advances the watermark so the availableNow drain flushes everything."""
+    import datetime as dt
+    import os
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    src = os.path.join(tmp_dir, "src_wm")
+    out = os.path.join(tmp_dir, "out_wm")
+    ck = os.path.join(tmp_dir, "ck_wm")
+    op = t(
+        "streaming_event_pattern",
+        on=["user_id"],
+        symbols={"error": "e", "fix": "f"},
+        pattern="(ef)+",
+        max_span=6,
+        finalize="span",
+        tiebreak_col="event_id",
+        watermark_delay="10 minutes",  # covers the fixture's 3-min disorder
+    )
+    # true event-time order is e f e f e f (ts 0..5); delivery is shuffled
+    # ACROSS batches — the ordered arm would weave "feefex..." and miss
+    _stage_events(spark, src, [(1, at(3), 4, "fix"), (1, at(0), 1, "error")])
+    _stage_events(spark, src, [(1, at(4), 5, "error"), (1, at(1), 2, "fix")])
+    _stage_events(
+        spark,
+        src,
+        [(1, at(2), 3, "error"), (1, at(5), 6, "fix"),
+         (1, at(10000), 7, "flush")],  # unmapped: advances watermark only
+    )
+    _run_pattern_stream(spark, src, out, ck, op)
+    # second drain: data arrives for a DIFFERENT key while key 1 gets
+    # nothing — key 1's buffered events must flush via the EVENT-TIME
+    # TIMEOUT (the watermark, advanced by the flush tick, passed them)
+    _stage_events(spark, src, [(2, at(10001), 99, "error")])
+    _run_pattern_stream(spark, src, out, ck, op)
+    rows = [r for r in spark.read.parquet(out).collect() if r["user_id"] == 1]
+    latest = max(r["seq_len"] for r in rows)
+    final = [r for r in rows if r["seq_len"] == latest][0]
+    # batch arm on the ordered fixture: one greedy match "efefef"
+    assert final["seq_len"] == 6
+    assert final["n_matches"] == 1
+    assert final["first_match"] == "efefef"
+    # snapshots are monotone: n_matches never decreases as seq_len grows
+    by_len = sorted(rows, key=lambda r: r["seq_len"])
+    ms = [r["n_matches"] for r in by_len]
+    assert ms == sorted(ms)
+
+
 def test_streaming_bottomk_sample_null_ids_excluded(spark, tmp_dir):
     """NULL ids are filtered on BOTH arms before priorities exist:
     md5(NULL) would otherwise rank first in the batch window, and a None
