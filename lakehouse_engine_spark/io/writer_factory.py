@@ -101,7 +101,39 @@ def _write_batch(spark: SparkSession, df: DataFrame, spec: OutputSpec) -> Option
         writer.saveAsTable(spec.db_table)
     else:
         writer.save(spec.location)
+    _record_degraded_delta_commit(spark, spec, fmt, mode)
     return None
+
+
+def _record_degraded_delta_commit(
+    spark: SparkSession, spec: OutputSpec, fmt: str, mode: str
+) -> None:
+    """Degraded-delta writes (``delta`` format, no delta-spark) keep a
+    sidecar commit log so the parquet CDF emulation can stamp one
+    ``_commit_version`` PER APPEND, as the real Delta log would —
+    reference ``terminators/cdf_processor.py:59-87``. Streaming
+    foreachBatch appends route through ``_write_batch`` per micro-batch,
+    so each micro-batch is its own commit, matching Delta."""
+    from lakehouse_engine_spark.core.exec_env import ExecEnv
+
+    if fmt != OutputFormat.DELTA.value or ExecEnv.delta_available():
+        return
+    if mode not in ("append", "overwrite"):
+        return
+    location = spec.location
+    if not location and spec.db_table:
+        try:
+            rows = spark.sql(f"DESCRIBE FORMATTED {spec.db_table}").collect()
+            location = next(
+                (r["data_type"] for r in rows if r["col_name"] == "Location"),
+                None,
+            )
+        except Exception:
+            location = None
+    if location:
+        from lakehouse_engine_spark.io import cdf_commit_log
+
+        cdf_commit_log.record_commit(spark, location, mode)
 
 
 def _physical_format(fmt: str) -> str:

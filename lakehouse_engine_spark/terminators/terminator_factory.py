@@ -276,20 +276,61 @@ def _emulated_cdf_stream(
             raise ValueError("expose_cdf needs db_table or location")
         schema = spark.read.parquet(location).schema
         src_loc = location
-    version = _bump_cdf_version(spark, materialized_cdf_location)
     # stream over the partition dirs only (basePath-anchored glob): table
     # locations routinely hold non-data dirs — streaming checkpoints,
     # _spark_metadata sink logs — that break partition inference if the
     # listing starts at the root
     stream_path = _partition_glob(spark, src_loc)
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("basePath", src_loc)
         .parquet(stream_path)
         .withColumn("_change_type", F.lit("insert"))
-        .withColumn("_commit_version", F.lit(version).cast("long"))
-        .withColumn("_commit_timestamp", F.current_timestamp())
     )
+
+    from lakehouse_engine_spark.io import cdf_commit_log
+
+    entries = cdf_commit_log.read_log(spark, src_loc)
+    if entries:
+        # PER-APPEND versions: engine writes to this degraded-delta
+        # location recorded one sidecar commit entry per append, so two
+        # appends between materializations get two _commit_versions —
+        # Delta-log semantics (reference cdf_processor.py:59-87). The
+        # file→version map is a small static frame broadcast against the
+        # stream's _metadata.file_path; files no entry claims (foreign
+        # writes, pre-log history) stamp version 0 = table creation.
+        rows = [
+            (cdf_commit_log._normalize(f), int(e["version"]), e.get("ts"))
+            for e in entries
+            for f in e.get("files", [])
+        ]
+        vmap = spark.createDataFrame(
+            rows, "__fp STRING, __ver LONG, __vts STRING"
+        )
+        return (
+            stream.withColumn(
+                "__fp",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ),
+            )
+            .join(F.broadcast(vmap), "__fp", "left")
+            .withColumn(
+                "_commit_version", F.coalesce(F.col("__ver"), F.lit(0)).cast("long")
+            )
+            .withColumn(
+                "_commit_timestamp",
+                F.coalesce(
+                    F.to_timestamp("__vts"), F.current_timestamp()
+                ),
+            )
+            .drop("__fp", "__ver", "__vts")
+        )
+
+    version = _bump_cdf_version(spark, materialized_cdf_location)
+    return stream.withColumn(
+        "_commit_version", F.lit(version).cast("long")
+    ).withColumn("_commit_timestamp", F.current_timestamp())
 
 
 def _partition_glob(spark: SparkSession, src_loc: str) -> str:

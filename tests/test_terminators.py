@@ -138,6 +138,63 @@ def test_expose_cdf_without_delta_emulates_append_only_cdf(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS test_db.cdf_emu")
 
 
+def test_expose_cdf_per_append_versions_from_commit_log(spark, tmp_path):
+    """TWO engine appends between materializations yield TWO
+    _commit_versions (Delta-log semantics, reference
+    cdf_processor.py:59-87): degraded-delta writes record a sidecar
+    commit entry per append, and the emulation stamps each file with
+    its append's version and timestamp instead of collapsing the whole
+    increment into one materialization-counter version."""
+    from lakehouse_engine_spark.core.definitions import OutputSpec
+    from lakehouse_engine_spark.core.exec_env import ExecEnv
+    from lakehouse_engine_spark.io.writer_factory import WriterFactory
+
+    if ExecEnv.delta_available():
+        pytest.skip("delta present: the real readChangeFeed path applies")
+    loc = str(tmp_path / "tbl")
+    cdf = str(tmp_path / "cdf")
+    ckpt = str(tmp_path / "ckpt")
+
+    def append(rows):
+        df = spark.createDataFrame(rows, "id INT, v STRING")
+        WriterFactory.write(
+            spark,
+            df,
+            OutputSpec(
+                spec_id="o",
+                input_id="i",
+                data_format="delta",
+                location=loc,
+                write_type="append",
+            ),
+        )
+
+    append([(1, "a"), (2, "b")])
+    append([(3, "c")])
+    expose_cdf(
+        spark,
+        location=loc,
+        materialized_cdf_location=cdf,
+        materialized_cdf_options={"checkpointLocation": ckpt},
+        clean_cdf=False,
+    )
+    got = {r["id"]: r["_commit_version"] for r in spark.read.parquet(cdf).collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+    # a third append after the materialization continues the numbering
+    append([(4, "d")])
+    expose_cdf(
+        spark,
+        location=loc,
+        materialized_cdf_location=cdf,
+        materialized_cdf_options={"checkpointLocation": ckpt},
+        clean_cdf=False,
+    )
+    spark.catalog.refreshByPath(cdf)
+    after = {r["id"]: r["_commit_version"] for r in spark.read.parquet(cdf).collect()}
+    assert after == {1: 1, 2: 1, 3: 2, 4: 3}
+
+
 def test_partition_glob_isolates_data_from_stray_dirs(spark, tmp_path):
     """_partition_glob: Hive-partitioned roots glob the partition dirs;
     clean unpartitioned roots stream as-is; an unpartitioned root that
