@@ -4345,111 +4345,60 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # they must sit inside the driver window so the change gets a hard
 # driver signal. tests/test_entry_registry derives the expected window
 # from this constant + the CORRECTNESS history, so update it as part of
-# every rotation. Round 11: dp132 is new (SemDeDup over hierarchical
-# cells); the shared verify-heads refactor touches dp97; the non-null
-# kmeans-init fix touches dp112/dp113/dp130/dp131; the raw
-# (non-exploded) DQ result sink + queried-agg template support touch
-# the dq_factory path q07 exercises.
+# every rotation. Round 12: the mapInArrow hyperplane-signature rewrite
+# touches the four LSH consumers; the round-11 ADVICE fixes touch
+# dp143/dp147; the stream-scan refactor touches dp142.
 WINDOW_RETOUCHED = (
-    "dp148_winnow_cross",
-    "dp147_paragraph_dedup",
-    "q32_tokenize_pipeline",
-    "dp146_session_stats",
-    "dp145_streaming_funnel",
-    "dp144_streaming_heavy_hitters",
-    "dp143_bottomk_sample",
-    "dp142_streaming_pattern",
-    "dp141_winnow_overlap",
-    "dp140_correlation_matrix",
-    "dp139_seed_classifier",
-    # pair_budget knob threaded through the five LSH pair-join dedup ops
-    "dp07_dedup_ngram_jaccard",
-    "dp08_embedding_dedup",
-    "dp11_dedup_simhash",
+    # hyperplane_signatures rewritten as one mapInArrow pass (bit-exact
+    # dots, no explode/shuffle/join) — every consumer gets a hard signal
+    "dp12_knn_lsh",
     "dp28_embedding_dedup_lsh",
     "dp42_cross_embedding_dedup",
-    "dp138_winnow_fingerprint",
-    "dp137_ngram_novelty",
-    "dp136_source_divergence",
-    "dp135_event_pattern",
-    "dp134_linear_fit",
-    "dp133_prototype_prune",
-    "dp132_semantic_dedup_hier",
-    "dp97_semantic_dedup",
-    "dp112_embedding_kmeans",
-    "dp113_cluster_stats",
-    "dp130_kmeans_hier",
-    "dp131_knn_ivf_hier",
-    "q07_dq_stats",
+    "dp62_cluster_sample",
+    # NULL-id filter on both arms (round-11 ADVICE #1)
+    "dp143_bottomk_sample",
+    # synthetic-key type/bound validation (round-11 ADVICE #2)
+    "dp147_paragraph_dedup",
+    # shared _scan helper between the ordered and watermark stream arms
+    "dp142_streaming_pattern",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
-    # the first 50 entries each round. Policy (round 11, per the round-10
-    # verdict): front-load WINDOW_RETOUCHED (the new dp132 plus every
-    # query whose code changed this round), then the stalest cohort on
-    # the board — the full r07-checked remainder (dp21-dp28 + the
-    # q02-q22 tail) and the r08-checked dp29-dp49 block — up to 50.
-    # Entries 51+ (the r08/r09/r10-fresh cohorts) still get
+    # the first 50 entries each round. Policy (round 12, per the round-11
+    # verdict): front-load WINDOW_RETOUCHED (every query whose code
+    # changed this round), then the stalest cohort on the board — the
+    # full r08-checked block (43 queries: dp29-dp56 remainder, the
+    # dp108-dp128 half, dp83/dp98/q30) fills the window exactly (7 + 43
+    # = 50). Entries 51+ (the r09/r10/r11-fresh cohorts) still get
     # value-verified every round via tools/check_oracle.py. The window
     # derivation is pinned by tests/test_entry_registry.py from
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
-        # --- new + code-touched this round (WINDOW_RETOUCHED r11) ---
-        "dp148_winnow_cross": dp148_winnow_cross,
-        "dp147_paragraph_dedup": dp147_paragraph_dedup,
-        "q32_tokenize_pipeline": q32_tokenize_pipeline,
-        "dp146_session_stats": dp146_session_stats,
-        "dp145_streaming_funnel": dp145_streaming_funnel,
-        "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,
-        "dp143_bottomk_sample": dp143_bottomk_sample,
-        "dp142_streaming_pattern": dp142_streaming_pattern,
-        "dp141_winnow_overlap": dp141_winnow_overlap,
-        "dp140_correlation_matrix": dp140_correlation_matrix,
-        "dp139_seed_classifier": dp139_seed_classifier,
-        "dp138_winnow_fingerprint": dp138_winnow_fingerprint,
-        "dp137_ngram_novelty": dp137_ngram_novelty,
-        "dp136_source_divergence": dp136_source_divergence,
-        "dp135_event_pattern": dp135_event_pattern,
-        "dp134_linear_fit": dp134_linear_fit,
-        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,
-        "dp08_embedding_dedup": dp08_embedding_dedup,
-        "dp11_dedup_simhash": dp11_dedup_simhash,
+        # --- new + code-touched this round (WINDOW_RETOUCHED r12) ---
+        "dp12_knn_lsh": dp12_knn_lsh,
+        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
         "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
-        "dp133_prototype_prune": dp133_prototype_prune,
-        "dp132_semantic_dedup_hier": dp132_semantic_dedup_hier,
-        "dp97_semantic_dedup": dp97_semantic_dedup,
-        "dp112_embedding_kmeans": dp112_embedding_kmeans,
-        "dp113_cluster_stats": dp113_cluster_stats,
-        "dp130_kmeans_hier": dp130_kmeans_hier,
-        "dp131_knn_ivf_hier": dp131_knn_ivf_hier,
-        "q07_dq_stats": q07_dq_stats,
-        # --- r11 rotation cohort: stalest-first — the r07-checked
-        # --- remainder (dp2x + the q-series tail) ---
-        "dp21_pii_redact": dp21_pii_redact,  # last hard driver signal r07
-        "dp22_repetition": dp22_repetition,  # last hard driver signal r07
-        "dp23_decontaminate": dp23_decontaminate,  # last hard driver signal r07
-        "dp24_vocab_top_k": dp24_vocab_top_k,  # last hard driver signal r07
-        "dp25_stratified_sample": dp25_stratified_sample,  # last hard driver signal r07
-        "dp26_mixture_sample": dp26_mixture_sample,  # last hard driver signal r07
-        "dp27_image_decode": dp27_image_decode,  # last hard driver signal r07
-        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,  # last hard driver signal r07
-        "q02_revenue_by_segment": q02_revenue_by_segment,  # last hard driver signal r07
-        "q04_union_dedup": q04_union_dedup,  # last hard driver signal r07
-        "q05_incremental_filter": q05_incremental_filter,  # last hard driver signal r07
-        "q06_condense_cdc": q06_condense_cdc,  # last hard driver signal r07
-        "q10_date_hierarchy": q10_date_hierarchy,  # last hard driver signal r07
-        "q11_hash_masker": q11_hash_masker,  # last hard driver signal r07
-        "q12_column_ops": q12_column_ops,  # last hard driver signal r07
-        "q13_get_max_value": q13_get_max_value,  # last hard driver signal r07
-        "q15_events_hourly": q15_events_hourly,  # last hard driver signal r07
-        "q16_events_dedup": q16_events_dedup,  # last hard driver signal r07
-        "q18_gab_monthly_rollup": q18_gab_monthly_rollup,  # last hard driver signal r07
-        "q20_union_by_name": q20_union_by_name,  # last hard driver signal r07
-        "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,  # last hard driver signal r07
-        "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,  # last hard driver signal r07
-        # --- then the r08-checked dp29-dp49 block up to entry 50 ---
+        "dp62_cluster_sample": dp62_cluster_sample,
+        "dp143_bottomk_sample": dp143_bottomk_sample,
+        "dp147_paragraph_dedup": dp147_paragraph_dedup,
+        "dp142_streaming_pattern": dp142_streaming_pattern,
+        # --- r12 rotation cohort: the stalest block on the board —
+        # --- last hard driver signal r08 (43 queries; 7 + 43 = 50) ---
+        "dp108_corpus_overlap": dp108_corpus_overlap,  # last hard driver signal r08
+        "dp110_random_projection": dp110_random_projection,  # last hard driver signal r08
+        "dp114_gopher_rules": dp114_gopher_rules,  # last hard driver signal r08
+        "dp116_pq_encode": dp116_pq_encode,  # last hard driver signal r08
+        "dp117_knn_pq": dp117_knn_pq,  # last hard driver signal r08
+        "dp119_decontaminate_spans": dp119_decontaminate_spans,  # last hard driver signal r08
+        "dp120_dup_line_stats": dp120_dup_line_stats,  # last hard driver signal r08
+        "dp122_pca_moments": dp122_pca_moments,  # last hard driver signal r08
+        "dp123_frequent_terms": dp123_frequent_terms,  # last hard driver signal r08
+        "dp124_word_pmi": dp124_word_pmi,  # last hard driver signal r08
+        "dp126_mixture_plan": dp126_mixture_plan,  # last hard driver signal r08
+        "dp127_hilbert_layout": dp127_hilbert_layout,  # last hard driver signal r08
+        "dp128_frequent_bigrams": dp128_frequent_bigrams,  # last hard driver signal r08
         "dp29_pack_sequences": dp29_pack_sequences,  # last hard driver signal r08
         "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,  # last hard driver signal r08
         "dp31_sessionize_boundary": dp31_sessionize_boundary,  # last hard driver signal r08
@@ -4469,123 +4418,151 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp46_token_budget_sample": dp46_token_budget_sample,  # last hard driver signal r08
         "dp47_line_dedup": dp47_line_dedup,  # last hard driver signal r08
         "dp48_substring_dedup": dp48_substring_dedup,  # last hard driver signal r08
-        # ---- driver window boundary (entry 50 = dp48_substring_dedup;
-        # ---- dp49 slips to 51 — same r08 staleness as the boundary, so
-        # ---- the rotation rule holds) ----
         "dp49_curation_report": dp49_curation_report,  # last hard driver signal r08
-        # --- remainder: r08/r09/r10-fresh cohorts, value-verified via
-        # --- tools/check_oracle.py every round ---
-        "dp69_bpe_tokenize": dp69_bpe_tokenize,
-        "dp69b_bpe_encode": dp69b_bpe_encode,
-        "dp68_json_props": dp68_json_props,
-        "q09_flatten_explode": q09_flatten_explode,
-        "dp115_dsir_score": dp115_dsir_score,
-        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
-        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,
-        "dp103_zorder_layout": dp103_zorder_layout,
-        "dp104_zorder_rank": dp104_zorder_rank,
-        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
-        "dp107_profile_skew": dp107_profile_skew,
-        "dp109_unicode_normalize": dp109_unicode_normalize,
-        "dp111_interval_overlap_join": dp111_interval_overlap_join,
-        "dp92_image_resize": dp92_image_resize,
-        "dp93_audio_resample": dp93_audio_resample,
-        "dp94_running_totals": dp94_running_totals,
-        "dp95_approx_distinct": dp95_approx_distinct,
-        "dp96_g711_decode": dp96_g711_decode,
-        "dp99_hash_embedding": dp99_hash_embedding,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_latest_order_per_customer": q03_latest_order_per_customer,
-        "q08_reconciliation": q08_reconciliation,
-        "q14_window_running": q14_window_running,
-        "q17_gab_weekly_rollup": q17_gab_weekly_rollup,
-        "q19_join_transformer": q19_join_transformer,
-        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,
-        "dp01_text_quality": dp01_text_quality,
-        "dp02_langid": dp02_langid,
-        "dp03_token_count": dp03_token_count,
-        "dp04_fingerprint": dp04_fingerprint,
-        "dp05_dedup_exact": dp05_dedup_exact,
-        "dp06_dedup_minhash": dp06_dedup_minhash,
-        "dp09_knn_brute": dp09_knn_brute,
-        "dp100_unimax_sample": dp100_unimax_sample,
-        "dp106_temperature_sample": dp106_temperature_sample,
-        "dp10_multimodal_bytes": dp10_multimodal_bytes,
-        "dp12_knn_lsh": dp12_knn_lsh,
-        "dp13_knn_ivf": dp13_knn_ivf,
-        "dp14_hash_split": dp14_hash_split,
-        "dp15_hash_sample": dp15_hash_sample,
-        "dp16_asof_join": dp16_asof_join,
-        "dp17_range_join": dp17_range_join,
-        "dp18_sessionize": dp18_sessionize,
-        "dp19_profile": dp19_profile,
-        "q31_curation_pipeline": q31_curation_pipeline,
-        "dp118_wordpiece_encode": dp118_wordpiece_encode,
-        "dp125_unigram_encode": dp125_unigram_encode,
-        "dp20_dup_clusters": dp20_dup_clusters,
-        "dp121_graph_components": dp121_graph_components,
-        "dp129_group_quantile_prune": dp129_group_quantile_prune,
-        "dp57_robust_scale": dp57_robust_scale,
-        "dp58_quantile_summary": dp58_quantile_summary,
-        "dp59_event_pivot": dp59_event_pivot,
-        "dp60_salted_join": dp60_salted_join,
-        "dp61_keep_best_dedup": dp61_keep_best_dedup,
-        "dp62_cluster_sample": dp62_cluster_sample,
-        "dp63_cdc_chunk": dp63_cdc_chunk,
-        "dp64_ewma_anomaly": dp64_ewma_anomaly,
-        "dp65_fuzzy_join": dp65_fuzzy_join,
-        "dp66_scd2_build": dp66_scd2_build,
-        "dp67_merge_intervals": dp67_merge_intervals,
-        "dp70_video_frames": dp70_video_frames,
-        "dp71_trend_fit": dp71_trend_fit,
-        "dp72_histogram": dp72_histogram,
-        "dp73_weighted_sample_k": dp73_weighted_sample_k,
-        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,
-        "q24_semi_anti_join": q24_semi_anti_join,
-        "q26_gab_daily_rollup": q26_gab_daily_rollup,
-        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,
-        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,
-        "dp74_lexical_diversity": dp74_lexical_diversity,
-        "dp75_snapshot_diff": dp75_snapshot_diff,
-        "dp76_schema_drift": dp76_schema_drift,
-        "dp77_quality_model_filter": dp77_quality_model_filter,
-        "dp78_event_transitions": dp78_event_transitions,
-        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,
-        "dp79_gap_fill": dp79_gap_fill,
-        "dp80_asof_nearest": dp80_asof_nearest,
-        "dp81_text_clean": dp81_text_clean,
-        "dp82_url_normalize": dp82_url_normalize,
-        "dp84_png_decode": dp84_png_decode,
-        "dp85_jpeg_decode": dp85_jpeg_decode,
-        "dp86_gif_decode": dp86_gif_decode,
-        "dp87_pagerank": dp87_pagerank,
-        "dp88_binary_decompress": dp88_binary_decompress,
-        "dp89_sentence_split": dp89_sentence_split,
-        "dp90_html_strip": dp90_html_strip,
-        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,
-        "dp114_gopher_rules": dp114_gopher_rules,
-        "dp116_pq_encode": dp116_pq_encode,
-        "dp117_knn_pq": dp117_knn_pq,
-        "dp119_decontaminate_spans": dp119_decontaminate_spans,
-        "dp120_dup_line_stats": dp120_dup_line_stats,
-        "dp122_pca_moments": dp122_pca_moments,
-        "dp123_frequent_terms": dp123_frequent_terms,
-        "dp124_word_pmi": dp124_word_pmi,
-        "dp126_mixture_plan": dp126_mixture_plan,
-        "dp127_hilbert_layout": dp127_hilbert_layout,
-        "dp128_frequent_bigrams": dp128_frequent_bigrams,
-        "dp110_random_projection": dp110_random_projection,
-        "dp98_ngram_counts": dp98_ngram_counts,
-        "dp108_corpus_overlap": dp108_corpus_overlap,
-        "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,
-        "dp83_bm25_topk": dp83_bm25_topk,
-        "dp50_hopping_window": dp50_hopping_window,
-        "dp51_winsorize": dp51_winsorize,
-        "dp52_zscore_normalize": dp52_zscore_normalize,
-        "dp53_weighted_sample": dp53_weighted_sample,
-        "dp54_trailing_window": dp54_trailing_window,
-        "dp55_funnel": dp55_funnel,
-        "dp56_cohort_retention": dp56_cohort_retention,
+        "dp50_hopping_window": dp50_hopping_window,  # last hard driver signal r08
+        "dp51_winsorize": dp51_winsorize,  # last hard driver signal r08
+        "dp52_zscore_normalize": dp52_zscore_normalize,  # last hard driver signal r08
+        "dp53_weighted_sample": dp53_weighted_sample,  # last hard driver signal r08
+        "dp54_trailing_window": dp54_trailing_window,  # last hard driver signal r08
+        "dp55_funnel": dp55_funnel,  # last hard driver signal r08
+        "dp56_cohort_retention": dp56_cohort_retention,  # last hard driver signal r08
+        "dp83_bm25_topk": dp83_bm25_topk,  # last hard driver signal r08
+        "dp98_ngram_counts": dp98_ngram_counts,  # last hard driver signal r08
+        "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,  # last hard driver signal r08
+        # ---- driver window boundary (entry 50 = q30_gab_week_day_snapshot) ----
+        # --- remainder: r09/r10/r11-fresh cohorts, value-verified via
+        # --- tools/check_oracle.py every round; ordered stalest-first ---
+        "dp118_wordpiece_encode": dp118_wordpiece_encode,  # r09
+        "dp121_graph_components": dp121_graph_components,  # r09
+        "dp125_unigram_encode": dp125_unigram_encode,  # r09
+        "dp129_group_quantile_prune": dp129_group_quantile_prune,  # r09
+        "dp20_dup_clusters": dp20_dup_clusters,  # r09
+        "dp57_robust_scale": dp57_robust_scale,  # r09
+        "dp58_quantile_summary": dp58_quantile_summary,  # r09
+        "dp59_event_pivot": dp59_event_pivot,  # r09
+        "dp60_salted_join": dp60_salted_join,  # r09
+        "dp61_keep_best_dedup": dp61_keep_best_dedup,  # r09
+        "dp63_cdc_chunk": dp63_cdc_chunk,  # r09
+        "dp64_ewma_anomaly": dp64_ewma_anomaly,  # r09
+        "dp65_fuzzy_join": dp65_fuzzy_join,  # r09
+        "dp66_scd2_build": dp66_scd2_build,  # r09
+        "dp67_merge_intervals": dp67_merge_intervals,  # r09
+        "dp70_video_frames": dp70_video_frames,  # r09
+        "dp71_trend_fit": dp71_trend_fit,  # r09
+        "dp72_histogram": dp72_histogram,  # r09
+        "dp73_weighted_sample_k": dp73_weighted_sample_k,  # r09
+        "dp74_lexical_diversity": dp74_lexical_diversity,  # r09
+        "dp75_snapshot_diff": dp75_snapshot_diff,  # r09
+        "dp76_schema_drift": dp76_schema_drift,  # r09
+        "dp77_quality_model_filter": dp77_quality_model_filter,  # r09
+        "dp78_event_transitions": dp78_event_transitions,  # r09
+        "dp79_gap_fill": dp79_gap_fill,  # r09
+        "dp80_asof_nearest": dp80_asof_nearest,  # r09
+        "dp81_text_clean": dp81_text_clean,  # r09
+        "dp82_url_normalize": dp82_url_normalize,  # r09
+        "dp84_png_decode": dp84_png_decode,  # r09
+        "dp85_jpeg_decode": dp85_jpeg_decode,  # r09
+        "dp86_gif_decode": dp86_gif_decode,  # r09
+        "dp87_pagerank": dp87_pagerank,  # r09
+        "dp88_binary_decompress": dp88_binary_decompress,  # r09
+        "dp89_sentence_split": dp89_sentence_split,  # r09
+        "dp90_html_strip": dp90_html_strip,  # r09
+        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # r09
+        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # r09
+        "q24_semi_anti_join": q24_semi_anti_join,  # r09
+        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # r09
+        "q26_gab_daily_rollup": q26_gab_daily_rollup,  # r09
+        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,  # r09
+        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,  # r09
+        "q31_curation_pipeline": q31_curation_pipeline,  # r09
+        "dp01_text_quality": dp01_text_quality,  # r10
+        "dp02_langid": dp02_langid,  # r10
+        "dp03_token_count": dp03_token_count,  # r10
+        "dp04_fingerprint": dp04_fingerprint,  # r10
+        "dp05_dedup_exact": dp05_dedup_exact,  # r10
+        "dp06_dedup_minhash": dp06_dedup_minhash,  # r10
+        "dp09_knn_brute": dp09_knn_brute,  # r10
+        "dp100_unimax_sample": dp100_unimax_sample,  # r10
+        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,  # r10
+        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,  # r10
+        "dp103_zorder_layout": dp103_zorder_layout,  # r10
+        "dp104_zorder_rank": dp104_zorder_rank,  # r10
+        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,  # r10
+        "dp106_temperature_sample": dp106_temperature_sample,  # r10
+        "dp107_profile_skew": dp107_profile_skew,  # r10
+        "dp109_unicode_normalize": dp109_unicode_normalize,  # r10
+        "dp10_multimodal_bytes": dp10_multimodal_bytes,  # r10
+        "dp111_interval_overlap_join": dp111_interval_overlap_join,  # r10
+        "dp115_dsir_score": dp115_dsir_score,  # r10
+        "dp13_knn_ivf": dp13_knn_ivf,  # r10
+        "dp14_hash_split": dp14_hash_split,  # r10
+        "dp15_hash_sample": dp15_hash_sample,  # r10
+        "dp16_asof_join": dp16_asof_join,  # r10
+        "dp17_range_join": dp17_range_join,  # r10
+        "dp18_sessionize": dp18_sessionize,  # r10
+        "dp19_profile": dp19_profile,  # r10
+        "dp68_json_props": dp68_json_props,  # r10
+        "dp69_bpe_tokenize": dp69_bpe_tokenize,  # r10
+        "dp69b_bpe_encode": dp69b_bpe_encode,  # r10
+        "dp92_image_resize": dp92_image_resize,  # r10
+        "dp93_audio_resample": dp93_audio_resample,  # r10
+        "dp94_running_totals": dp94_running_totals,  # r10
+        "dp95_approx_distinct": dp95_approx_distinct,  # r10
+        "dp96_g711_decode": dp96_g711_decode,  # r10
+        "dp99_hash_embedding": dp99_hash_embedding,  # r10
+        "q01_pricing_summary": q01_pricing_summary,  # r10
+        "q03_latest_order_per_customer": q03_latest_order_per_customer,  # r10
+        "q08_reconciliation": q08_reconciliation,  # r10
+        "q09_flatten_explode": q09_flatten_explode,  # r10
+        "q14_window_running": q14_window_running,  # r10
+        "q17_gab_weekly_rollup": q17_gab_weekly_rollup,  # r10
+        "q19_join_transformer": q19_join_transformer,  # r10
+        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,  # r10
+        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,  # r11
+        "dp08_embedding_dedup": dp08_embedding_dedup,  # r11
+        "dp112_embedding_kmeans": dp112_embedding_kmeans,  # r11
+        "dp113_cluster_stats": dp113_cluster_stats,  # r11
+        "dp11_dedup_simhash": dp11_dedup_simhash,  # r11
+        "dp130_kmeans_hier": dp130_kmeans_hier,  # r11
+        "dp131_knn_ivf_hier": dp131_knn_ivf_hier,  # r11
+        "dp132_semantic_dedup_hier": dp132_semantic_dedup_hier,  # r11
+        "dp133_prototype_prune": dp133_prototype_prune,  # r11
+        "dp134_linear_fit": dp134_linear_fit,  # r11
+        "dp135_event_pattern": dp135_event_pattern,  # r11
+        "dp136_source_divergence": dp136_source_divergence,  # r11
+        "dp137_ngram_novelty": dp137_ngram_novelty,  # r11
+        "dp138_winnow_fingerprint": dp138_winnow_fingerprint,  # r11
+        "dp139_seed_classifier": dp139_seed_classifier,  # r11
+        "dp140_correlation_matrix": dp140_correlation_matrix,  # r11
+        "dp141_winnow_overlap": dp141_winnow_overlap,  # r11
+        "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,  # r11
+        "dp145_streaming_funnel": dp145_streaming_funnel,  # r11
+        "dp146_session_stats": dp146_session_stats,  # r11
+        "dp148_winnow_cross": dp148_winnow_cross,  # r11
+        "dp21_pii_redact": dp21_pii_redact,  # r11
+        "dp22_repetition": dp22_repetition,  # r11
+        "dp23_decontaminate": dp23_decontaminate,  # r11
+        "dp24_vocab_top_k": dp24_vocab_top_k,  # r11
+        "dp25_stratified_sample": dp25_stratified_sample,  # r11
+        "dp26_mixture_sample": dp26_mixture_sample,  # r11
+        "dp27_image_decode": dp27_image_decode,  # r11
+        "dp97_semantic_dedup": dp97_semantic_dedup,  # r11
+        "q02_revenue_by_segment": q02_revenue_by_segment,  # r11
+        "q04_union_dedup": q04_union_dedup,  # r11
+        "q05_incremental_filter": q05_incremental_filter,  # r11
+        "q06_condense_cdc": q06_condense_cdc,  # r11
+        "q07_dq_stats": q07_dq_stats,  # r11
+        "q10_date_hierarchy": q10_date_hierarchy,  # r11
+        "q11_hash_masker": q11_hash_masker,  # r11
+        "q12_column_ops": q12_column_ops,  # r11
+        "q13_get_max_value": q13_get_max_value,  # r11
+        "q15_events_hourly": q15_events_hourly,  # r11
+        "q16_events_dedup": q16_events_dedup,  # r11
+        "q18_gab_monthly_rollup": q18_gab_monthly_rollup,  # r11
+        "q20_union_by_name": q20_union_by_name,  # r11
+        "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,  # r11
+        "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,  # r11
+        "q32_tokenize_pipeline": q32_tokenize_pipeline,  # r11
     }
 
 
