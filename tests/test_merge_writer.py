@@ -115,6 +115,84 @@ def test_merge_insert_predicate(spark, target):
     )
 
 
+def test_merge_insert_only_ignores_delete_predicate(spark, target):
+    """insert_only + delete_predicate TOGETHER: Delta's builder adds
+    whenMatchedDelete only under ``not insert_only`` (reference
+    delta_merge_writer.py:110-139), so the matched row must SURVIVE —
+    insert_only wins — while its source twin is deduped away and only
+    genuinely-new keys insert. Pins the join-rewrite to the same rule."""
+    out = _merge(
+        spark,
+        target,
+        [(3, "would-delete", 0), (8, "new", 800)],
+        {
+            "merge_predicate": "current.id = new.id",
+            "insert_only": True,
+            "delete_predicate": "current.tag = 'delete-me'",
+        },
+    )
+    assert_df_equal(
+        out,
+        [(1, "keep", 100), (2, "update-me", 200), (3, "delete-me", 300), (8, "new", 800)],
+    )
+
+
+def test_merge_insert_only_with_insert_predicate_and_column_set(spark, target):
+    """insert_only + insert_predicate + insert_column_set: matched source
+    rows dedup away; unmatched rows pass the predicate filter and insert
+    through the column set (unset columns become typed nulls) — the full
+    whenNotMatchedInsert(condition, values) contract under insert_only."""
+    out = _merge(
+        spark,
+        target,
+        [(2, "dup", 0), (9, "low", 1), (10, "high", 1000)],
+        {
+            "merge_predicate": "current.id = new.id",
+            "insert_only": True,
+            "insert_predicate": "new.val >= 1000",
+            "insert_column_set": {"id": "new.id", "val": "new.val"},  # no tag
+        },
+    )
+    assert_df_equal(
+        out,
+        [
+            (1, "keep", 100),
+            (2, "update-me", 200),
+            (3, "delete-me", 300),
+            (10, None, 1000),
+        ],
+    )
+
+
+def test_merge_all_clauses_together(spark, target):
+    """The full clause set in ONE merge — delete predicate, conditional
+    update with a column set, conditional insert: each matched row takes
+    exactly one clause in Delta's order (delete, then update, else keep),
+    and unmatched rows go through the insert filter."""
+    out = _merge(
+        spark,
+        target,
+        [
+            (1, "src1", 50),     # matched: no delete, update cond val>60 fails -> untouched
+            (2, "src2", 999),    # matched: update fires (val -> 999)
+            (3, "src3", 0),      # matched: delete fires (tag = delete-me)
+            (11, "lo", 10),      # unmatched: insert cond fails -> dropped
+            (12, "hi", 5000),    # unmatched: inserted
+        ],
+        {
+            "merge_predicate": "current.id = new.id",
+            "delete_predicate": "current.tag = 'delete-me'",
+            "update_predicate": "new.val > 60",
+            "update_column_set": {"val": "new.val"},
+            "insert_predicate": "new.val >= 1000",
+        },
+    )
+    assert_df_equal(
+        out,
+        [(1, "keep", 100), (2, "update-me", 999), (12, "hi", 5000)],
+    )
+
+
 def test_merge_creates_target_on_first_load(spark, tmp_dir):
     fresh = os.path.join(tmp_dir, "fresh")
     out = _merge(spark, fresh, [(1, "first", 1)], {"merge_predicate": "current.id = new.id"})
