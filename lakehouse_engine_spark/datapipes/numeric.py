@@ -404,6 +404,75 @@ def cramer_fit_exprs(d: int, l2: float = 0.0) -> Dict[str, str]:
     return out
 
 
+def _lapack_solve_moments(dbl: DataFrame, keys: List[str], d: int, l2: float) -> DataFrame:
+    """The d>3 solve arm of :func:`linear_fit_normal`: an Arrow-batched
+    LAPACK solve of ``(G + l2·I')w = b`` over the per-group moment rows.
+    Input = one tiny row per group (exact decimal moments cast to
+    double); output matches the Cramer arm's schema exactly
+    (``keys…, n, w0..wd, r2``). Singular Gram (collinear features)
+    yields NULL weights, var(y)=0 yields NULL r2 — same contracts."""
+    import numpy as np
+    import pandas as pd
+
+    k = d + 1
+    gcols = [f"g{i}{j}" for i in range(k) for j in range(i, k)]
+    bcols = [f"b{i}" for i in range(k)]
+    key_fields = [f for f in dbl.schema.fields if f.name in keys]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+        + ["n BIGINT"]
+        + [f"w{i} DOUBLE" for i in range(k)]
+        + ["r2 DOUBLE"]
+    )
+
+    def _solve(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if not m:
+                continue
+            W = np.full((m, k), np.nan)
+            R2 = np.full(m, np.nan)
+            Bm = pdf[bcols].to_numpy(dtype=np.float64)
+            Gflat = pdf[gcols].to_numpy(dtype=np.float64)
+            Syy = pdf["syy"].to_numpy(dtype=np.float64)
+            Nn = pdf["n"].to_numpy(dtype=np.int64)
+            for r in range(m):
+                G = np.empty((k, k))
+                t = 0
+                for i in range(k):
+                    for j in range(i, k):
+                        G[i, j] = G[j, i] = Gflat[r, t]
+                        t += 1
+                if l2:
+                    G[1:, 1:][np.diag_indices(d)] += float(l2)
+                try:
+                    w = np.linalg.solve(G, Bm[r])
+                except np.linalg.LinAlgError:
+                    continue
+                W[r] = w
+                sse = Syy[r] - 2.0 * w @ Bm[r] + w @ G @ w
+                if l2:
+                    # r2 reports the fit of w on the RAW moments (same
+                    # convention as the Cramer arm's shared SSE text)
+                    G2 = G.copy()
+                    G2[1:, 1:][np.diag_indices(d)] -= float(l2)
+                    sse = Syy[r] - 2.0 * w @ Bm[r] + w @ G2 @ w
+                sst = Syy[r] - Bm[r][0] * Bm[r][0] / Nn[r]
+                if sst > 0.0:
+                    R2[r] = 1.0 - sse / sst
+            out = pdf[keys].copy() if keys else pd.DataFrame(index=pdf.index)
+            out["n"] = pdf["n"].astype("int64")
+            for i in range(k):
+                # masked Float64 so a skipped (singular) solve arrives as
+                # SQL NULL, matching the Cramer arm — raw float64 NaN
+                # would stay NaN through Arrow
+                out[f"w{i}"] = pd.array(W[:, i], dtype="Float64")
+            out["r2"] = pd.array(R2, dtype="Float64")
+            yield out
+
+    return dbl.mapInPandas(_solve, out_schema)
+
+
 @register("linear_fit_normal")
 def linear_fit_normal(
     feature_cols: List[str],
@@ -433,6 +502,15 @@ def linear_fit_normal(
     evaluated from the same moments (valid for any w, so it is the
     honest in-sample fit even under ridge); NULL when var(y) = 0.
 
+    ``d > 3`` (any width): the SAME one-pass exact decimal moments, but
+    the solve runs as an Arrow-batched LAPACK ``numpy.linalg.solve`` over
+    the tiny per-group moment rows (one row per group — the solve cost is
+    group-count-sized, never corpus-sized, and still no driver collect).
+    This arm is float-factorization-backed rather than a shared SQL
+    expression, so it has no value-hash oracle — it is pytest-pinned
+    against ``numpy.lstsq`` on the raw rows and against the Cramer arm
+    at d ≤ 3 (tests/test_datapipes.py).
+
     Scale design: ONE map-side-combined aggregation pass over the corpus
     — (d+1)(d+2)/2 + d + 2 decimal sums — then a solve on the
     group-count-sized result (a projection, no second corpus pass, no
@@ -440,10 +518,8 @@ def linear_fit_normal(
     n and the moments up front.
     """
     d = len(feature_cols)
-    if not 1 <= d <= 3:
-        raise ValueError(
-            f"linear_fit_normal: 1..3 features supported (Cramer solve), got {d}"
-        )
+    if d < 1:
+        raise ValueError(f"linear_fit_normal: need >= 1 feature, got {d}")
     keys = list(group_cols or [])
 
     def _fit(df: DataFrame) -> DataFrame:
@@ -474,6 +550,8 @@ def linear_fit_normal(
             *[F.col(f"__b{i}").cast("double").alias(f"b{i}") for i in range(d + 1)],
             F.col("__syy").cast("double").alias("syy"),
         )
+        if d > 3:
+            return _lapack_solve_moments(dbl, keys, d, l2)
         ex = cramer_fit_exprs(d, l2)
         solved = dbl.selectExpr(
             *keys,

@@ -4830,8 +4830,79 @@ def test_linear_fit_normal_collinear_and_ridge(spark):
     assert ridged["w1"] is not None and 0.9 < ridged["r2"] <= 1.0
     with pytest.raises(ValueError):
         t("linear_fit_normal", feature_cols=[], y_col="y")
-    with pytest.raises(ValueError):
-        t("linear_fit_normal", feature_cols=["a", "b", "c", "d"], y_col="y")
+
+
+def test_linear_fit_normal_wide_design_lapack_arm(spark):
+    """d>3 routes to the Arrow-batched LAPACK solve over the SAME exact
+    decimal moments: recovers a known 5-feature plane (vs numpy lstsq on
+    the raw rows), matches the Cramer arm at d=2 on identical data,
+    NULLs collinear groups, and honors ridge."""
+    import numpy as np
+
+    rows = []
+    rng = [(i % 7, (i * 3) % 5, (i * 7) % 11, (i * 13) % 17, (i * 5) % 13)
+           for i in range(60)]
+    for g, (a, b, c_, d_, e) in enumerate(rng):
+        y = 2.0 + 1.5 * a - 0.5 * b + 0.25 * c_ + 3.0 * d_ - 1.0 * e
+        rows.append(("g1", float(a), float(b), float(c_), float(d_), float(e), y))
+    df = spark.createDataFrame(
+        rows, "g STRING, x1 DOUBLE, x2 DOUBLE, x3 DOUBLE, x4 DOUBLE, x5 DOUBLE, y DOUBLE"
+    )
+    fit = df.transform(
+        t("linear_fit_normal",
+          feature_cols=["x1", "x2", "x3", "x4", "x5"], y_col="y",
+          group_cols=["g"])
+    ).first()
+    # numpy lstsq reference on the raw rows
+    X = np.array([[1.0, r[1], r[2], r[3], r[4], r[5]] for r in rows])
+    Y = np.array([r[6] for r in rows])
+    ref = np.linalg.lstsq(X, Y, rcond=None)[0]
+    got = [fit[f"w{i}"] for i in range(6)]
+    assert fit["n"] == 60
+    assert np.allclose(got, ref, atol=1e-6), (got, ref)
+    assert fit["r2"] > 0.999999
+
+    # agreement with the Cramer arm on a shared d=2 design
+    d2 = spark.createDataFrame(
+        [(float(i % 7), float((i * 3) % 5),
+          1.0 + 2.0 * (i % 7) - 0.5 * ((i * 3) % 5)) for i in range(40)],
+        "x1 DOUBLE, x2 DOUBLE, y DOUBLE",
+    )
+    cram = d2.transform(
+        t("linear_fit_normal", feature_cols=["x1", "x2"], y_col="y")
+    ).first()
+    # the LAPACK arm only engages at d>3; pad the design with two
+    # constant-free extra features tied to x1/x2 would be collinear, so
+    # instead check the arm directly on the same moments via a 4th/5th
+    # independent feature that carries zero weight
+    d5 = d2.selectExpr(
+        "x1", "x2",
+        "cast(cast(x1*7 as int) % 3 as double) AS x3",
+        "cast(cast(x2*5 as int) % 2 as double) AS x4",
+        "y",
+    )
+    wide = d5.transform(
+        t("linear_fit_normal", feature_cols=["x1", "x2", "x3", "x4"], y_col="y")
+    ).first()
+    assert abs(wide["w1"] - cram["w1"]) < 1e-6
+    assert abs(wide["w2"] - cram["w2"]) < 1e-6
+    assert abs(wide["w3"]) < 1e-6 and abs(wide["w4"]) < 1e-6
+
+    # collinear wide design -> NULL weights; ridge conditions it
+    col = spark.createDataFrame(
+        [(float(i), float(2 * i), float(3 * i), float(4 * i), float(i))
+         for i in range(12)],
+        "x1 DOUBLE, x2 DOUBLE, x3 DOUBLE, x4 DOUBLE, y DOUBLE",
+    )
+    flat = col.transform(
+        t("linear_fit_normal", feature_cols=["x1", "x2", "x3", "x4"], y_col="y")
+    ).first()
+    assert flat["w0"] is None and flat["r2"] is None
+    ridged = col.transform(
+        t("linear_fit_normal", feature_cols=["x1", "x2", "x3", "x4"],
+          y_col="y", l2=1.0)
+    ).first()
+    assert ridged["w1"] is not None and ridged["r2"] > 0.9
 
 
 def test_linear_fit_then_linear_score_round_trip(spark):
