@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Callable, List, Optional
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
@@ -546,7 +546,7 @@ def cluster_sample(
     ``output_col``.
 
     Scale design: the signature projection (shared
-    ``hyperplane_signatures``, posexplode + map-side-combined sums) is the
+    ``hyperplane_signatures``, one Arrow-batched mapInArrow pass) is the
     linear-cost pass; sampling is one window over the bucket key — same
     cost class as any per-group top-k, and the sqrt cap bounds output
     skew: a bucket with 10^8 members emits 10^4 rows. The final attach is
