@@ -18,9 +18,13 @@ file→version frame that broadcast-joins against the stream's
 ``_metadata.file_path``.
 
 Limitations mirror the emulation's: append-only (rewrites invalidate
-file identity), and only writes that go THROUGH the engine's writers
-are logged — foreign appends fall back to the materialization-counter
-versioning in ``terminator_factory``.
+file identity), only writes that go THROUGH the engine's writers are
+logged — foreign appends fall back to the materialization-counter
+versioning in ``terminator_factory`` — and the log's
+read-modify-write assumes a single writer per table (the same
+assumption as the parquet merge fallback's overwrite; real Delta gets
+multi-writer safety from atomic log commits, which raw object stores
+cannot provide).
 """
 
 from __future__ import annotations
