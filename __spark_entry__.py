@@ -3785,6 +3785,23 @@ _DP147_SHARED = (
 )
 
 
+def dp149_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style per-language quality tiers (datapipes/sampling.py
+    quality_bucket_split): head/middle/tail 30/30/40 by score within each
+    lang — histogram + distinct-value cumulative window + broadcast tier
+    attach, no per-row window (the quantile_prune scale shape). Oracle
+    replays the histogram, the ceil(c*n) budgets, and the tie rule."""
+    docs = load_table(spark, sf, "documents")
+    return docs.transform(
+        _t(
+            "quality_bucket_split",
+            score_col="n_chars",
+            buckets={"head": 3, "middle": 3, "tail": 4},
+            group_cols=["lang"],
+        )
+    ).select("doc_id", "lang", "n_chars", "bucket")
+
+
 def dp148_winnow_cross(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus MOSS overlap (datapipes/dedup.py
     text_winnow_cross_overlap): main docs screened against a reference
@@ -4349,6 +4366,8 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # touches the four LSH consumers; the round-11 ADVICE fixes touch
 # dp143/dp147; the stream-scan refactor touches dp142.
 WINDOW_RETOUCHED = (
+    # new: CCNet-style named quality tiers (quality_bucket_split)
+    "dp149_quality_buckets",
     # hyperplane_signatures rewritten as one mapInArrow pass (bit-exact
     # dots, no explode/shuffle/join) — every consumer gets a hard signal
     "dp12_knn_lsh",
@@ -4377,6 +4396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r12) ---
+        "dp149_quality_buckets": dp149_quality_buckets,
         "dp12_knn_lsh": dp12_knn_lsh,
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
         "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
@@ -7273,6 +7293,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                    MIN(doc_id) AS first_doc
             FROM s GROUP BY 1, 2
+        """,
+        "dp149_quality_buckets": """
+            -- histogram over distinct (lang, score), cumulative
+            -- best-first, tier = first cumulative budget ceil(c*n) that
+            -- covers the value's at-or-better population; ties share a
+            -- tier; NULL scores take the last tier
+            WITH hist AS (
+              SELECT lang, n_chars AS s, COUNT(*) AS c
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY lang, n_chars
+            ), cum AS (
+              SELECT lang, s,
+                     SUM(c) OVER (PARTITION BY lang ORDER BY s DESC) AS cm,
+                     SUM(c) OVER (PARTITION BY lang) AS n
+              FROM hist
+            ), tiers AS (
+              SELECT lang, s,
+                     CASE WHEN cm <= ceil(n * 0.3) THEN 'head'
+                          WHEN cm <= ceil(n * 0.6) THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM cum
+            )
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   COALESCE(t.bucket, 'tail') AS bucket
+            FROM documents d
+            LEFT JOIN tiers t ON d.lang = t.lang AND d.n_chars = t.s
         """,
         "dp148_winnow_cross": (
             "WITH mf AS (" + _duck_winnow_fps("documents", "m_") + "), "

@@ -722,6 +722,99 @@ def quantile_prune(
     return _prune
 
 
+@register("quality_bucket_split")
+def quality_bucket_split(
+    score_col: str,
+    buckets: "dict",
+    group_cols: Optional[List[str]] = None,
+    higher_is_better: bool = True,
+    output_col: str = "bucket",
+) -> Callable[[DataFrame], DataFrame]:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): label every
+    row with a named quality tier — the classic ``head/middle/tail``
+    perplexity split, per language — so downstream mixture planning can
+    sample tiers at different rates instead of hard-pruning. ``buckets``
+    is an ORDERED ``{name: weight}`` dict (best tier first; weights are
+    normalized, so ``{"head": 3, "middle": 3, "tail": 4}`` = 30/30/40).
+
+    Tier rule (the :func:`quantile_prune` threshold convention, applied
+    K−1 times): rows sort best-first by score; a score VALUE v belongs to
+    the first tier k whose cumulative row budget ``ceil(c_k · N)``
+    (c_k = normalized cumulative weight) covers v's at-or-better
+    population — all rows tied on a score share a tier, so tier sizes
+    flex on ties (deterministic, honest for rounded-grid scores). NULL
+    scores take the LAST tier (CCNet's unscorable-goes-to-tail rule).
+
+    Scale design: identical to :func:`quantile_prune` — no per-row
+    window, no global sort. One map-side-combined score histogram per
+    group, a cumulative window over DISTINCT score values, a CASE over
+    the K cumulative budgets, and a broadcast join of the
+    (group, score) → tier table back onto the data. Requires the same
+    bounded-grid score contract (distinct values ≪ rows).
+    """
+    if not buckets or len(buckets) < 2:
+        raise ValueError(
+            f"quality_bucket_split: need >= 2 buckets, got {buckets!r}"
+        )
+    weights = list(buckets.values())
+    if any(not isinstance(v, (int, float)) or v <= 0 for v in weights):
+        raise ValueError(
+            f"quality_bucket_split: bucket weights must be > 0, got {buckets!r}"
+        )
+    names = list(buckets.keys())
+    total_w = float(sum(weights))
+    # cumulative normalized fractions for the first K-1 tiers; the last
+    # tier is the CASE's ELSE so rounding can never orphan a row
+    cums = []
+    acc = 0.0
+    for v in weights[:-1]:
+        acc += float(v)
+        cums.append(acc / total_w)
+
+    def _split(df: DataFrame) -> DataFrame:
+        from functools import reduce as _reduce
+        from operator import and_ as _and
+
+        from pyspark.sql import Window
+
+        s = F.col(score_col)
+        order = F.desc("__s") if higher_is_better else F.asc("__s")
+        keys = list(group_cols or [])
+        hist = df.groupBy(
+            *[F.col(c) for c in keys], s.alias("__s")
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        hist = hist.filter(F.col("__s").isNotNull())
+        w = Window.partitionBy(*keys).orderBy(order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wg = Window.partitionBy(*keys)
+        cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+            "__n", F.sum("__c").over(wg)
+        )
+        tier = F.lit(names[-1])
+        for name, c in reversed(list(zip(names[:-1], cums))):
+            tier = F.when(
+                F.col("__cum") <= F.ceil(F.col("__n") * c), F.lit(name)
+            ).otherwise(tier)
+        tiers = cum.select(
+            *[F.col(c).alias(f"__g_{c}") for c in keys],
+            F.col("__s").alias("__ts"),
+            tier.alias("__tier"),
+        )
+        on = _reduce(
+            _and,
+            [df[c].eqNullSafe(F.col(f"__g_{c}")) for c in keys]
+            + [s.eqNullSafe(F.col("__ts"))],
+        ) if keys else s.eqNullSafe(F.col("__ts"))
+        return (
+            df.join(F.broadcast(tiers), on, "left")
+            .withColumn(output_col, F.coalesce(F.col("__tier"), F.lit(names[-1])))
+            .drop("__tier", "__ts", *[f"__g_{c}" for c in keys])
+        )
+
+    return _split
+
+
 @register("global_shuffle")
 def global_shuffle(
     id_col: str = "doc_id",

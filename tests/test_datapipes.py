@@ -5388,3 +5388,47 @@ def test_winnow_incremental_flags_history_overlap_across_runs(spark, tmp_path):
         t("text_winnow_incremental", state_location=state, mode="bogus")
     with pytest.raises(ValueError):
         t("text_winnow_incremental", state_location=state, min_shared=0)
+
+
+def test_quality_bucket_split_tiers_ties_and_nulls(spark):
+    """Named-tier assignment: per-group best-first cumulative budgets
+    (ceil(c*n)); all rows tied on a score share a tier; NULL scores take
+    the last tier; weights normalize; validation."""
+    rows = [("en", i, float(100 - i)) for i in range(10)]   # distinct scores
+    rows += [("de", 100 + i, 5.0) for i in range(4)]        # all tied
+    rows += [("en", 200, None)]                             # unscorable
+    df = spark.createDataFrame(rows, "lang STRING, doc_id INT, s DOUBLE")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in df.transform(
+            t("quality_bucket_split", score_col="s",
+              buckets={"head": 3, "middle": 3, "tail": 4},
+              group_cols=["lang"])
+        ).collect()
+    }
+    # en: 10 scored rows -> head = ceil(3) = top-3 scores, middle next 3
+    assert [out[i] for i in range(10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 4
+    )
+    assert out[200] == "tail"                       # NULL score
+    # de: one tied value covers the whole group -> cum=4 > ceil(.3*4)=2,
+    # > ceil(.6*4)=3 -> everyone lands in the ELSE tier together
+    assert all(out[100 + i] == "tail" for i in range(4))
+
+    # global (no group_cols) and weight normalization
+    g = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "doc_id INT, s DOUBLE"
+    )
+    halves = {
+        r["doc_id"]: r["bucket"]
+        for r in g.transform(
+            t("quality_bucket_split", score_col="s",
+              buckets={"top": 1, "rest": 1}, higher_is_better=False)
+        ).collect()
+    }
+    assert [halves[i] for i in range(10)] == ["top"] * 5 + ["rest"] * 5
+
+    with pytest.raises(ValueError):
+        t("quality_bucket_split", score_col="s", buckets={"only": 1})
+    with pytest.raises(ValueError):
+        t("quality_bucket_split", score_col="s", buckets={"a": 1, "b": 0})
