@@ -4184,6 +4184,68 @@ _Q31_FOOTER = "CURATION FOOTER BOILERPLATE SHARED ACROSS EVERY PAGE"
 _Q31_STOPWORDS = ["the", "a", "value", "table"]
 
 
+def q33_ccnet_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """The CCNet curation recipe (Wenzek et al. 2020) as ONE ACON:
+    corpus-derived unigram LM scoring (dp35's exact scaled-log grid) →
+    per-language head/middle/tail perplexity tiers (quality_bucket_split,
+    30/30/40) → per-tier keep rates (mixture_sample: head 100%, middle
+    50%, tail 10%) — score, tier, downsample, the whole quality-mixing
+    arm of pretraining prep composed through transform-spec chaining.
+    Every stage keeps its gated posture: broadcast vocab probe, histogram
+    tier attach (no per-row window), pure hash-filter projection."""
+    from lakehouse_engine_spark import load_data
+
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "docs",
+                "data_format": "parquet",
+                "location": f"{sf}/documents.parquet",
+            }
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "curated",
+                "input_id": "docs",
+                "transformers": [
+                    {"function": "text_lm_score", "args": {"top_v": 500}},
+                    {
+                        "function": "quality_bucket_split",
+                        "args": {
+                            "score_col": "avg_logprob",
+                            "buckets": {"head": 3, "middle": 3, "tail": 4},
+                            "group_cols": ["lang"],
+                        },
+                    },
+                    {
+                        "function": "mixture_sample",
+                        "args": {
+                            "group_col": "bucket",
+                            "id_col": "doc_id",
+                            "weights": {
+                                "head": 1.0,
+                                "middle": 0.5,
+                                "tail": 0.1,
+                            },
+                        },
+                    },
+                ],
+            }
+        ],
+        "output_specs": [
+            {
+                "spec_id": "out",
+                "input_id": "curated",
+                "data_format": "dataframe",
+            }
+        ],
+    }
+    res = load_data(acon)
+    return res["out"].select(
+        "doc_id", "lang", "bucket", "n_scored_tokens", "avg_logprob"
+    )
+
+
 def q32_tokenize_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end TOKENIZATION pipeline through ONE ACON load_data run —
     the q31 sibling for the tokenize-and-pack half of pretraining data
@@ -4366,8 +4428,10 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # touches the four LSH consumers; the round-11 ADVICE fixes touch
 # dp143/dp147; the stream-scan refactor touches dp142.
 WINDOW_RETOUCHED = (
-    # new: CCNet-style named quality tiers (quality_bucket_split)
+    # new: CCNet-style named quality tiers (quality_bucket_split) and
+    # the composed CCNet score->tier->downsample ACON
     "dp149_quality_buckets",
+    "q33_ccnet_curation",
     # hyperplane_signatures rewritten as one mapInArrow pass (bit-exact
     # dots, no explode/shuffle/join) — every consumer gets a hard signal
     "dp12_knn_lsh",
@@ -4397,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new + code-touched this round (WINDOW_RETOUCHED r12) ---
         "dp149_quality_buckets": dp149_quality_buckets,
+        "q33_ccnet_curation": q33_ccnet_curation,
         "dp12_knn_lsh": dp12_knn_lsh,
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
         "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
@@ -7293,6 +7358,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                    MIN(doc_id) AS first_doc
             FROM s GROUP BY 1, 2
+        """,
+        "q33_ccnet_curation": rf"""
+            -- dp35's exact LM-score chain -> dp149's tier rule on the
+            -- resulting doubles (bit-identical in both engines) ->
+            -- dp26's hash-filter with per-TIER rates
+            WITH toks AS (
+              SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents
+            ), vocab AS (
+              SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+              ORDER BY c DESC, w ASC LIMIT 500
+            ), tot AS (
+              SELECT SUM(c) AS n FROM vocab
+            ), sc AS (
+              SELECT t.doc_id, COUNT(*) AS nt,
+                     SUM(CASE WHEN v.c IS NOT NULL
+                              THEN CAST(floor(log10(v.c) * 10000 + 0.5) AS BIGINT)
+                              ELSE -3010 END) AS slp
+              FROM toks t LEFT JOIN vocab v ON t.w = v.w
+              GROUP BY t.doc_id
+            ), lm AS (
+              SELECT d.doc_id, d.lang,
+                     CAST(COALESCE(s.nt, 0) AS INT) AS n_scored_tokens,
+                     (CAST(s.slp AS DOUBLE)/s.nt
+                      - floor(log10(t.n) * 10000 + 0.5)) / 10000.0 AS avg_logprob
+              FROM documents d
+              LEFT JOIN sc s ON d.doc_id = s.doc_id
+              CROSS JOIN tot t
+            ), hist AS (
+              SELECT lang, avg_logprob AS s, COUNT(*) AS c
+              FROM lm WHERE avg_logprob IS NOT NULL GROUP BY lang, avg_logprob
+            ), cum AS (
+              SELECT lang, s,
+                     SUM(c) OVER (PARTITION BY lang ORDER BY s DESC) AS cm,
+                     SUM(c) OVER (PARTITION BY lang) AS n
+              FROM hist
+            ), tiers AS (
+              SELECT lang, s,
+                     CASE WHEN cm <= ceil(n * 0.3) THEN 'head'
+                          WHEN cm <= ceil(n * 0.6) THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM cum
+            ), tagged AS (
+              SELECT l.doc_id, l.lang, COALESCE(t.bucket, 'tail') AS bucket,
+                     l.n_scored_tokens, l.avg_logprob
+              FROM lm l
+              LEFT JOIN tiers t ON l.lang = t.lang AND l.avg_logprob = t.s
+            )
+            SELECT doc_id, lang, bucket, n_scored_tokens, avg_logprob
+            FROM tagged
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000000
+                  < CASE bucket WHEN 'head' THEN 1000000
+                                WHEN 'middle' THEN 500000
+                                WHEN 'tail' THEN 100000
+                                ELSE 0 END
         """,
         "dp149_quality_buckets": """
             -- histogram over distinct (lang, score), cumulative
