@@ -1328,3 +1328,25 @@ def test_winnow_cross_overlap_persists_fingerprint_sets(spark, sf_dir):
         assert inmem >= 4, plan.toString()[:2000]  # 2 uses x 2 sides
     finally:
         spark.catalog.clearCache()
+
+
+def test_quality_bucket_split_broadcasts_tier_table(spark, sf_dir):
+    """dp149: the (group, score) -> tier table attaches via a BROADCAST
+    join (it is distinct-score-sized, never corpus-sized) and the data
+    side is never sort-merge joined; no per-row global sort anywhere —
+    the only window runs over the distinct-score histogram."""
+    df = entry.queries()["dp149_quality_buckets"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical, physical[:2000]
+    assert "CartesianProduct" not in physical
+
+
+def test_q33_ccnet_chain_keeps_gated_postures(spark, sf_dir):
+    """q33: the composed CCNet ACON keeps every stage's plan posture —
+    vocab probe and tier attach broadcast, the tier downsample is a
+    filter (no extra shuffle), and no cartesian products appear."""
+    df = entry.queries()["q33_ccnet_curation"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert physical.count("BroadcastHashJoin") >= 2, physical[:2000]
+    assert "CartesianProduct" not in physical
