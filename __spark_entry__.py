@@ -3785,6 +3785,23 @@ _DP147_SHARED = (
 )
 
 
+def dp150_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch arm of streaming_topk_score (datapipes/stateful.py): per-user
+    top-5 events by value — best-score-wins per id then one window rank,
+    the pure function of the (id -> best score) map the stream maintains
+    in O(k) state (order/batch/restart independence pytest-pinned)."""
+    ev = load_table(spark, sf, "events")
+    return ev.transform(
+        _t(
+            "streaming_topk_score",
+            on=["user_id"],
+            id_col="event_id",
+            score_col="value",
+            k=5,
+        )
+    )
+
+
 def dp149_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style per-language quality tiers (datapipes/sampling.py
     quality_bucket_split): head/middle/tail 30/30/40 by score within each
@@ -4432,6 +4449,8 @@ WINDOW_RETOUCHED = (
     # the composed CCNet score->tier->downsample ACON
     "dp149_quality_buckets",
     "q33_ccnet_curation",
+    # new: live per-group top-k by score (streaming arm of the family)
+    "dp150_streaming_topk",
     # hyperplane_signatures rewritten as one mapInArrow pass (bit-exact
     # dots, no explode/shuffle/join) — every consumer gets a hard signal
     "dp12_knn_lsh",
@@ -4462,6 +4481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new + code-touched this round (WINDOW_RETOUCHED r12) ---
         "dp149_quality_buckets": dp149_quality_buckets,
         "q33_ccnet_curation": q33_ccnet_curation,
+        "dp150_streaming_topk": dp150_streaming_topk,
         "dp12_knn_lsh": dp12_knn_lsh,
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
         "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
@@ -7358,6 +7378,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                    MIN(doc_id) AS first_doc
             FROM s GROUP BY 1, 2
+        """,
+        "dp150_streaming_topk": """
+            -- best-score-wins per id, then rank by (score DESC, id);
+            -- total_seen counts raw (non-null id+score) rows; NULLs
+            -- excluded on both arms
+            WITH src AS (
+              SELECT user_id, event_id, CAST(value AS DOUBLE) AS v
+              FROM events
+              WHERE event_id IS NOT NULL AND value IS NOT NULL
+            ), tot AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS total_seen
+              FROM src GROUP BY user_id
+            ), best AS (
+              SELECT user_id, event_id, MAX(v) AS score
+              FROM src GROUP BY user_id, event_id
+            ), ranked AS (
+              SELECT user_id, event_id, score,
+                     CAST(row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY score DESC, event_id ASC
+                     ) AS INT) AS rank
+              FROM best
+            )
+            SELECT r.user_id, r.event_id, r.score, r.rank, t.total_seen
+            FROM ranked r JOIN tot t USING (user_id)
+            WHERE r.rank <= 5
         """,
         "q33_ccnet_curation": rf"""
             -- dp35's exact LM-score chain -> dp149's tier rule on the

@@ -1240,6 +1240,151 @@ def streaming_bottomk_sample(
     return _fn
 
 
+@register("streaming_topk_score")
+def streaming_topk_score(
+    on: List[str],
+    id_col: str,
+    score_col: str,
+    k: int,
+    higher_is_better: bool = True,
+) -> TransformerFn:
+    """Streaming per-group TOP-K BY SCORE, maintained across
+    micro-batches and restarts — the live "keep the best k per source"
+    step of a curation pipeline (quality-score the stream, hold the
+    current champions, join the ids back to storage for payloads).
+    The deterministic sibling of ``streaming_bottomk_sample``: where the
+    sample ranks by ``md5(id)``, this ranks by a REAL score column.
+
+    Re-delivery/update contract: BEST-SCORE-WINS per id — an id seen
+    again keeps its best score (so late re-scores can only promote),
+    then the group keeps the top-k ids by ``(score best-first, id)``.
+    The result is a pure function of the (id → best score) map, so it is
+    arrival-order / batch-boundary / restart independent and exactly
+    SQL-replayable. NULL ids and NULL scores are excluded on both arms
+    (an unscorable row cannot compete; a NULL id is not joinable back).
+
+    State: the k ``(score, id)`` pairs plus a seen-counter — O(k) per
+    group forever. Each micro-batch emits the group's CURRENT top-k
+    snapshot (``rank`` 1..k) tagged with cumulative ``total_seen``;
+    append-mode sinks hold one snapshot per batch — read the rows at the
+    max ``total_seen`` per group (the family's cumulative-emission
+    convention).
+
+    On a BATCH frame: groupBy-max per id then one window rank — the SQL
+    oracle shape.
+    """
+    if k < 1:
+        raise ValueError(f"streaming_topk_score: k must be >= 1, got {k}")
+    if not on:
+        raise ValueError("streaming_topk_score: 'on' keys must be non-empty")
+
+    def _fn(df: DataFrame) -> DataFrame:
+        df = df.filter(
+            F.col(id_col).isNotNull() & F.col(score_col).isNotNull()
+        )
+        sc = F.col(score_col).cast("double")
+        if not df.isStreaming:
+            from pyspark.sql import Window
+
+            base = df.select(*on, F.col(id_col), sc.alias("__score"))
+            tot = base.groupBy(*on).agg(
+                F.count(F.lit(1)).cast("long").alias("total_seen")
+            )
+            best = base.groupBy(*on, id_col).agg(
+                F.max("__score").alias("score")
+            )
+            order = (
+                [F.desc("score"), F.asc(id_col)]
+                if higher_is_better
+                else [F.asc("score"), F.asc(id_col)]
+            )
+            w = Window.partitionBy(*on).orderBy(*order)
+            return (
+                best.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .join(tot, on=list(on))
+                .select(*on, id_col, "score", "rank", "total_seen")
+            )
+
+        src = df.select(*on, F.col(id_col), sc.alias("__score"))
+        key_fields = [f for f in src.schema.fields if f.name in on]
+        id_field = [f for f in src.schema.fields if f.name == id_col][0]
+        id_type = id_field.dataType.simpleString()
+        if not ("int" in id_type or id_type == "string"):
+            # state carries ids as strings (the bottomk convention):
+            # only exact string round-trips are safe
+            raise ValueError(
+                f"streaming_topk_score: id_col must be an integer or "
+                f"string type, got {id_type}"
+            )
+        out_schema = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+            + [
+                f"`{id_field.name}` {id_field.dataType.simpleString()}",
+                "score DOUBLE",
+                "rank INT",
+                "total_seen BIGINT",
+            ]
+        )
+
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        sign = 1.0 if higher_is_better else -1.0
+
+        def _update(
+            key: Tuple,
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            batch = [pdf for pdf in pdfs if len(pdf)]
+            if not batch:
+                return
+            allb = batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
+            # id -> best score map: state pairs + this batch's rows
+            best: dict = {}
+            if state.exists:
+                scores, ids, seen = state.get
+                best = dict(zip(ids, scores))
+            else:
+                seen = 0
+            seen += len(allb)
+            for i, s_ in zip(
+                allb[id_col].astype(str).tolist(),
+                allb["__score"].astype(float).tolist(),
+            ):
+                cur = best.get(i)
+                if cur is None or s_ * sign > cur * sign:
+                    best[i] = s_
+            # tie order must match the batch arm's id-column order: ids
+            # live in state as strings, so integer ids compare as ints
+            id_key = (lambda i: int(i)) if "int" in id_type else (lambda i: i)
+            top = sorted(
+                best.items(), key=lambda e: (-e[1] * sign, id_key(e[0]))
+            )[:k]
+            state.update(([s_ for _, s_ in top], [i for i, _ in top], seen))
+            out = pd.DataFrame(
+                [
+                    list(key) + [i, s_, rank + 1, seen]
+                    for rank, (i, s_) in enumerate(top)
+                ],
+                columns=[f.name for f in key_fields]
+                + [id_col, "score", "rank", "total_seen"],
+            )
+            if "int" in id_type:
+                out[id_col] = out[id_col].astype("int64")
+            yield out
+
+        return src.groupBy(*on).applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType="scores ARRAY<DOUBLE>, ids ARRAY<STRING>, seen BIGINT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _fn
+
+
 @register("streaming_heavy_hitters")
 def streaming_heavy_hitters(
     on: List[str],

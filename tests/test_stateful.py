@@ -1007,6 +1007,73 @@ def test_streaming_event_pattern_watermark_arm_out_of_order(spark, tmp_dir):
     assert ms == sorted(ms)
 
 
+def _stage_scored(spark, path, rows):
+    spark.createDataFrame(
+        rows, "src STRING, id BIGINT, v DOUBLE"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_topk_stream(spark, src, out, ck, op):
+    q = (
+        spark.readStream.schema("src STRING, id BIGINT, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .transform(op)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_topk_score_converges_and_best_score_wins(spark, tmp_dir):
+    """The maintained top-k is a pure function of the (id -> best score)
+    map: any batch split (including a restart) converges to the batch
+    arm; a re-delivered id keeps its BEST score (late re-scores only
+    promote); NULL ids/scores are excluded; k/on validation."""
+    import os
+
+    src = os.path.join(tmp_dir, "tk_src")
+    out = os.path.join(tmp_dir, "tk_out")
+    ck = os.path.join(tmp_dir, "tk_ck")
+    op = t(
+        "streaming_topk_score", on=["src"], id_col="id", score_col="v", k=3
+    )
+    rows = (
+        [("a", i, float(i % 7)) for i in range(1, 11)]
+        + [("a", 3, 100.0)]          # re-score promotes id 3 to the top
+        + [("a", 4, -1.0)]           # re-score DOWN is ignored (best wins)
+        + [("a", None, 50.0), ("a", 99, None)]  # excluded
+    )
+    batch_df = spark.createDataFrame(rows, "src STRING, id BIGINT, v DOUBLE")
+    expected = sorted(
+        (r["id"], r["score"], r["rank"])
+        for r in batch_df.transform(op).collect()
+    )
+    assert (3, 100.0, 1) in expected       # promoted re-score
+    _stage_scored(spark, src, rows[:4])
+    _stage_scored(spark, src, rows[4:9])
+    _run_topk_stream(spark, src, out, ck, op)
+    _stage_scored(spark, src, rows[9:])    # rest after a restart
+    _run_topk_stream(spark, src, out, ck, op)
+    got = spark.read.parquet(out).collect()
+    latest = max(r["total_seen"] for r in got)
+    final = sorted(
+        (r["id"], r["score"], r["rank"])
+        for r in got
+        if r["total_seen"] == latest
+    )
+    assert final == expected
+    assert latest == 12                    # null id/score rows not counted
+    with pytest.raises(ValueError):
+        t("streaming_topk_score", on=["src"], id_col="id", score_col="v", k=0)
+    with pytest.raises(ValueError):
+        t("streaming_topk_score", on=[], id_col="id", score_col="v", k=1)
+
+
 def test_streaming_bottomk_sample_null_ids_excluded(spark, tmp_dir):
     """NULL ids are filtered on BOTH arms before priorities exist:
     md5(NULL) would otherwise rank first in the batch window, and a None
