@@ -208,6 +208,19 @@ CASES = [
         "docs",
         "any",  # planner emits one row per weighted group even on empty
     ),
+    (
+        "quality_bucket_split",
+        {"score_col": "n_tokens", "buckets": {"head": 1, "tail": 1},
+         "group_cols": ["lang"]},
+        "docs",
+        "zero",
+    ),
+    (
+        "streaming_topk_score",
+        {"on": ["lang"], "id_col": "doc_id", "score_col": "n_tokens", "k": 2},
+        "docs",
+        "zero",
+    ),
 ]
 
 
