@@ -1007,6 +1007,48 @@ def test_streaming_event_pattern_watermark_arm_out_of_order(spark, tmp_dir):
     assert ms == sorted(ms)
 
 
+def test_streaming_event_pattern_watermark_drops_late_beyond_delay(spark, tmp_dir):
+    """An event arriving LATER than the declared delay (its ts is already
+    below the advanced watermark) is dropped — the streaming-aggregation
+    contract — instead of being spliced behind already-consumed symbols."""
+    import datetime as dt
+    import os
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    src = os.path.join(tmp_dir, "src_late")
+    out = os.path.join(tmp_dir, "out_late")
+    ck = os.path.join(tmp_dir, "ck_late")
+    op = t(
+        "streaming_event_pattern",
+        on=["user_id"],
+        symbols={"error": "e", "fix": "f"},
+        pattern="ef",
+        max_span=4,
+        finalize="eager",
+        tiebreak_col="event_id",
+        watermark_delay="1 minute",
+    )
+    # batch 1 pushes the watermark to at(99): an at(0) 'fix' arriving in
+    # batch 2 is >1min late -> dropped; the at(100) fix pairs with e2
+    _stage_events(spark, src, [(1, at(0), 1, "error"), (1, at(100), 2, "error")])
+    _stage_events(spark, src, [(1, at(0), 3, "fix"), (1, at(100), 4, "fix"),
+                               (1, at(10000), 9, "flush")])
+    _run_pattern_stream(spark, src, out, ck, op)
+    _stage_events(spark, src, [(2, at(10001), 99, "error")])  # timeout tick
+    _run_pattern_stream(spark, src, out, ck, op)
+    rows = [r for r in spark.read.parquet(out).collect() if r["user_id"] == 1]
+    latest = max(r["seq_len"] for r in rows)
+    final = [r for r in rows if r["seq_len"] == latest][0]
+    # consumed sequence is e,e,f (the late at(0) fix never spliced in
+    # as 'e f e f' would have) -> exactly ONE 'ef' match
+    assert final["seq_len"] == 3
+    assert final["n_matches"] == 1
+
+
 def _stage_scored(spark, path, rows):
     spark.createDataFrame(
         rows, "src STRING, id BIGINT, v DOUBLE"

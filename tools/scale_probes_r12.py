@@ -135,6 +135,66 @@ def probe_winnow_cross_10x(spark):
 PROBES["winnow_cross_10x"] = probe_winnow_cross_10x
 
 
+
+
+def probe_streaming_topk_1m(spark):
+    """streaming_topk_score over 1M scored events / 10k keys in two
+    availableNow micro-batches: per-key state is the k (score, id)
+    pairs, per-batch work one dict merge + sort per key — wall should
+    track event volume. Emission volume = 10k keys x k x batches."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="probe_topk_")
+    src, out, ck = [os.path.join(base, d) for d in ("src", "out", "ck")]
+    try:
+        for half in (0, 1):
+            (
+                spark.range(500_000)
+                .select(
+                    (F.col("id") % 10_000).alias("src_key"),
+                    (F.col("id") + half * 500_000).alias("id"),
+                    ((F.col("id") * 2654435761) % 1_000_003)
+                    .cast("double")
+                    .alias("v"),
+                )
+                .coalesce(4)
+                .write.mode("append")
+                .parquet(src)
+            )
+        op = _t(
+            "streaming_topk_score",
+            on=["src_key"],
+            id_col="id",
+            score_col="v",
+            k=5,
+        )
+        t0 = time.time()
+        q = (
+            spark.readStream.schema("src_key BIGINT, id BIGINT, v DOUBLE")
+            .option("maxFilesPerTrigger", 4)
+            .parquet(src)
+            .transform(op)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        n = spark.read.parquet(out).count()
+        print(
+            f"[streaming_topk_1m] 1M events / 10k keys, k=5: "
+            f"{time.time() - t0:.1f}s end-to-end, {n} snapshot rows"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+PROBES["streaming_topk_1m"] = probe_streaming_topk_1m
+
+
 def main():
     spark = ExecEnv.get_or_create()
     only = set(sys.argv[1:])
