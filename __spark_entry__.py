@@ -3785,6 +3785,18 @@ _DP147_SHARED = (
 )
 
 
+def dp151_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc character-distribution entropy (datapipes/text.py
+    text_char_entropy): the garbled-text/base64-blob detector on the
+    exact scaled-log2 grid — log2(n) − Σc·log2(c)/n with every log on
+    floor(x·1e4+0.5) BIGINTs, one final double division. Oracle replays
+    the char explode, the grid, and the algebra."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", "text").transform(
+        _t("text_char_entropy")
+    ).select("doc_id", "char_entropy", "n_chars_counted")
+
+
 def dp150_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Batch arm of streaming_topk_score (datapipes/stateful.py): per-user
     top-5 events by value — best-score-wins per id then one window rank,
@@ -4451,6 +4463,8 @@ WINDOW_RETOUCHED = (
     "q33_ccnet_curation",
     # new: live per-group top-k by score (streaming arm of the family)
     "dp150_streaming_topk",
+    # new: per-doc char-distribution entropy (garbled-text detector)
+    "dp151_char_entropy",
     # hyperplane_signatures rewritten as one mapInArrow pass (bit-exact
     # dots, no explode/shuffle/join) — every consumer gets a hard signal
     "dp12_knn_lsh",
@@ -4482,6 +4496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp149_quality_buckets": dp149_quality_buckets,
         "q33_ccnet_curation": q33_ccnet_curation,
         "dp150_streaming_topk": dp150_streaming_topk,
+        "dp151_char_entropy": dp151_char_entropy,
         "dp12_knn_lsh": dp12_knn_lsh,
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
         "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
@@ -7378,6 +7393,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                    MIN(doc_id) AS first_doc
             FROM s GROUP BY 1, 2
+        """,
+        "dp151_char_entropy": """
+            -- exact scaled-log2 grid (the dp35 convention): integer
+            -- c*floor(log2(c)*1e4+0.5) sums, one final double division
+            WITH chars AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents
+            ), counts AS (
+              SELECT doc_id, ch, COUNT(*) AS c
+              FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+            ), per_doc AS (
+              SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n,
+                     SUM(c * CAST(floor(log2(c) * 10000 + 0.5) AS BIGINT)) AS sclc
+              FROM counts GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   (CAST(floor(log2(p.n) * 10000 + 0.5) AS DOUBLE)
+                    - CAST(p.sclc AS DOUBLE) / p.n) / 10000.0 AS char_entropy,
+                   COALESCE(p.n, 0) AS n_chars_counted
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         "dp150_streaming_topk": """
             -- best-score-wins per id, then rank by (score DESC, id);

@@ -2533,6 +2533,74 @@ def decontaminate_spans(
     return _decon
 
 
+@register("text_char_entropy")
+def char_entropy(
+    input_col: str = "text",
+    id_col: str = "doc_id",
+    output_col: str = "char_entropy",
+) -> TransformerFn:
+    """Per-document CHARACTER-distribution Shannon entropy (bits/char) —
+    the cheap garbled-text detector quality batteries lean on: natural
+    prose sits ~3.5–4.5 bits/char, base64/hex blobs and binary-in-text
+    run high with a flat distribution, stuck-key/whitespace runs and
+    template spam run low. Complements :func:`quality_score`'s ratio
+    features (which can miss high-entropy garbage that keeps sane
+    word lengths) and :func:`repetition` (n-gram level).
+
+    Numeric contract (the dp35 convention): entropy decomposes as
+    ``log2(n) − (Σ c·log2(c)) / n`` over per-character counts ``c``;
+    each ``log2`` lands on the exact 4dp scaled-BIGINT grid
+    (``floor(x·10⁴ + 0.5)``), the ``Σ c·log2(c)`` accumulates as exact
+    integers (order-free), and ONE final double division produces the
+    emitted value — bit-replayable by any engine. Empty/NULL text emits
+    NULL (no distribution to measure); ``n_chars_counted`` carries the
+    denominator.
+
+    Scale design: explode to (doc, char) pairs, ONE map-side-combined
+    count per (doc, char), one per-doc sum — two keyed aggregations on
+    the doc id, no windows, no joins back (the grouped result carries
+    the id). At 100 TB the (doc, char) key space is ~alphabet×docs, so
+    the combine step collapses each partition's pairs before the
+    shuffle.
+    """
+
+    def _ent(df: DataFrame) -> DataFrame:
+        from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
+
+        pairs = (
+            ensure_parallelism(df)
+            .select(
+                F.col(id_col).alias("__id"),
+                F.explode(
+                    F.split(F.col(input_col), "")
+                ).alias("__ch"),
+            )
+            .filter(F.col("__ch") != "")
+            .groupBy("__id", "__ch")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        lg = F.floor(F.log2(F.col("__c")) * 10_000 + 0.5).cast("long")
+        per_doc = pairs.groupBy("__id").agg(
+            F.sum("__c").cast("long").alias("__n"),
+            F.sum(F.col("__c") * lg).alias("__sclc"),
+        )
+        ent = (
+            F.floor(F.log2(F.col("__n")) * 10_000 + 0.5).cast("double")
+            - F.col("__sclc").cast("double") / F.col("__n")
+        ) / 10_000.0
+        return (
+            df.join(per_doc, df[id_col] == per_doc["__id"], "left")
+            .withColumn(output_col, ent)
+            .withColumn(
+                "n_chars_counted",
+                F.coalesce(F.col("__n"), F.lit(0)).cast("long"),
+            )
+            .drop("__id", "__n", "__sclc")
+        )
+
+    return _ent
+
+
 @register("text_dup_line_stats")
 def dup_line_stats(
     input_col: str = "text",

@@ -5432,3 +5432,28 @@ def test_quality_bucket_split_tiers_ties_and_nulls(spark):
         t("quality_bucket_split", score_col="s", buckets={"only": 1})
     with pytest.raises(ValueError):
         t("quality_bucket_split", score_col="s", buckets={"a": 1, "b": 0})
+
+
+def test_char_entropy_known_values_and_nulls(spark):
+    """Exact grid arithmetic against hand-computed distributions: a
+    uniform 2-char string = 1 bit/char, a single repeated char = 0,
+    a uniform 4-char alphabet = 2 bits; empty/NULL text -> NULL entropy
+    with n_chars_counted 0."""
+    df = spark.createDataFrame(
+        [
+            (1, "abab"),        # p=.5/.5 -> 1.0 bit
+            (2, "aaaa"),        # single symbol -> 0.0
+            (3, "abcd"),        # uniform 4 -> 2.0 bits
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: (r["char_entropy"], r["n_chars_counted"])
+        for r in df.transform(t("text_char_entropy")).collect()
+    }
+    assert abs(out[1][0] - 1.0) < 1e-9 and out[1][1] == 4
+    assert abs(out[2][0] - 0.0) < 1e-9
+    assert abs(out[3][0] - 2.0) < 1e-9
+    assert out[4] == (None, 0) and out[5] == (None, 0)
