@@ -3814,6 +3814,25 @@ def dp150_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp152_streaming_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch arm of streaming_quality_buckets (datapipes/stateful.py):
+    the live CCNet tier table — per-lang score histogram + cumulative
+    window over distinct values + the ceil(c*N) tier CASE, emitting the
+    (score value -> head/middle/tail) map the stream maintains in
+    O(distinct-scores) state (order/batch/restart independence
+    pytest-pinned). Same tier rule as dp149's quality_bucket_split,
+    exposed as the lookup table instead of the attach join."""
+    docs = load_table(spark, sf, "documents")
+    return docs.transform(
+        _t(
+            "streaming_quality_buckets",
+            on=["lang"],
+            score_col="n_chars",
+            buckets={"head": 3, "middle": 3, "tail": 4},
+        )
+    )
+
+
 def dp149_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style per-language quality tiers (datapipes/sampling.py
     quality_bucket_split): head/middle/tail 30/30/40 by score within each
@@ -4238,6 +4257,13 @@ def q33_ccnet_curation(spark: SparkSession, sf: str) -> DataFrame:
                 "input_id": "docs",
                 "transformers": [
                     {"function": "text_lm_score", "args": {"top_v": 500}},
+                    # quality_bucket_split consumes its input TWICE (the
+                    # score histogram + the tier attach join), so without
+                    # this persist the whole lm-score chain — corpus
+                    # explode, vocab probe, doc aggregate, verdict join —
+                    # recomputes once per consumer (the q31 posture,
+                    # BASELINE.md r12 knob study). Result-neutral.
+                    {"function": "persist", "args": {}},
                     {
                         "function": "quality_bucket_split",
                         "args": {
@@ -4352,10 +4378,13 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     Scale note: stages like minhash and decontamination join their
     verdicts back onto their input, so a lazily-composed chain
     recomputes the upstream corpus once per such stage (the reference
-    composes the same way). At 100 TB insert the registry's ``persist``
-    transformer after the expensive stages — the ACON-level knob for
-    exactly this; the 100k-doc probe (tools/scale_probes_r9.py) runs the
-    un-persisted chain in 24.8 s, the sum of its stages.
+    composes the same way). The shipped ACON therefore splices the
+    registry's ``persist`` transformer after the two dedup stages — the
+    ACON-level knob for exactly this, measured in BASELINE.md (r12 knob
+    study: 5.35 s un-persisted vs 3.84 s persisted at sf0.1, and the
+    gap widens with corpus width); the 100k-doc probe
+    (tools/scale_probes_r9.py) quantified the un-persisted chain at
+    24.8 s, the sum of its stages.
     """
     from lakehouse_engine_spark import load_data
 
@@ -4403,6 +4432,16 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
                         "args": {"exp": "gopher_keep"},
                     },
                     {"function": "text_line_dedup", "args": {}},
+                    # persist-after-dedup is the measured default posture
+                    # (BASELINE.md r12 knob study: 5.35 s lazily composed
+                    # vs 3.84 s persisted, −28%): the minhash and
+                    # decontamination stages join verdicts back onto
+                    # their input, so without these two persists the
+                    # corpus above each dedup stage is recomputed once
+                    # per verdict join — a multiplier on the two most
+                    # expensive stages that widens with corpus width at
+                    # 100 TB. Result-neutral by construction.
+                    {"function": "persist", "args": {}},
                     {
                         "function": "dedup_minhash_lsh",
                         "args": {
@@ -4412,6 +4451,7 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
                             "shingle_size": 3,
                         },
                     },
+                    {"function": "persist", "args": {}},
                     {
                         "function": "text_decontaminate_with",
                         "args": {
@@ -4453,148 +4493,105 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # they must sit inside the driver window so the change gets a hard
 # driver signal. tests/test_entry_registry derives the expected window
 # from this constant + the CORRECTNESS history, so update it as part of
-# every rotation. Round 12: the mapInArrow hyperplane-signature rewrite
-# touches the four LSH consumers; the round-11 ADVICE fixes touch
-# dp143/dp147; the stream-scan refactor touches dp142.
+# every rotation. Round 13: the four ADVICE fixes (NaN exclusion in
+# streaming_topk_score, the two-sided paragraph-key range guard, and —
+# pytest-only surfaces — UTC commit-log timestamps) plus the measured
+# q31/q33 persist splices; dp134 front-loads because its r12 code
+# change (validation branch + d>3 LAPACK arm) sat in the remainder
+# last round against the rotation policy (r12 ADVICE #4).
 WINDOW_RETOUCHED = (
-    # new: CCNet-style named quality tiers (quality_bucket_split) and
-    # the composed CCNet score->tier->downsample ACON
-    "dp149_quality_buckets",
-    "q33_ccnet_curation",
-    # new: live per-group top-k by score (streaming arm of the family)
+    # new: streaming arm of the CCNet quality tiering — live per-group
+    # score-histogram state emitting the (score -> tier) table
+    "dp152_streaming_quality_buckets",
+    # NaN scores excluded on both arms + oracle (round-12 ADVICE #1)
     "dp150_streaming_topk",
-    # new: per-doc char-distribution entropy (garbled-text detector)
-    "dp151_char_entropy",
-    # hyperplane_signatures rewritten as one mapInArrow pass (bit-exact
-    # dots, no explode/shuffle/join) — every consumer gets a hard signal
-    "dp12_knn_lsh",
-    "dp28_embedding_dedup_lsh",
-    "dp42_cross_embedding_dedup",
-    "dp62_cluster_sample",
-    # NULL-id filter on both arms (round-11 ADVICE #1)
-    "dp143_bottomk_sample",
-    # synthetic-key type/bound validation (round-11 ADVICE #2)
+    # two-sided synthetic-key range guard, abs() overflow at Long.MIN
+    # (round-12 ADVICE #2)
     "dp147_paragraph_dedup",
-    # shared _scan helper between the ordered and watermark stream arms
-    "dp142_streaming_pattern",
+    # persist spliced after the two dedup stages (r12 verdict task 1,
+    # measured 5.35 -> 3.84 s in BASELINE.md)
+    "q31_curation_pipeline",
+    # persist spliced after text_lm_score (same knob study)
+    "q33_ccnet_curation",
+    # r12 code change (validation branch + d>3 LAPACK arm) that missed
+    # the r12 window (round-12 ADVICE #4)
+    "dp134_linear_fit",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
-    # the first 50 entries each round. Policy (round 12, per the round-11
-    # verdict): front-load WINDOW_RETOUCHED (every query whose code
-    # changed this round), then the stalest cohort on the board — the
-    # full r08-checked block (43 queries: dp29-dp56 remainder, the
-    # dp108-dp128 half, dp83/dp98/q30) fills the window exactly (7 + 43
-    # = 50). Entries 51+ (the r09/r10/r11-fresh cohorts) still get
-    # value-verified every round via tools/check_oracle.py. The window
-    # derivation is pinned by tests/test_entry_registry.py from
-    # WINDOW_RETOUCHED + the CORRECTNESS_r*.json history.
+    # the first 50 entries each round. Policy (round 13): front-load
+    # WINDOW_RETOUCHED (every query whose code changed this round), then
+    # the stalest cohort on the board — first the four r08 leftovers the
+    # r12 registry accidentally listed PAST the 50-entry boundary
+    # (dp56/dp83/dp98/q30: 54 names preceded the boundary comment, so
+    # entries 51-54 were never checked), then 40 of the 42 remaining
+    # r09-checked queries (6 + 4 + 40 = 50; q27/q28 defer to r14 and
+    # lead the remainder). Entries 51+ still get value-verified every
+    # round via tools/check_oracle.py. The window derivation is pinned
+    # by tests/test_entry_registry.py from WINDOW_RETOUCHED + the
+    # CORRECTNESS_r*.json history.
     return {
-        # --- new + code-touched this round (WINDOW_RETOUCHED r12) ---
-        "dp149_quality_buckets": dp149_quality_buckets,
-        "q33_ccnet_curation": q33_ccnet_curation,
+        "dp152_streaming_quality_buckets": dp152_streaming_quality_buckets,
         "dp150_streaming_topk": dp150_streaming_topk,
-        "dp151_char_entropy": dp151_char_entropy,
-        "dp12_knn_lsh": dp12_knn_lsh,
-        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,
-        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
-        "dp62_cluster_sample": dp62_cluster_sample,
-        "dp143_bottomk_sample": dp143_bottomk_sample,
         "dp147_paragraph_dedup": dp147_paragraph_dedup,
-        "dp142_streaming_pattern": dp142_streaming_pattern,
-        # --- r12 rotation cohort: the stalest block on the board —
-        # --- last hard driver signal r08 (43 queries; 7 + 43 = 50) ---
-        "dp108_corpus_overlap": dp108_corpus_overlap,  # last hard driver signal r08
-        "dp110_random_projection": dp110_random_projection,  # last hard driver signal r08
-        "dp114_gopher_rules": dp114_gopher_rules,  # last hard driver signal r08
-        "dp116_pq_encode": dp116_pq_encode,  # last hard driver signal r08
-        "dp117_knn_pq": dp117_knn_pq,  # last hard driver signal r08
-        "dp119_decontaminate_spans": dp119_decontaminate_spans,  # last hard driver signal r08
-        "dp120_dup_line_stats": dp120_dup_line_stats,  # last hard driver signal r08
-        "dp122_pca_moments": dp122_pca_moments,  # last hard driver signal r08
-        "dp123_frequent_terms": dp123_frequent_terms,  # last hard driver signal r08
-        "dp124_word_pmi": dp124_word_pmi,  # last hard driver signal r08
-        "dp126_mixture_plan": dp126_mixture_plan,  # last hard driver signal r08
-        "dp127_hilbert_layout": dp127_hilbert_layout,  # last hard driver signal r08
-        "dp128_frequent_bigrams": dp128_frequent_bigrams,  # last hard driver signal r08
-        "dp29_pack_sequences": dp29_pack_sequences,  # last hard driver signal r08
-        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,  # last hard driver signal r08
-        "dp31_sessionize_boundary": dp31_sessionize_boundary,  # last hard driver signal r08
-        "dp32_audio_decode": dp32_audio_decode,  # last hard driver signal r08
-        "dp33_text_chunk": dp33_text_chunk,  # last hard driver signal r08
-        "dp34_quality_prune": dp34_quality_prune,  # last hard driver signal r08
-        "dp35_lm_score": dp35_lm_score,  # last hard driver signal r08
-        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,  # last hard driver signal r08
-        "dp37_global_shuffle": dp37_global_shuffle,  # last hard driver signal r08
-        "dp38_embedding_quantize": dp38_embedding_quantize,  # last hard driver signal r08
-        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,  # last hard driver signal r08
-        "dp40_cross_near_dedup": dp40_cross_near_dedup,  # last hard driver signal r08
-        "dp41_quantile_prune": dp41_quantile_prune,  # last hard driver signal r08
-        "dp43_image_phash_dedup": dp43_image_phash_dedup,  # last hard driver signal r08
-        "dp44_lm_score_bigram": dp44_lm_score_bigram,  # last hard driver signal r08
-        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,  # last hard driver signal r08
-        "dp46_token_budget_sample": dp46_token_budget_sample,  # last hard driver signal r08
-        "dp47_line_dedup": dp47_line_dedup,  # last hard driver signal r08
-        "dp48_substring_dedup": dp48_substring_dedup,  # last hard driver signal r08
-        "dp49_curation_report": dp49_curation_report,  # last hard driver signal r08
-        "dp50_hopping_window": dp50_hopping_window,  # last hard driver signal r08
-        "dp51_winsorize": dp51_winsorize,  # last hard driver signal r08
-        "dp52_zscore_normalize": dp52_zscore_normalize,  # last hard driver signal r08
-        "dp53_weighted_sample": dp53_weighted_sample,  # last hard driver signal r08
-        "dp54_trailing_window": dp54_trailing_window,  # last hard driver signal r08
-        "dp55_funnel": dp55_funnel,  # last hard driver signal r08
+        "q31_curation_pipeline": q31_curation_pipeline,
+        "q33_ccnet_curation": q33_ccnet_curation,
+        "dp134_linear_fit": dp134_linear_fit,
+        # --- r13 rotation cohort: stalest-first — the four r08
+        # --- leftovers (the r12 registry listed 54 names before its
+        # --- boundary comment, so entries 51-54 never got checked),
+        # --- then 40 of the 42 remaining r09 queries (6+4+40 = 50) ---
         "dp56_cohort_retention": dp56_cohort_retention,  # last hard driver signal r08
         "dp83_bm25_topk": dp83_bm25_topk,  # last hard driver signal r08
         "dp98_ngram_counts": dp98_ngram_counts,  # last hard driver signal r08
         "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,  # last hard driver signal r08
-        # ---- driver window boundary (entry 50 = q30_gab_week_day_snapshot) ----
-        # --- remainder: r09/r10/r11-fresh cohorts, value-verified via
-        # --- tools/check_oracle.py every round; ordered stalest-first ---
-        "dp118_wordpiece_encode": dp118_wordpiece_encode,  # r09
-        "dp121_graph_components": dp121_graph_components,  # r09
-        "dp125_unigram_encode": dp125_unigram_encode,  # r09
-        "dp129_group_quantile_prune": dp129_group_quantile_prune,  # r09
-        "dp20_dup_clusters": dp20_dup_clusters,  # r09
-        "dp57_robust_scale": dp57_robust_scale,  # r09
-        "dp58_quantile_summary": dp58_quantile_summary,  # r09
-        "dp59_event_pivot": dp59_event_pivot,  # r09
-        "dp60_salted_join": dp60_salted_join,  # r09
-        "dp61_keep_best_dedup": dp61_keep_best_dedup,  # r09
-        "dp63_cdc_chunk": dp63_cdc_chunk,  # r09
-        "dp64_ewma_anomaly": dp64_ewma_anomaly,  # r09
-        "dp65_fuzzy_join": dp65_fuzzy_join,  # r09
-        "dp66_scd2_build": dp66_scd2_build,  # r09
-        "dp67_merge_intervals": dp67_merge_intervals,  # r09
-        "dp70_video_frames": dp70_video_frames,  # r09
-        "dp71_trend_fit": dp71_trend_fit,  # r09
-        "dp72_histogram": dp72_histogram,  # r09
-        "dp73_weighted_sample_k": dp73_weighted_sample_k,  # r09
-        "dp74_lexical_diversity": dp74_lexical_diversity,  # r09
-        "dp75_snapshot_diff": dp75_snapshot_diff,  # r09
-        "dp76_schema_drift": dp76_schema_drift,  # r09
-        "dp77_quality_model_filter": dp77_quality_model_filter,  # r09
-        "dp78_event_transitions": dp78_event_transitions,  # r09
-        "dp79_gap_fill": dp79_gap_fill,  # r09
-        "dp80_asof_nearest": dp80_asof_nearest,  # r09
-        "dp81_text_clean": dp81_text_clean,  # r09
-        "dp82_url_normalize": dp82_url_normalize,  # r09
-        "dp84_png_decode": dp84_png_decode,  # r09
-        "dp85_jpeg_decode": dp85_jpeg_decode,  # r09
-        "dp86_gif_decode": dp86_gif_decode,  # r09
-        "dp87_pagerank": dp87_pagerank,  # r09
-        "dp88_binary_decompress": dp88_binary_decompress,  # r09
-        "dp89_sentence_split": dp89_sentence_split,  # r09
-        "dp90_html_strip": dp90_html_strip,  # r09
-        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # r09
-        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # r09
-        "q24_semi_anti_join": q24_semi_anti_join,  # r09
-        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # r09
-        "q26_gab_daily_rollup": q26_gab_daily_rollup,  # r09
+        "dp118_wordpiece_encode": dp118_wordpiece_encode,  # last hard driver signal r09
+        "dp121_graph_components": dp121_graph_components,  # last hard driver signal r09
+        "dp125_unigram_encode": dp125_unigram_encode,  # last hard driver signal r09
+        "dp129_group_quantile_prune": dp129_group_quantile_prune,  # last hard driver signal r09
+        "dp20_dup_clusters": dp20_dup_clusters,  # last hard driver signal r09
+        "dp57_robust_scale": dp57_robust_scale,  # last hard driver signal r09
+        "dp58_quantile_summary": dp58_quantile_summary,  # last hard driver signal r09
+        "dp59_event_pivot": dp59_event_pivot,  # last hard driver signal r09
+        "dp60_salted_join": dp60_salted_join,  # last hard driver signal r09
+        "dp61_keep_best_dedup": dp61_keep_best_dedup,  # last hard driver signal r09
+        "dp63_cdc_chunk": dp63_cdc_chunk,  # last hard driver signal r09
+        "dp64_ewma_anomaly": dp64_ewma_anomaly,  # last hard driver signal r09
+        "dp65_fuzzy_join": dp65_fuzzy_join,  # last hard driver signal r09
+        "dp66_scd2_build": dp66_scd2_build,  # last hard driver signal r09
+        "dp67_merge_intervals": dp67_merge_intervals,  # last hard driver signal r09
+        "dp70_video_frames": dp70_video_frames,  # last hard driver signal r09
+        "dp71_trend_fit": dp71_trend_fit,  # last hard driver signal r09
+        "dp72_histogram": dp72_histogram,  # last hard driver signal r09
+        "dp73_weighted_sample_k": dp73_weighted_sample_k,  # last hard driver signal r09
+        "dp74_lexical_diversity": dp74_lexical_diversity,  # last hard driver signal r09
+        "dp75_snapshot_diff": dp75_snapshot_diff,  # last hard driver signal r09
+        "dp76_schema_drift": dp76_schema_drift,  # last hard driver signal r09
+        "dp77_quality_model_filter": dp77_quality_model_filter,  # last hard driver signal r09
+        "dp78_event_transitions": dp78_event_transitions,  # last hard driver signal r09
+        "dp79_gap_fill": dp79_gap_fill,  # last hard driver signal r09
+        "dp80_asof_nearest": dp80_asof_nearest,  # last hard driver signal r09
+        "dp81_text_clean": dp81_text_clean,  # last hard driver signal r09
+        "dp82_url_normalize": dp82_url_normalize,  # last hard driver signal r09
+        "dp84_png_decode": dp84_png_decode,  # last hard driver signal r09
+        "dp85_jpeg_decode": dp85_jpeg_decode,  # last hard driver signal r09
+        "dp86_gif_decode": dp86_gif_decode,  # last hard driver signal r09
+        "dp87_pagerank": dp87_pagerank,  # last hard driver signal r09
+        "dp88_binary_decompress": dp88_binary_decompress,  # last hard driver signal r09
+        "dp89_sentence_split": dp89_sentence_split,  # last hard driver signal r09
+        "dp90_html_strip": dp90_html_strip,  # last hard driver signal r09
+        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # last hard driver signal r09
+        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # last hard driver signal r09
+        "q24_semi_anti_join": q24_semi_anti_join,  # last hard driver signal r09
+        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # last hard driver signal r09
+        "q26_gab_daily_rollup": q26_gab_daily_rollup,  # last hard driver signal r09
+        # ---- driver window boundary (entry 50 = q26_gab_daily_rollup) ----
+        # --- remainder: value-verified via tools/check_oracle.py every
+        # --- round; ordered stalest-first (q27/q28 lead for r14) ---
         "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,  # r09
         "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,  # r09
-        "q31_curation_pipeline": q31_curation_pipeline,  # r09
         "dp01_text_quality": dp01_text_quality,  # r10
         "dp02_langid": dp02_langid,  # r10
         "dp03_token_count": dp03_token_count,  # r10
@@ -4647,7 +4644,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp131_knn_ivf_hier": dp131_knn_ivf_hier,  # r11
         "dp132_semantic_dedup_hier": dp132_semantic_dedup_hier,  # r11
         "dp133_prototype_prune": dp133_prototype_prune,  # r11
-        "dp134_linear_fit": dp134_linear_fit,  # r11
         "dp135_event_pattern": dp135_event_pattern,  # r11
         "dp136_source_divergence": dp136_source_divergence,  # r11
         "dp137_ngram_novelty": dp137_ngram_novelty,  # r11
@@ -4683,6 +4679,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,  # r11
         "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,  # r11
         "q32_tokenize_pipeline": q32_tokenize_pipeline,  # r11
+        "dp149_quality_buckets": dp149_quality_buckets,  # r12
+        "dp151_char_entropy": dp151_char_entropy,  # r12
+        "dp12_knn_lsh": dp12_knn_lsh,  # r12
+        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,  # r12
+        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,  # r12
+        "dp62_cluster_sample": dp62_cluster_sample,  # r12
+        "dp143_bottomk_sample": dp143_bottomk_sample,  # r12
+        "dp142_streaming_pattern": dp142_streaming_pattern,  # r12
+        "dp108_corpus_overlap": dp108_corpus_overlap,  # r12
+        "dp110_random_projection": dp110_random_projection,  # r12
+        "dp114_gopher_rules": dp114_gopher_rules,  # r12
+        "dp116_pq_encode": dp116_pq_encode,  # r12
+        "dp117_knn_pq": dp117_knn_pq,  # r12
+        "dp119_decontaminate_spans": dp119_decontaminate_spans,  # r12
+        "dp120_dup_line_stats": dp120_dup_line_stats,  # r12
+        "dp122_pca_moments": dp122_pca_moments,  # r12
+        "dp123_frequent_terms": dp123_frequent_terms,  # r12
+        "dp124_word_pmi": dp124_word_pmi,  # r12
+        "dp126_mixture_plan": dp126_mixture_plan,  # r12
+        "dp127_hilbert_layout": dp127_hilbert_layout,  # r12
+        "dp128_frequent_bigrams": dp128_frequent_bigrams,  # r12
+        "dp29_pack_sequences": dp29_pack_sequences,  # r12
+        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,  # r12
+        "dp31_sessionize_boundary": dp31_sessionize_boundary,  # r12
+        "dp32_audio_decode": dp32_audio_decode,  # r12
+        "dp33_text_chunk": dp33_text_chunk,  # r12
+        "dp34_quality_prune": dp34_quality_prune,  # r12
+        "dp35_lm_score": dp35_lm_score,  # r12
+        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,  # r12
+        "dp37_global_shuffle": dp37_global_shuffle,  # r12
+        "dp38_embedding_quantize": dp38_embedding_quantize,  # r12
+        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,  # r12
+        "dp40_cross_near_dedup": dp40_cross_near_dedup,  # r12
+        "dp41_quantile_prune": dp41_quantile_prune,  # r12
+        "dp43_image_phash_dedup": dp43_image_phash_dedup,  # r12
+        "dp44_lm_score_bigram": dp44_lm_score_bigram,  # r12
+        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,  # r12
+        "dp46_token_budget_sample": dp46_token_budget_sample,  # r12
+        "dp47_line_dedup": dp47_line_dedup,  # r12
+        "dp48_substring_dedup": dp48_substring_dedup,  # r12
+        "dp49_curation_report": dp49_curation_report,  # r12
+        "dp50_hopping_window": dp50_hopping_window,  # r12
+        "dp51_winsorize": dp51_winsorize,  # r12
+        "dp52_zscore_normalize": dp52_zscore_normalize,  # r12
+        "dp53_weighted_sample": dp53_weighted_sample,  # r12
+        "dp54_trailing_window": dp54_trailing_window,  # r12
+        "dp55_funnel": dp55_funnel,  # r12
     }
 
 
@@ -7417,12 +7460,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dp150_streaming_topk": """
             -- best-score-wins per id, then rank by (score DESC, id);
-            -- total_seen counts raw (non-null id+score) rows; NULLs
-            -- excluded on both arms
+            -- total_seen counts raw (non-null id+score) rows; NULL and
+            -- NaN scores excluded on both arms (NaN cannot compete)
             WITH src AS (
               SELECT user_id, event_id, CAST(value AS DOUBLE) AS v
               FROM events
               WHERE event_id IS NOT NULL AND value IS NOT NULL
+                AND NOT isnan(CAST(value AS DOUBLE))
             ), tot AS (
               SELECT user_id, CAST(COUNT(*) AS BIGINT) AS total_seen
               FROM src GROUP BY user_id
@@ -7495,6 +7539,36 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'middle' THEN 500000
                                 WHEN 'tail' THEN 100000
                                 ELSE 0 END
+        """,
+        "dp152_streaming_quality_buckets": """
+            -- the tier TABLE itself (dp149's rule before the attach
+            -- join): histogram over distinct (lang, score), cumulative
+            -- best-first, tier = first cumulative budget ceil(c*n)
+            -- covering the value; NULL/NaN scores excluded (not grid
+            -- values); total_seen = rows carrying a grid value
+            WITH hist AS (
+              SELECT lang, CAST(n_chars AS DOUBLE) AS score,
+                     CAST(COUNT(*) AS BIGINT) AS score_count
+              FROM documents
+              WHERE n_chars IS NOT NULL
+                AND NOT isnan(CAST(n_chars AS DOUBLE))
+              GROUP BY lang, n_chars
+            ), cum AS (
+              SELECT lang, score, score_count,
+                     CAST(SUM(score_count) OVER (
+                       PARTITION BY lang ORDER BY score DESC
+                     ) AS BIGINT) AS cum_count,
+                     CAST(SUM(score_count) OVER (
+                       PARTITION BY lang
+                     ) AS BIGINT) AS total_seen
+              FROM hist
+            )
+            SELECT lang, score,
+                   CASE WHEN cum_count <= ceil(total_seen * 0.3) THEN 'head'
+                        WHEN cum_count <= ceil(total_seen * 0.6) THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   score_count, cum_count, total_seen
+            FROM cum
         """,
         "dp149_quality_buckets": """
             -- histogram over distinct (lang, score), cumulative

@@ -2195,9 +2195,14 @@ def text_paragraph_dedup(
         # Enforced per-row with raise_error (a codegen branch, not an extra
         # action) instead of only documenting the bound.
         max_id = (2**63 - 1) // 1_000_000 - 1
+        # two-sided range check, NOT abs(): abs(Long.MIN_VALUE) overflows
+        # back to Long.MIN_VALUE in non-ANSI Spark and would slip past a
+        # single `> max_id` comparison (id=-2^63 is reachable via the
+        # docstring's own xxhash64 recommendation)
         key_expr = F.when(
             (F.col("__pos0") + 1 >= 1_000_000)
-            | (F.abs(F.col("__id").cast("long")) > max_id),
+            | (F.col("__id").cast("long") > max_id)
+            | (F.col("__id").cast("long") < -max_id),
             F.raise_error(
                 F.concat(
                     F.lit(

@@ -1260,8 +1260,10 @@ def streaming_topk_score(
     then the group keeps the top-k ids by ``(score best-first, id)``.
     The result is a pure function of the (id → best score) map, so it is
     arrival-order / batch-boundary / restart independent and exactly
-    SQL-replayable. NULL ids and NULL scores are excluded on both arms
-    (an unscorable row cannot compete; a NULL id is not joinable back).
+    SQL-replayable. NULL ids and NULL/NaN scores are excluded on both
+    arms (an unscorable row cannot compete; a NULL id is not joinable
+    back; NaN would rank arbitrarily in the streaming arm's Python sort
+    but above every double in Spark's ORDER BY — dropped for arm parity).
 
     State: the k ``(score, id)`` pairs plus a seen-counter — O(k) per
     group forever. Each micro-batch emits the group's CURRENT top-k
@@ -1279,8 +1281,14 @@ def streaming_topk_score(
         raise ValueError("streaming_topk_score: 'on' keys must be non-empty")
 
     def _fn(df: DataFrame) -> DataFrame:
+        # NaN excluded alongside NULL: the streaming arm's Python sorted()
+        # would let NaN squat in top-k slots (arbitrary comparisons) while
+        # Spark's ORDER BY ranks NaN above every double — either way an
+        # unscorable row cannot compete, so both arms drop it up front.
         df = df.filter(
-            F.col(id_col).isNotNull() & F.col(score_col).isNotNull()
+            F.col(id_col).isNotNull()
+            & F.col(score_col).isNotNull()
+            & ~F.isnan(F.col(score_col).cast("double"))
         )
         sc = F.col(score_col).cast("double")
         if not df.isStreaming:
@@ -1378,6 +1386,175 @@ def streaming_topk_score(
             _update,
             outputStructType=out_schema,
             stateStructType="scores ARRAY<DOUBLE>, ids ARRAY<STRING>, seen BIGINT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _fn
+
+
+@register("streaming_quality_buckets")
+def streaming_quality_buckets(
+    on: List[str],
+    score_col: str,
+    buckets: dict,
+    higher_is_better: bool = True,
+    max_distinct: int = 100_000,
+) -> TransformerFn:
+    """Streaming arm of the CCNet quality tiering
+    (:func:`~lakehouse_engine_spark.datapipes.sampling.quality_bucket_split`):
+    maintain each group's score HISTOGRAM across micro-batches and emit
+    the current ``(score value → tier)`` table per batch — the live
+    version of the head/middle/tail perplexity split, so a running
+    curation job can look up the tier of any score against the
+    distribution seen SO FAR instead of waiting for a batch recompute.
+
+    Tier rule — identical to the batch op, applied to the cumulative
+    histogram: distinct score values sort best-first; value v belongs to
+    the first tier k whose cumulative row budget ``ceil(c_k · N)``
+    (c_k = normalized cumulative ``buckets`` weight, N = rows seen)
+    covers v's at-or-better population. The emitted table is a pure
+    function of the (group → score histogram) map, so it is
+    arrival-order / batch-boundary / restart independent and exactly
+    SQL-replayable. NULL and NaN scores are excluded on both arms (the
+    batch op's unscorable-goes-to-tail rule is a JOIN-time default — a
+    NULL is not a grid value and cannot carry a histogram row).
+
+    State: the group's ``(score, count)`` pairs — O(distinct scores) per
+    group, bounded by the family's bounded-grid contract (scores are
+    rounded/gridded upstream, distinct ≪ rows; enforced loudly at
+    ``max_distinct``, the analogue of the batch op's broadcast-size
+    assumption). Each micro-batch emits the group's FULL current tier
+    table tagged with cumulative ``total_seen``; append-mode sinks hold
+    one snapshot per batch — read the rows at the max ``total_seen`` per
+    group (the family's cumulative-emission convention).
+
+    On a BATCH frame: histogram + cumulative window over distinct
+    values + tier CASE — the SQL oracle shape (and exactly the internal
+    tier table of ``quality_bucket_split`` before its attach join).
+    """
+    if not on:
+        raise ValueError("streaming_quality_buckets: 'on' keys must be non-empty")
+    if not buckets or len(buckets) < 2:
+        raise ValueError(
+            f"streaming_quality_buckets: need >= 2 buckets, got {buckets!r}"
+        )
+    weights = list(buckets.values())
+    if any(not isinstance(v, (int, float)) or v <= 0 for v in weights):
+        raise ValueError(
+            "streaming_quality_buckets: bucket weights must be > 0, "
+            f"got {buckets!r}"
+        )
+    if max_distinct < 1:
+        raise ValueError(
+            f"streaming_quality_buckets: max_distinct must be >= 1, got {max_distinct}"
+        )
+    names = list(buckets.keys())
+    total_w = float(sum(weights))
+    cums: List[float] = []
+    acc = 0.0
+    for v in weights[:-1]:
+        acc += float(v)
+        cums.append(acc / total_w)
+
+    def _fn(df: DataFrame) -> DataFrame:
+        sc = F.col(score_col).cast("double")
+        df = df.filter(F.col(score_col).isNotNull() & ~F.isnan(sc))
+        if not df.isStreaming:
+            from pyspark.sql import Window
+
+            hist = df.groupBy(*on, sc.alias("score")).agg(
+                F.count(F.lit(1)).cast("long").alias("score_count")
+            )
+            order = F.desc("score") if higher_is_better else F.asc("score")
+            w = Window.partitionBy(*on).orderBy(order).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            wg = Window.partitionBy(*on)
+            cum = hist.withColumn(
+                "cum_count", F.sum("score_count").over(w).cast("long")
+            ).withColumn("total_seen", F.sum("score_count").over(wg).cast("long"))
+            tier = F.lit(names[-1])
+            for name, c in reversed(list(zip(names[:-1], cums))):
+                tier = F.when(
+                    F.col("cum_count") <= F.ceil(F.col("total_seen") * c),
+                    F.lit(name),
+                ).otherwise(tier)
+            return cum.select(
+                *on, "score", tier.alias("bucket"),
+                "score_count", "cum_count", "total_seen",
+            )
+
+        import math
+
+        src = df.select(*on, sc.alias("__score"))
+        key_fields = [f for f in src.schema.fields if f.name in on]
+        out_schema = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+            + [
+                "score DOUBLE",
+                "bucket STRING",
+                "score_count BIGINT",
+                "cum_count BIGINT",
+                "total_seen BIGINT",
+            ]
+        )
+
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        sign = -1.0 if higher_is_better else 1.0
+
+        def _update(
+            key: Tuple,
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            batch = [pdf for pdf in pdfs if len(pdf)]
+            if not batch:
+                return
+            allb = batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
+            hist: dict = {}
+            if state.exists:
+                scores, counts = state.get
+                hist = dict(zip(scores, counts))
+            for s_ in allb["__score"].astype(float).tolist():
+                hist[s_] = hist.get(s_, 0) + 1
+            if len(hist) > max_distinct:
+                # the bounded-grid contract is broken — the state (and
+                # the batch op's broadcast tier table) would grow with
+                # data volume; fail loudly instead of degrading
+                raise ValueError(
+                    f"streaming_quality_buckets: group {key!r} exceeded "
+                    f"max_distinct={max_distinct} distinct score values — "
+                    "grid/round the score upstream (the bounded-grid "
+                    "contract) or raise max_distinct"
+                )
+            ordered = sorted(hist.items(), key=lambda e: e[0] * sign)
+            n = sum(c for _, c in ordered)
+            state.update(([s_ for s_, _ in ordered], [c for _, c in ordered]))
+            # per-tier cumulative budgets: ceil on the same IEEE754
+            # double product as the batch arm's F.ceil(total_seen * c)
+            budgets = [math.ceil(n * c) for c in cums]
+            rows = []
+            cum = 0
+            for s_, c_ in ordered:
+                cum += c_
+                tier = names[-1]
+                for name, b in zip(names[:-1], budgets):
+                    if cum <= b:
+                        tier = name
+                        break
+                rows.append(list(key) + [s_, tier, c_, cum, n])
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in key_fields]
+                + ["score", "bucket", "score_count", "cum_count", "total_seen"],
+            )
+
+        return src.groupBy(*on).applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType="scores ARRAY<DOUBLE>, counts ARRAY<BIGINT>",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -132,10 +132,17 @@ def record_commit(spark: SparkSession, location: str, mode: str) -> None:
         new = sorted(f for f in current if f not in known)
         if not new:
             return
+        # epoch millis, not wall-clock text: a naive local string re-parsed
+        # by F.to_timestamp in the SESSION timezone skews _commit_timestamp
+        # by the offset whenever spark.sql.session.timeZone differs from
+        # the driver OS zone; millis are zone-free and read back with
+        # timestamp_millis. "ts" kept for human inspection only (UTC).
+        now = _dt.datetime.now(_dt.timezone.utc)
         entries.append(
             {
                 "version": prev_max + 1,
-                "ts": _dt.datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
+                "ts": now.strftime("%Y-%m-%d %H:%M:%S UTC"),
+                "ts_ms": int(now.timestamp() * 1000),
                 "files": new,
             }
         )

@@ -300,12 +300,20 @@ def _emulated_cdf_stream(
         # stream's _metadata.file_path; files no entry claims (foreign
         # writes, pre-log history) stamp version 0 = table creation.
         rows = [
-            (cdf_commit_log._normalize(f), int(e["version"]), e.get("ts"))
+            (
+                cdf_commit_log._normalize(f),
+                int(e["version"]),
+                # zone-free epoch millis preferred; legacy logs carried a
+                # naive local string whose re-parse skews with the session
+                # timezone — kept only as a fallback for pre-existing logs
+                int(e["ts_ms"]) if e.get("ts_ms") is not None else None,
+                e.get("ts"),
+            )
             for e in entries
             for f in e.get("files", [])
         ]
         vmap = spark.createDataFrame(
-            rows, "__fp STRING, __ver LONG, __vts STRING"
+            rows, "__fp STRING, __ver LONG, __vms LONG, __vts STRING"
         )
         return (
             stream.withColumn(
@@ -321,10 +329,12 @@ def _emulated_cdf_stream(
             .withColumn(
                 "_commit_timestamp",
                 F.coalesce(
-                    F.to_timestamp("__vts"), F.current_timestamp()
+                    F.timestamp_millis("__vms"),
+                    F.to_timestamp("__vts"),
+                    F.current_timestamp(),
                 ),
             )
-            .drop("__fp", "__ver", "__vts")
+            .drop("__fp", "__ver", "__vms", "__vts")
         )
 
     version = _bump_cdf_version(spark, materialized_cdf_location)

@@ -1116,6 +1116,77 @@ def test_streaming_topk_score_converges_and_best_score_wins(spark, tmp_dir):
         t("streaming_topk_score", on=[], id_col="id", score_col="v", k=1)
 
 
+def test_streaming_quality_buckets_converges_and_restarts(spark, tmp_dir):
+    """The emitted tier table is a pure function of the cumulative
+    (group -> score histogram): any batch split (including a restart)
+    converges to the batch arm; NULL/NaN scores are excluded on both
+    arms; the bounded-grid contract raises loudly when breached."""
+    src = os.path.join(tmp_dir, "qb_src")
+    out = os.path.join(tmp_dir, "qb_out")
+    ck = os.path.join(tmp_dir, "qb_ck")
+    op = t(
+        "streaming_quality_buckets",
+        on=["src"],
+        score_col="v",
+        buckets={"head": 3, "middle": 3, "tail": 4},
+    )
+    # gridded scores with repeats across two groups + excluded rows
+    rows = (
+        [("a", i, float(i % 5)) for i in range(1, 21)]
+        + [("b", i, float(i % 3)) for i in range(1, 8)]
+        + [("a", 99, None), ("b", 98, float("nan"))]  # excluded both arms
+    )
+    batch_df = spark.createDataFrame(rows, "src STRING, id BIGINT, v DOUBLE")
+    expected = sorted(
+        (r["src"], r["score"], r["bucket"], r["score_count"],
+         r["cum_count"], r["total_seen"])
+        for r in batch_df.transform(op).collect()
+    )
+    # head/middle/tail all populated for group a (20 rows, 5 values of 4)
+    a_tiers = {e[2] for e in expected if e[0] == "a"}
+    assert a_tiers == {"head", "middle", "tail"}
+    assert all(e[5] == 20 for e in expected if e[0] == "a")
+    _stage_scored(spark, src, rows[:9])
+    _stage_scored(spark, src, rows[9:23])
+    _run_topk_stream(spark, src, out, ck, op)
+    _stage_scored(spark, src, rows[23:])   # rest after a restart
+    _run_topk_stream(spark, src, out, ck, op)
+    got = spark.read.parquet(out).collect()
+    final = []
+    for g in ("a", "b"):
+        grows = [r for r in got if r["src"] == g]
+        latest = max(r["total_seen"] for r in grows)
+        final += [
+            (r["src"], r["score"], r["bucket"], r["score_count"],
+             r["cum_count"], r["total_seen"])
+            for r in grows
+            if r["total_seen"] == latest
+        ]
+    assert sorted(final) == expected
+    with pytest.raises(ValueError):
+        t("streaming_quality_buckets", on=[], score_col="v",
+          buckets={"h": 1, "t": 1})
+    with pytest.raises(ValueError):
+        t("streaming_quality_buckets", on=["src"], score_col="v",
+          buckets={"h": 1})
+    with pytest.raises(ValueError):
+        t("streaming_quality_buckets", on=["src"], score_col="v",
+          buckets={"h": 1, "t": 0})
+    # bounded-grid breach fails the stream LOUDLY (state would grow
+    # with data volume otherwise)
+    tight = t(
+        "streaming_quality_buckets", on=["src"], score_col="v",
+        buckets={"h": 1, "t": 1}, max_distinct=2,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="max_distinct"):
+        _run_topk_stream(
+            spark, src, os.path.join(tmp_dir, "qb_out2"),
+            os.path.join(tmp_dir, "qb_ck2"), tight,
+        )
+
+
 def test_streaming_bottomk_sample_null_ids_excluded(spark, tmp_dir):
     """NULL ids are filtered on BOTH arms before priorities exist:
     md5(NULL) would otherwise rank first in the batch window, and a None
