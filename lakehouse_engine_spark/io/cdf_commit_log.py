@@ -21,10 +21,13 @@ Limitations mirror the emulation's: append-only (rewrites invalidate
 file identity), only writes that go THROUGH the engine's writers are
 logged — foreign appends fall back to the materialization-counter
 versioning in ``terminator_factory`` — and the log's
-read-modify-write assumes a single writer per table (the same
-assumption as the parquet merge fallback's overwrite; real Delta gets
-multi-writer safety from atomic log commits, which raw object stores
-cannot provide).
+read-modify-write targets ONE writer per table (the same contract as
+the parquet merge fallback's overwrite; real Delta gets multi-writer
+safety from atomic log commits, which raw object stores cannot
+provide). Since round 13 that contract is ENFORCED best-effort by
+``io/table_lock.WriterLock``: a second engine writer racing the log
+raises ``ConcurrentWriterError`` instead of silently dropping a commit
+entry.
 """
 
 from __future__ import annotations
@@ -115,37 +118,58 @@ def record_commit(spark: SparkSession, location: str, mode: str) -> None:
     """Record one commit at ``location``: the data files present now that
     no earlier entry claims. ``mode=='overwrite'`` restarts file history
     (the old files are gone) but keeps the version counter monotone,
-    matching Delta's numbering across overwrites. Never raises — a
-    failed log write must not fail the data write it annotates."""
-    try:
-        import datetime as _dt
+    matching Delta's numbering across overwrites.
 
-        entries = read_log(spark, location) or []
-        if mode == "overwrite":
-            known: set = set()
-            prev_max = max((e.get("version", 0) for e in entries), default=0)
-            entries = []
-        else:
-            known = {f for e in entries for f in e.get("files", [])}
-            prev_max = max((e.get("version", 0) for e in entries), default=0)
-        current = _list_data_files(spark, location)
-        new = sorted(f for f in current if f not in known)
-        if not new:
-            return
-        # epoch millis, not wall-clock text: a naive local string re-parsed
-        # by F.to_timestamp in the SESSION timezone skews _commit_timestamp
-        # by the offset whenever spark.sql.session.timeZone differs from
-        # the driver OS zone; millis are zone-free and read back with
-        # timestamp_millis. "ts" kept for human inspection only (UTC).
-        now = _dt.datetime.now(_dt.timezone.utc)
-        entries.append(
-            {
-                "version": prev_max + 1,
-                "ts": now.strftime("%Y-%m-%d %H:%M:%S UTC"),
-                "ts_ms": int(now.timestamp() * 1000),
-                "files": new,
-            }
-        )
-        _write_log(spark, location, entries)
+    Concurrency: the read-modify-write runs under the best-effort
+    :class:`~lakehouse_engine_spark.io.table_lock.WriterLock`, so two
+    engine writers appending to the same degraded-delta table raise a
+    loud ``ConcurrentWriterError`` instead of silently losing one
+    writer's commit entry. That error PROPAGATES (it signals a real
+    correctness hazard on the data write that just happened); any other
+    log failure is swallowed — a broken annotation must not fail the
+    data write it annotates."""
+    from lakehouse_engine_spark.io.table_lock import (
+        ConcurrentWriterError,
+        WriterLock,
+    )
+
+    try:
+        with WriterLock(spark, location, op="cdf_commit") as lk:
+            _record_commit_locked(spark, location, mode, lk)
+    except ConcurrentWriterError:
+        raise
     except Exception as exc:  # pragma: no cover - defensive
         _LOGGER.warning("cdf commit log update failed at %s: %s", location, exc)
+
+
+def _record_commit_locked(spark, location: str, mode: str, lock) -> None:
+    import datetime as _dt
+
+    entries = read_log(spark, location) or []
+    if mode == "overwrite":
+        known: set = set()
+        prev_max = max((e.get("version", 0) for e in entries), default=0)
+        entries = []
+    else:
+        known = {f for e in entries for f in e.get("files", [])}
+        prev_max = max((e.get("version", 0) for e in entries), default=0)
+    current = _list_data_files(spark, location)
+    new = sorted(f for f in current if f not in known)
+    if not new:
+        return
+    # epoch millis, not wall-clock text: a naive local string re-parsed
+    # by F.to_timestamp in the SESSION timezone skews _commit_timestamp
+    # by the offset whenever spark.sql.session.timeZone differs from
+    # the driver OS zone; millis are zone-free and read back with
+    # timestamp_millis. "ts" kept for human inspection only (UTC).
+    now = _dt.datetime.now(_dt.timezone.utc)
+    entries.append(
+        {
+            "version": prev_max + 1,
+            "ts": now.strftime("%Y-%m-%d %H:%M:%S UTC"),
+            "ts_ms": int(now.timestamp() * 1000),
+            "files": new,
+        }
+    )
+    lock.verify()  # detect a mid-flight lock steal before the overwrite
+    _write_log(spark, location, entries)

@@ -250,8 +250,30 @@ def _merge_rewrite(spark, df, opts: MergeOptions, location, db_table, data_forma
     (the table itself, or the catalog table registered at a path target)
     casts the incoming frame before merging, so e.g. a CSV batch whose
     inferSchema disagrees with the DDL lands with the declared types.
+
+    Concurrency: the whole read→join→overwrite is guarded by the
+    best-effort :class:`~lakehouse_engine_spark.io.table_lock.WriterLock`
+    — two engine writers racing the same target get ONE winner and one
+    loud ``ConcurrentWriterError`` instead of a silent lost-update (real
+    Delta serializes via atomic log commits, reference
+    ``io/writers/delta_merge_writer.py:28-210``; a raw filesystem can
+    only approximate that with atomic lock-file creation).
     """
+    from lakehouse_engine_spark.io.table_lock import WriterLock
+
     fmt = data_format if data_format != "delta" else "parquet"
+    lock_loc = location or _table_location(spark, db_table)
+    if lock_loc is None:
+        # managed table with no resolvable path (embedded single-process
+        # metastore): nothing to anchor a lock file to; proceed under the
+        # documented single-writer assumption
+        _merge_rewrite_locked(spark, df, opts, location, db_table, fmt, None)
+        return
+    with WriterLock(spark, lock_loc, op="merge") as lk:
+        _merge_rewrite_locked(spark, df, opts, location, db_table, fmt, lk)
+
+
+def _merge_rewrite_locked(spark, df, opts: MergeOptions, location, db_table, fmt, lock) -> None:
 
     def _first_load():
         frame = df
@@ -262,6 +284,8 @@ def _merge_rewrite(spark, df, opts: MergeOptions, location, db_table, data_forma
         )
         if schema is not None:
             frame = _store_assign(frame, schema)
+        if lock is not None:
+            lock.verify()  # detect a mid-flight lock steal before writing
         if db_table:
             _save_table(frame, spark, db_table, fmt)
         else:
@@ -375,6 +399,11 @@ def _merge_rewrite(spark, df, opts: MergeOptions, location, db_table, data_forma
     result = target_only.unionByName(kept_matched).unionByName(inserts)
     # Materialize before overwriting the table we read from.
     result = result.localCheckpoint(eager=True)
+    if lock is not None:
+        # last gate before the destructive overwrite: if another writer
+        # stole the lock (treated ours as stale), our materialized result
+        # no longer includes their update — refuse loudly
+        lock.verify()
     if db_table:
         _save_table(result, spark, db_table, fmt)
     else:

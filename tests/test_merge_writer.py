@@ -275,3 +275,100 @@ def test_catalog_schema_lookup_is_bulk_and_memoized(spark, tmp_dir):
     for i in range(5):
         spark.sql(f"DROP TABLE IF EXISTS lookup_db.lk{i}")
     spark.sql("DROP DATABASE IF EXISTS lookup_db")
+
+
+# ---------------------------------------------------------------------------
+# multi-writer guard (io/table_lock.py): the parquet fallback's documented
+# single-writer contract is ENFORCED — two interleaved writers get one
+# winner and one loud ConcurrentWriterError, never a silent lost-update
+# (real Delta gets this from atomic log commits,
+# reference io/writers/delta_merge_writer.py:28-210)
+# ---------------------------------------------------------------------------
+
+
+def test_concurrent_merge_writers_one_wins(spark, target):
+    """Writer B starts while writer A holds the lock: B raises instead of
+    overwriting A's base state; after A releases, B's merge succeeds."""
+    from lakehouse_engine_spark.io.table_lock import (
+        ConcurrentWriterError,
+        WriterLock,
+    )
+
+    with WriterLock(spark, target, op="merge"):  # writer A mid-flight
+        with pytest.raises(ConcurrentWriterError, match="concurrent writer"):
+            _merge(
+                spark, target,
+                [(2, "updated", 999)],
+                {"merge_predicate": "current.id = new.id"},
+            )
+        # A's view of the target is untouched by B's refused attempt
+        assert spark.read.parquet(target).count() == 3
+    got = _merge(  # A released: B retries and wins
+        spark, target,
+        [(2, "updated", 999)],
+        {"merge_predicate": "current.id = new.id"},
+    )
+    assert [r["val"] for r in got.collect() if r["id"] == 2] == [999]
+    assert got.count() == 3
+
+
+def test_lock_steal_detected_before_overwrite(spark, tmp_dir):
+    """A second writer that treated writer A's lock as stale and replaced
+    it is detected by A's commit-time verify(): A refuses the overwrite
+    (its materialized result no longer includes B's update)."""
+    import os as _os
+
+    from lakehouse_engine_spark.io.table_lock import (
+        ConcurrentWriterError,
+        WriterLock,
+    )
+
+    loc = _os.path.join(tmp_dir, "steal_tgt")
+    _os.makedirs(loc, exist_ok=True)
+    with WriterLock(spark, loc, op="merge") as a:
+        a.verify()  # still ours
+        # writer B steals: removes A's lock file and claims its own
+        _os.remove(_os.path.join(loc, "_lhe_writer.lock"))
+        with WriterLock(spark, loc, op="merge"):
+            with pytest.raises(ConcurrentWriterError, match="taken over"):
+                a.verify()
+
+
+def test_stale_lock_is_replaced_not_deadlocked(spark, tmp_dir):
+    """A crashed writer's lock (acquired_unix far in the past) is replaced
+    with a warning — the guard cannot deadlock an unattended pipeline."""
+    import json as _json
+    import os as _os
+
+    from lakehouse_engine_spark.io.table_lock import WriterLock
+
+    loc = _os.path.join(tmp_dir, "stale_tgt")
+    _os.makedirs(loc, exist_ok=True)
+    with open(_os.path.join(loc, "_lhe_writer.lock"), "w") as fh:
+        _json.dump({"token": "dead", "pid": 1, "op": "merge",
+                    "acquired_unix": 1.0}, fh)
+    with WriterLock(spark, loc, op="merge") as lk:
+        lk.verify()  # claimed over the stale lock
+
+
+def test_concurrent_cdf_commit_raises(spark, tmp_dir):
+    """The CDF sidecar log's read-modify-write is guarded the same way:
+    a concurrent writer raises (propagates — it flags a real hazard on
+    the data write it annotates) instead of dropping a commit entry."""
+    import os as _os
+
+    from lakehouse_engine_spark.io import cdf_commit_log
+    from lakehouse_engine_spark.io.table_lock import (
+        ConcurrentWriterError,
+        WriterLock,
+    )
+
+    loc = _os.path.join(tmp_dir, "cdf_tgt")
+    spark.range(3).write.parquet(loc)
+    with WriterLock(spark, loc, op="cdf_commit"):
+        with pytest.raises(ConcurrentWriterError):
+            cdf_commit_log.record_commit(spark, loc, "append")
+    cdf_commit_log.record_commit(spark, loc, "append")  # released: fine
+    entries = cdf_commit_log.read_log(spark, loc)
+    assert entries and entries[0]["version"] == 1
+    assert entries[0]["ts_ms"] > 0  # zone-free epoch millis stamped
