@@ -49,6 +49,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    load_start = os.getloadavg()
     spark = ExecEnv.get_or_create()
     # warm the session: JVM classloading + codegen infra, and the Python
     # worker pool (first pandas-UDF query otherwise pays ~3s of process
@@ -82,6 +83,13 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
 
+    # ambient-load context: identical code has read 139->213s total under
+    # morning VM load (BASELINE.md's documented 1.4-1.6x drift), so every
+    # record carries the 1/5/15-min loadavg at start AND end of the run —
+    # the anchor-audit gate treats readings taken at loadavg > ~6 as
+    # load-suspect rather than plan regressions (interpretation documented
+    # in BASELINE.md "Bench protocol")
+    load_end = os.getloadavg()
     result = {
         "metric": "total_query_wall_clock",
         "value": round(total, 3),
@@ -89,6 +97,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs": runs,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
     }
     # full-name record for the judge / BASELINE bookkeeping — only for
     # FULL runs: a name-filtered invocation (local iteration on one query)
