@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from lakehouse_engine_spark.core.definitions import DQFunctionSpec, DQSpec, TransformerSpec
 from lakehouse_engine_spark.datapipes.dedup import MINHASH_AB, MINHASH_P
 from lakehouse_engine_spark.datapipes.numeric import corr_pair_expr, cramer_fit_exprs
-from lakehouse_engine_spark.datapipes.text import PII_PATTERNS
+from lakehouse_engine_spark.datapipes.text import PII_PATTERNS, SCRIPT_RANGES
 from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
 from lakehouse_engine_spark.utils.tables import load_table
 from lakehouse_engine_spark.utils.timeutils import epoch_us_ntz
@@ -3814,6 +3814,69 @@ def dp150_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp153_c4_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 cleaning heuristics (datapipes/text.py text_c4_rules, Raffel
+    et al. 2020 §2.2): line retention (terminal punctuation + >=3 words
+    + no 'javascript') then page rules (sentence floor on the CLEANED
+    text, no brace / 'lorem ipsum' / blocklist word on the raw page).
+    Documents are staged into four lines exercising every rule both
+    ways; the oracle replays the staging, the line filter, and each
+    page flag."""
+    docs = load_table(spark, sf, "documents")
+    staged = (
+        "concat(substring(text, 1, 80), '.',"
+        " case when doc_id % 11 = 0 then ' lorem ipsum.' else '' end,"
+        " chr(10), 'short line', chr(10),"
+        " substring(text, 81, 60),"
+        " case when doc_id % 13 = 0 then ' {' else '' end,"
+        " chr(10),"
+        " case when doc_id % 7 = 0"
+        "   then 'please enable javascript to view this page.'"
+        "   else concat(substring(text, 141, 80),"
+        "               case when doc_id % 5 = 0 then '?' else '!' end)"
+        " end)"
+    )
+    out = (
+        docs.selectExpr("doc_id", f"{staged} AS text")
+        .transform(
+            _t(
+                "text_c4_rules",
+                min_sentences=2,
+                bad_words=("vector", "spam"),
+            )
+        )
+    )
+    return out.select(
+        "doc_id", "n_lines_kept", "rule_sentences", "rule_no_brace",
+        "rule_no_lorem", "rule_no_badwords", "c4_keep",
+        F.md5("c4_text").alias("c4_digest"),
+    )
+
+
+def dp154_script_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode-script mixture profile (datapipes/text.py
+    text_script_mix): per-doc counts over fixed LITERAL BMP ranges
+    (engine-Unicode-table independent), dominant script with the
+    SCRIPT_RANGES-order tiebreak, and the exact floor permille of
+    classified chars outside the dominant script — the wrong-script
+    contamination screen. A third of the docs get a Cyrillic suffix, a
+    third CJK, so every branch is consequential; the oracle replays the
+    counts, the greatest(), the tiebreak CASE, and the floor."""
+    docs = load_table(spark, sf, "documents")
+    staged = (
+        "concat(text, case when doc_id % 3 = 0 then ' Привет мир'"
+        " when doc_id % 3 = 1 then ' 你好世界 こんにちは' else '' end)"
+    )
+    out = docs.selectExpr("doc_id", f"{staged} AS text").transform(
+        _t("text_script_mix")
+    )
+    return out.select(
+        "doc_id", "script_latin", "script_cyrillic", "script_cjk",
+        "script_kana", "script_chars", "script_dominant",
+        "script_mix_permille",
+    )
+
+
 def dp152_streaming_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Batch arm of streaming_quality_buckets (datapipes/stateful.py):
     the live CCNet tier table — per-lang score histogram + cumulative
@@ -4503,6 +4566,10 @@ WINDOW_RETOUCHED = (
     # new: streaming arm of the CCNet quality tiering — live per-group
     # score-histogram state emitting the (score -> tier) table
     "dp152_streaming_quality_buckets",
+    # new: the C4 cleaning bundle (line retention + page rules)
+    "dp153_c4_rules",
+    # new: Unicode-script mixture profile (wrong-script contamination)
+    "dp154_script_mix",
     # NaN scores excluded on both arms + oracle (round-12 ADVICE #1)
     "dp150_streaming_topk",
     # two-sided synthetic-key range guard, abs() overflow at Long.MIN
@@ -4534,6 +4601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r*.json history.
     return {
         "dp152_streaming_quality_buckets": dp152_streaming_quality_buckets,
+        "dp153_c4_rules": dp153_c4_rules,
+        "dp154_script_mix": dp154_script_mix,
         "dp150_streaming_topk": dp150_streaming_topk,
         "dp147_paragraph_dedup": dp147_paragraph_dedup,
         "q31_curation_pipeline": q31_curation_pipeline,
@@ -4585,11 +4654,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # last hard driver signal r09
         "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # last hard driver signal r09
         "q24_semi_anti_join": q24_semi_anti_join,  # last hard driver signal r09
-        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # last hard driver signal r09
-        "q26_gab_daily_rollup": q26_gab_daily_rollup,  # last hard driver signal r09
-        # ---- driver window boundary (entry 50 = q26_gab_daily_rollup) ----
+        # ---- driver window boundary (entry 50 = q24_semi_anti_join) ----
         # --- remainder: value-verified via tools/check_oracle.py every
         # --- round; ordered stalest-first (q27/q28 lead for r14) ---
+        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # r09
+        "q26_gab_daily_rollup": q26_gab_daily_rollup,  # r09
         "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,  # r09
         "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,  # r09
         "dp01_text_quality": dp01_text_quality,  # r10
@@ -4738,6 +4807,47 @@ _DUCK_TOKENS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> 
 # case-SENSITIVE variant for ops that preserve case (cdc_chunk: chunk_text
 # is emitted verbatim, so its boundary hash and md5 see original case)
 _DUCK_TOKENS_CS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+
+
+def _dp154_oracle() -> str:
+    """dp154 oracle composed from the SAME SCRIPT_RANGES literals the
+    operator compiles, so the class strings cannot drift apart. DuckDB's
+    regexp_replace needs the 'g' flag to match Spark's replace-all."""
+    counts = ",\n                   ".join(
+        f"CAST(length(t) - length(regexp_replace(t, '[{rng}]', '', 'g')) "
+        f"AS BIGINT) AS c_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    total = " + ".join(f"c_{name}" for name, _ in SCRIPT_RANGES)
+    mx = ", ".join(f"c_{name}" for name, _ in SCRIPT_RANGES)
+    dominant = " ".join(
+        f"WHEN mx > 0 AND c_{name} = mx THEN '{name}'"
+        for name, _ in SCRIPT_RANGES
+    )
+    return f"""
+            WITH staged AS (
+              SELECT doc_id,
+                     concat(text, CASE WHEN doc_id % 3 = 0 THEN ' Привет мир'
+                       WHEN doc_id % 3 = 1 THEN ' 你好世界 こんにちは'
+                       ELSE '' END) AS t
+              FROM documents
+            ), counted AS (
+              SELECT doc_id,
+                   {counts}
+              FROM staged
+            ), agg AS (
+              SELECT *, ({total}) AS total, greatest({mx}) AS mx
+              FROM counted
+            )
+            SELECT doc_id, c_latin AS script_latin,
+                   c_cyrillic AS script_cyrillic, c_cjk AS script_cjk,
+                   c_kana AS script_kana, total AS script_chars,
+                   CASE {dominant} ELSE '' END AS script_dominant,
+                   CASE WHEN total > 0
+                        THEN CAST(floor(1000 * (total - mx) / total) AS BIGINT)
+                        ELSE 0 END AS script_mix_permille
+            FROM agg
+        """
 
 
 def _duck_shingles(n: int) -> str:
@@ -7540,6 +7650,57 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'tail' THEN 100000
                                 ELSE 0 END
         """,
+        "dp153_c4_rules": r"""
+            -- staging -> line retention (terminal punct + >=3 words +
+            -- no 'javascript') -> page flags, replayed generically
+            WITH staged AS (
+              SELECT doc_id,
+                     concat(substring(text, 1, 80), '.',
+                       CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum.' ELSE '' END,
+                       chr(10), 'short line', chr(10),
+                       substring(text, 81, 60),
+                       CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END,
+                       chr(10),
+                       CASE WHEN doc_id % 7 = 0
+                         THEN 'please enable javascript to view this page.'
+                         ELSE concat(substring(text, 141, 80),
+                              CASE WHEN doc_id % 5 = 0 THEN '?' ELSE '!' END)
+                       END) AS t
+              FROM documents
+            ), cleaned AS (
+              SELECT doc_id, t,
+                     list_filter(string_split(t, chr(10)), l ->
+                       right(rtrim(l), 1) IN ('.', '!', '?', '"', '”', '''')
+                       AND len(list_filter(
+                             string_split_regex(trim(l), '\s+'),
+                             w -> w <> '')) >= 3
+                       AND NOT contains(lower(l), 'javascript')
+                     ) AS kept
+              FROM staged
+            ), flagged AS (
+              SELECT doc_id, t,
+                     array_to_string(kept, chr(10)) AS c4_text,
+                     CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                     CAST(len(regexp_extract_all(
+                       array_to_string(kept, chr(10)), '[.!?]'))
+                       AS BIGINT) >= 2 AS rule_sentences,
+                     NOT contains(t, '{') AS rule_no_brace,
+                     NOT contains(lower(t), 'lorem ipsum') AS rule_no_lorem,
+                     len(list_intersect(
+                       list_distinct(list_filter(
+                         string_split_regex(trim(lower(t)), '\s+'),
+                         w -> w <> '')),
+                       ['vector', 'spam'])) = 0 AS rule_no_badwords
+              FROM cleaned
+            )
+            SELECT doc_id, n_lines_kept, rule_sentences, rule_no_brace,
+                   rule_no_lorem, rule_no_badwords,
+                   (rule_sentences AND rule_no_brace AND rule_no_lorem
+                    AND rule_no_badwords) AS c4_keep,
+                   md5(c4_text) AS c4_digest
+            FROM flagged
+        """,
+        "dp154_script_mix": _dp154_oracle(),
         "dp152_streaming_quality_buckets": """
             -- the tier TABLE itself (dp149's rule before the attach
             -- join): histogram over distinct (lang, score), cumulative

@@ -2163,6 +2163,208 @@ def gopher_rules(
     return _rules
 
 
+# terminal punctuation per C4: period, exclamation, question mark, or
+# closing quote (Raffel et al. 2020 §2.2 — "terminal punctuation mark")
+_C4_TERMINALS = (".", "!", "?", '"', "”", "'")
+
+
+@register("text_c4_rules")
+def c4_rules(
+    input_col: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple = (),
+    output_col: str = "c4_text",
+    mode: str = "annotate",
+) -> TransformerFn:
+    """C4 cleaning heuristics (Raffel et al. 2020, arXiv:1910.10683
+    §2.2) — the OTHER canonical pretraining web filter next to
+    :func:`gopher_rules`: C4 first rewrites each page line-by-line, then
+    drops whole pages. One pure projection, no shuffle:
+
+    Line retention (applied first, producing ``output_col``): keep a
+    line iff it (a) ends in a terminal punctuation mark
+    (``. ! ? "`` — the paper's rule), (b) has at least
+    ``min_line_words`` words, and (c) does not contain the word
+    "javascript" (case-insensitive — the paper's cookie/JS-warning
+    catch). Kept lines re-join with ``\\n``.
+
+    Page rules (flags over the RAW page except where noted):
+
+    * ``rule_sentences``: the CLEANED text has >= ``min_sentences``
+      sentences, counted as terminal-mark occurrences (``[.!?]``) in
+      the retained lines — C4 discards pages "with fewer than 5
+      sentences" after line filtering;
+    * ``rule_no_brace``: the raw page contains no ``{`` (code page
+      proxy — the paper drops any page with a curly bracket);
+    * ``rule_no_lorem``: the raw page does not contain the phrase
+      "lorem ipsum" (case-insensitive);
+    * ``rule_no_badwords``: no lowercased word of the raw page is in
+      ``bad_words`` (the paper screens against a public blocklist;
+      DEFAULT IS EMPTY — supply your deployment's list, the operator
+      ships no opinion).
+
+    ``c4_keep`` is the conjunction. Word/line splitting follows the
+    family's whitespace convention, and every rule is an exact
+    integer/string predicate (no float thresholds), so a SQL oracle
+    replays each flag bit-for-bit. ``mode="filter"`` keeps passing rows
+    only (flags dropped, cleaned text kept); ``mode="annotate"`` emits
+    flags + cleaned text. The three-sentence-span dedup of the C4
+    pipeline is deliberately NOT here — that is corpus-global, use
+    ``text_line_dedup`` / ``text_paragraph_dedup``.
+
+    Scale: one shuffle-free JVM map pass (higher-order line/word
+    lambdas, the ``gopher_rules`` cost class); at 100 TB this is a
+    pure map stage that pipelines into whatever shuffle follows.
+    """
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"text_c4_rules: unknown mode {mode!r}")
+    if min_line_words < 1:
+        raise ValueError(
+            f"text_c4_rules: min_line_words must be >= 1, got {min_line_words}"
+        )
+
+    def _rules(df: DataFrame) -> DataFrame:
+        c = F.coalesce(F.col(input_col).cast("string"), F.lit(""))
+        term = F.array(*[F.lit(t) for t in _C4_TERMINALS])
+        kept_lines = F.filter(
+            F.split(c, r"\n"),
+            lambda l: (
+                F.array_contains(term, F.right(F.rtrim(l), F.lit(1)))
+                & (
+                    F.size(
+                        F.filter(
+                            F.split(F.trim(l), r"\s+"), lambda t: t != ""
+                        )
+                    )
+                    >= min_line_words
+                )
+                & ~F.lower(l).contains("javascript")
+            ),
+        )
+        cleaned = F.array_join(kept_lines, "\n")
+        n_sentences = F.regexp_count(cleaned, F.lit(r"[.!?]")).cast("long")
+        flags = {
+            "rule_sentences": n_sentences >= min_sentences,
+            "rule_no_brace": ~c.contains("{"),
+            "rule_no_lorem": ~F.lower(c).contains("lorem ipsum"),
+        }
+        if bad_words:
+            bw = F.array(*[F.lit(w.lower()) for w in bad_words])
+            flags["rule_no_badwords"] = (
+                F.size(
+                    F.array_intersect(
+                        F.array_distinct(tokens_lower(c)), bw
+                    )
+                )
+                == 0
+            )
+        else:
+            flags["rule_no_badwords"] = F.lit(True)
+        keep = None
+        for expr in flags.values():
+            keep = expr if keep is None else keep & expr
+        out = df.withColumns(
+            {
+                output_col: cleaned,
+                "n_lines_kept": F.size(kept_lines).cast("long"),
+                **flags,
+                "c4_keep": keep,
+            }
+        )
+        if mode == "filter":
+            return out.filter(F.col("c4_keep")).drop(
+                *flags.keys(), "c4_keep"
+            )
+        return out
+
+    return _rules
+
+
+# fixed BMP ranges as LITERAL characters (not \\u escapes), so the same
+# class string compiles identically under Java regex (Spark) and RE2
+# (DuckDB) — script identity must not depend on an engine's Unicode
+# property tables. Ordered: this order IS the dominant-script tiebreak.
+SCRIPT_RANGES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", f"{chr(0x0400)}-{chr(0x04FF)}"),
+    ("greek", f"{chr(0x0370)}-{chr(0x03FF)}"),
+    ("arabic", f"{chr(0x0600)}-{chr(0x06FF)}"),
+    ("hebrew", f"{chr(0x0590)}-{chr(0x05FF)}"),
+    ("devanagari", f"{chr(0x0900)}-{chr(0x097F)}"),
+    ("cjk", f"{chr(0x4E00)}-{chr(0x9FFF)}"),
+    ("hangul", f"{chr(0xAC00)}-{chr(0xD7A3)}"),
+    ("kana", f"{chr(0x3040)}-{chr(0x30FF)}"),
+)
+
+
+@register("text_script_mix")
+def script_mix(
+    input_col: str = "text",
+    output_prefix: str = "script_",
+) -> TransformerFn:
+    """Per-document Unicode-SCRIPT mixture profile — the language-ID
+    sibling for the cases n-gram langid can't see: wrong-script
+    contamination (Cyrillic spam inside an "English" crawl slice, CJK
+    boilerplate in a Latin corpus), transliteration artifacts, and
+    mixed-script spam, all standard LLM-corpus screens (mT5/CCNet both
+    bucket by script before language).
+
+    Emits, per row: one ``<prefix><script>`` count per entry of
+    :data:`SCRIPT_RANGES` (characters in that fixed BMP range),
+    ``<prefix>chars`` (total script-classified characters),
+    ``<prefix>dominant`` (the script with the max count; ties resolve
+    to the FIRST in ``SCRIPT_RANGES`` order; empty string when no
+    classified characters), and ``<prefix>mix_permille`` — the permille
+    of classified characters NOT in the dominant script, as exact
+    integer floor division (``1000*(n - max)/n``), 0 for unclassified
+    docs. A doc >0‰ mixed is worth a look; >100‰ is usually two
+    languages glued together.
+
+    Counting is ``length(s) - length(regexp_replace(s, class, ''))``
+    per range — pure codegen string ops, one shuffle-free map pass (no
+    explode, no Python). The ranges are LITERAL character classes, so
+    Spark and any RE2-based oracle count identically regardless of
+    their Unicode table versions; supplementary-plane scripts are out
+    of scope by design (surrogate-pair counting diverges across
+    engines).
+    """
+
+    def _mix(df: DataFrame) -> DataFrame:
+        c = F.coalesce(F.col(input_col).cast("string"), F.lit(""))
+        counts = {
+            name: (
+                F.length(c)
+                - F.length(F.regexp_replace(c, f"[{rng}]", ""))
+            ).cast("long")
+            for name, rng in SCRIPT_RANGES
+        }
+        total = None
+        for expr in counts.values():
+            total = expr if total is None else total + expr
+        mx = F.greatest(*counts.values())
+        dominant = F.lit("")
+        # reversed CASE chain: the FIRST script in SCRIPT_RANGES order
+        # wins ties (each earlier when() overrides later ones)
+        for name, _ in reversed(SCRIPT_RANGES):
+            dominant = F.when(
+                (mx > 0) & (counts[name] == mx), F.lit(name)
+            ).otherwise(dominant)
+        cols = {f"{output_prefix}{n}": e for n, e in counts.items()}
+        cols[f"{output_prefix}chars"] = total
+        cols[f"{output_prefix}dominant"] = dominant
+        # floor of a double ratio of exact-long operands: both operands
+        # are < 2^53 and the divisor is far below the 2^-52-ulp hazard
+        # zone, so floor(a/b) here equals exact integer division in any
+        # IEEE754 engine — the oracle replays floor(1000.0*(n-mx)/n)
+        cols[f"{output_prefix}mix_permille"] = F.when(
+            total > 0, F.floor(1000 * (total - mx) / total)
+        ).otherwise(F.lit(0)).cast("long")
+        return df.withColumns(cols)
+
+    return _mix
+
+
 @register("text_dsir_score")
 def dsir_score(
     target_df: DataFrame,

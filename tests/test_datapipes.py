@@ -5457,3 +5457,71 @@ def test_char_entropy_known_values_and_nulls(spark):
     assert abs(out[2][0] - 0.0) < 1e-9
     assert abs(out[3][0] - 2.0) < 1e-9
     assert out[4] == (None, 0) and out[5] == (None, 0)
+
+
+def test_c4_rules_line_and_page_battery(spark):
+    """text_c4_rules (Raffel et al. 2020 §2.2): line retention needs
+    terminal punctuation AND >=3 words AND no 'javascript'; page flags
+    run on the raw page except the sentence floor (cleaned text); NULL
+    text behaves as empty; filter mode drops flags and failing rows."""
+    rows = [
+        # 2 good lines (terminal punct, >=3 words) -> kept, 2 sentences
+        (1, "one two three.\nfour five six are here!"),
+        # line lacks terminal punct; page has brace
+        (2, "no terminal punctuation here\ncurly { brace. is three words."),
+        # javascript line dropped even with punct+words; lorem on page
+        (3, "please enable JavaScript now.\nlorem ipsum body text here."),
+        # two words only -> dropped; empty cleaned text, 0 sentences
+        (4, "too short."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in df.transform(
+        t("text_c4_rules", min_sentences=2, bad_words=("curly",))
+    ).collect()}
+    assert out[1]["n_lines_kept"] == 2 and out[1]["c4_keep"]
+    assert out[1]["c4_text"] == "one two three.\nfour five six are here!"
+    assert out[2]["n_lines_kept"] == 1          # first line dropped
+    assert not out[2]["rule_no_brace"] and not out[2]["rule_no_badwords"]
+    assert out[3]["n_lines_kept"] == 1          # javascript line dropped
+    assert not out[3]["rule_no_lorem"]
+    assert out[4]["n_lines_kept"] == 0 and not out[4]["rule_sentences"]
+    assert out[5]["n_lines_kept"] == 0 and out[5]["c4_text"] == ""
+    kept = df.transform(
+        t("text_c4_rules", min_sentences=2, mode="filter")
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    assert "c4_keep" not in kept.columns and "c4_text" in kept.columns
+    with pytest.raises(ValueError):
+        t("text_c4_rules", mode="bogus")
+    with pytest.raises(ValueError):
+        t("text_c4_rules", min_line_words=0)
+
+
+def test_script_mix_dominance_tiebreak_and_floor(spark):
+    """text_script_mix: literal-range counts, dominant by max with the
+    SCRIPT_RANGES-order tiebreak, exact floor permille, empty/NULL ->
+    zero counts and empty dominant."""
+    rows = [
+        (1, "привет мир как дела сегодня ab"),   # cyrillic-dominant
+        (2, "ab кг"),                             # 2-2 tie -> latin first
+        (3, "你好世界 abc"),                       # cjk 4 vs latin 3
+        (4, ""),
+        (5, None),
+        (6, "!!! 123 ???"),                       # nothing classified
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in df.transform(t("text_script_mix")).collect()}
+    assert out[1]["script_dominant"] == "cyrillic"
+    assert out[1]["script_latin"] == 2
+    # floor(1000 * latin / (cyr + latin)) exactly
+    n = out[1]["script_chars"]; mx = n - out[1]["script_latin"]
+    assert out[1]["script_mix_permille"] == (1000 * (n - mx)) // n
+    assert out[2]["script_dominant"] == "latin"   # tie -> earlier range
+    assert out[2]["script_mix_permille"] == 500
+    assert out[3]["script_dominant"] == "cjk"
+    assert out[3]["script_cjk"] == 4 and out[3]["script_latin"] == 3
+    for i in (4, 5, 6):
+        assert out[i]["script_chars"] == 0
+        assert out[i]["script_dominant"] == ""
+        assert out[i]["script_mix_permille"] == 0
