@@ -3814,6 +3814,28 @@ def dp150_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp155_knn_pq_refine(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ shortlist + exact re-rank (datapipes/clustering.py
+    knn_pq_refine, Jégou et al. 2011 §V): dp117's ADC pass widened to a
+    20-candidate shortlist, raw vectors gathered by broadcast-semi-join
+    (one corpus scan, no corpus shuffle), exact integer squared
+    distance re-rank to top-5 — the production two-stage ANN recipe;
+    adc_dist rides along so quantization rank-inversions are
+    observable. Oracle replays dp117's codebook/code/LUT chain, the
+    shortlist cut, and the exact re-rank."""
+    emb = load_table(spark, sf, "embeddings")
+    return emb.transform(
+        _t(
+            "knn_pq_refine",
+            k=5,
+            shortlist=20,
+            m=4,
+            num_codes=16,
+            query_filter="vec_id < 10",
+        )
+    )
+
+
 def dp153_c4_rules(spark: SparkSession, sf: str) -> DataFrame:
     """C4 cleaning heuristics (datapipes/text.py text_c4_rules, Raffel
     et al. 2020 §2.2): line retention (terminal punctuation + >=3 words
@@ -4570,6 +4592,8 @@ WINDOW_RETOUCHED = (
     "dp153_c4_rules",
     # new: Unicode-script mixture profile (wrong-script contamination)
     "dp154_script_mix",
+    # new: PQ shortlist + exact re-rank (two-stage ANN)
+    "dp155_knn_pq_refine",
     # NaN scores excluded on both arms + oracle (round-12 ADVICE #1)
     "dp150_streaming_topk",
     # two-sided synthetic-key range guard, abs() overflow at Long.MIN
@@ -4603,6 +4627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp152_streaming_quality_buckets": dp152_streaming_quality_buckets,
         "dp153_c4_rules": dp153_c4_rules,
         "dp154_script_mix": dp154_script_mix,
+        "dp155_knn_pq_refine": dp155_knn_pq_refine,
         "dp150_streaming_topk": dp150_streaming_topk,
         "dp147_paragraph_dedup": dp147_paragraph_dedup,
         "q31_curation_pipeline": q31_curation_pipeline,
@@ -4653,10 +4678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp90_html_strip": dp90_html_strip,  # last hard driver signal r09
         "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # last hard driver signal r09
         "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # last hard driver signal r09
-        "q24_semi_anti_join": q24_semi_anti_join,  # last hard driver signal r09
-        # ---- driver window boundary (entry 50 = q24_semi_anti_join) ----
+        # ---- driver window boundary (entry 50 = q23_rollup_grouping_sets) ----
         # --- remainder: value-verified via tools/check_oracle.py every
         # --- round; ordered stalest-first (q27/q28 lead for r14) ---
+        "q24_semi_anti_join": q24_semi_anti_join,  # r09
         "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # r09
         "q26_gab_daily_rollup": q26_gab_daily_rollup,  # r09
         "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,  # r09
@@ -7649,6 +7674,76 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'middle' THEN 500000
                                 WHEN 'tail' THEN 100000
                                 ELSE 0 END
+        """,
+        "dp155_knn_pq_refine": """
+            -- dp117's codebook/code/LUT chain -> 20-candidate ADC
+            -- shortlist -> exact integer re-rank on the raw quantized
+            -- vectors (ties -> smaller neighbor id)
+            WITH q AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*1024.0 + 0.5) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            cb AS (
+              SELECT row_number() OVER
+                       (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS c, v
+              FROM q ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16
+            ),
+            pairs AS (
+              SELECT q.id, cb.c, ss.s,
+                     list_sum(list_transform(
+                       list_zip(q.v[ss.s*16+1 : (ss.s+1)*16],
+                                cb.v[ss.s*16+1 : (ss.s+1)*16]),
+                       p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+              FROM q
+              CROSS JOIN cb
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) ss
+            ),
+            codes AS (
+              SELECT id, s, c FROM (
+                SELECT id, s, c, d,
+                       row_number() OVER (PARTITION BY id, s ORDER BY d, c) AS rn
+                FROM pairs
+              ) WHERE rn = 1
+            ),
+            qry AS (SELECT id AS qid, v AS qv FROM q WHERE id < 10),
+            adc AS (
+              SELECT qry.qid, codes.id AS nid,
+                     SUM(list_sum(list_transform(
+                       list_zip(qry.qv[codes.s*16+1 : (codes.s+1)*16],
+                                cb.v[codes.s*16+1 : (codes.s+1)*16]),
+                       p -> (p[1]-p[2])*(p[1]-p[2])))) AS d
+              FROM qry
+              CROSS JOIN codes
+              JOIN cb ON cb.c = codes.c
+              WHERE qry.qid <> codes.id
+              GROUP BY 1, 2
+            ),
+            short AS (
+              SELECT qid, nid, d FROM (
+                SELECT qid, nid, d,
+                       row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS arank
+                FROM adc
+              ) WHERE arank <= 20
+            ),
+            exact AS (
+              SELECT s.qid, s.nid, s.d AS adc_dist,
+                     list_sum(list_transform(
+                       list_zip(qry.qv, nbr.v),
+                       p -> (p[1]-p[2])*(p[1]-p[2]))) AS ed
+              FROM short s
+              JOIN qry ON qry.qid = s.qid
+              JOIN q nbr ON nbr.id = s.nid
+            )
+            SELECT qid AS query_id, nid AS neighbor_id,
+                   ed::BIGINT AS exact_dist, adc_dist::BIGINT AS adc_dist,
+                   rank::INT AS rank
+            FROM (
+              SELECT qid, nid, ed, adc_dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY ed, nid) AS rank
+              FROM exact
+            ) WHERE rank <= 5
         """,
         "dp153_c4_rules": r"""
             -- staging -> line retention (terminal punct + >=3 words +

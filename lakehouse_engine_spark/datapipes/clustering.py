@@ -1015,3 +1015,91 @@ def knn_pq(
         )
 
     return _knn
+
+
+@register("knn_pq_refine")
+def knn_pq_refine(
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 4,
+    num_codes: int = 16,
+    quant_scale: int = 1024,
+    query_filter: str = "vec_id < 10",
+) -> TransformerFn:
+    """PQ shortlist + EXACT re-rank — the production two-stage ANN
+    recipe (Jégou et al. 2011 §V: ADC for the coarse pass, exact
+    distances on a shortlist for the final order): :func:`knn_pq`
+    produces each query's top-``shortlist`` candidates from the
+    memory-bound codes, then the candidates' RAW vectors are gathered
+    and re-ranked by exact integer squared distance to the query.
+    Refine repairs exactly the quantization-induced rank inversions —
+    recall@k of PQ-alone vs PQ+refine is the standard tuning curve, and
+    ``shortlist`` is the knob (k <= shortlist <= corpus).
+
+    Output: ``(query_id, neighbor_id, exact_dist, adc_dist, rank)`` —
+    rank 1 = smallest EXACT distance, ties -> smaller neighbor id;
+    ``adc_dist`` rides along so the inversion repair is observable.
+
+    Scale shape: the ADC pass is knn_pq's (one Arrow-batched corpus
+    scan, partition-local top-shortlist for integral ids); the GATHER
+    is one more corpus scan with the nq x shortlist id set
+    broadcast-semi-joined against it (no shuffle of the corpus — this
+    is the "refine reads R raw vectors per query" cost, made explicit
+    as a BHJ); the re-rank is a window over nq x shortlist skinny rows.
+    Queries ride a broadcast (the knn_pq driver-sized contract).
+    """
+    if k < 1:
+        raise ValueError(f"knn_pq_refine: k must be >= 1, got {k}")
+    if shortlist < k:
+        raise ValueError(
+            f"knn_pq_refine: shortlist ({shortlist}) must be >= k ({k})"
+        )
+
+    def _refine(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        cand = df.transform(
+            knn_pq(
+                embedding_col=embedding_col,
+                id_col=id_col,
+                k=shortlist,
+                m=m,
+                num_codes=num_codes,
+                quant_scale=quant_scale,
+                query_filter=query_filter,
+            )
+        ).select("query_id", "neighbor_id", "adc_dist")
+        corpus = df.select(
+            F.col(id_col).alias("neighbor_id"),
+            _quantize_expr(embedding_col, quant_scale).alias("__nv"),
+        ).filter(F.col("__nv").isNotNull())
+        queries = (df.filter(query_filter) if query_filter else df).select(
+            F.col(id_col).alias("query_id"),
+            _quantize_expr(embedding_col, quant_scale).alias("__qv"),
+        ).filter(F.col("__qv").isNotNull())
+        gathered = corpus.join(F.broadcast(cand), "neighbor_id")
+        both = gathered.join(F.broadcast(queries), "query_id")
+        exact = F.aggregate(
+            F.zip_with("__qv", "__nv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("__ed"), F.asc("neighbor_id")
+        )
+        return (
+            both.withColumn("__ed", exact.cast("long"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("__ed").alias("exact_dist"),
+                F.col("adc_dist").cast("long"),
+                F.col("rank").cast("int"),
+            )
+        )
+
+    return _refine

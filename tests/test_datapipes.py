@@ -5525,3 +5525,40 @@ def test_script_mix_dominance_tiebreak_and_floor(spark):
         assert out[i]["script_chars"] == 0
         assert out[i]["script_dominant"] == ""
         assert out[i]["script_mix_permille"] == 0
+
+
+def test_knn_pq_refine_equals_exact_when_shortlist_covers_corpus(spark):
+    """knn_pq_refine: with shortlist >= corpus size the ADC pass cannot
+    drop a true neighbor, so the refined top-k must equal EXACT integer
+    squared-distance kNN (ties -> smaller id) — the recall@k=1 bound of
+    the two-stage recipe; rank order follows exact_dist, not adc_dist."""
+    import itertools
+
+    rows = [(i, [float(i % 7) / 3.0, float((i * 3) % 5), float(i % 2), 1.0,
+                 0.25 * (i % 4), float((i * 7) % 3), 0.5, float(i % 3)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    out = df.transform(
+        t("knn_pq_refine", k=3, shortlist=19, m=4, num_codes=8,
+          query_filter="vec_id < 4")
+    ).collect()
+
+    def quant(v):
+        import math
+        return [math.floor(float(x) * 1024.0 + 0.5) for x in v]
+
+    qv = {i: quant(v) for i, v in rows}
+    for qid in range(4):
+        exact = sorted(
+            ((sum((a - b) ** 2 for a, b in zip(qv[qid], qv[nid])), nid)
+             for nid, _ in rows if nid != qid)
+        )[:3]
+        got = sorted(
+            (r["rank"], r["neighbor_id"], r["exact_dist"])
+            for r in out if r["query_id"] == qid
+        )
+        assert [(n, d) for _, n, d in got] == [(n, d) for d, n in exact], qid
+    with pytest.raises(ValueError):
+        t("knn_pq_refine", k=5, shortlist=3)
+    with pytest.raises(ValueError):
+        t("knn_pq_refine", k=0)
