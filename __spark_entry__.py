@@ -4386,6 +4386,67 @@ def q33_ccnet_curation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q34_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer FERTILITY report (tokens emitted per word, the
+    standard per-language tokenizer-quality metric — a multilingual
+    corpus whose tail languages show 2-3x the fertility of English is
+    paying 2-3x the context budget for the same text): langid over the
+    WHOLE corpus (no language filter — 'und' included), BPE-encode with
+    the fixed merge table, then one per-language aggregate of docs /
+    words / BPE tokens with the exact floor-permille fertility ratio.
+    The q32 sibling read: same langid + encode chain, but reporting the
+    tokenizer instead of packing the tokens. Oracle replays langid, the
+    per-word merge scan, and the group algebra."""
+    from lakehouse_engine_spark import load_data
+
+    merges = spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(BPE_FIXED_MERGES)],
+        "rank INT, left STRING, right STRING, merged STRING",
+    )
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "docs",
+                "data_format": "parquet",
+                "location": f"{sf}/documents.parquet",
+            }
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "tok",
+                "input_id": "docs",
+                "transformers": [
+                    {"function": "text_langid", "args": {}},
+                    {"function": "bpe_encode", "args": {"merges": merges}},
+                ],
+            }
+        ],
+        "output_specs": [
+            {"spec_id": "out", "input_id": "tok", "data_format": "dataframe"}
+        ],
+    }
+    tok = load_data(acon)["out"]
+    words = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    ).cast("long")
+    agg = (
+        tok.withColumn("__w", words)
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__w").cast("long").alias("n_words"),
+            F.sum("bpe_tokens_n").cast("long").alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        "lang_pred", "n_docs", "n_words", "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.floor(1000 * F.col("n_tokens") / F.col("n_words")),
+        ).otherwise(F.lit(0)).cast("long").alias("fertility_permille"),
+    )
+
+
 def q32_tokenize_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end TOKENIZATION pipeline through ONE ACON load_data run —
     the q31 sibling for the tokenize-and-pack half of pretraining data
@@ -4594,6 +4655,8 @@ WINDOW_RETOUCHED = (
     "dp154_script_mix",
     # new: PQ shortlist + exact re-rank (two-stage ANN)
     "dp155_knn_pq_refine",
+    # new: per-language tokenizer fertility report (composed ACON)
+    "q34_tokenizer_fertility",
     # NaN scores excluded on both arms + oracle (round-12 ADVICE #1)
     "dp150_streaming_topk",
     # two-sided synthetic-key range guard, abs() overflow at Long.MIN
@@ -4628,6 +4691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp153_c4_rules": dp153_c4_rules,
         "dp154_script_mix": dp154_script_mix,
         "dp155_knn_pq_refine": dp155_knn_pq_refine,
+        "q34_tokenizer_fertility": q34_tokenizer_fertility,
         "dp150_streaming_topk": dp150_streaming_topk,
         "dp147_paragraph_dedup": dp147_paragraph_dedup,
         "q31_curation_pipeline": q31_curation_pipeline,
@@ -4677,10 +4741,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp89_sentence_split": dp89_sentence_split,  # last hard driver signal r09
         "dp90_html_strip": dp90_html_strip,  # last hard driver signal r09
         "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # last hard driver signal r09
-        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # last hard driver signal r09
-        # ---- driver window boundary (entry 50 = q23_rollup_grouping_sets) ----
+        # ---- driver window boundary (entry 50 = dp91_lsh_bucket_stats) ----
         # --- remainder: value-verified via tools/check_oracle.py every
         # --- round; ordered stalest-first (q27/q28 lead for r14) ---
+        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # r09
         "q24_semi_anti_join": q24_semi_anti_join,  # r09
         "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # r09
         "q26_gab_daily_rollup": q26_gab_daily_rollup,  # r09
@@ -7528,6 +7592,40 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN m
         """,
         "dp138_winnow_fingerprint": _DUCK_WINNOW_FPS,
+        "q34_tokenizer_fertility": f"""
+            -- langid over the whole corpus -> per-word BPE merge scan
+            -- -> per-language docs/words/tokens + exact floor-permille
+            -- fertility (tokens per word)
+            WITH langed AS (
+              SELECT doc_id, text, {pred} AS lang_pred FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, lang_pred, {_DUCK_TOKENS_CS} AS ws FROM langed
+            ),
+            tw AS (
+              SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+              FROM toks
+            ),
+            enc AS (
+              SELECT doc_id, pos, len({_duck_bpe_pieces("ws[pos]")}) AS np
+              FROM tw
+            ),
+            per_doc AS (
+              SELECT t.doc_id, t.lang_pred,
+                     CAST(len(t.ws) AS BIGINT) AS nw,
+                     CAST(coalesce(SUM(e.np), 0) AS BIGINT) AS nt
+              FROM toks t LEFT JOIN enc e ON t.doc_id = e.doc_id
+              GROUP BY 1, 2, 3
+            )
+            SELECT lang_pred,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nw) AS BIGINT) AS n_words,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                   CASE WHEN SUM(nw) > 0
+                        THEN CAST(floor(1000.0 * SUM(nt) / SUM(nw)) AS BIGINT)
+                        ELSE 0 END AS fertility_permille
+            FROM per_doc GROUP BY lang_pred
+        """,
         "q32_tokenize_pipeline": f"""
             -- full pipeline replay: langid filter -> per-word BPE merge
             -- scan -> shard/cumsum/pack arithmetic (dp29's replay over

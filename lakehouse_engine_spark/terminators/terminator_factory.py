@@ -395,7 +395,14 @@ def _partition_glob(spark: SparkSession, src_loc: str) -> str:
 def _bump_cdf_version(spark: SparkSession, materialized_cdf_location: str) -> int:
     """Read-increment-write the emulated commit counter. Sidecar file
     NEXT TO the materialization (inside it, the clean rewrite's overwrite
-    would drop it). Hadoop FS API so file:// and object stores both work."""
+    would drop it). Hadoop FS API so file:// and object stores both work.
+
+    Unlike the writer-side control files (commit log, merge fallback —
+    both WriterLock-guarded since r13), this counter is bumped by the
+    CDF *materialization* consumer: one stream per materialized
+    location is the documented contract (two concurrent expose_cdf
+    materializations of one location already race the data rewrite
+    itself, which no sidecar lock can repair — serialize the consumers)."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(
         materialized_cdf_location.rstrip("/") + "__cdf_version"
