@@ -1350,3 +1350,24 @@ def test_q33_ccnet_chain_keeps_gated_postures(spark, sf_dir):
     physical, _ = _plans(df)
     assert physical.count("BroadcastHashJoin") >= 2, physical[:2000]
     assert "CartesianProduct" not in physical
+
+
+def test_c4_and_script_mix_are_pure_projections(spark, sf_dir):
+    """The r13 text screens keep the family's cost class: one scan, no
+    Exchange — a shuffle appearing in either is a plan regression."""
+    for q in ("dp153_c4_rules", "dp154_script_mix"):
+        df = entry.queries()[q](spark, sf_dir)
+        physical, _ = _plans(df)
+        assert "Exchange" not in physical, (q, physical[:1500])
+
+
+def test_pq_refine_gather_broadcasts_no_cartesian(spark, sf_dir):
+    """knn_pq_refine's gather must broadcast the nq x shortlist id set
+    against the corpus scan (no corpus shuffle join) and the query
+    vectors; any CartesianProduct or SortMergeJoin on the corpus side
+    defeats the two-stage design at scale."""
+    df = entry.queries()["dp155_knn_pq_refine"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical, physical[:2000]
+    assert "SortMergeJoin" not in physical, physical[:2000]
+    assert physical.count("BroadcastHashJoin") >= 2, physical[:2000]
