@@ -3814,6 +3814,34 @@ def dp150_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp156_embedding_sanitize(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding corpus sanitation (datapipes/embeddings.py
+    embedding_sanitize): the upfront NULL / wrong-width / NaN / Inf /
+    zero-vector screen an ANN pipeline runs before its vectors meet a
+    kernel. Five corruption classes are staged onto the clean corpus
+    (NULL column, NaN head cell, +Inf head cell, all-zero vector,
+    truncated width) so every flag fires both ways; the oracle replays
+    the staging and each boolean."""
+    emb = load_table(spark, sf, "embeddings")
+    staged = (
+        "CASE WHEN vec_id % 23 = 0 THEN CAST(NULL AS ARRAY<FLOAT>)"
+        " WHEN vec_id % 17 = 0 THEN"
+        "   concat(array(CAST('NaN' AS FLOAT)), slice(embedding, 2, 63))"
+        " WHEN vec_id % 31 = 0 THEN"
+        "   concat(array(CAST('Infinity' AS FLOAT)), slice(embedding, 2, 63))"
+        " WHEN vec_id % 19 = 0 THEN transform(embedding, x -> CAST(0.0 AS FLOAT))"
+        " WHEN vec_id % 29 = 0 THEN slice(embedding, 1, 10)"
+        " ELSE embedding END"
+    )
+    out = emb.selectExpr("vec_id", f"{staged} AS embedding").transform(
+        _t("embedding_sanitize", dim=64)
+    )
+    return out.select(
+        "vec_id", "emb_null", "emb_wrong_dim", "emb_has_nan",
+        "emb_has_inf", "emb_zero", "embedding_ok",
+    )
+
+
 def dp155_knn_pq_refine(spark: SparkSession, sf: str) -> DataFrame:
     """PQ shortlist + exact re-rank (datapipes/clustering.py
     knn_pq_refine, Jégou et al. 2011 §V): dp117's ADC pass widened to a
@@ -4657,6 +4685,8 @@ WINDOW_RETOUCHED = (
     "dp155_knn_pq_refine",
     # new: per-language tokenizer fertility report (composed ACON)
     "q34_tokenizer_fertility",
+    # new: embedding corpus sanitation screen
+    "dp156_embedding_sanitize",
     # NaN scores excluded on both arms + oracle (round-12 ADVICE #1)
     "dp150_streaming_topk",
     # two-sided synthetic-key range guard, abs() overflow at Long.MIN
@@ -4692,6 +4722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp154_script_mix": dp154_script_mix,
         "dp155_knn_pq_refine": dp155_knn_pq_refine,
         "q34_tokenizer_fertility": q34_tokenizer_fertility,
+        "dp156_embedding_sanitize": dp156_embedding_sanitize,
         "dp150_streaming_topk": dp150_streaming_topk,
         "dp147_paragraph_dedup": dp147_paragraph_dedup,
         "q31_curation_pipeline": q31_curation_pipeline,
@@ -4740,10 +4771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp88_binary_decompress": dp88_binary_decompress,  # last hard driver signal r09
         "dp89_sentence_split": dp89_sentence_split,  # last hard driver signal r09
         "dp90_html_strip": dp90_html_strip,  # last hard driver signal r09
-        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # last hard driver signal r09
-        # ---- driver window boundary (entry 50 = dp91_lsh_bucket_stats) ----
+        # ---- driver window boundary (entry 50 = dp90_html_strip) ----
         # --- remainder: value-verified via tools/check_oracle.py every
         # --- round; ordered stalest-first (q27/q28 lead for r14) ---
+        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # r09
         "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # r09
         "q24_semi_anti_join": q24_semi_anti_join,  # r09
         "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # r09
@@ -7772,6 +7803,46 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'middle' THEN 500000
                                 WHEN 'tail' THEN 100000
                                 ELSE 0 END
+        """,
+        "dp156_embedding_sanitize": """
+            -- staged corruption (NULL / NaN head / +Inf head / zeros /
+            -- truncation) -> per-class boolean screens, replayed with
+            -- the same precedence CASE
+            WITH staged AS (
+              SELECT vec_id,
+                CASE WHEN vec_id % 23 = 0 THEN NULL
+                     WHEN vec_id % 17 = 0 THEN
+                       list_concat([CAST('NaN' AS FLOAT)], embedding[2:64])
+                     WHEN vec_id % 31 = 0 THEN
+                       list_concat([CAST('Infinity' AS FLOAT)], embedding[2:64])
+                     WHEN vec_id % 19 = 0 THEN
+                       list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                     WHEN vec_id % 29 = 0 THEN embedding[1:10]
+                     ELSE embedding END AS v
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   v IS NULL AS emb_null,
+                   v IS NOT NULL AND len(v) <> 64 AS emb_wrong_dim,
+                   v IS NOT NULL AND
+                     len(list_filter(v, x -> isnan(CAST(x AS DOUBLE)))) > 0
+                     AS emb_has_nan,
+                   v IS NOT NULL AND
+                     len(list_filter(v, x -> isinf(CAST(x AS DOUBLE)))) > 0
+                     AS emb_has_inf,
+                   v IS NOT NULL AND len(v) > 0 AND
+                     len(list_filter(v, x -> x IS NULL
+                         OR isnan(CAST(x AS DOUBLE))
+                         OR CAST(x AS DOUBLE) <> 0.0)) = 0
+                     AS emb_zero,
+                   v IS NOT NULL AND len(v) = 64
+                     AND len(list_filter(v, x -> isnan(CAST(x AS DOUBLE)))) = 0
+                     AND len(list_filter(v, x -> isinf(CAST(x AS DOUBLE)))) = 0
+                     AND NOT (len(v) > 0 AND len(list_filter(v,
+                           x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
+                                OR CAST(x AS DOUBLE) <> 0.0)) = 0)
+                     AS embedding_ok
+            FROM staged
         """,
         "dp155_knn_pq_refine": """
             -- dp117's codebook/code/LUT chain -> 20-candidate ADC

@@ -534,3 +534,78 @@ def embedding_random_projection(
         return _project_unroll(df, d_in, scale)
 
     return _project
+
+
+@register("embedding_sanitize")
+def embedding_sanitize(
+    dim: int,
+    embedding_col: str = "embedding",
+    mode: str = "annotate",
+) -> Callable[[DataFrame], DataFrame]:
+    """Embedding corpus SANITATION — the audit gate every ANN/dedup
+    pipeline needs before its vectors meet a kernel: a model-serving
+    bug or a truncated batch upstream shows up as NULLs, NaN/Inf cells,
+    wrong widths, or zero vectors, and each corrupts a different stage
+    (NaN poisons every distance it touches, zero-norm has no cosine
+    direction, a wrong width hard-crashes a reshaping kernel). The
+    family's ops each defend locally (``knn_pq`` masks NaN rows,
+    ``dedup_embedding_*`` skips zero-norm); this op is the UPFRONT
+    corpus-wide screen that makes those defenses boring and gives the
+    pipeline one auditable drop count.
+
+    Emits one boolean per failure class plus the conjunction:
+
+    * ``emb_null``: the column is NULL;
+    * ``emb_wrong_dim``: width differs from ``dim`` (the model's
+      declared output width — an ARGUMENT, not inferred: inference
+      would need a corpus pass and a majority vote that silently blesses
+      a majority-corrupt delivery);
+    * ``emb_has_nan`` / ``emb_has_inf``: any cell NaN / ±Inf;
+    * ``emb_zero``: every cell exactly 0.0 (no direction);
+    * ``embedding_ok``: none of the above.
+
+    ``mode="filter"`` keeps only ``embedding_ok`` rows (flags dropped);
+    ``mode="annotate"`` emits the flags. Pure JVM higher-order-function
+    projections over the array — one shuffle-free map pass, no Python,
+    exact boolean semantics (SQL-oracle-able bit-for-bit).
+    """
+    if dim < 1:
+        raise ValueError(f"embedding_sanitize: dim must be >= 1, got {dim}")
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"embedding_sanitize: unknown mode {mode!r}")
+
+    def _sanitize(df: DataFrame) -> DataFrame:
+        v = F.col(embedding_col)
+        d = v.cast("array<double>")
+        is_null = v.isNull()
+        wrong_dim = ~is_null & (F.size(v) != dim)
+        has_nan = ~is_null & F.exists(d, lambda x: F.isnan(x))
+        inf = F.lit(float("inf"))
+        has_inf = ~is_null & F.exists(
+            d, lambda x: (x == inf) | (x == -inf)
+        )
+        # size>0: an EMPTY array is vacuously all-zero but that's the
+        # wrong_dim flag's finding, not a zero-direction one
+        zero = (
+            ~is_null
+            & (F.size(v) > 0)
+            & ~F.exists(d, lambda x: x.isNull() | F.isnan(x) | (x != 0.0))
+        )
+        flags = {
+            "emb_null": is_null,
+            "emb_wrong_dim": wrong_dim,
+            "emb_has_nan": has_nan,
+            "emb_has_inf": has_inf,
+            "emb_zero": zero,
+        }
+        ok = None
+        for expr in flags.values():
+            ok = ~expr if ok is None else ok & ~expr
+        out = df.withColumns({**flags, "embedding_ok": ok})
+        if mode == "filter":
+            return out.filter(F.col("embedding_ok")).drop(
+                *flags.keys(), "embedding_ok"
+            )
+        return out
+
+    return _sanitize

@@ -5562,3 +5562,42 @@ def test_knn_pq_refine_equals_exact_when_shortlist_covers_corpus(spark):
         t("knn_pq_refine", k=5, shortlist=3)
     with pytest.raises(ValueError):
         t("knn_pq_refine", k=0)
+
+
+def test_embedding_sanitize_flag_battery(spark):
+    """embedding_sanitize: one boolean per failure class; an empty array
+    is wrong_dim (not vacuously zero); a NaN-bearing zero vector is NaN,
+    not zero; filter mode keeps only clean rows and drops the flags."""
+    rows = [
+        (1, [1.0, 2.0, 0.5]),                 # clean
+        (2, None),                             # null
+        (3, [1.0, 2.0]),                       # wrong width
+        (4, [float("nan"), 2.0, 3.0]),         # NaN cell
+        (5, [float("inf"), 2.0, 3.0]),         # +Inf cell
+        (6, [0.0, -0.0, 0.0]),                 # zero vector
+        (7, []),                               # empty: wrong_dim only
+        (8, [float("nan"), 0.0, 0.0]),         # NaN wins over zero
+        (9, [float("-inf"), 1.0, 2.0]),        # -Inf counts as inf
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    out = {r["vec_id"]: r for r in df.transform(
+        t("embedding_sanitize", dim=3)
+    ).collect()}
+    assert out[1]["embedding_ok"] and not any(
+        out[1][f] for f in ("emb_null", "emb_wrong_dim", "emb_has_nan",
+                            "emb_has_inf", "emb_zero"))
+    assert out[2]["emb_null"] and not out[2]["embedding_ok"]
+    assert out[3]["emb_wrong_dim"] and not out[3]["emb_zero"]
+    assert out[4]["emb_has_nan"] and not out[4]["emb_zero"]
+    assert out[5]["emb_has_inf"]
+    assert out[6]["emb_zero"] and not out[6]["embedding_ok"]
+    assert out[7]["emb_wrong_dim"] and not out[7]["emb_zero"]
+    assert out[8]["emb_has_nan"] and out[8]["emb_zero"] is False
+    assert out[9]["emb_has_inf"]
+    kept = df.transform(t("embedding_sanitize", dim=3, mode="filter"))
+    assert [r["vec_id"] for r in kept.collect()] == [1]
+    assert "embedding_ok" not in kept.columns
+    with pytest.raises(ValueError):
+        t("embedding_sanitize", dim=0)
+    with pytest.raises(ValueError):
+        t("embedding_sanitize", dim=3, mode="drop")
