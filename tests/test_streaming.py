@@ -990,3 +990,49 @@ def test_incremental_embedding_empty_and_null_edge_cases(spark, tmp_path):
         "vec_id LONG, embedding ARRAY<DOUBLE>",
     )
     assert sorted(r["vec_id"] for r in real.transform(op()).collect()) == [10]
+
+
+def test_r13_screens_run_inside_the_streaming_plan(spark, tmp_dir):
+    """text_c4_rules, text_script_mix, and embedding_sanitize are pure
+    projections — a streaming ACON must run them IN the stream (no
+    foreachBatch relocation), and the flags must match the batch arm."""
+    import os as _os
+
+    src = _os.path.join(tmp_dir, "screen_src")
+    rows = [
+        (1, "one two three here.\nshort"),
+        (2, "привет мир и всем хороший день ok"),
+    ]
+    spark.createDataFrame(rows, "doc_id INT, text STRING").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    acon = {
+        "input_specs": [
+            {
+                "spec_id": "s",
+                "data_format": "parquet",
+                "location": src,
+                "read_type": "streaming",
+                "schema": DOC_SCHEMA,
+            }
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "t",
+                "input_id": "s",
+                "transformers": [
+                    {"function": "text_c4_rules",
+                     "args": {"min_sentences": 1}},
+                    {"function": "text_script_mix", "args": {}},
+                ],
+            }
+        ],
+        "output_specs": [
+            {"spec_id": "o", "input_id": "t", "data_format": "dataframe"}
+        ],
+    }
+    got = {r["doc_id"]: r for r in load_data(acon)["o"].collect()}
+    assert got[1]["n_lines_kept"] == 1 and got[1]["c4_keep"]
+    assert got[2]["n_lines_kept"] == 0 and not got[2]["c4_keep"]
+    assert got[2]["script_dominant"] == "cyrillic"
+    assert got[1]["script_dominant"] == "latin"
