@@ -46,13 +46,19 @@ def main() -> int:
     suspect = False
     if loads:
         end = bench.get("loadavg_end") or loads
-        peak = max(loads[0], end[0])
-        suspect = peak > LOAD_SUSPECT_1MIN
+        # AMBIENT load = the START reading; loadavg_end mostly measures
+        # the bench's own local[32] parallelism (a healthy idle-VM run
+        # still ends near 8) and must not mark the run suspect. The
+        # 5-min start figure catches a just-finished foreign load whose
+        # 1-min average already decayed.
+        ambient = max(loads[0], loads[1] if len(loads) > 1 else 0.0)
+        suspect = ambient > LOAD_SUSPECT_1MIN
         load_note = (
-            f"loadavg1m start={loads[0]} end={end[0]} -> "
+            f"ambient loadavg at start 1m={loads[0]} 5m={loads[1] if len(loads)>1 else '?'} "
+            f"(end={end[0]}, self-load) -> "
             + ("LOAD-SUSPECT run (>%.0f): breaches below need isolated "
                "re-measure before being treated as regressions" % LOAD_SUSPECT_1MIN
-               if suspect else "low-load run: breaches are real signals")
+               if suspect else "low-ambient run: breaches are real signals")
         )
     print(f"# {load_note}")
 
