@@ -3814,6 +3814,25 @@ def dp150_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp157_knn_mmr(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversity re-rank (datapipes/similarity.py knn_mmr_rerank,
+    Carbonell & Goldstein 1998): per query, 20 most-relevant candidates
+    by exact int64 quantized dot, then 3 greedy MMR rounds at λ=300‰ —
+    score = 700·rel − 300·max-sim-to-selected, ties to the smaller id.
+    The oracle unrolls the greedy trajectory round by round (selection
+    r depends on the exact selected set of rounds 1..r−1)."""
+    emb = load_table(spark, sf, "embeddings")
+    return emb.transform(
+        _t(
+            "knn_mmr_rerank",
+            k=3,
+            shortlist=20,
+            lam_permille=300,
+            query_filter="vec_id < 10",
+        )
+    )
+
+
 def dp156_embedding_sanitize(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding corpus sanitation (datapipes/embeddings.py
     embedding_sanitize): the upfront NULL / wrong-width / NaN / Inf /
@@ -4687,6 +4706,8 @@ WINDOW_RETOUCHED = (
     "q34_tokenizer_fertility",
     # new: embedding corpus sanitation screen
     "dp156_embedding_sanitize",
+    # new: MMR diversity re-rank (greedy trajectory oracle-unrolled)
+    "dp157_knn_mmr",
     # NaN scores excluded on both arms + oracle (round-12 ADVICE #1)
     "dp150_streaming_topk",
     # two-sided synthetic-key range guard, abs() overflow at Long.MIN
@@ -4723,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp155_knn_pq_refine": dp155_knn_pq_refine,
         "q34_tokenizer_fertility": q34_tokenizer_fertility,
         "dp156_embedding_sanitize": dp156_embedding_sanitize,
+        "dp157_knn_mmr": dp157_knn_mmr,
         "dp150_streaming_topk": dp150_streaming_topk,
         "dp147_paragraph_dedup": dp147_paragraph_dedup,
         "q31_curation_pipeline": q31_curation_pipeline,
@@ -4770,10 +4792,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp87_pagerank": dp87_pagerank,  # last hard driver signal r09
         "dp88_binary_decompress": dp88_binary_decompress,  # last hard driver signal r09
         "dp89_sentence_split": dp89_sentence_split,  # last hard driver signal r09
-        "dp90_html_strip": dp90_html_strip,  # last hard driver signal r09
-        # ---- driver window boundary (entry 50 = dp90_html_strip) ----
+        # ---- driver window boundary (entry 50 = dp89_sentence_split) ----
         # --- remainder: value-verified via tools/check_oracle.py every
         # --- round; ordered stalest-first (q27/q28 lead for r14) ---
+        "dp90_html_strip": dp90_html_strip,  # r09
         "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # r09
         "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # r09
         "q24_semi_anti_join": q24_semi_anti_join,  # r09
@@ -4968,6 +4990,76 @@ def _dp154_oracle() -> str:
                         ELSE 0 END AS script_mix_permille
             FROM agg
         """
+
+
+def _dp157_oracle(k: int = 3, lam: int = 300, shortlist: int = 20) -> str:
+    """dp157 oracle: the MMR greedy trajectory unrolled round by round
+    (the dp69 unrolled-rounds convention) — round r's argmax depends on
+    the exact selected set of rounds 1..r-1, so each round is one CTE
+    pair (scores over the remaining candidates, then the argmax)."""
+    dot = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> p[1]*p[2]))"
+    )
+    keep = 1000 - lam
+    parts = [f"""
+            WITH q AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*1024.0 + 0.5) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            qry AS (SELECT id AS qid, v AS qv FROM q WHERE id < 10),
+            rel AS (
+              SELECT qry.qid, q.id AS nid,
+                     {dot.format(a='qry.qv', b='q.v')} AS rel, q.v AS nv
+              FROM qry CROSS JOIN q WHERE q.id <> qry.qid
+            ),
+            sl AS (
+              SELECT qid, nid, rel, nv FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rn
+                FROM rel
+              ) WHERE rn <= {shortlist}
+            ),
+            s1 AS (
+              SELECT qid, nid, rel, nv FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY {keep}*rel DESC, nid ASC) AS rn
+                FROM sl
+              ) WHERE rn = 1
+            )"""]
+    for r in range(2, k + 1):
+        prev = ", ".join(f"s{i}" for i in range(1, r))
+        exclude = " AND ".join(f"c.nid <> s{i}.nid" for i in range(1, r))
+        joins = " ".join(
+            f"JOIN s{i} ON s{i}.qid = c.qid" for i in range(1, r)
+        )
+        sims = ", ".join(
+            dot.format(a="c.nv", b=f"s{i}.nv") for i in range(1, r)
+        )
+        maxsim = f"greatest({sims})" if r > 2 else sims
+        parts.append(f""",
+            r{r} AS (
+              SELECT c.qid, c.nid, c.rel, c.nv,
+                     {keep}*c.rel - {lam}*({maxsim}) AS score
+              FROM sl c {joins}
+              WHERE {exclude}
+            ),
+            s{r} AS (
+              SELECT qid, nid, rel, nv FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY score DESC, nid ASC) AS rn
+                FROM r{r}
+              ) WHERE rn = 1
+            )""")
+    sel = "\n            UNION ALL\n".join(
+        f"            SELECT qid AS query_id, nid AS neighbor_id, "
+        f"CAST(rel AS BIGINT) AS relevance, CAST({i} AS INT) AS mmr_rank "
+        f"FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + sel
 
 
 def _duck_shingles(n: int) -> str:
@@ -7804,6 +7896,7 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'tail' THEN 100000
                                 ELSE 0 END
         """,
+        "dp157_knn_mmr": _dp157_oracle(),
         "dp156_embedding_sanitize": """
             -- staged corruption (NULL / NaN head / +Inf head / zeros /
             -- truncation) -> per-class boolean screens, replayed with

@@ -578,3 +578,132 @@ def cluster_sample(
         return df.join(kept, df[id_col] == kept["__bid"]).drop("__bid")
 
     return _sample
+
+
+@register("knn_mmr_rerank")
+def knn_mmr_rerank(
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    shortlist: int = 20,
+    lam_permille: int = 300,
+    quant_scale: int = 1024,
+    query_filter: str = "vec_id < 10",
+) -> TransformerFn:
+    """Diversity-aware top-k: Maximal Marginal Relevance re-rank
+    (Carbonell & Goldstein 1998) — the retrieval-side answer to "my
+    top-k are five near-copies of the same document": take each query's
+    ``shortlist`` most RELEVANT candidates, then greedily pick k, each
+    round choosing the candidate with the best trade-off of relevance
+    against similarity to what is ALREADY picked::
+
+        score = (1000 - λ) · rel − λ · max_{s ∈ selected} sim(c, s)
+
+    with ``λ = lam_permille`` (0 = pure relevance, 1000 = pure
+    diversity), ties → smaller id, round 1 scored with an empty
+    selected set (max-sim = 0, i.e. pure relevance). Both ``rel`` (to
+    the query) and ``sim`` (candidate-candidate) are EXACT int64 dot
+    products of the family's quantized grid vectors (pre-normalize with
+    ``embedding_normalize`` for cosine semantics), so the whole greedy
+    trajectory is integer-deterministic and SQL-replayable round by
+    round.
+
+    Output: ``(query_id, neighbor_id, relevance, mmr_rank)`` —
+    ``mmr_rank`` 1..k is the SELECTION order (rank 1 = most relevant by
+    construction).
+
+    Scale shape: relevance stage = the ``knn_brute_force`` posture (one
+    corpus scan, broadcast queries, per-query top-``shortlist`` window —
+    never an all-pairs join); the greedy stage runs per query over a
+    shortlist-sized pandas group (``applyInPandas``), whose O(k·R·d)
+    integer kernel is microscopic next to the scan. Shuffle volume is
+    nq × shortlist skinny rows.
+    """
+    if k < 1:
+        raise ValueError(f"knn_mmr_rerank: k must be >= 1, got {k}")
+    if shortlist < k:
+        raise ValueError(
+            f"knn_mmr_rerank: shortlist ({shortlist}) must be >= k ({k})"
+        )
+    if not 0 <= lam_permille <= 1000:
+        raise ValueError(
+            f"knn_mmr_rerank: lam_permille must be in [0, 1000], "
+            f"got {lam_permille}"
+        )
+
+    def _mmr(df: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        quant = F.transform(
+            F.col(embedding_col),
+            lambda x: F.floor(x.cast("double") * quant_scale + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        corpus = ensure_parallelism(df).select(
+            F.col(id_col).alias("neighbor_id"), quant.alias("__nv")
+        ).filter(F.col("__nv").isNotNull())
+        queries = (df.filter(query_filter) if query_filter else df).select(
+            F.col(id_col).alias("query_id"), quant.alias("__qv")
+        ).filter(F.col("__qv").isNotNull())
+        rel = F.aggregate(
+            F.zip_with("__qv", "__nv", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("__rel"), F.asc("neighbor_id")
+        )
+        cand = (
+            F.broadcast(queries)
+            .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("__rel", rel)
+            .withColumn("__rr", F.row_number().over(w))
+            .filter(F.col("__rr") <= shortlist)
+            .select("query_id", "neighbor_id", "__rel", "__nv")
+        )
+        id_type = df.schema[id_col].dataType.simpleString()
+        out_schema = (
+            f"query_id {id_type}, neighbor_id {id_type}, "
+            "relevance BIGINT, mmr_rank INT"
+        )
+        keep = 1000 - lam_permille
+
+        def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+            V = np.stack(pdf["__nv"].to_numpy()).astype(np.int64)
+            rels = pdf["__rel"].to_numpy().astype(np.int64)
+            ids = pdf["neighbor_id"].to_numpy()
+            # deterministic candidate order for tie resolution
+            order = np.lexsort((ids,))
+            # None until the first pick: a NEGATIVE sim to the selected
+            # set must flow through the formula (zero-initialized max
+            # would silently clamp it and mis-rank anti-correlated
+            # candidates — caught by the oracle on real data)
+            simmax = None
+            chosen: list = []
+            taken = np.zeros(len(ids), dtype=bool)
+            for r in range(min(k, len(ids))):
+                score = keep * rels - lam_permille * (
+                    simmax if simmax is not None else 0
+                )
+                best, best_key = None, None
+                for i in order:
+                    if taken[i]:
+                        continue
+                    key = (-score[i], ids[i])
+                    if best_key is None or key < best_key:
+                        best, best_key = i, key
+                taken[best] = True
+                chosen.append((ids[best], int(rels[best]), r + 1))
+                sims = V @ V[best]
+                simmax = sims if simmax is None else np.maximum(simmax, sims)
+            out = pd.DataFrame(
+                chosen, columns=["neighbor_id", "relevance", "mmr_rank"]
+            )
+            out.insert(0, "query_id", pdf["query_id"].iloc[0])
+            return out
+
+        return cand.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+    return _mmr

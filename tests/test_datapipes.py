@@ -5601,3 +5601,39 @@ def test_embedding_sanitize_flag_battery(spark):
         t("embedding_sanitize", dim=0)
     with pytest.raises(ValueError):
         t("embedding_sanitize", dim=3, mode="drop")
+
+
+def test_knn_mmr_rerank_lambda_extremes_and_negative_sim(spark):
+    """knn_mmr_rerank: lam=0 reproduces relevance top-k in rank order;
+    a NEGATIVE candidate-to-selected similarity must flow through the
+    score (not clamp to zero) — an anti-correlated candidate beats a
+    higher-relevance near-duplicate at high lambda; validation raises."""
+    rows = [
+        (0, [4.0, 0.0]),          # query
+        (1, [3.0, 0.0]),          # most relevant, aligned
+        (2, [2.9, 0.1]),          # near-duplicate of 1
+        (3, [0.5, -3.0]),         # anti-correlated, low relevance
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    pure = df.transform(
+        t("knn_mmr_rerank", k=2, shortlist=3, lam_permille=0,
+          query_filter="vec_id = 0")
+    ).collect()
+    assert [(r["neighbor_id"], r["mmr_rank"]) for r in
+            sorted(pure, key=lambda r: r["mmr_rank"])] == [(1, 1), (2, 2)]
+    diverse = df.transform(
+        t("knn_mmr_rerank", k=2, shortlist=3, lam_permille=900,
+          query_filter="vec_id = 0")
+    ).collect()
+    got = [(r["neighbor_id"], r["mmr_rank"]) for r in
+           sorted(diverse, key=lambda r: r["mmr_rank"])]
+    # round 1 is pure relevance (1); round 2 must pick the
+    # anti-correlated 3 over the near-duplicate 2 — its sim to the
+    # selected is NEGATIVE, which only wins if the sign flows through
+    assert got == [(1, 1), (3, 2)]
+    with pytest.raises(ValueError):
+        t("knn_mmr_rerank", k=5, shortlist=3)
+    with pytest.raises(ValueError):
+        t("knn_mmr_rerank", lam_permille=1001)
+    with pytest.raises(ValueError):
+        t("knn_mmr_rerank", k=0)
