@@ -202,6 +202,58 @@ def probe_streaming_quality_buckets_1m(spark):
 PROBES["streaming_quality_buckets_1m"] = probe_streaming_quality_buckets_1m
 
 
+def _emb_10x(spark):
+    """20k vectors: sf0.1 embeddings x10 with distinct ids and a
+    copy-specific deterministic perturbation (distinct directions, so
+    ANN candidate structure is real rather than 10 exact clones)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    big = (
+        emb.crossJoin(spark.range(10).withColumnRenamed("id", "__c"))
+        .select(
+            (F.col("vec_id") * 10 + F.col("__c")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> CAST(x + 0.01 * __c * "
+                "CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .repartition(32)
+    )
+    loc = "/tmp/probe_emb10x_r13"
+    big.write.mode("overwrite").parquet(loc)
+    return spark.read.parquet(loc)
+
+
+def probe_ann_rerank_10x(spark):
+    """knn_pq_refine and knn_mmr_rerank over a 20k-vector corpus, 100
+    queries: the ADC/relevance scans dominate (one corpus pass each),
+    the gather stays a broadcast semi-join of 100 x shortlist ids, and
+    the re-rank windows/greedy groups stay shortlist-sized — wall
+    should track corpus volume, emission stays queries x k."""
+    big = _emb_10x(spark)
+    n = big.count()
+    t0 = time.time()
+    ref = big.transform(
+        _t("knn_pq_refine", k=5, shortlist=20, m=4, num_codes=16,
+           query_filter="vec_id < 100")
+    )
+    nr = ref.count()
+    t1 = time.time() - t0
+    t0 = time.time()
+    mmr = big.transform(
+        _t("knn_mmr_rerank", k=5, shortlist=20, lam_permille=300,
+           query_filter="vec_id < 100")
+    )
+    nm = mmr.count()
+    t2 = time.time() - t0
+    print(
+        f"[ann_rerank_10x] {n} vectors / 100 queries: pq_refine "
+        f"{t1:.1f}s ({nr} rows), mmr_rerank {t2:.1f}s ({nm} rows)"
+    )
+
+
+PROBES["ann_rerank_10x"] = probe_ann_rerank_10x
+
+
 def main():
     spark = ExecEnv.get_or_create()
     only = set(sys.argv[1:])
