@@ -765,3 +765,120 @@ def test_paragraph_dedup_reassembly_identity(spark, docs):
     for i, text in rows:
         assert out[i]["text_dedup"] == text
         assert out[i]["n_kept"] == out[i]["n_paragraphs"]
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abc XY.!?{}\n\"'–…") + ["п", "р", "и", "好", "世", "ひ"]
+        ),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _c4_ref(texts, min_line_words, min_sentences):
+    """Reference model of text_c4_rules' line retention + page flags."""
+    import re
+
+    out = []
+    for txt in texts:
+        t_ = txt or ""
+        kept = []
+        for line in t_.split("\n"):
+            r = line.rstrip()
+            words = [w for w in re.split(r"\s+", line.strip()) if w]
+            if (
+                r[-1:] in (".", "!", "?", '"', "”", "'")
+                and len(words) >= min_line_words
+                and "javascript" not in line.lower()
+            ):
+                kept.append(line)
+        cleaned = "\n".join(kept)
+        out.append(
+            (
+                len(kept),
+                len(re.findall(r"[.!?]", cleaned)) >= min_sentences,
+                "{" not in t_,
+                "lorem ipsum" not in t_.lower(),
+            )
+        )
+    return out
+
+
+@_few
+@given(texts=_texts)
+def test_c4_rules_matches_reference_model(spark, texts):
+    rows = [(i, txt) for i, txt in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {
+        r["doc_id"]: (
+            r["n_lines_kept"], r["rule_sentences"],
+            r["rule_no_brace"], r["rule_no_lorem"],
+        )
+        for r in df.transform(
+            t("text_c4_rules", min_line_words=2, min_sentences=1)
+        ).collect()
+    }
+    ref = _c4_ref(texts, 2, 1)
+    for i, expected in enumerate(ref):
+        assert got[i] == expected, (i, texts[i])
+
+
+_RANGES = [
+    ("latin", (0x41, 0x5A), (0x61, 0x7A)),
+    ("cyrillic", (0x0400, 0x04FF)),
+    ("greek", (0x0370, 0x03FF)),
+    ("arabic", (0x0600, 0x06FF)),
+    ("hebrew", (0x0590, 0x05FF)),
+    ("devanagari", (0x0900, 0x097F)),
+    ("cjk", (0x4E00, 0x9FFF)),
+    ("hangul", (0xAC00, 0xD7A3)),
+    ("kana", (0x3040, 0x30FF)),
+]
+
+
+def _script_ref(txt):
+    counts = {}
+    for name, *spans in _RANGES:
+        counts[name] = sum(
+            1 for ch in (txt or "")
+            if any(lo <= ord(ch) <= hi for lo, hi in spans)
+        )
+    total = sum(counts.values())
+    mx = max(counts.values()) if total else 0
+    dominant = next(
+        (n for n, *_ in _RANGES if mx > 0 and counts[n] == mx), ""
+    )
+    permille = math.floor(1000 * (total - mx) / total) if total else 0
+    return counts, total, dominant, permille
+
+
+@_few
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",),
+                max_codepoint=0xD7A3,
+            ),
+            max_size=50,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_script_mix_matches_reference_model(spark, texts):
+    rows = [(i, txt) for i, txt in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in df.transform(t("text_script_mix")).collect()}
+    for i, txt in enumerate(texts):
+        counts, total, dominant, permille = _script_ref(txt)
+        r = out[i]
+        for name, *_ in _RANGES:
+            assert r[f"script_{name}"] == counts[name], (i, name, txt)
+        assert r["script_chars"] == total
+        assert r["script_dominant"] == dominant, (i, txt)
+        assert r["script_mix_permille"] == permille
