@@ -83,3 +83,19 @@ def test_driver_window_holds_rotation_cohort():
             f"rotated out: {stale_out} — rotate them in (or add them to "
             "WINDOW_RETOUCHED if their code changed)"
         )
+
+
+def test_every_query_has_a_committed_anchor():
+    """tools/anchors.json is the anchor-audit currency: a query without
+    an anchor silently escapes the per-round >2x gate, so every
+    queries() entry must carry one (new queries get an isolated
+    median-of-7 anchor in the same round they land)."""
+    import json
+    import pathlib
+
+    anchors = json.loads(
+        (pathlib.Path(__file__).parent.parent / "tools" / "anchors.json")
+        .read_text()
+    )["anchors"]
+    missing = [k for k in entry.queries() if k not in anchors]
+    assert missing == [], missing
