@@ -254,6 +254,69 @@ def probe_ann_rerank_10x(spark):
 PROBES["ann_rerank_10x"] = probe_ann_rerank_10x
 
 
+def probe_merge_fallback_1m(spark):
+    """The parquet merge fallback is O(target) by design (full
+    join-rewrite + atomic overwrite — real Delta touches only matched
+    files). This probe puts a number on that trade at 1M target rows /
+    10k-row delta, measured end-to-end through the public load_data
+    merge path (WriterLock engaged), so the degraded-runtime cost model
+    in BASELINE.md is a measurement, not an estimate."""
+    import shutil
+    import tempfile
+
+    from lakehouse_engine_spark import load_data
+
+    base = tempfile.mkdtemp(prefix="probe_merge_")
+    tgt = os.path.join(base, "tgt")
+    try:
+        (
+            spark.range(1_000_000)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 97).alias("v"),
+                F.lit("base").alias("src"),
+            )
+            .repartition(32)
+            .write.parquet(tgt)
+        )
+        delta = spark.range(10_000).select(
+            (F.col("id") * 100).alias("k"),
+            F.lit(-1).cast("long").alias("v"),
+            F.lit("delta").alias("src"),
+        )
+        t0 = time.time()
+        load_data(
+            {
+                "input_specs": [
+                    {"spec_id": "new", "data_format": "dataframe",
+                     "df_name": delta}
+                ],
+                "output_specs": [
+                    {"spec_id": "o", "input_id": "new",
+                     "data_format": "parquet", "location": tgt,
+                     "write_type": "merge",
+                     "merge_opts": {
+                         "merge_predicate": "current.k = new.k"
+                     }}
+                ],
+            }
+        )
+        dt = time.time() - t0
+        got = spark.read.parquet(tgt)
+        n = got.count()
+        upd = got.filter("src = 'delta'").count()
+        print(
+            f"[merge_fallback_1m] 1M-row target, 10k-row delta: "
+            f"{dt:.1f}s end-to-end (join-rewrite + atomic overwrite, "
+            f"lock engaged); {n} rows after, {upd} updated"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+PROBES["merge_fallback_1m"] = probe_merge_fallback_1m
+
+
 def main():
     spark = ExecEnv.get_or_create()
     only = set(sys.argv[1:])
