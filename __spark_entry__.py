@@ -3814,6 +3814,42 @@ def dp150_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BYTE_BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("i", "n"),
+    ("e", "r"), ("r", "o"), ("ro", "w"), ("s", "c"), ("sc", "a"),
+    ("sca", "n"), ("Ã", "©"),
+]
+
+
+def dp158_byte_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """BYTE-level BPE encode (datapipes/bpe.py bpe_byte_encode, the
+    GPT-2 scheme): words map to UTF-8 bytes through the public
+    bytes→unicode bijection, then the fixed merge table — every string
+    is encodable, no [UNK] exists. A third of the docs get an accented
+    suffix so the multibyte merge ("Ã","©" — the two bytes of 'é') is
+    consequential. The oracle derives the byte symbols ARITHMETICALLY
+    (code point → UTF-8 bytes via integer div/mod → 256-entry map
+    literal) and replays the same double-space merge-scan chain as
+    dp69b."""
+    docs = load_table(spark, sf, "documents")
+    merges = spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(BYTE_BPE_FIXED_MERGES)],
+        "rank INT, left STRING, right STRING, merged STRING",
+    )
+    staged = (
+        "concat(text, case when doc_id % 3 = 0"
+        " then ' café résumé naïve' else '' end)"
+    )
+    enc = docs.selectExpr("doc_id", f"{staged} AS text").transform(
+        _t("bpe_byte_encode", merges=merges)
+    )
+    return enc.select(
+        "doc_id",
+        F.col("bpe_tokens_n").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("bpe_tokens", "\x1f")).alias("pieces_md5"),
+    )
+
+
 def dp157_knn_mmr(spark: SparkSession, sf: str) -> DataFrame:
     """MMR diversity re-rank (datapipes/similarity.py knn_mmr_rerank,
     Carbonell & Goldstein 1998): per query, 20 most-relevant candidates
@@ -4708,6 +4744,8 @@ WINDOW_RETOUCHED = (
     "dp156_embedding_sanitize",
     # new: MMR diversity re-rank (greedy trajectory oracle-unrolled)
     "dp157_knn_mmr",
+    # new: byte-level BPE encode (GPT-2 scheme, no-UNK guarantee)
+    "dp158_byte_bpe",
     # NaN scores excluded on both arms + oracle (round-12 ADVICE #1)
     "dp150_streaming_topk",
     # two-sided synthetic-key range guard, abs() overflow at Long.MIN
@@ -4745,6 +4783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_tokenizer_fertility": q34_tokenizer_fertility,
         "dp156_embedding_sanitize": dp156_embedding_sanitize,
         "dp157_knn_mmr": dp157_knn_mmr,
+        "dp158_byte_bpe": dp158_byte_bpe,
         "dp150_streaming_topk": dp150_streaming_topk,
         "dp147_paragraph_dedup": dp147_paragraph_dedup,
         "q31_curation_pipeline": q31_curation_pipeline,
@@ -4791,10 +4830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp86_gif_decode": dp86_gif_decode,  # last hard driver signal r09
         "dp87_pagerank": dp87_pagerank,  # last hard driver signal r09
         "dp88_binary_decompress": dp88_binary_decompress,  # last hard driver signal r09
-        "dp89_sentence_split": dp89_sentence_split,  # last hard driver signal r09
-        # ---- driver window boundary (entry 50 = dp89_sentence_split) ----
+        # ---- driver window boundary (entry 50 = dp88_binary_decompress) ----
         # --- remainder: value-verified via tools/check_oracle.py every
         # --- round; ordered stalest-first (q27/q28 lead for r14) ---
+        "dp89_sentence_split": dp89_sentence_split,  # r09
         "dp90_html_strip": dp90_html_strip,  # r09
         "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # r09
         "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # r09
@@ -4990,6 +5029,40 @@ def _dp154_oracle() -> str:
                         ELSE 0 END AS script_mix_permille
             FROM agg
         """
+
+
+def _duck_byte_symword(col: str) -> str:
+    """DuckDB expression: the GPT-2 byte-symbol string of ``col`` —
+    code points (``unicode``) → UTF-8 bytes by integer div/mod → the
+    256-entry bytes→unicode map as a list literal (1-indexed)."""
+    from lakehouse_engine_spark.datapipes.bpe import bytes_to_unicode_table
+
+    b2u = bytes_to_unicode_table()
+    maplit = "[" + ", ".join(
+        "'" + b2u[b].replace("'", "''") + "'" for b in range(256)
+    ) + "]"
+    return f"""array_to_string(list_transform(flatten(list_transform(
+        list_transform(regexp_extract_all({col}, '.'), c -> unicode(c)),
+        cp -> CASE WHEN cp < 128 THEN [cp]
+              WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+              WHEN cp < 65536 THEN [224 + cp // 4096,
+                                    128 + (cp // 64) % 64, 128 + cp % 64]
+              ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+                    128 + (cp // 64) % 64, 128 + cp % 64] END)),
+        b -> ({maplit})[b + 1]), '')"""
+
+
+def _duck_byte_bpe_pieces(col: str = "w") -> str:
+    """DuckDB expression: byte-level BPE pieces of word ``col`` — the
+    dp69b double-space merge-scan replay over the byte-symbol string,
+    WITHOUT the </w> marker (the byte-level convention)."""
+    e = (
+        "'  ' || array_to_string("
+        f"regexp_extract_all({_duck_byte_symword(col)}, '.'), '  ') || '  '"
+    )
+    for a, b in BYTE_BPE_FIXED_MERGES:
+        e = f"replace({e}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"list_filter(string_split({e}, '  '), x -> x <> '')"
 
 
 def _dp157_oracle(k: int = 3, lam: int = 300, shortlist: int = 20) -> str:
@@ -7895,6 +7968,38 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'middle' THEN 500000
                                 WHEN 'tail' THEN 100000
                                 ELSE 0 END
+        """,
+        "dp158_byte_bpe": f"""
+            -- byte-level BPE replay: word -> code points -> UTF-8
+            -- bytes (integer div/mod) -> GPT-2 byte-symbol string ->
+            -- the dp69b double-space merge-scan, no </w> marker
+            WITH staged AS (
+              SELECT doc_id,
+                     concat(text, CASE WHEN doc_id % 3 = 0
+                       THEN ' café résumé naïve' ELSE '' END) AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, {_DUCK_TOKENS_CS} AS ws FROM staged
+            ),
+            tw AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(ws))) AS pos,
+                     ws
+              FROM toks
+            ),
+            enc AS (
+              SELECT doc_id, pos, {_duck_byte_bpe_pieces("ws[pos]")} AS pieces
+              FROM tw
+            ),
+            per_doc AS (
+              SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS pieces
+              FROM enc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(len(p.pieces), 0) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(coalesce(p.pieces, []), chr(31))) AS pieces_md5
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         "dp157_knn_mmr": _dp157_oracle(),
         "dp156_embedding_sanitize": """

@@ -607,3 +607,134 @@ def wordpiece_encode_with(data: dict, vocab_id: str, **args) -> TransformerFn:
         return wordpiece_encode(vocab=data[vocab_id], **args)(df)
 
     return _enc
+
+
+def bytes_to_unicode_table() -> dict:
+    """The GPT-2 byte→unicode map (Radford et al. 2019, public
+    ``encoder.py``): printable latin-1 bytes map to themselves; the
+    remaining 68 bytes shift to 256+n — a BIJECTION from bytes onto 256
+    distinct printable BMP characters, so any byte sequence becomes a
+    plain string the merge machinery (and a SQL oracle) can scan."""
+    bs = (
+        list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_B2U = bytes_to_unicode_table()
+
+
+def byte_symbols(word: str) -> str:
+    """UTF-8 bytes of ``word`` mapped through the GPT-2 table — the
+    symbol string byte-level merges operate on."""
+    return "".join(_B2U[b] for b in word.encode("utf-8"))
+
+
+def apply_merges_byte_py(word: str, merges: List[Tuple[str, str]]) -> List[str]:
+    """Reference byte-level encoder: map to byte symbols, then the same
+    left-to-right non-overlapping merge scan as :func:`apply_merges_py`
+    — WITHOUT the ``</w>`` marker (byte-level's word boundary is the
+    pretokenizer split itself, the GPT-2 convention)."""
+    syms = list(byte_symbols(word))
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@register("bpe_byte_encode")
+def bpe_byte_encode(
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    output_col: str = "bpe_tokens",
+    lowercase: bool = False,
+    broadcast_dictionary: bool | None = None,
+    broadcast_threshold_rows: int = 2_000_000,
+) -> TransformerFn:
+    """BYTE-level BPE encode (the GPT-2 scheme): every word is first
+    mapped to its UTF-8 bytes through the public bytes→unicode bijection,
+    then merged with the trained table — so EVERY string is encodable
+    (no ``[UNK]`` exists; an unseen emoji just stays as its byte
+    symbols), the property modern tokenizers buy with byte fallback.
+    ``merges`` rows are ``(rank, left, right, merged)`` over the
+    byte-symbol alphabet (ASCII letters map to themselves, so common
+    merges look like ``("t","h")``; a multibyte character contributes
+    one symbol per byte).
+
+    Same production plan as :func:`bpe_encode` (whose word-level
+    contract and broadcast gate this op shares verbatim): one
+    distinct-word pass, a pandas encode over DISTINCT words only, a
+    size-gated dictionary join, JVM per-document reassembly — Python
+    never touches corpus-scale data. Differences: no ``</w>`` marker
+    (byte-level's boundary is the whitespace pretokenizer itself), and
+    the dictionary's pieces are byte symbols.
+    """
+
+    def _encode(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        mlist = [
+            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+        ]
+
+        def _enc_fn(words):
+            return words.map(lambda w: apply_merges_byte_py(w, mlist))
+
+        _enc = F.pandas_udf(_enc_fn, "array<string>")
+
+        src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        with_words = df.withColumn("__words", tokens(src))
+        distinct_words = (
+            with_words.select(F.explode("__words").alias("__w"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        do_broadcast = broadcast_dictionary
+        if do_broadcast is None:
+            do_broadcast = distinct_words.count() <= broadcast_threshold_rows
+        dictionary = distinct_words.withColumn("__pieces", _enc(F.col("__w")))
+        if do_broadcast:
+            dictionary = F.broadcast(dictionary)
+        exploded = with_words.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode("__words").alias("__p", "__w"),
+        )
+        assembled = (
+            exploded.join(dictionary, "__w")
+            .groupBy("__id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__p", "__pieces"))),
+                        lambda s: s["__pieces"],
+                    )
+                ).alias("__assembled")
+            )
+        )
+        return (
+            df.join(assembled, df[id_col] == assembled["__id"], "left")
+            .drop("__id")
+            .withColumn(
+                output_col,
+                F.coalesce("__assembled", F.array().cast("array<string>")),
+            )
+            .drop("__assembled")
+            .withColumn(f"{output_col}_n", F.size(output_col).cast("int"))
+        )
+
+    return _encode

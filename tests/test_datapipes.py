@@ -5637,3 +5637,48 @@ def test_knn_mmr_rerank_lambda_extremes_and_negative_sim(spark):
         t("knn_mmr_rerank", lam_permille=1001)
     with pytest.raises(ValueError):
         t("knn_mmr_rerank", k=0)
+
+
+def test_bpe_byte_encode_no_unk_and_reference_model(spark):
+    """bpe_byte_encode: the bytes->unicode map is a 256-symbol
+    bijection; ANY string is encodable (emoji, mixed scripts — no
+    [UNK] concept); pieces match the pure-Python reference per word;
+    token-less docs keep an empty array."""
+    from lakehouse_engine_spark.datapipes.bpe import (
+        apply_merges_byte_py,
+        byte_symbols,
+        bytes_to_unicode_table,
+    )
+
+    table = bytes_to_unicode_table()
+    assert len(table) == 256 and len(set(table.values())) == 256
+    merges = [("t", "h"), ("th", "e"), ("Ã", "©")]
+    mdf = spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank INT, left STRING, right STRING, merged STRING",
+    )
+    rows = [
+        (1, "the theme"),
+        (2, "café 🚀 héllo"),          # multibyte + emoji: all encodable
+        (3, "привет 世界"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in df.transform(
+        t("bpe_byte_encode", merges=mdf)
+    ).collect()}
+    for did, txt in rows:
+        expected = [
+            p for w in txt.split() for p in apply_merges_byte_py(w, merges)
+        ]
+        assert list(out[did]["bpe_tokens"]) == expected, (did, txt)
+        assert out[did]["bpe_tokens_n"] == len(expected)
+    # 'the' fully merges; 'é' = 2 bytes merges into one symbol
+    assert out[1]["bpe_tokens"][0] == "the"
+    assert byte_symbols("é") == "Ã©"
+    assert "Ã©" in out[2]["bpe_tokens"]
+    # round-trip: pieces re-join to the symbol string (losslessness)
+    for did, txt in rows:
+        got = "".join(out[did]["bpe_tokens"])
+        ref = "".join(byte_symbols(w) for w in txt.split())
+        assert got == ref, did
