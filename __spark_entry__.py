@@ -8023,10 +8023,12 @@ def oracle_sql() -> dict[str, str]:
                    v IS NULL AS emb_null,
                    v IS NOT NULL AND len(v) <> 64 AS emb_wrong_dim,
                    v IS NOT NULL AND
-                     len(list_filter(v, x -> isnan(CAST(x AS DOUBLE)))) > 0
+                     len(list_filter(v, x -> x IS NULL
+                         OR isnan(CAST(x AS DOUBLE)))) > 0
                      AS emb_has_nan,
                    v IS NOT NULL AND
-                     len(list_filter(v, x -> isinf(CAST(x AS DOUBLE)))) > 0
+                     len(list_filter(v, x -> x IS NOT NULL
+                         AND isinf(CAST(x AS DOUBLE)))) > 0
                      AS emb_has_inf,
                    v IS NOT NULL AND len(v) > 0 AND
                      len(list_filter(v, x -> x IS NULL
@@ -8034,8 +8036,10 @@ def oracle_sql() -> dict[str, str]:
                          OR CAST(x AS DOUBLE) <> 0.0)) = 0
                      AS emb_zero,
                    v IS NOT NULL AND len(v) = 64
-                     AND len(list_filter(v, x -> isnan(CAST(x AS DOUBLE)))) = 0
-                     AND len(list_filter(v, x -> isinf(CAST(x AS DOUBLE)))) = 0
+                     AND len(list_filter(v, x -> x IS NULL
+                         OR isnan(CAST(x AS DOUBLE)))) = 0
+                     AND len(list_filter(v, x -> x IS NOT NULL
+                         AND isinf(CAST(x AS DOUBLE)))) = 0
                      AND NOT (len(v) > 0 AND len(list_filter(v,
                            x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
                                 OR CAST(x AS DOUBLE) <> 0.0)) = 0)
@@ -8132,7 +8136,8 @@ def oracle_sql() -> dict[str, str]:
             ), cleaned AS (
               SELECT doc_id, t,
                      list_filter(string_split(t, chr(10)), l ->
-                       right(rtrim(l), 1) IN ('.', '!', '?', '"', '”', '''')
+                       right(regexp_replace(l, '\s+$', ''), 1)
+                         IN ('.', '!', '?', '"', '”', '''')
                        AND len(list_filter(
                              string_split_regex(trim(l), '\s+'),
                              w -> w <> '')) >= 3

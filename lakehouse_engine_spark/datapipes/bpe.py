@@ -225,6 +225,30 @@ def bpe_encode(
     count and pin the strategy.
     """
 
+    return _dictionary_encode(
+        apply_merges_py, merges, text_col, id_col, output_col,
+        lowercase, broadcast_dictionary, broadcast_threshold_rows,
+    )
+
+
+def _dictionary_encode(
+    word_encoder,
+    merges: DataFrame,
+    text_col: str,
+    id_col: str,
+    output_col: str,
+    lowercase: bool,
+    broadcast_dictionary: bool | None,
+    broadcast_threshold_rows: int,
+) -> TransformerFn:
+    """The shared distinct-word dictionary-encode plan behind
+    :func:`bpe_encode` (word-level, ``apply_merges_py``) and
+    :func:`bpe_byte_encode` (byte-level, ``apply_merges_byte_py``):
+    one distinct-word pass, a pandas encode over DISTINCT words only,
+    the size-gated dictionary join, JVM per-document reassembly.
+    ONE copy so a fix to the plan (broadcast gate, reassembly order)
+    can never drift between the two encoders."""
+
     def _encode(df: DataFrame) -> DataFrame:
         from pyspark import StorageLevel
 
@@ -233,7 +257,7 @@ def bpe_encode(
         ]
 
         def _enc_fn(words):
-            return words.map(lambda w: apply_merges_py(w, mlist))
+            return words.map(lambda w: word_encoder(w, mlist))
 
         _enc = F.pandas_udf(_enc_fn, "array<string>")
 
@@ -685,56 +709,7 @@ def bpe_byte_encode(
     the dictionary's pieces are byte symbols.
     """
 
-    def _encode(df: DataFrame) -> DataFrame:
-        from pyspark import StorageLevel
-
-        mlist = [
-            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
-        ]
-
-        def _enc_fn(words):
-            return words.map(lambda w: apply_merges_byte_py(w, mlist))
-
-        _enc = F.pandas_udf(_enc_fn, "array<string>")
-
-        src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-        with_words = df.withColumn("__words", tokens(src))
-        distinct_words = (
-            with_words.select(F.explode("__words").alias("__w"))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        do_broadcast = broadcast_dictionary
-        if do_broadcast is None:
-            do_broadcast = distinct_words.count() <= broadcast_threshold_rows
-        dictionary = distinct_words.withColumn("__pieces", _enc(F.col("__w")))
-        if do_broadcast:
-            dictionary = F.broadcast(dictionary)
-        exploded = with_words.select(
-            F.col(id_col).alias("__id"),
-            F.posexplode("__words").alias("__p", "__w"),
-        )
-        assembled = (
-            exploded.join(dictionary, "__w")
-            .groupBy("__id")
-            .agg(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("__p", "__pieces"))),
-                        lambda s: s["__pieces"],
-                    )
-                ).alias("__assembled")
-            )
-        )
-        return (
-            df.join(assembled, df[id_col] == assembled["__id"], "left")
-            .drop("__id")
-            .withColumn(
-                output_col,
-                F.coalesce("__assembled", F.array().cast("array<string>")),
-            )
-            .drop("__assembled")
-            .withColumn(f"{output_col}_n", F.size(output_col).cast("int"))
-        )
-
-    return _encode
+    return _dictionary_encode(
+        apply_merges_byte_py, merges, text_col, id_col, output_col,
+        lowercase, broadcast_dictionary, broadcast_threshold_rows,
+    )

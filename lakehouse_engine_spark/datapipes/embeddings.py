@@ -560,7 +560,8 @@ def embedding_sanitize(
       declared output width — an ARGUMENT, not inferred: inference
       would need a corpus pass and a majority vote that silently blesses
       a majority-corrupt delivery);
-    * ``emb_has_nan`` / ``emb_has_inf``: any cell NaN / ±Inf;
+    * ``emb_has_nan``: any cell NaN or NULL (an unscorable cell either
+      way); ``emb_has_inf``: any cell ±Inf;
     * ``emb_zero``: every cell exactly 0.0 (no direction);
     * ``embedding_ok``: none of the above.
 
@@ -579,10 +580,17 @@ def embedding_sanitize(
         d = v.cast("array<double>")
         is_null = v.isNull()
         wrong_dim = ~is_null & (F.size(v) != dim)
-        has_nan = ~is_null & F.exists(d, lambda x: F.isnan(x))
+        # NULL CELLS are classed with NaN (an unscorable cell either
+        # way), and every element predicate is kept two-valued: a bare
+        # `x == inf` over a null cell yields NULL under three-valued
+        # logic, which would leak NULL (not false) out of exists() and
+        # break the one-auditable-drop-count contract
+        has_nan = ~is_null & F.exists(
+            d, lambda x: x.isNull() | F.isnan(x)
+        )
         inf = F.lit(float("inf"))
         has_inf = ~is_null & F.exists(
-            d, lambda x: (x == inf) | (x == -inf)
+            d, lambda x: x.isNotNull() & ((x == inf) | (x == -inf))
         )
         # size>0: an EMPTY array is vacuously all-zero but that's the
         # wrong_dim flag's finding, not a zero-direction one

@@ -635,12 +635,11 @@ def knn_mmr_rerank(
         import numpy as np
         import pandas as pd
 
-        quant = F.transform(
-            F.col(embedding_col),
-            lambda x: F.floor(x.cast("double") * quant_scale + F.lit(0.5)).cast(
-                "long"
-            ),
-        )
+        # the family's ONE integer grid — shared with knn_pq/knn_ivf so
+        # a future rounding fix cannot drift between the ANN operators
+        from lakehouse_engine_spark.datapipes.clustering import _quantize_expr
+
+        quant = _quantize_expr(embedding_col, quant_scale)
         corpus = ensure_parallelism(df).select(
             F.col(id_col).alias("neighbor_id"), quant.alias("__nv")
         ).filter(F.col("__nv").isNotNull())

@@ -2230,7 +2230,13 @@ def c4_rules(
         kept_lines = F.filter(
             F.split(c, r"\n"),
             lambda l: (
-                F.array_contains(term, F.right(F.rtrim(l), F.lit(1)))
+                # regexp trim, NOT rtrim: rtrim strips only 0x20 spaces,
+                # so CRLF pages ('...\r\n') would end every line in \r
+                # and drop ALL lines — whitespace-insensitive terminal
+                # check per the paper's intent
+                F.array_contains(
+                    term, F.right(F.regexp_replace(l, r"\s+$", ""), F.lit(1))
+                )
                 & (
                     F.size(
                         F.filter(

@@ -25,9 +25,10 @@ read-modify-write targets ONE writer per table (the same contract as
 the parquet merge fallback's overwrite; real Delta gets multi-writer
 safety from atomic log commits, which raw object stores cannot
 provide). Since round 13 that contract is ENFORCED best-effort by
-``io/table_lock.WriterLock``: a second engine writer racing the log
-raises ``ConcurrentWriterError`` instead of silently dropping a commit
-entry.
+``io/table_lock.WriterLock``: two engine writers racing the log
+SERIALIZE through a short retry budget; persistent contention skips
+the entry with a warning (never failing the already-landed data write
+— the skipped files sweep into the next commit's entry).
 """
 
 from __future__ import annotations
@@ -121,23 +122,34 @@ def record_commit(spark: SparkSession, location: str, mode: str) -> None:
     matching Delta's numbering across overwrites.
 
     Concurrency: the read-modify-write runs under the best-effort
-    :class:`~lakehouse_engine_spark.io.table_lock.WriterLock`, so two
-    engine writers appending to the same degraded-delta table raise a
-    loud ``ConcurrentWriterError`` instead of silently losing one
-    writer's commit entry. That error PROPAGATES (it signals a real
-    correctness hazard on the data write that just happened); any other
-    log failure is swallowed — a broken annotation must not fail the
-    data write it annotates."""
+    :class:`~lakehouse_engine_spark.io.table_lock.WriterLock` with a
+    ~2 s retry budget (the lock is held for milliseconds, so two
+    back-to-back appends SERIALIZE rather than collide). If contention
+    persists past the budget, this function WARNS and skips — it must
+    never fail the data write it annotates: by the time it runs, the
+    append has already landed, so raising could only trigger a retry
+    that duplicates data. A skipped entry is safe by construction:
+    files no entry claims are swept into the NEXT commit's entry (two
+    appends collapse into one version — the documented pre-sidecar
+    fallback), or stamped version 0 by the materialization counter."""
     from lakehouse_engine_spark.io.table_lock import (
         ConcurrentWriterError,
         WriterLock,
     )
 
     try:
-        with WriterLock(spark, location, op="cdf_commit") as lk:
+        with WriterLock(
+            spark, location, op="cdf_commit", acquire_retries=40
+        ) as lk:
             _record_commit_locked(spark, location, mode, lk)
-    except ConcurrentWriterError:
-        raise
+    except ConcurrentWriterError as exc:
+        _LOGGER.warning(
+            "cdf commit log at %s contended past the retry budget — "
+            "skipping this entry (files will be swept into the next "
+            "commit): %s",
+            location,
+            exc,
+        )
     except Exception as exc:  # pragma: no cover - defensive
         _LOGGER.warning("cdf commit log update failed at %s: %s", location, exc)
 

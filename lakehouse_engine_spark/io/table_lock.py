@@ -95,11 +95,21 @@ class WriterLock:
         location: str,
         op: str = "write",
         stale_after_s: float = DEFAULT_STALE_S,
+        acquire_retries: int = 0,
+        retry_wait_s: float = 0.05,
     ):
+        """``acquire_retries``/``retry_wait_s``: how long to WAIT for a
+        live holder before declaring contention. Control-plane-only
+        mutations whose hold time is milliseconds (the CDF commit log)
+        pass a short retry budget so two back-to-back appends serialize
+        instead of erroring; data-overwrite mutations (merge) keep the
+        default 0 — waiting there just delays the inevitable conflict."""
         self._spark = spark
         self._location = location
         self._op = op
         self._stale_after_s = stale_after_s
+        self._acquire_retries = max(0, int(acquire_retries))
+        self._retry_wait_s = retry_wait_s
         self._token = uuid.uuid4().hex
 
     def __enter__(self) -> "WriterLock":
@@ -115,7 +125,8 @@ class WriterLock:
                 "acquired_unix": time.time(),
             }
         ).encode("utf-8")
-        for attempt in (1, 2):
+        stale_takeover_done = False
+        for attempt in range(1, self._acquire_retries + 3):
             try:
                 out = fs.create(path, False)  # overwrite=False: atomic claim
                 try:
@@ -128,7 +139,11 @@ class WriterLock:
                 if holder is None:
                     continue  # holder released between create() and read
                 age = time.time() - float(holder.get("acquired_unix", 0) or 0)
-                if attempt == 1 and age > self._stale_after_s:
+                if attempt <= self._acquire_retries:
+                    time.sleep(self._retry_wait_s)
+                    continue
+                if not stale_takeover_done and age > self._stale_after_s:
+                    stale_takeover_done = True
                     _LOGGER.warning(
                         "writer lock at %s is stale (%.0fs old, holder pid "
                         "%s op %s) — replacing it; if that writer is alive, "

@@ -5474,6 +5474,8 @@ def test_c4_rules_line_and_page_battery(spark):
         # two words only -> dropped; empty cleaned text, 0 sentences
         (4, "too short."),
         (5, None),
+        # CRLF page: \r must not defeat the terminal-punct check
+        (6, "windows line endings here.\r\nsecond full sentence too!\r\n"),
     ]
     df = spark.createDataFrame(rows, "doc_id INT, text STRING")
     out = {r["doc_id"]: r for r in df.transform(
@@ -5487,10 +5489,11 @@ def test_c4_rules_line_and_page_battery(spark):
     assert not out[3]["rule_no_lorem"]
     assert out[4]["n_lines_kept"] == 0 and not out[4]["rule_sentences"]
     assert out[5]["n_lines_kept"] == 0 and out[5]["c4_text"] == ""
+    assert out[6]["n_lines_kept"] == 2 and out[6]["c4_keep"]
     kept = df.transform(
         t("text_c4_rules", min_sentences=2, mode="filter")
     )
-    assert [r["doc_id"] for r in kept.collect()] == [1]
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 6]
     assert "c4_keep" not in kept.columns and "c4_text" in kept.columns
     with pytest.raises(ValueError):
         t("text_c4_rules", mode="bogus")
@@ -5578,11 +5581,18 @@ def test_embedding_sanitize_flag_battery(spark):
         (7, []),                               # empty: wrong_dim only
         (8, [float("nan"), 0.0, 0.0]),         # NaN wins over zero
         (9, [float("-inf"), 1.0, 2.0]),        # -Inf counts as inf
+        (10, [None, 1.0, 2.0]),                # NULL cell: NaN-class,
+                                               # flags stay BOOLEAN
     ]
     df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
     out = {r["vec_id"]: r for r in df.transform(
         t("embedding_sanitize", dim=3)
     ).collect()}
+    # three-valued-logic guard: a null CELL must yield booleans, never
+    # NULL flags (the auditable-drop-count contract)
+    assert out[10]["emb_has_nan"] is True
+    assert out[10]["emb_has_inf"] is False
+    assert out[10]["embedding_ok"] is False
     assert out[1]["embedding_ok"] and not any(
         out[1][f] for f in ("emb_null", "emb_wrong_dim", "emb_has_nan",
                             "emb_has_inf", "emb_zero"))

@@ -770,7 +770,7 @@ def test_paragraph_dedup_reassembly_identity(spark, docs):
 _texts = st.lists(
     st.text(
         alphabet=st.sampled_from(
-            list("abc XY.!?{}\n\"'–…") + ["п", "р", "и", "好", "世", "ひ"]
+            list("abc XY.!?{}\n\r\t\"'–…") + ["п", "р", "и", "好", "世", "ひ"]
         ),
         max_size=60,
     ),

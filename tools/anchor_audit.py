@@ -30,11 +30,19 @@ LOAD_SUSPECT_1MIN = 6.0
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 2.0
-    for a in sys.argv[1:]:
+    argv, args, thr = sys.argv[1:], [], 2.0
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                thr = float(argv[i + 1])
+                i += 1  # consume the value so it can't become BENCH_FILE
+        else:
+            args.append(a)
+        i += 1
     bench_path = args[0] if args else os.path.join(HERE, "..", "BENCH_SELF.json")
     with open(bench_path) as f:
         bench = json.load(f)
