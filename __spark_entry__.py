@@ -4759,6 +4759,21 @@ WINDOW_RETOUCHED = (
     # r12 code change (validation branch + d>3 LAPACK arm) that missed
     # the r12 window (round-12 ADVICE #4)
     "dp134_linear_fit",
+    # r13 stateful review fixes: direction-aware topk batch best,
+    # null-safe batch-arm key joins, NULL-id/ts exclusions, coerced
+    # running-totals values, null-key-safe HLL fast path, null-safe
+    # watermark tiebreak sort, shared _concat_batches preamble — every
+    # op in the family gets a hard driver signal
+    "dp143_bottomk_sample",
+    "dp101_reservoir_quantiles",
+    "dp64_ewma_anomaly",
+    "dp105_stream_dedup_exact",
+    "dp95_approx_distinct",
+    "dp94_running_totals",
+    "dp142_streaming_pattern",
+    "dp144_streaming_heavy_hitters",
+    "dp145_streaming_funnel",
+    "dp146_session_stats",
 )
 
 
@@ -4789,10 +4804,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_curation_pipeline": q31_curation_pipeline,
         "q33_ccnet_curation": q33_ccnet_curation,
         "dp134_linear_fit": dp134_linear_fit,
+        "dp143_bottomk_sample": dp143_bottomk_sample,
+        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
+        "dp64_ewma_anomaly": dp64_ewma_anomaly,
+        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
+        "dp95_approx_distinct": dp95_approx_distinct,
+        "dp94_running_totals": dp94_running_totals,
+        "dp142_streaming_pattern": dp142_streaming_pattern,
+        "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,
+        "dp145_streaming_funnel": dp145_streaming_funnel,
+        "dp146_session_stats": dp146_session_stats,
         # --- r13 rotation cohort: stalest-first — the four r08
-        # --- leftovers (the r12 registry listed 54 names before its
-        # --- boundary comment, so entries 51-54 never got checked),
-        # --- then 40 of the 42 remaining r09 queries (6+4+40 = 50) ---
+        # --- leftovers, then r09 queries filling the window ---
         "dp56_cohort_retention": dp56_cohort_retention,  # last hard driver signal r08
         "dp83_bm25_topk": dp83_bm25_topk,  # last hard driver signal r08
         "dp98_ngram_counts": dp98_ngram_counts,  # last hard driver signal r08
@@ -4808,7 +4831,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp60_salted_join": dp60_salted_join,  # last hard driver signal r09
         "dp61_keep_best_dedup": dp61_keep_best_dedup,  # last hard driver signal r09
         "dp63_cdc_chunk": dp63_cdc_chunk,  # last hard driver signal r09
-        "dp64_ewma_anomaly": dp64_ewma_anomaly,  # last hard driver signal r09
         "dp65_fuzzy_join": dp65_fuzzy_join,  # last hard driver signal r09
         "dp66_scd2_build": dp66_scd2_build,  # last hard driver signal r09
         "dp67_merge_intervals": dp67_merge_intervals,  # last hard driver signal r09
@@ -4821,18 +4843,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp76_schema_drift": dp76_schema_drift,  # last hard driver signal r09
         "dp77_quality_model_filter": dp77_quality_model_filter,  # last hard driver signal r09
         "dp78_event_transitions": dp78_event_transitions,  # last hard driver signal r09
-        "dp79_gap_fill": dp79_gap_fill,  # last hard driver signal r09
-        "dp80_asof_nearest": dp80_asof_nearest,  # last hard driver signal r09
-        "dp81_text_clean": dp81_text_clean,  # last hard driver signal r09
-        "dp82_url_normalize": dp82_url_normalize,  # last hard driver signal r09
-        "dp84_png_decode": dp84_png_decode,  # last hard driver signal r09
-        "dp85_jpeg_decode": dp85_jpeg_decode,  # last hard driver signal r09
-        "dp86_gif_decode": dp86_gif_decode,  # last hard driver signal r09
-        "dp87_pagerank": dp87_pagerank,  # last hard driver signal r09
-        "dp88_binary_decompress": dp88_binary_decompress,  # last hard driver signal r09
-        # ---- driver window boundary (entry 50 = dp88_binary_decompress) ----
+        # ---- driver window boundary (entry 50 = dp78_event_transitions) ----
         # --- remainder: value-verified via tools/check_oracle.py every
-        # --- round; ordered stalest-first (q27/q28 lead for r14) ---
+        # --- round; ordered stalest-first ---
+        "dp79_gap_fill": dp79_gap_fill,  # r09
+        "dp80_asof_nearest": dp80_asof_nearest,  # r09
+        "dp81_text_clean": dp81_text_clean,  # r09
+        "dp82_url_normalize": dp82_url_normalize,  # r09
+        "dp84_png_decode": dp84_png_decode,  # r09
+        "dp85_jpeg_decode": dp85_jpeg_decode,  # r09
+        "dp86_gif_decode": dp86_gif_decode,  # r09
+        "dp87_pagerank": dp87_pagerank,  # r09
+        "dp88_binary_decompress": dp88_binary_decompress,  # r09
         "dp89_sentence_split": dp89_sentence_split,  # r09
         "dp90_html_strip": dp90_html_strip,  # r09
         "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # r09
@@ -4850,11 +4872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp06_dedup_minhash": dp06_dedup_minhash,  # r10
         "dp09_knn_brute": dp09_knn_brute,  # r10
         "dp100_unimax_sample": dp100_unimax_sample,  # r10
-        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,  # r10
         "dp102_decontaminate_bloom": dp102_decontaminate_bloom,  # r10
         "dp103_zorder_layout": dp103_zorder_layout,  # r10
         "dp104_zorder_rank": dp104_zorder_rank,  # r10
-        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,  # r10
         "dp106_temperature_sample": dp106_temperature_sample,  # r10
         "dp107_profile_skew": dp107_profile_skew,  # r10
         "dp109_unicode_normalize": dp109_unicode_normalize,  # r10
@@ -4873,8 +4893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp69b_bpe_encode": dp69b_bpe_encode,  # r10
         "dp92_image_resize": dp92_image_resize,  # r10
         "dp93_audio_resample": dp93_audio_resample,  # r10
-        "dp94_running_totals": dp94_running_totals,  # r10
-        "dp95_approx_distinct": dp95_approx_distinct,  # r10
         "dp96_g711_decode": dp96_g711_decode,  # r10
         "dp99_hash_embedding": dp99_hash_embedding,  # r10
         "q01_pricing_summary": q01_pricing_summary,  # r10
@@ -4901,9 +4919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp139_seed_classifier": dp139_seed_classifier,  # r11
         "dp140_correlation_matrix": dp140_correlation_matrix,  # r11
         "dp141_winnow_overlap": dp141_winnow_overlap,  # r11
-        "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,  # r11
-        "dp145_streaming_funnel": dp145_streaming_funnel,  # r11
-        "dp146_session_stats": dp146_session_stats,  # r11
         "dp148_winnow_cross": dp148_winnow_cross,  # r11
         "dp21_pii_redact": dp21_pii_redact,  # r11
         "dp22_repetition": dp22_repetition,  # r11
@@ -4935,8 +4950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,  # r12
         "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,  # r12
         "dp62_cluster_sample": dp62_cluster_sample,  # r12
-        "dp143_bottomk_sample": dp143_bottomk_sample,  # r12
-        "dp142_streaming_pattern": dp142_streaming_pattern,  # r12
         "dp108_corpus_overlap": dp108_corpus_overlap,  # r12
         "dp110_random_projection": dp110_random_projection,  # r12
         "dp114_gopher_rules": dp114_gopher_rules,  # r12

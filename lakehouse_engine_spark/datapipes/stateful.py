@@ -34,6 +34,19 @@ from lakehouse_engine_spark.datapipes.registry import register
 TransformerFn = Callable[[DataFrame], DataFrame]
 
 
+def _concat_batches(pdfs) -> "Optional[pd.DataFrame]":
+    """Drain an applyInPandasWithState batch iterator into ONE frame
+    (None when the group delivered no rows this trigger — timeout-only
+    invocations). One copy of the drain/skip-empties/concat preamble the
+    stateful _update closures all share."""
+    batch = [pdf for pdf in pdfs if len(pdf)]
+    if not batch:
+        return None
+    return batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
+
+
+
+
 def hll_estimate(regs: list, precision: int) -> float:
     """HyperLogLog estimate from ``2^precision`` registers.
 
@@ -81,13 +94,21 @@ def streaming_running_totals(
     "micro-batch" containing everything): same schema, totals == batch
     values — so ACONs can be smoke-tested in batch mode before being
     pointed at a stream.
+
+    NULL/unparseable values contribute 0 on BOTH arms (batch coalesces
+    the sum, streaming coerces then NaN-skips), so an all-NULL group
+    reads 0.0 / budget_exceeded=false identically — never a NULL flag.
     """
+    if not on:
+        raise ValueError("streaming_running_totals: 'on' keys must be non-empty")
 
     def _fn(df: DataFrame) -> DataFrame:
         if not df.isStreaming:
             agg = df.groupBy(*on).agg(
                 F.count(F.lit(1)).cast("long").alias("batch_rows"),
-                F.sum(F.col(value_col).cast("double")).alias("batch_value"),
+                F.coalesce(
+                    F.sum(F.col(value_col).cast("double")), F.lit(0.0)
+                ).alias("batch_value"),
             )
             return agg.select(
                 *on,
@@ -123,7 +144,13 @@ def streaming_running_totals(
             for pdf in pdfs:
                 rows += len(pdf)
                 if len(pdf):
-                    val += float(pd.to_numeric(pdf[value_col]).sum())
+                    # coerce (not raise) + NaN-skip sum: unparseable and
+                    # NULL values contribute 0, matching the batch arm's
+                    # cast('double') + coalesced sum
+                    val += float(
+                        pd.to_numeric(pdf[value_col], errors="coerce")
+                        .sum(skipna=True)
+                    )
             prev_rows, prev_val = state.get if state.exists else (0, 0.0)
             total_rows, total_val = prev_rows + rows, prev_val + val
             state.update((total_rows, total_val))
@@ -184,6 +211,8 @@ def streaming_ewma_anomaly(
     fresh state per key: identical semantics over the frame's full
     history, so ACONs smoke-test in batch before pointing at a stream.
     """
+    if not on:
+        raise ValueError("streaming_ewma_anomaly: 'on' keys must be non-empty")
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if min_periods < 1:
@@ -231,6 +260,13 @@ def streaming_ewma_anomaly(
         return out, (ewma, ewvar, n)
 
     def _fn(df: DataFrame) -> DataFrame:
+        # NULL event times are excluded on BOTH arms (the
+        # streaming_event_pattern/funnel convention): an un-timestamped
+        # row has no position in the EWMA fold, and the two arms would
+        # otherwise order it OPPOSITELY (batch sortWithinPartitions puts
+        # NULL first, pandas sort_values puts NaT last) — diverging
+        # every subsequent ewma/z/flag for the key
+        df = df.filter(F.col(ts_col).isNotNull())
         key_fields = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in df.select(*on).schema.fields
@@ -394,6 +430,8 @@ def streaming_approx_distinct(
     smoke-tests predict streaming estimates exactly (same hash, same
     registers).
     """
+    if not on:
+        raise ValueError("streaming_approx_distinct: 'on' keys must be non-empty")
     if not 4 <= precision <= 12:
         raise ValueError(f"precision must be in [4, 12], got {precision}")
     m = 1 << precision
@@ -498,8 +536,20 @@ def streaming_approx_distinct(
                     )
 
                 _est = F.pandas_udf(_est_fn, "long")
+                # null-SAFE key equality: a plain equi-join never matches
+                # NULL grouping keys, which would hand a null-key group
+                # an empty register array (approx_distinct = 0) while
+                # the pandas arm and the stream both count it normally
+                from functools import reduce as _reduce
+                from operator import and_ as _and
+
+                cond = _reduce(
+                    _and,
+                    [counts[c].eqNullSafe(regs[c]) for c in on],
+                )
                 return (
-                    counts.join(regs, on=on, how="left")
+                    counts.join(regs, cond, how="left")
+                    .drop(*[regs[c] for c in on])
                     .withColumn(
                         "__rs",
                         F.coalesce(
@@ -608,11 +658,21 @@ def streaming_reservoir_quantiles(
         )
     if k < 1:
         raise ValueError(f"streaming_reservoir_quantiles: k must be >= 1, got {k}")
+    if not on:
+        raise ValueError(
+            "streaming_reservoir_quantiles: 'on' keys must be non-empty"
+        )
 
     def qname(p: float) -> str:
         return "q_" + f"{p * 100:g}".replace(".", "_")
 
     def _fn(df: DataFrame) -> DataFrame:
+        # NULL ids are excluded on BOTH arms (the streaming_bottomk
+        # convention): the priority is a pure function of the id, so a
+        # NULL id has no priority — the streaming arm would crash on
+        # int(nan) / hash the literal 'None', and the batch arm's NULL
+        # priority would sort FIRST and squat in the sample's top-k
+        df = df.filter(F.col(id_col).isNotNull())
         pri = F.conv(
             F.substring(
                 F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))),
@@ -624,6 +684,9 @@ def streaming_reservoir_quantiles(
         ).cast("long")
 
         if not df.isStreaming:
+            from functools import reduce as _reduce
+            from operator import and_ as _and
+
             from pyspark.sql import Window
 
             nn = df.filter(F.col(value_col).isNotNull())
@@ -650,8 +713,15 @@ def streaming_reservoir_quantiles(
                 ).alias(qname(p))
                 for p in probs_list
             ]
-            return counts.join(sample, list(on)).select(
-                *on, "n_seen", m.cast("long").alias("sample_n"), *qcols
+            # null-safe key join: a NULL-key group must not vanish from
+            # the batch arm while the stream emits it
+            cond = _reduce(_and, [counts[c].eqNullSafe(sample[c]) for c in on])
+            return (
+                counts.join(sample, cond)
+                .drop(*[sample[c] for c in on])
+                .select(
+                    *on, "n_seen", m.cast("long").alias("sample_n"), *qcols
+                )
             )
 
         import hashlib
@@ -746,7 +816,9 @@ def streaming_dedup_exact(
     Identity is ``md5(concat_ws(0x1f, key_cols))`` (``[input_col]`` when
     ``key_cols`` is None) — the corpus-wide digest convention. Within a
     micro-batch the keeper is deterministic: smallest ``id_col`` wins
-    (stable mergesort, same rule as keep-first batch dedup).
+    (stable mergesort, same rule as keep-first batch dedup); NULL ids
+    sort LAST on both arms, so an identified row always beats an
+    unidentified duplicate.
 
     State: ONE tinyint per distinct digest — the minimum any exact
     streaming dedup can hold. Unbounded streams grow it without bound, so
@@ -773,7 +845,13 @@ def streaming_dedup_exact(
         if not df.isStreaming:
             from pyspark.sql import Window
 
-            w = Window.partitionBy(digest_col).orderBy(id_col)
+            # nulls LAST, matching pandas sort_values' na_position
+            # default in the streaming arm — a NULL-id row loses the
+            # keeper race to any identified row on BOTH arms (among
+            # only-null ids the keeper is unspecified but one row emits)
+            w = Window.partitionBy(digest_col).orderBy(
+                F.asc_nulls_last(id_col)
+            )
             return (
                 src.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
@@ -799,11 +877,8 @@ def streaming_dedup_exact(
             if ttl_minutes and state.hasTimedOut:
                 state.remove()
                 return
-            batch = [pdf for pdf in pdfs if len(pdf)]
-            if not state.exists and batch:
-                allb = batch[0] if len(batch) == 1 else pd.concat(
-                    batch, ignore_index=True
-                )
+            allb = _concat_batches(pdfs)
+            if not state.exists and allb is not None:
                 keeper = allb.sort_values(id_col, kind="mergesort").head(1)
                 state.update((1,))
                 yield keeper[colnames]
@@ -1032,8 +1107,16 @@ def streaming_event_pattern(
                 # still arrive (Spark admits late events down to ts >= wm)
                 ripe = [e for e in buf if e[0] < wm]
                 pending = [e for e in buf if e[0] >= wm]
+                # null-safe tiebreak: (is-None, value) never compares a
+                # None against a real value (tuple short-circuits on the
+                # flag), and None sorts LAST — matching the ordered
+                # arm's pandas sort_values na_position default; a raw
+                # (ts, tiebreak) key would raise TypeError on a ts tie
+                # between a NULL and a non-NULL tiebreak
                 ripe.sort(
-                    key=(lambda e: (e[0], e[1]))
+                    key=(
+                        lambda e: (e[0], e[1] is None, 0 if e[1] is None else e[1])
+                    )
                     if tiebreak_col
                     else (lambda e: e[0])
                 )
@@ -1076,10 +1159,9 @@ def streaming_event_pattern(
             pdfs: Iterator[pd.DataFrame],
             state: GroupState,
         ) -> Iterator[pd.DataFrame]:
-            batch = [pdf for pdf in pdfs if len(pdf)]
-            if not batch:
+            allb = _concat_batches(pdfs)
+            if allb is None:
                 return
-            allb = batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
             allb = allb.sort_values(order_cols, kind="mergesort")
             syms = "".join(allb["__sym"].tolist())
             carry, n, slen, first = (
@@ -1163,12 +1245,21 @@ def streaming_bottomk_sample(
             tot = base.groupBy(*on).agg(
                 F.count(F.lit(1)).cast("long").alias("total_seen")
             )
+            from functools import reduce as _reduce
+            from operator import and_ as _and
+
             w = Window.partitionBy(*on).orderBy(prio, F.col(id_col))
-            return (
+            ranked = (
                 base.distinct()
                 .withColumn("sample_rank", F.row_number().over(w))
                 .filter(F.col("sample_rank") <= k)
-                .join(tot, on=list(on))
+            )
+            # null-safe key join: a NULL-key group must not vanish from
+            # the batch arm while the stream emits it
+            cond = _reduce(_and, [ranked[c].eqNullSafe(tot[c]) for c in on])
+            return (
+                ranked.join(tot, cond)
+                .drop(*[tot[c] for c in on])
                 .select(*on, id_col, "sample_rank", "total_seen")
             )
 
@@ -1200,10 +1291,9 @@ def streaming_bottomk_sample(
             pdfs: Iterator[pd.DataFrame],
             state: GroupState,
         ) -> Iterator[pd.DataFrame]:
-            batch = [pdf for pdf in pdfs if len(pdf)]
-            if not batch:
+            allb = _concat_batches(pdfs)
+            if allb is None:
                 return
-            allb = batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
             # ids as strings in state; cast back on emit via the id dtype
             cand = list(
                 zip(allb["__prio"].tolist(), allb[id_col].astype(str).tolist())
@@ -1294,12 +1384,21 @@ def streaming_topk_score(
         if not df.isStreaming:
             from pyspark.sql import Window
 
+            from functools import reduce as _reduce
+            from operator import and_ as _and
+
             base = df.select(*on, F.col(id_col), sc.alias("__score"))
             tot = base.groupBy(*on).agg(
                 F.count(F.lit(1)).cast("long").alias("total_seen")
             )
+            # direction-aware best: an id's BEST score is its min when
+            # lower-is-better — F.max unconditionally would keep each
+            # id's WORST score there, silently diverging from the
+            # streaming arm's sign-aware merge
             best = base.groupBy(*on, id_col).agg(
-                F.max("__score").alias("score")
+                (
+                    F.max("__score") if higher_is_better else F.min("__score")
+                ).alias("score")
             )
             order = (
                 [F.desc("score"), F.asc(id_col)]
@@ -1307,10 +1406,16 @@ def streaming_topk_score(
                 else [F.asc("score"), F.asc(id_col)]
             )
             w = Window.partitionBy(*on).orderBy(*order)
+            ranked = best.withColumn("rank", F.row_number().over(w)).filter(
+                F.col("rank") <= k
+            )
+            # null-safe key join: the streaming arm emits a NULL-key
+            # group (state keys null fine); a plain equi-join would drop
+            # it from the batch arm
+            cond = _reduce(_and, [ranked[c].eqNullSafe(tot[c]) for c in on])
             return (
-                best.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .join(tot, on=list(on))
+                ranked.join(tot, cond)
+                .drop(*[tot[c] for c in on])
                 .select(*on, id_col, "score", "rank", "total_seen")
             )
 
@@ -1344,10 +1449,9 @@ def streaming_topk_score(
             pdfs: Iterator[pd.DataFrame],
             state: GroupState,
         ) -> Iterator[pd.DataFrame]:
-            batch = [pdf for pdf in pdfs if len(pdf)]
-            if not batch:
+            allb = _concat_batches(pdfs)
+            if allb is None:
                 return
-            allb = batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
             # id -> best score map: state pairs + this batch's rows
             best: dict = {}
             if state.exists:
@@ -1509,10 +1613,9 @@ def streaming_quality_buckets(
             pdfs: Iterator[pd.DataFrame],
             state: GroupState,
         ) -> Iterator[pd.DataFrame]:
-            batch = [pdf for pdf in pdfs if len(pdf)]
-            if not batch:
+            allb = _concat_batches(pdfs)
+            if allb is None:
                 return
-            allb = batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
             hist: dict = {}
             if state.exists:
                 scores, counts = state.get
@@ -1635,10 +1738,9 @@ def streaming_heavy_hitters(
             pdfs: Iterator[pd.DataFrame],
             state: GroupState,
         ) -> Iterator[pd.DataFrame]:
-            batch = [pdf for pdf in pdfs if len(pdf)]
-            if not batch:
+            allb = _concat_batches(pdfs)
+            if allb is None:
                 return
-            allb = batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
             if state.exists:
                 items, counts, processed, decs = state.get
                 summ = dict(zip(items, (int(c) for c in counts)))
@@ -1737,10 +1839,9 @@ def streaming_funnel(
             pdfs: Iterator[pd.DataFrame],
             state: GroupState,
         ) -> Iterator[pd.DataFrame]:
-            batch = [pdf for pdf in pdfs if len(pdf)]
-            if not batch:
+            allb = _concat_batches(pdfs)
+            if allb is None:
                 return
-            allb = batch[0] if len(batch) == 1 else pd.concat(batch, ignore_index=True)
             cur = list(state.get) if state.exists else [None] * k
             for i, stage in enumerate(stages):
                 cand = allb[allb["__st"] == stage]

@@ -1232,3 +1232,68 @@ def test_streaming_bottomk_batch_arm_dedups_duplicate_ids(spark):
     ids = sorted(r["id"] for r in out)
     assert len(ids) == len(set(ids)) == 3       # three DISTINCT ids
     assert all(r["total_seen"] == 8 for r in out)  # raw rows counted
+
+
+def test_r13_review_arm_parity_fixes(spark):
+    """Regression pins for the round-13 review findings: the batch arms
+    must agree with the documented streaming semantics on direction,
+    NULL keys, NULL ids, and all-NULL values."""
+    # (1) topk with higher_is_better=False keeps each id's MIN score
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 1, 1.0), ("a", 2, 3.0), (None, 3, 2.0)],
+        "src STRING, id BIGINT, v DOUBLE",
+    )
+    low = df.transform(
+        t("streaming_topk_score", on=["src"], id_col="id",
+          score_col="v", k=2, higher_is_better=False)
+    ).collect()
+    a1 = [r for r in low if r["src"] == "a" and r["id"] == 1][0]
+    assert a1["score"] == 1.0 and a1["rank"] == 1  # min, not max
+    # (2) the NULL-key group survives the batch arm's join
+    assert any(r["src"] is None for r in low)
+    # (3) bottomk: NULL-key group survives too
+    bk = df.transform(
+        t("streaming_bottomk_sample", on=["src"], id_col="id", k=2)
+    ).collect()
+    assert any(r["src"] is None for r in bk)
+    # (4) running totals: all-NULL group reads 0.0/False, never NULL
+    rt = spark.createDataFrame(
+        [("k", None), ("k", None)], "g STRING, v DOUBLE"
+    ).transform(t("streaming_running_totals", on=["g"], value_col="v",
+                  budget=10.0)).collect()[0]
+    assert rt["batch_value"] == 0.0 and rt["budget_exceeded"] is False
+    # (5) reservoir quantiles: NULL ids are excluded on the batch arm
+    rq = spark.createDataFrame(
+        [("g", None, 100.0)] + [("g", i, float(i)) for i in range(1, 9)],
+        "g STRING, id BIGINT, v DOUBLE",
+    ).transform(
+        t("streaming_reservoir_quantiles", on=["g"], id_col="id",
+          value_col="v", k=4)
+    ).collect()[0]
+    assert rq["n_seen"] == 8          # the null-id row never counted
+    # (6) ewma: NULL event times are excluded on both arms
+    ew = spark.createDataFrame(
+        [("k", None, 100.0), ("k", 1, 1.0), ("k", 2, 2.0)],
+        "g STRING, ts BIGINT, v DOUBLE",
+    ).transform(
+        t("streaming_ewma_anomaly", on=["g"], value_col="v", ts_col="ts")
+    ).collect()
+    assert len(ew) == 2 and all(r["ts"] is not None for r in ew)
+    # (7) empty-on validation now uniform across the older ops
+    for name, kw in (
+        ("streaming_running_totals", dict(value_col="v")),
+        ("streaming_ewma_anomaly", dict(value_col="v")),
+        ("streaming_approx_distinct", dict(value_col="v")),
+        ("streaming_reservoir_quantiles", dict(id_col="id", value_col="v")),
+    ):
+        with pytest.raises(ValueError, match="non-empty"):
+            t(name, on=[], **kw)
+    # (8) approx_distinct fast path: NULL-key group estimates normally
+    ad = spark.createDataFrame(
+        [(None, i) for i in range(50)] + [("x", 1)],
+        "g STRING, v INT",
+    ).transform(
+        t("streaming_approx_distinct", on=["g"], value_col="v")
+    ).collect()
+    nullg = [r for r in ad if r["g"] is None][0]
+    assert nullg["approx_distinct"] > 30  # not the empty-register 0
