@@ -4774,6 +4774,23 @@ WINDOW_RETOUCHED = (
     "dp144_streaming_heavy_hitters",
     "dp145_streaming_funnel",
     "dp146_session_stats",
+    # r13 dedup review fixes: row_number survivor (tie/NULL ids), shared
+    # banding validator, keep validation, null-guarded dim probes,
+    # zero-norm pairing filter, NULL-id flag guard, \x1f digest
+    # separator, substring persist — every consumer gets a hard signal
+    "dp05_dedup_exact",
+    "dp06_dedup_minhash",
+    "dp07_dedup_ngram_jaccard",
+    "dp08_embedding_dedup",
+    "dp11_dedup_simhash",
+    "dp20_dup_clusters",
+    "dp39_cross_corpus_dedup",
+    "dp40_cross_near_dedup",
+    "dp42_cross_embedding_dedup",
+    "dp48_substring_dedup",
+    "dp61_keep_best_dedup",
+    "dp91_lsh_bucket_stats",
+    "dp97_semantic_dedup",
 )
 
 
@@ -4814,8 +4831,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,
         "dp145_streaming_funnel": dp145_streaming_funnel,
         "dp146_session_stats": dp146_session_stats,
-        # --- r13 rotation cohort: stalest-first — the four r08
-        # --- leftovers, then r09 queries filling the window ---
+        "dp05_dedup_exact": dp05_dedup_exact,
+        "dp06_dedup_minhash": dp06_dedup_minhash,
+        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,
+        "dp08_embedding_dedup": dp08_embedding_dedup,
+        "dp11_dedup_simhash": dp11_dedup_simhash,
+        "dp20_dup_clusters": dp20_dup_clusters,
+        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
+        "dp40_cross_near_dedup": dp40_cross_near_dedup,
+        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
+        "dp48_substring_dedup": dp48_substring_dedup,
+        "dp61_keep_best_dedup": dp61_keep_best_dedup,
+        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,
+        "dp97_semantic_dedup": dp97_semantic_dedup,
+        # --- r13 rotation cohort: stalest-first (r08 leftovers, then r09) ---
         "dp56_cohort_retention": dp56_cohort_retention,  # last hard driver signal r08
         "dp83_bm25_topk": dp83_bm25_topk,  # last hard driver signal r08
         "dp98_ngram_counts": dp98_ngram_counts,  # last hard driver signal r08
@@ -4824,28 +4853,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp121_graph_components": dp121_graph_components,  # last hard driver signal r09
         "dp125_unigram_encode": dp125_unigram_encode,  # last hard driver signal r09
         "dp129_group_quantile_prune": dp129_group_quantile_prune,  # last hard driver signal r09
-        "dp20_dup_clusters": dp20_dup_clusters,  # last hard driver signal r09
         "dp57_robust_scale": dp57_robust_scale,  # last hard driver signal r09
         "dp58_quantile_summary": dp58_quantile_summary,  # last hard driver signal r09
         "dp59_event_pivot": dp59_event_pivot,  # last hard driver signal r09
         "dp60_salted_join": dp60_salted_join,  # last hard driver signal r09
-        "dp61_keep_best_dedup": dp61_keep_best_dedup,  # last hard driver signal r09
         "dp63_cdc_chunk": dp63_cdc_chunk,  # last hard driver signal r09
         "dp65_fuzzy_join": dp65_fuzzy_join,  # last hard driver signal r09
-        "dp66_scd2_build": dp66_scd2_build,  # last hard driver signal r09
-        "dp67_merge_intervals": dp67_merge_intervals,  # last hard driver signal r09
-        "dp70_video_frames": dp70_video_frames,  # last hard driver signal r09
-        "dp71_trend_fit": dp71_trend_fit,  # last hard driver signal r09
-        "dp72_histogram": dp72_histogram,  # last hard driver signal r09
-        "dp73_weighted_sample_k": dp73_weighted_sample_k,  # last hard driver signal r09
-        "dp74_lexical_diversity": dp74_lexical_diversity,  # last hard driver signal r09
-        "dp75_snapshot_diff": dp75_snapshot_diff,  # last hard driver signal r09
-        "dp76_schema_drift": dp76_schema_drift,  # last hard driver signal r09
-        "dp77_quality_model_filter": dp77_quality_model_filter,  # last hard driver signal r09
-        "dp78_event_transitions": dp78_event_transitions,  # last hard driver signal r09
-        # ---- driver window boundary (entry 50 = dp78_event_transitions) ----
+        # ---- driver window boundary (entry 50 = dp65_fuzzy_join) ----
         # --- remainder: value-verified via tools/check_oracle.py every
         # --- round; ordered stalest-first ---
+        "dp66_scd2_build": dp66_scd2_build,  # r09
+        "dp67_merge_intervals": dp67_merge_intervals,  # r09
+        "dp70_video_frames": dp70_video_frames,  # r09
+        "dp71_trend_fit": dp71_trend_fit,  # r09
+        "dp72_histogram": dp72_histogram,  # r09
+        "dp73_weighted_sample_k": dp73_weighted_sample_k,  # r09
+        "dp74_lexical_diversity": dp74_lexical_diversity,  # r09
+        "dp75_snapshot_diff": dp75_snapshot_diff,  # r09
+        "dp76_schema_drift": dp76_schema_drift,  # r09
+        "dp77_quality_model_filter": dp77_quality_model_filter,  # r09
+        "dp78_event_transitions": dp78_event_transitions,  # r09
         "dp79_gap_fill": dp79_gap_fill,  # r09
         "dp80_asof_nearest": dp80_asof_nearest,  # r09
         "dp81_text_clean": dp81_text_clean,  # r09
@@ -4857,7 +4884,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp88_binary_decompress": dp88_binary_decompress,  # r09
         "dp89_sentence_split": dp89_sentence_split,  # r09
         "dp90_html_strip": dp90_html_strip,  # r09
-        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # r09
         "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # r09
         "q24_semi_anti_join": q24_semi_anti_join,  # r09
         "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # r09
@@ -4868,8 +4894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp02_langid": dp02_langid,  # r10
         "dp03_token_count": dp03_token_count,  # r10
         "dp04_fingerprint": dp04_fingerprint,  # r10
-        "dp05_dedup_exact": dp05_dedup_exact,  # r10
-        "dp06_dedup_minhash": dp06_dedup_minhash,  # r10
         "dp09_knn_brute": dp09_knn_brute,  # r10
         "dp100_unimax_sample": dp100_unimax_sample,  # r10
         "dp102_decontaminate_bloom": dp102_decontaminate_bloom,  # r10
@@ -4903,11 +4927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_gab_weekly_rollup": q17_gab_weekly_rollup,  # r10
         "q19_join_transformer": q19_join_transformer,  # r10
         "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,  # r10
-        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,  # r11
-        "dp08_embedding_dedup": dp08_embedding_dedup,  # r11
         "dp112_embedding_kmeans": dp112_embedding_kmeans,  # r11
         "dp113_cluster_stats": dp113_cluster_stats,  # r11
-        "dp11_dedup_simhash": dp11_dedup_simhash,  # r11
         "dp130_kmeans_hier": dp130_kmeans_hier,  # r11
         "dp131_knn_ivf_hier": dp131_knn_ivf_hier,  # r11
         "dp132_semantic_dedup_hier": dp132_semantic_dedup_hier,  # r11
@@ -4927,7 +4948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp25_stratified_sample": dp25_stratified_sample,  # r11
         "dp26_mixture_sample": dp26_mixture_sample,  # r11
         "dp27_image_decode": dp27_image_decode,  # r11
-        "dp97_semantic_dedup": dp97_semantic_dedup,  # r11
         "q02_revenue_by_segment": q02_revenue_by_segment,  # r11
         "q04_union_dedup": q04_union_dedup,  # r11
         "q05_incremental_filter": q05_incremental_filter,  # r11
@@ -4948,7 +4968,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp151_char_entropy": dp151_char_entropy,  # r12
         "dp12_knn_lsh": dp12_knn_lsh,  # r12
         "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,  # r12
-        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,  # r12
         "dp62_cluster_sample": dp62_cluster_sample,  # r12
         "dp108_corpus_overlap": dp108_corpus_overlap,  # r12
         "dp110_random_projection": dp110_random_projection,  # r12
@@ -4973,15 +4992,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp36_tfidf_top_terms": dp36_tfidf_top_terms,  # r12
         "dp37_global_shuffle": dp37_global_shuffle,  # r12
         "dp38_embedding_quantize": dp38_embedding_quantize,  # r12
-        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,  # r12
-        "dp40_cross_near_dedup": dp40_cross_near_dedup,  # r12
         "dp41_quantile_prune": dp41_quantile_prune,  # r12
         "dp43_image_phash_dedup": dp43_image_phash_dedup,  # r12
         "dp44_lm_score_bigram": dp44_lm_score_bigram,  # r12
         "dp45_embedding_mean_pool": dp45_embedding_mean_pool,  # r12
         "dp46_token_budget_sample": dp46_token_budget_sample,  # r12
         "dp47_line_dedup": dp47_line_dedup,  # r12
-        "dp48_substring_dedup": dp48_substring_dedup,  # r12
         "dp49_curation_report": dp49_curation_report,  # r12
         "dp50_hopping_window": dp50_hopping_window,  # r12
         "dp51_winsorize": dp51_winsorize,  # r12
@@ -5810,12 +5826,14 @@ def oracle_sql() -> dict[str, str]:
             FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
         """,
         "dp05_dedup_exact": r"""
+            -- row_number survivor (r13): id TIES leave exactly one copy
             WITH norm AS (
               SELECT *, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k FROM documents
             )
             SELECT doc_id, lang, source, n_chars FROM (
-              SELECT *, MIN(doc_id) OVER (PARTITION BY k) AS m FROM norm
-            ) WHERE doc_id = m
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY k ORDER BY doc_id ASC) AS rn FROM norm
+            ) WHERE rn = 1
         """,
         "dp06_dedup_minhash": _minhash_cte(12, 4, 3)
         + """

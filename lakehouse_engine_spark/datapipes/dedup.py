@@ -63,6 +63,29 @@ def _gen_ab(n: int) -> List[tuple]:
 MINHASH_AB = _gen_ab(32)
 
 
+def _validate_banding(op: str, num_hashes: int, bands: int) -> None:
+    """Loud guard on the (num_hashes, bands) pair every banded-LSH op
+    shares: bands must divide num_hashes with rows >= 1 (bands >
+    num_hashes gives rows=0, collapsing EVERY document into one bucket
+    and silently deleting the corpus down to one survivor), and
+    num_hashes is capped by the precomputed permutation pool
+    (minhash_signature's zip_with pads missing slots with the constant
+    P, making the extra bands constant corpus-wide — the same silent
+    total collapse)."""
+    if bands < 1 or num_hashes < 1:
+        raise ValueError(f"{op}: num_hashes and bands must be >= 1")
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"{op}: bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    if num_hashes > len(MINHASH_AB):
+        raise ValueError(
+            f"{op}: num_hashes ({num_hashes}) exceeds the shared "
+            f"permutation pool ({len(MINHASH_AB)}); extend _gen_ab if a "
+            "longer signature is genuinely needed"
+        )
+
+
 @register("dedup_exact")
 def dedup_exact(
     key_cols: List[str],
@@ -109,11 +132,17 @@ def dedup_exact(
             )
         if id_col is None:
             return out.dropDuplicates(keys).drop(*[c for c in keys if c.startswith("__norm_")])
-        w = Window.partitionBy(*keys)
+        # row_number, NOT a min-id equality filter: rows that TIE on id
+        # (the same delivery ingested twice = full-row duplicates) must
+        # leave exactly ONE survivor — an equality filter kept every
+        # tied copy, failing the op's one contract; NULL ids order last
+        # (an identified row always wins) instead of being silently
+        # deleted by the never-true NULL == min comparison
+        w = Window.partitionBy(*keys).orderBy(F.asc_nulls_last(id_col))
         out = (
-            out.withColumn("__min_id", F.min(id_col).over(w))
-            .filter(F.col(id_col) == F.col("__min_id"))
-            .drop("__min_id", *[c for c in keys if c.startswith("__norm_")])
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", *[c for c in keys if c.startswith("__norm_")])
         )
         return out
 
@@ -153,7 +182,12 @@ def dedup_cross_exact(
         parts = [F.col(c).cast("string") for c in cols]
         if normalize:
             parts = [F.regexp_replace(F.lower(F.trim(p)), r"\s+", " ") for p in parts]
-        return F.md5(F.concat_ws("", *parts))
+        # \x1f separator, the dedup_incremental_exact convention (this op
+        # previously used \x01 — same boundary safety, now one constant
+        # family-wide). concat_ws skips NULL parts on BOTH siblings: a
+        # NULL key cell collides with the same text at another position,
+        # the documented shared trade for join-key-friendly digests.
+        return F.md5(F.concat_ws("\x1f", *parts))
 
     def _dedup(df: DataFrame) -> DataFrame:
         ref = other_df.select(_digest(other_keys).alias("__kh")).distinct()
@@ -202,6 +236,7 @@ def dedup_cross_minhash(
     minima. ``broadcast_other=True`` makes the probe shuffle-free on the
     corpus side when the reference bucket set fits an executor.
     """
+    _validate_banding("dedup_cross_minhash", num_hashes, bands)
     rows = num_hashes // bands
 
     def _dedup(df: DataFrame) -> DataFrame:
@@ -271,11 +306,18 @@ def dedup_cross_embedding(
         if dim is not None:
             d = dim
         else:
-            # empty corpus probes None; any dim gives the correct empty result
+            # MAX over the corpus with a null guard (the LSH-arm fix
+            # applied here too): a NULL/ragged FIRST row must not poison
+            # the width — first()'s d could be None (TypeError at
+            # range()) or short (cosine over a prefix)
             probe = df.select(
-                F.size(F.col(embedding_col).cast("array<double>")).alias("d")
+                F.max(F.size(F.col(embedding_col).cast("array<double>"))).alias("d")
             ).first()
-            d = probe["d"] if probe is not None else 1
+            d = (
+                probe["d"]
+                if probe is not None and probe["d"] is not None
+                else 1
+            )
 
         def _sigs(sdf: DataFrame, emb: str, idc: str) -> DataFrame:
             s = _cap_buckets(
@@ -287,7 +329,14 @@ def dedup_cross_embedding(
             return s.withColumn(
                 "__norm",
                 F.sqrt(F.aggregate(F.col("__bv"), F.lit(0.0), lambda a, v: a + v * v)),
-            )
+            # zero-norm vectors have no cosine direction and all land in
+            # the SAME all-zero-dots bucket on both sides; 0/0 = NaN and
+            # Spark orders NaN ABOVE the threshold, so without this
+            # filter one zero vector in the reference wrongly drops
+            # every zero-norm main row (the dedup_embedding_cosine /
+            # dedup_incremental_embedding convention: zero-norm rows
+            # never pair, and therefore always survive)
+            ).filter(F.col("__norm") > 0)
 
         main = _sigs(df, embedding_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
         ref = _sigs(other_df, o_emb, o_id).persist(StorageLevel.MEMORY_AND_DISK)
@@ -416,8 +465,14 @@ def dedup_substring_exact(
 
     def _dedup(df: DataFrame) -> DataFrame:
         toks = F.filter(F.split(F.trim(F.col(input_col)), r"\s+"), lambda t: t != "")
-        base = ensure_parallelism(df).select(
-            F.col(id_col).alias("__id"), toks.alias("__t")
+        # persist the tokenized corpus: base feeds the window filter,
+        # the slice reattach join, AND the posexplode — un-persisted,
+        # the dominant regexp-split projection executes 3x (the file's
+        # persist-the-shared-scan convention, see the sig/winnow sites)
+        base = (
+            ensure_parallelism(df)
+            .select(F.col(id_col).alias("__id"), toks.alias("__t"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n = F.size("__t")
         wins = base.filter(n >= k).select(
@@ -572,6 +627,7 @@ def lsh_bucket_stats(
     buckets and total docs at that size. Run this before a big dedup to see
     whether boilerplate mega-buckets exist and where to cap. Two map-side-
     combined aggregations; no pair join anywhere."""
+    _validate_banding("lsh_bucket_stats", num_hashes, bands)
     rows = num_hashes // bands
 
     def _stats(df: DataFrame) -> DataFrame:
@@ -605,6 +661,9 @@ def dedup_minhash_lsh(
     rule avoids connected components while still collapsing clusters (every
     non-minimal member sees a smaller id in at least one shared bucket).
     """
+    if keep not in ("survivors", "flagged"):
+        raise ValueError(f"dedup_minhash_lsh: keep must be survivors|flagged, got {keep!r}")
+    _validate_banding("dedup_minhash_lsh", num_hashes, bands)
     rows = num_hashes // bands
 
     def _dedup(df: DataFrame) -> DataFrame:
@@ -622,8 +681,14 @@ def dedup_minhash_lsh(
             .agg(F.min("__bucket_min").alias("dup_group_id"))
         )
         out = df.join(head, df[id_col] == head["__id"], "left").drop("__id")
+        # isNotNull guard (the dedup_simhash/ngram_jaccard convention):
+        # a row that misses the join-back (NULL doc_id never equi-joins)
+        # would get a NULL flag — filter(~NULL) silently DELETES it in
+        # survivors mode instead of passing it through as a non-duplicate
         out = out.withColumn(
-            "is_duplicate", F.col("dup_group_id") < F.col(id_col)
+            "is_duplicate",
+            F.col("dup_group_id").isNotNull()
+            & (F.col("dup_group_id") < F.col(id_col)),
         )
         if keep == "survivors":
             return out.filter(~F.col("is_duplicate")).drop("is_duplicate", "dup_group_id")
@@ -779,6 +844,8 @@ def dedup_simhash(
     :func:`_cap_buckets`) — their members are kept as non-duplicates; run
     exact dedup first to collapse identical boilerplate. The oracle query
     omits the cap, which is exact for any corpus smaller than the cap."""
+    if keep not in ("survivors", "flagged"):
+        raise ValueError(f"dedup_simhash: keep must be survivors|flagged, got {keep!r}")
 
     def _dedup(df: DataFrame) -> DataFrame:
         base = _simhash_sig_df(df, text_col, id_col, shingle_size)
@@ -847,6 +914,9 @@ def dedup_ngram_jaccard(
     (see :func:`_cap_buckets`); the oracle query omits the cap, which is
     exact for any corpus smaller than the cap.
     """
+    if keep not in ("survivors", "flagged"):
+        raise ValueError(f"dedup_ngram_jaccard: keep must be survivors|flagged, got {keep!r}")
+    _validate_banding("dedup_ngram_jaccard", num_hashes, bands)
     rows = num_hashes // bands
 
     def _dedup(df: DataFrame) -> DataFrame:
@@ -942,6 +1012,7 @@ def dedup_connected_components(
         raise ValueError(f"keep must be clusters|survivors|best, got {keep!r}")
     if keep == "best" and not best_by:
         raise ValueError('keep="best" requires best_by (a SQL expression)')
+    _validate_banding("dedup_connected_components", num_hashes, bands)
     rows = num_hashes // bands
 
     def _cc(df: DataFrame) -> DataFrame:
@@ -1062,6 +1133,8 @@ def dedup_embedding_cosine(
     probability per plane is ~1 and recall stays high; buckets above
     ``max_bucket_size`` are dropped (:func:`_cap_buckets`).
     """
+    if keep not in ("survivors", "flagged"):
+        raise ValueError(f"dedup_embedding_cosine: keep must be survivors|flagged, got {keep!r}")
     if method not in ("exact", "lsh"):
         raise ValueError(f"dedup_embedding_cosine: unknown method {method}")
     dim_arg = dim  # closures probe lazily into a local also named dim
@@ -1162,8 +1235,17 @@ def dedup_embedding_cosine(
         if dim_arg is not None:
             dim = dim_arg
         else:
-            probe = df.select(F.size(F.col(embedding_col)).alias("d")).first()
-            dim = probe["d"] if probe is not None else 1  # empty corpus
+            # MAX with a null guard, same as the LSH arm above: first()
+            # on a NULL/ragged first row yields None (range(None) →
+            # TypeError) or a truncated width
+            probe = df.select(
+                F.max(F.size(F.col(embedding_col).cast("array<double>"))).alias("d")
+            ).first()
+            dim = (
+                probe["d"]
+                if probe is not None and probe["d"] is not None
+                else 1
+            )  # empty corpus
         norm = F.sqrt(
             F.aggregate(
                 F.col(embedding_col).cast("array<double>"),
@@ -1814,6 +1896,7 @@ def dedup_incremental_minhash(
     in-batch rule is the single-window dedup_minhash_lsh shape, the state
     append a distinct + anti-join. Nothing unbounded broadcasts.
     """
+    _validate_banding("dedup_incremental_minhash", num_hashes, bands)
     rows = num_hashes // bands
 
     def _dedup(df: DataFrame) -> DataFrame:
@@ -2176,8 +2259,7 @@ def text_paragraph_dedup(
         raise ValueError(
             f"text_paragraph_dedup: keep must be reassembled|paragraphs, got {keep!r}"
         )
-    if num_hashes % bands != 0:
-        raise ValueError("text_paragraph_dedup: bands must divide num_hashes")
+    _validate_banding("text_paragraph_dedup", num_hashes, bands)
     rows = num_hashes // bands
 
     def _fn(df: DataFrame) -> DataFrame:

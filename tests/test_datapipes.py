@@ -5692,3 +5692,70 @@ def test_bpe_byte_encode_no_unk_and_reference_model(spark):
         got = "".join(out[did]["bpe_tokens"])
         ref = "".join(byte_symbols(w) for w in txt.split())
         assert got == ref, did
+
+
+def test_r13_dedup_review_fixes(spark):
+    """Regression pins for the round-13 dedup review findings."""
+    # (1) dedup_exact: tied ids (a delivery ingested twice) leave ONE
+    # survivor; NULL ids lose to identified rows instead of vanishing
+    df = spark.createDataFrame(
+        [(1, "same text"), (1, "same text"), (None, "same text"),
+         (7, "other text")],
+        "doc_id INT, text STRING",
+    )
+    out = df.transform(
+        t("dedup_exact", key_cols=["text"], id_col="doc_id")
+    ).collect()
+    assert sorted((r["doc_id"] for r in out), key=lambda x: (x is None, x)) \
+        == [1, 7]
+    # only-null-id duplicates still leave one row
+    out2 = spark.createDataFrame(
+        [(None, "x"), (None, "x")], "doc_id INT, text STRING"
+    ).transform(t("dedup_exact", key_cols=["text"], id_col="doc_id")).collect()
+    assert len(out2) == 1
+    # (2) banding validation: bands > num_hashes / non-divisible / pool
+    # overrun raise loudly instead of collapsing the corpus
+    for kw in (dict(num_hashes=12, bands=16), dict(num_hashes=12, bands=5),
+               dict(num_hashes=64, bands=8)):
+        with pytest.raises(ValueError):
+            t("dedup_minhash_lsh", **kw)
+        with pytest.raises(ValueError):
+            t("dedup_connected_components", **kw)
+    # (3) keep validation: typos no longer silently no-op the dedup
+    for op in ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+               "dedup_embedding_cosine"):
+        with pytest.raises(ValueError, match="keep"):
+            t(op, keep="survivor")
+    # (4) minhash_lsh: NULL-id rows pass through as non-duplicates in
+    # survivors mode (previously silently deleted via the NULL flag)
+    df3 = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (None, "zz yy xx ww vv")],
+        "doc_id INT, text STRING",
+    )
+    got = df3.transform(t("dedup_minhash_lsh")).collect()
+    assert len(got) == 2
+    # (5) cross-embedding: zero-norm rows survive even when the
+    # reference also holds a zero vector (0/0=NaN passed >= threshold)
+    main = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id INT, embedding ARRAY<FLOAT>"
+    )
+    ref = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "vec_id INT, embedding ARRAY<FLOAT>"
+    )
+    kept = main.transform(
+        t("dedup_cross_embedding", other_df=ref, num_planes=4,
+          num_tables=2, threshold=0.9)
+    ).collect()
+    assert sorted(r["vec_id"] for r in kept) == [1, 2]
+    # (6) embedding_cosine exact arm: NULL first row no longer poisons
+    # the width probe
+    nulled = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0, 0.0]), (3, [1.0, 0.0, 0.0])],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    surv = nulled.transform(
+        t("dedup_embedding_cosine", method="exact", threshold=0.99,
+          id_col="vec_id")
+    ).collect()
+    assert sorted(r["vec_id"] for r in surv if r["vec_id"] != 3) == [1, 2]
+    assert len(surv) == 2  # 3 deduped against 2; null row survives
