@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 from typing import List, Optional
 
 from pyspark.sql import SparkSession
@@ -123,8 +124,13 @@ def record_commit(spark: SparkSession, location: str, mode: str) -> None:
 
     Concurrency: the read-modify-write runs under the best-effort
     :class:`~lakehouse_engine_spark.io.table_lock.WriterLock` with a
-    ~2 s retry budget (the lock is held for milliseconds, so two
-    back-to-back appends SERIALIZE rather than collide). If contention
+    default ~2 s retry budget (40 × 50 ms). The hold time is NOT just
+    milliseconds on every table — the holder runs read_log, a recursive
+    data-file listing, and the log overwrite under the lock, which on a
+    large/many-file directory can exceed the default budget, making
+    version collapse routine there. Size the budget to the table via
+    ``LHE_CDF_LOCK_RETRIES`` (retry count, 50 ms apart) for
+    large-directory tables with concurrent appenders. If contention
     persists past the budget, this function WARNS and skips — it must
     never fail the data write it annotates: by the time it runs, the
     append has already landed, so raising could only trigger a retry
@@ -138,8 +144,12 @@ def record_commit(spark: SparkSession, location: str, mode: str) -> None:
     )
 
     try:
+        retries = int(os.environ.get("LHE_CDF_LOCK_RETRIES", "40") or 40)
+    except ValueError:
+        retries = 40
+    try:
         with WriterLock(
-            spark, location, op="cdf_commit", acquire_retries=40
+            spark, location, op="cdf_commit", acquire_retries=retries
         ) as lk:
             _record_commit_locked(spark, location, mode, lk)
     except ConcurrentWriterError as exc:

@@ -6,19 +6,24 @@ free). The parquet fallbacks cannot: the merge rewrite and the CDF
 sidecar commit log (``io/cdf_commit_log.py``) both do read-modify-write
 against plain files, which under two concurrent writers silently loses
 one writer's work. This module narrows that window with the strongest
-primitive a raw filesystem offers — ``FileSystem.create(path,
-overwrite=False)``, an atomic create-or-fail on HDFS/local (and a
-best-effort one on object stores) — and turns every detected collision
-into a LOUD :class:`ConcurrentWriterError` instead of a silent
-lost-update.
+primitive each filesystem offers: on a LOCAL path, a true ``O_EXCL``
+claim (payload staged to a temp file, then hard-linked into place —
+the lock appears atomically WITH its payload); elsewhere,
+``FileSystem.create(path, overwrite=False)``, which is atomic
+create-or-fail on HDFS but only best-effort (exists-check-then-create)
+on object stores AND on Hadoop's RawLocalFileSystem — hence the native
+local arm. Every detected collision becomes a LOUD
+:class:`ConcurrentWriterError` instead of a silent lost-update.
 
 Guarantees (and their limits, mirrored from the merge fallback's
 documented single-writer assumption):
 
-- two writers racing for the lock: one wins, the other raises — on any
-  filesystem with atomic create (HDFS, local POSIX). On S3-class stores
-  create-overwrite=false is check-then-act, so a tight race can still
-  slip through; this is strictly narrower than no lock at all.
+- two writers racing for the lock: one wins, the other raises — on
+  local POSIX (O_EXCL link) and HDFS (atomic create). On S3-class
+  stores create-overwrite=false is check-then-act, so a tight race can
+  still slip through, and even the commit-time ``verify()`` leaves a
+  final verify-to-write window open; the guard is best-effort there —
+  strictly narrower than no lock at all, never a serializability proof.
 - a writer whose lock was stolen mid-flight (a second writer treated it
   as stale, or deleted it manually) detects the foreign token at commit
   time via :meth:`WriterLock.verify` and raises BEFORE overwriting.
@@ -71,10 +76,24 @@ def _read_lock(spark: SparkSession, location: str) -> Optional[dict]:
             raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         finally:
             stream.close()
-        info = json.loads(raw)
-        return info if isinstance(info, dict) else {}
+        info = json.loads(raw) if raw.strip() else {}
+        if not isinstance(info, dict):
+            info = {}
     except Exception:  # unreadable/raced-away lock: treat as opaque
-        return {}
+        info = {}
+    if "acquired_unix" not in info:
+        # Empty/unparseable payload: NEVER default its age to ~epoch
+        # (that classified a milliseconds-old lock mid-payload-write as
+        # stale and let it be stolen instantly). Age it by the file's
+        # mtime instead — a fresh racer's lock reads young, a crashed
+        # writer's empty file still expires via stale_after_s.
+        try:
+            info["acquired_unix"] = (
+                fs.getFileStatus(path).getModificationTime() / 1000.0
+            )
+        except Exception:
+            info["acquired_unix"] = time.time()
+    return info
 
 
 class WriterLock:
@@ -112,6 +131,47 @@ class WriterLock:
         self._retry_wait_s = retry_wait_s
         self._token = uuid.uuid4().hex
 
+    @staticmethod
+    def _local_os_path(fs, path) -> Optional[str]:
+        """OS path when ``path`` lives on the local filesystem, else None."""
+        try:
+            if (fs.getUri().getScheme() or "file") == "file":
+                return path.toUri().getPath()
+        except Exception:  # pragma: no cover - scheme probe is best-effort
+            pass
+        return None
+
+    def _claim(self, fs, path, payload: bytes) -> None:
+        """Create the lock file with ``payload``, failing if it exists.
+
+        Local FS: stage to a temp name then ``os.link`` into place —
+        link(2) is a true O_EXCL claim (RawLocalFileSystem's
+        create-overwrite=false is only exists-check-then-create) and the
+        lock appears atomically WITH its payload, so no reader can
+        observe an empty lock. Other FS: Hadoop ``create(path, False)``
+        (atomic on HDFS, best-effort on object stores); a reader racing
+        the two-step create-then-write sees an empty file, which
+        ``_read_lock`` now ages by mtime (young), not as infinitely old.
+        """
+        local = self._local_os_path(fs, path)
+        if local is not None:
+            tmp = local + ".tmp." + self._token
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            try:
+                os.link(tmp, local)  # atomic claim-with-payload
+            finally:
+                try:
+                    os.unlink(tmp)
+                except OSError:  # pragma: no cover - best-effort cleanup
+                    pass
+            return
+        out = fs.create(path, False)  # overwrite=False: atomic claim
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+
     def __enter__(self) -> "WriterLock":
         fs, path, _ = _fs_path(self._spark, self._location, LOCK_NAME)
         # parent must exist for create(); the data write that follows
@@ -126,17 +186,27 @@ class WriterLock:
             }
         ).encode("utf-8")
         stale_takeover_done = False
+        last_exc: Optional[BaseException] = None
         for attempt in range(1, self._acquire_retries + 3):
             try:
-                out = fs.create(path, False)  # overwrite=False: atomic claim
-                try:
-                    out.write(payload)
-                finally:
-                    out.close()
+                self._claim(fs, path, payload)
                 return self
-            except Exception:
+            except Exception as exc:
+                last_exc = exc
                 holder = _read_lock(self._spark, self._location)
                 if holder is None:
+                    # No lock on disk after a failed create: either the
+                    # racer released in the create→read window (the
+                    # message says so), or the create itself failed for
+                    # a NON-contention reason (permissions, transient
+                    # IO) — don't misdiagnose that as writer contention.
+                    msg = str(exc).lower()
+                    if "exist" not in msg:
+                        raise RuntimeError(
+                            f"writer-lock create failed at {self._location} "
+                            "for a non-contention reason (no lock file is "
+                            "present)"
+                        ) from exc
                     continue  # holder released between create() and read
                 age = time.time() - float(holder.get("acquired_unix", 0) or 0)
                 if attempt <= self._acquire_retries:
@@ -169,7 +239,7 @@ class WriterLock:
         raise ConcurrentWriterError(
             f"could not claim writer lock at {self._location} after a stale "
             "takeover attempt — another writer is actively racing this one."
-        )
+        ) from last_exc
 
     def verify(self) -> None:
         """Assert the lock still carries our token (call right before the

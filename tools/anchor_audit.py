@@ -87,14 +87,21 @@ def main() -> int:
         print(f"OK: 0 rows above {thr}x of a committed anchor "
               f"({len(queries)} queries checked)")
         return 0
+    missing = 0
     for ratio, name, secs, base in rows:
         if base is None:
+            missing += 1
             print(f"NO-ANCHOR {name}: {secs}s (commit an anchor)")
         else:
             tag = "load-suspect" if suspect else "BREACH"
             print(f"{tag} {name}: {secs}s vs anchor {base}s = {ratio:.2f}x")
     print(f"{len(rows)} rows above {thr}x "
           f"({'annotated load-suspect, not regressions' if suspect else 'treat as regressions'})")
+    # A missing anchor is a BOOKKEEPING error, never a load artifact —
+    # it must fail the audit even on a load-suspect run (distinct code 2
+    # so callers can tell it from a perf breach).
+    if missing:
+        return 2
     return 0 if suspect else 1
 
 
