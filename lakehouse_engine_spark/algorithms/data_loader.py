@@ -35,8 +35,8 @@ from lakehouse_engine_spark.core.exec_env import ExecEnv
 from lakehouse_engine_spark.io.reader_factory import ReaderFactory
 from lakehouse_engine_spark.io.writer_factory import WriterFactory
 from lakehouse_engine_spark.transformers.transformer_factory import (
-    UNSUPPORTED_STREAMING_TRANSFORMERS,
     TransformerFactory,
+    unsupported_streaming_transformers,
 )
 from lakehouse_engine_spark.utils.acon_utils import parse_acon_lists
 
@@ -71,6 +71,7 @@ class DataLoader:
 
     def _replan_streaming_micro_batches(self) -> None:
         """Move stream-incompatible transformer tails into foreachBatch plans."""
+        gated = unsupported_streaming_transformers()
         for tspec in self.transform_specs:
             if not self._is_streaming_chain(tspec):
                 continue
@@ -79,7 +80,7 @@ class DataLoader:
                 cut = 0
             else:
                 for i, t in enumerate(tspec.transformers):
-                    if t.function in UNSUPPORTED_STREAMING_TRANSFORMERS:
+                    if t.function in gated:
                         cut = i
                         break
             if cut is None:

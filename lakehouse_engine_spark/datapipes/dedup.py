@@ -86,7 +86,7 @@ def _validate_banding(op: str, num_hashes: int, bands: int) -> None:
         )
 
 
-@register("dedup_exact")
+@register("dedup_exact", streaming_ok=True)
 def dedup_exact(
     key_cols: List[str],
     id_col: Optional[str] = None,

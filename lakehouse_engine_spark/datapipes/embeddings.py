@@ -34,7 +34,7 @@ def l2_norm(col: Column) -> Column:
     )
 
 
-@register("embedding_normalize")
+@register("embedding_normalize", streaming_ok=True)
 def embedding_normalize(
     input_col: str = "embedding",
     output_col: str = "embedding_unit",
@@ -62,7 +62,7 @@ def embedding_normalize(
     return _norm
 
 
-@register("embedding_quantize_int8")
+@register("embedding_quantize_int8", streaming_ok=True)
 def embedding_quantize_int8(
     input_col: str = "embedding",
     output_col: str = "embedding_q8",
@@ -536,7 +536,7 @@ def embedding_random_projection(
     return _project
 
 
-@register("embedding_sanitize")
+@register("embedding_sanitize", streaming_ok=True)
 def embedding_sanitize(
     dim: int,
     embedding_col: str = "embedding",

@@ -40,7 +40,7 @@ from lakehouse_engine_spark.utils.timeutils import epoch_us
 TransformerFn = Callable[[DataFrame], DataFrame]
 
 
-@register("range_join")
+@register("range_join", streaming_ok=True)
 def range_join(
     right: DataFrame,
     on: List[str],
@@ -220,7 +220,7 @@ def asof_join(
     return _join
 
 
-@register("sessionize")
+@register("sessionize", streaming_ok=True)
 def sessionize(
     on: List[str],
     ts_col: str = "ts",
@@ -260,7 +260,7 @@ def sessionize(
     return _sess
 
 
-@register("hopping_window_agg")
+@register("hopping_window_agg", streaming_ok=True)
 def hopping_window_agg(
     group_cols: List[str],
     ts_col: str = "ts",
@@ -371,7 +371,7 @@ def trailing_window_agg(
     return _trail
 
 
-@register("salted_join")
+@register("salted_join", streaming_ok=True)
 def salted_join(
     right: DataFrame,
     on: List[str],
@@ -442,7 +442,7 @@ def asof_join_with(data: dict, right_id: str, **args) -> TransformerFn:
     )(df)
 
 
-@register_contextual("range_join_with")
+@register_contextual("range_join_with", streaming_ok=True)
 def range_join_with(data: dict, right_id: str, **args) -> TransformerFn:
     """ACON wrapper for :func:`range_join` (see :func:`asof_join_with`)."""
     return lambda df: range_join(
@@ -450,7 +450,7 @@ def range_join_with(data: dict, right_id: str, **args) -> TransformerFn:
     )(df)
 
 
-@register_contextual("salted_join_with")
+@register_contextual("salted_join_with", streaming_ok=True)
 def salted_join_with(data: dict, right_id: str, **args) -> TransformerFn:
     """ACON wrapper for :func:`salted_join` (see :func:`asof_join_with`)."""
     return lambda df: salted_join(
@@ -458,7 +458,7 @@ def salted_join_with(data: dict, right_id: str, **args) -> TransformerFn:
     )(df)
 
 
-@register("fuzzy_join")
+@register("fuzzy_join", streaming_ok=True)
 def fuzzy_join(
     right: DataFrame,
     left_col: str,
@@ -515,7 +515,7 @@ def fuzzy_join(
     return _join
 
 
-@register_contextual("fuzzy_join_with")
+@register_contextual("fuzzy_join_with", streaming_ok=True)
 def fuzzy_join_with(data: dict, right_id: str, **args) -> TransformerFn:
     """ACON wrapper for :func:`fuzzy_join` (see :func:`asof_join_with`)."""
     return lambda df: fuzzy_join(
@@ -671,7 +671,7 @@ def gap_fill(
     return _fill
 
 
-@register("interval_overlap_join")
+@register("interval_overlap_join", streaming_ok=True)
 def interval_overlap_join(
     right: DataFrame,
     on: List[str],

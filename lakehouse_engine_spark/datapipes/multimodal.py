@@ -41,6 +41,27 @@ MEDIA_META_SCHEMA = T.StructType(
     ]
 )
 
+def _byte_budget_src(
+    df: DataFrame, payload_col: str, id_col: str, target_partition_mb: int
+) -> DataFrame:
+    """(id, payload) projection, repartitioned by PAYLOAD BYTES (not row
+    count) so each Arrow batch stays within the decode memory budget.
+
+    Streaming inputs pass through unpartitioned: a plan-time size probe
+    is impossible on an unbounded DataFrame (it was the one thing keeping
+    the decode family batch-only), and micro-batch sizing is already
+    governed by the source (``maxFilesPerTrigger``/``maxBytesPerTrigger``)
+    — re-shuffling each micro-batch would only add an exchange."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col))
+    if df.isStreaming:
+        return src
+    stats = df.select(F.sum(F.length(payload_col)).alias("total")).first()
+    parts = max(
+        int((stats["total"] or 0) / (1024 * 1024) / target_partition_mb) + 1, 1
+    )
+    return src.repartition(parts)
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),
@@ -51,7 +72,7 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-@register("multimodal_pack")
+@register("multimodal_pack", streaming_ok=True)
 def pack_binary(
     payload_col: str,
     id_col: str,
@@ -81,7 +102,7 @@ def pack_binary(
     return _pack
 
 
-@register("multimodal_feature_extract")
+@register("multimodal_feature_extract", streaming_ok=True)
 def feature_extract(
     payload_col: str = "payload",
     id_col: str = "doc_id",
@@ -97,13 +118,8 @@ def feature_extract(
     """
 
     def _extract(df: DataFrame) -> DataFrame:
-        # size partitions by payload bytes, not row count
-        stats = df.select(
-            F.sum(F.length(payload_col)).alias("total"), F.count(F.lit(1)).alias("n")
-        ).first()
-        total_mb = (stats["total"] or 0) / (1024 * 1024)
-        parts = max(int(total_mb / target_partition_mb) + 1, 1)
-        src = df.select(F.col(id_col).alias("id"), F.col(payload_col)).repartition(parts)
+        # size partitions by payload bytes, not row count (stream: pass-through)
+        src = _byte_budget_src(df, payload_col, id_col, target_partition_mb)
 
         def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
@@ -148,7 +164,7 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
-@register("multimodal_image_decode")
+@register("multimodal_image_decode", streaming_ok=True)
 def image_decode(
     payload_col: str = "payload",
     id_col: str = "doc_id",
@@ -179,11 +195,7 @@ def image_decode(
         # though workers re-import media_codecs fresh
         decoders = available_decoders()
 
-        stats = df.select(
-            F.sum(F.length(payload_col)).alias("total")
-        ).first()
-        parts = max(int((stats["total"] or 0) / (1024 * 1024) / target_partition_mb) + 1, 1)
-        src = df.select(F.col(id_col).alias("id"), F.col(payload_col)).repartition(parts)
+        src = _byte_budget_src(df, payload_col, id_col, target_partition_mb)
 
         def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
@@ -237,7 +249,7 @@ AUDIO_META_SCHEMA = T.StructType(
 )
 
 
-@register("multimodal_audio_decode")
+@register("multimodal_audio_decode", streaming_ok=True)
 def audio_decode(
     payload_col: str = "payload",
     id_col: str = "doc_id",
@@ -259,9 +271,7 @@ def audio_decode(
             sniff_media,
         )
 
-        stats = df.select(F.sum(F.length(payload_col)).alias("total")).first()
-        parts = max(int((stats["total"] or 0) / (1024 * 1024) / target_partition_mb) + 1, 1)
-        src = df.select(F.col(id_col).alias("id"), F.col(payload_col)).repartition(parts)
+        src = _byte_budget_src(df, payload_col, id_col, target_partition_mb)
 
         def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
@@ -302,7 +312,7 @@ def audio_decode(
     return _decode
 
 
-@register("multimodal_audio_resample")
+@register("multimodal_audio_resample", streaming_ok=True)
 def audio_resample(
     target_rate: int,
     payload_col: str = "payload",
@@ -348,7 +358,7 @@ def audio_resample(
     return _resample
 
 
-@register("multimodal_image_resize")
+@register("multimodal_image_resize", streaming_ok=True)
 def image_resize(
     width: int,
     height: int,
@@ -393,7 +403,7 @@ def image_resize(
     return _resize
 
 
-@register("multimodal_frame_sample")
+@register("multimodal_frame_sample", streaming_ok=True)
 def frame_sample(
     payload_col: str = "payload",
     id_col: str = "doc_id",
@@ -522,7 +532,7 @@ def image_dedup(
     return _dedup
 
 
-@register("binary_decompress")
+@register("binary_decompress", streaming_ok=True)
 def binary_decompress(
     payload_col: str = "payload",
     output_col: str = "payload_raw",

@@ -319,7 +319,7 @@ def trend_fit(
     return _fit
 
 
-@register("linear_score")
+@register("linear_score", streaming_ok=True)
 def linear_score(
     weights: dict,
     intercept: float = 0.0,

@@ -65,7 +65,7 @@ def _bucket(id_col: str, seed: str) -> Column:
     return _bucket_raw(id_col, seed) % BUCKETS
 
 
-@register("hash_sample")
+@register("hash_sample", streaming_ok=True)
 def hash_sample(
     id_col: str, fraction: float, seed: str = ""
 ) -> Callable[[DataFrame], DataFrame]:
@@ -84,7 +84,7 @@ def hash_sample(
     return _sample
 
 
-@register("hash_split")
+@register("hash_split", streaming_ok=True)
 def hash_split(
     id_col: str,
     splits: Optional[Dict[str, float]] = None,
@@ -124,7 +124,7 @@ def hash_split(
     return _split
 
 
-@register("weighted_sample")
+@register("weighted_sample", streaming_ok=True)
 def weighted_sample(
     id_col: str, prob_expr: str, seed: str = ""
 ) -> Callable[[DataFrame], DataFrame]:
@@ -150,7 +150,7 @@ def weighted_sample(
     return _sample
 
 
-@register("stratified_sample")
+@register("stratified_sample", streaming_ok=True)
 def stratified_sample(
     group_cols: list,
     id_col: str,
@@ -201,7 +201,7 @@ def stratified_sample(
     return _sample
 
 
-@register("mixture_sample")
+@register("mixture_sample", streaming_ok=True)
 def mixture_sample(
     group_col: str,
     id_col: str,

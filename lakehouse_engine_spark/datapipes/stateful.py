@@ -75,7 +75,7 @@ def hll_estimate(regs: list, precision: int) -> float:
     return est
 
 
-@register("streaming_running_totals")
+@register("streaming_running_totals", streaming_ok=True)
 def streaming_running_totals(
     on: List[str],
     value_col: str,
@@ -180,7 +180,7 @@ def streaming_running_totals(
     return _fn
 
 
-@register("streaming_ewma_anomaly")
+@register("streaming_ewma_anomaly", streaming_ok=True)
 def streaming_ewma_anomaly(
     on: List[str],
     value_col: str,
@@ -405,7 +405,7 @@ def streaming_ewma_anomaly(
     return _fn
 
 
-@register("streaming_approx_distinct")
+@register("streaming_approx_distinct", streaming_ok=True)
 def streaming_approx_distinct(
     on: List[str],
     value_col: str,
@@ -617,7 +617,7 @@ def streaming_approx_distinct(
     return _fn
 
 
-@register("streaming_reservoir_quantiles")
+@register("streaming_reservoir_quantiles", streaming_ok=True)
 def streaming_reservoir_quantiles(
     on: List[str],
     value_col: str,
@@ -797,7 +797,7 @@ def streaming_reservoir_quantiles(
     return _fn
 
 
-@register("streaming_dedup_exact")
+@register("streaming_dedup_exact", streaming_ok=True)
 def streaming_dedup_exact(
     key_cols: Optional[List[str]] = None,
     input_col: str = "text",
@@ -898,7 +898,7 @@ def streaming_dedup_exact(
     return _fn
 
 
-@register("streaming_event_pattern")
+@register("streaming_event_pattern", streaming_ok=True)
 def streaming_event_pattern(
     on: List[str],
     symbols: dict,
@@ -1190,7 +1190,7 @@ def streaming_event_pattern(
     return _fn
 
 
-@register("streaming_bottomk_sample")
+@register("streaming_bottomk_sample", streaming_ok=True)
 def streaming_bottomk_sample(
     on: List[str],
     id_col: str,
@@ -1330,7 +1330,7 @@ def streaming_bottomk_sample(
     return _fn
 
 
-@register("streaming_topk_score")
+@register("streaming_topk_score", streaming_ok=True)
 def streaming_topk_score(
     on: List[str],
     id_col: str,
@@ -1497,7 +1497,7 @@ def streaming_topk_score(
     return _fn
 
 
-@register("streaming_quality_buckets")
+@register("streaming_quality_buckets", streaming_ok=True)
 def streaming_quality_buckets(
     on: List[str],
     score_col: str,
@@ -1665,7 +1665,7 @@ def streaming_quality_buckets(
     return _fn
 
 
-@register("streaming_heavy_hitters")
+@register("streaming_heavy_hitters", streaming_ok=True)
 def streaming_heavy_hitters(
     on: List[str],
     value_col: str,
@@ -1783,7 +1783,7 @@ def streaming_heavy_hitters(
     return _fn
 
 
-@register("streaming_funnel")
+@register("streaming_funnel", streaming_ok=True)
 def streaming_funnel(
     on: List[str],
     stage_col: str,
@@ -1882,7 +1882,7 @@ def streaming_funnel(
     return _fn
 
 
-@register("streaming_session_stats")
+@register("streaming_session_stats", streaming_ok=True)
 def streaming_session_stats(
     on: List[str],
     ts_col: str = "ts",

@@ -71,7 +71,7 @@ STOPWORDS: Dict[str, List[str]] = {
 }
 
 
-@register("text_token_count")
+@register("text_token_count", streaming_ok=True)
 def token_count(
     input_col: str = "text",
     output_col: str = "n_tokens",
@@ -91,7 +91,7 @@ def token_count(
     return _count
 
 
-@register("text_quality_score")
+@register("text_quality_score", streaming_ok=True)
 def quality_score(input_col: str = "text", lang: str = "en") -> TransformerFn:
     """Heuristic document quality features + composite score.
 
@@ -140,7 +140,7 @@ def quality_score(input_col: str = "text", lang: str = "en") -> TransformerFn:
     return _score
 
 
-@register("text_langid")
+@register("text_langid", streaming_ok=True)
 def langid(input_col: str = "text", output_col: str = "lang_pred") -> TransformerFn:
     """Stopword-profile language ID over {en,de,fr,es}; 'und' when no hits.
 
@@ -163,7 +163,7 @@ def langid(input_col: str = "text", output_col: str = "lang_pred") -> Transforme
     return _langid
 
 
-@register("text_fingerprint")
+@register("text_fingerprint", streaming_ok=True)
 def fingerprint(input_col: str = "text", output_col: str = "fingerprint") -> TransformerFn:
     """Normalized-token-set fingerprint (OpenRefine-style clustering key):
     md5 over the sorted distinct lowercase alphanumeric-normalized tokens."""
@@ -187,7 +187,7 @@ PII_PATTERNS: List[tuple] = [
 ]
 
 
-@register("text_pii_redact")
+@register("text_pii_redact", streaming_ok=True)
 def pii_redact(
     input_col: str = "text",
     output_col: str = "text_clean",
@@ -858,7 +858,7 @@ def hash_embedding(
     return _emb
 
 
-@register("text_chunk")
+@register("text_chunk", streaming_ok=True)
 def text_chunk(
     input_col: str = "text",
     id_col: str = "doc_id",
@@ -909,7 +909,7 @@ def text_chunk(
     return _chunk
 
 
-@register("text_quality_prune")
+@register("text_quality_prune", streaming_ok=True)
 def quality_prune(
     input_col: str = "text",
     min_words: int = 5,
@@ -1447,7 +1447,7 @@ def shingles(col: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-@register("text_cdc_chunk")
+@register("text_cdc_chunk", streaming_ok=True)
 def cdc_chunk(
     input_col: str = "text",
     id_col: str = "doc_id",
@@ -1565,7 +1565,7 @@ def lexical_diversity(
     return _div
 
 
-@register("text_clean")
+@register("text_clean", streaming_ok=True)
 def text_clean(
     input_col: str = "text",
     output_col: Optional[str] = None,
@@ -1610,7 +1610,7 @@ def text_clean(
     return _clean
 
 
-@register("url_normalize")
+@register("url_normalize", streaming_ok=True)
 def url_normalize(
     input_col: str = "url",
     output_col: Optional[str] = None,
@@ -1829,7 +1829,7 @@ def bm25_topk_with(data: dict, queries_with: str, **args) -> TransformerFn:
     return _fn
 
 
-@register("text_sentence_split")
+@register("text_sentence_split", streaming_ok=True)
 def sentence_split(
     input_col: str = "text",
     id_col: str = "doc_id",
@@ -1870,7 +1870,7 @@ def sentence_split(
     return _split
 
 
-@register("text_html_strip")
+@register("text_html_strip", streaming_ok=True)
 def html_strip(
     input_col: str = "text",
     output_col: str = "text_stripped",
@@ -1990,7 +1990,7 @@ def corpus_overlap_stats_with(
     return _stats
 
 
-@register("text_unicode_normalize")
+@register("text_unicode_normalize", streaming_ok=True)
 def unicode_normalize(
     input_col: str = "text",
     output_col: Optional[str] = None,
@@ -2053,7 +2053,7 @@ def unicode_normalize(
     return _norm
 
 
-@register("text_gopher_rules")
+@register("text_gopher_rules", streaming_ok=True)
 def gopher_rules(
     input_col: str = "text",
     min_words: int = 50,
@@ -2168,7 +2168,7 @@ def gopher_rules(
 _C4_TERMINALS = (".", "!", "?", '"', "”", "'")
 
 
-@register("text_c4_rules")
+@register("text_c4_rules", streaming_ok=True)
 def c4_rules(
     input_col: str = "text",
     min_line_words: int = 3,
@@ -2304,7 +2304,7 @@ SCRIPT_RANGES = (
 )
 
 
-@register("text_script_mix")
+@register("text_script_mix", streaming_ok=True)
 def script_mix(
     input_col: str = "text",
     output_prefix: str = "script_",

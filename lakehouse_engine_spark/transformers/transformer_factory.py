@@ -37,78 +37,48 @@ from lakehouse_engine_spark.transformers import (
 
 TransformerFn = Callable[[DataFrame], DataFrame]
 
-# Transformers whose semantics require a complete (micro-)batch — the
-# streaming planner relocates these (and everything after them) into
-# foreachBatch. Reference ``transformers/transformer_factory.py:29-34``.
-UNSUPPORTED_STREAMING_TRANSFORMERS = {
-    "condense_record_mode_cdc",
-    "group_and_rank",
-    "with_auto_increment_id",
-    "with_row_id",
-    # datapipes batch-only ops: window functions, corpus-level second
-    # passes (aggregate + join back onto the same stream), or iterative
-    # algorithms — none expressible in a single streaming plan, so the
-    # DataLoader re-plans the chain tail into foreachBatch from here on.
-    # (Ops with a conditional streaming path — dedup_exact's watermark
-    # dedup, stratified_sample's fraction filter, sessionize/
-    # hopping_window_agg's native windows — stay OUT of this set.)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_connected_components",
-    "dedup_substring_exact",
-    # cross-RUN persistent-state dedup: inside foreachBatch each
-    # micro-batch is a plain batch frame, so the digest state carries
-    # ACROSS micro-batches (and restarts) — true streaming near-dup
-    # dedup. foreachBatch's at-least-once caveat applies: a retried
-    # batch may re-append digests (harmless — the anti-join semantics
-    # are idempotent) and re-emit its survivors downstream.
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "dedup_incremental_embedding",
-    "text_line_dedup",
-    "text_lm_score",
-    "text_lm_score_bigram",
-    "text_tfidf_top_terms",
-    "asof_join",
-    "trailing_window_agg",
-    "pack_sequences",
-    "global_shuffle",
-    "token_budget_sample",
-    "quantile_prune",
-    "winsorize",
-    "zscore_normalize",
-    "robust_scale",
-    "funnel",
-    "cohort_retention",
-    # round-4 additions: per-group windows / corpus second passes
-    "quantile_summary",
-    "pivot_agg",
-    "cluster_sample",
-    "merge_intervals",
-    "scd2_build",
-    "vocab_top_k",
-    "bpe_train",
-    "bpe_encode",
-    "bpe_encode_with",
-    "trend_fit",
-    "histogram",
-    "weighted_sample_k",
-    "event_transitions",
-    "gap_fill",
-    "lexical_diversity",
-    "snapshot_diff",
-    "schema_drift",
-    # contextual wrappers of gated base ops must be gated too — the
-    # re-planner matches spec function NAMES
-    "asof_join_with",
-    "snapshot_diff_with",
-    "schema_drift_with",
-    # (salted_join/fuzzy_join/text_cdc_chunk stream fine: stream-static
-    # equi-joins and row-space projections; streaming_ewma_anomaly has a
-    # native stateful path)
-}
+# CORE transformers whose semantics require a complete (micro-)batch —
+# the streaming planner relocates these (and everything after them) into
+# foreachBatch. Reference ``transformers/transformer_factory.py:29-34``
+# (the reference's exact streaming-unsupported set). Datapipes ops are
+# NOT listed here: their gate is per-op ``streaming_ok`` metadata
+# declared at registration (``datapipes/registry.py``), default GATED —
+# a hand-maintained set drifted (r13 verdict: ~45 corpus-level ops were
+# silently ungated and died mid-plan instead of relocating).
+_CORE_UNSUPPORTED_STREAMING = frozenset(
+    {
+        "condense_record_mode_cdc",
+        "group_and_rank",
+        "with_auto_increment_id",
+        "with_row_id",
+    }
+)
+
+
+def unsupported_streaming_transformers() -> frozenset:
+    """The derived gate set: core batch-only names plus every registered
+    datapipes op not explicitly declared ``streaming_ok`` at
+    registration. Gated ops (and everything after them in the chain) are
+    relocated into foreachBatch by the DataLoader's micro-batch
+    re-planner. For cross-RUN persistent-state dedup
+    (dedup_incremental_*), foreachBatch is the DESIGN, not a fallback:
+    each micro-batch is a plain batch frame, so the digest state carries
+    across micro-batches and restarts; a retried batch may re-append
+    digests (harmless — the anti-join is idempotent) and re-emit its
+    survivors downstream (foreachBatch's at-least-once caveat)."""
+    from lakehouse_engine_spark.datapipes import registry as dp_registry
+
+    dp_names = set(dp_registry.SIMPLE) | set(dp_registry.CONTEXTUAL)
+    return frozenset(
+        _CORE_UNSUPPORTED_STREAMING | (dp_names - dp_registry.STREAMING_OK)
+    )
+
+
+def __getattr__(name: str):
+    # Back-compat: the pre-r14 hand-maintained constant, now derived.
+    if name == "UNSUPPORTED_STREAMING_TRANSFORMERS":
+        return unsupported_streaming_transformers()
+    raise AttributeError(name)
 
 # name → factory(args…) -> TransformerFn. Entries marked ctx take the dataflow
 # dict (spec_id → DataFrame) as first argument for cross-spec references.
