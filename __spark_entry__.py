@@ -3820,6 +3820,50 @@ BYTE_BPE_FIXED_MERGES = [
     ("sca", "n"), ("Ã", "©"),
 ]
 
+# dp159: the byte table extended with Ġ (space-byte) merges — the
+# space-prefixed pieces a GPT-2 vocabulary is mostly made of; only
+# reachable under pretokenizer="gpt2" (whitespace pretokens never
+# carry a leading space symbol).
+GPT2_BPE_FIXED_MERGES = BYTE_BPE_FIXED_MERGES + [
+    ("Ġ", "the"), ("Ġ", "t"), ("Ġ", "a"), ("Ġa", "nd"),
+]
+
+
+def dp159_gpt2_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-level BPE under the GPT-2 REGEX pretokenizer
+    (datapipes/bpe.py gpt2_pretokens + bpe_byte_encode
+    (pretokenizer='gpt2')): the standard contraction/letter/digit/punct
+    split — restated lookahead-free via the marker construction so RE2
+    (and the DuckDB oracle) replays it bit-for-bit. Pretokens keep
+    their leading space, so the Ġ-prefixed merges fire mid-sentence;
+    whitespace runs become tokens of their own. Reports per-doc token
+    and pretoken counts (fertility = n_tokens/n_pretokens) plus the
+    exact piece-stream md5. A third of the docs get a contraction +
+    accent suffix so the 's split and the multibyte merge are both
+    consequential."""
+    from lakehouse_engine_spark.datapipes.bpe import gpt2_pretokens
+
+    docs = load_table(spark, sf, "documents")
+    merges = spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(GPT2_BPE_FIXED_MERGES)],
+        "rank INT, left STRING, right STRING, merged STRING",
+    )
+    staged = (
+        "concat(text, case when doc_id % 3 = 0"
+        " then ' it''s the café and' else '' end)"
+    )
+    enc = docs.selectExpr("doc_id", f"{staged} AS text").transform(
+        _t("bpe_byte_encode", merges=merges, pretokenizer="gpt2")
+    )
+    return enc.select(
+        "doc_id",
+        F.col("bpe_tokens_n").cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.size(gpt2_pretokens(F.col("text"))), F.lit(0)
+        ).cast("long").alias("n_pretokens"),
+        F.md5(F.array_join("bpe_tokens", "\x1f")).alias("pieces_md5"),
+    )
+
 
 def dp158_byte_bpe(spark: SparkSession, sf: str) -> DataFrame:
     """BYTE-level BPE encode (datapipes/bpe.py bpe_byte_encode, the
@@ -4808,6 +4852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by tests/test_entry_registry.py from WINDOW_RETOUCHED + the
     # CORRECTNESS_r*.json history.
     return {
+        "dp159_gpt2_bpe": dp159_gpt2_bpe,
         "dp152_streaming_quality_buckets": dp152_streaming_quality_buckets,
         "dp153_c4_rules": dp153_c4_rules,
         "dp154_script_mix": dp154_script_mix,
@@ -5071,7 +5116,7 @@ def _duck_byte_symword(col: str) -> str:
         "'" + b2u[b].replace("'", "''") + "'" for b in range(256)
     ) + "]"
     return f"""array_to_string(list_transform(flatten(list_transform(
-        list_transform(regexp_extract_all({col}, '.'), c -> unicode(c)),
+        list_transform(regexp_extract_all({col}, '(?s).'), c -> unicode(c)),
         cp -> CASE WHEN cp < 128 THEN [cp]
               WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
               WHEN cp < 65536 THEN [224 + cp // 4096,
@@ -5081,17 +5126,37 @@ def _duck_byte_symword(col: str) -> str:
         b -> ({maplit})[b + 1]), '')"""
 
 
-def _duck_byte_bpe_pieces(col: str = "w") -> str:
+def _duck_byte_bpe_pieces(col: str = "w", merges=None) -> str:
     """DuckDB expression: byte-level BPE pieces of word ``col`` — the
     dp69b double-space merge-scan replay over the byte-symbol string,
-    WITHOUT the </w> marker (the byte-level convention)."""
+    WITHOUT the </w> marker (the byte-level convention). ``merges``
+    defaults to dp158's table; dp159 passes the GPT-2 table (with Ġ
+    space-prefix merges)."""
     e = (
         "'  ' || array_to_string("
-        f"regexp_extract_all({_duck_byte_symword(col)}, '.'), '  ') || '  '"
+        f"regexp_extract_all({_duck_byte_symword(col)}, '(?s).'), '  ') || '  '"
     )
-    for a, b in BYTE_BPE_FIXED_MERGES:
+    for a, b in (merges or BYTE_BPE_FIXED_MERGES):
         e = f"replace({e}, ' {a}  {b} ', ' {a}{b} ')"
     return f"list_filter(string_split({e}, '  '), x -> x <> '')"
+
+
+# The GPT-2 regex split replayed in RE2 (no lookahead): marker before
+# the final whitespace char of each run, then the lookahead-free
+# alternation per marker segment — the exact construction (and the
+# equivalence argument) lives at datapipes/bpe.py gpt2_pretokens.
+_DUCK_GPT2_PAT = (
+    "''s|''t|''re|''ve|''m|''ll|''d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+_DUCK_GPT2_TOKS = (
+    "list_filter(flatten(list_transform(string_split("
+    "regexp_replace(regexp_replace(text, chr(57344), '', 'g'),"
+    r" '(\s)(\S)', chr(57344) || '\1\2', 'g'),"
+    " chr(57344)),"
+    f" seg -> regexp_extract_all(seg, '{_DUCK_GPT2_PAT}'))),"
+    " t -> t <> '')"
+)
 
 
 def _dp157_oracle(k: int = 3, lam: int = 300, shortlist: int = 20) -> str:
@@ -7999,6 +8064,44 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'middle' THEN 500000
                                 WHEN 'tail' THEN 100000
                                 ELSE 0 END
+        """,
+        "dp159_gpt2_bpe": f"""
+            -- GPT-2 pretokenize replay (marker construction, RE2, no
+            -- lookahead) -> per-pretoken byte-symbol merge scan with
+            -- the Ġ-extended table -> per-doc counts + piece md5
+            WITH staged AS (
+              SELECT doc_id,
+                     concat(text, CASE WHEN doc_id % 3 = 0
+                       THEN ' it''s the café and' ELSE '' END) AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, {_DUCK_GPT2_TOKS} AS ws FROM staged
+            ),
+            tw AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(ws))) AS pos,
+                     ws
+              FROM toks
+            ),
+            enc AS (
+              SELECT doc_id, pos,
+                     {_duck_byte_bpe_pieces("ws[pos]", GPT2_BPE_FIXED_MERGES)} AS pieces
+              FROM tw
+            ),
+            per_doc AS (
+              SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS pieces
+              FROM enc GROUP BY doc_id
+            ),
+            pre AS (SELECT doc_id, len(ws) AS n_pre FROM toks)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.pieces_n, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(pre.n_pre, 0) AS BIGINT) AS n_pretokens,
+                   md5(array_to_string(coalesce(p.pieces, []), chr(31))) AS pieces_md5
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, pieces, len(pieces) AS pieces_n
+                       FROM per_doc) p USING (doc_id)
+            LEFT JOIN pre USING (doc_id)
         """,
         "dp158_byte_bpe": f"""
             -- byte-level BPE replay: word -> code points -> UTF-8

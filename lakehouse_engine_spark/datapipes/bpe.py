@@ -79,6 +79,61 @@ def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+# The GPT-2 pretokenizer (Radford et al. 2019, public encoder.py):
+#   's|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+
+# Everything here EXCEPT the \s+(?!\S) lookahead is plain alternation.
+# RE2 (DuckDB, and the portability bar text_sentence_split set) has no
+# lookahead, so the split is restated exactly without it: \s+(?!\S)
+# consumes a whitespace run MINUS its final character whenever a
+# non-space follows — i.e. the run's last space detaches and glues onto
+# the next word (the " word" tokens GPT-2 vocabularies are built on).
+# Inserting a marker before that final whitespace char
+# (regexp_replace '(\s)(\S)' -> MARK + '$1$2') and then running the
+# lookahead-FREE alternation inside each marker-delimited segment yields
+# the identical token stream: within a segment, whitespace is either the
+# single space the ` ?` alternatives absorb, or a trailing run the plain
+# \s+ branch takes whole — exactly the two cases the lookahead decided.
+GPT2_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+# U+E000 (private use): cannot collide with any byte symbol, and is
+# stripped from the input first so adversarial text cannot forge splits.
+GPT2_MARK = "\ue000"
+
+
+def gpt2_pretokens(col):
+    """GPT-2 regex pretokenization as a native JVM expression chain —
+    ``regexp_replace`` marker insertion + per-segment
+    ``regexp_extract_all`` — bit-identical to the reference pattern (see
+    the equivalence argument above) and RE2-portable so a SQL oracle can
+    replay it. Tokens KEEP their leading space (the GPT-2 convention);
+    whitespace-only tokens (``"\\n\\n"`` between paragraphs) survive."""
+    cleaned = F.regexp_replace(col, GPT2_MARK, "")
+    marked = F.regexp_replace(cleaned, r"(\s)(\S)", GPT2_MARK + "$1$2")
+    return F.filter(
+        F.flatten(
+            F.transform(
+                F.split(marked, GPT2_MARK),
+                lambda s: F.regexp_extract_all(
+                    s, F.lit(GPT2_SPLIT_PATTERN), F.lit(0)
+                ),
+            )
+        ),
+        lambda t: t != "",
+    )
+
+
+def _pretokens(col, pretokenizer: str):
+    if pretokenizer == "whitespace":
+        return tokens(col)
+    if pretokenizer == "gpt2":
+        return gpt2_pretokens(col)
+    raise ValueError(
+        f"pretokenizer must be 'whitespace' or 'gpt2', got {pretokenizer!r}"
+    )
+
+
 def apply_merges_py(word: str, merges: List[Tuple[str, str]]) -> List[str]:
     """Reference encoder: apply merges in rank order to one word."""
     syms = list(word) + [END]
@@ -202,6 +257,7 @@ def bpe_encode(
     lowercase: bool = False,
     broadcast_dictionary: bool | None = None,
     broadcast_threshold_rows: int = 2_000_000,
+    pretokenizer: str = "whitespace",
 ) -> TransformerFn:
     """Tokenize the corpus with a trained merge table: adds ``output_col``
     (array of subword pieces, word-order preserved) and
@@ -228,6 +284,7 @@ def bpe_encode(
     return _dictionary_encode(
         apply_merges_py, merges, text_col, id_col, output_col,
         lowercase, broadcast_dictionary, broadcast_threshold_rows,
+        pretokenizer,
     )
 
 
@@ -240,6 +297,7 @@ def _dictionary_encode(
     lowercase: bool,
     broadcast_dictionary: bool | None,
     broadcast_threshold_rows: int,
+    pretokenizer: str = "whitespace",
 ) -> TransformerFn:
     """The shared distinct-word dictionary-encode plan behind
     :func:`bpe_encode` (word-level, ``apply_merges_py``) and
@@ -262,7 +320,7 @@ def _dictionary_encode(
         _enc = F.pandas_udf(_enc_fn, "array<string>")
 
         src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-        with_words = df.withColumn("__words", tokens(src))
+        with_words = df.withColumn("__words", _pretokens(src, pretokenizer))
         # persist the RAW distinct words (pre-UDF): reused by the size
         # probe and the encode, so the pandas encode runs exactly once
         # and the count never invokes Python
@@ -689,6 +747,7 @@ def bpe_byte_encode(
     lowercase: bool = False,
     broadcast_dictionary: bool | None = None,
     broadcast_threshold_rows: int = 2_000_000,
+    pretokenizer: str = "whitespace",
 ) -> TransformerFn:
     """BYTE-level BPE encode (the GPT-2 scheme): every word is first
     mapped to its UTF-8 bytes through the public bytes→unicode bijection,
@@ -705,11 +764,21 @@ def bpe_byte_encode(
     distinct-word pass, a pandas encode over DISTINCT words only, a
     size-gated dictionary join, JVM per-document reassembly — Python
     never touches corpus-scale data. Differences: no ``</w>`` marker
-    (byte-level's boundary is the whitespace pretokenizer itself), and
-    the dictionary's pieces are byte symbols.
+    (byte-level's boundary is the pretokenizer split itself), and the
+    dictionary's pieces are byte symbols.
+
+    ``pretokenizer``: ``"whitespace"`` (default, the engine's historical
+    boundary) or ``"gpt2"`` — the standard contraction/letter/digit/
+    punct split of the public GPT-2 encoder (see
+    :data:`GPT2_SPLIT_PATTERN`), under which tokens keep their leading
+    space so fertility numbers match production byte-level tokenizers.
+    The "distinct word" dictionary then holds distinct PRETOKENS
+    (``" the"`` and ``"the"`` are separate entries — roughly 2× word
+    types, same corpus-scale posture).
     """
 
     return _dictionary_encode(
         apply_merges_byte_py, merges, text_col, id_col, output_col,
         lowercase, broadcast_dictionary, broadcast_threshold_rows,
+        pretokenizer,
     )

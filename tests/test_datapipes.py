@@ -5759,3 +5759,127 @@ def test_r13_dedup_review_fixes(spark):
     ).collect()
     assert sorted(r["vec_id"] for r in surv if r["vec_id"] != 3) == [1, 2]
     assert len(surv) == 2  # 3 deduped against 2; null row survives
+
+
+def test_gpt2_pretokenizer_matches_lookahead_reference(spark):
+    """gpt2_pretokens: the RE2-portable marker construction must be
+    BIT-IDENTICAL to the public GPT-2 pattern with its \\s+(?!\\S)
+    lookahead (which RE2/DuckDB cannot run) on every boundary shape:
+    contraction suffixes, multi-space runs (last space glues to the next
+    word), tabs/newlines, digit/punct runs, leading/trailing whitespace,
+    unicode letters, and whitespace-only strings."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_engine_spark.datapipes.bpe import gpt2_pretokens
+
+    # the reference pattern, with Python-re stand-ins for \p{L} / \p{N}
+    # ([^\W\d_] is exactly the unicode-letter class under re.UNICODE;
+    # test strings keep numerics to \d so \p{N} agrees)
+    ref = _re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+    )
+    cases = [
+        "The quick brown fox",
+        "it's John's, isn't it? we'll see I'm sure they've 'd",
+        "a  b   c    d",          # multi-space: last space glues forward
+        "a\tb\na\n\nb",           # tabs + newline runs
+        "  leading and trailing  ",
+        "word",
+        "   ",
+        "",
+        "price: $12.50 (20%)!!",
+        "snake_case and __dunder__",
+        "café naïve héllo",
+        "x2 2x 2 x",
+        "para one\n\npara two\n",
+        "don't    stop.\n  ok?",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)],
+                               "i INT, s STRING")
+    got = {
+        r["i"]: list(r["toks"])
+        for r in df.select("i", gpt2_pretokens(F.col("s")).alias("toks")).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i] == ref.findall(s), (s, got[i], ref.findall(s))
+        # losslessness: the split is a partition of the string
+        assert "".join(got[i]) == s, s
+
+
+def test_gpt2_pretokenizer_property_random_text(spark):
+    """Property sweep: random compositions over a boundary-rich alphabet
+    agree with the lookahead reference and re-join losslessly."""
+    import random
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_engine_spark.datapipes.bpe import gpt2_pretokens
+
+    ref = _re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+    )
+    rng = random.Random(20260816)
+    alphabet = list("ab zé9'.,!\t\n") + ["'s", "'ll", "  ", "\n\n"]
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)],
+                               "i INT, s STRING")
+    got = {
+        r["i"]: list(r["toks"])
+        for r in df.select("i", gpt2_pretokens(F.col("s")).alias("toks")).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i] == ref.findall(s), repr(s)
+        assert "".join(got[i]) == s, repr(s)
+
+
+def test_bpe_byte_encode_gpt2_pretokenizer(spark):
+    """bpe_byte_encode(pretokenizer='gpt2'): tokens keep their leading
+    space (the Ġ-symbol convention), contractions split off, whitespace
+    pretokens encode to byte symbols too, and pieces per pretoken match
+    the pure-Python reference."""
+    import re as _re
+
+    from lakehouse_engine_spark.datapipes.bpe import (
+        apply_merges_byte_py,
+        byte_symbols,
+    )
+
+    ref = _re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+    )
+    merges = [("t", "h"), ("th", "e"), ("Ġ", "the")]
+    mdf = spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank INT, left STRING, right STRING, merged STRING",
+    )
+    rows = [
+        (1, "the theme of the day"),
+        (2, "it's fine\n\nnew para"),
+        (3, ""),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in df.transform(
+        t("bpe_byte_encode", merges=mdf, pretokenizer="gpt2")
+    ).collect()}
+    assert byte_symbols(" ")[0] == "Ġ"  # the GPT-2 space symbol
+    for did, txt in rows:
+        expected = [
+            p for w in ref.findall(txt)
+            for p in apply_merges_byte_py(w, merges)
+        ]
+        assert list(out[did]["bpe_tokens"]) == expected, (did, txt)
+    # " the" fully merges into one Ġthe piece mid-sentence
+    assert "Ġthe" in out[1]["bpe_tokens"]
+    # invalid pretokenizer fails loudly
+    with pytest.raises(ValueError, match="pretokenizer"):
+        df.transform(t("bpe_byte_encode", merges=mdf, pretokenizer="bogus"))
