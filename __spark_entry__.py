@@ -4026,6 +4026,42 @@ def dp154_script_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp160_stream_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch arm of streaming_quantile_prune (datapipes/stateful.py):
+    the live "train on the best X%" decision table on the dp152
+    cumulative-histogram state — per-lang score histogram, best-first
+    cumulative window, keep iff the strictly-better population leaves
+    room inside ceil(keep_frac*N) (ties at the threshold all kept, the
+    batch quantile_prune contract). Order/batch/restart independence is
+    pytest-pinned (test_stateful.py)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.transform(
+        _t(
+            "streaming_quantile_prune",
+            on=["lang"],
+            score_col="n_chars",
+            keep_frac=0.3,
+        )
+    )
+
+
+def dp161_stream_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch arm of streaming_winsorize (datapipes/stateful.py): the
+    live outlier-clipping table on the same histogram state — per-lang
+    grid-exact empirical bounds (value at rank max(1, ceil(q*N))) and
+    clip = least(greatest(v, lo), hi). Restart/parity pytest-pinned."""
+    docs = load_table(spark, sf, "documents")
+    return docs.transform(
+        _t(
+            "streaming_winsorize",
+            on=["lang"],
+            score_col="n_chars",
+            lower=0.1,
+            upper=0.9,
+        )
+    )
+
+
 def dp152_streaming_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Batch arm of streaming_quality_buckets (datapipes/stateful.py):
     the live CCNet tier table — per-lang score histogram + cumulative
@@ -4853,6 +4889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r*.json history.
     return {
         "dp159_gpt2_bpe": dp159_gpt2_bpe,
+        "dp160_stream_quantile_prune": dp160_stream_quantile_prune,
+        "dp161_stream_winsorize": dp161_stream_winsorize,
         "dp152_streaming_quality_buckets": dp152_streaming_quality_buckets,
         "dp153_c4_rules": dp153_c4_rules,
         "dp154_script_mix": dp154_script_mix,
@@ -8302,6 +8340,69 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
         """,
         "dp154_script_mix": _dp154_oracle(),
+        "dp160_stream_quantile_prune": """
+            -- dp152's histogram/cumulative chain, keep rule instead of
+            -- tiers: keep iff (cum - count) < ceil(N * keep_frac) —
+            -- i.e. the value is at-or-better than the loosest score
+            -- whose at-or-better population reaches the budget
+            WITH hist AS (
+              SELECT lang, CAST(n_chars AS DOUBLE) AS score,
+                     CAST(COUNT(*) AS BIGINT) AS score_count
+              FROM documents
+              WHERE n_chars IS NOT NULL
+                AND NOT isnan(CAST(n_chars AS DOUBLE))
+              GROUP BY lang, n_chars
+            ), cum AS (
+              SELECT lang, score, score_count,
+                     CAST(SUM(score_count) OVER (
+                       PARTITION BY lang ORDER BY score DESC
+                     ) AS BIGINT) AS cum_count,
+                     CAST(SUM(score_count) OVER (
+                       PARTITION BY lang
+                     ) AS BIGINT) AS total_seen
+              FROM hist
+            )
+            SELECT lang, score,
+                   (cum_count - score_count) < ceil(total_seen * 0.3)
+                     AS keep,
+                   score_count, cum_count, total_seen
+            FROM cum
+        """,
+        "dp161_stream_winsorize": """
+            -- ascending cumulative histogram; lo/hi = the grid value AT
+            -- rank max(1, ceil(q*N)) (min score whose cum covers the
+            -- rank); clip = least(greatest(v, lo), hi)
+            WITH hist AS (
+              SELECT lang, CAST(n_chars AS DOUBLE) AS score,
+                     CAST(COUNT(*) AS BIGINT) AS score_count
+              FROM documents
+              WHERE n_chars IS NOT NULL
+                AND NOT isnan(CAST(n_chars AS DOUBLE))
+              GROUP BY lang, n_chars
+            ), cum AS (
+              SELECT lang, score, score_count,
+                     CAST(SUM(score_count) OVER (
+                       PARTITION BY lang ORDER BY score ASC
+                     ) AS BIGINT) AS cum_count,
+                     CAST(SUM(score_count) OVER (
+                       PARTITION BY lang
+                     ) AS BIGINT) AS total_seen
+              FROM hist
+            ), b AS (
+              SELECT lang, score, score_count, cum_count, total_seen,
+                     MIN(CASE WHEN cum_count >=
+                           greatest(1, ceil(total_seen * 0.1))
+                         THEN score END) OVER (PARTITION BY lang) AS lo,
+                     MIN(CASE WHEN cum_count >=
+                           greatest(1, ceil(total_seen * 0.9))
+                         THEN score END) OVER (PARTITION BY lang) AS hi
+              FROM cum
+            )
+            SELECT lang, score,
+                   least(greatest(score, lo), hi) AS clipped,
+                   lo, hi, score_count, cum_count, total_seen
+            FROM b
+        """,
         "dp152_streaming_quality_buckets": """
             -- the tier TABLE itself (dp149's rule before the attach
             -- join): histogram over distinct (lang, score), cumulative

@@ -1665,6 +1665,299 @@ def streaming_quality_buckets(
     return _fn
 
 
+def _validate_hist_args(op: str, on: List[str], max_distinct: int) -> None:
+    if not on:
+        raise ValueError(f"{op}: 'on' keys must be non-empty")
+    if max_distinct < 1:
+        raise ValueError(
+            f"{op}: max_distinct must be >= 1, got {max_distinct}"
+        )
+
+
+def _merge_score_hist(
+    op: str, key: Tuple, state, batch_scores, max_distinct: int
+) -> dict:
+    """Shared cumulative-histogram state update for the quality-
+    histogram family (streaming_quality_buckets / _quantile_prune /
+    _winsorize): merge this batch's scores into the persisted
+    ``(score, count)`` map, enforce the bounded-grid contract loudly,
+    persist, and return the merged histogram."""
+    hist: dict = {}
+    if state.exists:
+        scores, counts = state.get
+        hist = dict(zip(scores, counts))
+    for s_ in batch_scores:
+        hist[s_] = hist.get(s_, 0) + 1
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"{op}: group {key!r} exceeded max_distinct={max_distinct} "
+            "distinct score values — grid/round the score upstream (the "
+            "bounded-grid contract) or raise max_distinct"
+        )
+    ordered = sorted(hist.items())
+    state.update(([s_ for s_, _ in ordered], [c for _, c in ordered]))
+    return hist
+
+
+def _hist_src(df, on: List[str], score_col: str):
+    """(key fields, (keys, __score) projection) for the histogram family
+    — computed BEFORE the state-update closure is built, so the closure
+    never captures an unbound cell at pickle time."""
+    sc = F.col(score_col).cast("double")
+    src = df.select(*on, sc.alias("__score"))
+    return [f for f in src.schema.fields if f.name in on], src
+
+
+def _hist_stream_plan(src, on, key_fields, extra_out, update):
+    """Shared applyInPandasWithState plan for the histogram family."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+        + extra_out
+    )
+    return src.groupBy(*on).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="scores ARRAY<DOUBLE>, counts ARRAY<BIGINT>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register("streaming_quantile_prune", streaming_ok=True)
+def streaming_quantile_prune(
+    on: List[str],
+    score_col: str,
+    keep_frac: float,
+    higher_is_better: bool = True,
+    max_distinct: int = 100_000,
+) -> TransformerFn:
+    """Streaming arm of
+    :func:`~lakehouse_engine_spark.datapipes.sampling.quantile_prune` on
+    the ``streaming_quality_buckets`` pattern: maintain each group's
+    cumulative score HISTOGRAM across micro-batches and emit the current
+    ``(score value → keep?)`` decision table per batch — the live
+    "train on the best X%" stage of a running curation chain, pruning
+    against the distribution seen SO FAR instead of a batch recompute.
+
+    Cut rule — identical to the batch op, applied to the cumulative
+    histogram: scores sort best-first; the threshold is the LOOSEST
+    score whose at-or-better population reaches ``ceil(keep_frac · N)``
+    (N = rows seen); every score at-or-better than the threshold is
+    kept, ties included. The emitted table is a pure function of the
+    (group → histogram) map — arrival-order / batch-boundary / restart
+    independent, exactly SQL-replayable. NULL/NaN scores are excluded
+    on both arms (a NULL is not a grid value). State: O(distinct
+    scores) per group under the family's bounded-grid contract,
+    enforced loudly at ``max_distinct``. Append-mode sinks hold one
+    snapshot per batch — read the rows at the max ``total_seen`` per
+    group (the family's cumulative-emission convention).
+
+    On a BATCH frame: histogram + cumulative window + threshold CASE —
+    the SQL oracle shape (and exactly the threshold table
+    ``quantile_prune`` broadcasts before its filter).
+    """
+    _validate_hist_args("streaming_quantile_prune", on, max_distinct)
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(
+            f"streaming_quantile_prune: keep_frac must be in (0, 1], "
+            f"got {keep_frac}"
+        )
+
+    def _fn(df: DataFrame) -> DataFrame:
+        sc = F.col(score_col).cast("double")
+        df = df.filter(F.col(score_col).isNotNull() & ~F.isnan(sc))
+        if not df.isStreaming:
+            from pyspark.sql import Window
+
+            hist = df.groupBy(*on, sc.alias("score")).agg(
+                F.count(F.lit(1)).cast("long").alias("score_count")
+            )
+            order = F.desc("score") if higher_is_better else F.asc("score")
+            w = Window.partitionBy(*on).orderBy(order).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            wg = Window.partitionBy(*on)
+            cum = hist.withColumn(
+                "cum_count", F.sum("score_count").over(w).cast("long")
+            ).withColumn(
+                "total_seen", F.sum("score_count").over(wg).cast("long")
+            )
+            budget = F.ceil(F.col("total_seen") * F.lit(float(keep_frac)))
+            # keep iff strictly-better population leaves budget room:
+            # (cum - count) < budget  ==  at-or-better-than-threshold
+            keep = (F.col("cum_count") - F.col("score_count")) < budget
+            return cum.select(
+                *on, "score", keep.alias("keep"),
+                "score_count", "cum_count", "total_seen",
+            )
+
+        import math
+
+        sign = -1.0 if higher_is_better else 1.0
+        key_fields, src = _hist_src(df, on, score_col)
+        key_names = [f.name for f in key_fields]
+
+        def _update(key: Tuple, pdfs: Iterator[pd.DataFrame], state):
+            allb = _concat_batches(pdfs)
+            if allb is None:
+                return
+            hist = _merge_score_hist(
+                "streaming_quantile_prune", key, state,
+                allb["__score"].astype(float).tolist(), max_distinct,
+            )
+            ordered = sorted(hist.items(), key=lambda e: e[0] * sign)
+            n = sum(c for _, c in ordered)
+            budget = math.ceil(n * float(keep_frac))
+            rows, cum = [], 0
+            for s_, c_ in ordered:
+                keep = (cum < budget)  # == (cum + c_) - c_ < budget
+                cum += c_
+                rows.append(list(key) + [s_, keep, c_, cum, n])
+            yield pd.DataFrame(
+                rows,
+                columns=key_names
+                + ["score", "keep", "score_count", "cum_count", "total_seen"],
+            )
+
+        return _hist_stream_plan(
+            src, on, key_fields,
+            ["score DOUBLE", "keep BOOLEAN", "score_count BIGINT",
+             "cum_count BIGINT", "total_seen BIGINT"],
+            _update,
+        )
+
+    return _fn
+
+
+@register("streaming_winsorize", streaming_ok=True)
+def streaming_winsorize(
+    on: List[str],
+    score_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    max_distinct: int = 100_000,
+) -> TransformerFn:
+    """Streaming arm of
+    :func:`~lakehouse_engine_spark.datapipes.numeric.winsorize` on the
+    same cumulative-histogram state: per micro-batch emit each group's
+    current ``(score value → clipped value, lo, hi)`` table — the live
+    outlier-clipping stage of a running curation chain.
+
+    Bounds rule — the GRID-EXACT empirical percentile (not the batch
+    op's interpolated ``percentile``; on the bounded grid this family
+    assumes, the grid value AT the rank is the honest answer and is
+    exactly SQL-replayable): values sort ascending; ``lo`` is the value
+    at rank ``max(1, ceil(lower · N))``, ``hi`` at rank
+    ``max(1, ceil(upper · N))``; clip = ``least(greatest(v, lo), hi)``.
+    ``lower=0`` / ``upper=1`` therefore clip nothing on that side.
+    NULL/NaN scores are excluded on both arms. State, bounded-grid
+    guard, cumulative-emission convention: see
+    ``streaming_quality_buckets``.
+
+    On a BATCH frame: histogram + ascending cumulative window + two
+    rank lookups — the SQL oracle shape.
+    """
+    _validate_hist_args("streaming_winsorize", on, max_distinct)
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(
+            f"streaming_winsorize: need 0 <= lower <= upper <= 1, "
+            f"got {lower}, {upper}"
+        )
+
+    def _fn(df: DataFrame) -> DataFrame:
+        sc = F.col(score_col).cast("double")
+        df = df.filter(F.col(score_col).isNotNull() & ~F.isnan(sc))
+        if not df.isStreaming:
+            from pyspark.sql import Window
+
+            hist = df.groupBy(*on, sc.alias("score")).agg(
+                F.count(F.lit(1)).cast("long").alias("score_count")
+            )
+            w = Window.partitionBy(*on).orderBy(F.asc("score")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            wg = Window.partitionBy(*on)
+            cum = hist.withColumn(
+                "cum_count", F.sum("score_count").over(w).cast("long")
+            ).withColumn(
+                "total_seen", F.sum("score_count").over(wg).cast("long")
+            )
+            lo_rank = F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("total_seen") * F.lit(float(lower))),
+            )
+            hi_rank = F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("total_seen") * F.lit(float(upper))),
+            )
+            # the value AT a rank = min score whose cum covers the rank
+            lo = F.min(
+                F.when(F.col("cum_count") >= lo_rank, F.col("score"))
+            ).over(wg)
+            hi = F.min(
+                F.when(F.col("cum_count") >= hi_rank, F.col("score"))
+            ).over(wg)
+            bounded = cum.withColumn("lo", lo).withColumn("hi", hi)
+            clipped = F.least(
+                F.greatest(F.col("score"), F.col("lo")), F.col("hi")
+            )
+            return bounded.select(
+                *on, "score", clipped.alias("clipped"), "lo", "hi",
+                "score_count", "cum_count", "total_seen",
+            )
+
+        import math
+
+        key_fields, src = _hist_src(df, on, score_col)
+        key_names = [f.name for f in key_fields]
+
+        def _update(key: Tuple, pdfs: Iterator[pd.DataFrame], state):
+            allb = _concat_batches(pdfs)
+            if allb is None:
+                return
+            hist = _merge_score_hist(
+                "streaming_winsorize", key, state,
+                allb["__score"].astype(float).tolist(), max_distinct,
+            )
+            ordered = sorted(hist.items())
+            n = sum(c for _, c in ordered)
+            lo_rank = max(1, math.ceil(n * float(lower)))
+            hi_rank = max(1, math.ceil(n * float(upper)))
+            lo = hi = None
+            cum = 0
+            cums = []
+            for s_, c_ in ordered:
+                cum += c_
+                cums.append(cum)
+                if lo is None and cum >= lo_rank:
+                    lo = s_
+                if hi is None and cum >= hi_rank:
+                    hi = s_
+            rows = []
+            for (s_, c_), cu in zip(ordered, cums):
+                rows.append(
+                    list(key)
+                    + [s_, min(max(s_, lo), hi), lo, hi, c_, cu, n]
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=key_names
+                + ["score", "clipped", "lo", "hi",
+                   "score_count", "cum_count", "total_seen"],
+            )
+
+        return _hist_stream_plan(
+            src, on, key_fields,
+            ["score DOUBLE", "clipped DOUBLE", "lo DOUBLE", "hi DOUBLE",
+             "score_count BIGINT", "cum_count BIGINT", "total_seen BIGINT"],
+            _update,
+        )
+
+    return _fn
+
+
 @register("streaming_heavy_hitters", streaming_ok=True)
 def streaming_heavy_hitters(
     on: List[str],

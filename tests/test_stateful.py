@@ -1297,3 +1297,121 @@ def test_r13_review_arm_parity_fixes(spark):
     ).collect()
     nullg = [r for r in ad if r["g"] is None][0]
     assert nullg["approx_distinct"] > 30  # not the empty-register 0
+
+
+def test_streaming_quantile_prune_converges_and_restarts(spark, tmp_dir):
+    """streaming_quantile_prune: the emitted keep-table is a pure
+    function of the cumulative (group -> score histogram) — any batch
+    split incl. a restart converges to the batch arm; the threshold
+    keeps ties (count may exceed the budget, the batch op's documented
+    contract); NULL/NaN excluded both arms; degenerate params raise."""
+    src = os.path.join(tmp_dir, "qp_src")
+    out = os.path.join(tmp_dir, "qp_out")
+    ck = os.path.join(tmp_dir, "qp_ck")
+    op = t(
+        "streaming_quantile_prune", on=["src"], score_col="v",
+        keep_frac=0.3,
+    )
+    rows = (
+        [("a", i, float(i % 5)) for i in range(1, 21)]
+        + [("b", i, float(i % 3)) for i in range(1, 8)]
+        + [("a", 99, None), ("b", 98, float("nan"))]
+    )
+    batch_df = spark.createDataFrame(rows, "src STRING, id BIGINT, v DOUBLE")
+    expected = sorted(
+        (r["src"], r["score"], r["keep"], r["score_count"],
+         r["cum_count"], r["total_seen"])
+        for r in batch_df.transform(op).collect()
+    )
+    # group a: 20 rows of 5 values x4; budget=ceil(6)=6 -> keep 4.0,3.0
+    # (8 rows kept: tie overflow past the budget, the documented rule)
+    a_kept = {e[1] for e in expected if e[0] == "a" and e[2]}
+    assert a_kept == {4.0, 3.0}
+    assert all(e[5] == 20 for e in expected if e[0] == "a")
+    # lower_is_better flips the kept tail
+    low = batch_df.transform(
+        t("streaming_quantile_prune", on=["src"], score_col="v",
+          keep_frac=0.3, higher_is_better=False)
+    ).collect()
+    assert {r["score"] for r in low if r["src"] == "a" and r["keep"]} \
+        == {0.0, 1.0}
+    _stage_scored(spark, src, rows[:9])
+    _stage_scored(spark, src, rows[9:23])
+    _run_topk_stream(spark, src, out, ck, op)
+    _stage_scored(spark, src, rows[23:])   # rest after a restart
+    _run_topk_stream(spark, src, out, ck, op)
+    got = spark.read.parquet(out).collect()
+    final = []
+    for g in ("a", "b"):
+        grows = [r for r in got if r["src"] == g]
+        latest = max(r["total_seen"] for r in grows)
+        final += [
+            (r["src"], r["score"], r["keep"], r["score_count"],
+             r["cum_count"], r["total_seen"])
+            for r in grows if r["total_seen"] == latest
+        ]
+    assert sorted(final) == expected
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            t("streaming_quantile_prune", on=["src"], score_col="v",
+              keep_frac=bad)
+    with pytest.raises(ValueError):
+        t("streaming_quantile_prune", on=[], score_col="v", keep_frac=0.5)
+
+
+def test_streaming_winsorize_converges_and_restarts(spark, tmp_dir):
+    """streaming_winsorize: grid-exact empirical bounds from the
+    cumulative histogram (value at rank max(1, ceil(q*N))), clip =
+    least(greatest(v, lo), hi); batch/stream parity across splits and a
+    restart; lower=0/upper=1 clip nothing; degenerate params raise."""
+    src = os.path.join(tmp_dir, "wz_src")
+    out = os.path.join(tmp_dir, "wz_out")
+    ck = os.path.join(tmp_dir, "wz_ck")
+    op = t(
+        "streaming_winsorize", on=["src"], score_col="v",
+        lower=0.1, upper=0.9,
+    )
+    rows = (
+        [("a", i, float(i)) for i in range(1, 21)]
+        + [("b", i, float(i % 3)) for i in range(1, 8)]
+        + [("a", 99, None), ("b", 98, float("nan"))]
+    )
+    batch_df = spark.createDataFrame(rows, "src STRING, id BIGINT, v DOUBLE")
+    expected = sorted(
+        (r["src"], r["score"], r["clipped"], r["lo"], r["hi"],
+         r["score_count"], r["cum_count"], r["total_seen"])
+        for r in batch_df.transform(op).collect()
+    )
+    # group a: 1..20, lo = value at rank ceil(2)=2 -> 2.0, hi at rank 18
+    a = [e for e in expected if e[0] == "a"]
+    assert all(e[3] == 2.0 and e[4] == 18.0 for e in a)
+    assert [e[2] for e in a if e[1] == 1.0] == [2.0]   # clipped up
+    assert [e[2] for e in a if e[1] == 20.0] == [18.0]  # clipped down
+    assert [e[2] for e in a if e[1] == 10.0] == [10.0]  # untouched
+    # identity bounds clip nothing
+    ident = batch_df.filter("v IS NOT NULL AND NOT isnan(v)").transform(
+        t("streaming_winsorize", on=["src"], score_col="v",
+          lower=0.0, upper=1.0)
+    ).collect()
+    assert all(r["clipped"] == r["score"] for r in ident)
+    _stage_scored(spark, src, rows[:9])
+    _stage_scored(spark, src, rows[9:23])
+    _run_topk_stream(spark, src, out, ck, op)
+    _stage_scored(spark, src, rows[23:])   # rest after a restart
+    _run_topk_stream(spark, src, out, ck, op)
+    got = spark.read.parquet(out).collect()
+    final = []
+    for g in ("a", "b"):
+        grows = [r for r in got if r["src"] == g]
+        latest = max(r["total_seen"] for r in grows)
+        final += [
+            (r["src"], r["score"], r["clipped"], r["lo"], r["hi"],
+             r["score_count"], r["cum_count"], r["total_seen"])
+            for r in grows if r["total_seen"] == latest
+        ]
+    assert sorted(final) == expected
+    with pytest.raises(ValueError):
+        t("streaming_winsorize", on=["src"], score_col="v",
+          lower=0.9, upper=0.1)
+    with pytest.raises(ValueError):
+        t("streaming_winsorize", on=[], score_col="v")

@@ -49,7 +49,9 @@ STATEFUL_OPS = {
     "streaming_funnel",
     "streaming_heavy_hitters",
     "streaming_quality_buckets",
+    "streaming_quantile_prune",
     "streaming_reservoir_quantiles",
+    "streaming_winsorize",
     "streaming_running_totals",
     "streaming_session_stats",
     "streaming_topk_score",
