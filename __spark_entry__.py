@@ -4610,6 +4610,134 @@ def q34_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q35_multimodal_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed MULTIMODAL curation pipeline through ONE ACON load_data
+    run — the image twin of q31: a mixed-codec binary corpus (split-color
+    PPM / solid PNG with cycling scanline filters / solid GIF via the
+    real LZW encoder / undecodable junk, all pure functions of doc_id)
+    flows through perceptual dedup (REAL decode → thumbnail → aHash in
+    Arrow-batched mapInPandas, keep='flagged'), a parallel decode branch
+    for typed metadata, an ACON join of the two branches, sanitize +
+    quality gates (undecodable / too_small / too_dark) as row-space
+    expressions, and a per-media-type curation_report. The oracle
+    predicts every stage arithmetically (the dp43 split-image aHash
+    convention extended to the PNG/GIF solid-image case: every cell
+    equals the thumbnail mean, so aHash is all-zeros and solid images
+    collapse into one perceptual group — the honest average-hash
+    property)."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_engine_spark import load_data
+    from lakehouse_engine_spark.datapipes.media_codecs import (
+        encode_gif,
+        encode_png,
+        encode_ppm,
+    )
+
+    def _make_payload_fn(ids):
+        out = []
+        for i in ids:
+            i = int(i)
+            k, c = i % 4, (i // 4) % 32
+            if k == 0:
+                a = (17 * c % 256, 29 * c % 256, 41 * c % 256)
+                b = (53 * c % 256, 71 * c % 256, 89 * c % 256)
+                arr = np.empty((8, 8, 3), np.uint8)
+                arr[:, :4] = a
+                arr[:, 4:] = b
+                out.append(encode_ppm(arr))
+            elif k == 1:
+                arr = np.empty((6, 4, 3), np.uint8)
+                arr[:, :] = (11 * c % 256, 23 * c % 256, 37 * c % 256)
+                out.append(
+                    encode_png(arr, row_filters=[y % 5 for y in range(6)])
+                )
+            elif k == 2:
+                arr = np.empty((5, 3 + c % 6, 3), np.uint8)
+                arr[:, :] = (19 * c % 256, 31 * c % 256, 43 * c % 256)
+                out.append(encode_gif(arr))
+            else:
+                out.append(b"NOTANIMAGE" + bytes([c]))
+        return pd.Series(out)
+
+    _make_payload = F.pandas_udf(_make_payload_fn, "binary")
+    docs = load_table(spark, sf, "documents")
+    imgs = docs.select("doc_id", _make_payload("doc_id").alias("payload"))
+    acon = {
+        "input_specs": [
+            {"spec_id": "imgs", "data_format": "dataframe", "df_name": imgs}
+        ],
+        "transform_specs": [
+            {
+                "spec_id": "dedup",
+                "input_id": "imgs",
+                "transformers": [
+                    {
+                        "function": "multimodal_image_dedup",
+                        "args": {"keep": "flagged"},
+                    }
+                ],
+            },
+            {
+                "spec_id": "meta",
+                "input_id": "imgs",
+                "transformers": [
+                    {"function": "multimodal_image_decode", "args": {}}
+                ],
+            },
+            {
+                "spec_id": "report",
+                "input_id": "dedup",
+                "transformers": [
+                    {
+                        "function": "join",
+                        "args": {
+                            "join_with": "meta",
+                            "join_condition": "a.doc_id = b.id",
+                            "join_type": "left",
+                            "broadcast_join": False,
+                            "select_cols": [
+                                "a.doc_id", "a.is_duplicate",
+                                "b.media_type", "b.codec", "b.width",
+                                "b.height", "b.mean_rgb",
+                            ],
+                        },
+                    },
+                    {
+                        "function": "with_expressions",
+                        "args": {
+                            "cols_and_exprs": {
+                                "undecodable": "codec IS NULL",
+                                "too_small": "coalesce(width * height < 24,"
+                                             " false)",
+                                "too_dark": "coalesce((CAST(mean_rgb[0] AS"
+                                            " DOUBLE) + CAST(mean_rgb[1] AS"
+                                            " DOUBLE) + CAST(mean_rgb[2] AS"
+                                            " DOUBLE)) / 3.0 < 64.0, false)",
+                            }
+                        },
+                    },
+                    {
+                        "function": "curation_report",
+                        "args": {
+                            "flag_cols": [
+                                "undecodable", "too_small",
+                                "too_dark", "is_duplicate",
+                            ],
+                            "group_col": "media_type",
+                        },
+                    },
+                ],
+            },
+        ],
+        "output_specs": [
+            {"spec_id": "o", "input_id": "report", "data_format": "dataframe"}
+        ],
+    }
+    return load_data(acon)["o"]
+
+
 def q32_tokenize_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end TOKENIZATION pipeline through ONE ACON load_data run —
     the q31 sibling for the tokenize-and-pack half of pretraining data
@@ -4809,183 +4937,113 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # change (validation branch + d>3 LAPACK arm) sat in the remainder
 # last round against the rotation policy (r12 ADVICE #4).
 WINDOW_RETOUCHED = (
-    # new: streaming arm of the CCNet quality tiering — live per-group
-    # score-histogram state emitting the (score -> tier) table
-    "dp152_streaming_quality_buckets",
-    # new: the C4 cleaning bundle (line retention + page rules)
-    "dp153_c4_rules",
-    # new: Unicode-script mixture profile (wrong-script contamination)
-    "dp154_script_mix",
-    # new: PQ shortlist + exact re-rank (two-stage ANN)
-    "dp155_knn_pq_refine",
-    # new: per-language tokenizer fertility report (composed ACON)
-    "q34_tokenizer_fertility",
-    # new: embedding corpus sanitation screen
-    "dp156_embedding_sanitize",
-    # new: MMR diversity re-rank (greedy trajectory oracle-unrolled)
-    "dp157_knn_mmr",
-    # new: byte-level BPE encode (GPT-2 scheme, no-UNK guarantee)
+    # new: byte BPE under the GPT-2 regex pretokenizer (lookahead-free marker split, oracle-replayed)
+    "dp159_gpt2_bpe",
+    # new: live keep-table arm of quantile_prune (cumulative histogram state)
+    "dp160_stream_quantile_prune",
+    # new: live clip-table arm of winsorize (grid-exact empirical bounds)
+    "dp161_stream_winsorize",
+    # new: composed multimodal curation ACON (decode/dedup branches + join + gates + report)
+    "q35_multimodal_curation",
+    # bpe _dictionary_encode gained the pretokenizer arm (shared path)
     "dp158_byte_bpe",
-    # NaN scores excluded on both arms + oracle (round-12 ADVICE #1)
-    "dp150_streaming_topk",
-    # two-sided synthetic-key range guard, abs() overflow at Long.MIN
-    # (round-12 ADVICE #2)
-    "dp147_paragraph_dedup",
-    # persist spliced after the two dedup stages (r12 verdict task 1,
-    # measured 5.35 -> 3.84 s in BASELINE.md)
-    "q31_curation_pipeline",
-    # persist spliced after text_lm_score (same knob study)
-    "q33_ccnet_curation",
-    # r12 code change (validation branch + d>3 LAPACK arm) that missed
-    # the r12 window (round-12 ADVICE #4)
-    "dp134_linear_fit",
-    # r13 stateful review fixes: direction-aware topk batch best,
-    # null-safe batch-arm key joins, NULL-id/ts exclusions, coerced
-    # running-totals values, null-key-safe HLL fast path, null-safe
-    # watermark tiebreak sort, shared _concat_batches preamble — every
-    # op in the family gets a hard driver signal
-    "dp143_bottomk_sample",
-    "dp101_reservoir_quantiles",
-    "dp64_ewma_anomaly",
-    "dp105_stream_dedup_exact",
-    "dp95_approx_distinct",
-    "dp94_running_totals",
-    "dp142_streaming_pattern",
-    "dp144_streaming_heavy_hitters",
-    "dp145_streaming_funnel",
-    "dp146_session_stats",
-    # r13 dedup review fixes: row_number survivor (tie/NULL ids), shared
-    # banding validator, keep validation, null-guarded dim probes,
-    # zero-norm pairing filter, NULL-id flag guard, \x1f digest
-    # separator, substring persist — every consumer gets a hard signal
-    "dp05_dedup_exact",
-    "dp06_dedup_minhash",
-    "dp07_dedup_ngram_jaccard",
-    "dp08_embedding_dedup",
-    "dp11_dedup_simhash",
-    "dp20_dup_clusters",
-    "dp39_cross_corpus_dedup",
-    "dp40_cross_near_dedup",
-    "dp42_cross_embedding_dedup",
-    "dp48_substring_dedup",
-    "dp61_keep_best_dedup",
-    "dp91_lsh_bucket_stats",
-    "dp97_semantic_dedup",
+    # same shared dictionary-encode path
+    "dp69b_bpe_encode",
+    # same shared dictionary-encode path (via bpe_encode)
+    "q32_tokenize_pipeline",
+    # same shared dictionary-encode path (via bpe_encode)
+    "q34_tokenizer_fertility",
+    # multimodal decode: byte-budget probe skipped on streams (shared _byte_budget_src)
+    "dp27_image_decode",
+    # same _byte_budget_src change
+    "dp32_audio_decode",
+    # feature_extract on the same _byte_budget_src change
+    "dp10_multimodal_bytes",
+    # audio_decode path (same change)
+    "dp96_g711_decode",
+    # image_dedup decodes through the changed image_decode
+    "dp43_image_phash_dedup",
+    # image_decode path (also r09-stale cohort)
+    "dp70_video_frames",
+    # image_decode path (also r09-stale cohort)
+    "dp84_png_decode",
+    # image_decode path (also r09-stale cohort)
+    "dp85_jpeg_decode",
+    # image_decode path (also r09-stale cohort)
+    "dp86_gif_decode",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate checks
-    # the first 50 entries each round. Policy (round 13): front-load
-    # WINDOW_RETOUCHED (every query whose code changed this round), then
-    # the stalest cohort on the board — first the four r08 leftovers the
-    # r12 registry accidentally listed PAST the 50-entry boundary
-    # (dp56/dp83/dp98/q30: 54 names preceded the boundary comment, so
-    # entries 51-54 were never checked), then 40 of the 42 remaining
-    # r09-checked queries (6 + 4 + 40 = 50; q27/q28 defer to r14 and
-    # lead the remainder). Entries 51+ still get value-verified every
-    # round via tools/check_oracle.py. The window derivation is pinned
-    # by tests/test_entry_registry.py from WINDOW_RETOUCHED + the
+    # the first 50 entries each round. Policy (round 13, continued r14):
+    # front-load WINDOW_RETOUCHED (every query whose code changed this
+    # round — the 4 new r14 queries, the bpe dictionary-encode path, and
+    # the multimodal decode family touched by the streaming-gate
+    # refactor), then the stalest cohort on the board: all 24 remaining
+    # r09-checked queries (the other 4 — dp70/dp84/dp85/dp86 — are in
+    # the retouched block), then 9 of the r10 cohort (17 + 24 + 9 = 50).
+    # Entries 51+ still get value-verified every round via
+    # tools/check_oracle.py; the window derivation is pinned by
+    # tests/test_entry_registry.py from WINDOW_RETOUCHED + the
     # CORRECTNESS_r*.json history.
     return {
-        "dp159_gpt2_bpe": dp159_gpt2_bpe,
-        "dp160_stream_quantile_prune": dp160_stream_quantile_prune,
-        "dp161_stream_winsorize": dp161_stream_winsorize,
-        "dp152_streaming_quality_buckets": dp152_streaming_quality_buckets,
-        "dp153_c4_rules": dp153_c4_rules,
-        "dp154_script_mix": dp154_script_mix,
-        "dp155_knn_pq_refine": dp155_knn_pq_refine,
-        "q34_tokenizer_fertility": q34_tokenizer_fertility,
-        "dp156_embedding_sanitize": dp156_embedding_sanitize,
-        "dp157_knn_mmr": dp157_knn_mmr,
-        "dp158_byte_bpe": dp158_byte_bpe,
-        "dp150_streaming_topk": dp150_streaming_topk,
-        "dp147_paragraph_dedup": dp147_paragraph_dedup,
-        "q31_curation_pipeline": q31_curation_pipeline,
-        "q33_ccnet_curation": q33_ccnet_curation,
-        "dp134_linear_fit": dp134_linear_fit,
-        "dp143_bottomk_sample": dp143_bottomk_sample,
-        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,
-        "dp64_ewma_anomaly": dp64_ewma_anomaly,
-        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,
-        "dp95_approx_distinct": dp95_approx_distinct,
-        "dp94_running_totals": dp94_running_totals,
-        "dp142_streaming_pattern": dp142_streaming_pattern,
-        "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,
-        "dp145_streaming_funnel": dp145_streaming_funnel,
-        "dp146_session_stats": dp146_session_stats,
-        "dp05_dedup_exact": dp05_dedup_exact,
-        "dp06_dedup_minhash": dp06_dedup_minhash,
-        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,
-        "dp08_embedding_dedup": dp08_embedding_dedup,
-        "dp11_dedup_simhash": dp11_dedup_simhash,
-        "dp20_dup_clusters": dp20_dup_clusters,
-        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,
-        "dp40_cross_near_dedup": dp40_cross_near_dedup,
-        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,
-        "dp48_substring_dedup": dp48_substring_dedup,
-        "dp61_keep_best_dedup": dp61_keep_best_dedup,
-        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,
-        "dp97_semantic_dedup": dp97_semantic_dedup,
-        # --- r13 rotation cohort: stalest-first (r08 leftovers, then r09) ---
-        "dp56_cohort_retention": dp56_cohort_retention,  # last hard driver signal r08
-        "dp83_bm25_topk": dp83_bm25_topk,  # last hard driver signal r08
-        "dp98_ngram_counts": dp98_ngram_counts,  # last hard driver signal r08
-        "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,  # last hard driver signal r08
-        "dp118_wordpiece_encode": dp118_wordpiece_encode,  # last hard driver signal r09
-        "dp121_graph_components": dp121_graph_components,  # last hard driver signal r09
-        "dp125_unigram_encode": dp125_unigram_encode,  # last hard driver signal r09
-        "dp129_group_quantile_prune": dp129_group_quantile_prune,  # last hard driver signal r09
-        "dp57_robust_scale": dp57_robust_scale,  # last hard driver signal r09
-        "dp58_quantile_summary": dp58_quantile_summary,  # last hard driver signal r09
-        "dp59_event_pivot": dp59_event_pivot,  # last hard driver signal r09
-        "dp60_salted_join": dp60_salted_join,  # last hard driver signal r09
-        "dp63_cdc_chunk": dp63_cdc_chunk,  # last hard driver signal r09
-        "dp65_fuzzy_join": dp65_fuzzy_join,  # last hard driver signal r09
-        # ---- driver window boundary (entry 50 = dp65_fuzzy_join) ----
+        "dp159_gpt2_bpe": dp159_gpt2_bpe,  # retouched r14
+        "dp160_stream_quantile_prune": dp160_stream_quantile_prune,  # retouched r14
+        "dp161_stream_winsorize": dp161_stream_winsorize,  # retouched r14
+        "q35_multimodal_curation": q35_multimodal_curation,  # retouched r14
+        "dp158_byte_bpe": dp158_byte_bpe,  # retouched r14
+        "dp69b_bpe_encode": dp69b_bpe_encode,  # retouched r14
+        "q32_tokenize_pipeline": q32_tokenize_pipeline,  # retouched r14
+        "q34_tokenizer_fertility": q34_tokenizer_fertility,  # retouched r14
+        "dp27_image_decode": dp27_image_decode,  # retouched r14
+        "dp32_audio_decode": dp32_audio_decode,  # retouched r14
+        "dp10_multimodal_bytes": dp10_multimodal_bytes,  # retouched r14
+        "dp96_g711_decode": dp96_g711_decode,  # retouched r14
+        "dp43_image_phash_dedup": dp43_image_phash_dedup,  # retouched r14
+        "dp70_video_frames": dp70_video_frames,  # retouched r14
+        "dp84_png_decode": dp84_png_decode,  # retouched r14
+        "dp85_jpeg_decode": dp85_jpeg_decode,  # retouched r14
+        "dp86_gif_decode": dp86_gif_decode,  # retouched r14
+        "dp66_scd2_build": dp66_scd2_build,  # last hard driver signal r09
+        "dp67_merge_intervals": dp67_merge_intervals,  # last hard driver signal r09
+        "dp71_trend_fit": dp71_trend_fit,  # last hard driver signal r09
+        "dp72_histogram": dp72_histogram,  # last hard driver signal r09
+        "dp73_weighted_sample_k": dp73_weighted_sample_k,  # last hard driver signal r09
+        "dp74_lexical_diversity": dp74_lexical_diversity,  # last hard driver signal r09
+        "dp75_snapshot_diff": dp75_snapshot_diff,  # last hard driver signal r09
+        "dp76_schema_drift": dp76_schema_drift,  # last hard driver signal r09
+        "dp77_quality_model_filter": dp77_quality_model_filter,  # last hard driver signal r09
+        "dp78_event_transitions": dp78_event_transitions,  # last hard driver signal r09
+        "dp79_gap_fill": dp79_gap_fill,  # last hard driver signal r09
+        "dp80_asof_nearest": dp80_asof_nearest,  # last hard driver signal r09
+        "dp81_text_clean": dp81_text_clean,  # last hard driver signal r09
+        "dp82_url_normalize": dp82_url_normalize,  # last hard driver signal r09
+        "dp87_pagerank": dp87_pagerank,  # last hard driver signal r09
+        "dp88_binary_decompress": dp88_binary_decompress,  # last hard driver signal r09
+        "dp89_sentence_split": dp89_sentence_split,  # last hard driver signal r09
+        "dp90_html_strip": dp90_html_strip,  # last hard driver signal r09
+        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # last hard driver signal r09
+        "q24_semi_anti_join": q24_semi_anti_join,  # last hard driver signal r09
+        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # last hard driver signal r09
+        "q26_gab_daily_rollup": q26_gab_daily_rollup,  # last hard driver signal r09
+        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,  # last hard driver signal r09
+        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,  # last hard driver signal r09
+        "dp01_text_quality": dp01_text_quality,  # last hard driver signal r10
+        "dp02_langid": dp02_langid,  # last hard driver signal r10
+        "dp03_token_count": dp03_token_count,  # last hard driver signal r10
+        "dp04_fingerprint": dp04_fingerprint,  # last hard driver signal r10
+        "dp09_knn_brute": dp09_knn_brute,  # last hard driver signal r10
+        "dp100_unimax_sample": dp100_unimax_sample,  # last hard driver signal r10
+        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,  # last hard driver signal r10
+        "dp103_zorder_layout": dp103_zorder_layout,  # last hard driver signal r10
+        "dp104_zorder_rank": dp104_zorder_rank,  # last hard driver signal r10
+        # ---- driver window boundary (entry 50 = dp104_zorder_rank) ----
         # --- remainder: value-verified via tools/check_oracle.py every
         # --- round; ordered stalest-first ---
-        "dp66_scd2_build": dp66_scd2_build,  # r09
-        "dp67_merge_intervals": dp67_merge_intervals,  # r09
-        "dp70_video_frames": dp70_video_frames,  # r09
-        "dp71_trend_fit": dp71_trend_fit,  # r09
-        "dp72_histogram": dp72_histogram,  # r09
-        "dp73_weighted_sample_k": dp73_weighted_sample_k,  # r09
-        "dp74_lexical_diversity": dp74_lexical_diversity,  # r09
-        "dp75_snapshot_diff": dp75_snapshot_diff,  # r09
-        "dp76_schema_drift": dp76_schema_drift,  # r09
-        "dp77_quality_model_filter": dp77_quality_model_filter,  # r09
-        "dp78_event_transitions": dp78_event_transitions,  # r09
-        "dp79_gap_fill": dp79_gap_fill,  # r09
-        "dp80_asof_nearest": dp80_asof_nearest,  # r09
-        "dp81_text_clean": dp81_text_clean,  # r09
-        "dp82_url_normalize": dp82_url_normalize,  # r09
-        "dp84_png_decode": dp84_png_decode,  # r09
-        "dp85_jpeg_decode": dp85_jpeg_decode,  # r09
-        "dp86_gif_decode": dp86_gif_decode,  # r09
-        "dp87_pagerank": dp87_pagerank,  # r09
-        "dp88_binary_decompress": dp88_binary_decompress,  # r09
-        "dp89_sentence_split": dp89_sentence_split,  # r09
-        "dp90_html_strip": dp90_html_strip,  # r09
-        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # r09
-        "q24_semi_anti_join": q24_semi_anti_join,  # r09
-        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # r09
-        "q26_gab_daily_rollup": q26_gab_daily_rollup,  # r09
-        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,  # r09
-        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,  # r09
-        "dp01_text_quality": dp01_text_quality,  # r10
-        "dp02_langid": dp02_langid,  # r10
-        "dp03_token_count": dp03_token_count,  # r10
-        "dp04_fingerprint": dp04_fingerprint,  # r10
-        "dp09_knn_brute": dp09_knn_brute,  # r10
-        "dp100_unimax_sample": dp100_unimax_sample,  # r10
-        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,  # r10
-        "dp103_zorder_layout": dp103_zorder_layout,  # r10
-        "dp104_zorder_rank": dp104_zorder_rank,  # r10
         "dp106_temperature_sample": dp106_temperature_sample,  # r10
         "dp107_profile_skew": dp107_profile_skew,  # r10
         "dp109_unicode_normalize": dp109_unicode_normalize,  # r10
-        "dp10_multimodal_bytes": dp10_multimodal_bytes,  # r10
         "dp111_interval_overlap_join": dp111_interval_overlap_join,  # r10
         "dp115_dsir_score": dp115_dsir_score,  # r10
         "dp13_knn_ivf": dp13_knn_ivf,  # r10
@@ -4997,10 +5055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp19_profile": dp19_profile,  # r10
         "dp68_json_props": dp68_json_props,  # r10
         "dp69_bpe_tokenize": dp69_bpe_tokenize,  # r10
-        "dp69b_bpe_encode": dp69b_bpe_encode,  # r10
         "dp92_image_resize": dp92_image_resize,  # r10
         "dp93_audio_resample": dp93_audio_resample,  # r10
-        "dp96_g711_decode": dp96_g711_decode,  # r10
         "dp99_hash_embedding": dp99_hash_embedding,  # r10
         "q01_pricing_summary": q01_pricing_summary,  # r10
         "q03_latest_order_per_customer": q03_latest_order_per_customer,  # r10
@@ -5030,7 +5086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp24_vocab_top_k": dp24_vocab_top_k,  # r11
         "dp25_stratified_sample": dp25_stratified_sample,  # r11
         "dp26_mixture_sample": dp26_mixture_sample,  # r11
-        "dp27_image_decode": dp27_image_decode,  # r11
         "q02_revenue_by_segment": q02_revenue_by_segment,  # r11
         "q04_union_dedup": q04_union_dedup,  # r11
         "q05_incremental_filter": q05_incremental_filter,  # r11
@@ -5046,12 +5101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_union_by_name": q20_union_by_name,  # r11
         "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,  # r11
         "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,  # r11
-        "q32_tokenize_pipeline": q32_tokenize_pipeline,  # r11
-        "dp149_quality_buckets": dp149_quality_buckets,  # r12
-        "dp151_char_entropy": dp151_char_entropy,  # r12
-        "dp12_knn_lsh": dp12_knn_lsh,  # r12
-        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,  # r12
-        "dp62_cluster_sample": dp62_cluster_sample,  # r12
         "dp108_corpus_overlap": dp108_corpus_overlap,  # r12
         "dp110_random_projection": dp110_random_projection,  # r12
         "dp114_gopher_rules": dp114_gopher_rules,  # r12
@@ -5065,10 +5114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp126_mixture_plan": dp126_mixture_plan,  # r12
         "dp127_hilbert_layout": dp127_hilbert_layout,  # r12
         "dp128_frequent_bigrams": dp128_frequent_bigrams,  # r12
+        "dp12_knn_lsh": dp12_knn_lsh,  # r12
+        "dp149_quality_buckets": dp149_quality_buckets,  # r12
+        "dp151_char_entropy": dp151_char_entropy,  # r12
+        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,  # r12
         "dp29_pack_sequences": dp29_pack_sequences,  # r12
         "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,  # r12
         "dp31_sessionize_boundary": dp31_sessionize_boundary,  # r12
-        "dp32_audio_decode": dp32_audio_decode,  # r12
         "dp33_text_chunk": dp33_text_chunk,  # r12
         "dp34_quality_prune": dp34_quality_prune,  # r12
         "dp35_lm_score": dp35_lm_score,  # r12
@@ -5076,7 +5128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp37_global_shuffle": dp37_global_shuffle,  # r12
         "dp38_embedding_quantize": dp38_embedding_quantize,  # r12
         "dp41_quantile_prune": dp41_quantile_prune,  # r12
-        "dp43_image_phash_dedup": dp43_image_phash_dedup,  # r12
         "dp44_lm_score_bigram": dp44_lm_score_bigram,  # r12
         "dp45_embedding_mean_pool": dp45_embedding_mean_pool,  # r12
         "dp46_token_budget_sample": dp46_token_budget_sample,  # r12
@@ -5088,6 +5139,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp53_weighted_sample": dp53_weighted_sample,  # r12
         "dp54_trailing_window": dp54_trailing_window,  # r12
         "dp55_funnel": dp55_funnel,  # r12
+        "dp62_cluster_sample": dp62_cluster_sample,  # r12
+        "dp05_dedup_exact": dp05_dedup_exact,  # r13
+        "dp06_dedup_minhash": dp06_dedup_minhash,  # r13
+        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,  # r13
+        "dp08_embedding_dedup": dp08_embedding_dedup,  # r13
+        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,  # r13
+        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,  # r13
+        "dp118_wordpiece_encode": dp118_wordpiece_encode,  # r13
+        "dp11_dedup_simhash": dp11_dedup_simhash,  # r13
+        "dp121_graph_components": dp121_graph_components,  # r13
+        "dp125_unigram_encode": dp125_unigram_encode,  # r13
+        "dp129_group_quantile_prune": dp129_group_quantile_prune,  # r13
+        "dp134_linear_fit": dp134_linear_fit,  # r13
+        "dp142_streaming_pattern": dp142_streaming_pattern,  # r13
+        "dp143_bottomk_sample": dp143_bottomk_sample,  # r13
+        "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,  # r13
+        "dp145_streaming_funnel": dp145_streaming_funnel,  # r13
+        "dp146_session_stats": dp146_session_stats,  # r13
+        "dp147_paragraph_dedup": dp147_paragraph_dedup,  # r13
+        "dp150_streaming_topk": dp150_streaming_topk,  # r13
+        "dp152_streaming_quality_buckets": dp152_streaming_quality_buckets,  # r13
+        "dp153_c4_rules": dp153_c4_rules,  # r13
+        "dp154_script_mix": dp154_script_mix,  # r13
+        "dp155_knn_pq_refine": dp155_knn_pq_refine,  # r13
+        "dp156_embedding_sanitize": dp156_embedding_sanitize,  # r13
+        "dp157_knn_mmr": dp157_knn_mmr,  # r13
+        "dp20_dup_clusters": dp20_dup_clusters,  # r13
+        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,  # r13
+        "dp40_cross_near_dedup": dp40_cross_near_dedup,  # r13
+        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,  # r13
+        "dp48_substring_dedup": dp48_substring_dedup,  # r13
+        "dp56_cohort_retention": dp56_cohort_retention,  # r13
+        "dp57_robust_scale": dp57_robust_scale,  # r13
+        "dp58_quantile_summary": dp58_quantile_summary,  # r13
+        "dp59_event_pivot": dp59_event_pivot,  # r13
+        "dp60_salted_join": dp60_salted_join,  # r13
+        "dp61_keep_best_dedup": dp61_keep_best_dedup,  # r13
+        "dp63_cdc_chunk": dp63_cdc_chunk,  # r13
+        "dp64_ewma_anomaly": dp64_ewma_anomaly,  # r13
+        "dp65_fuzzy_join": dp65_fuzzy_join,  # r13
+        "dp83_bm25_topk": dp83_bm25_topk,  # r13
+        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # r13
+        "dp94_running_totals": dp94_running_totals,  # r13
+        "dp95_approx_distinct": dp95_approx_distinct,  # r13
+        "dp97_semantic_dedup": dp97_semantic_dedup,  # r13
+        "dp98_ngram_counts": dp98_ngram_counts,  # r13
+        "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,  # r13
+        "q31_curation_pipeline": q31_curation_pipeline,  # r13
+        "q33_ccnet_curation": q33_ccnet_curation,  # r13
     }
 
 
@@ -8340,6 +8440,73 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
         """,
         "dp154_script_mix": _dp154_oracle(),
+        "q35_multimodal_curation": """
+            -- full arithmetic replay of the composed image pipeline:
+            -- class k = doc_id % 4 (ppm/png/gif/junk), color seed
+            -- c = (doc_id//4) % 32; dims/means/aHash predicted per
+            -- class (dp43's split-image rule; solid images pool to a
+            -- uniform thumbnail -> all-zero aHash -> one perceptual
+            -- group); then the gate flags and the per-media-type
+            -- long-form curation report
+            WITH cls AS (
+              SELECT doc_id, doc_id % 4 AS k, (doc_id // 4) % 32 AS c
+              FROM documents
+            ), meta AS (
+              SELECT doc_id, k, c,
+                CASE WHEN k = 0 THEN 'image/x-portable-pixmap'
+                     WHEN k = 1 THEN 'image/png'
+                     WHEN k = 2 THEN 'image/gif'
+                     ELSE 'application/octet-stream' END AS media_type,
+                CASE WHEN k = 0 THEN 8 WHEN k = 1 THEN 4
+                     WHEN k = 2 THEN 3 + c % 6 END AS w,
+                CASE WHEN k = 0 THEN 8 WHEN k = 1 THEN 6
+                     WHEN k = 2 THEN 5 END AS h,
+                CASE WHEN k = 0 THEN
+                       (((17*c % 256) + (53*c % 256)) / 2.0
+                        + ((29*c % 256) + (71*c % 256)) / 2.0
+                        + ((41*c % 256) + (89*c % 256)) / 2.0) / 3.0
+                     WHEN k = 1 THEN
+                       ((11*c % 256) + (23*c % 256) + (37*c % 256)) / 3.0
+                     WHEN k = 2 THEN
+                       ((19*c % 256) + (31*c % 256) + (43*c % 256)) / 3.0
+                     END AS lum,
+                CASE WHEN k = 0 THEN
+                       CASE WHEN (17*c % 256)+(29*c % 256)+(41*c % 256)
+                                 > (53*c % 256)+(71*c % 256)+(89*c % 256)
+                            THEN repeat('11110000', 8)
+                            WHEN (17*c % 256)+(29*c % 256)+(41*c % 256)
+                                 < (53*c % 256)+(71*c % 256)+(89*c % 256)
+                            THEN repeat('00001111', 8)
+                            ELSE repeat('0', 64) END
+                     WHEN k IN (1, 2) THEN repeat('0', 64) END AS ahash
+              FROM cls
+            ), flags AS (
+              SELECT doc_id, media_type,
+                     (k = 3) AS undecodable,
+                     coalesce(w * h < 24, false) AS too_small,
+                     coalesce(lum < 64.0, false) AS too_dark,
+                     CASE WHEN ahash IS NULL THEN false
+                          ELSE MIN(doc_id) OVER (PARTITION BY ahash)
+                               < doc_id END AS is_duplicate
+              FROM meta
+            ), g AS (
+              SELECT media_type, COUNT(*) AS n,
+                     SUM(CASE WHEN undecodable THEN 1 ELSE 0 END) AS f0,
+                     SUM(CASE WHEN too_small THEN 1 ELSE 0 END) AS f1,
+                     SUM(CASE WHEN too_dark THEN 1 ELSE 0 END) AS f2,
+                     SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS f3
+              FROM flags GROUP BY media_type
+            )
+            SELECT media_type, 'undecodable' AS flag,
+                   CAST(n AS BIGINT) AS n_rows, CAST(f0 AS BIGINT) AS n_flagged,
+                   CAST(f0 AS DOUBLE)/n AS pct_flagged FROM g
+            UNION ALL SELECT media_type, 'too_small', CAST(n AS BIGINT),
+                   CAST(f1 AS BIGINT), CAST(f1 AS DOUBLE)/n FROM g
+            UNION ALL SELECT media_type, 'too_dark', CAST(n AS BIGINT),
+                   CAST(f2 AS BIGINT), CAST(f2 AS DOUBLE)/n FROM g
+            UNION ALL SELECT media_type, 'is_duplicate', CAST(n AS BIGINT),
+                   CAST(f3 AS BIGINT), CAST(f3 AS DOUBLE)/n FROM g
+        """,
         "dp160_stream_quantile_prune": """
             -- dp152's histogram/cumulative chain, keep rule instead of
             -- tiers: keep iff (cum - count) < ceil(N * keep_frac) —

@@ -1371,3 +1371,21 @@ def test_pq_refine_gather_broadcasts_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in physical, physical[:2000]
     assert "SortMergeJoin" not in physical, physical[:2000]
     assert physical.count("BroadcastHashJoin") >= 2, physical[:2000]
+
+
+def test_q35_multimodal_curation_plan_gate(spark, sf_dir):
+    """q35 (composed multimodal curation ACON): both branches decode in
+    Arrow-batched python stages (no per-row Python UDF in the hot path
+    besides the Arrow evals), the branch join is hash-based — never a
+    CartesianProduct/BroadcastNestedLoopJoin pair blowup — and the final
+    report is one aggregation (no per-row window over the corpus)."""
+    df = entry.queries()["q35_multimodal_curation"](spark, sf_dir)
+    physical, full = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    # decode/dedup branches run as Arrow-batched python stages
+    assert ("MapInPandas" in physical) or ("ArrowEvalPython" in physical), \
+        physical[:2000]
+    # the dedup window partitions by the hash key (bounded groups), and
+    # the report collapses to one exchange-fed aggregate
+    assert "HashAggregate" in physical
