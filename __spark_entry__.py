@@ -5283,14 +5283,24 @@ def _duck_byte_bpe_pieces(col: str = "w", merges=None) -> str:
 # the final whitespace char of each run, then the lookahead-free
 # alternation per marker segment — the exact construction (and the
 # equivalence argument) lives at datapipes/bpe.py gpt2_pretokens.
+# The whitespace CLASS is the engine's literal GPT2_WS_CHARS (Python's
+# Unicode \s), embedded as raw characters — RE2's own \s is ASCII-only
+# and RE2 has no \uXXXX escape, so sharing the literal is the only way
+# the engine and the oracle stay bit-identical on \x0b / U+00A0 / CJK
+# space inputs.
+from lakehouse_engine_spark.datapipes.bpe import (  # noqa: E402
+    GPT2_WS_CHARS as _GPT2_WS,
+)
+
 _DUCK_GPT2_PAT = (
     "''s|''t|''re|''ve|''m|''ll|''d"
-    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    f"| ?\\p{{L}}+| ?\\p{{N}}+| ?[^{_GPT2_WS}\\p{{L}}\\p{{N}}]+"
+    f"|[{_GPT2_WS}]+"
 )
 _DUCK_GPT2_TOKS = (
     "list_filter(flatten(list_transform(string_split("
     "regexp_replace(regexp_replace(text, chr(57344), '', 'g'),"
-    r" '(\s)(\S)', chr(57344) || '\1\2', 'g'),"
+    f" '([{_GPT2_WS}])([^{_GPT2_WS}])', chr(57344) || '\\1\\2', 'g'),"
     " chr(57344)),"
     f" seg -> regexp_extract_all(seg, '{_DUCK_GPT2_PAT}'))),"
     " t -> t <> '')"

@@ -93,9 +93,22 @@ def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
 # the identical token stream: within a segment, whitespace is either the
 # single space the ` ?` alternatives absorb, or a trailing run the plain
 # \s+ branch takes whole — exactly the two cases the lookahead decided.
+# The whitespace CLASS is spelled out literally instead of \s: the three
+# engines that must agree bit-for-bit disagree on \s (Java includes \x0b
+# but not U+00A0; RE2's \s is ASCII-only; the reference Python pattern's
+# \s is the full Unicode set). This literal set IS Python's Unicode \s
+# (enumerated from re) — embedded as raw characters because RE2 has no
+# \uXXXX escape, so raw chars are the only spelling valid in both Java
+# regex and RE2.
+GPT2_WS_CHARS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
 GPT2_SPLIT_PATTERN = (
-    r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    f"| ?\\p{{L}}+| ?\\p{{N}}+| ?[^{GPT2_WS_CHARS}\\p{{L}}\\p{{N}}]+"
+    f"|[{GPT2_WS_CHARS}]+"
 )
 # U+E000 (private use): cannot collide with any byte symbol, and is
 # stripped from the input first so adversarial text cannot forge splits.
@@ -110,7 +123,11 @@ def gpt2_pretokens(col):
     replay it. Tokens KEEP their leading space (the GPT-2 convention);
     whitespace-only tokens (``"\\n\\n"`` between paragraphs) survive."""
     cleaned = F.regexp_replace(col, GPT2_MARK, "")
-    marked = F.regexp_replace(cleaned, r"(\s)(\S)", GPT2_MARK + "$1$2")
+    marked = F.regexp_replace(
+        cleaned,
+        f"([{GPT2_WS_CHARS}])([^{GPT2_WS_CHARS}])",
+        GPT2_MARK + "$1$2",
+    )
     return F.filter(
         F.flatten(
             F.transform(

@@ -1591,50 +1591,20 @@ def streaming_quality_buckets(
 
         import math
 
-        src = df.select(*on, sc.alias("__score"))
-        key_fields = [f for f in src.schema.fields if f.name in on]
-        out_schema = ", ".join(
-            [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
-            + [
-                "score DOUBLE",
-                "bucket STRING",
-                "score_count BIGINT",
-                "cum_count BIGINT",
-                "total_seen BIGINT",
-            ]
-        )
-
-        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
         sign = -1.0 if higher_is_better else 1.0
+        key_fields, src = _hist_src(df, on, score_col)
+        key_names = [f.name for f in key_fields]
 
-        def _update(
-            key: Tuple,
-            pdfs: Iterator[pd.DataFrame],
-            state: GroupState,
-        ) -> Iterator[pd.DataFrame]:
+        def _update(key: Tuple, pdfs: Iterator[pd.DataFrame], state):
             allb = _concat_batches(pdfs)
             if allb is None:
                 return
-            hist: dict = {}
-            if state.exists:
-                scores, counts = state.get
-                hist = dict(zip(scores, counts))
-            for s_ in allb["__score"].astype(float).tolist():
-                hist[s_] = hist.get(s_, 0) + 1
-            if len(hist) > max_distinct:
-                # the bounded-grid contract is broken — the state (and
-                # the batch op's broadcast tier table) would grow with
-                # data volume; fail loudly instead of degrading
-                raise ValueError(
-                    f"streaming_quality_buckets: group {key!r} exceeded "
-                    f"max_distinct={max_distinct} distinct score values — "
-                    "grid/round the score upstream (the bounded-grid "
-                    "contract) or raise max_distinct"
-                )
+            hist = _merge_score_hist(
+                "streaming_quality_buckets", key, state,
+                allb["__score"].astype(float).tolist(), max_distinct,
+            )
             ordered = sorted(hist.items(), key=lambda e: e[0] * sign)
             n = sum(c for _, c in ordered)
-            state.update(([s_ for s_, _ in ordered], [c for _, c in ordered]))
             # per-tier cumulative budgets: ceil on the same IEEE754
             # double product as the batch arm's F.ceil(total_seen * c)
             budgets = [math.ceil(n * c) for c in cums]
@@ -1650,16 +1620,15 @@ def streaming_quality_buckets(
                 rows.append(list(key) + [s_, tier, c_, cum, n])
             yield pd.DataFrame(
                 rows,
-                columns=[f.name for f in key_fields]
+                columns=key_names
                 + ["score", "bucket", "score_count", "cum_count", "total_seen"],
             )
 
-        return src.groupBy(*on).applyInPandasWithState(
+        return _hist_stream_plan(
+            src, on, key_fields,
+            ["score DOUBLE", "bucket STRING", "score_count BIGINT",
+             "cum_count BIGINT", "total_seen BIGINT"],
             _update,
-            outputStructType=out_schema,
-            stateStructType="scores ARRAY<DOUBLE>, counts ARRAY<BIGINT>",
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
     return _fn

@@ -145,6 +145,9 @@ def record_commit(spark: SparkSession, location: str, mode: str) -> None:
 
     try:
         retries = int(os.environ.get("LHE_CDF_LOCK_RETRIES", "40") or 40)
+        if retries < 0:  # negatives are as invalid as garbage strings:
+            retries = 40  # don't silently zero the budget (0 IS valid:
+            # "don't wait at all")
     except ValueError:
         retries = 40
     try:

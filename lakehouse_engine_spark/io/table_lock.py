@@ -200,8 +200,20 @@ class WriterLock:
                     # message says so), or the create itself failed for
                     # a NON-contention reason (permissions, transient
                     # IO) — don't misdiagnose that as writer contention.
+                    # Contention errors specifically say the target
+                    # ALREADY exists ("File exists" from O_EXCL/EEXIST,
+                    # Hadoop FileAlreadyExistsException) — a bare
+                    # "exist" substring also matched "bucket does not
+                    # exist"-class failures (r14 review finding).
                     msg = str(exc).lower()
-                    if "exist" not in msg:
+                    contention = (
+                        "already exist" in msg
+                        or "file exists" in msg
+                        or "filealreadyexists" in msg
+                        or "eexist" in msg
+                        or isinstance(exc, FileExistsError)
+                    )
+                    if not contention:
                         raise RuntimeError(
                             f"writer-lock create failed at {self._location} "
                             "for a non-contention reason (no lock file is "

@@ -56,3 +56,14 @@ def test_clean_run_passes(tmp_path):
               "loadavg_start": [0.5, 0.5, 0.5]}, tmp_path)
     assert r.returncode == 0, r.stdout
     assert "OK: 0 rows" in r.stdout
+
+
+def test_breach_at_idle_outranks_missing_anchor(tmp_path):
+    """r14 review pin: a run with BOTH a real idle-load breach and a
+    NO-ANCHOR row must exit 1 (regression), not 2 (bookkeeping) — the
+    more severe signal wins the exit code."""
+    name, base = _some_anchor()
+    r = _run({"queries": {name: base * 10, "zz_unknown": 1.0},
+              "loadavg_start": [0.5, 0.5, 0.5]}, tmp_path)
+    assert r.returncode == 1, r.stdout
+    assert "BREACH" in r.stdout and "NO-ANCHOR" in r.stdout

@@ -5796,6 +5796,14 @@ def test_gpt2_pretokenizer_matches_lookahead_reference(spark):
         "x2 2x 2 x",
         "para one\n\npara two\n",
         "don't    stop.\n  ok?",
+        # the \s-divergence set (r14 review finding): Java \s has \x0b
+        # but not U+00A0; RE2 \s is ASCII-only; the reference Python
+        # \s has all of these — the literal GPT2_WS_CHARS class must
+        # make all three engines agree on every one
+        "a\x0bb word",
+        "a\xa0b nb\xa0\xa0space",
+        "cjk　space  line sep",
+        "thin space ogham",
     ]
     df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)],
                                "i INT, s STRING")
@@ -5824,7 +5832,7 @@ def test_gpt2_pretokenizer_property_random_text(spark):
         r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
     )
     rng = random.Random(20260816)
-    alphabet = list("ab zé9'.,!\t\n") + ["'s", "'ll", "  ", "\n\n"]
+    alphabet = list("ab zé9'.,!\t\n\x0b\xa0　") + ["'s", "'ll", "  ", "\n\n"]
     cases = [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
         for _ in range(200)

@@ -552,3 +552,24 @@ def test_cdf_lock_retry_budget_env_knob(spark, tmp_dir, monkeypatch):
     cdf_commit_log.record_commit(spark, loc, "append")  # falls back to 40
     entries = cdf_commit_log.read_log(spark, loc)
     assert entries and entries[0]["version"] == 1
+
+
+def test_does_not_exist_failure_not_treated_as_contention(spark, tmp_dir):
+    """r14 review pin: a create failing with a '...does not exist'
+    message (missing bucket/parent) must re-raise as non-contention —
+    the bare-substring 'exist' match routed it into the retry loop."""
+    import os as _os
+
+    from lakehouse_engine_spark.io.table_lock import WriterLock
+
+    loc = _os.path.join(tmp_dir, "no_bucket_tgt")
+    _os.makedirs(loc, exist_ok=True)
+    lk = WriterLock(spark, loc, op="merge")
+
+    def _boom(fs, path, payload):
+        raise IOError("The specified bucket does not exist")
+
+    lk._claim = _boom
+    with pytest.raises(RuntimeError, match="non-contention") as ei:
+        lk.__enter__()
+    assert "bucket" in str(ei.value.__cause__)

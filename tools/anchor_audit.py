@@ -97,12 +97,15 @@ def main() -> int:
             print(f"{tag} {name}: {secs}s vs anchor {base}s = {ratio:.2f}x")
     print(f"{len(rows)} rows above {thr}x "
           f"({'annotated load-suspect, not regressions' if suspect else 'treat as regressions'})")
-    # A missing anchor is a BOOKKEEPING error, never a load artifact —
-    # it must fail the audit even on a load-suspect run (distinct code 2
-    # so callers can tell it from a perf breach).
+    # A real perf breach at low ambient load is the MORE severe signal
+    # and must win the exit code; a missing anchor is a bookkeeping
+    # error that fails even on a load-suspect run (distinct code 2 so
+    # callers can tell it from a perf breach).
+    if not suspect and len(rows) > missing:
+        return 1
     if missing:
         return 2
-    return 0 if suspect else 1
+    return 0
 
 
 if __name__ == "__main__":
