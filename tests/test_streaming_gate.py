@@ -293,13 +293,20 @@ def test_native_case_table_matches_streaming_ok_exactly(spark):
     )
 
 
+# streaming_ok ops whose NATIVE streaming answer legitimately differs
+# from one batch pass over the same files: watermark-closed windows may
+# withhold the final window in append mode, and dedup_exact's streaming
+# arm keeps the stream-order-first row where the batch arm ranks.
+_VALUE_EXEMPT = {"dedup_exact", "sessionize", "hopping_window_agg"}
+
+
 def test_streaming_ok_ops_run_natively_on_a_stream(spark, tmp_dir):
     """Execute every non-stateful streaming_ok op on a REAL file stream:
     build the transformer, apply it to an unbounded DataFrame, drain with
-    availableNow into a memory sink. Any op that cannot hold this is
+    availableNow into a memory sink — and (outside the watermark-window
+    exemptions) the drained rows must EQUAL the batch answer over the
+    same files, not just materialize. Any op that cannot hold this is
     mis-declared and must lose its streaming_ok flag (→ auto-gated)."""
-    from pyspark.sql import functions as F  # noqa: F401 - parity with ops
-
     inputs = _mk_inputs(spark, tmp_dir)
     failures = {}
     for i, (name, (family, args, needs_wm)) in enumerate(
@@ -332,7 +339,23 @@ def test_streaming_ok_ops_run_natively_on_a_stream(spark, tmp_dir):
                 .start()
             )
             q.awaitTermination(120)
-            spark.sql(f"SELECT count(*) FROM {qn}").collect()
+            got = spark.sql(f"SELECT * FROM {qn}").collect()
+            if name not in _VALUE_EXEMPT:
+                batch = spark.read.schema(schema).parquet(path).transform(fn)
+                cols = sorted(batch.columns)
+
+                def _key(rows):
+                    return sorted(
+                        tuple(
+                            bytes(v) if isinstance(v, (bytearray, bytes))
+                            else str(v)
+                            for v in (r[c] for c in cols)
+                        )
+                        for r in rows
+                    )
+
+                if _key(got) != _key(batch.collect()):
+                    failures[name] = "stream result != batch result"
         except Exception as exc:  # noqa: BLE001 - collect all failures
             failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:140]}"
     assert not failures, failures
