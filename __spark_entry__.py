@@ -4026,6 +4026,30 @@ def dp154_script_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dp162_gpt2_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end GPT-2 tokenizer TRAINING (datapipes/bpe.py
+    bpe_byte_train + bpe_byte_encode, both pretokenizer='gpt2'): learn
+    16 canonical byte-level merges from the gpt2-pretokenized corpus
+    (space-carrying pretokens → byte symbols, no </w>), then tokenize
+    the corpus with the learned table. The oracle UNROLLS the 16
+    training rounds (the dp69 convention) over the SAME RE2 gpt2 split
+    and byte-symbol seeding, then replays the per-doc encode from the
+    final per-pretoken symbol strings — every round's argmax pick and
+    every Ġ-prefixed merge is value-checked."""
+    docs = load_table(spark, sf, "documents")
+    merges = docs.transform(
+        _t("bpe_byte_train", num_merges=16, pretokenizer="gpt2")
+    )
+    enc = docs.transform(
+        _t("bpe_byte_encode", merges=merges, pretokenizer="gpt2")
+    )
+    return enc.select(
+        "doc_id",
+        F.col("bpe_tokens_n").cast("long").alias("n_bpe"),
+        F.md5(F.array_join("bpe_tokens", "\x01")).alias("pieces_md5"),
+    )
+
+
 def dp160_stream_quantile_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Batch arm of streaming_quantile_prune (datapipes/stateful.py):
     the live "train on the best X%" decision table on the dp152
@@ -4939,6 +4963,8 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 WINDOW_RETOUCHED = (
     # new: byte BPE under the GPT-2 regex pretokenizer (lookahead-free marker split, oracle-replayed)
     "dp159_gpt2_bpe",
+    # new: end-to-end GPT-2 tokenizer TRAINING (byte-level trainer, 16 unrolled-round oracle)
+    "dp162_gpt2_bpe_train",
     # new: live keep-table arm of quantile_prune (cumulative histogram state)
     "dp160_stream_quantile_prune",
     # new: live clip-table arm of winsorize (grid-exact empirical bounds)
@@ -4982,13 +5008,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the multimodal decode family touched by the streaming-gate
     # refactor), then the stalest cohort on the board: all 24 remaining
     # r09-checked queries (the other 4 — dp70/dp84/dp85/dp86 — are in
-    # the retouched block), then 9 of the r10 cohort (17 + 24 + 9 = 50).
+    # the retouched block), then 8 of the r10 cohort (18 + 24 + 8 = 50).
     # Entries 51+ still get value-verified every round via
     # tools/check_oracle.py; the window derivation is pinned by
     # tests/test_entry_registry.py from WINDOW_RETOUCHED + the
     # CORRECTNESS_r*.json history.
     return {
         "dp159_gpt2_bpe": dp159_gpt2_bpe,  # retouched r14
+        "dp162_gpt2_bpe_train": dp162_gpt2_bpe_train,  # retouched r14
         "dp160_stream_quantile_prune": dp160_stream_quantile_prune,  # retouched r14
         "dp161_stream_winsorize": dp161_stream_winsorize,  # retouched r14
         "q35_multimodal_curation": q35_multimodal_curation,  # retouched r14
@@ -5037,10 +5064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp100_unimax_sample": dp100_unimax_sample,  # last hard driver signal r10
         "dp102_decontaminate_bloom": dp102_decontaminate_bloom,  # last hard driver signal r10
         "dp103_zorder_layout": dp103_zorder_layout,  # last hard driver signal r10
-        "dp104_zorder_rank": dp104_zorder_rank,  # last hard driver signal r10
-        # ---- driver window boundary (entry 50 = dp104_zorder_rank) ----
+        # ---- driver window boundary (entry 50 = dp103_zorder_layout) ----
         # --- remainder: value-verified via tools/check_oracle.py every
         # --- round; ordered stalest-first ---
+        "dp104_zorder_rank": dp104_zorder_rank,  # r10 (shifted below the boundary for dp162)
         "dp106_temperature_sample": dp106_temperature_sample,  # r10
         "dp107_profile_skew": dp107_profile_skew,  # r10
         "dp109_unicode_normalize": dp109_unicode_normalize,  # r10
@@ -5404,22 +5431,31 @@ def _duck_bands(bands: int, rows: int) -> str:
     return f"[{parts}]"
 
 
-def _duck_bpe_train(num_merges: int) -> str:
+def _duck_bpe_train(
+    num_merges: int,
+    toks_expr: str = None,
+    sym_expr: str = None,
+) -> str:
     """Unrolled canonical BPE training rounds as DuckDB CTEs (bpe.py
-    bpe_train at merges_per_round=1). Produces w0..w{N} (per-WORD symbol
-    strings, word column threaded through) and m0..m{N-1} (one picked
-    merge per round). The merge application replays the engine's
-    left-to-right non-overlapping regex scan via the dp69b double-space
-    padding trick; coalesce guards keep a dried-up corpus from nulling
-    the chain."""
+    bpe_train / bpe_byte_train at merges_per_round=1). Produces w0..w{N}
+    (per-WORD symbol strings, word column threaded through) and
+    m0..m{N-1} (one picked merge per round). The merge application
+    replays the engine's left-to-right non-overlapping regex scan via
+    the dp69b double-space padding trick; coalesce guards keep a
+    dried-up corpus from nulling the chain. Defaults replay the
+    char-level ``</w>`` trainer over whitespace tokens (dp69);
+    ``toks_expr``/``sym_expr`` swap in the gpt2 pretokenizer and the
+    byte-symbol seeding for dp162's byte-level trainer."""
+    toks = toks_expr or _DUCK_TOKENS_CS
+    sym = sym_expr or "array_to_string(str_split(w, ''), ' ') || ' </w>'"
     parts = [
         f"""wc AS (
           SELECT w, COUNT(*) AS cnt
-          FROM (SELECT unnest({_DUCK_TOKENS_CS}) AS w FROM documents)
+          FROM (SELECT unnest({toks}) AS w FROM documents)
           GROUP BY 1
         ),
         w0 AS MATERIALIZED (
-          SELECT w, array_to_string(str_split(w, ''), ' ') || ' </w>' AS s, cnt
+          SELECT w, {sym} AS s, cnt
           FROM wc
         )"""
     ]
@@ -8450,6 +8486,42 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
         """,
         "dp154_script_mix": _dp154_oracle(),
+        "dp162_gpt2_bpe_train": f"""
+            -- GPT-2 training replay: 16 UNROLLED byte-level rounds over
+            -- the RE2 gpt2 split (weighted pair counts -> argmax with
+            -- (count DESC, pair ASC) tie-break -> double-space-padded
+            -- merge application on byte-symbol strings, no </w>), then
+            -- per-doc piece counts + chr(1)-joined piece streams from
+            -- the final per-pretoken symbol strings
+            WITH {_duck_bpe_train(
+                16,
+                toks_expr=_DUCK_GPT2_TOKS,
+                sym_expr=(
+                    "array_to_string(regexp_extract_all("
+                    + _duck_byte_symword("w")
+                    + ", '(?s).'), ' ')"
+                ),
+            )},
+            dw AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, len(ws) - 1)) AS i,
+                     unnest(ws) AS w
+              FROM (SELECT doc_id, {_DUCK_GPT2_TOKS} AS ws FROM documents)
+              WHERE len(ws) >= 1
+            ),
+            per_doc AS (
+              SELECT dw.doc_id,
+                     CAST(SUM(len(str_split(e.s, ' '))) AS BIGINT) AS n_bpe,
+                     md5(string_agg(replace(e.s, ' ', chr(1)), chr(1)
+                         ORDER BY dw.i)) AS pieces_md5
+              FROM dw JOIN w16 e ON dw.w = e.w
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_bpe, 0) AS n_bpe,
+                   coalesce(p.pieces_md5, md5('')) AS pieces_md5
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
         "q35_multimodal_curation": """
             -- full arithmetic replay of the composed image pipeline:
             -- class k = doc_id % 4 (ppm/png/gif/junk), color seed

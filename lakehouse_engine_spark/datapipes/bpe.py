@@ -198,7 +198,21 @@ def bpe_train(
             _word_counts(df.select(src.alias(text_col)), text_col)
             .select(_to_symbols(F.col("__w")).alias("__s"), "__cnt")
         )
-        merges: List[Tuple[str, str]] = []
+        return _train_merge_loop(spark, words, num_merges, merges_per_round)
+
+    return _train
+
+
+def _train_merge_loop(
+    spark, words: DataFrame, num_merges: int, merges_per_round: int
+) -> DataFrame:
+    """The shared BPE merge loop over a materialized ``(__s symbol
+    string, __cnt)`` word-frequency table — char-level (``bpe_train``,
+    with ``</w>``) and byte-level (``bpe_byte_train``, byte symbols, no
+    marker) seed it differently but train identically. Takes OWNERSHIP
+    of ``words``' cache handle (releases it every round and at exit)."""
+    merges: List[Tuple[str, str]] = []
+    try:
         while len(merges) < num_merges:
             syms = F.split(F.col("__s"), " ")
             pairs = words.select(
@@ -256,13 +270,12 @@ def bpe_train(
             _release(words)  # previous round's cache handle, if any
             words = nxt
             merges.extend(picked)
+    finally:
         _release(words)  # the merge list lives on the driver now
-        return spark.createDataFrame(
-            [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
-            "rank INT, left STRING, right STRING, merged STRING",
-        )
-
-    return _train
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank INT, left STRING, right STRING, merged STRING",
+    )
 
 
 @register("bpe_encode")
@@ -381,6 +394,62 @@ def _dictionary_encode(
         )
 
     return _encode
+
+
+@register("bpe_byte_train")
+def bpe_byte_train(
+    text_col: str = "text",
+    num_merges: int = 100,
+    merges_per_round: int = 1,
+    lowercase: bool = False,
+    pretokenizer: str = "whitespace",
+) -> TransformerFn:
+    """Learn a BYTE-level BPE merge table (the GPT-2 training scheme):
+    pretokens (whitespace or the GPT-2 regex split) map to their UTF-8
+    byte symbols through the public bytes→unicode bijection — no
+    ``</w>`` marker, the pretokenizer split IS the boundary — then the
+    same canonical merge loop as :func:`bpe_train`. With
+    ``pretokenizer="gpt2"`` this is end-to-end GPT-2 tokenizer training;
+    feed the result to ``bpe_byte_encode(pretokenizer="gpt2")``.
+
+    Scale posture is :func:`bpe_train`'s: ONE corpus pass builds the
+    (distinct pretoken, count) table; the byte-symbol mapping runs as an
+    Arrow-batched pandas pass over that vocabulary-sized table only
+    (same cost class as the encoder's distinct-word UDF — Python never
+    sees corpus-scale data); every merge round is JVM pair-explode +
+    map-side-combined count + chained regexp_replace. No marker-collision
+    caveat: byte symbols are single BMP chars, a corpus word can never
+    spell one. Iterative by nature; pinned against the pure-Python
+    reference trainer in tests and SQL-oracled via unrolled rounds
+    (dp162), the dp69 convention."""
+    if num_merges < 1:
+        raise ValueError(
+            f"bpe_byte_train: num_merges must be >= 1, got {num_merges}"
+        )
+    if merges_per_round < 1:
+        raise ValueError(
+            f"bpe_byte_train: merges_per_round must be >= 1, "
+            f"got {merges_per_round}"
+        )
+    _pretokens(F.lit(""), pretokenizer)  # validate the name eagerly
+
+    def _train(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+
+        def _sym_fn(ws):
+            return ws.map(lambda w: " ".join(byte_symbols(w)))
+
+        _sym = F.pandas_udf(_sym_fn, "string")
+        src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        counts = (
+            df.select(F.explode(_pretokens(src, pretokenizer)).alias("__w"))
+            .groupBy("__w")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        words = _materialize(counts.select(_sym("__w").alias("__s"), "__cnt"))
+        return _train_merge_loop(spark, words, num_merges, merges_per_round)
+
+    return _train
 
 
 @register_contextual("bpe_encode_with")

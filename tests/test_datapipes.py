@@ -5891,3 +5891,95 @@ def test_bpe_byte_encode_gpt2_pretokenizer(spark):
     # invalid pretokenizer fails loudly
     with pytest.raises(ValueError, match="pretokenizer"):
         df.transform(t("bpe_byte_encode", merges=mdf, pretokenizer="bogus"))
+
+
+def _ref_byte_bpe_train(word_counts, n):
+    """Pure-Python byte-level canonical BPE trainer: count desc, pair-
+    string asc tie-break, left-to-right non-overlapping merge apply."""
+    from collections import Counter
+
+    from lakehouse_engine_spark.datapipes.bpe import byte_symbols
+
+    words = {}
+    for w, c in word_counts.items():
+        words[w] = (list(byte_symbols(w)), c)
+    merges = []
+    for _ in range(n):
+        pc = Counter()
+        for syms, c in words.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        a, b = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))[0]
+        merges.append((a, b))
+        for w, (syms, c) in words.items():
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, c)
+    return merges
+
+
+def test_bpe_byte_train_matches_reference_trainer(spark):
+    """bpe_byte_train (canonical rounds): merge sequence equals the
+    pure-Python byte-level reference on the toy corpus; no </w> symbol
+    ever appears; encode with the learned table round-trips the byte
+    symbol stream."""
+    from collections import Counter
+
+    from lakehouse_engine_spark.datapipes.bpe import byte_symbols
+
+    text = ("low low low low low lower lower newest newest newest newest "
+            "newest newest widest widest widest")
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    merges = df.transform(t("bpe_byte_train", num_merges=8))
+    got = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    assert got == _ref_byte_bpe_train(Counter(text.split()), 8)
+    assert all("</w>" not in a + b for a, b in got)
+    enc = df.transform(t("bpe_byte_encode", merges=merges)).collect()[0]
+    assert "".join(enc["bpe_tokens"]) == "".join(
+        byte_symbols(w) for w in text.split()
+    )
+    with pytest.raises(ValueError):
+        t("bpe_byte_train", num_merges=0)
+    with pytest.raises(ValueError):
+        t("bpe_byte_train", pretokenizer="bogus")
+
+
+def test_bpe_byte_train_gpt2_end_to_end(spark):
+    """End-to-end GPT-2 tokenizer training: bpe_byte_train(gpt2) learns
+    Ġ-prefixed merges from space-carrying pretokens; reference-trainer
+    equality over the gpt2 pretoken counts; encode(gpt2) with the
+    learned table round-trips and uses a multi-byte Ġ piece."""
+    import re as _re
+    from collections import Counter
+
+    from lakehouse_engine_spark.datapipes.bpe import byte_symbols
+
+    ref_split = _re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+    )
+    text = "the cat sat on the mat. the cat's hat is the best hat"
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    merges = df.transform(
+        t("bpe_byte_train", num_merges=10, pretokenizer="gpt2")
+    )
+    got = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    want = _ref_byte_bpe_train(Counter(ref_split.findall(text)), 10)
+    assert got == want
+    # space-prefixed types dominate this corpus: a Ġ merge must be learned
+    assert any((a + b).startswith("Ġ") for a, b in got)
+    enc = df.transform(
+        t("bpe_byte_encode", merges=merges, pretokenizer="gpt2")
+    ).collect()[0]
+    assert "".join(enc["bpe_tokens"]) == "".join(
+        byte_symbols(w) for w in ref_split.findall(text)
+    )
+    assert any(p.startswith("Ġ") and len(p) > 1 for p in enc["bpe_tokens"])
