@@ -1389,3 +1389,18 @@ def test_q35_multimodal_curation_plan_gate(spark, sf_dir):
     # the dedup window partitions by the hash key (bounded groups), and
     # the report collapses to one exchange-fed aggregate
     assert "HashAggregate" in physical
+
+
+def test_gpt2_byte_bpe_dictionary_join_shape(spark, sf_dir):
+    """dp159 (gpt2 byte BPE encode): the distinct-pretoken dictionary is
+    BROADCAST back onto the corpus (vocabulary-sized under the gate —
+    never a corpus shuffle join), the pandas encode runs over the
+    distinct table only, and no cartesian/nested-loop appears. The
+    pretokenize itself is a pure regexp expression chain (no Python)."""
+    df = entry.queries()["dp159_gpt2_bpe"](spark, sf_dir)
+    physical, _ = _plans(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "BroadcastHashJoin" in physical, physical[:2000]
+    # exactly one Arrow python stage: the distinct-word piece encode
+    assert physical.count("ArrowEvalPython") == 1, physical[:2000]
