@@ -69,6 +69,12 @@ def range_join(
     ``bucket_width`` is then in MICROSECONDS (numeric columns: same unit
     as the column).
     """
+    if int(bucket_width) < 1:
+        # fail fast with the op's name — floor(x / 0) would otherwise
+        # surface as an opaque executor-side ANSI DIVIDE_BY_ZERO mid-job
+        raise ValueError(
+            f"range_join: bucket_width must be >= 1, got {bucket_width}"
+        )
 
     def _join(left: DataFrame) -> DataFrame:
         # epoch_us handles TIMESTAMP, TIMESTAMP_NTZ (session-tz independent
@@ -153,7 +159,10 @@ def asof_join(
             F.lit(True).alias("__is_left"),
             F.lit(None).cast(payload_type).alias("__r"),
         )
-        r2 = right.select(
+        # a right row with a NULL timestamp is unlocatable on the time
+        # axis: asc ordering would sort it FIRST (NULLS FIRST) and make
+        # it every row's spurious "predecessor" — exclude it up front
+        r2 = right.filter(F.col(rts).isNotNull()).select(
             *[
                 F.col(c) if c in set(on) else F.lit(None).cast(
                     left.schema[c].dataType
@@ -198,6 +207,12 @@ def asof_join(
                 .otherwise(F.col("__mf")),
             ).drop("__mb", "__mf")
         matched = u.filter(F.col("__is_left"))
+        # a LEFT row with a NULL timestamp has no as-of point: under the
+        # forward pass (desc NULLS LAST) it would otherwise match the
+        # smallest-ts right row — it gets NULL, like a tolerance miss
+        matched = matched.withColumn(
+            "__m", F.when(F.col("__ts").isNotNull(), F.col("__m"))
+        )
         if tolerance is not None:
             if direction == "backward":
                 gap = F.col("__ts") - F.col("__m.__rts")
@@ -413,7 +428,23 @@ def salted_join(
         )
 
     def _join(left: DataFrame) -> DataFrame:
-        scols = salt_on or [c for c in left.columns]
+        if salt_on:
+            scols = list(salt_on)
+        else:
+            # default salt hash: every HASHABLE left column — xxhash64
+            # rejects MapType (DATATYPE_MISMATCH.HASH_MAP_TYPE), and the
+            # resulting job error would never mention salt_on
+            scols = [
+                f.name
+                for f in left.schema.fields
+                if "map<" not in f.dataType.simpleString()
+            ]
+            if not scols:
+                raise ValueError(
+                    "salted_join: no hashable left columns for the "
+                    "default salt hash (map-typed columns cannot be "
+                    "hashed) — pass salt_on explicitly"
+                )
         l2 = left.withColumn(
             "__salt",
             F.pmod(F.xxhash64(*[F.col(c) for c in scols]), F.lit(nsalt)).cast("int"),

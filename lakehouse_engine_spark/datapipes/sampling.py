@@ -18,6 +18,7 @@ from typing import Callable, Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lakehouse_engine_spark.datapipes.registry import register
 
@@ -56,7 +57,15 @@ def _guarded_group_totals(df: DataFrame, group_col: str, tok: Column, op: str):
 
 
 def _bucket_raw(id_col: str, seed: str) -> Column:
-    """Full 60-bit md5-fold (no modulus) — the shared portable hash."""
+    """Full 60-bit md5-fold (no modulus) — the shared portable hash.
+
+    CONTRACT (every hash-filter sampler in this module): a row whose
+    ``id_col`` is NULL has no stable identity to key membership on — its
+    bucket is NULL, every ``bucket < threshold`` compare is NULL, and
+    the row is DROPPED from samples (and gets a NULL split label from
+    hash_split). ``hash_sample(fraction=1.0)`` is therefore the identity
+    only over rows with a non-NULL id; assign ids (``with_row_id``)
+    before sampling if NULL-id rows must participate."""
     key = F.concat(F.col(id_col).cast("string"), F.lit(seed))
     return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
 
@@ -73,6 +82,8 @@ def hash_sample(
 
     Unlike ``df.sample``, membership is a property of the row id — stable
     under re-runs, retries, joins, and data growth (a kept id stays kept).
+    NULL-id rows are dropped (no identity to key on — see
+    :func:`_bucket_raw`), even at ``fraction=1.0``.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
@@ -96,7 +107,8 @@ def hash_split(
     ``splits`` maps name → weight (normalised over their sum). Assignment
     is by cumulative bucket ranges in the given order, so a row's split
     never changes when data is added — the property that prevents
-    train/test leakage across dataset versions.
+    train/test leakage across dataset versions. NULL-id rows get a NULL
+    split label (no identity to assign on — see :func:`_bucket_raw`).
     """
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
     if not splits or any(w < 0 for w in splits.values()):
@@ -399,23 +411,31 @@ def token_budget_sample(
             .withColumn("__budget", budget_expr)
         )
         # threshold per group in hash-bucket units; NULL budget → keep-all
-        # or drop-all via default_keep
+        # or drop-all via default_keep. A budgeted group whose token
+        # total is 0/NULL costs nothing against its budget: keep-all
+        # (ANSI division by zero would otherwise kill the job — the
+        # unimax/temperature tot==0 convention, r14 review finding).
         thr = totals.select(
             "__g",
             F.when(
-                F.col("__budget").isNotNull(),
+                F.col("__budget").isNotNull()
+                & (F.coalesce(F.col("__tot"), F.lit(0)) > 0),
                 F.least(
                     F.lit(float(BUCKETS)),
                     F.col("__budget") / F.col("__tot") * BUCKETS,
                 ),
             )
+            .when(F.col("__budget").isNotNull(), F.lit(float(BUCKETS)))
             .otherwise(F.lit(float(BUCKETS) if default_keep else 0.0))
             .alias("__thr"),
         )
         if broadcast_thresholds:
             thr = F.broadcast(thr)
         return (
-            df.join(thr, df[group_col] == F.col("__g"))
+            # null-safe: rows with a NULL group must meet their own
+            # threshold row, not vanish through NULL == NULL (the
+            # unimax/temperature join convention, r14 review finding)
+            df.join(thr, df[group_col].eqNullSafe(F.col("__g")))
             .filter(_bucket(id_col, seed).cast("double") < F.col("__thr"))
             .drop("__g", "__thr")
         )
@@ -514,16 +534,25 @@ def unimax_sample(
                 thr = BUCKETS  # token-less groups cost nothing: keep
             else:
                 thr = min(BUCKETS, alloc[g] * BUCKETS // tot)
-            thr_rows.append((None if g is None else str(g), thr))
+            thr_rows.append((g, thr))
         spark = df.sparkSession
-        thr_df = spark.createDataFrame(thr_rows, "__g STRING, __thr LONG")
+        # threshold keys keep the group column's NATIVE dtype: a str(g)
+        # key joined against cast-to-string disagrees for non-string
+        # types (Python 'True' vs Spark 'true') and silently drops the
+        # whole group (r14 review finding)
+        thr_df = spark.createDataFrame(
+            thr_rows,
+            T.StructType(
+                [
+                    T.StructField("__g", df.schema[group_col].dataType, True),
+                    T.StructField("__thr", T.LongType(), False),
+                ]
+            ),
+        )
         if broadcast_thresholds:
             thr_df = F.broadcast(thr_df)
         return (
-            df.join(
-                thr_df,
-                df[group_col].cast("string").eqNullSafe(F.col("__g")),
-            )
+            df.join(thr_df, df[group_col].eqNullSafe(F.col("__g")))
             .filter(_bucket(id_col, seed) < F.col("__thr"))
             .drop("__g", "__thr")
         )
@@ -610,16 +639,25 @@ def temperature_sample(
             else:
                 alloc = budget_tokens * w // wsum if wsum else 0
                 thr = min(BUCKETS, alloc * BUCKETS // tot)
-            thr_rows.append((None if g is None else str(g), thr))
+            thr_rows.append((g, thr))
         spark = df.sparkSession
-        thr_df = spark.createDataFrame(thr_rows, "__g STRING, __thr LONG")
+        # threshold keys keep the group column's NATIVE dtype: a str(g)
+        # key joined against cast-to-string disagrees for non-string
+        # types (Python 'True' vs Spark 'true') and silently drops the
+        # whole group (r14 review finding)
+        thr_df = spark.createDataFrame(
+            thr_rows,
+            T.StructType(
+                [
+                    T.StructField("__g", df.schema[group_col].dataType, True),
+                    T.StructField("__thr", T.LongType(), False),
+                ]
+            ),
+        )
         if broadcast_thresholds:
             thr_df = F.broadcast(thr_df)
         return (
-            df.join(
-                thr_df,
-                df[group_col].cast("string").eqNullSafe(F.col("__g")),
-            )
+            df.join(thr_df, df[group_col].eqNullSafe(F.col("__g")))
             .filter(_bucket(id_col, seed) < F.col("__thr"))
             .drop("__g", "__thr")
         )
@@ -665,15 +703,24 @@ def quantile_prune(
         from pyspark.sql import Window
 
         s = F.col(score_col)
+        # NULL/NaN scores are unscorable: they can never be KEPT (the
+        # compare rejects them below), so they must not be COUNTED in
+        # the population either — a NULL hist row sorts NULLS-LAST into
+        # the cumulative tail and can become the threshold itself
+        # (NULL threshold -> every row dropped), and NULLS-FIRST under
+        # higher_is_better=False inflates every real score's cum count
+        # (r14 review finding; quality_bucket_split already excludes)
+        scorable = s.isNotNull() & ~F.isnan(s.cast("double"))
+        scored = df.filter(scorable)
         order = F.desc("__s") if higher_is_better else F.asc("__s")
         agg_thr = F.max("__s") if higher_is_better else F.min("__s")
-        cond = (
+        cond = scorable & (
             (s >= F.col("__thr"))
             if higher_is_better
             else (s <= F.col("__thr"))
         )
         if not group_cols:
-            hist = df.groupBy(s.alias("__s")).agg(
+            hist = scored.groupBy(s.alias("__s")).agg(
                 F.count(F.lit(1)).alias("__c")
             )
             w = Window.orderBy(order).rowsBetween(
@@ -691,7 +738,7 @@ def quantile_prune(
         # window partitions by it, and the one-row threshold becomes a
         # groups-sized broadcast table (null-safe equi-join so null
         # groups prune against their own threshold, not vanish)
-        hist = df.groupBy(
+        hist = scored.groupBy(
             *[F.col(c) for c in group_cols], s.alias("__s")
         ).agg(F.count(F.lit(1)).alias("__c"))
         w = Window.partitionBy(*group_cols).orderBy(order).rowsBetween(
@@ -744,6 +791,15 @@ def quality_bucket_split(
     population — all rows tied on a score share a tier, so tier sizes
     flex on ties (deterministic, honest for rounded-grid scores). NULL
     scores take the LAST tier (CCNet's unscorable-goes-to-tail rule).
+
+    Tie DIRECTION differs from ``quantile_prune`` by intent: a value
+    whose at-or-better population OVERFLOWS a tier's budget flexes to
+    the WORSE tier (tier k demands the full population fit in c_k·N),
+    while quantile_prune's "keep at least X%" keeps threshold ties.
+    Degenerate consequence, by design: a group where every row shares
+    one score lands entirely in the last tier — on such coarse grids a
+    tiering by score carries no information, and claiming the best tier
+    would be the dishonest direction.
 
     Scale design: identical to :func:`quantile_prune` — no per-row
     window, no global sort. One map-side-combined score histogram per
@@ -886,9 +942,10 @@ def pack_sequences(
     def _pack(df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
-        shard = (_bucket(id_col, seed) % shards).alias("pack_shard")
-        out = df.withColumn("pack_shard", shard).withColumn(
-            "__ord", _bucket(id_col, seed)
+        # hash once; derive the shard from the stored bucket (the
+        # global_shuffle convention) instead of a second md5 per row
+        out = df.withColumn("__ord", _bucket(id_col, seed)).withColumn(
+            "pack_shard", F.col("__ord") % shards
         )
         w = (
             Window.partitionBy("pack_shard")

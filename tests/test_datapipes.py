@@ -5983,3 +5983,111 @@ def test_bpe_byte_train_gpt2_end_to_end(spark):
         byte_symbols(w) for w in ref_split.findall(text)
     )
     assert any(p.startswith("Ġ") and len(p) > 1 for p in enc["bpe_tokens"])
+
+
+def test_r14_sampling_joins_review_fixes(spark):
+    """Regression pins for the round-14 sampling/joins review findings."""
+    import math
+
+    # (1) quantile_prune: NULL/NaN scores leave the POPULATION — the
+    # threshold is computed over scorable rows only, both directions
+    rows = [(i, float(s)) for i, s in enumerate([9, 8, 7, 6])]
+    rows += [(90, None), (91, None), (92, None), (93, float("nan"))]
+    df = spark.createDataFrame(rows, "doc_id LONG, s DOUBLE")
+    kept = df.transform(t("quantile_prune", score_col="s", keep_frac=0.9))
+    assert sorted(r["s"] for r in kept.collect()) == [6.0, 7.0, 8.0, 9.0]
+    kept_low = df.transform(
+        t("quantile_prune", score_col="s", keep_frac=0.5,
+          higher_is_better=False)
+    )
+    assert sorted(r["s"] for r in kept_low.collect()) == [6.0, 7.0]
+    grouped = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 2, 4.0), ("g", 3, None)],
+        "lang STRING, doc_id LONG, s DOUBLE",
+    ).transform(
+        t("quantile_prune", score_col="s", keep_frac=0.5,
+          group_cols=["lang"])
+    )
+    assert [r["s"] for r in grouped.collect()] == [5.0]
+
+    # (2) token_budget_sample: NULL groups meet their own threshold row
+    # (null-safe join); a budgeted zero-token group keeps all (no ANSI
+    # divide-by-zero)
+    tb = spark.createDataFrame(
+        [(1, "en", 10), (2, None, 10), (3, "empty", 0), (4, "empty", 0)],
+        "doc_id LONG, lang STRING, n_tokens INT",
+    ).transform(
+        t("token_budget_sample", group_col="lang", token_col="n_tokens",
+          budgets={"empty": 100}, default_keep=True, seed="tb")
+    )
+    got = sorted(r["doc_id"] for r in tb.collect())
+    assert got == [1, 2, 3, 4], got
+
+    # (3) asof_join: NULL-ts right rows never match; NULL-ts left rows
+    # match nothing (both directions)
+    left = spark.createDataFrame(
+        [(1, "k", 5.0), (2, "k", None)], "id LONG, k STRING, ts DOUBLE"
+    )
+    right = spark.createDataFrame(
+        [("k", None, 99), ("k", 7.0, 7)], "k STRING, ts DOUBLE, v INT"
+    )
+    from lakehouse_engine_spark.datapipes.joins import asof_join
+
+    back = {r["id"]: r["v_matched"] for r in left.transform(
+        asof_join(right, on=["k"], left_ts="ts", right_value_cols=["v"])
+    ).collect()}
+    assert back == {1: None, 2: None}  # no real predecessor anywhere
+    fwd = {r["id"]: r["v_matched"] for r in left.transform(
+        asof_join(right, on=["k"], left_ts="ts", right_value_cols=["v"],
+                  direction="forward")
+    ).collect()}
+    assert fwd == {1: 7, 2: None}
+
+    # (4) range_join: bucket_width < 1 fails fast with the op's name
+    from lakehouse_engine_spark.datapipes.joins import range_join
+
+    with pytest.raises(ValueError, match="range_join"):
+        range_join(right, on=["k"], left_point="ts", right_start="ts",
+                   right_end="ts", bucket_width=0)
+
+    # (5) hash samplers: the NULL-id contract — dropped even at 1.0,
+    # NULL split label
+    nid = spark.createDataFrame([(None,), (7,)], "doc_id LONG")
+    assert [r["doc_id"] for r in nid.transform(
+        t("hash_sample", id_col="doc_id", fraction=1.0)
+    ).collect()] == [7]
+    labels = {r["doc_id"]: r["split"] for r in nid.transform(
+        t("hash_split", id_col="doc_id")
+    ).collect()}
+    assert labels[7] is not None and labels[None] is None
+
+    # (6) unimax/temperature: non-string group dtypes join natively
+    # (str(True) vs Spark 'true' used to drop the whole group)
+    bools = spark.createDataFrame(
+        [(1, True, 5), (2, True, 5), (3, False, 5)],
+        "doc_id LONG, is_code BOOLEAN, n_tokens INT",
+    )
+    uni = bools.transform(
+        t("unimax_sample", budget_tokens=100, group_col="is_code",
+          token_col="n_tokens", id_col="doc_id")
+    )
+    assert uni.count() == 3  # budget covers everything: nobody vanishes
+    temp = bools.transform(
+        t("temperature_sample", budget_tokens=100, group_col="is_code",
+          token_col="n_tokens", id_col="doc_id", temperature=1.0)
+    )
+    assert temp.count() == 3
+
+    # (7) salted_join: map-typed columns are excluded from the default
+    # salt hash instead of crashing xxhash64; all-map lefts raise loudly
+    from lakehouse_engine_spark.datapipes.joins import salted_join
+
+    lmap = spark.createDataFrame(
+        [(1, {"a": "b"})], "k LONG, meta MAP<STRING,STRING>"
+    )
+    rdim = spark.createDataFrame([(1, "dim")], "k LONG, d STRING")
+    out = lmap.transform(salted_join(rdim, on=["k"], salt=4)).collect()
+    assert len(out) == 1 and out[0]["d"] == "dim"
+    only_map = spark.createDataFrame([({"a": "b"},)], "meta MAP<STRING,STRING>")
+    with pytest.raises(ValueError, match="salt_on"):
+        salted_join(rdim, on=["k"], salt=2)(only_map).collect()
