@@ -5031,9 +5031,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # boundary (equal-staleness outside is allowed by the rotation
     # rule). Value-neutral-by-construction changes (pack_sequences
     # single-hash refactor, salted_join mapless default) are NOT
-    # retouched: dp29/dp60 keep their slots below. Entries 51+ still
-    # get value-verified every round via tools/check_oracle.py; the
-    # window derivation is pinned by tests/test_entry_registry.py.
+    # retouched: dp29/dp60 keep their slots below. The second r14 review
+    # batch (multimodal/embeddings NaN+decode hygiene) also touched
+    # dp38/dp45/dp92/dp93/dp110/dp122 — the window cannot hold them AND
+    # the full r09 cohort (the r13 verdict's explicit done criterion),
+    # so they were value-verified via the committed check_oracle run
+    # (ALL MATCH) and LEAD the r15 window. Entries 51+ still get
+    # value-verified every round via tools/check_oracle.py; the window
+    # derivation is pinned by tests/test_entry_registry.py.
     return {
         "dp159_gpt2_bpe": dp159_gpt2_bpe,  # retouched r14
         "dp162_gpt2_bpe_train": dp162_gpt2_bpe_train,  # retouched r14

@@ -46,6 +46,13 @@ def embedding_normalize(
     pass through as all-zero rather than NaN — degenerate embeddings are a
     data-quality signal to filter on ``norm_col``, not a crash.
 
+    NaN/Inf-poisoned vectors take the SAME all-zero branch: under Spark's
+    ordering a NaN norm satisfies ``n >= min_norm`` (NaN sorts above
+    every number), which used to emit an all-NaN unit vector that poisons
+    every downstream dot product (r14 review finding). ``norm_col``
+    keeps the NaN/Inf value, so the filter signal survives
+    (``embedding_sanitize`` is the upfront screen).
+
     After this, cosine similarity is a plain dot product, which is what the
     ANN operators (``knn_*``, ``dedup_embedding_cosine``) exploit.
     """
@@ -53,8 +60,9 @@ def embedding_normalize(
     def _norm(df: DataFrame) -> DataFrame:
         c = F.col(input_col)
         n = l2_norm(c)
+        finite = ~F.isnan(n) & (n != F.lit(float("inf")))
         unit = F.when(
-            n >= min_norm,
+            (n >= min_norm) & finite,
             F.transform(c, lambda x: x.cast("double") / n),
         ).otherwise(F.transform(c, lambda x: F.lit(0.0)))
         return df.withColumns({norm_col: n, output_col: unit})
@@ -74,16 +82,25 @@ def embedding_quantize_int8(
     error for typical embedding distributions; the per-VECTOR scale (vs
     per-tensor) keeps outlier vectors from crushing everyone's resolution.
 
-    All-zero vectors quantize to all-zero codes with scale 0. ``floor(x +
-    0.5)`` is used instead of engine ``round`` so negative half-way codes
-    resolve identically in Spark and the DuckDB oracle.
+    All-zero vectors quantize to all-zero codes with scale 0, and so do
+    NaN/Inf-poisoned vectors: a NaN ``amax`` satisfies ``amax > 0.0``
+    under Spark's NaN ordering, which used to drive the code expression
+    into ``cast(NaN as int)`` — an ANSI runtime error (r14 review
+    finding). ``floor(x + 0.5)`` is used instead of engine ``round`` so
+    negative half-way codes resolve identically in Spark and the DuckDB
+    oracle.
     """
 
     def _quant(df: DataFrame) -> DataFrame:
         c = F.col(input_col)
         amax = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+        usable = (
+            (amax > 0.0)
+            & ~F.isnan(amax)
+            & (amax != F.lit(float("inf")))
+        )
         q = F.when(
-            amax > 0.0,
+            usable,
             F.transform(
                 c,
                 lambda x: F.floor(x.cast("double") * 127.0 / amax + 0.5).cast("int"),
@@ -92,7 +109,7 @@ def embedding_quantize_int8(
         return df.withColumns(
             {
                 output_col: q,
-                scale_col: F.when(amax > 0.0, amax / 127.0).otherwise(F.lit(0.0)),
+                scale_col: F.when(usable, amax / 127.0).otherwise(F.lit(0.0)),
             }
         )
 
@@ -140,15 +157,22 @@ def embedding_mean_pool(
             comp.groupBy("__g")
             .agg(
                 F.max("__n").alias("n_vectors"),
-                F.array_sort(F.collect_list(F.struct("__p", "__s"))).alias("__ps"),
+                F.array_sort(
+                    F.collect_list(F.struct("__p", "__s", "__n"))
+                ).alias("__ps"),
             )
             .select(
                 F.col("__g").alias(group_col),
                 F.col("n_vectors").cast("long").alias("n_vectors"),
                 F.transform("__ps", lambda x: x["__s"]).alias("pool_sums"),
+                # each component divides by its OWN count: on mixed-width
+                # groups (ragged embeddings) dividing by max(__n) silently
+                # halved the tail components' means (r14 review finding;
+                # uniform-width groups — the contract case — are identical
+                # either way since every __n == n_vectors there)
                 F.transform(
                     "__ps",
-                    lambda x: x["__s"].cast("double") / F.col("n_vectors") / scale,
+                    lambda x: x["__s"].cast("double") / x["__n"] / scale,
                 ).alias(output_col),
             )
         )
@@ -237,6 +261,19 @@ def embedding_pca(
                 # the 1M x 256 probe's scan time
                 flat = col.flatten().to_numpy(zero_copy_only=False)
                 X = flat.reshape(len(col), dim).astype(np.float64)
+                # rows with a NULL/NaN/Inf CELL are unusable for moments
+                # and — worse — poison the whole batch: the non-finite
+                # value defeats the 2^53 bound check below and
+                # astype(int64) turns NaN into INT64_MIN, overflow-
+                # wrapping the Gram sums for EVERY row (r14 review
+                # finding, reproduced). Exclude them, the row-level
+                # analogue of the isNotNull filter; embedding_sanitize
+                # is the upfront screen that makes this boring.
+                finite = np.isfinite(X).all(axis=1)
+                if not finite.all():
+                    X = X[finite]
+                    if len(X) == 0:
+                        continue
                 # quantize in-kernel (identical IEEE ops to the SQL
                 # replay: floor(x*scale + 0.5)); numpy has no BLAS
                 # kernel for int64 GEMM (naive int64 matmul measured
@@ -247,14 +284,14 @@ def embedding_pca(
                 # the bound fall back to exact int64 matmul.
                 Q = np.floor(X * scale + 0.5)
                 m = float(np.abs(Q).max(initial=0.0))
-                if len(col) * m * m < 2.0**53:
+                if len(X) * m * m < 2.0**53:
                     G += np.rint(Q.T @ Q).astype(np.int64)
                     S += np.rint(Q.sum(axis=0)).astype(np.int64)
                 else:
                     Qi = Q.astype(np.int64)
                     G += Qi.T @ Qi
                     S += Qi.sum(axis=0)
-                n += len(col)
+                n += len(X)
             iu = np.triu_indices(dim)
             yield pa.RecordBatch.from_pydict(
                 {
@@ -415,15 +452,18 @@ def embedding_random_projection(
       consumers re-derive (ANN candidates get exact re-verification)
       rather than replay.
 
-    Kernel null contract: a null embedding, a wrong-width embedding, or
-    one containing null/NaN components projects to ``out_dim`` null
-    components — the unrolled expression's null-poisoning result for
-    null ELEMENTS (Arrow erases the null-element/NaN distinction, so
-    genuine NaN inputs also null out on the kernel path; NaN embeddings
-    carry no signal to project). Wrong-width rows are the one divergence:
-    under ANSI mode the unrolled ``element_at`` raises on them, while the
-    kernel nulls them out — at 100 TB one malformed row should poison its
-    own output, not kill the job.
+    Poisoned-row contract, IDENTICAL on both physical paths so
+    ``method="auto"`` does not change results at the 65,536-term
+    boundary (r14 review finding): a null embedding, a null ELEMENT, or
+    a NaN value all project to ``out_dim`` NULL components. NULL is the
+    only marker both paths can emit — the Arrow boundary erases NaN in
+    BOTH directions (null elements arrive at the kernel as float64 NaN;
+    kernel NaN outputs convert back to null — both verified), so the
+    unroll nullifies its NaN folds via ``nanvl`` to match. The one
+    remaining divergence: under ANSI mode the unrolled ``element_at``
+    raises on wrong-width rows while the kernel nulls them out — at
+    100 TB one malformed row should poison its own output, not kill the
+    job.
     """
     if out_dim < 1:
         raise ValueError("embedding_random_projection: out_dim must be >= 1")
@@ -454,7 +494,13 @@ def embedding_random_projection(
                 + f" cast(element_at({quoted}, {j + 1}) as double)"
                 for j in range(d_in)
             ).lstrip("+ ")
-            comps.append(F.expr(f"({terms}) * {scale!r}"))
+            # NaN inputs fold to a NaN component; nullify it so the
+            # unroll and the kernel agree (the Arrow boundary converts
+            # the kernel's NaN to null on the way out — verified — so
+            # NULL is the one poisoned-row marker both paths can emit)
+            comps.append(
+                F.expr(f"nanvl(({terms}) * {scale!r}, NULL)")
+            )
         return df.withColumn(output_col, F.array(*comps))
 
     def _project_kernel(df: DataFrame, d_in: int, scale: float) -> DataFrame:
@@ -479,11 +525,10 @@ def embedding_random_projection(
                     ok.append(t)
             if ok:
                 X = np.stack([arrs[t] for t in ok])
-                if X.dtype == object:  # null elements survived as None
+                if X.dtype == object:  # defensive: stray Nones -> NaN
                     X = np.where(pd.isnull(X), np.nan, X).astype(np.float64)
                 else:
                     X = X.astype(np.float64)
-                bad = np.isnan(X).any(axis=1)
                 if fold == "pinned":
                     # column-by-column left-associative fold: the exact
                     # IEEE op sequence of the unrolled SQL expression —
@@ -495,7 +540,7 @@ def embedding_random_projection(
                     acc = X @ Sd
                 Y = acc * scale
                 for r, t in enumerate(ok):
-                    res[t] = nulls if bad[r] else Y[r]
+                    res[t] = Y[r]
             return pd.Series(res)
 
         return df.withColumn(output_col, project(F.col(input_col)))

@@ -128,6 +128,25 @@ def decode_image(
     """Decode an image payload to an (H, W, 3) uint8 array + codec name.
 
     PPM/BMP decode natively (pure numpy); other media types route through
+    ``extra_decoders``. Returns ``None`` for payloads with no available
+    decoder AND for zero-dimension rasters ("P6\\n0 0\\n255\\n" is
+    well-formed but a (0, 0, 3) array crashes every downstream kernel —
+    thumbnail pooling, resize gather — so it routes to the NULL/
+    on_unsupported path like any other undecodable payload; r14 review
+    finding)."""
+    out = _decode_image_any(b, extra_decoders)
+    if out is not None and out[0].size == 0:
+        return None
+    return out
+
+
+def _decode_image_any(
+    b: bytes,
+    extra_decoders: Optional[Dict[str, Callable[[bytes], np.ndarray]]] = None,
+) -> Optional[Tuple[np.ndarray, str]]:
+    """Decode an image payload to an (H, W, 3) uint8 array + codec name.
+
+    PPM/BMP decode natively (pure numpy); other media types route through
     ``extra_decoders`` (pass a :func:`available_decoders` snapshot from
     the driver — falls back to this process's registry when omitted).
     Returns ``None`` for payloads with no available decoder (callers

@@ -41,6 +41,18 @@ MEDIA_META_SCHEMA = T.StructType(
     ]
 )
 
+def _wav_or_none(decode_wav, b: bytes):
+    """``decode_wav`` returns None for non-WAV payloads but RAISES
+    ValueError for unsupported WAV VARIANTS (24-bit/float/extensible
+    PCM) and corrupt RIFF chunk walks — one such record in a corpus
+    must not kill the job (the image decoders' contract; r14 review
+    finding). Both cases mean the same thing here: no codec."""
+    try:
+        return decode_wav(b)
+    except ValueError:
+        return None
+
+
 def _byte_budget_src(
     df: DataFrame, payload_col: str, id_col: str, target_partition_mb: int
 ) -> DataFrame:
@@ -116,6 +128,10 @@ def feature_extract(
     would plug in; ``fake`` emits deterministic features from the bytes so the
     distributed plumbing (schema, batching, partition sizing) is testable.
     """
+    if mode not in ("fake", "strict"):
+        raise ValueError(
+            f"multimodal_feature_extract: mode must be fake|strict, got {mode!r}"
+        )
 
     def _extract(df: DataFrame) -> DataFrame:
         # size partitions by payload bytes, not row count (stream: pass-through)
@@ -181,6 +197,11 @@ def image_decode(
     with ``on_unsupported="error"``); their magic bytes still surface in
     ``media_type`` so a pipeline can route them to a codec-equipped
     stage."""
+    if on_unsupported not in ("null", "error"):
+        raise ValueError(
+            "multimodal_image_decode: on_unsupported must be null|error, "
+            f"got {on_unsupported!r}"
+        )
 
     def _decode(df: DataFrame) -> DataFrame:
         from lakehouse_engine_spark.datapipes.media_codecs import (
@@ -264,6 +285,11 @@ def audio_decode(
     repartition as image decode. Compressed audio (mp3/flac/ogg) yields
     NULL fields (or raises with ``on_unsupported="error"``) — a codec
     library plugs in at the same boundary as image decoders."""
+    if on_unsupported not in ("null", "error"):
+        raise ValueError(
+            "multimodal_audio_decode: on_unsupported must be null|error, "
+            f"got {on_unsupported!r}"
+        )
 
     def _decode(df: DataFrame) -> DataFrame:
         from lakehouse_engine_spark.datapipes.media_codecs import (
@@ -279,7 +305,7 @@ def audio_decode(
                 for pid, b in zip(pdf["id"], pdf[payload_col]):
                     b = bytes(b) if b is not None else b""
                     kind = sniff_media(b)
-                    decoded = decode_wav(b)
+                    decoded = _wav_or_none(decode_wav, b)
                     out["id"].append(pid)
                     out["media_type"].append(kind)
                     if decoded is None:
@@ -340,7 +366,9 @@ def audio_resample(
             for pdf in it:
                 ids, payloads = [], []
                 for pid, b in zip(pdf["id"], pdf[payload_col]):
-                    decoded = decode_wav(bytes(b) if b is not None else b"")
+                    decoded = _wav_or_none(
+                        decode_wav, bytes(b) if b is not None else b""
+                    )
                     ids.append(pid)
                     if decoded is None:
                         payloads.append(None)
@@ -420,6 +448,20 @@ def frame_sample(
     mode slices the payload at fixed offsets (pipeline-shape tests) and
     ``strict`` raises at the documented codec boundary."""
 
+    if mode not in ("fake", "strict"):
+        raise ValueError(
+            f"multimodal_frame_sample: mode must be fake|strict, got {mode!r}"
+        )
+    if int(every_n_bytes) < 1:
+        raise ValueError(
+            "multimodal_frame_sample: every_n_bytes must be >= 1, "
+            f"got {every_n_bytes}"
+        )
+    if int(max_frames) < 1:
+        raise ValueError(
+            f"multimodal_frame_sample: max_frames must be >= 1, got {max_frames}"
+        )
+
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -451,11 +493,13 @@ def frame_sample(
                             "(ffmpeg/PyAV) via media_codecs.register_frame_extractor"
                         )
                     else:
+                        # NULL/empty payload: zero frames — the old
+                        # max(..., 1) emitted one phantom (id, 0, b'')
+                        # row per null input (r14 review finding)
+                        n_fr = min(max(len(b) // every_n_bytes, 1), max_frames)
                         frames = [
                             bytes(b[i * every_n_bytes : (i + 1) * every_n_bytes])
-                            for i in range(
-                                min(max(len(b) // every_n_bytes, 1), max_frames)
-                            )
+                            for i in range(n_fr if b else 0)
                         ]
                     for i, fb in enumerate(frames[:max_frames]):
                         rows["id"].append(pid)
@@ -488,9 +532,18 @@ def image_dedup(
     bits are a row-space column expression over the 64-float feature (the
     bit string is the hash key — portable, no engine-specific bit packing),
     and the dedup is ONE hash-partitioned window on the key, exactly
-    ``dedup_exact``'s cost class. Undecodable payloads (no codec) get a
-    NULL hash and are always kept.
+    ``dedup_exact``'s cost class — over a SLIM (id, hash) projection
+    only, never the payload bytes (the dedup_simhash join-back
+    convention; shuffling the corpus's binary column just to take a
+    min(id) was the r14 review finding). Undecodable payloads (no codec)
+    get a NULL hash and are always kept; NULL-hash rows skip the window
+    entirely (they would otherwise pile onto one reducer as a single
+    NULL partition).
     """
+    if keep not in ("survivors", "flagged"):
+        raise ValueError(
+            f"multimodal_image_dedup: keep must be survivors|flagged, got {keep!r}"
+        )
 
     def _dedup(df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
@@ -512,13 +565,14 @@ def image_dedup(
             F.col("id").alias("__mid"),
             F.when(feat.isNotNull(), bits).alias(hash_col),
         )
-        out = df.join(hashed, df[id_col] == F.col("__mid"), "left").drop("__mid")
         w = Window.partitionBy(hash_col)
+        slim = (
+            hashed.filter(F.col(hash_col).isNotNull())
+            .withColumn("__min_id", F.min("__mid").over(w))
+        )
+        out = df.join(slim, df[id_col] == F.col("__mid"), "left").drop("__mid")
         out = out.withColumn(
-            "__min_id",
-            F.when(F.col(hash_col).isNotNull(), F.min(id_col).over(w)).otherwise(
-                F.col(id_col)
-            ),
+            "__min_id", F.coalesce(F.col("__min_id"), F.col(id_col))
         )
         out = out.withColumn(
             "is_duplicate", F.col("__min_id") < F.col(id_col)
@@ -574,7 +628,7 @@ def binary_decompress(
             if b is None:
                 return None
             b = bytes(b)
-            kind = codec
+            kind, weak_sniff = codec, False
             if kind == "auto":
                 if b[:2] == b"\x1f\x8b":
                     kind = "gzip"
@@ -583,7 +637,11 @@ def binary_decompress(
                 elif b[:6] == b"\xfd7zXZ\x00":
                     kind = "xz"
                 elif b[:1] == b"\x78" and len(b) >= 2 and (b[0] * 256 + b[1]) % 31 == 0:
-                    kind = "zlib"  # valid zlib header checksum
+                    # the zlib "magic" is a 1-byte-plus-checksum
+                    # heuristic: plain text starting 'x ', 'x^', 'x}'…
+                    # passes it too, so a decompress failure here means
+                    # FALSE POSITIVE, not corruption
+                    kind, weak_sniff = "zlib", True
                 else:
                     kind = "none"
             try:
@@ -597,6 +655,13 @@ def binary_decompress(
                     return _lzma.decompress(b)
                 return b  # none: passthrough
             except Exception:
+                if weak_sniff:
+                    # honour the documented uncompressed-passthrough —
+                    # don't apply on_error and destroy a legitimate raw
+                    # payload (r14 review finding). Strong magics
+                    # (gzip/bz2/xz) and explicit codec= keep on_error:
+                    # there a failure really is corruption.
+                    return b
                 if on_error == "error":
                     raise
                 return b if on_error == "keep" else None

@@ -832,3 +832,138 @@ def test_wav_ima_adpcm_roundtrip():
     s2, _, c2 = decode_wav(encode_ima_adpcm(st, 8_000))
     assert c2 == "ima_adpcm" and s2.shape == (2000, 2)
     assert np.abs(s2 - st).max() < 0.15
+
+
+def test_r14_multimodal_embeddings_review_fixes(spark):
+    """Regression pins for the round-14 multimodal/embeddings review
+    findings (decode robustness, sniff false positives, enum guards)."""
+    import struct as _struct
+
+    import pyspark.sql.functions as F
+
+    # (1) unsupported WAV VARIANTS yield NULL fields instead of killing
+    # the job: 24-bit PCM and a truncated RIFF both decode to None
+    def wav24(n=4):
+        data = b"\x00\x00\x00" * n
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+        return (b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data)
+
+    clips = spark.createDataFrame(
+        [(1, bytearray(wav24())), (2, bytearray(b"RIFF\x10\x00\x00\x00WAVE"))],
+        "doc_id LONG, payload BINARY",
+    )
+    out = {r["id"]: r for r in clips.transform(
+        t("multimodal_audio_decode")
+    ).collect()}
+    assert out[1]["codec"] is None and out[2]["codec"] is None
+    res = clips.transform(t("multimodal_audio_resample", target_rate=8000))
+    assert all(r["payload"] is None for r in res.collect())
+
+    # (2) zero-dimension but well-formed images route to NULL fields
+    imgs = spark.createDataFrame(
+        [(1, bytearray(b"P6\n0 0\n255\n"))], "doc_id LONG, payload BINARY"
+    )
+    meta = imgs.transform(t("multimodal_image_decode")).collect()[0]
+    assert meta["media_type"] == "image/x-portable-pixmap"
+    assert meta["codec"] is None and meta["width"] is None
+    rz = imgs.transform(t("multimodal_image_resize", width=2, height=2))
+    assert rz.collect()[0]["payload"] is None
+    dd = imgs.transform(t("multimodal_image_dedup", keep="flagged")).collect()[0]
+    assert dd["ahash"] is None and dd["is_duplicate"] is False
+
+    # (3) binary_decompress auto: a zlib-lookalike plain payload passes
+    # through unchanged; corrupt strong-magic gzip honours on_error;
+    # explicit codec keeps on_error
+    raw = b"x hello world"
+    bd = spark.createDataFrame(
+        [(1, bytearray(raw)), (2, bytearray(b"\x1f\x8btruncated!"))],
+        "doc_id LONG, payload BINARY",
+    )
+    got = {r["doc_id"]: r for r in bd.transform(t("binary_decompress")).collect()}
+    assert bytes(got[1]["payload_raw"]) == raw          # false positive: passthrough
+    assert got[2]["payload_raw"] is None                # real corruption: NULL
+    exp = bd.filter("doc_id = 1").transform(
+        t("binary_decompress", codec="zlib")
+    ).collect()[0]
+    assert exp["payload_raw"] is None                   # explicit codec: on_error
+
+    # (4) enum/param typos fail at plan time
+    for bad in (
+        dict(name="multimodal_feature_extract", mode="strct"),
+        dict(name="multimodal_image_decode", on_unsupported="eror"),
+        dict(name="multimodal_audio_decode", on_unsupported="eror"),
+        dict(name="multimodal_image_dedup", keep="survivor"),
+        dict(name="multimodal_frame_sample", mode="Fake"),
+        dict(name="multimodal_frame_sample", every_n_bytes=0),
+    ):
+        nm = bad.pop("name")
+        with pytest.raises(ValueError):
+            t(nm, **bad)
+
+    # (5) frame_sample: NULL payload emits ZERO frames, not a phantom one
+    fs = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"A" * 600))], "doc_id LONG, payload BINARY"
+    ).transform(t("multimodal_frame_sample", every_n_bytes=256))
+    rows = fs.collect()
+    assert {r["id"] for r in rows} == {2} and len(rows) == 2
+
+
+def test_r14_embedding_nan_review_fixes(spark):
+    """NaN/Inf hygiene for the embedding family (r14 review pins)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [nan, 1.0]), (3, [inf, 1.0]), (4, [0.0, 0.0])],
+        "id LONG, embedding ARRAY<DOUBLE>",
+    )
+    # normalize: poisoned vectors take the zero branch; norm keeps signal
+    nm = {r["id"]: r for r in df.transform(t("embedding_normalize")).collect()}
+    assert nm[1]["embedding_unit"] == [0.6, 0.8]
+    assert nm[2]["embedding_unit"] == [0.0, 0.0] and math.isnan(nm[2]["l2_norm"])
+    assert nm[3]["embedding_unit"] == [0.0, 0.0] and nm[3]["l2_norm"] == inf
+    assert nm[4]["embedding_unit"] == [0.0, 0.0]
+    # quantize: NaN amax no longer hits an ANSI cast error
+    qz = {r["id"]: r for r in df.transform(
+        t("embedding_quantize_int8")
+    ).collect()}
+    assert qz[2]["embedding_q8"] == [0, 0] and qz[2]["q8_scale"] == 0.0
+    assert qz[3]["embedding_q8"] == [0, 0]
+    assert qz[1]["embedding_q8"] == [95, 127]
+    # mean_pool: ragged widths divide by the component's OWN count
+    mp = spark.createDataFrame(
+        [("g", [1.0, 2.0]), ("g", [3.0])], "label STRING, embedding ARRAY<DOUBLE>"
+    ).transform(t("embedding_mean_pool")).collect()[0]
+    assert mp["embedding_mean"] == [2.0, 2.0]  # comp2: 2.0/1, not 2.0/2
+    # pca stats: a NaN cell excludes its ROW; moments equal the clean subset
+    dirty = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [nan, 5.0]), (3, [3.0, 4.0])],
+        "id LONG, embedding ARRAY<DOUBLE>",
+    )
+    clean = dirty.filter("id != 2")
+    stats_d = sorted(tuple(r) for r in dirty.transform(
+        t("embedding_pca", mode="stats", n_components=1)
+    ).collect())
+    stats_c = sorted(tuple(r) for r in clean.transform(
+        t("embedding_pca", mode="stats", n_components=1)
+    ).collect())
+    assert stats_d == stats_c
+    assert all(v > -2**62 for _, _, v in stats_d)  # no INT64_MIN poison
+    # random projection: poisoned rows project to all-NULL components on
+    # BOTH physical paths (the Arrow boundary erases NaN both ways, so
+    # NULL is the one marker the paths can agree on); clean rows equal
+    kern = dirty.transform(
+        t("embedding_random_projection", out_dim=2, method="kernel")
+    ).collect()
+    unro = dirty.transform(
+        t("embedding_random_projection", out_dim=2, method="unroll")
+    ).collect()
+    for rk, ru in zip(sorted(kern, key=lambda r: r["id"]),
+                      sorted(unro, key=lambda r: r["id"])):
+        assert rk["embedding_rp"] == ru["embedding_rp"], rk["id"]
+        if rk["id"] == 2:
+            assert list(rk["embedding_rp"]) == [None, None]
