@@ -5036,7 +5036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dp38/dp45/dp92/dp93/dp110/dp122 — the window cannot hold them AND
     # the full r09 cohort (the r13 verdict's explicit done criterion),
     # so they were value-verified via the committed check_oracle run
-    # (ALL MATCH) and LEAD the r15 window. Entries 51+ still get
+    # (ALL MATCH) and LEAD the r15 window — as do the third-batch
+    # (ANN/graph review) touched queries dp12/dp13/dp112/dp116/dp117/
+    # dp130/dp131/dp87 (same ALL-MATCH evidence). Entries 51+ still get
     # value-verified every round via tools/check_oracle.py; the window
     # derivation is pinned by tests/test_entry_registry.py.
     return {

@@ -79,6 +79,16 @@ def _floordiv(s: int, n: int) -> int:
     return -((-s + n - 1) // n)
 
 
+def _usable_sample(col_name: str):
+    """Sample predicate for codebook/centroid/query draws: the vector
+    exists AND carries no null element — a null element breaks the exact
+    int64 algebra the driver-side literals feed (np int64 conversion
+    raises on None; r14 review finding). Rows failing this still flow
+    through assignment/encode under the null-code contract."""
+    c = F.col(col_name)
+    return c.isNotNull() & ~F.exists(c, lambda x: x.isNull())
+
+
 def _quantize_expr(input_col: str, scale: int):
     return F.transform(
         F.col(input_col),
@@ -286,10 +296,16 @@ def embedding_kmeans(
                     F.lit(None).cast("int").alias(output_col),
                     F.lit(None).cast("long").alias(f"{output_col}_dist"),
                 ).limit(0)
+            # non-null rows: distance 0 over zero dimensions; NULL
+            # embeddings keep the documented cluster-0/null-dist
+            # contract even here (r14 review finding)
+            zdist = F.when(
+                F.col(input_col).isNotNull(), F.lit(0).cast("long")
+            )
             return df.select(
                 "*",
                 F.lit(0).cast("int").alias(output_col),
-                F.lit(0).cast("long").alias(f"{output_col}_dist"),
+                zdist.alias(f"{output_col}_dist"),
             )
         q = df.select(
             F.col(id_col).alias("__km_id"),
@@ -300,7 +316,7 @@ def embedding_kmeans(
             # md5 order but is no usable centroid (assignment still gives
             # null rows the cluster-0/null-dist contract)
             init = (
-                q.filter(F.col("__km_v").isNotNull())
+                q.filter(_usable_sample("__km_v"))
                 .select(
                     "__km_v",
                     F.md5(F.col("__km_id").cast("string")).alias("__h"),
@@ -508,12 +524,15 @@ def embedding_kmeans_hier(
         if dim == 0:
             if df.isEmpty():
                 return df.select("*", *null_cols).limit(0)
+            zdist = F.when(
+                F.col(input_col).isNotNull(), F.lit(0).cast("long")
+            )  # null embeddings keep the null-dist contract (r14 review)
             return df.select(
                 "*",
                 F.lit(0).cast("int").alias(f"{output_col}_coarse"),
                 F.lit(0).cast("int").alias(f"{output_col}_fine"),
                 F.lit(0).cast("int").alias(output_col),
-                F.lit(0).cast("long").alias(f"{output_col}_dist"),
+                zdist.alias(f"{output_col}_dist"),
             )
         q = df.select(
             F.col(id_col).alias("__km_id"),
@@ -523,7 +542,7 @@ def embedding_kmeans_hier(
             # ----- level 1: the flat trainer, verbatim semantics -----
             # (incl. its non-null init filter — see embedding_kmeans)
             init = (
-                q.filter(F.col("__km_v").isNotNull())
+                q.filter(_usable_sample("__km_v"))
                 .select(
                     "__km_v",
                     F.md5(F.col("__km_id").cast("string")).alias("__h"),
@@ -554,7 +573,7 @@ def embedding_kmeans_hier(
                 F.md5(F.col("__km_id").cast("string")), "__km_id"
             )
             sub_init = (
-                g.filter(F.col("__km_v").isNotNull())
+                g.filter(_usable_sample("__km_v"))
                 .select(
                     "__km_g", "__km_v", (F.row_number().over(w) - 1).alias("__r")
                 )
@@ -712,7 +731,7 @@ def embedding_pq_encode(
             _quantize_expr(input_col, quant_scale).alias("__pq_v"),
         )
         init = (
-            q.filter(F.col("__pq_v").isNotNull()).select(
+            q.filter(_usable_sample("__pq_v")).select(
                 "__pq_v",
                 F.md5(F.col("__pq_id").cast("string")).alias("__h"),
                 "__pq_id",
@@ -740,7 +759,14 @@ def embedding_pq_encode(
             out_d = np.full(n, None, dtype=object)
             mask = v.notna().to_numpy()
             if mask.any():
-                X = np.stack(v[mask].to_numpy()).astype(np.int64)
+                # route null-ELEMENT rows out like every other kernel in
+                # this file (astype over an object/NaN batch either
+                # crashes or INT64_MIN-poisons the codes — r14 review);
+                # they keep the null-code contract of null embeddings
+                X, good = _clean_int_rows(v[mask].to_numpy())
+                if good is not None:
+                    mask[np.flatnonzero(mask)] = good
+            if mask.any():
                 Xs = X.reshape(len(X), m, sub)
                 xnorm = (Xs * Xs).sum(axis=2)  # (n, m)
                 # (n, m, k) exact int64 distance expansion per subspace
@@ -849,7 +875,7 @@ def knn_pq(
             _quantize_expr(embedding_col, quant_scale).alias("__pq_v"),
         )
         init = (
-            q.filter(F.col("__pq_v").isNotNull())
+            q.filter(_usable_sample("__pq_v"))
             .select(
                 "__pq_v",
                 F.md5(F.col("__pq_id").cast("string")).alias("__h"),
@@ -869,7 +895,7 @@ def knn_pq(
                 F.col(id_col).alias("__pq_id"),
                 _quantize_expr(embedding_col, quant_scale).alias("__pq_v"),
             )
-            .filter(F.col("__pq_v").isNotNull())
+            .filter(_usable_sample("__pq_v"))
             .limit(max_q + 1)
             .collect()
         )
@@ -905,7 +931,11 @@ def knn_pq(
             mask = v.notna().to_numpy()
             if not mask.any():
                 return None, mask
-            X = np.stack(v[mask].to_numpy()).astype(np.int64)
+            X, good = _clean_int_rows(v[mask].to_numpy())
+            if good is not None:  # null-element rows drop out (r14 review)
+                mask[np.flatnonzero(mask)] = good
+            if not mask.any():
+                return None, mask
             Xs = X.reshape(len(X), m, sub)
             xnorm = (Xs * Xs).sum(axis=2)
             cross = np.einsum("nms,mks->nmk", Xs, books)
@@ -985,6 +1015,24 @@ def knn_pq(
                             out[i] = next(di).tolist()
                 return pd.Series(out)
 
+            # (qi -> query_id) as a tiny BROADCAST lookup frame: a
+            # literal array of up to max_q ids baked into the plan is
+            # the literal-table pattern this module's header bans —
+            # O(|queries|) plan nodes re-evaluated per exploded corpus
+            # row (r14 review finding)
+            from pyspark.sql import types as _T
+
+            qmap = F.broadcast(
+                df.sparkSession.createDataFrame(
+                    list(enumerate(qids)),
+                    _T.StructType(
+                        [
+                            _T.StructField("__qi", _T.IntegerType()),
+                            _T.StructField("query_id", id_type),
+                        ]
+                    ),
+                )
+            )
             scored = (
                 q.select("__pq_id", adc(F.col("__pq_v")).alias("__ds"))
                 .filter(F.col("__ds").isNotNull())
@@ -992,12 +1040,7 @@ def knn_pq(
                     F.col("__pq_id").alias("neighbor_id"),
                     F.posexplode("__ds").alias("__qi", "adc_dist"),
                 )
-                .withColumn(
-                    "query_id",
-                    F.element_at(
-                        F.array(*[F.lit(i) for i in qids]), F.col("__qi") + 1
-                    ),
-                )
+                .join(qmap, "__qi")
                 .filter(F.col("query_id") != F.col("neighbor_id"))
             )
         w = Window.partitionBy("query_id").orderBy(

@@ -234,8 +234,21 @@ def pagerank(
         )
         n = nodes.count()
         if n == 0:
+            # empty-graph schema must MATCH the populated path's: node
+            # keeps the caller's src column type (a long-typed empty
+            # frame breaks unions with string-keyed outputs — r14 review)
+            from pyspark.sql import types as T
+
+            ndt = df.schema[src_col].dataType
             return df.sparkSession.createDataFrame(
-                [], f"node long, {output_col}_s long, {output_col} double"
+                [],
+                T.StructType(
+                    [
+                        T.StructField("node", ndt),
+                        T.StructField(f"{output_col}_s", T.LongType()),
+                        T.StructField(output_col, T.DoubleType()),
+                    ]
+                ),
             )
         init_s = SCALE // n
         base_s = (3 * SCALE) // (20 * n)

@@ -20,6 +20,7 @@ from typing import Callable, List, Optional
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
 
@@ -244,33 +245,44 @@ def knn_lsh(
     """
 
     def _knn(df: DataFrame) -> DataFrame:
-        # corpus AND query sides both read sigs — persist so the projection
-        # groupBy (the heavy signature pass) materializes once
+        # corpus AND query sides both read sigs — persist so the heavy
+        # signature pass materializes once
         sigs = hyperplane_signatures(
             df, embedding_col, id_col, num_planes, num_tables, dim=dim
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        corpus = sigs.select(
-            F.col("__bid").alias("neighbor_id"), F.col("__bv").alias("__cv"), "__t", "__sig"
-        )
-        queries = sigs.join(
-            F.broadcast(df.filter(query_filter).select(F.col(id_col).alias("__bid"))),
-            "__bid",
-        ).select(
-            F.col("__bid").alias("query_id"), F.col("__bv").alias("__qv"), "__t", "__sig"
-        )
-        cands = (
-            F.broadcast(queries)
-            .join(corpus, ["__t", "__sig"])
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .dropDuplicates(["query_id", "neighbor_id"])
-        )
-        scored = cands.withColumn("score", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "score", "rank")
-        )
+        try:
+            corpus = sigs.select(
+                F.col("__bid").alias("neighbor_id"), F.col("__bv").alias("__cv"), "__t", "__sig"
+            )
+            queries = sigs.join(
+                F.broadcast(df.filter(query_filter).select(F.col(id_col).alias("__bid"))),
+                "__bid",
+            ).select(
+                F.col("__bid").alias("query_id"), F.col("__bv").alias("__qv"), "__t", "__sig"
+            )
+            cands = (
+                F.broadcast(queries)
+                .join(corpus, ["__t", "__sig"])
+                .filter(F.col("query_id") != F.col("neighbor_id"))
+                .dropDuplicates(["query_id", "neighbor_id"])
+            )
+            scored = cands.withColumn("score", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+            w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+            out = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "score", "rank")
+            )
+            # materialize, then release the cache handle: the persist
+            # used to outlive the call FOREVER (one leaked signature set
+            # per invocation in a long session — r14 review finding);
+            # the knn_ivf_hier eager-checkpoint convention keeps the
+            # EXECUTED logical plan reachable for plan gates
+            result = out.localCheckpoint(eager=True)
+            result._lhe_plan_df = out
+            return result
+        finally:
+            sigs.unpersist()
 
     return _knn
 
@@ -315,13 +327,24 @@ def knn_ivf(
             F.substring(F.md5(F.col("__vid").cast("string")), 1, 15), 16, 10
         ).cast("long")
         centroids = (
-            base.orderBy(chash.asc(), F.col("__vid").asc())
+            # null/empty embeddings can win the md5 order but are no
+            # usable centroid (cosine(x, null)=0 makes a dead list that
+            # negative-similarity vectors still assign to) — the
+            # embedding_kmeans init rule (r14 review finding)
+            base.filter(F.col("__v").isNotNull() & (F.size("__v") > 0))
+            .orderBy(chash.asc(), F.col("__vid").asc())
             .limit(num_centroids)
             .select(F.col("__vid").alias("centroid_id"), F.col("__v").alias("__cv"))
         )
         if iters > 0:
-            probe = df.select(F.size(vec).alias("d")).first()
-            dim = probe["d"] if probe is not None else 1  # empty corpus
+            # aggregate width probe over non-null embeddings — a null
+            # FIRST row must not zero the width (the dp97 review lesson)
+            probe = df.select(F.max(F.size(vec)).alias("d")).first()
+            dim = (
+                int(probe["d"])
+                if probe is not None and probe["d"] is not None and probe["d"] > 0
+                else 1  # empty corpus
+            )
             for _ in range(iters):
                 # Lloyd round: broadcast-assign, then per-cluster mean. The
                 # element-wise mean is dim scalar AVG aggregates (codegen,
@@ -451,8 +474,20 @@ def knn_ivf_hier(
             probe = base.select(F.max(F.size("__qv")).alias("d")).first()
             dim = int(probe["d"]) if probe and probe["d"] is not None else 0
             if dim == 0:
+                # degenerate-corpus schema must MATCH the populated
+                # path's (ids keep the caller's id_col type — the
+                # knn_pq schema-flip lesson, r14 review finding)
+                idt = df.schema[id_col].dataType
                 return base.sparkSession.createDataFrame(
-                    [], "query_id long, neighbor_id long, score double, rank int"
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("query_id", idt),
+                            T.StructField("neighbor_id", idt),
+                            T.StructField("score", T.DoubleType()),
+                            T.StructField("rank", T.IntegerType()),
+                        ]
+                    ),
                 )
             sums = [
                 F.sum(F.element_at("__qv", i + 1)).alias(f"__s{i}")
@@ -472,7 +507,15 @@ def knn_ivf_hier(
             cents = cents_raw.select(
                 "__cell", F.array(*mean_exprs).alias("__cv")
             )
-            q = base.filter(query_filter.replace(id_col, "__vid")).select(
+            # filter the CALLER's frame and semi-join (the knn_pq/knn_lsh
+            # pattern): a naive rename-rewrite of the predicate corrupts
+            # filters where id_col appears as a substring of another name
+            # or that reference non-id columns (r14 review finding)
+            qsrc = df.filter(query_filter) if query_filter else df
+            q = base.join(
+                F.broadcast(qsrc.select(F.col(id_col).alias("__vid"))),
+                "__vid",
+            ).select(
                 F.col("__vid").alias("query_id"),
                 F.col("__v").alias("__queryv"),
                 F.col("__qv").alias("__queryq"),
@@ -658,6 +701,12 @@ def knn_mmr_rerank(
             F.broadcast(queries)
             .join(corpus, F.col("query_id") != F.col("neighbor_id"))
             .withColumn("__rel", rel)
+            # a null ELEMENT inside either quantized vector nulls the
+            # relevance fold — such pairs are unrankable and would crash
+            # (or INT64_MIN-poison) the greedy kernel's astype(int64)
+            # (r14 review finding); a poisoned QUERY thereby yields no
+            # output rows, a poisoned candidate just drops out
+            .filter(F.col("__rel").isNotNull())
             .withColumn("__rr", F.row_number().over(w))
             .filter(F.col("__rr") <= shortlist)
             .select("query_id", "neighbor_id", "__rel", "__nv")

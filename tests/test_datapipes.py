@@ -6091,3 +6091,97 @@ def test_r14_sampling_joins_review_fixes(spark):
     only_map = spark.createDataFrame([({"a": "b"},)], "meta MAP<STRING,STRING>")
     with pytest.raises(ValueError, match="salt_on"):
         salted_join(rdim, on=["k"], salt=2)(only_map).collect()
+
+
+def test_r14_ann_graph_review_fixes(spark):
+    """Regression pins for the round-14 clustering/similarity/graph
+    review findings."""
+    nan = float("nan")
+
+    # (1) knn_ivf_hier: query_filter may reference NON-id columns and
+    # ids appearing as substrings of other names (the old rename-rewrite
+    # corrupted both)
+    rows = [(i, f"cat{i % 2}", [float(i), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id LONG, category_id STRING, embedding ARRAY<DOUBLE>")
+    out = df.transform(
+        t("knn_ivf_hier", id_col="id", k=2,
+          query_filter="id < 4 AND category_id = 'cat0'",
+          k_coarse=2, k_fine=2, nprobe=4)
+    ).collect()
+    assert {r["query_id"] for r in out} == {0, 2}
+
+    # (2) pq kernels: null-ELEMENT rows route out instead of crashing /
+    # INT64_MIN-poisoning the batch
+    dirty = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, None, 3.0, 4.0]),
+         (3, [4.0, 3.0, 2.0, 1.0]), (4, None)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    enc = {r["vec_id"]: r for r in dirty.transform(
+        t("embedding_pq_encode", m=2, k=2)
+    ).collect()}
+    assert enc[1]["pq_code"] is not None and enc[3]["pq_code"] is not None
+    assert enc[2]["pq_code"] is None and enc[4]["pq_code"] is None
+    knn = dirty.transform(
+        t("knn_pq", m=2, num_codes=2, k=2, query_filter="vec_id = 1")
+    ).collect()
+    assert all(r["neighbor_id"] != 2 for r in knn)  # dirty row dropped
+    mmr = dirty.transform(
+        t("knn_mmr_rerank", k=2, shortlist=4, query_filter="vec_id = 1")
+    ).collect()
+    assert mmr and all(r["neighbor_id"] in (3,) or r["neighbor_id"] != 2
+                       for r in mmr)
+
+    # (3) knn_ivf: null embeddings are never sampled as centroids and a
+    # null FIRST row doesn't zero the Lloyd dim probe
+    withnull = spark.createDataFrame(
+        [(0, None)] + [(i, [float(i), 1.0]) for i in range(1, 9)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    ivf = withnull.transform(
+        t("knn_ivf", k=2, num_centroids=3, nprobe=3, iters=1,
+          query_filter="vec_id = 1")
+    ).collect()
+    assert ivf and all(r["neighbor_id"] != 0 for r in ivf)
+
+    # (4) degenerate-corpus / empty-graph schemas keep the caller's id
+    # type (string ids used to flip to long)
+    sdf = spark.createDataFrame(
+        [("a", None)], "vec_id STRING, embedding ARRAY<DOUBLE>"
+    )
+    deg = sdf.transform(t("knn_ivf_hier", id_col="vec_id", k=1,
+                          query_filter="vec_id = 'a'"))
+    assert dict(deg.dtypes)["query_id"] == "string" and deg.count() == 0
+    eg = spark.createDataFrame([], "src STRING, dst STRING").transform(
+        t("graph_pagerank")
+    )
+    assert dict(eg.dtypes)["node"] == "string" and eg.count() == 0
+
+    # (5) kmeans dim==0: null embeddings keep the null-dist contract
+    zw = spark.createDataFrame(
+        [(1, []), (2, None)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    km = {r["vec_id"]: r for r in zw.transform(
+        t("embedding_kmeans", id_col="vec_id", k=2)
+    ).collect()}
+    assert km[1]["cluster_dist"] == 0 and km[2]["cluster_dist"] is None
+
+    # (6) knn_lsh releases its signature cache: the DataFrame persist
+    # (plan-cache keyed, NEVER reclaimed by GC) is gone; what remains is
+    # at most the result's localCheckpoint block, which the
+    # ContextCleaner reclaims when the result is dereferenced —
+    # GC-bounded instead of a permanent per-invocation leak
+    import gc as _gc
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(30)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    res = emb.transform(t("knn_lsh", k=2, query_filter="vec_id < 3"))
+    res.collect()
+    mid = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert mid <= before + 1, (before, mid)  # only the checkpoint block
+    del res
+    _gc.collect()
