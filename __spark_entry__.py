@@ -5038,7 +5038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so they were value-verified via the committed check_oracle run
     # (ALL MATCH) and LEAD the r15 window — as do the third-batch
     # (ANN/graph review) touched queries dp12/dp13/dp112/dp116/dp117/
-    # dp130/dp131/dp87 (same ALL-MATCH evidence). Entries 51+ still get
+    # dp130/dp131/dp87 and the fourth-batch (text review) queries
+    # dp21/dp23/dp34/dp47/dp98/dp102/dp108/dp109/dp115/dp119/dp120/
+    # dp123/dp138 (same ALL-MATCH evidence). Entries 51+ still get
     # value-verified every round via tools/check_oracle.py; the window
     # derivation is pinned by tests/test_entry_registry.py.
     return {
@@ -6500,8 +6502,8 @@ def oracle_sql() -> dict[str, str]:
               FROM staged
             ), keyed AS (
               SELECT doc_id, idx, line,
-                     (length(trim(line)) < 1) OR
-                     (ROW_NUMBER() OVER (PARTITION BY md5(trim(line))
+                     (length(regexp_replace(line, '^[\t\x0b\f\r ]+|[\t\x0b\f\r ]+$', '', 'g')) < 1) OR
+                     (ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(line, '^[\t\x0b\f\r ]+|[\t\x0b\f\r ]+$', '', 'g'))
                                          ORDER BY doc_id, idx) = 1) AS keep
               FROM ln
             )
@@ -7946,11 +7948,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             lines AS (
-              SELECT doc_id, trim(l) AS l
+              SELECT doc_id, regexp_replace(l, '^[\t\x0b\f\r ]+|[\t\x0b\f\r ]+$', '', 'g') AS l
               FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''),
                                                        chr(10))) AS l
                     FROM lined)
-              WHERE trim(l) <> ''
+              WHERE regexp_replace(l, '^[\t\x0b\f\r ]+|[\t\x0b\f\r ]+$', '', 'g') <> ''
             ),
             grp AS (
               SELECT doc_id, l, COUNT(*) AS c FROM lines GROUP BY 1, 2

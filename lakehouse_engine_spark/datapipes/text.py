@@ -33,6 +33,21 @@ def tokens_lower(col: Column) -> Column:
     return tokens(F.lower(col))
 
 
+# Line-level whitespace trim shared by the line dedup/stats family:
+# an explicit class, NOT F.trim (strips 0x20 only — CRLF pages end every
+# line in \r, so blank separators survived "trimmed" checks and got
+# corpus-wide deduplicated; r14 review finding, reproduced) and NOT \s
+# (Java includes \x0b, RE2 excludes it — the class below is identical
+# in Java regex, RE2, and the DuckDB oracles).
+LINE_WS_CLASS = r"[\t\x0b\f\r ]"
+
+
+def ws_line_trim(c):
+    return F.regexp_replace(
+        c, f"^{LINE_WS_CLASS}+|{LINE_WS_CLASS}+$", ""
+    )
+
+
 def spread_scan(df: DataFrame) -> DataFrame:
     """Raise a starved scan to the session's parallelism before
     per-row-heavy work (gram construction, Misra-Gries summaries, Arrow
@@ -44,13 +59,13 @@ def spread_scan(df: DataFrame) -> DataFrame:
     defaultParallelism partitions and this is a no-op — the corpus is
     never shuffled just-in-case. Round-robin, so skewless regardless of
     upstream keying."""
-    sc = df.sparkSession.sparkContext
-    p = sc.defaultParallelism
-    try:
-        have = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - exotic plans; keep the scan
-        return df
-    return df.repartition(p) if have < p else df
+    # one copy of the gate: datapipes/parallel.py ensure_parallelism is
+    # the same gated round-robin repartition — delegating keeps the two
+    # callsite families (spread_scan vs ensure_parallelism) from
+    # drifting (r14 review finding)
+    from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
+
+    return ensure_parallelism(df)
 
 
 # BPE-ish lexer: word pieces OR runs of non-word/non-space punctuation —
@@ -203,6 +218,15 @@ def pii_redact(
     is taken per pattern *before* its replacement, on the text as already
     redacted by earlier patterns — so a string is never counted twice.
     """
+    if kinds is not None:
+        known = {p[0] for p in PII_PATTERNS}
+        unknown = sorted(set(kinds) - known)
+        if unknown:
+            raise ValueError(
+                f"text_pii_redact: unknown kinds {unknown}; valid: "
+                f"{sorted(known)} (a typo here would silently disable "
+                "redaction while reporting n_pii=0)"
+            )
     selected = [p for p in PII_PATTERNS if kinds is None or p[0] in kinds]
 
     def _redact(df: DataFrame) -> DataFrame:
@@ -307,6 +331,10 @@ def decontaminate(
     groupBy on the (rare) matching grams. With ``broadcast_benchmark=False``
     the same plan runs as a shuffle join for giant benchmark sets.
     """
+    if mode not in ("flag", "drop"):
+        raise ValueError(
+            f"decontaminate: mode must be flag|drop, got {mode!r}"
+        )
 
     def _decon(df: DataFrame) -> DataFrame:
         from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
@@ -387,8 +415,17 @@ def decontaminate_bloom(
     salted with ``#b2``), probe i sets ``(h1 + i*h2) % num_bits`` — so
     DuckDB replays the exact bitmap and the exact collisions.
     """
+    if mode not in ("flag", "drop"):
+        raise ValueError(
+            f"decontaminate_bloom: mode must be flag|drop, got {mode!r}"
+        )
     if num_hashes < 1:
         raise ValueError("text_decontaminate_bloom: num_hashes must be >= 1")
+    if num_bits < 1:
+        raise ValueError(
+            f"text_decontaminate_bloom: num_bits must be >= 1, got {num_bits}"
+            " (pmod by 0 is an executor-side ANSI divide-by-zero)"
+        )
     if num_bits > 1 << 27:
         raise ValueError(
             "text_decontaminate_bloom: num_bits > 2^27 would materialize a "
@@ -401,8 +438,16 @@ def decontaminate_bloom(
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
     def _positions(gram: Column) -> List[Column]:
+        # (h1 + i*h2) % m computed as (h1%m + i*(h2%m)) % m: identical
+        # residues, but i*(h2 % 2^27) stays far below 2^63 where the raw
+        # i*h2 of two 60-bit hashes overflows long for i >= 8 — an ANSI
+        # ARITHMETIC_OVERFLOW at num_hashes >= 9 (r14 review, reproduced)
         h1, h2 = _h(gram), _h(gram, "#b2")
-        return [F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)]
+        h1m, h2m = F.pmod(h1, F.lit(num_bits)), F.pmod(h2, F.lit(num_bits))
+        return [
+            F.pmod(h1m + F.lit(i) * h2m, F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
 
     # Probe design notes (both rejected shapes die at scale): a MapType
     # bitmap makes element_at a LINEAR SCAN of ~num_bits/60 entries per
@@ -447,8 +492,12 @@ def decontaminate_bloom(
 
         probe_cols = {}
         for i in range(num_hashes):
+            # same overflow-safe residue arithmetic as _positions (the
+            # build side) — raw i*h2 overflows long at i >= 8
             p = F.pmod(
-                F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(num_bits)
+                F.pmod(F.col("__h1"), F.lit(num_bits))
+                + F.lit(i) * F.pmod(F.col("__h2"), F.lit(num_bits)),
+                F.lit(num_bits),
             )
             byte_pos = F.floor(p / 8).cast("int") + F.lit(1)
             probe_cols[f"__b{i}"] = F.conv(
@@ -936,6 +985,10 @@ def quality_prune(
     projection that whole-stage-codegens and composes with pushdown at
     100 TB).
     """
+    if mode not in ("flag", "drop"):
+        raise ValueError(
+            f"quality_prune: mode must be flag|drop, got {mode!r}"
+        )
 
     def _prune(df: DataFrame) -> DataFrame:
         c = F.col(input_col)
@@ -1400,11 +1453,11 @@ def line_dedup(
         lines = df.select(
             F.col(id_col).alias("__id"),
             F.posexplode(F.split(F.col(input_col), "\n")).alias("__idx", "__line"),
-        ).withColumn("__key", F.md5(F.trim("__line")))
+        ).withColumn("__key", F.md5(ws_line_trim(F.col("__line"))))
         w = Window.partitionBy("__key").orderBy("__id", "__idx")
         kept = lines.withColumn(
             "__keep",
-            (F.length(F.trim("__line")) < min_line_chars)
+            (F.length(ws_line_trim(F.col("__line"))) < min_line_chars)
             | (F.row_number().over(w) == 1),
         )
         rebuilt = (
@@ -1950,21 +2003,31 @@ def corpus_overlap_stats(
                 "n_grams_self",
                 "n_grams_other",
                 "n_shared",
-                F.round(
-                    F.col("n_shared")
-                    / (
-                        F.col("n_grams_self")
-                        + F.col("n_grams_other")
-                        - F.col("n_shared")
+                # an EMPTY corpus side makes every ratio undefined — NULL,
+                # never an ANSI DIVIDE_BY_ZERO mid-audit (r14 review
+                # finding, reproduced; count()-only smoke tests prune the
+                # failing projections, so the guard must live here)
+                F.when(
+                    (F.col("n_grams_self") + F.col("n_grams_other")
+                     - F.col("n_shared")) > 0,
+                    F.round(
+                        F.col("n_shared")
+                        / (
+                            F.col("n_grams_self")
+                            + F.col("n_grams_other")
+                            - F.col("n_shared")
+                        ),
+                        6,
                     ),
-                    6,
                 ).alias("jaccard"),
-                F.round(F.col("n_shared") / F.col("n_grams_self"), 6).alias(
-                    "containment_self"
-                ),
-                F.round(F.col("n_shared") / F.col("n_grams_other"), 6).alias(
-                    "containment_other"
-                ),
+                F.when(
+                    F.col("n_grams_self") > 0,
+                    F.round(F.col("n_shared") / F.col("n_grams_self"), 6),
+                ).alias("containment_self"),
+                F.when(
+                    F.col("n_grams_other") > 0,
+                    F.round(F.col("n_shared") / F.col("n_grams_other"), 6),
+                ).alias("containment_other"),
             )
         )
 
@@ -2031,23 +2094,25 @@ def unicode_normalize(
                 lambda x: unicodedata.normalize(form, x) if x is not None else None
             )
 
-        out = df.withColumn(out_col, _nfx(F.col(input_col)))
-        if flag_changed:
-            src = input_col if out_col != input_col else out_col
-            if out_col == input_col:
-                # need the original to compare: recompute on a temp col
-                out = df.withColumn("__orig", F.col(input_col)).withColumn(
-                    out_col, _nfx(F.col(input_col))
-                )
-                out = out.withColumn(
+        # one plan per branch — the in-place flag_changed arm needs the
+        # ORIGINAL on a temp column; building the plain plan first and
+        # discarding it was dead code (r14 review finding)
+        if flag_changed and out_col == input_col:
+            return (
+                df.withColumn("__orig", F.col(input_col))
+                .withColumn(out_col, _nfx(F.col(input_col)))
+                .withColumn(
                     "unicode_changed",
                     ~F.col(out_col).eqNullSafe(F.col("__orig")),
-                ).drop("__orig")
-            else:
-                out = out.withColumn(
-                    "unicode_changed",
-                    ~F.col(out_col).eqNullSafe(F.col(src)),
                 )
+                .drop("__orig")
+            )
+        out = df.withColumn(out_col, _nfx(F.col(input_col)))
+        if flag_changed:
+            out = out.withColumn(
+                "unicode_changed",
+                ~F.col(out_col).eqNullSafe(F.col(input_col)),
+            )
         return out
 
     return _norm
@@ -2642,14 +2707,16 @@ def decontaminate_spans(
             .join(bench, "__gh")
             .select("__id", "__p")
         )
-        hit_ids = starts.select("__id").distinct()
         hit_starts = starts.groupBy("__id").agg(
             F.array_sort(F.collect_list("__p")).alias("__ps")
         )
-        # dirty docs only: kept-token islands -> fragments
-        dirty = toks.join(hit_ids, "__id", "left_semi").join(
-            hit_starts, "__id"
-        )
+        # the dirty-doc marker set, derived from the ALREADY-aggregated
+        # starts (no extra distinct pass over the starts frame)
+        hit_ids = hit_starts.select("__id")
+        # dirty docs only: the inner join against hit_starts restricts
+        # to exactly the hit ids — the former extra left_semi on a
+        # distinct-ids frame bought nothing (r14 review finding)
+        dirty = toks.join(hit_starts, "__id")
         kept = (
             dirty.select(
                 "__id",
@@ -2853,7 +2920,7 @@ def dup_line_stats(
                                 ),
                                 sep,
                             ),
-                            lambda l: F.trim(l),
+                            lambda l: ws_line_trim(l),
                         ),
                         lambda l: l != "",
                     )

@@ -6185,3 +6185,76 @@ def test_r14_ann_graph_review_fixes(spark):
     assert mid <= before + 1, (before, mid)  # only the checkpoint block
     del res
     _gc.collect()
+
+
+def test_r14_text_review_fixes(spark):
+    """Regression pins for the round-14 text.py review findings."""
+    # (1) corpus_overlap_stats: an EMPTY side yields NULL ratios, never
+    # an ANSI divide-by-zero at collect time
+    from lakehouse_engine_spark.datapipes.text import corpus_overlap_stats
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    other = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                                  "doc_id LONG, text STRING")
+    row = empty.transform(corpus_overlap_stats(other)).collect()[0]
+    assert row["n_grams_self"] == 0 and row["containment_self"] is None
+    # the union is non-empty (other side has grams), so jaccard is a
+    # well-defined 0.0; only the empty-side containment is undefined
+    assert row["jaccard"] == 0.0 and row["containment_other"] == 0.0
+    both_empty = empty.transform(corpus_overlap_stats(
+        spark.createDataFrame([], "doc_id LONG, text STRING")
+    )).collect()[0]
+    assert both_empty["jaccard"] is None
+    assert both_empty["containment_self"] is None
+    assert both_empty["containment_other"] is None
+
+    # (2) CRLF pages: blank '\r' separators are NOT corpus-deduplicated
+    # and don't count as duplicate lines
+    crlf = spark.createDataFrame(
+        [(1, "para one.\r\n\r\npara two.\r"), (2, "intro.\r\n\r\noutro.\r")],
+        "doc_id LONG, text STRING",
+    )
+    ld = {r["doc_id"]: r for r in crlf.transform(
+        t("text_line_dedup", id_col="doc_id")
+    ).collect()}
+    # the blank '\r' separators are protected (not corpus-deduplicated):
+    # nothing removed, both documents keep all their lines
+    assert ld[1]["n_lines_removed"] == 0 and ld[2]["n_lines_removed"] == 0
+    assert ld[2]["text_deduped"].count("\n") == 2
+    dls = {r["doc_id"]: r for r in crlf.transform(
+        t("text_dup_line_stats", id_col="doc_id")
+    ).collect()}
+    assert all(r["n_dup_lines"] == 0 for r in dls.values())
+
+    # (3) bloom: num_hashes >= 9 runs without ARITHMETIC_OVERFLOW and
+    # still catches the contaminated doc; num_bits=0 fails fast
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today ok")],
+        "doc_id LONG, text STRING",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today ok fine"),
+         (2, "completely unrelated words occupy this entire document here")],
+        "doc_id LONG, text STRING",
+    )
+    from lakehouse_engine_spark.datapipes.text import decontaminate_bloom
+
+    hit = {r["doc_id"]: r["maybe_contaminated"] for r in corpus.transform(
+        decontaminate_bloom(bench, num_hashes=9)
+    ).collect()}
+    assert hit[1] is True and hit[2] is False
+    with pytest.raises(ValueError, match="num_bits"):
+        decontaminate_bloom(bench, num_bits=0)
+
+    # (4) mode / kinds typos fail at plan time
+    for name, kw in (
+        ("text_decontaminate", {"mode": "Drop"}),
+        ("text_quality_prune", {"mode": "remove"}),
+    ):
+        with pytest.raises(ValueError, match="mode"):
+            t(name, **kw) if name != "text_decontaminate" else \
+                __import__("lakehouse_engine_spark.datapipes.text",
+                           fromlist=["decontaminate"]).decontaminate(
+                    bench, mode="Drop")
+    with pytest.raises(ValueError, match="kinds"):
+        t("text_pii_redact", kinds=["emails"])
