@@ -5040,7 +5040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (ANN/graph review) touched queries dp12/dp13/dp112/dp116/dp117/
     # dp130/dp131/dp87 and the fourth-batch (text review) queries
     # dp21/dp23/dp34/dp47/dp98/dp102/dp108/dp109/dp115/dp119/dp120/
-    # dp123/dp138 (same ALL-MATCH evidence). Entries 51+ still get
+    # dp123/dp138 and the fifth-batch (stats/layout review) queries
+    # dp19/dp51/dp52/dp57/dp135/dp140 (same ALL-MATCH evidence;
+    # dp56/dp71/dp75/dp76 of that batch are already in this window). Entries 51+ still get
     # value-verified every round via tools/check_oracle.py; the window
     # derivation is pinned by tests/test_entry_registry.py.
     return {
@@ -6969,7 +6971,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'doc_id' AS "column", 'bigint' AS dtype,
                    COUNT(*) AS n_rows, COUNT(*) - COUNT(doc_id) AS n_nulls,
                    ROUND((COUNT(*) - COUNT(doc_id)) * 100.0 / COUNT(*), 4) AS null_pct,
-                   MIN(doc_id::VARCHAR) AS min_str, MAX(doc_id::VARCHAR) AS max_str
+                   CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str
             FROM documents
             UNION ALL
             SELECT 'lang', 'string', COUNT(*), COUNT(*) - COUNT(lang),
@@ -6979,7 +6981,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'n_chars', 'bigint', COUNT(*), COUNT(*) - COUNT(n_chars),
                    ROUND((COUNT(*) - COUNT(n_chars)) * 100.0 / COUNT(*), 4),
-                   MIN(n_chars::VARCHAR), MAX(n_chars::VARCHAR)
+                   CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
             FROM documents
         """,
         "dp20_dup_clusters": _minhash_cte(12, 4, 3).replace(
@@ -10035,17 +10037,19 @@ def oracle_sql() -> dict[str, str]:
                      CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
                      CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
                      CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
-                     CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+                     CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy,
+                     MIN(x) AS xlo, MAX(x) AS xhi,
+                     MIN(y) AS ylo, MAX(y) AS yhi
               FROM xy GROUP BY user_id
             )
             SELECT user_id, n,
-                   CAST(FLOOR(CASE WHEN n*sxx - sx*sx > 0
+                   CAST(FLOOR(CASE WHEN xlo <> xhi AND n*sxx - sx*sx > 0
                         THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END * 1e9 + 0.5)
                      AS BIGINT) AS slope_p,
-                   CAST(FLOOR(CASE WHEN n*sxx - sx*sx > 0
+                   CAST(FLOOR(CASE WHEN xlo <> xhi AND n*sxx - sx*sx > 0
                         THEN (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n END
                         * 1e4 + 0.5) AS BIGINT) AS icpt_u,
-                   CAST(FLOOR(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                   CAST(FLOOR(CASE WHEN xlo <> xhi AND n*sxx - sx*sx > 0 AND ylo <> yhi AND n*syy - sy*sy > 0
                         THEN (n*sxy - sx*sy) * (n*sxy - sx*sy)
                              / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END
                         * 1e8 + 0.5) AS BIGINT) AS r2_u
@@ -10121,7 +10125,8 @@ def oracle_sql() -> dict[str, str]:
                        THEN 'unchanged'
                        ELSE 'changed'
                      END AS status
-              FROM newsnap n FULL OUTER JOIN orders o USING (o_orderkey)
+              FROM newsnap n FULL OUTER JOIN orders o
+                ON n.o_orderkey IS NOT DISTINCT FROM o.o_orderkey
             )
             SELECT status, CAST(COUNT(*) AS BIGINT) AS n
             FROM classified GROUP BY status

@@ -73,18 +73,44 @@ def snapshot_diff(
             F.lit(True).alias("__in_new"),
         )
         o = right.select(
-            *key_cols,
+            *[
+                F.col(k).alias(f"__ok_{i}")
+                for i, k in enumerate(key_cols)
+            ],
             payload(right).alias("__old"),
             F.lit(True).alias("__in_old"),
         )
-        joined = n.join(o, on=key_cols, how="full_outer")
+        from functools import reduce as _reduce
+        from operator import and_ as _and
+
+        # NULL-SAFE key equality: the plain USING full_outer never
+        # matches a key with a NULL component, so the SAME key present
+        # in both snapshots was reported added AND removed (a CDC
+        # consumer would delete+reinsert it every run; r14 review)
+        cond = _reduce(
+            _and,
+            [
+                n[k].eqNullSafe(F.col(f"__ok_{i}"))
+                for i, k in enumerate(key_cols)
+            ],
+        )
+        joined = n.join(o, cond, "full_outer")
         status = (
             F.when(F.col("__in_old").isNull(), F.lit("added"))
             .when(F.col("__in_new").isNull(), F.lit("removed"))
             .when(F.col("__new").eqNullSafe(F.col("__old")), F.lit("unchanged"))
             .otherwise(F.lit("changed"))
         )
-        rows = joined.select(*key_cols, status.alias("status"))
+        # key values from whichever side exists — chosen by the presence
+        # FLAG, not coalesce (a legitimately-NULL key component must
+        # survive as NULL)
+        key_exprs = [
+            F.when(F.col("__in_new").isNotNull(), F.col(k))
+            .otherwise(F.col(f"__ok_{i}"))
+            .alias(k)
+            for i, k in enumerate(key_cols)
+        ]
+        rows = joined.select(*key_exprs, status.alias("status"))
         if mode == "rows":
             return rows
         return rows.groupBy("status").agg(

@@ -76,9 +76,19 @@ def cohort_retention(
 ) -> TransformerFn:
     """Cohort retention: keys bucketed by first-seen period, counted in
     every period they return. Output: ``(cohort, period_offset,
-    n_active)`` with offset in whole buckets (0 = the cohort's first
-    period). ``bucket`` is any ``date_trunc`` unit (week/month/day).
+    n_active)`` with offset in WHOLE BUCKETS (0 = the cohort's first
+    period). ``bucket``: day, week, month, quarter, or year — each unit
+    gets its own offset arithmetic (the old code measured every
+    non-day/week unit in MONTHS, so quarter cohorts got offsets 0,3,6…
+    and year cohorts 0,12,24…; sub-day units are rejected because the
+    period grid is a DATE; r14 review finding).
     """
+    if bucket not in ("day", "week", "month", "quarter", "year"):
+        raise ValueError(
+            f"cohort_retention: bucket must be day|week|month|quarter|"
+            f"year, got {bucket!r} (sub-day units would collapse on the "
+            "date grid)"
+        )
     days = {"day": 1, "week": 7}.get(bucket)
 
     def _cohort(df: DataFrame) -> DataFrame:
@@ -88,6 +98,10 @@ def cohort_retention(
         joined = active.join(first, on=on)
         if days is not None:
             offset = (F.datediff("period", "cohort") / days).cast("long")
+        elif bucket == "quarter":
+            offset = (F.months_between("period", "cohort") / 3).cast("long")
+        elif bucket == "year":
+            offset = (F.months_between("period", "cohort") / 12).cast("long")
         else:  # month cohorts: calendar months, not fixed-width days
             offset = F.months_between("period", "cohort").cast("long")
         return (
@@ -203,6 +217,28 @@ def _validate_pattern_args(on: List[str], symbols: Dict[str, str],
         raise ValueError("event pattern: default_symbol must be a single char")
 
 
+def _validate_pattern_regex(pattern: str) -> None:
+    """Reject patterns that can match the EMPTY string: regexp_count
+    counts a zero-width match at every position (pattern 'c*' on a
+    c-less sequence counts len+1 "matches") while first_match's empty
+    extract reads as no-match — inconsistent columns downstream filters
+    trip over (r14 review finding). Python re, Java regex, and RE2 agree
+    on empty-matchability for the supported syntax."""
+    import re as _re
+
+    try:
+        rx = _re.compile(pattern)
+    except _re.error as e:
+        raise ValueError(f"event pattern: invalid regex {pattern!r}: {e}")
+    if rx.match(""):
+        raise ValueError(
+            f"event pattern: {pattern!r} can match the empty string — "
+            "zero-width matches make n_matches and first_match "
+            "inconsistent; require at least one symbol (e.g. 'c+' not "
+            "'c*')"
+        )
+
+
 def map_symbols(stage_col: str, symbols: Dict[str, str],
                 default_symbol: Optional[str]):
     """NULL-safe symbol mapping column: NULL stage is ALWAYS dropped
@@ -252,6 +288,7 @@ def event_pattern_match(
     window over the raw events, no self-join, no Python.
     """
     _validate_pattern_args(on, symbols, default_symbol)
+    _validate_pattern_regex(pattern)
 
     def _match(df: DataFrame) -> DataFrame:
         sym = map_symbols(stage_col, symbols, default_symbol)

@@ -88,7 +88,14 @@ def _minmax_bucket_exprs(
     quantization rules, shared verbatim by layout_hilbert): exact-integer
     dims use overflow-safe scale-up/scale-down SQL `div`; float dims use
     the IEEE-exact power-of-two-scaled division; NULL -> bucket 0.
-    Assumes ``__k_{c}``/``__min_{c}``/``__max_{c}`` columns exist."""
+    Assumes ``__k_{c}``/``__min_{c}``/``__max_{c}`` columns exist.
+
+    Bound: an exact-integer dimension whose VALUE RANGE exceeds ~2^62
+    (e.g. raw xxhash64 output spanning the full int64 line) overflows
+    ``__max - __min + 1``; under this engine's ANSI mode that fails
+    LOUDLY with ARITHMETIC_OVERFLOW rather than interleaving garbage —
+    pre-bucket such columns (e.g. ``pmod(hash, 2^32)``) before
+    layouting on them (r14 review note)."""
     buckets: List[Column] = []
     scale = 1 << bits_per_col
     top = scale - 1
@@ -277,6 +284,14 @@ def zorder(
         raise ValueError(f"layout_zorder: unknown method {method!r}")
     if not cols:
         raise ValueError("layout_zorder: cols must be non-empty")
+    if bits_per_col < 1:
+        # bits_per_col=0 passed the <= 62 check and produced a
+        # constant-zero key: repartitionByRange on a constant collapses
+        # the whole write into one unsorted blob with no error (r14
+        # review finding; layout_hilbert already validates)
+        raise ValueError(
+            f"layout_zorder: bits_per_col must be >= 1, got {bits_per_col}"
+        )
     nbits = len(cols) * bits_per_col
     if nbits > 62:
         raise ValueError(

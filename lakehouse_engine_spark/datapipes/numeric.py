@@ -35,6 +35,31 @@ from lakehouse_engine_spark.datapipes.registry import register
 TransformerFn = Callable[[DataFrame], DataFrame]
 
 
+def _null_safe_attach(base: DataFrame, stats: DataFrame, keys, broadcast=False):
+    """Attach a per-group stats frame with NULL-SAFE key equality: the
+    plain ``join(on=keys)`` equi-join never matches NULL group keys, so
+    NULL-group rows silently VANISHED from winsorize/robust_scale/
+    zscore output even though groupBy had computed their stats row
+    (r14 review finding). Stats keys are renamed to avoid ambiguity and
+    dropped after the join."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    renamed = stats.select(
+        *[F.col(k).alias(f"__gk_{i}") for i, k in enumerate(keys)],
+        *[c for c in stats.columns if c not in keys],
+    )
+    if broadcast:
+        renamed = F.broadcast(renamed)
+    cond = _reduce(
+        _and,
+        [base[k].eqNullSafe(F.col(f"__gk_{i}")) for i, k in enumerate(keys)],
+    )
+    return base.join(renamed, cond).drop(
+        *[f"__gk_{i}" for i in range(len(keys))]
+    )
+
+
 @register("winsorize")
 def winsorize(
     value_col: str,
@@ -85,9 +110,13 @@ def winsorize(
                 F.col("__p")[1].alias(f"{value_col}_hi"),
             )
         )
-        if broadcast_stats:
+        if broadcast_stats and not keys:
             lim = F.broadcast(lim)
-        joined = df.join(lim, on=keys) if keys else df.crossJoin(lim)
+        joined = (
+            _null_safe_attach(df, lim, keys, broadcast=broadcast_stats)
+            if keys
+            else df.crossJoin(lim)
+        )
         lo, hi = F.col(f"{value_col}_lo"), F.col(f"{value_col}_hi")
         clipped = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
             F.least(F.greatest(v.cast("double"), lo), hi)
@@ -138,10 +167,10 @@ def robust_scale(
         v = F.col(value_col)
 
         def _attach(base: DataFrame, stats: DataFrame) -> DataFrame:
-            if broadcast_stats:
+            if broadcast_stats and not keys:
                 stats = F.broadcast(stats)
             return (
-                base.join(stats, on=keys)
+                _null_safe_attach(base, stats, keys, broadcast=broadcast_stats)
                 if keys
                 else base.crossJoin(stats)
             )
@@ -194,9 +223,13 @@ def zscore_normalize(
         stats = df.groupBy(*keys).agg(
             F.avg(v).alias("__mean"), std.alias("__std")
         )
-        if broadcast_stats:
+        if broadcast_stats and not keys:
             stats = F.broadcast(stats)
-        joined = df.join(stats, on=keys) if keys else df.crossJoin(stats)
+        joined = (
+            _null_safe_attach(df, stats, keys, broadcast=broadcast_stats)
+            if keys
+            else df.crossJoin(stats)
+        )
         z = F.when(
             (F.col("__std").isNull()) | (F.col("__std") == 0) | v.isNull(),
             F.lit(None).cast("double"),
@@ -298,6 +331,16 @@ def trend_fit(
             F.sum(d * e).alias("__sxy"),
             F.sum(d * d).alias("__sxx"),
             F.sum(e * e).alias("__syy"),
+            # exact constancy probes: n*sxx - sx*sx cancels EXACTLY in
+            # double only for integer-grid x; a constant non-integer x
+            # (0.1, 0.1, ...) leaves ~1e-18 of positive fp residue and
+            # the closed form emits garbage slopes instead of the
+            # documented NULL (r14 review finding) — min==max decides
+            # var==0 exactly at any dtype
+            F.min(d).alias("__xlo"),
+            F.max(d).alias("__xhi"),
+            F.min(e).alias("__ylo"),
+            F.max(e).alias("__yhi"),
         )
         n = F.col("n").cast("double")
         sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
@@ -306,9 +349,11 @@ def trend_fit(
         vx = n * sxx - sx * sx
         vy = n * syy - sy * sy
         cov = n * sxy - sx * sy
-        slope = F.when(vx > 0, cov / vx)
-        intercept = F.when(vx > 0, (sy - slope * sx) / n)
-        r2 = F.when((vx > 0) & (vy > 0), (cov * cov) / (vx * vy))
+        x_var = (F.col("__xlo") != F.col("__xhi")) & (vx > 0)
+        y_var = (F.col("__ylo") != F.col("__yhi")) & (vy > 0)
+        slope = F.when(x_var, cov / vx)
+        intercept = F.when(x_var, (sy - slope * sx) / n)
+        r2 = F.when(x_var & y_var, (cov * cov) / (vx * vy))
         return agg.select(
             *keys, "n",
             slope.alias("slope"),
@@ -588,13 +633,24 @@ def linear_fit_normal(
 
 def corr_pair_expr(i: int, j: int) -> str:
     """Dialect-neutral Pearson-correlation SQL text over moment columns
-    ``n, s{i}, s{j}, s{i}{i}, s{i}{j}, s{j}{j}`` (exact sums cast to
+    ``n, s{i}, s{j}, s{i}_{i}, s{i}_{j}, s{j}_{j}`` (exact sums cast to
     double). Shared verbatim between the Spark plan and the DuckDB
     oracle — identical expression trees over identical doubles are
-    bit-identical. NULL when either variance is zero."""
-    vi = f"(n*s{i}{i} - s{i}*s{i})"
-    vj = f"(n*s{j}{j} - s{j}*s{j})"
-    cov = f"(n*s{i}{j} - s{i}*s{j})"
+    bit-identical. NULL when either variance is zero. Bound (r14 review
+    note): the ``> 0.0`` variance guards cancel EXACTLY only on
+    integer-grid moments (the operator quantizes to a grid first); a
+    constant NON-integer column fed directly would leave ~1e-18 of
+    positive fp residue and emit a garbage correlation — keep inputs on
+    the exact grid (as every registry caller does), or pre-screen
+    constant columns."""
+    # pair sums carry a separator: at d >= 12 the old s{i}{j} spelling
+    # collided (s11 = single-sum of col 11 AND pair (1,1)) into an
+    # AMBIGUOUS_REFERENCE crash (r14 review finding). Identifier-only
+    # change: the expression TREE (and so the doubles) is unchanged,
+    # so the frozen oracle text remains bit-identical.
+    vi = f"(n*s{i}_{i} - s{i}*s{i})"
+    vj = f"(n*s{j}_{j} - s{j}*s{j})"
+    cov = f"(n*s{i}_{j} - s{i}*s{j})"
     return (
         f"CASE WHEN {vi} > 0.0 AND {vj} > 0.0 "
         f"THEN {cov} / sqrt({vi} * {vj}) END"
@@ -641,14 +697,14 @@ def correlation_matrix(
         for i in range(d):
             aggs.append(F.sum(x[i]).alias(f"__s{i}"))
             for j in range(i, d):
-                aggs.append(F.sum(x[i] * x[j]).alias(f"__s{i}{j}"))
+                aggs.append(F.sum(x[i] * x[j]).alias(f"__s{i}_{j}"))
         mom = df.groupBy(*keys).agg(*aggs)
         dbl = mom.select(
             *keys,
             "n",
             *[F.col(f"__s{i}").cast("double").alias(f"s{i}") for i in range(d)],
             *[
-                F.col(f"__s{i}{j}").cast("double").alias(f"s{i}{j}")
+                F.col(f"__s{i}_{j}").cast("double").alias(f"s{i}_{j}")
                 for i in range(d)
                 for j in range(i, d)
             ],

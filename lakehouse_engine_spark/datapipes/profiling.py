@@ -38,6 +38,14 @@ def profile_columns(
     mean, p50, ...`` (numeric-only stats NULL for non-numeric columns)."""
     qs = quantiles or [0.5]
 
+    def _qname(q: float) -> str:
+        # 0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9 — the quantile_summary
+        # naming rule: int(q*100) both truncated through float error
+        # (0.57 -> p56) and COLLIDED for close quantiles (0.99/0.999 ->
+        # two p99 columns -> createDataFrame length mismatch; r14 review)
+        s = f"{q * 100:.4f}".rstrip("0").rstrip(".").replace(".", "_")
+        return f"p{s}"
+
     def _profile(df: DataFrame) -> DataFrame:
         targets = cols or df.columns
         dtypes = dict(df.dtypes)
@@ -47,8 +55,11 @@ def profile_columns(
             aggs += [
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
                 F.approx_count_distinct(c, rsd).alias(f"__dis_{c}"),
-                F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
-                F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+                # TYPED extrema stringified afterwards: min/max OVER
+                # the string cast is lexicographic ({2,10} -> min_str
+                # '10'; r14 review finding)
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
             ]
             if is_num:
                 aggs.append(F.avg(F.col(c).cast("double")).alias(f"__avg_{c}"))
@@ -77,14 +88,14 @@ def profile_columns(
                 "mean": float(row[f"__avg_{c}"]) if is_num and row[f"__avg_{c}"] is not None else None,
             }
             for i, q in enumerate(qs):
-                rec[f"p{int(q * 100)}"] = (
+                rec[_qname(q)] = (
                     float(row[f"__q_{c}"][i]) if is_num and row[f"__q_{c}"] else None
                 )
             out.append(rec)
         # tiny (one row per column) — driver-side materialization is
         # correct. Schema is EXPLICIT: on an empty corpus every stat is
         # None and inference would fail with CANNOT_DETERMINE_TYPE.
-        qfields = ", ".join(f"p{int(q * 100)} DOUBLE" for q in qs)
+        qfields = ", ".join(f"{_qname(q)} DOUBLE" for q in qs)
         schema = (
             "column STRING, dtype STRING, n_rows LONG, n_nulls LONG, "
             "null_pct DOUBLE, approx_distinct LONG, min_str STRING, "

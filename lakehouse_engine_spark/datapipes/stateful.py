@@ -975,11 +975,13 @@ def streaming_event_pattern(
 
     from lakehouse_engine_spark.datapipes.events import (
         _validate_pattern_args,
+        _validate_pattern_regex,
         event_pattern_match,
         map_symbols,
     )
 
     _validate_pattern_args(on, symbols, default_symbol)
+    _validate_pattern_regex(pattern)
 
     def _fn(df: DataFrame) -> DataFrame:
         if not df.isStreaming:

@@ -6258,3 +6258,90 @@ def test_r14_text_review_fixes(spark):
                     bench, mode="Drop")
     with pytest.raises(ValueError, match="kinds"):
         t("text_pii_redact", kinds=["emails"])
+
+
+def test_r14_stats_layout_review_fixes(spark):
+    """Regression pins for the round-14 events/numeric/profiling/layout/
+    diff review findings."""
+    import math
+
+    # (1) winsorize/robust_scale/zscore: NULL group keys keep their rows
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), (None, 10.0), (None, 20.0)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    for name in ("winsorize", "robust_scale", "zscore_normalize"):
+        out = df.transform(t(name, value_col="v", group_cols=["g"]))
+        assert out.count() == 5, name
+        assert out.filter("g IS NULL").count() == 2, name
+
+    # (2) profile_columns: typed extrema, collision-free quantile names
+    prof = spark.createDataFrame(
+        [(2,), (10,)], "x INT"
+    ).transform(t("profile_columns", quantiles=[0.5, 0.99, 0.999]))
+    row = prof.collect()[0]
+    assert row["min_str"] == "2" and row["max_str"] == "10"
+    assert {"p50", "p99", "p99_9"} <= set(prof.columns)
+
+    # (3) cohort_retention: quarter/year offsets count whole buckets
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5)), (1, dt.datetime(2024, 4, 2)),
+         (1, dt.datetime(2025, 2, 1))],
+        "user_id LONG, ts TIMESTAMP",
+    )
+    qr = {r["period_offset"] for r in ev.transform(
+        t("cohort_retention", on=["user_id"], bucket="quarter")
+    ).collect()}
+    assert qr == {0, 1, 4}
+    yr = {r["period_offset"] for r in ev.transform(
+        t("cohort_retention", on=["user_id"], bucket="year")
+    ).collect()}
+    assert yr == {0, 1}
+    with pytest.raises(ValueError, match="bucket"):
+        t("cohort_retention", on=["user_id"], bucket="hour")
+
+    # (4) correlation_matrix: 12 columns no longer alias-collide
+    import random
+
+    rng = random.Random(7)
+    wide = spark.createDataFrame(
+        [tuple(rng.randint(0, 100) for _ in range(12)) for _ in range(30)],
+        ", ".join(f"c{i} INT" for i in range(12)),
+    )
+    corr = wide.transform(
+        t("correlation_matrix", value_cols=[f"c{i}" for i in range(12)])
+    )
+    assert corr.count() == 12 * 11 // 2
+
+    # (5) trend_fit: constant NON-integer x yields NULL slope (the fp
+    # cancellation residue used to emit garbage)
+    tf = spark.createDataFrame(
+        [("g", 0.1, 1.0), ("g", 0.1, 2.0), ("g", 0.1, 3.0)],
+        "k STRING, x DOUBLE, y DOUBLE",
+    ).transform(t("trend_fit", x_col="x", y_col="y", group_cols=["k"]))
+    r = tf.collect()[0]
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+
+    # (6) snapshot_diff: NULL key components match null-safely
+    from lakehouse_engine_spark.datapipes.diff import snapshot_diff
+
+    old_snap = spark.createDataFrame(
+        [(None, "v1"), (1, "v1")], "k INT, payload STRING"
+    )
+    new_snap = spark.createDataFrame(
+        [(None, "v1"), (1, "v2")], "k INT, payload STRING"
+    )
+    got = {r["status"]: r["n"] for r in new_snap.transform(
+        snapshot_diff(old_snap, key_cols=["k"])
+    ).collect()}
+    assert got == {"unchanged": 1, "changed": 1}
+
+    # (7) event_pattern_match: empty-matchable patterns rejected
+    with pytest.raises(ValueError, match="empty"):
+        t("event_pattern_match", on=["u"], symbols={"x = 1": "A"},
+          pattern="A*")
+
+    # (8) layout_zorder: bits_per_col=0 rejected (was a silent constant
+    # key collapsing the clustered write)
+    with pytest.raises(ValueError, match="bits_per_col"):
+        t("layout_zorder", cols=["a"], bits_per_col=0)
