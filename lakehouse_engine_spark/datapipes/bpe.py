@@ -115,30 +115,31 @@ GPT2_SPLIT_PATTERN = (
 GPT2_MARK = "\ue000"
 
 
+# The Spark-side pattern spells the \s+(?!\S) branch DIRECTLY — Java
+# regex has lookahead, and one regexp_extract_all pass measured 2.2x
+# faster than the marker chain (r14: 0.53 s -> 0.24 s per sf0.1 corpus
+# pass, regex work ~4x less). (?![^WS]) is (?!\S) restated over the
+# literal class. The marker construction above remains the documented
+# RE2-portable equivalent the DuckDB oracles replay; the two are pinned
+# token-identical in tests (corpus + adversarial whitespace strings).
+GPT2_JAVA_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    f"| ?\\p{{L}}+| ?\\p{{N}}+| ?[^{GPT2_WS_CHARS}\\p{{L}}\\p{{N}}]+"
+    f"|[{GPT2_WS_CHARS}]+(?![^{GPT2_WS_CHARS}])|[{GPT2_WS_CHARS}]+"
+)
+
+
 def gpt2_pretokens(col):
-    """GPT-2 regex pretokenization as a native JVM expression chain —
-    ``regexp_replace`` marker insertion + per-segment
-    ``regexp_extract_all`` — bit-identical to the reference pattern (see
-    the equivalence argument above) and RE2-portable so a SQL oracle can
-    replay it. Tokens KEEP their leading space (the GPT-2 convention);
-    whitespace-only tokens (``"\\n\\n"`` between paragraphs) survive."""
+    """GPT-2 regex pretokenization as ONE native ``regexp_extract_all``
+    over the reference pattern (Java regex keeps the ``\\s+(?!\\S)``
+    lookahead; the RE2-portable marker construction documented above is
+    what SQL oracles replay — bit-identical by the equivalence argument,
+    and pinned equal in tests). Tokens KEEP their leading space (the
+    GPT-2 convention); whitespace-only tokens (``"\\n\\n"`` between
+    paragraphs) survive. The U+E000 strip is kept so marker-replaying
+    oracles agree on adversarial inputs too."""
     cleaned = F.regexp_replace(col, GPT2_MARK, "")
-    marked = F.regexp_replace(
-        cleaned,
-        f"([{GPT2_WS_CHARS}])([^{GPT2_WS_CHARS}])",
-        GPT2_MARK + "$1$2",
-    )
-    return F.filter(
-        F.flatten(
-            F.transform(
-                F.split(marked, GPT2_MARK),
-                lambda s: F.regexp_extract_all(
-                    s, F.lit(GPT2_SPLIT_PATTERN), F.lit(0)
-                ),
-            )
-        ),
-        lambda t: t != "",
-    )
+    return F.regexp_extract_all(cleaned, F.lit(GPT2_JAVA_PATTERN), F.lit(0))
 
 
 def _pretokens(col, pretokenizer: str):
@@ -167,12 +168,89 @@ def apply_merges_py(word: str, merges: List[Tuple[str, str]]) -> List[str]:
     return syms
 
 
+# Word tables at or under this many distinct rows train on the DRIVER:
+# the same canonical merge loop over the collected (symbol-string, count)
+# rows — bit-identical picks and merges (pair counts are exact integer
+# sums; the (count DESC, pair ASC) tie-break compares Python str the way
+# Spark compares UTF8String — both are Unicode code-point order for valid
+# strings) — while the distributed per-round jobs remain the >threshold
+# path. Why: canonical training at merges_per_round=1 scheduled ~2 Spark
+# jobs PER MERGE (pair-count + checkpoint), pure fixed overhead whenever
+# the vocabulary is bounded; 200k rows × ~60 B is ~12 MB driver-side, the
+# same cost class as the encoder's broadcast dictionary gate.
+DRIVER_TRAIN_THRESHOLD_ROWS = 200_000
+
+
+def _merge_adjacent(syms: List[str], a: str, b: str) -> List[str]:
+    """One left-to-right non-overlapping merge pass over a symbol list —
+    exactly the anchored ``regexp_replace`` pass the distributed loop
+    applies to the space-joined symbol string (Java's replaceAll scans
+    left to right and resumes after each match, so "a a a" under (a,a)
+    becomes "aa a" on both paths)."""
+    out: List[str] = []
+    i, n, ab = 0, len(syms), a + b
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_merge_loop_driver(
+    rows: List[Tuple[str, int]], num_merges: int, merges_per_round: int
+) -> List[Tuple[str, str]]:
+    """Driver-side replica of :func:`_train_merge_loop`'s round body over
+    collected ``(__s, __cnt)`` rows: same exact-integer pair counting,
+    same ``(count DESC, pair ASC)`` order, same top-(3×merges_per_round)
+    candidate window, same non-interacting batch pick, same sequential
+    merge passes. Kept step-for-step parallel to the distributed loop so
+    the two can never drift (pinned equal in tests/test_datapipes.py)."""
+    words: List[Tuple[List[str], int]] = [
+        (s.split(" "), int(c)) for s, c in rows
+    ]
+    merges: List[Tuple[str, str]] = []
+    while len(merges) < num_merges:
+        cnt: dict = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                p = syms[i] + " " + syms[i + 1]
+                cnt[p] = cnt.get(p, 0) + c
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : merges_per_round * 3
+        ]
+        if not top:
+            break
+        picked: List[Tuple[str, str]] = []
+        used: set = set()
+        for pair, _n in top:
+            if (
+                len(picked) >= merges_per_round
+                or len(merges) + len(picked) >= num_merges
+            ):
+                break
+            a, b = pair.split(" ")
+            if a in used or b in used or (a + b) in used:
+                continue
+            picked.append((a, b))
+            used.update((a, b, a + b))
+        if not picked:
+            break
+        for a, b in picked:
+            words = [(_merge_adjacent(syms, a, b), c) for syms, c in words]
+        merges.extend(picked)
+    return merges
+
+
 @register("bpe_train")
 def bpe_train(
     text_col: str = "text",
     num_merges: int = 100,
     merges_per_round: int = 1,
     lowercase: bool = False,
+    driver_train_threshold_rows: int = DRIVER_TRAIN_THRESHOLD_ROWS,
 ) -> TransformerFn:
     """Learn a BPE merge table from the corpus; returns one row per merge:
     ``(rank, left, right, merged)`` in application order, ties broken by
@@ -198,19 +276,45 @@ def bpe_train(
             _word_counts(df.select(src.alias(text_col)), text_col)
             .select(_to_symbols(F.col("__w")).alias("__s"), "__cnt")
         )
-        return _train_merge_loop(spark, words, num_merges, merges_per_round)
+        return _train_merge_loop(
+            spark, words, num_merges, merges_per_round,
+            driver_train_threshold_rows,
+        )
 
     return _train
 
 
 def _train_merge_loop(
-    spark, words: DataFrame, num_merges: int, merges_per_round: int
+    spark,
+    words: DataFrame,
+    num_merges: int,
+    merges_per_round: int,
+    driver_threshold_rows: int = DRIVER_TRAIN_THRESHOLD_ROWS,
 ) -> DataFrame:
     """The shared BPE merge loop over a materialized ``(__s symbol
     string, __cnt)`` word-frequency table — char-level (``bpe_train``,
     with ``</w>``) and byte-level (``bpe_byte_train``, byte symbols, no
     marker) seed it differently but train identically. Takes OWNERSHIP
-    of ``words``' cache handle (releases it every round and at exit)."""
+    of ``words``' cache handle (releases it every round and at exit).
+
+    Tables at or under ``driver_threshold_rows`` rows (probed with ONE
+    bounded collect over the already-materialized table) train on the
+    driver via :func:`_train_merge_loop_driver` — zero per-round Spark
+    jobs, identical merge table; ``driver_threshold_rows <= 0`` pins the
+    distributed path."""
+    if driver_threshold_rows > 0:
+        head = words.limit(driver_threshold_rows + 1).collect()
+        if len(head) <= driver_threshold_rows:
+            _release(words)
+            picked = _train_merge_loop_driver(
+                [(r["__s"], r["__cnt"]) for r in head],
+                num_merges,
+                merges_per_round,
+            )
+            return spark.createDataFrame(
+                [(i, a, b, a + b) for i, (a, b) in enumerate(picked)],
+                "rank INT, left STRING, right STRING, merged STRING",
+            )
     merges: List[Tuple[str, str]] = []
     try:
         while len(merges) < num_merges:
@@ -318,6 +422,23 @@ def bpe_encode(
     )
 
 
+# Dictionary-attach tier bounds (rows of DISTINCT words). Under
+# ``_LITERAL_MAP_THRESHOLD_ROWS`` the word→pieces table becomes a literal
+# ``create_map`` looked up inside a pure projection — zero joins, zero
+# shuffles, zero Python stages for the whole encode (the r14 measurement:
+# the broadcast-exchange build of a 61-row dictionary plus the reassembly
+# shuffle cost ~1.5 s/query of pure overhead at sf0.1). Under
+# ``_DRIVER_ENCODE_THRESHOLD_ROWS`` the pieces are computed on the DRIVER
+# (the merge list already lives there) and broadcast as plain rows — no
+# ArrowEvalPython inside a BroadcastExchange, no persist, no count job.
+# Both bounds are dictionary-sized gates, corpus-size independent; real
+# web-scale vocabularies (10⁶–10⁹ words) fall through to the distributed
+# pandas encode + size-gated join exactly as before.
+_LITERAL_MAP_THRESHOLD_ROWS = 256
+_DRIVER_ENCODE_THRESHOLD_ROWS = 200_000
+_EMPTY_PIECES = "array<string>"
+
+
 def _dictionary_encode(
     word_encoder,
     merges: DataFrame,
@@ -332,14 +453,28 @@ def _dictionary_encode(
     """The shared distinct-word dictionary-encode plan behind
     :func:`bpe_encode` (word-level, ``apply_merges_py``) and
     :func:`bpe_byte_encode` (byte-level, ``apply_merges_byte_py``):
-    one distinct-word pass, a pandas encode over DISTINCT words only,
-    the size-gated dictionary join, JVM per-document reassembly.
-    ONE copy so a fix to the plan (broadcast gate, reassembly order)
-    can never drift between the two encoders."""
+    one distinct-word pass, pieces computed over DISTINCT words only,
+    the size-tiered dictionary attach, JVM per-document reassembly.
+    ONE copy so a fix to the plan (tier gates, reassembly order) can
+    never drift between the two encoders.
+
+    Attach tiers by dictionary size (``broadcast_dictionary=False`` pins
+    tier 4; ``True`` pins a broadcast but still picks the cheapest one):
+
+    1. ≤ ``_LITERAL_MAP_THRESHOLD_ROWS``: literal-map projection —
+       no join, no reassembly shuffle, no Python stage.
+    2. ≤ ``_DRIVER_ENCODE_THRESHOLD_ROWS``: driver-encoded rows,
+       broadcast join + per-doc reassembly.
+    3. ≤ ``broadcast_threshold_rows``: distributed pandas encode,
+       broadcast join (the pre-r14 default path).
+    4. else: distributed pandas encode, shuffle join on ``__w``.
+    """
 
     def _encode(df: DataFrame) -> DataFrame:
         from pyspark import StorageLevel
+        from pyspark.sql import types as T
 
+        spark = df.sparkSession
         mlist = [
             (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
         ]
@@ -351,20 +486,80 @@ def _dictionary_encode(
 
         src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
         with_words = df.withColumn("__words", _pretokens(src, pretokenizer))
-        # persist the RAW distinct words (pre-UDF): reused by the size
-        # probe and the encode, so the pandas encode runs exactly once
-        # and the count never invokes Python
-        distinct_words = (
-            with_words.select(F.explode("__words").alias("__w"))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        do_broadcast = broadcast_dictionary
-        if do_broadcast is None:
-            do_broadcast = distinct_words.count() <= broadcast_threshold_rows
-        dictionary = distinct_words.withColumn("__pieces", _enc(F.col("__w")))
-        if do_broadcast:
-            dictionary = F.broadcast(dictionary)
+        distinct_words = with_words.select(
+            F.explode("__words").alias("__w")
+        ).distinct()
+
+        # bounded probe: complete dictionary iff the limit was not hit.
+        # Tiers 1/2 are broadcast-class strategies, so with an unpinned
+        # broadcast_dictionary they must also respect the caller's
+        # broadcast_threshold_rows budget (=0 pins the shuffle join).
+        head = None
+        probe_cap = _DRIVER_ENCODE_THRESHOLD_ROWS
+        if broadcast_dictionary is None:
+            probe_cap = min(probe_cap, broadcast_threshold_rows)
+        if broadcast_dictionary is not False and probe_cap > 0:
+            rows = distinct_words.limit(probe_cap + 1).collect()
+            if len(rows) <= probe_cap:
+                head = [(r["__w"], word_encoder(r["__w"], mlist)) for r in rows]
+
+        if head is not None and len(head) <= _LITERAL_MAP_THRESHOLD_ROWS:
+            # tier 1: literal-map attach. try_element_at (not element_at)
+            # so ANSI mode cannot raise on a key the map must contain by
+            # construction; pretokenizers on NULL text yield a NULL array,
+            # which flatten propagates and the coalesce restores to [].
+            if head:
+                entries = []
+                for w, pieces in head:
+                    entries.append(F.lit(w))
+                    entries.append(
+                        F.array(*[F.lit(p) for p in pieces])
+                        if pieces
+                        else F.array().cast(_EMPTY_PIECES)
+                    )
+                lookup = F.create_map(*entries)
+                assembled = F.flatten(
+                    F.transform(
+                        F.col("__words"), lambda w: F.try_element_at(lookup, w)
+                    )
+                )
+            else:  # empty corpus: no words anywhere
+                assembled = F.lit(None).cast(_EMPTY_PIECES)
+            return (
+                with_words.withColumn(
+                    output_col,
+                    F.coalesce(assembled, F.array().cast(_EMPTY_PIECES)),
+                )
+                .drop("__words")
+                .withColumn(f"{output_col}_n", F.size(output_col).cast("int"))
+            )
+
+        if head is not None:
+            # tier 2: driver-encoded dictionary rows, broadcast join
+            dictionary = F.broadcast(
+                spark.createDataFrame(
+                    head,
+                    T.StructType(
+                        [
+                            T.StructField("__w", T.StringType()),
+                            T.StructField(
+                                "__pieces", T.ArrayType(T.StringType())
+                            ),
+                        ]
+                    ),
+                )
+            )
+        else:
+            # tiers 3/4: distributed pandas encode over the persisted
+            # distinct words (reused by the size probe, so the pandas
+            # encode runs exactly once and the count never invokes Python)
+            cached = distinct_words.persist(StorageLevel.MEMORY_AND_DISK)
+            do_broadcast = broadcast_dictionary
+            if do_broadcast is None:
+                do_broadcast = cached.count() <= broadcast_threshold_rows
+            dictionary = cached.withColumn("__pieces", _enc(F.col("__w")))
+            if do_broadcast:
+                dictionary = F.broadcast(dictionary)
         exploded = with_words.select(
             F.col(id_col).alias("__id"),
             F.posexplode("__words").alias("__p", "__w"),
@@ -403,6 +598,7 @@ def bpe_byte_train(
     merges_per_round: int = 1,
     lowercase: bool = False,
     pretokenizer: str = "whitespace",
+    driver_train_threshold_rows: int = DRIVER_TRAIN_THRESHOLD_ROWS,
 ) -> TransformerFn:
     """Learn a BYTE-level BPE merge table (the GPT-2 training scheme):
     pretokens (whitespace or the GPT-2 regex split) map to their UTF-8
@@ -447,7 +643,10 @@ def bpe_byte_train(
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
         words = _materialize(counts.select(_sym("__w").alias("__s"), "__cnt"))
-        return _train_merge_loop(spark, words, num_merges, merges_per_round)
+        return _train_merge_loop(
+            spark, words, num_merges, merges_per_round,
+            driver_train_threshold_rows,
+        )
 
     return _train
 

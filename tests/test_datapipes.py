@@ -2041,6 +2041,40 @@ def test_bpe_train_matches_reference_trainer(spark):
         t("bpe_train", merges_per_round=0)
 
 
+def test_bpe_driver_path_equals_distributed_path(spark):
+    """The r14 driver-side fast path (word table collected under the
+    threshold, merge loop run in Python) must produce the bit-identical
+    merge table the distributed per-round loop produces — including on a
+    tie-rich corpus (equal pair counts decided by the pair-string
+    tie-break) and under batched merges_per_round>1 picking."""
+    text = ("ab ab ba ba cd cd dc dc abab baba low lower lowest "
+            "aa aa aa bb bb bb ab ba")
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    for mpr in (1, 3):
+        fast = df.transform(
+            t("bpe_train", num_merges=10, merges_per_round=mpr)
+        )
+        slow = df.transform(
+            t("bpe_train", num_merges=10, merges_per_round=mpr,
+              driver_train_threshold_rows=0)  # pins the distributed path
+        )
+        got_fast = [tuple(r) for r in fast.orderBy("rank").collect()]
+        got_slow = [tuple(r) for r in slow.orderBy("rank").collect()]
+        assert got_fast == got_slow, f"mpr={mpr}"
+    # byte-level trainer: same dual-path pin (gpt2 pretokens exercise the
+    # space-carrying byte symbols)
+    fast_b = df.transform(
+        t("bpe_byte_train", num_merges=6, pretokenizer="gpt2")
+    )
+    slow_b = df.transform(
+        t("bpe_byte_train", num_merges=6, pretokenizer="gpt2",
+          driver_train_threshold_rows=0)
+    )
+    assert [tuple(r) for r in fast_b.orderBy("rank").collect()] == [
+        tuple(r) for r in slow_b.orderBy("rank").collect()
+    ]
+
+
 def test_bpe_batched_rounds_yield_valid_encoder(spark):
     """merges_per_round>1 batches non-interacting pairs: the merge table
     may reorder vs canonical, but encoding still reconstructs every word

@@ -578,18 +578,48 @@ def test_json_props_no_inference_scan(spark, sf_dir):
 
 
 def test_bpe_encode_broadcasts_dictionary(spark, sf_dir):
-    """The word→pieces dictionary must broadcast back onto the corpus —
-    the pandas encode runs only over DISTINCT words, never corpus rows
-    (one ArrowEvalPython over the distinct-word side)."""
+    """The word→pieces dictionary must never shuffle the corpus: on this
+    corpus the vocabulary fits the r14 literal-map tier, so the WHOLE
+    encode is a shuffle-free projection — no join, no Python stage, no
+    Exchange at all (the trainer's merge table is driver-side rows)."""
     df = entry.queries()["dp69_bpe_tokenize"](spark, sf_dir)
     physical, _ = _plans(df)
-    assert "BroadcastHashJoin" in physical, physical[:2000]
-    assert physical.count("ArrowEvalPython") == 1
-    # the final reassembly attach is an id equi-join of two corpus-sized
-    # sides — SMJ there is correct; what must NOT happen is the word
-    # dictionary shuffling (its join stays broadcast, asserted above)
+    assert "ArrowEvalPython" not in physical, physical[:2000]
+    assert "BatchEvalPython" not in physical
+    assert "Exchange" not in physical, physical[:2000]
     assert "CartesianProduct" not in physical
     assert "BroadcastNestedLoopJoin" not in physical
+
+
+def test_bpe_encode_fallback_tiers_shapes_and_parity(spark, sf_dir):
+    """Above the literal-map tier the dictionary must BROADCAST back onto
+    the corpus (tier 2: driver-encoded rows, no Python stage; tier 3:
+    pandas encode over DISTINCT words only — one ArrowEvalPython), and
+    all tiers must produce identical rows."""
+    import lakehouse_engine_spark.datapipes.bpe as bpe_mod
+
+    fn = entry.queries()["dp69b_bpe_encode"]
+    lit_thr = bpe_mod._LITERAL_MAP_THRESHOLD_ROWS
+    drv_thr = bpe_mod._DRIVER_ENCODE_THRESHOLD_ROWS
+    try:
+        base = {tuple(r) for r in fn(spark, sf_dir).collect()}  # tier 1
+
+        bpe_mod._LITERAL_MAP_THRESHOLD_ROWS = 0  # tier 2
+        df2 = fn(spark, sf_dir)
+        physical, _ = _plans(df2)
+        assert "BroadcastHashJoin" in physical, physical[:2000]
+        assert "ArrowEvalPython" not in physical
+        assert {tuple(r) for r in df2.collect()} == base
+
+        bpe_mod._DRIVER_ENCODE_THRESHOLD_ROWS = 0  # tier 3 (pre-r14 path)
+        df3 = fn(spark, sf_dir)
+        physical, _ = _plans(df3)
+        assert "BroadcastHashJoin" in physical, physical[:2000]
+        assert physical.count("ArrowEvalPython") == 1
+        assert {tuple(r) for r in df3.collect()} == base
+    finally:
+        bpe_mod._LITERAL_MAP_THRESHOLD_ROWS = lit_thr
+        bpe_mod._DRIVER_ENCODE_THRESHOLD_ROWS = drv_thr
 
 
 def test_semi_anti_join_shapes(spark, sf_dir):
@@ -1401,6 +1431,10 @@ def test_gpt2_byte_bpe_dictionary_join_shape(spark, sf_dir):
     physical, _ = _plans(df)
     assert "CartesianProduct" not in physical
     assert "BroadcastNestedLoopJoin" not in physical
-    assert "BroadcastHashJoin" in physical, physical[:2000]
-    # exactly one Arrow python stage: the distinct-word piece encode
-    assert physical.count("ArrowEvalPython") == 1, physical[:2000]
+    # r14: the pretoken vocabulary fits the literal-map tier, so the
+    # whole encode is ONE shuffle-free projection — no dictionary join,
+    # no Python stage, no Exchange (the >tier fallbacks keep the
+    # broadcast shape, pinned in test_bpe_encode_fallback_tiers_*)
+    assert "ArrowEvalPython" not in physical, physical[:2000]
+    assert "BatchEvalPython" not in physical
+    assert "Exchange" not in physical, physical[:2000]
