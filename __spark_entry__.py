@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from lakehouse_engine_spark.core.definitions import DQFunctionSpec, DQSpec, TransformerSpec
 from lakehouse_engine_spark.datapipes.dedup import MINHASH_AB, MINHASH_P
 from lakehouse_engine_spark.datapipes.numeric import corr_pair_expr, cramer_fit_exprs
+from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
 from lakehouse_engine_spark.datapipes.text import PII_PATTERNS, SCRIPT_RANGES
 from lakehouse_engine_spark.transformers.transformer_factory import TransformerFactory
 from lakehouse_engine_spark.utils.tables import load_table
@@ -2542,7 +2543,12 @@ def dp84_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     _make_png = F.pandas_udf(_make_png_fn, "binary")
 
     docs = load_table(spark, sf, "documents")
-    imgs = docs.select("doc_id", _make_png("doc_id").alias("payload"))
+    # spread the Python PNG ENCODE (the payload construction itself)
+    # before it runs: a single-file scan arrives as one partition and
+    # would serialize ~n_docs stdlib-zlib encodes into one task (r14;
+    # the decode stage inherits this partitioning map-only)
+    ids = ensure_parallelism(docs.select("doc_id"))
+    imgs = ids.select("doc_id", _make_png("doc_id").alias("payload"))
     meta = imgs.transform(_t("multimodal_image_decode"))
     return meta.select(
         F.col("id").alias("doc_id"),
@@ -2585,7 +2591,9 @@ def dp85_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
 
     _make_jpeg = F.pandas_udf(_make_jpeg_fn, "binary")
     docs = load_table(spark, sf, "documents").filter("doc_id % 10 = 0")
-    imgs = docs.select("doc_id", _make_jpeg("doc_id").alias("payload"))
+    # spread the serial pure-python JPEG encode (DCT+Huffman) — r14
+    ids = ensure_parallelism(docs.select("doc_id"))
+    imgs = ids.select("doc_id", _make_jpeg("doc_id").alias("payload"))
     meta = imgs.transform(_t("multimodal_image_decode"))
     return meta.select(
         F.col("id").alias("doc_id"),
@@ -2623,7 +2631,9 @@ def dp86_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
 
     _make_gif = F.pandas_udf(_make_gif_fn, "binary")
     docs = load_table(spark, sf, "documents")
-    imgs = docs.select("doc_id", _make_gif("doc_id").alias("payload"))
+    # spread the serial pure-python LZW encode — r14
+    ids = ensure_parallelism(docs.select("doc_id"))
+    imgs = ids.select("doc_id", _make_gif("doc_id").alias("payload"))
     meta = imgs.transform(_t("multimodal_image_decode"))
     return meta.select(
         F.col("id").alias("doc_id"),
@@ -4687,7 +4697,16 @@ def q35_multimodal_curation(spark: SparkSession, sf: str) -> DataFrame:
 
     _make_payload = F.pandas_udf(_make_payload_fn, "binary")
     docs = load_table(spark, sf, "documents")
-    imgs = docs.select("doc_id", _make_payload("doc_id").alias("payload"))
+    # spread the mixed-codec Python encode, then persist: BOTH ACON
+    # branches (perceptual dedup + typed decode) read `imgs`, and the
+    # r13-removed byte-budget probes no longer force extra generation
+    # passes — the persist makes generation run ONCE per bench run
+    # (within the timed region; the bench clears caches between runs),
+    # the q31 persist-splice convention
+    ids = ensure_parallelism(docs.select("doc_id"))
+    imgs = ids.select(
+        "doc_id", _make_payload("doc_id").alias("payload")
+    ).persist()
     acon = {
         "input_specs": [
             {"spec_id": "imgs", "data_format": "dataframe", "df_name": imgs}

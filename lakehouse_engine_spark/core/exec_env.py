@@ -51,6 +51,13 @@ class ExecEnv:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # Arrow for any pandas_udf / toPandas path.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Cut mapInPandas/mapInArrow input batches by BYTES (Spark 4):
+        # bounds per-batch Python memory for binary decode stages at any
+        # scale — the knob that lets the multimodal family run map-only
+        # on the scan partitioning instead of probe+repartition (see
+        # datapipes/multimodal._byte_budget_src). 128 MB = the family's
+        # documented per-stage decode budget.
+        "spark.sql.execution.arrow.maxBytesPerBatch": str(128 * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
         # Don't error on legacy datetime rebasing in parquet.
         "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",

@@ -10,9 +10,11 @@ and the registry snapshot is pickled into the executor closure — while
 video remains behind the ffmpeg strict-mode stub and ``fake`` mode emits
 deterministic byte-derived output for pipeline-shape tests.
 
-At 100 TB: binary payloads dominate partition size, so operators here
-repartition by byte budget (``target_partition_mb``) before the UDF stage and
-keep metadata-only projections separate from payload scans (column pruning
+At 100 TB: binary payloads dominate memory, so decode stages bound their
+input per ARROW BATCH (``spark.sql.execution.arrow.maxBytesPerBatch``; the
+``target_partition_mb`` budget enforced below the partition level) and run
+map-only on the scan partitioning — see ``_byte_budget_src`` — while
+metadata-only projections stay separate from payload scans (column pruning
 drops the binary column when only metadata is referenced).
 """
 
@@ -56,22 +58,33 @@ def _wav_or_none(decode_wav, b: bytes):
 def _byte_budget_src(
     df: DataFrame, payload_col: str, id_col: str, target_partition_mb: int
 ) -> DataFrame:
-    """(id, payload) projection, repartitioned by PAYLOAD BYTES (not row
-    count) so each Arrow batch stays within the decode memory budget.
+    """(id, payload) projection for a decode stage, map-only.
 
-    Streaming inputs pass through unpartitioned: a plan-time size probe
-    is impossible on an unbounded DataFrame (it was the one thing keeping
-    the decode family batch-only), and micro-batch sizing is already
-    governed by the source (``maxFilesPerTrigger``/``maxBytesPerTrigger``)
-    — re-shuffling each micro-batch would only add an exchange."""
+    Decode memory is bounded per ARROW BATCH, not per partition: Spark 4
+    cuts ``mapInPandas`` input batches by bytes
+    (``spark.sql.execution.arrow.maxBytesPerBatch``, ExecEnv default
+    128 MB — ``target_partition_mb``'s budget enforced one level lower),
+    and the decode loops here hold one batch at a time. That retires the
+    pre-r14 plan-time ``sum(length(payload))`` probe + whole-corpus
+    ``repartition``, which cost one full extra pass over the payload
+    bytes AND an Exchange carrying every payload byte on every decode —
+    at 100 TB that was the §8 "shuffle heavy bytes to make no decision"
+    anti-pattern (scan partitions are already byte-bounded by
+    ``spark.sql.files.maxPartitionBytes``). Partitioning is only RAISED
+    to cluster parallelism when the input arrives starved (a single tiny
+    file — production inputs arrive well-partitioned and this is a
+    no-op), never lowered.
+
+    Streaming inputs pass through unpartitioned as before: micro-batch
+    sizing is governed by the source
+    (``maxFilesPerTrigger``/``maxBytesPerTrigger``), and the Arrow byte
+    budget bounds decode memory there identically."""
+    from lakehouse_engine_spark.datapipes.parallel import ensure_parallelism
+
     src = df.select(F.col(id_col).alias("id"), F.col(payload_col))
     if df.isStreaming:
         return src
-    stats = df.select(F.sum(F.length(payload_col)).alias("total")).first()
-    parts = max(
-        int((stats["total"] or 0) / (1024 * 1024) / target_partition_mb) + 1, 1
-    )
-    return src.repartition(parts)
+    return ensure_parallelism(src)
 
 
 FEATURE_SCHEMA = T.StructType(
