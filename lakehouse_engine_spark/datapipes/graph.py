@@ -269,6 +269,15 @@ def pagerank(
                 .groupBy("__node")
                 .agg(F.sum("__c").alias("__in"))
             )
+            # LAZY truncation (eager=False): plan depth still resets per
+            # round, but no per-round job is launched — the final action
+            # computes the whole chain in one job, checkpointing each
+            # round's blocks as it first computes them (identical work,
+            # minus `iterations` job launches; r14). Safe because every
+            # corpus_sized arm of iter_materialize is checkpoint-based
+            # (release() is a no-op there) — the persist-wrapper arm,
+            # which must be materialized before its predecessor is
+            # released, is never taken for corpus-sized frames.
             nxt = iter_materialize(
                 nodes.join(contribs, "__node", "left")
                 .select(
@@ -277,6 +286,7 @@ def pagerank(
                     .cast("long")
                     .alias("__r"),
                 ),
+                eager=False,
                 corpus_sized=True,
             )
             release(ranks)  # previous round, now superseded
