@@ -711,14 +711,74 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# whole-image switch for _png_unfilter: below this stride the pure-python
+# bytearray path wins (numpy pays ~20µs of fixed per-row-array cost that
+# dwarfs tiny rows — r14 profiling: 5000 thumbnail PNGs spent 0.94 s of
+# their 1.6 s decode budget in the numpy unfilter; bytearray indexing is
+# also ~5x cheaper per byte than np scalar indexing on the avg/paeth rows)
+_UNFILTER_PY_MAX_STRIDE = 512
+
+
+def _png_unfilter_py(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Pure-python unfilter for small strides — byte-identical to the
+    vectorized path (pinned against it in tests over random images per
+    filter type); all arithmetic is exact mod-256 on ints."""
+    src = raw.tobytes()
+    out = bytearray(h * stride)
+    for y in range(h):
+        base = y * (1 + stride)
+        f = src[base]
+        line = src[base + 1 : base + 1 + stride]
+        o = y * stride
+        po = o - stride
+        if f == 0:
+            out[o : o + stride] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                out[o + x] = (line[x] + left) & 0xFF
+        elif f == 2:  # Up
+            if y == 0:
+                out[o : o + stride] = line
+            else:
+                for x in range(stride):
+                    out[o + x] = (line[x] + out[po + x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                up = out[po + x] if y > 0 else 0
+                out[o + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                up = out[po + x] if y > 0 else 0
+                ul = out[po + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                if pa <= pb and pa <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = ul
+                out[o + x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {f}")
+    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, stride)
+
+
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Invert PNG scanline filtering. ``raw`` is the inflated stream of
-    ``h`` rows, each ``1 + stride`` bytes (filter tag + data). Filters
-    none/sub/up are inverted with vector ops (sub is a cumulative sum mod
-    256 over per-channel lanes); average/paeth carry an inherently
-    sequential intra-row dependency, so those rows fall back to a per-byte
-    loop — correct for any input, and absent entirely from payloads our
-    own encoder produces unless asked for."""
+    ``h`` rows, each ``1 + stride`` bytes (filter tag + data). Small
+    strides route to the pure-python path (see
+    ``_UNFILTER_PY_MAX_STRIDE``). Filters none/sub/up are inverted with
+    vector ops (sub is a cumulative sum mod 256 over per-channel lanes);
+    average/paeth carry an inherently sequential intra-row dependency, so
+    those rows fall back to a per-byte loop — correct for any input, and
+    absent entirely from payloads our own encoder produces unless asked
+    for."""
+    if stride <= _UNFILTER_PY_MAX_STRIDE:
+        return _png_unfilter_py(raw, h, stride, bpp)
     rows = raw.reshape(h, 1 + stride)
     tags, data = rows[:, 0], rows[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)

@@ -486,6 +486,31 @@ def test_png_roundtrip_all_filters(img):
     np.testing.assert_array_equal(decoded0, arr)
 
 
+def test_png_unfilter_python_path_equals_vectorized():
+    """The r14 small-stride pure-python unfilter must be BYTE-IDENTICAL
+    to the vectorized numpy path for every filter type, every bpp, and
+    boundary shapes (1-row, 1-col, stride<bpp edge) — random images,
+    fixed seed."""
+    import lakehouse_engine_spark.datapipes.media_codecs as mc
+
+    rng = np.random.RandomState(20260817)
+    for bpp in (1, 2, 3, 4):
+        for h, w in ((1, 1), (1, 7), (5, 1), (9, 6), (3, 200)):
+            stride = w * bpp
+            raw = np.empty(h * (1 + stride), dtype=np.uint8)
+            rows = raw.reshape(h, 1 + stride)
+            rows[:, 0] = [y % 5 for y in range(h)]
+            rows[:, 1:] = rng.randint(0, 256, size=(h, stride), dtype=np.uint8)
+            got_py = mc._png_unfilter_py(raw.copy(), h, stride, bpp)
+            prev = mc._UNFILTER_PY_MAX_STRIDE
+            try:
+                mc._UNFILTER_PY_MAX_STRIDE = -1  # force the numpy path
+                got_np = mc._png_unfilter(raw.copy(), h, stride, bpp)
+            finally:
+                mc._UNFILTER_PY_MAX_STRIDE = prev
+            np.testing.assert_array_equal(got_py, got_np, err_msg=f"bpp={bpp} h={h} w={w}")
+
+
 def test_png_gray_alpha_palette_profiles():
     """Hand-built IHDR variants: grayscale stacks to RGB, RGBA/gray+alpha
     drop alpha, palette expands through PLTE."""
