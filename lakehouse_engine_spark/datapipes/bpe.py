@@ -415,8 +415,14 @@ def bpe_encode(
     count and pin the strategy.
     """
 
+    def _make():
+        mlist = [
+            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+        ]
+        return lambda w: apply_merges_py(w, mlist)
+
     return _dictionary_encode(
-        apply_merges_py, merges, text_col, id_col, output_col,
+        _make, text_col, id_col, output_col,
         lowercase, broadcast_dictionary, broadcast_threshold_rows,
         pretokenizer,
     )
@@ -440,8 +446,7 @@ _EMPTY_PIECES = "array<string>"
 
 
 def _dictionary_encode(
-    word_encoder,
-    merges: DataFrame,
+    make_word_encoder,
     text_col: str,
     id_col: str,
     output_col: str,
@@ -451,12 +456,16 @@ def _dictionary_encode(
     pretokenizer: str = "whitespace",
 ) -> TransformerFn:
     """The shared distinct-word dictionary-encode plan behind
-    :func:`bpe_encode` (word-level, ``apply_merges_py``) and
-    :func:`bpe_byte_encode` (byte-level, ``apply_merges_byte_py``):
-    one distinct-word pass, pieces computed over DISTINCT words only,
-    the size-tiered dictionary attach, JVM per-document reassembly.
-    ONE copy so a fix to the plan (tier gates, reassembly order) can
-    never drift between the two encoders.
+    :func:`bpe_encode` (word-level, ``apply_merges_py``),
+    :func:`bpe_byte_encode` (byte-level, ``apply_merges_byte_py``) and
+    :func:`wordpiece_encode` (greedy longest-match): one distinct-word
+    pass, pieces computed over DISTINCT words only, the size-tiered
+    dictionary attach, JVM per-document reassembly. ONE copy so a fix
+    to the plan (tier gates, reassembly order) can never drift between
+    the encoders. ``make_word_encoder`` is called once per application
+    (collecting the merge table / vocabulary to the driver) and returns
+    a ``word -> [pieces]`` callable that also rides the pandas closure
+    in the distributed tiers.
 
     Attach tiers by dictionary size (``broadcast_dictionary=False`` pins
     tier 4; ``True`` pins a broadcast but still picks the cheapest one):
@@ -475,12 +484,10 @@ def _dictionary_encode(
         from pyspark.sql import types as T
 
         spark = df.sparkSession
-        mlist = [
-            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
-        ]
+        word_encoder = make_word_encoder()
 
         def _enc_fn(words):
-            return words.map(lambda w: word_encoder(w, mlist))
+            return words.map(word_encoder)
 
         _enc = F.pandas_udf(_enc_fn, "array<string>")
 
@@ -501,7 +508,7 @@ def _dictionary_encode(
         if broadcast_dictionary is not False and probe_cap > 0:
             rows = distinct_words.limit(probe_cap + 1).collect()
             if len(rows) <= probe_cap:
-                head = [(r["__w"], word_encoder(r["__w"], mlist)) for r in rows]
+                head = [(r["__w"], word_encoder(r["__w"])) for r in rows]
 
         if head is not None and len(head) <= _LITERAL_MAP_THRESHOLD_ROWS:
             # tier 1: literal-map attach. try_element_at (not element_at)
@@ -730,65 +737,20 @@ def wordpiece_encode(
     (longest-match table + deterministic walk).
     """
 
-    def _encode(df: DataFrame) -> DataFrame:
+    def _make():
         piece_col = vocab.columns[0]
         vset = {r[piece_col] for r in vocab.select(piece_col).collect()}
-
-        def _enc_fn(words):
-            return words.map(
-                lambda w: wordpiece_py(
-                    w, vset, cont_prefix, unk_token, max_word_len
-                )
-            )
-
-        _enc = F.pandas_udf(_enc_fn, "array<string>")
-
-        src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-        with_words = df.withColumn("__words", tokens(src))
-        distinct_words = with_words.select(
-            F.explode("__words").alias("__w")
-        ).distinct()
-        do_broadcast = broadcast_dictionary
-        if do_broadcast is None:
-            # the size probe is a separate ACTION — _probe_materialize
-            # shares the distinct pass with the final plan where that is
-            # sound (static clusters) and recomputes it where it is not
-            # (dynamic allocation). With the strategy PINNED by the
-            # caller there is no probe and distinct_words appears once
-            # in the final plan — no materialization at all.
-            distinct_words = _probe_materialize(distinct_words)
-            do_broadcast = distinct_words.count() <= broadcast_threshold_rows
-        dictionary = distinct_words.withColumn("__pieces", _enc(F.col("__w")))
-        if do_broadcast:
-            dictionary = F.broadcast(dictionary)
-        exploded = with_words.select(
-            F.col(id_col).alias("__id"),
-            F.posexplode("__words").alias("__p", "__w"),
-        )
-        assembled = (
-            exploded.join(dictionary, "__w")
-            .groupBy("__id")
-            .agg(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("__p", "__pieces"))),
-                        lambda s: s["__pieces"],
-                    )
-                ).alias("__assembled")
-            )
-        )
-        return (
-            df.join(assembled, df[id_col] == assembled["__id"], "left")
-            .drop("__id")
-            .withColumn(
-                output_col,
-                F.coalesce("__assembled", F.array().cast("array<string>")),
-            )
-            .drop("__assembled")
-            .withColumn(f"{output_col}_n", F.size(output_col).cast("int"))
+        return lambda w: wordpiece_py(
+            w, vset, cont_prefix, unk_token, max_word_len
         )
 
-    return _encode
+    # r14: the shared size-tiered plan (literal-map projection /
+    # driver-encoded broadcast rows / distributed pandas + gated join) —
+    # one copy with the BPE encoders instead of a parallel body
+    return _dictionary_encode(
+        _make, text_col, id_col, output_col,
+        lowercase, broadcast_dictionary, broadcast_threshold_rows,
+    )
 
 
 SEP = "\x01"  # path separator: sorts below every token character, so
@@ -895,19 +857,58 @@ def unigram_encode(
         distinct_words = with_words.select(
             F.explode("__words").alias("__w")
         ).distinct()
-        do_broadcast = broadcast_dictionary
-        if do_broadcast is None:
-            # one-shot probe policy (_probe_materialize): checkpoint on
-            # static clusters, recompute under dynamic allocation; pinned
-            # strategy skips materialization entirely
-            distinct_words = _probe_materialize(distinct_words)
-            do_broadcast = distinct_words.count() <= broadcast_threshold_rows
-        enc = _enc(F.col("__w"))
-        dictionary = distinct_words.select(
-            "__w", enc["p"].alias("__pieces"), enc["s"].alias("__score")
-        )
-        if do_broadcast:
-            dictionary = F.broadcast(dictionary)
+        # r14 driver-encode tier (the _dictionary_encode tier-2 rule,
+        # same thresholds): vocab-bounded distinct words are Viterbi-
+        # segmented on the driver — the unigram LM dict already lives
+        # there — and broadcast as plain rows: no probe-materialize, no
+        # count job, no ArrowEvalPython inside a BroadcastExchange. The
+        # scored struct keeps this encoder out of the literal-map tier.
+        head = None
+        probe_cap = _DRIVER_ENCODE_THRESHOLD_ROWS
+        if broadcast_dictionary is None:
+            probe_cap = min(probe_cap, broadcast_threshold_rows)
+        if broadcast_dictionary is not False and probe_cap > 0:
+            hrows = distinct_words.limit(probe_cap + 1).collect()
+            if len(hrows) <= probe_cap:
+                head = []
+                for r in hrows:
+                    p, s = unigram_viterbi_py(
+                        r["__w"], vmap, max_piece, unk_token,
+                        unk_logp_s, max_word_len,
+                    )
+                    head.append((r["__w"], p, int(s)))
+        if head is not None:
+            from pyspark.sql import types as T
+
+            dictionary = F.broadcast(
+                df.sparkSession.createDataFrame(
+                    head,
+                    T.StructType(
+                        [
+                            T.StructField("__w", T.StringType()),
+                            T.StructField(
+                                "__pieces", T.ArrayType(T.StringType())
+                            ),
+                            T.StructField("__score", T.LongType()),
+                        ]
+                    ),
+                )
+            )
+        else:
+            do_broadcast = broadcast_dictionary
+            if do_broadcast is None:
+                # one-shot probe policy (_probe_materialize): checkpoint
+                # on static clusters, recompute under dynamic allocation
+                distinct_words = _probe_materialize(distinct_words)
+                do_broadcast = (
+                    distinct_words.count() <= broadcast_threshold_rows
+                )
+            enc = _enc(F.col("__w"))
+            dictionary = distinct_words.select(
+                "__w", enc["p"].alias("__pieces"), enc["s"].alias("__score")
+            )
+            if do_broadcast:
+                dictionary = F.broadcast(dictionary)
         exploded = with_words.select(
             F.col(id_col).alias("__id"),
             F.posexplode("__words").alias("__p", "__w"),
@@ -1062,8 +1063,14 @@ def bpe_byte_encode(
     types, same corpus-scale posture).
     """
 
+    def _make():
+        mlist = [
+            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+        ]
+        return lambda w: apply_merges_byte_py(w, mlist)
+
     return _dictionary_encode(
-        apply_merges_byte_py, merges, text_col, id_col, output_col,
+        _make, text_col, id_col, output_col,
         lowercase, broadcast_dictionary, broadcast_threshold_rows,
         pretokenizer,
     )

@@ -1018,11 +1018,32 @@ def test_unigram_encode_distinct_word_dictionary(spark, sf_dir):
     at runtime)."""
     df = entry.queries()["dp125_unigram_encode"](spark, sf_dir)
     physical, _ = _plans(df)
-    assert "ArrowEvalPython" in physical, physical[:2000]
+    # r14: under the driver-encode tier the vocab-bounded dictionary is
+    # Viterbi-segmented on the driver and broadcast as plain rows — no
+    # Python stage in the plan at all; above the tier the pre-r14
+    # ArrowEvalPython-over-distinct-words shape returns (pinned below by
+    # forcing the threshold to 0)
+    assert "ArrowEvalPython" not in physical, physical[:2000]
     assert "BroadcastHashJoin" in physical, physical[:2000]
     assert "SortMergeJoin [__w" not in physical, physical[:2000]
     assert physical.count("SortMergeJoin") <= 1, physical[:2000]
     assert "CartesianProduct" not in physical
+
+    import lakehouse_engine_spark.datapipes.bpe as bpe_mod
+
+    base = {tuple(r) for r in df.collect()}
+    drv = bpe_mod._DRIVER_ENCODE_THRESHOLD_ROWS
+    try:
+        bpe_mod._DRIVER_ENCODE_THRESHOLD_ROWS = 0  # pre-r14 pandas tier
+        df3 = entry.queries()["dp125_unigram_encode"](spark, sf_dir)
+        physical, _ = _plans(df3)
+        assert "ArrowEvalPython" in physical, physical[:2000]
+        assert "BroadcastHashJoin" in physical, physical[:2000]
+        assert "SortMergeJoin [__w" not in physical, physical[:2000]
+        assert "CartesianProduct" not in physical
+        assert {tuple(r) for r in df3.collect()} == base
+    finally:
+        bpe_mod._DRIVER_ENCODE_THRESHOLD_ROWS = drv
 
 
 def test_hilbert_layout_single_range_exchange(spark, sf_dir):
