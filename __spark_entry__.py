@@ -2514,6 +2514,40 @@ def dp83_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _fused_image_meta(ids: DataFrame, make_payloads) -> DataFrame:
+    """Generate + decode constructed image corpora in ONE mapInPandas
+    stage (r14, guide §4.1): the synthetic payload bytes are born and
+    decoded inside the same Python task and never cross the JVM↔Python
+    boundary. Pre-r14 shape was ArrowEvalPython(generate) →
+    MapInPandas(decode) — two Python worker stages with an Arrow
+    round-trip of every payload byte between them, pure overhead for a
+    payload that exists only to be decoded. The decode body is the
+    operator's own (``multimodal.image_meta_columns``, the single source
+    of truth shared with ``multimodal_image_decode``), so the result is
+    bit-identical to routing through the registered transformer —
+    re-proved against the oracle for dp84/dp85/dp86. ``make_payloads``
+    maps an id sequence to a same-length payload sequence."""
+    import pandas as pd
+
+    from lakehouse_engine_spark.datapipes.media_codecs import available_decoders
+    from lakehouse_engine_spark.datapipes.multimodal import (
+        IMAGE_META_SCHEMA,
+        image_meta_columns,
+    )
+
+    decoders = available_decoders()
+
+    def _batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                image_meta_columns(
+                    pdf["doc_id"], make_payloads(pdf["doc_id"]), decoders
+                )
+            )
+
+    return ids.mapInPandas(_batches, IMAGE_META_SCHEMA)
+
+
 def dp84_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL compressed-image decode with no codec library: each doc gets a
     constructed solid-color PNG (stdlib-zlib deflate, scanline filters
@@ -2540,16 +2574,13 @@ def dp84_png_decode(spark: SparkSession, sf: str) -> DataFrame:
             payloads.append(encode_png(arr, row_filters=[y % 5 for y in range(h)]))
         return pd.Series(payloads)
 
-    _make_png = F.pandas_udf(_make_png_fn, "binary")
-
     docs = load_table(spark, sf, "documents")
     # spread the Python PNG ENCODE (the payload construction itself)
     # before it runs: a single-file scan arrives as one partition and
     # would serialize ~n_docs stdlib-zlib encodes into one task (r14;
-    # the decode stage inherits this partitioning map-only)
+    # generation + decode share the task — see _fused_image_meta)
     ids = ensure_parallelism(docs.select("doc_id"))
-    imgs = ids.select("doc_id", _make_png("doc_id").alias("payload"))
-    meta = imgs.transform(_t("multimodal_image_decode"))
+    meta = _fused_image_meta(ids, _make_png_fn)
     return meta.select(
         F.col("id").alias("doc_id"),
         "media_type",
@@ -2589,12 +2620,11 @@ def dp85_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
             payloads.append(encode_jpeg(arr))
         return pd.Series(payloads)
 
-    _make_jpeg = F.pandas_udf(_make_jpeg_fn, "binary")
     docs = load_table(spark, sf, "documents").filter("doc_id % 10 = 0")
-    # spread the serial pure-python JPEG encode (DCT+Huffman) — r14
+    # spread the serial pure-python JPEG encode (DCT+Huffman) — r14;
+    # generation + decode fused into one Python stage (_fused_image_meta)
     ids = ensure_parallelism(docs.select("doc_id"))
-    imgs = ids.select("doc_id", _make_jpeg("doc_id").alias("payload"))
-    meta = imgs.transform(_t("multimodal_image_decode"))
+    meta = _fused_image_meta(ids, _make_jpeg_fn)
     return meta.select(
         F.col("id").alias("doc_id"),
         "media_type",
@@ -2629,12 +2659,11 @@ def dp86_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
             payloads.append(encode_gif(arr))
         return pd.Series(payloads)
 
-    _make_gif = F.pandas_udf(_make_gif_fn, "binary")
     docs = load_table(spark, sf, "documents")
-    # spread the serial pure-python LZW encode — r14
+    # spread the serial pure-python LZW encode — r14; generation +
+    # decode fused into one Python stage (_fused_image_meta)
     ids = ensure_parallelism(docs.select("doc_id"))
-    imgs = ids.select("doc_id", _make_gif("doc_id").alias("payload"))
-    meta = imgs.transform(_t("multimodal_image_decode"))
+    meta = _fused_image_meta(ids, _make_gif_fn)
     return meta.select(
         F.col("id").alias("doc_id"),
         "media_type",

@@ -857,12 +857,13 @@ def unigram_encode(
         distinct_words = with_words.select(
             F.explode("__words").alias("__w")
         ).distinct()
-        # r14 driver-encode tier (the _dictionary_encode tier-2 rule,
-        # same thresholds): vocab-bounded distinct words are Viterbi-
+        # r14 driver-encode tiers (the _dictionary_encode rules, same
+        # thresholds): vocab-bounded distinct words are Viterbi-
         # segmented on the driver — the unigram LM dict already lives
-        # there — and broadcast as plain rows: no probe-materialize, no
-        # count job, no ArrowEvalPython inside a BroadcastExchange. The
-        # scored struct keeps this encoder out of the literal-map tier.
+        # there — then attached via the literal-map projection (≤256
+        # words; scores ride a second parallel map) or broadcast as
+        # plain rows: no probe-materialize, no count job, no
+        # ArrowEvalPython inside a BroadcastExchange.
         head = None
         probe_cap = _DRIVER_ENCODE_THRESHOLD_ROWS
         if broadcast_dictionary is None:
@@ -877,6 +878,62 @@ def unigram_encode(
                         unk_logp_s, max_word_len,
                     )
                     head.append((r["__w"], p, int(s)))
+        if head is not None and len(head) <= _LITERAL_MAP_THRESHOLD_ROWS:
+            # r14 tier 1, the _dictionary_encode literal-map rule: ≤256
+            # distinct words → pieces and scores attach as literal
+            # create_map lookups inside a pure projection — no dictionary
+            # join, no per-doc reassembly shuffle, no Python stage. The
+            # scored output rides as TWO parallel maps (word→pieces,
+            # word→score) so each lookup stays a plain ANSI-safe
+            # try_element_at; both maps contain every distinct word by
+            # construction. NULL-text docs: the tokenizer yields a NULL
+            # array, flatten/aggregate propagate it, and the coalesces
+            # restore the join path's []/0.
+            if head:
+                p_entries: list = []
+                s_entries: list = []
+                for w, pieces, score in head:
+                    p_entries.append(F.lit(w))
+                    p_entries.append(
+                        F.array(*[F.lit(p) for p in pieces])
+                        if pieces
+                        else F.array().cast("array<string>")
+                    )
+                    s_entries.append(F.lit(w))
+                    s_entries.append(F.lit(score).cast("long"))
+                p_lookup = F.create_map(*p_entries)
+                s_lookup = F.create_map(*s_entries)
+                assembled = F.flatten(
+                    F.transform(
+                        F.col("__words"),
+                        lambda w: F.try_element_at(p_lookup, w),
+                    )
+                )
+                score_col = F.aggregate(
+                    F.col("__words"),
+                    F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.try_element_at(s_lookup, w),
+                )
+            else:  # empty corpus: no words anywhere
+                assembled = F.lit(None).cast("array<string>")
+                score_col = F.lit(None).cast("long")
+            return (
+                with_words.withColumn(
+                    output_col,
+                    F.coalesce(
+                        assembled, F.array().cast("array<string>")
+                    ),
+                )
+                .withColumn(
+                    f"{output_col}_n", F.size(output_col).cast("int")
+                )
+                .withColumn(
+                    f"{output_col}_score_s",
+                    F.coalesce(score_col, F.lit(0)).cast("long"),
+                )
+                .drop("__words")
+            )
+
         if head is not None:
             from pyspark.sql import types as T
 

@@ -193,6 +193,57 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
+def image_meta_columns(
+    ids,
+    payloads,
+    decoders,
+    thumbnail_side: int = 8,
+    on_unsupported: str = "null",
+) -> dict:
+    """One batch of the ``multimodal_image_decode`` body: parallel
+    id/payload sequences → dict of ``IMAGE_META_SCHEMA`` columns. The
+    single source of truth for the decode semantics — shared by
+    :func:`image_decode` and the constructed-corpus entry queries that
+    fuse payload generation + decode into one ``mapInPandas`` stage (so
+    the synthetic payload bytes never cross the JVM↔Python boundary; the
+    fused queries stay bit-identical to the operator by construction)."""
+    from lakehouse_engine_spark.datapipes.media_codecs import (
+        decode_image,
+        sniff_media,
+        thumbnail_feature,
+    )
+
+    out = {k.name: [] for k in IMAGE_META_SCHEMA.fields}
+    for pid, b in zip(ids, payloads):
+        b = bytes(b) if b is not None else b""
+        kind = sniff_media(b)
+        decoded = decode_image(b, decoders)
+        out["id"].append(pid)
+        out["media_type"].append(kind)
+        if decoded is None:
+            if on_unsupported == "error":
+                raise NotImplementedError(
+                    f"no codec for {kind}; plug Pillow/ffmpeg in here"
+                )
+            out["codec"].append(None)
+            out["width"].append(None)
+            out["height"].append(None)
+            out["mean_rgb"].append(None)
+            out["feature"].append(None)
+            continue
+        arr, codec = decoded
+        out["codec"].append(codec)
+        out["width"].append(arr.shape[1])
+        out["height"].append(arr.shape[0])
+        out["mean_rgb"].append(
+            [float(x) for x in arr.reshape(-1, 3).mean(axis=0)]
+        )
+        out["feature"].append(
+            [float(x) for x in thumbnail_feature(arr, thumbnail_side)]
+        )
+    return out
+
+
 @register("multimodal_image_decode", streaming_ok=True)
 def image_decode(
     payload_col: str = "payload",
@@ -219,9 +270,6 @@ def image_decode(
     def _decode(df: DataFrame) -> DataFrame:
         from lakehouse_engine_spark.datapipes.media_codecs import (
             available_decoders,
-            decode_image,
-            sniff_media,
-            thumbnail_feature,
         )
 
         # snapshot the codec registry NOW, on the driver: the closure pickles
@@ -233,35 +281,15 @@ def image_decode(
 
         def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
-                out = {k.name: [] for k in IMAGE_META_SCHEMA.fields}
-                for pid, b in zip(pdf["id"], pdf[payload_col]):
-                    b = bytes(b) if b is not None else b""
-                    kind = sniff_media(b)
-                    decoded = decode_image(b, decoders)
-                    out["id"].append(pid)
-                    out["media_type"].append(kind)
-                    if decoded is None:
-                        if on_unsupported == "error":
-                            raise NotImplementedError(
-                                f"no codec for {kind}; plug Pillow/ffmpeg in here"
-                            )
-                        out["codec"].append(None)
-                        out["width"].append(None)
-                        out["height"].append(None)
-                        out["mean_rgb"].append(None)
-                        out["feature"].append(None)
-                        continue
-                    arr, codec = decoded
-                    out["codec"].append(codec)
-                    out["width"].append(arr.shape[1])
-                    out["height"].append(arr.shape[0])
-                    out["mean_rgb"].append(
-                        [float(x) for x in arr.reshape(-1, 3).mean(axis=0)]
+                yield pd.DataFrame(
+                    image_meta_columns(
+                        pdf["id"],
+                        pdf[payload_col],
+                        decoders,
+                        thumbnail_side,
+                        on_unsupported,
                     )
-                    out["feature"].append(
-                        [float(x) for x in thumbnail_feature(arr, thumbnail_side)]
-                    )
-                yield pd.DataFrame(out)
+                )
 
         return src.mapInPandas(_batches, IMAGE_META_SCHEMA)
 

@@ -4687,6 +4687,22 @@ def test_iterative_loops_under_dynamic_allocation(spark, monkeypatch):
     # per-round handles were released: at most the final round's entry
     # per loop may linger (documented); nothing unbounded. Delta, not an
     # absolute count — other suite tests legitimately leave cached RDDs.
+    # localCheckpoint blocks are reference-tracked and cleaned by the
+    # ContextCleaner only after a driver GC notices the dropped refs
+    # (asynchronous — with the r14 lazy per-round checkpoints the whole
+    # chain's blocks are still registered right after the loop's single
+    # job), so force GC on both sides and poll until the cleaner
+    # settles before asserting the bound.
+    import gc
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if jsc.getRDDStorageInfo().__len__() - before <= 8:
+            break
+        time.sleep(2)
     assert jsc.getRDDStorageInfo().__len__() - before <= 8
 
 

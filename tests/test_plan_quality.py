@@ -245,6 +245,60 @@ def test_image_decode_is_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in physical  # the row-at-a-time slow path
 
 
+def test_constructed_corpus_decode_is_one_python_stage(spark, sf_dir):
+    """dp84/dp85/dp86 (r14): payload generation + decode are FUSED into
+    one mapInPandas — the synthetic image bytes are born and decoded in
+    the same Python task, never crossing the JVM↔Python boundary. The
+    plan must contain exactly one Python stage (MapInPandas) and no
+    ArrowEvalPython (the pre-r14 separate generation stage); the only
+    exchange is the id-spreading repartition, which carries 8-byte ids,
+    not payloads."""
+    for q in ("dp84_png_decode", "dp85_jpeg_decode", "dp86_gif_decode"):
+        df = entry.queries()[q](spark, sf_dir)
+        physical, _ = _plans(df)
+        assert physical.count("MapInPandas") == 1, (q, physical[:2000])
+        assert "ArrowEvalPython" not in physical, (q, physical[:2000])
+        assert "BatchEvalPython" not in physical, (q, physical[:2000])
+
+
+def test_fused_image_meta_equals_operator_route(spark, sf_dir):
+    """The fused generate+decode path (_fused_image_meta) must stay
+    row-identical to routing the same generated payloads through the
+    registered multimodal_image_decode transformer — the decode body is
+    shared (multimodal.image_meta_columns), this pins that it stays so."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lakehouse_engine_spark.core.definitions import TransformerSpec
+    from lakehouse_engine_spark.datapipes.media_codecs import encode_png
+    from lakehouse_engine_spark.transformers.transformer_factory import (
+        TransformerFactory,
+    )
+
+    def _mk(ids):
+        import numpy as np
+
+        payloads = []
+        for i in ids:
+            i = int(i)
+            arr = np.full((3, 2 + i % 3, 3), (i * 31) % 256, dtype=np.uint8)
+            payloads.append(encode_png(arr, row_filters=[y % 5 for y in range(3)]))
+        return pd.Series(payloads)
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    fused = entry._fused_image_meta(ids, _mk)
+
+    gen = F.pandas_udf(_mk, "binary")
+    op = TransformerFactory.get_transformer(
+        TransformerSpec("multimodal_image_decode", {})
+    )
+    routed = ids.select("doc_id", gen("doc_id").alias("payload")).transform(op)
+
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, routed.collect())
+    )
+
+
 def test_text_chunk_is_shuffle_free(spark, sf_dir):
     """Chunking is a pure row expansion (sequence + explode + slice): the
     plan must contain no Exchange and no Python evaluation."""
@@ -1005,35 +1059,40 @@ def test_word_pmi_broadcast_attach_take_ordered(spark, sf_dir):
 
 
 def test_unigram_encode_distinct_word_dictionary(spark, sf_dir):
-    """unigram_encode (dp125): the Viterbi DP runs over DISTINCT words
-    only (ArrowEvalPython on the deduped word column, the vocab dict in
-    the closure — never corpus-scale rows), the dictionary join is
-    broadcast under the size gate, reassembly is one doc-keyed
-    aggregate; no cartesian. The word-keyed join must never sort-merge
-    (that would shuffle the exploded token stream on the word); the
-    final doc-id rejoin MAY — it is co-keyed corpus-vs-per-doc-result,
-    the join you'd want merged at scale (the localCheckpointed
-    dictionary carries no stats, so the initial plan no longer
-    auto-broadcasts the assembled side; AQE picks the cheaper strategy
-    at runtime)."""
+    """unigram_encode (dp125): the size-tiered dictionary attach. The
+    dp125 corpus vocabulary is ≤256 distinct words, so the default plan
+    is the r14 literal-map tier — pieces AND scores attach as create_map
+    lookups inside a pure projection: no dictionary join, no reassembly
+    shuffle, no Python stage, no exchange at all. Forcing the literal
+    tier off pins tier 2 (driver-encoded rows, broadcast join); forcing
+    the driver tier off too pins the pre-r14 distributed pandas encode
+    (ArrowEvalPython over DISTINCT words only). All three tiers must
+    return row-identical results — the tier gates are a physical choice,
+    never a semantic one."""
     df = entry.queries()["dp125_unigram_encode"](spark, sf_dir)
     physical, _ = _plans(df)
-    # r14: under the driver-encode tier the vocab-bounded dictionary is
-    # Viterbi-segmented on the driver and broadcast as plain rows — no
-    # Python stage in the plan at all; above the tier the pre-r14
-    # ArrowEvalPython-over-distinct-words shape returns (pinned below by
-    # forcing the threshold to 0)
+    # tier 1: literal-map projection — nothing but the scan and project
     assert "ArrowEvalPython" not in physical, physical[:2000]
-    assert "BroadcastHashJoin" in physical, physical[:2000]
-    assert "SortMergeJoin [__w" not in physical, physical[:2000]
-    assert physical.count("SortMergeJoin") <= 1, physical[:2000]
+    assert "Join" not in physical, physical[:2000]
+    assert "Exchange" not in physical, physical[:2000]
     assert "CartesianProduct" not in physical
 
     import lakehouse_engine_spark.datapipes.bpe as bpe_mod
 
     base = {tuple(r) for r in df.collect()}
+    lit_thr = bpe_mod._LITERAL_MAP_THRESHOLD_ROWS
     drv = bpe_mod._DRIVER_ENCODE_THRESHOLD_ROWS
     try:
+        bpe_mod._LITERAL_MAP_THRESHOLD_ROWS = 0  # tier 2: driver rows
+        df2 = entry.queries()["dp125_unigram_encode"](spark, sf_dir)
+        physical, _ = _plans(df2)
+        assert "ArrowEvalPython" not in physical, physical[:2000]
+        assert "BroadcastHashJoin" in physical, physical[:2000]
+        assert "SortMergeJoin [__w" not in physical, physical[:2000]
+        assert physical.count("SortMergeJoin") <= 1, physical[:2000]
+        assert "CartesianProduct" not in physical
+        assert {tuple(r) for r in df2.collect()} == base
+
         bpe_mod._DRIVER_ENCODE_THRESHOLD_ROWS = 0  # pre-r14 pandas tier
         df3 = entry.queries()["dp125_unigram_encode"](spark, sf_dir)
         physical, _ = _plans(df3)
@@ -1043,6 +1102,7 @@ def test_unigram_encode_distinct_word_dictionary(spark, sf_dir):
         assert "CartesianProduct" not in physical
         assert {tuple(r) for r in df3.collect()} == base
     finally:
+        bpe_mod._LITERAL_MAP_THRESHOLD_ROWS = lit_thr
         bpe_mod._DRIVER_ENCODE_THRESHOLD_ROWS = drv
 
 
