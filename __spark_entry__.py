@@ -5090,7 +5090,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dp21/dp23/dp34/dp47/dp98/dp102/dp108/dp109/dp115/dp119/dp120/
     # dp123/dp138 and the fifth-batch (stats/layout review) queries
     # dp19/dp51/dp52/dp57/dp135/dp140 (same ALL-MATCH evidence;
-    # dp56/dp71/dp75/dp76 of that batch are already in this window). Entries 51+ still get
+    # dp56/dp71/dp75/dp76 of that batch are already in this window). The
+    # r14 optimization pass also touched the wordpiece/unigram encoders
+    # (tiered dictionary attach + the unigram literal-map tier):
+    # dp118/dp125 carry the same committed ALL-MATCH evidence (sf0.01
+    # AND sf0.1, tools/check_oracle.py) and join the r15-window lead
+    # list — the window cannot hold them and the full r09 cohort.
+    # Entries 51+ still get
     # value-verified every round via tools/check_oracle.py; the window
     # derivation is pinned by tests/test_entry_registry.py.
     return {
