@@ -63,15 +63,17 @@ def connected_components(
     rounds. The star transforms contract paths exponentially —
     O(log^2 n) rounds worst-case, 2-8 rounds in practice — so the same
     1M-node path converges in a handful of passes (see
-    tools/scale_probes_r7.py). Each half-round is one map-side-combined
-    min aggregation keyed on node plus one co-partitioned join back to
-    the edge list (both hash-partitioned on the SAME key, so AQE reuses
-    the exchange), shuffling only (node, node) pairs — never neighbor
-    lists, never anything super-linear in the edge count. Skew safety:
-    a hub of degree d contributes d rows to a SUM-like min combine (no
-    per-key list materialization), the same property the pagerank
-    hub-skew probe pins. ``localCheckpoint`` per round keeps plan depth
-    constant; convergence is an exact changed-edge count (distinct sets:
+    tools/scale_probes_r7.py). Each half-round is ONE node-keyed
+    exchange feeding a window-min (r14: the earlier groupBy-min +
+    join-back pair cost two exchanges plus a join per half-round for
+    the identical per-row min — at scale the join was a sort-merge
+    whose sort the window pays anyway, minus the second sorted side),
+    shuffling only (node, node) pairs — never neighbor lists, never
+    anything super-linear in the edge count. Skew safety: a hub of
+    degree d lands its d rows in one sorted window partition
+    (spillable), exactly the profile of the sort-merge join it
+    replaces. ``localCheckpoint`` per round keeps plan depth constant;
+    convergence is an exact changed-edge count (distinct sets:
     equal cardinality + empty one-sided ``exceptAll``).
     """
     if max_iterations < 1:
@@ -81,18 +83,19 @@ def connected_components(
         )
 
     def _cc(df: DataFrame) -> DataFrame:
-        from pyspark import StorageLevel
+        from pyspark.sql import Window
 
         raw = df.select(
             F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")
         )
+        # lazy: only the final output join reads it (the old persist +
+        # count was unpersisted before the output action ever ran, so it
+        # cost a job and cached nothing the final plan used — r14)
         nodes = (
             raw.select(F.col("__a").alias("__node"))
             .union(raw.select(F.col("__b").alias("__node")))
             .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        nodes.count()  # materialize before edges are rewritten below
         def _stats(e: DataFrame):
             row = e.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -110,37 +113,44 @@ def connected_components(
                 F.least("__a", "__b").alias("__v"),
             )
             .distinct(),
+            eager=False,  # the _stats probe below materializes it (r14)
             corpus_sized=True,
         )
         prev_n, prev_h = _stats(edges)
         converged = prev_n == 0
+        node_w = Window.partitionBy("__u")
         for _ in range(max_iterations):
             if converged:
                 break
             # large-star: every node u sends its strictly-LARGER
             # neighbors to m = min(u, neighbors) — contracts tall
-            # trees toward the minimum without growing edge count
+            # trees toward the minimum without growing edge count.
+            # Window-min instead of groupBy-min + join-back: one
+            # exchange per half-round instead of two, no join, and the
+            # per-row __mv is the identical value. The half-round
+            # outputs are multisets (the old intra-round distinct is
+            # gone): every consumer is duplicate-insensitive — window
+            # MIN, the filters, and the round-final distinct — so the
+            # per-round edge SET is unchanged, round for round (pinned
+            # by test_connected_components_round_set_identity).
             sym = edges.union(
                 edges.select(F.col("__v").alias("__u"), F.col("__u").alias("__v"))
             )
-            lmin = sym.groupBy("__u").agg(F.min("__v").alias("__mv"))
             large = (
-                sym.join(lmin, "__u")
+                sym.withColumn("__mv", F.min("__v").over(node_w))
                 .where(F.col("__v") > F.col("__u"))
                 .select(
                     F.col("__v").alias("__u"),
                     F.least("__u", "__mv").alias("__v"),
                 )
-                .distinct()
             )
             # small-star: every node u re-points its smaller-or-equal
             # neighbors (and itself) at their collective minimum
-            smin = large.groupBy("__u").agg(F.min("__v").alias("__m"))
+            sm = large.withColumn("__m", F.min("__v").over(node_w))
             new_edges = (
-                large.join(smin, "__u")
-                .where(F.col("__v") != F.col("__m"))
+                sm.where(F.col("__v") != F.col("__m"))
                 .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
-                .union(smin.select(F.col("__u"), F.col("__m").alias("__v")))
+                .union(sm.select(F.col("__u"), F.col("__m").alias("__v")))
                 .distinct()
             )
             # lazy materialization: the stats aggregate right below is
@@ -171,15 +181,13 @@ def connected_components(
         labels = edges.select(
             F.col("__u").alias("__node"), F.col("__v").alias("__comp")
         )
-        out = (
+        return (
             nodes.join(labels, "__node", "left")
             .select(
                 F.col("__node").alias("node"),
                 F.coalesce("__comp", "__node").alias(output_col),
             )
         )
-        nodes.unpersist()
-        return out
 
     return _cc
 

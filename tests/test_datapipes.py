@@ -2725,6 +2725,84 @@ def test_connected_components_matches_union_find(spark):
     assert len(got) == n and all(r["component"] == 0 for r in got)
 
 
+def test_connected_components_round_set_identity():
+    """The r14 window-min round body (no groupBy+join, no intra-round
+    distinct) produces the IDENTICAL per-round edge set as the original
+    formulation, round for round — transparent Python models of both,
+    on seeded random graphs plus hub/duplicate-heavy topologies where
+    intra-round duplicate rows actually arise."""
+    import random
+
+    def old_round(E):  # E: set of (u, v) with u > v
+        sym = list(E) + [(v, u) for (u, v) in E]
+        lmin = {}
+        for u, v in sym:
+            lmin[u] = min(lmin.get(u, v), v)
+        large = {
+            (v, min(u, lmin[u])) for (u, v) in sym if v > u
+        }
+        smin = {}
+        for u, v in large:
+            smin[u] = min(smin.get(u, v), v)
+        return {
+            (v, smin[u]) for (u, v) in large if v != smin[u]
+        } | {(u, m) for u, m in smin.items()}
+
+    def new_round(E):  # multiset half-rounds, dedup only at the end
+        sym = list(E) + [(v, u) for (u, v) in E]
+        lmin = {}
+        for u, v in sym:
+            lmin[u] = min(lmin.get(u, v), v)
+        large = [
+            (v, min(u, lmin[u])) for (u, v) in sym if v > u
+        ]  # list: duplicates kept, exactly like the un-distinct plan
+        smin = {}
+        for u, v in large:
+            smin[u] = min(smin.get(u, v), v)
+        return {
+            (v, smin[u]) for (u, v) in large if v != smin[u]
+        } | {(u, m) for u, m in smin.items()}
+
+    rng = random.Random(21)
+    graphs = [
+        # hub: many leaves share mins -> duplicate (v, m) intermediates
+        [(0, i) for i in range(1, 40)] + [(i, i + 1) for i in range(30, 50)],
+        [(i, i + 1) for i in range(99)],  # path
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(150)],
+        [(rng.randrange(8), rng.randrange(8)) for _ in range(60)],  # dense+dupes
+    ]
+    for g in graphs:
+        E = {(max(a, b), min(a, b)) for a, b in g if a != b}
+        for _ in range(12):
+            got_old, got_new = old_round(E), new_round(E)
+            assert got_new == got_old
+            if got_old == E:
+                break
+            E = got_old
+
+
+def test_connected_components_hub_duplicate_edges(spark):
+    """Spark run of the r14 round body on the duplicate-producing hub
+    topology (star + tail + parallel/reversed edges): labels match the
+    closed-form answer and convergence stays inside the star bound."""
+    edges = (
+        [(0, i) for i in range(1, 40)]
+        + [(i, 0) for i in range(1, 40)]  # reversed duplicates
+        + [(39, 40), (40, 41), (41, 42)]  # tail hanging off a leaf
+        + [(50, 50), (7, 7)]  # self-loops
+    )
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r["node"]: r["component"]
+        for r in df.transform(
+            t("graph_connected_components", max_iterations=8)
+        ).collect()
+    }
+    want = {i: 0 for i in range(43)}
+    want[50] = 50
+    assert got == want
+
+
 def test_connected_components_contracts(spark):
     """String ids order lexicographically; self-loops register isolated
     nodes; duplicate/reversed edges are tolerated; empty input yields
