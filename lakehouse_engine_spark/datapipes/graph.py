@@ -214,10 +214,13 @@ def pagerank(
 
     Scale design: each iteration is ONE join of the rank table against
     the (outdeg-annotated, persisted) edge list on the source key and one
-    map-side-combined sum keyed by destination — both hash-partitioned on
-    node ids, so AQE coalesces and reuses exchanges; no broadcast of
-    anything corpus-sized, no driver-side state beyond the node count.
-    ``localCheckpoint`` per round keeps the plan depth constant.
+    map-side-combined sum keyed by destination; nodes without in-edges
+    get their base rank by riding a zero-contribution row through that
+    same sum (r14 — previously a per-iteration ``nodes LEFT JOIN``,
+    i.e. one more exchange and a join per round, for the identical
+    int64 result). No broadcast of anything corpus-sized, no
+    driver-side state beyond the node count. ``localCheckpoint`` per
+    round keeps the plan depth constant.
     """
     if iterations < 1:
         raise ValueError(f"graph_pagerank: iterations must be >= 1, got {iterations}")
@@ -265,7 +268,16 @@ def pagerank(
             eager=False,
             corpus_sized=True,
         )
+        zero_rows = nodes.select(
+            "__node", F.lit(0).cast("long").alias("__c")
+        )
         for _ in range(iterations):
+            # Every node's zero row rides the SAME exchange the
+            # destination-keyed sum already pays (map-side combine folds
+            # it away), replacing the per-iteration `nodes LEFT JOIN
+            # contribs` — one fewer exchange and no join per round, and
+            # sum(contribs + 0) == coalesce(sum(contribs), 0) exactly in
+            # int64 (r14).
             contribs = (
                 annotated.join(
                     ranks.withColumnRenamed("__node", "__src"), "__src"
@@ -274,6 +286,7 @@ def pagerank(
                     F.col("__dst").alias("__node"),
                     F.expr("(__r * 17) div (20 * __outdeg)").alias("__c"),
                 )
+                .union(zero_rows)
                 .groupBy("__node")
                 .agg(F.sum("__c").alias("__in"))
             )
@@ -287,12 +300,9 @@ def pagerank(
             # which must be materialized before its predecessor is
             # released, is never taken for corpus-sized frames.
             nxt = iter_materialize(
-                nodes.join(contribs, "__node", "left")
-                .select(
+                contribs.select(
                     "__node",
-                    (F.lit(base_s) + F.coalesce("__in", F.lit(0)))
-                    .cast("long")
-                    .alias("__r"),
+                    (F.lit(base_s) + F.col("__in")).cast("long").alias("__r"),
                 ),
                 eager=False,
                 corpus_sized=True,
