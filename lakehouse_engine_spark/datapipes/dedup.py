@@ -1031,24 +1031,38 @@ def dedup_connected_components(
                 .groupBy("__h")
                 .agg(F.min("__label").alias("__bmin"))
             )
-            prop = (
-                edges.join(bucket_min, "__h")
-                .groupBy("__id")
-                .agg(F.min("__bmin").alias("__prop"))
-            )
+            # propagation and the old-label carry in ONE id-keyed
+            # aggregation (r14): the previous shape ran a groupBy-min
+            # over the bucket candidates and then LEFT JOINed the labels
+            # back on — an extra exchange plus a join per round — for
+            # exactly min(old_label, min(bucket mins)), which a union
+            # into one MIN computes (MIN is type-agnostic, so string ids
+            # keep working; every id has exactly one old row, so the
+            # conditional MAX recovers it losslessly).
             # carry the previous label through the checkpoint so the
             # convergence probe is an exact changed-row count over the
             # MATERIALIZED round result (no recompute, no numeric cast —
             # the old sum(__label) probe required numeric ids and blew up
             # on string ids)
             stepped = iter_materialize(
-                labels.join(prop, "__id", "left")
-                .select(
+                labels.select(
                     "__id",
-                    F.col("__label").alias("__old"),
-                    F.least(
-                        "__label", F.coalesce("__prop", "__label")
-                    ).alias("__label"),
+                    F.col("__label").alias("__val"),
+                    F.lit(True).alias("__is_old"),
+                )
+                .union(
+                    edges.join(bucket_min, "__h").select(
+                        "__id",
+                        F.col("__bmin").alias("__val"),
+                        F.lit(False).alias("__is_old"),
+                    )
+                )
+                .groupBy("__id")
+                .agg(
+                    F.max(F.when(F.col("__is_old"), F.col("__val"))).alias(
+                        "__old"
+                    ),
+                    F.min("__val").alias("__label"),
                 ),
                 corpus_sized=True,
             )
