@@ -5095,7 +5095,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tiered dictionary attach + the unigram literal-map tier):
     # dp118/dp125 carry the same committed ALL-MATCH evidence (sf0.01
     # AND sf0.1, tools/check_oracle.py) and join the r15-window lead
-    # list — the window cannot hold them and the full r09 cohort.
+    # list — the window cannot hold them and the full r09 cohort. The
+    # second r14 optimization batch (window-min CC rounds; dedup-CC
+    # propagation/label-carry fusion) touched dp121/dp20/dp61 — same
+    # committed ALL-MATCH evidence at sf0.01 AND sf0.1, same r15-lead
+    # queue (dp87, also touched by that batch, sits inside this window
+    # and gets its hard driver signal now). The third r14 optimization
+    # batch (construction de-chatter: SQL-string expression builds in
+    # datapipes/colbuild.py, value-identical operator for operator)
+    # touched dp06/dp07/dp08/dp11/dp13/dp20/dp28/dp39/dp40/dp42/dp61/
+    # dp91/dp97/dp131/dp132/dp133/dp147/q31/q33 — oracle ALL MATCH at
+    # sf0.01 (full set) and sf0.1 (dp07/dp08/dp20/dp28/dp42/dp97/
+    # dp131/dp132/q31), same r15-lead queue.
     # Entries 51+ still get
     # value-verified every round via tools/check_oracle.py; the window
     # derivation is pinned by tests/test_entry_registry.py.

@@ -31,6 +31,11 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakehouse_engine_spark.datapipes.colbuild import (
+    dot_cols,
+    dot_elements,
+    element_aliases,
+)
 from lakehouse_engine_spark.datapipes.materialize import (
     iter_materialize,
     release,
@@ -368,10 +373,7 @@ def dedup_cross_embedding(
             )
             .drop("__bid")
         )
-        dot = sum(
-            (F.element_at("__v1", i + 1) * F.element_at("__v2", i + 1) for i in range(1, d)),
-            F.element_at("__v1", 1) * F.element_at("__v2", 1),
-        )
+        dot = dot_elements("__v1", "__v2", d)
         hits = (
             cands.filter(dot / (F.col("__n1") * F.col("__n2")) >= threshold)
             .select("__id")
@@ -570,8 +572,11 @@ def _minhash_sig_df(
         "__id",
         (F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long") % P).alias("__x"),
     )
+    # one parser round-trip per permutation (colbuild rationale); a and b
+    # are < P = 2^31-1, so the SQL int literals type exactly like the
+    # F.lit ints they replace (int * bigint -> bigint)
     aggs = [
-        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % P).alias(f"__h{i}")
+        F.expr(f"min(({a} * __x + {b}) % {P}) as __h{i}")
         for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
     ]
     return ex.groupBy("__id").agg(*aggs)
@@ -580,17 +585,17 @@ def _minhash_sig_df(
 def _band_exploded(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
     """(__id, __h) band-bucket rows from a signature-columns DataFrame."""
     band_cols = [
-        F.md5(
-            F.concat(
-                F.lit(f"{b}:"),
-                F.concat_ws(
-                    "|", *[F.col(f"__h{b * rows + r}").cast("string") for r in range(rows)]
-                ),
-            )
+        "md5(concat('{}:', concat_ws('|', {})))".format(
+            b,
+            ", ".join(
+                f"cast(__h{b * rows + r} as string)" for r in range(rows)
+            ),
         )
         for b in range(bands)
     ]
-    return sig_df.select("__id", F.explode(F.array(*band_cols)).alias("__h"))
+    return sig_df.select(
+        "__id", F.expr(f"explode(array({', '.join(band_cols)})) as __h")
+    )
 
 
 def band_hashes(sig: Column, bands: int, rows: int) -> Column:
@@ -760,21 +765,27 @@ def _simhash_sig_df(
         "__id",
         F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long").alias("__h"),
     )
+    # expressions as SQL strings, one parser round-trip each: the Column
+    # form made ~8 py4j calls per bit (x60 votes + a 60-deep bitwiseOR
+    # chain built link by link) — several hundred driver round-trips per
+    # signature build for expression trees the parser constructs
+    # JVM-side in one call. Semantics are identical operator for
+    # operator (CASE WHEN == when/otherwise, & == bitwiseAND; the OR
+    # fold stays left-associative over the same 60 terms).
     aggs = [
-        F.sum(
-            F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__b{i}")
+        F.expr(
+            f"sum(case when shiftright(__h, {i}) & 1 = 1 then 1 else -1 end)"
+            f" as __b{i}"
+        )
         for i in range(SIMHASH_BITS)
     ]
     counters = ex.groupBy("__id").agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return counters.select("__id", sig.alias("__sim"))
+    sig = " | ".join(
+        f"(case when __b{i} > 0 then shiftleft(cast(1 as bigint), {i})"
+        f" else cast(0 as bigint) end)"
+        for i in range(SIMHASH_BITS)
+    )
+    return counters.select("__id", F.expr(f"({sig}) as __sim"))
 
 
 def _effective_cap(
@@ -1230,10 +1241,7 @@ def dedup_embedding_cosine(
         )
         # left-assoc element_at chain: same summation order as the HOF fold
         # (and the SQL oracle), but codegen'd
-        dot = sum(
-            (F.element_at("__v1", i + 1) * F.element_at("__v2", i + 1) for i in range(1, dim)),
-            F.element_at("__v1", 1) * F.element_at("__v2", 1),
-        )
+        dot = dot_elements("__v1", "__v2", dim)
         verified = cands.filter(dot / (F.col("__n1") * F.col("__n2")) >= threshold)
         heads = verified.groupBy("__id").agg(F.min("__cand").alias("dup_group_id"))
         out = df.join(heads, df[id_col] == heads["__id"], "left").drop("__id")
@@ -1275,19 +1283,18 @@ def dedup_embedding_cosine(
         # entirely (the unit normalization would be 0/0) and survive via
         # the left join below — cosine similarity cannot call them
         # duplicates of anything.
+        # two projections so the component extraction can be string-built
+        # (colbuild): Catalyst collapses them back into the single
+        # element_at(transform(...), i) projection the one-select form
+        # analyzed to — identical values, ~3x fewer driver round-trips
         vecs = (
             ensure_parallelism(df)
             .filter(norm > 0)
-            .select(
-                F.col(id_col).alias("__id"),
-                *[F.element_at(unit, i + 1).alias(f"__e{i}") for i in range(dim)],
-            )
+            .select(F.col(id_col).alias("__id"), unit.alias("__u"))
+            .select("__id", *element_aliases("__u", dim, "__e"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        dot = sum(
-            (F.col(f"l.__e{i}") * F.col(f"r.__e{i}") for i in range(1, dim)),
-            F.col("l.__e0") * F.col("r.__e0"),
-        )
+        dot = dot_cols("l.__e{i}", "r.__e{i}", dim)
         # stream side carries the O(n²) loop — spread it; build side broadcasts
         pairs = (
             vecs.alias("l")
@@ -1433,10 +1440,7 @@ def dedup_semantic_centroid(
             nonzero.select(
                 "__sid",
                 "__norm",
-                *[
-                    F.element_at("__sv", i + 1).alias(f"__e{i}")
-                    for i in range(dim)
-                ],
+                *element_aliases("__sv", dim, "__e"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -1453,10 +1457,7 @@ def dedup_semantic_centroid(
                 for r in centroid_rows
             ]
         ).toDF("__cid", "__cnorm", *[f"__c{i}" for i in range(dim)])
-        cdot = sum(
-            (F.col(f"__e{i}") * F.col(f"__c{i}") for i in range(1, dim)),
-            F.col("__e0") * F.col("__c0"),
-        )
+        cdot = dot_cols("__e{i}", "__c{i}", dim)
         # broadcast centroid cross + fused dot, then a SLIM argmax (no
         # vectors inside the max struct; ties -> larger centroid id, the
         # SQL oracle's order) and one id-keyed rejoin to recover the
@@ -1492,13 +1493,7 @@ def _semantic_verify_heads(
     per verified duplicate: (``__id``, ``dup_group_id`` = the smallest
     same-cluster id verifying at ``cosine >= threshold``). The pair join
     is equi-keyed on the cluster id so AQE handles cluster-size skew."""
-    pdot = sum(
-        (
-            F.col(f"l.__e{i}") * F.col(f"r.__e{i}")
-            for i in range(1, dim)
-        ),
-        F.col("l.__e0") * F.col("r.__e0"),
-    )
+    pdot = dot_cols("l.__e{i}", "r.__e{i}", dim)
     verified = (
         assigned.alias("l")
         .join(
@@ -1657,7 +1652,7 @@ def dedup_semantic_hier(
                 vecs.select(
                     F.col("__sid").alias("__id"),
                     F.col("__norm").alias("__n1"),
-                    *[F.col(f"__e{i}").alias(f"__l{i}") for i in range(dim)],
+                    *[F.expr(f"__e{i} as __l{i}") for i in range(dim)],
                 ),
                 "__id",
             )
@@ -1665,15 +1660,12 @@ def dedup_semantic_hier(
                 vecs.select(
                     F.col("__sid").alias("__cand"),
                     F.col("__norm").alias("__n2"),
-                    *[F.col(f"__e{i}").alias(f"__r{i}") for i in range(dim)],
+                    *[F.expr(f"__e{i} as __r{i}") for i in range(dim)],
                 ),
                 "__cand",
             )
         )
-        pdot = sum(
-            (F.col(f"__l{i}") * F.col(f"__r{i}") for i in range(1, dim)),
-            F.col("__l0") * F.col("__r0"),
-        )
+        pdot = dot_cols("__l{i}", "__r{i}", dim)
         heads = (
             cands.filter(pdot / (F.col("__n1") * F.col("__n2")) >= threshold)
             .groupBy("__id")
@@ -2128,13 +2120,7 @@ def dedup_incremental_embedding(
                 )
                 .drop("__bid")
             )
-            dot = sum(
-                (
-                    F.element_at("__v1", i + 1) * F.element_at("__v2", i + 1)
-                    for i in range(1, dim)
-                ),
-                F.element_at("__v1", 1) * F.element_at("__v2", 1),
-            )
+            dot = dot_elements("__v1", "__v2", dim)
             dup_ids = (
                 cands.filter(dot / (F.col("__n1") * F.col("__n2")) >= threshold)
                 .select("__id")

@@ -361,9 +361,14 @@ def knn_ivf(
                 centroids = (
                     assign_it.groupBy("centroid_id")
                     .agg(
-                        F.array(
-                            *[F.avg(F.element_at("__v", i + 1)) for i in range(dim)]
-                        ).alias("__cv")
+                        F.expr(
+                            "array({}) as __cv".format(
+                                ", ".join(
+                                    f"avg(element_at(__v, {i + 1}))"
+                                    for i in range(dim)
+                                )
+                            )
+                        )
                     )
                     .localCheckpoint(eager=True)
                 )
@@ -490,7 +495,7 @@ def knn_ivf_hier(
                     ),
                 )
             sums = [
-                F.sum(F.element_at("__qv", i + 1)).alias(f"__s{i}")
+                F.expr(f"sum(element_at(__qv, {i + 1})) as __s{i}")
                 for i in range(dim)
             ]
             cents_raw = base.groupBy("__cell").agg(
