@@ -3153,42 +3153,35 @@ def winnow_fingerprint(
         if k <= 12:
             # packed base-36 gram codes: one ascii map per CHAR (staged
             # behind its own projection), then k integer ops per gram
-            # over the bound code array
+            # over the bound code array. Expressions are SQL strings
+            # (datapipes/colbuild rationale): the Column-chain form made
+            # hundreds of py4j round-trips per side for trees the SQL
+            # parser builds JVM-side in one call — operator-for-operator
+            # identical, same left-associative gram fold.
             with_codes = (
                 base.select(F.col(id_col).alias("__id"), norm.alias("__s"))
                 .select(
                     "__id",
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("__s")),
-                        lambda p: (
-                            F.when(
-                                F.ascii(F.col("__s").substr(p, F.lit(1))) >= 97,
-                                F.ascii(F.col("__s").substr(p, F.lit(1))) - 87,
-                            )
-                            .otherwise(
-                                F.ascii(F.col("__s").substr(p, F.lit(1))) - 48
-                            )
-                            .cast("long")
-                        ),
-                    ).alias("__codes"),
+                    F.expr(
+                        "transform(sequence(1, length(__s)), p -> cast("
+                        "CASE WHEN ascii(substr(__s, p, 1)) >= 97"
+                        " THEN ascii(substr(__s, p, 1)) - 87"
+                        " ELSE ascii(substr(__s, p, 1)) - 48 END"
+                        " as bigint)) as __codes"
+                    ),
                 )
             )
-
-            def gram(i):
-                val = None
-                for j in range(k):
-                    term = F.element_at(
-                        F.col("__codes"), (i + j).cast("int")
-                    ) * F.lit(36 ** (k - 1 - j)).cast("long")
-                    val = term if val is None else val + term
-                return val
-
+            gram_sql = " + ".join(
+                f"element_at(__codes, cast(i + {j} as int))"
+                f" * cast({36 ** (k - 1 - j)} as bigint)"
+                for j in range(k)
+            )
             staged = with_codes.select(
                 "__id",
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__codes") - k + 1),
-                    lambda i: gram(i),
-                ).alias("__hs"),
+                F.expr(
+                    f"transform(sequence(1, size(__codes) - {k} + 1), "
+                    f"i -> {gram_sql}) as __hs"
+                ),
             )
         else:
             hs = F.transform(
@@ -3198,48 +3191,39 @@ def winnow_fingerprint(
                 ).cast("long"),
             )
             staged = base.select(F.col(id_col).alias("__id"), hs.alias("__hs"))
-        h = F.col("__hs")
-        nwin = F.greatest(F.size(h) - window + 1, F.lit(1))
-
-        def at(i, j):
-            return F.element_at(h, (i + j).cast("int"))
-
-        def win_min(i):
-            # full windows only (i <= m-w+1): pure scalar least over w
-            # bound-array lookups — no slice/reverse allocations (the
-            # allocation-per-window form measured 2x slower at 40M grams)
-            return F.least(*[at(i, j) for j in range(window)]) if window > 1 else at(i, 0)
-
-        def win_pos(i):
-            # RIGHTMOST minimal position: scan j from the right
-            expr = None
-            for j in range(window - 1, -1, -1):
-                cond = at(i, j) == win_min(i)
-                expr = F.when(cond, i + j) if expr is None else expr.when(cond, i + j)
-            return expr
-
-        def full_struct(i):
-            return F.struct(
-                win_pos(i).cast("int").alias("pos"), win_min(i).alias("fp")
-            )
-
-        # single partial window (m < w): min of ALL grams, rightmost tie
-        partial = F.struct(
-            (
-                F.lit(1)
-                + F.size(h)
-                - F.array_position(F.reverse(h), F.array_min(h))
-            ).cast("int").alias("pos"),
-            F.array_min(h).alias("fp"),
+        # full windows only (i <= m-w+1): pure scalar least over w
+        # bound-array lookups — no slice/reverse allocations (the
+        # allocation-per-window form measured 2x slower at 40M grams)
+        at_sql = [
+            f"element_at(__hs, cast(i + {j} as int))" for j in range(window)
+        ]
+        win_min_sql = (
+            "least(" + ", ".join(at_sql) + ")" if window > 1 else at_sql[0]
         )
-        fps = F.transform(
-            F.sequence(F.lit(1), nwin),
-            lambda i: F.when(F.size(h) >= window, full_struct(i)).otherwise(
-                partial
-            ),
+        # RIGHTMOST minimal position: CASE branches scan j from the right
+        win_pos_sql = (
+            "CASE "
+            + " ".join(
+                f"WHEN {at_sql[j]} = {win_min_sql} THEN i + {j}"
+                for j in range(window - 1, -1, -1)
+            )
+            + " END"
+        )
+        # single partial window (m < w): min of ALL grams, rightmost tie
+        partial_sql = (
+            "named_struct("
+            "'pos', cast(1 + size(__hs)"
+            " - array_position(reverse(__hs), array_min(__hs)) as int), "
+            "'fp', array_min(__hs))"
+        )
+        fps_sql = (
+            f"transform(sequence(1, greatest(size(__hs) - {window} + 1, 1)), "
+            f"i -> CASE WHEN size(__hs) >= {window} THEN named_struct("
+            f"'pos', cast({win_pos_sql} as int), 'fp', {win_min_sql}) "
+            f"ELSE {partial_sql} END)"
         )
         return (
-            staged.select("__id", F.explode(fps).alias("__f"))
+            staged.select("__id", F.expr(f"explode({fps_sql}) as __f"))
             .select(
                 F.col("__id").alias(id_col),
                 F.col("__f.pos").alias("pos"),
