@@ -193,23 +193,42 @@ def hilbert(
         out = out.withColumns(
             {"__hx": bx, "__hy": by, "__hd": F.lit(0).cast("long")}
         )
-        one = F.lit(1).cast("long")
+        # per-level expressions as SQL strings (colbuild rationale): the
+        # Column-chain form made ~25 py4j round-trips per bit level for
+        # identical operator trees; levels still materialize one
+        # withColumns projection each, so no textual recursion blowup
+        n_full = (1 << bits_per_col) - 1
         for i in range(bits_per_col - 1, -1, -1):
             s = 1 << i
-            x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
-            rx = F.shiftright(x, i).bitwiseAND(one)
-            ry = F.shiftright(y, i).bitwiseAND(one)
-            new_d = d + F.lit(s * s).cast("long") * (
-                (F.lit(3).cast("long") * rx).bitwiseXOR(ry)
+            rx = f"(shiftright(__hx, {i}) & cast(1 as bigint))"
+            ry = f"(shiftright(__hy, {i}) & cast(1 as bigint))"
+            new_d = (
+                f"__hd + cast({s * s} as bigint)"
+                f" * ((cast(3 as bigint) * {rx}) ^ {ry})"
             )
-            n_full = F.lit((1 << bits_per_col) - 1).cast("long")
-            refl_x = F.when(rx == one, n_full - x).otherwise(x)
-            refl_y = F.when(rx == one, n_full - y).otherwise(y)
+            refl_x = (
+                f"CASE WHEN {rx} = cast(1 as bigint)"
+                f" THEN cast({n_full} as bigint) - __hx ELSE __hx END"
+            )
+            refl_y = (
+                f"CASE WHEN {rx} = cast(1 as bigint)"
+                f" THEN cast({n_full} as bigint) - __hy ELSE __hy END"
+            )
             # rot: when ry == 0, (optionally reflect by rx) then swap x/y
-            new_x = F.when(ry == F.lit(0).cast("long"), refl_y).otherwise(x)
-            new_y = F.when(ry == F.lit(0).cast("long"), refl_x).otherwise(y)
+            new_x = (
+                f"CASE WHEN {ry} = cast(0 as bigint)"
+                f" THEN {refl_y} ELSE __hx END"
+            )
+            new_y = (
+                f"CASE WHEN {ry} = cast(0 as bigint)"
+                f" THEN {refl_x} ELSE __hy END"
+            )
             out = out.withColumns(
-                {"__hx": new_x, "__hy": new_y, "__hd": new_d}
+                {
+                    "__hx": F.expr(new_x),
+                    "__hy": F.expr(new_y),
+                    "__hd": F.expr(new_d),
+                }
             )
         out = out.withColumn(output_col, F.col("__hd")).drop(
             "__hx",
