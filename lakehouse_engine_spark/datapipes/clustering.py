@@ -79,6 +79,94 @@ def _floordiv(s: int, n: int) -> int:
     return -((-s + n - 1) // n)
 
 
+# Driver tier (r15, the bpe_train pattern): when the whole quantized
+# corpus fits under this element budget (rows x dim int64 grid points —
+# ~120 MB of collected Python rows at the default), the Lloyd loop runs
+# on the driver with ZERO per-iteration Spark jobs instead of
+# 1-2 collect jobs per round. The distributed loop is byte-for-byte
+# unchanged above the gate (the 100 TB path), and the gate probe is a
+# BOUNDED limit(n+1) collect, not a count over the corpus. Tests pin the
+# two tiers bit-identical (test_kmeans_driver_tier_parity).
+DRIVER_KMEANS_MAX_ELEMS = 4_000_000
+
+
+def _py_id_hash(x) -> str:
+    """Driver replica of ``F.md5(F.col(id).cast("string"))`` for the
+    int/string ids the trainers see (a bigint casts to its decimal
+    string in both engines; strings pass through)."""
+    import hashlib
+
+    s = x if isinstance(x, str) else str(x)
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _driver_collect(df: DataFrame, id_col: str, input_col: str,
+                    quant_scale: int, dim: int):
+    """Bounded collect of the quantized (id, vector) table for the
+    driver tier. Returns the complete row list when the corpus fits
+    under :data:`DRIVER_KMEANS_MAX_ELEMS` and ids are driver-hashable
+    (int/str — matching the md5-cast replica); None otherwise (the
+    distributed loop takes over)."""
+    max_rows = max(DRIVER_KMEANS_MAX_ELEMS // max(dim, 1), 1)
+    if max_rows <= 0:
+        return None
+    rows = (
+        df.select(
+            F.col(id_col).alias("__km_id"),
+            _quantize_expr(input_col, quant_scale).alias("__km_v"),
+        )
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        return None
+    for r in rows:
+        i = r["__km_id"]
+        if isinstance(i, bool) or not isinstance(i, (int, str)):
+            return None  # exotic id type: keep the engine-side md5 path
+    return rows
+
+
+def _driver_usable(rows):
+    """Split collected rows into (ids, vectors) of USABLE samples — the
+    driver replica of :func:`_usable_sample` + ``_clean_int_rows`` row
+    routing (non-null vector, no null element)."""
+    ids, vecs = [], []
+    for r in rows:
+        v = r["__km_v"]
+        if v is None or any(x is None for x in v):
+            continue
+        ids.append(r["__km_id"])
+        vecs.append(v)
+    return ids, vecs
+
+
+def _driver_init_order(ids) -> List[int]:
+    """Indices of ``ids`` in the trainers' init order — smallest
+    ``(md5(cast(id as string)), id)`` first. Python str compare equals
+    UTF8String binary compare for valid Unicode (the bpe.py tie-break
+    argument), and the hex digest is ASCII."""
+    return sorted(range(len(ids)), key=lambda i: (_py_id_hash(ids[i]), ids[i]))
+
+
+def _driver_lloyd(X: np.ndarray, cents: np.ndarray, iterations: int) -> np.ndarray:
+    """Exact int64 Lloyd rounds on the driver — the same distance
+    expansion, first-min tie-break and floor-div update as
+    ``_iteration_sums`` + the caller's update loop; empty clusters keep
+    their previous centroid."""
+    for _ in range(iterations):
+        cnorm = (cents * cents).sum(axis=1)
+        dist = (X * X).sum(axis=1)[:, None] - 2 * (X @ cents.T) + cnorm[None, :]
+        c = dist.argmin(axis=1)
+        for j in range(len(cents)):
+            m = c == j
+            n = int(m.sum())
+            if n:
+                s = X[m].sum(axis=0)
+                cents[j] = [_floordiv(int(sv), n) for sv in s]
+    return cents
+
+
 def _usable_sample(col_name: str):
     """Sample predicate for codebook/centroid/query draws: the vector
     exists AND carries no null element — a null element breaks the exact
@@ -307,6 +395,30 @@ def embedding_kmeans(
                 F.lit(0).cast("int").alias(output_col),
                 zdist.alias(f"{output_col}_dist"),
             )
+        # ----- driver tier (r15): whole-corpus local Lloyd when small -----
+        rows = _driver_collect(df, id_col, input_col, quant_scale, dim)
+        if rows is not None:
+            ids, vecs = _driver_usable(rows)
+            if not ids:
+                return df.select(
+                    "*",
+                    F.lit(None).cast("int").alias(output_col),
+                    F.lit(None).cast("long").alias(f"{output_col}_dist"),
+                ).limit(0)
+            order = _driver_init_order(ids)[:k]
+            cents = np.array([vecs[i] for i in order], dtype=np.int64)
+            X = np.array(vecs, dtype=np.int64)
+            cents = _driver_lloyd(X, cents, iterations)
+            centroids = [[int(x) for x in row] for row in cents]
+            out = df.select(
+                "*", _quantize_expr(input_col, quant_scale).alias("__km_v")
+            )
+            expanded = _assign_frame(out, centroids)
+            return expanded.select(
+                *[F.col(c) for c in df.columns],
+                F.col("__km_c").alias(output_col),
+                F.col("__km_d").alias(f"{output_col}_dist"),
+            )
         q = df.select(
             F.col(id_col).alias("__km_id"),
             _quantize_expr(input_col, quant_scale).alias("__km_v"),
@@ -533,6 +645,74 @@ def embedding_kmeans_hier(
                 F.lit(0).cast("int").alias(f"{output_col}_fine"),
                 F.lit(0).cast("int").alias(output_col),
                 zdist.alias(f"{output_col}_dist"),
+            )
+        # ----- driver tier (r15): both levels local when the corpus fits --
+        rows = _driver_collect(df, id_col, input_col, quant_scale, dim)
+        if rows is not None:
+            ids, vecs = _driver_usable(rows)
+            if not ids:
+                return df.select("*", *null_cols).limit(0)
+            order = _driver_init_order(ids)[:k_coarse]
+            cents = np.array([vecs[i] for i in order], dtype=np.int64)
+            X = np.array(vecs, dtype=np.int64)
+            cents = _driver_lloyd(X, cents, coarse_iterations)
+            coarse = [[int(x) for x in row] for row in cents]
+            # fixed coarse assignment of every usable row (argmin, ties ->
+            # first = smallest id — the _assign_udf kernel's rule)
+            cnorm = (cents * cents).sum(axis=1)
+            gdist = (
+                (X * X).sum(axis=1)[:, None] - 2 * (X @ cents.T) + cnorm[None, :]
+            )
+            gv = gdist.argmin(axis=1)
+            # per-cell init: the k_fine cell members with the smallest
+            # (md5(id), id) — sub ids 0..k_fine-1 in that order
+            full_order = _driver_init_order(ids)
+            cells: dict = {}
+            for i in full_order:
+                c = int(gv[i])
+                lst = cells.setdefault(c, [])
+                if len(lst) < k_fine:
+                    lst.append(list(vecs[i]))
+            cmap = {c: np.array(v, dtype=np.int64) for c, v in cells.items()}
+            # confined fine Lloyd rounds (same update rule per cell)
+            for _ in range(fine_iterations):
+                nxt = {c: m.copy() for c, m in cmap.items()}
+                for c, m in cmap.items():
+                    Xi = X[gv == c]
+                    if not len(Xi):
+                        continue
+                    mn = (m * m).sum(axis=1)
+                    d = (
+                        (Xi * Xi).sum(axis=1)[:, None]
+                        - 2 * (Xi @ m.T)
+                        + mn[None, :]
+                    )
+                    a = d.argmin(axis=1)
+                    for j in range(len(m)):
+                        mm = a == j
+                        n = int(mm.sum())
+                        if n:
+                            s = Xi[mm].sum(axis=0)
+                            nxt[c][j] = [_floordiv(int(sv), n) for sv in s]
+                cmap = nxt
+            out = df.select(
+                "*", _quantize_expr(input_col, quant_scale).alias("__km_v")
+            )
+            out = _assign_frame(out, coarse).withColumnRenamed(
+                "__km_c", "__km_g"
+            ).drop("__km_d")
+            a = _grouped_assign_udf(cmap)(F.col("__km_g"), F.col("__km_v"))
+            out = out.select(
+                "*", a["c"].alias("__km_f"), a["d"].alias("__km_fd")
+            )
+            return out.select(
+                *[F.col(c) for c in df.columns],
+                F.col("__km_g").cast("int").alias(f"{output_col}_coarse"),
+                F.col("__km_f").cast("int").alias(f"{output_col}_fine"),
+                (F.col("__km_g") * k_fine + F.col("__km_f"))
+                .cast("int")
+                .alias(output_col),
+                F.col("__km_fd").alias(f"{output_col}_dist"),
             )
         q = df.select(
             F.col(id_col).alias("__km_id"),

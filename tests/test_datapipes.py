@@ -4710,6 +4710,53 @@ def test_embedding_kmeans_edge_cases(spark):
         t("embedding_kmeans", iterations=-1)
 
 
+def test_kmeans_driver_tier_parity(spark, monkeypatch):
+    """The r15 driver tier (whole-corpus local Lloyd under the element
+    budget) must be bit-identical to the distributed loop — both
+    trainers, long AND string ids, with null vectors and null elements
+    routed per the usable-sample contract."""
+    import random as rnd
+
+    from lakehouse_engine_spark.datapipes import clustering as cl
+
+    rnd.seed(7)
+    rows = []
+    for i in range(300):
+        if i % 37 == 0:
+            v = None
+        elif i % 53 == 0:
+            v = [rnd.uniform(-1, 1) if j != 2 else None for j in range(6)]
+        else:
+            v = [rnd.uniform(-1, 1) for j in range(6)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    df_s = df.select(
+        F.concat(F.lit("id_"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+
+    def run(frame, fn):
+        return sorted(
+            tuple(r) for r in frame.transform(fn).collect()
+        )
+
+    for frame in (df, df_s):
+        for fn in (
+            t("embedding_kmeans", k=5, iterations=2),
+            t(
+                "embedding_kmeans_hier",
+                k_coarse=3,
+                k_fine=3,
+                coarse_iterations=2,
+                fine_iterations=2,
+            ),
+        ):
+            monkeypatch.setattr(cl, "DRIVER_KMEANS_MAX_ELEMS", 4_000_000)
+            driver = run(frame, fn)
+            monkeypatch.setattr(cl, "DRIVER_KMEANS_MAX_ELEMS", 0)
+            distributed = run(frame, fn)
+            assert driver == distributed
+
+
 def test_cluster_stats(spark):
     df = spark.createDataFrame(
         [(1, 0, 10), (2, 0, 30), (3, 1, 4)],

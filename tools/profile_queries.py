@@ -49,7 +49,11 @@ def main() -> None:
     ).count()
 
     only = set(args)
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
+    )
     if plans_suffix:
         os.makedirs(plans_dir, exist_ok=True)
     rows = []
