@@ -1036,12 +1036,26 @@ def dedup_connected_components(
             eager=False,
             corpus_sized=True,
         )
+        first_round = True
         for _ in range(max_iterations):
-            bucket_min = (
-                edges.join(labels, "__id")
-                .groupBy("__h")
-                .agg(F.min("__label").alias("__bmin"))
-            )
+            # Round 1 specialization (r15): the initial label table is
+            # the IDENTITY map (label == id by construction), so the
+            # first round's bucket minimum is min(id) per bucket
+            # straight off the cached edge table — the edges⋈labels
+            # join (and the label-side exchange feeding it) is a no-op
+            # there. Near-dup corpora converge in 1-3 rounds, so the
+            # specialized round is the dominant one.
+            if first_round:
+                bucket_min = edges.groupBy("__h").agg(
+                    F.min("__id").alias("__bmin")
+                )
+                first_round = False
+            else:
+                bucket_min = (
+                    edges.join(labels, "__id")
+                    .groupBy("__h")
+                    .agg(F.min("__label").alias("__bmin"))
+                )
             # propagation and the old-label carry in ONE id-keyed
             # aggregation (r14): the previous shape ran a groupBy-min
             # over the bucket candidates and then LEFT JOINed the labels
