@@ -2505,7 +2505,14 @@ def dp83_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         ],
         "query_id LONG, query STRING",
     )
-    out = docs.transform(_t("text_bm25_topk", queries_df=qs, k=10))
+    # broadcast pinned (r15): the query set is 5 literal rows, so the
+    # operator's default qterms.count() broadcast probe — one build-time
+    # job plus its AQE stage materializations — decides nothing here.
+    # Result-identical; the probe remains the default for unpinned
+    # callers whose query sets can be corpus-scale.
+    out = docs.transform(
+        _t("text_bm25_topk", queries_df=qs, k=10, broadcast_queries=True)
+    )
     return out.select(
         "query_id",
         "doc_id",

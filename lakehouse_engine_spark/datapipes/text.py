@@ -2527,15 +2527,33 @@ def dsir_score(
     def _S(x: Column) -> Column:
         return F.floor(F.log10(x.cast("double")) * 10_000 + 0.5).cast("long")
 
-    def _bucket(g: Column) -> Column:
+    # SQL-string builders (r15, the colbuild de-chatter convention):
+    # the Column-chain form of the gram pipeline cost ~2,100 py4j
+    # round-trips per query construction; these produce the IDENTICAL
+    # operator trees (same when/otherwise shape, same left-assoc
+    # arithmetic) as one parser call each.
+    def _toks_sql(src: str) -> str:
+        return f"filter(split(trim(lower(`{src}`)), '\\\\s+'), t -> t != '')"
+
+    def _shingles_sql(src: str, n: int) -> str:
+        toks = _toks_sql(src)
         return (
-            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
-            % num_buckets
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n} + 1), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+            f"ELSE array(concat_ws(' ', {toks})) END"
         )
 
-    def _grams(col: Column) -> Column:
-        parts = [shingles(col, n) for n in range(1, max_ngram + 1)]
-        return F.flatten(F.array(*parts)) if len(parts) > 1 else parts[0]
+    def _grams_sql(src: str) -> str:
+        parts = [_shingles_sql(src, n) for n in range(1, max_ngram + 1)]
+        if len(parts) > 1:
+            return f"flatten(array({', '.join(parts)}))"
+        return parts[0]
+
+    _bucket_sql = (
+        f"cast(conv(substring(md5(__g), 1, 15), 16, 10) as bigint) "
+        f"% {num_buckets}"
+    )
 
     def _score(df: DataFrame) -> DataFrame:
         # INPUT CONTRACT: documents with a null id are excluded from the
@@ -2552,8 +2570,8 @@ def dsir_score(
         # instead of reusing the exchange.
         src = spread_scan(df.filter(F.col(id_col).isNotNull())).select(
             F.col(id_col).alias("__id"),
-            F.explode(_grams(F.col(input_col))).alias("__g"),
-        ).select("__id", _bucket(F.col("__g")).alias("__b"))
+            F.expr(f"explode({_grams_sql(input_col)}) as __g"),
+        ).select("__id", F.expr(f"{_bucket_sql} as __b"))
         # ONE exchange of (doc, bucket, count) feeds both the source
         # bucket distribution and the per-doc scoring — ReusedExchange
         # dedupes the identical subplan within the action, so the gram
@@ -2562,8 +2580,8 @@ def dsir_score(
             F.count(F.lit(1)).alias("__c")
         )
         tgt = spread_scan(target_df).select(
-            F.explode(_grams(F.col(target_text_col))).alias("__g")
-        ).select(_bucket(F.col("__g")).alias("__b"))
+            F.expr(f"explode({_grams_sql(target_text_col)}) as __g")
+        ).select(F.expr(f"{_bucket_sql} as __b"))
         s_counts = doc_buckets.groupBy("__b").agg(
             F.sum("__c").alias("__cs")
         )
