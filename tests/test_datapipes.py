@@ -4768,6 +4768,39 @@ def test_cluster_stats(spark):
     assert out[1]["size"] == 1 and out[1]["inertia"] == 4
 
 
+def test_iter_materialize_wide_lazy_flips_eager(spark):
+    """A corpus-sized frame wider than the narrow-frame contract must
+    auto-switch a lazy iter_materialize to EAGER (lazy chains hold every
+    round's blocks until the final action — acceptable only for narrow
+    control frames). Observable: the eager checkpoint runs a job at
+    call time; a narrow lazy one runs none."""
+    from lakehouse_engine_spark.datapipes.materialize import (
+        NARROW_FRAME_MAX_COLS,
+        iter_materialize,
+    )
+
+    sc = spark.sparkContext
+
+    def jobs():
+        ids = sc.statusTracker().getJobIdsForGroup()
+        return max(ids) + 1 if ids else 0
+
+    ncols = NARROW_FRAME_MAX_COLS + 1
+    wide = spark.range(10).selectExpr(
+        *[f"id + {i} as c{i}" for i in range(ncols)]
+    )
+    j0 = jobs()
+    out = iter_materialize(wide, eager=False, corpus_sized=True)
+    assert jobs() > j0  # eager: materialized at call time
+    assert out.count() == 10
+
+    narrow = spark.range(10).selectExpr("id as a", "id + 1 as b")
+    j1 = jobs()
+    lazy = iter_materialize(narrow, eager=False, corpus_sized=True)
+    assert jobs() == j1  # narrow frames keep the lazy one-job-per-round
+    assert lazy.count() == 10
+
+
 def test_iterative_loops_under_dynamic_allocation(spark, monkeypatch):
     """The iterative loops (dedup CC, graph CC, PageRank, BPE trainer)
     must produce IDENTICAL results through iter_materialize's
