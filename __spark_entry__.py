@@ -5016,60 +5016,51 @@ def q31_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 # change (validation branch + d>3 LAPACK arm) sat in the remainder
 # last round against the rotation policy (r12 ADVICE #4).
 WINDOW_RETOUCHED = (
-    # new: byte BPE under the GPT-2 regex pretokenizer (lookahead-free marker split, oracle-replayed)
-    "dp159_gpt2_bpe",
-    # new: end-to-end GPT-2 tokenizer TRAINING (byte-level trainer, 16 unrolled-round oracle)
-    "dp162_gpt2_bpe_train",
-    # new: live keep-table arm of quantile_prune (cumulative histogram state)
-    "dp160_stream_quantile_prune",
-    # new: live clip-table arm of winsorize (grid-exact empirical bounds)
-    "dp161_stream_winsorize",
-    # new: composed multimodal curation ACON (decode/dedup branches + join + gates + report)
-    "q35_multimodal_curation",
-    # bpe _dictionary_encode gained the pretokenizer arm (shared path)
-    "dp158_byte_bpe",
-    # same shared dictionary-encode path
-    "dp69b_bpe_encode",
-    # shared dictionary-encode path + pack_sequences single-hash refactor
-    "q32_tokenize_pipeline",
-    # same shared dictionary-encode path (via bpe_encode)
-    "q34_tokenizer_fertility",
-    # multimodal decode: byte-budget probe skipped on streams (shared _byte_budget_src)
-    "dp27_image_decode",
-    # same _byte_budget_src change
-    "dp32_audio_decode",
-    # feature_extract on the same _byte_budget_src change
-    "dp10_multimodal_bytes",
-    # audio_decode path (same change)
-    "dp96_g711_decode",
-    # image_dedup decodes through the changed image_decode
-    "dp43_image_phash_dedup",
-    # image_decode path (also r09-stale cohort)
-    "dp70_video_frames",
-    # image_decode path (also r09-stale cohort)
-    "dp84_png_decode",
-    # image_decode path (also r09-stale cohort)
-    "dp85_jpeg_decode",
-    # image_decode path (also r09-stale cohort)
-    "dp86_gif_decode",
-    # quantile_prune NULL/NaN population fix
-    "dp41_quantile_prune",
-    # grouped quantile_prune same fix
-    "dp129_group_quantile_prune",
-    # null-safe threshold join + zero-total keep-all
-    "dp46_token_budget_sample",
-    # NULL-ts exclusion in asof_join
-    "dp16_asof_join",
-    # NULL-ts exclusion (forward arm)
-    "dp30_asof_forward_tolerance",
-    # NULL-ts exclusion (nearest arm; also r09-stale cohort)
-    "dp80_asof_nearest",
-    # bucket_width fail-fast guard
-    "dp17_range_join",
-    # native-dtype threshold keys (was str(g) vs cast-string)
-    "dp100_unimax_sample",
-    # native-dtype threshold keys (same fix)
-    "dp106_temperature_sample",
+    # r14 optimization touches that carried only local ALL-MATCH evidence
+    # into r15 (the r14 verdict's rotation item): tiered dictionary
+    # attach + literal-map tier
+    "dp118_wordpiece_encode",
+    "dp125_unigram_encode",
+    # r14 construction de-chatter cohort (SQL-string expression builds;
+    # plans byte-identical modulo ids) + the winnow/layout batch
+    "dp06_dedup_minhash",
+    "dp07_dedup_ngram_jaccard",
+    "dp08_embedding_dedup",
+    "dp11_dedup_simhash",
+    "dp28_embedding_dedup_lsh",
+    "dp39_cross_corpus_dedup",
+    "dp40_cross_near_dedup",
+    "dp42_cross_embedding_dedup",
+    "dp91_lsh_bucket_stats",
+    "dp97_semantic_dedup",
+    "dp147_paragraph_dedup",
+    "dp138_winnow_fingerprint",
+    "dp141_winnow_overlap",
+    "dp148_winnow_cross",
+    "dp104_zorder_rank",
+    "dp127_hilbert_layout",
+    "dp103_zorder_layout",
+    "q31_curation_pipeline",
+    "q33_ccnet_curation",
+    # r15: driver-tier Lloyd k-means (bit-identical parity pinned)
+    "dp112_embedding_kmeans",
+    "dp113_cluster_stats",
+    "dp130_kmeans_hier",
+    "dp131_knn_ivf_hier",
+    "dp132_semantic_dedup_hier",
+    "dp133_prototype_prune",
+    # r15: ANN de-chatter cohort member (kmeans family neighbor)
+    "dp13_knn_ivf",
+    # r15: dedup-CC round-1 identity-label specialization
+    "dp20_dup_clusters",
+    "dp61_keep_best_dedup",
+    # r15: quality_prune top-word sorted-run rewrite
+    "dp34_quality_prune",
+    "dp49_curation_report",
+    # r15: dsir gram/bucket SQL-string build (plan byte-identical)
+    "dp115_dsir_score",
+    # r15: bm25 broadcast pin (probe job removed)
+    "dp83_bm25_topk",
 )
 
 
@@ -5118,207 +5109,207 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # value-verified every round via tools/check_oracle.py; the window
     # derivation is pinned by tests/test_entry_registry.py.
     return {
-        "dp159_gpt2_bpe": dp159_gpt2_bpe,  # retouched r14
-        "dp162_gpt2_bpe_train": dp162_gpt2_bpe_train,  # retouched r14
-        "dp160_stream_quantile_prune": dp160_stream_quantile_prune,  # retouched r14
-        "dp161_stream_winsorize": dp161_stream_winsorize,  # retouched r14
-        "q35_multimodal_curation": q35_multimodal_curation,  # retouched r14
-        "dp158_byte_bpe": dp158_byte_bpe,  # retouched r14
-        "dp69b_bpe_encode": dp69b_bpe_encode,  # retouched r14
-        "q32_tokenize_pipeline": q32_tokenize_pipeline,  # retouched r14
-        "q34_tokenizer_fertility": q34_tokenizer_fertility,  # retouched r14
-        "dp27_image_decode": dp27_image_decode,  # retouched r14
-        "dp32_audio_decode": dp32_audio_decode,  # retouched r14
-        "dp10_multimodal_bytes": dp10_multimodal_bytes,  # retouched r14
-        "dp96_g711_decode": dp96_g711_decode,  # retouched r14
-        "dp43_image_phash_dedup": dp43_image_phash_dedup,  # retouched r14
-        "dp70_video_frames": dp70_video_frames,  # retouched r14
-        "dp84_png_decode": dp84_png_decode,  # retouched r14
-        "dp85_jpeg_decode": dp85_jpeg_decode,  # retouched r14
-        "dp86_gif_decode": dp86_gif_decode,  # retouched r14
-        "dp41_quantile_prune": dp41_quantile_prune,  # retouched r14
-        "dp129_group_quantile_prune": dp129_group_quantile_prune,  # retouched r14
-        "dp46_token_budget_sample": dp46_token_budget_sample,  # retouched r14
-        "dp16_asof_join": dp16_asof_join,  # retouched r14
-        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,  # retouched r14
-        "dp80_asof_nearest": dp80_asof_nearest,  # retouched r14
-        "dp17_range_join": dp17_range_join,  # retouched r14
-        "dp100_unimax_sample": dp100_unimax_sample,  # retouched r14
-        "dp106_temperature_sample": dp106_temperature_sample,  # retouched r14
-        "dp66_scd2_build": dp66_scd2_build,  # last hard driver signal r09
-        "dp67_merge_intervals": dp67_merge_intervals,  # last hard driver signal r09
-        "dp71_trend_fit": dp71_trend_fit,  # last hard driver signal r09
-        "dp72_histogram": dp72_histogram,  # last hard driver signal r09
-        "dp73_weighted_sample_k": dp73_weighted_sample_k,  # last hard driver signal r09
-        "dp74_lexical_diversity": dp74_lexical_diversity,  # last hard driver signal r09
-        "dp75_snapshot_diff": dp75_snapshot_diff,  # last hard driver signal r09
-        "dp76_schema_drift": dp76_schema_drift,  # last hard driver signal r09
-        "dp77_quality_model_filter": dp77_quality_model_filter,  # last hard driver signal r09
-        "dp78_event_transitions": dp78_event_transitions,  # last hard driver signal r09
-        "dp79_gap_fill": dp79_gap_fill,  # last hard driver signal r09
-        "dp81_text_clean": dp81_text_clean,  # last hard driver signal r09
-        "dp82_url_normalize": dp82_url_normalize,  # last hard driver signal r09
-        "dp87_pagerank": dp87_pagerank,  # last hard driver signal r09
-        "dp88_binary_decompress": dp88_binary_decompress,  # last hard driver signal r09
-        "dp89_sentence_split": dp89_sentence_split,  # last hard driver signal r09
-        "dp90_html_strip": dp90_html_strip,  # last hard driver signal r09
-        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # last hard driver signal r09
-        "q24_semi_anti_join": q24_semi_anti_join,  # last hard driver signal r09
-        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # last hard driver signal r09
-        "q26_gab_daily_rollup": q26_gab_daily_rollup,  # last hard driver signal r09
-        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,  # last hard driver signal r09
-        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,  # last hard driver signal r09
-        # ---- driver window boundary (entry 50 = q28_gab_weekly_sunday_rollup) ----
+        "dp118_wordpiece_encode": dp118_wordpiece_encode,  # retouched r15
+        "dp125_unigram_encode": dp125_unigram_encode,  # retouched r15
+        "dp06_dedup_minhash": dp06_dedup_minhash,  # retouched r15
+        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,  # retouched r15
+        "dp08_embedding_dedup": dp08_embedding_dedup,  # retouched r15
+        "dp11_dedup_simhash": dp11_dedup_simhash,  # retouched r15
+        "dp13_knn_ivf": dp13_knn_ivf,  # retouched r15
+        "dp20_dup_clusters": dp20_dup_clusters,  # retouched r15
+        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,  # retouched r15
+        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,  # retouched r15
+        "dp40_cross_near_dedup": dp40_cross_near_dedup,  # retouched r15
+        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,  # retouched r15
+        "dp61_keep_best_dedup": dp61_keep_best_dedup,  # retouched r15
+        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # retouched r15
+        "dp97_semantic_dedup": dp97_semantic_dedup,  # retouched r15
+        "dp131_knn_ivf_hier": dp131_knn_ivf_hier,  # retouched r15
+        "dp132_semantic_dedup_hier": dp132_semantic_dedup_hier,  # retouched r15
+        "dp133_prototype_prune": dp133_prototype_prune,  # retouched r15
+        "dp147_paragraph_dedup": dp147_paragraph_dedup,  # retouched r15
+        "q31_curation_pipeline": q31_curation_pipeline,  # retouched r15
+        "q33_ccnet_curation": q33_ccnet_curation,  # retouched r15
+        "dp138_winnow_fingerprint": dp138_winnow_fingerprint,  # retouched r15
+        "dp141_winnow_overlap": dp141_winnow_overlap,  # retouched r15
+        "dp148_winnow_cross": dp148_winnow_cross,  # retouched r15
+        "dp104_zorder_rank": dp104_zorder_rank,  # retouched r15
+        "dp127_hilbert_layout": dp127_hilbert_layout,  # retouched r15
+        "dp103_zorder_layout": dp103_zorder_layout,  # retouched r15
+        "dp112_embedding_kmeans": dp112_embedding_kmeans,  # retouched r15
+        "dp113_cluster_stats": dp113_cluster_stats,  # retouched r15
+        "dp130_kmeans_hier": dp130_kmeans_hier,  # retouched r15
+        "dp34_quality_prune": dp34_quality_prune,  # retouched r15
+        "dp49_curation_report": dp49_curation_report,  # retouched r15
+        "dp115_dsir_score": dp115_dsir_score,  # retouched r15
+        "dp83_bm25_topk": dp83_bm25_topk,  # retouched r15
+        "dp01_text_quality": dp01_text_quality,  # rotation r15 (last hard signal r10)
+        "dp02_langid": dp02_langid,  # rotation r15 (last hard signal r10)
+        "dp03_token_count": dp03_token_count,  # rotation r15 (last hard signal r10)
+        "dp04_fingerprint": dp04_fingerprint,  # rotation r15 (last hard signal r10)
+        "dp09_knn_brute": dp09_knn_brute,  # rotation r15 (last hard signal r10)
+        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,  # rotation r15 (last hard signal r10)
+        "dp107_profile_skew": dp107_profile_skew,  # rotation r15 (last hard signal r10)
+        "dp109_unicode_normalize": dp109_unicode_normalize,  # rotation r15 (last hard signal r10)
+        "dp111_interval_overlap_join": dp111_interval_overlap_join,  # rotation r15 (last hard signal r10)
+        "dp14_hash_split": dp14_hash_split,  # rotation r15 (last hard signal r10)
+        "dp15_hash_sample": dp15_hash_sample,  # rotation r15 (last hard signal r10)
+        "dp18_sessionize": dp18_sessionize,  # rotation r15 (last hard signal r10)
+        "dp19_profile": dp19_profile,  # rotation r15 (last hard signal r10)
+        "dp68_json_props": dp68_json_props,  # rotation r15 (last hard signal r10)
+        "dp69_bpe_tokenize": dp69_bpe_tokenize,  # rotation r15 (last hard signal r10)
+        "dp92_image_resize": dp92_image_resize,  # rotation r15 (last hard signal r10)
+        # ---- driver window boundary (entry 50 = dp92_image_resize) ----
         # --- remainder: value-verified via tools/check_oracle.py every
         # --- round; ordered stalest-first ---
-        "dp01_text_quality": dp01_text_quality,  # r10
-        "dp02_langid": dp02_langid,  # r10
-        "dp03_token_count": dp03_token_count,  # r10
-        "dp04_fingerprint": dp04_fingerprint,  # r10
-        "dp09_knn_brute": dp09_knn_brute,  # r10
-        "dp102_decontaminate_bloom": dp102_decontaminate_bloom,  # r10
-        "dp103_zorder_layout": dp103_zorder_layout,  # r10
-        "dp104_zorder_rank": dp104_zorder_rank,  # r10
-        "dp107_profile_skew": dp107_profile_skew,  # r10
-        "dp109_unicode_normalize": dp109_unicode_normalize,  # r10
-        "dp111_interval_overlap_join": dp111_interval_overlap_join,  # r10
-        "dp115_dsir_score": dp115_dsir_score,  # r10
-        "dp13_knn_ivf": dp13_knn_ivf,  # r10
-        "dp14_hash_split": dp14_hash_split,  # r10
-        "dp15_hash_sample": dp15_hash_sample,  # r10
-        "dp18_sessionize": dp18_sessionize,  # r10
-        "dp19_profile": dp19_profile,  # r10
-        "dp68_json_props": dp68_json_props,  # r10
-        "dp69_bpe_tokenize": dp69_bpe_tokenize,  # r10
-        "dp92_image_resize": dp92_image_resize,  # r10
-        "dp93_audio_resample": dp93_audio_resample,  # r10
-        "dp99_hash_embedding": dp99_hash_embedding,  # r10
-        "q01_pricing_summary": q01_pricing_summary,  # r10
-        "q03_latest_order_per_customer": q03_latest_order_per_customer,  # r10
-        "q08_reconciliation": q08_reconciliation,  # r10
-        "q09_flatten_explode": q09_flatten_explode,  # r10
-        "q14_window_running": q14_window_running,  # r10
-        "q17_gab_weekly_rollup": q17_gab_weekly_rollup,  # r10
-        "q19_join_transformer": q19_join_transformer,  # r10
-        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,  # r10
-        "dp112_embedding_kmeans": dp112_embedding_kmeans,  # r11
-        "dp113_cluster_stats": dp113_cluster_stats,  # r11
-        "dp130_kmeans_hier": dp130_kmeans_hier,  # r11
-        "dp131_knn_ivf_hier": dp131_knn_ivf_hier,  # r11
-        "dp132_semantic_dedup_hier": dp132_semantic_dedup_hier,  # r11
-        "dp133_prototype_prune": dp133_prototype_prune,  # r11
-        "dp135_event_pattern": dp135_event_pattern,  # r11
-        "dp136_source_divergence": dp136_source_divergence,  # r11
-        "dp137_ngram_novelty": dp137_ngram_novelty,  # r11
-        "dp138_winnow_fingerprint": dp138_winnow_fingerprint,  # r11
-        "dp139_seed_classifier": dp139_seed_classifier,  # r11
-        "dp140_correlation_matrix": dp140_correlation_matrix,  # r11
-        "dp141_winnow_overlap": dp141_winnow_overlap,  # r11
-        "dp148_winnow_cross": dp148_winnow_cross,  # r11
-        "dp21_pii_redact": dp21_pii_redact,  # r11
-        "dp22_repetition": dp22_repetition,  # r11
-        "dp23_decontaminate": dp23_decontaminate,  # r11
-        "dp24_vocab_top_k": dp24_vocab_top_k,  # r11
-        "dp25_stratified_sample": dp25_stratified_sample,  # r11
-        "dp26_mixture_sample": dp26_mixture_sample,  # r11
-        "q02_revenue_by_segment": q02_revenue_by_segment,  # r11
-        "q04_union_dedup": q04_union_dedup,  # r11
-        "q05_incremental_filter": q05_incremental_filter,  # r11
-        "q06_condense_cdc": q06_condense_cdc,  # r11
-        "q07_dq_stats": q07_dq_stats,  # r11
-        "q10_date_hierarchy": q10_date_hierarchy,  # r11
-        "q11_hash_masker": q11_hash_masker,  # r11
-        "q12_column_ops": q12_column_ops,  # r11
-        "q13_get_max_value": q13_get_max_value,  # r11
-        "q15_events_hourly": q15_events_hourly,  # r11
-        "q16_events_dedup": q16_events_dedup,  # r11
-        "q18_gab_monthly_rollup": q18_gab_monthly_rollup,  # r11
-        "q20_union_by_name": q20_union_by_name,  # r11
-        "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,  # r11
-        "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,  # r11
-        "dp108_corpus_overlap": dp108_corpus_overlap,  # r12
-        "dp110_random_projection": dp110_random_projection,  # r12
-        "dp114_gopher_rules": dp114_gopher_rules,  # r12
-        "dp116_pq_encode": dp116_pq_encode,  # r12
-        "dp117_knn_pq": dp117_knn_pq,  # r12
-        "dp119_decontaminate_spans": dp119_decontaminate_spans,  # r12
-        "dp120_dup_line_stats": dp120_dup_line_stats,  # r12
-        "dp122_pca_moments": dp122_pca_moments,  # r12
-        "dp123_frequent_terms": dp123_frequent_terms,  # r12
-        "dp124_word_pmi": dp124_word_pmi,  # r12
-        "dp126_mixture_plan": dp126_mixture_plan,  # r12
-        "dp127_hilbert_layout": dp127_hilbert_layout,  # r12
-        "dp128_frequent_bigrams": dp128_frequent_bigrams,  # r12
-        "dp12_knn_lsh": dp12_knn_lsh,  # r12
-        "dp149_quality_buckets": dp149_quality_buckets,  # r12
-        "dp151_char_entropy": dp151_char_entropy,  # r12
-        "dp28_embedding_dedup_lsh": dp28_embedding_dedup_lsh,  # r12
-        "dp29_pack_sequences": dp29_pack_sequences,  # r12
-        "dp31_sessionize_boundary": dp31_sessionize_boundary,  # r12
-        "dp33_text_chunk": dp33_text_chunk,  # r12
-        "dp34_quality_prune": dp34_quality_prune,  # r12
-        "dp35_lm_score": dp35_lm_score,  # r12
-        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,  # r12
-        "dp37_global_shuffle": dp37_global_shuffle,  # r12
-        "dp38_embedding_quantize": dp38_embedding_quantize,  # r12
-        "dp44_lm_score_bigram": dp44_lm_score_bigram,  # r12
-        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,  # r12
-        "dp47_line_dedup": dp47_line_dedup,  # r12
-        "dp49_curation_report": dp49_curation_report,  # r12
-        "dp50_hopping_window": dp50_hopping_window,  # r12
-        "dp51_winsorize": dp51_winsorize,  # r12
-        "dp52_zscore_normalize": dp52_zscore_normalize,  # r12
-        "dp53_weighted_sample": dp53_weighted_sample,  # r12
-        "dp54_trailing_window": dp54_trailing_window,  # r12
-        "dp55_funnel": dp55_funnel,  # r12
-        "dp62_cluster_sample": dp62_cluster_sample,  # r12
-        "dp05_dedup_exact": dp05_dedup_exact,  # r13
-        "dp06_dedup_minhash": dp06_dedup_minhash,  # r13
-        "dp07_dedup_ngram_jaccard": dp07_dedup_ngram_jaccard,  # r13
-        "dp08_embedding_dedup": dp08_embedding_dedup,  # r13
-        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,  # r13
-        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,  # r13
-        "dp118_wordpiece_encode": dp118_wordpiece_encode,  # r13
-        "dp11_dedup_simhash": dp11_dedup_simhash,  # r13
-        "dp121_graph_components": dp121_graph_components,  # r13
-        "dp125_unigram_encode": dp125_unigram_encode,  # r13
-        "dp134_linear_fit": dp134_linear_fit,  # r13
-        "dp142_streaming_pattern": dp142_streaming_pattern,  # r13
-        "dp143_bottomk_sample": dp143_bottomk_sample,  # r13
-        "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,  # r13
-        "dp145_streaming_funnel": dp145_streaming_funnel,  # r13
-        "dp146_session_stats": dp146_session_stats,  # r13
-        "dp147_paragraph_dedup": dp147_paragraph_dedup,  # r13
-        "dp150_streaming_topk": dp150_streaming_topk,  # r13
-        "dp152_streaming_quality_buckets": dp152_streaming_quality_buckets,  # r13
-        "dp153_c4_rules": dp153_c4_rules,  # r13
-        "dp154_script_mix": dp154_script_mix,  # r13
-        "dp155_knn_pq_refine": dp155_knn_pq_refine,  # r13
-        "dp156_embedding_sanitize": dp156_embedding_sanitize,  # r13
-        "dp157_knn_mmr": dp157_knn_mmr,  # r13
-        "dp20_dup_clusters": dp20_dup_clusters,  # r13
-        "dp39_cross_corpus_dedup": dp39_cross_corpus_dedup,  # r13
-        "dp40_cross_near_dedup": dp40_cross_near_dedup,  # r13
-        "dp42_cross_embedding_dedup": dp42_cross_embedding_dedup,  # r13
-        "dp48_substring_dedup": dp48_substring_dedup,  # r13
-        "dp56_cohort_retention": dp56_cohort_retention,  # r13
-        "dp57_robust_scale": dp57_robust_scale,  # r13
-        "dp58_quantile_summary": dp58_quantile_summary,  # r13
-        "dp59_event_pivot": dp59_event_pivot,  # r13
-        "dp60_salted_join": dp60_salted_join,  # r13
-        "dp61_keep_best_dedup": dp61_keep_best_dedup,  # r13
-        "dp63_cdc_chunk": dp63_cdc_chunk,  # r13
-        "dp64_ewma_anomaly": dp64_ewma_anomaly,  # r13
-        "dp65_fuzzy_join": dp65_fuzzy_join,  # r13
-        "dp83_bm25_topk": dp83_bm25_topk,  # r13
-        "dp91_lsh_bucket_stats": dp91_lsh_bucket_stats,  # r13
-        "dp94_running_totals": dp94_running_totals,  # r13
-        "dp95_approx_distinct": dp95_approx_distinct,  # r13
-        "dp97_semantic_dedup": dp97_semantic_dedup,  # r13
-        "dp98_ngram_counts": dp98_ngram_counts,  # r13
-        "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,  # r13
-        "q31_curation_pipeline": q31_curation_pipeline,  # r13
-        "q33_ccnet_curation": q33_ccnet_curation,  # r13
+        "dp93_audio_resample": dp93_audio_resample,  # last hard driver signal r10
+        "dp99_hash_embedding": dp99_hash_embedding,  # last hard driver signal r10
+        "q01_pricing_summary": q01_pricing_summary,  # last hard driver signal r10
+        "q03_latest_order_per_customer": q03_latest_order_per_customer,  # last hard driver signal r10
+        "q08_reconciliation": q08_reconciliation,  # last hard driver signal r10
+        "q09_flatten_explode": q09_flatten_explode,  # last hard driver signal r10
+        "q14_window_running": q14_window_running,  # last hard driver signal r10
+        "q17_gab_weekly_rollup": q17_gab_weekly_rollup,  # last hard driver signal r10
+        "q19_join_transformer": q19_join_transformer,  # last hard driver signal r10
+        "q29_gab_day_recon_recompute": q29_gab_day_recon_recompute,  # last hard driver signal r10
+        "dp135_event_pattern": dp135_event_pattern,  # last hard driver signal r11
+        "dp136_source_divergence": dp136_source_divergence,  # last hard driver signal r11
+        "dp137_ngram_novelty": dp137_ngram_novelty,  # last hard driver signal r11
+        "dp139_seed_classifier": dp139_seed_classifier,  # last hard driver signal r11
+        "dp140_correlation_matrix": dp140_correlation_matrix,  # last hard driver signal r11
+        "dp21_pii_redact": dp21_pii_redact,  # last hard driver signal r11
+        "dp22_repetition": dp22_repetition,  # last hard driver signal r11
+        "dp23_decontaminate": dp23_decontaminate,  # last hard driver signal r11
+        "dp24_vocab_top_k": dp24_vocab_top_k,  # last hard driver signal r11
+        "dp25_stratified_sample": dp25_stratified_sample,  # last hard driver signal r11
+        "dp26_mixture_sample": dp26_mixture_sample,  # last hard driver signal r11
+        "q02_revenue_by_segment": q02_revenue_by_segment,  # last hard driver signal r11
+        "q04_union_dedup": q04_union_dedup,  # last hard driver signal r11
+        "q05_incremental_filter": q05_incremental_filter,  # last hard driver signal r11
+        "q06_condense_cdc": q06_condense_cdc,  # last hard driver signal r11
+        "q07_dq_stats": q07_dq_stats,  # last hard driver signal r11
+        "q10_date_hierarchy": q10_date_hierarchy,  # last hard driver signal r11
+        "q11_hash_masker": q11_hash_masker,  # last hard driver signal r11
+        "q12_column_ops": q12_column_ops,  # last hard driver signal r11
+        "q13_get_max_value": q13_get_max_value,  # last hard driver signal r11
+        "q15_events_hourly": q15_events_hourly,  # last hard driver signal r11
+        "q16_events_dedup": q16_events_dedup,  # last hard driver signal r11
+        "q18_gab_monthly_rollup": q18_gab_monthly_rollup,  # last hard driver signal r11
+        "q20_union_by_name": q20_union_by_name,  # last hard driver signal r11
+        "q21_gab_quarterly_rollup": q21_gab_quarterly_rollup,  # last hard driver signal r11
+        "q22_gab_quarter_month_snapshot": q22_gab_quarter_month_snapshot,  # last hard driver signal r11
+        "dp108_corpus_overlap": dp108_corpus_overlap,  # last hard driver signal r12
+        "dp110_random_projection": dp110_random_projection,  # last hard driver signal r12
+        "dp114_gopher_rules": dp114_gopher_rules,  # last hard driver signal r12
+        "dp116_pq_encode": dp116_pq_encode,  # last hard driver signal r12
+        "dp117_knn_pq": dp117_knn_pq,  # last hard driver signal r12
+        "dp119_decontaminate_spans": dp119_decontaminate_spans,  # last hard driver signal r12
+        "dp120_dup_line_stats": dp120_dup_line_stats,  # last hard driver signal r12
+        "dp122_pca_moments": dp122_pca_moments,  # last hard driver signal r12
+        "dp123_frequent_terms": dp123_frequent_terms,  # last hard driver signal r12
+        "dp124_word_pmi": dp124_word_pmi,  # last hard driver signal r12
+        "dp126_mixture_plan": dp126_mixture_plan,  # last hard driver signal r12
+        "dp128_frequent_bigrams": dp128_frequent_bigrams,  # last hard driver signal r12
+        "dp12_knn_lsh": dp12_knn_lsh,  # last hard driver signal r12
+        "dp149_quality_buckets": dp149_quality_buckets,  # last hard driver signal r12
+        "dp151_char_entropy": dp151_char_entropy,  # last hard driver signal r12
+        "dp29_pack_sequences": dp29_pack_sequences,  # last hard driver signal r12
+        "dp31_sessionize_boundary": dp31_sessionize_boundary,  # last hard driver signal r12
+        "dp33_text_chunk": dp33_text_chunk,  # last hard driver signal r12
+        "dp35_lm_score": dp35_lm_score,  # last hard driver signal r12
+        "dp36_tfidf_top_terms": dp36_tfidf_top_terms,  # last hard driver signal r12
+        "dp37_global_shuffle": dp37_global_shuffle,  # last hard driver signal r12
+        "dp38_embedding_quantize": dp38_embedding_quantize,  # last hard driver signal r12
+        "dp44_lm_score_bigram": dp44_lm_score_bigram,  # last hard driver signal r12
+        "dp45_embedding_mean_pool": dp45_embedding_mean_pool,  # last hard driver signal r12
+        "dp47_line_dedup": dp47_line_dedup,  # last hard driver signal r12
+        "dp50_hopping_window": dp50_hopping_window,  # last hard driver signal r12
+        "dp51_winsorize": dp51_winsorize,  # last hard driver signal r12
+        "dp52_zscore_normalize": dp52_zscore_normalize,  # last hard driver signal r12
+        "dp53_weighted_sample": dp53_weighted_sample,  # last hard driver signal r12
+        "dp54_trailing_window": dp54_trailing_window,  # last hard driver signal r12
+        "dp55_funnel": dp55_funnel,  # last hard driver signal r12
+        "dp62_cluster_sample": dp62_cluster_sample,  # last hard driver signal r12
+        "dp05_dedup_exact": dp05_dedup_exact,  # last hard driver signal r13
+        "dp101_reservoir_quantiles": dp101_reservoir_quantiles,  # last hard driver signal r13
+        "dp105_stream_dedup_exact": dp105_stream_dedup_exact,  # last hard driver signal r13
+        "dp121_graph_components": dp121_graph_components,  # last hard driver signal r13
+        "dp134_linear_fit": dp134_linear_fit,  # last hard driver signal r13
+        "dp142_streaming_pattern": dp142_streaming_pattern,  # last hard driver signal r13
+        "dp143_bottomk_sample": dp143_bottomk_sample,  # last hard driver signal r13
+        "dp144_streaming_heavy_hitters": dp144_streaming_heavy_hitters,  # last hard driver signal r13
+        "dp145_streaming_funnel": dp145_streaming_funnel,  # last hard driver signal r13
+        "dp146_session_stats": dp146_session_stats,  # last hard driver signal r13
+        "dp150_streaming_topk": dp150_streaming_topk,  # last hard driver signal r13
+        "dp152_streaming_quality_buckets": dp152_streaming_quality_buckets,  # last hard driver signal r13
+        "dp153_c4_rules": dp153_c4_rules,  # last hard driver signal r13
+        "dp154_script_mix": dp154_script_mix,  # last hard driver signal r13
+        "dp155_knn_pq_refine": dp155_knn_pq_refine,  # last hard driver signal r13
+        "dp156_embedding_sanitize": dp156_embedding_sanitize,  # last hard driver signal r13
+        "dp157_knn_mmr": dp157_knn_mmr,  # last hard driver signal r13
+        "dp48_substring_dedup": dp48_substring_dedup,  # last hard driver signal r13
+        "dp56_cohort_retention": dp56_cohort_retention,  # last hard driver signal r13
+        "dp57_robust_scale": dp57_robust_scale,  # last hard driver signal r13
+        "dp58_quantile_summary": dp58_quantile_summary,  # last hard driver signal r13
+        "dp59_event_pivot": dp59_event_pivot,  # last hard driver signal r13
+        "dp60_salted_join": dp60_salted_join,  # last hard driver signal r13
+        "dp63_cdc_chunk": dp63_cdc_chunk,  # last hard driver signal r13
+        "dp64_ewma_anomaly": dp64_ewma_anomaly,  # last hard driver signal r13
+        "dp65_fuzzy_join": dp65_fuzzy_join,  # last hard driver signal r13
+        "dp94_running_totals": dp94_running_totals,  # last hard driver signal r13
+        "dp95_approx_distinct": dp95_approx_distinct,  # last hard driver signal r13
+        "dp98_ngram_counts": dp98_ngram_counts,  # last hard driver signal r13
+        "q30_gab_week_day_snapshot": q30_gab_week_day_snapshot,  # last hard driver signal r13
+        "dp100_unimax_sample": dp100_unimax_sample,  # last hard driver signal r14
+        "dp106_temperature_sample": dp106_temperature_sample,  # last hard driver signal r14
+        "dp10_multimodal_bytes": dp10_multimodal_bytes,  # last hard driver signal r14
+        "dp129_group_quantile_prune": dp129_group_quantile_prune,  # last hard driver signal r14
+        "dp158_byte_bpe": dp158_byte_bpe,  # last hard driver signal r14
+        "dp159_gpt2_bpe": dp159_gpt2_bpe,  # last hard driver signal r14
+        "dp160_stream_quantile_prune": dp160_stream_quantile_prune,  # last hard driver signal r14
+        "dp161_stream_winsorize": dp161_stream_winsorize,  # last hard driver signal r14
+        "dp162_gpt2_bpe_train": dp162_gpt2_bpe_train,  # last hard driver signal r14
+        "dp16_asof_join": dp16_asof_join,  # last hard driver signal r14
+        "dp17_range_join": dp17_range_join,  # last hard driver signal r14
+        "dp27_image_decode": dp27_image_decode,  # last hard driver signal r14
+        "dp30_asof_forward_tolerance": dp30_asof_forward_tolerance,  # last hard driver signal r14
+        "dp32_audio_decode": dp32_audio_decode,  # last hard driver signal r14
+        "dp41_quantile_prune": dp41_quantile_prune,  # last hard driver signal r14
+        "dp43_image_phash_dedup": dp43_image_phash_dedup,  # last hard driver signal r14
+        "dp46_token_budget_sample": dp46_token_budget_sample,  # last hard driver signal r14
+        "dp66_scd2_build": dp66_scd2_build,  # last hard driver signal r14
+        "dp67_merge_intervals": dp67_merge_intervals,  # last hard driver signal r14
+        "dp69b_bpe_encode": dp69b_bpe_encode,  # last hard driver signal r14
+        "dp70_video_frames": dp70_video_frames,  # last hard driver signal r14
+        "dp71_trend_fit": dp71_trend_fit,  # last hard driver signal r14
+        "dp72_histogram": dp72_histogram,  # last hard driver signal r14
+        "dp73_weighted_sample_k": dp73_weighted_sample_k,  # last hard driver signal r14
+        "dp74_lexical_diversity": dp74_lexical_diversity,  # last hard driver signal r14
+        "dp75_snapshot_diff": dp75_snapshot_diff,  # last hard driver signal r14
+        "dp76_schema_drift": dp76_schema_drift,  # last hard driver signal r14
+        "dp77_quality_model_filter": dp77_quality_model_filter,  # last hard driver signal r14
+        "dp78_event_transitions": dp78_event_transitions,  # last hard driver signal r14
+        "dp79_gap_fill": dp79_gap_fill,  # last hard driver signal r14
+        "dp80_asof_nearest": dp80_asof_nearest,  # last hard driver signal r14
+        "dp81_text_clean": dp81_text_clean,  # last hard driver signal r14
+        "dp82_url_normalize": dp82_url_normalize,  # last hard driver signal r14
+        "dp84_png_decode": dp84_png_decode,  # last hard driver signal r14
+        "dp85_jpeg_decode": dp85_jpeg_decode,  # last hard driver signal r14
+        "dp86_gif_decode": dp86_gif_decode,  # last hard driver signal r14
+        "dp87_pagerank": dp87_pagerank,  # last hard driver signal r14
+        "dp88_binary_decompress": dp88_binary_decompress,  # last hard driver signal r14
+        "dp89_sentence_split": dp89_sentence_split,  # last hard driver signal r14
+        "dp90_html_strip": dp90_html_strip,  # last hard driver signal r14
+        "dp96_g711_decode": dp96_g711_decode,  # last hard driver signal r14
+        "q23_rollup_grouping_sets": q23_rollup_grouping_sets,  # last hard driver signal r14
+        "q24_semi_anti_join": q24_semi_anti_join,  # last hard driver signal r14
+        "q25_scalar_subquery_avg": q25_scalar_subquery_avg,  # last hard driver signal r14
+        "q26_gab_daily_rollup": q26_gab_daily_rollup,  # last hard driver signal r14
+        "q27_gab_year_month_snapshot": q27_gab_year_month_snapshot,  # last hard driver signal r14
+        "q28_gab_weekly_sunday_rollup": q28_gab_weekly_sunday_rollup,  # last hard driver signal r14
+        "q32_tokenize_pipeline": q32_tokenize_pipeline,  # last hard driver signal r14
+        "q34_tokenizer_fertility": q34_tokenizer_fertility,  # last hard driver signal r14
+        "q35_multimodal_curation": q35_multimodal_curation,  # last hard driver signal r14
     }
 
 
