@@ -67,6 +67,14 @@ def _gen_ab(n: int) -> List[tuple]:
 
 MINHASH_AB = _gen_ab(32)
 
+# Driver tier gate for dedup_connected_components (r15, the kmeans/bpe
+# pattern): when the (doc, bucket) edge table fits under this row
+# budget — probed with a bounded limit(n+1) collect, never a corpus
+# count — the min-label fixpoint runs as a driver union-find with zero
+# per-round Spark jobs. The distributed propagation loop is unchanged
+# above the gate (the 100 TB path). Tests pin both tiers row-identical.
+DEDUP_CC_DRIVER_MAX_EDGES = 500_000
+
 
 def _validate_banding(op: str, num_hashes: int, bands: int) -> None:
     """Loud guard on the (num_hashes, bands) pair every banded-LSH op
@@ -1029,6 +1037,58 @@ def dedup_connected_components(
     def _cc(df: DataFrame) -> DataFrame:
         sig = _minhash_sig_df(df, text_col, id_col, num_hashes, shingle_size)
         edges = _band_exploded(sig, bands, rows).persist(StorageLevel.MEMORY_AND_DISK)
+        # ----- driver tier (r15, the kmeans/bpe gate pattern): when the
+        # (doc, bucket) edge table fits under a bounded limit(n+1)
+        # collect, the min-label fixpoint is a driver union-find over
+        # the bipartite graph — the component minimum over DOC ids is
+        # exactly what the iterative propagation converges to — with
+        # zero per-round Spark jobs. The distributed loop below is
+        # unchanged above the gate or for exotic/NULL ids (Python
+        # ordering must replicate Spark's; a NULL id never equi-joins).
+        probe_rows = edges.limit(DEDUP_CC_DRIVER_MAX_EDGES + 1).collect()
+        driver_ok = len(probe_rows) <= DEDUP_CC_DRIVER_MAX_EDGES and all(
+            r["__id"] is not None
+            and r["__h"] is not None
+            and not isinstance(r["__id"], bool)
+            and isinstance(r["__id"], (int, str))
+            for r in probe_rows
+        )
+        if driver_ok:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in probe_rows:
+                a, b = find(("d", r["__id"])), find(("b", r["__h"]))
+                if a != b:
+                    parent[b] = a
+            comp_min: dict = {}
+            doc_ids = {r["__id"] for r in probe_rows}
+            for i in doc_ids:
+                root = find(("d", i))
+                cur = comp_min.get(root)
+                if cur is None or i < cur:
+                    comp_min[root] = i
+            from pyspark.sql import types as T
+
+            idt = df.schema[id_col].dataType
+            labels = df.sparkSession.createDataFrame(
+                [(i, comp_min[find(("d", i))]) for i in doc_ids],
+                T.StructType(
+                    [
+                        T.StructField("__id", idt),
+                        T.StructField("__label", idt),
+                    ]
+                ),
+            )
+            edges.unpersist()
+            return _cc_emit(df, F.broadcast(labels))
         labels = iter_materialize(
             edges.select("__id").distinct().withColumn(
                 "__label", F.col("__id")
@@ -1100,6 +1160,9 @@ def dedup_connected_components(
             if changed == 0:
                 break
         edges.unpersist()
+        return _cc_emit(df, labels)
+
+    def _cc_emit(df: DataFrame, labels: DataFrame) -> DataFrame:
         out = df.join(labels, df[id_col] == labels["__id"], "left").drop("__id")
         out = out.withColumn(output_col, F.coalesce("__label", F.col(id_col))).drop("__label")
         if keep == "survivors":

@@ -35,6 +35,29 @@ TransformerFn = Callable[[DataFrame], DataFrame]
 
 SCALE = 10**12
 
+# Driver tier gate (r15, the kmeans/bpe pattern): when the DISTINCT
+# canonical edge set fits under this row budget (probed with a bounded
+# limit(n+1) collect, never a corpus count), the iterative loop runs on
+# the driver — union-find for connected components, the exact int64
+# recurrence for PageRank — with ZERO per-round Spark jobs. The
+# distributed loops are byte-for-byte unchanged above the gate (the
+# 100 TB path); ids outside int/str fall back too (Python ordering must
+# replicate Spark's). Tests pin both tiers row-identical.
+GRAPH_DRIVER_MAX_EDGES = 200_000
+
+
+def _driver_safe_ids(rows, *cols) -> bool:
+    """True when every id in the collected rows is an int or str —
+    the types whose Python ordering/equality replicate Spark's."""
+    for r in rows:
+        for c in cols:
+            v = r[c]
+            if v is None:
+                continue
+            if isinstance(v, bool) or not isinstance(v, (int, str)):
+                return False
+    return True
+
 
 @register("graph_connected_components")
 def connected_components(
@@ -106,13 +129,66 @@ def connected_components(
             ).first()
             return int(row["n"]), row["h"]
 
-        edges = iter_materialize(
+        canonical = (
             raw.where(F.col("__a") != F.col("__b"))
             .select(
                 F.greatest("__a", "__b").alias("__u"),
                 F.least("__a", "__b").alias("__v"),
             )
-            .distinct(),
+            .distinct()
+        )
+        # ----- driver tier (r15): union-find when the edge set is small.
+        # The star rounds exist for graphs whose EDGE SET cannot sit on
+        # one machine; below the gate a driver union-find computes the
+        # identical min-of-component labels (pinned against the star
+        # rounds by test_connected_components_driver_tier_parity and by
+        # the union-find reference test) with zero per-round jobs. The
+        # bounded limit(n+1) collect doubles as the materialization the
+        # stats probe would have paid.
+        probe_rows = canonical.limit(GRAPH_DRIVER_MAX_EDGES + 1).collect()
+        if len(probe_rows) <= GRAPH_DRIVER_MAX_EDGES and _driver_safe_ids(
+            probe_rows, "__u", "__v"
+        ):
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in probe_rows:
+                ra, rb = find(r["__u"]), find(r["__v"])
+                if ra != rb:
+                    # union by the SMALLER root so every component root
+                    # is its minimum id (the star algorithm's label)
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            members = set(parent)
+            for r in probe_rows:
+                members.add(r["__u"])
+                members.add(r["__v"])
+            spark = df.sparkSession
+            from pyspark.sql import types as T
+
+            ndt = df.schema[src_col].dataType
+            labels = spark.createDataFrame(
+                [(m, find(m)) for m in members],
+                T.StructType(
+                    [
+                        T.StructField("__node", ndt),
+                        T.StructField("__comp", ndt),
+                    ]
+                ),
+            )
+            return nodes.join(F.broadcast(labels), "__node", "left").select(
+                F.col("__node").alias("node"),
+                F.coalesce("__comp", "__node").alias(output_col),
+            )
+        edges = iter_materialize(
+            canonical,
             eager=False,  # the _stats probe below materializes it (r14)
             corpus_sized=True,
         )
@@ -231,6 +307,71 @@ def pagerank(
         edges = df.select(
             F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
         )
+        # ----- driver tier (r15): the exact int64 recurrence locally
+        # when the edge list is small (bounded limit(n+1) collect; the
+        # kmeans/bpe gate pattern). Every quantity is the same integer
+        # arithmetic the distributed loop computes — order-free sums,
+        # floor division, dangling leak — so ranks are bit-identical
+        # (pinned by test_pagerank_driver_tier_parity and the existing
+        # pure-Python reference test). Zero per-iteration Spark jobs;
+        # the distributed loop is unchanged above the gate. SQL
+        # equi-join semantics are replicated exactly: a NULL-src edge
+        # never matches the rank table (contributes nothing), while
+        # NULL destinations aggregate as a regular group.
+        probe_rows = edges.limit(GRAPH_DRIVER_MAX_EDGES + 1).collect()
+        if len(probe_rows) <= GRAPH_DRIVER_MAX_EDGES and _driver_safe_ids(
+            probe_rows, "__src", "__dst"
+        ):
+            from pyspark.sql import types as T
+
+            ndt = df.schema[src_col].dataType
+            node_set = set()
+            outdeg_d: dict = {}
+            for r in probe_rows:
+                node_set.add(r["__src"])
+                node_set.add(r["__dst"])
+                outdeg_d[r["__src"]] = outdeg_d.get(r["__src"], 0) + 1
+            n = len(node_set)
+            if n == 0:
+                return df.sparkSession.createDataFrame(
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("node", ndt),
+                            T.StructField(f"{output_col}_s", T.LongType()),
+                            T.StructField(output_col, T.DoubleType()),
+                        ]
+                    ),
+                )
+            init_s = SCALE // n
+            base_s = (3 * SCALE) // (20 * n)
+            ranks_d = {m: init_s for m in node_set}
+            for _ in range(iterations):
+                contrib: dict = {}
+                for r in probe_rows:
+                    s = r["__src"]
+                    if s is None:
+                        continue  # NULL src: the rank equi-join drops it
+                    c = (ranks_d[s] * 17) // (20 * outdeg_d[s])
+                    d = r["__dst"]
+                    contrib[d] = contrib.get(d, 0) + c
+                ranks_d = {
+                    m: base_s + contrib.get(m, 0) for m in node_set
+                }
+            out = df.sparkSession.createDataFrame(
+                [(m, ranks_d[m]) for m in node_set],
+                T.StructType(
+                    [
+                        T.StructField("__node", ndt),
+                        T.StructField("__r", T.LongType()),
+                    ]
+                ),
+            )
+            return out.select(
+                F.col("__node").alias("node"),
+                F.col("__r").alias(f"{output_col}_s"),
+                (F.col("__r") / F.lit(float(SCALE))).alias(output_col),
+            )
         outdeg = edges.groupBy("__src").agg(
             F.count(F.lit(1)).cast("long").alias("__outdeg")
         )

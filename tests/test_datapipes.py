@@ -2781,6 +2781,81 @@ def test_connected_components_round_set_identity():
             E = got_old
 
 
+def test_graph_driver_tier_parity(spark, monkeypatch):
+    """The r15 driver tier (union-find CC / exact int64 PageRank under
+    the bounded edge-count gate) must be row-identical to the
+    distributed loops — hub, path and seeded random graphs, self-loops
+    included."""
+    import random
+
+    from lakehouse_engine_spark.datapipes import graph as G
+
+    rng = random.Random(5)
+    graphs = [
+        [(0, i) for i in range(1, 40)]
+        + [(i, i + 1) for i in range(30, 50)]
+        + [(50, 50), (7, 7)],
+        [(i, i + 1) for i in range(99)],
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(150)],
+    ]
+    for g in graphs:
+        df = spark.createDataFrame(g, "src LONG, dst LONG")
+        monkeypatch.setattr(G, "GRAPH_DRIVER_MAX_EDGES", 200_000)
+        cc_d = sorted(
+            tuple(r)
+            for r in df.transform(t("graph_connected_components")).collect()
+        )
+        pr_d = sorted(
+            tuple(r)
+            for r in df.transform(t("graph_pagerank", iterations=4)).collect()
+        )
+        monkeypatch.setattr(G, "GRAPH_DRIVER_MAX_EDGES", 0)
+        cc_s = sorted(
+            tuple(r)
+            for r in df.transform(t("graph_connected_components")).collect()
+        )
+        pr_s = sorted(
+            tuple(r)
+            for r in df.transform(t("graph_pagerank", iterations=4)).collect()
+        )
+        assert cc_d == cc_s
+        assert pr_d == pr_s
+
+
+def test_dedup_cc_driver_tier_parity(spark, monkeypatch):
+    """The r15 union-find driver tier of dedup_connected_components
+    must match the distributed propagation loop for every keep mode,
+    long AND string ids."""
+    from lakehouse_engine_spark.datapipes import dedup as DD
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"shared near duplicate body text number {i % 4} plus words")
+            for i in range(40)
+        ],
+        "doc_id LONG, text STRING",
+    )
+    docs_s = docs.selectExpr("concat('id_', doc_id) as doc_id", "text")
+    for frame in (docs, docs_s):
+        for kw in (
+            dict(keep="clusters"),
+            dict(keep="survivors"),
+            dict(keep="best", best_by="length(text)"),
+        ):
+            fn = t(
+                "dedup_connected_components",
+                num_hashes=12,
+                bands=4,
+                shingle_size=3,
+                **kw,
+            )
+            monkeypatch.setattr(DD, "DEDUP_CC_DRIVER_MAX_EDGES", 500_000)
+            driver = sorted(tuple(r) for r in frame.transform(fn).collect())
+            monkeypatch.setattr(DD, "DEDUP_CC_DRIVER_MAX_EDGES", 0)
+            dist = sorted(tuple(r) for r in frame.transform(fn).collect())
+            assert driver == dist
+
+
 def test_connected_components_hub_duplicate_edges(spark):
     """Spark run of the r14 round body on the duplicate-producing hub
     topology (star + tail + parallel/reversed edges): labels match the
@@ -4840,6 +4915,14 @@ def test_iterative_loops_under_dynamic_allocation(spark, monkeypatch):
     monkeypatch.setattr(mat_mod, "dyn_alloc_enabled", lambda s: True)
     # pin the persist branch regardless of shared-session checkpoint dir
     monkeypatch.setattr(mat_mod, "has_checkpoint_dir", lambda s: False)
+    # force the DISTRIBUTED loops: the r15 driver tiers would otherwise
+    # bypass iter_materialize entirely on these tiny inputs, and this
+    # test exists to exercise the dyn-alloc persist branch of the loops
+    from lakehouse_engine_spark.datapipes import dedup as dedup_mod
+    from lakehouse_engine_spark.datapipes import graph as graph_mod
+
+    monkeypatch.setattr(graph_mod, "GRAPH_DRIVER_MAX_EDGES", 0)
+    monkeypatch.setattr(dedup_mod, "DEDUP_CC_DRIVER_MAX_EDGES", 0)
     dyn = run_all()
     assert dyn == static
     # per-round handles were released: at most the final round's entry
