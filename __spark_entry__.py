@@ -5049,7 +5049,7 @@ WINDOW_RETOUCHED = (
     "dp131_knn_ivf_hier",
     "dp132_semantic_dedup_hier",
     "dp133_prototype_prune",
-    # r15: ANN de-chatter cohort member (kmeans family neighbor)
+    # r14 construction de-chatter cohort (same evidence class)
     "dp13_knn_ivf",
     # r15: dedup-CC round-1 identity-label specialization
     "dp20_dup_clusters",
